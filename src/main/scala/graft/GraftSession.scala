@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the settings every entry point (tests, Bench,
+  * Verify, driver) must share.
+  *
+  * Scale notes: shuffle partitions default to the core count (local
+  * mode); on a real cluster this would be sized to data volume /
+  * target partition size and AQE coalesces the rest. AQE is on so
+  * skewed joins and over-partitioned shuffles re-plan at runtime.
+  */
+object GraftSession {
+  /** Apply graft defaults to an existing builder. */
+  def configure(b: SparkSession.Builder, cpus: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // The driver-generated events table stores ts as parquet
+      // TIMESTAMP(NANOS), which Spark has no native type for; read it
+      // as a long (see Tables.events for the normalization).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def local(cpus: Int = defaultCpus, appName: String = "graft"): SparkSession = {
+    val s = configure(
+      SparkSession.builder().master(s"local[$cpus]").appName(appName), cpus)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def defaultCpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(math.max(4, Runtime.getRuntime.availableProcessors()))
+}

@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query packs (each a `QueryPack` of named DataFrame programs with
+  * DuckDB oracles where SQL-expressible):
+  *   - [[queries.RelationalPack]] — §2.F relational surface
+  *   - [[queries.EventsPack]]     — time-series / window operators
+  *   - [[queries.TextPack]]       — text analysis + dedup
+  *   - [[queries.SimilarityPack]] — vector similarity search
+  *   - [[queries.ChunkPack]]      — chunk/embed pipeline ops
+  */
 object SparkEntry {
+
+  val packs: Seq[QueryPack] =
+    Seq(RelationalPack, EventsPack, TextPack, SimilarityPack, ChunkPack)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q03_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    packs.flatMap(_.queries).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    packs.flatMap(_.oracles).toMap
 }

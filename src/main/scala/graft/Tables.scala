@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * Plain parquet scans: Catalyst pushes filters / prunes columns down
+  * to the file scan, so downstream queries only pay for what they
+  * project.
+  *
+  * `events.ts` is stored as parquet TIMESTAMP(NANOS). Spark has no
+  * nanosecond timestamp type, so the session reads it as a raw long
+  * (`spark.sql.legacy.parquet.nanosAsLong`) and we expose:
+  *   - `ts_ns` — the raw nanoseconds-since-epoch long,
+  *   - `ts_us` — microseconds (integer division, i.e. truncation —
+  *     identical to DuckDB's TIMESTAMP_NS → TIMESTAMP cast),
+  *   - `ts`    — a microsecond TimestampType column.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, dir)
+      case n        => spark.read.parquet(s"$dir/$n.parquet")
+    }
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** Register every table as a temp view so `spark.sql` works over the
+    * same names the DuckDB oracle uses. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash embedding: the offline stand-in for a model
+  * embedder (FIXTURES.md F1; the reference's `Embedder` protocol,
+  * python/cocoindex/resources/embedder.py, with
+  * SentenceTransformerEmbedder as the production impl).
+  *
+  * embed(text)[i] = scaled(xxhash64(text, i)), L2-normalized. Same
+  * text ⇒ same unit vector, so memoization and diff assertions are
+  * exact. Pure columnar (no UDF): the whole embedding stays inside
+  * codegen, and at cluster scale it's a map-only stage.
+  *
+  * A production embedder would follow the reference's batching path
+  * (mapPartitions + model micro-batches, @coco.fn(batching=True),
+  * python/cocoindex/_internal/batching.py) — the pipeline wiring here
+  * is identical, only this function swaps.
+  */
+object HashEmbedder {
+
+  /** Raw (unnormalized) hash components in [-1, 1). */
+  private def component(text: Column, i: Column): Column =
+    (pmod(xxhash64(text, i), lit(2000001L)).cast("double") / 1000000.5) - 1.0
+
+  def embed(text: Column, dim: Int): Column = {
+    val raw = transform(sequence(lit(0), lit(dim - 1)), i => component(text, i))
+    val norm = sqrt(aggregate(raw, lit(0.0), (a, x) => a + x * x))
+    transform(raw, x => (x / norm).cast("float"))
+  }
+}

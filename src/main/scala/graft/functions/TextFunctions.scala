@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-corpus pipelines: token
+  * counting, quality scoring, language ID, fingerprinting, shingling.
+  *
+  * Everything is built from codegen'd built-ins (split / filter /
+  * transform / md5 / regexp) — no UDFs — so a 100 TB documents scan
+  * stays inside WholeStageCodegen and the parquet reader only
+  * materializes the `text` column.
+  *
+  * Reference behavior mirrored: `index_terms`-style term extraction
+  * (reference python/cocoindex/ops/code.py:223-235) and the
+  * quality/language heuristics a training-data pipeline needs.
+  */
+object TextFunctions {
+
+  /** Whitespace words, empty strings dropped. */
+  def words(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  def wordCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish tokenization: letter runs, digit runs, single punctuation.
+    * (Pattern deliberately avoids backslash classes so the identical
+    * string is valid in Java and RE2/DuckDB regex dialects.) */
+  val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(TokenPattern), lit(0)))
+
+  val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  /** Fraction of words that are stopwords (0 when empty). */
+  def stopwordRatio(text: Column): Column = {
+    val ws = words(text)
+    when(size(ws) > 0,
+      size(filter(ws, w => w.isInCollection(Stopwords))).cast("double") /
+        size(ws))
+      .otherwise(0.0)
+  }
+
+  /** Fraction of characters that are lowercase letters. */
+  def alphaRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, "[^a-z]", "")).cast("double") / length(text))
+      .otherwise(0.0)
+
+  def avgWordLength(text: Column): Column = {
+    val ws = words(text)
+    when(size(ws) > 0,
+      length(regexp_replace(text, " ", "")).cast("double") / size(ws))
+      .otherwise(0.0)
+  }
+
+  /** Composite quality score in [0,1]: stopword presence, alphabetic
+    * density, and length saturation — the length/punct/stopword recipe
+    * used by open training-data filters. */
+  def qualityScore(text: Column): Column =
+    stopwordRatio(text) * 0.5 + alphaRatio(text) * 0.3 +
+      least(lit(1.0), wordCount(text).cast("double") / 100.0) * 0.2
+
+  /** Marker words per language; the langId heuristic counts hits. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of"),
+    "es" -> Seq("el", "la", "los", "es"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "fr" -> Seq("le", "les", "des", "est"))
+
+  def markerCount(text: Column, markers: Seq[String]): Column =
+    size(filter(words(text), w => w.isInCollection(markers)))
+
+  /** N-gram-heuristic language ID: most marker hits wins, ties broken
+    * by declaration order, no hits → "und". */
+  def langId(text: Column): Column = {
+    val counts = LangMarkers.map { case (l, m) => l -> markerCount(text, m) }
+    val total = counts.map(_._2).reduce(_ + _)
+    val maxC = greatest(counts.map(_._2): _*)
+    val pick = counts.foldRight(lit("und")) { case ((l, c), e) =>
+      when(c === maxC, lit(l)).otherwise(e)
+    }
+    when(total === 0, lit("und")).otherwise(pick)
+  }
+
+  /** Normalized text: lowercased, runs of spaces collapsed. */
+  def normalized(text: Column): Column =
+    lower(regexp_replace(text, " +", " "))
+
+  /** Content fingerprint (md5 hex — identical in DuckDB for oracle
+    * checks; xxhash64 is faster but engine-specific). */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Distinct word n-gram shingles (space-joined); empty array when
+    * the document has fewer than n words. */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    val grams = transform(sequence(lit(0), size(ws) - n),
+      i => concat_ws(" ", (1 to n).map(j => element_at(ws, i + j)): _*))
+    array_distinct(
+      when(size(ws) >= n, grams).otherwise(array().cast("array<string>")))
+  }
+}

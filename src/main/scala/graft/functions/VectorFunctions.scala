@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ARRAY<FLOAT>` embedding columns, built from
+  * codegen'd higher-order functions (`zip_with` / `aggregate`) so the
+  * whole computation stays inside WholeStageCodegen — no UDF
+  * serialization on the hot path.
+  *
+  * All arithmetic is promoted to double and accumulated in array
+  * index order, matching how DuckDB's `list_cosine_similarity`
+  * evaluates over `DOUBLE[]`, so oracle comparisons agree to ~1 ulp.
+  *
+  * Reference behavior mirrored: pgvector `<=>` cosine-distance KNN
+  * used by cocoindex retrieval (reference
+  * examples/text_embedding/main.py:138-156).
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ in double precision. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Σ aᵢ² in double precision. */
+  def squaredNorm(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  def l2Norm(a: Column): Column = sqrt(squaredNorm(a))
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, x) => acc + x))
+}

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text chunking: the Spark-native re-expression of the reference's
+  * `RecursiveSplitter` / `SeparatorSplitter`
+  * (reference python/cocoindex/ops/text.py:40-191; core algorithm
+  * rust/ops_text/src/split/recursive.rs — re-designed here, not
+  * ported: a greedy merge over a separator hierarchy instead of the
+  * reference's DP merge, since chunk boundaries only need to be
+  * deterministic, not identical to the Rust engine's).
+  *
+  * Two forms:
+  *   - [[chunkFixed]]: fixed window/stride chunking as a pure
+  *     Catalyst plan (sequence + explode + substring) — zero UDF, fully
+  *     codegen'd, SQL-oracle-checkable.
+  *   - [[recursiveSplit]] (+ [[chunkUdf]]): separator-hierarchy
+  *     recursive splitter with char positions and overlap, as a Scala
+  *     function wrapped in a UDF returning `ARRAY<STRUCT>` that is
+  *     then exploded — the generator (1 row → N chunks) pattern.
+  *
+  * Scale note: chunking is embarrassingly parallel (per-document);
+  * neither form shuffles. The UDF leaves codegen but processes each
+  * document exactly once with no driver involvement.
+  */
+object Chunker {
+
+  /** One produced chunk with char-offset positions (the reference's
+    * `Chunk`/`TextPosition`, python/cocoindex/resources/chunk.py). */
+  final case class ChunkOut(
+      chunk_id: Int, text: String,
+      start_char: Int, end_char: Int,
+      start_line: Int, end_line: Int)
+
+  /** Separator hierarchy per language family; tried in order, falling
+    * back to character-window splits (reference's regex-separator
+    * hierarchy, ops/text.py:121-191). */
+  val DefaultSeparators: Seq[String] = Seq("\n\n", "\n", ". ", " ")
+  val MarkdownSeparators: Seq[String] =
+    Seq("\n## ", "\n### ", "\n\n", "\n", ". ", " ")
+
+  def separatorsFor(language: String): Seq[String] = language match {
+    case "markdown" | "md" => MarkdownSeparators
+    case _                 => DefaultSeparators
+  }
+
+  /** Split `text` into chunks of at most `chunkSize` chars, preferring
+    * boundaries high in the separator hierarchy, with up to `overlap`
+    * chars of context repeated from the previous chunk. Returns chunks
+    * with absolute char offsets into the original text.
+    */
+  def recursiveSplit(
+      text: String, chunkSize: Int, overlap: Int = 0,
+      separators: Seq[String] = DefaultSeparators,
+      minChunkSize: Int = 1): Seq[ChunkOut] = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize)
+
+    // 1. produce atomic pieces no longer than chunkSize, each with its
+    //    absolute start offset; separators stay attached to the piece
+    //    on their left so offsets tile the input exactly.
+    def atoms(s: String, off: Int, seps: Seq[String]): Vector[(Int, String)] =
+      if (s.length <= chunkSize) Vector((off, s))
+      else seps match {
+        case sep +: rest =>
+          val parts = splitKeepLeft(s, sep)
+          if (parts.length <= 1) atoms(s, off, rest)
+          else {
+            var o = off
+            parts.toVector.flatMap { p =>
+              val r =
+                if (p.length <= chunkSize) Vector((o, p))
+                else atoms(p, o, rest)
+              o += p.length
+              r
+            }
+          }
+        case _ => // character-window fallback
+          (0 until s.length by chunkSize).toVector
+            .map(i => (off + i, s.substring(i, math.min(i + chunkSize, s.length))))
+      }
+
+    // 2. greedy merge: pack consecutive atoms while total ≤ chunkSize.
+    val pieces = atoms(text, 0, separators)
+    val merged = Vector.newBuilder[(Int, Int)] // (start, end) char offsets
+    var start = -1
+    var end = -1
+    pieces.foreach { case (o, p) =>
+      if (start < 0) { start = o; end = o + p.length }
+      else if (end + p.length - start <= chunkSize) end = o + p.length
+      else { merged += ((start, end)); start = o; end = o + p.length }
+    }
+    if (start >= 0) merged += ((start, end))
+
+    // 3. apply overlap and trim sub-minimum tails; compute line numbers.
+    val spans = merged.result().filter { case (s0, e0) =>
+      e0 - s0 >= math.min(minChunkSize, text.length)
+    }
+    // 1-based line number = 1 + count of newlines strictly before off
+    val lineOf: Int => Int = {
+      val starts = text.zipWithIndex.collect { case ('\n', i) => i }.toArray
+      off => 1 + (java.util.Arrays.binarySearch(starts, off) match {
+        case i if i >= 0 => i
+        case i           => -i - 1
+      })
+    }
+    spans.zipWithIndex.map { case ((s0, e0), idx) =>
+      val withOv = if (idx == 0) s0 else math.max(0, s0 - overlap)
+      ChunkOut(idx, text.substring(withOv, e0), withOv, e0,
+        lineOf(withOv), lineOf(math.max(withOv, e0 - 1)))
+    }
+  }
+
+  /** Split keeping the separator attached to the left piece, so that
+    * concatenating the pieces reproduces the input (offset-exact). */
+  private def splitKeepLeft(s: String, sep: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var from = 0
+    var i = s.indexOf(sep)
+    while (i >= 0) {
+      out += s.substring(from, i + sep.length)
+      from = i + sep.length
+      i = s.indexOf(sep, from)
+    }
+    if (from < s.length) out += s.substring(from)
+    out.result()
+  }
+
+  /** The recursive splitter as a generator UDF: one row in, an array
+    * of chunk structs out (explode downstream). */
+  def chunkUdf(chunkSize: Int, overlap: Int, language: String = "text") =
+    udf((text: String) =>
+      if (text == null) Seq.empty[ChunkOut]
+      else recursiveSplit(text, chunkSize, overlap, separatorsFor(language)))
+
+  /** Fixed window/stride chunking as a pure Catalyst plan. Emits
+    * (chunk_idx INT, chunk_text STRING) per input row. */
+  def chunkFixed(df: DataFrame, textCol: String, width: Int, stride: Int)
+      : DataFrame = {
+    val n = ceil(length(col(textCol)).cast("double") / stride).cast("int")
+    df.withColumn("chunk_idx",
+        explode(sequence(lit(0), greatest(n, lit(1)) - 1)))
+      .withColumn("chunk_text",
+        substring_index_safe(col(textCol), col("chunk_idx") * stride + 1, width))
+      .drop(textCol)
+  }
+
+  /** `substring` with Column args (the 3-arg substring builtin only
+    * takes Int literals in the Scala API). */
+  private def substring_index_safe(str: Column, pos: Column, len: Int): Column =
+    str.substr(pos, lit(len))
+
+  /** Extension→language mapping (reference ops/text.py:20-37
+    * `detect_code_language`). */
+  val LanguageByExtension: Map[String, String] = Map(
+    "md" -> "markdown", "markdown" -> "markdown", "txt" -> "text",
+    "py" -> "python", "rs" -> "rust", "scala" -> "scala", "java" -> "java",
+    "js" -> "javascript", "ts" -> "typescript", "go" -> "go", "c" -> "c",
+    "h" -> "c", "cpp" -> "cpp", "hpp" -> "cpp", "rb" -> "ruby",
+    "sh" -> "bash", "sql" -> "sql", "json" -> "json", "yaml" -> "yaml",
+    "yml" -> "yaml", "toml" -> "toml", "html" -> "html", "css" -> "css")
+
+  /** Columnar extension→language lookup. */
+  def detectCodeLanguage(filename: Column): Column = {
+    val ext = lower(element_at(split(filename, "\\."), -1))
+    LanguageByExtension.foldLeft(lit("text")) { case (e, (k, v)) =>
+      when(ext === k, lit(v)).otherwise(e)
+    }
+  }
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an `ARRAY<FLOAT>` embedding column.
+  *
+  * Two tiers (SURVEY.md §7.2 M6 / builder mandate):
+  *   - [[bruteForceTopK]]: exact cosine top-k. The query side is
+  *     broadcast, so the corpus is scanned once with no shuffle; the
+  *     per-query top-k is a ranking window partitioned by query id.
+  *     At 100 TB this is the "small query batch × huge corpus" shape:
+  *     corpus-partition-parallel, one narrow pass, then a k-row
+  *     per-partition heap via the window's partial TakeOrdered.
+  *   - [[lshTopK]]: approximate variant — sign-random-projection
+  *     (SimHash for cosine) bucketing. Corpus vectors are hashed into
+  *     `planes`-bit signatures once; candidates = bucket collisions in
+  *     any band; exact cosine re-rank on candidates only. This is the
+  *     scale path: the candidate join is an equi-join on (band,
+  *     signature), so a 1000-executor cluster shuffles only bucket
+  *     ids, never the O(Q×N) cross product.
+  *
+  * Reference behavior mirrored: pgvector KNN retrieval
+  * (examples/text_embedding/main.py:138-156) and the FAISS candidate
+  * search inside entity resolution
+  * (python/cocoindex/ops/entity_resolution/__init__.py:200).
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * @param queries (id, embedding); must be small enough to broadcast
+    * @param corpus  (id, embedding)
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(embCol).as("q_emb"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(embCol).as("c_emb"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosineSimilarity(col("q_emb"), col("c_emb")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane,
+    * dim): a hash-derived value in [-1, 1). Pure columnar — the
+    * planes are never materialized driver-side. */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    (pmod(xxhash64(plane, dim), lit(1000000L)).cast("double") / 500000.0) - 1.0
+
+  /** `planes`-bit sign-random-projection signature of an embedding,
+    * returned as an array of per-band long codes (`planes` must be a
+    * multiple of `bands`). */
+  def srpBandCodes(emb: Column, planes: Int, bands: Int): Column = {
+    val perBand = planes / bands
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      aggregate(sequence(lit(0), lit(perBand - 1)), lit(0L), (acc, i) => {
+        val plane = b * perBand + i
+        val dot = aggregate(
+          zip_with(emb, sequence(lit(0), size(emb) - 1),
+            (x, d) => x.cast("double") * planeComponent(plane, d)),
+          lit(0.0), (a, x) => a + x)
+        shiftleft(acc, 1) + when(dot >= 0, 1L).otherwise(0L)
+      }))
+  }
+
+  /** Approximate top-k: SRP-LSH candidate generation + exact cosine
+    * re-rank. Increase `bands` for recall, `planes/bands` for
+    * precision. */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      planes: Int = 32, bands: Int = 8,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    def banded(df: DataFrame, id: String, emb: String) =
+      df.select(col(idCol).as(id), col(embCol).as(emb),
+          posexplode(srpBandCodes(col(embCol), planes, bands))
+            .as(Seq("band", "code")))
+    val q = banded(queries, "query_id", "q_emb")
+    val c = banded(corpus, "neighbor_id", "c_emb")
+    // equi-join on (band, code): only colliding buckets shuffle
+    val candidates = c.join(q, Seq("band", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "q_emb", "c_emb")
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    candidates
+      .withColumn("score", round(cosineSimilarity(col("q_emb"), col("c_emb")), 6))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** All pairs (a < b) whose cosine similarity rounds to ≥ threshold —
+    * embedding-based near-duplicate detection. Exact; for the
+    * LSH-accelerated variant see [[Dedup.embeddingNearDupLsh]]. */
+  def nearDupPairs(
+      vectors: DataFrame, threshold: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val a = vectors.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    val b = vectors.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosineSimilarity(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Chunker
+import graft.functions.HashEmbedder
+
+/** Chunking + embedding pipeline queries over `documents` — the
+  * text_embedding example pipeline shape (reference
+  * examples/text_embedding/main.py) re-expressed as Catalyst plans.
+  */
+object ChunkPack extends QueryPack {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- fixed window/stride chunking (pure Catalyst, oracle-checked) ---
+    Q(
+      "q50_chunk_fixed",
+      Some("""
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               substring(text, CAST(i AS INT) * 150 + 1, 200) AS chunk_text
+        FROM (SELECT doc_id, text,
+                     unnest(range(CAST(ceil(length(text) / 150.0) AS BIGINT))) AS i
+              FROM documents)"""),
+      (s, dir) =>
+        Chunker.chunkFixed(
+          Tables(s, dir, "documents").select("doc_id", "text"),
+          "text", width = 200, stride = 150)
+          .select("doc_id", "chunk_idx", "chunk_text")),
+
+    // ---- recursive separator-hierarchy chunking (generator UDF) ---------
+    Q(
+      "q51_chunk_recursive",
+      None,
+      (s, dir) => {
+        val chunk = Chunker.chunkUdf(chunkSize = 120, overlap = 20)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(chunk(col("text"))).as("c"))
+          .select(col("doc_id"), col("c.chunk_id"), col("c.text").as("chunk_text"),
+            col("c.start_char"), col("c.end_char"))
+      }),
+
+    // ---- chunk → hash-embed pipeline (map-only, no shuffle) -------------
+    Q(
+      "q52_chunk_embed",
+      None,
+      (s, dir) => {
+        val chunk = Chunker.chunkUdf(chunkSize = 120, overlap = 0)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(chunk(col("text"))).as("c"))
+          .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+            HashEmbedder.embed(col("c.text"), 32).as("embedding"))
+          .select(col("doc_id"), col("chunk_id"),
+            round(graft.functions.VectorFunctions.l2Norm(col("embedding")), 4)
+              .as("emb_norm"))
+      })
+  )
+}

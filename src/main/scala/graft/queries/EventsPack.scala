@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Time-series operators over the `events` table: tumbling and
+  * sliding window aggregation, sessionization (gaps-and-islands), an
+  * as-of join (latest preceding event of another type), conditional
+  * pivot aggregation, and deterministic first/last-per-key.
+  *
+  * These are the batch twins of the streaming operators in
+  * `graft.streaming` — same logical computations, verified here
+  * value-for-value against DuckDB; the streaming side re-runs them
+  * under watermarks (SURVEY.md §2.D live-mode duality).
+  *
+  * All event-time arithmetic is done on integer microseconds
+  * (`ts_us`), never floats, so window boundaries are bit-identical in
+  * both engines.
+  */
+object EventsPack extends QueryPack {
+
+  private val HOUR_US = 3600L * 1000000L
+  private val HALF_HOUR_US = 1800L * 1000000L
+
+  val all: Seq[Q] = Seq(
+
+    // ---- tumbling 1h window aggregation ---------------------------------
+    Q(
+      "q21_tumbling_window",
+      Some("""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2"""),
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum("value"), 2).as("total_value"))),
+
+    // ---- sliding window: width 1h, slide 30m (each event in 2 windows) --
+    Q(
+      "q22_sliding_window",
+      Some(s"""
+        SELECT (ts_us // $HALF_HOUR_US - i) * $HALF_HOUR_US AS window_start_us,
+               event_type, count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM (SELECT epoch_us(ts) AS ts_us, event_type, value,
+                     unnest([0, 1]) AS i
+              FROM events) x
+        GROUP BY 1, 2"""),
+      (s, dir) =>
+        Tables.events(s, dir)
+          .withColumn("i", explode(array(lit(0), lit(1))))
+          .groupBy(
+            ((col("ts_us") / HALF_HOUR_US).cast("long") - col("i"))
+              .multiply(HALF_HOUR_US).as("window_start_us"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum("value"), 2).as("total_value"))),
+
+    // ---- sessionization: 30-minute inactivity gap (gaps-and-islands) ----
+    Q(
+      "q23_sessionize",
+      Some(s"""
+        WITH seq AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > $HALF_HOUR_US
+                      OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        sess AS (
+          SELECT user_id, event_id, ts_us,
+                 sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM seq),
+        per_session AS (
+          SELECT user_id, session_id, count(*) AS n_events,
+                 (max(ts_us) - min(ts_us)) // 1000000 AS duration_sec
+          FROM sess GROUP BY user_id, session_id)
+        SELECT user_id,
+               count(*) AS n_sessions,
+               CAST(max(n_events) AS BIGINT) AS max_session_events,
+               round(avg(n_events), 4) AS avg_session_events,
+               CAST(max(duration_sec) AS BIGINT) AS max_session_sec
+        FROM per_session GROUP BY user_id"""),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val prev = lag("ts_us", 1).over(w)
+        Tables.events(s, dir)
+          .withColumn("is_start",
+            when(prev.isNull || col("ts_us") - prev > HALF_HOUR_US, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum("is_start").over(wRun))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            ((max("ts_us") - min("ts_us")) / 1000000L).cast("long")
+              .as("duration_sec"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            max("n_events").cast("long").as("max_session_events"),
+            round(avg("n_events"), 4).as("avg_session_events"),
+            max("duration_sec").cast("long").as("max_session_sec"))
+      }),
+
+    // ---- as-of join: for each purchase, latest preceding click ----------
+    // Implemented scale-correctly as union + running last() — one sort
+    // per user partition instead of a quadratic range join (SURVEY.md
+    // §2.F "as-of join"). The oracle mirrors the identical window
+    // construction, so tie semantics (same ts_us → event_id order)
+    // agree exactly.
+    Q(
+      "q24_asof_join",
+      Some("""
+        WITH tagged AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                 CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us,
+                 CASE WHEN event_type = 'click' THEN event_id END AS click_id
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        filled AS (
+          SELECT user_id, event_id, event_type, ts_us,
+                 last_value(click_us IGNORE NULLS) OVER w AS last_click_us,
+                 last_value(click_id IGNORE NULLS) OVER w AS last_click_id
+          FROM tagged
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_id AS purchase_id, user_id, last_click_id,
+               CASE WHEN last_click_us IS NOT NULL
+                    THEN (ts_us - last_click_us) // 1000 END AS ms_since_click
+        FROM filled WHERE event_type = 'purchase'"""),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .withColumn("click_us",
+            when(col("event_type") === "click", col("ts_us")))
+          .withColumn("click_id",
+            when(col("event_type") === "click", col("event_id")))
+          .withColumn("last_click_us", last("click_us", ignoreNulls = true).over(w))
+          .withColumn("last_click_id", last("click_id", ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("last_click_id"),
+            when(col("last_click_us").isNotNull,
+              ((col("ts_us") - col("last_click_us")) / 1000L).cast("long"))
+              .as("ms_since_click"))
+      }),
+
+    // ---- conditional (pivot-style) aggregation per user -----------------
+    Q(
+      "q25_event_pivot",
+      Some("""
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_value
+        FROM events GROUP BY user_id"""),
+      (s, dir) => {
+        def cnt(et: String) =
+          sum(when(col("event_type") === et, 1L).otherwise(0L)).as(s"n_$et")
+        Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"),
+            cnt("error"),
+            round(sum(when(col("event_type") === "purchase", col("value"))
+              .otherwise(0.0)), 2).as("purchase_value"))
+      }),
+
+    // ---- deterministic first/last per key -------------------------------
+    Q(
+      "q26_first_last",
+      Some("""
+        WITH ranked AS (
+          SELECT user_id, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS rn_asc,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn_desc
+          FROM events)
+        SELECT a.user_id,
+               a.event_type AS first_type, b.event_type AS last_type,
+               round(a.value, 4) AS first_value, round(b.value, 4) AS last_value
+        FROM ranked a JOIN ranked b
+          ON a.user_id = b.user_id AND a.rn_asc = 1 AND b.rn_desc = 1"""),
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val wAsc = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        val wDesc = Window.partitionBy("user_id")
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        val ranked = e.select(col("user_id"), col("event_type"), col("value"),
+          row_number().over(wAsc).as("rn_asc"),
+          row_number().over(wDesc).as("rn_desc"))
+        val first = ranked.filter(col("rn_asc") === 1)
+          .select(col("user_id"), col("event_type").as("first_type"),
+            round(col("value"), 4).as("first_value"))
+        val lastE = ranked.filter(col("rn_desc") === 1)
+          .select(col("user_id").as("uid2"), col("event_type").as("last_type"),
+            round(col("value"), 4).as("last_value"))
+        first.join(lastE, col("user_id") === col("uid2"))
+          .select("user_id", "first_type", "last_type", "first_value",
+            "last_value")
+      })
+  )
+}

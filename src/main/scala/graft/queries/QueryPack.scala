@@ -1,0 +1,24 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named query: a Spark DataFrame program plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB SQL
+  * oracle over the same parquet tables. Column names must match
+  * between the two — the driver sorts columns by name before hashing
+  * values.
+  */
+final case class Q(
+    name: String,
+    oracle: Option[String],
+    run: (SparkSession, String) => DataFrame)
+
+trait QueryPack {
+  def all: Seq[Q]
+
+  final def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  final def oracles: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

@@ -1,0 +1,484 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** The classic relational operator surface (SURVEY.md §2.F): scans,
+  * filters, every join shape, aggregation (incl. ROLLUP/CUBE and
+  * distinct), window functions (ranking, running frames, RANGE
+  * frames), global and per-group top-k, set operations, and the
+  * scalar function matrix. The reference delegates these to its
+  * target stores (SURVEY.md §2.F "Honest note"); here they are
+  * first-class Catalyst plans checked value-for-value against DuckDB.
+  *
+  * Determinism rules used throughout (driver hashes values):
+  *   - computed doubles are rounded; large money sums are rounded to
+  *     integers (a double sum's error is ~1e-5 relative at sf0.1 —
+  *     integer grid makes cross-engine compare exact);
+  *   - DuckDB integer sums are cast back to BIGINT (DuckDB widens to
+  *     HUGEINT, Spark keeps LongType);
+  *   - every LIMIT sits on a total order with a unique tie-break key;
+  *   - raw column values (e.g. o_totalprice) are safe to emit
+  *     unrounded — both engines read identical parquet bits.
+  */
+object RelationalPack extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  val all: Seq[Q] = Seq(
+
+    // ---- aggregation: TPC-H Q1 shape (partial agg map-side, 2-col group) --
+    Q(
+      "q01_pricing_summary",
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                    AS sum_qty,
+               CAST(round(sum(l_extendedprice), 0) AS BIGINT)    AS sum_base_price,
+               CAST(round(sum(l_extendedprice * (1 - l_discount)), 0) AS BIGINT) AS sum_disc_price,
+               round(avg(l_quantity), 4)                    AS avg_qty,
+               round(avg(l_extendedprice), 2)               AS avg_price,
+               round(avg(l_discount), 6)                    AS avg_disc,
+               count(*)                                     AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus"""),
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 0).cast("long").as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0)
+              .cast("long").as("sum_disc_price"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            round(avg("l_extendedprice"), 2).as("avg_price"),
+            round(avg("l_discount"), 6).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+      }),
+
+    // ---- join + agg + top-k: TPC-H Q3 shape ------------------------------
+    Q(
+      "q02_top_revenue_orders",
+      Some("""
+        SELECT o.o_orderkey, o.o_orderdate,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10"""),
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1998-01-01")))
+        val li = t(s, dir, "lineitem")
+        // customer is the small side: broadcast it through the orders join
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy("o_orderkey", "o_orderdate")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      }),
+
+    // ---- 6-table join: TPC-H Q5 shape (broadcast the dim chain) ----------
+    Q(
+      "q03_revenue_by_nation",
+      Some("""
+        SELECT n.n_name,
+               CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 0) AS BIGINT) AS revenue
+        FROM region r
+        JOIN nation n   ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+        WHERE r.r_name IN ('ASIA', 'EUROPE')
+        GROUP BY n.n_name"""),
+      (s, dir) => {
+        val r = t(s, dir, "region").filter(col("r_name").isin("ASIA", "EUROPE"))
+        val n = t(s, dir, "nation")
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        val su = t(s, dir, "supplier")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(su),
+            col("s_suppkey") === col("l_suppkey") &&
+              col("s_nationkey") === col("c_nationkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0)
+            .cast("long").as("revenue"))
+      }),
+
+    // ---- semi join (EXISTS) ---------------------------------------------
+    Q(
+      "q04_semi_join",
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate < TIMESTAMP '1996-01-01')
+        GROUP BY c_mktsegment"""),
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") < to_timestamp(lit("1996-01-01")))
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+      }),
+
+    // ---- anti join (NOT EXISTS) -----------------------------------------
+    Q(
+      "q05_anti_join",
+      Some("""
+        SELECT n.n_name, count(*) AS n_idle_customers
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY n.n_name"""),
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val n = t(s, dir, "nation")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name").agg(count(lit(1)).as("n_idle_customers"))
+      }),
+
+    // ---- non-equi (band/theta) join -------------------------------------
+    Q(
+      "q06_band_join",
+      Some("""
+        SELECT b.band, count(*) AS n_parts,
+               round(avg(p.p_retailprice), 4) AS avg_price
+        FROM part p
+        JOIN (VALUES ('budget', 900.0, 907.0),
+                     ('mid',    907.0, 914.0),
+                     ('premium',914.0, 921.0)) AS b(band, lo, hi)
+          ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+        GROUP BY b.band"""),
+      (s, dir) => {
+        import s.implicits._
+        val p = t(s, dir, "part")
+        val bands = Seq(("budget", 900.0, 907.0), ("mid", 907.0, 914.0),
+          ("premium", 914.0, 921.0)).toDF("band", "lo", "hi")
+        // tiny band table: broadcast-nested-loop is the right plan
+        p.join(broadcast(bands),
+            col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_parts"),
+            round(avg("p_retailprice"), 4).as("avg_price"))
+      }),
+
+    // ---- outer join with null-preserving aggregation --------------------
+    Q(
+      "q07_outer_join",
+      Some("""
+        SELECT n.n_name,
+               count(c.c_custkey) AS n_customers,
+               CAST(coalesce(round(sum(c.c_acctbal), 0), 0) AS BIGINT) AS total_acctbal
+        FROM nation n
+        LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name"""),
+      (s, dir) => {
+        val n = t(s, dir, "nation")
+        val c = t(s, dir, "customer")
+        n.join(c, col("c_nationkey") === col("n_nationkey"), "left")
+          .groupBy("n_name")
+          .agg(count(col("c_custkey")).as("n_customers"),
+            coalesce(round(sum("c_acctbal"), 0), lit(0.0)).cast("long")
+              .as("total_acctbal"))
+      }),
+
+    // ---- ROLLUP ----------------------------------------------------------
+    Q(
+      "q08_rollup",
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)"""),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(
+            grouping("l_returnflag").cast("int").as("g_flag"),
+            grouping("l_linestatus").cast("int").as("g_status"),
+            count(lit(1)).as("n_rows"),
+            round(sum("l_quantity"), 2).as("sum_qty"))
+          .select("l_returnflag", "l_linestatus", "g_flag", "g_status",
+            "n_rows", "sum_qty")),
+
+    // ---- CUBE ------------------------------------------------------------
+    Q(
+      "q09_cube",
+      Some("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               count(*) AS n_orders,
+               CAST(round(sum(o_totalprice), 0) AS BIGINT) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(
+            grouping("o_orderstatus").cast("int").as("g_status"),
+            grouping("o_orderpriority").cast("int").as("g_prio"),
+            count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 0).cast("long").as("total"))
+          .select("o_orderstatus", "o_orderpriority", "g_status", "g_prio",
+            "n_orders", "total")),
+
+    // ---- exact distinct aggregation -------------------------------------
+    Q(
+      "q10_count_distinct",
+      Some("""
+        SELECT c_mktsegment,
+               count(DISTINCT c_nationkey) AS n_nations,
+               count(*) AS n_customers
+        FROM customer
+        GROUP BY c_mktsegment"""),
+      (s, dir) =>
+        t(s, dir, "customer")
+          .groupBy("c_mktsegment")
+          .agg(countDistinct("c_nationkey").as("n_nations"),
+            count(lit(1)).as("n_customers"))),
+
+    // ---- per-group top-k via ranking window ------------------------------
+    Q(
+      "q11_window_topk_per_group",
+      Some("""
+        SELECT c_custkey, o_orderkey, o_totalprice, rnk
+        FROM (
+          SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+                 CAST(row_number() OVER (PARTITION BY c.c_custkey
+                   ORDER BY o.o_totalprice DESC, o.o_orderkey) AS INT) AS rnk
+          FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey) x
+        WHERE rnk <= 3"""),
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val w = Window.partitionBy("c_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("c_custkey", "o_orderkey", "o_totalprice", "rnk")
+      }),
+
+    // ---- running-frame window (ROWS UNBOUNDED PRECEDING) + lag ----------
+    Q(
+      "q12_window_running",
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(row_number() OVER w AS INT) AS order_seq,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+               round(o_totalprice - coalesce(lag(o_totalprice) OVER w, 0.0), 2) AS delta_prev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""),
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            row_number().over(w).cast("int").as("order_seq"),
+            round(sum("o_totalprice").over(wRun), 2).as("running_total"),
+            round(col("o_totalprice") -
+              coalesce(lag("o_totalprice", 1).over(w), lit(0.0)), 2)
+              .as("delta_prev"))
+      }),
+
+    // ---- RANGE frame over event time (sliding 1h lookback per user) -----
+    Q(
+      "q13_window_range_frame",
+      Some("""
+        SELECT event_id,
+               count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
+        FROM events"""),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+          .rangeBetween(-3600L * 1000000L, Window.currentRow)
+        Tables.events(s, dir)
+          .select(col("event_id"), count(lit(1)).over(w).as("n_last_hour"))
+      }),
+
+    // ---- global top-k ----------------------------------------------------
+    Q(
+      "q14_topk_global",
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .limit(20)),
+
+    // ---- set operations --------------------------------------------------
+    Q(
+      "q15_set_ops",
+      Some("""
+        SELECT 'union' AS op, count(*) AS n FROM (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          UNION
+          SELECT c_custkey FROM customer WHERE c_acctbal > 5000) u
+        UNION ALL
+        SELECT 'intersect' AS op, count(*) AS n FROM (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          INTERSECT
+          SELECT c_custkey FROM customer WHERE c_acctbal > 5000) i
+        UNION ALL
+        SELECT 'except' AS op, count(*) AS n FROM (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          EXCEPT
+          SELECT c_custkey FROM customer WHERE c_acctbal > 5000) e"""),
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+        val a = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val b = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+        def one(op: String, df: DataFrame) =
+          df.agg(count(lit(1)).as("n")).withColumn("op", lit(op))
+            .select("op", "n")
+        one("union", a.union(b).distinct())
+          .unionByName(one("intersect", a.intersect(b)))
+          .unionByName(one("except", a.except(b)))
+      }),
+
+    // ---- string scalar functions ----------------------------------------
+    Q(
+      "q16_string_fns",
+      Some("""
+        SELECT c_custkey,
+               upper(c_name)                                   AS uname,
+               substring(c_name, 10, 4)                        AS id_prefix,
+               CAST(length(c_name) AS INT)                     AS name_len,
+               CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS id_num,
+               concat(c_mktsegment, ':', c_name)               AS tagged,
+               replace(c_name, 'Customer', 'C')                AS short_name,
+               CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS seg_dist,
+               lpad(CAST(c_nationkey AS VARCHAR), 4, '0')      AS nation_code
+        FROM customer"""),
+      (s, dir) =>
+        t(s, dir, "customer").select(
+          col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          substring(col("c_name"), 10, 4).as("id_prefix"),
+          length(col("c_name")).cast("int").as("name_len"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long").as("id_num"),
+          concat(col("c_mktsegment"), lit(":"), col("c_name")).as("tagged"),
+          regexp_replace(col("c_name"), "Customer", "C").as("short_name"),
+          levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("int")
+            .as("seg_dist"),
+          lpad(col("c_nationkey").cast("string"), 4, "0").as("nation_code"))),
+
+    // ---- date/time scalar functions -------------------------------------
+    Q(
+      "q17_date_fns",
+      Some("""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT)       AS yr,
+               CAST(month(o_orderdate) AS INT)      AS mon,
+               CAST(quarter(o_orderdate) AS INT)    AS qtr,
+               date_trunc('month', o_orderdate)     AS month_start,
+               CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since_95
+        FROM orders"""),
+      (s, dir) =>
+        t(s, dir, "orders").select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("int").as("yr"),
+          month(col("o_orderdate")).cast("int").as("mon"),
+          quarter(col("o_orderdate")).cast("int").as("qtr"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+            .cast("int").as("days_since_95"))),
+
+    // ---- math scalar functions ------------------------------------------
+    Q(
+      "q18_math_fns",
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               round(sqrt(l_quantity), 6)                   AS sqrt_qty,
+               round(ln(l_extendedprice), 6)                AS ln_price,
+               round(pow(l_discount + 1, 2), 6)             AS pow_disc,
+               CAST(floor(l_quantity / 7) AS BIGINT)        AS qty_bucket,
+               CAST(ceil(l_extendedprice / 100) AS BIGINT)  AS price_bucket,
+               CAST(l_linenumber % 5 AS INT)                AS line_mod,
+               round(abs(l_discount - 0.05), 6)             AS disc_dev
+        FROM lineitem WHERE l_orderkey % 37 = 0"""),
+      (s, dir) =>
+        t(s, dir, "lineitem").filter(col("l_orderkey") % 37 === 0).select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+          round(log(col("l_extendedprice")), 6).as("ln_price"),
+          round(pow(col("l_discount") + 1, 2), 6).as("pow_disc"),
+          floor(col("l_quantity") / 7).cast("long").as("qty_bucket"),
+          ceil(col("l_extendedprice") / 100).cast("long").as("price_bucket"),
+          (col("l_linenumber") % 5).cast("int").as("line_mod"),
+          round(abs(col("l_discount") - 0.05), 6).as("disc_dev"))),
+
+    // ---- string→number extraction + conditional agg (JSON-ish props) ----
+    Q(
+      "q19_props_extract",
+      Some("""
+        SELECT event_type,
+               CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+               round(avg(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)), 4) AS avg_k,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type"""),
+      (s, dir) => {
+        val k = regexp_extract(col("props"), "([0-9]+)", 1).cast("long")
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(sum(k).as("sum_k"), round(avg(k), 4).as("avg_k"),
+            count(lit(1)).as("n"))
+      }),
+
+    // ---- array higher-order functions over embeddings -------------------
+    Q(
+      "q20_array_ops",
+      Some("""
+        SELECT vec_id,
+               CAST(len(embedding) AS INT) AS dim,
+               round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * x))), 4) AS l2_norm,
+               CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS INT)
+                 AS n_positive,
+               round(list_sum(CAST(embedding AS DOUBLE[])), 4) AS el_sum
+        FROM embeddings"""),
+      (s, dir) => {
+        import graft.functions.VectorFunctions._
+        val e = col("embedding")
+        t(s, dir, "embeddings").select(
+          col("vec_id"),
+          size(e).cast("int").as("dim"),
+          round(l2Norm(e), 4).as("l2_norm"),
+          size(filter(e, x => x.cast("double") > 0)).cast("int").as("n_positive"),
+          round(aggregate(e, lit(0.0), (a, x) => a + x.cast("double")), 4)
+            .as("el_sum"))
+      })
+  )
+}

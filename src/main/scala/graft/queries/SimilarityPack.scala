@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Similarity
+
+/** Similarity-search queries over the `embeddings` table. The
+  * brute-force and all-pairs variants are oracle-checked against
+  * DuckDB's `list_cosine_similarity` (computed over DOUBLE[] in both
+  * engines, scores rounded to 6 decimals before ranking so the
+  * cross-engine ordering is identical); the LSH variant is
+  * approximate by design and is covered by a recall test in
+  * SimilaritySpec instead.
+  */
+object SimilarityPack extends QueryPack {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- exact KNN: 8 query vectors × full corpus -----------------------
+    Q(
+      "q40_knn_bruteforce",
+      Some("""
+        WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings WHERE vec_id < 8),
+             c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings)
+        SELECT query_id, neighbor_id, score, CAST(rnk AS INT) AS rank
+        FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.emb, c.emb), 6) AS score,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.emb, c.emb), 6) DESC,
+                            c.vec_id) AS rnk
+          FROM q, c WHERE q.vec_id <> c.vec_id) x
+        WHERE rnk <= 10"""),
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") < 8), emb, 10)
+      }),
+
+    // ---- embedding-cosine near-duplicate pairs --------------------------
+    Q(
+      "q41_embedding_neardup",
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4"""),
+      (s, dir) =>
+        Similarity.nearDupPairs(Tables(s, dir, "embeddings"), 0.4)),
+
+    // ---- per-label centroids (element-wise mean over vectors) -----------
+    Q(
+      "q42_centroids",
+      Some("""
+        SELECT label, CAST(i AS INT) AS pos,
+               round(avg(emb[CAST(i AS INT) + 1]), 6) AS centroid_val
+        FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             (SELECT unnest(range(64)) AS i)
+        GROUP BY label, i"""),
+      (s, dir) =>
+        Tables(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("label"), col("pos").cast("int").as("pos"))
+          .agg(round(avg(col("v").cast("double")), 6).as("centroid_val"))),
+
+    // ---- approximate KNN via SRP-LSH (no oracle: approximate) -----------
+    Q(
+      "q43_knn_lsh",
+      None,
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.lshTopK(emb.filter(col("vec_id") < 8), emb, 10)
+      })
+  )
+}

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table: token
+  * counting, quality scoring, language ID, content fingerprinting,
+  * exact-block dedup, and n-gram Jaccard near-dup detection — each
+  * expressed as a pure-Catalyst plan with a value-identical DuckDB
+  * oracle.
+  *
+  * Scale design: every query is a single scan + (at most) one
+  * shuffle. Near-dup joins go through a blocking key first (64-char
+  * prefix) so the self-join is equi-join sized by block, never a
+  * cross join.
+  */
+object TextPack extends QueryPack {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- token counting (whitespace + BPE-ish regex) --------------------
+    Q(
+      "q30_token_stats",
+      Some("""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INT)
+                 AS n_words,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                 AS INT) AS n_tokens,
+               CAST(length(text) AS INT) AS n_chars
+        FROM documents"""),
+      (s, dir) =>
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          wordCount(col("text")).cast("int").as("n_words"),
+          tokenCount(col("text")).cast("int").as("n_tokens"),
+          length(col("text")).cast("int").as("n_chars"))),
+
+    // ---- quality scoring -------------------------------------------------
+    Q(
+      "q31_quality_score",
+      Some("""
+        WITH w AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS words
+          FROM documents)
+        SELECT doc_id,
+               round(CASE WHEN len(words) > 0
+                 THEN CAST(len(list_filter(words,
+                   x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+                      / len(words) ELSE 0.0 END, 4) AS stopword_ratio,
+               round(CASE WHEN length(text) > 0
+                 THEN CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                      / length(text) ELSE 0.0 END, 4) AS alpha_ratio,
+               round(CASE WHEN len(words) > 0
+                 THEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(words)
+                 ELSE 0.0 END, 4) AS avg_word_len,
+               round(
+                 (CASE WHEN len(words) > 0
+                   THEN CAST(len(list_filter(words,
+                     x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+                        / len(words) ELSE 0.0 END) * 0.5 +
+                 (CASE WHEN length(text) > 0
+                   THEN CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                        / length(text) ELSE 0.0 END) * 0.3 +
+                 least(1.0, CAST(len(words) AS DOUBLE) / 100.0) * 0.2, 4)
+                 AS quality
+        FROM w"""),
+      (s, dir) =>
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          round(stopwordRatio(col("text")), 4).as("stopword_ratio"),
+          round(alphaRatio(col("text")), 4).as("alpha_ratio"),
+          round(avgWordLength(col("text")), 4).as("avg_word_len"),
+          round(qualityScore(col("text")), 4).as("quality"))),
+
+    // ---- language identification (marker-word heuristic) ----------------
+    Q(
+      "q32_langid",
+      Some("""
+        WITH c AS (
+          SELECT doc_id, lang,
+            len(list_filter(list_filter(string_split(text,' '), x -> x <> ''),
+              x -> x IN ('the','a','is','of')))   AS c_en,
+            len(list_filter(list_filter(string_split(text,' '), x -> x <> ''),
+              x -> x IN ('el','la','los','es')))  AS c_es,
+            len(list_filter(list_filter(string_split(text,' '), x -> x <> ''),
+              x -> x IN ('der','die','und','ist'))) AS c_de,
+            len(list_filter(list_filter(string_split(text,' '), x -> x <> ''),
+              x -> x IN ('le','les','des','est'))) AS c_fr
+          FROM documents)
+        SELECT doc_id, lang AS labeled_lang,
+               CASE WHEN c_en + c_es + c_de + c_fr = 0 THEN 'und'
+                    WHEN c_en = greatest(c_en, c_es, c_de, c_fr) THEN 'en'
+                    WHEN c_es = greatest(c_en, c_es, c_de, c_fr) THEN 'es'
+                    WHEN c_de = greatest(c_en, c_es, c_de, c_fr) THEN 'de'
+                    ELSE 'fr' END AS lang_pred
+        FROM c"""),
+      (s, dir) =>
+        Tables(s, dir, "documents").select(
+          col("doc_id"), col("lang").as("labeled_lang"),
+          langId(col("text")).as("lang_pred"))),
+
+    // ---- content fingerprinting -----------------------------------------
+    Q(
+      "q33_fingerprint",
+      Some("""
+        SELECT doc_id,
+               md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS content_fp,
+               substring(md5(lower(regexp_replace(text, ' +', ' ', 'g'))), 1, 8)
+                 AS fp_prefix,
+               CAST(length(text) AS INT) AS n_chars
+        FROM documents"""),
+      (s, dir) =>
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          fingerprint(col("text")).as("content_fp"),
+          substring(fingerprint(col("text")), 1, 8).as("fp_prefix"),
+          length(col("text")).cast("int").as("n_chars"))),
+
+    // ---- exact-block dedup (hash-groupBy canonicalization) --------------
+    Q(
+      "q34_dedup_exact",
+      Some("""
+        WITH n AS (
+          SELECT doc_id,
+                 md5(substring(lower(regexp_replace(text, ' +', ' ', 'g')), 1, 64))
+                   AS block_hash
+          FROM documents)
+        SELECT doc_id, block_hash,
+               min(doc_id) OVER (PARTITION BY block_hash) AS canonical_id,
+               count(*)    OVER (PARTITION BY block_hash) AS group_size
+        FROM n
+        QUALIFY count(*) OVER (PARTITION BY block_hash) > 1"""),
+      (s, dir) => {
+        val w = Window.partitionBy("block_hash")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(substring(normalized(col("text")), 1, 64)).as("block_hash"))
+          .withColumn("canonical_id", min("doc_id").over(w))
+          .withColumn("group_size", count(lit(1)).over(w))
+          .filter(col("group_size") > 1)
+      }),
+
+    // ---- n-gram Jaccard near-dup over blocked candidate pairs -----------
+    Q(
+      "q35_ngram_jaccard",
+      Some("""
+        WITH d AS (
+          SELECT doc_id, substring(text, 1, 64) AS blk,
+                 list_distinct(list_transform(
+                   range(greatest(len(words) - 2, 0)),
+                   i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])) AS sh
+          FROM (SELECT doc_id, text,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS words
+                FROM documents))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+          AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.2"""),
+      (s, dir) => {
+        val d = Tables(s, dir, "documents").select(
+          col("doc_id"),
+          substring(col("text"), 1, 64).as("blk"),
+          shingles(col("text"), 3).as("sh"))
+        val a = d.select(col("doc_id").as("doc_a"), col("blk"),
+          col("sh").as("sh_a"))
+        val b = d.select(col("doc_id").as("doc_b"), col("blk").as("blk_b"),
+          col("sh").as("sh_b"))
+        val unionSize =
+          size(array_distinct(concat(col("sh_a"), col("sh_b"))))
+        val jac = size(array_intersect(col("sh_a"), col("sh_b")))
+          .cast("double") / unionSize
+        a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
+          .withColumn("jaccard", round(jac, 4))
+          .filter(unionSize > 0 && col("jaccard") >= 0.2)
+          .select("doc_a", "doc_b", "jaccard")
+      })
+  )
+}

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate (NOT part of the
+shipped library): compare Verify's parquet dumps against DuckDB
+running SparkEntry.oracleSql over the same testdata parquet.
+
+Usage: python3 tools/check_oracles.py <sfDir> <verifyOutDir> [query...]
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_skip = 0
+    for name in sorted(os.listdir(out_dir)):
+        qdir = os.path.join(out_dir, name)
+        if not os.path.isdir(qdir):
+            continue
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{qdir}/*.parquet")
+        if not files:
+            print(f"SKIP {name}: no parquet written")
+            n_fail += 1
+            continue
+        spark_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {spark_rel.shape[0]} rows")
+            n_skip += 1
+            continue
+        try:
+            oracle_rel = con.sql(oracles[name])
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        ok, msg = compare(con, spark_rel, oracle_rel)
+        if ok:
+            print(f"PASS {name} ({msg})")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: {msg}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+def compare(con, a, b):
+    adf, bdf = a.df(), b.df()
+    acols, bcols = sorted(adf.columns), sorted(bdf.columns)
+    if acols != bcols:
+        return False, f"columns differ: spark={acols} oracle={bcols}"
+    adf, bdf = adf[acols], bdf[bcols]
+    if len(adf) != len(bdf):
+        return False, f"row count differs: spark={len(adf)} oracle={len(bdf)}"
+    adf = adf.sort_values(acols).reset_index(drop=True)
+    bdf = bdf.sort_values(bcols).reset_index(drop=True)
+    for c in acols:
+        av, bv = adf[c], bdf[c]
+        try:
+            eq = (av == bv) | (av.isna() & bv.isna())
+        except Exception:
+            eq = av.astype(str) == bv.astype(str)
+        if not eq.all():
+            i = (~eq).idxmax()
+            return False, (f"col {c}: {int((~eq).sum())}/{len(adf)} rows differ; "
+                           f"first at row {i}: spark={av[i]!r} oracle={bv[i]!r}")
+    return True, f"{len(adf)} rows x {len(acols)} cols"
+
+if __name__ == "__main__":
+    main()
