@@ -4,11 +4,15 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line
-  * {"metric":...,"value":total_sec,"queries":{name:sec,...},"sf":...}.
+  * {"metric":...,"value":total_sec,"queries":{name:sec,...},
+  *  "failed":[...],"sf":...}.
   *
-  * Each query is forced with .count() (full plan execution, no
-  * collect-to-driver cost). A short warmup query first absorbs JVM /
-  * codegen startup so per-query numbers reflect steady state.
+  * Each query is forced with a `noop`-format write: every output
+  * column is fully materialized (a bare .count() would let Catalyst
+  * prune computed projections, timing a naked scan for map-only
+  * queries), but nothing is collected to the driver or written to
+  * disk. A short warmup query first absorbs JVM / codegen startup so
+  * per-query numbers reflect steady state.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,19 +26,23 @@ object Bench {
     // warmup: JIT + codegen + parquet footer caches
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
+    val failed = Seq.newBuilder[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch {
         case e: Throwable =>
+          failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val fj = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

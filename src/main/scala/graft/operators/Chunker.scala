@@ -55,6 +55,7 @@ object Chunker {
       separators: Seq[String] = DefaultSeparators,
       minChunkSize: Int = 1): Seq[ChunkOut] = {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize)
+    if (text.isEmpty) return Seq.empty // empty doc ⇒ no chunks (matches chunkFixed)
 
     // 1. produce atomic pieces no longer than chunkSize, each with its
     //    absolute start offset; separators stay attached to the piece
@@ -134,12 +135,16 @@ object Chunker {
       else recursiveSplit(text, chunkSize, overlap, separatorsFor(language)))
 
   /** Fixed window/stride chunking as a pure Catalyst plan. Emits
-    * (chunk_idx INT, chunk_text STRING) per input row. */
+    * (chunk_idx INT, chunk_text STRING) per input row; an empty text
+    * produces no chunks (`sequence` with start > stop would generate a
+    * *descending* range, so the empty case is routed through an empty
+    * array instead). */
   def chunkFixed(df: DataFrame, textCol: String, width: Int, stride: Int)
       : DataFrame = {
     val n = ceil(length(col(textCol)).cast("double") / stride).cast("int")
-    df.withColumn("chunk_idx",
-        explode(sequence(lit(0), greatest(n, lit(1)) - 1)))
+    val idxs = when(n > 0, sequence(lit(0), n - 1))
+      .otherwise(array().cast("array<int>"))
+    df.withColumn("chunk_idx", explode(idxs))
       .withColumn("chunk_text",
         substring_index_safe(col(textCol), col("chunk_idx") * stride + 1, width))
       .drop(textCol)

@@ -101,8 +101,7 @@ object Similarity {
   }
 
   /** All pairs (a < b) whose cosine similarity rounds to ≥ threshold —
-    * embedding-based near-duplicate detection. Exact; for the
-    * LSH-accelerated variant see [[Dedup.embeddingNearDupLsh]]. */
+    * embedding-based near-duplicate detection, exact. */
   def nearDupPairs(
       vectors: DataFrame, threshold: Double,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {

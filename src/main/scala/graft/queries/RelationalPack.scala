@@ -14,9 +14,13 @@ import graft.Tables
   * first-class Catalyst plans checked value-for-value against DuckDB.
   *
   * Determinism rules used throughout (driver hashes values):
-  *   - computed doubles are rounded; large money sums are rounded to
-  *     integers (a double sum's error is ~1e-5 relative at sf0.1 —
-  *     integer grid makes cross-engine compare exact);
+  *   - computed doubles are rounded; large money sums are taken on an
+  *     exact integer grid — each row is rounded to cents and cast to
+  *     BIGINT *before* summing, so the aggregate is order-independent
+  *     and identical across engines (rounding a double *sum* instead
+  *     is a knife-edge: FP summation order differs between Spark and
+  *     DuckDB, and a group landing exactly on .5 flips — the round-1
+  *     q07 failure);
   *   - DuckDB integer sums are cast back to BIGINT (DuckDB widens to
   *     HUGEINT, Spark keeps LongType);
   *   - every LIMIT sits on a total order with a unique tie-break key;
@@ -35,8 +39,8 @@ object RelationalPack extends QueryPack {
       Some("""
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)                    AS sum_qty,
-               CAST(round(sum(l_extendedprice), 0) AS BIGINT)    AS sum_base_price,
-               CAST(round(sum(l_extendedprice * (1 - l_discount)), 0) AS BIGINT) AS sum_disc_price,
+               sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sum_base_price_cents,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS sum_disc_price_cents,
                round(avg(l_quantity), 4)                    AS avg_qty,
                round(avg(l_extendedprice), 2)               AS avg_price,
                round(avg(l_discount), 6)                    AS avg_disc,
@@ -50,9 +54,10 @@ object RelationalPack extends QueryPack {
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
             round(sum("l_quantity"), 2).as("sum_qty"),
-            round(sum("l_extendedprice"), 0).cast("long").as("sum_base_price"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0)
-              .cast("long").as("sum_disc_price"),
+            sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+              .as("sum_base_price_cents"),
+            sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+              .cast("long")).as("sum_disc_price_cents"),
             round(avg("l_quantity"), 4).as("avg_qty"),
             round(avg("l_extendedprice"), 2).as("avg_price"),
             round(avg("l_discount"), 6).as("avg_disc"),
@@ -64,13 +69,14 @@ object RelationalPack extends QueryPack {
       "q02_top_revenue_orders",
       Some("""
         SELECT o.o_orderkey, o.o_orderdate,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+                 AS revenue_cents
         FROM customer c
         JOIN orders o   ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate >= TIMESTAMP '1998-01-01'
         GROUP BY o.o_orderkey, o.o_orderdate
-        ORDER BY revenue DESC, o_orderkey
+        ORDER BY revenue_cents DESC, o_orderkey
         LIMIT 10"""),
       (s, dir) => {
         val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -81,9 +87,9 @@ object RelationalPack extends QueryPack {
         li.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy("o_orderkey", "o_orderdate")
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"))
-          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+            .cast("long")).as("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("o_orderkey"))
           .limit(10)
       }),
 
@@ -92,7 +98,8 @@ object RelationalPack extends QueryPack {
       "q03_revenue_by_nation",
       Some("""
         SELECT n.n_name,
-               CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 0) AS BIGINT) AS revenue
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+                 AS revenue_cents
         FROM region r
         JOIN nation n   ON n.n_regionkey = r.r_regionkey
         JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -116,8 +123,8 @@ object RelationalPack extends QueryPack {
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy("n_name")
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0)
-            .cast("long").as("revenue"))
+          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+            .cast("long")).as("revenue_cents"))
       }),
 
     // ---- semi join (EXISTS) ---------------------------------------------
@@ -187,7 +194,8 @@ object RelationalPack extends QueryPack {
       Some("""
         SELECT n.n_name,
                count(c.c_custkey) AS n_customers,
-               CAST(coalesce(round(sum(c.c_acctbal), 0), 0) AS BIGINT) AS total_acctbal
+               coalesce(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)), 0)
+                 AS total_acctbal_cents
         FROM nation n
         LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
         GROUP BY n.n_name"""),
@@ -197,8 +205,8 @@ object RelationalPack extends QueryPack {
         n.join(c, col("c_nationkey") === col("n_nationkey"), "left")
           .groupBy("n_name")
           .agg(count(col("c_custkey")).as("n_customers"),
-            coalesce(round(sum("c_acctbal"), 0), lit(0.0)).cast("long")
-              .as("total_acctbal"))
+            coalesce(sum(round(col("c_acctbal") * 100, 0).cast("long")), lit(0L))
+              .as("total_acctbal_cents"))
       }),
 
     // ---- ROLLUP ----------------------------------------------------------
@@ -231,7 +239,7 @@ object RelationalPack extends QueryPack {
                CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
                CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
                count(*) AS n_orders,
-               CAST(round(sum(o_totalprice), 0) AS BIGINT) AS total
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS total_cents
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)"""),
       (s, dir) =>
@@ -241,9 +249,9 @@ object RelationalPack extends QueryPack {
             grouping("o_orderstatus").cast("int").as("g_status"),
             grouping("o_orderpriority").cast("int").as("g_prio"),
             count(lit(1)).as("n_orders"),
-            round(sum("o_totalprice"), 0).cast("long").as("total"))
+            sum(round(col("o_totalprice") * 100, 0).cast("long")).as("total_cents"))
           .select("o_orderstatus", "o_orderpriority", "g_status", "g_prio",
-            "n_orders", "total")),
+            "n_orders", "total_cents")),
 
     // ---- exact distinct aggregation -------------------------------------
     Q(

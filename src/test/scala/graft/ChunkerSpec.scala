@@ -1,0 +1,129 @@
+package graft
+
+import graft.operators.Chunker
+
+/** Invariants of the recursive splitter (reference semantics:
+  * rust/ops_text/src/split/recursive.rs — redesigned, so we test the
+  * contract, not the exact boundaries):
+  *   - zero-overlap chunks tile the input exactly (offsets + text);
+  *   - every chunk is within the size budget (chunkSize + overlap);
+  *   - chunk text always equals text.substring(start, end);
+  *   - overlap extends each chunk backwards by at most `overlap`;
+  *   - empty input yields no chunks (matches chunkFixed + the SQL
+  *     oracle's range() semantics).
+  *
+  * Property-style: each invariant is checked over a deterministic
+  * seeded corpus of random texts × parameter grid.
+  */
+class ChunkerSpec extends SparkSpec {
+
+  /** Seeded random texts mixing words, spaces, newlines, paragraph
+    * breaks and markdown headers. */
+  private def corpus(n: Int): Seq[String] = {
+    val rnd = new scala.util.Random(42)
+    (0 until n).map { _ =>
+      val len = rnd.nextInt(2000)
+      val sb = new StringBuilder
+      while (sb.length < len) {
+        rnd.nextInt(10) match {
+          case 0     => sb.append(' ')
+          case 1     => sb.append('\n')
+          case 2     => sb.append(". ")
+          case 3     => sb.append("\n\n")
+          case 4     => sb.append("\n## ")
+          case _     => sb.append(('a' + rnd.nextInt(26)).toChar)
+        }
+      }
+      sb.result()
+    } :+ "" :+ "x" :+ ("y" * 5000) // edge cases: empty, 1-char, no separators
+  }
+
+  private val sizes = Seq(8, 50, 120, 300)
+
+  test("zero-overlap chunks tile the input exactly") {
+    for (text <- corpus(30); size <- sizes) {
+      val chunks = Chunker.recursiveSplit(text, size, overlap = 0)
+      if (text.isEmpty) assert(chunks.isEmpty)
+      else {
+        assert(chunks.head.start_char == 0)
+        assert(chunks.last.end_char == text.length)
+        chunks.sliding(2).foreach {
+          case Seq(a, b) => assert(a.end_char == b.start_char)
+          case _         =>
+        }
+        assert(chunks.map(_.text).mkString == text)
+      }
+    }
+  }
+
+  test("chunk text equals substring(start, end) and respects size budget") {
+    for (text <- corpus(30); size <- sizes; overlap <- Seq(0, 3, 7)) {
+      val chunks = Chunker.recursiveSplit(text, size, overlap)
+      chunks.foreach { c =>
+        assert(c.text == text.substring(c.start_char, c.end_char))
+        assert(c.text.length <= size + overlap,
+          s"chunk ${c.chunk_id} length ${c.text.length} > $size + $overlap")
+      }
+    }
+  }
+
+  test("overlap extends each non-first chunk backwards by at most `overlap`") {
+    for (text <- corpus(30); size <- Seq(16, 64, 200); overlap <- Seq(1, 5, 15)) {
+      val plain = Chunker.recursiveSplit(text, size, 0)
+      val ov = Chunker.recursiveSplit(text, size, overlap)
+      assert(plain.length == ov.length)
+      plain.zip(ov).zipWithIndex.foreach { case ((p, o), i) =>
+        assert(o.end_char == p.end_char)
+        if (i == 0) assert(o.start_char == p.start_char)
+        else {
+          assert(o.start_char <= p.start_char)
+          assert(p.start_char - o.start_char <= overlap)
+        }
+      }
+    }
+  }
+
+  test("chunk ids are consecutive from 0; line numbers are 1-based and ordered") {
+    val text = "alpha\nbravo\ncharlie\n\ndelta echo foxtrot golf hotel india\n"
+    val chunks = Chunker.recursiveSplit(text, 16, 4)
+    assert(chunks.map(_.chunk_id) == chunks.indices)
+    chunks.foreach { c =>
+      assert(c.start_line >= 1 && c.end_line >= c.start_line)
+    }
+    assert(chunks.head.start_line == 1)
+    // a chunk starting after the first newline is on a later line
+    assert(chunks.last.end_line >= chunks.head.start_line)
+  }
+
+  test("empty and null inputs yield no chunks in both splitter forms") {
+    assert(Chunker.recursiveSplit("", 100, 0).isEmpty)
+    import spark.implicits._
+    val df = Seq((1, ""), (2, "short"), (3, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val fixed = Chunker.chunkFixed(df.filter($"text".isNotNull), "text", 200, 150)
+      .collect()
+    assert(fixed.count(_.getInt(0) == 1) == 0) // empty doc: no chunks
+    assert(fixed.count(_.getInt(0) == 2) == 1)
+    val viaUdf = df.select($"doc_id",
+      org.apache.spark.sql.functions.explode(
+        Chunker.chunkUdf(120, 20)($"text")).as("c")).collect()
+    assert(!viaUdf.exists(_.getInt(0) == 1))
+    assert(!viaUdf.exists(_.getInt(0) == 3)) // null-safe
+  }
+
+  test("fixed chunking matches its SQL-oracle semantics on testdata") {
+    assume(testdataAvailable)
+    val docs = Tables(spark, Sf0001, "documents").select("doc_id", "text")
+    val got = Chunker.chunkFixed(docs, "text", width = 200, stride = 150)
+      .select("doc_id", "chunk_idx", "chunk_text")
+    docs.createOrReplaceTempView("docs_tmp")
+    val viaSql = spark.sql("""
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             substring(text, CAST(i AS INT) * 150 + 1, 200) AS chunk_text
+      FROM (SELECT doc_id, text,
+                   explode(sequence(0, CAST(ceil(length(text) / 150.0) AS INT) - 1)) AS i
+            FROM docs_tmp WHERE length(text) > 0)""")
+    assert(got.count() > 0)
+    assert(got.exceptAll(viaSql).isEmpty && viaSql.exceptAll(got).isEmpty)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Verification of the similarity operators on the sf0.001 embeddings
+  * table: the LSH candidate path is compared against brute force for
+  * recall, and every score LSH reports must be bit-identical to the
+  * exact score (LSH only prunes candidates, never changes math).
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables(spark, Sf0001, "embeddings").cache()
+  private lazy val queries = emb.filter(col("vec_id") < 8)
+
+  test("lshTopK recall@10 >= 0.9 against bruteForceTopK") {
+    assume(testdataAvailable)
+    val exact = Similarity.bruteForceTopK(queries, emb, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(queries, emb, 10, planes = 64, bands = 32)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall@10 = $recall < 0.9")
+  }
+
+  test("lshTopK scores equal exact scores for every reported pair") {
+    assume(testdataAvailable)
+    val exact = Similarity.bruteForceTopK(queries, emb, emb.count().toInt)
+      .select("query_id", "neighbor_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val approx = Similarity.lshTopK(queries, emb, 10, planes = 64, bands = 32)
+      .select("query_id", "neighbor_id", "score").collect()
+    approx.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(k) && exact(k) == r.getDouble(2),
+        s"pair $k: LSH score ${r.getDouble(2)} != exact ${exact.get(k)}")
+    }
+  }
+
+  test("bruteForceTopK returns exactly k ranked neighbors per query") {
+    assume(testdataAvailable)
+    val rows = Similarity.bruteForceTopK(queries, emb, 5).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet == (0L until 8L).toSet)
+    byQuery.values.foreach { g =>
+      assert(g.length == 5)
+      assert(g.map(_.getInt(3)).sorted.toSeq == (1 to 5))
+      // scores non-increasing in rank order
+      val byRank = g.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(byRank == byRank.sorted.reverse)
+      // a query is never its own neighbor
+      g.foreach(r => assert(r.getLong(0) != r.getLong(1)))
+    }
+  }
+}

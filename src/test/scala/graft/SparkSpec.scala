@@ -1,0 +1,17 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Shared local SparkSession for all suites (one JVM, forked by sbt).
+  * Small core count keeps per-suite startup cheap; the session is
+  * reused across suites via getOrCreate. */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = GraftSession.local(cpus = 4, appName = "graft-test")
+
+  /** Smallest driver-generated scale factor; present in the build env. */
+  val Sf0001 = "/root/testdata/sf0.001"
+
+  def testdataAvailable: Boolean = new java.io.File(Sf0001).isDirectory
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Edge cases of the codegen'd text-analysis functions: empty text,
+  * single word, all-stopword text, multi-space runs, shingle counts.
+  */
+class TextFunctionsSpec extends SparkSpec {
+
+  private def onText(texts: String*): Seq[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    texts.toDF("text").select(
+      wordCount($"text").as("wc"),
+      tokenCount($"text").as("tc"),
+      round(stopwordRatio($"text"), 4).as("swr"),
+      round(alphaRatio($"text"), 4).as("ar"),
+      round(qualityScore($"text"), 4).as("q"),
+      langId($"text").as("lang"),
+      fingerprint($"text").as("fp"),
+      shingles($"text", 3).as("sh")
+    ).collect().toSeq
+  }
+
+  test("empty text: zero counts, zero ratios, language und, empty shingles") {
+    val r = onText("").head
+    assert(r.getAs[Int]("wc") == 0)
+    assert(r.getAs[Int]("tc") == 0)
+    assert(r.getAs[Double]("swr") == 0.0)
+    assert(r.getAs[Double]("ar") == 0.0)
+    assert(r.getAs[Double]("q") == 0.0)
+    assert(r.getAs[String]("lang") == "und")
+    assert(r.getAs[scala.collection.Seq[String]]("sh").isEmpty)
+  }
+
+  test("word and token counting") {
+    val r = onText("the  quick brown-fox jumps 42 times!").head
+    assert(r.getAs[Int]("wc") == 6) // double space collapsed by filter
+    // tokens: the quick brown - fox jumps 42 times !  => 9
+    assert(r.getAs[Int]("tc") == 9)
+  }
+
+  test("all-stopword text has stopword ratio 1 and english language id") {
+    val r = onText("the of and to in is it a").head
+    assert(r.getAs[Double]("swr") == 1.0)
+    assert(r.getAs[String]("lang") == "en")
+  }
+
+  test("language markers win by count; ties broken by declaration order") {
+    assert(onText("el la los es la el").head.getAs[String]("lang") == "es")
+    assert(onText("der die und ist die").head.getAs[String]("lang") == "de")
+    assert(onText("le les des est les").head.getAs[String]("lang") == "fr")
+    // tie en(1) vs es(1): declaration order picks en
+    assert(onText("the el").head.getAs[String]("lang") == "en")
+    assert(onText("xyzzy plugh").head.getAs[String]("lang") == "und")
+  }
+
+  test("fingerprint is normalization-invariant (case + space runs)") {
+    val rows = onText("Hello   World", "hello world")
+    assert(rows(0).getAs[String]("fp") == rows(1).getAs[String]("fp"))
+    val diff = onText("hello world", "hello worlds")
+    assert(diff(0).getAs[String]("fp") != diff(1).getAs[String]("fp"))
+  }
+
+  test("shingles: n-1 fewer than words, distinct, space-joined") {
+    val r = onText("a b c d e").head
+    assert(r.getAs[scala.collection.Seq[String]]("sh") == Seq("a b c", "b c d", "c d e"))
+    // fewer than n words -> empty
+    assert(onText("a b").head.getAs[scala.collection.Seq[String]]("sh").isEmpty)
+    // repeats deduplicated
+    val rep = onText("x y z x y z x y z").head.getAs[scala.collection.Seq[String]]("sh")
+    assert(rep.distinct.toSeq == rep.toSeq)
+    assert(rep.toSet == Set("x y z", "y z x", "z x y"))
+  }
+
+  test("quality score stays within [0, 1]") {
+    val rows = onText("", "the the the", "Z" * 500,
+      "a normal english sentence with the usual words in it " * 10)
+    rows.foreach { r =>
+      val q = r.getAs[Double]("q")
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+}
