@@ -20,12 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object HashEmbedder {
 
-  /** Raw (unnormalized) hash components in [-1, 1). */
-  private def component(text: Column, i: Column): Column =
-    (pmod(xxhash64(text, i), lit(2000001L)).cast("double") / 1000000.5) - 1.0
+  /** Raw (unnormalized) hash components in [-1, 1). The text is
+    * hashed ONCE (`seed`); per-dimension components re-hash only the
+    * 8-byte seed, so cost is O(len + dim) per row instead of
+    * O(len · dim) — the naive per-dimension full-text hash dominated
+    * the chunk→embed pipeline at bench scale. */
+  private def component(seed: Column, i: Column): Column =
+    (pmod(xxhash64(seed, i), lit(2000001L)).cast("double") / 1000000.5) - 1.0
 
   def embed(text: Column, dim: Int): Column = {
-    val raw = transform(sequence(lit(0), lit(dim - 1)), i => component(text, i))
+    val seed = xxhash64(text)
+    val raw = transform(sequence(lit(0), lit(dim - 1)), i => component(seed, i))
     val norm = sqrt(aggregate(raw, lit(0.0), (a, x) => a + x * x))
     transform(raw, x => (x / norm).cast("float"))
   }

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions.cosineSimilarity
+
+/** Near-duplicate detection designed for the 100 TB shape: candidate
+  * generation is always an equi-join on a derived key (token or LSH
+  * bucket) — never an all-pairs theta join — followed by exact
+  * verification on the candidates only.
+  *
+  * Reference behavior mirrored: the dedup role of
+  * `resolve_entities`'s candidate search (reference
+  * python/cocoindex/ops/entity_resolution/__init__.py:200) and the
+  * near-dup filtering a training-data pipeline needs (builder
+  * mandate: MinHash/LSH, n-gram Jaccard, embedding-cosine).
+  */
+object Dedup {
+
+  /** Exact n-gram-Jaccard near-dup via prefix filtering (the
+    * PPJoin/Vernica-et-al. set-similarity join):
+    *
+    *   1. shingle each doc; order the token universe by ascending
+    *      document frequency (rare first), ties by token text;
+    *   2. each doc emits only its *prefix* — the first
+    *      |S| - ceil(t·|S|) + 1 tokens in that order. Any pair with
+    *      Jaccard ≥ t must share a prefix token (J ≥ t ⇒
+    *      |A∩B| ≥ ceil(t·|A|), which cannot fit in the suffix), so
+    *      recall is exactly 1 — this is an *exact* algorithm, unlike
+    *      MinHash banding;
+    *   3. candidates = equi-join of prefixes on token (shuffle is by
+    *      token; rare-first ordering keeps high-frequency tokens out
+    *      of prefixes, bounding skew);
+    *   4. exact Jaccard verification on candidate pairs only.
+    *
+    * Scale: 3 hash shuffles (freq, per-doc window, candidate join) +
+    * 2 key joins for verification — no cross product anywhere. The
+    * round-1 design (equality on a 64-char text prefix) collapsed
+    * under any shared boilerplate prefix; token prefixes cannot,
+    * because frequent tokens are excluded from them by construction.
+    */
+  /** 64-bit FNV-1a over the chars of an n-gram (words joined by a
+    * single space), distinct per doc. One primitive pass per
+    * document — the HOF-expression form (split → filter → transform
+    * with per-element concat_ws) is interpreted, re-evaluates the
+    * split per reference, and was the dominant cost of the whole
+    * near-dup job. Hash values only need to be consistent and
+    * collision-free (P < 1e-8 at 10⁹ distinct shingles), not equal
+    * to any SQL function: Jaccard over hashed sets equals Jaccard
+    * over the string sets. */
+  private[graft] def shingleHashUdf(n: Int) = udf { text: String =>
+    if (text == null) Array.empty[Long]
+    else {
+      val words = text.split(' ').filter(_.nonEmpty)
+      if (words.length < n) Array.empty[Long]
+      else {
+        val set = new java.util.HashSet[java.lang.Long](words.length * 2)
+        var i = 0
+        while (i <= words.length - n) {
+          var h = 0xcbf29ce484222325L
+          var j = 0
+          while (j < n) {
+            if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+            val wrd = words(i + j)
+            var k = 0
+            while (k < wrd.length) {
+              val c = wrd.charAt(k)
+              h ^= (c & 0xff).toLong; h *= 0x100000001b3L
+              h ^= ((c >> 8) & 0xff).toLong; h *= 0x100000001b3L
+              k += 1
+            }
+            j += 1
+          }
+          set.add(h)
+          i += 1
+        }
+        val out = new Array[Long](set.size)
+        val it = set.iterator()
+        var m = 0
+        while (it.hasNext) { out(m) = it.next(); m += 1 }
+        out
+      }
+    }
+  }
+
+  def shingleNearDup(
+      docs: DataFrame, threshold: Double, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // Shingles are hashed to longs at the scan: every downstream
+    // shuffle/join/intersect moves longs, not n-gram strings.
+    val d = docs
+      .select(col(idCol).as("doc_id"), shingleHashUdf(n)(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache() // reused by prefix generation and both verify joins
+    val tok = d.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("tok"))
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    val prefix = tok.join(freq, "tok")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select("doc_id", "sz", "tok")
+    val candidates = prefix.select(col("doc_id").as("doc_a"),
+        col("sz").as("sz_a"), col("tok"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+        col("tok")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b") &&
+        // length filter (exact): J ≥ t ⇒ t·|A| ≤ |B| and t·|B| ≤ |A|
+        col("sz_b") >= col("sz_a") * threshold &&
+        col("sz_a") >= col("sz_b") * threshold)
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    val verified = candidates
+      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+    // |A ∪ B| = |A| + |B| − |A ∩ B| (sets are distinct): avoids
+    // materializing the concatenated array per pair
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val unionSize = size(col("sh_a")) + size(col("sh_b")) - inter
+    verified
+      .withColumn("jaccard", round(inter.cast("double") / unionSize, 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Approximate embedding near-dup: SRP-LSH banding for candidates
+    * (equi-join on (band, code) — the scale path), exact cosine
+    * verification. Recall is probabilistic: a qualifying pair is
+    * missed iff it collides in no band; raise `bands` (or lower
+    * planes/bands) for recall. The exact counterpart is
+    * [[Similarity.nearDupPairsBlocked]]. */
+  def embeddingNearDupLsh(
+      vectors: DataFrame, threshold: Double,
+      planes: Int = 64, bands: Int = 32,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val banded = vectors.select(col(idCol).as("id"), col(embCol).as("emb"),
+      posexplode(Similarity.srpBandCodes(col(embCol), planes, bands))
+        .as(Seq("band", "code")))
+    val a = banded.select(col("id").as("id_a"), col("emb").as("emb_a"),
+      col("band"), col("code"))
+    val b = banded.select(col("id").as("id_b"), col("emb").as("emb_b"),
+      col("band"), col("code"))
+    a.join(b, Seq("band", "code"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "emb_a", "emb_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", round(cosineSimilarity(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -101,7 +101,11 @@ object Similarity {
   }
 
   /** All pairs (a < b) whose cosine similarity rounds to ≥ threshold —
-    * embedding-based near-duplicate detection, exact. */
+    * embedding-based near-duplicate detection, exact. Reference
+    * all-pairs form: a non-equi self-join, i.e. a nested-loop cross
+    * product with the cosine evaluated as interpreted expressions.
+    * Kept ONLY as the small-N oracle cross-check for
+    * [[nearDupPairsBlocked]]; never use on real data. */
   def nearDupPairs(
       vectors: DataFrame, threshold: Double,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
@@ -109,6 +113,83 @@ object Similarity {
     val b = vectors.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cosine", round(cosineSimilarity(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Exact all-pairs cosine ≥ threshold via *block-partitioned*
+    * pairwise scoring — the distributed dense-matrix form of
+    * [[nearDupPairs]], value-identical to it (same IEEE operation
+    * order: index-ordered double accumulation, dot/(‖a‖·‖b‖), then
+    * round to 6).
+    *
+    * Plan shape: vectors are hash-grouped into `numBlocks` packed
+    * blocks; the join is over *block pairs* (bid_a ≤ bid_b — only
+    * B(B+1)/2 rows, each carrying two packed arrays), and each task
+    * scores one block pair with primitive double-array loops. Shuffle
+    * volume is O(B·N/B·B) = O(N·B) vector replications, versus the
+    * nested-loop join's O(N²) expression evaluations with per-pair
+    * norm recomputation.
+    *
+    * Exact all-pairs is inherently O(N²) compute at any scale — for
+    * the 100 TB path use [[Dedup.embeddingNearDupLsh]] (equi-join on
+    * LSH buckets) and accept probabilistic recall; this operator is
+    * the right *exact* shape: embarrassingly parallel block tasks,
+    * each a cache-friendly primitive loop (no codegen fallback, no
+    * per-pair array re-deserialization).
+    */
+  def nearDupPairsBlocked(
+      vectors: DataFrame, threshold: Double, numBlocks: Int = 16,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val packed = vectors
+      .select(col(idCol).cast("long").as("id"),
+        col(embCol).cast("array<float>").as("emb"))
+      .withColumn("bid", pmod(col("id"), lit(numBlocks)).cast("int"))
+      .groupBy("bid").agg(collect_list(struct(col("id"), col("emb"))).as("items"))
+    val joined = packed
+      .select(col("bid").as("bid_a"), col("items").as("items_a"))
+      .join(packed.select(col("bid").as("bid_b"), col("items").as("items_b")),
+        col("bid_a") <= col("bid_b"))
+      .select("bid_a", "items_a", "bid_b", "items_b")
+    // anything below this raw cutoff cannot round up to `threshold`
+    val cutoff = threshold - 5e-7
+    val raw = joined.flatMap { row =>
+      def unpack(i: Int): Array[(Long, Array[Double], Double)] =
+        row.getSeq[org.apache.spark.sql.Row](i).iterator.map { r =>
+          val e = r.getSeq[Float](1)
+          val arr = new Array[Double](e.length)
+          var k = 0; var sq = 0.0
+          while (k < arr.length) {
+            arr(k) = e(k).toDouble; sq += arr(k) * arr(k); k += 1
+          }
+          (r.getLong(0), arr, math.sqrt(sq))
+        }.toArray
+      val sameBlock = row.getInt(0) == row.getInt(2)
+      val as = unpack(1)
+      val bs = if (sameBlock) as else unpack(3)
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      var i = 0
+      while (i < as.length) {
+        val (ia, ea, na) = as(i)
+        var j = if (sameBlock) i + 1 else 0
+        while (j < bs.length) {
+          val (ib, eb, nb) = bs(j)
+          if (ia != ib) {
+            var dot = 0.0; var k = 0
+            while (k < ea.length) { dot += ea(k) * eb(k); k += 1 }
+            val cos = dot / (na * nb)
+            if (cos >= cutoff)
+              out += (if (ia < ib) (ia, ib, cos) else (ib, ia, cos))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.result()
+    }.toDF("id_a", "id_b", "raw")
+    raw.withColumn("cosine", round(col("raw"), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -144,42 +144,32 @@ object TextPack extends QueryPack {
           .filter(col("group_size") > 1)
       }),
 
-    // ---- n-gram Jaccard near-dup over blocked candidate pairs -----------
+    // ---- n-gram Jaccard near-dup, exact via prefix-filtering join -------
+    // The oracle is the *unblocked* all-pairs definition; the Spark
+    // side reproduces it exactly through Dedup.shingleNearDup's
+    // prefix-filter candidate join (recall 1 by construction — unlike
+    // the round-1 64-char-prefix blocking, which silently missed
+    // pairs and skews under shared boilerplate).
     Q(
       "q35_ngram_jaccard",
       Some("""
         WITH d AS (
-          SELECT doc_id, substring(text, 1, 64) AS blk,
+          SELECT doc_id,
                  list_distinct(list_transform(
                    range(greatest(len(words) - 2, 0)),
                    i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])) AS sh
-          FROM (SELECT doc_id, text,
+          FROM (SELECT doc_id,
                        list_filter(string_split(text, ' '), w -> w <> '') AS words
                 FROM documents))
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                      len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-        FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
           AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                     len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.2"""),
-      (s, dir) => {
-        val d = Tables(s, dir, "documents").select(
-          col("doc_id"),
-          substring(col("text"), 1, 64).as("blk"),
-          shingles(col("text"), 3).as("sh"))
-        val a = d.select(col("doc_id").as("doc_a"), col("blk"),
-          col("sh").as("sh_a"))
-        val b = d.select(col("doc_id").as("doc_b"), col("blk").as("blk_b"),
-          col("sh").as("sh_b"))
-        val unionSize =
-          size(array_distinct(concat(col("sh_a"), col("sh_b"))))
-        val jac = size(array_intersect(col("sh_a"), col("sh_b")))
-          .cast("double") / unionSize
-        a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
-          .withColumn("jaccard", round(jac, 4))
-          .filter(unionSize > 0 && col("jaccard") >= 0.2)
-          .select("doc_a", "doc_b", "jaccard")
-      })
+      (s, dir) =>
+        graft.operators.Dedup.shingleNearDup(
+          Tables(s, dir, "documents"), threshold = 0.2, n = 3))
   )
 }

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.shingles
+
+/** The scale-safe dedup plans must be *value-identical* to their
+  * naive all-pairs definitions (they are exact algorithms — prefix
+  * filtering and block-partitioned scoring change the plan shape,
+  * never the result), and the LSH variant must reach high recall at
+  * its default parameters.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def pairsSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("blocked embedding near-dup equals naive all-pairs bit-for-bit") {
+    assume(testdataAvailable)
+    val emb = Tables(spark, Sf0001, "embeddings")
+    for (threshold <- Seq(0.2, 0.4); blocks <- Seq(1, 4, 16, 64)) {
+      val exact = pairsSet(Similarity.nearDupPairs(emb, threshold))
+      val blocked = pairsSet(
+        Similarity.nearDupPairsBlocked(emb, threshold, numBlocks = blocks))
+      assert(blocked == exact,
+        s"threshold=$threshold blocks=$blocks: ${blocked.size} vs ${exact.size}")
+    }
+  }
+
+  test("prefix-filter shingle near-dup equals naive all-pairs Jaccard") {
+    assume(testdataAvailable)
+    val docs = Tables(spark, Sf0001, "documents")
+    val d = docs.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val unionSize = size(array_distinct(concat(col("sh_a"), col("sh_b"))))
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      unionSize
+    val naive = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", round(jac, 4))
+      .filter(col("jaccard") >= 0.2)
+      .select("doc_a", "doc_b", "jaccard")
+    val fast = Dedup.shingleNearDup(docs, threshold = 0.2, n = 3)
+    assert(pairsSet(fast) == pairsSet(naive))
+  }
+
+  test("LSH embedding near-dup: subset of exact with identical scores, recall >= 0.9") {
+    assume(testdataAvailable)
+    val emb = Tables(spark, Sf0001, "embeddings")
+    val exact = pairsSet(Similarity.nearDupPairsBlocked(emb, 0.4))
+    val lsh = pairsSet(Dedup.embeddingNearDupLsh(emb, 0.4))
+    assert(lsh.subsetOf(exact), s"LSH reported ${(lsh -- exact).size} false pairs")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.9, s"LSH near-dup recall $recall < 0.9")
+    }
+  }
+}
