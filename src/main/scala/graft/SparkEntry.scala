@@ -13,11 +13,13 @@ import graft.queries._
   *   - [[queries.TextPack]]       — text analysis + dedup
   *   - [[queries.SimilarityPack]] — vector similarity search
   *   - [[queries.ChunkPack]]      — chunk/embed pipeline ops
+  *   - [[queries.FlowPack]]       — the incremental engine end-to-end
   */
 object SparkEntry {
 
   val packs: Seq[QueryPack] =
-    Seq(RelationalPack, EventsPack, TextPack, SimilarityPack, ChunkPack)
+    Seq(RelationalPack, EventsPack, TextPack, SimilarityPack, ChunkPack,
+      FlowPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,237 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import StateStore._
+
+/** Per-run execution report — the engine's observable contract for
+  * the golden state-transition tests (the reference asserts exactly
+  * these counters: cache hits/misses, inserts/updates/deletes —
+  * python/tests/core/test_component_memo.py shape).
+  */
+final case class RunStats(
+    components: Long, unchanged: Long, refreshed: Long, recomputed: Long,
+    deletedComponents: Long,
+    rowsInserted: Long, rowsUpdated: Long, rowsDeleted: Long, rowsNoop: Long) {
+  def isNoop: Boolean =
+    recomputed == 0 && deletedComponents == 0 && refreshed == 0 &&
+      rowsInserted == 0 && rowsUpdated == 0 && rowsDeleted == 0
+}
+
+/** The incremental dataflow engine: TargetState = Transform(SourceState)
+  * as one Spark job graph (reference core concept,
+  * docs core_concepts.mdx:47-56; execution protocol
+  * rust/core/src/engine/execution.rs — probe :83, pre_commit :757,
+  * commit :400-665, orphan GC :1838).
+  *
+  * One `run` executes the physical sketch of SURVEY.md §4.3:
+  *
+  * {{{
+  *  S  = source listing                       (item_key, memo_state)
+  *  W  = S ⟗ component_memo                   memo probe (level 1)
+  *  C  = load(changed ∪ suspect)              content read, level-2 fp
+  *  X  = stages(C changed)                    the expensive transform
+  *  Δ  = X ⟗ tracking[changed ∪ gone scope]   ΔI / ΔU / ΔD / noop
+  *  apply Δ to target                         idempotent keyed merge
+  *  commit state snapshot                     memo + tracking, atomic
+  * }}}
+  *
+  * Unchanged components are *never* loaded, transformed, or written:
+  * their tracked rows stay physically in place in the target. A
+  * memo-state-only change (file touched, content identical) refreshes
+  * the memo row without recompute (reference 2-level validation,
+  * execution.rs:172-234).
+  *
+  * Stage contract: each [[CocoFn]] maps a DataFrame containing
+  * `item_key` + payload to a DataFrame containing `item_key`,
+  * `row_key` (globally unique; by convention prefixed with the
+  * item_key) + value columns. `value_fp` is derived by the engine.
+  *
+  * Known v1 gap vs the reference: target-row ownership transfer
+  * between components (execution.rs:771-833 preemption) is not
+  * modeled — `row_key`s must not migrate between item_keys within a
+  * single run-pair. The item-key-prefix convention makes migration
+  * impossible by construction.
+  */
+final class Flow(
+    val name: String,
+    source: Source,
+    stages: Seq[CocoFn],
+    val target: Target,
+    stateDir: String) extends Serializable {
+
+  def processorFingerprint: String =
+    Fingerprint.of(("flow" +: name +: stages.map(_.logicFingerprint)): _*)
+
+  private def state(spark: SparkSession) = new StateStore(spark, stateDir)
+
+  /** One catch-up run (reference `App.update`, app.py:275). */
+  def run(spark: SparkSession, fullReprocess: Boolean = false): RunStats = {
+    val st = state(spark)
+    val pFp = processorFingerprint
+
+    // ---- memo probe (level 1: listing state vs stored memo) -----------
+    val listing = source.list(spark).cache()
+    val memo = st.read("component_memo", ComponentMemoSchema)
+    val probe = listing.select(col("item_key"), col("memo_state"))
+      .join(memo.select(col("item_key"), col("processor_fp"),
+        col("memo_state").as("stored_state"), col("content_fp")),
+        Seq("item_key"), "full_outer")
+      .withColumn("cls",
+        when(col("memo_state").isNull, lit("gone"))
+          .when(col("processor_fp").isNull, lit("changed"))        // new item
+          .when(col("processor_fp") =!= pFp ||
+            lit(fullReprocess), lit("changed"))                    // logic change
+          .when(col("stored_state") === col("memo_state"), lit("unchanged"))
+          .otherwise(lit("suspect")))                              // level 2 needed
+      .cache()
+
+    val byCls = probe.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+
+    // ---- level 2: content fingerprint for suspects --------------------
+    // (suspects exist only for sources with a content fp; content is
+    // loaded once and reused by the transform)
+    val loadKeys = probe
+      .filter(col("cls").isin("changed", "suspect"))
+      .select("item_key").collect().map(_.getString(0)).toSeq
+    val loaded = source.load(spark, loadKeys)
+      .withColumn("__content_fp",
+        source.contentFpOf.getOrElse(lit(null).cast("string")))
+      .cache()
+
+    val level2 = probe.filter(col("cls") === "suspect")
+      .join(loaded.select(col("item_key"),
+        col("__content_fp").as("new_content_fp")), Seq("item_key"), "left")
+      .withColumn("cls2",
+        when(col("new_content_fp").isNotNull &&
+          col("new_content_fp") === col("content_fp"), lit("refreshed"))
+          .otherwise(lit("changed")))
+      .select(col("item_key"), col("cls2"))
+      .cache()
+    val nRefreshed = level2.filter(col("cls2") === "refreshed").count()
+
+    val changedKeys = probe.filter(col("cls") === "changed").select("item_key")
+      .union(level2.filter(col("cls2") === "changed").select("item_key"))
+      .cache()
+    val goneKeys = probe.filter(col("cls") === "gone").select("item_key")
+
+    // ---- the expensive transform, on changed components only ----------
+    val input = loaded.join(changedKeys, Seq("item_key"), "left_semi")
+      .drop("__content_fp")
+    val desiredRaw = stages.foldLeft(input)((df, stage) => stage.fn(df))
+    require(desiredRaw.columns.contains("item_key") &&
+      desiredRaw.columns.contains("row_key"),
+      s"stage output must carry item_key and row_key; got " +
+        desiredRaw.columns.mkString(","))
+    val valueCols = desiredRaw.columns
+      .filterNot(c => c == "item_key" || c == "row_key").sorted
+    val desired = desiredRaw
+      .withColumn("value_fp",
+        md5(to_json(struct(valueCols.map(col).toSeq: _*))))
+      .cache()
+
+    // ---- reconcile: classify against the tracking baseline ------------
+    // (reference pre_commit reconcile, execution.rs:757; row handler
+    // semantics postgres/_target.py:850-881)
+    val tracking = st.read("tracking", TrackingSchema)
+    val scopeKeys = changedKeys.union(goneKeys)
+    val trackedInScope = tracking
+      .join(scopeKeys, Seq("item_key"), "left_semi")
+      .select(col("row_key"), col("value_fp").as("prev_fp"),
+        col("item_key").as("prev_item"))
+    val actions = desired
+      .select(col("item_key"), col("row_key"), col("value_fp"))
+      .join(trackedInScope, Seq("row_key"), "full_outer")
+      .withColumn("action",
+        when(col("value_fp").isNull, lit("delete"))       // tracked, not redeclared
+          .when(col("prev_fp").isNull, lit("insert"))
+          .when(col("prev_fp") =!= col("value_fp"), lit("update"))
+          .otherwise(lit("noop")))
+      .cache()
+    val byAction = actions.groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+
+    // ---- apply the delta to the target (idempotent; BEFORE the state
+    // pointer flips — crash here ⇒ roll-forward on rerun) ---------------
+    val upsertKeys = actions
+      .filter(col("action").isin("insert", "update")).select("row_key")
+    val upserts = desired.drop("value_fp")
+      .join(upsertKeys, Seq("row_key"), "left_semi")
+    val deleteKeys = actions.filter(col("action") === "delete").select("row_key")
+    target.apply(spark, upserts, deleteKeys)
+
+    // ---- commit the new state snapshot --------------------------------
+    // (reference commit_in_txn, execution.rs:400-665; child GC :1838 is
+    // the anti-join that drops gone components' memo + tracking rows)
+    val keptMemo = memo
+      .join(probe.filter(col("cls") === "unchanged").select("item_key"),
+        Seq("item_key"), "left_semi")
+    val refreshedMemo = memo.drop("memo_state")
+      .join(level2.filter(col("cls2") === "refreshed").select("item_key"),
+        Seq("item_key"), "left_semi")
+      .join(listing.select(col("item_key"), col("memo_state")), Seq("item_key"))
+      .select("item_key", "processor_fp", "memo_state", "content_fp")
+    val recomputedMemo = listing.select(col("item_key"), col("memo_state"))
+      .join(changedKeys, Seq("item_key"), "left_semi")
+      .join(loaded.select(col("item_key"), col("__content_fp")),
+        Seq("item_key"), "left")
+      .select(col("item_key"), lit(pFp).as("processor_fp"),
+        col("memo_state"), col("__content_fp").as("content_fp"))
+    val newMemo = keptMemo.unionByName(refreshedMemo)
+      .unionByName(recomputedMemo)
+
+    val keptTracking = tracking
+      .join(scopeKeys, Seq("item_key"), "left_anti")
+    val newTracking = keptTracking.unionByName(
+      desired.select("item_key", "row_key", "value_fp"))
+
+    st.commit(Map("component_memo" -> newMemo, "tracking" -> newTracking))
+
+    val stats = RunStats(
+      components = listing.count(),
+      unchanged = byCls("unchanged"),
+      refreshed = nRefreshed,
+      recomputed = changedKeys.count(),
+      deletedComponents = byCls("gone"),
+      rowsInserted = byAction("insert"),
+      rowsUpdated = byAction("update"),
+      rowsDeleted = byAction("delete"),
+      rowsNoop = byAction("noop"))
+    Seq(listing, probe, level2, changedKeys, loaded, desired, actions)
+      .foreach(_.unpersist())
+    stats
+  }
+
+  /** Dry-run: the classified delta, nothing applied (reference
+    * preview mode, execution.rs:1363-1435; CLI `show`). */
+  def preview(spark: SparkSession): DataFrame = {
+    val st = state(spark)
+    val pFp = processorFingerprint
+    val listing = source.list(spark)
+    val memo = st.read("component_memo", ComponentMemoSchema)
+    val probe = listing.select(col("item_key"), col("memo_state"))
+      .join(memo.select(col("item_key"), col("processor_fp"),
+        col("memo_state").as("stored_state")), Seq("item_key"), "full_outer")
+      .withColumn("cls",
+        when(col("memo_state").isNull, lit("delete"))
+          .when(col("processor_fp").isNull, lit("compute"))
+          .when(col("processor_fp") =!= pFp, lit("recompute"))
+          .when(col("stored_state") === col("memo_state"), lit("unchanged"))
+          .otherwise(lit("revalidate")))
+    probe.select(col("item_key"), col("cls").as("pending_action"))
+  }
+
+  /** Revert everything this flow owns: delete all tracked target rows
+    * and clear the state store (reference `App.drop`, app.py:376 —
+    * target states reverted, state cleared). */
+  def drop(spark: SparkSession): TargetStats = {
+    val st = state(spark)
+    val tracking = st.read("tracking", TrackingSchema)
+    val empty = tracking.select("row_key").limit(0)
+    val stats = target.apply(spark, upserts = empty.limit(0),
+      deleteKeys = tracking.select("row_key"))
+    st.clear()
+    stats
+  }
+}

@@ -1,0 +1,80 @@
+package graft.engine
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** Hierarchical stable identity of a pipeline component across runs —
+  * the Spark engine's form of the reference's `StablePath`
+  * (reference rust/core/src/state/stable_path.rs:273). Segments are
+  * strings; the canonical encoding joins them with '/' after
+  * %-escaping, so paths order and prefix-match textually the way the
+  * reference's storekey byte encoding does
+  * (stable_path.rs:138-213) while staying human-readable in state
+  * tables.
+  */
+final case class StablePath(segments: Vector[String]) {
+  def /(segment: String): StablePath = StablePath(segments :+ segment)
+  def parent: StablePath = StablePath(segments.dropRight(1))
+  def isPrefixOf(other: StablePath): Boolean =
+    other.segments.startsWith(segments)
+  override def toString: String = segments.map(StablePath.escape).mkString("/")
+}
+
+object StablePath {
+  val root: StablePath = StablePath(Vector.empty)
+  def apply(segments: String*): StablePath = StablePath(segments.toVector)
+  def parse(s: String): StablePath =
+    if (s.isEmpty) root
+    else StablePath(s.split("/", -1).toVector.map(unescape))
+
+  private[engine] def escape(seg: String): String =
+    seg.flatMap {
+      case '/' => "%2F"
+      case '%' => "%25"
+      case c   => c.toString
+    }
+  private[engine] def unescape(seg: String): String =
+    seg.replace("%2F", "/").replace("%25", "%")
+}
+
+/** 128-bit content/logic fingerprints as lowercase hex (the
+  * reference uses 16-byte Blake2b, rust/utils/src/fingerprint.rs:39;
+  * we use MD5 — also 16 bytes, available both in the JVM and as a
+  * Spark/DuckDB SQL function, and collision-resistance is not a
+  * security property here). Multi-part fingerprints length-prefix
+  * each part so ("ab","c") and ("a","bc") never collide.
+  */
+object Fingerprint {
+  def ofBytes(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"$b%02x").mkString
+
+  def of(parts: String*): String = {
+    val md = MessageDigest.getInstance("MD5")
+    parts.foreach { p =>
+      val b = p.getBytes(StandardCharsets.UTF_8)
+      md.update(s"${b.length}:".getBytes(StandardCharsets.UTF_8))
+      md.update(b)
+    }
+    md.digest().map(b => f"$b%02x").mkString
+  }
+}
+
+/** A versioned transformation stage — the engine's unit of logic
+  * change detection. Scala has no runtime AST to fingerprint (the
+  * reference hashes a canonical Python AST,
+  * python/cocoindex/_internal/function.py:624), so `version` is
+  * mandatory and `deps` carry extra fingerprint material (config
+  * values, model ids — the reference's `logic_tracking="self"` +
+  * `version` mode, docs function.mdx "Manual, precise control").
+  * Bumping `version` (or any dep) invalidates every component memo
+  * downstream of the stage.
+  */
+final case class CocoFn(
+    name: String,
+    version: Int,
+    deps: Seq[String] = Nil,
+    fn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) {
+  def logicFingerprint: String =
+    Fingerprint.of(("fn" +: name +: version.toString +: deps): _*)
+}

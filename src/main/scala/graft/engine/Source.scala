@@ -1,0 +1,147 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A keyed source of items for an incremental flow (reference source
+  * contract: a keyed listing whose items carry a cheap freshness
+  * state and, optionally, a content fingerprint — SURVEY.md §2.A).
+  *
+  * Contract:
+  *   - `list` returns one row per item: `item_key STRING` +
+  *     `memo_state STRING` (cheap level-1 freshness, compared before
+  *     any content is read) + listing metadata.
+  *   - `load` returns full payload rows (`item_key` + payload
+  *     columns) for the requested keys only.
+  *   - `contentFpOf` (optional) derives the level-2 fingerprint from
+  *     a loaded payload row; items whose memo_state changed but whose
+  *     content fingerprint did not are *refreshed, not recomputed*
+  *     (reference memo-state validation,
+  *     rust/core/src/engine/execution.rs:172-234).
+  */
+trait Source {
+  def list(spark: SparkSession): DataFrame
+  def load(spark: SparkSession, keys: Seq[String]): DataFrame
+  def contentFpOf: Option[Column]
+}
+
+/** Include/exclude glob matching with `!` negation, ordered
+  * last-match-wins (reference PatternFilePathMatcher,
+  * rust/ops_text/src/pattern_matcher.rs). Patterns: `*` within a
+  * segment, `**` across segments, `?` one char; `!pattern` excludes.
+  */
+final case class PathMatcher(patterns: Seq[String]) extends Serializable {
+  private val compiled: Seq[(Boolean, java.util.regex.Pattern)] =
+    patterns.map { p =>
+      val (neg, pat) = if (p.startsWith("!")) (true, p.drop(1)) else (false, p)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < pat.length) {
+        pat.charAt(i) match {
+          case '*' if i + 1 < pat.length && pat.charAt(i + 1) == '*' =>
+            sb.append(".*"); i += 1
+            if (i + 1 < pat.length && pat.charAt(i + 1) == '/') i += 1 // "**/"
+          case '*' => sb.append("[^/]*")
+          case '?' => sb.append("[^/]")
+          case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 => sb.append('\\').append(c)
+          case c => sb.append(c)
+        }
+        i += 1
+      }
+      (neg, java.util.regex.Pattern.compile(sb.result()))
+    }
+
+  /** Matches iff the last pattern that matches is not negated; no
+    * match at all = excluded (empty pattern list = include all). */
+  def matches(relPath: String): Boolean =
+    if (patterns.isEmpty) true
+    else compiled.foldLeft(false) { case (acc, (neg, pat)) =>
+      if (pat.matcher(relPath).matches()) !neg else acc
+    }
+}
+
+/** Recursive directory walk as a keyed listing — the reference's
+  * `localfs.walk_dir` (python/cocoindex/connectors/localfs/
+  * _source.py:352) in batch form. Listing is a `binaryFile` scan
+  * with the content column pruned (file metadata only); `load` reads
+  * the content of exactly the requested files.
+  *
+  * memo_state = "size:mtime_ms" — the level-1 check. The level-2
+  * content fingerprint is md5 over bytes, mirroring the reference's
+  * mtime→content-fingerprint two-step
+  * (python/cocoindex/resources/file.py:160-183).
+  */
+final case class LocalFsSource(
+    dir: String, patterns: Seq[String] = Nil) extends Source {
+
+  private val matcher = PathMatcher(patterns)
+  // directory URI must end in "/" for relativize to strip the prefix
+  private def base = {
+    val u = new java.io.File(dir).toURI.toString
+    java.net.URI.create(if (u.endsWith("/")) u else u + "/")
+  }
+
+  def list(spark: SparkSession): DataFrame = {
+    val relUdf = relPathUdf
+    val m = matcher
+    val matchUdf = udf((rel: String) => m.matches(rel))
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      // content column NOT projected: binaryFile prunes it at the scan
+      .select(relUdf(col("path")).as("item_key"),
+        concat_ws(":", col("length"),
+          unix_millis(col("modificationTime"))).as("memo_state"),
+        col("length").as("size"))
+      .filter(matchUdf(col("item_key")))
+  }
+
+  def load(spark: SparkSession, keys: Seq[String]): DataFrame = {
+    val relUdf = relPathUdf
+    if (keys.isEmpty)
+      spark.read.format("binaryFile").load(dir).limit(0)
+        .select(relUdf(col("path")).as("item_key"), col("content"))
+    else {
+      val paths = keys.map(k => new java.io.File(dir, k).getPath)
+      spark.read.format("binaryFile").load(paths: _*)
+        .select(relUdf(col("path")).as("item_key"), col("content"))
+    }
+  }
+
+  def contentFpOf: Option[Column] = Some(md5(col("content")))
+
+  private def relPathUdf = {
+    val b = base
+    udf((p: String) => b.relativize(java.net.URI.create(p)).getPath)
+  }
+}
+
+/** Any keyed DataFrame as a source — the reference's
+  * `postgres.PgTableSource`-style table scan
+  * (python/cocoindex/connectors/postgres/_source.py:155) generalized:
+  * rows are the payload, the memo state is a fingerprint of the whole
+  * row, so level 1 already detects any change (no level 2).
+  */
+final case class TableSource(
+    table: SparkSession => DataFrame, keyCol: String) extends Source {
+
+  def list(spark: SparkSession): DataFrame = {
+    val df = table(spark)
+    val valueCols = df.columns.filterNot(_ == keyCol).sorted.map(col)
+    df.select(col(keyCol).cast("string").as("item_key"),
+      md5(to_json(struct(valueCols.toSeq: _*))).as("memo_state"))
+  }
+
+  def load(spark: SparkSession, keys: Seq[String]): DataFrame = {
+    val df = table(spark)
+      .withColumn("item_key", col(keyCol).cast("string"))
+    if (keys.isEmpty) df.limit(0)
+    else if (keys.length <= 100) df.filter(col("item_key").isin(keys: _*))
+    else { // large change sets: broadcast semi-join beats a giant IN
+      import spark.implicits._
+      df.join(broadcast(keys.toDF("item_key")), Seq("item_key"), "left_semi")
+    }
+  }
+
+  def contentFpOf: Option[Column] = None
+}

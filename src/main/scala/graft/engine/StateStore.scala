@@ -1,0 +1,137 @@
+package graft.engine
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import scala.util.Try
+
+/** The engine's own persistent state — the Spark analog of the
+  * reference's LMDB environment (SURVEY.md §1.4; keyspace
+  * rust/core/src/state/db_schema.rs:158-226). State lives as
+  * versioned parquet snapshots:
+  *
+  * {{{
+  *   stateDir/v=3/component_memo/…parquet
+  *   stateDir/v=3/tracking/…parquet
+  *   stateDir/_CURRENT            # contains "3"; atomically replaced
+  * }}}
+  *
+  * `commit` writes a complete new snapshot and then atomically moves
+  * the `_CURRENT` pointer. Convergence contract (the reference's
+  * "no rollback, convergent roll-forward",
+  * docs processing_component.mdx): target writes are idempotent
+  * keyed MERGEs and happen *before* the pointer flip, so a crash
+  * anywhere leaves either (a) old pointer + partially-applied
+  * targets — next run recomputes the same delta from the old state
+  * and re-applies it idempotently — or (b) new pointer + fully
+  * applied targets. The reference needs a pending-token protocol
+  * (execution.rs:806-827) because it commits per-component; a
+  * whole-snapshot pointer collapses that to a single atomic rename.
+  *
+  * State tables are metadata-scale (one row per source item / target
+  * row fingerprint), so full-snapshot rewrite is a bounded cost (the
+  * same order as a Delta checkpoint); a production variant would
+  * MERGE into a transactional table format instead.
+  */
+final class StateStore(spark: SparkSession, rootDir: String) {
+  import StateStore._
+
+  private val root: Path = Paths.get(rootDir)
+  Files.createDirectories(root)
+
+  def currentVersion: Long = {
+    val p = root.resolve(CurrentFile)
+    if (Files.exists(p))
+      Try(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
+        .getOrElse(0L)
+    else 0L
+  }
+
+  /** Read a state table at the current version (empty with the right
+    * schema when absent). */
+  def read(table: String, schema: StructType): DataFrame = {
+    val v = currentVersion
+    val dir = root.resolve(s"v=$v").resolve(table)
+    if (v > 0 && Files.exists(dir))
+      spark.read.schema(schema).parquet(dir.toString)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema)
+  }
+
+  /** Write the next snapshot (all tables fully materialized), then
+    * atomically flip `_CURRENT`. Returns the new version. */
+  def commit(tables: Map[String, DataFrame]): Long = {
+    val next = currentVersion + 1
+    val dir = root.resolve(s"v=$next")
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(dir.resolve(name).toString)
+    }
+    val tmp = root.resolve(s"$CurrentFile.tmp")
+    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, root.resolve(CurrentFile),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    prune(keep = 2, next)
+    next
+  }
+
+  /** Drop all state (the `drop` lifecycle op). */
+  def clear(): Unit = {
+    deleteRecursively(root)
+    Files.createDirectories(root)
+  }
+
+  private def prune(keep: Int, current: Long): Unit = {
+    val dirs = Option(root.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(f => f.getName.drop(2).toLong)
+      .filter(_ <= current - keep)
+    dirs.foreach(v => deleteRecursively(root.resolve(s"v=$v")))
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    }
+}
+
+object StateStore {
+  val CurrentFile = "_CURRENT"
+
+  /** One row per component (= source item): the component-level memo
+    * (reference ComponentMemoizationInfo, db_schema.rs:271-292).
+    * `memo_state` is the cheap first-level freshness check (mtime:size
+    * for files); `content_fp` the second level (reference 2-level
+    * FileLike validation, python/cocoindex/resources/file.py:160-183).
+    */
+  val ComponentMemoSchema: StructType = StructType(Seq(
+    StructField("item_key", StringType, nullable = false),
+    StructField("processor_fp", StringType, nullable = false),
+    StructField("memo_state", StringType, nullable = true),
+    StructField("content_fp", StringType, nullable = true)))
+
+  /** One row per declared target state: the diff baseline (reference
+    * StablePathEntryTrackingInfo, db_schema.rs:435-452, collapsed to
+    * its at-rest single-state form). */
+  val TrackingSchema: StructType = StructType(Seq(
+    StructField("item_key", StringType, nullable = false),
+    StructField("row_key", StringType, nullable = false),
+    StructField("value_fp", StringType, nullable = false)))
+
+  /** Persistent per-component user state cells
+    * (reference `coco.use_state`, api.py:747; db_schema.rs:78). */
+  val UserStateSchema: StructType = StructType(Seq(
+    StructField("item_key", StringType, nullable = false),
+    StructField("state_key", StringType, nullable = false),
+    StructField("value", StringType, nullable = true)))
+
+  /** Stable id sequences (reference IdSequencerInfo,
+    * db_schema.rs:483-487). */
+  val IdSeqSchema: StructType = StructType(Seq(
+    StructField("scope", StringType, nullable = false),
+    StructField("seq_key", StringType, nullable = false),
+    StructField("id", LongType, nullable = false)))
+}

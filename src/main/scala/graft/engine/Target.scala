@@ -1,0 +1,182 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Row counts actually written/removed by one target apply. */
+final case class TargetStats(upserted: Long, deleted: Long)
+
+/** A managed external container the engine reconciles desired rows
+  * into — the reference's target contract (TargetHandler.reconcile →
+  * batched convergent sinks,
+  * python/cocoindex/_internal/target_state.py:188-205). The engine
+  * hands a target only the *classified delta*: rows to upsert and
+  * keys to delete. Appliers MUST be idempotent keyed merges —
+  * re-applying the same delta after a crash must converge (reference
+  * "no rollback, convergent roll-forward").
+  */
+trait Target {
+  /** Apply the delta. `upserts` carries `row_key` + payload columns;
+    * `deleteKeys` carries `row_key` only. */
+  def apply(spark: SparkSession, upserts: DataFrame, deleteKeys: DataFrame): TargetStats
+  /** Read the target's current contents back (for queries/tests). */
+  def read(spark: SparkSession): DataFrame
+}
+
+/** Keyed parquet table with hash-bucketed copy-on-write — the MERGE
+  * applier (reference row reconcile + batched
+  * INSERT…ON CONFLICT DO UPDATE / DELETE,
+  * python/cocoindex/connectors/postgres/_target.py:769-836) on a
+  * plain filesystem:
+  *
+  *   - rows live under `dir/bucket=k/` with
+  *     k = pmod(xxhash64(row_key), numBuckets);
+  *   - an apply rewrites ONLY the buckets containing touched keys
+  *     (dynamic partition overwrite): survivors = bucket contents
+  *     anti-joined on touched keys, new data unioned in;
+  *   - a no-op delta rewrites nothing at all.
+  *
+  * Scale: bucket count bounds rewrite granularity the way Delta/
+  * Iceberg data files do; at 100 TB you'd raise `numBuckets` so each
+  * bucket is a few hundred MB and only touched buckets shuffle.
+  * Partition pruning makes the survivor read skip untouched buckets
+  * (visible as PartitionFilters in the scan).
+  */
+final case class ParquetTableTarget(dir: String, numBuckets: Int = 16)
+    extends Target {
+
+  private def bucketOf = pmod(xxhash64(col("row_key")), lit(numBuckets))
+    .cast("int")
+
+  private def bucketDirs: Seq[java.io.File] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).toSeq
+
+  private def exists = bucketDirs.nonEmpty
+
+  private def schemaFile = new java.io.File(dir, "_schema.json")
+
+  private def saveSchema(df: DataFrame): Unit = {
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(schemaFile.toPath,
+      df.schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def apply(spark: SparkSession, upserts: DataFrame,
+      deleteKeys: DataFrame): TargetStats = {
+    val up = upserts.withColumn("bucket", bucketOf).cache()
+    val del = deleteKeys.select(col("row_key")).cache()
+    val nUp = up.count()
+    val nDel = del.count()
+    if (nUp == 0 && nDel == 0) return TargetStats(0, 0)
+
+    if (!exists) {
+      if (nUp > 0) {
+        up.write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(dir)
+        saveSchema(up.drop("bucket"))
+      }
+      up.unpersist(); del.unpersist()
+      return TargetStats(nUp, 0)
+    }
+
+    val touchedKeys = up.select("row_key").union(del).distinct()
+    val touchedBuckets = touchedKeys
+      .select(pmod(xxhash64(col("row_key")), lit(numBuckets)).cast("int")
+        .as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+
+    val current = read(spark).filter(col("bucket").isin(touchedBuckets: _*))
+    val survivors = current.join(touchedKeys, Seq("row_key"), "left_anti")
+    // localCheckpoint cuts the lineage back to the files being
+    // overwritten — without it the overwrite job would read the very
+    // parquet files it is deleting
+    val newData = survivors.unionByName(up, allowMissingColumns = true)
+      .withColumn("bucket", bucketOf)
+      .localCheckpoint()
+
+    // Dynamic partition overwrite: only the touched bucket dirs are
+    // replaced; untouched buckets' files are not rewritten.
+    newData.write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .mode(SaveMode.Overwrite)
+      .parquet(dir)
+    saveSchema(newData.drop("bucket"))
+
+    // dynamic overwrite only replaces partitions PRESENT in the new
+    // data — a touched bucket whose rows were all deleted must be
+    // cleared explicitly or its old files survive
+    val bucketsWithData = newData.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    touchedBuckets.filterNot(bucketsWithData).foreach { b =>
+      val d = new java.io.File(dir, s"bucket=$b")
+      Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      d.delete()
+    }
+    up.unpersist(); del.unpersist()
+    TargetStats(nUp, nDel)
+  }
+
+  def read(spark: SparkSession): DataFrame =
+    if (exists) spark.read.parquet(dir)
+    else if (schemaFile.exists()) {
+      // target written once but currently empty (e.g. post-drop)
+      val schema = org.apache.spark.sql.types.DataType.fromJson(
+        new String(java.nio.file.Files.readAllBytes(schemaFile.toPath),
+          java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else throw new IllegalStateException(s"target $dir not yet written")
+}
+
+/** Files in a managed directory — the reference's
+  * `localfs.mount_dir_target` (python/cocoindex/connectors/localfs/
+  * _target.py:300-451): each row is one file (`row_key` = relative
+  * path, `content` = bytes or string); delete removes the file.
+  * Writes happen executor-side (foreachPartition), never through the
+  * driver.
+  */
+final case class LocalFsDirTarget(dir: String) extends Target {
+
+  def apply(spark: SparkSession, upserts: DataFrame,
+      deleteKeys: DataFrame): TargetStats = {
+    val base = dir
+    val nUp =
+      if (!upserts.columns.contains("content")) 0L // e.g. a drop: keys only
+      else {
+        val up = upserts.select(col("row_key"),
+          col("content").cast("binary").as("content"))
+        val n = up.count()
+        up.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach { r =>
+            val f = new java.io.File(base, r.getString(0))
+            f.getParentFile.mkdirs()
+            java.nio.file.Files.write(f.toPath, r.getAs[Array[Byte]](1))
+          }
+        }
+        n
+      }
+    val del = deleteKeys.select("row_key")
+    val nDel = del.count()
+    del.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      rows.foreach { r =>
+        val f = new java.io.File(base, r.getString(0))
+        f.delete()
+        // prune now-empty parent dirs up to (not incl.) the base
+        var p = f.getParentFile
+        val stop = new java.io.File(base).getCanonicalFile
+        while (p != null && p.getCanonicalFile != stop &&
+          Option(p.list()).exists(_.isEmpty)) {
+          p.delete(); p = p.getParentFile
+        }
+      }
+    }
+    TargetStats(nUp, nDel)
+  }
+
+  def read(spark: SparkSession): DataFrame =
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(dir)
+      .select(col("path"), col("content"))
+}

@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.engine._
+import graft.operators.Chunker
+
+/** The incremental engine exercised under the driver's DuckDB gate:
+  * a documents→chunks flow is built through the full machinery
+  * (memo probe → transform → ΔI/ΔU/ΔD reconcile → bucketed parquet
+  * target → state commit), run TWICE — the second run must be a
+  * pure no-op or the query aborts — and the materialized target is
+  * returned for value-identical comparison against the oracle's
+  * direct SQL definition of the same transform.
+  */
+object FlowPack extends QueryPack {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q60_incremental_index",
+      Some("""
+        SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR) AS row_key,
+               doc_id, CAST(i AS INT) AS chunk_idx,
+               substring(text, CAST(i AS INT) * 150 + 1, 200) AS chunk_text
+        FROM (SELECT doc_id, text,
+                     unnest(range(CAST(ceil(length(text) / 150.0) AS BIGINT))) AS i
+              FROM documents)"""),
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft-flow-q60")
+        work.toFile.deleteOnExit()
+        val chunkStage = CocoFn("chunk_fixed", 1, deps = Seq("w=200", "s=150"),
+          fn = df => Chunker.chunkFixed(
+              df.select(col("item_key"), col("doc_id"), col("text")),
+              "text", width = 200, stride = 150)
+            .select(col("item_key"),
+              concat(col("item_key"), lit("#"), col("chunk_idx")).as("row_key"),
+              col("doc_id"), col("chunk_idx"), col("chunk_text")))
+        val flow = new Flow(
+          "incremental_index",
+          TableSource(sp => Tables(sp, dir, "documents"), keyCol = "doc_id"),
+          Seq(chunkStage),
+          ParquetTableTarget(work.resolve("index").toString, numBuckets = 8),
+          work.resolve("state").toString)
+        flow.run(s)
+        val rerun = flow.run(s)
+        require(rerun.isNoop,
+          s"incremental contract violated: rerun was not a no-op: $rerun")
+        flow.target.read(s)
+          .select("row_key", "doc_id", "chunk_idx", "chunk_text")
+      })
+  )
+}

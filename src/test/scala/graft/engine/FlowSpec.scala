@@ -1,0 +1,226 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.operators.Chunker
+import graft.functions.HashEmbedder
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path}
+import java.nio.charset.StandardCharsets
+
+/** Golden state-transition tests for the incremental engine — the
+  * shape of the reference's core suite
+  * (python/tests/core/test_component_memo.py,
+  * test_logic_change_detection.py, test_app_drop.py): run a
+  * files→chunks→embeddings pipeline, assert the exact
+  * cache-hit/recompute/insert/update/delete counters across reruns,
+  * edits, touches, deletes, logic bumps, crashes and drop.
+  */
+class FlowSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): Path = {
+    val d = Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private def write(dir: Path, rel: String, text: String): Unit = {
+    val f = dir.resolve(rel)
+    Files.createDirectories(f.getParent)
+    Files.write(f, text.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** The M2 slice (SURVEY.md §7.2): walk_dir(markdown) → chunk →
+    * hash-embed → parquet table target. */
+  private def chunkStage(version: Int, chunkSize: Int = 64) = CocoFn(
+    "chunk", version, deps = Seq(s"size=$chunkSize"),
+    fn = df => {
+      val chunk = Chunker.chunkUdf(chunkSize, overlap = 8, language = "markdown")
+      df.select(col("item_key"),
+          explode(chunk(decode(col("content"), "UTF-8"))).as("c"))
+        .select(col("item_key"),
+          concat(col("item_key"), lit("#"), col("c.chunk_id")).as("row_key"),
+          col("c.text").as("chunk_text"),
+          col("c.start_char"), col("c.end_char"))
+    })
+
+  private val embedStage = CocoFn(
+    "embed", 1, deps = Seq("dim=16"),
+    fn = df => df.withColumn("embedding",
+      HashEmbedder.embed(col("chunk_text"), 16)))
+
+  private def mkFlow(srcDir: Path, targetDir: Path, stateDir: Path,
+      chunkVersion: Int = 1, target: Target = null): Flow = {
+    val t = Option(target).getOrElse(
+      ParquetTableTarget(targetDir.toString, numBuckets = 4))
+    new Flow("docs_index",
+      LocalFsSource(srcDir.toString, Seq("**.md", "!**/skip/**")),
+      Seq(chunkStage(chunkVersion), embedStage),
+      t, stateDir.toString)
+  }
+
+  private def seed(src: Path): Unit = {
+    write(src, "a.md", "# Alpha\n\n" + ("alpha content paragraph. " * 20))
+    write(src, "sub/b.md", "# Bravo\n\n" + ("bravo content paragraph. " * 20))
+    write(src, "c.md", "# Charlie\n\nshort.")
+    write(src, "notes.txt", "not markdown — excluded by pattern")
+    write(src, "skip/d.md", "excluded by negation pattern")
+  }
+
+  test("golden transition: cold run → warm noop → touch → edit → delete → logic bump") {
+    val (src, tgt, st) = (tmpDir("flow-src"), tmpDir("flow-tgt"), tmpDir("flow-st"))
+    seed(src)
+    val flow = mkFlow(src, tgt, st)
+
+    // ---- cold run: everything computes --------------------------------
+    val r1 = flow.run(spark)
+    assert(r1.components == 3, s"pattern matcher must keep 3 files: $r1")
+    assert(r1.recomputed == 3 && r1.unchanged == 0 && r1.refreshed == 0)
+    assert(r1.rowsInserted > 3 && r1.rowsUpdated == 0 && r1.rowsDeleted == 0)
+    val cold = flow.target.read(spark)
+    assert(cold.count() == r1.rowsInserted)
+    // snapshot this count now: `cold` lazily re-lists target files, and
+    // later applies rewrite them
+    val coldBravoCount = cold.filter(col("item_key") === "sub/b.md").count()
+
+    // ---- warm rerun: zero work, zero writes ---------------------------
+    val r2 = flow.run(spark)
+    assert(r2.isNoop, s"warm rerun must be a no-op: $r2")
+    assert(r2.unchanged == 3)
+
+    // ---- touch (mtime changes, content identical): refresh, no recompute
+    val aPath = src.resolve("a.md")
+    Files.setLastModifiedTime(aPath,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(aPath).toMillis + 5000))
+    val r3 = flow.run(spark)
+    assert(r3.refreshed == 1 && r3.recomputed == 0, s"touch must refresh: $r3")
+    assert(r3.rowsInserted == 0 && r3.rowsUpdated == 0 && r3.rowsDeleted == 0)
+
+    // ---- edit one file: only its chunks recompute ---------------------
+    write(src, "a.md", "# Alpha v2\n\n" + ("ALTERED alpha paragraph. " * 25))
+    val r4 = flow.run(spark)
+    assert(r4.recomputed == 1 && r4.unchanged == 2, s"edit must isolate: $r4")
+    assert(r4.rowsInserted + r4.rowsUpdated + r4.rowsDeleted > 0)
+    // all rows for unaffected files still present and identical
+    val afterEdit = flow.target.read(spark)
+    assert(afterEdit.filter(col("item_key") === "sub/b.md").count() ==
+      coldBravoCount)
+    // no stale a.md rows: target matches tracking exactly
+    assert(afterEdit.filter(col("row_key").startsWith("a.md")).count() ==
+      afterEdit.filter(col("item_key") === "a.md").count())
+
+    // ---- delete a file: orphan GC removes exactly its rows ------------
+    Files.delete(src.resolve("c.md"))
+    val r5 = flow.run(spark)
+    assert(r5.deletedComponents == 1 && r5.recomputed == 0, s"delete: $r5")
+    assert(r5.rowsDeleted > 0 && r5.rowsInserted == 0)
+    val afterDel = flow.target.read(spark)
+    assert(afterDel.filter(col("item_key") === "c.md").count() == 0)
+
+    // ---- logic bump: full recompute, but unchanged values are noops ---
+    val flowV2 = mkFlow(src, tgt, st, chunkVersion = 2)
+    val r6 = flowV2.run(spark)
+    assert(r6.recomputed == 2 && r6.unchanged == 0, s"version bump: $r6")
+    // same chunker params => identical rows => pure noop at the target
+    assert(r6.rowsNoop > 0 && r6.rowsInserted == 0 && r6.rowsUpdated == 0 &&
+      r6.rowsDeleted == 0)
+
+    // ---- after the bump, the new logic fingerprint is memoized --------
+    val r7 = flowV2.run(spark)
+    assert(r7.isNoop, s"post-bump rerun must be a no-op: $r7")
+  }
+
+  test("crash between target apply and state commit rolls forward convergently") {
+    val (src, tgt, st) = (tmpDir("crash-src"), tmpDir("crash-tgt"), tmpDir("crash-st"))
+    seed(src)
+    val real = ParquetTableTarget(tgt.toString, numBuckets = 4)
+    val flow = mkFlow(src, tgt, st)
+    flow.run(spark) // healthy cold run
+
+    write(src, "a.md", "# Alpha edited\n\n" + ("crash test paragraph. " * 25))
+
+    // a target that applies for real, then dies before the engine can
+    // commit state — simulating a crash in the window where targets
+    // are ahead of tracking
+    val crashing = new Target {
+      def apply(s: SparkSession, up: DataFrame, del: DataFrame): TargetStats = {
+        val st = real.apply(s, up, del)
+        throw new RuntimeException("simulated crash after sink apply")
+      }
+      def read(s: SparkSession): DataFrame = real.read(s)
+    }
+    val crashFlow = mkFlow(src, tgt, st, target = crashing)
+    intercept[RuntimeException](crashFlow.run(spark))
+
+    // rerun with the healthy target: state still points at the old
+    // snapshot, so the same delta is recomputed and re-applied
+    // idempotently — target converges, no duplicates, stats re-report
+    // the edit
+    val r = flow.run(spark)
+    assert(r.recomputed == 1, s"roll-forward must redo the edit: $r")
+    val rows = flow.target.read(spark)
+    assert(rows.groupBy("row_key").count().filter(col("count") > 1).count() == 0,
+      "idempotent re-apply must not duplicate rows")
+    // and a further rerun is a clean no-op
+    assert(flow.run(spark).isNoop)
+  }
+
+  test("preview reports the pending delta without applying it") {
+    val (src, tgt, st) = (tmpDir("pv-src"), tmpDir("pv-tgt"), tmpDir("pv-st"))
+    seed(src)
+    val flow = mkFlow(src, tgt, st)
+    val p0 = flow.preview(spark).groupBy("pending_action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p0 == Map("compute" -> 3))
+    flow.run(spark)
+    val p1 = flow.preview(spark).groupBy("pending_action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p1 == Map("unchanged" -> 3))
+    write(src, "a.md", "# changed")
+    Files.delete(src.resolve("c.md"))
+    val p2 = flow.preview(spark).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(p2("a.md") == "revalidate" && p2("c.md") == "delete" &&
+      p2("sub/b.md") == "unchanged")
+  }
+
+  test("drop reverts all target rows and clears state") {
+    val (src, tgt, st) = (tmpDir("drop-src"), tmpDir("drop-tgt"), tmpDir("drop-st"))
+    seed(src)
+    val flow = mkFlow(src, tgt, st)
+    val r1 = flow.run(spark)
+    assert(flow.target.read(spark).count() == r1.rowsInserted)
+    val dropped = flow.drop(spark)
+    assert(dropped.deleted == r1.rowsInserted)
+    assert(flow.target.read(spark).count() == 0)
+    // after drop, a run is a fresh cold build
+    val r2 = flow.run(spark)
+    assert(r2.recomputed == 3 && r2.rowsInserted == r1.rowsInserted)
+  }
+
+  test("localfs dir target: managed files created, updated and deleted") {
+    val (src, tgt, st) = (tmpDir("fs-src"), tmpDir("fs-tgt"), tmpDir("fs-st"))
+    write(src, "x.md", "one two three")
+    write(src, "y.md", "four five")
+    // identity-ish stage: one output file per input file, uppercased
+    val toUpper = CocoFn("upper", 1, fn = df =>
+      df.select(col("item_key"),
+        concat(col("item_key"), lit(".out")).as("row_key"),
+        upper(decode(col("content"), "UTF-8")).cast("binary").as("content")))
+    val flow = new Flow("mirror", LocalFsSource(src.toString, Seq("**.md")),
+      Seq(toUpper), LocalFsDirTarget(tgt.toString), st.toString)
+    flow.run(spark)
+    assert(new String(Files.readAllBytes(tgt.resolve("x.md.out")),
+      StandardCharsets.UTF_8) == "ONE TWO THREE")
+    assert(Files.exists(tgt.resolve("y.md.out")))
+    // update + delete propagate
+    write(src, "x.md", "six")
+    Files.delete(src.resolve("y.md"))
+    val r = flow.run(spark)
+    assert(r.recomputed == 1 && r.deletedComponents == 1)
+    assert(new String(Files.readAllBytes(tgt.resolve("x.md.out")),
+      StandardCharsets.UTF_8) == "SIX")
+    assert(!Files.exists(tgt.resolve("y.md.out")))
+  }
+}
