@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Entity resolution: candidate similarity edges → connected
+  * components → canonical representative per component (the Spark
+  * re-expression of the reference's `resolve_entities`:
+  * FAISS candidate search → union-find partition → per-component
+  * resolve, python/cocoindex/ops/entity_resolution/__init__.py:491,
+  * `_partition_components` union-find :427-467, canonical policies
+  * PINNED/PREFERRED :264).
+  *
+  * The union-find becomes iterative label propagation with pointer
+  * jumping: each round every vertex adopts the minimum label among
+  * itself and its neighbors (one equi-join + hash aggregation), then
+  * adopts its label's label (a second equi-join — path halving, the
+  * Shiloach–Vishkin trick), so convergence is O(log diameter) rounds
+  * rather than O(diameter). Each round is checkpointed so the plan
+  * does not grow (lineage truncation — the standard Spark iterative
+  * pattern). Non-convergence within `maxIter` throws instead of
+  * silently returning partial components.
+  */
+object EntityResolution {
+
+  /** Labels every vertex with the minimum vertex id reachable from
+    * it. `edges` are undirected (either orientation accepted).
+    * Returns (id, component). */
+  def connectedComponents(
+      vertices: DataFrame, edges: DataFrame,
+      idCol: String = "id", srcCol: String = "src", dstCol: String = "dst",
+      maxIter: Int = 25): DataFrame = {
+    val und = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .cache()
+    var labels = vertices
+      .select(col(idCol).as("id"), col(idCol).as("component"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // min over self and neighbor labels
+      val nbrMin = und
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("component").as("nbr_min"))
+      val stepped = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+      // pointer jumping: component := label(component)
+      val jump = stepped.select(col("id").as("component"),
+        col("component").as("jumped"))
+      val next = stepped.join(jump, Seq("component"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("jumped"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") < col("old")).count()
+      labels = next
+      iter += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    und.unpersist()
+    labels
+  }
+
+  /** Canonical representative per component. Default policy: minimum
+    * id. With `pinned`, any pinned member of a component wins (ties
+    * among pinned by min id) — the reference's PINNED/PREFERRED
+    * canonical-side policy. Returns (id, canonical_id). */
+  def canonicalOf(
+      components: DataFrame, pinned: Option[DataFrame] = None): DataFrame = {
+    val base = pinned match {
+      case None =>
+        components.withColumn("is_pinned", lit(false))
+      case Some(p) =>
+        components.join(p.select(col("id"), lit(true).as("is_pinned")),
+          Seq("id"), "left")
+          .withColumn("is_pinned", coalesce(col("is_pinned"), lit(false)))
+    }
+    val w = Window.partitionBy("component")
+      .orderBy(col("is_pinned").desc, col("id"))
+    base
+      .withColumn("canonical_id", first("id").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("id"), col("canonical_id"))
+  }
+
+  /** End-to-end resolution over an embedding table: exact cosine
+    * candidate edges at `threshold` → connected components →
+    * canonical map with group sizes. Swap the candidate stage for
+    * [[Dedup.embeddingNearDupLsh]] when the similarity margin allows
+    * LSH pruning. */
+  def resolveEntities(
+      vectors: DataFrame, threshold: Double,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      pinned: Option[DataFrame] = None): DataFrame = {
+    val edges = Similarity.nearDupPairsBlocked(vectors, threshold,
+      idCol = idCol, embCol = embCol)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comps = connectedComponents(
+      vectors.select(col(idCol).cast("long").as("id")), edges)
+    val canon = canonicalOf(comps, pinned)
+    val sizes = Window.partitionBy("canonical_id")
+    canon
+      .withColumn("group_size", count(lit(1)).over(sizes))
+      .select(col("id").as(idCol), col("canonical_id"), col("group_size"))
+  }
+}

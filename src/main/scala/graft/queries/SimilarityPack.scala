@@ -83,6 +83,30 @@ object SimilarityPack extends QueryPack {
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
         Similarity.lshTopK(emb.filter(col("vec_id") < 8), emb, 10)
-      })
+      }),
+
+    // ---- entity resolution: similarity edges → connected components →
+    // canonical map. Oracle: transitive closure via recursive CTE. ------
+    Q(
+      "q45_entity_resolution",
+      Some("""
+        WITH RECURSIVE
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings),
+        edges AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst
+          FROM e a JOIN e b ON a.vec_id <> b.vec_id
+          WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4),
+        reach(id, r) AS (
+          SELECT vec_id, vec_id FROM e
+          UNION
+          SELECT ed.dst, re.r FROM reach re JOIN edges ed ON ed.src = re.id),
+        comp AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id)
+        SELECT id AS vec_id, canonical_id,
+               count(*) OVER (PARTITION BY canonical_id) AS group_size
+        FROM comp"""),
+      (s, dir) =>
+        graft.operators.EntityResolution.resolveEntities(
+          Tables(s, dir, "embeddings"), threshold = 0.4))
   )
 }

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.EntityResolution
+import org.apache.spark.sql.functions._
+
+/** Connected components and canonical-policy semantics on hand-built
+  * graphs (the reference's union-find `_partition_components` +
+  * PINNED policy, ops/entity_resolution/__init__.py:427,264).
+  */
+class EntityResolutionSpec extends SparkSpec {
+
+  private def cc(vertices: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    EntityResolution.connectedComponents(
+      vertices.toDF("id"), edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain, cycle, singleton and star components all get min-id labels") {
+    val got = cc(
+      vertices = (1L to 12L),
+      edges = Seq(
+        (1L, 2L), (2L, 3L), (3L, 4L),          // chain 1-2-3-4
+        (5L, 6L), (6L, 7L), (7L, 5L),          // cycle 5-6-7
+        (9L, 10L), (9L, 11L), (9L, 12L)))      // star centered at 9
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L,
+      8L -> 8L,                                 // singleton
+      9L -> 9L, 10L -> 9L, 11L -> 9L, 12L -> 9L))
+  }
+
+  test("long path converges within maxIter via per-round propagation") {
+    val n = 30L
+    val got = cc((1L to n), (1L until n).map(i => (i, i + 1)))
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("edge orientation and duplicates are irrelevant") {
+    val a = cc(Seq(1L, 2L, 3L), Seq((3L, 1L), (1L, 3L), (3L, 1L), (2L, 3L)))
+    assert(a == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("pinned members win canonical selection over smaller ids") {
+    import spark.implicits._
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("id", "component")
+    val pinned = Seq(3L).toDF("id")
+    val got = EntityResolution.canonicalOf(comps, Some(pinned))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // component 1: pinned 3 beats min id 1; component 7: default min id
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("resolveEntities groups the testdata near-dup pairs transitively") {
+    assume(testdataAvailable)
+    val emb = Tables(spark, Sf0001, "embeddings")
+    val resolved = EntityResolution.resolveEntities(emb, threshold = 0.4)
+    assert(resolved.count() == emb.count()) // every vector labeled
+    // groups are consistent: members of one component share a canonical
+    val edges = graft.operators.Similarity
+      .nearDupPairsBlocked(emb, 0.4).collect()
+    val canon = resolved.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    edges.foreach { e =>
+      assert(canon(e.getLong(0)) == canon(e.getLong(1)),
+        s"pair ${e.getLong(0)},${e.getLong(1)} split across components")
+    }
+    // canonical is a member of its own group
+    canon.values.foreach(c => assert(canon(c) == c))
+  }
+}
