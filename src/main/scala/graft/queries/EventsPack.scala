@@ -175,6 +175,22 @@ object EventsPack extends QueryPack {
               .otherwise(0.0)), 2).as("purchase_value"))
       }),
 
+    // ---- keyed-topic compaction: latest per key w/ tombstones -----------
+    // (the reference's kafka.topic_as_map semantics in batch form —
+    // graft.streaming.TopicMap.compactLatestStream is the live twin)
+    Q(
+      "q27_topic_compaction",
+      Some("""
+        WITH ranked AS (
+          SELECT user_id, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+          FROM events)
+        SELECT user_id, event_type AS last_type, round(value, 4) AS last_value
+        FROM ranked WHERE rn = 1 AND event_type <> 'error'"""),
+      (s, dir) =>
+        graft.streaming.TopicMap.compactLatest(Tables.events(s, dir))),
+
     // ---- deterministic first/last per key -------------------------------
     Q(
       "q26_first_last",

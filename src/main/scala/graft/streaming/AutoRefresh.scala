@@ -1,0 +1,27 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Periodic re-execution of a body on a fixed delay, as a Structured
+  * Streaming query — the reference's `coco.auto_refresh(fn, interval)`
+  * (python/cocoindex/_internal/live_component.py:603): wraps work as
+  * a live component that reruns on a timer; combined with the
+  * incremental [[graft.engine.Flow]], each rerun costs only the
+  * changed delta, which is exactly the reference's live-mode
+  * catch-up loop.
+  */
+object AutoRefresh {
+
+  /** Run `body` once per `interval` until the returned query is
+    * stopped. Failures propagate to the query (observable via
+    * `StreamingQuery.exception`). */
+  def start(spark: SparkSession, interval: String)(body: => Unit)
+      : StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+      .writeStream
+      .trigger(Trigger.ProcessingTime(interval))
+      .foreachBatch((_: DataFrame, _: Long) => body)
+      .queryName(s"auto_refresh_${System.identityHashCode(body)}")
+      .start()
+}

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twins of the EventsPack batch operators — the
+  * catch-up/live duality of the reference (`update()` vs
+  * `update(live=True)`, docs live_mode.mdx; SURVEY.md §3.3): the SAME
+  * logical computation runs as a batch DataFrame program or under
+  * Structured Streaming with watermarks. Each function takes any
+  * events relation (batch or streaming) with columns
+  * `(event_id, user_id, event_type, value, ts TIMESTAMP)` and returns
+  * the transformed relation; pass a watermark for streaming append
+  * semantics.
+  *
+  * StreamingSpec asserts stream == batch value-for-value by feeding
+  * the real testdata events through a MemoryStream in multiple
+  * batches.
+  */
+object EventStreams {
+
+  /** Tumbling 1h window counts (batch twin: q21, which uses
+    * date_trunc('hour') — `window()`'s start is identical). */
+  def tumblingCounts(events: DataFrame, watermark: Option[String] = None)
+      : DataFrame = {
+    val e = watermark.fold(events)(w => events.withWatermark("ts", w))
+    e.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** Sliding 1h/30m window counts (batch twin: q22). */
+  def slidingCounts(events: DataFrame, watermark: Option[String] = None)
+      : DataFrame = {
+    val e = watermark.fold(events)(w => events.withWatermark("ts", w))
+    e.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** Session windows with a 30-minute inactivity gap (batch twin:
+    * q23's gaps-and-islands — `session_window` implements the same
+    * semantics natively and streams with state). */
+  def sessionStats(events: DataFrame, watermark: Option[String] = None)
+      : DataFrame = {
+    val e = watermark.fold(events)(w => events.withWatermark("ts", w))
+    e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+  }
+}
+
+/** One event row for the typed stateful operators. */
+final case class Event(
+    event_id: Long, user_id: Long, event_type: String,
+    value: Double, ts: java.sql.Timestamp)
+
+/** Compacted per-key state. */
+final case class KeyedLatest(
+    user_id: Long, last_type: String, last_value: Double,
+    ts_us: Long, event_id: Long)
+
+/** A keyed topic compacted to latest-value-per-key with tombstones —
+  * the reference's `kafka.topic_as_map` semantics
+  * (python/cocoindex/connectors/kafka/_source.py:482: each message
+  * upserts its key; a tombstone deletes it).
+  *
+  * Batch form: one ranking window (latest per key), then tombstones
+  * dropped. Streaming form: `flatMapGroupsWithState` keeps the
+  * latest (ts, event_id) per key and emits an update whenever the
+  * head changes — arbitrary stateful processing, the engine's
+  * `mount_each`-over-live-map analog (SURVEY.md §2.D).
+  */
+object TopicMap {
+
+  /** Batch compaction. Latest = max (ts_us, event_id); rows whose
+    * latest event is a tombstone type are removed from the map. */
+  def compactLatest(events: DataFrame, tombstoneType: String = "error")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= tombstoneType)
+      .select(col("user_id"), col("event_type").as("last_type"),
+        round(col("value"), 4).as("last_value"))
+  }
+
+  /** Streaming compaction: emits the new per-key head on every
+    * change. Tombstoned keys emit nothing (their state clears). */
+  def compactLatestStream(
+      events: Dataset[Event], tombstoneType: String = "error")
+      : Dataset[KeyedLatest] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[KeyedLatest, KeyedLatest](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Event], state: GroupState[KeyedLatest]) =>
+          val incoming = rows.map { e =>
+            val micros = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+            KeyedLatest(key, e.event_type, e.value, micros, e.event_id)
+          }
+          val candidates =
+            state.getOption.iterator ++ incoming
+          val head = candidates.maxBy(k => (k.ts_us, k.event_id))
+          val changed = state.getOption.forall(s =>
+            (head.ts_us, head.event_id) != (s.ts_us, s.event_id))
+          state.update(head)
+          if (changed && head.last_type != tombstoneType) Iterator(head)
+          else if (changed) { Iterator.empty } // tombstone: suppressed
+          else Iterator.empty
+      }
+  }
+}

@@ -1,0 +1,150 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.engine._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.nio.charset.StandardCharsets
+
+/** Live-mode duality: the streaming operators must produce exactly
+  * the batch answer when fed the same data incrementally (SURVEY.md
+  * §3.3 — catch-up and live are one program). Real testdata events
+  * are replayed through a MemoryStream in several micro-batches and
+  * compared value-for-value against the batch twin.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def loadEvents(): Seq[Event] = {
+    Tables.events(spark, Sf0001)
+      .select("event_id", "user_id", "event_type", "value", "ts_us")
+      .orderBy("ts_us", "event_id")
+      .collect().map { r =>
+        val us = r.getLong(4)
+        val ts = new java.sql.Timestamp(us / 1000)
+        ts.setNanos(((us % 1000000) * 1000).toInt)
+        Event(r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), ts)
+      }.toSeq
+  }
+
+  private def feedAndRun(
+      name: String, events: Seq[Event], chunks: Int, mode: String)(
+      plan: DataFrame => DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = plan(stream.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(mode).start()
+    events.grouped(math.max(1, events.length / chunks)).foreach { batch =>
+      stream.addData(batch)
+      q.processAllAvailable()
+    }
+    q.stop()
+    spark.table(name)
+  }
+
+  test("streaming tumbling window equals the batch twin on replayed testdata") {
+    assume(testdataAvailable)
+    val events = loadEvents()
+    val got = feedAndRun("tumbling_stream", events, chunks = 5, mode = "complete")(
+      df => EventStreams.tumblingCounts(df))
+    val expected = EventStreams.tumblingCounts(
+      Tables.events(spark, Sf0001).select("event_type", "value", "ts"))
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("streaming sliding window equals the batch twin") {
+    assume(testdataAvailable)
+    val events = loadEvents()
+    val got = feedAndRun("sliding_stream", events, chunks = 4, mode = "complete")(
+      df => EventStreams.slidingCounts(df))
+    val expected = EventStreams.slidingCounts(
+      Tables.events(spark, Sf0001).select("event_type", "value", "ts"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("streaming session windows equal the batch twin") {
+    assume(testdataAvailable)
+    val events = loadEvents()
+    val got = feedAndRun("session_stream", events, chunks = 4, mode = "complete")(
+      df => EventStreams.sessionStats(df, watermark = Some("0 seconds")))
+    val expected = EventStreams.sessionStats(
+      Tables.events(spark, Sf0001).select("user_id", "ts"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("stateful topic compaction converges to the batch map") {
+    assume(testdataAvailable)
+    import spark.implicits._
+    val events = loadEvents()
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = TopicMap.compactLatestStream(stream.toDS())
+      .writeStream.format("memory").queryName("compact_stream")
+      .outputMode("update").start()
+    events.grouped(events.length / 3 + 1).foreach { b =>
+      stream.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    // final head per key = max (ts_us, event_id) among emitted updates
+    val emitted = spark.table("compact_stream").collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rows) => k -> rows.maxBy(r => (r.getLong(3), r.getLong(4))) }
+    val batch = TopicMap.compactLatest(Tables.events(spark, Sf0001)).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    batch.foreach { case (k, (t, v)) =>
+      val e = emitted(k)
+      assert(e.getString(1) == t && math.abs(
+        BigDecimal(e.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble - v) < 1e-9,
+        s"key $k: stream head (${e.getString(1)}) != batch ($t,$v)")
+    }
+    // tombstoned keys are absent from the batch map
+    val tombstoned = Tables.events(spark, Sf0001)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts_us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1 && col("event_type") === "error")
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(tombstoned.forall(k => !batch.contains(k)))
+  }
+
+  test("auto_refresh drives an incremental flow as a live query") {
+    val (src, tgt, st) = (Files.createTempDirectory("live-src"),
+      Files.createTempDirectory("live-tgt"), Files.createTempDirectory("live-st"))
+    def write(rel: String, text: String): Unit = {
+      val f = src.resolve(rel)
+      Files.createDirectories(f.getParent)
+      Files.write(f, text.getBytes(StandardCharsets.UTF_8))
+    }
+    write("a.md", "first version of a")
+    val stage = CocoFn("identity", 1, fn = df =>
+      df.select(col("item_key"),
+        concat(col("item_key"), lit(".out")).as("row_key"),
+        col("content")))
+    val flow = new Flow("live_mirror", LocalFsSource(src.toString, Seq("**.md")),
+      Seq(stage), LocalFsDirTarget(tgt.toString), st.toString)
+    val runs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val live = AutoRefresh.start(spark, "1 second") {
+      flow.run(spark); runs.incrementAndGet(); ()
+    }
+    try {
+      def await(cond: => Boolean, ms: Long = 30000): Unit = {
+        val t0 = System.currentTimeMillis()
+        while (!cond) {
+          assert(live.exception.isEmpty, s"live query died: ${live.exception}")
+          assert(System.currentTimeMillis() - t0 < ms, "timed out")
+          Thread.sleep(200)
+        }
+      }
+      await(Files.exists(tgt.resolve("a.md.out")))
+      // a source edit propagates on a later refresh with no restart
+      write("b.md", "a new file appears")
+      await(Files.exists(tgt.resolve("b.md.out")))
+      assert(new String(Files.readAllBytes(tgt.resolve("b.md.out")),
+        StandardCharsets.UTF_8) == "a new file appears")
+    } finally live.stop()
+  }
+}
