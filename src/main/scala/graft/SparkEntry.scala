@@ -19,7 +19,7 @@ object SparkEntry {
 
   val packs: Seq[QueryPack] =
     Seq(RelationalPack, EventsPack, TextPack, SimilarityPack, ChunkPack,
-      FlowPack)
+      FlowPack, OpsPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

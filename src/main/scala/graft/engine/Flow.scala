@@ -58,7 +58,16 @@ final class Flow(
     source: Source,
     stages: Seq[CocoFn],
     val target: Target,
-    stateDir: String) extends Serializable {
+    stateDir: String,
+    /** Optional per-component user state (reference `coco.use_state`,
+      * api.py:747-885): called with (changed-component payloads,
+      * their previous state rows) and must declare the new state rows
+      * `(item_key, state_key, value)`. Undeclared keys of changed
+      * components are pruned, exactly like the reference's
+      * prune-on-not-redeclared; unchanged components keep their state
+      * untouched. Read access outside runs: [[userState]]. */
+    userStateFn: Option[(DataFrame, DataFrame) => DataFrame] = None)
+    extends Serializable {
 
   def processorFingerprint: String =
     Fingerprint.of(("flow" +: name +: stages.map(_.logicFingerprint)): _*)
@@ -186,7 +195,18 @@ final class Flow(
     val newTracking = keptTracking.unionByName(
       desired.select("item_key", "row_key", "value_fp"))
 
-    st.commit(Map("component_memo" -> newMemo, "tracking" -> newTracking))
+    val stateTables = Map("component_memo" -> newMemo,
+      "tracking" -> newTracking) ++ userStateFn.map { fn =>
+      val prev = st.read("user_state", UserStateSchema)
+      val prevChanged = prev.join(changedKeys, Seq("item_key"), "left_semi")
+      val declared = fn(input, prevChanged)
+        .select(col("item_key"), col("state_key"), col("value").cast("string"))
+      // unchanged components keep state; changed components' state is
+      // exactly what they redeclared; gone components' state is pruned
+      "user_state" -> prev.join(scopeKeys, Seq("item_key"), "left_anti")
+        .unionByName(declared)
+    }
+    st.commit(stateTables)
 
     val stats = RunStats(
       components = listing.count(),
@@ -202,6 +222,10 @@ final class Flow(
       .foreach(_.unpersist())
     stats
   }
+
+  /** Current user-state rows (inspection / next-run reads). */
+  def userState(spark: SparkSession): DataFrame =
+    state(spark).read("user_state", UserStateSchema)
 
   /** Dry-run: the classified delta, nothing applied (reference
     * preview mode, execution.rs:1363-1435; CLI `show`). */

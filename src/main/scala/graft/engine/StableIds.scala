@@ -1,0 +1,73 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Stable identity generation (reference resources/id.py + the
+  * persisted id sequencer rust/core/src/engine/id_sequencer.rs).
+  *
+  * Two forms:
+  *   - [[StableIds]]: pure columnar hash ids — same dependencies ⇒
+  *     same id on every run, no state needed (reference
+  *     `generate_id`/`generate_uuid`, id.py:31). Oracle-checkable
+  *     (md5 is identical in DuckDB).
+  *   - [[IdSequencer]]: dense numeric ids that are *sticky across
+  *     runs*: a key once assigned keeps its id forever; new keys
+  *     extend the sequence past the historical maximum, so ids are
+  *     never reused even after deletes (reference IdSequencerInfo,
+  *     db_schema.rs:483-487). Persisted in the engine state store.
+  */
+object StableIds {
+
+  /** Deterministic 128-bit id from dependency columns, as hex. */
+  def generateId(deps: Column*): Column =
+    md5(concat_ws(" ", deps.map(_.cast("string")): _*))
+
+  /** Same id material formatted as a UUID string (8-4-4-4-12). */
+  def generateUuid(deps: Column*): Column = {
+    val h = generateId(deps: _*)
+    concat_ws("-",
+      substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+      substring(h, 17, 4), substring(h, 21, 12))
+  }
+
+  /** Deterministic per-scope ordinal: row_number over a total order —
+    * the batch-world form of `IdGenerator.next_id` when persistence
+    * is not required (ordinals are stable because the order is). */
+  def ordinal(scope: Seq[Column], orderBy: Seq[Column]): Column =
+    row_number().over(Window.partitionBy(scope: _*).orderBy(orderBy: _*))
+}
+
+object IdSequencer {
+
+  /** Assign sticky dense ids to `keys` (a single `seq_key` column)
+    * within `scope`, persisting assignments in the store's `id_seq`
+    * table. Existing keys keep their ids; new keys get
+    * max+1, max+2, … in deterministic key order. Returns
+    * (seq_key, id). */
+  def assign(spark: SparkSession, store: StateStore, scope: String,
+      keys: DataFrame): DataFrame = {
+    val cur = store.read("id_seq", StateStore.IdSeqSchema)
+    val inScope = cur.filter(col("scope") === scope)
+    val k = keys.select(col(keys.columns.head).cast("string").as("seq_key"))
+      .distinct()
+    val existing = k.join(inScope, Seq("seq_key")).select("seq_key", "id")
+    val maxId = inScope.agg(coalesce(max("id"), lit(0L))).collect()(0).getLong(0)
+    val fresh = k.join(inScope, Seq("seq_key"), "left_anti")
+      .withColumn("id",
+        row_number().over(Window.orderBy("seq_key")).cast("long") + maxId)
+    val assigned = existing.unionByName(fresh).localCheckpoint()
+    val newTable = cur.filter(col("scope") =!= scope)
+      .unionByName(assigned.withColumn("scope", lit(scope))
+        .select("scope", "seq_key", "id"))
+      // keep every historical assignment (ids are never reused), plus
+      // assignments for keys not present this run
+      .unionByName(inScope.join(k, Seq("seq_key"), "left_anti")
+        .select("scope", "seq_key", "id"))
+      .dropDuplicates("scope", "seq_key")
+      .localCheckpoint()
+    store.commit(Map("id_seq" -> newTable))
+    assigned
+  }
+}

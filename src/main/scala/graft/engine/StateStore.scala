@@ -60,13 +60,35 @@ final class StateStore(spark: SparkSession, rootDir: String) {
         schema)
   }
 
-  /** Write the next snapshot (all tables fully materialized), then
-    * atomically flip `_CURRENT`. Returns the new version. */
+  /** Write the next snapshot, then atomically flip `_CURRENT`.
+    * Tables present in the current snapshot but absent from `tables`
+    * are carried forward untouched (file-level copy — a committer of
+    * memo+tracking must not lose id_seq/user_state). Returns the new
+    * version. */
   def commit(tables: Map[String, DataFrame]): Long = {
-    val next = currentVersion + 1
+    val cur = currentVersion
+    val next = cur + 1
     val dir = root.resolve(s"v=$next")
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(dir.resolve(name).toString)
+    }
+    val prevDir = root.resolve(s"v=$cur")
+    if (cur > 0 && Files.exists(prevDir)) {
+      import scala.jdk.CollectionConverters._
+      Option(prevDir.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && !tables.contains(f.getName))
+        .foreach { t =>
+          val tgt = dir.resolve(t.getName)
+          Files.walk(t.toPath).iterator().asScala.foreach { p =>
+            val rel = t.toPath.relativize(p)
+            val dst = tgt.resolve(rel.toString)
+            if (Files.isDirectory(p)) Files.createDirectories(dst)
+            else {
+              Files.createDirectories(dst.getParent)
+              Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
+            }
+          }
+        }
     }
     val tmp = root.resolve(s"$CurrentFile.tmp")
     Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))

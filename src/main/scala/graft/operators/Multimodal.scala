@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support: image/audio/video as opaque `BINARY`
+  * columns with typed metadata, plus the decode / feature-extract
+  * plumbing a training-data pipeline runs at scale.
+  *
+  * The actual codecs are STUBBED (this container has no image/audio
+  * libraries): [[FakeDecoder]] derives deterministic pseudo-metadata
+  * and features from the bytes. Everything AROUND the stub is the
+  * real production shape —
+  *   - media travels as `BINARY` columns (never driver-side),
+  *   - decode runs batched inside `mapPartitions` (the exact slot a
+  *     JNI codec or an inference client occupies; the reference
+  *     batches model calls the same way,
+  *     python/cocoindex/_internal/batching.py:31),
+  *   - outputs are typed struct/array columns ready for the vector
+  *     operators.
+  */
+object Multimodal {
+
+  /** Cheap columnar metadata on any binary media column. */
+  def mediaSize(media: Column): Column = length(media)
+
+  /** Hex magic prefix (container sniffing — e.g. ffd8 = JPEG). */
+  def mediaMagic(media: Column, nBytes: Int = 4): Column =
+    lower(hex(substring(media, 1, nBytes)))
+
+  /** Decoded-media record produced by the (stub) decoder. */
+  final case class Decoded(
+      width: Int, height: Int, channels: Int,
+      n_frames: Int, features: Array[Float])
+
+  /** STUB decoder — deterministic fake standing in for the real
+    * image/audio codec. Replace `decode` with a real implementation
+    * (JNI codec, inference endpoint) without touching the pipeline:
+    * the batching, schema and partitioning stay identical. */
+  object FakeDecoder {
+    val FeatureDim = 16
+
+    def decode(bytes: Array[Byte]): Decoded = {
+      // FNV-1a over the payload drives every fake property, so the
+      // stub is stable across runs and machines
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+      def mix(k: Int): Long = { var x = h + k * 0x9e3779b97f4a7c15L
+        x ^= x >>> 33; x *= 0xff51afd7ed558ccdL; x ^= x >>> 33; x }
+      val feats = Array.tabulate(FeatureDim) { d =>
+        ((mix(d + 10) % 2000001L).toFloat / 1000000.5f) }
+      val norm = math.sqrt(feats.map(f => f * f.toDouble).sum).toFloat
+      Decoded(
+        width = 64 + (mix(1) % 512).toInt.abs,
+        height = 64 + (mix(2) % 512).toInt.abs,
+        channels = 1 + (mix(3) % 4).toInt.abs,
+        n_frames = 1 + (mix(4) % 64).toInt.abs,
+        features = if (norm == 0f) feats else feats.map(_ / norm))
+    }
+  }
+
+  /** Batched decode over a binary column: partitions are processed in
+    * micro-batches of `batchSize` rows (the shape a model/codec call
+    * wants), emitting the typed decode struct per row. Input must
+    * have (`keyCol`, `mediaCol`); output is (key, width, height,
+    * channels, n_frames, features). */
+  def decodeBatched(
+      df: DataFrame, keyCol: String, mediaCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long"), col(mediaCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // one "model call" per group — swap in the real batched
+          // codec/inference here
+          batch.iterator.map { case (k, bytes) =>
+            val d = FakeDecoder.decode(bytes)
+            (k, d.width, d.height, d.channels, d.n_frames, d.features)
+          }
+        }
+      }
+      .toDF(keyCol, "width", "height", "channels", "n_frames", "features")
+  }
+}

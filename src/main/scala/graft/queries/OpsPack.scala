@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.engine.StableIds
+import graft.operators.{Chunker, Multimodal}
+
+/** Remaining §2.C transform operators under the oracle gate: stable
+  * id generation, code-language detection, and the multimodal binary
+  * column plumbing.
+  */
+object OpsPack extends QueryPack {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- stable ids: hash ids, uuid form, per-scope ordinals ------------
+    // (reference generate_id / generate_uuid / IdGenerator,
+    // resources/id.py:31,89 — pure columnar: same dep ⇒ same id)
+    Q(
+      "q28_stable_ids",
+      Some("""
+        SELECT doc_id,
+               md5(concat_ws(' ', CAST(doc_id AS VARCHAR), lang)) AS stable_id,
+               substring(md5(concat_ws(' ', CAST(doc_id AS VARCHAR), lang)), 1, 8)
+                 || '-' ||
+                 substring(md5(concat_ws(' ', CAST(doc_id AS VARCHAR), lang)), 9, 4)
+                 || '-' ||
+                 substring(md5(concat_ws(' ', CAST(doc_id AS VARCHAR), lang)), 13, 4)
+                 || '-' ||
+                 substring(md5(concat_ws(' ', CAST(doc_id AS VARCHAR), lang)), 17, 4)
+                 || '-' ||
+                 substring(md5(concat_ws(' ', CAST(doc_id AS VARCHAR), lang)), 21, 12)
+                 AS stable_uuid,
+               CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS INT)
+                 AS ordinal_in_lang
+        FROM documents"""),
+      (s, dir) =>
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          StableIds.generateId(col("doc_id"), col("lang")).as("stable_id"),
+          StableIds.generateUuid(col("doc_id"), col("lang")).as("stable_uuid"),
+          StableIds.ordinal(Seq(col("lang")), Seq(col("doc_id")))
+            .cast("int").as("ordinal_in_lang"))),
+
+    // ---- extension → code language --------------------------------------
+    // (reference detect_code_language, ops/text.py:20-37)
+    Q(
+      "q53_detect_code_language",
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 'doc_' || CAST(doc_id AS VARCHAR) || '.' ||
+                   ['md','py','rs','txt','scala','json'][CAST(doc_id % 6 AS INT) + 1]
+                   AS filename
+          FROM documents)
+        SELECT doc_id, filename,
+               CASE ['md','py','rs','txt','scala','json'][CAST(doc_id % 6 AS INT) + 1]
+                 WHEN 'md' THEN 'markdown' WHEN 'py' THEN 'python'
+                 WHEN 'rs' THEN 'rust' WHEN 'txt' THEN 'text'
+                 WHEN 'scala' THEN 'scala' WHEN 'json' THEN 'json'
+               END AS language
+        FROM f"""),
+      (s, dir) => {
+        val exts = array(Seq("md", "py", "rs", "txt", "scala", "json")
+          .map(lit): _*)
+        val fname = concat(lit("doc_"), col("doc_id"), lit("."),
+          element_at(exts, (col("doc_id") % 6).cast("int") + 1))
+        Tables(s, dir, "documents").select(
+          col("doc_id"), fname.as("filename"),
+          Chunker.detectCodeLanguage(fname).as("language"))
+      }),
+
+    // ---- multimodal: binary media columns, columnar metadata ------------
+    // (documents' text bytes stand in for media payloads; the plumbing
+    // — binary columns, size/magic sniffing — is the real shape)
+    Q(
+      "q54_multimodal_meta",
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(CAST(text AS BLOB)) AS INT) AS media_bytes,
+               CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INT) AS fake_width,
+               CAST(64 + (octet_length(CAST(text AS BLOB)) * 7) % 512 AS INT) AS fake_height
+        FROM documents"""),
+      (s, dir) => {
+        val media = col("text").cast("binary")
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          Multimodal.mediaSize(media).cast("int").as("media_bytes"),
+          (lit(64) + Multimodal.mediaSize(media) % 512).cast("int")
+            .as("fake_width"),
+          (lit(64) + (Multimodal.mediaSize(media) * 7) % 512).cast("int")
+            .as("fake_height"))
+      }),
+
+    // ---- multimodal: batched (stub) decode — rows-only ------------------
+    Q(
+      "q55_multimodal_decode",
+      None,
+      (s, dir) =>
+        Multimodal.decodeBatched(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("text").cast("binary").as("media")),
+          keyCol = "doc_id", mediaCol = "media"))
+  )
+}

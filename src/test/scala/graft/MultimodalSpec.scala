@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** The multimodal plumbing contract: binary columns flow through
+  * batched decode with deterministic, normalized outputs — the
+  * decoder itself is a documented stub. */
+class MultimodalSpec extends SparkSpec {
+
+  test("batched decode is deterministic, typed and batch-size invariant") {
+    import spark.implicits._
+    val media = (1L to 300L)
+      .map(i => (i, s"media payload $i".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val a = Multimodal.decodeBatched(media, "doc_id", "media", batchSize = 64)
+    val b = Multimodal.decodeBatched(media, "doc_id", "media", batchSize = 7)
+    // batch size is an execution detail: results identical
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val rows = a.collect()
+    assert(rows.length == 300)
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 64 && r.getInt(2) >= 64) // width/height
+      assert(r.getInt(3) >= 1 && r.getInt(4) >= 1)   // channels/frames
+      val f = r.getAs[scala.collection.Seq[Float]]("features")
+      assert(f.length == Multimodal.FakeDecoder.FeatureDim)
+      val norm = math.sqrt(f.map(x => x * x.toDouble).sum)
+      assert(math.abs(norm - 1.0) < 1e-4, s"features not normalized: $norm")
+    }
+  }
+
+  test("media metadata: size and magic sniffing") {
+    import spark.implicits._
+    val jpegish = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 1, 2)
+    val df = Seq((1L, jpegish)).toDF("id", "media")
+      .select(Multimodal.mediaSize(col("media")).as("sz"),
+        Multimodal.mediaMagic(col("media")).as("magic"))
+    val r = df.collect().head
+    assert(r.getInt(0) == 6)
+    assert(r.getString(1) == "ffd8ffe0")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.nio.charset.StandardCharsets
+
+/** Sticky id sequences, per-component user state, and snapshot
+  * carry-forward semantics of the state store (reference
+  * test_id.py / user-state suites' shape).
+  */
+class StateSpec extends SparkSpec {
+
+  private def tmp(p: String) = {
+    val d = Files.createTempDirectory(p); d.toFile.deleteOnExit(); d
+  }
+
+  test("IdSequencer: ids are sticky across runs and never reused") {
+    import spark.implicits._
+    val store = new StateStore(spark, tmp("idseq").toString)
+    def assign(keys: String*): Map[String, Long] =
+      IdSequencer.assign(spark, store, "chunks", keys.toDF("seq_key"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val first = assign("a", "b", "c")
+    assert(first.values.toSet == Set(1L, 2L, 3L))
+    // rerun with the same keys: identical assignment
+    assert(assign("a", "b", "c") == first)
+    // new key extends; existing keep theirs
+    val withD = assign("a", "d")
+    assert(withD("a") == first("a") && withD("d") == 4L)
+    // after 'b' disappears, its id is NOT recycled
+    val withE = assign("a", "e")
+    assert(withE("e") == 5L)
+    // and 'b' coming back still has its original id
+    assert(assign("b")("b") == first("b"))
+    // scopes are independent
+    assert(IdSequencer.assign(spark, store, "other", Seq("a").toDF("k"))
+      .collect().head.getLong(1) == 1L)
+  }
+
+  test("user state: declared on compute, kept when unchanged, pruned on undeclare/delete") {
+    import spark.implicits._
+    val (src, tgt, st) = (tmp("us-src"), tmp("us-tgt"), tmp("us-st"))
+    def write(rel: String, text: String): Unit = {
+      Files.write(src.resolve(rel), text.getBytes(StandardCharsets.UTF_8))
+    }
+    write("a.md", "alpha one two")
+    write("b.md", "bravo three")
+    val stage = CocoFn("words", 1, fn = df =>
+      df.select(col("item_key"),
+        concat(col("item_key"), lit("#r")).as("row_key"),
+        size(split(decode(col("content"), "UTF-8"), " ")).as("n_words")))
+    // state: remember the word count per component
+    val flow = new Flow("wc", LocalFsSource(src.toString, Seq("**.md")),
+      Seq(stage), ParquetTableTarget(tgt.toString, 2), st.toString,
+      userStateFn = Some((input, _) =>
+        input.select(col("item_key"), lit("n_words").as("state_key"),
+          size(split(decode(col("content"), "UTF-8"), " ")).cast("string")
+            .as("value"))))
+
+    flow.run(spark)
+    val s1 = flow.userState(spark).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(s1 == Map("a.md" -> "3", "b.md" -> "2"))
+
+    // unchanged rerun: state intact (and no recompute touched it)
+    assert(flow.run(spark).isNoop)
+    assert(flow.userState(spark).count() == 2)
+
+    // edit a.md: its state updates, b.md's is untouched
+    write("a.md", "alpha has now five words")
+    flow.run(spark)
+    val s2 = flow.userState(spark).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(s2 == Map("a.md" -> "5", "b.md" -> "2"))
+
+    // delete b.md: its state is pruned with the component
+    Files.delete(src.resolve("b.md"))
+    flow.run(spark)
+    assert(flow.userState(spark).collect()
+      .map(r => r.getString(0)).toSeq == Seq("a.md"))
+  }
+
+  test("snapshot commit carries forward tables it does not rewrite") {
+    import spark.implicits._
+    val store = new StateStore(spark, tmp("carry").toString)
+    IdSequencer.assign(spark, store, "s", Seq("x").toDF("k")) // writes id_seq
+    // a commit of ONLY tracking must not lose id_seq
+    store.commit(Map("tracking" -> Seq(("i", "r", "f"))
+      .toDF("item_key", "row_key", "value_fp")))
+    val ids = store.read("id_seq", StateStore.IdSeqSchema)
+    assert(ids.count() == 1)
+    assert(store.read("tracking", StateStore.TrackingSchema).count() == 1)
+  }
+}
