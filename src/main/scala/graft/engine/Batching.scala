@@ -1,0 +1,64 @@
+package graft.engine
+
+/** Batched-call resilience helpers for expensive per-row operators
+  * (model endpoints, codecs) executed inside `mapPartitions`.
+  *
+  * [[Batching.withHalvingRetry]] reproduces the reference's
+  * `RetryWithSmallerBatch` protocol
+  * (python/cocoindex/_internal/batching.py:96-112): a failed batch is
+  * split in half and retried, recursively, until single poison inputs
+  * are isolated — one bad row costs O(log batch) extra calls instead
+  * of failing the partition.
+  *
+  * [[RateLimiter]] is a token bucket for pacing external calls from
+  * executor tasks (reference resources/rate_limit.py →
+  * rust/utils/src/ratelimit.rs): permits refill continuously at
+  * `ratePerSec` up to a `burst` ceiling; `acquire` blocks until
+  * enough permits accumulate. One limiter per partition/task gives
+  * the per-executor slice of a cluster-wide budget.
+  */
+object Batching {
+
+  /** Apply `call` to `batch`; on failure, split and retry halves;
+    * single failing items surface as Left(error) instead of killing
+    * the batch. Results preserve input order. */
+  def withHalvingRetry[A, B](batch: Seq[A])(call: Seq[A] => Seq[B])
+      : Seq[Either[Throwable, B]] =
+    if (batch.isEmpty) Nil
+    else {
+      try {
+        val out = call(batch)
+        require(out.length == batch.length,
+          s"batched call returned ${out.length} results for ${batch.length} inputs")
+        out.map(Right(_))
+      } catch {
+        case e: Throwable if batch.length == 1 => Seq(Left(e))
+        case _: Throwable =>
+          val (a, b) = batch.splitAt(batch.length / 2)
+          withHalvingRetry(a)(call) ++ withHalvingRetry(b)(call)
+      }
+    }
+}
+
+final class RateLimiter(ratePerSec: Double, burst: Double)
+    extends Serializable {
+  require(ratePerSec > 0 && burst >= 1)
+  private var permits = burst
+  private var last = System.nanoTime()
+
+  /** Block until `n` permits are available, then consume them. */
+  def acquire(n: Double = 1.0): Unit = synchronized {
+    require(n <= burst, s"cannot acquire $n > burst $burst")
+    var ready = false
+    while (!ready) {
+      val now = System.nanoTime()
+      permits = math.min(burst, permits + (now - last) / 1e9 * ratePerSec)
+      last = now
+      if (permits >= n) { permits -= n; ready = true }
+      else {
+        val waitMs = ((n - permits) / ratePerSec * 1000).toLong + 1
+        Thread.sleep(waitMs)
+      }
+    }
+  }
+}

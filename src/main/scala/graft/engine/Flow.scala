@@ -227,6 +227,13 @@ final class Flow(
   def userState(spark: SparkSession): DataFrame =
     state(spark).read("user_state", UserStateSchema)
 
+  /** Inspection API (reference inspect_api.py:10-158 / CLI `ls`,
+    * `show`): the engine's state is plain queryable relations. */
+  def componentMemo(spark: SparkSession): DataFrame =
+    state(spark).read("component_memo", ComponentMemoSchema)
+  def trackedRows(spark: SparkSession): DataFrame =
+    state(spark).read("tracking", TrackingSchema)
+
   /** Dry-run: the classified delta, nothing applied (reference
     * preview mode, execution.rs:1363-1435; CLI `show`). */
   def preview(spark: SparkSession): DataFrame = {

@@ -100,6 +100,58 @@ object OpsPack extends QueryPack {
         Multimodal.decodeBatched(
           Tables(s, dir, "documents")
             .select(col("doc_id"), col("text").cast("binary").as("media")),
-          keyCol = "doc_id", mediaCol = "media"))
+          keyCol = "doc_id", mediaCol = "media")),
+
+    // ---- multi-format scans: CSV + JSON + ORC round-trip ----------------
+    // (§2.F scans beyond parquet: the same relation is written to and
+    // read back from three formats; the 3-way union must triple the
+    // parquet-derived counts exactly — losslessness included in the
+    // check. Columns restricted to string/int: float round-trip
+    // through CSV text is not bit-stable by design.)
+    Q(
+      "q29_multi_format_scan",
+      Some("""
+        SELECT c_mktsegment, count(*) * 3 AS n_rows,
+               sum(CAST(c_nationkey AS BIGINT)) * 3 AS nation_sum
+        FROM customer
+        GROUP BY c_mktsegment"""),
+      (s, dir) => {
+        val base = Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+            col("c_nationkey"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-fmt")
+        tmp.toFile.deleteOnExit()
+        base.write.mode("overwrite").option("header", "true")
+          .csv(s"$tmp/csv")
+        base.write.mode("overwrite").json(s"$tmp/json")
+        base.write.mode("overwrite").orc(s"$tmp/orc")
+        val csv = s.read.option("header", "true")
+          .schema(base.schema).csv(s"$tmp/csv")
+        val json = s.read.schema(base.schema).json(s"$tmp/json")
+        val orc = s.read.orc(s"$tmp/orc")
+        csv.unionByName(json).unionByName(orc)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("c_nationkey").cast("long")).as("nation_sum"))
+      }),
+
+    // ---- index_terms: identifier/term table for code search -------------
+    // (reference index_terms, ops/code.py:223-235 — the parse-free
+    // regex-term slice: identifiers of length ≥ 4, distinct per doc,
+    // exploded into a term table)
+    Q(
+      "q36_index_terms",
+      Some("""
+        SELECT doc_id, t.term
+        FROM (SELECT doc_id,
+                     list_distinct(regexp_extract_all(text,
+                       '[A-Za-z_][A-Za-z0-9_]{3,}')) AS terms
+              FROM documents) d,
+             unnest(d.terms) AS t(term)"""),
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(regexp_extract_all(col("text"),
+              lit("[A-Za-z_][A-Za-z0-9_]{3,}"), lit(0)))).as("term")))
   )
 }

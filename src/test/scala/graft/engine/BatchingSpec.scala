@@ -1,0 +1,54 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Halving-retry poison isolation and token-bucket pacing (reference
+  * batching.py RetryWithSmallerBatch / rust ratelimit). Pure JVM —
+  * no Spark session needed. */
+class BatchingSpec extends AnyFunSuite {
+
+  test("halving retry isolates poison inputs, preserving order") {
+    var calls = 0
+    def call(xs: Seq[Int]): Seq[Int] = {
+      calls += 1
+      if (xs.contains(13)) throw new IllegalStateException("poison")
+      xs.map(_ * 10)
+    }
+    val out = Batching.withHalvingRetry((1 to 20))(call)
+    assert(out.length == 20)
+    out.zipWithIndex.foreach { case (r, i) =>
+      if (i + 1 == 13) assert(r.isLeft)
+      else assert(r == Right((i + 1) * 10))
+    }
+    // one poison in 20 costs O(log n) calls, not n
+    assert(calls < 12, s"took $calls calls")
+  }
+
+  test("healthy batch costs exactly one call") {
+    var calls = 0
+    val out = Batching.withHalvingRetry((1 to 100))(xs => { calls += 1; xs })
+    assert(calls == 1 && out.forall(_.isRight))
+  }
+
+  test("a short result from the batched call is an error, not a silent zip") {
+    var sizes = List.empty[Int]
+    val out = Batching.withHalvingRetry(Seq(1, 2)) { xs =>
+      sizes ::= xs.length; xs.take(1)
+    }
+    // the 2-element call's short result must NOT be zipped against the
+    // inputs: it fails, halving degrades to singleton calls (which this
+    // callee answers correctly), and every input still gets a result
+    assert(sizes.sorted == List(1, 1, 2))
+    assert(out == Seq(Right(1), Right(2)))
+  }
+
+  test("rate limiter paces acquisitions to the configured rate") {
+    val rl = new RateLimiter(ratePerSec = 50, burst = 5)
+    val t0 = System.nanoTime()
+    (1 to 15).foreach(_ => rl.acquire())
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    // 15 permits at 50/s with burst 5 needs >= (15-5)/50 = 0.2s
+    assert(elapsed >= 0.15, s"too fast: $elapsed s")
+    assert(elapsed < 2.0, s"too slow: $elapsed s")
+  }
+}
