@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine._
+import graft.operators.{Chunker, Similarity}
+import graft.functions.HashEmbedder
+
+/** App-management CLI over the canonical files→chunks→embeddings
+  * pipeline (reference cli.py: `update [-L] [--full-reprocess]`,
+  * `show`, `drop [-f]`, `ls`; the pipeline itself is the
+  * text_embedding example, examples/text_embedding/main.py).
+  *
+  * {{{
+  *   runMain graft.Cli update  <srcDir> <workDir> [--full]
+  *   runMain graft.Cli live    <srcDir> <workDir> [intervalSec]
+  *   runMain graft.Cli preview <srcDir> <workDir>
+  *   runMain graft.Cli ls      <srcDir> <workDir>
+  *   runMain graft.Cli show    <srcDir> <workDir>
+  *   runMain graft.Cli search  <srcDir> <workDir> <query text> [k]
+  *   runMain graft.Cli drop    <srcDir> <workDir>
+  * }}}
+  *
+  * `workDir` owns both the engine state (`state/`) and the index
+  * table (`index/`).
+  */
+object Cli {
+  val Dim = 32
+
+  def flowFor(srcDir: String, workDir: String): Flow = {
+    val chunk = CocoFn("chunk", 1, deps = Seq("size=400", "overlap=40"),
+      fn = df => {
+        val c = Chunker.chunkUdf(chunkSize = 400, overlap = 40,
+          language = "markdown")
+        df.select(col("item_key"),
+            explode(c(decode(col("content"), "UTF-8"))).as("ch"))
+          .select(col("item_key"),
+            concat(col("item_key"), lit("#"), col("ch.chunk_id")).as("row_key"),
+            col("ch.text").as("chunk_text"),
+            col("ch.start_line"), col("ch.end_line"))
+      })
+    val embed = CocoFn("embed", 1, deps = Seq(s"dim=$Dim"),
+      fn = df => df.withColumn("embedding",
+        HashEmbedder.embed(col("chunk_text"), Dim)))
+    new Flow("cli_index",
+      LocalFsSource(srcDir, Seq("**.md", "**.txt")),
+      Seq(chunk, embed),
+      ParquetTableTarget(s"$workDir/index", numBuckets = 16),
+      s"$workDir/state")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: Cli <command> <srcDir> <workDir> [...]")
+    val Array(cmd, srcDir, workDir) = args.take(3)
+    val spark = GraftSession.local(GraftSession.defaultCpus, s"graft-cli-$cmd")
+    val flow = flowFor(srcDir, workDir)
+    try cmd match {
+      case "update" =>
+        val full = args.contains("--full")
+        val stats = flow.run(spark, fullReprocess = full)
+        println(s"update: $stats")
+      case "live" =>
+        val interval = args.lift(3).getOrElse("5") + " seconds"
+        val q = graft.streaming.AutoRefresh.start(spark, interval) {
+          val stats = flow.run(spark)
+          if (!stats.isNoop) println(s"refresh: $stats")
+        }
+        println(s"live mode every $interval — ctrl-c to stop")
+        q.awaitTermination()
+      case "preview" =>
+        flow.preview(spark).groupBy("pending_action").count().show(false)
+      case "ls" =>
+        flow.componentMemo(spark)
+          .select("item_key", "memo_state", "content_fp").show(100, false)
+      case "show" =>
+        flow.trackedRows(spark).groupBy("item_key")
+          .agg(count(lit(1)).as("n_rows")).orderBy("item_key").show(100, false)
+      case "search" =>
+        val (queryText, k) = (args(3), args.lift(4).map(_.toInt).getOrElse(5))
+        import spark.implicits._
+        val q = Seq(queryText).toDF("q")
+          .select(lit(0L).as("vec_id"), HashEmbedder.embed(col("q"), Dim)
+            .as("embedding"))
+        val corpus = flow.target.read(spark)
+          .select(col("row_key"), col("chunk_text"), col("embedding"))
+          .withColumn("vec_id", abs(xxhash64(col("row_key"))))
+        val hits = Similarity.bruteForceTopK(q, corpus, k)
+          .join(corpus.select(col("vec_id").as("neighbor_id"),
+            col("row_key"), col("chunk_text")), Seq("neighbor_id"))
+          .orderBy("rank")
+          .select("rank", "score", "row_key", "chunk_text")
+        hits.show(k, 80)
+      case "drop" =>
+        val stats = flow.drop(spark)
+        println(s"drop: removed ${stats.deleted} rows")
+      case other =>
+        sys.error(s"unknown command $other")
+    } finally spark.stop()
+  }
+}

@@ -72,12 +72,27 @@ final class Flow(
   def processorFingerprint: String =
     Fingerprint.of(("flow" +: name +: stages.map(_.logicFingerprint)): _*)
 
+  /** Declared-output-schema fingerprint: the stages are applied to an
+    * empty load and the resulting schema hashed. A schema change —
+    * column added/removed/retyped, even with unchanged stage versions
+    * — therefore changes the effective processor fingerprint and
+    * triggers the automatic full backfill the reference gets from
+    * provider-generation bumps (execution.rs:316-338,
+    * target_state.py:194 child_invalidation). */
+  private def schemaFingerprint(spark: SparkSession): String =
+    try {
+      val probe = stages.foldLeft(source.load(spark, Nil))((df, s) => s.fn(df))
+      Fingerprint.of("schema", probe.schema.json)
+    } catch {
+      case _: Exception => "" // stages that cannot run on empty input
+    }
+
   private def state(spark: SparkSession) = new StateStore(spark, stateDir)
 
   /** One catch-up run (reference `App.update`, app.py:275). */
   def run(spark: SparkSession, fullReprocess: Boolean = false): RunStats = {
     val st = state(spark)
-    val pFp = processorFingerprint
+    val pFp = Fingerprint.of(processorFingerprint, schemaFingerprint(spark))
 
     // ---- memo probe (level 1: listing state vs stored memo) -----------
     val listing = source.list(spark).cache()
@@ -238,7 +253,7 @@ final class Flow(
     * preview mode, execution.rs:1363-1435; CLI `show`). */
   def preview(spark: SparkSession): DataFrame = {
     val st = state(spark)
-    val pFp = processorFingerprint
+    val pFp = Fingerprint.of(processorFingerprint, schemaFingerprint(spark))
     val listing = source.list(spark)
     val memo = st.read("component_memo", ComponentMemoSchema)
     val probe = listing.select(col("item_key"), col("memo_state"))

@@ -1,0 +1,95 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Per-call function memoization, keyed by an arguments fingerprint —
+  * the reference's `@coco.fn(memo=True)` fast path
+  * (python/cocoindex/_internal/function.py:1336-1412; storage
+  * FunctionMemoization entries keyed by args fingerprint,
+  * rust/core/src/state/db_schema.rs:295-322).
+  *
+  * This is a *finer* cache than the component memo: a component
+  * (file) may change while most of its derived rows (chunks) keep
+  * identical inputs — those rows replay from the memo table and only
+  * genuinely new inputs reach the expensive function. The memo is
+  * content-addressed (args fp includes the logic version), so it is
+  * shared across components and survives component recomputes.
+  *
+  * Storage: a `fn_memo` table in the engine state store —
+  * (scope = fn name, args_fp, result_json). Results round-trip
+  * through JSON with the function's declared output schema; the
+  * columns the function adds must be JSON-representable (all §1.3
+  * leaf types are).
+  */
+object FnMemo {
+
+  val FnMemoSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("scope",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("args_fp",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("result_json",
+      org.apache.spark.sql.types.StringType, nullable = false)))
+
+  /** Memoize `compute` (which appends result columns to its input)
+    * over distinct argument tuples.
+    *
+    * @param store    engine state store holding the fn_memo table
+    * @param name     function identity (memo scope)
+    * @param version  logic version — folded into the fingerprint, so
+    *                 bumping it invalidates all cached calls
+    * @param argCols  columns forming the function's arguments
+    * @param compute  appends result columns; MUST be deterministic
+    * @return input with result columns appended (cache hits replayed,
+    *         misses computed and persisted)
+    */
+  def memoize(
+      spark: SparkSession, store: StateStore, name: String, version: Int,
+      argCols: Seq[String])(compute: DataFrame => DataFrame)
+      : DataFrame => DataFrame = { input =>
+    val fp = md5(to_json(struct(
+      (lit(s"$name:$version") +: argCols.sorted.map(col)): _*)))
+    val withFp = input.withColumn("__args_fp", fp).cache()
+
+    val memo = store.read("fn_memo", FnMemoSchema)
+      .filter(col("scope") === name)
+
+    // result schema = whatever compute adds on an empty input
+    val resultCols = {
+      val probe = compute(withFp.limit(0))
+      probe.columns.filterNot(withFp.columns.contains).toSeq
+    }
+
+    val hits = withFp.join(
+      memo.select(col("args_fp").as("__args_fp"), col("result_json")),
+      Seq("__args_fp"), "left")
+    val missesIn = hits.filter(col("result_json").isNull).drop("result_json")
+    val computed = compute(missesIn).localCheckpoint()
+
+    // persist newly computed results (distinct per fingerprint)
+    val resultSchema = StructType(
+      computed.schema.fields.filter(f => resultCols.contains(f.name)))
+    val newEntries = computed
+      .select(col("__args_fp").as("args_fp"),
+        to_json(struct(resultCols.map(col): _*)).as("result_json"))
+      .dropDuplicates("args_fp")
+      .withColumn("scope", lit(name))
+      .select("scope", "args_fp", "result_json")
+    if (!computed.isEmpty) { // all-hit runs don't bump the state version
+      val all = store.read("fn_memo", FnMemoSchema)
+        .unionByName(newEntries).dropDuplicates("scope", "args_fp")
+        .localCheckpoint()
+      store.commit(Map("fn_memo" -> all))
+    }
+
+    val replayed = hits.filter(col("result_json").isNotNull)
+      .withColumn("__r", from_json(col("result_json"), resultSchema))
+      .select((withFp.columns.map(col) ++
+        resultCols.map(c => col(s"__r.$c").as(c))).toSeq: _*)
+    val out = replayed.unionByName(
+      computed.select((withFp.columns.map(col) ++ resultCols.map(col)).toSeq: _*))
+    out.drop("__args_fp")
+  }
+}

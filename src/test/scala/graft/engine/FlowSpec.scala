@@ -131,6 +131,29 @@ class FlowSpec extends SparkSpec {
     assert(r7.isNoop, s"post-bump rerun must be a no-op: $r7")
   }
 
+  test("schema change triggers automatic full backfill without a version bump") {
+    val (src, tgt, st) = (tmpDir("sc-src"), tmpDir("sc-tgt"), tmpDir("sc-st"))
+    seed(src)
+    val flow = mkFlow(src, tgt, st)
+    flow.run(spark)
+    assert(flow.run(spark).isNoop)
+
+    // same stage versions, but the pipeline now declares an extra
+    // column — the provider-generation analog must recompute everything
+    val extra = CocoFn("extra", 1, fn = df =>
+      df.withColumn("text_len", length(col("chunk_text"))))
+    val evolved = new Flow("docs_index",
+      LocalFsSource(src.toString, Seq("**.md", "!**/skip/**")),
+      Seq(chunkStage(1), embedStage, extra),
+      ParquetTableTarget(tgt.toString, numBuckets = 4), st.toString)
+    val r = evolved.run(spark)
+    assert(r.recomputed == 3 && r.unchanged == 0, s"schema change: $r")
+    assert(r.rowsUpdated > 0, s"rows must rewrite with the new column: $r")
+    assert(evolved.target.read(spark).columns.contains("text_len"))
+    // and the evolved flow is memoized thereafter
+    assert(evolved.run(spark).isNoop)
+  }
+
   test("crash between target apply and state commit rolls forward convergently") {
     val (src, tgt, st) = (tmpDir("crash-src"), tmpDir("crash-tgt"), tmpDir("crash-st"))
     seed(src)

@@ -1,0 +1,99 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+object FnMemoSpec {
+  /** Invocation counter; static so executor closures in local mode
+    * share it. */
+  val calls = new AtomicInteger(0)
+}
+
+/** Per-call memoization contract (reference test_function_memo.py
+  * shape): cached args never re-invoke the function, new args invoke
+  * exactly once, version bumps invalidate, replayed values are
+  * identical to computed ones. */
+class FnMemoSpec extends SparkSpec {
+  import FnMemoSpec.calls
+
+  private def expensive = udf { s: String =>
+    calls.incrementAndGet()
+    Array.tabulate(4)(i => (s.length * (i + 1)).toFloat)
+  }
+
+  private def stage(store: StateStore, version: Int, argCol: String = "text") =
+    FnMemo.memoize(spark, store, "embed", version, Seq(argCol))(
+      df => df.withColumn("vec", expensive(col(argCol)))
+        .withColumn("vlen", length(col(argCol)) * 4))
+
+  test("hits replay without invocation; misses compute exactly once per distinct args") {
+    import spark.implicits._
+    val store = new StateStore(spark,
+      Files.createTempDirectory("fnmemo").toString)
+    val d1 = Seq((1L, "alpha"), (2L, "bravo"), (3L, "alpha")).toDF("id", "text")
+
+    calls.set(0)
+    val r1 = stage(store, 1)(d1).collect()
+    assert(r1.length == 3)
+    val callsFirst = calls.get()
+    assert(callsFirst >= 2, "both distinct texts must compute")
+
+    // identical rerun: zero invocations, identical values
+    calls.set(0)
+    val r2 = stage(store, 1)(d1).collect()
+    assert(calls.get() == 0, s"rerun must be all cache hits, got ${calls.get()}")
+    assert(r2.map(_.toString).sorted.toSeq == r1.map(_.toString).sorted.toSeq)
+
+    // one new distinct text: only it computes
+    calls.set(0)
+    val d2 = Seq((1L, "alpha"), (4L, "charlie")).toDF("id", "text")
+    val r3 = stage(store, 1)(d2).collect()
+    assert(r3.length == 2)
+    assert(calls.get() == 1, s"only 'charlie' should compute, got ${calls.get()}")
+
+    // version bump invalidates everything
+    calls.set(0)
+    stage(store, 2)(d1).collect()
+    assert(calls.get() >= 2, "new version must recompute")
+  }
+
+  test("memoized stage composes with a Flow: a file edit re-embeds only new chunk texts") {
+    import spark.implicits._
+    val (src, tgt, st) = (Files.createTempDirectory("fm-src"),
+      Files.createTempDirectory("fm-tgt"), Files.createTempDirectory("fm-st"))
+    def write(rel: String, text: String): Unit =
+      Files.write(src.resolve(rel), text.getBytes("UTF-8"))
+    write("a.md", "one. two. three.")
+    write("b.md", "four. five.")
+    val store = new StateStore(spark, st.resolve("fn").toString)
+
+    val chunk = CocoFn("chunk", 1, fn = df =>
+      df.select(col("item_key"),
+        posexplode(split(decode(col("content"), "UTF-8"), "\\. ?"))
+          .as(Seq("idx", "chunk_text")))
+      .filter(col("chunk_text") =!= "")
+      .select(col("item_key"),
+        concat(col("item_key"), lit("#"), col("idx")).as("row_key"),
+        col("chunk_text")))
+    val embed = CocoFn("embed", 1, fn =
+      stage2 => stage(store, 1, argCol = "chunk_text")(stage2))
+    val flow = new Flow("memoflow", LocalFsSource(src.toString, Seq("**.md")),
+      Seq(chunk, embed), ParquetTableTarget(tgt.toString, 2),
+      st.resolve("flow").toString)
+
+    calls.set(0)
+    flow.run(spark)
+    assert(calls.get() == 5, s"5 distinct chunks, got ${calls.get()}")
+
+    // edit a.md: chunks 'one'/'two' unchanged (same text), 'three'
+    // becomes 'zzz' — component recomputes but only the NEW chunk text
+    // reaches the embedder
+    calls.set(0)
+    write("a.md", "one. two. zzz.")
+    flow.run(spark)
+    assert(calls.get() == 1,
+      s"only the new chunk text must embed, got ${calls.get()}")
+  }
+}

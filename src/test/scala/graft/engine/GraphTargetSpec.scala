@@ -1,0 +1,72 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.operators.Chunker
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.nio.charset.StandardCharsets
+
+/** A files→knowledge-graph flow (the reference's
+  * docs_to_knowledge_graph example shape): one node per document, one
+  * node per detected language, and a HAS_LANG edge — built and
+  * incrementally maintained through the normal reconcile machinery.
+  */
+class GraphTargetSpec extends SparkSpec {
+
+  test("graph flow: nodes and edges reconcile incrementally") {
+    val (src, st) = (Files.createTempDirectory("g-src"),
+      Files.createTempDirectory("g-st"))
+    val tgt = Files.createTempDirectory("g-tgt")
+    def write(rel: String, text: String): Unit =
+      Files.write(src.resolve(rel), text.getBytes(StandardCharsets.UTF_8))
+    write("a.md", "alpha doc")
+    write("b.py", "print('bravo')")
+
+    val graphStage = CocoFn("graph", 1, fn = df => {
+      val lang = Chunker.detectCodeLanguage(col("item_key"))
+      val docNodes = df.select(col("item_key"),
+        concat(lit("n:doc:"), col("item_key")).as("row_key"),
+        lit("Document").as("label"),
+        lit(null).cast("string").as("src"),
+        lit(null).cast("string").as("dst"),
+        lit(null).cast("string").as("rel_type"))
+      val langNodes = df.select(col("item_key"),
+        concat(lit("n:lang:"), col("item_key"), lit("/"), lang).as("row_key"),
+        lit("Language").as("label"),
+        lit(null).cast("string").as("src"),
+        lit(null).cast("string").as("dst"),
+        lit(null).cast("string").as("rel_type"))
+      val edges = df.select(col("item_key"),
+        concat(lit("e:"), col("item_key"), lit(">"), lang).as("row_key"),
+        lit(null).cast("string").as("label"),
+        concat(lit("doc:"), col("item_key")).as("src"),
+        concat(lit("lang:"), lang).as("dst"),
+        lit("HAS_LANG").as("rel_type"))
+      docNodes.unionByName(langNodes).unionByName(edges)
+    })
+    val graph = GraphTarget(tgt.resolve("nodes").toString,
+      tgt.resolve("edges").toString, numBuckets = 2)
+    val flow = new Flow("kg", LocalFsSource(src.toString, Nil),
+      Seq(graphStage), graph, st.toString)
+
+    val r1 = flow.run(spark)
+    assert(r1.rowsInserted == 6) // 2 docs x (doc node + lang node + edge)
+    assert(graph.readNodes(spark).count() == 4)
+    assert(graph.readEdges(spark).count() == 2)
+    assert(graph.readEdges(spark).filter(col("rel_type") === "HAS_LANG")
+      .count() == 2)
+    assert(flow.run(spark).isNoop)
+
+    // deleting a doc removes its nodes and edge
+    Files.delete(src.resolve("b.py"))
+    val r2 = flow.run(spark)
+    assert(r2.deletedComponents == 1 && r2.rowsDeleted == 3)
+    assert(graph.readNodes(spark).count() == 2)
+    assert(graph.readEdges(spark).count() == 1)
+    // a 1-hop traversal over the remaining graph
+    val hop = graph.readEdges(spark).alias("e")
+      .join(graph.readNodes(spark).alias("n"),
+        col("e.dst") === regexp_replace(col("n.row_key"), "^n:lang:[^/]*/", "lang:"))
+    assert(hop.count() == 1)
+  }
+}
