@@ -1,0 +1,36 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+final class DeadlineExceededException(msg: String)
+    extends RuntimeException(msg)
+
+/** Cooperative deadlines for engine work (reference `coco.timeout` /
+  * `DeadlineExceededError`, python/cocoindex/_internal/deadline.py;
+  * Rust engine/deadline.rs): the body runs inside a Spark job group
+  * and every job it spawns is cancelled when the deadline passes —
+  * Spark's job-group cancellation is the cluster-wide analog of the
+  * reference's cascading cancellation through mounted components.
+  */
+object Deadline {
+
+  def withDeadline[T](spark: SparkSession, timeout: Duration,
+      description: String = "deadline-bound work")(body: => T): T = {
+    val group = s"graft-deadline-${System.nanoTime()}"
+    val sc = spark.sparkContext
+    val work = Future {
+      sc.setJobGroup(group, description, interruptOnCancel = true)
+      try body finally sc.clearJobGroup()
+    }
+    try Await.result(work, timeout)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        sc.cancelJobGroup(group)
+        throw new DeadlineExceededException(
+          s"'$description' exceeded $timeout; job group $group cancelled")
+    }
+  }
+}

@@ -47,11 +47,11 @@ final case class RunStats(
   * `row_key` (globally unique; by convention prefixed with the
   * item_key) + value columns. `value_fp` is derived by the engine.
   *
-  * Known v1 gap vs the reference: target-row ownership transfer
-  * between components (execution.rs:771-833 preemption) is not
-  * modeled — `row_key`s must not migrate between item_keys within a
-  * single run-pair. The item-key-prefix convention makes migration
-  * impossible by construction.
+  * Ownership transfer: a `row_key` declared by one component while
+  * tracked under another is preempted — the new declarer's tracking
+  * row evicts the stale owner's (reference execution.rs:771-833);
+  * the single-writer batch commit makes the reference's token-based
+  * race handling unnecessary here.
   */
 final class Flow(
     val name: String,
@@ -205,10 +205,16 @@ final class Flow(
     val newMemo = keptMemo.unionByName(refreshedMemo)
       .unionByName(recomputedMemo)
 
+    // ownership preemption (reference execution.rs:771-833): a row_key
+    // declared this run evicts any stale tracking row held by another
+    // component — the target MERGE already overwrote the row, so the
+    // new declarer must become its sole tracked owner
     val keptTracking = tracking
       .join(scopeKeys, Seq("item_key"), "left_anti")
-    val newTracking = keptTracking.unionByName(
-      desired.select("item_key", "row_key", "value_fp"))
+      .join(desired.select("row_key"), Seq("row_key"), "left_anti")
+    val newTracking = keptTracking
+      .select("item_key", "row_key", "value_fp")
+      .unionByName(desired.select("item_key", "row_key", "value_fp"))
 
     val stateTables = Map("component_memo" -> newMemo,
       "tracking" -> newTracking) ++ userStateFn.map { fn =>

@@ -99,10 +99,13 @@ object Chunker {
     }
     // 1-based line number = 1 + count of newlines strictly before off
     val lineOf: Int => Int = {
-      val starts = text.zipWithIndex.collect { case ('\n', i) => i }.toArray
+      val nl = Array.newBuilder[Int]
+      var i = text.indexOf('\n')
+      while (i >= 0) { nl += i; i = text.indexOf('\n', i + 1) }
+      val starts = nl.result()
       off => 1 + (java.util.Arrays.binarySearch(starts, off) match {
-        case i if i >= 0 => i
-        case i           => -i - 1
+        case j if j >= 0 => j
+        case j           => -j - 1
       })
     }
     spans.zipWithIndex.map { case ((s0, e0), idx) =>
@@ -154,6 +157,53 @@ object Chunker {
     * takes Int literals in the Scala API). */
   private def substring_index_safe(str: Column, pos: Column, len: Int): Column =
     str.substr(pos, lit(len))
+
+  /** Standalone separator splitting with position tracking — the
+    * reference's `SeparatorSplitter` (ops/text.py:40-85; Rust
+    * rust/ops_text/src/split/by_separators.rs with `KeepSeparator`
+    * Left/Right/Drop). Pieces carry absolute char offsets; `trim`
+    * shrinks a piece's span to its non-whitespace core; empty pieces
+    * are dropped unless `includeEmpty`. */
+  object SeparatorSplitter {
+    sealed trait Keep
+    case object KeepLeft extends Keep   // separator ends the left piece
+    case object KeepRight extends Keep  // separator starts the right piece
+    case object DropSep extends Keep    // separator belongs to no piece
+
+    final case class Piece(text: String, start_char: Int, end_char: Int)
+
+    def split(
+        text: String, separatorRegex: String, keep: Keep = DropSep,
+        includeEmpty: Boolean = false, trim: Boolean = true): Seq[Piece] = {
+      val m = java.util.regex.Pattern.compile(separatorRegex).matcher(text)
+      val bounds = Vector.newBuilder[(Int, Int)] // piece span (start, end)
+      var from = 0
+      while (m.find()) {
+        keep match {
+          case KeepLeft  => bounds += ((from, m.end())); from = m.end()
+          case KeepRight => bounds += ((from, m.start())); from = m.start()
+          case DropSep   => bounds += ((from, m.start())); from = m.end()
+        }
+      }
+      bounds += ((from, text.length))
+      val ws = " \n\r\t"
+      bounds.result().flatMap { case (s0, e0) =>
+        var (s, e) = (s0, e0)
+        if (trim) {
+          while (s < e && ws.indexOf(text.charAt(s)) >= 0) s += 1
+          while (e > s && ws.indexOf(text.charAt(e - 1)) >= 0) e -= 1
+        }
+        val t = text.substring(s, e)
+        if (t.nonEmpty || includeEmpty) Some(Piece(t, s, e)) else None
+      }
+    }
+
+    def splitUdf(separatorRegex: String, keep: Keep = DropSep,
+        includeEmpty: Boolean = false, trim: Boolean = true) =
+      udf((text: String) =>
+        if (text == null) Seq.empty[Piece]
+        else split(text, separatorRegex, keep, includeEmpty, trim))
+  }
 
   /** Extension→language mapping (reference ops/text.py:20-37
     * `detect_code_language`). */

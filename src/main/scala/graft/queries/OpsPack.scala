@@ -135,6 +135,32 @@ object OpsPack extends QueryPack {
             sum(col("c_nationkey").cast("long")).as("nation_sum"))
       }),
 
+    // ---- separator splitting with drop/trim semantics -------------------
+    // (reference SeparatorSplitter, ops/text.py:40-85 — drop-separator
+    // mode, trimmed, empties removed; positions verified in
+    // ChunkerSpec, the oracle checks the piece relation)
+    Q(
+      "q56_separator_split",
+      Some("""
+        SELECT doc_id, CAST(i AS INT) AS piece_idx,
+               pieces[CAST(i AS INT) + 1] AS piece
+        FROM (SELECT doc_id, pieces, unnest(range(len(pieces))) AS i
+              FROM (SELECT doc_id,
+                           list_filter(
+                             list_transform(string_split(text, '. '),
+                               x -> trim(x, ' ' || chr(10) || chr(13) || chr(9))),
+                             x -> x <> '') AS pieces
+                    FROM documents))"""),
+      (s, dir) => {
+        val split = graft.operators.Chunker.SeparatorSplitter
+          .splitUdf("\\. ", graft.operators.Chunker.SeparatorSplitter.DropSep)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text")))
+            .as(Seq("piece_idx", "p")))
+          .select(col("doc_id"), col("piece_idx").cast("int"),
+            col("p.text").as("piece"))
+      }),
+
     // ---- index_terms: identifier/term table for code search -------------
     // (reference index_terms, ops/code.py:223-235 — the parse-free
     // regex-term slice: identifiers of length ≥ 4, distinct per doc,

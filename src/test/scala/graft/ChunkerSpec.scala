@@ -111,6 +111,28 @@ class ChunkerSpec extends SparkSpec {
     assert(!viaUdf.exists(_.getInt(0) == 3)) // null-safe
   }
 
+  test("separator splitter: keep modes, positions, trim, include_empty") {
+    import Chunker.SeparatorSplitter._
+    val text = "one. two.  three. "
+    // drop mode, trimmed: pieces exclude separators and whitespace
+    val drop = split(text, "\\. ", DropSep)
+    assert(drop.map(_.text) == Seq("one", "two", "three"))
+    drop.foreach(p => assert(
+      text.substring(p.start_char, p.end_char) == p.text))
+    // keep-left: separator stays on the left piece; spans tile the text
+    val left = split(text, "\\. ", KeepLeft, includeEmpty = true, trim = false)
+    assert(left.map(_.text).mkString == text)
+    assert(left.head.text == "one. ")
+    // keep-right: separator starts the following piece
+    val right = split(text, "\\. ", KeepRight, includeEmpty = true, trim = false)
+    assert(right.map(_.text).mkString == text)
+    assert(right(1).text.startsWith(". "))
+    // include_empty surfaces the trailing empty piece in drop mode
+    val withEmpty = split("a. ", "\\. ", DropSep, includeEmpty = true)
+    assert(withEmpty.map(_.text) == Seq("a", ""))
+    // null-safe UDF form covered by q56 at the oracle gate
+  }
+
   test("fixed chunking matches its SQL-oracle semantics on testdata") {
     assume(testdataAvailable)
     val docs = Tables(spark, Sf0001, "documents").select("doc_id", "text")

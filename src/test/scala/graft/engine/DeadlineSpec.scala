@@ -1,0 +1,32 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.concurrent.duration._
+
+/** Deadline semantics: bounded work completes, over-budget work is
+  * cancelled cluster-wide and surfaces as DeadlineExceededException
+  * (reference test_deadline.py shape). */
+class DeadlineSpec extends SparkSpec {
+
+  test("work within the deadline returns its result") {
+    val n = graft.engine.Deadline.withDeadline(spark, 60.seconds) {
+      spark.range(1000).count()
+    }
+    assert(n == 1000)
+  }
+
+  test("over-budget Spark jobs are cancelled and the deadline surfaces") {
+    import spark.implicits._
+    val slow = udf { i: Long => Thread.sleep(10000); i }
+    val t0 = System.nanoTime()
+    intercept[DeadlineExceededException] {
+      graft.engine.Deadline.withDeadline(spark, 2.seconds, "slow scan") {
+        // filter (not a prunable projection) forces the slow UDF to run
+        spark.range(64).filter(slow(col("id")) >= 0).count()
+      }
+    }
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(elapsed < 8, s"cancellation took too long: $elapsed s")
+  }
+}

@@ -131,6 +131,48 @@ class FlowSpec extends SparkSpec {
     assert(r7.isNoop, s"post-bump rerun must be a no-op: $r7")
   }
 
+  test("content-addressed rows transfer ownership between components cleanly") {
+    val (src, tgt, st) = (tmpDir("own-src"), tmpDir("own-tgt"), tmpDir("own-st"))
+    def write(rel: String, text: String): Unit =
+      Files.write(src.resolve(rel), text.getBytes(StandardCharsets.UTF_8))
+    write("a.md", "shared-para")
+    write("b.md", "only-b")
+    // rows keyed by CONTENT, not by file: moving a paragraph between
+    // files moves the row's owner
+    val stage = CocoFn("content_rows", 1, fn = df =>
+      df.select(col("item_key"),
+        concat(lit("p:"), md5(col("content"))).as("row_key"),
+        decode(col("content"), "UTF-8").as("para")))
+    val flow = new Flow("own", LocalFsSource(src.toString, Seq("**.md")),
+      Seq(stage), ParquetTableTarget(tgt.toString, 2), st.toString)
+    flow.run(spark)
+    assert(flow.target.read(spark).count() == 2)
+
+    // move the shared paragraph from a.md to a NEW file c.md; a.md gets
+    // fresh content. The row_key p:md5(shared-para) changes owner.
+    write("a.md", "a-replacement")
+    write("c.md", "shared-para")
+    val r = flow.run(spark)
+    assert(r.recomputed == 2, s"$r") // a.md edited + c.md new
+    val tracked = flow.trackedRows(spark).collect()
+      .map(r0 => r0.getString(1) -> r0.getString(0)).toMap // row_key -> owner
+    val sharedKey = tracked.keys.find(_ != null).get // sanity
+    // exactly one owner per row_key, and the shared paragraph belongs
+    // to its new declarer
+    assert(flow.trackedRows(spark).groupBy("row_key").count()
+      .filter(col("count") > 1).count() == 0, "duplicate tracking owners")
+    val owners = flow.trackedRows(spark).collect()
+      .map(r0 => r0.getString(0)).toSet
+    assert(owners == Set("a.md", "b.md", "c.md"))
+    assert(flow.target.read(spark).count() == 3)
+    // deleting the OLD owner must not delete the transferred row
+    Files.delete(src.resolve("a.md"))
+    flow.run(spark)
+    assert(flow.target.read(spark).filter(col("para") === "shared-para")
+      .count() == 1)
+    assert(flow.run(spark).isNoop)
+  }
+
   test("schema change triggers automatic full backfill without a version bump") {
     val (src, tgt, st) = (tmpDir("sc-src"), tmpDir("sc-tgt"), tmpDir("sc-st"))
     seed(src)
