@@ -92,4 +92,23 @@ object FnMemo {
       computed.select((withFp.columns.map(col) ++ resultCols.map(col)).toSeq: _*))
     out.drop("__args_fp")
   }
+
+  /** Retention: drop cached calls of `name` that are not in
+    * `referenced` (a single-column relation of args fingerprints) —
+    * the engine GCs fn memos with their components (reference child
+    * GC); a content-addressed cache instead prunes to the currently
+    * reachable fingerprint set. */
+  def prune(spark: SparkSession, store: StateStore, name: String,
+      referenced: DataFrame): Long = {
+    val memo = store.read("fn_memo", FnMemoSchema)
+    val keepScope = memo.filter(col("scope") === name)
+      .join(referenced.select(col(referenced.columns.head).as("args_fp")),
+        Seq("args_fp"), "left_semi")
+    val kept = memo.filter(col("scope") =!= name)
+      .unionByName(keepScope.select("scope", "args_fp", "result_json"))
+      .localCheckpoint()
+    val dropped = memo.count() - kept.count()
+    if (dropped > 0) store.commit(Map("fn_memo" -> kept))
+    dropped
+  }
 }

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Failure isolation for user functions: one poison row must not kill
+  * a million-row stage (the reference's background-failure routing —
+  * component failures are isolated and reported, siblings continue;
+  * `exception_handler` scoping,
+  * python/cocoindex/_internal/component_ctx.py:471).
+  *
+  * `tryUdf` wraps a function so each row yields a
+  * `struct(result, error)`; [[partitionErrors]] splits a computed
+  * relation into (ok, failed) so the pipeline continues on the good
+  * rows and failures become data (an errors side-table), exactly the
+  * per-row try/catch + errors-column design SURVEY.md §2.D maps
+  * `coco.mount` failure isolation to.
+  */
+object SafeUdf {
+
+  final case class TryResult(result: String, error: String)
+
+  /** Wrap a String => String function: null-safe, exception-safe.
+    * Output struct: (result STRING, error STRING) — exactly one side
+    * is non-null. */
+  def tryUdf(f: String => String) = udf { s: String =>
+    if (s == null) TryResult(null, null)
+    else
+      try TryResult(f(s), null)
+      catch {
+        case e: Exception =>
+          TryResult(null, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+  }
+
+  /** Split rows on an error column: (ok rows without the error col,
+    * failed rows with key + error only). */
+  def partitionErrors(df: DataFrame, errorCol: String, keyCols: String*)
+      : (DataFrame, DataFrame) = {
+    val ok = df.filter(col(errorCol).isNull).drop(errorCol)
+    val failed = df.filter(col(errorCol).isNotNull)
+      .select((keyCols.map(col) :+ col(errorCol)): _*)
+    (ok, failed)
+  }
+}

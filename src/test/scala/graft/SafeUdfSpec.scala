@@ -1,0 +1,42 @@
+package graft
+
+import graft.functions.SafeUdf
+import org.apache.spark.sql.functions._
+
+/** One poison row yields an error record; the other 999 keep flowing. */
+class SafeUdfSpec extends SparkSpec {
+
+  test("poison rows become error records, good rows continue") {
+    import spark.implicits._
+    val f = SafeUdf.tryUdf { s =>
+      if (s.contains("boom")) throw new IllegalArgumentException(s"bad: $s")
+      s.toUpperCase
+    }
+    val df = (1 to 100).map(i => (i.toLong, if (i == 13) "boom-13" else s"v$i"))
+      .toDF("id", "text")
+      .withColumn("r", f(col("text")))
+      .select(col("id"), col("r.result").as("result"), col("r.error").as("error"))
+    val (ok, failed) = SafeUdf.partitionErrors(df, "error", "id")
+    assert(ok.count() == 99)
+    assert(ok.filter(col("result").startsWith("V")).count() == 99)
+    val f13 = failed.collect()
+    assert(f13.length == 1 && f13.head.getLong(0) == 13)
+    assert(f13.head.getString(1).contains("bad: boom-13"))
+  }
+
+  test("fn memo pruning keeps only referenced fingerprints") {
+    import spark.implicits._
+    val store = new graft.engine.StateStore(spark,
+      java.nio.file.Files.createTempDirectory("fnprune").toString)
+    val stage = graft.engine.FnMemo.memoize(spark, store, "f", 1, Seq("text"))(
+      df => df.withColumn("out", upper(col("text"))))
+    stage(Seq("a", "b", "c").toDF("text")).collect()
+    assert(store.read("fn_memo", graft.engine.FnMemo.FnMemoSchema).count() == 3)
+    // only "a" remains referenced
+    val referenced = Seq("a").toDF("text")
+      .select(md5(to_json(struct(lit("f:1"), col("text")))).as("fp"))
+    val dropped = graft.engine.FnMemo.prune(spark, store, "f", referenced)
+    assert(dropped == 2)
+    assert(store.read("fn_memo", graft.engine.FnMemo.FnMemoSchema).count() == 1)
+  }
+}
