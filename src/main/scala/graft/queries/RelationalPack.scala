@@ -465,6 +465,55 @@ object RelationalPack extends QueryPack {
             count(lit(1)).as("n"))
       }),
 
+    // ---- quantiles (continuous interpolation, both engines) -------------
+    Q(
+      "q37_percentiles",
+      Some("""
+        SELECT c_mktsegment,
+               round(quantile_cont(c_acctbal, 0.5), 4)  AS p50,
+               round(quantile_cont(c_acctbal, 0.9), 4)  AS p90,
+               round(quantile_cont(c_acctbal, 0.99), 4) AS p99,
+               round(min(c_acctbal), 4) AS lo,
+               round(max(c_acctbal), 4) AS hi
+        FROM customer GROUP BY c_mktsegment"""),
+      (s, dir) =>
+        t(s, dir, "customer")
+          .groupBy("c_mktsegment")
+          .agg(
+            round(percentile(col("c_acctbal"), lit(0.5)), 4).as("p50"),
+            round(percentile(col("c_acctbal"), lit(0.9)), 4).as("p90"),
+            round(percentile(col("c_acctbal"), lit(0.99)), 4).as("p99"),
+            round(min("c_acctbal"), 4).as("lo"),
+            round(max("c_acctbal"), 4).as("hi"))),
+
+    // ---- JSON construction + extraction ---------------------------------
+    // (JSON built with explicit concatenation so both engines parse the
+    // identical document; extraction via each engine's native path fns)
+    Q(
+      "q38_json_fns",
+      Some("""
+        WITH j AS (
+          SELECT event_id,
+                 '{"type":"' || event_type || '","user":' || CAST(user_id AS VARCHAR)
+                   || ',"nested":{"v":' || CAST(round(value, 4) AS VARCHAR) || '}}' AS doc
+          FROM events)
+        SELECT event_id,
+               json_extract_string(doc, '$.type') AS jtype,
+               CAST(json_extract(doc, '$.user') AS BIGINT) AS juser,
+               CAST(json_extract(doc, '$.nested.v') AS DOUBLE) AS jval
+        FROM j"""),
+      (s, dir) => {
+        val doc = concat(lit("{\"type\":\""), col("event_type"),
+          lit("\",\"user\":"), col("user_id").cast("string"),
+          lit(",\"nested\":{\"v\":"), round(col("value"), 4).cast("string"),
+          lit("}}"))
+        Tables.events(s, dir).select(
+          col("event_id"),
+          get_json_object(doc, "$.type").as("jtype"),
+          get_json_object(doc, "$.user").cast("long").as("juser"),
+          get_json_object(doc, "$.nested.v").cast("double").as("jval"))
+      }),
+
     // ---- array higher-order functions over embeddings -------------------
     Q(
       "q20_array_ops",

@@ -231,6 +231,18 @@ class FlowSpec extends SparkSpec {
     assert(flow.run(spark).isNoop)
   }
 
+  test("full reprocess recomputes everything but unchanged values are target noops") {
+    val (src, tgt, st) = (tmpDir("fr-src"), tmpDir("fr-tgt"), tmpDir("fr-st"))
+    seed(src)
+    val flow = mkFlow(src, tgt, st)
+    val cold = flow.run(spark)
+    val r = flow.run(spark, fullReprocess = true)
+    assert(r.recomputed == 3 && r.unchanged == 0, s"$r")
+    assert(r.rowsNoop == cold.rowsInserted, s"$r")
+    assert(r.rowsInserted == 0 && r.rowsUpdated == 0 && r.rowsDeleted == 0)
+    assert(flow.run(spark).isNoop)
+  }
+
   test("preview reports the pending delta without applying it") {
     val (src, tgt, st) = (tmpDir("pv-src"), tmpDir("pv-tgt"), tmpDir("pv-st"))
     seed(src)
