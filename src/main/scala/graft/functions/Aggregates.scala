@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Custom typed aggregations (the §2.F UDAF surface): implemented as
+  * `Aggregator[IN, BUF, OUT]` so Spark plans them as proper partial +
+  * final hash aggregates (map-side combine, codegen'd buffer ops) —
+  * never a collect-and-fold.
+  *
+  * Determinism note: buffers accumulate on an exact integer grid
+  * (cents × integer weights), so the result is independent of
+  * partitioning and merge order — the same rule the oracle-checked
+  * money sums follow.
+  */
+object Aggregates {
+
+  final case class WeightedIn(priceCents: Long, weight: Long)
+
+  /** Σ(price·w)/Σ(w), accumulated exactly, divided once at finish. */
+  object WeightedAvg extends Aggregator[WeightedIn, (Long, Long), Double] {
+    def zero: (Long, Long) = (0L, 0L)
+    def reduce(b: (Long, Long), a: WeightedIn): (Long, Long) =
+      (b._1 + a.priceCents * a.weight, b._2 + a.weight)
+    def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
+      (x._1 + y._1, x._2 + y._2)
+    def finish(r: (Long, Long)): Double =
+      if (r._2 == 0) 0.0 else r._1.toDouble / r._2 / 100.0
+    def bufferEncoder: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Column-API handle: wavg(priceCents, weight). */
+  val wavg = org.apache.spark.sql.functions.udaf(
+    WeightedAvg, Encoders.product[WeightedIn])
+}

@@ -465,6 +465,30 @@ object RelationalPack extends QueryPack {
             count(lit(1)).as("n"))
       }),
 
+    // ---- custom UDAF: quantity-weighted average price -------------------
+    // (typed Aggregator => partial+final hash agg with map-side
+    // combine; buffers on the exact cents grid so merge order is
+    // irrelevant — see functions/Aggregates.scala)
+    Q(
+      "q39_weighted_avg_udaf",
+      Some("""
+        SELECT l_returnflag,
+               round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                           * CAST(round(l_quantity, 0) AS BIGINT)) AS DOUBLE)
+                     / sum(CAST(round(l_quantity, 0) AS BIGINT)) / 100.0, 4)
+                 AS wavg_price,
+               sum(CAST(round(l_quantity, 0) AS BIGINT)) AS total_qty
+        FROM lineitem GROUP BY l_returnflag"""),
+      (s, dir) => {
+        import graft.functions.Aggregates
+        val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+        val qty = round(col("l_quantity"), 0).cast("long")
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(round(Aggregates.wavg(cents, qty), 4).as("wavg_price"),
+            sum(qty).as("total_qty"))
+      }),
+
     // ---- quantiles (continuous interpolation, both engines) -------------
     Q(
       "q37_percentiles",
