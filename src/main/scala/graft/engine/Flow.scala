@@ -110,34 +110,46 @@ final class Flow(
           .otherwise(lit("suspect")))                              // level 2 needed
       .cache()
 
-    val byCls = probe.groupBy("cls").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    // one driver round-trip serves classification counts AND the load
+    // key list (probe is metadata-scale: one row per source item —
+    // the same listing Spark itself materializes driver-side)
+    val probeRows = probe.select("item_key", "cls").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val byCls = probeRows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      .withDefaultValue(0L)
 
     // ---- level 2: content fingerprint for suspects --------------------
     // (suspects exist only for sources with a content fp; content is
     // loaded once and reused by the transform)
-    val loadKeys = probe
-      .filter(col("cls").isin("changed", "suspect"))
-      .select("item_key").collect().map(_.getString(0)).toSeq
+    val loadKeys = probeRows
+      .collect { case (k, cls) if cls == "changed" || cls == "suspect" => k }
+      .toSeq
     val loaded = source.load(spark, loadKeys)
       .withColumn("__content_fp",
         source.contentFpOf.getOrElse(lit(null).cast("string")))
       .cache()
 
-    val level2 = probe.filter(col("cls") === "suspect")
-      .join(loaded.select(col("item_key"),
-        col("__content_fp").as("new_content_fp")), Seq("item_key"), "left")
-      .withColumn("cls2",
-        when(col("new_content_fp").isNotNull &&
-          col("new_content_fp") === col("content_fp"), lit("refreshed"))
-          .otherwise(lit("changed")))
-      .select(col("item_key"), col("cls2"))
-      .cache()
-    val nRefreshed = level2.filter(col("cls2") === "refreshed").count()
+    val level2 =
+      if (byCls("suspect") == 0L)
+        spark.emptyDataFrame.withColumn("item_key", lit(""))
+          .withColumn("cls2", lit("")).limit(0).select("item_key", "cls2")
+      else probe.filter(col("cls") === "suspect")
+        .join(loaded.select(col("item_key"),
+          col("__content_fp").as("new_content_fp")), Seq("item_key"), "left")
+        .withColumn("cls2",
+          when(col("new_content_fp").isNotNull &&
+            col("new_content_fp") === col("content_fp"), lit("refreshed"))
+            .otherwise(lit("changed")))
+        .select(col("item_key"), col("cls2"))
+        .cache()
+    val nRefreshed =
+      if (byCls("suspect") == 0L) 0L
+      else level2.filter(col("cls2") === "refreshed").count()
 
     val changedKeys = probe.filter(col("cls") === "changed").select("item_key")
       .union(level2.filter(col("cls2") === "changed").select("item_key"))
       .cache()
+    val nChanged = byCls("changed") + (byCls("suspect") - nRefreshed)
     val goneKeys = probe.filter(col("cls") === "gone").select("item_key")
 
     // ---- the expensive transform, on changed components only ----------
@@ -230,10 +242,10 @@ final class Flow(
     st.commit(stateTables)
 
     val stats = RunStats(
-      components = listing.count(),
+      components = probeRows.length - byCls("gone"),
       unchanged = byCls("unchanged"),
       refreshed = nRefreshed,
-      recomputed = changedKeys.count(),
+      recomputed = nChanged,
       deletedComponents = byCls("gone"),
       rowsInserted = byAction("insert"),
       rowsUpdated = byAction("update"),

@@ -52,17 +52,22 @@ object EntityResolution {
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-      // pointer jumping: component := label(component)
+      // pointer jumping: component := label(component); carry a
+      // changed flag through the checkpoint so convergence costs a
+      // filter-count on checkpointed data, not an extra join
       val jump = stepped.select(col("id").as("component"),
         col("component").as("jumped"))
-      val next = stepped.join(jump, Seq("component"), "left")
+      val next = stepped
+        .join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .join(jump, Seq("component"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("jumped"), col("component")))
-            .as("component"))
+            .as("component"),
+          col("old"))
+        .withColumn("chg", col("component") < col("old"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") < col("old")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.select("id", "component")
       iter += 1
     }
     if (changed > 0)
