@@ -19,6 +19,8 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       // The driver-generated events table stores ts as parquet
       // TIMESTAMP(NANOS), which Spark has no native type for; read it
       // as a long (see Tables.events for the normalization).

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale patterns for skew and shuffle elimination.
+  *
+  * [[saltedAgg]]: two-phase aggregation for skewed group keys — a
+  * random-ish salt splits each hot key across `salt` reducers for the
+  * partial phase; the final phase merges the partials. Correct for
+  * algebraic aggregates (sum/count/min/max — anything with a merge
+  * form). AQE handles skewed *joins*; skewed *aggregations* still
+  * need salting because the partial agg for one key lands on one
+  * reducer.
+  *
+  * [[Bucketing]]: persist both sides of a recurring join bucketed by
+  * the join key (`bucketBy` + `saveAsTable`) so the join is co-located
+  * — the plan contains no Exchange on either side. This is the
+  * batch-world analog of pre-partitioned state the reference keeps in
+  * LMDB keyspace order (SURVEY.md §4.1 order-preserving key encoding).
+  */
+object Scale {
+
+  /** Two-phase salted aggregation. `partials` define the salted
+    * (partial) aggregates; `finals` merge them after the salt is
+    * dropped. E.g. partial sum → final sum, partial count → final
+    * sum. */
+  def saltedAgg(
+      df: DataFrame, keys: Seq[String], salt: Int,
+      partials: Seq[Column], finals: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt)))
+    val phase1 = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partials.head, partials.tail: _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(finals.head, finals.tail: _*)
+  }
+
+  object Bucketing {
+    /** Persist `df` bucketed by `key` into the session catalog. */
+    def writeBucketed(df: DataFrame, table: String, key: String,
+        buckets: Int): Unit =
+      df.write.mode("overwrite")
+        .bucketBy(buckets, key).sortBy(key)
+        .format("parquet").saveAsTable(table)
+
+    /** Join two same-bucketed tables on their bucket key — shuffle-free
+      * when bucket counts match. */
+    def cogroupJoin(spark: SparkSession, left: String, right: String,
+        key: String): DataFrame =
+      spark.table(left).join(spark.table(right), key)
+  }
+}

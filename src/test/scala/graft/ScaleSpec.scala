@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Scale
+import org.apache.spark.sql.functions._
+
+/** Skew-salting correctness and bucketed shuffle elimination —
+  * asserted at the PLAN level, not just values. */
+class ScaleSpec extends SparkSpec {
+
+  test("salted aggregation equals direct aggregation on skewed keys") {
+    import spark.implicits._
+    // 90% of rows share one hot key
+    val df = (1 to 20000).map { i =>
+      (if (i % 10 == 0) s"key${i % 50}" else "HOT", i.toLong)
+    }.toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"), max("v").as("mx"))
+    val salted = Scale.saltedAgg(df, Seq("k"), salt = 16,
+      partials = Seq(sum("v").as("ps"), count(lit(1)).as("pn"),
+        max("v").as("pm")),
+      finals = Seq(sum("ps").as("s"), sum("pn").as("n"), max("pm").as("mx")))
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+    // the partial phase really fans the hot key out across salts
+    val phase1Rows = df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(16)))
+      .groupBy("k", "__salt").count().filter(col("k") === "HOT").count()
+    assert(phase1Rows > 1, "hot key must split across salt partitions")
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    val facts = (1L to 5000L).map(i => (i % 97, s"f$i")).toDF("k", "payload")
+    val dims = (0L until 97L).map(i => (i, s"dim$i")).toDF("k", "name")
+    Scale.Bucketing.writeBucketed(facts, "bkt_facts", "k", 8)
+    Scale.Bucketing.writeBucketed(dims, "bkt_dims", "k", 8)
+    // disable broadcast so the join would otherwise shuffle both sides
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Scale.Bucketing.cogroupJoin(spark, "bkt_facts", "bkt_dims", "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must be co-located; plan was:\n$plan")
+      assert(joined.count() == 5000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.nio.charset.StandardCharsets
+
+/** Pipeline composition: flow B consumes flow A's target table as a
+  * keyed source — the reference's LiveMap hand-off (a producer
+  * declares keyed entries, a consumer mounts one component per entry,
+  * python/cocoindex/resources/live_map.py). Incrementality must
+  * propagate: editing one source file recomputes one component in A,
+  * and in B exactly the consumer components whose input rows actually
+  * changed.
+  */
+class FlowChainSpec extends SparkSpec {
+
+  test("an edit propagates through a two-flow chain with minimal recompute") {
+    val root = Files.createTempDirectory("chain")
+    val src = root.resolve("src"); Files.createDirectories(src)
+    def write(rel: String, text: String): Unit =
+      Files.write(src.resolve(rel), text.getBytes(StandardCharsets.UTF_8))
+    write("a.md", "alpha one. alpha two.")
+    write("b.md", "bravo three. bravo four.")
+
+    // flow A: files → sentence rows
+    val sentences = CocoFn("sentences", 1, fn = df =>
+      df.select(col("item_key"),
+        posexplode(split(decode(col("content"), "UTF-8"), "\\. ?"))
+          .as(Seq("idx", "sentence")))
+        .filter(col("sentence") =!= "")
+        .select(col("item_key"),
+          concat(col("item_key"), lit("#"), col("idx")).as("row_key"),
+          col("sentence")))
+    val aTarget = ParquetTableTarget(root.resolve("sent").toString, 2)
+    val flowA = new Flow("sentences", LocalFsSource(src.toString, Seq("**.md")),
+      Seq(sentences), aTarget, root.resolve("stateA").toString)
+
+    // flow B: sentence rows → word rows (consumes A's target)
+    val words = CocoFn("words", 1, fn = df =>
+      df.select(col("item_key"), explode(split(col("sentence"), " ")).as("word"))
+        .select(col("item_key"),
+          concat(col("item_key"), lit("/"), col("word")).as("row_key"),
+          col("word")))
+    val bTarget = ParquetTableTarget(root.resolve("words").toString, 2)
+    val flowB = new Flow("words",
+      TableSource(sp => aTarget.read(sp)
+        .select("row_key", "sentence"), keyCol = "row_key"),
+      Seq(words), bTarget, root.resolve("stateB").toString)
+
+    val a1 = flowA.run(spark); val b1 = flowB.run(spark)
+    assert(a1.rowsInserted == 4 && b1.components == 4)
+    assert(bTarget.read(spark).count() == 8) // 2 words per sentence
+
+    // warm: both flows are no-ops
+    assert(flowA.run(spark).isNoop && flowB.run(spark).isNoop)
+
+    // edit ONE sentence in a.md; the other a.md sentence is unchanged
+    write("a.md", "alpha one. alpha CHANGED.")
+    val a2 = flowA.run(spark)
+    assert(a2.recomputed == 1, s"$a2")
+    // a.md#0 recomputed to an identical value → target noop; only
+    // a.md#1 actually changed
+    assert(a2.rowsUpdated == 1 && a2.rowsNoop == 1, s"$a2")
+    val b2 = flowB.run(spark)
+    assert(b2.recomputed == 1 && b2.unchanged == 3,
+      s"only the changed sentence row may recompute downstream: $b2")
+    assert(b2.rowsInserted == 1 && b2.rowsDeleted == 1, s"$b2") // two→CHANGED
+    assert(bTarget.read(spark).filter(col("word") === "CHANGED").count() == 1)
+
+    // delete b.md: GC cascades through the chain
+    Files.delete(src.resolve("b.md"))
+    val a3 = flowA.run(spark)
+    assert(a3.deletedComponents == 1 && a3.rowsDeleted == 2)
+    val b3 = flowB.run(spark)
+    assert(b3.deletedComponents == 2 && b3.rowsDeleted == 4, s"$b3")
+    assert(bTarget.read(spark).count() == 4)
+  }
+}
