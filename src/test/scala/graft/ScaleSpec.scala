@@ -31,6 +31,18 @@ class ScaleSpec extends SparkSpec {
     import spark.implicits._
     val facts = (1L to 5000L).map(i => (i % 97, s"f$i")).toDF("k", "payload")
     val dims = (0L until 97L).map(i => (i, s"dim$i")).toDF("k", "name")
+    // the in-memory catalog forgets tables between JVMs but their
+    // warehouse locations persist — clear both before writing
+    Seq("bkt_facts", "bkt_dims").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse/$t")
+      if (loc.exists()) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc.toPath).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
     Scale.Bucketing.writeBucketed(facts, "bkt_facts", "k", 8)
     Scale.Bucketing.writeBucketed(dims, "bkt_dims", "k", 8)
     // disable broadcast so the join would otherwise shuffle both sides
