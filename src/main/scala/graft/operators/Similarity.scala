@@ -100,6 +100,80 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** IVF (inverted-file) approximate KNN — the second scale path
+    * next to [[lshTopK]]: a small coarse quantizer (k centroids from
+    * a few Lloyd rounds, all as DataFrame aggregations) partitions
+    * the corpus into cells; a query scores only the `nprobe` nearest
+    * cells' members, then exact cosine re-ranks. The candidate join
+    * is an equi-join on cell id, so the shuffle moves cell ids —
+    * never the Q×N cross product — and the corpus assignment is
+    * computed once and reusable across query batches.
+    *
+    * Determinism: centroid init picks the k corpus vectors with the
+    * smallest xxhash64(id) (seeded, data-independent order), so the
+    * index is reproducible run to run.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, lloydRounds: Int = 3,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(embCol).as("c_emb")).cache()
+
+    // ---- train the coarse quantizer -----------------------------------
+    var centroids = c
+      .withColumn("h", xxhash64(col("neighbor_id")))
+      .orderBy("h").limit(nCells)
+      .select(monotonically_increasing_id().as("cell"),
+        col("c_emb").cast("array<double>").as("centroid"))
+      .localCheckpoint()
+    for (_ <- 1 to lloydRounds) {
+      val assigned = assignCells(c, centroids, 1)
+      centroids = assigned
+        .join(c, Seq("neighbor_id"))
+        .select(col("cell"), posexplode(col("c_emb")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg(col("v").cast("double")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), x => x("m")).as("centroid"))
+        .localCheckpoint()
+    }
+
+    // ---- index: each corpus vector in its nearest cell ----------------
+    val indexed = assignCells(c, centroids, 1).join(c, Seq("neighbor_id"))
+
+    // ---- query: probe nProbe cells, exact re-rank ---------------------
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val probes = assignCells(
+      q.select(col("query_id").as("neighbor_id"), col("q_emb").as("c_emb")),
+      centroids, nProbe)
+      .select(col("neighbor_id").as("query_id"), col("cell"))
+    val candidates = probes.join(q, Seq("query_id"))
+      .join(indexed, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    candidates
+      .withColumn("score", round(cosineSimilarity(col("q_emb"), col("c_emb")), 6))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** Nearest `take` cells per vector (broadcast the tiny centroid
+    * table; rank by cosine). */
+  private def assignCells(vecs: DataFrame, centroids: DataFrame,
+      take: Int): DataFrame = {
+    val w = Window.partitionBy("neighbor_id")
+      .orderBy(col("cs").desc, col("cell"))
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("cs", cosineSimilarity(col("c_emb"), col("centroid")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= take)
+      .select(col("neighbor_id"), col("cell"))
+  }
+
   /** All pairs (a < b) whose cosine similarity rounds to ≥ threshold —
     * embedding-based near-duplicate detection, exact. Reference
     * all-pairs form: a non-equi self-join, i.e. a nested-loop cross

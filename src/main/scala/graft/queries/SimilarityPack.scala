@@ -85,6 +85,16 @@ object SimilarityPack extends QueryPack {
         Similarity.lshTopK(emb.filter(col("vec_id") < 8), emb, 10)
       }),
 
+    // ---- approximate KNN via IVF (no oracle: approximate; recall
+    // asserted in SimilaritySpec) ----------------------------------------
+    Q(
+      "q47_knn_ivf",
+      None,
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb, 10)
+      }),
+
     // ---- entity resolution: similarity edges → connected components →
     // canonical map. Oracle: transitive closure via recursive CTE. ------
     Q(

@@ -144,6 +144,63 @@ object TextPack extends QueryPack {
           .filter(col("group_size") > 1)
       }),
 
+    // ---- the training-data pipeline, end-to-end as ONE plan -------------
+    // quality filter → exact-dedup canonicalization (keep min doc per
+    // block hash) → fixed chunking → per-language corpus stats. The
+    // composite a real pretraining-data job runs; single scan of
+    // documents, one window, one explode, one aggregation.
+    Q(
+      "q57_training_pipeline",
+      Some("""
+        WITH q AS (
+          SELECT doc_id, lang, text,
+                 (CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w,
+                    x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+                      / len(w) ELSE 0.0 END) * 0.5 +
+                 (CASE WHEN length(text) > 0
+                    THEN CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                      / length(text) ELSE 0.0 END) * 0.3 +
+                 least(1.0, CAST(len(w) AS DOUBLE) / 100.0) * 0.2 AS quality
+          FROM (SELECT doc_id, lang, text,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS w
+                FROM documents)),
+        kept AS (
+          SELECT doc_id, lang, text FROM (
+            SELECT doc_id, lang, text,
+                   min(doc_id) OVER (PARTITION BY
+                     md5(substring(lower(regexp_replace(text, ' +', ' ', 'g')), 1, 64)))
+                     AS canonical_id
+            FROM q WHERE round(quality, 4) >= 0.3)
+          WHERE doc_id = canonical_id),
+        chunks AS (
+          SELECT doc_id, lang,
+                 substring(text, CAST(i AS INT) * 150 + 1, 200) AS chunk_text
+          FROM (SELECT doc_id, lang, text,
+                       unnest(range(CAST(ceil(length(text) / 150.0) AS BIGINT))) AS i
+                FROM kept))
+        SELECT lang,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_chunks,
+               sum(CAST(len(list_filter(string_split(chunk_text, ' '), x -> x <> ''))
+                 AS BIGINT)) AS total_words
+        FROM chunks GROUP BY lang"""),
+      (s, dir) => {
+        val w = Window.partitionBy("block_hash")
+        val kept = Tables(s, dir, "documents")
+          .filter(round(qualityScore(col("text")), 4) >= 0.3)
+          .withColumn("block_hash",
+            md5(substring(normalized(col("text")), 1, 64)))
+          .withColumn("canonical_id", min("doc_id").over(w))
+          .filter(col("doc_id") === col("canonical_id"))
+          .select("doc_id", "lang", "text")
+        graft.operators.Chunker
+          .chunkFixed(kept, "text", width = 200, stride = 150)
+          .groupBy("lang")
+          .agg(countDistinct("doc_id").as("n_docs"),
+            count(lit(1)).as("n_chunks"),
+            sum(wordCount(col("chunk_text")).cast("long")).as("total_words"))
+      }),
+
     // ---- n-gram Jaccard near-dup, exact via prefix-filtering join -------
     // The oracle is the *unblocked* all-pairs definition; the Spark
     // side reproduces it exactly through Dedup.shingleNearDup's

@@ -39,6 +39,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK: reported scores exact, recall@10 reasonable for 4/16 probes") {
+    assume(testdataAvailable)
+    val exact = Similarity.bruteForceTopK(queries, emb, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allScores = Similarity.bruteForceTopK(queries, emb, emb.count().toInt)
+      .select("query_id", "neighbor_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(queries, emb, 10).collect()
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(allScores(key) == r.getDouble(2), s"IVF score drift at $key")
+    }
+    val got = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@10 = $recall < 0.5 (nprobe 4/16)")
+    // determinism: a second build returns the identical result
+    val again = Similarity.ivfTopK(queries, emb, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == got)
+  }
+
   test("bruteForceTopK returns exactly k ranked neighbors per query") {
     assume(testdataAvailable)
     val rows = Similarity.bruteForceTopK(queries, emb, 5).collect()
