@@ -49,40 +49,8 @@ object Dedup {
     * collision-free (P < 1e-8 at 10⁹ distinct shingles), not equal
     * to any SQL function: Jaccard over hashed sets equals Jaccard
     * over the string sets. */
-  private[graft] def shingleHashUdf(n: Int) = udf { text: String =>
-    if (text == null) Array.empty[Long]
-    else {
-      val words = text.split(' ').filter(_.nonEmpty)
-      if (words.length < n) Array.empty[Long]
-      else {
-        val set = new java.util.HashSet[java.lang.Long](words.length * 2)
-        var i = 0
-        while (i <= words.length - n) {
-          var h = 0xcbf29ce484222325L
-          var j = 0
-          while (j < n) {
-            if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
-            val wrd = words(i + j)
-            var k = 0
-            while (k < wrd.length) {
-              val c = wrd.charAt(k)
-              h ^= (c & 0xff).toLong; h *= 0x100000001b3L
-              h ^= ((c >> 8) & 0xff).toLong; h *= 0x100000001b3L
-              k += 1
-            }
-            j += 1
-          }
-          set.add(h)
-          i += 1
-        }
-        val out = new Array[Long](set.size)
-        val it = set.iterator()
-        var m = 0
-        while (it.hasNext) { out(m) = it.next(); m += 1 }
-        out
-      }
-    }
-  }
+  private[graft] def shingleHashUdf(n: Int) =
+    udf { text: String => shingleHashUdfImpl(text, n) }
 
   def shingleNearDup(
       docs: DataFrame, threshold: Double, n: Int = 3,
@@ -116,6 +84,159 @@ object Dedup {
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
     // |A ∪ B| = |A| + |B| − |A ∩ B| (sets are distinct): avoids
     // materializing the concatenated array per pair
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val unionSize = size(col("sh_a")) + size(col("sh_b")) - inter
+    verified
+      .withColumn("jaccard", round(inter.cast("double") / unionSize, 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash of a document's shingle set: each shingle hash
+    * votes its bits; the fingerprint takes the sign of each bit-sum.
+    * Near-dup pairs are those within `maxHamming` bits.
+    *
+    * Blocking is EXACT by pigeonhole: split the 64 bits into
+    * `maxHamming + 1` bands — two fingerprints within `maxHamming`
+    * bits must agree on at least one whole band, so the band
+    * equi-join has recall 1 and the Hamming check on candidates is
+    * exact verification, not correction. */
+  private[graft] def simHash64(sh: Array[Long]): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < sh.length) {
+      val h = sh(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  /** Exact SimHash near-dup: doc pairs whose fingerprints are within
+    * `maxHamming` bits. One map pass computes fingerprints; the
+    * candidate join is an equi-join on (band index, band bits). */
+  def simHashNearDup(
+      docs: DataFrame, maxHamming: Int = 3, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16)
+    val bands = maxHamming + 1
+    val width = 64 / bands
+    val fpUdf = udf { text: String =>
+      val sh = shingleHashUdfImpl(text, n)
+      if (sh.isEmpty) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(simHash64(sh))
+    }
+    val d = docs.select(col(idCol).as("doc_id"), fpUdf(col(textCol)).as("fp"))
+      .filter(col("fp").isNotNull)
+    val banded = d.select(col("doc_id"), col("fp"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("code",
+        expr(s"shiftrightunsigned(fp, band * $width)")
+          .bitwiseAND(lit((1L << width) - 1)))
+    val candidates = banded.select(col("doc_id").as("doc_a"),
+        col("fp").as("fp_a"), col("band"), col("code"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
+        col("band"), col("code")), Seq("band", "code"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    candidates
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** The shingle-hash loop, callable from other UDFs. */
+  private[graft] def shingleHashUdfImpl(text: String, n: Int): Array[Long] =
+    if (text == null) Array.empty[Long]
+    else {
+      val words = text.split(' ').filter(_.nonEmpty)
+      if (words.length < n) Array.empty[Long]
+      else {
+        val set = new java.util.HashSet[java.lang.Long](words.length * 2)
+        var i = 0
+        while (i <= words.length - n) {
+          var h = 0xcbf29ce484222325L
+          var j = 0
+          while (j < n) {
+            if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+            val wrd = words(i + j)
+            var k = 0
+            while (k < wrd.length) {
+              val c = wrd.charAt(k)
+              h ^= (c & 0xff).toLong; h *= 0x100000001b3L
+              h ^= ((c >> 8) & 0xff).toLong; h *= 0x100000001b3L
+              k += 1
+            }
+            j += 1
+          }
+          set.add(h)
+          i += 1
+        }
+        val out = new Array[Long](set.size)
+        val it = set.iterator()
+        var m = 0
+        while (it.hasNext) { out(m) = it.next(); m += 1 }
+        out
+      }
+    }
+
+  /** MinHash signatures + banded candidates + exact Jaccard verify —
+    * the classic approximate set-similarity join (recall is
+    * probabilistic: a pair at Jaccard J collides in a band of r rows
+    * with probability J^r). Use [[shingleNearDup]] when exactness is
+    * required; MinHash wins when even the prefix join is too large
+    * and a recall target suffices. Signature i = min over shingles of
+    * a cheap i-seeded mix of the shingle hash. */
+  def minHashNearDup(
+      docs: DataFrame, threshold: Double, numHashes: Int = 32, bandRows: Int = 2,
+      n: Int = 3, idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    require(numHashes % bandRows == 0)
+    val sigUdf = udf { text: String =>
+      val sh = shingleHashUdfImpl(text, n)
+      if (sh.isEmpty) null.asInstanceOf[Array[Long]]
+      else Array.tabulate(numHashes) { i =>
+        var mn = Long.MaxValue
+        var j = 0
+        while (j < sh.length) {
+          var x = sh(j) + i * 0x9e3779b97f4a7c15L
+          x ^= x >>> 33; x *= 0xff51afd7ed558ccdL; x ^= x >>> 33
+          if (x < mn) mn = x
+          j += 1
+        }
+        mn
+      }
+    }
+    val d = docs.select(col(idCol).as("doc_id"),
+      shingleHashUdf(n)(col(textCol)).as("sh"),
+      sigUdf(col(textCol)).as("sig"))
+      .filter(col("sig").isNotNull)
+      .cache()
+    val nBands = numHashes / bandRows
+    val banded = d.select(col("doc_id"),
+      explode(sequence(lit(0), lit(nBands - 1))).as("band"),
+      col("sig"))
+      .withColumn("code",
+        md5(to_json(slice(col("sig"), col("band") * bandRows + 1,
+          lit(bandRows)))))
+      .select("doc_id", "band", "code")
+    val candidates = banded.select(col("doc_id").as("doc_a"), col("band"),
+        col("code"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("code")),
+        Seq("band", "code"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    val verified = candidates
+      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val unionSize = size(col("sh_a")) + size(col("sh_b")) - inter
     verified

@@ -191,6 +191,54 @@ object EventsPack extends QueryPack {
       (s, dir) =>
         graft.streaming.TopicMap.compactLatest(Tables.events(s, dir))),
 
+    // ---- funnel: view → click → purchase, earliest-completion ----------
+    // Classic sequence analytics: per user, the first view, the first
+    // click after that view, the first purchase after that click; one
+    // window pass per step (running min over ordered events), no
+    // self-joins.
+    Q(
+      "q58_funnel",
+      Some("""
+        WITH v AS (
+          SELECT user_id, min(epoch_us(ts)) AS first_view_us
+          FROM events WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, min(epoch_us(e.ts)) AS first_click_us
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.first_view_us
+          GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, min(epoch_us(e.ts)) AS first_purchase_us
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.first_click_us
+          GROUP BY e.user_id)
+        SELECT v.user_id, v.first_view_us,
+               c.first_click_us, p.first_purchase_us,
+               CASE WHEN p.user_id IS NOT NULL THEN 3
+                    WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS funnel_depth
+        FROM v LEFT JOIN c ON c.user_id = v.user_id
+               LEFT JOIN p ON p.user_id = v.user_id"""),
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        def firstAfter(et: String, after: DataFrame, afterCol: String,
+            outCol: String) =
+          e.filter(col("event_type") === et)
+            .join(after, Seq("user_id"))
+            .filter(col("ts_us") > col(afterCol))
+            .groupBy("user_id").agg(min("ts_us").as(outCol))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_us").as("first_view_us"))
+        val c = firstAfter("click", v, "first_view_us", "first_click_us")
+        val p = firstAfter("purchase", c, "first_click_us", "first_purchase_us")
+        v.join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select(col("user_id"), col("first_view_us"), col("first_click_us"),
+            col("first_purchase_us"),
+            when(col("first_purchase_us").isNotNull, 3)
+              .when(col("first_click_us").isNotNull, 2).otherwise(1)
+              .as("funnel_depth"))
+      }),
+
     // ---- deterministic first/last per key -------------------------------
     Q(
       "q26_first_last",

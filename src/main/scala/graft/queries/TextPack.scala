@@ -201,6 +201,25 @@ object TextPack extends QueryPack {
             sum(wordCount(col("chunk_text")).cast("long")).as("total_words"))
       }),
 
+    // ---- SimHash near-dup (rows-only: fingerprints use JVM-side FNV
+    // mixing DuckDB cannot reproduce; exactness vs brute-force Hamming
+    // is proven in DedupSpec's pigeonhole test) ---------------------------
+    Q(
+      "q48_simhash_neardup",
+      None,
+      (s, dir) =>
+        graft.operators.Dedup.simHashNearDup(
+          Tables(s, dir, "documents"), maxHamming = 3)),
+
+    // ---- MinHash near-dup (rows-only: banded approximate candidates;
+    // subset+recall vs the exact prefix-filter join in DedupSpec) ---------
+    Q(
+      "q49_minhash_neardup",
+      None,
+      (s, dir) =>
+        graft.operators.Dedup.minHashNearDup(
+          Tables(s, dir, "documents"), threshold = 0.2)),
+
     // ---- n-gram Jaccard near-dup, exact via prefix-filtering join -------
     // The oracle is the *unblocked* all-pairs definition; the Spark
     // side reproduces it exactly through Dedup.shingleNearDup's

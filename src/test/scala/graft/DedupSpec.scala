@@ -45,6 +45,64 @@ class DedupSpec extends SparkSpec {
     assert(pairsSet(fast) == pairsSet(naive))
   }
 
+  test("SimHash near-dup: pigeonhole banding equals brute-force Hamming exactly") {
+    import spark.implicits._
+    // synthetic corpus: clusters of near-identical docs + noise
+    val rnd = new scala.util.Random(7)
+    def doc(base: Seq[String], edits: Int): String = {
+      val w = base.toArray
+      (1 to edits).foreach(_ => w(rnd.nextInt(w.length)) = s"tok${rnd.nextInt(99999)}")
+      w.mkString(" ")
+    }
+    // exact duplicates (hamming 0) and single-append variants
+    // (few shingle-vote deltas) guarantee qualifying pairs; random
+    // docs supply potential false-positive pressure for exactness
+    val base1 = (1 to 400).map(i => s"alpha$i").mkString(" ")
+    val base2 = (1 to 400).map(i => s"beta$i").mkString(" ")
+    val docs = (
+      Seq(base1, base1, base1 + " tail", base2, base2) ++
+      (1 to 30).map(_ => (1 to 120).map(_ => s"r${rnd.nextInt(99999)}").mkString(" "))
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+    val fast = Dedup.simHashNearDup(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over all pairs via the same fingerprint fn
+    val fpUdf = udf { t: String =>
+      val sh = Dedup.shingleHashUdfImpl(t, 3)
+      if (sh.isEmpty) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(Dedup.simHash64(sh))
+    }
+    val fps = docs.select(col("doc_id"), fpUdf(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(fast == brute, s"fast=${fast.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "synthetic clusters must produce near-dup pairs")
+  }
+
+  test("MinHash near-dup: subset of exact Jaccard with high recall at 0.5") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def doc(base: Seq[String], edits: Int): String = {
+      val w = base.toArray
+      (1 to edits).foreach(_ => w(rnd.nextInt(w.length)) = s"x${rnd.nextInt(99999)}")
+      w.mkString(" ")
+    }
+    val bases = (1 to 8).map(b => (1 to 100).map(i => s"w${b}_$i"))
+    val docs = bases.zipWithIndex.flatMap { case (b, i) =>
+      Seq(doc(b, 0), doc(b, 4), doc(b, 8)) // three variants per cluster
+    }.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+    val exact = pairsSet(Dedup.shingleNearDup(docs, threshold = 0.5))
+    val approx = pairsSet(Dedup.minHashNearDup(docs, threshold = 0.5))
+    assert(approx.subsetOf(exact), "MinHash must never report a false pair")
+    assert(exact.nonEmpty)
+    val recall = approx.size.toDouble / exact.size
+    assert(recall >= 0.9, s"MinHash recall $recall < 0.9")
+  }
+
   test("LSH embedding near-dup: subset of exact with identical scores, recall >= 0.9") {
     assume(testdataAvailable)
     val emb = Tables(spark, Sf0001, "embeddings")
