@@ -26,16 +26,51 @@ object EntityResolution {
 
   /** Labels every vertex with the minimum vertex id reachable from
     * it. `edges` are undirected (either orientation accepted).
-    * Returns (id, component). */
+    * Returns (id, component).
+    *
+    * Hybrid execution: when the edge set fits comfortably on the
+    * driver (`localEdgeThreshold`), components are solved with an
+    * in-memory union-find and broadcast-joined back — vertices stay
+    * distributed, only edges collect. Duplicate-cluster edge sets are
+    * tiny relative to the corpus (edges ≈ near-dup pairs), so this is
+    * the common case even at 100 TB; the distributed loop remains the
+    * fallback for genuinely huge graphs. */
   def connectedComponents(
       vertices: DataFrame, edges: DataFrame,
       idCol: String = "id", srcCol: String = "src", dstCol: String = "dst",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, localEdgeThreshold: Long = 1L << 20): DataFrame = {
     val und = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
       .cache()
+
+    val edgeCount = und.count()
+    if (edgeCount <= localEdgeThreshold) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      und.collect().foreach { r =>
+        val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      }
+      und.unpersist()
+      val touched = parent.keys ++ parent.values
+      val mapping = touched.toSeq.distinct.map(x => (x, find(x)))
+      val spark = vertices.sparkSession
+      import spark.implicits._
+      val mapDf = mapping.toDF("id", "__cc")
+      return vertices.select(col(idCol).cast("long").as("id"))
+        .join(broadcast(mapDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__cc"), col("id")).as("component"))
+    }
     var labels = vertices
       .select(col(idCol).as("id"), col(idCol).as("component"))
       .localCheckpoint()

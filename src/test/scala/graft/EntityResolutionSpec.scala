@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   */
 class EntityResolutionSpec extends SparkSpec {
 
-  private def cc(vertices: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def cc(vertices: Seq[Long], edges: Seq[(Long, Long)],
+      localThreshold: Long = 1L << 20): Map[Long, Long] = {
     import spark.implicits._
     EntityResolution.connectedComponents(
-      vertices.toDF("id"), edges.toDF("src", "dst"))
+      vertices.toDF("id"), edges.toDF("src", "dst"),
+      localEdgeThreshold = localThreshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -34,6 +36,16 @@ class EntityResolutionSpec extends SparkSpec {
     val n = 30L
     val got = cc((1L to n), (1L until n).map(i => (i, i + 1)))
     assert(got.values.toSet == Set(1L))
+  }
+
+  test("distributed loop (threshold 0) agrees with the local union-find path") {
+    val vertices = (1L to 40L)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (20L, 25L), (25L, 30L), (30L, 35L), (35L, 39L))
+    val local = cc(vertices, edges)
+    val dist = cc(vertices, edges, localThreshold = 0L)
+    assert(dist == local)
+    assert(local(39L) == 20L && local(4L) == 1L && local(12L) == 10L)
   }
 
   test("edge orientation and duplicates are irrelevant") {
