@@ -43,6 +43,19 @@ object EventStreams {
         col("n_events"), col("total_value"))
   }
 
+  /** Exactly-once event dedup by id under a watermark: duplicate
+    * deliveries inside the lateness bound are dropped with bounded
+    * state (`dropDuplicatesWithinWatermark`); the batch twin is a
+    * plain dropDuplicates. The at-least-once → effectively-once
+    * bridge every ingestion pipeline needs. */
+  def dedupEvents(events: DataFrame, watermark: Option[String] = None)
+      : DataFrame =
+    watermark match {
+      case Some(w) => events.withWatermark("ts", w)
+        .dropDuplicatesWithinWatermark("event_id")
+      case None => events.dropDuplicates("event_id")
+    }
+
   /** Session windows with a 30-minute inactivity gap (batch twin:
     * q23's gaps-and-islands — `session_window` implements the same
     * semantics natively and streams with state). */

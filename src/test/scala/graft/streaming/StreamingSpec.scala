@@ -75,6 +75,19 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("watermarked stream dedup drops duplicate deliveries like the batch twin") {
+    assume(testdataAvailable)
+    val events = loadEvents()
+    // deliver every event twice (at-least-once transport)
+    val doubled = events.flatMap(e => Seq(e, e))
+    val got = feedAndRun("dedup_stream", doubled, chunks = 4, mode = "append")(
+      df => EventStreams.dedupEvents(df, watermark = Some("10 minutes"))
+        .select("event_id"))
+    assert(got.count() == events.length.toLong,
+      s"${got.count()} vs ${events.length}")
+    assert(got.distinct().count() == events.length.toLong)
+  }
+
   test("stateful topic compaction converges to the batch map") {
     assume(testdataAvailable)
     import spark.implicits._
