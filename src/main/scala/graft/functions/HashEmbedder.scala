@@ -8,30 +8,57 @@ import org.apache.spark.sql.functions._
   * python/cocoindex/resources/embedder.py, with
   * SentenceTransformerEmbedder as the production impl).
   *
-  * embed(text)[i] = scaled(xxhash64(text, i)), L2-normalized. Same
+  * embed(text)[i] = scaled(mix(fnv64(text), i)), L2-normalized. Same
   * text ⇒ same unit vector, so memoization and diff assertions are
-  * exact. Pure columnar (no UDF): the whole embedding stays inside
-  * codegen, and at cluster scale it's a map-only stage.
+  * exact. One primitive pass per row (hash the text once, derive all
+  * dimensions from the 8-byte digest): the earlier higher-order-
+  * function form was interpreted and its expression tree was
+  * re-evaluated per reference (norm + output), costing ~4× the work.
   *
   * A production embedder would follow the reference's batching path
   * (mapPartitions + model micro-batches, @coco.fn(batching=True),
-  * python/cocoindex/_internal/batching.py) — the pipeline wiring here
-  * is identical, only this function swaps.
+  * python/cocoindex/_internal/batching.py) — the pipeline wiring is
+  * identical, only this function swaps (see
+  * graft.engine.Batching.withHalvingRetry for the retry wrapper).
   */
 object HashEmbedder {
 
-  /** Raw (unnormalized) hash components in [-1, 1). The text is
-    * hashed ONCE (`seed`); per-dimension components re-hash only the
-    * 8-byte seed, so cost is O(len + dim) per row instead of
-    * O(len · dim) — the naive per-dimension full-text hash dominated
-    * the chunk→embed pipeline at bench scale. */
-  private def component(seed: Column, i: Column): Column =
-    (pmod(xxhash64(seed, i), lit(2000001L)).cast("double") / 1000000.5) - 1.0
+  private def mix(seed: Long, k: Int): Long = {
+    var x = seed + k * 0x9e3779b97f4a7c15L
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL; x ^= x >>> 33
+    x
+  }
+
+  /** Compute the embedding for one string (driver/executor shared). */
+  def embedOne(text: String, dim: Int): Array[Float] = {
+    var seed = 0xcbf29ce484222325L
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      seed ^= (c & 0xff).toLong; seed *= 0x100000001b3L
+      seed ^= ((c >> 8) & 0xff).toLong; seed *= 0x100000001b3L
+      i += 1
+    }
+    val raw = new Array[Double](dim)
+    var sq = 0.0
+    var d = 0
+    while (d < dim) {
+      val v = ((mix(seed, d) % 1000001L).toDouble / 1000000.5)
+      raw(d) = v; sq += v * v; d += 1
+    }
+    val norm = math.sqrt(sq)
+    val out = new Array[Float](dim)
+    d = 0
+    while (d < dim) {
+      out(d) = if (norm == 0) 0f else (raw(d) / norm).toFloat; d += 1
+    }
+    out
+  }
 
   def embed(text: Column, dim: Int): Column = {
-    val seed = xxhash64(text)
-    val raw = transform(sequence(lit(0), lit(dim - 1)), i => component(seed, i))
-    val norm = sqrt(aggregate(raw, lit(0.0), (a, x) => a + x * x))
-    transform(raw, x => (x / norm).cast("float"))
+    val u = udf { s: String =>
+      if (s == null) null.asInstanceOf[Array[Float]] else embedOne(s, dim)
+    }
+    u(text)
   }
 }
