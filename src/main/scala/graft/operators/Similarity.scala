@@ -162,13 +162,23 @@ object Similarity {
   }
 
   /** Nearest `take` cells per vector (broadcast the tiny centroid
-    * table; rank by cosine). */
+    * table; primitive-loop cosine — the interpreted HOF form was the
+    * training bottleneck). */
   private def assignCells(vecs: DataFrame, centroids: DataFrame,
       take: Int): DataFrame = {
     val w = Window.partitionBy("neighbor_id")
       .orderBy(col("cs").desc, col("cell"))
+    val cos = udf { (a: Seq[Float], b: Seq[Double]) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
     vecs.crossJoin(broadcast(centroids))
-      .withColumn("cs", cosineSimilarity(col("c_emb"), col("centroid")))
+      .withColumn("cs", cos(col("c_emb"), col("centroid")))
       .withColumn("r", row_number().over(w))
       .filter(col("r") <= take)
       .select(col("neighbor_id"), col("cell"))

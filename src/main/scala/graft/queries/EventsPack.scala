@@ -239,6 +239,32 @@ object EventsPack extends QueryPack {
               .as("funnel_depth"))
       }),
 
+    // ---- interval join: click→purchase attribution ----------------------
+    // (the batch twin of EventStreams.clickAttribution, whose
+    // stream-stream form with bounded state is equality-tested in
+    // StreamingSpec; all time arithmetic on integer microseconds)
+    Q(
+      "q59_click_attribution",
+      Some("""
+        SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+               epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us,
+               round(p.value, 4) AS purchase_value
+        FROM events p JOIN events c
+          ON c.user_id = p.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND epoch_us(c.ts) <= epoch_us(p.ts)
+         AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000"""),
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        graft.streaming.EventStreams.clickAttribution(
+            e.filter(col("event_type") === "click"),
+            e.filter(col("event_type") === "purchase"))
+          .select(col("user_id"), col("purchase_id"), col("click_id"),
+            unix_micros(col("click_ts")).as("click_us"),
+            unix_micros(col("purchase_ts")).as("purchase_us"),
+            round(col("value"), 4).as("purchase_value"))
+      }),
+
     // ---- deterministic first/last per key -------------------------------
     Q(
       "q26_first_last",

@@ -43,6 +43,30 @@ object EventStreams {
         col("n_events"), col("total_value"))
   }
 
+  /** Click→purchase attribution as a join: each purchase joined to
+    * the same user's clicks in the preceding hour. Works batch and
+    * stream-stream — in streaming both sides carry watermarks and the
+    * time-range condition bounds the join state (Spark drops expired
+    * click state automatically). */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+      watermark: Option[String] = None): DataFrame = {
+    val c0 = clicks.select(col("user_id").as("c_user"),
+      col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p0 = purchases.select(col("user_id"), col("event_id").as("purchase_id"),
+      col("ts").as("purchase_ts"), col("value"))
+    val (c, p) = watermark match {
+      case Some(w) => (c0.withWatermark("click_ts", w),
+        p0.withWatermark("purchase_ts", w))
+      case None => (c0, p0)
+    }
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select("user_id", "purchase_id", "click_id", "click_ts",
+        "purchase_ts", "value")
+  }
+
   /** Exactly-once event dedup by id under a watermark: duplicate
     * deliveries inside the lateness bound are dropped with bounded
     * state (`dropDuplicatesWithinWatermark`); the batch twin is a

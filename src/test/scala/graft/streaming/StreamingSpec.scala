@@ -124,6 +124,39 @@ class StreamingSpec extends SparkSpec {
     assert(tombstoned.forall(k => !batch.contains(k)))
   }
 
+  test("stream-stream interval join equals the batch join") {
+    assume(testdataAvailable)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+    val clickStream = MemoryStream[Event]
+    val purchaseStream = MemoryStream[Event]
+    val joined = EventStreams.clickAttribution(
+      clickStream.toDF(), purchaseStream.toDF(),
+      watermark = Some("2 hours"))
+    val q = joined.writeStream.format("memory")
+      .queryName("attr_stream").outputMode("append").start()
+    val clicks = events.filter(_.event_type == "click")
+    val purchases = events.filter(_.event_type == "purchase")
+    // interleave in 3 time-ordered chunks so the join state cycles
+    clicks.grouped(clicks.length / 3 + 1)
+      .zipAll(purchases.grouped(purchases.length / 3 + 1), Nil, Nil)
+      .foreach { case (cs, ps) =>
+        if (cs.nonEmpty) clickStream.addData(cs)
+        if (ps.nonEmpty) purchaseStream.addData(ps)
+        q.processAllAvailable()
+      }
+    q.stop()
+    val got = spark.table("attr_stream")
+    val e = Tables.events(spark, Sf0001)
+    val expected = EventStreams.clickAttribution(
+      e.filter(col("event_type") === "click"),
+      e.filter(col("event_type") === "purchase"))
+    assert(got.count() == expected.count(),
+      s"stream ${got.count()} vs batch ${expected.count()}")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("auto_refresh drives an incremental flow as a live query") {
     val (src, tgt, st) = (Files.createTempDirectory("live-src"),
       Files.createTempDirectory("live-tgt"), Files.createTempDirectory("live-st"))
