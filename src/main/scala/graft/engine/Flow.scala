@@ -12,7 +12,8 @@ import StateStore._
 final case class RunStats(
     components: Long, unchanged: Long, refreshed: Long, recomputed: Long,
     deletedComponents: Long,
-    rowsInserted: Long, rowsUpdated: Long, rowsDeleted: Long, rowsNoop: Long) {
+    rowsInserted: Long, rowsUpdated: Long, rowsDeleted: Long, rowsNoop: Long,
+    rowsFailed: Long = 0) {
   def isNoop: Boolean =
     recomputed == 0 && deletedComponents == 0 && refreshed == 0 &&
       rowsInserted == 0 && rowsUpdated == 0 && rowsDeleted == 0
@@ -155,11 +156,25 @@ final class Flow(
     // ---- the expensive transform, on changed components only ----------
     val input = loaded.join(changedKeys, Seq("item_key"), "left_semi")
       .drop("__content_fp")
-    val desiredRaw = stages.foldLeft(input)((df, stage) => stage.fn(df))
-    require(desiredRaw.columns.contains("item_key") &&
-      desiredRaw.columns.contains("row_key"),
+    val desiredAll = stages.foldLeft(input)((df, stage) => stage.fn(df))
+    require(desiredAll.columns.contains("item_key") &&
+      desiredAll.columns.contains("row_key"),
       s"stage output must carry item_key and row_key; got " +
-        desiredRaw.columns.mkString(","))
+        desiredAll.columns.mkString(","))
+    // failure isolation (reference exception handlers,
+    // component_ctx.py:471): rows a stage marked with a non-null
+    // __error never reach the target — they are routed to the errors
+    // state table, inspectable via [[errors]], and counted in stats
+    val hasErrors = desiredAll.columns.contains("__error")
+    val failed =
+      if (hasErrors) desiredAll.filter(col("__error").isNotNull)
+        .select(col("item_key"), col("row_key"),
+          col("__error").cast("string").as("error")).cache()
+      else spark.emptyDataFrame
+    val nFailed = if (hasErrors) failed.count() else 0L
+    val desiredRaw =
+      if (hasErrors) desiredAll.filter(col("__error").isNull).drop("__error")
+      else desiredAll
     val valueCols = desiredRaw.columns
       .filterNot(c => c == "item_key" || c == "row_key").sorted
     val desired = desiredRaw
@@ -228,7 +243,15 @@ final class Flow(
       .select("item_key", "row_key", "value_fp")
       .unionByName(desired.select("item_key", "row_key", "value_fp"))
 
-    val stateTables = Map("component_memo" -> newMemo,
+    val errorTables: Map[String, DataFrame] =
+      if (!hasErrors) Map.empty
+      else {
+        val prevErrors = st.read("errors", ErrorsSchema)
+        Map("errors" -> prevErrors
+          .join(scopeKeys, Seq("item_key"), "left_anti")
+          .unionByName(failed))
+      }
+    val stateTables = errorTables ++ Map("component_memo" -> newMemo,
       "tracking" -> newTracking) ++ userStateFn.map { fn =>
       val prev = st.read("user_state", UserStateSchema)
       val prevChanged = prev.join(changedKeys, Seq("item_key"), "left_semi")
@@ -250,7 +273,8 @@ final class Flow(
       rowsInserted = byAction("insert"),
       rowsUpdated = byAction("update"),
       rowsDeleted = byAction("delete"),
-      rowsNoop = byAction("noop"))
+      rowsNoop = byAction("noop"),
+      rowsFailed = nFailed)
     Seq(listing, probe, level2, changedKeys, loaded, desired, actions)
       .foreach(_.unpersist())
     stats
@@ -259,6 +283,11 @@ final class Flow(
   /** Current user-state rows (inspection / next-run reads). */
   def userState(spark: SparkSession): DataFrame =
     state(spark).read("user_state", UserStateSchema)
+
+  /** Per-row failures recorded by the last run of each component
+    * (rows a stage marked with `__error`). */
+  def errors(spark: SparkSession): DataFrame =
+    state(spark).read("errors", ErrorsSchema)
 
   /** Inspection API (reference inspect_api.py:10-158 / CLI `ls`,
     * `show`): the engine's state is plain queryable relations. */

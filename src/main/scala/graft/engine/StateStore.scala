@@ -150,6 +150,13 @@ object StateStore {
     StructField("state_key", StringType, nullable = false),
     StructField("value", StringType, nullable = true)))
 
+  /** Per-row failures recorded at the last run of their component
+    * (the engine's exception-routing sidecar). */
+  val ErrorsSchema: StructType = StructType(Seq(
+    StructField("item_key", StringType, nullable = false),
+    StructField("row_key", StringType, nullable = false),
+    StructField("error", StringType, nullable = true)))
+
   /** Stable id sequences (reference IdSequencerInfo,
     * db_schema.rs:483-487). */
   val IdSeqSchema: StructType = StructType(Seq(

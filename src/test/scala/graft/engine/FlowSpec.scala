@@ -231,6 +231,39 @@ class FlowSpec extends SparkSpec {
     assert(flow.run(spark).isNoop)
   }
 
+  test("per-row failures route to the errors table, never the target") {
+    val (src, tgt, st) = (tmpDir("err-src"), tmpDir("err-tgt"), tmpDir("err-st"))
+    def write(rel: String, text: String): Unit =
+      Files.write(src.resolve(rel), text.getBytes(StandardCharsets.UTF_8))
+    write("ok.md", "fine content")
+    write("bad.md", "POISON here")
+    val parse = graft.functions.SafeUdf.tryUdf { s =>
+      if (s.contains("POISON")) throw new IllegalStateException("unparseable")
+      s.toUpperCase
+    }
+    val stage = CocoFn("parse", 1, fn = df =>
+      df.withColumn("r", parse(decode(col("content"), "UTF-8")))
+        .select(col("item_key"),
+          concat(col("item_key"), lit("#0")).as("row_key"),
+          col("r.result").as("parsed"), col("r.error").as("__error")))
+    val flow = new Flow("errflow", LocalFsSource(src.toString, Seq("**.md")),
+      Seq(stage), ParquetTableTarget(tgt.toString, 2), st.toString)
+
+    val r1 = flow.run(spark)
+    assert(r1.rowsFailed == 1 && r1.rowsInserted == 1, s"$r1")
+    assert(flow.target.read(spark).count() == 1)
+    val errs = flow.errors(spark).collect()
+    assert(errs.length == 1 && errs.head.getString(0) == "bad.md")
+    assert(errs.head.getString(2).contains("unparseable"))
+
+    // fixing the file clears its error and lands the row
+    write("bad.md", "healed content")
+    val r2 = flow.run(spark)
+    assert(r2.rowsFailed == 0 && r2.rowsInserted == 1, s"$r2")
+    assert(flow.errors(spark).count() == 0)
+    assert(flow.target.read(spark).count() == 2)
+  }
+
   test("full reprocess recomputes everything but unchanged values are target noops") {
     val (src, tgt, st) = (tmpDir("fr-src"), tmpDir("fr-tgt"), tmpDir("fr-st"))
     seed(src)
