@@ -201,6 +201,33 @@ object TextPack extends QueryPack {
             sum(wordCount(col("chunk_text")).cast("long")).as("total_words"))
       }),
 
+    // ---- deterministic train/val/test split -----------------------------
+    // Content-hash bucketing (first md5 hex chars order identically in
+    // every engine): the split is a pure function of the document, so
+    // it is stable across runs, machines and engines — the property a
+    // training pipeline needs so examples never migrate between
+    // splits. ~81% / ~12.5% / ~6% by hex prefix ranges.
+    Q(
+      "q61_train_split",
+      Some("""
+        WITH s AS (
+          SELECT doc_id, lang,
+                 CASE WHEN substring(md5(text), 1, 1) < 'd' THEN 'train'
+                      WHEN substring(md5(text), 1, 1) < 'f' THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents)
+        SELECT split, lang, count(*) AS n_docs
+        FROM s GROUP BY split, lang"""),
+      (s, dir) => {
+        val h = substring(md5(col("text")), 1, 1)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            when(h < "d", "train").when(h < "f", "val").otherwise("test")
+              .as("split"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"))
+      }),
+
     // ---- SimHash near-dup (rows-only: fingerprints use JVM-side FNV
     // mixing DuckDB cannot reproduce; exactness vs brute-force Hamming
     // is proven in DedupSpec's pigeonhole test) ---------------------------
