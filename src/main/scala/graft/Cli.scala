@@ -60,10 +60,8 @@ object Cli {
         println(s"update: $stats")
       case "live" =>
         val interval = args.lift(3).getOrElse("5") + " seconds"
-        val q = graft.streaming.AutoRefresh.start(spark, interval) {
-          val stats = flow.run(spark)
-          if (!stats.isNoop) println(s"refresh: $stats")
-        }
+        val q = flow.runLive(spark, interval,
+          stats => if (!stats.isNoop) println(s"refresh: $stats"))
         println(s"live mode every $interval — ctrl-c to stop")
         q.awaitTermination()
       case "preview" =>

@@ -275,10 +275,21 @@ final class Flow(
       rowsDeleted = byAction("delete"),
       rowsNoop = byAction("noop"),
       rowsFailed = nFailed)
-    Seq(listing, probe, level2, changedKeys, loaded, desired, actions)
+    Seq(listing, probe, level2, changedKeys, loaded, desired, actions, failed)
       .foreach(_.unpersist())
     stats
   }
+
+  /** Run continuously: re-execute on a fixed delay as a streaming
+    * query; each tick costs only the changed delta (reference live
+    * mode / auto_refresh — the engine's memoization IS the catch-up
+    * loop). Stop via the returned query. */
+  def runLive(spark: SparkSession, interval: String,
+      onStats: RunStats => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.AutoRefresh.start(spark, interval) {
+      onStats(run(spark))
+    }
 
   /** Current user-state rows (inspection / next-run reads). */
   def userState(spark: SparkSession): DataFrame =
