@@ -25,6 +25,17 @@ trait Source {
   def contentFpOf: Option[Column]
 }
 
+object Source {
+  /** BOM-aware text decode of a binary content column (the
+    * reference's `File.read_text`,
+    * python/cocoindex/connectors/localfs/_source.py:35-70): UTF-8
+    * decoded, a leading byte-order mark stripped — a BOM'd file must
+    * produce the same rows (and the same fingerprints) as its
+    * BOM-less twin after transform. */
+  def textOf(content: Column): Column =
+    regexp_replace(decode(content, "UTF-8"), "^﻿", "")
+}
+
 /** Include/exclude glob matching with `!` negation, ordered
   * last-match-wins (reference PatternFilePathMatcher,
   * rust/ops_text/src/pattern_matcher.rs). Patterns: `*` within a

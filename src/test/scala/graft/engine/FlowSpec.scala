@@ -231,6 +231,26 @@ class FlowSpec extends SparkSpec {
     assert(flow.run(spark).isNoop)
   }
 
+  test("BOM'd files decode to the same rows as their BOM-less twins") {
+    val (src, tgt, st) = (tmpDir("bom-src"), tmpDir("bom-tgt"), tmpDir("bom-st"))
+    Files.write(src.resolve("plain.md"),
+      "same content".getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("bommed.md"),
+      (Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+        "same content".getBytes(StandardCharsets.UTF_8)))
+    val stage = CocoFn("text", 1, fn = df =>
+      df.select(col("item_key"),
+        concat(col("item_key"), lit("#0")).as("row_key"),
+        Source.textOf(col("content")).as("text")))
+    val flow = new Flow("bom", LocalFsSource(src.toString, Seq("**.md")),
+      Seq(stage), ParquetTableTarget(tgt.toString, 2), st.toString)
+    flow.run(spark)
+    val texts = flow.target.read(spark).select("text").collect()
+      .map(_.getString(0)).toSeq
+    assert(texts == Seq("same content", "same content"),
+      s"BOM leaked into decoded text: ${texts.map(_.length)}")
+  }
+
   test("per-row failures route to the errors table, never the target") {
     val (src, tgt, st) = (tmpDir("err-src"), tmpDir("err-tgt"), tmpDir("err-st"))
     def write(rel: String, text: String): Unit =
