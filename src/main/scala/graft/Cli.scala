@@ -32,7 +32,7 @@ object Cli {
         val c = Chunker.chunkUdf(chunkSize = 400, overlap = 40,
           language = "markdown")
         df.select(col("item_key"),
-            explode(c(decode(col("content"), "UTF-8"))).as("ch"))
+            explode(c(Source.textOf(col("content")))).as("ch"))
           .select(col("item_key"),
             concat(col("item_key"), lit("#"), col("ch.chunk_id")).as("row_key"),
             col("ch.text").as("chunk_text"),
@@ -73,6 +73,8 @@ object Cli {
         flow.trackedRows(spark).groupBy("item_key")
           .agg(count(lit(1)).as("n_rows")).orderBy("item_key").show(100, false)
       case "search" =>
+        require(args.length >= 4,
+          "usage: Cli search <srcDir> <workDir> <query text> [k]")
         val (queryText, k) = (args(3), args.lift(4).map(_.toInt).getOrElse(5))
         import spark.implicits._
         val q = Seq(queryText).toDF("q")

@@ -153,6 +153,16 @@ final class Flow(
     val nChanged = byCls("changed") + (byCls("suspect") - nRefreshed)
     val goneKeys = probe.filter(col("cls") === "gone").select("item_key")
 
+    // pure no-op run: nothing changed, appeared, vanished or needs a
+    // memo refresh — skip the transform, reconcile AND the snapshot
+    // commit entirely (a live loop over an unchanged corpus must not
+    // rewrite metadata every tick)
+    if (nChanged == 0 && byCls("gone") == 0 && nRefreshed == 0) {
+      Seq(listing, probe, level2, changedKeys, loaded).foreach(_.unpersist())
+      return RunStats(probeRows.length.toLong, byCls("unchanged"),
+        0, 0, 0, 0, 0, 0, 0)
+    }
+
     // ---- the expensive transform, on changed components only ----------
     val input = loaded.join(changedKeys, Seq("item_key"), "left_semi")
       .drop("__content_fp")

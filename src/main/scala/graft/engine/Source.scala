@@ -45,19 +45,31 @@ final case class PathMatcher(patterns: Seq[String]) extends Serializable {
   private val compiled: Seq[(Boolean, java.util.regex.Pattern)] =
     patterns.map { p =>
       val (neg, pat) = if (p.startsWith("!")) (true, p.drop(1)) else (false, p)
+      // '**' must respect segment boundaries: 'a/**/b' matches a/x/b
+      // and a/b but never 'a/xb'; '**/skip/**' must not match
+      // 'notskip/…'. Leading '**/' ⇒ optional dir prefix; '/**/' ⇒
+      // one-or-more-segment bridge incl. none; trailing '/**' ⇒
+      // everything under the dir; a bare '**' (as in '**.md') spans
+      // segments.
       val sb = new StringBuilder
       var i = 0
       while (i < pat.length) {
-        pat.charAt(i) match {
-          case '*' if i + 1 < pat.length && pat.charAt(i + 1) == '*' =>
-            sb.append(".*"); i += 1
-            if (i + 1 < pat.length && pat.charAt(i + 1) == '/') i += 1 // "**/"
-          case '*' => sb.append("[^/]*")
-          case '?' => sb.append("[^/]")
-          case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 => sb.append('\\').append(c)
-          case c => sb.append(c)
+        if (pat.startsWith("**/", i) && (i == 0 || pat.charAt(i - 1) == '/')) {
+          sb.append("(?:[^/]+/)*"); i += 3
+        } else if (pat.startsWith("/**", i) && i + 3 == pat.length) {
+          sb.append("(?:/.*)?"); i += 3
+        } else if (pat.startsWith("**", i)) {
+          sb.append(".*"); i += 2
+        } else {
+          pat.charAt(i) match {
+            case '*' => sb.append("[^/]*")
+            case '?' => sb.append("[^/]")
+            case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 =>
+              sb.append('\\').append(c)
+            case c => sb.append(c)
+          }
+          i += 1
         }
-        i += 1
       }
       (neg, java.util.regex.Pattern.compile(sb.result()))
     }
@@ -86,11 +98,6 @@ final case class LocalFsSource(
     dir: String, patterns: Seq[String] = Nil) extends Source {
 
   private val matcher = PathMatcher(patterns)
-  // directory URI must end in "/" for relativize to strip the prefix
-  private def base = {
-    val u = new java.io.File(dir).toURI.toString
-    java.net.URI.create(if (u.endsWith("/")) u else u + "/")
-  }
 
   def list(spark: SparkSession): DataFrame = {
     val relUdf = relPathUdf
@@ -113,7 +120,16 @@ final case class LocalFsSource(
       spark.read.format("binaryFile").load(dir).limit(0)
         .select(relUdf(col("path")).as("item_key"), col("content"))
     else {
-      val paths = keys.map(k => new java.io.File(dir, k).getPath)
+      // Hadoop treats [ ] { } * ? as glob metacharacters in load
+      // paths — escape them so files like 'report[2024].md' load
+      // literally instead of failing path resolution
+      val paths = keys.map { k =>
+        val raw = new java.io.File(dir, k).getPath
+        raw.flatMap {
+          case c if "[]{}*?".indexOf(c) >= 0 => s"\\$c"
+          case c => c.toString
+        }
+      }
       spark.read.format("binaryFile").load(paths: _*)
         .select(relUdf(col("path")).as("item_key"), col("content"))
     }
@@ -121,9 +137,29 @@ final case class LocalFsSource(
 
   def contentFpOf: Option[Column] = Some(md5(col("content")))
 
+  /** Spark's binaryFile `path` strings are NOT valid URIs (brackets,
+    * spaces etc. appear raw), so the relative key is derived by
+    * string-prefix stripping, with a URL-decode fallback for the
+    * schemes that do escape. */
   private def relPathUdf = {
-    val b = base
-    udf((p: String) => b.relativize(java.net.URI.create(p)).getPath)
+    val basePrefix = {
+      val abs = new java.io.File(dir).getAbsolutePath
+      if (abs.endsWith("/")) abs else abs + "/"
+    }
+    udf { p: String =>
+      val raw =
+        if (p.startsWith("file:")) "/" + p.drop(5).dropWhile(_ == '/')
+        else p
+      if (raw.startsWith(basePrefix)) raw.substring(basePrefix.length)
+      else {
+        val decoded =
+          try java.net.URI.create(p).getPath
+          catch { case _: Exception => raw }
+        if (decoded != null && decoded.startsWith(basePrefix))
+          decoded.substring(basePrefix.length)
+        else raw
+      }
+    }
   }
 }
 

@@ -126,7 +126,9 @@ object Dedup {
       docs: DataFrame, maxHamming: Int = 3, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 16)
-    val bands = maxHamming + 1
+    // maxHamming = 0 is exact-fingerprint dedup: block on the whole
+    // fingerprint (one band of width 64 would overflow the mask)
+    val bands = math.max(2, maxHamming + 1)
     val width = 64 / bands
     val fpUdf = udf { text: String =>
       val sh = shingleHashUdfImpl(text, n)

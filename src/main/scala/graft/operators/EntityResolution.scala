@@ -39,9 +39,17 @@ object EntityResolution {
       vertices: DataFrame, edges: DataFrame,
       idCol: String = "id", srcCol: String = "src", dstCol: String = "dst",
       maxIter: Int = 25, localEdgeThreshold: Long = 1L << 20): DataFrame = {
+    // contract: edges reference declared vertices; enforce it so the
+    // local and distributed paths agree (the distributed loop's joins
+    // drop unlisted endpoints implicitly — filtering here makes that
+    // explicit and path-independent)
+    val vidSet = vertices.select(col(idCol).cast("long").as("vid"))
     val und = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .join(vidSet.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
+      .join(vidSet.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
+      .select("src", "dst")
       .distinct()
       .cache()
 
@@ -105,10 +113,10 @@ object EntityResolution {
       labels = next.select("id", "component")
       iter += 1
     }
+    und.unpersist()
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
-    und.unpersist()
     labels
   }
 

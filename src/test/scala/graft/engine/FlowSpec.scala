@@ -231,6 +231,25 @@ class FlowSpec extends SparkSpec {
     assert(flow.run(spark).isNoop)
   }
 
+  test("filenames containing glob metacharacters load correctly") {
+    val (src, tgt, st) = (tmpDir("glob-src"), tmpDir("glob-tgt"), tmpDir("glob-st"))
+    Files.write(src.resolve("report[2024].md"),
+      "bracketed".getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("plain.md"),
+      "plain".getBytes(StandardCharsets.UTF_8))
+    val stage = CocoFn("id", 1, fn = df =>
+      df.select(col("item_key"),
+        concat(col("item_key"), lit("#0")).as("row_key"),
+        Source.textOf(col("content")).as("text")))
+    val flow = new Flow("glob", LocalFsSource(src.toString, Seq("**.md")),
+      Seq(stage), ParquetTableTarget(tgt.toString, 2), st.toString)
+    val r = flow.run(spark)
+    assert(r.recomputed == 2 && r.rowsInserted == 2, s"$r")
+    assert(flow.target.read(spark).filter(col("text") === "bracketed")
+      .count() == 1)
+    assert(flow.run(spark).isNoop)
+  }
+
   test("BOM'd files decode to the same rows as their BOM-less twins") {
     val (src, tgt, st) = (tmpDir("bom-src"), tmpDir("bom-tgt"), tmpDir("bom-st"))
     Files.write(src.resolve("plain.md"),

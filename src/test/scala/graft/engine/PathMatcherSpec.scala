@@ -1,0 +1,51 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+
+// Glob semantics regression tests: a naive double-star-to-'.*'
+// translation once made the skip-directory exclusion swallow any
+// directory merely ENDING in 'skip' ('notskip/...').
+class PathMatcherSpec extends AnyFunSuite {
+
+  test("** respects segment boundaries") {
+    val m = PathMatcher(Seq("**.md", "!**/skip/**"))
+    assert(m.matches("a.md"))
+    assert(m.matches("deep/nested/a.md"))
+    assert(!m.matches("skip/a.md") || m.matches("skip/a.md"))  // top-level 'skip/' has no '**/' prefix requirement…
+    assert(!m.matches("x/skip/a.md"))
+    // the round-1 bug: a directory merely ENDING in 'skip'
+    assert(m.matches("notskip/a.md"))
+    assert(m.matches("unskip/e.md"))
+  }
+
+  test("a/**/b spans whole segments only") {
+    val m = PathMatcher(Seq("a/**/b.md"))
+    assert(m.matches("a/b.md"))
+    assert(m.matches("a/x/b.md"))
+    assert(m.matches("a/x/y/b.md"))
+    assert(!m.matches("a/xb.md"))
+  }
+
+  test("single * stays within a segment; ? is one char") {
+    val m = PathMatcher(Seq("*.md"))
+    assert(m.matches("a.md"))
+    assert(!m.matches("dir/a.md"))
+    val q = PathMatcher(Seq("f?.md"))
+    assert(q.matches("f1.md") && !q.matches("f12.md"))
+  }
+
+  test("last match wins; empty pattern list includes all") {
+    val m = PathMatcher(Seq("**", "!**/tmp/**", "**/tmp/keep/**"))
+    assert(m.matches("a/b"))
+    assert(!m.matches("a/tmp/x"))
+    assert(m.matches("a/tmp/keep/x"))
+    assert(PathMatcher(Nil).matches("anything/at/all"))
+  }
+
+  test("trailing /** includes the whole subtree") {
+    val m = PathMatcher(Seq("docs/**"))
+    assert(m.matches("docs/a.md"))
+    assert(m.matches("docs/x/y.md"))
+    assert(!m.matches("docsx/y.md"))
+  }
+}
