@@ -11,7 +11,7 @@ class PathMatcherSpec extends AnyFunSuite {
     val m = PathMatcher(Seq("**.md", "!**/skip/**"))
     assert(m.matches("a.md"))
     assert(m.matches("deep/nested/a.md"))
-    assert(!m.matches("skip/a.md") || m.matches("skip/a.md"))  // top-level 'skip/' has no '**/' prefix requirement…
+    assert(!m.matches("skip/a.md")) // leading '**/' matches zero dirs
     assert(!m.matches("x/skip/a.md"))
     // the round-1 bug: a directory merely ENDING in 'skip'
     assert(m.matches("notskip/a.md"))
