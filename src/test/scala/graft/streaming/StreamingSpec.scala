@@ -88,6 +88,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.distinct().count() == events.length.toLong)
   }
 
+  test("late data beyond the watermark is dropped, not double-counted") {
+    assume(testdataAvailable)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+    val stream = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(stream.toDF(),
+        watermark = Some("1 minute"))
+      .writeStream.format("memory").queryName("late_stream")
+      .outputMode("append").start()
+    val (firstHalf, secondHalf) = events.splitAt(events.length / 2)
+    stream.addData(firstHalf); q.processAllAvailable()
+    // replay an event from hours before the current watermark: its
+    // window has already been finalized — the engine must drop it
+    val lateDuplicate = firstHalf.head
+    stream.addData(Seq(lateDuplicate) ++ secondHalf); q.processAllAvailable()
+    // advance the watermark far enough to flush all windows
+    val last = events.last
+    stream.addData(Seq(last.copy(event_id = -1L,
+      ts = new java.sql.Timestamp(last.ts.getTime + 6 * 3600 * 1000))))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("late_stream")
+      .filter(col("window_start") <= last.ts) // exclude the flush row's window
+    val expected = EventStreams.tumblingCounts(
+      Tables.events(spark, Sf0001).select("event_type", "value", "ts"))
+    // counts equal the batch over the ORIGINAL events: the late
+    // duplicate contributed nothing
+    assert(got.count() == expected.count(),
+      s"${got.count()} vs ${expected.count()}")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("stateful topic compaction converges to the batch map") {
     assume(testdataAvailable)
     import spark.implicits._
