@@ -60,6 +60,44 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling: split a binary media payload into `n` evenly
+    * spaced byte-range "frames" (the video-frame-sampling plumbing;
+    * a real codec would seek keyframes — the slicing, schema and
+    * explode shape are identical). Emits one row per frame:
+    * (key, frame_idx, frame_bytes). */
+  def frameSample(df: DataFrame, keyCol: String, mediaCol: String,
+      n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long"), col(mediaCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (k, bytes) =>
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else {
+          val frames = math.min(n, bytes.length)
+          val step = bytes.length.toDouble / frames
+          (0 until frames).iterator.map { i =>
+            val from = (i * step).toInt
+            val until = math.min(bytes.length, ((i + 1) * step).toInt.max(from + 1))
+            (k, i, java.util.Arrays.copyOfRange(bytes, from, until))
+          }
+        }
+      }
+      .toDF(keyCol, "frame_idx", "frame_bytes")
+  }
+
+  /** Resize STUB: rescales the fake decode's dimensions and features
+    * to a target box, preserving aspect ratio — the transform a real
+    * image pipeline applies post-decode. Pure columnar arithmetic on
+    * the decode output. */
+  def resizeTo(decoded: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxSide) / greatest(col("width"), col("height")))
+    decoded
+      .withColumn("resized_width", ceil(col("width") * scale).cast("int"))
+      .withColumn("resized_height", ceil(col("height") * scale).cast("int"))
+  }
+
   /** Batched decode over a binary column: partitions are processed in
     * micro-batches of `batchSize` rows (the shape a model/codec call
     * wants), emitting the typed decode struct per row. Input must

@@ -29,6 +29,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("frame sampling tiles the payload; resize preserves aspect ratio") {
+    import spark.implicits._
+    val media = Seq((1L, (1 to 1000).map(_.toByte).toArray),
+      (2L, Array[Byte](9)), (3L, Array.empty[Byte]))
+      .toDF("doc_id", "media")
+    val frames = Multimodal.frameSample(media, "doc_id", "media", n = 8)
+    val byDoc = frames.collect().groupBy(_.getLong(0))
+    assert(byDoc(1L).length == 8)
+    // frames tile the original bytes exactly, in order
+    val rebuilt = byDoc(1L).sortBy(_.getInt(1))
+      .flatMap(_.getAs[Array[Byte]]("frame_bytes"))
+    assert(rebuilt.toSeq == (1 to 1000).map(_.toByte))
+    assert(byDoc(2L).length == 1) // payload shorter than n
+    assert(!byDoc.contains(3L))   // empty payload: no frames
+    val resized = Multimodal.resizeTo(
+      Multimodal.decodeBatched(media.filter($"doc_id" === 1L),
+        "doc_id", "media"), maxSide = 64).collect().head
+    val (w, h) = (resized.getAs[Int]("width"), resized.getAs[Int]("height"))
+    val (rw, rh) = (resized.getAs[Int]("resized_width"),
+      resized.getAs[Int]("resized_height"))
+    assert(rw <= 64 && rh <= 64 && math.max(rw, rh) == 64)
+    // aspect ratio preserved within rounding
+    assert(math.abs(rw.toDouble / rh - w.toDouble / h) < 0.1)
+  }
+
   test("media metadata: size and magic sniffing") {
     import spark.implicits._
     val jpegish = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 1, 2)
