@@ -27,7 +27,11 @@ object Cli {
   val Dim = 32
 
   def flowFor(srcDir: String, workDir: String): Flow = {
-    val chunk = CocoFn("chunk", 1, deps = Seq("size=400", "overlap=40"),
+    // version history: v2 = BOM-aware decode (chunk) and the
+    // single-pass FNV embedder (embed) — stage logic changed, so the
+    // fingerprints must change or persisted indexes silently mix the
+    // old and new value spaces
+    val chunk = CocoFn("chunk", 2, deps = Seq("size=400", "overlap=40"),
       fn = df => {
         val c = Chunker.chunkUdf(chunkSize = 400, overlap = 40,
           language = "markdown")
@@ -38,7 +42,7 @@ object Cli {
             col("ch.text").as("chunk_text"),
             col("ch.start_line"), col("ch.end_line"))
       })
-    val embed = CocoFn("embed", 1, deps = Seq(s"dim=$Dim"),
+    val embed = CocoFn("embed", 2, deps = Seq(s"dim=$Dim"),
       fn = df => df.withColumn("embedding",
         HashEmbedder.embed(col("chunk_text"), Dim)))
     new Flow("cli_index",

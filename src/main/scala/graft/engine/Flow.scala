@@ -253,14 +253,19 @@ final class Flow(
       .select("item_key", "row_key", "value_fp")
       .unionByName(desired.select("item_key", "row_key", "value_fp"))
 
-    val errorTables: Map[String, DataFrame] =
-      if (!hasErrors) Map.empty
-      else {
-        val prevErrors = st.read("errors", ErrorsSchema)
-        Map("errors" -> prevErrors
-          .join(scopeKeys, Seq("item_key"), "left_anti")
-          .unionByName(failed))
-      }
+    // errors reconcile unconditionally: a stage that STOPPED emitting
+    // __error must still clear the stale failure records of the
+    // components that recomputed cleanly (and of deleted components)
+    val errorTables: Map[String, DataFrame] = {
+      val prevErrors = st.read("errors", ErrorsSchema)
+      val newFailed =
+        if (hasErrors) failed
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ErrorsSchema)
+      Map("errors" -> prevErrors
+        .join(scopeKeys, Seq("item_key"), "left_anti")
+        .unionByName(newFailed))
+    }
     val stateTables = errorTables ++ Map("component_memo" -> newMemo,
       "tracking" -> newTracking) ++ userStateFn.map { fn =>
       val prev = st.read("user_state", UserStateSchema)

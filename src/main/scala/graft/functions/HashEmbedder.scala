@@ -23,27 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object HashEmbedder {
 
-  private def mix(seed: Long, k: Int): Long = {
-    var x = seed + k * 0x9e3779b97f4a7c15L
-    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL; x ^= x >>> 33
-    x
-  }
-
   /** Compute the embedding for one string (driver/executor shared). */
   def embedOne(text: String, dim: Int): Array[Float] = {
-    var seed = 0xcbf29ce484222325L
-    var i = 0
-    while (i < text.length) {
-      val c = text.charAt(i)
-      seed ^= (c & 0xff).toLong; seed *= 0x100000001b3L
-      seed ^= ((c >> 8) & 0xff).toLong; seed *= 0x100000001b3L
-      i += 1
-    }
+    val seed = Hashing.fnv64(text)
     val raw = new Array[Double](dim)
     var sq = 0.0
     var d = 0
     while (d < dim) {
-      val v = ((mix(seed, d) % 1000001L).toDouble / 1000000.5)
+      val v = ((Hashing.derive(seed, d) % 1000001L).toDouble / 1000000.5)
       raw(d) = v; sq += v * v; d += 1
     }
     val norm = math.sqrt(sq)

@@ -1,0 +1,46 @@
+package graft.functions
+
+/** The deterministic-hash contract in one place: FNV-1a accumulation
+  * over UTF-16 chars and the splitmix64 finalizer. Every JVM-side
+  * hash in the engine (shingles, SimHash votes, hash embeddings,
+  * fake-decode features, MinHash permutations) derives from these
+  * two, so determinism-across-runs is a single definition, not three
+  * drifting copies.
+  */
+object Hashing {
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+  final val Golden = 0x9e3779b97f4a7c15L
+
+  /** FNV-1a over a char's two bytes, low byte first. */
+  @inline def fnvChar(h0: Long, c: Char): Long = {
+    var h = h0
+    h ^= (c & 0xff).toLong; h *= FnvPrime
+    h ^= ((c >> 8) & 0xff).toLong; h *= FnvPrime
+    h
+  }
+
+  def fnv64(s: CharSequence): Long = {
+    var h = FnvOffset
+    var i = 0
+    while (i < s.length) { h = fnvChar(h, s.charAt(i)); i += 1 }
+    h
+  }
+
+  def fnv64(bytes: Array[Byte]): Long = {
+    var h = FnvOffset
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= FnvPrime; i += 1 }
+    h
+  }
+
+  /** splitmix64 finalizer — a well-mixed 64-bit permutation. */
+  @inline def mix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL; x ^= x >>> 33
+    x
+  }
+
+  /** The k-th derived stream of a base hash. */
+  @inline def derive(seed: Long, k: Int): Long = mix64(seed + k * Golden)
+}

@@ -161,21 +161,17 @@ object Dedup {
       val words = text.split(' ').filter(_.nonEmpty)
       if (words.length < n) Array.empty[Long]
       else {
+        import graft.functions.Hashing
         val set = new java.util.HashSet[java.lang.Long](words.length * 2)
         var i = 0
         while (i <= words.length - n) {
-          var h = 0xcbf29ce484222325L
+          var h = Hashing.FnvOffset
           var j = 0
           while (j < n) {
-            if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+            if (j > 0) h = Hashing.fnvChar(h, ' ')
             val wrd = words(i + j)
             var k = 0
-            while (k < wrd.length) {
-              val c = wrd.charAt(k)
-              h ^= (c & 0xff).toLong; h *= 0x100000001b3L
-              h ^= ((c >> 8) & 0xff).toLong; h *= 0x100000001b3L
-              k += 1
-            }
+            while (k < wrd.length) { h = Hashing.fnvChar(h, wrd.charAt(k)); k += 1 }
             j += 1
           }
           set.add(h)
@@ -201,15 +197,15 @@ object Dedup {
       n: Int = 3, idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
     require(numHashes % bandRows == 0)
-    val sigUdf = udf { text: String =>
-      val sh = shingleHashUdfImpl(text, n)
+    // signatures derive from the already-hashed shingle column — the
+    // expensive tokenize+shingle pass runs once per doc, not twice
+    val sigUdf = udf { sh: Seq[Long] =>
       if (sh.isEmpty) null.asInstanceOf[Array[Long]]
       else Array.tabulate(numHashes) { i =>
         var mn = Long.MaxValue
         var j = 0
         while (j < sh.length) {
-          var x = sh(j) + i * 0x9e3779b97f4a7c15L
-          x ^= x >>> 33; x *= 0xff51afd7ed558ccdL; x ^= x >>> 33
+          val x = graft.functions.Hashing.derive(sh(j), i)
           if (x < mn) mn = x
           j += 1
         }
@@ -217,8 +213,8 @@ object Dedup {
       }
     }
     val d = docs.select(col(idCol).as("doc_id"),
-      shingleHashUdf(n)(col(textCol)).as("sh"),
-      sigUdf(col(textCol)).as("sig"))
+      shingleHashUdf(n)(col(textCol)).as("sh"))
+      .withColumn("sig", sigUdf(col("sh")))
       .filter(col("sig").isNotNull)
       .cache()
     val nBands = numHashes / bandRows

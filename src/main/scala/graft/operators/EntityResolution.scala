@@ -39,16 +39,26 @@ object EntityResolution {
       vertices: DataFrame, edges: DataFrame,
       idCol: String = "id", srcCol: String = "src", dstCol: String = "dst",
       maxIter: Int = 25, localEdgeThreshold: Long = 1L << 20): DataFrame = {
+    // ids are LONGs by contract (entity resolution keys on numeric
+    // vec_ids); a lossy cast would silently break string-keyed graphs,
+    // so reject non-castable ids loudly instead
+    val vidSet = vertices
+      .select(col(idCol).cast("long").as("vid"), col(idCol).as("raw"))
+    if (vidSet.filter(col("vid").isNull && col("raw").isNotNull).limit(1)
+        .count() > 0)
+      throw new IllegalArgumentException(
+        s"connectedComponents requires long-castable vertex ids ($idCol)")
     // contract: edges reference declared vertices; enforce it so the
     // local and distributed paths agree (the distributed loop's joins
     // drop unlisted endpoints implicitly — filtering here makes that
     // explicit and path-independent)
-    val vidSet = vertices.select(col(idCol).cast("long").as("vid"))
     val und = edges
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .join(vidSet.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
-      .join(vidSet.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .union(edges.select(col(dstCol).cast("long").as("src"),
+        col(srcCol).cast("long").as("dst")))
+      .join(vidSet.select(col("vid").as("src")), Seq("src"), "left_semi")
+      .join(vidSet.select(col("vid").as("dst")), Seq("dst"), "left_semi")
       .select("src", "dst")
       .distinct()
       .cache()

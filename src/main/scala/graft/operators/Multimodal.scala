@@ -43,11 +43,8 @@ object Multimodal {
     def decode(bytes: Array[Byte]): Decoded = {
       // FNV-1a over the payload drives every fake property, so the
       // stub is stable across runs and machines
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
-      def mix(k: Int): Long = { var x = h + k * 0x9e3779b97f4a7c15L
-        x ^= x >>> 33; x *= 0xff51afd7ed558ccdL; x ^= x >>> 33; x }
+      val h = graft.functions.Hashing.fnv64(bytes)
+      def mix(k: Int): Long = graft.functions.Hashing.derive(h, k)
       val feats = Array.tabulate(FeatureDim) { d =>
         ((mix(d + 10) % 2000001L).toFloat / 1000000.5f) }
       val norm = math.sqrt(feats.map(f => f * f.toDouble).sum).toFloat
@@ -74,11 +71,14 @@ object Multimodal {
       .flatMap { case (k, bytes) =>
         if (bytes == null || bytes.isEmpty) Iterator.empty
         else {
+          // integer boundaries (i*len)/frames tile exactly; double
+          // arithmetic could round the last boundary below len and
+          // drop trailing bytes
           val frames = math.min(n, bytes.length)
-          val step = bytes.length.toDouble / frames
+          val len = bytes.length.toLong
           (0 until frames).iterator.map { i =>
-            val from = (i * step).toInt
-            val until = math.min(bytes.length, ((i + 1) * step).toInt.max(from + 1))
+            val from = (i * len / frames).toInt
+            val until = ((i + 1) * len / frames).toInt
             (k, i, java.util.Arrays.copyOfRange(bytes, from, until))
           }
         }
@@ -93,9 +93,13 @@ object Multimodal {
   def resizeTo(decoded: DataFrame, maxSide: Int): DataFrame = {
     val scale = least(lit(1.0),
       lit(maxSide) / greatest(col("width"), col("height")))
+    // clamp: ceil can overshoot by 1 when the double division rounds
+    // up (e.g. 224/293 * 293 = 224.00000000000003)
     decoded
-      .withColumn("resized_width", ceil(col("width") * scale).cast("int"))
-      .withColumn("resized_height", ceil(col("height") * scale).cast("int"))
+      .withColumn("resized_width",
+        least(lit(maxSide), ceil(col("width") * scale)).cast("int"))
+      .withColumn("resized_height",
+        least(lit(maxSide), ceil(col("height") * scale)).cast("int"))
   }
 
   /** Batched decode over a binary column: partitions are processed in

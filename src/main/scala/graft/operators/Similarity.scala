@@ -140,7 +140,11 @@ object Similarity {
     }
 
     // ---- index: each corpus vector in its nearest cell ----------------
+    // (checkpointed so the training cache can be released — repeated
+    // ivfTopK calls in a long session must not pin corpus blocks)
     val indexed = assignCells(c, centroids, 1).join(c, Seq("neighbor_id"))
+      .localCheckpoint()
+    c.unpersist()
 
     // ---- query: probe nProbe cells, exact re-rank ---------------------
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))

@@ -239,13 +239,17 @@ object TextPack extends QueryPack {
           Tables(s, dir, "documents"), maxHamming = 3)),
 
     // ---- MinHash near-dup (rows-only: banded approximate candidates;
-    // subset+recall vs the exact prefix-filter join in DedupSpec) ---------
+    // subset+recall vs the exact prefix-filter join in DedupSpec).
+    // At threshold 0.2, banding must use single-hash bands: a pair at
+    // J=0.2 collides per r-row band with probability J^r, so r=1 with
+    // 32 bands gives recall 1-(0.8)^32 ≈ 0.999 where the r=2 default
+    // (right for J≥0.5) would miss half the threshold-level pairs. ------
     Q(
       "q49_minhash_neardup",
       None,
       (s, dir) =>
         graft.operators.Dedup.minHashNearDup(
-          Tables(s, dir, "documents"), threshold = 0.2)),
+          Tables(s, dir, "documents"), threshold = 0.2, bandRows = 1)),
 
     // ---- n-gram Jaccard near-dup, exact via prefix-filtering join -------
     // The oracle is the *unblocked* all-pairs definition; the Spark
