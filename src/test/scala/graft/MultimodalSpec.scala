@@ -41,6 +41,16 @@ class MultimodalSpec extends SparkSpec {
     val rebuilt = byDoc(1L).sortBy(_.getInt(1))
       .flatMap(_.getAs[Array[Byte]]("frame_bytes"))
     assert(rebuilt.toSeq == (1 to 1000).map(_.toByte))
+    // non-divisible frame counts must still tile (double-arithmetic
+    // boundaries once dropped the trailing byte for e.g. 15 bytes / 11)
+    import spark.implicits._
+    for ((len, n) <- Seq((15, 11), (26, 23), (30, 13), (1000, 7))) {
+      val m = Seq((1L, (1 to len).map(_.toByte).toArray)).toDF("doc_id", "media")
+      val tiled = Multimodal.frameSample(m, "doc_id", "media", n)
+        .collect().sortBy(_.getInt(1))
+        .flatMap(_.getAs[Array[Byte]]("frame_bytes"))
+      assert(tiled.toSeq == (1 to len).map(_.toByte), s"len=$len n=$n")
+    }
     assert(byDoc(2L).length == 1) // payload shorter than n
     assert(!byDoc.contains(3L))   // empty payload: no frames
     val resized = Multimodal.resizeTo(
