@@ -218,18 +218,21 @@ object Dedup {
       .filter(col("sig").isNotNull)
       .cache()
     val nBands = numHashes / bandRows
-    val banded = d.select(col("doc_id"),
+    val banded = d.select(col("doc_id"), size(col("sh")).as("sz"),
       explode(sequence(lit(0), lit(nBands - 1))).as("band"),
       col("sig"))
       .withColumn("code",
         md5(to_json(slice(col("sig"), col("band") * bandRows + 1,
           lit(bandRows)))))
-      .select("doc_id", "band", "code")
-    val candidates = banded.select(col("doc_id").as("doc_a"), col("band"),
-        col("code"))
-      .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("code")),
-        Seq("band", "code"))
-      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_id", "sz", "band", "code")
+    val candidates = banded.select(col("doc_id").as("doc_a"),
+        col("sz").as("sz_a"), col("band"), col("code"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+        col("band"), col("code")), Seq("band", "code"))
+      .filter(col("doc_a") < col("doc_b") &&
+        // length filter (exact): J ≥ t ⇒ t·|A| ≤ |B| and t·|B| ≤ |A|
+        col("sz_b") >= col("sz_a") * threshold &&
+        col("sz_a") >= col("sz_b") * threshold)
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
     val verified = candidates
