@@ -93,14 +93,27 @@ object OpsPack extends QueryPack {
       }),
 
     // ---- multimodal: batched (stub) decode — rows-only ------------------
+    // (the raw ARRAY<FLOAT> `features` column defeats the driver's
+    // pandas sort-based comparator, so the query projects it to
+    // sortable scalars: a rounded l2-norm and an element hash. The
+    // array-producing operator itself is exercised in MultimodalSpec.)
     Q(
       "q55_multimodal_decode",
       None,
-      (s, dir) =>
-        Multimodal.decodeBatched(
+      (s, dir) => {
+        val decoded = Multimodal.decodeBatched(
           Tables(s, dir, "documents")
             .select(col("doc_id"), col("text").cast("binary").as("media")),
-          keyCol = "doc_id", mediaCol = "media")),
+          keyCol = "doc_id", mediaCol = "media")
+        decoded.select(
+          col("doc_id"), col("width"), col("height"),
+          col("channels"), col("n_frames"),
+          round(
+            sqrt(aggregate(col("features"), lit(0.0d),
+              (acc, x) => acc + x.cast("double") * x.cast("double"))),
+            6).as("features_l2"),
+          xxhash64(to_json(col("features"))).as("features_hash"))
+      }),
 
     // ---- multi-format scans: CSV + JSON + ORC round-trip ----------------
     // (§2.F scans beyond parquet: the same relation is written to and
@@ -111,8 +124,8 @@ object OpsPack extends QueryPack {
     Q(
       "q29_multi_format_scan",
       Some("""
-        SELECT c_mktsegment, count(*) * 3 AS n_rows,
-               sum(CAST(c_nationkey AS BIGINT)) * 3 AS nation_sum
+        SELECT c_mktsegment, CAST(count(*) * 3 AS BIGINT) AS n_rows,
+               CAST(sum(CAST(c_nationkey AS BIGINT)) * 3 AS BIGINT) AS nation_sum
         FROM customer
         GROUP BY c_mktsegment"""),
       (s, dir) => {

@@ -39,8 +39,8 @@ object RelationalPack extends QueryPack {
       Some("""
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)                    AS sum_qty,
-               sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sum_base_price_cents,
-               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS sum_disc_price_cents,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
                round(avg(l_quantity), 4)                    AS avg_qty,
                round(avg(l_extendedprice), 2)               AS avg_price,
                round(avg(l_discount), 6)                    AS avg_disc,
@@ -69,7 +69,7 @@ object RelationalPack extends QueryPack {
       "q02_top_revenue_orders",
       Some("""
         SELECT o.o_orderkey, o.o_orderdate,
-               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
                  AS revenue_cents
         FROM customer c
         JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -98,7 +98,7 @@ object RelationalPack extends QueryPack {
       "q03_revenue_by_nation",
       Some("""
         SELECT n.n_name,
-               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
                  AS revenue_cents
         FROM region r
         JOIN nation n   ON n.n_regionkey = r.r_regionkey
@@ -194,7 +194,7 @@ object RelationalPack extends QueryPack {
       Some("""
         SELECT n.n_name,
                count(c.c_custkey) AS n_customers,
-               coalesce(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)), 0)
+               CAST(coalesce(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)), 0) AS BIGINT)
                  AS total_acctbal_cents
         FROM nation n
         LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -239,7 +239,7 @@ object RelationalPack extends QueryPack {
                CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
                CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
                count(*) AS n_orders,
-               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS total_cents
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)"""),
       (s, dir) =>
@@ -477,7 +477,7 @@ object RelationalPack extends QueryPack {
                            * CAST(round(l_quantity, 0) AS BIGINT)) AS DOUBLE)
                      / sum(CAST(round(l_quantity, 0) AS BIGINT)) / 100.0, 4)
                  AS wavg_price,
-               sum(CAST(round(l_quantity, 0) AS BIGINT)) AS total_qty
+               CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS total_qty
         FROM lineitem GROUP BY l_returnflag"""),
       (s, dir) => {
         import graft.functions.Aggregates

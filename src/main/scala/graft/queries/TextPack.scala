@@ -181,8 +181,8 @@ object TextPack extends QueryPack {
         SELECT lang,
                count(DISTINCT doc_id) AS n_docs,
                count(*) AS n_chunks,
-               sum(CAST(len(list_filter(string_split(chunk_text, ' '), x -> x <> ''))
-                 AS BIGINT)) AS total_words
+               CAST(sum(CAST(len(list_filter(string_split(chunk_text, ' '), x -> x <> ''))
+                 AS BIGINT)) AS BIGINT) AS total_words
         FROM chunks GROUP BY lang"""),
       (s, dir) => {
         val w = Window.partitionBy("block_hash")

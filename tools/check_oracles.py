@@ -62,6 +62,12 @@ def compare(con, a, b):
         return False, f"row count differs: spark={len(adf)} oracle={len(bdf)}"
     adf = adf.sort_values(acols).reset_index(drop=True)
     bdf = bdf.sort_values(bcols).reset_index(drop=True)
+    # the driver's hash is type-tagged: a numerically-equal column with a
+    # different physical type (e.g. DuckDB HUGEINT vs Spark BIGINT) fails
+    for c in acols:
+        if str(adf[c].dtype) != str(bdf[c].dtype):
+            return False, (f"col {c}: dtype differs: "
+                           f"spark={adf[c].dtype} oracle={bdf[c].dtype}")
     for c in acols:
         av, bv = adf[c], bdf[c]
         try:
