@@ -218,12 +218,15 @@ object Dedup {
       .filter(col("sig").isNotNull)
       .cache()
     val nBands = numHashes / bandRows
+    // band code: one codegen'd xxhash64 over the band's signature longs
+    // (bandRows is plan-time constant, so arity is static) — same
+    // blocking as hashing the serialized slice at ~10x less work
+    val bandElems = (0 until bandRows).map(r =>
+      element_at(col("sig"), col("band") * bandRows + r + 1))
     val banded = d.select(col("doc_id"), size(col("sh")).as("sz"),
       explode(sequence(lit(0), lit(nBands - 1))).as("band"),
       col("sig"))
-      .withColumn("code",
-        md5(to_json(slice(col("sig"), col("band") * bandRows + 1,
-          lit(bandRows)))))
+      .withColumn("code", xxhash64(bandElems: _*))
       .select("doc_id", "sz", "band", "code")
     val candidates = banded.select(col("doc_id").as("doc_a"),
         col("sz").as("sz_a"), col("band"), col("code"))
