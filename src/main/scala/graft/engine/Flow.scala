@@ -111,21 +111,21 @@ final class Flow(
           .otherwise(lit("suspect")))                              // level 2 needed
       .cache()
 
-    // one driver round-trip serves classification counts AND the load
-    // key list (probe is metadata-scale: one row per source item —
-    // the same listing Spark itself materializes driver-side)
-    val probeRows = probe.select("item_key", "cls").collect()
-      .map(r => r.getString(0) -> r.getString(1))
-    val byCls = probeRows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
-      .withDefaultValue(0L)
+    // classification counts: a ≤4-row aggregate — the per-item probe
+    // rows never leave the executors (at 10⁷–10⁸ source items a
+    // driver-side listing collect is a heap bomb; only the histogram
+    // belongs on the driver)
+    val byCls = probe.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    val nTotal = byCls.values.sum
 
     // ---- level 2: content fingerprint for suspects --------------------
     // (suspects exist only for sources with a content fp; content is
-    // loaded once and reused by the transform)
-    val loadKeys = probeRows
-      .collect { case (k, cls) if cls == "changed" || cls == "suspect" => k }
-      .toSeq
-    val loaded = source.load(spark, loadKeys)
+    // loaded once and reused by the transform; the key set stays a
+    // DataFrame end-to-end — Source.load decides how to exploit it)
+    val loadKeysDf = probe
+      .filter(col("cls").isin("changed", "suspect")).select("item_key")
+    val loaded = source.load(spark, loadKeysDf)
       .withColumn("__content_fp",
         source.contentFpOf.getOrElse(lit(null).cast("string")))
       .cache()
@@ -159,8 +159,7 @@ final class Flow(
     // rewrite metadata every tick)
     if (nChanged == 0 && byCls("gone") == 0 && nRefreshed == 0) {
       Seq(listing, probe, level2, changedKeys, loaded).foreach(_.unpersist())
-      return RunStats(probeRows.length.toLong, byCls("unchanged"),
-        0, 0, 0, 0, 0, 0, 0)
+      return RunStats(nTotal, byCls("unchanged"), 0, 0, 0, 0, 0, 0, 0)
     }
 
     // ---- the expensive transform, on changed components only ----------
@@ -280,7 +279,7 @@ final class Flow(
     st.commit(stateTables)
 
     val stats = RunStats(
-      components = probeRows.length - byCls("gone"),
+      components = nTotal - byCls("gone"),
       unchanged = byCls("unchanged"),
       refreshed = nRefreshed,
       recomputed = nChanged,

@@ -21,11 +21,30 @@ import org.apache.spark.sql.functions._
   */
 trait Source {
   def list(spark: SparkSession): DataFrame
-  def load(spark: SparkSession, keys: Seq[String]): DataFrame
+
+  /** Load full payload rows for exactly the items in `keys` — a
+    * single-column (`item_key STRING`) DataFrame, so the changed set
+    * flows plan-to-plan without ever being materialized on the
+    * driver. At 10⁷–10⁸ source items a driver-side `Seq[String]` of
+    * changed keys is a heap bomb; a DataFrame stays an executor-side
+    * relation that Catalyst can semi-join, broadcast, or push down as
+    * it sizes fit (reference keeps its listing in the engine's own
+    * tables for the same reason, rust/core/src/engine/execution.rs:83).
+    */
+  def load(spark: SparkSession, keys: DataFrame): DataFrame
+
   def contentFpOf: Option[Column]
+
+  /** Driver-side convenience for tests and the empty schema probe. */
+  final def load(spark: SparkSession, keys: Seq[String]): DataFrame =
+    load(spark, Source.keysDf(spark, keys))
 }
 
 object Source {
+  private[engine] def keysDf(spark: SparkSession, keys: Seq[String]): DataFrame =
+    spark.createDataset(keys)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("item_key")
+
   /** BOM-aware text decode of a binary content column (the
     * reference's `File.read_text`,
     * python/cocoindex/connectors/localfs/_source.py:35-70): UTF-8
@@ -114,25 +133,47 @@ final case class LocalFsSource(
       .filter(matchUdf(col("item_key")))
   }
 
-  def load(spark: SparkSession, keys: Seq[String]): DataFrame = {
+  /** Load = binaryFile scan + semi-join on the derived relative key.
+    *
+    * IO shape: when the changed set is small (the steady-state of an
+    * incremental run) the keys are collected — bounded by
+    * [[LocalFsSource.MaxPushdownPaths]], i.e. O(delta), never
+    * O(corpus) — and handed to Hadoop as literal paths, so only the
+    * changed files are opened. Past the bound (a backfill-sized
+    * delta) it falls back to a full scan semi-joined on `item_key`:
+    * at that point a large fraction of the corpus is being re-read
+    * anyway and the join keeps every per-item structure off the
+    * driver. (Spark's own file index still lists the directory
+    * driver-side — a production deployment at 10⁸ files would swap
+    * this source for a distributed manifest table, which is exactly
+    * the [[TableSource]] form.)
+    */
+  def load(spark: SparkSession, keys: DataFrame): DataFrame = {
     val relUdf = relPathUdf
-    if (keys.isEmpty)
+    // bounded count: never scans more than MaxPushdownPaths + 1 keys
+    val bounded = keys.select(col("item_key"))
+      .limit(LocalFsSource.MaxPushdownPaths + 1).collect()
+    if (bounded.isEmpty)
       spark.read.format("binaryFile").load(dir).limit(0)
         .select(relUdf(col("path")).as("item_key"), col("content"))
-    else {
+    else if (bounded.length <= LocalFsSource.MaxPushdownPaths) {
       // Hadoop treats [ ] { } * ? as glob metacharacters in load
       // paths — escape them so files like 'report[2024].md' load
       // literally instead of failing path resolution
-      val paths = keys.map { k =>
-        val raw = new java.io.File(dir, k).getPath
+      val paths = bounded.map { r =>
+        val raw = new java.io.File(dir, r.getString(0)).getPath
         raw.flatMap {
           case c if "[]{}*?".indexOf(c) >= 0 => s"\\$c"
           case c => c.toString
         }
       }
-      spark.read.format("binaryFile").load(paths: _*)
+      spark.read.format("binaryFile").load(paths.toIndexedSeq: _*)
         .select(relUdf(col("path")).as("item_key"), col("content"))
-    }
+    } else
+      spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true").load(dir)
+        .select(relUdf(col("path")).as("item_key"), col("content"))
+        .join(keys.select("item_key"), Seq("item_key"), "left_semi")
   }
 
   def contentFpOf: Option[Column] = Some(md5(col("content")))
@@ -163,6 +204,13 @@ final case class LocalFsSource(
   }
 }
 
+object LocalFsSource {
+  /** Ceiling on driver-collected changed keys for the pushed-down
+    * literal-path load (~100 B/path ⇒ ≲1 MiB of driver heap). Above
+    * it, load degrades gracefully to scan+semi-join. */
+  val MaxPushdownPaths = 10000
+}
+
 /** Any keyed DataFrame as a source — the reference's
   * `postgres.PgTableSource`-style table scan
   * (python/cocoindex/connectors/postgres/_source.py:155) generalized:
@@ -179,16 +227,13 @@ final case class TableSource(
       md5(to_json(struct(valueCols.toSeq: _*))).as("memo_state"))
   }
 
-  def load(spark: SparkSession, keys: Seq[String]): DataFrame = {
-    val df = table(spark)
+  /** Semi-join on the key set — fully plan-side: no driver
+    * materialization at any delta size; AQE turns it into a broadcast
+    * join when the changed set is small. */
+  def load(spark: SparkSession, keys: DataFrame): DataFrame =
+    table(spark)
       .withColumn("item_key", col(keyCol).cast("string"))
-    if (keys.isEmpty) df.limit(0)
-    else if (keys.length <= 100) df.filter(col("item_key").isin(keys: _*))
-    else { // large change sets: broadcast semi-join beats a giant IN
-      import spark.implicits._
-      df.join(broadcast(keys.toDF("item_key")), Seq("item_key"), "left_semi")
-    }
-  }
+      .join(keys.select("item_key"), Seq("item_key"), "left_semi")
 
   def contentFpOf: Option[Column] = None
 }
