@@ -100,60 +100,131 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
-  /** IVF (inverted-file) approximate KNN — the second scale path
-    * next to [[lshTopK]]: a small coarse quantizer (k centroids from
-    * a few Lloyd rounds, all as DataFrame aggregations) partitions
-    * the corpus into cells; a query scores only the `nprobe` nearest
-    * cells' members, then exact cosine re-ranks. The candidate join
-    * is an equi-join on cell id, so the shuffle moves cell ids —
-    * never the Q×N cross product — and the corpus assignment is
-    * computed once and reusable across query batches.
-    *
-    * Determinism: centroid init picks the k corpus vectors with the
-    * smallest xxhash64(id) (seeded, data-independent order), so the
-    * index is reproducible run to run.
-    */
-  def ivfTopK(
-      queries: DataFrame, corpus: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, lloydRounds: Int = 3,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(embCol).as("c_emb")).cache()
-
-    // ---- train the coarse quantizer -----------------------------------
-    var centroids = c
-      .withColumn("h", xxhash64(col("neighbor_id")))
-      .orderBy("h").limit(nCells)
-      .select(monotonically_increasing_id().as("cell"),
-        col("c_emb").cast("array<double>").as("centroid"))
-      .localCheckpoint()
-    for (_ <- 1 to lloydRounds) {
-      val assigned = assignCells(c, centroids, 1)
-      centroids = assigned
-        .join(c, Seq("neighbor_id"))
-        .select(col("cell"), posexplode(col("c_emb")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos").agg(avg(col("v").cast("double")).as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"), transform(col("pm"), x => x("m")).as("centroid"))
-        .localCheckpoint()
+  /** A built IVF index: the coarse quantizer (`centroids`: cell,
+    * centroid ARRAY<DOUBLE>) and the corpus inverted lists
+    * (`assignment`: cell, neighbor_id, c_emb). Both are plain
+    * DataFrames — persist them with [[save]] / reload with
+    * [[IvfIndex.load]] exactly like any other engine state table, or
+    * make them a flow target so the index is maintained
+    * incrementally. */
+  final case class IvfIndex(centroids: DataFrame, assignment: DataFrame) {
+    def save(dir: String): Unit = {
+      centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+      assignment.write.mode("overwrite").parquet(s"$dir/assignment")
     }
+  }
+  object IvfIndex {
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
+      IvfIndex(spark.read.parquet(s"$dir/centroids"),
+        spark.read.parquet(s"$dir/assignment"))
+  }
 
-    // ---- index: each corpus vector in its nearest cell ----------------
-    // (checkpointed so the training cache can be released — repeated
-    // ivfTopK calls in a long session must not pin corpus blocks)
-    val indexed = assignCells(c, centroids, 1).join(c, Seq("neighbor_id"))
+  /** Build an IVF index: train the coarse quantizer, assign every
+    * corpus vector to its nearest cell ONCE. This is the expensive
+    * half — an index-build pipeline output at 100 TB (reference
+    * pattern: pgvector's ivfflat index is built by DDL and consumed
+    * by KNN queries, python/cocoindex/connectors/postgres/
+    * _target.py:499, examples/text_embedding/main.py:138-156) — and
+    * it never belongs in the query path: [[ivfQuery]] only probes.
+    *
+    * Training cost is decoupled from corpus size: Lloyd rounds run on
+    * a deterministic `trainSize`-row sample (the corpus vectors with
+    * the smallest xxhash64(id) — data-independent order, so the index
+    * is reproducible run to run), the standard quantizer-training
+    * practice; only the final cell assignment touches the full
+    * corpus, one broadcast-join pass.
+    */
+  def ivfBuild(
+      corpus: DataFrame, nCells: Int = 16, lloydRounds: Int = 3,
+      trainSize: Int = 4096,
+      idCol: String = "vec_id", embCol: String = "embedding"): IvfIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(embCol).as("c_emb"))
+
+    // ---- train the coarse quantizer in memory on a bounded sample -----
+    // (deterministic TakeOrdered sample: the trainSize corpus vectors
+    // with the smallest xxhash64(id). ~1 MiB at the defaults — the
+    // quantizer itself is a driver-scale object, which is exactly how
+    // FAISS trains ivfflat: in-memory k-means on a sample, never a
+    // distributed job per Lloyd round)
+    val sampleRows: Array[Array[Double]] = c
+      .withColumn("h", xxhash64(col("neighbor_id")))
+      .orderBy(col("h"), col("neighbor_id"))
+      .limit(math.max(trainSize, nCells))
+      .select(col("c_emb").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val trained = lloyd(sampleRows, nCells, lloydRounds)
+    val centroids = trained.zipWithIndex
+      .map { case (a, i) => (i.toLong, a.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+
+    // ---- inverted lists: ONE full-corpus pass, broadcast quantizer ----
+    val assignment = assignCells(c, centroids, 1).join(c, Seq("neighbor_id"))
       .localCheckpoint()
-    c.unpersist()
+    IvfIndex(centroids, assignment)
+  }
 
-    // ---- query: probe nProbe cells, exact re-rank ---------------------
+  /** In-memory spherical k-means (cosine Lloyd) over the sample:
+    * init = first k sample vectors, assignment by highest cosine
+    * (ties → lowest cell), update = element-wise mean; an emptied
+    * cell keeps its previous centroid. Deterministic for a fixed
+    * sample order. */
+  private def lloyd(points: Array[Array[Double]], k: Int,
+      rounds: Int): Array[Array[Double]] = {
+    if (points.isEmpty) return Array.empty
+    val dim = points(0).length
+    var cents = points.take(k).map(_.clone)
+    for (_ <- 1 to rounds) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      points.foreach { p =>
+        var best = 0; var bestCs = Double.NegativeInfinity
+        var ci = 0
+        while (ci < cents.length) {
+          val cs = cosineOf(p, cents(ci))
+          if (cs > bestCs) { bestCs = cs; best = ci }
+          ci += 1
+        }
+        var d = 0
+        while (d < dim) { sums(best)(d) += p(d); d += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        if (counts(ci) == 0) old
+        else {
+          val m = new Array[Double](dim)
+          var d = 0
+          while (d < dim) { m(d) = sums(ci)(d) / counts(ci); d += 1 }
+          m
+        }
+      }
+    }
+    cents
+  }
+
+  private def cosineOf(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Serve KNN from a built [[IvfIndex]]: quantize the query batch,
+    * probe the `nProbe` nearest cells' inverted lists via an
+    * equi-join on cell id (the shuffle moves cell ids, never the Q×N
+    * cross product), exact cosine re-rank on the candidates. */
+  def ivfQuery(
+      queries: DataFrame, index: IvfIndex, k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
     val probes = assignCells(
       q.select(col("query_id").as("neighbor_id"), col("q_emb").as("c_emb")),
-      centroids, nProbe)
+      index.centroids, nProbe)
       .select(col("neighbor_id").as("query_id"), col("cell"))
     val candidates = probes.join(q, Seq("query_id"))
-      .join(indexed, Seq("cell"))
+      .join(index.assignment, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
@@ -165,13 +236,31 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** Build-then-query convenience (tests, one-shot jobs). Real
+    * deployments build once ([[ivfBuild]] / [[ivfIndexFor]]) and
+    * serve many query batches from the persisted index. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, lloydRounds: Int = 3,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    ivfQuery(queries,
+      ivfBuild(corpus, nCells, lloydRounds, idCol = idCol, embCol = embCol),
+      k, nProbe, idCol, embCol)
+
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]
+  /** Per-JVM memoized index keyed by a caller-chosen identity (e.g.
+    * the dataset directory) — the in-session analog of querying a
+    * DDL-built index: the first caller builds, everyone after probes. */
+  def ivfIndexFor(key: String, corpus: => DataFrame,
+      nCells: Int = 16, lloydRounds: Int = 3): IvfIndex =
+    indexCache.computeIfAbsent(key, _ => ivfBuild(corpus, nCells, lloydRounds))
+
   /** Nearest `take` cells per vector (broadcast the tiny centroid
     * table; primitive-loop cosine — the interpreted HOF form was the
     * training bottleneck). */
   private def assignCells(vecs: DataFrame, centroids: DataFrame,
       take: Int): DataFrame = {
-    val w = Window.partitionBy("neighbor_id")
-      .orderBy(col("cs").desc, col("cell"))
     val cos = udf { (a: Seq[Float], b: Seq[Double]) =>
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       val n = math.min(a.length, b.length)
@@ -181,11 +270,25 @@ object Similarity {
       }
       if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
     }
-    vecs.crossJoin(broadcast(centroids))
+    val scored = vecs.crossJoin(broadcast(centroids))
       .withColumn("cs", cos(col("c_emb"), col("centroid")))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") <= take)
-      .select(col("neighbor_id"), col("cell"))
+    if (take == 1)
+      // nearest cell via max_by: partial-aggregates map-side (one
+      // combined row per vector per partition), no window sort — this
+      // is the full-corpus pass, so the saved shuffle is O(N·cells)
+      // (tie-break: highest cs, then lowest cell id, as the window
+      // ordering below)
+      scored.groupBy("neighbor_id")
+        .agg(max_by(col("cell"), struct(col("cs"), -col("cell"))).as("cell"))
+        .select(col("neighbor_id"), col("cell"))
+    else {
+      val w = Window.partitionBy("neighbor_id")
+        .orderBy(col("cs").desc, col("cell"))
+      scored
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= take)
+        .select(col("neighbor_id"), col("cell"))
+    }
   }
 
   /** All pairs (a < b) whose cosine similarity rounds to ≥ threshold —

@@ -86,13 +86,18 @@ object SimilarityPack extends QueryPack {
       }),
 
     // ---- approximate KNN via IVF (no oracle: approximate; recall
-    // asserted in SimilaritySpec) ----------------------------------------
+    // asserted in SimilaritySpec). Build/query split: the index is
+    // built once per dataset (ivfIndexFor — the DDL-built-index
+    // analog) and the query only quantizes the batch, probes nProbe
+    // cells and re-ranks. ------------------------------------------------
     Q(
       "q47_knn_ivf",
       None,
       (s, dir) => {
-        val emb = Tables(s, dir, "embeddings")
-        Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb, 10)
+        val index = Similarity.ivfIndexFor(s"$dir/embeddings",
+          Tables(s, dir, "embeddings"))
+        Similarity.ivfQuery(
+          Tables(s, dir, "embeddings").filter(col("vec_id") < 8), index, 10)
       }),
 
     // ---- entity resolution: similarity edges → connected components →

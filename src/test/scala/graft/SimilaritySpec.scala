@@ -61,6 +61,21 @@ class SimilaritySpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("ivf index: build once, save/load round-trip serves identical results") {
+    assume(testdataAvailable)
+    val index = Similarity.ivfBuild(emb)
+    val direct = Similarity.ivfQuery(queries, index, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    index.save(dir)
+    val reloaded = Similarity.IvfIndex.load(spark, dir)
+    val served = Similarity.ivfQuery(queries, reloaded, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served == direct, "persisted index must serve the same neighbors")
+    // the serving path must not retrain: centroids are read, not derived
+    assert(reloaded.centroids.count() == index.centroids.count())
+  }
+
   test("bruteForceTopK returns exactly k ranked neighbors per query") {
     assume(testdataAvailable)
     val rows = Similarity.bruteForceTopK(queries, emb, 5).collect()
