@@ -67,33 +67,119 @@ final class Flow(
       * components are pruned, exactly like the reference's
       * prune-on-not-redeclared; unchanged components keep their state
       * untouched. Read access outside runs: [[userState]]. */
-    userStateFn: Option[(DataFrame, DataFrame) => DataFrame] = None)
+    userStateFn: Option[(DataFrame, DataFrame) => DataFrame] = None,
+    /** Who owns the target container's lifecycle: the engine only
+      * plans DDL (truncate-recreate) for SystemManaged targets
+      * (reference ManagedBy, connectorkits/target.py:10). */
+    managedBy: StateDiff.ManagedBy = StateDiff.SystemManaged)
     extends Serializable {
 
   def processorFingerprint: String =
     Fingerprint.of(("flow" +: name +: stages.map(_.logicFingerprint)): _*)
 
-  /** Declared-output-schema fingerprint: the stages are applied to an
-    * empty load and the resulting schema hashed. A schema change —
-    * column added/removed/retyped, even with unchanged stage versions
-    * — therefore changes the effective processor fingerprint and
-    * triggers the automatic full backfill the reference gets from
-    * provider-generation bumps (execution.rs:316-338,
-    * target_state.py:194 child_invalidation). */
-  private def schemaFingerprint(spark: SparkSession): String =
+  /** Declared output schema: the stages applied to an empty load.
+    * None when a stage cannot run on empty input — then schema-change
+    * planning degrades to stage-version tracking alone. */
+  private def declaredSchema(spark: SparkSession)
+      : Option[org.apache.spark.sql.types.StructType] =
     try {
-      val probe = stages.foldLeft(source.load(spark, Nil))((df, s) => s.fn(df))
-      Fingerprint.of("schema", probe.schema.json)
+      Some(stages.foldLeft(source.load(spark, Nil))((df, s) => s.fn(df)).schema)
     } catch {
-      case _: Exception => "" // stages that cannot run on empty input
+      case _: Exception => None
     }
+
+  /** The desired table-level tracking record: container signature as
+    * the main record, per-value-column (type, nullable) signatures as
+    * sub records (the reference table-connector shape,
+    * postgres/_target.py:930-947). */
+  private def desiredTableRecord(
+      sch: org.apache.spark.sql.types.StructType): StateDiff.TableRecord = {
+    val cols = sch.fields
+      .filterNot(f => f.name == "item_key" || f.name == "row_key" ||
+        f.name == "__error")
+      .map(f => f.name -> StateDiff.ColumnSig(f.dataType.sql, f.nullable))
+      .toMap
+    StateDiff.tableRecord(target.containerSignature, cols)
+  }
+
+  private def encodeColumns(cols: Map[String, StateDiff.ColumnSig]): String =
+    cols.toSeq.sortBy(_._1)
+      .map { case (n, s) => s"$n\t${s.dataType}\t${s.nullable}" }
+      .mkString("\n")
+
+  private def decodeColumns(s: String): Map[String, StateDiff.ColumnSig] =
+    if (s.isEmpty) Map.empty
+    else s.split("\n").map { line =>
+      val Array(n, t, nul) = line.split("\t", 3)
+      n -> StateDiff.ColumnSig(t, nul.toBoolean)
+    }.toMap
+
+  /** Table-level statediff: desired record vs the stored one →
+    * transition plan + the provider generation it implies (reference
+    * reconcile → child_invalidation → generation bump,
+    * postgres/_target.py:1210-1252 + execution.rs:1063-1085).
+    * Destructive ⇒ new provider id (children treated as never
+    * written); lossy ⇒ schema-version bump (children re-upsert even
+    * on matching fingerprints). Both feed the effective processor
+    * fingerprint, so memoized components re-run — and once the new
+    * record is committed the generation is stable again, restoring
+    * memo hits (reference test_provider_generation.py:138-181).
+    */
+  private final case class PlannedRun(
+      plan: StateDiff.TablePlan,
+      providerId: Long, schemaVersion: Long,
+      desired: Option[StateDiff.TableRecord],
+      /** Effective processor fingerprint: stage logic + declared
+        * schema (a schema change must recompute every component's
+        * values) + provider generation (a destructive/lossy
+        * transition must invalidate memoized components even when
+        * logic and schema are untouched — e.g. a bucket-layout
+        * change; stable again once committed, restoring memo hits). */
+      effectiveFp: String) {
+    def destructive: Boolean =
+      plan.childInvalidation.contains(StateDiff.Destructive)
+    def lossy: Boolean = plan.childInvalidation.contains(StateDiff.Lossy)
+  }
+
+  private def tablePlan(spark: SparkSession, st: StateStore): PlannedRun = {
+    val declared = declaredSchema(spark)
+    val schemaFp = declared
+      .map(s => Fingerprint.of("schema", s.json)).getOrElse("")
+    val prevRows = st.read("target_state", TargetStateSchema).collect()
+    val prev = prevRows.headOption.map { r =>
+      (StateDiff.Mutual(
+        StateDiff.tableRecord(r.getString(0), decodeColumns(r.getString(1))),
+        StateDiff.ManagedBy.parse(r.getString(2))),
+        r.getLong(3), r.getLong(4))
+    }
+    val (pid, sv) = prev.map(p => (p._2, p._3)).getOrElse((0L, 0L))
+    val (plan, newPid, newSv, desired) = declared match {
+      case None => // schema unknowable on empty input: no DDL planning
+        (StateDiff.TablePlan(None, Map.empty, None), pid, sv, None)
+      case Some(sch) =>
+        val d = desiredTableRecord(sch)
+        val p = StateDiff.planTable(StateDiff.Transition(
+          Some(StateDiff.Mutual(d, managedBy)),
+          prev.map(_._1).toSeq,
+          prevMayBeMissing = prev.isEmpty))
+        val gen = p.childInvalidation match {
+          case Some(StateDiff.Destructive) => (pid + 1, 0L)
+          case Some(StateDiff.Lossy)       => (pid, sv + 1)
+          case None                        => (pid, sv)
+        }
+        (p, gen._1, gen._2, Some(d))
+    }
+    PlannedRun(plan, newPid, newSv, desired,
+      Fingerprint.of(processorFingerprint, schemaFp, s"gen:$newPid:$newSv"))
+  }
 
   private def state(spark: SparkSession) = new StateStore(spark, stateDir)
 
   /** One catch-up run (reference `App.update`, app.py:275). */
   def run(spark: SparkSession, fullReprocess: Boolean = false): RunStats = {
     val st = state(spark)
-    val pFp = Fingerprint.of(processorFingerprint, schemaFingerprint(spark))
+    val planned = tablePlan(spark, st)
+    val pFp = planned.effectiveFp
 
     // ---- memo probe (level 1: listing state vs stored memo) -----------
     val listing = source.list(spark).cache()
@@ -193,20 +279,30 @@ final class Flow(
 
     // ---- reconcile: classify against the tracking baseline ------------
     // (reference pre_commit reconcile, execution.rs:757; row handler
-    // semantics postgres/_target.py:850-881)
+    // semantics postgres/_target.py:850-881). Under a *destructive*
+    // table transition the container is about to be recreated: the
+    // tracking baseline is void — every desired row inserts, and stale
+    // rows need no per-row deletes (the recreation cleans them up,
+    // reference test_provider_generation.py:199-215). Under a *lossy*
+    // one the container may have dropped column data the fingerprints
+    // can't see — matching rows re-upsert defensively
+    // (prev_may_be_missing semantics, statediff.py:160-166).
     val tracking = st.read("tracking", TrackingSchema)
     val scopeKeys = changedKeys.union(goneKeys)
-    val trackedInScope = tracking
+    val trackedInScope0 = tracking
       .join(scopeKeys, Seq("item_key"), "left_semi")
       .select(col("row_key"), col("value_fp").as("prev_fp"),
         col("item_key").as("prev_item"))
+    val trackedInScope =
+      if (planned.destructive) trackedInScope0.limit(0) else trackedInScope0
     val actions = desired
       .select(col("item_key"), col("row_key"), col("value_fp"))
       .join(trackedInScope, Seq("row_key"), "full_outer")
       .withColumn("action",
         when(col("value_fp").isNull, lit("delete"))       // tracked, not redeclared
           .when(col("prev_fp").isNull, lit("insert"))
-          .when(col("prev_fp") =!= col("value_fp"), lit("update"))
+          .when(lit(planned.lossy) ||
+            col("prev_fp") =!= col("value_fp"), lit("update"))
           .otherwise(lit("noop")))
       .cache()
     val byAction = actions.groupBy("action").count().collect()
@@ -214,6 +310,12 @@ final class Flow(
 
     // ---- apply the delta to the target (idempotent; BEFORE the state
     // pointer flips — crash here ⇒ roll-forward on rerun) ---------------
+    // A destructive plan drops the container first (reference
+    // _drop_table before recreate, postgres/_target.py:1002-1010);
+    // crash between truncate and apply still converges: the stored
+    // record keeps the old generation, so the rerun re-plans the same
+    // destructive transition and re-truncates idempotently.
+    if (planned.destructive) target.truncate(spark)
     val upsertKeys = actions
       .filter(col("action").isin("insert", "update")).select("row_key")
     val upserts = desired.drop("value_fp")
@@ -245,9 +347,13 @@ final class Flow(
     // declared this run evicts any stale tracking row held by another
     // component — the target MERGE already overwrote the row, so the
     // new declarer must become its sole tracked owner
-    val keptTracking = tracking
+    val keptTracking0 = tracking
       .join(scopeKeys, Seq("item_key"), "left_anti")
       .join(desired.select("row_key"), Seq("row_key"), "left_anti")
+    // destructive: the container was recreated — no pre-existing row
+    // survived, so no stale tracking may survive either
+    val keptTracking =
+      if (planned.destructive) keptTracking0.limit(0) else keptTracking0
     val newTracking = keptTracking
       .select("item_key", "row_key", "value_fp")
       .unionByName(desired.select("item_key", "row_key", "value_fp"))
@@ -265,8 +371,19 @@ final class Flow(
         .join(scopeKeys, Seq("item_key"), "left_anti")
         .unionByName(newFailed))
     }
+    // the table-level tracking record + generation commit with the
+    // snapshot: once stored, an unchanged schema diffs to no-op and
+    // the generation is stable — memo hits are restored (reference
+    // test_provider_generation.py:138-181)
+    val targetStateTable = planned.desired.map { d =>
+      "target_state" -> spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(
+          d.main, encodeColumns(d.sub), managedBy.name,
+          planned.providerId, planned.schemaVersion)),
+        TargetStateSchema)
+    }
     val stateTables = errorTables ++ Map("component_memo" -> newMemo,
-      "tracking" -> newTracking) ++ userStateFn.map { fn =>
+      "tracking" -> newTracking) ++ targetStateTable ++ userStateFn.map { fn =>
       val prev = st.read("user_state", UserStateSchema)
       val prevChanged = prev.join(changedKeys, Seq("item_key"), "left_semi")
       val declared = fn(input, prevChanged)
@@ -325,7 +442,7 @@ final class Flow(
     * preview mode, execution.rs:1363-1435; CLI `show`). */
   def preview(spark: SparkSession): DataFrame = {
     val st = state(spark)
-    val pFp = Fingerprint.of(processorFingerprint, schemaFingerprint(spark))
+    val pFp = tablePlan(spark, st).effectiveFp
     val listing = source.list(spark)
     val memo = st.read("component_memo", ComponentMemoSchema)
     val probe = listing.select(col("item_key"), col("memo_state"))

@@ -23,6 +23,13 @@ final case class GraphTarget(
   private val nodes = ParquetTableTarget(nodesDir, numBuckets)
   private val edges = ParquetTableTarget(edgesDir, numBuckets)
 
+  override def containerSignature: String =
+    s"graph;${nodes.containerSignature};${edges.containerSignature}"
+
+  override def truncate(spark: SparkSession): Unit = {
+    nodes.truncate(spark); edges.truncate(spark)
+  }
+
   def apply(spark: SparkSession, upserts: DataFrame,
       deleteKeys: DataFrame): TargetStats = {
     def isNode(c: org.apache.spark.sql.Column) = c.startsWith("n:")

@@ -1,0 +1,176 @@
+package graft.engine
+
+/** Tracking-record diff kit — the reference's `connectorkits.statediff`
+  * (python/cocoindex/connectorkits/statediff.py:52-251,
+  * connectorkits/target.py:10): given the *desired* tracking record,
+  * the *previously observed* record(s) for the same identity, and
+  * whether the observation may be incomplete, decide the write action
+  * that makes external state converge.
+  *
+  * "replace" vs "upsert" (statediff.py:12-17): replace = an observed
+  * record differs from desired, we must overwrite; upsert = records
+  * match (or none observed) but the observation may be missing, so we
+  * write anyway for eventual convergence.
+  *
+  * The composite form diffs a `main` record (container identity — e.g.
+  * a table's primary-key signature) plus keyed `sub` records (e.g.
+  * per-column signatures), the shape every reference table connector
+  * uses to plan in-place `ALTER` vs drop-recreate
+  * (postgres/_target.py:896-947, sqlite, doris, snowflake, …).
+  */
+object StateDiff {
+
+  /** Write action for one tracked identity (statediff.py:52). */
+  sealed abstract class DiffAction(val name: String) {
+    override def toString: String = name
+  }
+  case object Insert extends DiffAction("insert")
+  case object Upsert extends DiffAction("upsert")
+  case object Replace extends DiffAction("replace")
+  case object Delete extends DiffAction("delete")
+
+  /** Desired vs previously observed state, with completeness info
+    * (statediff.py:85-95). `desired = None` means the state should
+    * not exist. */
+  final case class Transition[T](
+      desired: Option[T], prev: Seq[T], prevMayBeMissing: Boolean)
+
+  /** A main record plus keyed sub-records
+    * (CompositeTrackingRecord, statediff.py:55-72). */
+  final case class Composite[M, K, S](main: M, sub: Map[K, S])
+
+  /** Who manages the resource's lifecycle (connectorkits/target.py:10). */
+  sealed abstract class ManagedBy(val name: String) {
+    override def toString: String = name
+  }
+  case object SystemManaged extends ManagedBy("system")
+  case object UserManaged extends ManagedBy("user")
+  object ManagedBy {
+    def parse(s: String): ManagedBy =
+      if (s == UserManaged.name) UserManaged else SystemManaged
+  }
+
+  /** A tracking record tagged with ownership
+    * (MutualTrackingRecord, statediff.py:101-111). */
+  final case class Mutual[T](record: T, managedBy: ManagedBy)
+
+  /** How a main-level transition invalidates child (row-level) state
+    * (reference target_state.py:194; consumed as a provider-generation
+    * bump, rust/core/src/engine/execution.rs:1063-1085):
+    *   - Destructive: the container was dropped/recreated — children
+    *     are gone; treat them as never-written (new provider id).
+    *   - Lossy: the container mutated in a way that may have lost
+    *     child data — children must re-upsert defensively even when
+    *     their fingerprints match (schema-version bump).
+    */
+  sealed abstract class ChildInvalidation(val name: String) {
+    override def toString: String = name
+  }
+  case object Destructive extends ChildInvalidation("destructive")
+  case object Lossy extends ChildInvalidation("lossy")
+
+  /** The action that converges one identity (statediff.py:149-186):
+    *   - Delete:  desired is absence and something was observed
+    *   - Replace: an observed record differs from desired
+    *   - Insert:  nothing observed, observation incomplete, desired exists
+    *   - Upsert:  observed matches, but observation incomplete
+    *   - None:    converged and the observation is complete
+    */
+  def diff[T](t: Transition[T]): Option[DiffAction] = t.desired match {
+    case None =>
+      if (t.prev.isEmpty) None else Some(Delete)
+    case Some(d) =>
+      if (t.prev.exists(_ != d)) Some(Replace)
+      else if (!t.prevMayBeMissing) None
+      else if (t.prev.isEmpty) Some(Insert)
+      else Some(Upsert)
+  }
+
+  /** Composite diff (statediff.py:189-251): the main action via
+    * [[diff]] on `.main`, plus a grouped transition per sub-key.
+    * A main replace/delete implies sub observations may be missing
+    * (a container rewrite churns its contents); so does a sub-key
+    * absent from some of the observed records. */
+  def diffComposite[M, K, S](t: Transition[Composite[M, K, S]])
+      : (Option[DiffAction], Map[K, Transition[S]]) = t.desired match {
+    case None =>
+      (if (t.prev.isEmpty) None else Some(Delete), Map.empty)
+    case Some(d) =>
+      val mainAction = diff(Transition(Some(d.main), t.prev.map(_.main),
+        t.prevMayBeMissing))
+      val subPrevMayBeMissing = t.prevMayBeMissing ||
+        mainAction.exists(a => a == Replace || a == Delete)
+      val allKeys = (t.prev.flatMap(_.sub.keys) ++ d.sub.keys).distinct
+      val groups = allKeys.map { k =>
+        val prevs = t.prev.flatMap(_.sub.get(k))
+        k -> Transition(d.sub.get(k), prevs,
+          subPrevMayBeMissing || prevs.length < t.prev.length)
+      }.toMap
+      (mainAction, groups)
+  }
+
+  /** Resolve to the system-managed subset (statediff.py:114-146):
+    * user-managed desired state (and pure-user-managed deletions) are
+    * not ours to act on — returns None; otherwise strips the tag and
+    * keeps only system-managed observations. */
+  def resolveSystemTransition[T](t: Transition[Mutual[T]])
+      : Option[Transition[T]] = t.desired match {
+    case Some(d) if d.managedBy == UserManaged => None
+    case Some(d) =>
+      Some(Transition(Some(d.record),
+        t.prev.filter(_.managedBy == SystemManaged).map(_.record),
+        t.prevMayBeMissing))
+    case None =>
+      if (t.prev.isEmpty || t.prev.exists(_.managedBy == UserManaged)) None
+      else Some(Transition(None,
+        t.prev.filter(_.managedBy == SystemManaged).map(_.record),
+        t.prevMayBeMissing))
+  }
+
+  // ------------------------------------------------------------------
+  // Table-schema instantiation — the shape every reference table
+  // connector builds from its TableSchema
+  // (postgres/_target.py:930-947 _table_composite_tracking_record_from_spec).
+  // ------------------------------------------------------------------
+
+  /** Per-non-key column signature
+    * (_NonPkColumnTrackingRecord, postgres/_target.py:912). */
+  final case class ColumnSig(dataType: String, nullable: Boolean)
+
+  /** A table's composite record: main = container identity (key
+    * signature + physical layout the store cannot change in place),
+    * sub = one record per non-key column. */
+  type TableRecord = Composite[String, String, ColumnSig]
+
+  def tableRecord(containerSig: String,
+      columns: Map[String, ColumnSig]): TableRecord =
+    Composite(containerSig, columns)
+
+  /** Plan a table transition the way the reference's table handlers do
+    * (postgres/_target.py:1210-1252): main diff + per-column actions
+    * (only meaningful when the container survives: main action None or
+    * Upsert), then the child invalidation —
+    * Replace ⇒ Destructive (table dropped, all rows destroyed);
+    * any non-Insert column action ⇒ Lossy (ALTER may lose data).
+    */
+  final case class TablePlan(
+      mainAction: Option[DiffAction],
+      columnActions: Map[String, DiffAction],
+      childInvalidation: Option[ChildInvalidation])
+
+  def planTable(t: Transition[Mutual[TableRecord]]): TablePlan =
+    resolveSystemTransition(t) match {
+      case None => TablePlan(None, Map.empty, None)
+      case Some(resolved) =>
+        val (mainAction, subTransitions) = diffComposite(resolved)
+        val columnActions: Map[String, DiffAction] =
+          if (mainAction.isEmpty || mainAction.contains(Upsert))
+            subTransitions.flatMap { case (k, st) => diff(st).map(k -> _) }
+          else Map.empty
+        val invalidation: Option[ChildInvalidation] =
+          if (mainAction.contains(Replace)) Some(Destructive)
+          else if (columnActions.values.exists(_ != Insert)) Some(Lossy)
+          else None
+        TablePlan(mainAction, columnActions, invalidation)
+    }
+}

@@ -163,4 +163,19 @@ object StateStore {
     StructField("scope", StringType, nullable = false),
     StructField("seq_key", StringType, nullable = false),
     StructField("id", LongType, nullable = false)))
+
+  /** The flow target's table-level tracking record + provider
+    * generation (reference TargetStateInfoItem + provider_generation,
+    * rust/core/src/state/db_schema.rs; generation bump semantics
+    * execution.rs:1063-1085): `main` is the container signature,
+    * `sub_json` the per-column signatures; a destructive transition
+    * bumps `provider_id`, a lossy one `schema_version` — both feed the
+    * effective processor fingerprint, so memoized components re-run.
+    */
+  val TargetStateSchema: StructType = StructType(Seq(
+    StructField("main", StringType, nullable = false),
+    StructField("sub_json", StringType, nullable = false),
+    StructField("managed_by", StringType, nullable = false),
+    StructField("provider_id", LongType, nullable = false),
+    StructField("schema_version", LongType, nullable = false)))
 }

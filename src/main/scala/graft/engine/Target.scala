@@ -21,6 +21,19 @@ trait Target {
   def apply(spark: SparkSession, upserts: DataFrame, deleteKeys: DataFrame): TargetStats
   /** Read the target's current contents back (for queries/tests). */
   def read(spark: SparkSession): DataFrame
+
+  /** Container identity — the part of the target's physical shape
+    * that cannot change in place (the statediff *main* record: key
+    * signature, bucket layout, …). When this differs from the stored
+    * record the engine plans a destructive drop-recreate instead of
+    * an in-place reconcile (reference PK-signature main record,
+    * postgres/_target.py:930-947). */
+  def containerSignature: String = ""
+
+  /** Drop and recreate the empty container — the destructive
+    * transition's DDL (reference `_drop_table` before re-create,
+    * postgres/_target.py:1002-1010). */
+  def truncate(spark: SparkSession): Unit = ()
 }
 
 /** Keyed parquet table with hash-bucketed copy-on-write — the MERGE
@@ -47,6 +60,20 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16)
 
   private def bucketOf = pmod(xxhash64(col("row_key")), lit(numBuckets))
     .cast("int")
+
+  /** The bucket layout is baked into every row's placement: a
+    * `numBuckets` change invalidates the whole physical layout, so it
+    * is container identity, not an in-place property. */
+  override def containerSignature: String = s"pk=row_key;buckets=$numBuckets"
+
+  override def truncate(spark: SparkSession): Unit = {
+    val root = new java.io.File(dir)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    if (root.exists()) rm(root)
+  }
 
   private def bucketDirs: Seq[java.io.File] =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
@@ -138,6 +165,17 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16)
   * driver.
   */
 final case class LocalFsDirTarget(dir: String) extends Target {
+
+  override def containerSignature: String = "managed-dir"
+
+  override def truncate(spark: SparkSession): Unit = {
+    val root = new java.io.File(dir)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    Option(root.listFiles()).getOrElse(Array.empty).foreach(rm)
+  }
 
   def apply(spark: SparkSession, upserts: DataFrame,
       deleteKeys: DataFrame): TargetStats = {
