@@ -102,17 +102,35 @@ final class Flow(
     StateDiff.tableRecord(target.containerSignature, cols)
   }
 
-  private def encodeColumns(cols: Map[String, StateDiff.ColumnSig]): String =
-    cols.toSeq.sortBy(_._1)
-      .map { case (n, s) => s"$n\t${s.dataType}\t${s.nullable}" }
-      .mkString("\n")
+  /** The per-column signatures persist as JSON (`sub_json`), so a
+    * column name can contain any character — a hand-rolled delimiter
+    * encoding would corrupt the round-trip on tab/newline names and
+    * permanently brick `tablePlan` on every subsequent run. */
+  private def encodeColumns(cols: Map[String, StateDiff.ColumnSig]): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.compact(JsonMethods.render(
+      cols.toSeq.sortBy(_._1).map { case (n, s) =>
+        ("name" -> n) ~ ("type" -> s.dataType) ~ ("nullable" -> s.nullable)
+      }))
+  }
 
   private def decodeColumns(s: String): Map[String, StateDiff.ColumnSig] =
     if (s.isEmpty) Map.empty
-    else s.split("\n").map { line =>
-      val Array(n, t, nul) = line.split("\t", 3)
-      n -> StateDiff.ColumnSig(t, nul.toBoolean)
-    }.toMap
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.parse(s) match {
+        case JArray(items) => items.map { it =>
+          val JString(n) = it \ "name"
+          val JString(t) = it \ "type"
+          val JBool(nul) = it \ "nullable"
+          n -> StateDiff.ColumnSig(t, nul)
+        }.toMap
+        case other => throw new IllegalStateException(
+          s"corrupt sub_json in target_state: $other")
+      }
+    }
 
   /** Table-level statediff: desired record vs the stored one →
     * transition plan + the provider generation it implies (reference
@@ -129,6 +147,10 @@ final class Flow(
       plan: StateDiff.TablePlan,
       providerId: Long, schemaVersion: Long,
       desired: Option[StateDiff.TableRecord],
+      /** The stored record differs from desired (or none is stored):
+        * the run must execute and COMMIT the transition even when no
+        * items changed, else it is re-planned forever. */
+      pendingTransition: Boolean,
       /** Effective processor fingerprint: stage logic + declared
         * schema (a schema change must recompute every component's
         * values) + provider generation (a destructive/lossy
@@ -153,9 +175,10 @@ final class Flow(
         r.getLong(3), r.getLong(4))
     }
     val (pid, sv) = prev.map(p => (p._2, p._3)).getOrElse((0L, 0L))
-    val (plan, newPid, newSv, desired) = declared match {
+    val (plan, newPid, newSv, desired, pending) = declared match {
       case None => // schema unknowable on empty input: no DDL planning
-        (StateDiff.TablePlan(None, Map.empty, None), pid, sv, None)
+        (StateDiff.TablePlan(None, Map.empty, None), pid, sv,
+          Option.empty[StateDiff.TableRecord], false)
       case Some(sch) =>
         val d = desiredTableRecord(sch)
         val p = StateDiff.planTable(StateDiff.Transition(
@@ -167,10 +190,23 @@ final class Flow(
           case Some(StateDiff.Lossy)       => (pid, sv + 1)
           case None                        => (pid, sv)
         }
-        (p, gen._1, gen._2, Some(d))
+        (p, gen._1, gen._2, Some(d), !prev.map(_._1.record).contains(d))
     }
-    PlannedRun(plan, newPid, newSv, desired,
+    PlannedRun(plan, newPid, newSv, desired, pending,
       Fingerprint.of(processorFingerprint, schemaFp, s"gen:$newPid:$newSv"))
+  }
+
+  /** The table-level tracking record + generation, committed with the
+    * snapshot: once stored, an unchanged schema diffs to no-op and
+    * the generation is stable — memo hits are restored (reference
+    * test_provider_generation.py:138-181). */
+  private def targetStateTable(spark: SparkSession, planned: PlannedRun)
+      : Option[(String, DataFrame)] = planned.desired.map { d =>
+    "target_state" -> spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        d.main, encodeColumns(d.sub), managedBy.name,
+        planned.providerId, planned.schemaVersion)),
+      TargetStateSchema)
   }
 
   private def state(spark: SparkSession) = new StateStore(spark, stateDir)
@@ -242,8 +278,15 @@ final class Flow(
     // pure no-op run: nothing changed, appeared, vanished or needs a
     // memo refresh — skip the transform, reconcile AND the snapshot
     // commit entirely (a live loop over an unchanged corpus must not
-    // rewrite metadata every tick)
+    // rewrite metadata every tick). A PENDING table transition must
+    // still execute and commit even with zero item changes (e.g. a
+    // bucket-layout change before any items exist, or after all items
+    // were removed) — otherwise it is re-planned forever.
     if (nChanged == 0 && byCls("gone") == 0 && nRefreshed == 0) {
+      if (planned.pendingTransition) {
+        if (planned.destructive) target.truncate(spark)
+        st.commit(targetStateTable(spark, planned).toMap)
+      }
       Seq(listing, probe, level2, changedKeys, loaded).foreach(_.unpersist())
       return RunStats(nTotal, byCls("unchanged"), 0, 0, 0, 0, 0, 0, 0)
     }
@@ -371,19 +414,9 @@ final class Flow(
         .join(scopeKeys, Seq("item_key"), "left_anti")
         .unionByName(newFailed))
     }
-    // the table-level tracking record + generation commit with the
-    // snapshot: once stored, an unchanged schema diffs to no-op and
-    // the generation is stable — memo hits are restored (reference
-    // test_provider_generation.py:138-181)
-    val targetStateTable = planned.desired.map { d =>
-      "target_state" -> spark.createDataFrame(
-        java.util.Arrays.asList(org.apache.spark.sql.Row(
-          d.main, encodeColumns(d.sub), managedBy.name,
-          planned.providerId, planned.schemaVersion)),
-        TargetStateSchema)
-    }
     val stateTables = errorTables ++ Map("component_memo" -> newMemo,
-      "tracking" -> newTracking) ++ targetStateTable ++ userStateFn.map { fn =>
+      "tracking" -> newTracking) ++ targetStateTable(spark, planned) ++
+      userStateFn.map { fn =>
       val prev = st.read("user_state", UserStateSchema)
       val prevChanged = prev.join(changedKeys, Seq("item_key"), "left_semi")
       val declared = fn(input, prevChanged)

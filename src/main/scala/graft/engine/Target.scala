@@ -61,10 +61,16 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16)
   private def bucketOf = pmod(xxhash64(col("row_key")), lit(numBuckets))
     .cast("int")
 
-  /** The bucket layout is baked into every row's placement: a
-    * `numBuckets` change invalidates the whole physical layout, so it
-    * is container identity, not an in-place property. */
-  override def containerSignature: String = s"pk=row_key;buckets=$numBuckets"
+  /** The bucket layout is baked into every row's placement, and the
+    * directory is the container's physical location: a `numBuckets`
+    * change invalidates the whole layout, and a `dir` change is a
+    * container swap (the reference treats a renamed table as a new
+    * key → full create, postgres/_target.py:930-947) — both are
+    * container identity, not in-place properties. Without `dir` in
+    * the signature a relocated target would silently keep unchanged
+    * items' rows only in the OLD location. */
+  override def containerSignature: String =
+    s"parquet;dir=$dir;pk=row_key;buckets=$numBuckets"
 
   override def truncate(spark: SparkSession): Unit = {
     val root = new java.io.File(dir)
@@ -166,7 +172,7 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16)
   */
 final case class LocalFsDirTarget(dir: String) extends Target {
 
-  override def containerSignature: String = "managed-dir"
+  override def containerSignature: String = s"managed-dir;dir=$dir"
 
   override def truncate(spark: SparkSession): Unit = {
     val root = new java.io.File(dir)

@@ -1,0 +1,221 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import StateDiff._
+
+/** Truth-table for the statediff kit, mirroring the reference's
+  * documented semantics (python/cocoindex/connectorkits/statediff.py:
+  * 149-251 for diff/diff_composite, :113-146 for
+  * resolve_system_transition) and the table-handler mapping every
+  * reference connector derives from it
+  * (postgres/_target.py:1210-1252: replace ⇒ destructive, any
+  * non-insert column action ⇒ lossy). Pure unit tests — no Spark.
+  */
+class StateDiffSpec extends AnyFunSuite {
+
+  // ---- diff (statediff.py:149-186) ---------------------------------
+
+  test("diff: desired absent, nothing observed → converged (None)") {
+    assert(diff(Transition[String](None, Nil, prevMayBeMissing = true)).isEmpty)
+    assert(diff(Transition[String](None, Nil, prevMayBeMissing = false)).isEmpty)
+  }
+
+  test("diff: desired absent, something observed → Delete") {
+    assert(diff(Transition(None, Seq("x"), prevMayBeMissing = false))
+      .contains(Delete))
+    // even when the observation may be incomplete
+    assert(diff(Transition(None, Seq("x"), prevMayBeMissing = true))
+      .contains(Delete))
+  }
+
+  test("diff: any observed record differing from desired → Replace") {
+    assert(diff(Transition(Some("d"), Seq("other"), prevMayBeMissing = false))
+      .contains(Replace))
+    // a matching observation does not save it — ANY differing one forces
+    // the overwrite (reference: `any(p != t.desired for p in t.prev)`)
+    assert(diff(Transition(Some("d"), Seq("d", "other"),
+      prevMayBeMissing = true)).contains(Replace))
+  }
+
+  test("diff: observed matches and observation complete → converged") {
+    assert(diff(Transition(Some("d"), Seq("d"), prevMayBeMissing = false))
+      .isEmpty)
+  }
+
+  test("diff: nothing observed, observation COMPLETE → converged (None)") {
+    // subtle reference edge: absence is authoritative when the
+    // observation is complete — no write is issued even though desired
+    // exists (the caller is expected to have observed its own writes)
+    assert(diff(Transition(Some("d"), Nil, prevMayBeMissing = false)).isEmpty)
+  }
+
+  test("diff: nothing observed, observation may be missing → Insert") {
+    assert(diff(Transition(Some("d"), Nil, prevMayBeMissing = true))
+      .contains(Insert))
+  }
+
+  test("diff: observed matches but observation may be missing → Upsert") {
+    assert(diff(Transition(Some("d"), Seq("d"), prevMayBeMissing = true))
+      .contains(Upsert))
+  }
+
+  // ---- diffComposite (statediff.py:189-251) ------------------------
+
+  private def comp(main: String, sub: (String, String)*) =
+    Composite[String, String, String](main, sub.toMap)
+
+  test("diffComposite: desired absent → (Delete iff observed, no subs)") {
+    assert(diffComposite(Transition[Composite[String, String, String]](
+      None, Nil, prevMayBeMissing = false)) == (None -> Map.empty))
+    assert(diffComposite(Transition(
+      None, Seq(comp("m", "a" -> "s")), prevMayBeMissing = false)) ==
+      (Some(Delete) -> Map.empty))
+  }
+
+  test("diffComposite: main replace implies sub observations may be missing") {
+    // container identity changed; the sub record is identical and the
+    // observation was complete — yet the sub transition must carry
+    // prevMayBeMissing=true (a main-level rewrite can churn contents),
+    // so its diff is Upsert, not converged
+    val (mainA, subs) = diffComposite(Transition(
+      Some(comp("m2", "a" -> "s")), Seq(comp("m1", "a" -> "s")),
+      prevMayBeMissing = false))
+    assert(mainA.contains(Replace))
+    assert(subs("a").prevMayBeMissing)
+    assert(diff(subs("a")).contains(Upsert))
+  }
+
+  test("diffComposite: stable main — sub add/retype/drop classify per key") {
+    val (mainA, subs) = diffComposite(Transition(
+      Some(comp("m", "kept" -> "s1", "retyped" -> "NEW", "added" -> "s3")),
+      Seq(comp("m", "kept" -> "s1", "retyped" -> "OLD", "dropped" -> "s4")),
+      prevMayBeMissing = false))
+    assert(mainA.isEmpty)
+    assert(diff(subs("kept")).isEmpty)
+    assert(diff(subs("retyped")).contains(Replace))
+    // an added key is observed by FEWER records than exist (0 < 1), so
+    // its absence is not authoritative → Insert (statediff.py:246-248)
+    assert(diff(subs("added")).contains(Insert))
+    assert(diff(subs("dropped")).contains(Delete))
+  }
+
+  test("diffComposite: sub key observed in only some records → may be missing") {
+    val (_, subs) = diffComposite(Transition(
+      Some(comp("m", "a" -> "s")),
+      Seq(comp("m", "a" -> "s"), comp("m")), // second record lacks 'a'
+      prevMayBeMissing = false))
+    assert(subs("a").prevMayBeMissing)
+    assert(diff(subs("a")).contains(Upsert))
+  }
+
+  // ---- resolveSystemTransition (statediff.py:113-146) --------------
+
+  test("resolve: user-managed desired state is not ours to act on") {
+    assert(resolveSystemTransition(Transition(
+      Some(Mutual("d", UserManaged)),
+      Seq(Mutual("p", SystemManaged)), prevMayBeMissing = false)).isEmpty)
+  }
+
+  test("resolve: system-managed desired keeps only system-managed prevs") {
+    val r = resolveSystemTransition(Transition(
+      Some(Mutual("d", SystemManaged)),
+      Seq(Mutual("p1", SystemManaged), Mutual("p2", UserManaged)),
+      prevMayBeMissing = true)).get
+    assert(r == Transition(Some("d"), Seq("p1"), prevMayBeMissing = true))
+  }
+
+  test("resolve: deletion — None when unobserved or any prev user-managed") {
+    assert(resolveSystemTransition(
+      Transition[Mutual[String]](None, Nil, prevMayBeMissing = true)).isEmpty)
+    assert(resolveSystemTransition(Transition(None,
+      Seq(Mutual("p", UserManaged), Mutual("q", SystemManaged)),
+      prevMayBeMissing = false)).isEmpty)
+    val r = resolveSystemTransition(Transition(None,
+      Seq(Mutual("p", SystemManaged)), prevMayBeMissing = false)).get
+    assert(r == Transition[String](None, Seq("p"), prevMayBeMissing = false))
+  }
+
+  // ---- planTable (postgres/_target.py:1210-1252) -------------------
+
+  private def rec(sig: String, cols: (String, ColumnSig)*): TableRecord =
+    tableRecord(sig, cols.toMap)
+  private val str = ColumnSig("STRING", nullable = true)
+  private val i32 = ColumnSig("INT", nullable = true)
+  private val i64 = ColumnSig("BIGINT", nullable = true)
+
+  test("planTable: first run (nothing stored) → Insert, no invalidation") {
+    val p = planTable(Transition(
+      Some(Mutual(rec("sig", "c" -> str), SystemManaged)),
+      Nil, prevMayBeMissing = true))
+    assert(p.mainAction.contains(Insert))
+    // insert builds the table from the desired schema — nothing left to
+    // reconcile per column, and no pre-existing children to invalidate
+    assert(p.columnActions.isEmpty && p.childInvalidation.isEmpty)
+  }
+
+  test("planTable: identical record → full no-op") {
+    val r = rec("sig", "c" -> str)
+    val p = planTable(Transition(Some(Mutual(r, SystemManaged)),
+      Seq(Mutual(r, SystemManaged)), prevMayBeMissing = false))
+    assert(p == TablePlan(None, Map.empty, None))
+  }
+
+  test("planTable: container-signature change → Replace ⇒ Destructive") {
+    val p = planTable(Transition(
+      Some(Mutual(rec("buckets=8", "c" -> str), SystemManaged)),
+      Seq(Mutual(rec("buckets=4", "c" -> str), SystemManaged)),
+      prevMayBeMissing = false))
+    assert(p.mainAction.contains(Replace))
+    assert(p.columnActions.isEmpty, "replace rebuilds from desired schema")
+    assert(p.childInvalidation.contains(Destructive))
+  }
+
+  test("planTable: column add → Insert action, NO invalidation") {
+    val p = planTable(Transition(
+      Some(Mutual(rec("sig", "c" -> str, "extra" -> str), SystemManaged)),
+      Seq(Mutual(rec("sig", "c" -> str), SystemManaged)),
+      prevMayBeMissing = false))
+    assert(p.mainAction.isEmpty)
+    assert(p.columnActions == Map("extra" -> Insert))
+    assert(p.childInvalidation.isEmpty, "adding a column loses nothing")
+  }
+
+  test("planTable: column retype → Replace action ⇒ Lossy") {
+    val p = planTable(Transition(
+      Some(Mutual(rec("sig", "c" -> i64), SystemManaged)),
+      Seq(Mutual(rec("sig", "c" -> i32), SystemManaged)),
+      prevMayBeMissing = false))
+    assert(p.mainAction.isEmpty)
+    assert(p.columnActions == Map("c" -> Replace))
+    assert(p.childInvalidation.contains(Lossy))
+  }
+
+  test("planTable: column drop → Delete action ⇒ Lossy") {
+    val p = planTable(Transition(
+      Some(Mutual(rec("sig", "c" -> str), SystemManaged)),
+      Seq(Mutual(rec("sig", "c" -> str, "gone" -> i32), SystemManaged)),
+      prevMayBeMissing = false))
+    assert(p.columnActions == Map("gone" -> Delete))
+    assert(p.childInvalidation.contains(Lossy))
+  }
+
+  test("planTable: user-managed desired → nothing planned") {
+    val p = planTable(Transition(
+      Some(Mutual(rec("new-sig", "c" -> str), UserManaged)),
+      Seq(Mutual(rec("old-sig", "c" -> i32), SystemManaged)),
+      prevMayBeMissing = false))
+    assert(p == TablePlan(None, Map.empty, None))
+  }
+
+  test("planTable: Upsert main (may-be-missing match) still reconciles columns") {
+    // reference comment: CREATE TABLE IF NOT EXISTS can land on a table
+    // carrying the previous column set, so columns still reconcile and
+    // their defensive Upserts count as potentially lossy
+    val r = rec("sig", "c" -> str)
+    val p = planTable(Transition(Some(Mutual(r, SystemManaged)),
+      Seq(Mutual(r, SystemManaged)), prevMayBeMissing = true))
+    assert(p.mainAction.contains(Upsert))
+    assert(p.columnActions == Map("c" -> Upsert))
+    assert(p.childInvalidation.contains(Lossy))
+  }
+}
