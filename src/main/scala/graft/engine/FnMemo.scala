@@ -53,8 +53,12 @@ object FnMemo {
       (lit(s"$name:$version") +: argCols.sorted.map(col)): _*)))
     val withFp = input.withColumn("__args_fp", fp).cache()
 
-    val memo = store.read("fn_memo", FnMemoSchema)
-      .filter(col("scope") === name)
+    // one physical state table per scope: a commit below rewrites only
+    // THIS function's cache files — sibling scopes carry forward as
+    // hard links, so a memoized stage's commit is O(its own cache),
+    // never O(all caches)
+    val shard = StateStore.shardName("fn_memo", name)
+    val memo = store.read(shard, FnMemoSchema)
 
     // result schema = whatever compute adds on an empty input
     val resultCols = {
@@ -78,10 +82,10 @@ object FnMemo {
       .withColumn("scope", lit(name))
       .select("scope", "args_fp", "result_json")
     if (!computed.isEmpty) { // all-hit runs don't bump the state version
-      val all = store.read("fn_memo", FnMemoSchema)
+      val all = store.read(shard, FnMemoSchema)
         .unionByName(newEntries).dropDuplicates("scope", "args_fp")
         .localCheckpoint()
-      store.commit(Map("fn_memo" -> all))
+      store.commit(Map(shard -> all))
     }
 
     val replayed = hits.filter(col("result_json").isNotNull)
@@ -100,15 +104,18 @@ object FnMemo {
     * reachable fingerprint set. */
   def prune(spark: SparkSession, store: StateStore, name: String,
       referenced: DataFrame): Long = {
-    val memo = store.read("fn_memo", FnMemoSchema)
-    val keepScope = memo.filter(col("scope") === name)
-      .join(referenced.select(col(referenced.columns.head).as("args_fp")),
-        Seq("args_fp"), "left_semi")
-    val kept = memo.filter(col("scope") =!= name)
-      .unionByName(keepScope.select("scope", "args_fp", "result_json"))
-      .localCheckpoint()
-    val dropped = memo.count() - kept.count()
-    if (dropped > 0) store.commit(Map("fn_memo" -> kept))
+    // scope-bounded: reads, counts and rewrites only this scope's
+    // shard — other functions' caches are never scanned or copied
+    val shard = StateStore.shardName("fn_memo", name)
+    val memo = store.read(shard, FnMemoSchema)
+    val refKeys = referenced.select(col(referenced.columns.head).as("args_fp"))
+    val dropped = memo.join(refKeys, Seq("args_fp"), "left_anti").count()
+    if (dropped > 0) {
+      val kept = memo.join(refKeys, Seq("args_fp"), "left_semi")
+        .select("scope", "args_fp", "result_json")
+        .localCheckpoint()
+      store.commit(Map(shard -> kept))
+    }
     dropped
   }
 }

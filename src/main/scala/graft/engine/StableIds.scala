@@ -48,8 +48,11 @@ object IdSequencer {
     * (seq_key, id). */
   def assign(spark: SparkSession, store: StateStore, scope: String,
       keys: DataFrame): DataFrame = {
-    val cur = store.read("id_seq", StateStore.IdSeqSchema)
-    val inScope = cur.filter(col("scope") === scope)
+    // one physical state table per scope: assigning ids in one scope
+    // rewrites only that scope's shard — sibling sequences are carried
+    // forward as hard links, never rescanned or rewritten
+    val shard = StateStore.shardName("id_seq", scope)
+    val inScope = store.read(shard, StateStore.IdSeqSchema)
     val k = keys.select(col(keys.columns.head).cast("string").as("seq_key"))
       .distinct()
     val existing = k.join(inScope, Seq("seq_key")).select("seq_key", "id")
@@ -58,16 +61,15 @@ object IdSequencer {
       .withColumn("id",
         row_number().over(Window.orderBy("seq_key")).cast("long") + maxId)
     val assigned = existing.unionByName(fresh).localCheckpoint()
-    val newTable = cur.filter(col("scope") =!= scope)
-      .unionByName(assigned.withColumn("scope", lit(scope))
-        .select("scope", "seq_key", "id"))
+    val newTable = assigned.withColumn("scope", lit(scope))
+      .select("scope", "seq_key", "id")
       // keep every historical assignment (ids are never reused), plus
       // assignments for keys not present this run
       .unionByName(inScope.join(k, Seq("seq_key"), "left_anti")
         .select("scope", "seq_key", "id"))
       .dropDuplicates("scope", "seq_key")
       .localCheckpoint()
-    store.commit(Map("id_seq" -> newTable))
+    store.commit(Map(shard -> newTable))
     assigned
   }
 }

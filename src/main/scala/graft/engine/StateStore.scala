@@ -60,6 +60,28 @@ final class StateStore(spark: SparkSession, rootDir: String) {
         schema)
   }
 
+  /** Union of every shard of a sharded table family (see
+    * [[StateStore.shardName]]) plus any legacy unsharded table of the
+    * same name. Sharding keeps a per-scope commit from rewriting the
+    * whole family: each scope is its own physical table, so `commit`
+    * touches only that scope's files and sibling scopes carry forward
+    * as hard links. */
+  def readFamily(family: String, schema: StructType): DataFrame = {
+    val v = currentVersion
+    val base = root.resolve(s"v=$v")
+    val shards =
+      if (v > 0 && Files.exists(base))
+        Option(base.toFile.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory &&
+            (f.getName == family || f.getName.startsWith(family + "~")))
+          .map(_.getPath).toSeq
+      else Nil
+    if (shards.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema)
+    else spark.read.schema(schema).parquet(shards: _*)
+  }
+
   /** Write the next snapshot, then atomically flip `_CURRENT`.
     * Tables present in the current snapshot but absent from `tables`
     * are carried forward untouched (file-level copy — a committer of
@@ -85,7 +107,15 @@ final class StateStore(spark: SparkSession, rootDir: String) {
             if (Files.isDirectory(p)) Files.createDirectories(dst)
             else {
               Files.createDirectories(dst.getParent)
-              Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
+              // snapshot files are immutable once written, so carrying
+              // a table forward is a metadata-only hard link — O(#files),
+              // not O(bytes); `prune` removes links, the content is
+              // freed with its last reference (the Delta/Iceberg
+              // manifest-reuse analog on a plain filesystem)
+              try Files.createLink(dst, p)
+              catch { case _: Exception =>
+                Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
+              }
             }
           }
         }
@@ -122,6 +152,18 @@ final class StateStore(spark: SparkSession, rootDir: String) {
 
 object StateStore {
   val CurrentFile = "_CURRENT"
+
+  /** Physical table name for one scope of a sharded family:
+    * `family~<sanitized-scope>-<hash8>`. Committing a scope rewrites
+    * only its own shard; at 100× the cache this bounds a memoized
+    * stage's commit to O(its scope), with every sibling scope carried
+    * forward as hard links. The hash keeps exotic scope names unique
+    * after sanitization. */
+  def shardName(family: String, scope: String): String = {
+    val san = scope.take(48).map(c =>
+      if (c.isLetterOrDigit || c == '.' || c == '_' || c == '-') c else '_')
+    s"$family~$san-${Fingerprint.of("shard", scope).take(8)}"
+  }
 
   /** One row per component (= source item): the component-level memo
     * (reference ComponentMemoizationInfo, db_schema.rs:271-292).

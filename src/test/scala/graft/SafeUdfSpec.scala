@@ -31,12 +31,12 @@ class SafeUdfSpec extends SparkSpec {
     val stage = graft.engine.FnMemo.memoize(spark, store, "f", 1, Seq("text"))(
       df => df.withColumn("out", upper(col("text"))))
     stage(Seq("a", "b", "c").toDF("text")).collect()
-    assert(store.read("fn_memo", graft.engine.FnMemo.FnMemoSchema).count() == 3)
+    assert(store.readFamily("fn_memo", graft.engine.FnMemo.FnMemoSchema).count() == 3)
     // only "a" remains referenced
     val referenced = Seq("a").toDF("text")
       .select(md5(to_json(struct(lit("f:1"), col("text")))).as("fp"))
     val dropped = graft.engine.FnMemo.prune(spark, store, "f", referenced)
     assert(dropped == 2)
-    assert(store.read("fn_memo", graft.engine.FnMemo.FnMemoSchema).count() == 1)
+    assert(store.readFamily("fn_memo", graft.engine.FnMemo.FnMemoSchema).count() == 1)
   }
 }

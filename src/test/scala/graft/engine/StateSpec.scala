@@ -89,8 +89,46 @@ class StateSpec extends SparkSpec {
     // a commit of ONLY tracking must not lose id_seq
     store.commit(Map("tracking" -> Seq(("i", "r", "f"))
       .toDF("item_key", "row_key", "value_fp")))
-    val ids = store.read("id_seq", StateStore.IdSeqSchema)
+    val ids = store.readFamily("id_seq", StateStore.IdSeqSchema)
     assert(ids.count() == 1)
     assert(store.read("tracking", StateStore.TrackingSchema).count() == 1)
+  }
+
+  test("a scope commit leaves sibling scopes' files byte-identical (linked, not rewritten)") {
+    import spark.implicits._
+    val root = tmp("shard")
+    val store = new StateStore(spark, root.toString)
+    IdSequencer.assign(spark, store, "alpha", Seq("a", "b").toDF("k"))
+    val alphaShard = StateStore.shardName("id_seq", "alpha")
+    def shardFiles(v: Long): Map[String, (Long, Array[Byte])] = {
+      val dir = root.resolve(s"v=$v").resolve(alphaShard)
+      Files.walk(dir).filter(Files.isRegularFile(_)).toArray.map { p0 =>
+        val p = p0.asInstanceOf[java.nio.file.Path]
+        val ino = Files.getAttribute(p, "unix:ino").asInstanceOf[Long]
+        dir.relativize(p).toString -> (ino, Files.readAllBytes(p))
+      }.toMap
+    }
+    val v1 = store.currentVersion
+    val before = shardFiles(v1)
+    assert(before.nonEmpty)
+
+    // a commit in a DIFFERENT scope must not touch alpha's shard:
+    // same file set, byte-identical content, and actually the same
+    // inodes (hard-linked carry-forward, not a rewrite or copy)
+    IdSequencer.assign(spark, store, "beta", Seq("x", "y", "z").toDF("k"))
+    val v2 = store.currentVersion
+    assert(v2 == v1 + 1)
+    val after = shardFiles(v2)
+    assert(after.keySet == before.keySet, "alpha's file set must not change")
+    before.foreach { case (rel, (ino, bytes)) =>
+      assert(java.util.Arrays.equals(after(rel)._2, bytes),
+        s"$rel must be byte-identical across a sibling-scope commit")
+      assert(after(rel)._1 == ino, s"$rel must be hard-linked, not copied")
+    }
+    // and both scopes read back correctly through the family union
+    val all = store.readFamily("id_seq", StateStore.IdSeqSchema)
+    assert(all.groupBy("scope").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("alpha" -> 2L, "beta" -> 3L))
   }
 }
