@@ -212,13 +212,38 @@ final class Flow(
   private def state(spark: SparkSession) = new StateStore(spark, stateDir)
 
   /** One catch-up run (reference `App.update`, app.py:275). */
-  def run(spark: SparkSession, fullReprocess: Boolean = false): RunStats = {
+  def run(spark: SparkSession, fullReprocess: Boolean = false): RunStats =
+    runImpl(spark, fullReprocess, None)
+
+  /** Incremental catch-up over a KNOWN changed-path delta (from a
+    * [[SourceWatcher]]): the listing is reconstructed as the committed
+    * memo's keys (survivors — their stored memo_state compares equal
+    * by construction, so they classify unchanged without any stat)
+    * plus an O(delta) re-stat of exactly the changed paths. No full
+    * directory walk happens anywhere in the run — the cost the
+    * reference's push architecture exists to avoid at 10⁷ files
+    * (_LiveDirItems, localfs/_source.py:198). */
+  private[graft] def runDelta(spark: SparkSession, deltaKeys: Seq[String])
+      : RunStats = {
+    val memo = state(spark).read("component_memo", ComponentMemoSchema)
+    val keysDf = Source.keysDf(spark, deltaKeys)
+    val survivors = memo.select(col("item_key"), col("memo_state"))
+      .join(keysDf, Seq("item_key"), "left_anti")
+    val restat = source.listKeys(spark, deltaKeys)
+      .select(col("item_key"), col("memo_state"))
+    runImpl(spark, fullReprocess = false,
+      listingOverride = Some(survivors.unionByName(restat)))
+  }
+
+  private def runImpl(spark: SparkSession, fullReprocess: Boolean,
+      listingOverride: Option[DataFrame]): RunStats = {
     val st = state(spark)
     val planned = tablePlan(spark, st)
     val pFp = planned.effectiveFp
 
     // ---- memo probe (level 1: listing state vs stored memo) -----------
-    val listing = source.list(spark).cache()
+    val listing = listingOverride.getOrElse(source.list(spark))
+      .select(col("item_key"), col("memo_state")).cache()
     val memo = st.read("component_memo", ComponentMemoSchema)
     val probe = listing.select(col("item_key"), col("memo_state"))
       .join(memo.select(col("item_key"), col("processor_fp"),
@@ -454,6 +479,46 @@ final class Flow(
     graft.streaming.AutoRefresh.start(spark, interval) {
       onStats(run(spark))
     }
+
+  /** Live mode with a push-based change feed: the source's watcher is
+    * armed BEFORE the initial full scan (so nothing is missed), then
+    * each tick drains the pending delta — an empty drain does zero
+    * work, a non-empty one costs O(changed) via [[runDelta]], and a
+    * watcher overflow falls back to exactly one full rescan (the
+    * reference's rescan safety net, localfs/_source.py:263-280).
+    * Sources without a watcher degrade to the polling [[runLive]]. */
+  def runLiveWatched(spark: SparkSession, interval: String,
+      onStats: RunStats => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = source match {
+    case w: WatchableSource =>
+      val watcher = w.watch() // armed before the first (full) run
+      @volatile var first = true
+      @volatile var lastComponents = 0L
+      val query = graft.streaming.AutoRefresh.start(spark, interval) {
+        val (delta, overflow) = watcher.drain()
+        val stats =
+          if (first || overflow) { first = false; run(spark) }
+          else if (delta.isEmpty)
+            RunStats(lastComponents, lastComponents, 0, 0, 0, 0, 0, 0, 0)
+          else runDelta(spark, delta)
+        lastComponents = stats.components
+        onStats(stats)
+      }
+      // release the inotify watch when the query terminates
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+            if (e.id == query.id) {
+              watcher.close()
+              spark.streams.removeListener(this)
+            }
+        })
+      query
+    case _ => runLive(spark, interval, onStats)
+  }
 
   /** Current user-state rows (inspection / next-run reads). */
   def userState(spark: SparkSession): DataFrame =

@@ -38,6 +38,36 @@ trait Source {
   /** Driver-side convenience for tests and the empty schema probe. */
   final def load(spark: SparkSession, keys: Seq[String]): DataFrame =
     load(spark, Source.keysDf(spark, keys))
+
+  /** Listing rows (`item_key`, `memo_state`) for exactly `keys` —
+    * the live delta loop re-stats only the changed paths instead of
+    * re-walking the corpus. Keys that no longer exist are simply
+    * absent from the result (⇒ classified gone). The default is the
+    * full listing semi-joined; push-capable sources override with a
+    * per-key stat that costs O(keys). */
+  def listKeys(spark: SparkSession, keys: Seq[String]): DataFrame =
+    list(spark).select(col("item_key"), col("memo_state"))
+      .join(Source.keysDf(spark, keys), Seq("item_key"), "left_semi")
+}
+
+/** A push-based change feed over a source — the reference's watchdog
+  * observer armed before the initial scan
+  * (python/cocoindex/connectors/localfs/_source.py:198-280
+  * `_LiveDirItems.watch`): events accumulate between drains, so a
+  * live tick costs O(changed), not O(corpus listing). */
+trait SourceWatcher extends AutoCloseable {
+  /** Changed item keys since the previous drain, plus whether events
+    * may have been dropped (⇒ the caller must fall back to one full
+    * rescan — the reference's periodic-rescan safety net). */
+  def drain(): (Seq[String], Boolean)
+}
+
+/** Sources that can push changes instead of being re-listed. */
+trait WatchableSource {
+  /** Arm the OS-level watch NOW — before the caller's initial scan —
+    * so no event between scan and watch start is missed (reference
+    * comment, _source.py:247-250). */
+  def watch(): SourceWatcher
 }
 
 object Source {
@@ -114,9 +144,27 @@ final case class PathMatcher(patterns: Seq[String]) extends Serializable {
   * (python/cocoindex/resources/file.py:160-183).
   */
 final case class LocalFsSource(
-    dir: String, patterns: Seq[String] = Nil) extends Source {
+    dir: String, patterns: Seq[String] = Nil)
+    extends Source with WatchableSource {
 
   private val matcher = PathMatcher(patterns)
+
+  /** O(keys) re-stat: one `File` stat per changed path, no directory
+    * walk. memo_state matches [[list]]'s "size:mtime_ms" exactly. */
+  override def listKeys(spark: SparkSession, keys: Seq[String]): DataFrame = {
+    val rows = keys.distinct.filter(matcher.matches).flatMap { rel =>
+      val f = new java.io.File(dir, rel)
+      if (f.isFile) Some((rel, s"${f.length}:${f.lastModified}")) else None
+    }
+    spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.STRING))
+      .toDF("item_key", "memo_state")
+  }
+
+  def watch(): SourceWatcher =
+    new graft.streaming.LiveFsWatcher(dir, matcher.matches)
 
   def list(spark: SparkSession): DataFrame = {
     val relUdf = relPathUdf

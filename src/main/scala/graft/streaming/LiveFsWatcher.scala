@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.nio.file.{FileSystems, Files, Path, Paths, WatchEvent, WatchKey}
+import java.nio.file.StandardWatchEventKinds._
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+/** Push-based directory watch on `java.nio.file.WatchService`
+  * (inotify on Linux) — the JVM analog of the reference's watchdog
+  * observer (python/cocoindex/connectors/localfs/_source.py:216-280):
+  * the OS pushes create/modify/delete events into a pending set; each
+  * live tick drains O(changed) keys instead of re-walking the corpus.
+  *
+  * Faithfulness to the reference's failure handling:
+  *   - the watch is armed at construction, BEFORE the caller's
+  *     initial scan, so nothing between scan and watch start is lost;
+  *   - an OS overflow (dropped events) or a deleted *directory*
+  *     (whose children's delete events may be incomplete) flips the
+  *     `overflow` flag, and the next drain tells the caller to do one
+  *     full rescan — the reference's periodic-rescan safety net
+  *     (_source.py:263-280) made event-driven.
+  *
+  * New directories are registered on creation and their existing
+  * contents enumerated (files can land in a directory before its
+  * watch is armed).
+  */
+final class LiveFsWatcher(dir: String, matches: String => Boolean)
+    extends graft.engine.SourceWatcher {
+
+  private val root = Paths.get(dir).toAbsolutePath
+  private val ws = FileSystems.getDefault.newWatchService()
+  private val keyDirs = new ConcurrentHashMap[WatchKey, Path]()
+  private val registeredDirs = ConcurrentHashMap.newKeySet[Path]()
+  private val pending = ConcurrentHashMap.newKeySet[String]()
+  @volatile private var overflowed = false
+  @volatile private var closed = false
+
+  registerTree(root, enumerate = false)
+
+  private def registerTree(p: Path, enumerate: Boolean): Unit =
+    if (Files.isDirectory(p)) {
+      Files.walk(p).iterator().asScala.foreach { q =>
+        if (Files.isDirectory(q) && registeredDirs.add(q)) {
+          val key = q.register(ws, ENTRY_CREATE, ENTRY_DELETE, ENTRY_MODIFY)
+          keyDirs.put(key, q)
+        } else if (enumerate && Files.isRegularFile(q)) add(q)
+      }
+    }
+
+  private def add(abs: Path): Unit = {
+    val rel = root.relativize(abs).toString
+    if (matches(rel)) pending.add(rel)
+  }
+
+  private val thread = new Thread(() => {
+    try {
+      while (!closed) {
+        val key = ws.take()
+        val base = keyDirs.get(key)
+        key.pollEvents().asScala.foreach { ev =>
+          ev.kind() match {
+            case OVERFLOW => overflowed = true
+            case kind =>
+              val abs = base.resolve(ev.context().asInstanceOf[Path])
+              if (kind == ENTRY_CREATE && Files.isDirectory(abs))
+                // register first, then enumerate: files created after
+                // registration arrive as events, files created before
+                // are picked up by the walk — nothing is missed
+                registerTree(abs, enumerate = true)
+              else if (kind == ENTRY_DELETE && registeredDirs.remove(abs))
+                // a watched directory vanished: its children's delete
+                // events may be incomplete — force one full rescan
+                overflowed = true
+              else add(abs)
+          }
+        }
+        if (!key.reset()) keyDirs.remove(key)
+      }
+    } catch {
+      case _: InterruptedException | _: java.nio.file.ClosedWatchServiceException
+        => () // normal shutdown
+      case _: Exception if closed => ()
+    }
+  }, s"live-fs-watch:$dir")
+  thread.setDaemon(true)
+  thread.start()
+
+  /** Changed keys since the last drain + whether a full rescan is
+    * needed (events dropped). */
+  def drain(): (Seq[String], Boolean) = {
+    val of = overflowed
+    overflowed = false
+    val snap = pending.asScala.toVector
+    snap.foreach(pending.remove)
+    (snap, of)
+  }
+
+  def close(): Unit = {
+    closed = true
+    ws.close()
+    thread.interrupt()
+  }
+}
