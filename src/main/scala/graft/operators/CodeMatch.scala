@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Parse-free structural-pattern prefilter — the reference's
+  * `CodePattern.might_match` (python/cocoindex/ops/code.py:143-146;
+  * engine rust/code_match/src/prefilter.rs:75-170) re-expressed as
+  * relational operators over a term index.
+  *
+  * A by-example pattern compiles to its **required literal content**:
+  * identifier tokens and string-literal word runs are required
+  * (conjunction); metavariables (`\NAME`), composite matchers
+  * (`\(...\)`), keywords, punctuation and numbers contribute nothing.
+  * A source can match only if every required term occurs word-bounded
+  * — *sound*: false positives possible, false negatives not, because
+  * only unextractable constraints are dropped.
+  *
+  * The precise tree-sitter matcher behind `match_code` is infeasible
+  * offline on the JVM (SURVEY.md §2.C); the prefilter half is exposed
+  * by the reference as its own first-class API ("a rejected file never
+  * costs a parse", code.py:159-166) and is the part that must scale:
+  * at 100 TB the required-term set is a broadcast literal list, the
+  * candidate set comes from an equi-join against the inverted term
+  * index (q36), and the word-boundary verification regex runs only on
+  * the surviving docs.
+  */
+object CodeMatch {
+
+  /** Tokens that lex as identifiers but are language keywords — the
+    * reference drops them (`is_identifier_term`, prefilter.rs:81):
+    * they occur in nearly every source, so they prefilter nothing. */
+  val DefaultKeywords: Set[String] = Set(
+    "def", "class", "return", "if", "else", "elif", "for", "while",
+    "import", "from", "val", "var", "let", "fn", "function", "pub",
+    "match", "case", "object", "trait", "new", "this", "self", "super",
+    "none", "true", "false", "null", "and", "or", "not", "in", "is",
+    "pass", "with", "try", "except", "catch", "finally", "lambda",
+    "yield", "async", "await", "type", "struct", "enum", "impl", "use",
+    "mod", "where", "static", "const", "void", "int", "do", "switch",
+    "break", "continue", "throw", "throws", "extends", "implements")
+
+  /** Compile a pattern to its required terms (prefilter.rs:75-128):
+    * strip `\(...\)` composite matchers and `\NAME` metavariables,
+    * take each string literal's maximal alphanumeric runs and each
+    * remaining identifier token; drop keywords and terms shorter than
+    * `minLen`. Deterministic order (first occurrence). */
+  def requiredTerms(pattern: String, minLen: Int = 3,
+      keywords: Set[String] = DefaultKeywords): Seq[String] = {
+    // composite matchers first (they may contain quotes/regexes whose
+    // content is NOT required — a `\(A?:/x/\)` can match empty)
+    val noComposite = pattern.replaceAll("""\\\(.*?\\\)""", " ")
+    val noMeta = noComposite.replaceAll("""\\[A-Za-z_][A-Za-z0-9_]*""", " ")
+
+    val strLit = java.util.regex.Pattern.compile("\"([^\"]*)\"|'([^']*)'")
+    val m = strLit.matcher(noMeta)
+    val fromStrings = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new StringBuffer()
+    while (m.find()) {
+      val body = Option(m.group(1)).getOrElse(m.group(2))
+      fromStrings ++= "[A-Za-z0-9]+".r.findAllIn(body)
+      m.appendReplacement(sb, " ")
+    }
+    m.appendTail(sb)
+
+    val ids = "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(sb.toString)
+      .filterNot(t => keywords.contains(t.toLowerCase))
+    (ids ++ fromStrings).filter(_.length >= minLen).toSeq.distinct
+  }
+
+  /** `might_match` as a codegen'd column: every required term occurs
+    * word-bounded (the Aho-Corasick + boundary check of
+    * prefilter.rs:167-220, expressed as a regex conjunction). An
+    * empty requirement is always a "maybe" (prefilter.rs:168). */
+  def mightMatch(text: Column, required: Seq[String]): Column =
+    if (required.isEmpty) lit(true)
+    else required.map(t =>
+      text.rlike("\\b" + java.util.regex.Pattern.quote(t) + "\\b"))
+      .reduce(_ && _)
+
+  /** Candidate ids from the inverted term index: docs containing ALL
+    * the indexable required terms. The required set is a tiny literal
+    * list (broadcast by Catalyst as an `IN` filter on the index
+    * scan); the aggregation shuffles only index rows for those terms.
+    * Terms shorter than `indexMinLen` are not in the index, so they
+    * cannot be required here (dropping them is sound — they are still
+    * verified by [[mightMatch]]). */
+  def prefilterCandidates(termIndex: DataFrame, required: Seq[String],
+      indexMinLen: Int = 4): DataFrame = {
+    val indexable = required.filter(_.length >= indexMinLen).distinct
+    require(indexable.nonEmpty, "no indexable terms — skip the prefilter")
+    termIndex.filter(col("term").isin(indexable: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct("term").as("__hits"))
+      .filter(col("__hits") === indexable.size)
+      .select("doc_id")
+  }
+
+  /** The composed search: index prefilter (when possible) → word-
+    * boundary verification on survivors only — the reference's
+    * "prefilter rejects it before it costs anything" flow
+    * (code.py:159-166) as one declarative plan. */
+  def search(docs: DataFrame, docId: String, textCol: String,
+      pattern: String, termIndex: Option[DataFrame] = None,
+      minLen: Int = 3, indexMinLen: Int = 4): DataFrame = {
+    val req = requiredTerms(pattern, minLen)
+    val prefiltered = termIndex match {
+      case Some(idx) if req.exists(_.length >= indexMinLen) =>
+        docs.join(
+          prefilterCandidates(idx, req, indexMinLen)
+            .withColumnRenamed("doc_id", docId),
+          Seq(docId), "left_semi")
+      case _ => docs
+    }
+    prefiltered.filter(mightMatch(col(textCol), req))
+  }
+}

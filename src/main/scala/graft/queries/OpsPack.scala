@@ -191,6 +191,33 @@ object OpsPack extends QueryPack {
         Tables(s, dir, "documents")
           .select(col("doc_id"),
             explode(array_distinct(regexp_extract_all(col("text"),
-              lit("[A-Za-z_][A-Za-z0-9_]{3,}"), lit(0)))).as("term")))
+              lit("[A-Za-z_][A-Za-z0-9_]{3,}"), lit(0)))).as("term"))),
+
+    // ---- parse-free code search: term prefilter + boundary verify -------
+    // (reference CodePattern.might_match, ops/code.py:143-146 +
+    // rust/code_match/src/prefilter.rs:75-170: the pattern's required
+    // literal terms gate the expensive match — candidates come from the
+    // q36 inverted term index, verification is word-bounded occurrence
+    // of every term. The oracle expresses exactly the verified
+    // semantics; prefilter soundness means the index join must not
+    // change the result set.)
+    Q(
+      "q62_code_search",
+      Some("""
+        SELECT doc_id, n_chars
+        FROM documents
+        WHERE regexp_matches(text, '\bmerge\b')
+          AND regexp_matches(text, '\bstream\b')
+          AND regexp_matches(text, '\bwindow\b')
+          AND regexp_matches(text, '\bbatch\b')"""),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val termIndex = docs.select(col("doc_id"),
+          explode(array_distinct(regexp_extract_all(col("text"),
+            lit("[A-Za-z_][A-Za-z0-9_]{3,}"), lit(0)))).as("term"))
+        graft.operators.CodeMatch.search(docs, "doc_id", "text",
+          """merge(stream, "window batch")""", Some(termIndex))
+          .select(col("doc_id"), col("n_chars"))
+      })
   )
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.CodeMatch
+import org.apache.spark.sql.functions._
+
+/** Required-term extraction + prefilter soundness for the parse-free
+  * code search (reference prefilter contract,
+  * rust/code_match/src/prefilter.rs:1-14: "may pass a source that
+  * doesn't actually match, but never rejects one that would").
+  */
+class CodeMatchSpec extends SparkSpec {
+
+  test("requiredTerms: identifiers yes; keywords, metavars, numbers no") {
+    val terms = CodeMatch.requiredTerms(
+      """def \NAME(load_config): return parse_yaml(path, 42)""")
+    // def/return are keywords, \NAME a metavar, 42 a number
+    assert(terms == Seq("load_config", "parse_yaml", "path"))
+  }
+
+  test("requiredTerms: string literals contribute their word runs") {
+    assert(CodeMatch.requiredTerms("""log("fatal error: %s", 'retry')""") ==
+      Seq("log", "fatal", "error", "retry"))
+  }
+
+  test("requiredTerms: composite matchers contribute nothing") {
+    // a \(A?:/x/\) can match empty — extracting 'x' would be unsound
+    // (prefilter.rs:103-110); the regex content must NOT be required
+    val terms = CodeMatch.requiredTerms("""handler(\(A?:/optional_lit/\))""")
+    assert(terms == Seq("handler"))
+  }
+
+  test("requiredTerms: minLen drops short terms") {
+    assert(CodeMatch.requiredTerms("ab(xyz)", minLen = 3) == Seq("xyz"))
+  }
+
+  test("mightMatch requires word boundaries, not substrings") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the stream merges"),          // 'merges' != \bmerge\b
+      (2L, "stream then merge now"),      // both words
+      (3L, "downstream merge"),           // 'downstream' != \bstream\b
+      (4L, "stream_merge fused")          // joined identifier: neither
+    ).toDF("doc_id", "text")
+    val got = df.filter(CodeMatch.mightMatch(col("text"),
+      Seq("stream", "merge"))).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L))
+  }
+
+  test("prefilter is sound: index join never changes the verified result") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha merge stream window batch"),
+      (2L, "merge stream window"),          // missing batch
+      (3L, "premerge stream window batch"), // 'premerge' fails boundary
+      (4L, "batch window stream merge deep nest"),
+      (5L, "unrelated words entirely")
+    ).toDF("doc_id", "text")
+    val index = docs.select(col("doc_id"),
+      explode(array_distinct(regexp_extract_all(col("text"),
+        lit("[A-Za-z_][A-Za-z0-9_]{3,}"), lit(0)))).as("term"))
+    val pattern = """merge(stream, "window batch")"""
+
+    val withIndex = CodeMatch.search(docs, "doc_id", "text", pattern,
+      Some(index)).select("doc_id").collect().map(_.getLong(0)).toSet
+    val noIndex = CodeMatch.search(docs, "doc_id", "text", pattern,
+      None).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(withIndex == noIndex, "prefilter must be a pure optimization")
+    assert(withIndex == Set(1L, 4L))
+  }
+
+  test("a pattern with no extractable terms is always a maybe") {
+    import spark.implicits._
+    val docs = Seq((1L, "anything"), (2L, "at all")).toDF("doc_id", "text")
+    val got = CodeMatch.search(docs, "doc_id", "text", """\A(\B*)""", None)
+    assert(got.count() == 2)
+  }
+}
