@@ -342,7 +342,8 @@ final class Flow(
       .filterNot(c => c == "item_key" || c == "row_key").sorted
     val desired = desiredRaw
       .withColumn("value_fp",
-        md5(to_json(struct(valueCols.map(col).toSeq: _*))))
+        md5(to_json(struct(valueCols.map(col).toSeq: _*),
+          FnMemo.JsonOptions)))
       .cache()
 
     // ---- reconcile: classify against the tracking baseline ------------

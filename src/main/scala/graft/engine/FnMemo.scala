@@ -25,6 +25,15 @@ import org.apache.spark.sql.types.StructType
   */
 object FnMemo {
 
+  /** JSON options for engine value round-trips: the default timestamp
+    * format is millisecond-precision, which silently truncates
+    * microseconds — a replayed timestamp would differ from the
+    * computed one, and two values differing only in micros would
+    * fingerprint identically. Shared by the fn-memo codec and the
+    * Flow value fingerprint. */
+  val JsonOptions: Map[String, String] = Map(
+    "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+
   val FnMemoSchema: StructType = StructType(Seq(
     org.apache.spark.sql.types.StructField("scope",
       org.apache.spark.sql.types.StringType, nullable = false),
@@ -77,7 +86,7 @@ object FnMemo {
       computed.schema.fields.filter(f => resultCols.contains(f.name)))
     val newEntries = computed
       .select(col("__args_fp").as("args_fp"),
-        to_json(struct(resultCols.map(col): _*)).as("result_json"))
+        to_json(struct(resultCols.map(col): _*), JsonOptions).as("result_json"))
       .dropDuplicates("args_fp")
       .withColumn("scope", lit(name))
       .select("scope", "args_fp", "result_json")
@@ -89,7 +98,8 @@ object FnMemo {
     }
 
     val replayed = hits.filter(col("result_json").isNotNull)
-      .withColumn("__r", from_json(col("result_json"), resultSchema))
+      .withColumn("__r",
+        from_json(col("result_json"), resultSchema, JsonOptions))
       .select((withFp.columns.map(col) ++
         resultCols.map(c => col(s"__r.$c").as(c))).toSeq: _*)
     val out = replayed.unionByName(

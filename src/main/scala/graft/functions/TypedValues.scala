@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The engine's value universe (SURVEY.md §1.3) — the reference's
+  * serde framework + Postgres leaf-type map
+  * (python/cocoindex/_internal/serde.py:1,
+  * postgres/_target.py:212-253 `_LEAF_TYPE_MAPPINGS`) mapped onto
+  * Spark SQL types, with documented encodings for the types Spark
+  * lacks natively:
+  *
+  *   - bool/int8..64/float/double/decimal/str/bytes/date/timestamp/
+  *     interval: native Spark types (`DecimalType(20,0)` for u64;
+  *     `TimestampType` is UTC session time, `DayTimeIntervalType`
+  *     for `timedelta`).
+  *   - `uuid.UUID` → `StringType`, canonical lowercase 8-4-4-4-12
+  *     (the PG `uuid` column renders the same form).
+  *   - `datetime.time` (time with time zone) → `StringType`
+  *     `HH:mm:ss.SSSSSS+HH:MM` — Spark has no TimeType; the string
+  *     form is total-ordered within a fixed offset and round-trips
+  *     exactly (documented semantic gap).
+  *   - `inet`/`cidr` → `StringType` canonical form.
+  *   - `complex` → `StructType(re: Double, im: Double)`.
+  *   - `set`/`frozenset` → sorted deduped `ArrayType` (canonical, so
+  *     equal sets fingerprint equal).
+  *   - `np.ndarray` vectors → `ArrayType(FloatType)`.
+  *   - nested record/list/dict → `StructType`/`ArrayType`/`MapType`.
+  *
+  * All of these round-trip bit-exactly through the engine's three
+  * persistence paths — parquet target, state-store snapshot, and the
+  * fn-memo JSON replay — pinned by TypesSpec.
+  */
+object TypedValues {
+
+  /** Canonical uuid form from any-cased hex-with-hyphens input. */
+  def canonicalUuid(c: Column): Column = lower(trim(c))
+
+  /** Canonical uuid string from 32 hex chars (the md5 path). */
+  def uuidFromHex(hex: Column): Column = concat_ws("-",
+    substring(hex, 1, 8), substring(hex, 9, 4), substring(hex, 13, 4),
+    substring(hex, 17, 4), substring(hex, 21, 12))
+
+  /** Encode micros-since-midnight + a tz offset in minutes as the
+    * canonical time-with-tz string `HH:mm:ss.SSSSSS±HH:MM`. */
+  def timeWithTz(micros: Column, offsetMinutes: Column): Column = {
+    val h = floor(micros / 3600000000L)
+    val m = floor(micros % 3600000000L / 60000000L)
+    val s = floor(micros % 60000000L / 1000000L)
+    val us = micros % 1000000L
+    val sign = when(offsetMinutes < 0, "-").otherwise("+")
+    val oh = floor(abs(offsetMinutes) / 60)
+    val om = abs(offsetMinutes) % 60
+    concat(
+      lpad(h.cast("string"), 2, "0"), lit(":"),
+      lpad(m.cast("string"), 2, "0"), lit(":"),
+      lpad(s.cast("string"), 2, "0"), lit("."),
+      lpad(us.cast("string"), 6, "0"),
+      sign, lpad(oh.cast("string"), 2, "0"), lit(":"),
+      lpad(om.cast("string"), 2, "0"))
+  }
+
+  /** Parse the canonical time-with-tz string back to
+    * (micros-since-midnight, offset minutes). */
+  def timeWithTzMicros(c: Column): Column =
+    substring(c, 1, 2).cast("long") * 3600000000L +
+      substring(c, 4, 2).cast("long") * 60000000L +
+      substring(c, 7, 2).cast("long") * 1000000L +
+      substring(c, 10, 6).cast("long")
+  def timeWithTzOffsetMinutes(c: Column): Column = {
+    val sign = when(substring(c, 16, 1) === "-", -1L).otherwise(1L)
+    sign * (substring(c, 17, 2).cast("long") * 60L +
+      substring(c, 20, 2).cast("long"))
+  }
+
+  /** Complex number as its canonical struct form. */
+  def complexOf(re: Column, im: Column): Column =
+    struct(re.cast("double").as("re"), im.cast("double").as("im"))
+
+  /** Canonical (sorted, deduped) array form of a set — equal sets
+    * must produce equal fingerprints. */
+  def setOf(c: Column): Column = array_sort(array_distinct(c))
+}

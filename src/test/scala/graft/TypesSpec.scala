@@ -1,0 +1,186 @@
+package graft
+
+import graft.engine._
+import graft.functions.TypedValues
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.nio.charset.StandardCharsets
+
+/** §1.3 value-universe round-trips (reference serde framework,
+  * python/cocoindex/_internal/serde.py:1 + the Postgres leaf-type map
+  * postgres/_target.py:212-253): every supported type must survive
+  * the engine's three persistence paths bit-exactly — the parquet
+  * target, the state-store snapshot, and the fn-memo JSON replay —
+  * and must fingerprint stably (identical values ⇒ identical
+  * value_fp) through the Flow reconcile.
+  */
+class TypesSpec extends SparkSpec {
+
+  /** One row of every §1.3 type (extreme-ish values), one row of
+    * nulls — uuid/time-tz/inet/complex/set in their documented
+    * encodings (TypedValues). */
+  private def typedDf: DataFrame = {
+    import spark.implicits._
+    val seed = Seq(("k1", false), ("k2", true)).toDF("row_key", "null_row")
+    seed
+      .withColumn("b", when(!col("null_row"), lit(true)))
+      .withColumn("i8", when(!col("null_row"), lit(-128)).cast("tinyint"))
+      .withColumn("i16", when(!col("null_row"), lit(-32768)).cast("smallint"))
+      .withColumn("i32", when(!col("null_row"), lit(Int.MinValue)))
+      .withColumn("i64", when(!col("null_row"), lit(Long.MaxValue)))
+      .withColumn("u64", when(!col("null_row"),
+        lit("18446744073709551615")).cast("decimal(20,0)"))
+      .withColumn("f32", when(!col("null_row"), lit(1.5f)))
+      .withColumn("f64", when(!col("null_row"), lit(math.Pi)))
+      .withColumn("dec", when(!col("null_row"),
+        lit("12345678901234567890.123456789012345678")).cast("decimal(38,18)"))
+      .withColumn("s", when(!col("null_row"), lit("héllo → мир ≠ 示例")))
+      .withColumn("bin", when(!col("null_row"),
+        lit(Array[Byte](0, 1, -1, 127, -128))))
+      .withColumn("uuid", when(!col("null_row"),
+        TypedValues.uuidFromHex(md5(lit("seed")))))
+      .withColumn("d", when(!col("null_row"), to_date(lit("2024-02-29"))))
+      .withColumn("ts", when(!col("null_row"),
+        to_timestamp(lit("2024-02-29 23:59:59.123456"))))
+      .withColumn("ttz", when(!col("null_row"),
+        TypedValues.timeWithTz(lit(86399999999L), lit(-330))))
+      .withColumn("iv", when(!col("null_row"),
+        expr("INTERVAL '3 04:05:06.789' DAY TO SECOND")))
+      .withColumn("inet", when(!col("null_row"), lit("192.168.0.0/24")))
+      .withColumn("vec", when(!col("null_row"),
+        array(lit(1.5f), lit(-2.25f), lit(0f))))
+      .withColumn("rec", when(!col("null_row"),
+        struct(lit(7).as("a"), lit("nested").as("bfield"))))
+      .withColumn("m", when(!col("null_row"), map(lit("k"), lit("v"))))
+      .withColumn("st", when(!col("null_row"),
+        TypedValues.setOf(array(lit(3), lit(1), lit(3)))))
+      .withColumn("cpx", when(!col("null_row"),
+        TypedValues.complexOf(lit(1.5), lit(-2.5))))
+      .drop("null_row")
+  }
+
+  private def valueCols = typedDf.columns.filterNot(_ == "row_key").toSeq
+
+  /** Column-wise null-safe comparison (maps are not comparable in
+    * predicates — compare their JSON form). */
+  private def assertSameRows(orig: DataFrame, got: DataFrame): Unit = {
+    val o = orig.alias("o")
+    val g = got.alias("g")
+    val joined = o.join(g, "row_key")
+    assert(got.count() == orig.count())
+    valueCols.foreach { c =>
+      val (lhs, rhs) =
+        if (orig.schema(c).dataType.typeName == "map")
+          (to_json(col(s"o.$c")), to_json(col(s"g.$c")))
+        else (col(s"o.$c"), col(s"g.$c"))
+      val bad = joined.filter(!(lhs <=> rhs)).count()
+      assert(bad == 0, s"column $c did not round-trip ($bad rows differ)")
+    }
+  }
+
+  test("parquet target round-trips every §1.3 type bit-exactly") {
+    val dir = Files.createTempDirectory("types-tgt")
+    val target = ParquetTableTarget(dir.toString, numBuckets = 2)
+    val df = typedDf
+    target.apply(spark, df, df.select("row_key").limit(0))
+    assertSameRows(df, target.read(spark).drop("bucket"))
+  }
+
+  test("state-store snapshot round-trips every §1.3 type") {
+    val store = new StateStore(spark,
+      Files.createTempDirectory("types-st").toString)
+    val df = typedDf
+    store.commit(Map("typed" -> df))
+    assertSameRows(df, store.read("typed", df.schema))
+  }
+
+  test("fn-memo JSON replay returns values identical to computed ones") {
+    val store = new StateStore(spark,
+      Files.createTempDirectory("types-fm").toString)
+    val typed = typedDf.cache()
+    // compute = attach every typed column, keyed by row_key
+    def attach(input: DataFrame): DataFrame = input.join(typed, "row_key")
+    val stage = FnMemo.memoize(spark, store, "typed", 1, Seq("row_key"))(attach)
+    val first = stage(typed.select("row_key"))
+    // force the memo write, then replay: the second call is all hits,
+    // so every value below went through to_json → from_json
+    first.collect()
+    val replayed = stage(typed.select("row_key"))
+    assertSameRows(first, replayed)
+  }
+
+  test("flow end-to-end: typed value columns reconcile and re-run as a no-op") {
+    val (src, tgt, st) = (Files.createTempDirectory("ty-src"),
+      Files.createTempDirectory("ty-tgt"), Files.createTempDirectory("ty-st"))
+    Files.write(src.resolve("a.md"), "alpha".getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.md"), "bravo".getBytes(StandardCharsets.UTF_8))
+    // the stage emits one row per file carrying every §1.3 type — the
+    // reconcile must fingerprint all of them (value_fp = md5 ∘ to_json)
+    val stage = CocoFn("typed", 1, fn = df =>
+      df.select(col("item_key"),
+        concat(col("item_key"), lit("#0")).as("row_key"))
+        .withColumn("dec", lit("1.500000000000000001").cast("decimal(38,18)"))
+        .withColumn("iv", expr("INTERVAL '1 02:03:04.5' DAY TO SECOND"))
+        .withColumn("bin", lit(Array[Byte](9, 8, 7)))
+        .withColumn("uuid", graft.functions.TypedValues.uuidFromHex(
+          md5(col("item_key"))))
+        .withColumn("ttz", graft.functions.TypedValues.timeWithTz(
+          lit(3600000000L), lit(90)))
+        .withColumn("vec", array(lit(0.5f), lit(1.5f))))
+    val flow = new Flow("typed", LocalFsSource(src.toString, Seq("**.md")),
+      Seq(stage), ParquetTableTarget(tgt.toString, 2), st.toString)
+    val r1 = flow.run(spark)
+    assert(r1.rowsInserted == 2, s"$r1")
+    // identical rerun: every typed column fingerprints identically
+    assert(flow.run(spark).isNoop,
+      "typed values must produce stable fingerprints")
+    val got = flow.target.read(spark)
+    assert(got.schema("iv").dataType.typeName.startsWith("interval"))
+    assert(got.schema("dec").dataType.sql == "DECIMAL(38,18)")
+    assert(got.count() == 2)
+  }
+
+  test("set and uuid encodings are canonical (equal values ⇒ equal fingerprints)") {
+    import spark.implicits._
+    def fp(df: DataFrame): Seq[String] =
+      df.select(md5(to_json(struct(df.columns.map(col).toSeq: _*))).as("fp"))
+        .collect().map(_.getString(0)).toSeq
+    // {3,1,3} and {1,3} are the same set
+    val a = Seq(1).toDF("i").select(TypedValues.setOf(
+      array(lit(3), lit(1), lit(3))).as("s"))
+    val b = Seq(1).toDF("i").select(TypedValues.setOf(
+      array(lit(1), lit(3))).as("s"))
+    assert(fp(a) == fp(b))
+    // uuid case-insensitive canonicalization
+    val u1 = Seq(1).toDF("i").select(TypedValues.canonicalUuid(
+      lit("DEADBEEF-0000-1111-2222-333344445555")).as("u"))
+    val u2 = Seq(1).toDF("i").select(TypedValues.canonicalUuid(
+      lit("deadbeef-0000-1111-2222-333344445555 ")).as("u"))
+    assert(fp(u1) == fp(u2))
+  }
+
+  test("timestamps differing only in microseconds fingerprint differently") {
+    import spark.implicits._
+    // the default to_json timestamp format is millis — without the
+    // engine's micros-precision JsonOptions these two collide
+    def fp(t: String): String = Seq(1).toDF("i")
+      .select(md5(to_json(struct(to_timestamp(lit(t)).as("ts")),
+        FnMemo.JsonOptions)).as("f")).first.getString(0)
+    assert(fp("2024-02-29 12:00:00.000123") != fp("2024-02-29 12:00:00.000124"))
+  }
+
+  test("time-with-tz encoding round-trips and orders within an offset") {
+    import spark.implicits._
+    val df = Seq(86399999999L, 0L, 43200000000L).toDF("us")
+      .withColumn("enc", TypedValues.timeWithTz(col("us"), lit(-330)))
+    val back = df.select(col("us"),
+      TypedValues.timeWithTzMicros(col("enc")).as("us2"),
+      TypedValues.timeWithTzOffsetMinutes(col("enc")).as("off"))
+    assert(back.filter(col("us") =!= col("us2")).count() == 0)
+    assert(back.filter(col("off") =!= -330).count() == 0)
+    // string order == numeric order within one offset
+    val sorted = df.orderBy("enc").select("us").collect().map(_.getLong(0))
+    assert(sorted.toSeq == Seq(0L, 43200000000L, 86399999999L))
+  }
+}
