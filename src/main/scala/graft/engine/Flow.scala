@@ -521,6 +521,22 @@ final class Flow(
     case _ => runLive(spark, interval, onStats)
   }
 
+  /** Live mode with an observable handle: cumulative stats, per-tick
+    * watch subscriptions and a readiness signal (the reference's
+    * `UpdateHandle.stats()/watch()` + RUNNING→READY status,
+    * update_stats.py). Built on the push-based [[runLiveWatched]]. */
+  def runLiveHandle(spark: SparkSession, interval: String): UpdateHandle = {
+    val handle = new UpdateHandle
+    handle.attach(runLiveWatched(spark, interval, handle.record))
+    handle
+  }
+
+  /** Per-subpath incremental control (the reference's
+    * `LiveComponentOperator` protocol): enqueue update/delete of
+    * single components, flush as one O(queue) catch-up. */
+  def operator(spark: SparkSession): LiveFlowOperator =
+    new LiveFlowOperator(this, spark)
+
   /** Current user-state rows (inspection / next-run reads). */
   def userState(spark: SparkSession): DataFrame =
     state(spark).read("user_state", UserStateSchema)

@@ -1,0 +1,142 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path}
+import java.nio.charset.StandardCharsets
+
+/** Live-surface contracts: the per-subpath operator protocol
+  * (reference LiveComponentOperator, live_component.py:206-405), the
+  * stats watch handle (update_stats.py), and the in-memory LiveMap
+  * hand-off (live_map.py:218-280).
+  */
+class LiveSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): Path = {
+    val d = Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private def write(dir: Path, rel: String, text: String): Unit = {
+    val f = dir.resolve(rel)
+    Files.createDirectories(f.getParent)
+    Files.write(f, text.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def upperStage = CocoFn("upper", 1, fn = df =>
+    df.select(col("item_key"),
+      concat(col("item_key"), lit("#0")).as("row_key"),
+      upper(Source.textOf(col("content"))).as("text")))
+
+  test("operator: update/delete are coalesced latest-wins and flush as one catch-up") {
+    val (src, tgt, st) = (tmpDir("op-src"), tmpDir("op-tgt"), tmpDir("op-st"))
+    write(src, "a.md", "alpha")
+    write(src, "b.md", "bravo")
+    val flow = new Flow("op", LocalFsSource(src.toString, Seq("**.md")),
+      Seq(upperStage), ParquetTableTarget(tgt.toString, 2), st.toString)
+    val op = flow.operator(spark)
+
+    assert(op.updateFull().recomputed == 2)
+    assert(!op.ready); op.markReady(); assert(op.ready)
+
+    // update the same subpath three times with successive edits: the
+    // flush runs ONCE against the LATEST state (queued/coalesced)
+    write(src, "a.md", "v1"); op.update("a.md")
+    write(src, "a.md", "v2"); op.update("a.md")
+    write(src, "a.md", "v3-final"); op.update("a.md")
+    assert(op.pendingSubpaths == Set("a.md"))
+    val r = op.flush()
+    assert(r.recomputed == 1 && r.unchanged == 1, s"$r")
+    assert(flow.target.read(spark).filter(col("item_key") === "a.md")
+      .select("text").first.getString(0) == "V3-FINAL")
+
+    // delete shares the path: a flushed subpath whose item vanished is
+    // GC'd; an empty flush does nothing at all
+    Files.delete(src.resolve("b.md")); op.delete("b.md")
+    val r2 = op.flush()
+    assert(r2.deletedComponents == 1 && r2.rowsDeleted == 1, s"$r2")
+    assert(op.flush().isNoop && op.pendingSubpaths.isEmpty)
+  }
+
+  test("stats handle: cumulative counters, watch subscription, ready transition") {
+    val (src, tgt, st) = (tmpDir("uh-src"), tmpDir("uh-tgt"), tmpDir("uh-st"))
+    write(src, "a.md", "alpha")
+    val flow = new Flow("uh", LocalFsSource(src.toString, Seq("**.md")),
+      Seq(upperStage), ParquetTableTarget(tgt.toString, 2), st.toString)
+    val ticks = new java.util.concurrent.LinkedBlockingQueue[UpdateStats]()
+    val handle = flow.runLiveHandle(spark, "1 second")
+    val unsubscribe = handle.watch((cum, _) => ticks.put(cum))
+    try {
+      assert(handle.awaitReady(60000), "initial catch-up must complete")
+      assert(handle.status == "ready")
+      val first = ticks.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+      assert(first != null && first.numReprocesses == 1 && first.numAdds == 1)
+
+      // a new file raises the cumulative add/reprocess counters
+      write(src, "b.md", "bravo")
+      val deadline = System.currentTimeMillis() + 60000
+      var caught: UpdateStats = null
+      while (caught == null && System.currentTimeMillis() < deadline) {
+        val s = ticks.poll(1, java.util.concurrent.TimeUnit.SECONDS)
+        if (s != null && s.numAdds == 2) caught = s
+      }
+      assert(caught != null, "the watch must observe the second add")
+      assert(caught.numReprocesses == 2 && caught.numErrors == 0)
+      assert(handle.stats().numAdds == 2)
+      assert(handle.lastTick.isDefined)
+      unsubscribe()
+    } finally handle.stop()
+    assert(!handle.isActive)
+  }
+
+  test("LiveMap: producer flow hands off to a consumer flow with O(changed) sync") {
+    val (src, tgtB, stA, stB) =
+      (tmpDir("lm-src"), tmpDir("lm-tgtB"), tmpDir("lm-stA"), tmpDir("lm-stB"))
+    write(src, "a.md", "alpha one")
+    write(src, "b.md", "bravo two")
+
+    val map = new LiveMap("sentences")
+    val producer = new Flow("produce",
+      LocalFsSource(src.toString, Seq("**.md")), Seq(upperStage),
+      map, stA.toString)
+    val consumer = new Flow("consume", map.source,
+      Seq(CocoFn("len", 1, fn = df =>
+        df.select(col("item_key"),
+          concat(col("item_key"), lit("/len")).as("row_key"),
+          length(col("text")).as("n")))),
+      ParquetTableTarget(tgtB.toString, 2), stB.toString)
+    val watcher = map.watch() // armed before the initial consumer scan
+
+    producer.run(spark)
+    assert(map.size == 2)
+    watcher.drain() // initial snapshot consumed by the full run below
+    assert(consumer.run(spark).recomputed == 2)
+    assert(consumer.run(spark).isNoop)
+
+    // one file edit: producer updates ONE map entry; the consumer
+    // syncs from the watcher delta — O(changed), no full re-list
+    write(src, "a.md", "alpha CHANGED")
+    producer.run(spark)
+    val (delta, _) = watcher.drain()
+    assert(delta == Seq("a.md#0"), s"got $delta")
+    val rc = consumer.runDelta(spark, delta)
+    assert(rc.recomputed == 1 && rc.unchanged == 1, s"$rc")
+
+    // entry disappears with its declaring component (reference: "an
+    // entry exists as long as some live component declares it")
+    Files.delete(src.resolve("b.md"))
+    producer.run(spark)
+    assert(map.size == 1)
+    val (delta2, _) = watcher.drain()
+    assert(delta2 == Seq("b.md#0"))
+    val rd = consumer.runDelta(spark, delta2)
+    assert(rd.deletedComponents == 1, s"$rd")
+    assert(consumer.target.read(spark).count() == 1)
+
+    // single active watcher, as in the reference
+    intercept[IllegalArgumentException](map.watch())
+    watcher.close()
+    map.watch().close() // re-armable after close
+  }
+}
