@@ -138,32 +138,43 @@ object Similarity {
       corpus: DataFrame, nCells: Int = 16, lloydRounds: Int = 3,
       trainSize: Int = 4096,
       idCol: String = "vec_id", embCol: String = "embedding"): IvfIndex = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(embCol).as("c_emb"))
+    val centroids = ivfTrainQuantizer(corpus, nCells, lloydRounds,
+      trainSize, idCol, embCol)
+    // ---- inverted lists: ONE full-corpus pass, broadcast quantizer ----
+    val assignment = assignCells(c, centroids, 1).join(c, Seq("neighbor_id"))
+      .localCheckpoint()
+    IvfIndex(centroids, assignment)
+  }
 
-    // ---- train the coarse quantizer in memory on a bounded sample -----
-    // (deterministic TakeOrdered sample: the trainSize corpus vectors
-    // with the smallest xxhash64(id). ~1 MiB at the defaults — the
-    // quantizer itself is a driver-scale object, which is exactly how
-    // FAISS trains ivfflat: in-memory k-means on a sample, never a
-    // distributed job per Lloyd round)
-    val sampleRows: Array[Array[Double]] = c
+  /** Train only the coarse quantizer (`cell`, `centroid`) — the
+    * expensive-once half of [[ivfBuild]], split out so the inverted
+    * lists can be maintained incrementally ([[ivfFlow]]) against a
+    * frozen quantizer, FAISS-style.
+    *
+    * Deterministic TakeOrdered sample: the `trainSize` corpus vectors
+    * with the smallest xxhash64(id) — data-independent order, so the
+    * index is reproducible run to run. ~1 MiB at the defaults; the
+    * quantizer is a driver-scale object, which is exactly how FAISS
+    * trains ivfflat: in-memory k-means on a sample, never a
+    * distributed job per Lloyd round. */
+  def ivfTrainQuantizer(
+      corpus: DataFrame, nCells: Int = 16, lloydRounds: Int = 3,
+      trainSize: Int = 4096,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sampleRows: Array[Array[Double]] = corpus
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
       .withColumn("h", xxhash64(col("neighbor_id")))
       .orderBy(col("h"), col("neighbor_id"))
       .limit(math.max(trainSize, nCells))
       .select(col("c_emb").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
-    val trained = lloyd(sampleRows, nCells, lloydRounds)
-    val centroids = trained.zipWithIndex
+    lloyd(sampleRows, nCells, lloydRounds).zipWithIndex
       .map { case (a, i) => (i.toLong, a.toSeq) }.toSeq
       .toDF("cell", "centroid")
-
-    // ---- inverted lists: ONE full-corpus pass, broadcast quantizer ----
-    val assignment = assignCells(c, centroids, 1).join(c, Seq("neighbor_id"))
-      .localCheckpoint()
-    IvfIndex(centroids, assignment)
   }
 
   /** In-memory spherical k-means (cosine Lloyd) over the sample:
@@ -246,6 +257,90 @@ object Similarity {
     ivfQuery(queries,
       ivfBuild(corpus, nCells, lloydRounds, idCol = idCol, embCol = embCol),
       k, nProbe, idCol, embCol)
+
+  /** An IVF index maintained INCREMENTALLY by the engine: the
+    * quantizer is trained once and persisted under
+    * `indexDir/centroids` (trained now if absent); the inverted-list
+    * `assignment` table is a flow target keyed by vector id, so a
+    * corpus edit re-assigns only the changed vectors through the
+    * normal reconcile — RunStats shows O(changed) rows rewritten, not
+    * a rebuild. This is the DDL-index model the reference relies on
+    * (pgvector ivfflat built once, maintained by the store per row,
+    * postgres/_target.py:499 + examples/text_embedding/main.py:138).
+    *
+    * The quantizer's fingerprint is part of the target's CONTAINER
+    * signature: [[ivfRetrain]] changes it, so the next run plans a
+    * destructive transition — truncate + full re-assignment — exactly
+    * like `REINDEX`, through the statediff planner. Query with
+    * `ivfQuery(queries, ivfLoad(spark, indexDir), …)`. */
+  def ivfFlow(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      corpus: org.apache.spark.sql.SparkSession => DataFrame,
+      indexDir: String, stateDir: String,
+      nCells: Int = 16, lloydRounds: Int = 3, numBuckets: Int = 8,
+      idCol: String = "vec_id", embCol: String = "embedding")
+      : graft.engine.Flow = {
+    val centDir = s"$indexDir/centroids"
+    if (!new java.io.File(centDir).exists())
+      ivfTrainQuantizer(corpus(spark), nCells, lloydRounds,
+        idCol = idCol, embCol = embCol)
+        .write.mode("overwrite").parquet(centDir)
+    val quantizerFp = quantizerFingerprint(spark, centDir)
+
+    val inner = graft.engine.ParquetTableTarget(
+      s"$indexDir/assignment", numBuckets)
+    val target = new graft.engine.Target {
+      def apply(s: org.apache.spark.sql.SparkSession, up: DataFrame,
+          del: DataFrame): graft.engine.TargetStats = inner.apply(s, up, del)
+      def read(s: org.apache.spark.sql.SparkSession): DataFrame = inner.read(s)
+      override def truncate(s: org.apache.spark.sql.SparkSession): Unit =
+        inner.truncate(s)
+      /** Retraining the quantizer invalidates every inverted-list
+        * entry — container identity, planned Destructive. */
+      override def containerSignature: String =
+        s"ivf;quantizer=$quantizerFp;${inner.containerSignature}"
+    }
+
+    val assign = graft.engine.CocoFn("ivf_assign", 1,
+      deps = Seq(s"cells=$nCells"),
+      fn = df => {
+        val cents = df.sparkSession.read.parquet(centDir)
+        val vecs = df.select(col("item_key").as("neighbor_id"),
+          col(embCol).as("c_emb"))
+        assignCells(vecs, cents, 1).join(vecs, Seq("neighbor_id"))
+          .select(col("neighbor_id").as("item_key"),
+            col("neighbor_id").as("row_key"), col("cell"), col("c_emb"))
+      })
+    new graft.engine.Flow(name,
+      graft.engine.TableSource(corpus, keyCol = idCol),
+      Seq(assign), target, stateDir)
+  }
+
+  /** Re-train and persist the quantizer; the next [[ivfFlow]] run
+    * plans a destructive full re-assignment (the `REINDEX` analog). */
+  def ivfRetrain(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      corpus: DataFrame, nCells: Int = 16, lloydRounds: Int = 3,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit =
+    ivfTrainQuantizer(corpus, nCells, lloydRounds, idCol = idCol,
+      embCol = embCol)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+
+  /** Load an [[ivfFlow]]-maintained index for [[ivfQuery]]. */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$indexDir/centroids"),
+      spark.read.parquet(s"$indexDir/assignment")
+        .select(col("row_key").as("neighbor_id"), col("cell"), col("c_emb")))
+
+  private def quantizerFingerprint(
+      spark: org.apache.spark.sql.SparkSession, centDir: String): String = {
+    val rows = spark.read.parquet(centDir)
+      .orderBy("cell")
+      .select(to_json(struct(col("cell"), col("centroid"))))
+      .collect().map(_.getString(0))
+    graft.engine.Fingerprint.of(rows.toIndexedSeq: _*)
+  }
 
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]

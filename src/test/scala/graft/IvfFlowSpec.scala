@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Incrementally-maintained IVF index: corpus edits flow through the
+  * engine reconcile as O(changed) inverted-list updates; a quantizer
+  * retrain plans a destructive full re-assignment (the REINDEX
+  * analog, via the statediff container signature).
+  */
+class IvfFlowSpec extends SparkSpec {
+
+  private def vec(i: Int): Array[Float] =
+    Array.tabulate(8)(d => math.sin(i * 13 + d * 7).toFloat)
+
+  private def writeCorpus(dir: String, ids: Seq[Int],
+      replace: Map[Int, Array[Float]] = Map.empty): Unit = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, replace.getOrElse(i, vec(i)).toSeq))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  test("an edited vector rewrites O(1) inverted-list rows; retrain rebuilds all") {
+    val root = Files.createTempDirectory("ivf-flow")
+    val corpusDir = root.resolve("corpus").toString
+    val indexDir = root.resolve("index").toString
+    val stateDir = root.resolve("state").toString
+    writeCorpus(corpusDir, 0 until 40)
+
+    def corpus = (s: org.apache.spark.sql.SparkSession) =>
+      s.read.parquet(corpusDir)
+    def flow = Similarity.ivfFlow(spark, "ivf", corpus, indexDir, stateDir,
+      nCells = 4, numBuckets = 4)
+
+    // cold build: every vector assigned once
+    val r1 = flow.run(spark)
+    assert(r1.rowsInserted == 40, s"$r1")
+    assert(flow.run(spark).isNoop, "stable corpus ⇒ stable index")
+
+    // edit ONE vector: exactly one component recomputes, one row writes
+    writeCorpus(corpusDir, 0 until 40, replace = Map(7 -> vec(999)))
+    val r2 = flow.run(spark)
+    assert(r2.recomputed == 1 && r2.unchanged == 39,
+      s"one edit must re-assign one vector: $r2")
+    assert(r2.rowsInserted + r2.rowsUpdated == 1 && r2.rowsDeleted == 0, s"$r2")
+
+    // add one + delete one: one insert, one delete
+    writeCorpus(corpusDir, (1 until 41), replace = Map(7 -> vec(999)))
+    val r3 = flow.run(spark)
+    assert(r3.rowsInserted == 1 && r3.deletedComponents == 1, s"$r3")
+
+    // the maintained index serves queries: an exact twin ranks first
+    val idx = Similarity.ivfLoad(spark, indexDir)
+    assert(idx.assignment.count() == 40)
+    import spark.implicits._
+    val q = Seq((999L, vec(23).toSeq)).toDF("vec_id", "embedding")
+    val top = Similarity.ivfQuery(q, idx, k = 3, nProbe = 2)
+      .orderBy("rank").collect()
+    assert(top.head.getString(top.head.fieldIndex("neighbor_id")) == "23",
+      s"the exact twin must rank first: ${top.mkString(";")}")
+
+    // retrain: container signature changes ⇒ destructive full rebuild
+    Similarity.ivfRetrain(spark, indexDir, corpus(spark), nCells = 8)
+    val r4 = flow.run(spark)
+    assert(r4.recomputed == 40 && r4.rowsInserted == 40,
+      s"retrain must re-assign everything: $r4")
+    assert(flow.run(spark).isNoop, "and be stable afterwards")
+    assert(Similarity.ivfLoad(spark, indexDir).centroids.count() == 8)
+  }
+}
