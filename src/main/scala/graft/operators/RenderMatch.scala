@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Source views for match rendering — the reference's `render_match`
+  * (python/cocoindex/ops/code.py:270-292; engine
+  * rust/code_ast/src/view/render.rs:93-151) re-expressed without a
+  * parser: synthetic `text` plus source-grounded segments — context
+  * frames of the ranges' envelope, each range verbatim, and elision
+  * cues where material is omitted.
+  *
+  * The reference derives context frames from enclosing AST scopes
+  * (view/frames.rs:50-88); tree-sitter is infeasible offline on the
+  * JVM (SURVEY.md §2.C), so frames here come from the indentation
+  * profile: walking up from the envelope, each non-blank,
+  * non-annotation line with strictly smaller indent than everything
+  * below it is an enclosing structure's head line. Exact for
+  * indent-structured code (Python, YAML) and for idiomatically
+  * formatted brace languages; the cue grammar (`...` gap lines,
+  * `... ` mid-line continuations, whitespace glue) follows
+  * render.rs:42-80 verbatim.
+  *
+  * Rendering is a per-match display op, not a scan-path operator: it
+  * runs on the few rows [[CodeMatch.search]] lets through, so a UDF
+  * is the right cost point (the prefilter stays codegen'd).
+  */
+object RenderMatch {
+
+  /** Rendered cues (render.rs:17-20). */
+  val GapMarker = "...\n"
+  val ContPrefix = "... "
+  val MarkerIndentMax = 12
+  /** Frame lines longer than this truncate with `…` (frames.rs:18). */
+  val FrameLineMax = 200
+  private val MaxFrames = 16
+
+  /** Char offset + 1-based line / 0-based column in the ORIGINAL text. */
+  final case class TextPos(charOffset: Int, line: Int, column: Int)
+
+  /** One contiguous piece of the view's synthetic text.
+    * `kind` is "frame" (repeated enclosing context, incl. zero-width
+    * cues) or "content" (the match's own material, rendered verbatim).
+    * `summary`, when set, appears in `text` in place of the covered
+    * source; `(renderedStart, renderedEnd)` locate the piece in
+    * `text` — segments partition `text` in order. */
+  final case class ViewSegment(start: TextPos, end: TextPos, kind: String,
+      summary: Option[String], renderedStart: Int, renderedEnd: Int)
+
+  /** Invariant (view/mod.rs:49-53): `text` is exactly the in-order
+    * concatenation of each segment's rendering (`summary` if present,
+    * else the source slice `[start,end)`). */
+  final case class SourceView(text: String, segments: Seq[ViewSegment])
+
+  private final case class RawSeg(start: Int, end: Int, kind: String,
+      summary: Option[String])
+
+  private def lineStartAt(src: String, pos: Int): Int =
+    src.lastIndexOf('\n', math.max(0, pos - 1)) + 1
+
+  private def lineEndAt(src: String, pos: Int): Int = {
+    val i = src.indexOf('\n', pos)
+    if (i < 0) src.length else i
+  }
+
+  /** Preceded on its line by non-whitespace (render.rs:23-27). */
+  private def isMidLine(src: String, pos: Int): Boolean =
+    src.substring(lineStartAt(src, pos), pos).exists(!_.isWhitespace)
+
+  /** Leading whitespace of `pos`'s line up to `pos`, capped
+    * (render.rs:29-40). */
+  private def lineIndent(src: String, pos: Int): String = {
+    val ls = lineStartAt(src, pos)
+    val line = src.substring(ls, pos)
+    val ws = line.takeWhile(_.isWhitespace)
+    ws.take(MarkerIndentMax)
+  }
+
+  private def indentWidth(line: String): Int =
+    line.takeWhile(_.isWhitespace).map(c => if (c == '\t') 4 else 1).sum
+
+  /** Enclosing-structure head lines for the envelope, outermost first —
+    * the indentation stand-in for frames.rs `context_frames`: walking
+    * up from the envelope's first line, keep each non-blank line whose
+    * indent is strictly below the running minimum (annotation-only
+    * `@...` lines skipped, frames.rs:33-47); stop after a zero-indent
+    * frame. The envelope's own line is never a frame. */
+  private def contextFrames(src: String, envStart: Int): Seq[RawSeg] = {
+    val firstLineStart = lineStartAt(src, envStart)
+    var threshold = {
+      val l = src.substring(firstLineStart, lineEndAt(src, firstLineStart))
+      if (l.trim.isEmpty) Int.MaxValue else indentWidth(l)
+    }
+    val frames = scala.collection.mutable.ArrayBuffer[RawSeg]()
+    var ls = firstLineStart
+    while (ls > 0 && threshold > 0 && frames.size < MaxFrames) {
+      ls = lineStartAt(src, ls - 1) // previous line
+      val le = lineEndAt(src, ls)
+      val line = src.substring(ls, le)
+      val trimmed = line.trim
+      if (trimmed.nonEmpty && !trimmed.startsWith("@") &&
+          indentWidth(line) < threshold) {
+        threshold = indentWidth(line)
+        var text = line.reverse.dropWhile(_.isWhitespace).reverse
+        val truncated = text.length > FrameLineMax
+        if (truncated) text = text.take(FrameLineMax) + "…"
+        val inclNl = math.min(le + 1, src.length)
+        val raw = src.substring(ls, inclNl)
+        frames += RawSeg(ls, inclNl, "frame",
+          if (raw == text + "\n") None else Some(text + "\n"))
+      }
+    }
+    frames.reverse.toSeq
+  }
+
+  /** Zero-width frame cue at `pos` (render.rs:42-49). */
+  private def cue(pos: Int, text: String): RawSeg =
+    RawSeg(pos, pos, "frame", Some(text))
+
+  /** The cue between two consecutive rendered ranges (render.rs:51-80):
+    * whitespace-only omission carries the whitespace verbatim as glue;
+    * resuming at a line start renders an indented `...` elision line;
+    * resuming mid-line renders an inline `... ` continuation. */
+  private def betweenCue(src: String, prevEnd: Int, nextStart: Int): RawSeg = {
+    val omitted = src.substring(prevEnd, nextStart)
+    val summary =
+      if (omitted.trim.isEmpty) omitted
+      else if (isMidLine(src, nextStart)) {
+        val sep = src.substring(0, prevEnd).lastOption match {
+          case Some(c) if !c.isWhitespace => " "
+          case _ => ""
+        }
+        sep + ContPrefix
+      } else {
+        val nl = if (src.substring(0, prevEnd).endsWith("\n")) "" else "\n"
+        nl + lineIndent(src, nextStart) + GapMarker
+      }
+    cue(nextStart, summary)
+  }
+
+  /** Render source ranges into a [[SourceView]] (render.rs:93-151):
+    * context frames of the ranges' envelope, then each range
+    * **exactly** — no whitespace trims, no widening to line starts —
+    * with cues where material is omitted. Ranges are clamped, empty
+    * ones dropped, the rest rendered in source order; no ranges
+    * yields an empty view. */
+  def renderRanges(src: String, ranges: Seq[(Int, Int)]): SourceView = {
+    val clean = ranges
+      .map { case (s, e) => (math.max(0, math.min(s, src.length)),
+        math.max(0, math.min(e, src.length))) }
+      .filter { case (s, e) => s < e }
+      .sortBy(_._1)
+    if (clean.isEmpty) return SourceView("", Nil)
+    val envStart = clean.head._1
+
+    val segs = scala.collection.mutable.ArrayBuffer[RawSeg]()
+    val frames = contextFrames(src, envStart)
+    segs ++= frames
+
+    // Cue between the innermost frame and the first range
+    // (render.rs:119-134): `... ` when the range starts mid-line, else
+    // an elision line when non-whitespace source is omitted between
+    // the frame's line and the range's line.
+    frames.lastOption.foreach { innermost =>
+      if (isMidLine(src, envStart)) segs += cue(envStart, ContPrefix)
+      else {
+        val ls = lineStartAt(src, envStart)
+        if (ls >= innermost.end &&
+            src.substring(innermost.end, ls).trim.nonEmpty)
+          segs += cue(envStart, lineIndent(src, envStart) + GapMarker)
+      }
+    }
+
+    var prevEnd = -1
+    clean.foreach { case (s, e) =>
+      if (prevEnd >= 0 && s > prevEnd) segs += betweenCue(src, prevEnd, s)
+      segs += RawSeg(s, e, "content", None)
+      prevEnd = math.max(e, prevEnd)
+    }
+
+    // finalize (view/mod.rs:75-112): concatenate renderings, fill
+    // line/column positions and rendered ranges.
+    val lineStarts = {
+      val b = scala.collection.mutable.ArrayBuffer(0)
+      var i = src.indexOf('\n')
+      while (i >= 0) { b += i + 1; i = src.indexOf('\n', i + 1) }
+      b.toIndexedSeq
+    }
+    def pos(off: Int): TextPos = {
+      var lo = 0; var hi = lineStarts.size - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (lineStarts(mid) <= off) lo = mid else hi = mid - 1
+      }
+      TextPos(off, lo + 1, off - lineStarts(lo))
+    }
+    val text = new StringBuilder
+    val out = segs.map { s =>
+      val rendering = s.summary.getOrElse(src.substring(s.start, s.end))
+      val rs = text.length
+      text ++= rendering
+      ViewSegment(pos(s.start), pos(s.end), s.kind, s.summary, rs, text.length)
+    }
+    SourceView(text.toString, out.toSeq)
+  }
+
+  /** `renderRanges` over a whole match (all its chunk spans). */
+  def renderMatch(src: String, spans: Seq[(Int, Int)]): String =
+    renderRanges(src, spans).text
+
+  /** Column form for pipelines: render the view text for a single
+    * `[start,end)` span per row. Display-path UDF by design (see
+    * class doc); NOT for scan-path filtering — that is
+    * [[CodeMatch.mightMatch]]. */
+  val renderSpanUdf =
+    udf((text: String, start: Int, end: Int) =>
+      if (text == null) null else renderRanges(text, Seq((start, end))).text)
+
+  def renderSpan(text: Column, start: Column, end: Column): Column =
+    renderSpanUdf(text, start, end)
+}

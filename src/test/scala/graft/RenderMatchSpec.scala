@@ -1,0 +1,167 @@
+package graft
+
+import graft.operators.RenderMatch
+import graft.operators.RenderMatch.{SourceView, renderRanges}
+import org.apache.spark.sql.functions._
+
+/** Match rendering: cases mirror the reference's render tests
+  * (rust/code_ast/src/view/render.rs:153-339), including their
+  * segment invariant — `text` is exactly the in-order concatenation
+  * of segment renderings, renderings partition `text`, source ranges
+  * are ascending.
+  */
+class RenderMatchSpec extends SparkSpec {
+
+  private val PY =
+    """class Foo(Base):
+      |    def process(self, req):
+      |        if req.cache_ok:
+      |            value = compute()
+      |            return value
+      |
+      |    def other(self):
+      |        return 2
+      |""".stripMargin
+
+  private def rangeOf(src: String, needle: String): (Int, Int) = {
+    val s = src.indexOf(needle)
+    assert(s >= 0, s"needle '$needle' in src")
+    (s, s + needle.length)
+  }
+
+  /** render.rs `render_checked`: render + assert the view invariant. */
+  private def renderChecked(src: String, ranges: (Int, Int)*): SourceView = {
+    val view = renderRanges(src, ranges)
+    var cursor = 0
+    var prevEnd = 0
+    view.segments.foreach { seg =>
+      val rendering = seg.summary.getOrElse(
+        src.substring(seg.start.charOffset, seg.end.charOffset))
+      assert(seg.renderedStart == cursor, "renderings partition text")
+      assert(view.text.substring(seg.renderedStart, seg.renderedEnd)
+        == rendering)
+      cursor = seg.renderedEnd
+      assert(seg.start.charOffset >= prevEnd, "segment ranges ascending")
+      prevEnd = math.max(seg.end.charOffset, prevEnd)
+    }
+    assert(cursor == view.text.length, "renderings cover all of text")
+    view
+  }
+
+  test("single range with frames and gap marker") {
+    val view = renderChecked(PY, rangeOf(PY, "return value"))
+    // frames of all enclosing layers, an elision line for the omitted
+    // `value = compute()` line, then the exact matched range
+    assert(view.text ==
+      "class Foo(Base):\n    def process(self, req):\n" +
+      "        if req.cache_ok:\n            ...\nreturn value")
+    // citation span (content-segment envelope) == the match envelope
+    val content = view.segments.filter(_.kind == "content")
+    assert(content.head.start.charOffset == PY.indexOf("return value"))
+    assert(content.last.end.charOffset ==
+      PY.indexOf("return value") + "return value".length)
+  }
+
+  test("body adjacent to frame gets no gap marker") {
+    val view = renderChecked(PY, rangeOf(PY, "value = compute()"))
+    assert(view.text ==
+      "class Foo(Base):\n    def process(self, req):\n" +
+      "        if req.cache_ok:\nvalue = compute()")
+  }
+
+  test("multi-range line elision") {
+    val src = "def f(x):\n    a = 1\n    b = 2\n    c = 3\n"
+    val view = renderChecked(src, rangeOf(src, "a = 1"), rangeOf(src, "c = 3"))
+    assert(view.text == "def f(x):\na = 1\n    ...\nc = 3")
+    // the cue is a zero-length frame segment
+    val cues = view.segments.filter(s =>
+      s.kind == "frame" && s.start.charOffset == s.end.charOffset)
+    assert(cues.length == 1)
+    assert(cues.head.summary.contains("\n    ...\n"))
+  }
+
+  test("adjacent lines glue without elision") {
+    val src = "def f(x):\n    a = 1\n    b = 2\n"
+    val view = renderChecked(src, rangeOf(src, "a = 1"), rangeOf(src, "b = 2"))
+    assert(view.text == "def f(x):\na = 1\n    b = 2")
+  }
+
+  test("mid-line elision uses inline cue") {
+    val src = "foo(bar, baz)\n"
+    val view = renderChecked(src, rangeOf(src, "foo("), rangeOf(src, ")"))
+    assert(view.text == "foo( ... )")
+  }
+
+  test("top-level range is plain verbatim") {
+    val src = "x = 1\ny = 2\n"
+    val view = renderChecked(src, rangeOf(src, "y = 2"))
+    assert(view.text == "y = 2")
+    assert(view.segments.length == 1 && view.segments.head.kind == "content")
+  }
+
+  test("mid-line first range gets continuation cue under frames") {
+    val view = renderChecked(PY, rangeOf(PY, "compute()"))
+    assert(view.text ==
+      "class Foo(Base):\n    def process(self, req):\n" +
+      "        if req.cache_ok:\n... compute()")
+  }
+
+  test("a range on a head line keeps only the ancestors above it") {
+    val view = renderChecked(PY, rangeOf(PY, "def process(self, req):"))
+    assert(view.text == "class Foo(Base):\ndef process(self, req):")
+  }
+
+  test("flat text renders frameless") {
+    val src = "alpha\nbeta\ngamma\n"
+    assert(renderChecked(src, rangeOf(src, "beta")).text == "beta")
+  }
+
+  test("empty and out-of-bounds ranges are sanitized") {
+    val src = "x = 1\n"
+    assert(renderRanges(src, Nil).text == "")
+    assert(renderChecked(src, (0, 999)).text == src)
+  }
+
+  test("annotation lines are skipped as frames; decorated defs frame deeper") {
+    // frames.rs:33-47 skips `@...` lines — the indent walk must not
+    // stop at a decorator between the match and its enclosing def
+    val src = "class C:\n    @cached\n    def g(self):\n        return 1\n"
+    val view = renderChecked(src, rangeOf(src, "return 1"))
+    assert(view.text == "class C:\n    def g(self):\nreturn 1")
+  }
+
+  test("overlong frame lines truncate with an ellipsis") {
+    val long = "def " + ("x" * 300) + "():"
+    val src = long + "\n    body = 1\n"
+    val view = renderChecked(src, rangeOf(src, "body = 1"))
+    val frame = view.segments.head
+    assert(frame.kind == "frame")
+    val rendered = frame.summary.get
+    assert(rendered.length == RenderMatch.FrameLineMax + 2) // +'…' +'\n'
+    assert(rendered.endsWith("…\n"))
+  }
+
+  test("positions carry line/column of the original source") {
+    val view = renderChecked(PY, rangeOf(PY, "return value"))
+    val content = view.segments.find(_.kind == "content").get
+    assert(content.start.line == 5)    // 1-based
+    assert(content.start.column == 12) // 0-based, after the indent
+  }
+
+  test("renderSpan column renders per-row under search") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "def f(x):\n    y = load_config(x)\n    return y\n"),
+      (2L, "plain prose, nothing structural\n")
+    ).toDF("doc_id", "text")
+    val hits = graft.operators.CodeMatch
+      .search(docs, "doc_id", "text", "load_config(\\X)")
+      .withColumn("s", expr("instr(text, 'load_config') - 1"))
+      .withColumn("view", RenderMatch.renderSpan(
+        col("text"), col("s"), col("s") + lit("load_config".length)))
+      .collect()
+    assert(hits.length == 1)
+    assert(hits.head.getAs[String]("view") ==
+      "def f(x):\n... load_config")
+  }
+}
