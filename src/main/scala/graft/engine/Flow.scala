@@ -117,6 +117,7 @@ final class Flow(
 
   private def decodeColumns(s: String): Map[String, StateDiff.ColumnSig] =
     if (s.isEmpty) Map.empty
+    else if (!s.startsWith("[")) decodeColumnsLegacy(s)
     else {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
@@ -131,6 +132,15 @@ final class Flow(
           s"corrupt sub_json in target_state: $other")
       }
     }
+
+  /** A `target_state` row written before the JSON encoding used
+    * tab/newline delimiters — decode it rather than throwing on every
+    * subsequent run (the next commit re-encodes as JSON). */
+  private def decodeColumnsLegacy(s: String): Map[String, StateDiff.ColumnSig] =
+    s.split("\n").map { line =>
+      val Array(n, t, nul) = line.split("\t", 3)
+      n -> StateDiff.ColumnSig(t, nul.toBoolean)
+    }.toMap
 
   /** Table-level statediff: desired record vs the stored one →
     * transition plan + the provider generation it implies (reference

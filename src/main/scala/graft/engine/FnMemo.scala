@@ -58,8 +58,12 @@ object FnMemo {
       spark: SparkSession, store: StateStore, name: String, version: Int,
       argCols: Seq[String])(compute: DataFrame => DataFrame)
       : DataFrame => DataFrame = { input =>
+    // JsonOptions here too: without the micro-precision timestamp
+    // format, two arg tuples differing only in microseconds would
+    // fingerprint identically and the second would replay the first's
+    // cached result
     val fp = md5(to_json(struct(
-      (lit(s"$name:$version") +: argCols.sorted.map(col)): _*)))
+      (lit(s"$name:$version") +: argCols.sorted.map(col)): _*), JsonOptions))
     val withFp = input.withColumn("__args_fp", fp).cache()
 
     // one physical state table per scope: a commit below rewrites only
@@ -67,7 +71,7 @@ object FnMemo {
     // hard links, so a memoized stage's commit is O(its own cache),
     // never O(all caches)
     val shard = StateStore.shardName("fn_memo", name)
-    val memo = store.read(shard, FnMemoSchema)
+    val memo = store.readScoped("fn_memo", name, FnMemoSchema)
 
     // result schema = whatever compute adds on an empty input
     val resultCols = {
@@ -91,7 +95,7 @@ object FnMemo {
       .withColumn("scope", lit(name))
       .select("scope", "args_fp", "result_json")
     if (!computed.isEmpty) { // all-hit runs don't bump the state version
-      val all = store.read(shard, FnMemoSchema)
+      val all = store.readScoped("fn_memo", name, FnMemoSchema)
         .unionByName(newEntries).dropDuplicates("scope", "args_fp")
         .localCheckpoint()
       store.commit(Map(shard -> all))
@@ -117,7 +121,7 @@ object FnMemo {
     // scope-bounded: reads, counts and rewrites only this scope's
     // shard — other functions' caches are never scanned or copied
     val shard = StateStore.shardName("fn_memo", name)
-    val memo = store.read(shard, FnMemoSchema)
+    val memo = store.readScoped("fn_memo", name, FnMemoSchema)
     val refKeys = referenced.select(col(referenced.columns.head).as("args_fp"))
     val dropped = memo.join(refKeys, Seq("args_fp"), "left_anti").count()
     if (dropped > 0) {

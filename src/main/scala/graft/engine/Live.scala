@@ -154,11 +154,14 @@ final class LiveMap(val name: String = "livemap") extends Target {
   def apply(spark: SparkSession, upserts: DataFrame,
       deleteKeys: DataFrame): TargetStats = {
     val up = upserts.limit(LiveMap.MaxEntries + 1).collect()
-    require(entries.size + up.length <= LiveMap.MaxEntries,
+    val keyIdx = upserts.columns.indexOf("row_key")
+    // cap on the RESULTING size: re-upserting present keys updates in
+    // place and must not fail a map that isn't actually growing
+    val netNew = up.count(r => !entries.containsKey(r.getString(keyIdx)))
+    require(entries.size + netNew <= LiveMap.MaxEntries,
       s"LiveMap '$name' exceeds ${LiveMap.MaxEntries} entries — use a " +
         "ParquetTableTarget chain for unbounded hand-off")
     if (up.nonEmpty) schemaOpt = Some(upserts.schema)
-    val keyIdx = upserts.columns.indexOf("row_key")
     up.foreach { r =>
       val k = r.getString(keyIdx)
       entries.put(k, r); changed.add(k)

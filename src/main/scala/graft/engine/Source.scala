@@ -271,8 +271,12 @@ final case class TableSource(
   def list(spark: SparkSession): DataFrame = {
     val df = table(spark)
     val valueCols = df.columns.filterNot(_ == keyCol).sorted.map(col)
+    // FnMemo.JsonOptions: the default to_json truncates timestamps to
+    // milliseconds — a micro-only change would be invisible here, and
+    // TableSource has no level-2 content check to catch it
     df.select(col(keyCol).cast("string").as("item_key"),
-      md5(to_json(struct(valueCols.toSeq: _*))).as("memo_state"))
+      md5(to_json(struct(valueCols.toSeq: _*), FnMemo.JsonOptions))
+        .as("memo_state"))
   }
 
   /** Semi-join on the key set — fully plan-side: no driver

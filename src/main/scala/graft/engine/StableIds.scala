@@ -52,7 +52,7 @@ object IdSequencer {
     // rewrites only that scope's shard — sibling sequences are carried
     // forward as hard links, never rescanned or rewritten
     val shard = StateStore.shardName("id_seq", scope)
-    val inScope = store.read(shard, StateStore.IdSeqSchema)
+    val inScope = store.readScoped("id_seq", scope, StateStore.IdSeqSchema)
     val k = keys.select(col(keys.columns.head).cast("string").as("seq_key"))
       .distinct()
     val existing = k.join(inScope, Seq("seq_key")).select("seq_key", "id")

@@ -60,6 +60,27 @@ final class StateStore(spark: SparkSession, rootDir: String) {
         schema)
   }
 
+  /** Whether `table` exists in the current snapshot. */
+  def tableExists(table: String): Boolean = {
+    val v = currentVersion
+    v > 0 && Files.exists(root.resolve(s"v=$v").resolve(table))
+  }
+
+  /** One scope's slice of a sharded family: its shard once that
+    * exists; until then, rows for `scope` from a legacy unsharded
+    * table of the same name (a snapshot written before sharding —
+    * ignoring it would restart id sequences and void fn caches). The
+    * caller's first commit seeds the shard from this read; from then
+    * on the frozen legacy copy is ignored, so rows the shard has
+    * since pruned cannot resurrect from it. */
+  def readScoped(family: String, scope: String, schema: StructType)
+      : DataFrame = {
+    val shard = shardName(family, scope)
+    if (tableExists(shard)) read(shard, schema)
+    else read(family, schema)
+      .filter(org.apache.spark.sql.functions.col("scope") === scope)
+  }
+
   /** Union of every shard of a sharded table family (see
     * [[StateStore.shardName]]) plus any legacy unsharded table of the
     * same name. Sharding keeps a per-scope commit from rewriting the

@@ -58,7 +58,12 @@ object CodeMatch {
     val sb = new StringBuffer()
     while (m.find()) {
       val body = Option(m.group(1)).getOrElse(m.group(2))
-      fromStrings ++= "[A-Za-z0-9]+".r.findAllIn(body)
+      // word runs INCLUDE '_' (prefilter.rs:292-299): the verifier's
+      // \b treats '_' as a word char, so splitting "foo_bar" into
+      // foo+bar would reject a source containing exactly "foo_bar" —
+      // a false negative, breaking the soundness contract
+      fromStrings ++= "[A-Za-z0-9_]+".r.findAllIn(body)
+        .filter(_.exists(_ != '_'))
       m.appendReplacement(sb, " ")
     }
     m.appendTail(sb)

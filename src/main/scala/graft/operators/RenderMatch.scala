@@ -145,11 +145,19 @@ object RenderMatch {
     * ones dropped, the rest rendered in source order; no ranges
     * yields an empty view. */
   def renderRanges(src: String, ranges: Seq[(Int, Int)]): SourceView = {
-    val clean = ranges
+    val sorted = ranges
       .map { case (s, e) => (math.max(0, math.min(s, src.length)),
         math.max(0, math.min(e, src.length))) }
       .filter { case (s, e) => s < e }
       .sortBy(_._1)
+    // merge overlapping ranges (e.g. overlapping chunk spans): a range
+    // inside a previous one must not re-render its slice — segments
+    // must stay pairwise disjoint, `text` duplicate-free
+    val clean = sorted.foldLeft(Vector.empty[(Int, Int)]) {
+      case (acc :+ ((ps, pe)), (s, e)) if s < pe =>
+        acc :+ ((ps, math.max(pe, e)))
+      case (acc, r) => acc :+ r
+    }
     if (clean.isEmpty) return SourceView("", Nil)
     val envStart = clean.head._1
 

@@ -285,7 +285,6 @@ object Similarity {
       ivfTrainQuantizer(corpus(spark), nCells, lloydRounds,
         idCol = idCol, embCol = embCol)
         .write.mode("overwrite").parquet(centDir)
-    val quantizerFp = quantizerFingerprint(spark, centDir)
 
     val inner = graft.engine.ParquetTableTarget(
       s"$indexDir/assignment", numBuckets)
@@ -296,9 +295,14 @@ object Similarity {
       override def truncate(s: org.apache.spark.sql.SparkSession): Unit =
         inner.truncate(s)
       /** Retraining the quantizer invalidates every inverted-list
-        * entry — container identity, planned Destructive. */
+        * entry — container identity, planned Destructive. Read FRESH
+        * on every call (the fingerprint is a few-row driver read): a
+        * construction-time capture would blind a held Flow instance
+        * to an [[ivfRetrain]], leaving old-cell assignments silently
+        * paired with new centroids. */
       override def containerSignature: String =
-        s"ivf;quantizer=$quantizerFp;${inner.containerSignature}"
+        s"ivf;quantizer=${quantizerFingerprint(spark, centDir)};" +
+          inner.containerSignature
     }
 
     val assign = graft.engine.CocoFn("ivf_assign", 1,

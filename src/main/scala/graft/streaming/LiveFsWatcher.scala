@@ -32,20 +32,28 @@ final class LiveFsWatcher(dir: String, matches: String => Boolean)
   private val keyDirs = new ConcurrentHashMap[WatchKey, Path]()
   private val registeredDirs = ConcurrentHashMap.newKeySet[Path]()
   private val pending = ConcurrentHashMap.newKeySet[String]()
-  @volatile private var overflowed = false
+  private val overflowed = new java.util.concurrent.atomic.AtomicBoolean(false)
   @volatile private var closed = false
 
   registerTree(root, enumerate = false)
 
   private def registerTree(p: Path, enumerate: Boolean): Unit =
-    if (Files.isDirectory(p)) {
-      Files.walk(p).iterator().asScala.foreach { q =>
-        if (Files.isDirectory(q) && registeredDirs.add(q)) {
-          val key = q.register(ws, ENTRY_CREATE, ENTRY_DELETE, ENTRY_MODIFY)
-          keyDirs.put(key, q)
-        } else if (enumerate && Files.isRegularFile(q)) add(q)
+    if (Files.isDirectory(p))
+      // TOCTOU: the tree can vanish mid-walk (a created-then-deleted
+      // directory). Losing the race must degrade to a full rescan,
+      // never kill the watch.
+      try {
+        val walk = Files.walk(p)
+        try walk.iterator().asScala.foreach { q =>
+          if (Files.isDirectory(q) && registeredDirs.add(q)) {
+            val key = q.register(ws, ENTRY_CREATE, ENTRY_DELETE, ENTRY_MODIFY)
+            keyDirs.put(key, q)
+          } else if (enumerate && Files.isRegularFile(q)) add(q)
+        } finally walk.close()
+      } catch {
+        case _: java.io.IOException | _: java.io.UncheckedIOException =>
+          overflowed.set(true)
       }
-    }
 
   private def add(abs: Path): Unit = {
     val rel = root.relativize(abs).toString
@@ -57,22 +65,30 @@ final class LiveFsWatcher(dir: String, matches: String => Boolean)
       while (!closed) {
         val key = ws.take()
         val base = keyDirs.get(key)
-        key.pollEvents().asScala.foreach { ev =>
-          ev.kind() match {
-            case OVERFLOW => overflowed = true
-            case kind =>
-              val abs = base.resolve(ev.context().asInstanceOf[Path])
-              if (kind == ENTRY_CREATE && Files.isDirectory(abs))
-                // register first, then enumerate: files created after
-                // registration arrive as events, files created before
-                // are picked up by the walk — nothing is missed
-                registerTree(abs, enumerate = true)
-              else if (kind == ENTRY_DELETE && registeredDirs.remove(abs))
-                // a watched directory vanished: its children's delete
-                // events may be incomplete — force one full rescan
-                overflowed = true
-              else add(abs)
+        // an unexpected per-event failure must not kill the watch
+        // thread (a dead thread silently drains empty forever) — flag
+        // a full rescan and keep consuming
+        try {
+          key.pollEvents().asScala.foreach { ev =>
+            ev.kind() match {
+              case OVERFLOW => overflowed.set(true)
+              case kind =>
+                val abs = base.resolve(ev.context().asInstanceOf[Path])
+                if (kind == ENTRY_CREATE && Files.isDirectory(abs))
+                  // register first, then enumerate: files created after
+                  // registration arrive as events, files created before
+                  // are picked up by the walk — nothing is missed
+                  registerTree(abs, enumerate = true)
+                else if (kind == ENTRY_DELETE && registeredDirs.remove(abs))
+                  // a watched directory vanished: its children's delete
+                  // events may be incomplete — force one full rescan
+                  overflowed.set(true)
+                else add(abs)
+            }
           }
+        } catch {
+          case scala.util.control.NonFatal(_) if !closed =>
+            overflowed.set(true)
         }
         if (!key.reset()) keyDirs.remove(key)
       }
@@ -88,8 +104,10 @@ final class LiveFsWatcher(dir: String, matches: String => Boolean)
   /** Changed keys since the last drain + whether a full rescan is
     * needed (events dropped). */
   def drain(): (Seq[String], Boolean) = {
-    val of = overflowed
-    overflowed = false
+    // atomic read-and-clear: a plain read-then-reset would erase an
+    // overflow raised by the watch thread between the two, silently
+    // skipping the mandated full rescan
+    val of = overflowed.getAndSet(false)
     val snap = pending.asScala.toVector
     snap.foreach(pending.remove)
     (snap, of)

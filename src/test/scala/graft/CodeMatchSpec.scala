@@ -33,6 +33,22 @@ class CodeMatchSpec extends SparkSpec {
     assert(CodeMatch.requiredTerms("ab(xyz)", minLen = 3) == Seq("xyz"))
   }
 
+  test("string literals keep underscore runs whole — no false negatives") {
+    // word_runs includes '_' (prefilter.rs:292-299): splitting
+    // "foo_bar" into foo+bar would make \bfoo\b fail against a source
+    // containing exactly f("foo_bar") — an unsound rejection
+    assert(CodeMatch.requiredTerms("""f("foo_bar", "___")""") ==
+      Seq("foo_bar"))
+    import spark.implicits._
+    val docs = Seq(
+      (1L, """f("foo_bar")"""),   // exactly the pattern's literal
+      (2L, """f("foo bar")""")    // different string — may drop
+    ).toDF("doc_id", "text")
+    val got = CodeMatch.search(docs, "doc_id", "text", """f("foo_bar")""")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.contains(1L), "the exactly-matching doc must survive")
+  }
+
   test("mightMatch requires word boundaries, not substrings") {
     import spark.implicits._
     val df = Seq(

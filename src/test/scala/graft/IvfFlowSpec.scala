@@ -31,7 +31,10 @@ class IvfFlowSpec extends SparkSpec {
 
     def corpus = (s: org.apache.spark.sql.SparkSession) =>
       s.read.parquet(corpusDir)
-    def flow = Similarity.ivfFlow(spark, "ivf", corpus, indexDir, stateDir,
+    // ONE held instance for every run: a retrain must be visible to a
+    // Flow constructed before it (the container signature is read
+    // fresh per run, not captured at construction)
+    val flow = Similarity.ivfFlow(spark, "ivf", corpus, indexDir, stateDir,
       nCells = 4, numBuckets = 4)
 
     // cold build: every vector assigned once

@@ -122,6 +122,13 @@ class RenderMatchSpec extends SparkSpec {
     assert(renderChecked(src, (0, 999)).text == src)
   }
 
+  test("overlapping ranges merge instead of duplicating text") {
+    val src = "abcdefghij\n"
+    // (2,5) is inside (0,8); (6,10) overlaps its tail
+    assert(renderChecked(src, (0, 8), (2, 5)).text == "abcdefgh")
+    assert(renderChecked(src, (0, 8), (6, 10)).text == "abcdefghij")
+  }
+
   test("annotation lines are skipped as frames; decorated defs frame deeper") {
     // frames.rs:33-47 skips `@...` lines — the indent walk must not
     // stop at a decorator between the match and its enclosing def

@@ -170,6 +170,17 @@ class TypesSpec extends SparkSpec {
     assert(fp("2024-02-29 12:00:00.000123") != fp("2024-02-29 12:00:00.000124"))
   }
 
+  test("TableSource level-1 memo_state sees microsecond-only changes") {
+    import spark.implicits._
+    // TableSource has no level-2 content check: if the row fingerprint
+    // misses micros, a micro-only edit is permanently invisible
+    def ms(t: String): String = TableSource(
+      _ => Seq(("k", t)).toDF("k", "s")
+        .select(col("k"), to_timestamp(col("s")).as("ts")), keyCol = "k")
+      .list(spark).first.getString(1)
+    assert(ms("2024-02-29 12:00:00.000123") != ms("2024-02-29 12:00:00.000124"))
+  }
+
   test("time-with-tz encoding round-trips and orders within an offset") {
     import spark.implicits._
     val df = Seq(86399999999L, 0L, 43200000000L).toDF("us")

@@ -96,4 +96,38 @@ class FnMemoSpec extends SparkSpec {
     assert(calls.get() == 1,
       s"only the new chunk text must embed, got ${calls.get()}")
   }
+
+  test("timestamp args differing only in microseconds are distinct cache entries") {
+    import spark.implicits._
+    val store = new StateStore(spark,
+      Files.createTempDirectory("fnmemo-us").toString)
+    val st = FnMemo.memoize(spark, store, "tsfn", 1, Seq("ts"))(
+      df => df.withColumn("out", col("ts").cast("string")))
+    def one(t: String) = Seq(t).toDF("s")
+      .select(to_timestamp(col("s")).as("ts"))
+    st(one("2024-02-29 12:00:00.000123")).collect()
+    // second run: a millis-truncated args fingerprint would HIT the
+    // first entry and silently replay .000123
+    val out = st(one("2024-02-29 12:00:00.000124"))
+      .select("out").first.getString(0)
+    assert(out.endsWith("00.000124"), s"replayed a stale cached result: $out")
+  }
+
+  test("a legacy unsharded fn_memo table still serves hits after the sharding upgrade") {
+    import spark.implicits._
+    val pre = new StateStore(spark,
+      Files.createTempDirectory("fnmemo-pre").toString)
+    val d = Seq((1L, "alpha"), (2L, "bravo")).toDF("id", "text")
+    stage(pre, 1)(d).collect()
+    // simulate a pre-sharding snapshot: the same cache rows live in an
+    // UNSHARDED fn_memo table of a fresh store
+    val up = new StateStore(spark,
+      Files.createTempDirectory("fnmemo-up").toString)
+    up.commit(Map("fn_memo" ->
+      pre.readFamily("fn_memo", FnMemo.FnMemoSchema)))
+    calls.set(0)
+    stage(up, 1)(d).collect()
+    assert(calls.get() == 0,
+      s"legacy cache entries must be honored, got ${calls.get()} recomputes")
+  }
 }

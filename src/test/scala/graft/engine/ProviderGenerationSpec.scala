@@ -219,4 +219,40 @@ class ProviderGenerationSpec extends SparkSpec {
       "a truly no-op run must not rewrite state")
     assert(targetState(st)._2 == pid1)
   }
+
+  test("a pre-JSON tab-encoded target_state row decodes; the run stays a no-op") {
+    val (src, tgt, st) = (tmpDir("lg-src"), tmpDir("lg-tgt"), tmpDir("lg-st"))
+    seed(src)
+    val flow = mkFlow(src, tgt, st)
+    assert(flow.run(spark).rowsInserted == 3)
+
+    // rewrite the stored record with the LEGACY tab/newline column
+    // encoding (what snapshots held before sub_json became JSON) —
+    // tablePlan must decode it instead of throwing on every run
+    val store = new StateStore(spark, st.toString)
+    val cur = store.read("target_state", StateStore.TargetStateSchema)
+      .collect().head
+    val legacySub = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val JArray(items) = JsonMethods.parse(cur.getString(1))
+      items.map { it =>
+        val JString(n) = it \ "name"
+        val JString(t) = it \ "type"
+        val JBool(nu) = it \ "nullable"
+        s"$n\t$t\t$nu"
+      }.mkString("\n")
+    }
+    assert(legacySub.contains("\t"), "fixture must exercise the old format")
+    val legacyRow = org.apache.spark.sql.Row(
+      cur.getString(0), legacySub, cur.getString(2),
+      cur.getLong(3), cur.getLong(4))
+    store.commit(Map("target_state" -> spark.createDataFrame(
+      java.util.Collections.singletonList(legacyRow),
+      StateStore.TargetStateSchema)))
+
+    val r2 = flow.run(spark)
+    assert(r2.isNoop,
+      s"a legacy-encoded record must decode to the same plan: $r2")
+  }
 }

@@ -39,6 +39,27 @@ class StateSpec extends SparkSpec {
       .collect().head.getLong(1) == 1L)
   }
 
+  test("a legacy unsharded id_seq table keeps its sequences after the sharding upgrade") {
+    import spark.implicits._
+    val store = new StateStore(spark, tmp("idseq-legacy").toString)
+    // simulate a pre-sharding snapshot: rows in an UNSHARDED id_seq
+    store.commit(Map("id_seq" -> Seq(
+      ("chunks", "a", 1L), ("chunks", "b", 2L), ("other", "z", 7L))
+      .toDF("scope", "seq_key", "id")))
+    val got = IdSequencer.assign(spark, store, "chunks",
+      Seq("a", "b", "c").toDF("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1L, "b" -> 2L, "c" -> 3L),
+      "legacy ids must be kept, new ids extend past the legacy max — " +
+        "restarting at 1 would reuse ids already persisted downstream")
+    // a sibling scope still reads its own legacy slice
+    assert(IdSequencer.assign(spark, store, "other", Seq("z").toDF("k"))
+      .collect().head.getLong(1) == 7L)
+    // once the shard is seeded, it is authoritative
+    assert(IdSequencer.assign(spark, store, "chunks", Seq("d").toDF("k"))
+      .collect().head.getLong(1) == 4L)
+  }
+
   test("user state: declared on compute, kept when unchanged, pruned on undeclare/delete") {
     import spark.implicits._
     val (src, tgt, st) = (tmp("us-src"), tmp("us-tgt"), tmp("us-st"))
