@@ -1,0 +1,117 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Topic target: produce the reconcile delta as keyed MESSAGES on an
+  * append-only log — the reference's kafka/iggy topic targets
+  * (python/cocoindex/connectors/kafka/_target.py:102-138,250-275;
+  * iggy/_target.py:245-331). Semantics mirrored from the message
+  * handler's reconcile: an upsert whose fingerprint changed produces
+  * `(key, value)`; a delete produces a tombstone — no value, or
+  * `deletionValue(key)` when configured (`DeletionValueFn`); an
+  * unchanged row produces nothing. Delivery is at-least-once; the
+  * consumer compacts latest-per-key (`topic_as_map`,
+  * kafka/_source.py:482 — the batch/streaming twins live in
+  * [[graft.streaming]] TopicMap).
+  *
+  * Transport-free log: no broker in this env, so the "topic" is a
+  * directory of immutable parquet SEGMENTS (`seg=N/`), one per
+  * produce batch, `(key, value, seq)` — the same append-only,
+  * offset-ordered contract (ascending `seq` is offset order; within
+  * one batch a key appears at most once because the engine hands a
+  * per-key classified delta). Swapping the segment writer for a real
+  * producer changes nothing upstream.
+  *
+  * Convergence: a crash between produce and state commit re-produces
+  * the same delta as one more segment — exactly at-least-once — and
+  * compaction converges to the same map because the re-produced
+  * records carry identical values. Scale: an apply writes O(delta)
+  * and never reads the log; [[compacted]] is one per-key shuffle of
+  * the log (what a real consumer's compaction does); segment count
+  * grows per run, so a real deployment compacts old segments the way
+  * Kafka log-compaction does — fold segments `< N` into one.
+  */
+final case class TopicTarget(dir: String,
+    deletionValue: Option[String => String] = None) extends Target {
+
+  /** A topic is append-only: its identity is just where the log
+    * lives. There is no layout to change in place, so a dir change
+    * is the only destructive transition (topic re-create). */
+  override def containerSignature: String = s"topic;dir=$dir"
+
+  override def truncate(spark: SparkSession): Unit = {
+    val root = new java.io.File(dir)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    if (root.exists()) rm(root)
+  }
+
+  private def segments: Seq[(Long, java.io.File)] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("seg="))
+      .map(f => f.getName.drop(4).toLong -> f).toSeq.sortBy(_._1)
+
+  def apply(spark: SparkSession, upserts: DataFrame,
+      deleteKeys: DataFrame): TargetStats = {
+    val valueCols = upserts.columns
+      .filterNot(c => c == "row_key" || c == "item_key").sorted
+    val ups = upserts.select(col("row_key").as("key"),
+      to_json(struct(valueCols.map(col).toSeq: _*), FnMemo.JsonOptions)
+        .as("value"))
+    val dels = deletionValue match {
+      case Some(f) =>
+        val u = udf(f)
+        deleteKeys.select(col("row_key").as("key"), u(col("row_key")).as("value"))
+      case None =>
+        deleteKeys.select(col("row_key").as("key"),
+          lit(null).cast("string").as("value"))
+    }
+    val batch = ups.unionByName(dels).localCheckpoint()
+    // count the cheap lineage (delete keys), not the upsert side —
+    // re-counting `ups` would re-evaluate the desired-rows join
+    val nDel = dels.count()
+    val nUp = batch.count() - nDel
+    if (nUp + nDel > 0) {
+      val seq = segments.lastOption.map(_._1 + 1).getOrElse(1L)
+      batch.withColumn("seq", lit(seq))
+        .write.mode("errorifexists").parquet(s"$dir/seg=$seq")
+    }
+    TargetStats(nUp, nDel)
+  }
+
+  /** The raw message log in offset order — what a consumer replaying
+    * from the earliest offset sees. */
+  def log(spark: SparkSession): DataFrame = {
+    val segs = segments
+    if (segs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("key",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("seq",
+            org.apache.spark.sql.types.LongType))))
+    else spark.read.parquet(segs.map(_._2.getPath): _*)
+  }
+
+  /** `topic_as_map` over this log: latest record per key, tombstoned
+    * keys dropped (kafka/_source.py:482). When `deletionValue` is
+    * set, its messages are data to downstream consumers — only true
+    * null-value tombstones clear a key. */
+  def compacted(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key").orderBy(col("seq").desc)
+    log(spark).withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("value").isNotNull)
+      .select("key", "value")
+  }
+
+  /** Read back = the compacted map (a topic has no other "current
+    * contents"; replay the raw feed with [[log]]). */
+  def read(spark: SparkSession): DataFrame = compacted(spark)
+}

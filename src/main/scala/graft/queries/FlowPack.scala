@@ -47,6 +47,47 @@ object FlowPack extends QueryPack {
           s"incremental contract violated: rerun was not a no-op: $rerun")
         flow.target.read(s)
           .select("row_key", "doc_id", "chunk_idx", "chunk_text")
+      }),
+    Q(
+      "q63_topic_target",
+      // the final compacted map after: produce all docs, then a second
+      // run whose source drops doc_id%13 (⇒ tombstones) and bumps
+      // n_chars for doc_id%7 (⇒ update messages; everything else is
+      // memo-unchanged and produces NOTHING)
+      Some("""
+        SELECT CAST(doc_id AS VARCHAR) AS key,
+               CAST(CASE WHEN doc_id % 7 = 0 THEN n_chars + 1
+                         ELSE n_chars END AS BIGINT) AS n_final
+        FROM documents
+        WHERE doc_id % 13 <> 0"""),
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft-topic-q63")
+        work.toFile.deleteOnExit()
+        val topic = TopicTarget(work.resolve("log").toString)
+        val stage = CocoFn("emit", 1, fn = df => df.select(col("item_key"),
+          col("item_key").as("row_key"), col("n_final")))
+        def flowOver(src: org.apache.spark.sql.SparkSession
+            => org.apache.spark.sql.DataFrame) =
+          new Flow("topic_docs", TableSource(src, keyCol = "doc_id"),
+            Seq(stage), topic, work.resolve("state").toString)
+
+        val n1 = flowOver(sp => Tables(sp, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_final")))
+          .run(s)
+        val r2 = flowOver(sp => Tables(sp, dir, "documents")
+          .filter(col("doc_id") % 13 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, col("n_chars") + 1)
+              .otherwise(col("n_chars")).cast("long").as("n_final")))
+          .run(s)
+        // the produce is O(changed): initial inserts + edits + tombstones
+        require(topic.log(s).count() ==
+          n1.rowsInserted + r2.rowsUpdated + r2.rowsDeleted,
+          s"topic log must hold exactly the changed messages: $n1 / $r2")
+        require(r2.rowsInserted == 0 && r2.rowsUpdated > 0 && r2.rowsDeleted > 0,
+          s"delta shape: $r2")
+        topic.compacted(s).select(col("key"),
+          get_json_object(col("value"), "$.n_final").cast("long").as("n_final"))
       })
   )
 }

@@ -1,0 +1,96 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.nio.charset.StandardCharsets
+
+/** Topic target contract (reference kafka/iggy topic targets,
+  * kafka/_target.py:102-138): changed rows produce messages, deletes
+  * produce tombstones, delivery is at-least-once with convergent
+  * compaction, and the log is append-only — a produce never rewrites
+  * an earlier segment.
+  */
+class TopicTargetSpec extends SparkSpec {
+
+  private def tmp(p: String) = {
+    val d = Files.createTempDirectory(p); d.toFile.deleteOnExit(); d
+  }
+
+  private def compactedMap(t: TopicTarget): Map[String, String] =
+    t.compacted(spark).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("flow produces O(changed) messages; tombstones clear keys; log appends") {
+    import spark.implicits._
+    val (src, st) = (tmp("tp-src"), tmp("tp-st"))
+    val topic = TopicTarget(tmp("tp-log").resolve("t").toString)
+    def write(rel: String, text: String): Unit =
+      Files.write(src.resolve(rel), text.getBytes(StandardCharsets.UTF_8))
+    write("a.md", "alpha")
+    write("b.md", "bravo")
+    write("c.md", "charlie")
+
+    val stage = CocoFn("len", 1, fn = df => df.select(col("item_key"),
+      concat(col("item_key"), lit("#0")).as("row_key"),
+      length(Source.textOf(col("content"))).as("n")))
+    val flow = new Flow("topic", LocalFsSource(src.toString, Seq("**.md")),
+      Seq(stage), topic, st.toString)
+
+    flow.run(spark)
+    val m1 = compactedMap(topic)
+    assert(m1.keySet == Set("a.md#0", "b.md#0", "c.md#0"))
+    assert(m1("a.md#0") == """{"n":5}""")
+    assert(flow.run(spark).isNoop, "unchanged rows must produce nothing")
+    assert(topic.log(spark).count() == 3, "no-op run must not produce")
+
+    // one edit ⇒ exactly one new message, in a NEW segment; the first
+    // segment's files stay byte-identical (append-only log)
+    val seg1Files = Files.walk(new java.io.File(topic.dir).toPath)
+      .filter(Files.isRegularFile(_)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .map(p => p -> Files.readAllBytes(p)).toMap
+    write("a.md", "alphaaa")
+    flow.run(spark)
+    assert(topic.log(spark).count() == 4, "one edit ⇒ one produced message")
+    assert(compactedMap(topic)("a.md#0") == """{"n":7}""",
+      "compaction must see the latest value")
+    seg1Files.foreach { case (p, bytes) =>
+      assert(java.util.Arrays.equals(Files.readAllBytes(p), bytes),
+        s"$p changed — the log must be append-only") }
+
+    // delete ⇒ tombstone message; the key clears from the map but the
+    // record is visible to replaying consumers
+    Files.delete(src.resolve("b.md"))
+    flow.run(spark)
+    assert(compactedMap(topic).keySet == Set("a.md#0", "c.md#0"))
+    val tomb = topic.log(spark).filter(col("value").isNull).collect()
+    assert(tomb.length == 1 && tomb.head.getString(0) == "b.md#0")
+  }
+
+  test("at-least-once: re-producing the same delta converges under compaction") {
+    import spark.implicits._
+    val topic = TopicTarget(tmp("tp-alo").resolve("t").toString)
+    val up = Seq(("k1", 10), ("k2", 20)).toDF("row_key", "n")
+    val none = Seq.empty[String].toDF("row_key")
+    topic.apply(spark, up, none)
+    topic.apply(spark, up, none) // crash-replay of the same delta
+    assert(topic.log(spark).count() == 4, "both produces are in the log")
+    assert(compactedMap(topic) ==
+      Map("k1" -> """{"n":10}""", "k2" -> """{"n":20}"""),
+      "compaction must converge to the same map")
+  }
+
+  test("a configured deletion value replaces the bare tombstone") {
+    import spark.implicits._
+    val topic = TopicTarget(tmp("tp-dv").resolve("t").toString,
+      deletionValue = Some(k => s"""{"gone":"$k"}"""))
+    topic.apply(spark, Seq(("k1", 1)).toDF("row_key", "n"),
+      Seq.empty[String].toDF("row_key"))
+    topic.apply(spark, Seq.empty[(String, Int)].toDF("row_key", "n"),
+      Seq("k1").toDF("row_key"))
+    // the deletion message is DATA to downstream consumers: the key
+    // does not clear from the compacted map (only null tombstones do)
+    assert(compactedMap(topic) == Map("k1" -> """{"gone":"k1"}"""))
+  }
+}
