@@ -58,9 +58,12 @@ final case class TopicTarget(dir: String,
       deleteKeys: DataFrame): TargetStats = {
     val valueCols = upserts.columns
       .filterNot(c => c == "row_key" || c == "item_key").sorted
-    val ups = upserts.select(col("row_key").as("key"),
-      to_json(struct(valueCols.map(col).toSeq: _*), FnMemo.JsonOptions)
-        .as("value"))
+    // a payload-less upsert frame (e.g. Flow.drop's empty delta) has
+    // no columns to serialize — avoid to_json(struct()) entirely
+    val valueExpr =
+      if (valueCols.isEmpty) lit("{}")
+      else to_json(struct(valueCols.map(col).toSeq: _*), FnMemo.JsonOptions)
+    val ups = upserts.select(col("row_key").as("key"), valueExpr.as("value"))
     val dels = deletionValue match {
       case Some(f) =>
         val u = udf(f)

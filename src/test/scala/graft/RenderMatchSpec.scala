@@ -155,6 +155,19 @@ class RenderMatchSpec extends SparkSpec {
     assert(content.start.column == 12) // 0-based, after the indent
   }
 
+  test("chunk positions compose into framed chunk views") {
+    // a chunker consumer renders each chunk as a citation view — the
+    // chunk verbatim under its enclosing-scope frames (the reference's
+    // shared SourceView shape, view/mod.rs:1-7)
+    val chunks = graft.operators.Chunker.recursiveSplit(
+      PY, chunkSize = 60, separators = Seq("\n\n", "\n"))
+    val mid = chunks.find(c => c.text.contains("return value")).get
+    val view = renderRanges(PY, Seq((mid.start_char, mid.end_char)))
+    assert(view.text.startsWith("class Foo(Base):\n"),
+      s"a mid-class chunk view must open with its class frame: ${view.text}")
+    assert(view.text.contains("return value"))
+  }
+
   test("renderSpan column renders per-row under search") {
     import spark.implicits._
     val docs = Seq(

@@ -56,4 +56,47 @@ class ScaleSpec extends SparkSpec {
       assert(joined.count() == 5000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("code search with a term index plans no cartesian product") {
+    import spark.implicits._
+    // parquet-backed so Catalyst can't collapse the local relation at
+    // optimize time — we want the REAL distributed plan
+    val dir = java.nio.file.Files.createTempDirectory("cs-plan")
+      .resolve("docs").toString
+    (1L to 500L).map(i => (i, s"doc $i body merge stream window"))
+      .toDF("doc_id", "text").write.parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val index = docs.select(col("doc_id"),
+      explode(array_distinct(regexp_extract_all(col("text"),
+        lit("[A-Za-z_][A-Za-z0-9_]{3,}"), lit(0)))).as("term"))
+    val searched = graft.operators.CodeMatch.search(
+      docs, "doc_id", "text", """merge(stream, "window")""", Some(index))
+    assert(searched.count() == 500)
+    val plan = searched.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefilter must be an equi-join, plan was:\n$plan")
+    // and the required-term restriction reaches the index-side scan as
+    // a pushed-down IN filter, so the aggregation only ever sees rows
+    // of the queried terms
+    assert("""term#\d+ IN \(""".r.findFirstIn(plan).isDefined,
+      s"required-term filter missing from plan:\n$plan")
+  }
+
+  test("topic compaction is a single per-key exchange over the log") {
+    import spark.implicits._
+    val topic = graft.engine.TopicTarget(
+      java.nio.file.Files.createTempDirectory("tp-plan")
+        .resolve("t").toString)
+    topic.apply(spark, (1 to 200).map(i => (s"k$i", i)).toDF("row_key", "n"),
+      Seq.empty[String].toDF("row_key"))
+    topic.apply(spark, (1 to 50).map(i => (s"k$i", i * 2)).toDF("row_key", "n"),
+      Seq.empty[String].toDF("row_key"))
+    val compacted = topic.compacted(spark)
+    val exchanges = compacted.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      "compaction must shuffle the log exactly once (per-key window)")
+    assert(compacted.count() == 200)
+  }
 }

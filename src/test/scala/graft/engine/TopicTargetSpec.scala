@@ -68,6 +68,27 @@ class TopicTargetSpec extends SparkSpec {
     assert(tomb.length == 1 && tomb.head.getString(0) == "b.md#0")
   }
 
+  test("drop tombstones every tracked key; the compacted map empties") {
+    import spark.implicits._
+    val (src, st) = (tmp("tpd-src"), tmp("tpd-st"))
+    val topic = TopicTarget(tmp("tpd-log").resolve("t").toString)
+    Files.write(src.resolve("a.md"), "alpha".getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.md"), "bravo".getBytes(StandardCharsets.UTF_8))
+    val stage = CocoFn("len", 1, fn = df => df.select(col("item_key"),
+      concat(col("item_key"), lit("#0")).as("row_key"),
+      length(Source.textOf(col("content"))).as("n")))
+    val flow = new Flow("topicdrop", LocalFsSource(src.toString, Seq("**.md")),
+      Seq(stage), topic, st.toString)
+    flow.run(spark)
+    assert(compactedMap(topic).size == 2)
+    val stats = flow.drop(spark)
+    assert(stats.deleted == 2)
+    assert(compactedMap(topic).isEmpty,
+      "drop must revert the topic to an empty map")
+    assert(topic.log(spark).filter(col("value").isNull).count() == 2,
+      "reverts are tombstone messages, not history rewrites")
+  }
+
   test("at-least-once: re-producing the same delta converges under compaction") {
     import spark.implicits._
     val topic = TopicTarget(tmp("tp-alo").resolve("t").toString)
