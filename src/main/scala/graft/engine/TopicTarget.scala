@@ -85,21 +85,36 @@ final case class TopicTarget(dir: String,
     TargetStats(nUp, nDel)
   }
 
+  private val logSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("key",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("seq",
+      org.apache.spark.sql.types.LongType)))
+
   /** The raw message log in offset order — what a consumer replaying
     * from the earliest offset sees. */
   def log(spark: SparkSession): DataFrame = {
     val segs = segments
     if (segs.isEmpty)
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("key",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("value",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("seq",
-            org.apache.spark.sql.types.LongType))))
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logSchema)
     else spark.read.parquet(segs.map(_._2.getPath): _*)
+  }
+
+  /** `topic_as_stream` (kafka/_source.py:459): the raw append feed as
+    * a structured stream. Spark's file source re-evaluates the glob
+    * every micro-batch, so segments produced AFTER the query starts
+    * are discovered and delivered — a broker-less append feed with
+    * the same at-least-once contract. Compose with the
+    * [[graft.streaming]] ops (watermarks, compaction, sessionization)
+    * like any event stream. */
+  def stream(spark: SparkSession): DataFrame = {
+    new java.io.File(dir).mkdirs()
+    spark.readStream.schema(logSchema)
+      .option("maxFilesPerTrigger", 64)
+      .parquet(s"$dir/seg=*")
   }
 
   /** `topic_as_map` over this log: latest record per key, tombstoned
@@ -117,4 +132,43 @@ final case class TopicTarget(dir: String,
   /** Read back = the compacted map (a topic has no other "current
     * contents"; replay the raw feed with [[log]]). */
   def read(spark: SparkSession): DataFrame = compacted(spark)
+
+  /** The CONSUMER side: this topic as a keyed live source — the
+    * reference's `topic_as_map` feeding `mount_each`
+    * (kafka/_source.py:482: each message upserts its key, a tombstone
+    * removes it; the live feed drives per-key component updates).
+    * `list` is the compacted map fingerprinted by value; [[watch]]
+    * exploits the log structure: a segment IS a batch of changed
+    * keys, so a drain reads only segments past the consumer's offset
+    * — O(new messages), the exact consumer-offset contract, with no
+    * re-listing and no OS watcher needed. */
+  def source(spark: SparkSession): Source with WatchableSource = {
+    val self = this
+    new Source with WatchableSource {
+      private val inner =
+        TableSource(sp => self.compacted(sp), keyCol = "key")
+      def list(sp: SparkSession): DataFrame = inner.list(sp)
+      def load(sp: SparkSession, keys: DataFrame): DataFrame =
+        inner.load(sp, keys)
+      def contentFpOf: Option[org.apache.spark.sql.Column] =
+        inner.contentFpOf
+      def watch(): SourceWatcher = new SourceWatcher {
+        // armed NOW: messages produced after this point are unseen
+        private var offset: Long =
+          self.segments.lastOption.map(_._1).getOrElse(0L)
+        def drain(): (Seq[String], Boolean) = {
+          val fresh = self.segments.filter(_._1 > offset)
+          if (fresh.isEmpty) (Nil, false)
+          else {
+            offset = fresh.map(_._1).max
+            val keys = spark.read.parquet(fresh.map(_._2.getPath): _*)
+              .select("key").distinct()
+              .collect().map(_.getString(0)).toSeq
+            (keys, false)
+          }
+        }
+        def close(): Unit = ()
+      }
+    }
+  }
 }

@@ -102,6 +102,75 @@ class TopicTargetSpec extends SparkSpec {
       "compaction must converge to the same map")
   }
 
+  test("a consumer flow follows the topic by offset: O(new messages) per tick") {
+    import spark.implicits._
+    val (src, pst, cst) = (tmp("tpc-src"), tmp("tpc-pst"), tmp("tpc-cst"))
+    val topic = TopicTarget(tmp("tpc-log").resolve("t").toString)
+    def write(rel: String, text: String): Unit =
+      Files.write(src.resolve(rel), text.getBytes(StandardCharsets.UTF_8))
+    write("a.md", "alpha")
+    write("b.md", "bravo")
+    val produce = new Flow("producer",
+      LocalFsSource(src.toString, Seq("**.md")),
+      Seq(CocoFn("len", 1, fn = df => df.select(col("item_key"),
+        concat(col("item_key"), lit("#0")).as("row_key"),
+        length(Source.textOf(col("content"))).as("n")))),
+      topic, pst.toString)
+    produce.run(spark)
+
+    val consumerSrc = topic.source(spark)
+    val consume = new Flow("consumer", consumerSrc,
+      Seq(CocoFn("sq", 1, fn = df => df.select(col("item_key"),
+        col("item_key").as("row_key"),
+        (get_json_object(col("value"), "$.n").cast("long") * 2).as("n2")))),
+      ParquetTableTarget(tmp("tpc-tgt").resolve("t").toString, 2),
+      cst.toString)
+    val w = consumerSrc.watch() // armed before the initial catch-up
+    assert(consume.run(spark).rowsInserted == 2)
+
+    // producer edits one doc ⇒ ONE message ⇒ the consumer's drain is
+    // exactly that key (read from the segments past its offset — no
+    // re-listing), and the delta run recomputes one component
+    write("a.md", "alphaaa")
+    produce.run(spark)
+    val (keys, rescan) = w.drain()
+    assert(keys == Seq("a.md#0") && !rescan)
+    val r = consume.runDelta(spark, keys)
+    assert(r.recomputed == 1 && r.rowsUpdated == 1, s"$r")
+    assert(consume.target.read(spark).filter(col("row_key") === "a.md#0")
+      .head.getAs[Long]("n2") == 14L)
+
+    // tombstone flows through: the consumer component is GC'd
+    Files.delete(src.resolve("b.md"))
+    produce.run(spark)
+    val (keys2, _) = w.drain()
+    assert(keys2 == Seq("b.md#0"))
+    val r2 = consume.runDelta(spark, keys2)
+    assert(r2.deletedComponents == 1, s"$r2")
+    assert(consume.target.read(spark).count() == 1)
+    w.close()
+  }
+
+  test("topic_as_stream: segments produced after the query starts are delivered") {
+    import spark.implicits._
+    val topic = TopicTarget(tmp("tp-str").resolve("t").toString)
+    val none = Seq.empty[String].toDF("row_key")
+    topic.apply(spark, Seq(("k1", 1)).toDF("row_key", "n"), none)
+    val q = topic.stream(spark)
+      .writeStream.format("memory").queryName("topic_feed")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("topic_feed").count() == 1, "replay from offset 0")
+      topic.apply(spark, Seq(("k2", 2)).toDF("row_key", "n"), none)
+      q.processAllAvailable()
+      val got = spark.table("topic_feed")
+        .select("key").as[String].collect().toSet
+      assert(got == Set("k1", "k2"),
+        "a segment produced after start must be discovered and delivered")
+    } finally q.stop()
+  }
+
   test("a configured deletion value replaces the bare tombstone") {
     import spark.implicits._
     val topic = TopicTarget(tmp("tp-dv").resolve("t").toString,
