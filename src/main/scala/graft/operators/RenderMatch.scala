@@ -56,7 +56,11 @@ object RenderMatch {
       summary: Option[String])
 
   private def lineStartAt(src: String, pos: Int): Int =
-    src.lastIndexOf('\n', math.max(0, pos - 1)) + 1
+    // pos <= 0 must map to 0: lastIndexOf('\n', 0) would match a
+    // LEADING newline at index 0 and report line start 1 — which both
+    // breaks mid-line detection at offset 0 and pins the upward frame
+    // walk in place (an infinite loop the fuzz test caught)
+    if (pos <= 0) 0 else src.lastIndexOf('\n', pos - 1) + 1
 
   private def lineEndAt(src: String, pos: Int): Int = {
     val i = src.indexOf('\n', pos)

@@ -155,6 +155,23 @@ class RenderMatchSpec extends SparkSpec {
     assert(content.start.column == 12) // 0-based, after the indent
   }
 
+  test("the segment invariant holds under random texts and ranges") {
+    // property fuzz of the view invariant (view/mod.rs:49-53): any
+    // input — overlapping, out-of-bounds, empty, unsorted ranges over
+    // arbitrary text — must yield partitioning, ascending segments
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab\n\t _(){}:@\"'#"
+    for (_ <- 1 to 300) {
+      val n = rnd.nextInt(120)
+      val text = Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val ranges = Seq.fill(rnd.nextInt(5)) {
+        val a = rnd.nextInt(n + 40) - 20
+        (a, a + rnd.nextInt(30) - 5)
+      }
+      renderChecked(text, ranges: _*) // asserts the invariant
+    }
+  }
+
   test("chunk positions compose into framed chunk views") {
     // a chunker consumer renders each chunk as a citation view — the
     // chunk verbatim under its enclosing-scope frames (the reference's

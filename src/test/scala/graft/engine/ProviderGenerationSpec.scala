@@ -220,6 +220,25 @@ class ProviderGenerationSpec extends SparkSpec {
     assert(targetState(st)._2 == pid1)
   }
 
+  test("column names with tabs/newlines round-trip through the table record") {
+    // the old hand-rolled tab/newline encoding corrupted exactly this
+    // and bricked the flow on every later run — the JSON sub_json must
+    // make it a non-event
+    val (src, tgt, st) = (tmpDir("wc-src"), tmpDir("wc-tgt"), tmpDir("wc-st"))
+    seed(src)
+    val weird = CocoFn("weird", 1, fn = df => df.select(col("item_key"),
+      concat(col("item_key"), lit("#0")).as("row_key"),
+      length(graft.engine.Source.textOf(col("content")))
+        .as("tab\tand\nnewline")))
+    // topic target: payload columns become JSON fields, which (unlike
+    // parquet column names) may contain any character
+    def flow = new Flow("weirdcols", LocalFsSource(src.toString, Seq("**.md")),
+      Seq(weird), TopicTarget(tgt.resolve("t").toString), st.toString)
+    assert(flow.run(spark).rowsInserted == 3)
+    assert(flow.run(spark).isNoop,
+      "the weird-named column's signature must round-trip to a no-op")
+  }
+
   test("a pre-JSON tab-encoded target_state row decodes; the run stays a no-op") {
     val (src, tgt, st) = (tmpDir("lg-src"), tmpDir("lg-tgt"), tmpDir("lg-st"))
     seed(src)
