@@ -133,6 +133,33 @@ final case class TopicTarget(dir: String,
     * contents"; replay the raw feed with [[log]]). */
   def read(spark: SparkSession): DataFrame = compacted(spark)
 
+  /** Log compaction (the Kafka retention analog): fold every segment
+    * into ONE holding the latest record per key — tombstones KEPT, so
+    * a consumer replaying from offset 0 still clears deleted keys.
+    * The folded segment takes the highest folded seq: consumers at
+    * the head drain nothing new, and a mid-log consumer re-reads
+    * compacted history — re-delivery the at-least-once contract
+    * already permits. Bounds the log at O(live keys + tombstones)
+    * instead of O(all writes ever); run it like any retention job
+    * (periodically, or when segments outnumber a threshold). */
+  def compactLog(spark: SparkSession): Unit = {
+    val segs = segments
+    if (segs.length <= 1) return
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key").orderBy(col("seq").desc)
+    val maxSeq = segs.last._1
+    val folded = log(spark).withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("key"), col("value"), lit(maxSeq).as("seq"))
+      .localCheckpoint() // materialize BEFORE deleting the inputs
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    segs.foreach { case (_, d) => rm(d) }
+    folded.write.mode("overwrite").parquet(s"$dir/seg=$maxSeq")
+  }
+
   /** The CONSUMER side: this topic as a keyed live source — the
     * reference's `topic_as_map` feeding `mount_each`
     * (kafka/_source.py:482: each message upserts its key, a tombstone

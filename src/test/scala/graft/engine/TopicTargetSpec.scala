@@ -171,6 +171,33 @@ class TopicTargetSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("log compaction bounds the log without changing the map or losing tombstones") {
+    import spark.implicits._
+    val topic = TopicTarget(tmp("tp-cmp").resolve("t").toString)
+    val none = Seq.empty[String].toDF("row_key")
+    topic.apply(spark, Seq(("k1", 1), ("k2", 2), ("k3", 3)).toDF("row_key", "n"), none)
+    topic.apply(spark, Seq(("k1", 10)).toDF("row_key", "n"), none)
+    topic.apply(spark, Seq.empty[(String, Int)].toDF("row_key", "n"),
+      Seq("k2").toDF("row_key"))
+    val before = compactedMap(topic)
+    assert(topic.log(spark).count() == 5)
+
+    topic.compactLog(spark)
+    assert(compactedMap(topic) == before, "compaction must not change the map")
+    assert(topic.log(spark).count() == 3,
+      "one record per live key plus the tombstone")
+    assert(topic.log(spark).filter(col("value").isNull).count() == 1,
+      "tombstones survive so replaying consumers still clear the key")
+
+    // a consumer armed at the head sees nothing from the fold, and
+    // produces after compaction flow normally
+    val w = topic.source(spark).watch()
+    assert(w.drain()._1.isEmpty, "compaction is not new data at the head")
+    topic.apply(spark, Seq(("k4", 4)).toDF("row_key", "n"), none)
+    assert(w.drain()._1 == Seq("k4"))
+    w.close()
+  }
+
   test("a configured deletion value replaces the bare tombstone") {
     import spark.implicits._
     val topic = TopicTarget(tmp("tp-dv").resolve("t").toString,
