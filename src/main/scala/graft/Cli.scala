@@ -16,12 +16,15 @@ import graft.functions.HashEmbedder
   *   runMain graft.Cli preview <srcDir> <workDir>
   *   runMain graft.Cli ls      <srcDir> <workDir>
   *   runMain graft.Cli show    <srcDir> <workDir>
-  *   runMain graft.Cli search  <srcDir> <workDir> <query text> [k]
+  *   runMain graft.Cli search  <srcDir> <workDir> <query text> [k] [--ivf]
+  *   runMain graft.Cli index   <srcDir> <workDir> [--retrain]
   *   runMain graft.Cli drop    <srcDir> <workDir>
   * }}}
   *
-  * `workDir` owns both the engine state (`state/`) and the index
-  * table (`index/`).
+  * `workDir` owns the engine state (`state/`), the index table
+  * (`index/`), and the optional IVF vector index (`ivf/` +
+  * `ivf_state/` — built by `index`, maintained incrementally, served
+  * by `search --ivf`).
   */
 object Cli {
   val Dim = 32
@@ -78,8 +81,10 @@ object Cli {
           .agg(count(lit(1)).as("n_rows")).orderBy("item_key").show(100, false)
       case "search" =>
         require(args.length >= 4,
-          "usage: Cli search <srcDir> <workDir> <query text> [k]")
-        val (queryText, k) = (args(3), args.lift(4).map(_.toInt).getOrElse(5))
+          "usage: Cli search <srcDir> <workDir> <query text> [k] [--ivf]")
+        val useIvf = args.contains("--ivf")
+        val rest = args.drop(3).filterNot(_ == "--ivf")
+        val (queryText, k) = (rest(0), rest.lift(1).map(_.toInt).getOrElse(5))
         import spark.implicits._
         val q = Seq(queryText).toDF("q")
           .select(lit(0L).as("vec_id"), HashEmbedder.embed(col("q"), Dim)
@@ -87,12 +92,42 @@ object Cli {
         val corpus = flow.target.read(spark)
           .select(col("row_key"), col("chunk_text"), col("embedding"))
           .withColumn("vec_id", abs(xxhash64(col("row_key"))))
-        val hits = Similarity.bruteForceTopK(q, corpus, k)
-          .join(corpus.select(col("vec_id").as("neighbor_id"),
-            col("row_key"), col("chunk_text")), Seq("neighbor_id"))
+        // --ivf serves from the `index`-maintained inverted lists
+        // (probing nProbe cells) instead of scanning every vector
+        val topk =
+          if (useIvf) Similarity.ivfQuery(
+            q, Similarity.ivfLoad(spark, s"$workDir/ivf"), k, nProbe = 4)
+          else Similarity.bruteForceTopK(q, corpus, k)
+        val hits = topk
+          .withColumn("neighbor_id",
+            // ivf neighbor ids are the corpus row_keys; brute-force
+            // ids are the hashed vec_ids — normalize to row_key
+            if (useIvf) col("neighbor_id")
+            else col("neighbor_id").cast("string"))
+          .join(
+            (if (useIvf) corpus.select(col("row_key").as("neighbor_id"),
+              col("row_key"), col("chunk_text"))
+            else corpus.select(col("vec_id").cast("string").as("neighbor_id"),
+              col("row_key"), col("chunk_text"))),
+            Seq("neighbor_id"))
           .orderBy("rank")
           .select("rank", "score", "row_key", "chunk_text")
         hits.show(k, 80)
+      case "index" =>
+        // build or incrementally maintain the IVF index over the
+        // flow's embeddings (reference declare_vector_index /
+        // pgvector ivfflat, postgres/_target.py:499): rerun after
+        // `update` — only changed vectors re-assign; `--retrain`
+        // re-trains the quantizer (REINDEX: destructive rebuild)
+        if (args.contains("--retrain"))
+          Similarity.ivfRetrain(spark, s"$workDir/ivf",
+            flow.target.read(spark), idCol = "row_key")
+        val ivf = Similarity.ivfFlow(spark, "cli_ivf",
+          sp => flow.target.read(sp)
+            .select(col("row_key"), col("embedding")),
+          s"$workDir/ivf", s"$workDir/ivf_state", idCol = "row_key")
+        val stats = ivf.run(spark)
+        println(s"index: $stats")
       case "drop" =>
         val stats = flow.drop(spark)
         println(s"drop: removed ${stats.deleted} rows")

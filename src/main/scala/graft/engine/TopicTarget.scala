@@ -33,7 +33,13 @@ import org.apache.spark.sql.functions._
   * Kafka log-compaction does — fold segments `< N` into one.
   */
 final case class TopicTarget(dir: String,
-    deletionValue: Option[String => String] = None) extends Target {
+    deletionValue: Option[String => String] = None,
+    /** Auto-run [[compactLog]] after an apply leaves more than this
+      * many segments (0 = never): the self-maintaining form of the
+      * retention job — Kafka's log-cleaner triggered by segment
+      * count. Consumers mid-log re-read compacted history, which
+      * at-least-once already permits. */
+    compactEvery: Int = 0) extends Target {
 
   /** A topic is append-only: its identity is just where the log
     * lives. There is no layout to change in place, so a dir change
@@ -81,6 +87,8 @@ final case class TopicTarget(dir: String,
       val seq = segments.lastOption.map(_._1 + 1).getOrElse(1L)
       batch.withColumn("seq", lit(seq))
         .write.mode("errorifexists").parquet(s"$dir/seg=$seq")
+      if (compactEvery > 0 && segments.length > compactEvery)
+        compactLog(spark)
     }
     TargetStats(nUp, nDel)
   }

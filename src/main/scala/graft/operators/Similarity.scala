@@ -236,7 +236,10 @@ object Similarity {
       .select(col("neighbor_id").as("query_id"), col("cell"))
     val candidates = probes.join(q, Seq("query_id"))
       .join(index.assignment, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      // compare as strings: an ivfFlow-maintained index carries STRING
+      // row keys while ad-hoc queries often use numeric ids — the
+      // implicit numeric coercion would throw CAST_INVALID_INPUT
+      .filter(col("query_id").cast("string") =!= col("neighbor_id").cast("string"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))

@@ -198,6 +198,22 @@ class TopicTargetSpec extends SparkSpec {
     w.close()
   }
 
+  test("compactEvery bounds the segment count across many produces") {
+    import spark.implicits._
+    val topic = TopicTarget(tmp("tp-auto").resolve("t").toString,
+      compactEvery = 4)
+    val none = Seq.empty[String].toDF("row_key")
+    for (i <- 1 to 12)
+      topic.apply(spark, Seq((s"k${i % 5}", i)).toDF("row_key", "n"), none)
+    val segDirs = Option(new java.io.File(topic.dir).listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("seg="))
+    assert(segDirs <= 5, s"auto-compaction must bound segments, got $segDirs")
+    // latest value per key survives the folds
+    assert(compactedMap(topic) == Map(
+      "k0" -> """{"n":10}""", "k1" -> """{"n":11}""", "k2" -> """{"n":12}""",
+      "k3" -> """{"n":8}""", "k4" -> """{"n":9}"""))
+  }
+
   test("a configured deletion value replaces the bare tombstone") {
     import spark.implicits._
     val topic = TopicTarget(tmp("tp-dv").resolve("t").toString,
