@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.engine._
-import graft.operators.{Chunker, Similarity}
+import graft.operators.{Chunker, Fts, Similarity}
 import graft.functions.HashEmbedder
 
 /** App-management CLI over the canonical files→chunks→embeddings
@@ -16,15 +16,19 @@ import graft.functions.HashEmbedder
   *   runMain graft.Cli preview <srcDir> <workDir>
   *   runMain graft.Cli ls      <srcDir> <workDir>
   *   runMain graft.Cli show    <srcDir> <workDir>
-  *   runMain graft.Cli search  <srcDir> <workDir> <query text> [k] [--ivf]
+  *   runMain graft.Cli search  <srcDir> <workDir> <query text> [k] [--ivf|--text|--hybrid]
   *   runMain graft.Cli index   <srcDir> <workDir> [--retrain]
   *   runMain graft.Cli drop    <srcDir> <workDir>
   * }}}
   *
   * `workDir` owns the engine state (`state/`), the index table
-  * (`index/`), and the optional IVF vector index (`ivf/` +
-  * `ivf_state/` — built by `index`, maintained incrementally, served
-  * by `search --ivf`).
+  * (`index/`), and the search indexes `index` builds and then
+  * maintains incrementally: the IVF vector index (`ivf/` +
+  * `ivf_state/`, served by `search --ivf`) and the BM25 inverted
+  * index (`fts/` + `fts_state/`, served by `search --text`;
+  * `search --hybrid` fuses the vector and keyword rankings with
+  * RRF — the dual vector+FTS index serving every analytical target
+  * of the reference declares).
   */
 object Cli {
   val Dim = 32
@@ -81,11 +85,51 @@ object Cli {
           .agg(count(lit(1)).as("n_rows")).orderBy("item_key").show(100, false)
       case "search" =>
         require(args.length >= 4,
-          "usage: Cli search <srcDir> <workDir> <query text> [k] [--ivf]")
+          "usage: Cli search <srcDir> <workDir> <query text> [k] " +
+            "[--ivf|--text|--hybrid]")
+        val flags = Set("--ivf", "--text", "--hybrid")
         val useIvf = args.contains("--ivf")
-        val rest = args.drop(3).filterNot(_ == "--ivf")
+        val rest = args.drop(3).filterNot(flags)
         val (queryText, k) = (rest(0), rest.lift(1).map(_.toInt).getOrElse(5))
         import spark.implicits._
+
+        if (args.contains("--text") || args.contains("--hybrid")) {
+          val terms = queryText.toLowerCase
+            .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+          val txt = Fts.bm25(Fts.ftsLoad(spark, s"$workDir/fts"), terms)
+            .withColumn("rank", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(col("score").desc, col("doc_id"))).cast("int"))
+            .filter(col("rank") <= k)
+          val chunks = flow.target.read(spark)
+            .select(col("row_key"), col("chunk_text"))
+          val ranked =
+            if (args.contains("--text"))
+              txt.select(col("doc_id").as("row_key"), col("rank"),
+                round(col("score"), 4).as("score"))
+            else {
+              // hybrid: RRF-fuse the keyword ranking with the exact
+              // vector ranking (both keyed by the chunk row_key)
+              val q = Seq(("__query__", queryText)).toDF("vec_id", "q")
+                .select(col("vec_id"),
+                  HashEmbedder.embed(col("q"), Dim).as("embedding"))
+              val vec = Similarity.bruteForceTopK(q,
+                flow.target.read(spark).select(
+                  col("row_key").as("vec_id"), col("embedding")), k)
+                .select(col("neighbor_id").as("doc_id"), col("rank"))
+              Fts.rrfFuse(Seq(txt.select("doc_id", "rank"), vec), "doc_id")
+                .withColumn("rank", row_number().over(
+                  org.apache.spark.sql.expressions.Window
+                    .orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
+                .filter(col("rank") <= k)
+                .select(col("doc_id").as("row_key"), col("rank"),
+                  round(col("rrf"), 6).as("score"))
+            }
+          ranked.join(chunks, Seq("row_key"))
+            .orderBy("rank").select("rank", "score", "row_key", "chunk_text")
+            .show(k, 80)
+          return
+        }
         val q = Seq(queryText).toDF("q")
           .select(lit(0L).as("vec_id"), HashEmbedder.embed(col("q"), Dim)
             .as("embedding"))
@@ -128,6 +172,14 @@ object Cli {
           s"$workDir/ivf", s"$workDir/ivf_state", idCol = "row_key")
         val stats = ivf.run(spark)
         println(s"index: $stats")
+        // the BM25 inverted index rides the same maintenance loop:
+        // only chunks whose text changed rewrite their postings
+        val fts = Fts.ftsFlow(spark, "cli_fts",
+          sp => flow.target.read(sp)
+            .select(col("row_key"), col("chunk_text")),
+          s"$workDir/fts", s"$workDir/fts_state",
+          idCol = "row_key", textCol = "chunk_text")
+        println(s"index(fts): ${fts.run(spark)}")
       case "drop" =>
         val stats = flow.drop(spark)
         println(s"drop: removed ${stats.deleted} rows")

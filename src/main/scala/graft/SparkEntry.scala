@@ -14,12 +14,14 @@ import graft.queries._
   *   - [[queries.SimilarityPack]] — vector similarity search
   *   - [[queries.ChunkPack]]      — chunk/embed pipeline ops
   *   - [[queries.FlowPack]]       — the incremental engine end-to-end
+  *   - [[queries.OpsPack]]        — ids, code language, multimodal, code search
+  *   - [[queries.SearchPack]]     — BM25 / graph traversal / hybrid RRF
   */
 object SparkEntry {
 
   val packs: Seq[QueryPack] =
     Seq(RelationalPack, EventsPack, TextPack, SimilarityPack, ChunkPack,
-      FlowPack, OpsPack)
+      FlowPack, OpsPack, SearchPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

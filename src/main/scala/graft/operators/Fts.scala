@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over an inverted term index.
+  *
+  * Every analytical target in the reference declares a full-text
+  * index next to its vector index — doris's inverted FTS index
+  * (`doris/_target.py:1227-1287`), lancedb's FTS index
+  * (`lancedb/_target.py:1337`), valkey's search index
+  * (`valkey/_target.py:675`) — and the serving side is a ranked
+  * keyword query against that index. This module is the Spark-native
+  * equivalent: the index is two DataFrames (postings + doc lengths),
+  * buildable in one pass and maintainable incrementally (postings
+  * are per-doc rows, so the engine reconcile updates exactly the
+  * edited documents' rows — same pattern as the IVF vector index),
+  * and search is BM25 over an equi-join on term.
+  *
+  * Scale shape: postings shuffle once on `term` at build; a query
+  * touches only its terms' posting rows (partition-pruned when the
+  * index table is written bucketed/partitioned by term), the query
+  * term list is broadcast, and corpus-level stats (N, avgdl) ride a
+  * broadcast 1-row cross join — no driver-side collect anywhere.
+  */
+object Fts {
+
+  /** Lowercased word tokens; the analysis chain shared by index and
+    * query sides (and by the DuckDB oracle — keep in sync). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Inverted index: `postings(term, doc_id, tf)` and
+    * `docLengths(doc_id, dl)`. One tokenize pass, one shuffle. */
+  final case class Index(postings: DataFrame, docLengths: DataFrame)
+
+  def buildIndex(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text")
+      : Index = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    Index(
+      postings = toks.groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf")),
+      docLengths = toks.groupBy("doc_id")
+        .agg(count(lit(1)).as("dl")))
+  }
+
+  /** BM25 scores for `queryTerms` against a prebuilt index: one row
+    * per document matching at least one term, schema
+    * `(doc_id, score)`. Lucene's non-negative idf variant,
+    * `ln(1 + (N - df + ½)/(df + ½))`.
+    *
+    * df/N/avgdl derive from the index itself so a served index is
+    * self-contained; both aggregates stay lazy (1-row broadcast
+    * cross join), keeping the whole search a single Spark plan.
+    */
+  def bm25(
+      index: Index, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryTerms.distinct
+    val matched = index.postings
+      .filter(col("term").isin(terms: _*))
+    val df = matched.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+    val stats = index.docLengths
+      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    matched
+      .join(broadcast(df), Seq("term"))
+      .join(index.docLengths, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", idf * tfNorm)
+      .groupBy("doc_id")
+      .agg(sum(col("term_score")).as("score"))
+  }
+
+  /** Convenience: tokenize + index + score in one plan. */
+  def bm25Search(
+      docs: DataFrame, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bm25(buildIndex(docs, idCol, textCol), queryTerms, k1, b)
+
+  /** The inverted index as an engine-maintained flow target — the
+    * FTS analog of [[Similarity.ivfFlow]]: each document is one
+    * component whose rows are its postings (`row_key = doc:term`),
+    * so an edited document rewrites exactly its own posting rows
+    * through the reconcile (O(changed docs), not a corpus rebuild),
+    * a deleted document's postings are GC'd as orphans, and doc
+    * length rides denormalized on every posting so the served index
+    * is a single self-contained table.
+    */
+  def ftsFlow(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      corpus: org.apache.spark.sql.SparkSession => DataFrame,
+      indexDir: String, stateDir: String, numBuckets: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text")
+      : graft.engine.Flow = {
+    val target = graft.engine.ParquetTableTarget(
+      s"$indexDir/postings", numBuckets)
+    val post = graft.engine.CocoFn("fts_postings", 1, fn = df => {
+      val toks = df.select(col("item_key"),
+        explode(tokens(col(textCol))).as("term"))
+      toks.groupBy("item_key", "term").agg(count(lit(1)).as("tf"))
+        .join(toks.groupBy("item_key").agg(count(lit(1)).as("dl")),
+          Seq("item_key"))
+        .select(col("item_key"),
+          concat(col("item_key"), lit(":"), col("term")).as("row_key"),
+          col("term"), col("tf"), col("dl"))
+    })
+    new graft.engine.Flow(name,
+      graft.engine.TableSource(corpus, keyCol = idCol),
+      Seq(post), target, stateDir)
+  }
+
+  /** Load an [[ftsFlow]]-maintained index for [[bm25]]. Doc ids are
+    * the engine's STRING item keys. */
+  def ftsLoad(spark: org.apache.spark.sql.SparkSession, indexDir: String)
+      : Index = {
+    val postings = spark.read.parquet(s"$indexDir/postings")
+    Index(
+      postings = postings.select(col("item_key").as("doc_id"),
+        col("term"), col("tf")),
+      docLengths = postings.groupBy(col("item_key").as("doc_id"))
+        .agg(first(col("dl")).as("dl")))
+  }
+
+  /** Reciprocal-rank fusion of ranked result lists: each list
+    * contributes `1/(k0 + rank)` for the ids it ranks, summed across
+    * lists (ids missing from a list contribute nothing — the
+    * standard RRF of Cormack et al., and what hybrid
+    * vector+keyword search over the reference's qdrant/lancedb
+    * targets computes). Inputs are `(id, rank)` DataFrames with
+    * dense 1-based ranks; output is `(id, rrf, ranks...)` with one
+    * `rank_i` column per input list (null where absent).
+    */
+  def rrfFuse(ranked: Seq[DataFrame], idCol: String, k0: Int = 60)
+      : DataFrame = {
+    require(ranked.nonEmpty)
+    val named = ranked.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol), col("rank").as(s"rank_$i"))
+    }
+    val joined = named.reduce(_.join(_, Seq(idCol), "full_outer"))
+    val contrib = named.indices.map { i =>
+      when(col(s"rank_$i").isNotNull,
+        lit(1.0) / (lit(k0) + col(s"rank_$i"))).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    joined.withColumn("rrf", contrib)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph traversal over edge-list DataFrames.
+  *
+  * The reference stores property graphs through its neo4j/falkordb
+  * targets and queries them with Cypher traversals
+  * (`examples/docs_to_knowledge_graph/main.py:273-310` walks
+  * relationships out from a seed node). Our [[graft.engine.GraphTarget]]
+  * maintains the same node/edge tables; this operator is the query
+  * side: bounded breadth-first expansion as iterative equi-joins —
+  * the Pregel pattern, where each hop is one shuffle on the frontier
+  * and the visited set accumulates min-hop labels.
+  *
+  * Scale shape: per hop, the frontier (typically small) joins the
+  * edge table on `src` — broadcast when the frontier fits, shuffle
+  * otherwise (AQE decides from runtime stats). The visited set is
+  * only ever unioned and anti-joined, never recomputed, and each
+  * level is materialized (cache + count) so the loop terminates
+  * early on an empty frontier and the lineage stays one level deep
+  * rather than compounding across hops.
+  */
+object Graph {
+
+  /** Minimum-hop distances from `seeds` along directed `edges`,
+    * limited to `maxHops`. Returns `(node, hop)` with hop 0 for the
+    * seeds themselves; every reachable node appears once with its
+    * BFS (minimal) hop count.
+    *
+    * @param edges (src, dst) directed edge list (duplicates fine)
+    * @param seeds single-column DataFrame of seed node ids
+    */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).cache()
+    var dist = seeds.toDF("node").distinct()
+      .withColumn("hop", lit(0).cast("int")).cache()
+    var frontier = dist.select("node")
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      // after hop 1 the frontier's `node` IS the edge table's `dst`
+      // attribute — dataset aliases keep the self-join unambiguous
+      val next = frontier.alias("f")
+        .join(e.alias("g"), col("f.node") === col("g.src"))
+        .select(col("g.dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hop", lit(hop).cast("int"))
+        .cache()
+      dist = dist.union(next).cache()
+      frontier = next.select("node")
+    }
+    dist
+  }
+
+  /** Nodes within `maxHops` of `seeds` treating edges as undirected
+    * (a Cypher `-[*..n]-` expansion). */
+  def bfsUndirected(edges: DataFrame, seeds: DataFrame, maxHops: Int)
+      : DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    bfs(e.union(e.select(col("dst").as("src"), col("src").as("dst"))),
+      seeds, maxHops)
+  }
+
+  /** Convenience over a [[graft.engine.GraphTarget]]'s persisted edge
+    * table, whose reconciled rows carry `from_id`/`to_id`. */
+  def bfsOverEdgeTable(
+      spark: SparkSession, edgeDir: String, seeds: DataFrame,
+      maxHops: Int, fromCol: String = "from_id", toCol: String = "to_id")
+      : DataFrame =
+    bfs(spark.read.parquet(edgeDir)
+      .select(col(fromCol).as("src"), col(toCol).as("dst")), seeds, maxHops)
+}

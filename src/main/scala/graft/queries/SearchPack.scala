@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Fts, Graph, Similarity}
+
+/** The reference's retrieval workloads (SURVEY §2.F): ranked
+  * keyword search against the FTS index every analytical target
+  * declares, graph traversal over the knowledge-graph targets, and
+  * the hybrid vector+keyword fusion a qdrant/lancedb user runs.
+  * All three are exactly oracle-expressible — BM25 is arithmetic
+  * over term statistics, BFS min-hop is a recursive CTE, RRF is a
+  * full-outer join of the two rankings.
+  */
+object SearchPack extends QueryPack {
+
+  private val QueryTerms = Seq("vector", "stream", "window")
+
+  /** Shared BM25 oracle CTEs over `documents` (keep the analysis
+    * chain in sync with [[Fts.tokens]]). */
+  private val bm25Ctes = """
+    toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    qt AS (SELECT unnest(['vector', 'stream', 'window']) AS term),
+    tf AS (SELECT toks.doc_id, toks.term, count(*) AS tf
+           FROM toks JOIN qt USING (term) GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df
+           FROM toks JOIN qt USING (term) GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) *
+                        ((tf.tf * CAST(2.2 AS DOUBLE)) /
+                         (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) ),
+                   4) AS score
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+      GROUP BY tf.doc_id)"""
+
+  val all: Seq[Q] = Seq(
+
+    // ---- graph traversal: BFS min-hop from seed nodes -------------------
+    // (the docs_to_knowledge_graph Cypher walk, main.py:273-310 —
+    // expressed as bounded iterative joins; the oracle is the same
+    // reachability as a recursive CTE. Edges: consecutive lineitems
+    // of one order link their suppliers — O(lines) edges, not the
+    // O(lines²) same-order clique, so the build survives scale-up.)
+    Q(
+      "q64_graph_traversal",
+      Some("""
+        WITH RECURSIVE
+        edges AS (
+          SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND b.l_linenumber = a.l_linenumber + 1
+          WHERE a.l_suppkey <> b.l_suppkey
+            AND a.l_quantity > 45 AND b.l_quantity > 45),
+        reach(node, hop) AS (
+          SELECT src, 0 FROM (SELECT DISTINCT src FROM edges WHERE src <= 5) s
+          UNION
+          SELECT e.dst, r.hop + 1
+          FROM reach r JOIN edges e ON e.src = r.node
+          WHERE r.hop < 3)
+        SELECT node, CAST(min(hop) AS INT) AS hop
+        FROM reach GROUP BY node"""),
+      (s, dir) => {
+        val l = Tables(s, dir, "lineitem")
+          .filter(col("l_quantity") > 45)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+        val a = l.select(col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"), col("l_suppkey").as("src"))
+        val b = l.select(col("l_orderkey").as("ok"),
+          (col("l_linenumber") - 1).as("ln"), col("l_suppkey").as("dst"))
+        val edges = a.join(b, Seq("ok", "ln"))
+          .filter(col("src") =!= col("dst"))
+          .select("src", "dst").distinct()
+        val seeds = edges.filter(col("src") <= 5).select(col("src").as("node"))
+        Graph.bfs(edges, seeds, maxHops = 3)
+      }),
+
+    // ---- BM25 ranked keyword search over the inverted index -------------
+    // (the FTS index of doris/_target.py:1227-1287 and
+    // lancedb/_target.py:1337, served Spark-side: Fts.buildIndex is
+    // the q36-style term table with tf, Fts.bm25 the ranked query)
+    Q(
+      "q65_bm25",
+      Some(s"""
+        WITH $bm25Ctes
+        SELECT doc_id, score FROM scored"""),
+      (s, dir) =>
+        Fts.bm25Search(Tables(s, dir, "documents"), QueryTerms)
+          .select(col("doc_id"), round(col("score"), 4).as("score"))),
+
+    // ---- hybrid search: RRF fusion of vector top-k and BM25 top-k -------
+    // (what a qdrant/lancedb user runs against the reference's dual
+    // vector+FTS indexes; RRF per Cormack et al. — each list
+    // contributes 1/(60+rank), absent ids contribute 0)
+    Q(
+      "q66_hybrid_rrf",
+      Some(s"""
+        WITH $bm25Ctes,
+        txt AS (
+          SELECT doc_id, rank_txt FROM (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+                     AS rank_txt
+            FROM scored) x
+          WHERE rank_txt <= 50),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings WHERE vec_id = 0),
+        vec AS (
+          SELECT doc_id, rank_vec FROM (
+            SELECT c.vec_id AS doc_id,
+                   CAST(row_number() OVER (
+                     ORDER BY round(list_cosine_similarity(c.emb, q.emb), 6) DESC,
+                              c.vec_id) AS INT) AS rank_vec
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings) c, q
+            WHERE c.vec_id <> 0) x
+          WHERE rank_vec <= 50)
+        SELECT doc_id, rank_txt, rank_vec,
+               round(coalesce(1.0 / (60 + rank_txt), 0) +
+                     coalesce(1.0 / (60 + rank_vec), 0), 6) AS rrf
+        FROM txt FULL OUTER JOIN vec USING (doc_id)"""),
+      (s, dir) => {
+        val scored = Fts.bm25Search(Tables(s, dir, "documents"), QueryTerms)
+          .withColumn("score", round(col("score"), 4))
+        val txt = scored
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
+          .filter(col("rank") <= 50)
+          .select("doc_id", "rank")
+        val emb = Tables(s, dir, "embeddings")
+        val vec = Similarity
+          .bruteForceTopK(emb.filter(col("vec_id") === 0), emb, 50)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        Fts.rrfFuse(Seq(txt, vec), "doc_id")
+          .select(col("doc_id"),
+            col("rank_0").as("rank_txt"), col("rank_1").as("rank_vec"),
+            round(col("rrf"), 6).as("rrf"))
+      }))
+}

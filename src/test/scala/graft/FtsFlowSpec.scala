@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Fts
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Incrementally-maintained inverted index: document edits flow
+  * through the engine reconcile as O(changed) posting updates, and
+  * the served BM25 scores equal a from-scratch computation over the
+  * same corpus.
+  */
+class FtsFlowSpec extends SparkSpec {
+
+  private val texts = Map(
+    1 -> "spark merge join window",
+    2 -> "merge batch batch stream",
+    3 -> "window scan filter",
+    4 -> "spark spark stream")
+
+  private def writeCorpus(dir: String, docs: Map[Int, String]): Unit = {
+    import spark.implicits._
+    docs.toSeq.map { case (i, t) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  test("doc edits rewrite only their postings; served BM25 matches direct") {
+    val root = Files.createTempDirectory("fts-flow")
+    val corpusDir = root.resolve("corpus").toString
+    val indexDir = root.resolve("index").toString
+    val stateDir = root.resolve("state").toString
+    writeCorpus(corpusDir, texts)
+
+    def corpus = (s: org.apache.spark.sql.SparkSession) =>
+      s.read.parquet(corpusDir)
+    val flow = Fts.ftsFlow(spark, "fts", corpus, indexDir, stateDir,
+      numBuckets = 4)
+
+    // cold build: one posting per distinct (doc, term)
+    val r1 = flow.run(spark)
+    val distinctPostings = texts.map { case (_, t) => t.split(" ").toSet.size }.sum
+    assert(r1.rowsInserted == distinctPostings, s"$r1")
+    assert(flow.run(spark).isNoop, "stable corpus ⇒ stable index")
+
+    // served scores == from-scratch scores on the same corpus
+    def served: Map[String, Double] =
+      Fts.bm25(Fts.ftsLoad(spark, indexDir), Seq("spark", "batch"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val direct = {
+      import spark.implicits._
+      Fts.bm25Search(
+        texts.toSeq.map { case (i, t) => (i.toString, t) }.toDF("doc_id", "text"),
+        Seq("spark", "batch"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    assert(served.keySet == direct.keySet)
+    for ((k, v) <- served) assert(math.abs(v - direct(k)) < 1e-12, s"doc $k")
+
+    // edit ONE doc: one component recomputes; its old 'merge'/'join'
+    // postings delete, replaced rows upsert, siblings untouched
+    writeCorpus(corpusDir, texts + (1 -> "spark scan"))
+    val r2 = flow.run(spark)
+    assert(r2.recomputed == 1 && r2.unchanged == 3, s"$r2")
+    assert(r2.rowsDeleted > 0, s"dropped terms must GC their postings: $r2")
+    val terms1 = Fts.ftsLoad(spark, indexDir).postings
+      .filter(col("doc_id") === "1").select("term")
+      .collect().map(_.getString(0)).toSet
+    assert(terms1 == Set("spark", "scan"))
+
+    // remove a doc: its component and all its postings go
+    writeCorpus(corpusDir, (texts - 2) + (1 -> "spark scan"))
+    val r3 = flow.run(spark)
+    assert(r3.deletedComponents == 1, s"$r3")
+    assert(Fts.ftsLoad(spark, indexDir).postings
+      .filter(col("doc_id") === "2").count() == 0)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{Fts, Graph}
+
+/** BM25 / RRF / BFS invariants that the DuckDB oracle cannot state
+  * directly (monotonicity, absence semantics, min-hop correctness on
+  * a known graph). The value-exactness of q64–q66 rides the oracle
+  * gate. */
+class SearchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "spark streams merge fast spark spark"),
+    (2L, "merge sort join hash"),
+    (3L, "spark"),
+    (4L, "window filter scan batch row column"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("bm25: matching docs only, higher tf ranks higher at equal length") {
+    val out = Fts.bm25Search(docs, Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L) > 0 && out(3L) > 0)
+    // doc 3 is shorter (dl=1 vs 6): length normalization must not let
+    // a single occurrence in a short doc lose to the same tf in a
+    // long doc — and tf=3 in doc 1 still scores higher than tf=1
+    // normalized, per BM25 with default k1/b on these lengths.
+    val single = Fts.bm25Search(
+      Seq((1L, "spark a b c"), (2L, "spark a b c d e f g h")).toDF("doc_id", "text"),
+      Seq("spark")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(single(1L) > single(2L), "shorter doc must score higher at equal tf")
+  }
+
+  test("bm25: multi-term scores are sums of per-term scores") {
+    val both = Fts.bm25Search(docs, Seq("spark", "merge"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sOnly = Fts.bm25Search(docs, Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mOnly = Fts.bm25Search(docs, Seq("merge"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(both.keySet == sOnly.keySet ++ mOnly.keySet)
+    for ((id, sc) <- both)
+      assert(math.abs(sc - (sOnly.getOrElse(id, 0.0) + mOnly.getOrElse(id, 0.0)))
+        < 1e-12)
+  }
+
+  test("bm25: duplicate query terms don't double-count") {
+    val once = Fts.bm25Search(docs, Seq("spark")).collect().toSet
+    val twice = Fts.bm25Search(docs, Seq("spark", "spark")).collect().toSet
+    assert(once == twice)
+  }
+
+  test("rrf: absent ids contribute nothing; present ranks sum") {
+    val a = Seq((10L, 1), (20L, 2)).toDF("id", "rank")
+    val b = Seq((20L, 1), (30L, 2)).toDF("id", "rank")
+    val out = Fts.rrfFuse(Seq(a, b), "id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(out(10L) - 1.0 / 61) < 1e-12)
+    assert(math.abs(out(20L) - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    assert(math.abs(out(30L) - 1.0 / 62) < 1e-12)
+  }
+
+  test("bfs: min-hop labels on a diamond with a shortcut") {
+    //  1 -> 2 -> 3 -> 4,  1 -> 4 (shortcut),  5 isolated, 4 -> 1 cycle
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val out = Graph.bfs(edges, Seq(1L).toDF("node"), maxHops = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+  }
+
+  test("bfs: hop bound truncates; undirected reaches backwards") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val bounded = Graph.bfs(edges, Seq(1L).toDF("node"), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(bounded == Map(1L -> 0, 2L -> 1, 3L -> 2))
+    val undirected = Graph.bfsUndirected(edges, Seq(3L).toDF("node"), 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(undirected == Map(3L -> 0, 2L -> 1, 4L -> 1))
+  }
+
+  test("bfs: empty frontier exits early, seeds not in the graph keep hop 0") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val out = Graph.bfs(edges, Seq(9L).toDF("node"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(9L -> 0))
+  }
+}
