@@ -287,12 +287,29 @@ final class Flow(
         source.contentFpOf.getOrElse(lit(null).cast("string")))
       .cache()
 
+    // per-ITEM content fingerprint: a component may load MANY payload
+    // rows (e.g. AggView's bucketed table source), so the per-row fp
+    // column must collapse to one row per item before joining any
+    // item-level state — otherwise memo rows fan out per payload row.
+    // Single-row items keep their row fp bit-exactly; multi-row items
+    // combine order-insensitively.
+    val loadedFps =
+      if (source.contentFpOf.isEmpty)
+        loaded.select(col("item_key")).dropDuplicates("item_key")
+          .withColumn("__content_fp", lit(null).cast("string"))
+      else loaded.select(col("item_key"), col("__content_fp"))
+        .groupBy("item_key")
+        .agg(when(count(lit(1)) === 1, first(col("__content_fp")))
+          .otherwise(md5(concat_ws(",",
+            sort_array(collect_list(col("__content_fp"))))))
+          .as("__content_fp"))
+
     val level2 =
       if (byCls("suspect") == 0L)
         spark.emptyDataFrame.withColumn("item_key", lit(""))
           .withColumn("cls2", lit("")).limit(0).select("item_key", "cls2")
       else probe.filter(col("cls") === "suspect")
-        .join(loaded.select(col("item_key"),
+        .join(loadedFps.select(col("item_key"),
           col("__content_fp").as("new_content_fp")), Seq("item_key"), "left")
         .withColumn("cls2",
           when(col("new_content_fp").isNotNull &&
@@ -415,8 +432,7 @@ final class Flow(
       .select("item_key", "processor_fp", "memo_state", "content_fp")
     val recomputedMemo = listing.select(col("item_key"), col("memo_state"))
       .join(changedKeys, Seq("item_key"), "left_semi")
-      .join(loaded.select(col("item_key"), col("__content_fp")),
-        Seq("item_key"), "left")
+      .join(loadedFps, Seq("item_key"), "left")
       .select(col("item_key"), lit(pFp).as("processor_fp"),
         col("memo_state"), col("__content_fp").as("content_fp"))
     val newMemo = keptMemo.unionByName(refreshedMemo)

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{CocoFn, Flow, FnMemo, ParquetTableTarget, Source}
+
+/** Incrementally-maintained aggregate — a materialized GROUP BY view
+  * kept in sync by the engine's reconcile instead of recomputed from
+  * the base table.
+  *
+  * The reference maintains *row-level* derived state (chunks,
+  * embeddings, graph rows) incrementally; the analytics side of a
+  * pipeline needs the same property for aggregates: a 100 TB base
+  * table whose daily delta is 0.1% should not pay a full-scan
+  * GROUP BY to refresh its summary tables. Decomposable aggregates
+  * (count/sum/min/max — and avg as sum/count) split into per-bucket
+  * partials that the engine maintains and a cheap fold at read:
+  *
+  *   - components = hash buckets of the base table's primary key
+  *     ([[BucketedTableSource]]): a changed row dirties exactly one
+  *     bucket, and the bucket's memo state is an order-insensitive
+  *     row-fingerprint sum, computed in one map-side-combined pass.
+  *   - the stage recomputes partials `(bucket, group) → cnt/sum/min/max`
+  *     for dirty buckets only; the reconcile rewrites only those
+  *     buckets' partial rows in the view table.
+  *   - [[serve]] folds `numBuckets × |groups|` partial rows — for a
+  *     view worth materializing that is orders of magnitude smaller
+  *     than the base table, so serving cost is independent of base
+  *     size.
+  *
+  * Size `numBuckets` so a bucket's rows fit one task comfortably
+  * (≈ rows/10⁵); non-decomposable aggregates (exact count-distinct,
+  * exact percentiles) need sketch partials instead and are out of
+  * scope here by design.
+  */
+object AggView {
+
+  /** Base-table buckets as flow components: `item_key` = pmod of the
+    * key hash, memo state = order-insensitive sum of row
+    * fingerprints (+ row count), so any row edit/insert/delete flips
+    * exactly its bucket's state. The decimal sum keeps the
+    * aggregation overflow-free under ANSI semantics and constant-
+    * memory per bucket (no collect_list of row hashes). */
+  final case class BucketedTableSource(
+      table: SparkSession => DataFrame, keyCol: String, numBuckets: Int)
+      extends Source {
+
+    private def withBucket(df: DataFrame): DataFrame =
+      df.withColumn("item_key",
+        pmod(xxhash64(col(keyCol).cast("string")), lit(numBuckets))
+          .cast("string"))
+
+    def list(spark: SparkSession): DataFrame = {
+      val df = table(spark)
+      val valueCols = df.columns.sorted.map(col).toSeq
+      withBucket(df)
+        .select(col("item_key"),
+          xxhash64(to_json(struct(valueCols: _*), FnMemo.JsonOptions))
+            .cast("decimal(38,0)").as("row_fp"))
+        .groupBy("item_key")
+        .agg(concat_ws(":", sum(col("row_fp")), count(lit(1)))
+          .as("memo_state"))
+    }
+
+    def load(spark: SparkSession, keys: DataFrame): DataFrame =
+      withBucket(table(spark))
+        .join(keys.select("item_key"), Seq("item_key"), "left_semi")
+
+    def contentFpOf: Option[org.apache.spark.sql.Column] = None
+  }
+
+  /** The maintained view: count/sum/min/max of `valueCol` per
+    * `groupCols`, as an engine flow writing partial rows to
+    * `viewDir`. Run it like any flow; re-running after base-table
+    * changes touches only the dirty buckets. */
+  def flow(
+      name: String,
+      table: SparkSession => DataFrame, keyCol: String,
+      groupCols: Seq[String], valueCol: String,
+      viewDir: String, stateDir: String,
+      numBuckets: Int = 32): Flow = {
+    val gcols = groupCols.map(col)
+    val stage = CocoFn(s"aggview_$name", 1,
+      deps = Seq(s"g=${groupCols.mkString(",")}", s"v=$valueCol"),
+      fn = df => df
+        .groupBy(col("item_key") +: gcols: _*)
+        .agg(count(lit(1)).as("p_cnt"),
+          sum(col(valueCol)).as("p_sum"),
+          min(col(valueCol)).as("p_min"),
+          max(col(valueCol)).as("p_max"))
+        // to_json of the group-value struct: unambiguous row identity
+        // (a separator join would collide "a","bc" with "ab","c")
+        .withColumn("row_key",
+          concat(col("item_key"), lit(":"), to_json(struct(gcols: _*)))))
+    new Flow(name,
+      BucketedTableSource(table, keyCol, numBuckets),
+      Seq(stage),
+      ParquetTableTarget(viewDir, numBuckets = 8),
+      stateDir)
+  }
+
+  /** Fold the maintained partials into the final aggregate:
+    * `(groupCols..., cnt, sum, min, max, avg)`. */
+  def serve(spark: SparkSession, viewDir: String, groupCols: Seq[String])
+      : DataFrame =
+    spark.read.parquet(viewDir)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("p_cnt")).as("cnt"),
+        sum(col("p_sum")).as("sum"),
+        min(col("p_min")).as("min"),
+        max(col("p_max")).as("max"))
+      .withColumn("avg", col("sum") / col("cnt"))
+}
