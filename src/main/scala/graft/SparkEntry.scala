@@ -16,12 +16,13 @@ import graft.queries._
   *   - [[queries.FlowPack]]       — the incremental engine end-to-end
   *   - [[queries.OpsPack]]        — ids, code language, multimodal, code search
   *   - [[queries.SearchPack]]     — BM25 / graph traversal / hybrid RRF
+  *   - [[queries.CurationPack]]   — repetition filters + PII redaction
   */
 object SparkEntry {
 
   val packs: Seq[QueryPack] =
     Seq(RelationalPack, EventsPack, TextPack, SimilarityPack, ChunkPack,
-      FlowPack, OpsPack, SearchPack)
+      FlowPack, OpsPack, SearchPack, CurationPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-curation rules for training-data pipelines: the
+  * repetition-based document filters of Gopher (Rae et al. 2021,
+  * §A1.1) and C4-style boilerplate removal, plus PII redaction.
+  *
+  * The reference ships lexical quality heuristics around its
+  * chunk/embed pipelines (SURVEY §2.F; quality scoring lives in
+  * [[graft.functions.TextFunctions]], q31) but no repetition rules —
+  * these are the standard extra gates a 100 TB pretraining sweep
+  * runs before dedup, so they are first-class operators here.
+  *
+  * Scale shape: every statistic is computed per row from the word
+  * array with higher-order functions (`array_sort` + `aggregate` run
+  * counting) — no explode, no groupBy, zero shuffles. The naive
+  * formulation (explode words → groupBy(doc, word) → window max)
+  * shuffles the whole tokenized corpus twice per statistic; this one
+  * is a single narrow map over the documents scan, so a documents
+  * filter pass stays scan-bound at any scale. Cost is O(n log n) per
+  * document in the array sort, on ≤ doc-length arrays.
+  */
+object Curation {
+
+  /** Highest occurrence count of any single element in `arr`
+    * (0 for empty arrays): sort, then fold counting the longest run
+    * of equal neighbors. */
+  def maxRunCount(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+
+  /** Adjacent word bigrams as "w1 w2" strings; empty below 2 words. */
+  def bigrams(ws: Column): Column =
+    when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Fraction of word occurrences taken by the most frequent word —
+    * Gopher's top-1-gram fraction. 0 for empty docs. */
+  def topWordFraction(text: Column): Column = {
+    val ws = TextFunctions.words(text)
+    when(size(ws) > 0,
+      maxRunCount(ws).cast("double") / size(ws)).otherwise(0.0)
+  }
+
+  /** Fraction of bigram occurrences taken by the most frequent
+    * bigram — Gopher's top-2-gram fraction. 0 below 2 words. */
+  def topBigramFraction(text: Column): Column = {
+    val bg = bigrams(TextFunctions.words(text))
+    when(size(bg) > 0,
+      maxRunCount(bg).cast("double") / size(bg)).otherwise(0.0)
+  }
+
+  /** Distinct words / total words — low values mean the document is
+    * a few phrases repeated. 0 for empty docs. */
+  def distinctWordFraction(text: Column): Column = {
+    val ws = TextFunctions.words(text)
+    when(size(ws) > 0,
+      size(array_distinct(ws)).cast("double") / size(ws)).otherwise(0.0)
+  }
+
+  /** The Gopher-style keep decision (thresholds tuned for this
+    * corpus' vocabulary so both classes are exercised; a production
+    * sweep would sweep them). */
+  def repetitionKeep(
+      text: Column,
+      maxTopWordFrac: Double = 0.12,
+      maxTopBigramFrac: Double = 0.05,
+      minDistinctFrac: Double = 0.5,
+      minWords: Int = 10,
+      maxWords: Int = 100000): Column = {
+    val n = TextFunctions.wordCount(text)
+    (topWordFraction(text) <= maxTopWordFrac) &&
+      (topBigramFraction(text) <= maxTopBigramFrac) &&
+      (distinctWordFraction(text) >= minDistinctFrac) &&
+      (n >= minWords) && (n <= maxWords)
+  }
+
+  // ---- PII redaction ------------------------------------------------------
+
+  /** Patterns kept dialect-portable (valid and identical in Java
+    * regex and RE2/DuckDB): no lookaround, no backslash-class
+    * shorthands beyond \b and [0-9]. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val Ipv4Pattern =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** Count of PII spans by kind, before scrubbing. */
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
+  def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Pattern))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhonePattern))
+
+  /** Replace every email/IPv4/phone span with a typed placeholder.
+    * Email first: an IP-shaped host inside an email must be consumed
+    * by the email rule, not split by the IP rule. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+}

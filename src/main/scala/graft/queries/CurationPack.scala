@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Curation
+
+/** Corpus-curation operators over `documents`: Gopher-style
+  * repetition filters and PII redaction — the pre-dedup gates of a
+  * pretraining data sweep (brief: "text analysis / quality scoring"
+  * beyond the reference's own lexical score, q31).
+  *
+  * Both sides of each query share the exact arithmetic: fractions
+  * are ratios of small integer counts, so double division is
+  * bit-identical between Spark and DuckDB and the rounded outputs
+  * hash-match.
+  */
+object CurationPack extends QueryPack {
+
+  /** Deterministic PII-bearing text: the synthetic corpus has no
+    * natural emails/IPs/phones, so each doc gets a derived contact
+    * line appended — identical SQL on both sides. */
+  private val PiiSuffixSql =
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com" +
+      " from 10.1.' || CAST(doc_id % 200 AS VARCHAR) ||" +
+      " '.7 call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Gopher repetition rules (Rae et al. 2021 §A1.1) ----------------
+    // top-1-gram / top-2-gram occurrence fractions + distinct-word
+    // fraction + length bounds → keep decision. Spark side is
+    // shuffle-free (sorted-array run counting per row); the oracle
+    // states the same statistics relationally.
+    Q(
+      "q67_repetition_rules",
+      Some("""
+        WITH w AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents),
+        tw AS (
+          SELECT doc_id, max(c) AS top_w FROM (
+            SELECT doc_id, word, count(*) AS c
+            FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+            GROUP BY doc_id, word) GROUP BY doc_id),
+        bg AS (
+          SELECT doc_id, max(c) AS top_b FROM (
+            SELECT doc_id, bigram, count(*) AS c
+            FROM (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+                  FROM w, unnest(generate_series(1, len(ws)-1)) AS t(i))
+            GROUP BY doc_id, bigram) GROUP BY doc_id),
+        f AS (
+          SELECT w.doc_id,
+            CASE WHEN len(ws) > 0
+              THEN CAST(coalesce(top_w, 0) AS DOUBLE) / len(ws)
+              ELSE 0.0 END AS twf,
+            CASE WHEN len(ws) >= 2
+              THEN CAST(coalesce(top_b, 0) AS DOUBLE) / (len(ws) - 1)
+              ELSE 0.0 END AS tbf,
+            CASE WHEN len(ws) > 0
+              THEN CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+              ELSE 0.0 END AS dwf,
+            len(ws) AS n
+          FROM w LEFT JOIN tw USING (doc_id) LEFT JOIN bg USING (doc_id))
+        SELECT doc_id,
+               CAST(n AS INT) AS n_words,
+               round(twf, 4) AS top_word_frac,
+               round(tbf, 4) AS top_bigram_frac,
+               round(dwf, 4) AS distinct_word_frac,
+               (twf <= 0.12 AND tbf <= 0.05 AND dwf >= 0.5
+                AND n >= 10 AND n <= 100000) AS keep
+        FROM f"""),
+      (s, dir) =>
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          graft.functions.TextFunctions.wordCount(col("text")).cast("int")
+            .as("n_words"),
+          round(Curation.topWordFraction(col("text")), 4)
+            .as("top_word_frac"),
+          round(Curation.topBigramFraction(col("text")), 4)
+            .as("top_bigram_frac"),
+          round(Curation.distinctWordFraction(col("text")), 4)
+            .as("distinct_word_frac"),
+          Curation.repetitionKeep(col("text")).as("keep"))),
+
+    // ---- PII redaction ---------------------------------------------------
+    // counts per kind before scrubbing + the scrubbed text; email
+    // consumed before IP so an IP-shaped mail host can't be split.
+    Q(
+      "q68_pii_scrub",
+      Some(s"""
+        WITH p AS (SELECT doc_id, text || $PiiSuffixSql AS t FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS INT)
+            AS n_email,
+          CAST(len(regexp_extract_all(t,
+            '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INT)
+            AS n_ip,
+          CAST(len(regexp_extract_all(t,
+            '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS INT) AS n_phone,
+          regexp_replace(regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+            '<EMAIL>', 'g'),
+            '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+            '<IP>', 'g'),
+            '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS scrubbed
+        FROM p"""),
+      (s, dir) => {
+        val withPii = Tables(s, dir, "documents").select(
+          col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com from 10.1."),
+            (col("doc_id") % 200).cast("string"),
+            lit(".7 call 555-010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("t"))
+        withPii.select(
+          col("doc_id"),
+          Curation.emailCount(col("t")).cast("int").as("n_email"),
+          Curation.ipv4Count(col("t")).cast("int").as("n_ip"),
+          Curation.phoneCount(col("t")).cast("int").as("n_phone"),
+          Curation.scrubPii(col("t")).as("scrubbed"))
+      }))
+}

@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Repetition statistics vs a brute-force Scala oracle, and PII
+  * scrub edge cases (ordering, boundaries, dialect-portable regexes).
+  */
+class CurationSpec extends SparkSpec {
+
+  private def stats(texts: String*): Seq[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    texts.toDF("text").select(
+      Curation.topWordFraction($"text").as("twf"),
+      Curation.topBigramFraction($"text").as("tbf"),
+      Curation.distinctWordFraction($"text").as("dwf"),
+      Curation.repetitionKeep($"text").as("keep")
+    ).collect().toSeq
+  }
+
+  private def brute(text: String): (Double, Double, Double) = {
+    val ws = text.split(" ").filter(_.nonEmpty).toSeq
+    def topFrac(xs: Seq[String]): Double =
+      if (xs.isEmpty) 0.0
+      else xs.groupBy(identity).values.map(_.size).max.toDouble / xs.size
+    val bg = ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+    (topFrac(ws), topFrac(bg),
+      if (ws.isEmpty) 0.0 else ws.distinct.size.toDouble / ws.size)
+  }
+
+  test("repetition fractions match a brute-force oracle") {
+    val texts = Seq(
+      "a b c d e f g h i j",
+      "spam spam spam spam ham",
+      "one two one two one two one two",
+      "x",
+      "alpha beta gamma alpha beta gamma delta")
+    val rows = stats(texts: _*)
+    texts.zip(rows).foreach { case (t, r) =>
+      val (twf, tbf, dwf) = brute(t)
+      assert(math.abs(r.getAs[Double]("twf") - twf) < 1e-12, t)
+      assert(math.abs(r.getAs[Double]("tbf") - tbf) < 1e-12, t)
+      assert(math.abs(r.getAs[Double]("dwf") - dwf) < 1e-12, t)
+    }
+  }
+
+  test("empty and single-word texts produce zeros, not nulls") {
+    val r = stats("", "solo")
+    assert(r(0).getAs[Double]("twf") == 0.0)
+    assert(r(0).getAs[Double]("tbf") == 0.0)
+    assert(r(0).getAs[Double]("dwf") == 0.0)
+    assert(!r(0).getAs[Boolean]("keep"))
+    assert(r(1).getAs[Double]("twf") == 1.0)
+    assert(r(1).getAs[Double]("tbf") == 0.0) // no bigrams
+    assert(!r(1).getAs[Boolean]("keep")) // below minWords
+  }
+
+  test("keep passes diverse prose and rejects loops") {
+    val diverse = (1 to 40).map(i => s"w$i").mkString(" ")
+    val loop = Seq.fill(20)("buy now").mkString(" ")
+    val r = stats(diverse, loop)
+    assert(r(0).getAs[Boolean]("keep"))
+    assert(!r(1).getAs[Boolean]("keep"))
+  }
+
+  test("maxRunCount counts the most frequent element, not the longest sorted run only") {
+    import spark.implicits._
+    val r = Seq(Seq("b", "a", "b", "c", "b"))
+      .toDF("xs").select(Curation.maxRunCount($"xs").as("m"))
+      .collect().head.getAs[Int]("m")
+    assert(r == 3)
+  }
+
+  test("PII scrub replaces all spans with typed placeholders") {
+    import spark.implicits._
+    val t = "mail a@b.com and c.d@e-f.org ip 10.0.0.1 call 555-123-4567 done"
+    val r = Seq(t).toDF("t").select(
+      Curation.scrubPii($"t").as("s"),
+      Curation.emailCount($"t").as("ne"),
+      Curation.ipv4Count($"t").as("ni"),
+      Curation.phoneCount($"t").as("np")).collect().head
+    assert(r.getAs[String]("s") ==
+      "mail <EMAIL> and <EMAIL> ip <IP> call <PHONE> done")
+    assert(r.getAs[Int]("ne") == 2)
+    assert(r.getAs[Int]("ni") == 1)
+    assert(r.getAs[Int]("np") == 1)
+  }
+
+  test("email with IP-shaped host is consumed by the email rule") {
+    import spark.implicits._
+    val r = Seq("x user@10.0.0.1.com y 1.2.3.4 z").toDF("t")
+      .select(Curation.scrubPii($"t").as("s")).collect().head.getAs[String]("s")
+    assert(r == "x <EMAIL> y <IP> z")
+  }
+
+  test("no false positives on plain prose and version strings") {
+    import spark.implicits._
+    val t = "release v1.2 of pkg at example.com cost 12-34"
+    val r = Seq(t).toDF("t").select(
+      Curation.scrubPii($"t").as("s"),
+      Curation.emailCount($"t").as("ne"),
+      Curation.ipv4Count($"t").as("ni"),
+      Curation.phoneCount($"t").as("np")).collect().head
+    assert(r.getAs[String]("s") == t)
+    assert(r.getAs[Int]("ne") == 0)
+    assert(r.getAs[Int]("ni") == 0)
+    assert(r.getAs[Int]("np") == 0)
+  }
+}
