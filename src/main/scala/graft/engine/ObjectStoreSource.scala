@@ -1,0 +1,161 @@
+package graft.engine
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path, RemoteIterator}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.SerializableConfiguration
+
+/** Keyed object-store listing over the Hadoop FileSystem API — the
+  * reference's cloud sources (`amazon_s3.list_objects`,
+  * `azure_blob`, `oci_object_storage`,
+  * python/cocoindex/connectors/amazon_s3/_source.py) re-expressed as
+  * one scheme-agnostic source: every store with a Hadoop connector
+  * (`s3a://`, `abfss://`, `gs://`, `oci://`, plain `file://`) gets
+  * the same contract [[LocalFsSource]] implements for local disk.
+  * This environment has no egress, so the spec drives it over
+  * `file://`; the code path is byte-identical for remote schemes —
+  * only the connector jar and credentials differ.
+  *
+  * Scale shape (the part S3 makes hard): one LIST call pages ~1000
+  * keys, so a 10⁸-object bucket listed from the driver is both slow
+  * and a heap bomb. [[list]] therefore expands the shallowest
+  * directory levels driver-side only until it has enough disjoint
+  * prefixes to parallelize (a handful of LISTs), then walks each
+  * prefix *on the executors* — the standard distributed-inventory
+  * pattern. memo_state is `size:mtime` (for object stores mtime is
+  * upload time, the ETag-equivalent freshness signal the reference
+  * uses); content reads go through Spark's `binaryFile` reader with
+  * the bounded literal-path pushdown of [[LocalFsSource]].
+  */
+final case class ObjectStoreSource(
+    baseUri: String, patterns: Seq[String] = Nil)
+    extends Source {
+
+  private val matcher = PathMatcher(patterns)
+
+  @transient private lazy val basePath = new Path(baseUri)
+
+  private def qualifiedBase(conf: Configuration): String = {
+    val fs = basePath.getFileSystem(conf)
+    val q = fs.makeQualified(basePath).toString
+    if (q.endsWith("/")) q else q + "/"
+  }
+
+  private def iter[T](it: RemoteIterator[T]): Iterator[T] =
+    new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+
+  def list(spark: SparkSession): DataFrame = {
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val base = qualifiedBase(conf.value)
+    val fs = basePath.getFileSystem(conf.value)
+
+    // driver-side: expand the shallowest levels into disjoint prefixes
+    // until there are enough to keep the cluster busy. Each expansion
+    // is one paged LIST that only RETAINS subdirectory names — file
+    // statuses are never held on the driver, so a pathological flat
+    // 10⁸-object prefix costs the driver nothing (its walk happens in
+    // the executor task below).
+    val targetPrefixes =
+      math.max(spark.sparkContext.defaultParallelism, 16)
+    val pending =
+      scala.collection.mutable.Queue(fs.makeQualified(basePath).toString)
+    val shallow = Vector.newBuilder[String] // expanded: list non-recursively
+    var nShallow = 0
+    while (pending.nonEmpty && (pending.length + nShallow) < targetPrefixes) {
+      val d = pending.dequeue()
+      shallow += d; nShallow += 1
+      try iter(fs.listStatusIterator(new Path(d))).foreach { s =>
+        if (s.isDirectory) pending.enqueue(s.getPath.toString)
+      } catch { case _: java.io.FileNotFoundException => () }
+    }
+    // (prefix, recursive): expanded dirs re-LIST their own level only;
+    // unexpanded frontier dirs walk their whole subtree
+    val tasks = shallow.result().map((_, false)) ++
+      pending.toVector.map((_, true))
+
+    // executor-side: walk every prefix in parallel, one task each
+    val walked = spark.sparkContext
+      .parallelize(tasks, math.max(tasks.length, 1))
+      .flatMap { case (prefix, recursive) =>
+        val p = new Path(prefix)
+        val pfs = p.getFileSystem(conf.value)
+        try {
+          val stats: Iterator[org.apache.hadoop.fs.FileStatus] =
+            if (recursive) iter(pfs.listFiles(p, true))
+            else iter(pfs.listStatusIterator(p)).filter(_.isFile)
+          stats.map(s =>
+            (s.getPath.toString, s.getLen, s.getModificationTime))
+        } catch { case _: java.io.FileNotFoundException => Iterator.empty }
+      }
+
+    val m = matcher
+    import spark.implicits._
+    val rows = walked.toDF("uri", "size", "mtime")
+      .withColumn("item_key",
+        when(col("uri").startsWith(base),
+          expr(s"substring(uri, ${base.length + 1})"))
+          .otherwise(col("uri")))
+      .filter(udf((rel: String) => m.matches(rel)).apply(col("item_key")))
+    rows.select(col("item_key"),
+      concat_ws(":", col("size"), col("mtime")).as("memo_state"),
+      col("size"))
+  }
+
+  /** O(keys) per-key stat — the live delta loop's re-stat, one HEAD
+    * per changed object. */
+  override def listKeys(spark: SparkSession, keys: Seq[String]): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = basePath.getFileSystem(conf)
+    val base = qualifiedBase(conf)
+    val rows = keys.distinct.filter(matcher.matches).flatMap { rel =>
+      try {
+        val s = fs.getFileStatus(new Path(base + rel))
+        if (s.isFile)
+          Some((rel, s"${s.getLen}:${s.getModificationTime}"))
+        else None
+      } catch { case _: java.io.FileNotFoundException => None }
+    }
+    spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.STRING))
+      .toDF("item_key", "memo_state")
+  }
+
+  /** Content read via Spark's binaryFile reader: bounded literal-path
+    * pushdown for small deltas (only the changed objects are GET),
+    * full-scan + semi-join past the bound — same policy and glob
+    * escaping as [[LocalFsSource.load]]. */
+  def load(spark: SparkSession, keys: DataFrame): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = qualifiedBase(conf)
+    val relKey = when(col("path").startsWith(base),
+      expr(s"substring(path, ${base.length + 1})")).otherwise(col("path"))
+    val bounded = keys.select(col("item_key"))
+      .limit(LocalFsSource.MaxPushdownPaths + 1).collect()
+    if (bounded.isEmpty)
+      spark.read.format("binaryFile").load(baseUri).limit(0)
+        .select(relKey.as("item_key"), col("content"))
+    else if (bounded.length <= LocalFsSource.MaxPushdownPaths) {
+      val paths = bounded.map { r =>
+        (base + r.getString(0)).flatMap {
+          case c if "[]{}*?".indexOf(c) >= 0 => s"\\$c"
+          case c => c.toString
+        }
+      }
+      spark.read.format("binaryFile").load(paths.toIndexedSeq: _*)
+        .select(relKey.as("item_key"), col("content"))
+    } else
+      spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true").load(baseUri)
+        .select(relKey.as("item_key"), col("content"))
+        .join(keys.select("item_key"), Seq("item_key"), "left_semi")
+  }
+
+  def contentFpOf: Option[Column] = Some(md5(col("content")))
+}
