@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-sequence packing: documents are laid out in a
+  * deterministic pseudo-random order (hash of the id — the
+  * "global shuffle" every pretraining pipeline runs) and the token
+  * stream is cut into fixed-capacity sequences; each document is
+  * assigned to the sequence where it starts, at its starting offset.
+  *
+  * The primitive underneath is a GLOBAL exclusive prefix sum — the
+  * textbook Spark trap: `Window.orderBy(key)` with no partition
+  * column collapses the whole table into ONE reducer task. At 100 TB
+  * that is not slow, it is dead. [[exclusivePrefixSum]] is the
+  * scale-correct two-phase form: range-partition by the order key
+  * (so partitions tile the global order), per-partition running sums
+  * via an ordinary partitioned window, then one tiny driver-side
+  * cumulative pass over the per-partition totals (numPartitions
+  * rows, not data rows) broadcast back as partition base offsets.
+  * Values are identical to the single-reducer form for any
+  * partition-boundary sampling, so the DuckDB oracle can state the
+  * same result with a plain window.
+  */
+object Packing {
+
+  /** `df` + `prefix` column: sum of `valueCol` over all rows strictly
+    * before the row in `(orderCols...)` order. Distributed: no
+    * global-order single-reducer window anywhere. */
+  def exclusivePrefixSum(
+      df: DataFrame, valueCol: Column, orderCols: Seq[Column],
+      numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .withColumn("__v", valueCol.cast("long"))
+      .repartitionByRange(n, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    // partitions tile the global order, so a per-partition window is
+    // safe; the cross-partition carry is numPartitions rows on the
+    // driver — O(parallelism), independent of data size
+    val w = Window.partitionBy("__pid").orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // persisted: the per-partition totals below and the final join
+    // must see the SAME range boundaries — recomputing the ranged
+    // exchange could re-sample them
+    val local = ranged.withColumn("__local",
+      coalesce(sum(col("__v")).over(w), lit(0L))).persist()
+    val totals = local.groupBy("__pid").agg(sum(col("__v")).as("__tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = totals.scanLeft(0L)(_ + _._2).dropRight(1)
+    val baseRows = totals.map(_._1).zip(bases).toSeq
+    val baseDf = df.sparkSession
+      .createDataFrame(baseRows).toDF("__pid", "__base")
+    local.join(broadcast(baseDf), Seq("__pid"))
+      .withColumn("prefix", col("__base") + col("__local"))
+      .drop("__pid", "__v", "__local", "__base")
+  }
+
+  /** Pack rows carrying `tokenCol` counts into sequences of
+    * `capacity` tokens: adds `seq_id` (the sequence where the row's
+    * tokens start) and `seq_offset` (starting position inside it).
+    * Order is the deterministic shuffle `md5(idCol)`, ties broken by
+    * `idCol`. A row longer than the remaining space simply starts in
+    * its sequence and spills — streaming-concatenation semantics, the
+    * GPT-style packing that wastes no tokens. */
+  def streamPack(
+      df: DataFrame, idCol: String, tokenCol: String,
+      capacity: Int): DataFrame = {
+    val ordered = Seq(md5(col(idCol).cast("string")), col(idCol))
+    exclusivePrefixSum(df, col(tokenCol), ordered)
+      .withColumn("seq_id", (col("prefix") / capacity).cast("int"))
+      .withColumn("seq_offset", (col("prefix") % capacity).cast("int"))
+      .drop("prefix")
+  }
+}

@@ -120,5 +120,37 @@ object CurationPack extends QueryPack {
           Curation.ipv4Count(col("t")).cast("int").as("n_ip"),
           Curation.phoneCount(col("t")).cast("int").as("n_phone"),
           Curation.scrubPii(col("t")).as("scrubbed"))
+      }),
+
+    // ---- training-sequence packing ---------------------------------------
+    // deterministic hash-order shuffle, token stream cut into
+    // 512-token sequences; Spark side is the distributed two-phase
+    // prefix sum (no single-reducer global window), the oracle states
+    // the same result with a plain sequential window
+    Q(
+      "q69_sequence_pack",
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens,
+                 md5(CAST(doc_id AS VARCHAR)) AS ok
+          FROM documents)
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+               CAST(pre // 512 AS INT) AS seq_id,
+               CAST(pre % 512 AS INT) AS seq_offset
+        FROM (SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (ORDER BY ok, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS pre
+              FROM t)"""),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("n_tokens"))
+        graft.operators.Packing
+          .streamPack(docs, "doc_id", "n_tokens", capacity = 512)
+          .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+            col("seq_id"), col("seq_offset"))
       }))
 }

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Packing
+import org.apache.spark.sql.functions._
+
+/** The distributed exclusive prefix sum against a sequential oracle,
+  * across partition-count settings (the cross-partition carry is the
+  * part a per-partition window gets wrong), and the packing
+  * semantics built on it.
+  */
+class PackingSpec extends SparkSpec {
+
+  test("exclusive prefix sum equals the sequential scan for any partitioning") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (i, (i * 7 % 23) + 1))
+    val df = rows.toDF("id", "v")
+    val expected = rows.sortBy(_._1).scanLeft((0L, 0L)) {
+      case ((_, acc), (id, v)) => (id, acc + v)
+    }.sliding(2).map { case Seq((_, pre), (id, _)) => id -> pre }.toMap
+    for (n <- Seq(1, 3, 16)) {
+      val got = Packing
+        .exclusivePrefixSum(df, col("v"), Seq(col("id")), numPartitions = n)
+        .select("id", "prefix").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"numPartitions=$n")
+    }
+  }
+
+  test("streamPack: offsets advance through capacity boundaries in hash order") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, 30L)).toDF("id", "toks")
+    val packed = Packing.streamPack(df, "id", "toks", capacity = 100)
+      .select("id", "seq_id", "seq_offset").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // global invariant: sorting by (seq_id, seq_offset) recovers the
+    // hash order, offsets are < capacity, and consecutive rows are
+    // exactly 30 tokens apart in the concatenated stream
+    val inStream = packed.sortBy(p => (p._2, p._3))
+    inStream.zipWithIndex.foreach { case ((_, seqId, off), idx) =>
+      val pos = idx * 30L
+      assert(seqId == pos / 100 && off == pos % 100)
+    }
+    val hashOrder = packed.map(_._1).sortBy(id => (Fp(id), id))
+    assert(inStream.map(_._1).toSeq == hashOrder.toSeq)
+  }
+
+  private def Fp(id: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(id.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+}
