@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.{CocoFn, Flow, FnMemo, ParquetTableTarget, Source}
+import graft.engine.{CocoFn, Flow, ParquetTableTarget, Source}
 
 /** Incrementally-maintained aggregate — a materialized GROUP BY view
   * kept in sync by the engine's reconcile instead of recomputed from
@@ -53,11 +53,14 @@ object AggView {
 
     def list(spark: SparkSession): DataFrame = {
       val df = table(spark)
-      val valueCols = df.columns.sorted.map(col).toSeq
+      // nested hash, no JSON string building: the inner per-column
+      // hash keeps nulls positional (a null column yields the seed
+      // constant, so values cannot slide across columns), the outer
+      // hash mixes them order-sensitively
+      val valueCols = df.columns.sorted.map(c => xxhash64(col(c))).toSeq
       withBucket(df)
         .select(col("item_key"),
-          xxhash64(to_json(struct(valueCols: _*), FnMemo.JsonOptions))
-            .cast("decimal(38,0)").as("row_fp"))
+          xxhash64(valueCols: _*).cast("decimal(38,0)").as("row_fp"))
         .groupBy("item_key")
         .agg(concat_ws(":", sum(col("row_fp")), count(lit(1)))
           .as("memo_state"))
@@ -79,16 +82,28 @@ object AggView {
       table: SparkSession => DataFrame, keyCol: String,
       groupCols: Seq[String], valueCol: String,
       viewDir: String, stateDir: String,
-      numBuckets: Int = 32): Flow = {
+      numBuckets: Int = 32,
+      /** Maintain an approx-distinct of this column too: the partial
+        * is a mergeable DataSketches HLL sketch per (bucket, group) —
+        * the sketch algebra is what makes a non-decomposable
+        * aggregate maintainable. */
+      distinctCol: Option[String] = None): Flow = {
     val gcols = groupCols.map(col)
+    val aggs =
+      Seq(count(lit(1)).as("p_cnt"),
+        sum(col(valueCol)).as("p_sum"),
+        min(col(valueCol)).as("p_min"),
+        max(col(valueCol)).as("p_max")) ++
+        // canonical string form: the sketch accepts int/long/string/
+        // binary only, and the cast keeps any column type countable
+        distinctCol.map(c =>
+          hll_sketch_agg(col(c).cast("string"), 14).as("p_hll"))
     val stage = CocoFn(s"aggview_$name", 1,
-      deps = Seq(s"g=${groupCols.mkString(",")}", s"v=$valueCol"),
+      deps = Seq(s"g=${groupCols.mkString(",")}", s"v=$valueCol",
+        s"d=${distinctCol.getOrElse("")}"),
       fn = df => df
         .groupBy(col("item_key") +: gcols: _*)
-        .agg(count(lit(1)).as("p_cnt"),
-          sum(col(valueCol)).as("p_sum"),
-          min(col(valueCol)).as("p_min"),
-          max(col(valueCol)).as("p_max"))
+        .agg(aggs.head, aggs.tail: _*)
         // to_json of the group-value struct: unambiguous row identity
         // (a separator join would collide "a","bc" with "ab","c")
         .withColumn("row_key",
@@ -103,12 +118,19 @@ object AggView {
   /** Fold the maintained partials into the final aggregate:
     * `(groupCols..., cnt, sum, min, max, avg)`. */
   def serve(spark: SparkSession, viewDir: String, groupCols: Seq[String])
-      : DataFrame =
-    spark.read.parquet(viewDir)
-      .groupBy(groupCols.map(col): _*)
-      .agg(sum(col("p_cnt")).as("cnt"),
-        sum(col("p_sum")).as("sum"),
-        min(col("p_min")).as("min"),
-        max(col("p_max")).as("max"))
+      : DataFrame = {
+    val partials = spark.read.parquet(viewDir)
+    val base = Seq(sum(col("p_cnt")).as("cnt"),
+      sum(col("p_sum")).as("sum"),
+      min(col("p_min")).as("min"),
+      max(col("p_max")).as("max"))
+    val aggs =
+      if (partials.columns.contains("p_hll"))
+        base :+ hll_sketch_estimate(hll_union_agg(col("p_hll")))
+          .cast("long").as("approx_distinct")
+      else base
+    partials.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("avg", col("sum") / col("cnt"))
+  }
 }

@@ -88,6 +88,43 @@ object FlowPack extends QueryPack {
           s"delta shape: $r2")
         topic.compacted(s).select(col("key"),
           get_json_object(col("value"), "$.n_final").cast("long").as("n_final"))
+      }),
+
+    // the incrementally-maintained aggregate view: lineitem quantities
+    // through bucket-partial maintenance (run + proven no-op rerun),
+    // served by folding buckets × groups partials — value-identical
+    // to the oracle's direct GROUP BY (quantities are integer-valued
+    // doubles, so every partial sum is exact)
+    Q(
+      "q70_agg_view",
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS cnt,
+               sum(l_quantity) AS sum_v,
+               min(l_quantity) AS min_v,
+               max(l_quantity) AS max_v,
+               round(sum(l_quantity) / count(*), 6) AS avg_v
+        FROM lineitem GROUP BY 1, 2"""),
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft-aggview-q70")
+        work.toFile.deleteOnExit()
+        val viewDir = work.resolve("view").toString
+        val groups = Seq("l_returnflag", "l_linestatus")
+        val view = graft.operators.AggView.flow("li_quantities",
+          sp => graft.Tables(sp, dir, "lineitem")
+            .select(concat_ws(":", col("l_orderkey"), col("l_linenumber"))
+              .as("lk"),
+              col("l_returnflag"), col("l_linestatus"), col("l_quantity")),
+          keyCol = "lk", groupCols = groups, valueCol = "l_quantity",
+          viewDir = viewDir, stateDir = work.resolve("state").toString,
+          numBuckets = 32)
+        view.run(s)
+        require(view.run(s).isNoop,
+          "aggregate view rerun over an unchanged base must be a no-op")
+        graft.operators.AggView.serve(s, viewDir, groups)
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("cnt"), col("sum").as("sum_v"), col("min").as("min_v"),
+            col("max").as("max_v"), round(col("avg"), 6).as("avg_v"))
       })
   )
 }

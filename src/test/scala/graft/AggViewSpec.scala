@@ -67,6 +67,31 @@ class AggViewSpec extends SparkSpec {
       == rowsOf(direct(spark.read.parquet(base))))
   }
 
+  test("HLL partials merge to the exact distinct at small cardinality") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-aggview-hll")
+    work.toFile.deleteOnExit()
+    val base = work.resolve("base").toString
+    (1L to 300L).map(i => (i, s"g${i % 3}", (i % 41).toDouble))
+      .toDF("id", "g", "v").write.mode("overwrite").parquet(base)
+
+    graft.operators.AggView.flow("hll",
+      sp => sp.read.parquet(base), keyCol = "id",
+      groupCols = Seq("g"), valueCol = "v",
+      viewDir = work.resolve("view").toString,
+      stateDir = work.resolve("state").toString,
+      numBuckets = 8, distinctCol = Some("v")).run(spark)
+
+    val served = graft.operators.AggView
+      .serve(spark, work.resolve("view").toString, Seq("g"))
+      .select("g", "approx_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = spark.read.parquet(base).groupBy("g")
+      .agg(countDistinct(col("v")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(served == exact)
+  }
+
   test("bucket memo state is order-insensitive but value-sensitive") {
     import spark.implicits._
     val src = AggView.BucketedTableSource(
