@@ -66,21 +66,37 @@ object CurationPack extends QueryPack {
                round(twf, 4) AS top_word_frac,
                round(tbf, 4) AS top_bigram_frac,
                round(dwf, 4) AS distinct_word_frac,
-               (twf <= 0.12 AND tbf <= 0.05 AND dwf >= 0.5
+               (round(twf, 4) <= 0.12 AND round(tbf, 4) <= 0.05
+                AND round(dwf, 4) >= 0.5
                 AND n >= 10 AND n <= 100000) AS keep
         FROM f"""),
       (s, dir) =>
-        Tables(s, dir, "documents").select(
-          col("doc_id"),
-          graft.functions.TextFunctions.wordCount(col("text")).cast("int")
-            .as("n_words"),
-          round(Curation.topWordFraction(col("text")), 4)
-            .as("top_word_frac"),
-          round(Curation.topBigramFraction(col("text")), 4)
-            .as("top_bigram_frac"),
-          round(Curation.distinctWordFraction(col("text")), 4)
-            .as("distinct_word_frac"),
-          Curation.repetitionKeep(col("text")).as("keep"))),
+        // staged projections: the word array splits once, each
+        // fraction evaluates once, keep derives from the fraction
+        // columns — every stage's outputs are non-cheap and referenced
+        // more than once, so CollapseProject leaves them materialized
+        // instead of inlining (which would re-run every sort+fold)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.words(col("text")).as("__ws"))
+          .select(col("doc_id"), col("__ws"),
+            Curation.bigrams(col("__ws")).as("__bg"))
+          .select(
+            col("doc_id"),
+            size(col("__ws")).as("n_words"),
+            round(Curation.topWordFractionOf(col("__ws")), 4)
+              .as("top_word_frac"),
+            // top-element fraction of the STAGED bigram array — the
+            // same statistic topBigramFractionOf computes, minus two
+            // re-evaluations of the zip_with per row
+            round(Curation.topWordFractionOf(col("__bg")), 4)
+              .as("top_bigram_frac"),
+            round(Curation.distinctWordFractionOf(col("__ws")), 4)
+              .as("distinct_word_frac"))
+          .withColumn("keep",
+            col("top_word_frac") <= 0.12 && col("top_bigram_frac") <= 0.05 &&
+              col("distinct_word_frac") >= 0.5 &&
+              col("n_words").between(10, 100000))),
 
     // ---- PII redaction ---------------------------------------------------
     // counts per kind before scrubbing + the scrubbed text; email

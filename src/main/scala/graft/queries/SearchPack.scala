@@ -128,10 +128,13 @@ object SearchPack extends QueryPack {
       (s, dir) => {
         val scored = Fts.bm25Search(Tables(s, dir, "documents"), QueryTerms)
           .withColumn("score", round(col("score"), 4))
+        // top-k FIRST via orderBy+limit (distributed TakeOrdered —
+        // per-partition heaps, no global-window single reducer over
+        // the whole scored set), THEN dense ranks over the k survivors
         val txt = scored
+          .orderBy(col("score").desc, col("doc_id")).limit(50)
           .withColumn("rank", row_number().over(
             Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
-          .filter(col("rank") <= 50)
           .select("doc_id", "rank")
         val emb = Tables(s, dir, "embeddings")
         val vec = Similarity
