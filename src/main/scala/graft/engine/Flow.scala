@@ -300,8 +300,12 @@ final class Flow(
       else loaded.select(col("item_key"), col("__content_fp"))
         .groupBy("item_key")
         .agg(when(count(lit(1)) === 1, first(col("__content_fp")))
+          // null row fps map to a non-hex sentinel BEFORE the list
+          // collect (collect_list silently drops nulls — [a, null]
+          // must not combine identically to [a])
           .otherwise(md5(concat_ws(",",
-            sort_array(collect_list(col("__content_fp"))))))
+            sort_array(collect_list(
+              coalesce(col("__content_fp"), lit("<null>")))))))
           .as("__content_fp"))
 
     val level2 =

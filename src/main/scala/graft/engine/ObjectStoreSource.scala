@@ -48,6 +48,26 @@ final case class ObjectStoreSource(
       def next(): T = it.next()
     }
 
+  /** A prefix walk that absorbs concurrent deletion at ANY point of
+    * the paged iteration, not just construction — RemoteIterators are
+    * lazy, so the FNF can surface from hasNext/next mid-walk; the
+    * prefix simply drops out (the next listing sees the new state). */
+  private def statsUnder(fs: FileSystem, p: Path, recursive: Boolean)
+      : Iterator[org.apache.hadoop.fs.FileStatus] = {
+    val underlying =
+      try {
+        if (recursive) iter(fs.listFiles(p, true))
+        else iter(fs.listStatusIterator(p)).filter(_.isFile)
+      } catch { case _: java.io.FileNotFoundException => Iterator.empty }
+    new Iterator[org.apache.hadoop.fs.FileStatus] {
+      private var done = false
+      def hasNext: Boolean = !done &&
+        (try underlying.hasNext
+        catch { case _: java.io.FileNotFoundException => done = true; false })
+      def next(): org.apache.hadoop.fs.FileStatus = underlying.next()
+    }
+  }
+
   def list(spark: SparkSession): DataFrame = {
     val conf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -84,13 +104,8 @@ final case class ObjectStoreSource(
       .flatMap { case (prefix, recursive) =>
         val p = new Path(prefix)
         val pfs = p.getFileSystem(conf.value)
-        try {
-          val stats: Iterator[org.apache.hadoop.fs.FileStatus] =
-            if (recursive) iter(pfs.listFiles(p, true))
-            else iter(pfs.listStatusIterator(p)).filter(_.isFile)
-          stats.map(s =>
-            (s.getPath.toString, s.getLen, s.getModificationTime))
-        } catch { case _: java.io.FileNotFoundException => Iterator.empty }
+        statsUnder(pfs, p, recursive).map(s =>
+          (s.getPath.toString, s.getLen, s.getModificationTime))
       }
 
     val m = matcher
@@ -139,8 +154,7 @@ final case class ObjectStoreSource(
     val bounded = keys.select(col("item_key"))
       .limit(LocalFsSource.MaxPushdownPaths + 1).collect()
     if (bounded.isEmpty)
-      spark.read.format("binaryFile").load(baseUri).limit(0)
-        .select(relKey.as("item_key"), col("content"))
+      Source.emptyBinary(spark)
     else if (bounded.length <= LocalFsSource.MaxPushdownPaths) {
       val paths = bounded.map { r =>
         (base + r.getString(0)).flatMap {

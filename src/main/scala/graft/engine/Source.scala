@@ -75,6 +75,18 @@ object Source {
     spark.createDataset(keys)(org.apache.spark.sql.Encoders.STRING)
       .toDF("item_key")
 
+  /** The empty payload frame of a binary file source, built WITHOUT
+    * touching the store: `binaryFile.load(base).limit(0)` would still
+    * eagerly list the whole tree driver-side at DataFrame creation —
+    * and the engine's schema probe loads Nil on every single run. */
+  private[engine] def emptyBinary(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("item_key", StringType, nullable = false),
+        StructField("content", BinaryType, nullable = true))))
+  }
+
   /** BOM-aware text decode of a binary content column (the
     * reference's `File.read_text`,
     * python/cocoindex/connectors/localfs/_source.py:35-70): UTF-8
@@ -202,8 +214,7 @@ final case class LocalFsSource(
     val bounded = keys.select(col("item_key"))
       .limit(LocalFsSource.MaxPushdownPaths + 1).collect()
     if (bounded.isEmpty)
-      spark.read.format("binaryFile").load(dir).limit(0)
-        .select(relUdf(col("path")).as("item_key"), col("content"))
+      Source.emptyBinary(spark)
     else if (bounded.length <= LocalFsSource.MaxPushdownPaths) {
       // Hadoop treats [ ] { } * ? as glob metacharacters in load
       // paths — escape them so files like 'report[2024].md' load

@@ -95,7 +95,12 @@ object AggView {
         min(col(valueCol)).as("p_min"),
         max(col(valueCol)).as("p_max")) ++
         // canonical string form: the sketch accepts int/long/string/
-        // binary only, and the cast keeps any column type countable
+        // binary only, and the cast keeps any column type countable.
+        // Sketch BYTES are insertion-order-dependent, so a recomputed
+        // (bucket, group) partial may fingerprint differently even
+        // when its data is unchanged — harmless (spurious updates stay
+        // bounded inside already-dirty buckets) but visible in
+        // rowsUpdated
         distinctCol.map(c =>
           hll_sketch_agg(col(c).cast("string"), 14).as("p_hll"))
     val stage = CocoFn(s"aggview_$name", 1,
@@ -119,7 +124,10 @@ object AggView {
     * `(groupCols..., cnt, sum, min, max, avg)`. */
   def serve(spark: SparkSession, viewDir: String, groupCols: Seq[String])
       : DataFrame = {
-    val partials = spark.read.parquet(viewDir)
+    // through the target's reader, not a raw parquet scan: a
+    // legitimately-empty view (every base row deleted) has no data
+    // files left, and only the target knows the persisted schema
+    val partials = ParquetTableTarget(viewDir).read(spark)
     val base = Seq(sum(col("p_cnt")).as("cnt"),
       sum(col("p_sum")).as("sum"),
       min(col("p_min")).as("min"),

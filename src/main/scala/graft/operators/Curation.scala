@@ -113,10 +113,20 @@ object Curation {
     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   val PhonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
 
-  /** Count of PII spans by kind, before scrubbing. */
+  /** Count of PII spans by kind, consistent with [[scrubPii]]'s rule
+    * priority: each count is taken AFTER the higher-priority rules
+    * consumed their spans, so the counts always equal the number of
+    * placeholders the scrub emits (an IP-shaped email host counts as
+    * email only, never also as IP). */
   def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
-  def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Pattern))
-  def phoneCount(text: Column): Column = regexp_count(text, lit(PhonePattern))
+  def ipv4Count(text: Column): Column =
+    regexp_count(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      lit(Ipv4Pattern))
+  def phoneCount(text: Column): Column =
+    regexp_count(
+      regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      lit(PhonePattern))
 
   /** Replace every email/IPv4/phone span with a typed placeholder.
     * Email first: an IP-shaped host inside an email must be consumed

@@ -33,8 +33,10 @@ object Packing {
       numPartitions: Int = 0): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // null values count as 0 (and keep the totals collect below
+    // null-safe for partitions that are entirely null)
     val ranged = df
-      .withColumn("__v", valueCol.cast("long"))
+      .withColumn("__v", coalesce(valueCol.cast("long"), lit(0L)))
       .repartitionByRange(n, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
     // partitions tile the global order, so a per-partition window is
@@ -44,7 +46,9 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, -1)
     // persisted: the per-partition totals below and the final join
     // must see the SAME range boundaries — recomputing the ranged
-    // exchange could re-sample them
+    // exchange could re-sample them. The cache lives until the plan
+    // is GC'd; callers packing many datasets in one long session
+    // should checkpoint/unpersist the result when done with it.
     val local = ranged.withColumn("__local",
       coalesce(sum(col("__v")).over(w), lit(0L))).persist()
     val totals = local.groupBy("__pid").agg(sum(col("__v")).as("__tot"))
@@ -69,9 +73,13 @@ object Packing {
       df: DataFrame, idCol: String, tokenCol: String,
       capacity: Int): DataFrame = {
     val ordered = Seq(md5(col(idCol).cast("string")), col(idCol))
+    // integer `div`, not double `/`+cast: past 2^53 total tokens the
+    // double division floors wrong, and an int seq_id overflows at
+    // 2^31 sequences — exactly the claimed scale
     exclusivePrefixSum(df, col(tokenCol), ordered)
-      .withColumn("seq_id", (col("prefix") / capacity).cast("int"))
-      .withColumn("seq_offset", (col("prefix") % capacity).cast("int"))
+      .withColumn("seq_id", expr(s"prefix div ${capacity}L"))
+      .withColumn("seq_offset", pmod(col("prefix"), lit(capacity.toLong))
+        .cast("int"))
       .drop("prefix")
   }
 }

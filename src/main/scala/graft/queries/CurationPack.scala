@@ -103,24 +103,29 @@ object CurationPack extends QueryPack {
     // consumed before IP so an IP-shaped mail host can't be split.
     Q(
       "q68_pii_scrub",
+      // counts follow scrub priority: n_ip on the email-scrubbed text,
+      // n_phone on the email+ip-scrubbed text — counts always equal
+      // the placeholders the scrub emits
       Some(s"""
-        WITH p AS (SELECT doc_id, text || $PiiSuffixSql AS t FROM documents)
+        WITH p AS (SELECT doc_id, text || $PiiSuffixSql AS t FROM documents),
+        s1 AS (SELECT doc_id, t, regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+            '<EMAIL>', 'g') AS t1 FROM p),
+        s2 AS (SELECT doc_id, t, t1, regexp_replace(t1,
+            '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+            '<IP>', 'g') AS t2 FROM s1)
         SELECT doc_id,
           CAST(len(regexp_extract_all(t,
             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS INT)
             AS n_email,
-          CAST(len(regexp_extract_all(t,
+          CAST(len(regexp_extract_all(t1,
             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INT)
             AS n_ip,
-          CAST(len(regexp_extract_all(t,
+          CAST(len(regexp_extract_all(t2,
             '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS INT) AS n_phone,
-          regexp_replace(regexp_replace(regexp_replace(t,
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
-            '<EMAIL>', 'g'),
-            '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
-            '<IP>', 'g'),
+          regexp_replace(t2,
             '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS scrubbed
-        FROM p"""),
+        FROM s2"""),
       (s, dir) => {
         val withPii = Tables(s, dir, "documents").select(
           col("doc_id"),
@@ -167,6 +172,6 @@ object CurationPack extends QueryPack {
         graft.operators.Packing
           .streamPack(docs, "doc_id", "n_tokens", capacity = 512)
           .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
-            col("seq_id"), col("seq_offset"))
+            col("seq_id").cast("int").as("seq_id"), col("seq_offset"))
       }))
 }

@@ -89,8 +89,14 @@ class CurationSpec extends SparkSpec {
   test("email with IP-shaped host is consumed by the email rule") {
     import spark.implicits._
     val r = Seq("x user@10.0.0.1.com y 1.2.3.4 z").toDF("t")
-      .select(Curation.scrubPii($"t").as("s")).collect().head.getAs[String]("s")
-    assert(r == "x <EMAIL> y <IP> z")
+      .select(Curation.scrubPii($"t").as("s"),
+        Curation.emailCount($"t").as("ne"),
+        Curation.ipv4Count($"t").as("ni")).collect().head
+    assert(r.getAs[String]("s") == "x <EMAIL> y <IP> z")
+    // counts match the emitted placeholders: the IP-shaped host is
+    // email only, never double-counted as IP
+    assert(r.getAs[Int]("ne") == 1)
+    assert(r.getAs[Int]("ni") == 1)
   }
 
   test("no false positives on plain prose and version strings") {

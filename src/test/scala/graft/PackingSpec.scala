@@ -31,7 +31,7 @@ class PackingSpec extends SparkSpec {
     val df = (1L to 50L).map(i => (i, 30L)).toDF("id", "toks")
     val packed = Packing.streamPack(df, "id", "toks", capacity = 100)
       .select("id", "seq_id", "seq_offset").collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     // global invariant: sorting by (seq_id, seq_offset) recovers the
     // hash order, offsets are < capacity, and consecutive rows are
     // exactly 30 tokens apart in the concatenated stream
