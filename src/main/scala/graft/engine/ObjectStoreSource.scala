@@ -147,28 +147,13 @@ final case class ObjectStoreSource(
     * full-scan + semi-join past the bound — same policy and glob
     * escaping as [[LocalFsSource.load]]. */
   def load(spark: SparkSession, keys: DataFrame): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val base = qualifiedBase(conf)
-    val relKey = when(col("path").startsWith(base),
-      expr(s"substring(path, ${base.length + 1})")).otherwise(col("path"))
-    val bounded = keys.select(col("item_key"))
-      .limit(LocalFsSource.MaxPushdownPaths + 1).collect()
-    if (bounded.isEmpty)
-      Source.emptyBinary(spark)
-    else if (bounded.length <= LocalFsSource.MaxPushdownPaths) {
-      val paths = bounded.map { r =>
-        (base + r.getString(0)).flatMap {
-          case c if "[]{}*?".indexOf(c) >= 0 => s"\\$c"
-          case c => c.toString
-        }
-      }
-      spark.read.format("binaryFile").load(paths.toIndexedSeq: _*)
-        .select(relKey.as("item_key"), col("content"))
-    } else
-      spark.read.format("binaryFile")
-        .option("recursiveFileLookup", "true").load(baseUri)
-        .select(relKey.as("item_key"), col("content"))
-        .join(keys.select("item_key"), Seq("item_key"), "left_semi")
+    val base = qualifiedBase(spark.sparkContext.hadoopConfiguration)
+    Source.boundedBinaryLoad(spark, keys,
+      toPath = rel => base + rel,
+      scanBase = baseUri,
+      relKey = when(col("path").startsWith(base),
+        expr(s"substring(path, ${base.length + 1})"))
+        .otherwise(col("path")))
   }
 
   def contentFpOf: Option[Column] = Some(md5(col("content")))

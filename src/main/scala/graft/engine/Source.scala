@@ -87,6 +87,41 @@ object Source {
         StructField("content", BinaryType, nullable = true))))
   }
 
+  /** Shared content-read policy of the file-like sources: bounded
+    * literal-path pushdown (only the changed files are opened; glob
+    * metacharacters escaped so they load literally), graceful
+    * degradation to full-scan + semi-join past the bound (a
+    * backfill-sized delta re-reads most of the corpus anyway), and a
+    * store-untouched empty frame for the empty key set.
+    *
+    * @param toPath  item_key → loadable full path (pre-escape)
+    * @param scanBase base path for the full-scan fallback
+    * @param relKey  derives item_key from binaryFile's `path` column
+    */
+  private[engine] def boundedBinaryLoad(
+      spark: SparkSession, keys: DataFrame,
+      toPath: String => String, scanBase: String,
+      relKey: Column): DataFrame = {
+    // bounded count: never scans more than MaxPushdownPaths + 1 keys
+    val bounded = keys.select(col("item_key"))
+      .limit(LocalFsSource.MaxPushdownPaths + 1).collect()
+    if (bounded.isEmpty)
+      emptyBinary(spark)
+    else if (bounded.length <= LocalFsSource.MaxPushdownPaths) {
+      // Hadoop treats [ ] { } * ? as glob metacharacters in load paths
+      val paths = bounded.map(r => toPath(r.getString(0)).flatMap {
+        case c if "[]{}*?".indexOf(c) >= 0 => s"\\$c"
+        case c => c.toString
+      })
+      spark.read.format("binaryFile").load(paths.toIndexedSeq: _*)
+        .select(relKey.as("item_key"), col("content"))
+    } else
+      spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true").load(scanBase)
+        .select(relKey.as("item_key"), col("content"))
+        .join(keys.select("item_key"), Seq("item_key"), "left_semi")
+  }
+
   /** BOM-aware text decode of a binary content column (the
     * reference's `File.read_text`,
     * python/cocoindex/connectors/localfs/_source.py:35-70): UTF-8
@@ -208,32 +243,10 @@ final case class LocalFsSource(
     * this source for a distributed manifest table, which is exactly
     * the [[TableSource]] form.)
     */
-  def load(spark: SparkSession, keys: DataFrame): DataFrame = {
-    val relUdf = relPathUdf
-    // bounded count: never scans more than MaxPushdownPaths + 1 keys
-    val bounded = keys.select(col("item_key"))
-      .limit(LocalFsSource.MaxPushdownPaths + 1).collect()
-    if (bounded.isEmpty)
-      Source.emptyBinary(spark)
-    else if (bounded.length <= LocalFsSource.MaxPushdownPaths) {
-      // Hadoop treats [ ] { } * ? as glob metacharacters in load
-      // paths — escape them so files like 'report[2024].md' load
-      // literally instead of failing path resolution
-      val paths = bounded.map { r =>
-        val raw = new java.io.File(dir, r.getString(0)).getPath
-        raw.flatMap {
-          case c if "[]{}*?".indexOf(c) >= 0 => s"\\$c"
-          case c => c.toString
-        }
-      }
-      spark.read.format("binaryFile").load(paths.toIndexedSeq: _*)
-        .select(relUdf(col("path")).as("item_key"), col("content"))
-    } else
-      spark.read.format("binaryFile")
-        .option("recursiveFileLookup", "true").load(dir)
-        .select(relUdf(col("path")).as("item_key"), col("content"))
-        .join(keys.select("item_key"), Seq("item_key"), "left_semi")
-  }
+  def load(spark: SparkSession, keys: DataFrame): DataFrame =
+    Source.boundedBinaryLoad(spark, keys,
+      toPath = rel => new java.io.File(dir, rel).getPath,
+      scanBase = dir, relKey = relPathUdf(col("path")))
 
   def contentFpOf: Option[Column] = Some(md5(col("content")))
 
