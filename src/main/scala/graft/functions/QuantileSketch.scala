@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.{udaf, udf}
+
+/** Mergeable quantile sketches (DataSketches KLL) as Spark
+  * aggregates — the partial form that makes approximate percentiles
+  * *maintainable*: a percentile over a partitioned/incrementally-
+  * maintained table cannot be rebuilt from per-group numbers the way
+  * count/sum can, but KLL sketches merge losslessly w.r.t. their
+  * error bound (±~1.65% rank error at the default k=200), so
+  * per-bucket sketch partials union into the global distribution.
+  *
+  * Shapes: [[build]] aggregates raw doubles into a sketch (binary),
+  * [[mergeAgg]] unions stored sketch partials, [[quantile]] reads a
+  * rank off a sketch. The aggregation buffer is the live heap sketch
+  * (kryo-encoded only at shuffle boundaries); rows update it in
+  * place, so the per-row cost is the sketch update, not a serialize
+  * round-trip.
+  */
+object QuantileSketch {
+
+  val DefaultK = 200
+
+  private def heapify(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  private class BuildAgg(k: Int)
+      extends Aggregator[Double, KllDoublesSketch, Array[Byte]] {
+    def zero: KllDoublesSketch = KllDoublesSketch.newHeapInstance(k)
+    def reduce(b: KllDoublesSketch, a: Double): KllDoublesSketch = {
+      b.update(a); b
+    }
+    def merge(a: KllDoublesSketch, b: KllDoublesSketch): KllDoublesSketch = {
+      a.merge(b); a
+    }
+    def finish(b: KllDoublesSketch): Array[Byte] = b.toByteArray
+    def bufferEncoder: Encoder[KllDoublesSketch] =
+      Encoders.kryo[KllDoublesSketch]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  private class MergeAgg
+      extends Aggregator[Array[Byte], KllDoublesSketch, Array[Byte]] {
+    def zero: KllDoublesSketch = null
+    def reduce(b: KllDoublesSketch, bytes: Array[Byte]): KllDoublesSketch = {
+      val s = heapify(bytes)
+      if (b == null) s else { b.merge(s); b }
+    }
+    def merge(a: KllDoublesSketch, b: KllDoublesSketch): KllDoublesSketch =
+      if (a == null) b else if (b == null) a else { a.merge(b); a }
+    def finish(b: KllDoublesSketch): Array[Byte] =
+      (if (b == null) KllDoublesSketch.newHeapInstance(DefaultK) else b)
+        .toByteArray
+    def bufferEncoder: Encoder[KllDoublesSketch] =
+      Encoders.kryo[KllDoublesSketch]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Aggregate raw double values into a serialized KLL sketch. */
+  def build(value: Column, k: Int = DefaultK): Column =
+    udaf(new BuildAgg(k), Encoders.scalaDouble).apply(value)
+
+  /** Union serialized sketch partials into one sketch. */
+  def mergeAgg(sketch: Column): Column =
+    udaf(new MergeAgg, Encoders.BINARY).apply(sketch)
+
+  /** The value at rank `q` ∈ [0,1] of a serialized sketch (inclusive
+    * search criteria; NaN for an empty sketch). */
+  def quantile(sketch: Column, q: Double): Column =
+    udf((bytes: Array[Byte]) => {
+      val s = heapify(bytes)
+      if (s.isEmpty) Double.NaN
+      else s.getQuantile(q, QuantileSearchCriteria.INCLUSIVE)
+    }).apply(sketch)
+}

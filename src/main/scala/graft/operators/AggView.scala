@@ -87,13 +87,24 @@ object AggView {
         * is a mergeable DataSketches HLL sketch per (bucket, group) —
         * the sketch algebra is what makes a non-decomposable
         * aggregate maintainable. */
-      distinctCol: Option[String] = None): Flow = {
+      distinctCol: Option[String] = None,
+      /** Maintain approximate quantiles of `valueCol` too: KLL
+        * sketch partials per (bucket, group), unioned at serve into
+        * p50/p95/p99 (±~1.65% rank error). Same caveat as the HLL
+        * partial: sketch bytes are order-dependent, so recomputed
+        * partials of a dirty bucket may rewrite without a semantic
+        * change. */
+      quantiles: Boolean = false): Flow = {
     val gcols = groupCols.map(col)
     val aggs =
       Seq(count(lit(1)).as("p_cnt"),
         sum(col(valueCol)).as("p_sum"),
         min(col(valueCol)).as("p_min"),
         max(col(valueCol)).as("p_max")) ++
+        (if (quantiles)
+          Seq(graft.functions.QuantileSketch
+            .build(col(valueCol).cast("double")).as("p_kll"))
+        else Nil) ++
         // canonical string form: the sketch accepts int/long/string/
         // binary only, and the cast keeps any column type countable.
         // Sketch BYTES are insertion-order-dependent, so a recomputed
@@ -105,7 +116,7 @@ object AggView {
           hll_sketch_agg(col(c).cast("string"), 14).as("p_hll"))
     val stage = CocoFn(s"aggview_$name", 1,
       deps = Seq(s"g=${groupCols.mkString(",")}", s"v=$valueCol",
-        s"d=${distinctCol.getOrElse("")}"),
+        s"d=${distinctCol.getOrElse("")}", s"q=$quantiles"),
       fn = df => df
         .groupBy(col("item_key") +: gcols: _*)
         .agg(aggs.head, aggs.tail: _*)
@@ -132,13 +143,25 @@ object AggView {
       sum(col("p_sum")).as("sum"),
       min(col("p_min")).as("min"),
       max(col("p_max")).as("max"))
-    val aggs =
-      if (partials.columns.contains("p_hll"))
-        base :+ hll_sketch_estimate(hll_union_agg(col("p_hll")))
-          .cast("long").as("approx_distinct")
-      else base
-    partials.groupBy(groupCols.map(col): _*)
+    val aggs = base ++
+      (if (partials.columns.contains("p_hll"))
+        Seq(hll_sketch_estimate(hll_union_agg(col("p_hll")))
+          .cast("long").as("approx_distinct"))
+      else Nil) ++
+      (if (partials.columns.contains("p_kll"))
+        Seq(graft.functions.QuantileSketch.mergeAgg(col("p_kll"))
+          .as("__kll"))
+      else Nil)
+    val folded = partials.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("avg", col("sum") / col("cnt"))
+    if (folded.columns.contains("__kll")) {
+      val k = graft.functions.QuantileSketch
+      folded
+        .withColumn("p50", k.quantile(col("__kll"), 0.50))
+        .withColumn("p95", k.quantile(col("__kll"), 0.95))
+        .withColumn("p99", k.quantile(col("__kll"), 0.99))
+        .drop("__kll")
+    } else folded
   }
 }

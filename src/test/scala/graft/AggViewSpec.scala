@@ -92,6 +92,37 @@ class AggViewSpec extends SparkSpec {
     assert(served == exact)
   }
 
+  test("KLL partials merge to exact quantiles below the compaction bound") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-aggview-kll")
+    work.toFile.deleteOnExit()
+    val base = work.resolve("base").toString
+    // 150 values per group — under KLL's k=200 the sketch is exact
+    (1L to 300L).map(i => (i, s"g${i % 2}", (i / 2).toDouble))
+      .toDF("id", "g", "v").write.mode("overwrite").parquet(base)
+
+    graft.operators.AggView.flow("kll",
+      sp => sp.read.parquet(base), keyCol = "id",
+      groupCols = Seq("g"), valueCol = "v",
+      viewDir = work.resolve("view").toString,
+      stateDir = work.resolve("state").toString,
+      numBuckets = 8, quantiles = true).run(spark)
+
+    val served = graft.operators.AggView
+      .serve(spark, work.resolve("view").toString, Seq("g"))
+      .select("g", "p50", "p95", "p99").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val exact = spark.read.parquet(base).collect()
+      .map(r => r.getString(1) -> r.getDouble(2)).groupBy(_._1)
+      .map { case (g, vs) =>
+        val sorted = vs.map(_._2).sorted
+        def q(p: Double) = sorted(math.ceil(p * sorted.length).toInt - 1)
+        g -> (q(0.50), q(0.95), q(0.99))
+      }
+    assert(served == exact)
+  }
+
   test("bucket memo state is order-insensitive but value-sensitive") {
     import spark.implicits._
     val src = AggView.BucketedTableSource(
