@@ -249,6 +249,94 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** The MinHash band index as an engine-maintained flow target —
+    * the dedup analog of [[Similarity.ivfFlow]] / [[Fts.ftsFlow]]:
+    * each document is one component whose rows are its band codes
+    * (`row_key = doc:band`), so an edited document rewrites exactly
+    * its own nBands rows through the reconcile and a deleted
+    * document's bands GC as orphans. The index stays tiny — (doc,
+    * band, code, sz) only; [[minHashPairsOver]] verifies candidates
+    * against the corpus, so shingle arrays are never materialized in
+    * the index and verification work is O(candidate pairs), not
+    * O(corpus).
+    */
+  def minHashFlow(
+      name: String,
+      corpus: org.apache.spark.sql.SparkSession => DataFrame,
+      indexDir: String, stateDir: String,
+      numHashes: Int = 32, bandRows: Int = 2, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text")
+      : graft.engine.Flow = {
+    require(numHashes % bandRows == 0)
+    val nBands = numHashes / bandRows
+    val sigUdf = udf { sh: Seq[Long] =>
+      if (sh.isEmpty) null.asInstanceOf[Array[Long]]
+      else Array.tabulate(numHashes) { i =>
+        sh.foldLeft(Long.MaxValue)((mn, s) =>
+          math.min(mn, graft.functions.Hashing.derive(s, i)))
+      }
+    }
+    val bandElems = (0 until bandRows).map(r =>
+      element_at(col("sig"), col("band") * bandRows + r + 1))
+    val stage = graft.engine.CocoFn("minhash_bands", 1,
+      deps = Seq(s"h=$numHashes", s"r=$bandRows", s"n=$n"),
+      fn = df => df
+        .select(col("item_key"), shingleHashUdf(n)(col(textCol)).as("sh"))
+        .withColumn("sig", sigUdf(col("sh")))
+        .filter(col("sig").isNotNull)
+        .select(col("item_key"), size(col("sh")).as("sz"),
+          explode(sequence(lit(0), lit(nBands - 1))).as("band"), col("sig"))
+        .withColumn("code", xxhash64(bandElems: _*))
+        .select(col("item_key"),
+          concat(col("item_key"), lit(":"), col("band")).as("row_key"),
+          col("band"), col("code"), col("sz")))
+    new graft.engine.Flow(name,
+      graft.engine.TableSource(corpus, keyCol = idCol),
+      Seq(stage),
+      graft.engine.ParquetTableTarget(indexDir, numBuckets = 8),
+      stateDir)
+  }
+
+  /** Near-dup pairs served from a [[minHashFlow]]-maintained index:
+    * candidates from the band-code self-join + exact length filter,
+    * then exact Jaccard verification recomputing shingles for the
+    * CANDIDATE docs only (semi-joined corpus load). Doc ids are the
+    * engine's STRING item keys. */
+  def minHashPairsOver(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      corpus: DataFrame, threshold: Double, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val banded = graft.engine.ParquetTableTarget(indexDir).read(spark)
+      .select(col("item_key").as("doc_id"), col("band"), col("code"),
+        col("sz"))
+    val candidates = banded.select(col("doc_id").as("doc_a"),
+        col("sz").as("sz_a"), col("band"), col("code"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+        col("band"), col("code")), Seq("band", "code"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("sz_b") >= col("sz_a") * threshold &&
+        col("sz_a") >= col("sz_b") * threshold)
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    val ids = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = corpus
+      .select(col(idCol).cast("string").as("doc_id"),
+        shingleHashUdf(n)(col(textCol)).as("sh"))
+      .join(ids, Seq("doc_id"), "left_semi")
+    val verified = candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val unionSize = size(col("sh_a")) + size(col("sh_b")) - inter
+    verified
+      .withColumn("jaccard", round(inter.cast("double") / unionSize, 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Approximate embedding near-dup: SRP-LSH banding for candidates
     * (equi-join on (band, code) — the scale path), exact cosine
     * verification. Recall is probabilistic: a qualifying pair is

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** The engine-maintained MinHash band index: pair parity with the
+  * batch operator, O(one doc's bands) maintenance on edit, orphan GC
+  * on delete.
+  */
+class DedupFlowSpec extends SparkSpec {
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+    df.select("doc_a", "doc_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+
+  test("maintained band index serves the same pairs as the batch operator") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-dedupflow")
+    work.toFile.deleteOnExit()
+    val base = work.resolve("base").toString
+
+    def doc(i: Int, text: String) = (i.toLong, text)
+    val texts = Seq(
+      doc(1, "the quick brown fox jumps over the lazy dog again and again"),
+      doc(2, "the quick brown fox jumps over the lazy dog again and again today"),
+      doc(3, "completely different content about spark incremental engines"),
+      doc(4, "totally unrelated words concerning database query optimizers"),
+      doc(5, "the quick brown fox jumps over the lazy dog again and again"))
+    texts.toDF("doc_id", "text").write.mode("overwrite").parquet(base)
+
+    val flow = Dedup.minHashFlow("dedup",
+      sp => sp.read.parquet(base),
+      indexDir = work.resolve("index").toString,
+      stateDir = work.resolve("state").toString)
+    val first = flow.run(spark)
+    assert(first.components == 5 && first.recomputed == 5)
+    assert(flow.run(spark).isNoop)
+
+    val corpus = spark.read.parquet(base)
+    val served = pairsOf(Dedup.minHashPairsOver(spark,
+      work.resolve("index").toString, corpus, threshold = 0.7))
+    val batch = pairsOf(Dedup.minHashNearDup(
+      corpus.withColumn("doc_id", col("doc_id").cast("string")),
+      threshold = 0.7))
+    assert(served == batch)
+    assert(served.contains(("1", "5"))) // exact duplicates must pair
+
+    // edit one doc: exactly one component recomputes, only its band
+    // rows rewrite (nBands = 32/2 = 16)
+    (texts.filterNot(_._1 == 3L) :+
+      doc(3, "completely different content about spark batch engines"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(base)
+    val delta = flow.run(spark)
+    assert(delta.recomputed == 1, delta)
+    assert(delta.rowsUpdated + delta.rowsNoop == 16 &&
+      delta.rowsInserted == 0, delta)
+
+    // delete a doc: its band rows GC as orphans and its pairs vanish
+    texts.filterNot(t => t._1 == 5L)
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(base)
+    val drop = flow.run(spark)
+    assert(drop.rowsDeleted == 16, drop)
+    val after = pairsOf(Dedup.minHashPairsOver(spark,
+      work.resolve("index").toString, spark.read.parquet(base),
+      threshold = 0.7))
+    assert(!after.exists { case (a, b) => a == "5" || b == "5" })
+  }
+}
