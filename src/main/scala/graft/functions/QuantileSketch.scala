@@ -29,11 +29,14 @@ object QuantileSketch {
   private def heapify(bytes: Array[Byte]): KllDoublesSketch =
     KllDoublesSketch.heapify(Memory.wrap(bytes))
 
+  // boxed input: a primitive Double encoder would surface SQL NULL as
+  // 0.0 and poison the distribution — nulls must be SKIPPED, like
+  // every adjacent aggregate (sum/min/max/hll) skips them
   private class BuildAgg(k: Int)
-      extends Aggregator[Double, KllDoublesSketch, Array[Byte]] {
+      extends Aggregator[java.lang.Double, KllDoublesSketch, Array[Byte]] {
     def zero: KllDoublesSketch = KllDoublesSketch.newHeapInstance(k)
-    def reduce(b: KllDoublesSketch, a: Double): KllDoublesSketch = {
-      b.update(a); b
+    def reduce(b: KllDoublesSketch, a: java.lang.Double): KllDoublesSketch = {
+      if (a != null) b.update(a.doubleValue()); b
     }
     def merge(a: KllDoublesSketch, b: KllDoublesSketch): KllDoublesSketch = {
       a.merge(b); a
@@ -47,10 +50,12 @@ object QuantileSketch {
   private class MergeAgg
       extends Aggregator[Array[Byte], KllDoublesSketch, Array[Byte]] {
     def zero: KllDoublesSketch = null
-    def reduce(b: KllDoublesSketch, bytes: Array[Byte]): KllDoublesSketch = {
-      val s = heapify(bytes)
-      if (b == null) s else { b.merge(s); b }
-    }
+    def reduce(b: KllDoublesSketch, bytes: Array[Byte]): KllDoublesSketch =
+      if (bytes == null) b // null partials are skipped, like hll_union_agg
+      else {
+        val s = heapify(bytes)
+        if (b == null) s else { b.merge(s); b }
+      }
     def merge(a: KllDoublesSketch, b: KllDoublesSketch): KllDoublesSketch =
       if (a == null) b else if (b == null) a else { a.merge(b); a }
     def finish(b: KllDoublesSketch): Array[Byte] =
@@ -61,20 +66,32 @@ object QuantileSketch {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  /** Aggregate raw double values into a serialized KLL sketch. */
+  /** Aggregate raw double values into a serialized KLL sketch; null
+    * values are skipped, not sketched. */
   def build(value: Column, k: Int = DefaultK): Column =
-    udaf(new BuildAgg(k), Encoders.scalaDouble).apply(value)
+    udaf(new BuildAgg(k), Encoders.DOUBLE).apply(value)
 
-  /** Union serialized sketch partials into one sketch. */
+  /** Union serialized sketch partials into one sketch; null partial
+    * rows are skipped. */
   def mergeAgg(sketch: Column): Column =
     udaf(new MergeAgg, Encoders.BINARY).apply(sketch)
 
-  /** The value at rank `q` ∈ [0,1] of a serialized sketch (inclusive
-    * search criteria; NaN for an empty sketch). */
-  def quantile(sketch: Column, q: Double): Column =
+  /** The values at ranks `qs` of a serialized sketch, in one
+    * deserialization (inclusive criteria). Null bytes → null; an
+    * empty sketch → NaNs. */
+  def quantiles(sketch: Column, qs: Seq[Double]): Column = {
+    val ranks = qs.toArray
     udf((bytes: Array[Byte]) => {
-      val s = heapify(bytes)
-      if (s.isEmpty) Double.NaN
-      else s.getQuantile(q, QuantileSearchCriteria.INCLUSIVE)
+      if (bytes == null) null.asInstanceOf[Array[Double]]
+      else {
+        val s = heapify(bytes)
+        if (s.isEmpty) Array.fill(ranks.length)(Double.NaN)
+        else s.getQuantiles(ranks, QuantileSearchCriteria.INCLUSIVE)
+      }
     }).apply(sketch)
+  }
+
+  /** The value at rank `q` ∈ [0,1] of a serialized sketch. */
+  def quantile(sketch: Column, q: Double): Column =
+    org.apache.spark.sql.functions.element_at(quantiles(sketch, Seq(q)), 1)
 }

@@ -156,12 +156,14 @@ object AggView {
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("avg", col("sum") / col("cnt"))
     if (folded.columns.contains("__kll")) {
-      val k = graft.functions.QuantileSketch
+      // one deserialization serves all three ranks
       folded
-        .withColumn("p50", k.quantile(col("__kll"), 0.50))
-        .withColumn("p95", k.quantile(col("__kll"), 0.95))
-        .withColumn("p99", k.quantile(col("__kll"), 0.99))
-        .drop("__kll")
+        .withColumn("__qs", graft.functions.QuantileSketch
+          .quantiles(col("__kll"), Seq(0.50, 0.95, 0.99)))
+        .withColumn("p50", element_at(col("__qs"), 1))
+        .withColumn("p95", element_at(col("__qs"), 2))
+        .withColumn("p99", element_at(col("__qs"), 3))
+        .drop("__kll", "__qs")
     } else folded
   }
 }

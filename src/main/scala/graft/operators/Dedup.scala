@@ -197,50 +197,69 @@ object Dedup {
       n: Int = 3, idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
     require(numHashes % bandRows == 0)
-    // signatures derive from the already-hashed shingle column — the
-    // expensive tokenize+shingle pass runs once per doc, not twice
-    val sigUdf = udf { sh: Seq[Long] =>
-      if (sh.isEmpty) null.asInstanceOf[Array[Long]]
-      else Array.tabulate(numHashes) { i =>
-        var mn = Long.MaxValue
-        var j = 0
-        while (j < sh.length) {
-          val x = graft.functions.Hashing.derive(sh(j), i)
-          if (x < mn) mn = x
-          j += 1
-        }
-        mn
-      }
-    }
     val d = docs.select(col(idCol).as("doc_id"),
       shingleHashUdf(n)(col(textCol)).as("sh"))
-      .withColumn("sig", sigUdf(col("sh")))
+      .withColumn("sig", minHashSigUdf(numHashes)(col("sh")))
       .filter(col("sig").isNotNull)
       .cache()
-    val nBands = numHashes / bandRows
-    // band code: one codegen'd xxhash64 over the band's signature longs
-    // (bandRows is plan-time constant, so arity is static) — same
-    // blocking as hashing the serialized slice at ~10x less work
-    val bandElems = (0 until bandRows).map(r =>
-      element_at(col("sig"), col("band") * bandRows + r + 1))
     val banded = d.select(col("doc_id"), size(col("sh")).as("sz"),
-      explode(sequence(lit(0), lit(nBands - 1))).as("band"),
+      explode(sequence(lit(0), lit(numHashes / bandRows - 1))).as("band"),
       col("sig"))
-      .withColumn("code", xxhash64(bandElems: _*))
+      .withColumn("code", bandCode(bandRows))
       .select("doc_id", "sz", "band", "code")
-    val candidates = banded.select(col("doc_id").as("doc_a"),
+    verifyJaccard(bandCandidates(banded, threshold),
+      d.select("doc_id", "sh"), threshold)
+  }
+
+  /** MinHash signatures from the already-hashed shingle column — the
+    * expensive tokenize+shingle pass runs once per doc, not twice;
+    * the min scan is a primitive while-loop. */
+  private[graft] def minHashSigUdf(numHashes: Int) = udf { sh: Seq[Long] =>
+    if (sh.isEmpty) null.asInstanceOf[Array[Long]]
+    else Array.tabulate(numHashes) { i =>
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < sh.length) {
+        val x = graft.functions.Hashing.derive(sh(j), i)
+        if (x < mn) mn = x
+        j += 1
+      }
+      mn
+    }
+  }
+
+  /** Band code: one codegen'd xxhash64 over the band's signature
+    * longs (bandRows is plan-time constant, so arity is static) —
+    * same blocking as hashing the serialized slice at ~10x less
+    * work. Expects `sig` and `band` columns. */
+  private def bandCode(bandRows: Int): Column =
+    xxhash64((0 until bandRows).map(r =>
+      element_at(col("sig"), col("band") * bandRows + r + 1)): _*)
+
+  /** Candidate pairs from the band-bucket self-join with the exact
+    * length filter (J ≥ t ⇒ t·|A| ≤ |B| and t·|B| ≤ |A|).
+    * Expects `(doc_id, sz, band, code)`. */
+  private def bandCandidates(banded: DataFrame, threshold: Double)
+      : DataFrame =
+    banded.select(col("doc_id").as("doc_a"),
         col("sz").as("sz_a"), col("band"), col("code"))
       .join(banded.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
         col("band"), col("code")), Seq("band", "code"))
       .filter(col("doc_a") < col("doc_b") &&
-        // length filter (exact): J ≥ t ⇒ t·|A| ≤ |B| and t·|B| ≤ |A|
         col("sz_b") >= col("sz_a") * threshold &&
         col("sz_a") >= col("sz_b") * threshold)
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
+
+  /** Exact Jaccard verification of candidate pairs against the
+    * shingle table `(doc_id, sh)`. */
+  private def verifyJaccard(
+      candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val verified = candidates
-      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val unionSize = size(col("sh_a")) + size(col("sh_b")) - inter
     verified
@@ -269,24 +288,19 @@ object Dedup {
       : graft.engine.Flow = {
     require(numHashes % bandRows == 0)
     val nBands = numHashes / bandRows
-    val sigUdf = udf { sh: Seq[Long] =>
-      if (sh.isEmpty) null.asInstanceOf[Array[Long]]
-      else Array.tabulate(numHashes) { i =>
-        sh.foldLeft(Long.MaxValue)((mn, s) =>
-          math.min(mn, graft.functions.Hashing.derive(s, i)))
-      }
-    }
-    val bandElems = (0 until bandRows).map(r =>
-      element_at(col("sig"), col("band") * bandRows + r + 1))
+    // textCol/idCol are part of the stage's logic: changing either on
+    // an existing stateDir must invalidate the memo, or the index
+    // keeps serving band codes computed from the old column
     val stage = graft.engine.CocoFn("minhash_bands", 1,
-      deps = Seq(s"h=$numHashes", s"r=$bandRows", s"n=$n"),
+      deps = Seq(s"h=$numHashes", s"r=$bandRows", s"n=$n",
+        s"t=$textCol", s"id=$idCol"),
       fn = df => df
         .select(col("item_key"), shingleHashUdf(n)(col(textCol)).as("sh"))
-        .withColumn("sig", sigUdf(col("sh")))
+        .withColumn("sig", minHashSigUdf(numHashes)(col("sh")))
         .filter(col("sig").isNotNull)
         .select(col("item_key"), size(col("sh")).as("sz"),
           explode(sequence(lit(0), lit(nBands - 1))).as("band"), col("sig"))
-        .withColumn("code", xxhash64(bandElems: _*))
+        .withColumn("code", bandCode(bandRows))
         .select(col("item_key"),
           concat(col("item_key"), lit(":"), col("band")).as("row_key"),
           col("band"), col("code"), col("sz")))
@@ -309,32 +323,18 @@ object Dedup {
     val banded = graft.engine.ParquetTableTarget(indexDir).read(spark)
       .select(col("item_key").as("doc_id"), col("band"), col("code"),
         col("sz"))
-    val candidates = banded.select(col("doc_id").as("doc_a"),
-        col("sz").as("sz_a"), col("band"), col("code"))
-      .join(banded.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
-        col("band"), col("code")), Seq("band", "code"))
-      .filter(col("doc_a") < col("doc_b") &&
-        col("sz_b") >= col("sz_a") * threshold &&
-        col("sz_a") >= col("sz_b") * threshold)
-      .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
+    // cached: candidates feed the id projection AND the verify joins;
+    // sh feeds both sides of the verify — without pinning, the
+    // shuffle-heavy self-join and the shingle UDF re-execute per use
+    val candidates = bandCandidates(banded, threshold).cache()
     val ids = candidates.select(col("doc_a").as("doc_id"))
       .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
     val sh = corpus
       .select(col(idCol).cast("string").as("doc_id"),
         shingleHashUdf(n)(col(textCol)).as("sh"))
       .join(ids, Seq("doc_id"), "left_semi")
-    val verified = candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
-        Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
-        Seq("doc_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    val unionSize = size(col("sh_a")) + size(col("sh_b")) - inter
-    verified
-      .withColumn("jaccard", round(inter.cast("double") / unionSize, 4))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .cache()
+    verifyJaccard(candidates, sh, threshold)
   }
 
   /** Approximate embedding near-dup: SRP-LSH banding for candidates

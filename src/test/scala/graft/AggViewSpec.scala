@@ -123,6 +123,23 @@ class AggViewSpec extends SparkSpec {
     assert(served == exact)
   }
 
+  test("null values are skipped by the quantile sketch, not sketched as 0") {
+    import spark.implicits._
+    val df = Seq[(String, java.lang.Double)](
+      ("g", 10.0), ("g", 20.0), ("g", null), ("g", null), ("g", null))
+      .toDF("g", "v")
+    val r = df.groupBy("g")
+      .agg(graft.functions.QuantileSketch.build(col("v")).as("s"),
+        min(col("v")).as("mn"))
+      .select(graft.functions.QuantileSketch.quantile(col("s"), 0.5).as("p50"),
+        col("mn"))
+      .collect().head
+    // a primitive input encoder would surface each null as 0.0 and
+    // drag p50 below the true minimum
+    assert(r.getDouble(0) >= r.getDouble(1))
+    assert(r.getDouble(0) == 10.0)
+  }
+
   test("bucket memo state is order-insensitive but value-sensitive") {
     import spark.implicits._
     val src = AggView.BucketedTableSource(
