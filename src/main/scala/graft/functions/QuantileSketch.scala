@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions.{udaf, udf}
   * Shapes: [[build]] aggregates raw doubles into a sketch (binary),
   * [[mergeAgg]] unions stored sketch partials, [[quantile]] reads a
   * rank off a sketch. The aggregation buffer is the live heap sketch
-  * (kryo-encoded only at shuffle boundaries); rows update it in
-  * place, so the per-row cost is the sketch update, not a serialize
-  * round-trip.
+  * ([[SketchBuf]], serialized through the sketch's byte codec only at
+  * shuffle/spill boundaries); rows update it in place, so the per-row
+  * cost is the sketch update, not a serialize round-trip.
   */
 object QuantileSketch {
 
@@ -29,40 +29,43 @@ object QuantileSketch {
   private def heapify(bytes: Array[Byte]): KllDoublesSketch =
     KllDoublesSketch.heapify(Memory.wrap(bytes))
 
+  private def bufEncoder: Encoder[SketchBuf] =
+    Encoders.javaSerialization(classOf[SketchBuf])
+
   // boxed input: a primitive Double encoder would surface SQL NULL as
   // 0.0 and poison the distribution — nulls must be SKIPPED, like
   // every adjacent aggregate (sum/min/max/hll) skips them
   private class BuildAgg(k: Int)
-      extends Aggregator[java.lang.Double, KllDoublesSketch, Array[Byte]] {
-    def zero: KllDoublesSketch = KllDoublesSketch.newHeapInstance(k)
-    def reduce(b: KllDoublesSketch, a: java.lang.Double): KllDoublesSketch = {
-      if (a != null) b.update(a.doubleValue()); b
+      extends Aggregator[java.lang.Double, SketchBuf, Array[Byte]] {
+    def zero: SketchBuf = new SketchBuf(KllDoublesSketch.newHeapInstance(k))
+    def reduce(b: SketchBuf, a: java.lang.Double): SketchBuf = {
+      if (a != null) b.sketch.update(a.doubleValue()); b
     }
-    def merge(a: KllDoublesSketch, b: KllDoublesSketch): KllDoublesSketch = {
-      a.merge(b); a
+    def merge(a: SketchBuf, b: SketchBuf): SketchBuf = {
+      a.sketch.merge(b.sketch); a
     }
-    def finish(b: KllDoublesSketch): Array[Byte] = b.toByteArray
-    def bufferEncoder: Encoder[KllDoublesSketch] =
-      Encoders.kryo[KllDoublesSketch]
+    def finish(b: SketchBuf): Array[Byte] = b.sketch.toByteArray
+    def bufferEncoder: Encoder[SketchBuf] = bufEncoder
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  private class MergeAgg
-      extends Aggregator[Array[Byte], KllDoublesSketch, Array[Byte]] {
-    def zero: KllDoublesSketch = null
-    def reduce(b: KllDoublesSketch, bytes: Array[Byte]): KllDoublesSketch =
-      if (bytes == null) b // null partials are skipped, like hll_union_agg
-      else {
-        val s = heapify(bytes)
-        if (b == null) s else { b.merge(s); b }
-      }
-    def merge(a: KllDoublesSketch, b: KllDoublesSketch): KllDoublesSketch =
-      if (a == null) b else if (b == null) a else { a.merge(b); a }
-    def finish(b: KllDoublesSketch): Array[Byte] =
-      (if (b == null) KllDoublesSketch.newHeapInstance(DefaultK) else b)
-        .toByteArray
-    def bufferEncoder: Encoder[KllDoublesSketch] =
-      Encoders.kryo[KllDoublesSketch]
+  // zero is a real empty sketch, never null: the sort-based fallback
+  // serializes INITIAL buffers through the non-nullable encoder.
+  // `k` must match the partials' k: KLL merge downgrades to the
+  // smaller k of the two sides.
+  private class MergeAgg(k: Int)
+      extends Aggregator[Array[Byte], SketchBuf, Array[Byte]] {
+    def zero: SketchBuf = new SketchBuf(KllDoublesSketch.newHeapInstance(k))
+    def reduce(b: SketchBuf, bytes: Array[Byte]): SketchBuf = {
+      // null partials are skipped, like hll_union_agg
+      if (bytes != null) b.sketch.merge(heapify(bytes))
+      b
+    }
+    def merge(a: SketchBuf, b: SketchBuf): SketchBuf = {
+      a.sketch.merge(b.sketch); a
+    }
+    def finish(b: SketchBuf): Array[Byte] = b.sketch.toByteArray
+    def bufferEncoder: Encoder[SketchBuf] = bufEncoder
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
@@ -72,9 +75,10 @@ object QuantileSketch {
     udaf(new BuildAgg(k), Encoders.DOUBLE).apply(value)
 
   /** Union serialized sketch partials into one sketch; null partial
-    * rows are skipped. */
-  def mergeAgg(sketch: Column): Column =
-    udaf(new MergeAgg, Encoders.BINARY).apply(sketch)
+    * rows are skipped. Pass the same `k` the partials were built
+    * with. */
+  def mergeAgg(sketch: Column, k: Int = DefaultK): Column =
+    udaf(new MergeAgg(k), Encoders.BINARY).apply(sketch)
 
   /** The values at ranks `qs` of a serialized sketch, in one
     * deserialization (inclusive criteria). Null bytes → null; an
@@ -94,4 +98,27 @@ object QuantileSketch {
   /** The value at rank `q` ∈ [0,1] of a serialized sketch. */
   def quantile(sketch: Column, q: Double): Column =
     org.apache.spark.sql.functions.element_at(quantiles(sketch, Seq(q)), 1)
+}
+
+/** Aggregation buffer with EXPLICIT serialization through the
+  * sketch's own byte codec (public top-level only because Spark's
+  * javaSerialization encoder demands a public class — not API).
+  * Generic object serializers cannot be trusted with the sketch's
+  * internals: kryo's FieldSerializer eagerly builds serializers for
+  * the whole field-type graph and dies on `java.nio.HeapByteBuffer`
+  * under Java 17 module rules — and only when a buffer actually
+  * crosses a serialization boundary (partial-agg shuffle, sort-based
+  * fallback, spill), so small in-memory unit plans never see it. */
+final class SketchBuf(@transient var sketch: KllDoublesSketch)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    val bytes = sketch.toByteArray
+    out.writeInt(bytes.length)
+    out.write(bytes)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    val bytes = new Array[Byte](in.readInt())
+    in.readFully(bytes)
+    sketch = KllDoublesSketch.heapify(Memory.wrap(bytes))
+  }
 }

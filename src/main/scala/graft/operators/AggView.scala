@@ -94,7 +94,11 @@ object AggView {
         * partial: sketch bytes are order-dependent, so recomputed
         * partials of a dirty bucket may rewrite without a semantic
         * change. */
-      quantiles: Boolean = false): Flow = {
+      quantiles: Boolean = false,
+      /** KLL accuracy parameter: the sketch (and its merge) is EXACT
+        * while a group's total count stays ≤ k, approximate
+        * (±~1.65% rank error at 200) past it. Serve with the same k. */
+      quantileK: Int = graft.functions.QuantileSketch.DefaultK): Flow = {
     val gcols = groupCols.map(col)
     val aggs =
       Seq(count(lit(1)).as("p_cnt"),
@@ -103,7 +107,7 @@ object AggView {
         max(col(valueCol)).as("p_max")) ++
         (if (quantiles)
           Seq(graft.functions.QuantileSketch
-            .build(col(valueCol).cast("double")).as("p_kll"))
+            .build(col(valueCol).cast("double"), quantileK).as("p_kll"))
         else Nil) ++
         // canonical string form: the sketch accepts int/long/string/
         // binary only, and the cast keeps any column type countable.
@@ -116,7 +120,8 @@ object AggView {
           hll_sketch_agg(col(c).cast("string"), 14).as("p_hll"))
     val stage = CocoFn(s"aggview_$name", 1,
       deps = Seq(s"g=${groupCols.mkString(",")}", s"v=$valueCol",
-        s"d=${distinctCol.getOrElse("")}", s"q=$quantiles"),
+        s"d=${distinctCol.getOrElse("")}", s"q=$quantiles",
+        s"qk=$quantileK"),
       fn = df => df
         .groupBy(col("item_key") +: gcols: _*)
         .agg(aggs.head, aggs.tail: _*)
@@ -133,7 +138,8 @@ object AggView {
 
   /** Fold the maintained partials into the final aggregate:
     * `(groupCols..., cnt, sum, min, max, avg)`. */
-  def serve(spark: SparkSession, viewDir: String, groupCols: Seq[String])
+  def serve(spark: SparkSession, viewDir: String, groupCols: Seq[String],
+      quantileK: Int = graft.functions.QuantileSketch.DefaultK)
       : DataFrame = {
     // through the target's reader, not a raw parquet scan: a
     // legitimately-empty view (every base row deleted) has no data
@@ -149,8 +155,8 @@ object AggView {
           .cast("long").as("approx_distinct"))
       else Nil) ++
       (if (partials.columns.contains("p_kll"))
-        Seq(graft.functions.QuantileSketch.mergeAgg(col("p_kll"))
-          .as("__kll"))
+        Seq(graft.functions.QuantileSketch
+          .mergeAgg(col("p_kll"), quantileK).as("__kll"))
       else Nil)
     val folded = partials.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)

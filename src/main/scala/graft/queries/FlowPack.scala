@@ -125,6 +125,51 @@ object FlowPack extends QueryPack {
           .select(col("l_returnflag"), col("l_linestatus"),
             col("cnt"), col("sum").as("sum_v"), col("min").as("min_v"),
             col("max").as("max_v"), round(col("avg"), 6).as("avg_v"))
+      }),
+
+    // the maintained QUANTILE view in its exact regime: per-group n
+    // stays under KLL's k=200 at the gate's scale, where the sketch
+    // (and the merge of per-bucket sketch partials) is lossless —
+    // inclusive rank = the value at 1-based position ceil(q·n), which
+    // the oracle states with a plain window, convention-free
+    Q(
+      "q71_quantile_view",
+      Some("""
+        WITH d AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents),
+        r AS (SELECT lang, v,
+                     row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM d)
+        SELECT lang,
+               CAST(max(n) AS BIGINT) AS cnt,
+               max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                   THEN v END) AS p50,
+               max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                   THEN v END) AS p95,
+               max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                   THEN v END) AS p99
+        FROM r GROUP BY lang"""),
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft-kll-q71")
+        work.toFile.deleteOnExit()
+        val viewDir = work.resolve("view").toString
+        val view = graft.operators.AggView.flow("doc_lengths",
+          sp => graft.Tables(sp, dir, "documents")
+            .select(col("doc_id"), col("lang"),
+              col("n_chars").cast("double").as("v")),
+          keyCol = "doc_id", groupCols = Seq("lang"), valueCol = "v",
+          viewDir = viewDir, stateDir = work.resolve("state").toString,
+          // k=4096 keeps every lang group (≤ ~2.2k docs at sf0.1)
+          // inside the sketch's exact regime, so the served
+          // quantiles are deterministic and oracle-hashable
+          numBuckets = 8, quantiles = true, quantileK = 4096)
+        view.run(s)
+        require(view.run(s).isNoop,
+          "quantile view rerun over an unchanged base must be a no-op")
+        graft.operators.AggView.serve(s, viewDir, Seq("lang"),
+          quantileK = 4096)
+          .select(col("lang"), col("cnt"),
+            col("p50"), col("p95"), col("p99"))
       })
   )
 }
