@@ -93,11 +93,16 @@ object TextFunctions {
   def fingerprint(text: Column): Column = md5(normalized(text))
 
   /** Distinct word n-gram shingles (space-joined); empty array when
-    * the document has fewer than n words. */
+    * the document has fewer than n words. Built by zipping n shifted
+    * slices — `ws` appears only as a direct argument (per-row), never
+    * inside a lambda body, where each reference would re-evaluate the
+    * whole split per ELEMENT (the O(n²) trap
+    * [[graft.operators.Curation.bigrams]] documents). */
   def shingles(text: Column, n: Int): Column = {
     val ws = words(text)
-    val grams = transform(sequence(lit(0), size(ws) - n),
-      i => concat_ws(" ", (1 to n).map(j => element_at(ws, i + j)): _*))
+    val m = size(ws) - n + 1 // shingle count when size >= n
+    val grams = (1 to n).map(j => slice(ws, lit(j), m))
+      .reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
     array_distinct(
       when(size(ws) >= n, grams).otherwise(array().cast("array<string>")))
   }

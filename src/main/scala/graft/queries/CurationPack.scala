@@ -143,6 +143,54 @@ object CurationPack extends QueryPack {
           Curation.scrubPii(col("t")).as("scrubbed"))
       }),
 
+    // ---- benchmark decontamination ---------------------------------------
+    // GPT-3-style n-gram collision check: training docs sharing ≥ 3
+    // distinct trigrams with the held-out benchmark set (doc_id % 97)
+    // are flagged. Scale shape: the benchmark shingle set is tiny by
+    // construction — broadcast it; the corpus side is one scan +
+    // explode, no self-join anywhere.
+    Q(
+      "q72_decontaminate",
+      Some("""
+        WITH w AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '), x -> x <> '')
+                            AS words
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct(list_transform(
+                        range(greatest(len(words) - 2, 0)),
+                        i -> words[i+1] || ' ' || words[i+2] || ' ' ||
+                             words[i+3])) AS sh
+               FROM w),
+        bench AS (SELECT DISTINCT unnest(sh) AS shingle
+                  FROM sh WHERE doc_id % 97 = 0),
+        tr AS (SELECT doc_id, unnest(sh) AS shingle
+               FROM sh WHERE doc_id % 97 <> 0),
+        hits AS (SELECT doc_id, count(*) AS n_shared
+                 FROM tr JOIN bench USING (shingle) GROUP BY doc_id)
+        SELECT s.doc_id,
+               CAST(coalesce(n_shared, 0) AS INT) AS n_shared,
+               coalesce(n_shared, 0) >= 3 AS contaminated
+        FROM sh s LEFT JOIN hits USING (doc_id)
+        WHERE s.doc_id % 97 <> 0"""),
+      (s, dir) => {
+        val sh = graft.functions.TextFunctions.shingles(col("text"), 3)
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), sh.as("sh"))
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+          .select(explode(col("sh")).as("shingle")).distinct()
+        val train = docs.filter(col("doc_id") % 97 =!= 0)
+        val hits = train.select(col("doc_id"), explode(col("sh")).as("shingle"))
+          .join(broadcast(bench), Seq("shingle"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared")) // per-doc shingles distinct
+        train.select(col("doc_id"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shared"), lit(0L)).cast("int").as("n_shared"),
+            (coalesce(col("n_shared"), lit(0L)) >= 3).as("contaminated"))
+      }),
+
     // ---- training-sequence packing ---------------------------------------
     // deterministic hash-order shuffle, token stream cut into
     // 512-token sequences; Spark side is the distributed two-phase
