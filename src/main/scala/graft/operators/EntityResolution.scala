@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import scala.collection.mutable
 
 /** Entity resolution: candidate similarity edges → connected
   * components → canonical representative per component (the Spark
@@ -150,6 +151,273 @@ object EntityResolution {
       .withColumn("canonical_id", first("id").over(
         w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col("id"), col("canonical_id"))
+  }
+
+  // -------------------------------------------------------------------
+  // Pair-resolver protocol (the reference's PairResolver contract,
+  // ops/entity_resolution/__init__.py:101; greedy per-component
+  // resolve :365; canonical-side selection `_new_wins` :640; chain
+  // walk :264). Components resolve independently — sequential inside
+  // a component, parallel across components (one Spark task each) —
+  // the exact concurrency model the reference documents for its
+  // asyncio component runners (:559).
+  // -------------------------------------------------------------------
+
+  /** Which side of a positive pair-match becomes canonical
+    * (reference `CanonicalSide`, :35). Advisory: overridden by the
+    * existing-canonical policy. */
+  sealed trait CanonicalSide extends Serializable
+  object CanonicalSide {
+    case object New extends CanonicalSide
+    case object Matched extends CanonicalSide
+  }
+
+  /** Outcome of comparing an entity against candidates (reference
+    * `PairDecision`, :45). `matched` must be one of the supplied
+    * candidates or None — violations throw, mirroring the reference's
+    * ValueError (:273). */
+  final case class PairDecision(
+      matched: Option[String] = None,
+      canonical: CanonicalSide = CanonicalSide.Matched)
+
+  /** Injectable pair resolver (reference protocol :101). Runs inside
+    * executor tasks — implementations must be Serializable and
+    * concurrency-safe across components (sequential within one). */
+  trait PairResolver extends Serializable {
+    def resolvePair(entity: String, candidates: Seq[String]): PairDecision
+  }
+
+  /** How `isExisting` interacts with the resolver verdict (reference
+    * `ExistingCanonicalPolicy`, :57). */
+  sealed trait ExistingPolicy extends Serializable
+  object ExistingPolicy {
+    /** Existings seed as independent canonicals without the resolver;
+      * two existings never merge; a match against an existing always
+      * chains under it. */
+    case object Pinned extends ExistingPolicy
+    /** Resolver always consulted; existing status breaks ties. */
+    case object Preferred extends ExistingPolicy
+  }
+
+  /** Per-entity input to the greedy resolve. `vec` need not be
+    * normalized — [[resolveComponentLocal]] normalizes. */
+  final case class EntityInfo(
+      name: String, vec: Array[Double], isExisting: Boolean = false)
+
+  /** One entity's resolution outcome (reference `ResolutionEvent`,
+    * :70). `decisionSide` is None iff the resolver wasn't called;
+    * compare it with `canonical`/`repointed` to detect policy
+    * overrides. `pass` is 1 for PINNED seeding, 2 for resolver-driven
+    * processing — the reference's cross-component event order is
+    * (pass asc, entity asc). */
+  final case class ResolutionEvent(
+      entity: String,
+      canonical: String,
+      candidates: Seq[String],
+      matched: Option[String],
+      decisionSide: Option[String],
+      repointed: Option[String],
+      seeded: Boolean,
+      pass: Int)
+
+  private def l2normalize(v: Array[Double]): Array[Double] = {
+    var sq = 0.0; var i = 0
+    while (i < v.length) { sq += v(i) * v(i); i += 1 }
+    val n = math.sqrt(sq)
+    if (n == 0.0) v
+    else {
+      val out = new Array[Double](v.length)
+      i = 0; while (i < out.length) { out(i) = v(i) / n; i += 1 }
+      out
+    }
+  }
+
+  /** Follow the dedup chain to its canonical (reference `_chain_walk`
+    * :264 — terminates because the map is acyclic by construction:
+    * a repoint only ever demotes a current canonical under the entity
+    * being processed, which is not yet pointed-to by anyone). */
+  def chainWalk(dedup: collection.Map[String, Option[String]], name: String): String = {
+    var current = name
+    while (dedup.get(current).exists(_.isDefined)) current = dedup(current).get
+    current
+  }
+
+  /** Greedy two-pass resolution over one connected component — the
+    * reference's `_resolve_component` (:365) verbatim in semantics:
+    * PINNED seeds existings first (no resolver), then processes the
+    * rest in sorted-name order; each entity's candidates are the
+    * distinct chain-walked canonicals of already-indexed neighbors
+    * with cosine ≥ 1-maxDistance, in score order (ties by insertion
+    * order, matching FAISS), capped at topN (:223-261). Returns the
+    * dedup map (name → Some(target) | None=canonical) and the event
+    * log split by pass. */
+  def resolveComponentLocal(
+      infos: Seq[EntityInfo],
+      resolver: PairResolver,
+      policy: ExistingPolicy = ExistingPolicy.Pinned,
+      maxDistance: Double = 0.3,
+      topN: Int = 5): (Map[String, Option[String]], Seq[ResolutionEvent]) = {
+    val sorted = infos.sortBy(_.name)
+      .map(i => i.copy(vec = l2normalize(i.vec)))
+    val byName = sorted.map(i => i.name -> i).toMap
+    val dedup = mutable.LinkedHashMap.empty[String, Option[String]]
+    val indexed = mutable.ArrayBuffer.empty[EntityInfo]
+    val threshold = 1.0 - maxDistance
+
+    def search(info: EntityInfo): Seq[String] = {
+      if (topN <= 0 || indexed.isEmpty) return Nil
+      val scored = indexed.iterator.zipWithIndex.map { case (e, i) =>
+        var dot = 0.0; var k = 0
+        val a = info.vec; val b = e.vec
+        while (k < a.length) { dot += a(k) * b(k); k += 1 }
+        (dot, i, e.name)
+      }.filter(_._1 >= threshold).toIndexedSeq
+        .sortBy { case (s, i, _) => (-s, i) }
+      val seen = mutable.HashSet.empty[String]
+      val out = mutable.ArrayBuffer.empty[String]
+      val it = scored.iterator
+      while (it.hasNext && out.size < topN) {
+        val (_, _, nm) = it.next()
+        val c = chainWalk(dedup, nm)
+        if (c != info.name && seen.add(c)) out += c
+      }
+      out.toSeq
+    }
+
+    // reference `_new_wins` (:640)
+    def newWins(entity: EntityInfo, matchedInfo: EntityInfo,
+        side: CanonicalSide): Boolean = policy match {
+      case ExistingPolicy.Pinned =>
+        if (matchedInfo.isExisting) false else side == CanonicalSide.New
+      case ExistingPolicy.Preferred =>
+        if (entity.isExisting && !matchedInfo.isExisting) true
+        else if (matchedInfo.isExisting && !entity.isExisting) false
+        else side == CanonicalSide.New
+    }
+
+    val events = mutable.ArrayBuffer.empty[ResolutionEvent]
+    val (pass1, pass2) = policy match {
+      case ExistingPolicy.Pinned =>
+        (sorted.filter(_.isExisting), sorted.filterNot(_.isExisting))
+      case ExistingPolicy.Preferred => (Nil, sorted)
+    }
+
+    for (info <- pass1) {
+      dedup(info.name) = None
+      indexed += info
+      events += ResolutionEvent(info.name, info.name, Nil, None, None, None,
+        seeded = true, pass = 1)
+    }
+
+    for (info <- pass2) {
+      val candidates = search(info)
+      if (candidates.isEmpty) {
+        dedup(info.name) = None
+        indexed += info
+        events += ResolutionEvent(info.name, info.name, Nil, None, None, None,
+          seeded = false, pass = 2)
+      } else {
+        val d = resolver.resolvePair(info.name, candidates)
+        d.matched.foreach { m =>
+          if (!candidates.contains(m) || m == info.name)
+            throw new IllegalArgumentException(
+              s"resolvePair returned matched=$m, which is not in " +
+                s"candidates=$candidates (contract violation)")
+        }
+        val (canonical, repointed) = d.matched match {
+          case None =>
+            dedup(info.name) = None; (info.name, None)
+          case Some(m) =>
+            if (newWins(info, byName(m), d.canonical)) {
+              dedup(info.name) = None
+              dedup(m) = Some(info.name)
+              (info.name, Some(m))
+            } else {
+              dedup(info.name) = Some(m)
+              (m, None)
+            }
+        }
+        indexed += info
+        val side = d.canonical match {
+          case CanonicalSide.New => "new"
+          case CanonicalSide.Matched => "matched"
+        }
+        events += ResolutionEvent(info.name, canonical, candidates, d.matched,
+          Some(side), repointed, seeded = false, pass = 2)
+      }
+    }
+    (dedup.toMap, events.toSeq)
+  }
+
+  /** Distributed resolver-protocol resolution: exact cosine candidate
+    * edges at ≥ 1-maxDistance (a superset of every edge the greedy
+    * search can surface — the reference's partition invariant, :427)
+    * → connected components → one `flatMapGroups` task per component
+    * running [[resolveComponentLocal]] with the injected resolver.
+    * Components are near-dup clusters — tiny relative to the corpus —
+    * so per-task sequential resolve is the scale-correct shape; the
+    * cluster parallelizes across components exactly like the
+    * reference's per-component asyncio tasks (:584).
+    *
+    * Output: one row per distinct entity name with the dedup-map
+    * target, the fully chain-walked canonical, and the event fields
+    * (candidates/matched/decision_side/repointed/seeded/pass).
+    * Cross-component deterministic event order = ORDER BY pass,
+    * entity (the reference's `_deliver_events` order, :616). */
+  def resolveEntitiesProtocol(
+      entities: DataFrame,
+      resolver: PairResolver,
+      policy: ExistingPolicy = ExistingPolicy.Pinned,
+      maxDistance: Double = 0.3,
+      topN: Int = 5,
+      nameCol: String = "name",
+      embCol: String = "embedding",
+      existingCol: Option[String] = None): DataFrame = {
+    val spark = entities.sparkSession
+    import spark.implicits._
+
+    val isExisting = existingCol.map(col(_).cast("boolean"))
+      .getOrElse(lit(false))
+    // distinct names (the reference iterates sorted(set(entities)));
+    // ids for the component solver are name hashes — a collision just
+    // merges two components, which the superset invariant tolerates
+    val base = entities
+      .select(col(nameCol).cast("string").as("name"),
+        col(embCol).cast("array<double>").as("emb"),
+        isExisting.as("is_existing"))
+      .dropDuplicates("name")
+      .withColumn("id", xxhash64(col("name")))
+      .cache()
+
+    val edges = Similarity.nearDupPairsBlocked(
+        base.select(col("id").as("vec_id"), col("emb").as("embedding")),
+        threshold = 1.0 - maxDistance)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comps = connectedComponents(base.select("id"), edges)
+
+    val grouped = base
+      .join(comps, Seq("id"))
+      .select(col("component"), col("name"), col("emb"), col("is_existing"))
+      .as[(Long, String, Seq[Double], Boolean)]
+
+    val resolved = grouped
+      .groupByKey(_._1)
+      .flatMapGroups { (component: Long, rows: Iterator[(Long, String, Seq[Double], Boolean)]) =>
+        val infos = rows.map { case (_, nm, v, ex) =>
+          EntityInfo(nm, v.toArray, ex)
+        }.toSeq
+        val (dedup, events) =
+          resolveComponentLocal(infos, resolver, policy, maxDistance, topN)
+        events.iterator.map { e =>
+          (e.entity, dedup(e.entity), chainWalk(dedup, e.entity), component,
+            e.candidates, e.matched, e.decisionSide, e.repointed, e.seeded,
+            e.pass)
+        }
+      }
+      .toDF("entity", "target", "canonical", "component", "candidates",
+        "matched", "decision_side", "repointed", "seeded", "pass")
+    base.unpersist()
+    resolved
   }
 
   /** End-to-end resolution over an embedding table: exact cosine

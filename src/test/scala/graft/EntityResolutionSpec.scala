@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.EntityResolution
 import org.apache.spark.sql.functions._
+import scala.collection.mutable
 
 /** Connected components and canonical-policy semantics on hand-built
   * graphs (the reference's union-find `_partition_components` +
@@ -62,6 +63,285 @@ class EntityResolutionSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // component 1: pinned 3 beats min id 1; component 7: default min id
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 7L -> 7L, 8L -> 7L))
+  }
+
+  // -------------------------------------------------------------------
+  // Pair-resolver protocol matrix — mirrors the reference's resolver
+  // tests (python/tests/ops/test_entity_resolution.py): scripted
+  // decisions, PINNED/PREFERRED policies, chain-walk, repointing,
+  // topN bounds, validation.
+  // -------------------------------------------------------------------
+  import EntityResolution.{CanonicalSide, EntityInfo, ExistingPolicy,
+    PairDecision, PairResolver, chainWalk, resolveComponentLocal}
+
+  /** Scripted resolver keyed by (entity, candidate-set); unscripted
+    * calls fail loudly. Records calls (driver-side runs only). */
+  class Scripted(decisions: Map[(String, Set[String]), PairDecision])
+      extends PairResolver {
+    val calls = mutable.ArrayBuffer.empty[(String, Seq[String])]
+    def resolvePair(entity: String, candidates: Seq[String]): PairDecision = {
+      calls += ((entity, candidates))
+      decisions.getOrElse((entity, candidates.toSet),
+        throw new AssertionError(s"no decision for $entity / $candidates"))
+    }
+  }
+
+  /** Orthogonal group axes with a small member perturbation — same
+    * similarity structure as the reference's MockEmbedder (intra-group
+    * cosine ≈ 0.9975, cross-group ≈ 0). */
+  private def groupVecs(groups: Seq[Set[String]], dim: Int = 32): Map[String, Array[Double]] =
+    groups.zipWithIndex.flatMap { case (g, gi) =>
+      g.toSeq.sorted.zipWithIndex.map { case (name, mi) =>
+        val v = new Array[Double](dim)
+        v(gi) = 1.0
+        v(dim / 2 + mi % (dim / 2)) = 0.05
+        name -> v
+      }
+    }.toMap
+
+  private def infosOf(vecs: Map[String, Array[Double]],
+      existing: Set[String] = Set.empty): Seq[EntityInfo] =
+    vecs.toSeq.sortBy(_._1).map { case (n, v) =>
+      EntityInfo(n, v, existing.contains(n))
+    }
+
+  private def canonicalMap(dedup: Map[String, Option[String]]): Map[String, String] =
+    dedup.keys.map(k => k -> chainWalk(dedup, k)).toMap
+
+  test("resolver: single entity is canonical, resolver never called") {
+    val r = new Scripted(Map.empty)
+    val (dedup, events) = resolveComponentLocal(
+      infosOf(groupVecs(Seq(Set("A")))), r)
+    assert(dedup == Map("A" -> None))
+    assert(r.calls.isEmpty)
+    assert(events.map(_.entity) == Seq("A") && !events.head.seeded)
+  }
+
+  test("resolver: no matches above threshold leaves all canonical") {
+    val r = new Scripted(Map.empty)
+    val (dedup, _) = resolveComponentLocal(
+      infosOf(groupVecs(Seq(Set("A"), Set("B"), Set("C")))), r)
+    assert(dedup == Map("A" -> None, "B" -> None, "C" -> None))
+    assert(r.calls.isEmpty)
+  }
+
+  test("resolver: max_distance threshold excludes 0.8-cosine candidate") {
+    val vecs = Map("A" -> Array(1.0, 0.0), "B" -> Array(0.8, 0.6))
+    val r = new Scripted(Map.empty)
+    val (dedup, _) = resolveComponentLocal(infosOf(vecs), r, maxDistance = 0.1)
+    assert(dedup == Map("A" -> None, "B" -> None) && r.calls.isEmpty)
+  }
+
+  test("resolver: topN=0 disables candidate search entirely") {
+    val r = new Scripted(Map.empty)
+    val (dedup, _) = resolveComponentLocal(
+      infosOf(groupVecs(Seq(Set("A", "B")))), r, topN = 0)
+    assert(dedup == Map("A" -> None, "B" -> None) && r.calls.isEmpty)
+  }
+
+  test("resolver: matched wins by default") {
+    val r = new Scripted(Map(
+      ("B", Set("A")) -> PairDecision(matched = Some("A"))))
+    val (dedup, _) = resolveComponentLocal(
+      infosOf(groupVecs(Seq(Set("A", "B")))), r,
+      policy = ExistingPolicy.Preferred)
+    assert(dedup == Map("A" -> None, "B" -> Some("A")))
+    assert(canonicalMap(dedup) == Map("A" -> "A", "B" -> "A"))
+  }
+
+  test("resolver: NEW side repoints the prior canonical") {
+    val r = new Scripted(Map(
+      ("B", Set("A")) -> PairDecision(Some("A"), CanonicalSide.New)))
+    val (dedup, events) = resolveComponentLocal(
+      infosOf(groupVecs(Seq(Set("A", "B")))), r,
+      policy = ExistingPolicy.Preferred)
+    assert(canonicalMap(dedup) == Map("A" -> "B", "B" -> "B"))
+    val bEvent = events.find(_.entity == "B").get
+    assert(bEvent.repointed.contains("A") && bEvent.canonical == "B")
+  }
+
+  test("resolver: multi-hop chain dedups candidates to the walked canonical") {
+    val r = new Scripted(Map(
+      ("B", Set("A")) -> PairDecision(matched = Some("A")),
+      ("C", Set("A")) -> PairDecision(matched = Some("A"))))
+    val (dedup, _) = resolveComponentLocal(
+      infosOf(groupVecs(Seq(Set("A", "B", "C")))), r,
+      policy = ExistingPolicy.Preferred)
+    assert(canonicalMap(dedup) ==
+      Map("A" -> "A", "B" -> "A", "C" -> "A"))
+    // C saw both A and B as neighbors but candidates collapsed to [A]
+    assert(r.calls.toSeq == Seq(("B", Seq("A")), ("C", Seq("A"))))
+  }
+
+  test("resolver: candidate list never exceeds topN") {
+    val names = Seq("A", "B", "C", "D", "E", "Z")
+    val vecs = names.map(_ -> Array(1.0, 0.0)).toMap
+    val calls = mutable.ArrayBuffer.empty[Int]
+    val r = new PairResolver {
+      def resolvePair(e: String, cs: Seq[String]): PairDecision = {
+        calls += cs.size; PairDecision()
+      }
+    }
+    resolveComponentLocal(infosOf(vecs), r, topN = 2)
+    assert(calls.nonEmpty && calls.forall(_ <= 2))
+  }
+
+  test("resolver: search backfills until topN distinct canonicals") {
+    val vecs = Map(
+      "A" -> Array(1.0, 0.0), "A1" -> Array(1.0, 0.0),
+      "A2" -> Array(1.0, 0.0), "X" -> Array(0.8, 0.6),
+      "Z" -> Array(1.0, 0.0))
+    val r = new Scripted(Map(
+      ("A1", Set("A")) -> PairDecision(matched = Some("A")),
+      ("A2", Set("A")) -> PairDecision(matched = Some("A")),
+      ("X", Set("A")) -> PairDecision(),
+      ("Z", Set("A", "X")) -> PairDecision(matched = Some("X"))))
+    val (dedup, _) = resolveComponentLocal(infosOf(vecs), r, topN = 2)
+    assert(chainWalk(dedup, "Z") == "X")
+    // Z's nearest three all walk to A; backfill continued to X
+    assert(r.calls.toSeq.contains(("Z", Seq("A", "X"))))
+  }
+
+  test("resolver PREFERRED: single existing overrides NEW verdict (no repoint)") {
+    val r = new Scripted(Map(
+      ("B", Set("A")) -> PairDecision(Some("A"), CanonicalSide.New)))
+    val (dedup, events) = resolveComponentLocal(
+      infosOf(groupVecs(Seq(Set("A", "B"))), existing = Set("A")), r,
+      policy = ExistingPolicy.Preferred)
+    assert(canonicalMap(dedup) == Map("A" -> "A", "B" -> "A"))
+    val bEvent = events.find(_.entity == "B").get
+    assert(bEvent.decisionSide.contains("new")) // raw verdict preserved
+    assert(bEvent.repointed.isEmpty && bEvent.canonical == "A")
+  }
+
+  test("resolver PREFERRED: both existing — tiebreaker, not a lock; NEW merges") {
+    val r = new Scripted(Map(
+      ("B", Set("A")) -> PairDecision(Some("A"), CanonicalSide.New)))
+    val (dedup, _) = resolveComponentLocal(
+      infosOf(groupVecs(Seq(Set("A", "B"))), existing = Set("A", "B")), r,
+      policy = ExistingPolicy.Preferred)
+    assert(canonicalMap(dedup) == Map("A" -> "B", "B" -> "B"))
+  }
+
+  test("resolver PINNED: pass-1 seeds existings without resolver calls") {
+    val r = new Scripted(Map.empty)
+    val (dedup, events) = resolveComponentLocal(
+      infosOf(groupVecs(Seq(Set("A"), Set("B"), Set("C"))),
+        existing = Set("A", "B", "C")), r,
+      policy = ExistingPolicy.Pinned)
+    assert(dedup.values.forall(_.isEmpty) && r.calls.isEmpty)
+    assert(events.forall(e => e.seeded && e.pass == 1 &&
+      e.candidates.isEmpty && e.decisionSide.isEmpty && e.repointed.isEmpty))
+  }
+
+  test("resolver PINNED: two existings never merge even at cosine ~1") {
+    val r = new Scripted(Map.empty)
+    val (dedup, _) = resolveComponentLocal(
+      infosOf(groupVecs(Seq(Set("A", "B"))), existing = Set("A", "B")), r,
+      policy = ExistingPolicy.Pinned)
+    assert(dedup == Map("A" -> None, "B" -> None) && r.calls.isEmpty)
+  }
+
+  test("resolver PINNED: match against existing ignores NEW verdict") {
+    val r = new Scripted(Map(
+      ("B", Set("A")) -> PairDecision(Some("A"), CanonicalSide.New)))
+    val (dedup, _) = resolveComponentLocal(
+      infosOf(groupVecs(Seq(Set("A", "B"))), existing = Set("A")), r,
+      policy = ExistingPolicy.Pinned)
+    assert(canonicalMap(dedup) == Map("A" -> "A", "B" -> "A"))
+  }
+
+  test("resolver PINNED: NEW can still repoint a non-existing canonical") {
+    val r = new Scripted(Map(
+      ("B", Set("A")) -> PairDecision(Some("A"), CanonicalSide.New)))
+    val (dedup, events) = resolveComponentLocal(
+      infosOf(groupVecs(Seq(Set("A", "B")))), r,
+      policy = ExistingPolicy.Pinned)
+    assert(canonicalMap(dedup) == Map("A" -> "B", "B" -> "B"))
+    assert(events.find(_.entity == "B").get.repointed.contains("A"))
+  }
+
+  test("resolver: matched outside candidates (or = entity) throws") {
+    val ghost = new Scripted(Map(
+      ("B", Set("A")) -> PairDecision(matched = Some("ghost"))))
+    intercept[IllegalArgumentException] {
+      resolveComponentLocal(infosOf(groupVecs(Seq(Set("A", "B")))), ghost)
+    }
+    val selfM = new Scripted(Map(
+      ("B", Set("A")) -> PairDecision(matched = Some("B"))))
+    intercept[IllegalArgumentException] {
+      resolveComponentLocal(infosOf(groupVecs(Seq(Set("A", "B")))), selfM)
+    }
+  }
+
+  test("resolver partitions an oversized component into multiple canonicals") {
+    // one similarity component, two ground-truth clusters — the
+    // resolver rejects cross-cluster candidates (reference
+    // test_resolver_partitions_oversized_component)
+    val r = new Scripted(Map(
+      ("b", Set("a")) -> PairDecision(matched = Some("a")),
+      ("c", Set("a")) -> PairDecision(),
+      ("d", Set("a", "c")) -> PairDecision(matched = Some("c"))))
+    val (dedup, _) = resolveComponentLocal(
+      infosOf(groupVecs(Seq(Set("a", "b", "c", "d")))), r)
+    assert(dedup == Map("a" -> None, "b" -> Some("a"), "c" -> None,
+      "d" -> Some("c")))
+  }
+
+  test("resolver PINNED: aliases attach to the existing the resolver picks") {
+    val r = new Scripted(Map(
+      ("X1", Set("M1", "M2")) -> PairDecision(matched = Some("M1")),
+      ("X2", Set("M1", "M2")) -> PairDecision(matched = Some("M2"))))
+    val (dedup, events) = resolveComponentLocal(
+      infosOf(groupVecs(Seq(Set("M1", "M2", "X1", "X2"))),
+        existing = Set("M1", "M2")), r,
+      policy = ExistingPolicy.Pinned)
+    assert(dedup == Map("M1" -> None, "M2" -> None,
+      "X1" -> Some("M1"), "X2" -> Some("M2")))
+    // pass-1 existings first (sorted), then pass-2 non-existings
+    assert(events.map(_.entity) == Seq("M1", "M2", "X1", "X2"))
+    assert(events.map(_.seeded) == Seq(true, true, false, false))
+  }
+
+  test("resolveEntitiesProtocol: distributed components, dedup, event order") {
+    import spark.implicits._
+    val pairs = Seq(("A1", "A2"), ("B1", "B2"), ("C1", "C2"))
+    val vecs = groupVecs(pairs.map { case (a, b) => Set(a, b) })
+    // duplicates in the input must collapse (reference sorted(set(...)))
+    val rows = (vecs.toSeq ++ vecs.toSeq.take(2)).map { case (n, v) => (n, v.toSeq) }
+    val df = rows.toDF("name", "embedding")
+    val r = new PairResolver {
+      def resolvePair(e: String, cs: Seq[String]): PairDecision =
+        PairDecision(matched = Some(cs.head))
+    }
+    val out = EntityResolution.resolveEntitiesProtocol(df, r,
+      policy = ExistingPolicy.Preferred)
+      .orderBy("pass", "entity")
+      .collect()
+    assert(out.length == 6) // duplicates collapsed
+    val canon = out.map(x => x.getString(0) -> x.getString(2)).toMap
+    pairs.foreach { case (a, b) => assert(canon(a) == a && canon(b) == a) }
+    assert(out.map(_.getString(0)).toSeq ==
+      Seq("A1", "A2", "B1", "B2", "C1", "C2")) // deterministic order
+  }
+
+  test("resolveEntitiesProtocol PINNED: existing column seeds pass-1 first") {
+    import spark.implicits._
+    val vecs = groupVecs(Seq(Set("A", "B"), Set("C", "D")))
+    val df = vecs.toSeq.map { case (n, v) =>
+      (n, v.toSeq, n == "B" || n == "D") }.toDF("name", "embedding", "ex")
+    val r = new PairResolver {
+      def resolvePair(e: String, cs: Seq[String]): PairDecision =
+        PairDecision(matched = Some(cs.head))
+    }
+    val out = EntityResolution.resolveEntitiesProtocol(df, r,
+      policy = ExistingPolicy.Pinned, existingCol = Some("ex"))
+      .orderBy("pass", "entity")
+      .collect()
+    // pass-1 existings (B, D) first, then pass-2 (A, C) chained under them
+    assert(out.map(_.getString(0)).toSeq == Seq("B", "D", "A", "C"))
+    val canon = out.map(x => x.getString(0) -> x.getString(2)).toMap
+    assert(canon == Map("A" -> "B", "B" -> "B", "C" -> "D", "D" -> "D"))
   }
 
   test("resolveEntities groups the testdata near-dup pairs transitively") {
