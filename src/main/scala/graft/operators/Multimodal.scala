@@ -2,20 +2,26 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import javax.imageio.ImageIO
 
 /** Multimodal column support: image/audio/video as opaque `BINARY`
   * columns with typed metadata, plus the decode / feature-extract
-  * plumbing a training-data pipeline runs at scale.
+  * plumbing a training-data pipeline runs at scale (the reference's
+  * binary→metadata transcriber slot, python/cocoindex/llm/litellm.py:325).
   *
-  * The actual codecs are STUBBED (this container has no image/audio
-  * libraries): [[FakeDecoder]] derives deterministic pseudo-metadata
-  * and features from the bytes. Everything AROUND the stub is the
-  * real production shape —
+  * Image decode is REAL: [[ImageCodec]] decodes PNG/JPEG through
+  * `javax.imageio` (ships in the JVM — zero added dependencies) and
+  * extracts exact pixel statistics plus a luminance-histogram feature
+  * vector. Audio/video codecs remain out of scope (no native libs in
+  * the JVM); [[frameSample]] keeps the byte-range plumbing for them.
+  * The pipeline shape around the codec —
   *   - media travels as `BINARY` columns (never driver-side),
   *   - decode runs batched inside `mapPartitions` (the exact slot a
   *     JNI codec or an inference client occupies; the reference
   *     batches model calls the same way,
   *     python/cocoindex/_internal/batching.py:31),
+  *   - corrupt payloads yield `decode_ok=false` rows instead of
+  *     failing the job (at 100 TB some media WILL be broken),
   *   - outputs are typed struct/array columns ready for the vector
   *     operators.
   */
@@ -24,36 +30,74 @@ object Multimodal {
   /** Cheap columnar metadata on any binary media column. */
   def mediaSize(media: Column): Column = length(media)
 
-  /** Hex magic prefix (container sniffing — e.g. ffd8 = JPEG). */
+  /** Hex magic prefix (container sniffing — e.g. ffd8 = JPEG,
+    * 89504e47 = PNG). */
   def mediaMagic(media: Column, nBytes: Int = 4): Column =
     lower(hex(substring(media, 1, nBytes)))
 
-  /** Decoded-media record produced by the (stub) decoder. */
+  /** Decoded-image record: exact dimensions/bands, exact per-channel
+    * pixel sums (lossless gates for the oracle), and a normalized
+    * luminance histogram as the feature vector. */
   final case class Decoded(
-      width: Int, height: Int, channels: Int,
-      n_frames: Int, features: Array[Float])
+      ok: Boolean, width: Int, height: Int, channels: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, features: Array[Float])
 
-  /** STUB decoder — deterministic fake standing in for the real
-    * image/audio codec. Replace `decode` with a real implementation
-    * (JNI codec, inference endpoint) without touching the pipeline:
-    * the batching, schema and partitioning stay identical. */
-  object FakeDecoder {
+  /** Real image codec over `javax.imageio` (PNG/JPEG/BMP/GIF — the
+    * formats the JVM ships readers for). */
+  object ImageCodec {
+    /** Luminance-histogram bins in the feature vector. */
     val FeatureDim = 16
 
+    private val failed =
+      Decoded(ok = false, 0, 0, 0, 0L, 0L, 0L, new Array[Float](FeatureDim))
+
+    /** Decode one image payload. Never throws: undecodable bytes
+      * return `ok=false` with zeroed fields. */
     def decode(bytes: Array[Byte]): Decoded = {
-      // FNV-1a over the payload drives every fake property, so the
-      // stub is stable across runs and machines
-      val h = graft.functions.Hashing.fnv64(bytes)
-      def mix(k: Int): Long = graft.functions.Hashing.derive(h, k)
-      val feats = Array.tabulate(FeatureDim) { d =>
-        ((mix(d + 10) % 2000001L).toFloat / 1000000.5f) }
-      val norm = math.sqrt(feats.map(f => f * f.toDouble).sum).toFloat
-      Decoded(
-        width = 64 + (mix(1) % 512).toInt.abs,
-        height = 64 + (mix(2) % 512).toInt.abs,
-        channels = 1 + (mix(3) % 4).toInt.abs,
-        n_frames = 1 + (mix(4) % 64).toInt.abs,
-        features = if (norm == 0f) feats else feats.map(_ / norm))
+      if (bytes == null || bytes.length == 0) return failed
+      val img =
+        try ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) return failed
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      val hist = new Array[Long](FeatureDim)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          sr += r; sg += g; sb += b
+          // integer ITU-R 601 luma; bin width 256/FeatureDim
+          val lum = (r * 299 + g * 587 + b * 114) / 1000
+          hist(lum * FeatureDim / 256) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val feats = Array.tabulate(FeatureDim)(i => (hist(i).toDouble / n).toFloat)
+      Decoded(ok = true, w, h, img.getRaster.getNumBands, sr, sg, sb, feats)
+    }
+
+    /** Render + encode a real PNG (lossless, so decode round-trips
+      * bit-exactly). `pixel(x, y)` returns packed 0xRRGGBB. */
+    def encodePng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, pixel(x, y)); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
     }
   }
 
@@ -104,9 +148,11 @@ object Multimodal {
 
   /** Batched decode over a binary column: partitions are processed in
     * micro-batches of `batchSize` rows (the shape a model/codec call
-    * wants), emitting the typed decode struct per row. Input must
-    * have (`keyCol`, `mediaCol`); output is (key, width, height,
-    * channels, n_frames, features). */
+    * wants), emitting the typed decode record per row. Input must
+    * have (`keyCol`, `mediaCol`); output is (key, decode_ok, width,
+    * height, channels, sum_r, sum_g, sum_b, features). Undecodable
+    * payloads produce `decode_ok=false` zero rows — never a failed
+    * task. */
   def decodeBatched(
       df: DataFrame, keyCol: String, mediaCol: String,
       batchSize: Int = 64): DataFrame = {
@@ -116,14 +162,44 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
-          // one "model call" per group — swap in the real batched
-          // codec/inference here
+          // one "codec call" per group — a JNI decoder or inference
+          // client batches here without touching the pipeline shape
           batch.iterator.map { case (k, bytes) =>
-            val d = FakeDecoder.decode(bytes)
-            (k, d.width, d.height, d.channels, d.n_frames, d.features)
+            val d = ImageCodec.decode(bytes)
+            (k, d.ok, d.width, d.height, d.channels,
+              d.sum_r, d.sum_g, d.sum_b, d.features)
           }
         }
       }
-      .toDF(keyCol, "width", "height", "channels", "n_frames", "features")
+      .toDF(keyCol, "decode_ok", "width", "height", "channels",
+        "sum_r", "sum_g", "sum_b", "features")
+  }
+
+  /** Deterministic real-PNG fixture generator: one image per input
+    * row, rendered from the key alone so an external oracle can
+    * predict every decode output in closed form —
+    *   width  = 8 + (key mod 24), height = 8 + (7·key mod 24),
+    *   all pixels (key mod 256, 3·key mod 256, 7·key mod 256)
+    *   except (0,0) which is white.
+    * The encode→PNG→decode round-trip is lossless, so decoded
+    * dimensions and per-channel pixel sums are exact functions of the
+    * key. Output: (key, media BINARY). */
+  def syntheticImages(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long")).as[Long]
+      .mapPartitions { keys =>
+        keys.map { k =>
+          val w = 8 + java.lang.Math.floorMod(k, 24L).toInt
+          val h = 8 + java.lang.Math.floorMod(k * 7, 24L).toInt
+          val r = java.lang.Math.floorMod(k, 256L).toInt
+          val g = java.lang.Math.floorMod(k * 3, 256L).toInt
+          val b = java.lang.Math.floorMod(k * 7, 256L).toInt
+          val body = (r << 16) | (g << 8) | b
+          (k, ImageCodec.encodePng(w, h,
+            (x, y) => if (x == 0 && y == 0) 0xffffff else body))
+        }
+      }
+      .toDF(keyCol, "media")
   }
 }

@@ -92,27 +92,36 @@ object OpsPack extends QueryPack {
             .as("fake_height"))
       }),
 
-    // ---- multimodal: batched (stub) decode — rows-only ------------------
-    // (the raw ARRAY<FLOAT> `features` column defeats the driver's
-    // pandas sort-based comparator, so the query projects it to
-    // sortable scalars: a rounded l2-norm and an element hash. The
-    // array-producing operator itself is exercised in MultimodalSpec.)
+    // ---- multimodal: REAL image decode, oracle-gated --------------------
+    // Real PNGs are rendered per doc_id with closed-form dimensions
+    // and colors (Multimodal.syntheticImages), decoded back through
+    // javax.imageio, and the decoded pixel statistics are compared
+    // against the oracle's closed-form predictions. PNG is lossless,
+    // so any codec defect (wrong dims, wrong bands, wrong pixels,
+    // wrong magic) breaks the hash.
     Q(
       "q55_multimodal_decode",
-      None,
+      Some("""
+        SELECT doc_id,
+               CAST(8 + doc_id % 24 AS INT) AS width,
+               CAST(8 + (doc_id * 7) % 24 AS INT) AS height,
+               CAST(3 AS INT) AS channels,
+               CAST((doc_id % 256) * ((8 + doc_id % 24) * (8 + (doc_id * 7) % 24) - 1) + 255 AS BIGINT) AS sum_r,
+               CAST(((doc_id * 3) % 256) * ((8 + doc_id % 24) * (8 + (doc_id * 7) % 24) - 1) + 255 AS BIGINT) AS sum_g,
+               CAST(((doc_id * 7) % 256) * ((8 + doc_id % 24) * (8 + (doc_id * 7) % 24) - 1) + 255 AS BIGINT) AS sum_b,
+               '89504e47' AS magic
+        FROM documents"""),
       (s, dir) => {
+        val imgs = Multimodal.syntheticImages(
+          Tables(s, dir, "documents").select(col("doc_id")), "doc_id")
         val decoded = Multimodal.decodeBatched(
-          Tables(s, dir, "documents")
-            .select(col("doc_id"), col("text").cast("binary").as("media")),
-          keyCol = "doc_id", mediaCol = "media")
-        decoded.select(
-          col("doc_id"), col("width"), col("height"),
-          col("channels"), col("n_frames"),
-          round(
-            sqrt(aggregate(col("features"), lit(0.0d),
-              (acc, x) => acc + x.cast("double") * x.cast("double"))),
-            6).as("features_l2"),
-          xxhash64(to_json(col("features"))).as("features_hash"))
+          imgs, keyCol = "doc_id", mediaCol = "media")
+        decoded
+          .join(imgs.select(col("doc_id"),
+            Multimodal.mediaMagic(col("media")).as("magic")), Seq("doc_id"))
+          .select(col("doc_id"), col("width"), col("height"),
+            col("channels"), col("sum_r"), col("sum_g"), col("sum_b"),
+            col("magic"))
       }),
 
     // ---- multi-format scans: CSV + JSON + ORC round-trip ----------------

@@ -3,29 +3,66 @@ package graft
 import graft.operators.Multimodal
 import org.apache.spark.sql.functions._
 
-/** The multimodal plumbing contract: binary columns flow through
-  * batched decode with deterministic, normalized outputs — the
-  * decoder itself is a documented stub. */
+/** Real-image multimodal contract: PNG/JPEG decode through
+  * javax.imageio with exact pixel statistics, corruption tolerance,
+  * batching invariance, and the byte-range frame plumbing. */
 class MultimodalSpec extends SparkSpec {
 
-  test("batched decode is deterministic, typed and batch-size invariant") {
+  test("PNG round-trip: decode recovers exact dims, bands, pixel sums") {
     import spark.implicits._
-    val media = (1L to 300L)
-      .map(i => (i, s"media payload $i".getBytes("UTF-8")))
-      .toDF("doc_id", "media")
-    val a = Multimodal.decodeBatched(media, "doc_id", "media", batchSize = 64)
-    val b = Multimodal.decodeBatched(media, "doc_id", "media", batchSize = 7)
+    val keys = (0L to 299L).toDF("doc_id")
+    val imgs = Multimodal.syntheticImages(keys, "doc_id")
+    val a = Multimodal.decodeBatched(imgs, "doc_id", "media", batchSize = 64)
+    val b = Multimodal.decodeBatched(imgs, "doc_id", "media", batchSize = 7)
     // batch size is an execution detail: results identical
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
     val rows = a.collect()
     assert(rows.length == 300)
     rows.foreach { r =>
-      assert(r.getInt(1) >= 64 && r.getInt(2) >= 64) // width/height
-      assert(r.getInt(3) >= 1 && r.getInt(4) >= 1)   // channels/frames
+      val k = r.getLong(0)
+      assert(r.getBoolean(1), s"decode failed for $k")
+      val w = 8 + (k % 24).toInt
+      val h = 8 + ((k * 7) % 24).toInt
+      assert(r.getInt(2) == w && r.getInt(3) == h, s"dims for $k")
+      assert(r.getInt(4) == 3) // RGB PNG → 3 bands
+      val n = w.toLong * h
+      assert(r.getLong(5) == (k % 256) * (n - 1) + 255, s"sum_r for $k")
+      assert(r.getLong(6) == ((k * 3) % 256) * (n - 1) + 255, s"sum_g for $k")
+      assert(r.getLong(7) == ((k * 7) % 256) * (n - 1) + 255, s"sum_b for $k")
+      // features: a luminance histogram normalized to total 1
       val f = r.getAs[scala.collection.Seq[Float]]("features")
-      assert(f.length == Multimodal.FakeDecoder.FeatureDim)
-      val norm = math.sqrt(f.map(x => x * x.toDouble).sum)
-      assert(math.abs(norm - 1.0) < 1e-4, s"features not normalized: $norm")
+      assert(f.length == Multimodal.ImageCodec.FeatureDim)
+      assert(math.abs(f.map(_.toDouble).sum - 1.0) < 1e-4)
+    }
+  }
+
+  test("JPEG decode: real dimensions and bands from a lossy codec") {
+    val img = new java.awt.image.BufferedImage(
+      33, 21, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 21; x <- 0 until 33)
+      img.setRGB(x, y, ((x * 7) << 16) | ((y * 11) << 8) | 0x40)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val d = Multimodal.ImageCodec.decode(out.toByteArray)
+    assert(d.ok && d.width == 33 && d.height == 21 && d.channels == 3)
+    // lossy, but the average intensity survives roughly
+    val n = 33L * 21L
+    assert(math.abs(d.sum_b / n.toDouble - 0x40) < 16.0)
+  }
+
+  test("corrupt payloads produce decode_ok=false rows, not task failures") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "definitely not an image".getBytes("UTF-8")),
+      (2L, Array.empty[Byte]),
+      (3L, Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 1, 2, 3)), // truncated PNG
+      (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "media")
+    val rows = Multimodal.decodeBatched(media, "doc_id", "media").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(!r.getBoolean(1))
+      assert(r.getInt(2) == 0 && r.getInt(3) == 0)
     }
   }
 
@@ -43,7 +80,6 @@ class MultimodalSpec extends SparkSpec {
     assert(rebuilt.toSeq == (1 to 1000).map(_.toByte))
     // non-divisible frame counts must still tile (double-arithmetic
     // boundaries once dropped the trailing byte for e.g. 15 bytes / 11)
-    import spark.implicits._
     for ((len, n) <- Seq((15, 11), (26, 23), (30, 13), (1000, 7))) {
       val m = Seq((1L, (1 to len).map(_.toByte).toArray)).toDF("doc_id", "media")
       val tiled = Multimodal.frameSample(m, "doc_id", "media", n)
@@ -53,25 +89,27 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(byDoc(2L).length == 1) // payload shorter than n
     assert(!byDoc.contains(3L))   // empty payload: no frames
+    // resize on a REAL decoded image (120x48 → box 64)
+    val png = Multimodal.ImageCodec.encodePng(120, 48, (_, _) => 0x808080)
+    val pngDf = Seq((1L, png)).toDF("doc_id", "media")
     val resized = Multimodal.resizeTo(
-      Multimodal.decodeBatched(media.filter($"doc_id" === 1L),
-        "doc_id", "media"), maxSide = 64).collect().head
-    val (w, h) = (resized.getAs[Int]("width"), resized.getAs[Int]("height"))
+      Multimodal.decodeBatched(pngDf, "doc_id", "media"), maxSide = 64)
+      .collect().head
     val (rw, rh) = (resized.getAs[Int]("resized_width"),
       resized.getAs[Int]("resized_height"))
-    assert(rw <= 64 && rh <= 64 && math.max(rw, rh) == 64)
-    // aspect ratio preserved within rounding
-    assert(math.abs(rw.toDouble / rh - w.toDouble / h) < 0.1)
+    assert(math.max(rw, rh) == 64 && rw == 64 && rh == 26) // ceil(48*64/120)
   }
 
   test("media metadata: size and magic sniffing") {
     import spark.implicits._
     val jpegish = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 1, 2)
-    val df = Seq((1L, jpegish)).toDF("id", "media")
-      .select(Multimodal.mediaSize(col("media")).as("sz"),
+    val png = Multimodal.ImageCodec.encodePng(4, 4, (_, _) => 0x123456)
+    val df = Seq((1L, jpegish), (2L, png)).toDF("id", "media")
+      .select(col("id"), Multimodal.mediaSize(col("media")).as("sz"),
         Multimodal.mediaMagic(col("media")).as("magic"))
-    val r = df.collect().head
-    assert(r.getInt(0) == 6)
-    assert(r.getString(1) == "ffd8ffe0")
+    val byId = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getInt(1) == 6)
+    assert(byId(1L).getString(2) == "ffd8ffe0")
+    assert(byId(2L).getString(2) == "89504e47") // real PNG magic
   }
 }
