@@ -6,12 +6,20 @@ import org.apache.spark.sql.functions._
 /** Text chunking: the Spark-native re-expression of the reference's
   * `RecursiveSplitter` / `SeparatorSplitter`
   * (reference python/cocoindex/ops/text.py:40-191; core algorithm
-  * rust/ops_text/src/split/recursive.rs — re-designed here, not
-  * ported: a greedy merge over a separator hierarchy instead of the
-  * reference's DP merge, since chunk boundaries only need to be
-  * deterministic, not identical to the Rust engine's).
+  * rust/ops_text/src/split/recursive.rs).
   *
-  * Two forms:
+  * Two splitters exist side by side:
+  *   - [[RecursiveMerge]] — the reference's actual algorithm
+  *     (atom collection with syntax levels + cost-based DP merge with
+  *     overlap routing, recursive.rs:305-575), re-derived for the
+  *     regex-separator path (tree-sitter atoms are infeasible on JVM
+  *     offline; the DP is identical, only the atom source differs).
+  *     Offsets are char-based (Spark string semantics) where the
+  *     reference uses bytes — identical on ASCII.
+  *   - [[recursiveSplit]] — the earlier greedy merge, kept for the
+  *     engine flows that memoized on its boundaries.
+  *
+  * Forms:
   *   - [[chunkFixed]]: fixed window/stride chunking as a pure
   *     Catalyst plan (sequence + explode + substring) — zero UDF, fully
   *     codegen'd, SQL-oracle-checkable.
@@ -157,6 +165,290 @@ object Chunker {
     * takes Int literals in the Scala API). */
   private def substring_index_safe(str: Column, pos: Column, len: Int): Column =
     str.substr(pos, lit(len))
+
+  /** The reference recursive splitter, ported in full for the
+    * regex-separator path (rust/ops_text/src/split/recursive.rs):
+    * 1) atom collection — DFS over the separator hierarchy recording
+    *    each atom's boundary syntax level (min stack depth since the
+    *    previous atom), internal/boundary line-break levels, with
+    *    whitespace trimming and line-start alignment (:283-330);
+    * 2) cost-based DP merge (`merge_atom_chunks`, :425-560): for each
+    *    chunk end, scan start candidates backwards accumulating
+    *    syntax-gap, line-break-gap, too-small and missing-overlap
+    *    costs; with overlap > 0 an eligible earlier plan is chosen
+    *    from a min-heap so consecutive chunks overlap by ≤
+    *    chunkOverlap chars.
+    * Quirks are preserved deliberately (integer divisions, forced
+    * oversized chunks, the heap tie-break) so the reference's own
+    * split tests pass verbatim as parity vectors (ChunkerSpec).
+    */
+  object RecursiveMerge {
+    import java.util.regex.Pattern
+
+    private val SyntaxLevelGapCost = 512L
+    private val MissingOverlapCost = 512L
+    private val PerLineBreakLevelGapCost = 64L
+    private val TooSmallChunkCost = 1048576L
+
+    /** The reference's default separator hierarchy (recursive.rs:66). */
+    val DefaultSeparatorsRegex: Seq[String] = Seq(
+      "\\n\\n+", "\\n", "[\\.\\?!]\\s+|。|？|！",
+      "[;:\\-—]\\s+|；|：|—+", ",\\s+|，", "\\s+")
+
+    // line-break levels: 0 inline, 1 newline, 2 double newline
+    private[operators] def lineBreakLevel(s: String): Int = {
+      var lb = 0
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i); i += 1
+        if (c == '\n' || c == '\r') {
+          lb = 1
+          var done = false
+          while (i < s.length && !done) {
+            val c2 = s.charAt(i); i += 1
+            if (c2 == '\n' || c2 == '\r') { if (c == c2) return 2 }
+            else done = true
+          }
+        }
+      }
+      lb
+    }
+
+    private final case class Atom(
+        start: Int, end: Int, boundarySyntaxLevel: Int,
+        internalLb: Int, boundaryLb: Int)
+
+    /** DFS atom collection over the separator hierarchy
+      * (collect_atom_chunks + AtomChunksCollector, recursive.rs:283,345). */
+    private def collectAtoms(
+        text: String, seps: IndexedSeq[Pattern],
+        minAtomChunkSize: Int): IndexedSeq[Atom] = {
+      // (start, end, nextSepId)
+      final case class IChunk(start: Int, end: Int, sepId: Int)
+
+      def children(c: IChunk): Iterator[IChunk] = new Iterator[IChunk] {
+        private val m = seps(c.sepId).matcher(text)
+        m.region(c.start, c.end)
+        private var nextStart = c.start
+        private var exhausted = false
+        private var pending: IChunk = _
+        private var hasPending = false
+        private def advance(): Unit = {
+          if (exhausted || hasPending) return
+          if (nextStart < 0) { exhausted = true; return }
+          val start = nextStart
+          val end =
+            if (m.find()) { val e = m.start(); nextStart = m.end(); e }
+            else {
+              nextStart = -1
+              if (start >= c.end) { exhausted = true; return }
+              c.end
+            }
+          pending = IChunk(start, end, c.sepId + 1)
+          hasPending = true
+        }
+        def hasNext: Boolean = { advance(); hasPending }
+        def next(): IChunk = {
+          advance()
+          if (!hasPending) throw new NoSuchElementException
+          hasPending = false; pending
+        }
+      }
+
+      val atoms = scala.collection.mutable.ArrayBuffer.empty[Atom]
+      var minLevel = 0
+      var currLevel = 0
+
+      def collect(start: Int, end: Int): Unit = {
+        var e = end
+        while (e > start && Character.isWhitespace(text.charAt(e - 1))) e -= 1
+        if (e == start) return // all-whitespace piece: not an atom
+        var s = start
+        while (s < e && Character.isWhitespace(text.charAt(s))) s += 1
+        val prevEnd = if (atoms.isEmpty) 0 else atoms.last.end
+        val gap = text.substring(prevEnd, s)
+        val boundaryLb = lineBreakLevel(gap)
+        val alignedStart =
+          if (boundaryLb != 0) {
+            var ge = gap.length
+            while (ge > 0 && (gap.charAt(ge - 1) == ' ' || gap.charAt(ge - 1) == '\t'))
+              ge -= 1
+            prevEnd + ge
+          } else s
+        atoms += Atom(alignedStart, e, minLevel,
+          lineBreakLevel(text.substring(s, e)), boundaryLb)
+        minLevel = currLevel
+      }
+
+      val stack = scala.collection.mutable.ArrayBuffer
+        .empty[Iterator[IChunk]]
+      stack += Iterator.single(IChunk(0, text.length, 0))
+      while (stack.nonEmpty) {
+        currLevel = stack.length
+        if (stack.last.hasNext) {
+          val c = stack.last.next()
+          if (c.end - c.start <= minAtomChunkSize) collect(c.start, c.end)
+          else if (c.sepId >= seps.length) collect(c.start, c.end)
+          else stack += children(c)
+        } else {
+          stack.remove(stack.length - 1)
+          currLevel = stack.length
+          if (currLevel < minLevel) minLevel = currLevel
+        }
+      }
+      // sentinel end atom (into_atom_chunks, recursive.rs:332)
+      atoms += Atom(text.length, text.length, minLevel, 0, 2)
+      atoms.toIndexedSeq
+    }
+
+    /** The DP merge (merge_atom_chunks, recursive.rs:425). Returns
+      * (start, end) char spans; spans may overlap by ≤ chunkOverlap. */
+    private def mergeAtoms(
+        text: String, atoms: IndexedSeq[Atom],
+        chunkSize: Int, minChunkSize: Int, chunkOverlap: Int): Seq[(Int, Int)] = {
+      final case class Plan(
+          startIdx: Int, prevPlanIdx: Int, cost: Long, overlapCostBase: Long)
+      def overlapBase(offset: Int): Long =
+        if (chunkOverlap == 0) 0L
+        else (text.length - offset).toLong * MissingOverlapCost / chunkOverlap
+
+      val plans = scala.collection.mutable.ArrayBuffer(
+        Plan(0, 0, 0L, overlapBase(0)))
+      // min by cost, tie → max idx (Rust BinaryHeap<(Reverse(cost), idx)>)
+      val heap = scala.collection.mutable.PriorityQueue
+        .empty[(Long, Int)](Ordering.by { case (c, i) => (-c, i) })
+
+      val gapCostCache = scala.collection.mutable.ArrayBuffer(0L)
+      def syntaxGapCost(boundary: Int, internal: Int): Long =
+        if (boundary > internal) {
+          val gap = boundary - internal
+          var i = gapCostCache.length
+          while (i <= gap) {
+            gapCostCache += gapCostCache(i - 1) + SyntaxLevelGapCost / i
+            i += 1
+          }
+          gapCostCache(gap)
+        } else 0L
+      def lbGap(boundary: Int, internal: Int): Long =
+        if (boundary < internal) (internal - boundary).toLong else 0L
+
+      var i = 0
+      while (i < atoms.length - 1) {
+        val chunk = atoms(i)
+        var minCost = Long.MaxValue
+        var argStart = 0
+        var argPrev = 0
+        var startIdx = i
+        val endSyntax = atoms(i + 1).boundarySyntaxLevel
+        val endLb = atoms(i + 1).boundaryLb
+        var internalSyntax = Int.MaxValue
+        var internalLb = 0
+        var break = false
+        while (!break) {
+          val startChunk = atoms(startIdx)
+          val size = chunk.end - startChunk.start
+          var cost =
+            syntaxGapCost(startChunk.boundarySyntaxLevel, internalSyntax) +
+              syntaxGapCost(endSyntax, internalSyntax) +
+              (lbGap(startChunk.boundaryLb, internalLb) +
+                lbGap(endLb, internalLb)) * PerLineBreakLevelGapCost
+          if (size < minChunkSize) cost += TooSmallChunkCost
+          if (size > chunkSize) {
+            if (minCost == Long.MaxValue) {
+              minCost = cost + plans(startIdx).cost
+              argStart = startIdx
+              argPrev = startIdx
+            }
+            break = true
+          } else {
+            val prevPlanIdx =
+              if (chunkOverlap > 0) {
+                while (heap.nonEmpty &&
+                    atoms(heap.head._2).end - startChunk.start > chunkOverlap)
+                  heap.dequeue()
+                heap.enqueue(
+                  (plans(startIdx).cost + plans(startIdx).overlapCostBase,
+                    startIdx))
+                heap.head._2
+              } else startIdx
+            val prevPlan = plans(prevPlanIdx)
+            cost += prevPlan.cost
+            if (chunkOverlap == 0) cost += MissingOverlapCost / 2
+            else {
+              val startBase = overlapBase(startChunk.start)
+              cost +=
+                (if (prevPlan.overlapCostBase < startBase)
+                  MissingOverlapCost + prevPlan.overlapCostBase - startBase
+                else MissingOverlapCost)
+            }
+            if (cost < minCost) {
+              minCost = cost
+              argStart = startIdx
+              argPrev = prevPlanIdx
+            }
+            if (startIdx == 0) break = true
+            else {
+              startIdx -= 1
+              internalSyntax =
+                math.min(internalSyntax, startChunk.boundarySyntaxLevel)
+              internalLb = math.max(internalLb, startChunk.internalLb)
+            }
+          }
+        }
+        plans += Plan(argStart, argPrev, minCost, overlapBase(chunk.end))
+        heap.clear()
+        i += 1
+      }
+
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var planIdx = plans.length - 1
+      while (planIdx > 0) {
+        val plan = plans(planIdx)
+        out += ((atoms(plan.startIdx).start, atoms(planIdx - 1).end))
+        planIdx = plan.prevPlanIdx
+      }
+      out.reverse.toSeq
+    }
+
+    /** Reference `split` (recursive.rs:650): min chunk defaults to
+      * chunkSize/2; overlap is clamped to min chunk; atoms stop
+      * splitting below the overlap (or min-chunk) size. */
+    def split(
+        text: String, chunkSize: Int,
+        minChunkSize: Option[Int] = None,
+        chunkOverlap: Option[Int] = None,
+        separators: Seq[String] = DefaultSeparatorsRegex): Seq[ChunkOut] = {
+      if (text == null || text.isEmpty) return Seq.empty
+      val minChunk = minChunkSize.getOrElse(chunkSize / 2)
+      val overlap = math.min(chunkOverlap.getOrElse(0), minChunk)
+      val minAtom = if (overlap > 0) overlap else minChunk
+      val pats = separators.map(Pattern.compile(_)).toIndexedSeq
+      val atoms = collectAtoms(text, pats, minAtom)
+      val spans = mergeAtoms(text, atoms, chunkSize, minChunk, overlap)
+
+      val lineOf: Int => Int = {
+        val nl = Array.newBuilder[Int]
+        var i = text.indexOf('\n')
+        while (i >= 0) { nl += i; i = text.indexOf('\n', i + 1) }
+        val starts = nl.result()
+        off => 1 + (java.util.Arrays.binarySearch(starts, off) match {
+          case j if j >= 0 => j
+          case j           => -j - 1
+        })
+      }
+      spans.zipWithIndex.map { case ((s0, e0), idx) =>
+        ChunkOut(idx, text.substring(s0, e0), s0, e0,
+          lineOf(s0), lineOf(math.max(s0, e0 - 1)))
+      }
+    }
+  }
+
+  /** The reference-parity recursive splitter as a generator UDF. */
+  def chunkRefUdf(chunkSize: Int, minChunkSize: Option[Int] = None,
+      overlap: Option[Int] = None) =
+    udf((text: String) =>
+      if (text == null) Seq.empty[ChunkOut]
+      else RecursiveMerge.split(text, chunkSize, minChunkSize, overlap))
 
   /** Standalone separator splitting with position tracking — the
     * reference's `SeparatorSplitter` (ops/text.py:40-85; Rust

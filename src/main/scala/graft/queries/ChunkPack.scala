@@ -29,11 +29,15 @@ object ChunkPack extends QueryPack {
           .select("doc_id", "chunk_idx", "chunk_text")),
 
     // ---- recursive separator-hierarchy chunking (generator UDF) ---------
+    // reference-parity splitter (atom collection + DP merge,
+    // recursive.rs:425) — spec-gated by the reference's own split
+    // vectors in ChunkerSpec; the DP is not SQL-expressible, hence
+    // rows-only at the oracle
     Q(
       "q51_chunk_recursive",
       None,
       (s, dir) => {
-        val chunk = Chunker.chunkUdf(chunkSize = 120, overlap = 20)
+        val chunk = Chunker.chunkRefUdf(chunkSize = 120, overlap = Some(20))
         Tables(s, dir, "documents")
           .select(col("doc_id"), explode(chunk(col("text"))).as("c"))
           .select(col("doc_id"), col("c.chunk_id"), col("c.text").as("chunk_text"),

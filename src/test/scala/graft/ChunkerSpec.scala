@@ -133,6 +133,94 @@ class ChunkerSpec extends SparkSpec {
     // null-safe UDF form covered by q56 at the oracle gate
   }
 
+  // -------------------------------------------------------------------
+  // RecursiveMerge parity: the reference's own split tests, verbatim
+  // (rust/ops_text/src/split/recursive.rs:723-810). These gate the
+  // ported DP merge against the reference's observable behavior.
+  // -------------------------------------------------------------------
+  import Chunker.RecursiveMerge
+
+  test("parity: basic split lands on paragraph/sentence boundaries") {
+    // reference test_split_basic
+    val text = "Linea 1.\nLinea 2.\n\nLinea 3."
+    val chunks = RecursiveMerge.split(text, chunkSize = 15,
+      minChunkSize = Some(5), chunkOverlap = Some(0))
+    assert(chunks.map(_.text) == Seq("Linea 1.", "Linea 2.", "Linea 3."))
+  }
+
+  test("parity: long text splits into chunks within the size budget") {
+    // reference test_split_long_text
+    val text = "A very very long text that needs to be split."
+    val chunks = RecursiveMerge.split(text, chunkSize = 20,
+      minChunkSize = Some(12), chunkOverlap = Some(0))
+    assert(chunks.length > 1)
+    chunks.foreach(c => assert(c.text.length <= 20, s"'${c.text}'"))
+  }
+
+  test("parity: overlap keeps chunks bounded and actually overlapping") {
+    // reference test_split_with_overlap
+    val text = "This is a test text that is a bit longer to see how the overlap works."
+    val chunks = RecursiveMerge.split(text, chunkSize = 20,
+      minChunkSize = Some(10), chunkOverlap = Some(5))
+    assert(chunks.length > 1)
+    chunks.foreach(c => assert(c.text.length <= 25, s"'${c.text}'"))
+    // consecutive spans overlap by at most the configured overlap
+    chunks.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(b.start_char >= a.start_char)
+        assert(a.end_char - b.start_char <= 5)
+      case _ =>
+    }
+  }
+
+  test("parity: leading/trailing whitespace is trimmed off chunk spans") {
+    // reference test_split_trims_whitespace
+    val text = "  \n First chunk  \n\n  Second chunk with spaces at the end    \n"
+    val chunks = RecursiveMerge.split(text, chunkSize = 30,
+      minChunkSize = Some(10), chunkOverlap = Some(0))
+    assert(chunks.length == 3)
+    assert(!chunks.head.text.startsWith("  "))
+  }
+
+  test("RecursiveMerge invariants over the seeded corpus") {
+    for (text <- corpus(20); size <- Seq(16, 64, 200);
+        overlap <- Seq(0, 5, 15)) {
+      val chunks = RecursiveMerge.split(text, size,
+        chunkOverlap = Some(overlap))
+      // deterministic
+      assert(chunks == RecursiveMerge.split(text, size,
+        chunkOverlap = Some(overlap)))
+      // spans are real substrings, ordered, ids consecutive
+      assert(chunks.map(_.chunk_id) == chunks.indices)
+      chunks.foreach { c =>
+        assert(c.text == text.substring(c.start_char, c.end_char))
+        assert(c.start_char <= c.end_char)
+      }
+      chunks.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b.start_char >= a.start_char && b.end_char >= a.end_char)
+          // overlap is bounded by the clamped configured overlap
+          assert(a.end_char - b.start_char <= math.min(overlap, size / 2),
+            s"span overlap exceeds $overlap (size=$size)")
+        case _ =>
+      }
+      // every non-whitespace char is covered by some chunk — except
+      // punctuation that is itself part of a separator match (the
+      // hierarchy's sentence/clause separators are dropped, reference
+      // TextChunksIter semantics)
+      if (text.nonEmpty) {
+        val covered = new Array[Boolean](text.length)
+        chunks.foreach(c =>
+          (c.start_char until c.end_char).foreach(covered(_) = true))
+        val separatorChars = ".?!;:-—,。？！；：，"
+        text.zipWithIndex.foreach { case (ch, i) =>
+          if (!Character.isWhitespace(ch) && separatorChars.indexOf(ch) < 0)
+            assert(covered(i), s"char $i '$ch' uncovered (size=$size ov=$overlap)")
+        }
+      }
+    }
+  }
+
   test("fixed chunking matches its SQL-oracle semantics on testdata") {
     assume(testdataAvailable)
     val docs = Tables(spark, Sf0001, "documents").select("doc_id", "text")
