@@ -168,6 +168,29 @@ final case class TopicTarget(dir: String,
     folded.write.mode("overwrite").parquet(s"$dir/seg=$maxSeq")
   }
 
+  /** Committed offset of `group`, if any (the broker-side consumer
+    * offset — Kafka's `__consumer_offsets` analog, stored with the
+    * log, not with the app). */
+  def committedOffset(group: String): Option[Long] = {
+    val f = new java.io.File(s"$dir/_offsets/$group")
+    if (f.isFile)
+      try Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+        "UTF-8").trim.toLong)
+      catch { case _: NumberFormatException => None }
+    else None
+  }
+
+  private def commitOffset(group: String, offset: Long): Unit = {
+    val d = new java.io.File(s"$dir/_offsets")
+    d.mkdirs()
+    val tmp = java.nio.file.Files.createTempFile(d.toPath, s".$group", ".tmp")
+    java.nio.file.Files.write(tmp, offset.toString.getBytes("UTF-8"))
+    // same-dir rename = atomic commit; a crash leaves the old offset
+    java.nio.file.Files.move(tmp, new java.io.File(d, group).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** The CONSUMER side: this topic as a keyed live source — the
     * reference's `topic_as_map` feeding `mount_each`
     * (kafka/_source.py:482: each message upserts its key, a tombstone
@@ -176,8 +199,26 @@ final case class TopicTarget(dir: String,
     * exploits the log structure: a segment IS a batch of changed
     * keys, so a drain reads only segments past the consumer's offset
     * — O(new messages), the exact consumer-offset contract, with no
-    * re-listing and no OS watcher needed. */
-  def source(spark: SparkSession): Source with WatchableSource = {
+    * re-listing and no OS watcher needed.
+    *
+    * With `consumerGroup` set, the offset is durable: it is committed
+    * (atomic file rename under `_offsets/`) one drain LATE — a tick's
+    * offset commits at the start of the next drain, by which point the
+    * synchronous caller has processed the previous delta — so a crash
+    * between drains re-delivers the unprocessed tick on restart:
+    * at-least-once, the reference's committed-offset resume
+    * (kafka/_source.py:482). A restarted watcher arms at the committed
+    * offset instead of the head.
+    *
+    * `drainKeyCap` bounds the driver-side key materialization of one
+    * drain (the [[LocalFsSource.MaxPushdownPaths]] policy): a
+    * pathological segment batch (e.g. a full-corpus re-produce after a
+    * destructive transition) overflows into `(Nil, true)` — one full
+    * rescan via the engine's scan+semi-join path — instead of
+    * collecting the whole corpus's keys. */
+  def source(spark: SparkSession, consumerGroup: Option[String] = None,
+      drainKeyCap: Int = LocalFsSource.MaxPushdownPaths)
+      : Source with WatchableSource = {
     val self = this
     new Source with WatchableSource {
       private val inner =
@@ -188,21 +229,34 @@ final case class TopicTarget(dir: String,
       def contentFpOf: Option[org.apache.spark.sql.Column] =
         inner.contentFpOf
       def watch(): SourceWatcher = new SourceWatcher {
-        // armed NOW: messages produced after this point are unseen
-        private var offset: Long =
-          self.segments.lastOption.map(_._1).getOrElse(0L)
+        // armed NOW — or at the durable offset when resuming a group:
+        // messages past that point are unseen
+        private var committed: Long = consumerGroup
+          .flatMap(self.committedOffset)
+          .getOrElse(self.segments.lastOption.map(_._1).getOrElse(0L))
+        private var pending: Long = committed
+        private def commitPending(): Unit =
+          if (pending > committed) {
+            consumerGroup.foreach(self.commitOffset(_, pending))
+            committed = pending
+          }
         def drain(): (Seq[String], Boolean) = {
-          val fresh = self.segments.filter(_._1 > offset)
+          // the previous tick has been processed by the synchronous
+          // caller — its offset is now safe to commit
+          commitPending()
+          val fresh = self.segments.filter(_._1 > pending)
           if (fresh.isEmpty) (Nil, false)
           else {
-            offset = fresh.map(_._1).max
-            val keys = spark.read.parquet(fresh.map(_._2.getPath): _*)
+            pending = fresh.map(_._1).max
+            val bounded = spark.read.parquet(fresh.map(_._2.getPath): _*)
               .select("key").distinct()
-              .collect().map(_.getString(0)).toSeq
-            (keys, false)
+              .limit(drainKeyCap + 1)
+              .collect()
+            if (bounded.length > drainKeyCap) (Nil, true)
+            else (bounded.map(_.getString(0)).toSeq, false)
           }
         }
-        def close(): Unit = ()
+        def close(): Unit = commitPending()
       }
     }
   }

@@ -198,6 +198,63 @@ class TopicTargetSpec extends SparkSpec {
     w.close()
   }
 
+  test("consumer-group offsets persist: a restarted watcher resumes, not re-scans") {
+    import spark.implicits._
+    val topic = TopicTarget(tmp("tp-off").resolve("t").toString)
+    val none = spark.emptyDataFrame.withColumn("row_key", lit(""))
+      .filter(lit(false)).select("row_key")
+    def produce(kv: (String, Int)*): Unit =
+      topic.apply(spark, kv.toSeq.toDF("row_key", "n"), none)
+
+    produce("k1" -> 1, "k2" -> 2) // seg 1, before the consumer exists
+    val src = topic.source(spark, consumerGroup = Some("g1"))
+    val w = src.watch() // no committed offset yet → armed at head (seg 1)
+    produce("k3" -> 3) // seg 2
+    assert(w.drain() == (Seq("k3"), false))
+    produce("k4" -> 4) // seg 3
+    assert(w.drain() == (Seq("k4"), false)) // entering drain committed seg 2
+    w.close() // graceful close commits seg 3
+
+    // restart: a new watcher of the SAME group arms at the committed
+    // offset — seg 1..3 are NOT re-delivered, only post-restart data is
+    val w2 = topic.source(spark, consumerGroup = Some("g1")).watch()
+    assert(w2.drain() == (Nil, false), "nothing new after resume")
+    produce("k5" -> 5) // seg 4
+    assert(w2.drain() == (Seq("k5"), false))
+
+    // crash semantics: a tick that was drained but never committed
+    // (no follow-up drain, no close) is re-delivered to the next
+    // watcher — at-least-once, never lost
+    produce("k6" -> 6) // seg 5
+    assert(w2.drain() == (Seq("k6"), false)) // commits seg 4 on entry
+    // no close: seg 5's offset was never committed ("crash")
+    val w3 = topic.source(spark, consumerGroup = Some("g1")).watch()
+    assert(w3.drain() == (Seq("k6"), false), "uncommitted tick re-delivers")
+
+    // a different group has independent offsets: arms at the head
+    val other = topic.source(spark, consumerGroup = Some("g2")).watch()
+    assert(other.drain() == (Nil, false))
+  }
+
+  test("drain caps driver-side keys: oversized segments degrade to rescan") {
+    import spark.implicits._
+    val topic = TopicTarget(tmp("tp-cap").resolve("t").toString)
+    val none = spark.emptyDataFrame.withColumn("row_key", lit(""))
+      .filter(lit(false)).select("row_key")
+    val w = topic.source(spark, drainKeyCap = 5).watch()
+
+    // a segment with 8 changed keys exceeds the cap of 5: the drain
+    // must NOT materialize them — it signals one full rescan instead
+    topic.apply(spark,
+      (1 to 8).map(i => (s"k$i", i)).toDF("row_key", "n"), none)
+    assert(w.drain() == (Nil, true), "over-cap drain must degrade to rescan")
+    // the rescan consumed the backlog: the next drain is quiet, and a
+    // small follow-up delta flows normally again
+    assert(w.drain() == (Nil, false))
+    topic.apply(spark, Seq(("k9", 9)).toDF("row_key", "n"), none)
+    assert(w.drain() == (Seq("k9"), false))
+  }
+
   test("compactEvery bounds the segment count across many produces") {
     import spark.implicits._
     val topic = TopicTarget(tmp("tp-auto").resolve("t").toString,
