@@ -80,6 +80,14 @@ final case class ObjectStoreSource(
     // statuses are never held on the driver, so a pathological flat
     // 10⁸-object prefix costs the driver nothing (its walk happens in
     // the executor task below).
+    //
+    // Known limitation: the fan-out is by DELIMITER only. A flat
+    // layout (millions of keys under one prefix, no "/" structure)
+    // yields a single executor task paging that whole prefix — safe
+    // (nothing driver-side, bounded memory) but not parallel. Proper
+    // key-range splitting needs the store's start-after/marker LIST
+    // parameters, which the generic Hadoop FileSystem API does not
+    // expose; an s3a-specific splitter is the upgrade path.
     val targetPrefixes =
       math.max(spark.sparkContext.defaultParallelism, 16)
     val pending =
@@ -111,10 +119,15 @@ final case class ObjectStoreSource(
     val m = matcher
     import spark.implicits._
     val rows = walked.toDF("uri", "size", "mtime")
+      // a listed URI outside the qualified base would corrupt item
+      // keys (and the memo entries keyed by them) — fail loudly, the
+      // next listing cannot silently disagree with this one
       .withColumn("item_key",
         when(col("uri").startsWith(base),
           expr(s"substring(uri, ${base.length + 1})"))
-          .otherwise(col("uri")))
+          .otherwise(raise_error(concat(
+            lit(s"ObjectStoreSource: listed URI outside base $base: "),
+            col("uri")))))
       .filter(udf((rel: String) => m.matches(rel)).apply(col("item_key")))
     rows.select(col("item_key"),
       concat_ws(":", col("size"), col("mtime")).as("memo_state"),
@@ -153,7 +166,9 @@ final case class ObjectStoreSource(
       scanBase = baseUri,
       relKey = when(col("path").startsWith(base),
         expr(s"substring(path, ${base.length + 1})"))
-        .otherwise(col("path")))
+        .otherwise(raise_error(concat(
+          lit(s"ObjectStoreSource: loaded path outside base $base: "),
+          col("path")))))
   }
 
   def contentFpOf: Option[Column] = Some(md5(col("content")))

@@ -36,6 +36,11 @@ import graft.engine.{CocoFn, Flow, ParquetTableTarget, Source}
   */
 object AggView {
 
+  private def metaFile(viewDir: String) = {
+    val d = new java.io.File(viewDir)
+    new java.io.File(d.getParentFile, d.getName + "._graft_aggview.json")
+  }
+
   /** Base-table buckets as flow components: `item_key` = pmod of the
     * key hash, memo state = order-insensitive sum of row
     * fingerprints (+ row count), so any row edit/insert/delete flips
@@ -118,6 +123,16 @@ object AggView {
         // rowsUpdated
         distinctCol.map(c =>
           hll_sketch_agg(col(c).cast("string"), 14).as("p_hll"))
+    // persist the sketch parameter WITH the view: serve() must merge
+    // partials at the k they were built with — a silently-smaller k
+    // degrades exact quantiles to approximate with no error (ADVICE
+    // r7). Sibling of the view dir so target truncation survives it.
+    if (quantiles) {
+      val f = metaFile(viewDir)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      java.nio.file.Files.write(f.toPath,
+        s"""{"quantileK":$quantileK}""".getBytes("UTF-8"))
+    }
     val stage = CocoFn(s"aggview_$name", 1,
       deps = Seq(s"g=${groupCols.mkString(",")}", s"v=$valueCol",
         s"d=${distinctCol.getOrElse("")}", s"q=$quantiles",
@@ -137,10 +152,21 @@ object AggView {
   }
 
   /** Fold the maintained partials into the final aggregate:
-    * `(groupCols..., cnt, sum, min, max, avg)`. */
+    * `(groupCols..., cnt, sum, min, max, avg)`. The KLL merge k is
+    * read from the view's persisted metadata (written by [[flow]]);
+    * the `quantileK` parameter is only a fallback for views that
+    * predate the sidecar. */
   def serve(spark: SparkSession, viewDir: String, groupCols: Seq[String],
       quantileK: Int = graft.functions.QuantileSketch.DefaultK)
       : DataFrame = {
+    val metaF = metaFile(viewDir)
+    val servedK =
+      if (metaF.isFile) {
+        val meta = new String(
+          java.nio.file.Files.readAllBytes(metaF.toPath), "UTF-8")
+        "\"quantileK\":(\\d+)".r.findFirstMatchIn(meta)
+          .map(_.group(1).toInt).getOrElse(quantileK)
+      } else quantileK
     // through the target's reader, not a raw parquet scan: a
     // legitimately-empty view (every base row deleted) has no data
     // files left, and only the target knows the persisted schema
@@ -156,7 +182,7 @@ object AggView {
       else Nil) ++
       (if (partials.columns.contains("p_kll"))
         Seq(graft.functions.QuantileSketch
-          .mergeAgg(col("p_kll"), quantileK).as("__kll"))
+          .mergeAgg(col("p_kll"), servedK).as("__kll"))
       else Nil)
     val folded = partials.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)

@@ -288,6 +288,11 @@ object Dedup {
       : graft.engine.Flow = {
     require(numHashes % bandRows == 0)
     val nBands = numHashes / bandRows
+    // declare the index parameters next to the index itself, so serve
+    // time can refuse a mismatched read (ADVICE r7: a different n or
+    // column silently verified recomputed shingles against band codes
+    // built from other parameters)
+    writeMinHashMeta(indexDir, n, idCol, textCol, numHashes, bandRows)
     // textCol/idCol are part of the stage's logic: changing either on
     // an existing stateDir must invalidate the memo, or the index
     // keeps serving band codes computed from the old column
@@ -311,15 +316,45 @@ object Dedup {
       stateDir)
   }
 
+  // sibling of the index dir, NOT inside it: a destructive target
+  // transition truncates the dir itself, and the declared parameters
+  // must survive that
+  private def minHashMetaFile(indexDir: String) = {
+    val d = new java.io.File(indexDir)
+    new java.io.File(d.getParentFile, d.getName + "._graft_minhash.json")
+  }
+
+  private def writeMinHashMeta(indexDir: String, n: Int, idCol: String,
+      textCol: String, numHashes: Int, bandRows: Int): Unit = {
+    val f = minHashMetaFile(indexDir)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    val json = s"""{"n":$n,"idCol":"$idCol","textCol":"$textCol",""" +
+      s""""numHashes":$numHashes,"bandRows":$bandRows}"""
+    java.nio.file.Files.write(f.toPath, json.getBytes("UTF-8"))
+  }
+
   /** Near-dup pairs served from a [[minHashFlow]]-maintained index:
     * candidates from the band-code self-join + exact length filter,
     * then exact Jaccard verification recomputing shingles for the
     * CANDIDATE docs only (semi-joined corpus load). Doc ids are the
-    * engine's STRING item keys. */
+    * engine's STRING item keys. Serve parameters are validated
+    * against the index's declared metadata — a mismatched `n` or
+    * column set fails loudly instead of silently verifying shingles
+    * built from different parameters. */
   def minHashPairsOver(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       corpus: DataFrame, threshold: Double, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val metaF = minHashMetaFile(indexDir)
+    if (metaF.isFile) {
+      val meta = new String(
+        java.nio.file.Files.readAllBytes(metaF.toPath), "UTF-8")
+      val declared = s"""{"n":$n,"idCol":"$idCol","textCol":"$textCol""""
+      if (!meta.startsWith(declared))
+        throw new IllegalArgumentException(
+          s"minHashPairsOver(n=$n, idCol=$idCol, textCol=$textCol) does " +
+            s"not match the index at $indexDir built with $meta")
+    }
     val banded = graft.engine.ParquetTableTarget(indexDir).read(spark)
       .select(col("item_key").as("doc_id"), col("band"), col("code"),
         col("sz"))
@@ -334,7 +369,11 @@ object Dedup {
         shingleHashUdf(n)(col(textCol)).as("sh"))
       .join(ids, Seq("doc_id"), "left_semi")
       .cache()
-    verifyJaccard(candidates, sh, threshold)
+    // materialize, then release the pinned frames (eager checkpoint)
+    val out = verifyJaccard(candidates, sh, threshold).localCheckpoint()
+    candidates.unpersist()
+    sh.unpersist()
+    out
   }
 
   /** Approximate embedding near-dup: SRP-LSH banding for candidates

@@ -34,8 +34,10 @@ object Graph {
     */
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).cache()
+    val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var dist = seeds.toDF("node").distinct()
       .withColumn("hop", lit(0).cast("int")).cache()
+    levels += dist
     var frontier = dist.select("node")
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
@@ -48,10 +50,17 @@ object Graph {
         .join(dist, Seq("node"), "left_anti")
         .withColumn("hop", lit(hop).cast("int"))
         .cache()
-      dist = dist.union(next).cache()
+      levels += next
+      dist = dist.union(next) // union of cached levels — no extra cache
       frontier = next.select("node")
     }
-    dist
+    // copy the result out of the per-level caches, then release them —
+    // a long-running session must not accumulate block-manager memory
+    // per bfs call
+    val out = dist.localCheckpoint()
+    levels.foreach(_.unpersist())
+    e.unpersist()
+    out
   }
 
   /** Nodes within `maxHops` of `seeds` treating edges as undirected

@@ -46,9 +46,7 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, -1)
     // persisted: the per-partition totals below and the final join
     // must see the SAME range boundaries — recomputing the ranged
-    // exchange could re-sample them. The cache lives until the plan
-    // is GC'd; callers packing many datasets in one long session
-    // should checkpoint/unpersist the result when done with it.
+    // exchange could re-sample them
     val local = ranged.withColumn("__local",
       coalesce(sum(col("__v")).over(w), lit(0L))).persist()
     val totals = local.groupBy("__pid").agg(sum(col("__v")).as("__tot"))
@@ -57,9 +55,15 @@ object Packing {
     val baseRows = totals.map(_._1).zip(bases).toSeq
     val baseDf = df.sparkSession
       .createDataFrame(baseRows).toDF("__pid", "__base")
-    local.join(broadcast(baseDf), Seq("__pid"))
+    // materialize the result out of the cache (eager localCheckpoint),
+    // then release it — packing many datasets in one session must not
+    // accumulate pinned partitions
+    val out = local.join(broadcast(baseDf), Seq("__pid"))
       .withColumn("prefix", col("__base") + col("__local"))
       .drop("__pid", "__v", "__local", "__base")
+      .localCheckpoint()
+    local.unpersist()
+    out
   }
 
   /** Pack rows carrying `tokenCol` counts into sequences of

@@ -123,6 +123,31 @@ class AggViewSpec extends SparkSpec {
     assert(served == exact)
   }
 
+  test("serve reads the persisted quantileK — a default-k caller stays exact") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-aggview-k")
+    work.toFile.deleteOnExit()
+    val base = work.resolve("base").toString
+    // 3000 values: exact at the view's k=4096, approximate at the
+    // default 200 — if serve ignored the sidecar and merged at the
+    // caller's default, the order stats would drift
+    (1L to 3000L).map(i => (i, "g", i.toDouble))
+      .toDF("id", "g", "v").write.mode("overwrite").parquet(base)
+    graft.operators.AggView.flow("bigk",
+      sp => sp.read.parquet(base), keyCol = "id",
+      groupCols = Seq("g"), valueCol = "v",
+      viewDir = work.resolve("view").toString,
+      stateDir = work.resolve("state").toString,
+      numBuckets = 8, quantiles = true, quantileK = 4096).run(spark)
+    val r = graft.operators.AggView
+      .serve(spark, work.resolve("view").toString, Seq("g")) // default k
+      .select("p50", "p95", "p99").collect().head
+    def q(p: Double) = math.ceil(p * 3000).toDouble
+    assert((r.getDouble(0), r.getDouble(1), r.getDouble(2)) ==
+      (q(0.50), q(0.95), q(0.99)),
+      "sidecar quantileK must govern the merge, not the caller default")
+  }
+
   test("null values are skipped by the quantile sketch, not sketched as 0") {
     import spark.implicits._
     val df = Seq[(String, java.lang.Double)](

@@ -64,5 +64,17 @@ class DedupFlowSpec extends SparkSpec {
       work.resolve("index").toString, spark.read.parquet(base),
       threshold = 0.7))
     assert(!after.exists { case (a, b) => a == "5" || b == "5" })
+
+    // serve parameters are validated against the index's metadata: a
+    // different shingle n (or column set) must fail loudly, not verify
+    // recomputed shingles against band codes built from other params
+    intercept[IllegalArgumentException] {
+      Dedup.minHashPairsOver(spark, work.resolve("index").toString,
+        spark.read.parquet(base), threshold = 0.7, n = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minHashPairsOver(spark, work.resolve("index").toString,
+        spark.read.parquet(base), threshold = 0.7, textCol = "other")
+    }
   }
 }
