@@ -55,10 +55,17 @@ trait Target {
   * Partition pruning makes the survivor read skip untouched buckets
   * (visible as PartitionFilters in the scan).
   */
-final case class ParquetTableTarget(dir: String, numBuckets: Int = 16)
+final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
+    /** SQL expression over `row_key` whose hash places the row in a
+      * bucket. Default: the key itself. A serving-oriented index can
+      * bucket by a key PREFIX/SUFFIX instead (e.g. the FTS index
+      * buckets `doc:term` rows by the term) so reads prune to the
+      * buckets of their lookup values — at the cost of writes
+      * fanning out to every bucket a component's rows hash to. */
+    bucketKeySql: String = "row_key")
     extends Target {
 
-  private def bucketOf = pmod(xxhash64(col("row_key")), lit(numBuckets))
+  private def bucketOf = pmod(xxhash64(expr(bucketKeySql)), lit(numBuckets))
     .cast("int")
 
   /** The bucket layout is baked into every row's placement, and the
@@ -70,7 +77,8 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16)
     * the signature a relocated target would silently keep unchanged
     * items' rows only in the OLD location. */
   override def containerSignature: String =
-    s"parquet;dir=$dir;pk=row_key;buckets=$numBuckets"
+    s"parquet;dir=$dir;pk=row_key;buckets=$numBuckets" +
+      (if (bucketKeySql == "row_key") "" else s";bkey=$bucketKeySql")
 
   override def truncate(spark: SparkSession): Unit = {
     val root = new java.io.File(dir)
@@ -114,8 +122,7 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16)
 
     val touchedKeys = up.select("row_key").union(del).distinct()
     val touchedBuckets = touchedKeys
-      .select(pmod(xxhash64(col("row_key")), lit(numBuckets)).cast("int")
-        .as("bucket"))
+      .select(bucketOf.as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
 
     val current = read(spark).filter(col("bucket").isin(touchedBuckets: _*))

@@ -32,8 +32,12 @@ object Fts {
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
   /** Inverted index: `postings(term, doc_id, tf)` and
-    * `docLengths(doc_id, dl)`. One tokenize pass, one shuffle. */
-  final case class Index(postings: DataFrame, docLengths: DataFrame)
+    * `docLengths(doc_id, dl)`. One tokenize pass, one shuffle.
+    * `termBuckets` is present when the postings are term-bucketed on
+    * disk ([[ftsFlow]]): `(numBuckets, term → bucket)`, letting
+    * [[bm25]] prune the scan to the query terms' buckets. */
+  final case class Index(postings: DataFrame, docLengths: DataFrame,
+      termBuckets: Option[(Int, String => Int)] = None)
 
   def buildIndex(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text")
@@ -60,7 +64,15 @@ object Fts {
       index: Index, queryTerms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = queryTerms.distinct
-    val matched = index.postings
+    // term-bucketed index: restrict the scan to the buckets the query
+    // terms hash to — partition pruning, the point of the layout
+    val pruned = index.termBuckets match {
+      case Some((_, bucketOf)) =>
+        val qb = terms.map(bucketOf).distinct
+        index.postings.filter(col("bucket").isin(qb: _*))
+      case None => index.postings
+    }
+    val matched = pruned
       .filter(col("term").isin(terms: _*))
     val df = matched.groupBy("term")
       .agg(count(lit(1)).as("df"))
@@ -87,48 +99,108 @@ object Fts {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     bm25(buildIndex(docs, idCol, textCol), queryTerms, k1, b)
 
+  /** Bucket of a term under the [[ftsFlow]] layout: the same
+    * xxhash64(seed 42) Spark computes for the write path, evaluated
+    * driver-side on the literal. */
+  private[operators] def termBucket(term: String, numBuckets: Int): Int = {
+    val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
+        term, org.apache.spark.sql.types.StringType)))
+      .eval(null).asInstanceOf[Long]
+    java.lang.Math.floorMod(h, numBuckets.toLong).toInt
+  }
+
+  /** The maintained FTS index: a postings flow and a doc-lengths flow
+    * over the same corpus (run() drives both; stats are the postings
+    * flow's, the interesting ones). */
+  final case class FtsFlows(postings: graft.engine.Flow,
+      docLens: graft.engine.Flow) {
+    def run(spark: org.apache.spark.sql.SparkSession): graft.engine.RunStats = {
+      docLens.run(spark)
+      postings.run(spark)
+    }
+  }
+
   /** The inverted index as an engine-maintained flow target — the
     * FTS analog of [[Similarity.ivfFlow]]: each document is one
     * component whose rows are its postings (`row_key = doc:term`),
     * so an edited document rewrites exactly its own posting rows
     * through the reconcile (O(changed docs), not a corpus rebuild),
-    * a deleted document's postings are GC'd as orphans, and doc
-    * length rides denormalized on every posting so the served index
-    * is a single self-contained table.
+    * and a deleted document's postings are GC'd as orphans.
+    *
+    * Layout is read-optimized: postings are BUCKETED BY TERM
+    * (`bucketKeySql` hashes the row_key's term suffix), so a query
+    * prunes its scan to the buckets its terms hash to — the inverted-
+    * index property the module header promises. The cost is write
+    * fan-out: one edited document's postings touch up to
+    * min(|terms|, numBuckets) buckets instead of one — the classic
+    * read-optimized trade every search engine makes (Lucene pays it
+    * as segment merging). Doc lengths are their own maintained table
+    * (`row_key = doc`), so corpus stats (N, avgdl) fold from a
+    * doc-count-sized table instead of re-aggregating the postings
+    * per query.
     */
   def ftsFlow(
       spark: org.apache.spark.sql.SparkSession, name: String,
       corpus: org.apache.spark.sql.SparkSession => DataFrame,
       indexDir: String, stateDir: String, numBuckets: Int = 8,
       idCol: String = "doc_id", textCol: String = "text")
-      : graft.engine.Flow = {
+      : FtsFlows = {
+    // declare the layout next to the index so ftsLoad prunes with the
+    // bucket count the index was actually built with
+    val d = new java.io.File(indexDir)
+    d.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(d, "_graft_fts.json").toPath,
+      s"""{"numBuckets":$numBuckets}""".getBytes("UTF-8"))
+    // terms are [a-z0-9]+ tokens (no ':'), so the substring after the
+    // LAST ':' of `doc:term` is unambiguously the term even when doc
+    // ids themselves contain ':'
     val target = graft.engine.ParquetTableTarget(
-      s"$indexDir/postings", numBuckets)
+      s"$indexDir/postings", numBuckets,
+      bucketKeySql = "substring_index(row_key, ':', -1)")
     val post = graft.engine.CocoFn("fts_postings", 1, fn = df => {
       val toks = df.select(col("item_key"),
         explode(tokens(col(textCol))).as("term"))
       toks.groupBy("item_key", "term").agg(count(lit(1)).as("tf"))
-        .join(toks.groupBy("item_key").agg(count(lit(1)).as("dl")),
-          Seq("item_key"))
         .select(col("item_key"),
           concat(col("item_key"), lit(":"), col("term")).as("row_key"),
-          col("term"), col("tf"), col("dl"))
+          col("term"), col("tf"))
     })
-    new graft.engine.Flow(name,
-      graft.engine.TableSource(corpus, keyCol = idCol),
-      Seq(post), target, stateDir)
+    val dl = graft.engine.CocoFn("fts_doclen", 1, fn = df => df
+      .select(col("item_key"), col("item_key").as("row_key"),
+        size(tokens(col(textCol))).cast("long").as("dl")))
+    FtsFlows(
+      postings = new graft.engine.Flow(name,
+        graft.engine.TableSource(corpus, keyCol = idCol),
+        Seq(post), target, s"$stateDir/postings"),
+      docLens = new graft.engine.Flow(s"${name}_dl",
+        graft.engine.TableSource(corpus, keyCol = idCol),
+        Seq(dl),
+        graft.engine.ParquetTableTarget(s"$indexDir/doclen", numBuckets),
+        s"$stateDir/doclen"))
   }
 
   /** Load an [[ftsFlow]]-maintained index for [[bm25]]. Doc ids are
-    * the engine's STRING item keys. */
+    * the engine's STRING item keys. The postings keep their `bucket`
+    * partition column and the term→bucket map, so [[bm25]] prunes. */
   def ftsLoad(spark: org.apache.spark.sql.SparkSession, indexDir: String)
       : Index = {
+    val metaF = new java.io.File(indexDir, "_graft_fts.json")
+    val numBuckets =
+      if (metaF.isFile)
+        "\"numBuckets\":(\\d+)".r
+          .findFirstMatchIn(new String(
+            java.nio.file.Files.readAllBytes(metaF.toPath), "UTF-8"))
+          .map(_.group(1).toInt).getOrElse(8)
+      else 8
     val postings = spark.read.parquet(s"$indexDir/postings")
     Index(
       postings = postings.select(col("item_key").as("doc_id"),
-        col("term"), col("tf")),
-      docLengths = postings.groupBy(col("item_key").as("doc_id"))
-        .agg(first(col("dl")).as("dl")))
+        col("term"), col("tf"), col("bucket")),
+      docLengths = spark.read.parquet(s"$indexDir/doclen")
+        .select(col("item_key").as("doc_id"), col("dl")),
+      termBuckets = Some((numBuckets, termBucket(_, numBuckets))))
   }
 
   /** Reciprocal-rank fusion of ranked result lists: each list

@@ -85,14 +85,25 @@ object SearchPack extends QueryPack {
     // (the FTS index of doris/_target.py:1227-1287 and
     // lancedb/_target.py:1337, served Spark-side: Fts.buildIndex is
     // the q36-style term table with tf, Fts.bm25 the ranked query)
+    // served through the MAINTAINED index path: the engine builds the
+    // term-bucketed postings + doc-length tables, then bm25 queries
+    // them with bucket pruning — and must equal the oracle's
+    // from-corpus scores exactly
     Q(
       "q65_bm25",
       Some(s"""
         WITH $bm25Ctes
         SELECT doc_id, score FROM scored"""),
-      (s, dir) =>
-        Fts.bm25Search(Tables(s, dir, "documents"), QueryTerms)
-          .select(col("doc_id"), round(col("score"), 4).as("score"))),
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q65")
+        tmp.toFile.deleteOnExit()
+        Fts.ftsFlow(s, "q65_fts",
+          sp => Tables(sp, dir, "documents").select("doc_id", "text"),
+          s"$tmp/index", s"$tmp/state").run(s)
+        Fts.bm25(Fts.ftsLoad(s, s"$tmp/index"), QueryTerms)
+          .select(col("doc_id").cast("bigint").as("doc_id"),
+            round(col("score"), 4).as("score"))
+      }),
 
     // ---- hybrid search: RRF fusion of vector top-k and BM25 top-k -------
     // (what a qdrant/lancedb user runs against the reference's dual

@@ -74,4 +74,52 @@ class FtsFlowSpec extends SparkSpec {
     assert(Fts.ftsLoad(spark, indexDir).postings
       .filter(col("doc_id") === "2").count() == 0)
   }
+
+  test("a term query prunes the postings scan to its terms' buckets") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = Files.createTempDirectory("fts-prune")
+    val corpusDir = root.resolve("corpus").toString
+    val indexDir = root.resolve("index").toString
+    writeCorpus(corpusDir, texts)
+    val flows = Fts.ftsFlow(spark, "fts_prune",
+      s => s.read.parquet(corpusDir),
+      indexDir, root.resolve("state").toString, numBuckets = 8)
+    flows.run(spark)
+
+    val idx = Fts.ftsLoad(spark, indexDir)
+    val q = Fts.bm25(idx, Seq("spark"))
+    q.collect()
+    // descend through AQE wrappers and materialized query stages
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan)
+    }.flatten
+    val postingScans = scans(q.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("postings")))
+    assert(postingScans.nonEmpty, "expected a postings file scan")
+    // the layout buckets by term: the single-term query must read
+    // only that term's bucket, not all 8
+    postingScans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        "postings scan must carry a bucket partition filter")
+      assert(f.selectedPartitions.partitionCount == 1,
+        s"expected 1 pruned bucket, scanned ${f.selectedPartitions.partitionCount}")
+    }
+    // pruning must not change results: served == from-scratch
+    val served = Fts.bm25(idx, Seq("spark", "batch"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val direct = {
+      import spark.implicits._
+      Fts.bm25Search(
+        texts.toSeq.map { case (i, t) => (i.toString, t) }.toDF("doc_id", "text"),
+        Seq("spark", "batch"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    assert(served.keySet == direct.keySet)
+    for ((k, v) <- served) assert(math.abs(v - direct(k)) < 1e-12, s"doc $k")
+  }
 }
