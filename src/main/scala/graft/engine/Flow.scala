@@ -245,6 +245,29 @@ final class Flow(
       listingOverride = Some(survivors.unionByName(restat)))
   }
 
+  /** Subtree-scoped catch-up: re-stat and reclassify ONLY the
+    * components under the given [[StablePath]] prefixes; everything
+    * outside the subtrees is a survivor (its stored memo state
+    * compares equal by construction — zero stat calls). Memoized
+    * children under a prefix that the source no longer lists classify
+    * gone and GC their target states — the reference's prefix-scoped
+    * subtree GC (stable_path.rs:273 + execution.rs:1838), at
+    * O(subtree) instead of O(corpus). */
+  private[graft] def runDeltaPrefix(spark: SparkSession,
+      prefixes: Seq[String]): RunStats = {
+    val memo = state(spark).read("component_memo", ComponentMemoSchema)
+    val under =
+      if (prefixes.isEmpty) lit(false)
+      else prefixes.map(p => StablePath.underCol(col("item_key"), p))
+        .reduce(_ || _)
+    val survivors = memo.select(col("item_key"), col("memo_state"))
+      .filter(!under)
+    val restat = source.listUnder(spark, prefixes)
+      .select(col("item_key"), col("memo_state"))
+    runImpl(spark, fullReprocess = false,
+      listingOverride = Some(survivors.unionByName(restat)))
+  }
+
   private def runImpl(spark: SparkSession, fullReprocess: Boolean,
       listingOverride: Option[DataFrame]): RunStats = {
     val st = state(spark)

@@ -21,6 +21,9 @@ final case class StablePath(segments: Vector[String]) {
 }
 
 object StablePath {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{concat, lit, regexp_replace}
+
   val root: StablePath = StablePath(Vector.empty)
   def apply(segments: String*): StablePath = StablePath(segments.toVector)
   def parse(s: String): StablePath =
@@ -35,6 +38,34 @@ object StablePath {
     }
   private[engine] def unescape(seg: String): String =
     seg.replace("%2F", "/").replace("%25", "%")
+
+  // ---- encoded-string forms (what item_key/row_key columns carry) ----
+
+  /** Segments → encoded path string. */
+  def join(segments: Seq[String]): String = StablePath(segments.toVector).toString
+
+  /** Encoded path string → segments (inverse of [[join]]). */
+  def split(path: String): Seq[String] = parse(path).segments
+
+  /** Is encoded `path` equal to `prefix` or inside its subtree? The
+    * segment escaping guarantees this string test IS the ancestor
+    * relation on segment sequences (a '/' inside a segment cannot
+    * fake depth — the property the reference gets from storekey's
+    * length-prefixed bytes, stable_path.rs:138-213). */
+  def isUnder(path: String, prefix: String): Boolean =
+    path == prefix || path.startsWith(prefix + "/")
+
+  /** Column form of segment escaping. */
+  def encodeSegmentCol(c: Column): Column =
+    regexp_replace(regexp_replace(c, "%", "%25"), "/", "%2F")
+
+  /** Column form of child-path construction: `parent/child`. */
+  def childCol(parentPath: Column, childSegment: Column): Column =
+    concat(parentPath, lit("/"), encodeSegmentCol(childSegment))
+
+  /** Column predicate: is `pathCol` under the literal `prefix`? */
+  def underCol(pathCol: Column, prefix: String): Column =
+    pathCol === prefix || pathCol.startsWith(prefix + "/")
 }
 
 /** 128-bit content/logic fingerprints as lowercase hex (the

@@ -48,6 +48,20 @@ trait Source {
   def listKeys(spark: SparkSession, keys: Seq[String]): DataFrame =
     list(spark).select(col("item_key"), col("memo_state"))
       .join(Source.keysDf(spark, keys), Seq("item_key"), "left_semi")
+
+  /** Listing rows for every item under the given [[StablePath]]
+    * prefixes — the subtree form of [[listKeys]], feeding
+    * [[Flow.runDeltaPrefix]]. The default filters the full listing;
+    * hierarchical sources can override with a walk of just the
+    * subtree (O(subtree), the reference's prefix-scan over its
+    * storekey-ordered state, rust/core/src/state/stable_path.rs:273). */
+  def listUnder(spark: SparkSession, prefixes: Seq[String]): DataFrame =
+    if (prefixes.isEmpty)
+      list(spark).select(col("item_key"), col("memo_state")).limit(0)
+    else
+      list(spark).select(col("item_key"), col("memo_state"))
+        .filter(prefixes.map(p => StablePath.underCol(col("item_key"), p))
+          .reduce(_ || _))
 }
 
 /** A push-based change feed over a source — the reference's watchdog

@@ -372,4 +372,71 @@ class FlowSpec extends SparkSpec {
       StandardCharsets.UTF_8) == "SIX")
     assert(!Files.exists(tgt.resolve("y.md.out")))
   }
+
+  test("two-level mount: deleting a parent GCs its children by stable-path prefix") {
+    val (src, stA, stB) = (tmpDir("nest-src"), tmpDir("nest-stA"), tmpDir("nest-stB"))
+    val (tgtA, tgtB) = (tmpDir("nest-tgtA"), tmpDir("nest-tgtB"))
+    // a section title containing '/' must NOT fake a deeper path —
+    // the StablePath segment encoding is what prevents it
+    write(src, "a.md", "## one\nalpha one\n## two/x\nalpha two")
+    write(src, "b.md", "## solo\nbravo solo")
+
+    // level 1: file components declare child rows keyed
+    // StablePath(file, section) — the mount_each-inside-mount_each
+    // keyspace (reference stable_path.rs:273)
+    val sectionize = udf((text: String) =>
+      text.split("(?m)^## ").toSeq.filter(_.nonEmpty).map { s =>
+        val parts = s.split("\n", 2)
+        (parts(0).trim, if (parts.length > 1) parts(1).trim else "")
+      })
+    val sections = CocoFn("sections", 1, fn = df => df
+      .select(col("item_key"),
+        explode(sectionize(Source.textOf(col("content")))).as("s"))
+      .select(col("item_key"),
+        StablePath.childCol(col("item_key"), col("s._1")).as("row_key"),
+        col("s._2").as("sec_text")))
+    val parent = new Flow("nest_parent",
+      LocalFsSource(src.toString, Seq("**.md")), Seq(sections),
+      ParquetTableTarget(tgtA.toString, numBuckets = 4), stA.toString)
+
+    // level 2: each section row is a component of its own (item_key =
+    // the stable path), chained off the parent's target table
+    val upperStage = CocoFn("upper", 1, fn = df => df
+      .select(col("item_key"), col("item_key").as("row_key"),
+        upper(col("sec_text")).as("out")))
+    val child = new Flow("nest_child",
+      TableSource(sp => ParquetTableTarget(tgtA.toString, 4).read(sp)
+        .select(col("row_key"), col("sec_text")), keyCol = "row_key"),
+      Seq(upperStage),
+      ParquetTableTarget(tgtB.toString, numBuckets = 4), stB.toString)
+
+    assert(parent.run(spark).components == 2)
+    val cold = child.run(spark)
+    assert(cold.components == 3 && cold.rowsInserted == 3)
+    val keys = ParquetTableTarget(tgtB.toString, 4).read(spark)
+      .select("row_key").collect().map(_.getString(0)).toSet
+    assert(keys == Set("a.md/one", "a.md/two%2Fx", "b.md/solo"))
+    // the encoded segment round-trips and stays OUT of a.md/two's subtree
+    assert(StablePath.split("a.md/two%2Fx") == Seq("a.md", "two/x"))
+    assert(!StablePath.isUnder("a.md/two%2Fx", "a.md/two"))
+
+    // delete the parent file: the child flow GCs exactly that subtree,
+    // via a PREFIX-scoped delta (no full re-list of the child source)
+    Files.delete(src.resolve("a.md"))
+    assert(parent.run(spark).deletedComponents == 1)
+    val gc = child.runDeltaPrefix(spark, Seq("a.md"))
+    assert(gc.deletedComponents == 2 && gc.unchanged == 1, s"$gc")
+    assert(ParquetTableTarget(tgtB.toString, 4).read(spark)
+      .select("row_key").collect().map(_.getString(0)).toSet ==
+      Set("b.md/solo"))
+
+    // scoping: a change OUTSIDE the prefix is invisible to the
+    // prefix-scoped run (survivors keep their stored memo state)...
+    write(src, "b.md", "## solo\nbravo solo EDITED")
+    assert(parent.run(spark).recomputed == 1)
+    assert(child.runDeltaPrefix(spark, Seq("a.md")).isNoop)
+    // ...and the next full run catches it up
+    val full = child.run(spark)
+    assert(full.recomputed == 1 && full.rowsUpdated == 1, s"$full")
+  }
 }
