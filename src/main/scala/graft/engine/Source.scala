@@ -227,6 +227,34 @@ final case class LocalFsSource(
   def watch(): SourceWatcher =
     new graft.streaming.LiveFsWatcher(dir, matcher.matches)
 
+  /** O(subtree) prefix listing: a prefix naming a subdirectory walks
+    * ONLY that subtree (one recursive binaryFile scan rooted there);
+    * a prefix naming a file stats just it. Keys here are raw relative
+    * paths, so the path prefix IS the directory prefix — no full
+    * corpus walk for a scoped [[Flow.runDeltaPrefix]] catch-up. */
+  override def listUnder(spark: SparkSession, prefixes: Seq[String])
+      : DataFrame = {
+    val relUdf = relPathUdf
+    val m = matcher
+    val matchUdf = udf((rel: String) => m.matches(rel))
+    val (dirPrefixes, filePrefixes) = prefixes.distinct
+      .partition(p => new java.io.File(dir, p).isDirectory)
+    val fileRows = listKeys(spark, filePrefixes)
+    val dirRows = dirPrefixes.map { p =>
+      spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(new java.io.File(dir, p).getPath.flatMap {
+          case c if "[]{}*?".indexOf(c) >= 0 => s"\\$c"
+          case c => c.toString
+        })
+        .select(relUdf(col("path")).as("item_key"),
+          concat_ws(":", col("length"),
+            unix_millis(col("modificationTime"))).as("memo_state"))
+        .filter(matchUdf(col("item_key")))
+    }
+    dirRows.foldLeft(fileRows)(_.unionByName(_))
+  }
+
   def list(spark: SparkSession): DataFrame = {
     val relUdf = relPathUdf
     val m = matcher

@@ -187,6 +187,15 @@ object EntityResolution {
     def resolvePair(entity: String, candidates: Seq[String]): PairDecision
   }
 
+  /** Deterministic built-in resolver: always merge with the
+    * top-ranked candidate, matched side canonical. The greedy loop
+    * then assigns every clique its lexicographically-first member as
+    * canonical — a closed form an external oracle can state. */
+  case object MatchFirst extends PairResolver {
+    def resolvePair(entity: String, candidates: Seq[String]): PairDecision =
+      PairDecision(matched = candidates.headOption)
+  }
+
   /** How `isExisting` interacts with the resolver verdict (reference
     * `ExistingCanonicalPolicy`, :57). */
   sealed trait ExistingPolicy extends Serializable

@@ -122,6 +122,36 @@ object SimilarityPack extends QueryPack {
         FROM comp"""),
       (s, dir) =>
         graft.operators.EntityResolution.resolveEntities(
-          Tables(s, dir, "embeddings"), threshold = 0.4))
+          Tables(s, dir, "embeddings"), threshold = 0.4)),
+
+    // ---- entity resolution, RESOLVER-PROTOCOL path ----------------------
+    // (the reference's PairResolver contract end-to-end: candidate
+    // edges → components → per-component greedy resolve with an
+    // injected resolver. At maxDistance ≈ 0 only identical embeddings
+    // — i.e. identical texts — pair, components are cliques, and
+    // MatchFirst assigns each clique its lexicographically-first name:
+    // a closed form DuckDB states with a window over md5(text).)
+    Q(
+      "q73_resolver_protocol",
+      Some("""
+        SELECT concat('e', doc_id) AS entity,
+               min(concat('e', doc_id)) OVER (PARTITION BY md5(text)) AS canonical,
+               count(*) OVER (PARTITION BY md5(text)) AS group_size
+        FROM documents
+        WHERE length(text) > 0"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ents = Tables(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(concat(lit("e"), col("doc_id")).as("name"),
+            graft.functions.HashEmbedder.embed(col("text"), 32).as("embedding"))
+        graft.operators.EntityResolution.resolveEntitiesProtocol(
+            ents, graft.operators.EntityResolution.MatchFirst,
+            policy = graft.operators.EntityResolution.ExistingPolicy.Preferred,
+            maxDistance = 1e-6)
+          .select(col("entity"), col("canonical"))
+          .withColumn("group_size",
+            count(lit(1)).over(Window.partitionBy("canonical")))
+      })
   )
 }

@@ -373,6 +373,20 @@ class FlowSpec extends SparkSpec {
     assert(!Files.exists(tgt.resolve("y.md.out")))
   }
 
+  test("LocalFsSource.listUnder walks only the named subtree") {
+    val src = tmpDir("lu-src")
+    write(src, "a/x.md", "one")
+    write(src, "a/b/y.md", "two")
+    write(src, "c/z.md", "three")
+    val s = LocalFsSource(src.toString, Seq("**.md"))
+    assert(s.listUnder(spark, Seq("a")).collect().map(_.getString(0)).toSet ==
+      Set("a/x.md", "a/b/y.md"))
+    assert(s.listUnder(spark, Seq("c/z.md")).collect().map(_.getString(0))
+      .toSet == Set("c/z.md"))
+    assert(s.listUnder(spark, Seq("missing")).count() == 0)
+    assert(s.listUnder(spark, Nil).count() == 0)
+  }
+
   test("two-level mount: deleting a parent GCs its children by stable-path prefix") {
     val (src, stA, stB) = (tmpDir("nest-src"), tmpDir("nest-stA"), tmpDir("nest-stB"))
     val (tgtA, tgtB) = (tmpDir("nest-tgtA"), tmpDir("nest-tgtB"))
