@@ -137,4 +137,55 @@ object Curation {
         regexp_replace(text, EmailPattern, "<EMAIL>"),
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
+
+  // ---- domain-weighted mixture sampling -----------------------------------
+
+  /** 32-hex-digit threshold: `md5hex(key) < hexThreshold(w)` keeps a
+    * deterministic ~w fraction of keys. Lowercase-hex string order IS
+    * numeric order, so the same constant works verbatim in any engine
+    * with md5 — no engine-specific hash needed for the oracle. */
+  def hexThreshold(w: Double): String = {
+    require(w >= 0.0 && w <= 1.0, s"weight $w outside [0,1]")
+    if (w >= 1.0) "g" // sorts after every hex digit: keep all
+    else {
+      val t = (BigDecimal(w) * BigDecimal(BigInt(1) << 128)).toBigInt
+      val h = t.toString(16)
+      ("0" * (32 - h.length)) + h
+    }
+  }
+
+  /** Deterministic domain-weighted sampling — the data-mixing step of
+    * a pretraining pipeline (per-domain α-weights à la The Pile /
+    * Gopher mixture tables): keep each row with probability
+    * `weights(domain)`, decided by a hash of its id, so the sample is
+    * reproducible, per-row independent, and shuffle-free (a pure
+    * filter that pushes down to the scan). Unknown domains drop. */
+  def mixtureSample(
+      df: org.apache.spark.sql.DataFrame, idCol: String, domainCol: String,
+      weights: Map[String, Double]): org.apache.spark.sql.DataFrame = {
+    val thr = weights.foldLeft(lit("")) { case (e, (k, w)) =>
+      when(col(domainCol) === k, lit(hexThreshold(w))).otherwise(e)
+    }
+    df.filter(md5(col(idCol).cast("string")) < thr)
+  }
+
+  // ---- keep-best dedup canonical selection --------------------------------
+
+  /** Canonical selection by QUALITY instead of min-id: per duplicate
+    * cluster keep the row maximizing `quality` (ties broken by
+    * ascending `idCol` for determinism) — the selection step a real
+    * dedup pipeline runs after clustering, rather than keeping an
+    * arbitrary member. Adds `keep_id` (the cluster's kept row) and
+    * `kept` (is this row the one kept). One hash-partitioned window,
+    * no driver involvement. */
+  def keepBest(
+      df: org.apache.spark.sql.DataFrame, clusterCol: String,
+      qualityCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(clusterCol)
+      .orderBy(col(qualityCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.withColumn("keep_id", first(col(idCol)).over(w))
+      .withColumn("kept", col(idCol) === col("keep_id"))
+  }
 }

@@ -24,6 +24,11 @@ object CurationPack extends QueryPack {
       " from 10.1.' || CAST(doc_id % 200 AS VARCHAR) ||" +
       " '.7 call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
 
+  /** Per-language sampling weights for q74 (a Pile/Gopher-style
+    * mixture table over the synthetic corpus's languages). */
+  private val MixtureWeights: Map[String, Double] = Map(
+    "en" -> 0.9, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.25, "zh" -> 0.1)
+
   val all: Seq[Q] = Seq(
 
     // ---- Gopher repetition rules (Rae et al. 2021 §A1.1) ----------------
@@ -221,5 +226,61 @@ object CurationPack extends QueryPack {
           .streamPack(docs, "doc_id", "n_tokens", capacity = 512)
           .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
             col("seq_id").cast("int").as("seq_id"), col("seq_offset"))
-      }))
+      }),
+
+    // ---- domain-weighted mixture sampling -------------------------------
+    // (pretraining data mixing: per-language α-weights decided by a
+    // hash of the doc id — deterministic, shuffle-free, and the
+    // lowercase-hex threshold constants compare identically in any
+    // engine with md5, so the oracle states the same filter verbatim)
+    Q(
+      "q74_mixture_sample",
+      Some {
+        val cases = MixtureWeights.map { case (k, w) =>
+          s"WHEN '$k' THEN '${Curation.hexThreshold(w)}'"
+        }.mkString(" ")
+        s"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR)) <
+              CASE lang $cases ELSE '' END"""
+      },
+      (s, dir) =>
+        Curation.mixtureSample(
+          Tables(s, dir, "documents").select("doc_id", "lang"),
+          idCol = "doc_id", domainCol = "lang", weights = MixtureWeights)),
+
+    // ---- keep-best dedup canonical selection ----------------------------
+    // (after exact clustering — q34's block hash — keep the HIGHEST-
+    // QUALITY member per cluster instead of an arbitrary one; quality
+    // here = n_chars, ties by min doc_id)
+    Q(
+      "q75_dedup_keep_best",
+      Some("""
+        WITH n AS (
+          SELECT doc_id, n_chars,
+                 md5(substring(lower(regexp_replace(text, ' +', ' ', 'g')), 1, 64))
+                   AS block_hash
+          FROM documents)
+        SELECT doc_id, block_hash,
+               first_value(doc_id) OVER (
+                 PARTITION BY block_hash
+                 ORDER BY n_chars DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS keep_id,
+               doc_id = first_value(doc_id) OVER (
+                 PARTITION BY block_hash
+                 ORDER BY n_chars DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS kept
+        FROM n"""),
+      (s, dir) =>
+        Curation.keepBest(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("n_chars"),
+              md5(substring(lower(regexp_replace(col("text"), " +", " ")),
+                1, 64)).as("block_hash")),
+          clusterCol = "block_hash", qualityCol = "n_chars", idCol = "doc_id")
+          .select("doc_id", "block_hash", "keep_id", "kept"))
+  )
 }
