@@ -38,6 +38,112 @@ object Batching {
           withHalvingRetry(a)(call) ++ withHalvingRetry(b)(call)
       }
     }
+
+  // ---- error-taxonomy retry (the reference's litellm protocol) ----------
+
+  /** How a failed call should be handled (reference litellm.py:60-147):
+    *   - [[Transient]]: transport faults, 408/429, 5xx — retry the
+    *     SAME batch with exponential backoff under a deadline (time is
+    *     the brake, no attempt cap — litellm.py:150-167).
+    *   - [[Global]]: credentials/permissions/unknown-model/budget —
+    *     batch composition can't affect it; fail every item at once,
+    *     never split (litellm.py:96-110 `_is_global_litellm_error`).
+    *   - [[BatchBound]]: anything else — a payload cap or one poison
+    *     input may be at fault; halve and retry the halves, isolating
+    *     single bad items (`RetryWithSmallerBatch`, litellm.py:268-287).
+    */
+  sealed trait ErrorClass
+  object ErrorClass {
+    case object Transient extends ErrorClass
+    case object Global extends ErrorClass
+    case object BatchBound extends ErrorClass
+  }
+
+  /** An API failure carrying an HTTP status — what a provider client
+    * wrapper should throw so [[defaultClassify]] can read the code. */
+  final case class ApiStatusException(status: Int, msg: String)
+      extends RuntimeException(s"HTTP $status: $msg")
+
+  /** The reference's classification, re-stated over JVM exception
+    * types: credential-sounding messages are never retried; an HTTP
+    * status decides when present (408/429/5xx transient; 401/402/403/
+    * 404 global); transport exceptions are transient; the rest is
+    * batch-bound. */
+  def defaultClassify(e: Throwable): ErrorClass = {
+    val msg = Option(e.getMessage).getOrElse("").toLowerCase
+    val credentialProblem =
+      Seq("missing credentials", "no api key", "invalid api key",
+        "unauthorized").exists(msg.contains) ||
+        ((msg.contains("api key") || msg.contains("api_key")) &&
+          Seq("missing", "must be set", "not set", "required", "invalid")
+            .exists(msg.contains))
+    if (credentialProblem) ErrorClass.Global
+    else e match {
+      case ApiStatusException(code, _) =>
+        if (code == 408 || code == 429 || (code >= 500 && code < 600))
+          ErrorClass.Transient
+        else if (code == 401 || code == 402 || code == 403 || code == 404)
+          ErrorClass.Global
+        else ErrorClass.BatchBound
+      case _: java.net.SocketTimeoutException |
+          _: java.net.ConnectException |
+          _: java.util.concurrent.TimeoutException |
+          _: java.io.IOException => ErrorClass.Transient
+      case _ => ErrorClass.BatchBound
+    }
+  }
+
+  /** Retry policy knobs. `sleep` is injectable so specs can record
+    * backoffs instead of waiting them out. */
+  final case class RetryPolicy(
+      classify: Throwable => ErrorClass = defaultClassify,
+      initialBackoffMs: Long = 100,
+      multiplier: Double = 2.0,
+      maxBackoffMs: Long = 5000,
+      deadlineMs: Long = 600000,
+      sleep: Long => Unit = Thread.sleep)
+
+  /** [[withHalvingRetry]] upgraded with the full taxonomy: transient
+    * errors retry the same batch with exponential backoff until the
+    * deadline; global errors fail the whole batch in ONE call (no
+    * splitting — the reference's rule that batch composition cannot
+    * fix credentials); everything else halves down to single-item
+    * isolation. Results preserve input order. */
+  def withTaxonomyRetry[A, B](
+      batch: Seq[A], policy: RetryPolicy = RetryPolicy())(
+      call: Seq[A] => Seq[B]): Seq[Either[Throwable, B]] = {
+    val deadline = System.nanoTime() + policy.deadlineMs * 1000000L
+    def attempt(items: Seq[A]): Seq[Either[Throwable, B]] = {
+      if (items.isEmpty) return Nil
+      var backoffMs = policy.initialBackoffMs
+      while (true) {
+        try {
+          val out = call(items)
+          require(out.length == items.length,
+            s"batched call returned ${out.length} results for " +
+              s"${items.length} inputs")
+          return out.map(Right(_))
+        } catch {
+          case e: Throwable => policy.classify(e) match {
+            case ErrorClass.Global =>
+              return items.map(_ => Left(e))
+            case ErrorClass.Transient =>
+              if (System.nanoTime() + backoffMs * 1000000L > deadline)
+                return items.map(_ => Left(e))
+              policy.sleep(backoffMs)
+              backoffMs = math.min(
+                (backoffMs * policy.multiplier).toLong, policy.maxBackoffMs)
+            case ErrorClass.BatchBound =>
+              if (items.length == 1) return Seq(Left(e))
+              val (a, b) = items.splitAt(items.length / 2)
+              return attempt(a) ++ attempt(b)
+          }
+        }
+      }
+      Nil // unreachable
+    }
+    attempt(batch)
+  }
 }
 
 final class RateLimiter(ratePerSec: Double, burst: Double)

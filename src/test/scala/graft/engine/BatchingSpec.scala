@@ -42,6 +42,107 @@ class BatchingSpec extends AnyFunSuite {
     assert(out == Seq(Right(1), Right(2)))
   }
 
+  // ---- taxonomy retry (reference litellm.py error classes) -----------
+  import Batching.{ApiStatusException, ErrorClass, RetryPolicy,
+    defaultClassify, withTaxonomyRetry}
+
+  private def recordingPolicy(deadlineMs: Long = 60000) = {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    (sleeps, RetryPolicy(deadlineMs = deadlineMs, sleep = sleeps += _))
+  }
+
+  test("classification: transport, status codes, credentials, other") {
+    assert(defaultClassify(new java.net.SocketTimeoutException("t/o")) ==
+      ErrorClass.Transient)
+    assert(defaultClassify(new java.io.IOException("conn reset")) ==
+      ErrorClass.Transient)
+    assert(defaultClassify(ApiStatusException(429, "slow down")) ==
+      ErrorClass.Transient)
+    assert(defaultClassify(ApiStatusException(503, "unavailable")) ==
+      ErrorClass.Transient)
+    assert(defaultClassify(ApiStatusException(401, "nope")) ==
+      ErrorClass.Global)
+    assert(defaultClassify(ApiStatusException(404, "no such model")) ==
+      ErrorClass.Global)
+    // credential-sounding messages are global regardless of type
+    assert(defaultClassify(new RuntimeException("No API key provided")) ==
+      ErrorClass.Global)
+    assert(defaultClassify(new RuntimeException("api_key must be set")) ==
+      ErrorClass.Global)
+    // a 500 with a credential message must NOT be retried
+    assert(defaultClassify(ApiStatusException(500, "invalid api key")) ==
+      ErrorClass.Global)
+    assert(defaultClassify(ApiStatusException(400, "payload too large")) ==
+      ErrorClass.BatchBound)
+    assert(defaultClassify(new IllegalStateException("weird")) ==
+      ErrorClass.BatchBound)
+  }
+
+  test("transient errors retry the same batch with exponential backoff") {
+    val (sleeps, policy) = recordingPolicy()
+    var calls = 0
+    val out = withTaxonomyRetry((1 to 4), policy) { xs =>
+      calls += 1
+      if (calls <= 3) throw ApiStatusException(429, "rate limited")
+      xs.map(_ * 2)
+    }
+    assert(out == (1 to 4).map(x => Right(x * 2)))
+    assert(calls == 4, "same-size retries, no splitting")
+    assert(sleeps.toSeq == Seq(100, 200, 400), "exponential backoff")
+  }
+
+  test("global errors fail the whole batch in one call — never split") {
+    var calls = 0
+    val out = withTaxonomyRetry((1 to 16)) { _ =>
+      calls += 1
+      throw ApiStatusException(401, "bad credentials")
+    }
+    assert(calls == 1, "splitting cannot fix credentials")
+    assert(out.length == 16 && out.forall(_.isLeft))
+  }
+
+  test("batch-bound errors halve down to poison isolation") {
+    var calls = 0
+    val out = withTaxonomyRetry((1 to 16)) { xs =>
+      calls += 1
+      if (xs.contains(7)) throw ApiStatusException(400, "bad input")
+      xs.map(_ * 10)
+    }
+    assert(out.count(_.isLeft) == 1 && out(6).isLeft)
+    assert(out.zipWithIndex.collect { case (Right(v), i) => (v, i) }
+      .forall { case (v, i) => v == (i + 1) * 10 })
+    assert(calls < 12, s"took $calls calls")
+  }
+
+  test("a persistent transient error exhausts the deadline into Lefts") {
+    val (sleeps, policy) = recordingPolicy(deadlineMs = 1)
+    var calls = 0
+    val out = withTaxonomyRetry(Seq(1, 2), policy) { _ =>
+      calls += 1
+      throw new java.net.ConnectException("down")
+    }
+    // deadline of 1ms < first backoff of 100ms: exactly one attempt
+    assert(calls == 1 && sleeps.isEmpty)
+    assert(out.length == 2 && out.forall(_.isLeft))
+  }
+
+  test("mixed protocol: a batch-bound split whose half hits a transient") {
+    // batch [1..4]: the full call hits a payload cap; the half [1,2]
+    // is rate-limited once then succeeds; [3,4] succeeds directly —
+    // the halves retry independently under the shared deadline
+    val (sleeps, policy) = recordingPolicy()
+    var rateLimited = false
+    val out = withTaxonomyRetry((1 to 4), policy) { xs =>
+      if (xs.length == 4) throw ApiStatusException(413, "payload too large")
+      if (xs == Seq(1, 2) && !rateLimited) {
+        rateLimited = true; throw ApiStatusException(429, "slow down")
+      }
+      xs.map(_ * 2)
+    }
+    assert(out == (1 to 4).map(x => Right(x * 2)))
+    assert(sleeps.toSeq == Seq(100))
+  }
+
   test("rate limiter paces acquisitions to the configured rate") {
     val rl = new RateLimiter(ratePerSec = 50, burst = 5)
     val t0 = System.nanoTime()
