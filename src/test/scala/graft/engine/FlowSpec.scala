@@ -16,6 +16,24 @@ import java.nio.charset.StandardCharsets
   * cache-hit/recompute/insert/update/delete counters across reruns,
   * edits, touches, deletes, logic bumps, crashes and drop.
   */
+/** Flaky "provider endpoint" shared across executor threads (same
+  * JVM in local mode): serves one 429 before succeeding, and always
+  * rejects POISON texts with a 400. */
+object FlakyEndpoint {
+  val rateLimitsServed = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val rateLimited = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def reset(): Unit = { rateLimitsServed.set(0); rateLimited.set(false) }
+  def call(batch: Seq[(String, String)]): Seq[Int] = {
+    if (rateLimited.compareAndSet(false, true)) {
+      rateLimitsServed.incrementAndGet()
+      throw Batching.ApiStatusException(429, "slow down")
+    }
+    if (batch.exists(_._2.contains("POISON")))
+      throw Batching.ApiStatusException(400, "bad input")
+    batch.map(_._2.length)
+  }
+}
+
 class FlowSpec extends SparkSpec {
 
   private def tmpDir(prefix: String): Path = {
@@ -371,6 +389,49 @@ class FlowSpec extends SparkSpec {
     assert(new String(Files.readAllBytes(tgt.resolve("x.md.out")),
       StandardCharsets.UTF_8) == "SIX")
     assert(!Files.exists(tgt.resolve("y.md.out")))
+  }
+
+  test("taxonomy retry inside a stage: transients recover, poison routes to errors") {
+    val (src, tgt, st) = (tmpDir("rt-src"), tmpDir("rt-tgt"), tmpDir("rt-st"))
+    write(src, "a.md", "alpha")
+    write(src, "b.md", "POISON")
+    write(src, "c.md", "charlie")
+    FlakyEndpoint.reset()
+
+    // the production slot: a batched provider call under the full
+    // error taxonomy, Lefts surfacing as __error rows the engine
+    // routes to the errors table instead of the target
+    val embed = CocoFn("flaky_embed", 1, fn = df => {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select(col("item_key"), Source.textOf(col("content")).as("text"))
+        .as[(String, String)]
+        .mapPartitions { rows =>
+          val policy = Batching.RetryPolicy(sleep = _ => ())
+          rows.grouped(4).flatMap { batch =>
+            Batching.withTaxonomyRetry(batch, policy)(FlakyEndpoint.call)
+              .zip(batch).map {
+                case (Right(n), (k, _)) => (k, k, n, null: String)
+                case (Left(e), (k, _))  => (k, k, 0, e.getMessage)
+              }
+          }
+        }
+        .toDF("item_key", "row_key", "embedded_len", "__error")
+    })
+    val flow = new Flow("rt",
+      LocalFsSource(src.toString, Seq("**.md")), Seq(embed),
+      ParquetTableTarget(tgt.toString, numBuckets = 2), st.toString)
+
+    val r = flow.run(spark)
+    assert(r.rowsFailed == 1 && r.rowsInserted == 2, s"$r")
+    // the transient 429 was retried same-size, not split
+    assert(FlakyEndpoint.rateLimitsServed.get() >= 1)
+    val errs = flow.errors(spark).collect()
+    assert(errs.length == 1 && errs.head.getString(0) == "b.md")
+    assert(errs.head.getString(2).contains("400"))
+    val served = ParquetTableTarget(tgt.toString, 2).read(spark)
+      .select("row_key").collect().map(_.getString(0)).toSet
+    assert(served == Set("a.md", "c.md"), "poison row must never reach the target")
   }
 
   test("LocalFsSource.listUnder walks only the named subtree") {
