@@ -159,7 +159,8 @@ object Curation {
     * Gopher mixture tables): keep each row with probability
     * `weights(domain)`, decided by a hash of its id, so the sample is
     * reproducible, per-row independent, and shuffle-free (a pure
-    * filter that pushes down to the scan). Unknown domains drop. */
+    * filter evaluated inside the scan's codegen stage — no exchange,
+    * no state). Unknown domains drop. */
   def mixtureSample(
       df: org.apache.spark.sql.DataFrame, idCol: String, domainCol: String,
       weights: Map[String, Double]): org.apache.spark.sql.DataFrame = {

@@ -92,6 +92,19 @@ class ProviderGenerationSpec extends SparkSpec {
     val r3 = flow8.run(spark)
     assert(r3.isNoop && r3.unchanged == 3, s"memo hits must restore: $r3")
     assert(targetState(st)._2 == pid1, "provider_id stable once committed")
+
+    // a bucket-KEY change (same count, different placement expression —
+    // the FTS term-bucketing knob) is equally a layout identity change:
+    // destructive reindex, provider bump, then stability
+    val flowK = mkFlow(src, tgt, st, target = ParquetTableTarget(
+      tgt.toString, numBuckets = 8,
+      bucketKeySql = "substring(row_key, 1, 1)"))
+    val rK = flowK.run(spark)
+    assert(rK.recomputed == 3 && rK.rowsInserted == 3, s"$rK")
+    val (sigK, pidK, _) = targetState(st)
+    assert(sigK.contains("bkey=substring(row_key, 1, 1)"))
+    assert(pidK == pid1 + 1)
+    assert(flowK.run(spark).isNoop)
   }
 
   test("target dir change is a container swap: ALL rows materialize at the new location") {
