@@ -99,4 +99,42 @@ class ScaleSpec extends SparkSpec {
       "compaction must shuffle the log exactly once (per-key window)")
     assert(compacted.count() == 200)
   }
+
+  test("mixture sampling is exchange-free; keep-best is one partitioned window") {
+    import spark.implicits._
+    val docs = (1L to 2000L)
+      .map(i => (i, s"dom${i % 3}", s"cluster${i % 40}", (i % 7).toInt))
+      .toDF("id", "dom", "cl", "quality")
+
+    // sampling: a pure filter — zero Exchange anywhere in the plan
+    val sampled = graft.operators.Curation.mixtureSample(
+      docs, "id", "dom", Map("dom0" -> 0.5, "dom1" -> 0.2))
+    val samplePlan = sampled.queryExecution.executedPlan.toString
+    assert(!samplePlan.contains("Exchange"),
+      s"mixtureSample must not shuffle; plan was:\n$samplePlan")
+    // deterministic: same rows on every evaluation
+    assert(sampled.exceptAll(sampled).isEmpty &&
+      sampled.count() == sampled.count())
+    assert(sampled.filter(col("dom") === "dom2").count() == 0,
+      "unlisted domains must drop")
+
+    // keep-best: exactly one shuffle (the cluster hash partition), and
+    // no single-partition global window
+    val kept = graft.operators.Curation.keepBest(docs, "cl", "quality", "id")
+    val keptPlan = kept.queryExecution.executedPlan.toString
+    assert(keptPlan.linesIterator.count(_.contains("Exchange")) == 1,
+      s"keepBest must shuffle once on the cluster key; plan was:\n$keptPlan")
+    assert(!keptPlan.contains("SinglePartition"),
+      "keepBest must never collapse to a single partition")
+    // exactly one kept row per cluster, and it is the argmax
+    val perCluster = kept.filter(col("kept"))
+      .groupBy("cl").count().filter(col("count") =!= 1).count()
+    assert(perCluster == 0)
+    val best = kept.filter(col("kept"))
+      .select("cl", "quality").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val trueMax = docs.groupBy("cl").agg(max("quality").as("m"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(best == trueMax)
+  }
 }
