@@ -117,14 +117,21 @@ object Batching {
       if (items.isEmpty) return Nil
       var backoffMs = policy.initialBackoffMs
       while (true) {
-        try {
-          val out = call(items)
-          require(out.length == items.length,
-            s"batched call returned ${out.length} results for " +
-              s"${items.length} inputs")
-          return out.map(Right(_))
-        } catch {
-          case e: Throwable => policy.classify(e) match {
+        // only NonFatal reaches classification: interrupts, OOM and
+        // the like must propagate, not be split-retried. A result
+        // whose length mismatches the input is a CLIENT contract bug
+        // (checked outside the try) — retrying or splitting it would
+        // just multiply paid provider calls around a programming error
+        val attemptResult =
+          try Right(call(items))
+          catch { case scala.util.control.NonFatal(e) => Left(e) }
+        attemptResult match {
+          case Right(out) =>
+            require(out.length == items.length,
+              s"batched call returned ${out.length} results for " +
+                s"${items.length} inputs")
+            return out.map(Right(_))
+          case Left(e) => policy.classify(e) match {
             case ErrorClass.Global =>
               return items.map(_ => Left(e))
             case ErrorClass.Transient =>

@@ -208,7 +208,12 @@ final case class TopicTarget(dir: String,
     * between drains re-delivers the unprocessed tick on restart:
     * at-least-once, the reference's committed-offset resume
     * (kafka/_source.py:482). A restarted watcher arms at the committed
-    * offset instead of the head.
+    * offset instead of the head. `close()` deliberately does NOT
+    * commit: it runs on failure paths too (the live loop closes the
+    * watcher on any query termination), and committing an
+    * un-acknowledged tick there would turn at-least-once into
+    * data loss — the price is one redundant re-delivery after a clean
+    * shutdown, which the contract already permits.
     *
     * `drainKeyCap` bounds the driver-side key materialization of one
     * drain (the [[LocalFsSource.MaxPushdownPaths]] policy): a
@@ -256,7 +261,7 @@ final case class TopicTarget(dir: String,
             else (bounded.map(_.getString(0)).toSeq, false)
           }
         }
-        def close(): Unit = commitPending()
+        def close(): Unit = () // never commit here — see scaladoc
       }
     }
   }

@@ -123,27 +123,31 @@ object AggView {
         // rowsUpdated
         distinctCol.map(c =>
           hll_sketch_agg(col(c).cast("string"), 14).as("p_hll"))
-    // persist the sketch parameter WITH the view: serve() must merge
-    // partials at the k they were built with — a silently-smaller k
-    // degrades exact quantiles to approximate with no error (ADVICE
-    // r7). Sibling of the view dir so target truncation survives it.
-    if (quantiles) {
-      val f = metaFile(viewDir)
-      Option(f.getParentFile).foreach(_.mkdirs())
-      java.nio.file.Files.write(f.toPath,
-        s"""{"quantileK":$quantileK}""".getBytes("UTF-8"))
-    }
     val stage = CocoFn(s"aggview_$name", 1,
       deps = Seq(s"g=${groupCols.mkString(",")}", s"v=$valueCol",
         s"d=${distinctCol.getOrElse("")}", s"q=$quantiles",
         s"qk=$quantileK"),
-      fn = df => df
-        .groupBy(col("item_key") +: gcols: _*)
-        .agg(aggs.head, aggs.tail: _*)
-        // to_json of the group-value struct: unambiguous row identity
-        // (a separator join would collide "a","bc" with "ab","c")
-        .withColumn("row_key",
-          concat(col("item_key"), lit(":"), to_json(struct(gcols: _*)))))
+      fn = df => {
+        // persist the sketch parameter WITH the view: serve() must
+        // merge partials at the k they were built with — a silently-
+        // smaller k degrades exact quantiles to approximate with no
+        // error (ADVICE r7). Sibling of the view dir (truncation
+        // survives it), written at a RUN attempt, not at declaration
+        // (a constructed-but-never-run flow must not relabel an
+        // existing view).
+        if (quantiles) {
+          val f = metaFile(viewDir)
+          Option(f.getParentFile).foreach(_.mkdirs())
+          java.nio.file.Files.write(f.toPath,
+            s"""{"quantileK":$quantileK}""".getBytes("UTF-8"))
+        }
+        df.groupBy(col("item_key") +: gcols: _*)
+          .agg(aggs.head, aggs.tail: _*)
+          // to_json of the group-value struct: unambiguous row identity
+          // (a separator join would collide "a","bc" with "ab","c")
+          .withColumn("row_key",
+            concat(col("item_key"), lit(":"), to_json(struct(gcols: _*))))
+      })
     new Flow(name,
       BucketedTableSource(table, keyCol, numBuckets),
       Seq(stage),

@@ -288,18 +288,22 @@ object Dedup {
       : graft.engine.Flow = {
     require(numHashes % bandRows == 0)
     val nBands = numHashes / bandRows
-    // declare the index parameters next to the index itself, so serve
-    // time can refuse a mismatched read (ADVICE r7: a different n or
-    // column silently verified recomputed shingles against band codes
-    // built from other parameters)
-    writeMinHashMeta(indexDir, n, idCol, textCol, numHashes, bandRows)
     // textCol/idCol are part of the stage's logic: changing either on
     // an existing stateDir must invalidate the memo, or the index
     // keeps serving band codes computed from the old column
     val stage = graft.engine.CocoFn("minhash_bands", 1,
       deps = Seq(s"h=$numHashes", s"r=$bandRows", s"n=$n",
         s"t=$textCol", s"id=$idCol"),
-      fn = df => df
+      fn = df => {
+        // declare the index parameters next to the index itself, so
+        // serve time can refuse a mismatched read (ADVICE r7). Written
+        // from the stage body — i.e. at a RUN attempt, when the
+        // reconcile is actually about to converge the index to these
+        // parameters — not at flow declaration, where a constructed-
+        // but-never-run flow would leave the sidecar lying about an
+        // index built with older parameters.
+        writeMinHashMeta(indexDir, n, idCol, textCol, numHashes, bandRows)
+        df
         .select(col("item_key"), shingleHashUdf(n)(col(textCol)).as("sh"))
         .withColumn("sig", minHashSigUdf(numHashes)(col("sh")))
         .filter(col("sig").isNotNull)
@@ -308,7 +312,8 @@ object Dedup {
         .withColumn("code", bandCode(bandRows))
         .select(col("item_key"),
           concat(col("item_key"), lit(":"), col("band")).as("row_key"),
-          col("band"), col("code"), col("sz")))
+          col("band"), col("code"), col("sz"))
+      })
     new graft.engine.Flow(name,
       graft.engine.TableSource(corpus, keyCol = idCol),
       Seq(stage),

@@ -425,6 +425,11 @@ object EntityResolution {
       }
       .toDF("entity", "target", "canonical", "component", "candidates",
         "matched", "decision_side", "repointed", "seeded", "pass")
+      // materialize BEFORE releasing the cache: the lazy plan reads
+      // `base` twice (directly and through the component edges), and
+      // an uncached re-evaluation of dropDuplicates could pick
+      // different rows than the ones the components were built from
+      .localCheckpoint()
     base.unpersist()
     resolved
   }

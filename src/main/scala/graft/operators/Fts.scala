@@ -146,13 +146,6 @@ object Fts {
       indexDir: String, stateDir: String, numBuckets: Int = 8,
       idCol: String = "doc_id", textCol: String = "text")
       : FtsFlows = {
-    // declare the layout next to the index so ftsLoad prunes with the
-    // bucket count the index was actually built with
-    val d = new java.io.File(indexDir)
-    d.mkdirs()
-    java.nio.file.Files.write(
-      new java.io.File(d, "_graft_fts.json").toPath,
-      s"""{"numBuckets":$numBuckets}""".getBytes("UTF-8"))
     // terms are [a-z0-9]+ tokens (no ':'), so the substring after the
     // LAST ':' of `doc:term` is unambiguously the term even when doc
     // ids themselves contain ':'
@@ -160,6 +153,15 @@ object Fts {
       s"$indexDir/postings", numBuckets,
       bucketKeySql = "substring_index(row_key, ':', -1)")
     val post = graft.engine.CocoFn("fts_postings", 1, fn = df => {
+      // declare the layout next to the index so ftsLoad prunes with
+      // the bucket count the index was actually built with — written
+      // at a RUN attempt (the reconcile is about to converge the
+      // index to this layout), not at flow declaration
+      val d = new java.io.File(indexDir)
+      d.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(d, "_graft_fts.json").toPath,
+        s"""{"numBuckets":$numBuckets}""".getBytes("UTF-8"))
       val toks = df.select(col("item_key"),
         explode(tokens(col(textCol))).as("term"))
       toks.groupBy("item_key", "term").agg(count(lit(1)).as("tf"))
@@ -167,9 +169,14 @@ object Fts {
           concat(col("item_key"), lit(":"), col("term")).as("row_key"),
           col("term"), col("tf"))
     })
+    // token-less (or null-text) docs have no postings, so they must
+    // have no doc-length row either — otherwise the served N/avgdl
+    // diverge from buildIndex, which derives lengths from exploded
+    // tokens and never sees such docs
     val dl = graft.engine.CocoFn("fts_doclen", 1, fn = df => df
       .select(col("item_key"), col("item_key").as("row_key"),
-        size(tokens(col(textCol))).cast("long").as("dl")))
+        size(tokens(col(textCol))).cast("long").as("dl"))
+      .filter(col("dl") > 0))
     FtsFlows(
       postings = new graft.engine.Flow(name,
         graft.engine.TableSource(corpus, keyCol = idCol),

@@ -75,6 +75,31 @@ class FtsFlowSpec extends SparkSpec {
       .filter(col("doc_id") === "2").count() == 0)
   }
 
+  test("token-less docs get no doc-length row; served stats match direct") {
+    val root = Files.createTempDirectory("fts-dl")
+    val corpusDir = root.resolve("corpus").toString
+    val indexDir = root.resolve("index").toString
+    // doc 2 has no [a-z0-9] tokens: buildIndex never sees it, so the
+    // maintained doclen table must not count it into N/avgdl either
+    val docs = Map(1 -> "spark merge", 2 -> "??? !!!", 3 -> "stream stream")
+    writeCorpus(corpusDir, docs)
+    Fts.ftsFlow(spark, "fts_dl", s => s.read.parquet(corpusDir),
+      indexDir, root.resolve("state").toString).run(spark)
+    val idx = Fts.ftsLoad(spark, indexDir)
+    assert(idx.docLengths.collect().map(_.getString(0)).toSet == Set("1", "3"))
+    val served = Fts.bm25(idx, Seq("spark", "stream"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val direct = {
+      import spark.implicits._
+      Fts.bm25Search(
+        docs.toSeq.map { case (i, t) => (i.toString, t) }.toDF("doc_id", "text"),
+        Seq("spark", "stream"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    assert(served.keySet == direct.keySet)
+    for ((k, v) <- served) assert(math.abs(v - direct(k)) < 1e-12, s"doc $k")
+  }
+
   test("a term query prunes the postings scan to its terms' buckets") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val root = Files.createTempDirectory("fts-prune")

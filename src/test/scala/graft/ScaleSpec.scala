@@ -112,9 +112,23 @@ class ScaleSpec extends SparkSpec {
     val samplePlan = sampled.queryExecution.executedPlan.toString
     assert(!samplePlan.contains("Exchange"),
       s"mixtureSample must not shuffle; plan was:\n$samplePlan")
-    // deterministic: same rows on every evaluation
-    assert(sampled.exceptAll(sampled).isEmpty &&
-      sampled.count() == sampled.count())
+    // deterministic AND correct: the kept set equals the closed-form
+    // predicate computed independently driver-side (JVM MD5, same hex
+    // threshold constants)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val thresholds = Map(
+      "dom0" -> graft.operators.Curation.hexThreshold(0.5),
+      "dom1" -> graft.operators.Curation.hexThreshold(0.2))
+    val expected = (1L to 2000L).flatMap { i =>
+      val dom = s"dom${i % 3}"
+      thresholds.get(dom)
+        .filter(thr => md5hex(i.toString) < thr).map(_ => i)
+    }.toSet
+    val got = sampled.select("id").collect().map(_.getLong(0)).toSet
+    assert(got == expected, "sample must equal the closed-form predicate")
+    assert(expected.nonEmpty && expected.size < 2000)
     assert(sampled.filter(col("dom") === "dom2").count() == 0,
       "unlisted domains must drop")
 

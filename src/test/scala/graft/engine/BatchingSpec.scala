@@ -114,6 +114,22 @@ class BatchingSpec extends AnyFunSuite {
     assert(calls < 12, s"took $calls calls")
   }
 
+  test("taxonomy retry: short results and fatal errors propagate, never split") {
+    // a result-length mismatch is a CLIENT bug — one call, no halving
+    // storm of paid provider calls around a programming error
+    var calls = 0
+    intercept[IllegalArgumentException] {
+      withTaxonomyRetry(Seq(1, 2, 3, 4)) { xs => calls += 1; xs.take(1) }
+    }
+    assert(calls == 1, "contract bugs must not be split-retried")
+    // interrupts (task kill) pass through classification untouched
+    intercept[InterruptedException] {
+      withTaxonomyRetry(Seq(1, 2)) { _ =>
+        throw new InterruptedException("task killed")
+      }
+    }
+  }
+
   test("a persistent transient error exhausts the deadline into Lefts") {
     val (sleeps, policy) = recordingPolicy(deadlineMs = 1)
     var calls = 0

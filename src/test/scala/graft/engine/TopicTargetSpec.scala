@@ -213,21 +213,22 @@ class TopicTargetSpec extends SparkSpec {
     assert(w.drain() == (Seq("k3"), false))
     produce("k4" -> 4) // seg 3
     assert(w.drain() == (Seq("k4"), false)) // entering drain committed seg 2
-    w.close() // graceful close commits seg 3
+    w.close() // close NEVER commits (it runs on failure paths too)
 
-    // restart: a new watcher of the SAME group arms at the committed
-    // offset — seg 1..3 are NOT re-delivered, only post-restart data is
+    // restart: the committed offset is seg 2 — the un-acknowledged
+    // seg 3 re-delivers (at-least-once: re-delivery, never loss),
+    // while seg 1..2 are NOT re-scanned
     val w2 = topic.source(spark, consumerGroup = Some("g1")).watch()
-    assert(w2.drain() == (Nil, false), "nothing new after resume")
+    assert(w2.drain() == (Seq("k4"), false), "un-acked tick re-delivers")
     produce("k5" -> 5) // seg 4
-    assert(w2.drain() == (Seq("k5"), false))
+    assert(w2.drain() == (Seq("k5"), false)) // commits seg 3 on entry
+    assert(topic.committedOffset("g1").contains(3L))
 
     // crash semantics: a tick that was drained but never committed
-    // (no follow-up drain, no close) is re-delivered to the next
-    // watcher — at-least-once, never lost
+    // (no follow-up drain) is re-delivered to the next watcher
     produce("k6" -> 6) // seg 5
     assert(w2.drain() == (Seq("k6"), false)) // commits seg 4 on entry
-    // no close: seg 5's offset was never committed ("crash")
+    // "crash": no further drain — seg 5's offset was never committed
     val w3 = topic.source(spark, consumerGroup = Some("g1")).watch()
     assert(w3.drain() == (Seq("k6"), false), "uncommitted tick re-delivers")
 
