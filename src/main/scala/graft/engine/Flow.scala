@@ -71,7 +71,13 @@ final class Flow(
     /** Who owns the target container's lifecycle: the engine only
       * plans DDL (truncate-recreate) for SystemManaged targets
       * (reference ManagedBy, connectorkits/target.py:10). */
-    managedBy: StateDiff.ManagedBy = StateDiff.SystemManaged)
+    managedBy: StateDiff.ManagedBy = StateDiff.SystemManaged,
+    /** Invoked after every successful state commit (including a
+      * pending-transition commit on an otherwise-empty run). The slot
+      * for operator metadata that must only ever describe a COMMITTED
+      * index — e.g. [[Sidecar]] writes: a declared-but-failed run
+      * must not relabel what is actually on disk. */
+    afterCommit: Option[() => Unit] = None)
     extends Serializable {
 
   def processorFingerprint: String =
@@ -365,6 +371,7 @@ final class Flow(
       if (planned.pendingTransition) {
         if (planned.destructive) target.truncate(spark)
         st.commit(targetStateTable(spark, planned).toMap)
+        afterCommit.foreach(_.apply())
       }
       Seq(listing, probe, level2, changedKeys, loaded).foreach(_.unpersist())
       return RunStats(nTotal, byCls("unchanged"), 0, 0, 0, 0, 0, 0, 0)
@@ -506,6 +513,7 @@ final class Flow(
         .unionByName(declared)
     }
     st.commit(stateTables)
+    afterCommit.foreach(_.apply())
 
     val stats = RunStats(
       components = nTotal - byCls("gone"),

@@ -158,17 +158,37 @@ final case class ObjectStoreSource(
   /** Content read via Spark's binaryFile reader: bounded literal-path
     * pushdown for small deltas (only the changed objects are GET),
     * full-scan + semi-join past the bound — same policy and glob
-    * escaping as [[LocalFsSource.load]]. */
+    * escaping as [[LocalFsSource.load]].
+    *
+    * Key derivation here is LENIENT, unlike [[list]]'s fail-fast:
+    * binaryFile `path` strings are not guaranteed to match the
+    * qualified base verbatim (some schemes escape), and in the
+    * full-scan fallback the projection runs over files that were
+    * never requested — one odd-named bystander object must not kill
+    * the load. Prefix-strip, then URI-decode fallback; anything still
+    * unresolvable maps to a sentinel key no real item has, so the
+    * row simply drops out of the semi-join. */
   def load(spark: SparkSession, keys: DataFrame): DataFrame = {
     val base = qualifiedBase(spark.sparkContext.hadoopConfiguration)
+    val baseDecoded =
+      try java.net.URI.create(base).getPath
+      catch { case _: Exception => null }
+    val rel = udf { p: String =>
+      if (p == null) "\u0000unresolvable"
+      else if (p.startsWith(base)) p.substring(base.length)
+      else {
+        val d =
+          try java.net.URI.create(p).getPath
+          catch { case _: Exception => null }
+        if (d != null && baseDecoded != null && d.startsWith(baseDecoded))
+          d.substring(baseDecoded.length)
+        else "\u0000unresolvable:" + p
+      }
+    }
     Source.boundedBinaryLoad(spark, keys,
-      toPath = rel => base + rel,
+      toPath = r => base + r,
       scanBase = baseUri,
-      relKey = when(col("path").startsWith(base),
-        expr(s"substring(path, ${base.length + 1})"))
-        .otherwise(raise_error(concat(
-          lit(s"ObjectStoreSource: loaded path outside base $base: "),
-          col("path")))))
+      relKey = rel(col("path")))
   }
 
   def contentFpOf: Option[Column] = Some(md5(col("content")))

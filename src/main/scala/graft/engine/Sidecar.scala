@@ -1,0 +1,76 @@
+package graft.engine
+
+import java.io.File
+
+/** Shared index-metadata sidecar: a small JSON file describing the
+  * parameters a maintained index/view was BUILT with, validated at
+  * serve time so a mismatched reader fails loudly instead of
+  * silently misinterpreting the data (ADVICE r7).
+  *
+  * Conventions this helper centralizes (previously three hand-rolled
+  * copies in Dedup/Fts/AggView):
+  *   - the file lives NEXT TO the target dir (`<dir>._graft_<kind>
+  *     .json` or a sibling inside the index root), never inside it —
+  *     destructive provisioning truncates the target dir itself;
+  *   - values are JSON-encoded through json4s, so column names with
+  *     quotes/backslashes round-trip (string concatenation did not);
+  *   - the write is atomic (temp file + same-dir rename) and is
+  *     invoked AFTER a successful flow commit ([[Flow]]'s
+  *     `afterCommit` hook), so a declared-but-failed run can never
+  *     relabel an index with parameters it was not built with.
+  */
+object Sidecar {
+
+  def write(file: File, fields: Map[String, String]): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    Option(file.getParentFile).foreach(_.mkdirs())
+    val json = JsonMethods.compact(JsonMethods.render(
+      fields.toSeq.sortBy(_._1).foldLeft(org.json4s.JObject()) {
+        case (o, (k, v)) => o ~ (k -> v)
+      }))
+    val tmp = java.nio.file.Files.createTempFile(
+      file.getParentFile.toPath, "." + file.getName, ".tmp")
+    java.nio.file.Files.write(tmp, json.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, file.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def read(file: File): Option[Map[String, String]] =
+    if (!file.isFile) None
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(file.toPath), "UTF-8")) match {
+        case JObject(fields) => Some(fields.collect {
+          case (k, JString(v)) => k -> v
+        }.toMap)
+        case _ => None
+      }
+    }
+
+  /** Read + compare declared fields; throws on any mismatch. Absent
+    * sidecar: `requireExists` decides between loud failure (serving
+    * paths whose build always writes one) and pass-through (legacy
+    * indexes). */
+  def validate(file: File, declared: Map[String, String],
+      what: String, requireExists: Boolean = false): Unit =
+    read(file) match {
+      case Some(stored) =>
+        val mismatched = declared.filter { case (k, v) =>
+          stored.get(k).exists(_ != v)
+        }
+        if (mismatched.nonEmpty)
+          throw new IllegalArgumentException(
+            s"$what: declared ${mismatched.toSeq.sortBy(_._1)} does not " +
+              s"match the index built with ${stored.toSeq.sortBy(_._1)} " +
+              s"($file)")
+      case None if requireExists =>
+        throw new IllegalStateException(
+          s"$what: missing/unreadable sidecar $file — cannot serve an " +
+            "index whose layout is unknown")
+      case None => ()
+    }
+}

@@ -252,7 +252,11 @@ final case class LocalFsSource(
             unix_millis(col("modificationTime"))).as("memo_state"))
         .filter(matchUdf(col("item_key")))
     }
+    // nested/overlapping prefixes (e.g. "a" and "a/b", or a dir plus
+    // a file inside it) would list shared keys once per prefix — the
+    // reconcile requires a UNIQUE listing per item
     dirRows.foldLeft(fileRows)(_.unionByName(_))
+      .dropDuplicates("item_key")
   }
 
   def list(spark: SparkSession): DataFrame = {

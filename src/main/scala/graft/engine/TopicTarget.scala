@@ -173,11 +173,19 @@ final case class TopicTarget(dir: String,
     * log, not with the app). */
   def committedOffset(group: String): Option[Long] = {
     val f = new java.io.File(s"$dir/_offsets/$group")
-    if (f.isFile)
-      try Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
-        "UTF-8").trim.toLong)
-      catch { case _: NumberFormatException => None }
-    else None
+    if (f.isFile) {
+      val raw = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        "UTF-8").trim
+      // a corrupt offset file must fail loudly: falling back to the
+      // log head would silently skip every message since the last
+      // good commit — the one outcome at-least-once forbids
+      try Some(raw.toLong)
+      catch {
+        case _: NumberFormatException => throw new IllegalStateException(
+          s"corrupt consumer offset for group '$group' at $f: '$raw' — " +
+            "delete the file to restart the group from the log head")
+      }
+    } else None
   }
 
   private def commitOffset(group: String, offset: Long): Unit = {

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.{CocoFn, Flow, ParquetTableTarget, Source}
+import graft.engine.{CocoFn, Flow, ParquetTableTarget, Sidecar, Source}
 
 /** Incrementally-maintained aggregate — a materialized GROUP BY view
   * kept in sync by the engine's reconcile instead of recomputed from
@@ -37,7 +37,7 @@ import graft.engine.{CocoFn, Flow, ParquetTableTarget, Source}
 object AggView {
 
   private def metaFile(viewDir: String) = {
-    val d = new java.io.File(viewDir)
+    val d = new java.io.File(viewDir).getAbsoluteFile
     new java.io.File(d.getParentFile, d.getName + "._graft_aggview.json")
   }
 
@@ -127,32 +127,27 @@ object AggView {
       deps = Seq(s"g=${groupCols.mkString(",")}", s"v=$valueCol",
         s"d=${distinctCol.getOrElse("")}", s"q=$quantiles",
         s"qk=$quantileK"),
-      fn = df => {
-        // persist the sketch parameter WITH the view: serve() must
-        // merge partials at the k they were built with — a silently-
-        // smaller k degrades exact quantiles to approximate with no
-        // error (ADVICE r7). Sibling of the view dir (truncation
-        // survives it), written at a RUN attempt, not at declaration
-        // (a constructed-but-never-run flow must not relabel an
-        // existing view).
-        if (quantiles) {
-          val f = metaFile(viewDir)
-          Option(f.getParentFile).foreach(_.mkdirs())
-          java.nio.file.Files.write(f.toPath,
-            s"""{"quantileK":$quantileK}""".getBytes("UTF-8"))
-        }
-        df.groupBy(col("item_key") +: gcols: _*)
-          .agg(aggs.head, aggs.tail: _*)
-          // to_json of the group-value struct: unambiguous row identity
-          // (a separator join would collide "a","bc" with "ab","c")
-          .withColumn("row_key",
-            concat(col("item_key"), lit(":"), to_json(struct(gcols: _*))))
-      })
+      fn = df => df
+        .groupBy(col("item_key") +: gcols: _*)
+        .agg(aggs.head, aggs.tail: _*)
+        // to_json of the group-value struct: unambiguous row identity
+        // (a separator join would collide "a","bc" with "ab","c")
+        .withColumn("row_key",
+          concat(col("item_key"), lit(":"), to_json(struct(gcols: _*)))))
     new Flow(name,
       BucketedTableSource(table, keyCol, numBuckets),
       Seq(stage),
       ParquetTableTarget(viewDir, numBuckets = 8),
-      stateDir)
+      stateDir,
+      // persist the sketch parameter WITH the view: serve() must
+      // merge partials at the k they were built with — a silently-
+      // smaller k degrades exact quantiles to approximate with no
+      // error (ADVICE r7). Sibling of the view dir (truncation
+      // survives it), written only after a successful commit.
+      afterCommit =
+        if (quantiles) Some(() => Sidecar.write(metaFile(viewDir),
+          Map("quantileK" -> quantileK.toString)))
+        else None)
   }
 
   /** Fold the maintained partials into the final aggregate:
@@ -163,14 +158,9 @@ object AggView {
   def serve(spark: SparkSession, viewDir: String, groupCols: Seq[String],
       quantileK: Int = graft.functions.QuantileSketch.DefaultK)
       : DataFrame = {
-    val metaF = metaFile(viewDir)
-    val servedK =
-      if (metaF.isFile) {
-        val meta = new String(
-          java.nio.file.Files.readAllBytes(metaF.toPath), "UTF-8")
-        "\"quantileK\":(\\d+)".r.findFirstMatchIn(meta)
-          .map(_.group(1).toInt).getOrElse(quantileK)
-      } else quantileK
+    val servedK = Sidecar.read(metaFile(viewDir))
+      .flatMap(_.get("quantileK")).map(_.toInt)
+      .getOrElse(quantileK)
     // through the target's reader, not a raw parquet scan: a
     // legitimately-empty view (every base row deleted) has no data
     // files left, and only the target knows the persisted schema

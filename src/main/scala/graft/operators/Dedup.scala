@@ -294,16 +294,7 @@ object Dedup {
     val stage = graft.engine.CocoFn("minhash_bands", 1,
       deps = Seq(s"h=$numHashes", s"r=$bandRows", s"n=$n",
         s"t=$textCol", s"id=$idCol"),
-      fn = df => {
-        // declare the index parameters next to the index itself, so
-        // serve time can refuse a mismatched read (ADVICE r7). Written
-        // from the stage body — i.e. at a RUN attempt, when the
-        // reconcile is actually about to converge the index to these
-        // parameters — not at flow declaration, where a constructed-
-        // but-never-run flow would leave the sidecar lying about an
-        // index built with older parameters.
-        writeMinHashMeta(indexDir, n, idCol, textCol, numHashes, bandRows)
-        df
+      fn = df => df
         .select(col("item_key"), shingleHashUdf(n)(col(textCol)).as("sh"))
         .withColumn("sig", minHashSigUdf(numHashes)(col("sh")))
         .filter(col("sig").isNotNull)
@@ -312,30 +303,29 @@ object Dedup {
         .withColumn("code", bandCode(bandRows))
         .select(col("item_key"),
           concat(col("item_key"), lit(":"), col("band")).as("row_key"),
-          col("band"), col("code"), col("sz"))
-      })
+          col("band"), col("code"), col("sz")))
     new graft.engine.Flow(name,
       graft.engine.TableSource(corpus, keyCol = idCol),
       Seq(stage),
       graft.engine.ParquetTableTarget(indexDir, numBuckets = 8),
-      stateDir)
+      stateDir,
+      // index parameters are declared next to the index itself, so
+      // serve time can refuse a mismatched read (ADVICE r7) — and
+      // only AFTER a successful commit, so a declared-but-failed run
+      // can never relabel an index built with other parameters
+      afterCommit = Some(() =>
+        graft.engine.Sidecar.write(minHashMetaFile(indexDir), Map(
+          "n" -> n.toString, "idCol" -> idCol, "textCol" -> textCol,
+          "numHashes" -> numHashes.toString,
+          "bandRows" -> bandRows.toString))))
   }
 
   // sibling of the index dir, NOT inside it: a destructive target
   // transition truncates the dir itself, and the declared parameters
   // must survive that
   private def minHashMetaFile(indexDir: String) = {
-    val d = new java.io.File(indexDir)
+    val d = new java.io.File(indexDir).getAbsoluteFile
     new java.io.File(d.getParentFile, d.getName + "._graft_minhash.json")
-  }
-
-  private def writeMinHashMeta(indexDir: String, n: Int, idCol: String,
-      textCol: String, numHashes: Int, bandRows: Int): Unit = {
-    val f = minHashMetaFile(indexDir)
-    Option(f.getParentFile).foreach(_.mkdirs())
-    val json = s"""{"n":$n,"idCol":"$idCol","textCol":"$textCol",""" +
-      s""""numHashes":$numHashes,"bandRows":$bandRows}"""
-    java.nio.file.Files.write(f.toPath, json.getBytes("UTF-8"))
   }
 
   /** Near-dup pairs served from a [[minHashFlow]]-maintained index:
@@ -350,16 +340,9 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       corpus: DataFrame, threshold: Double, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val metaF = minHashMetaFile(indexDir)
-    if (metaF.isFile) {
-      val meta = new String(
-        java.nio.file.Files.readAllBytes(metaF.toPath), "UTF-8")
-      val declared = s"""{"n":$n,"idCol":"$idCol","textCol":"$textCol""""
-      if (!meta.startsWith(declared))
-        throw new IllegalArgumentException(
-          s"minHashPairsOver(n=$n, idCol=$idCol, textCol=$textCol) does " +
-            s"not match the index at $indexDir built with $meta")
-    }
+    graft.engine.Sidecar.validate(minHashMetaFile(indexDir),
+      Map("n" -> n.toString, "idCol" -> idCol, "textCol" -> textCol),
+      what = s"minHashPairsOver($indexDir)")
     val banded = graft.engine.ParquetTableTarget(indexDir).read(spark)
       .select(col("item_key").as("doc_id"), col("band"), col("code"),
         col("sz"))

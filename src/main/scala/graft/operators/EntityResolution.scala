@@ -398,9 +398,15 @@ object EntityResolution {
       .withColumn("id", xxhash64(col("name")))
       .cache()
 
+    // the partition invariant (:427) requires the edge set to be a
+    // SUPERSET of every pair the double-precision greedy search can
+    // surface; the blocked scorer quantizes inputs to float32, so the
+    // threshold is widened by a float-rounding margin (~sqrt(dim)·ε₃₂)
+    // — extra edges only merge components (the resolver still decides
+    // every pair), missing edges would silently change results
     val edges = Similarity.nearDupPairsBlocked(
         base.select(col("id").as("vec_id"), col("emb").as("embedding")),
-        threshold = 1.0 - maxDistance)
+        threshold = math.max(-1.0, 1.0 - maxDistance - 1e-5))
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val comps = connectedComponents(base.select("id"), edges)
 

@@ -153,15 +153,6 @@ object Fts {
       s"$indexDir/postings", numBuckets,
       bucketKeySql = "substring_index(row_key, ':', -1)")
     val post = graft.engine.CocoFn("fts_postings", 1, fn = df => {
-      // declare the layout next to the index so ftsLoad prunes with
-      // the bucket count the index was actually built with — written
-      // at a RUN attempt (the reconcile is about to converge the
-      // index to this layout), not at flow declaration
-      val d = new java.io.File(indexDir)
-      d.mkdirs()
-      java.nio.file.Files.write(
-        new java.io.File(d, "_graft_fts.json").toPath,
-        s"""{"numBuckets":$numBuckets}""".getBytes("UTF-8"))
       val toks = df.select(col("item_key"),
         explode(tokens(col(textCol))).as("term"))
       toks.groupBy("item_key", "term").agg(count(lit(1)).as("tf"))
@@ -180,7 +171,13 @@ object Fts {
     FtsFlows(
       postings = new graft.engine.Flow(name,
         graft.engine.TableSource(corpus, keyCol = idCol),
-        Seq(post), target, s"$stateDir/postings"),
+        Seq(post), target, s"$stateDir/postings",
+        // the layout declaration ftsLoad prunes by — written only
+        // AFTER a successful commit, so it always describes the
+        // bucketing actually on disk
+        afterCommit = Some(() => graft.engine.Sidecar.write(
+          new java.io.File(indexDir, "_graft_fts.json"),
+          Map("numBuckets" -> numBuckets.toString)))),
       docLens = new graft.engine.Flow(s"${name}_dl",
         graft.engine.TableSource(corpus, keyCol = idCol),
         Seq(dl),
@@ -193,14 +190,15 @@ object Fts {
     * partition column and the term→bucket map, so [[bm25]] prunes. */
   def ftsLoad(spark: org.apache.spark.sql.SparkSession, indexDir: String)
       : Index = {
+    // the bucket count MUST come from the index's own declaration: a
+    // silent default would prune with the wrong term→bucket map and
+    // drop real postings from every query — fail loudly instead
     val metaF = new java.io.File(indexDir, "_graft_fts.json")
-    val numBuckets =
-      if (metaF.isFile)
-        "\"numBuckets\":(\\d+)".r
-          .findFirstMatchIn(new String(
-            java.nio.file.Files.readAllBytes(metaF.toPath), "UTF-8"))
-          .map(_.group(1).toInt).getOrElse(8)
-      else 8
+    val numBuckets = graft.engine.Sidecar.read(metaF)
+      .flatMap(_.get("numBuckets")).map(_.toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"ftsLoad: missing/unreadable layout sidecar $metaF — cannot " +
+          "prune an index whose bucketing is unknown"))
     val postings = spark.read.parquet(s"$indexDir/postings")
     Index(
       postings = postings.select(col("item_key").as("doc_id"),

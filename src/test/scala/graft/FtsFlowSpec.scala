@@ -75,6 +75,21 @@ class FtsFlowSpec extends SparkSpec {
       .filter(col("doc_id") === "2").count() == 0)
   }
 
+  test("ftsLoad refuses an index without its layout sidecar") {
+    val root = Files.createTempDirectory("fts-nometa")
+    val corpusDir = root.resolve("corpus").toString
+    val indexDir = root.resolve("index").toString
+    writeCorpus(corpusDir, texts)
+    Fts.ftsFlow(spark, "fts_nm", s => s.read.parquet(corpusDir),
+      indexDir, root.resolve("state").toString).run(spark)
+    // sidecar written after the successful commit: load works
+    assert(Fts.bm25(Fts.ftsLoad(spark, indexDir), Seq("spark")).count() > 0)
+    // losing the sidecar must fail loudly, not prune with a guessed
+    // bucket count that silently drops real postings
+    Files.delete(java.nio.file.Paths.get(indexDir, "_graft_fts.json"))
+    intercept[IllegalStateException] { Fts.ftsLoad(spark, indexDir) }
+  }
+
   test("token-less docs get no doc-length row; served stats match direct") {
     val root = Files.createTempDirectory("fts-dl")
     val corpusDir = root.resolve("corpus").toString

@@ -446,6 +446,11 @@ class FlowSpec extends SparkSpec {
       .toSet == Set("c/z.md"))
     assert(s.listUnder(spark, Seq("missing")).count() == 0)
     assert(s.listUnder(spark, Nil).count() == 0)
+    // overlapping prefixes (nested dirs, dir + file inside it) must
+    // not duplicate listing rows — the reconcile requires uniqueness
+    val overlapped = s.listUnder(spark, Seq("a", "a/b", "a/x.md"))
+      .collect().map(_.getString(0))
+    assert(overlapped.sorted.toSeq == Seq("a/b/y.md", "a/x.md"))
   }
 
   test("two-level mount: deleting a parent GCs its children by stable-path prefix") {

@@ -235,6 +235,14 @@ class TopicTargetSpec extends SparkSpec {
     // a different group has independent offsets: arms at the head
     val other = topic.source(spark, consumerGroup = Some("g2")).watch()
     assert(other.drain() == (Nil, false))
+
+    // a corrupt offset file must fail loudly — arming at the head
+    // would silently skip everything since the last good commit
+    Files.write(java.nio.file.Paths.get(s"${topic.dir}/_offsets/g1"),
+      "not-a-number".getBytes(StandardCharsets.UTF_8))
+    intercept[IllegalStateException] {
+      topic.source(spark, consumerGroup = Some("g1")).watch()
+    }
   }
 
   test("drain caps driver-side keys: oversized segments degrade to rescan") {
