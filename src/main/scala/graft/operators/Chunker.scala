@@ -363,6 +363,13 @@ object Chunker {
           } else {
             val prevPlanIdx =
               if (chunkOverlap > 0) {
+                // NOTE: the heap stores PLAN indices but the overlap
+                // eligibility test reads atoms(planIdx).end — one atom
+                // past the plan's actual chunk end. This is the
+                // reference's own indexing (recursive.rs:505
+                // `atom_chunks[top_prev_plan.1].range.end`), preserved
+                // verbatim for parity; it only errs conservative
+                // (evicts some still-eligible predecessors).
                 while (heap.nonEmpty &&
                     atoms(heap.head._2).end - startChunk.start > chunkOverlap)
                   heap.dequeue()
@@ -389,6 +396,10 @@ object Chunker {
             if (startIdx == 0) break = true
             else {
               startIdx -= 1
+              // folds the old start's boundary SYNTAX level but only
+              // its INTERNAL line-break level (not boundaryLb) — the
+              // reference's exact update (recursive.rs:545-548),
+              // preserved for parity
               internalSyntax =
                 math.min(internalSyntax, startChunk.boundarySyntaxLevel)
               internalLb = math.max(internalLb, startChunk.internalLb)
