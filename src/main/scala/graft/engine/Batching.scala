@@ -21,7 +21,16 @@ object Batching {
 
   /** Apply `call` to `batch`; on failure, split and retry halves;
     * single failing items surface as Left(error) instead of killing
-    * the batch. Results preserve input order. */
+    * the batch. Results preserve input order.
+    *
+    * DELIBERATE difference from [[withTaxonomyRetry]]: the
+    * result-length check sits INSIDE the retried scope, so a callee
+    * that silently drops failed items (returning n-1 results) is
+    * driven down to singleton calls, isolating exactly which item it
+    * drops — spec-pinned behavior ("short result is an error, not a
+    * silent zip"). The taxonomy variant instead fails fast on length
+    * mismatch, because there every non-classified error costs paid
+    * provider retries. */
   def withHalvingRetry[A, B](batch: Seq[A])(call: Seq[A] => Seq[B])
       : Seq[Either[Throwable, B]] =
     if (batch.isEmpty) Nil
@@ -156,12 +165,19 @@ object Batching {
 final class RateLimiter(ratePerSec: Double, burst: Double)
     extends Serializable {
   require(ratePerSec > 0 && burst >= 1)
-  private var permits = burst
-  private var last = System.nanoTime()
+  // transient + lazily armed: System.nanoTime origins are arbitrary
+  // PER JVM, so a driver-captured baseline shipped into an executor
+  // (the documented mapPartitions use) would make the elapsed-time
+  // arithmetic meaningless — each JVM's first acquire re-arms with a
+  // full burst and a local clock
+  @transient private var armed = false
+  @transient private var permits = 0.0
+  @transient private var last = 0L
 
   /** Block until `n` permits are available, then consume them. */
   def acquire(n: Double = 1.0): Unit = synchronized {
     require(n <= burst, s"cannot acquire $n > burst $burst")
+    if (!armed) { armed = true; permits = burst; last = System.nanoTime() }
     var ready = false
     while (!ready) {
       val now = System.nanoTime()

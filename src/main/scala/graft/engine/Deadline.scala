@@ -28,7 +28,22 @@ object Deadline {
     try Await.result(work, timeout)
     catch {
       case _: java.util.concurrent.TimeoutException =>
+        // one cancel only kills jobs active RIGHT NOW — the body
+        // thread keeps running and may submit more jobs in the group
+        // (and covers the race where the timeout fires before the
+        // future was even scheduled). A daemon keeps cancelling until
+        // the body actually stops, so nothing in the group outlives
+        // the deadline by more than the sweep interval.
         sc.cancelJobGroup(group)
+        val sweeper = new Thread(() => {
+          while (!work.isCompleted) {
+            sc.cancelJobGroup(group)
+            Thread.sleep(200)
+          }
+          sc.cancelJobGroup(group)
+        }, s"$group-sweeper")
+        sweeper.setDaemon(true)
+        sweeper.start()
         throw new DeadlineExceededException(
           s"'$description' exceeded $timeout; job group $group cancelled")
     }

@@ -378,9 +378,23 @@ final class Flow(
     }
 
     // ---- the expensive transform, on changed components only ----------
+    // When NOTHING changed (a deletion-only or memo-refresh-only run)
+    // the stages are skipped entirely: desired-in-scope is empty by
+    // definition, and a stage that cannot run on empty input — a
+    // class declaredSchema explicitly tolerates — must not crash the
+    // GC/refresh path.
     val input = loaded.join(changedKeys, Seq("item_key"), "left_semi")
       .drop("__content_fp")
-    val desiredAll = stages.foldLeft(input)((df, stage) => stage.fn(df))
+    val desiredAll =
+      if (nChanged == 0)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("item_key",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("row_key",
+              org.apache.spark.sql.types.StringType))))
+      else stages.foldLeft(input)((df, stage) => stage.fn(df))
     require(desiredAll.columns.contains("item_key") &&
       desiredAll.columns.contains("row_key"),
       s"stage output must carry item_key and row_key; got " +
@@ -401,10 +415,15 @@ final class Flow(
       else desiredAll
     val valueCols = desiredRaw.columns
       .filterNot(c => c == "item_key" || c == "row_key").sorted
+    // payload-less rows (incl. the skipped-transform empty frame)
+    // fingerprint as a constant — to_json(struct()) has no columns to
+    // serialize
+    val valueFp =
+      if (valueCols.isEmpty) md5(lit("{}"))
+      else md5(to_json(struct(valueCols.map(col).toSeq: _*),
+        FnMemo.JsonOptions))
     val desired = desiredRaw
-      .withColumn("value_fp",
-        md5(to_json(struct(valueCols.map(col).toSeq: _*),
-          FnMemo.JsonOptions)))
+      .withColumn("value_fp", valueFp)
       .cache()
 
     // ---- reconcile: classify against the tracking baseline ------------

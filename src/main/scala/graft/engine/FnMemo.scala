@@ -106,9 +106,18 @@ object FnMemo {
         from_json(col("result_json"), resultSchema, JsonOptions))
       .select((withFp.columns.map(col) ++
         resultCols.map(c => col(s"__r.$c").as(c))).toSeq: _*)
+    // checkpoint the WHOLE result, replayed half included: its lineage
+    // reads this scope's fn_memo files under the CURRENT snapshot
+    // version, and a later in-run commit (a sibling memoized stage)
+    // can prune that version — a lineage recompute after executor
+    // loss would then hit deleted files. Eager materialization also
+    // lets the input cache go immediately (no per-tick cache leak).
     val out = replayed.unionByName(
       computed.select((withFp.columns.map(col) ++ resultCols.map(col)).toSeq: _*))
-    out.drop("__args_fp")
+      .drop("__args_fp")
+      .localCheckpoint()
+    withFp.unpersist()
+    out
   }
 
   /** Retention: drop cached calls of `name` that are not in

@@ -68,6 +68,24 @@ object StablePath {
     pathCol === prefix || pathCol.startsWith(prefix + "/")
 }
 
+/** Filesystem helpers shared by the engine's local-disk pieces. */
+object FsUtil {
+  /** Delete `root`'s subtree; `keepRoot` leaves the (now-empty)
+    * directory itself in place. Replaces four hand-rolled copies —
+    * one implementation to fix if semantics ever change. */
+  def deleteRecursively(root: java.io.File, keepRoot: Boolean = false): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    if (root.exists()) {
+      if (keepRoot)
+        Option(root.listFiles()).getOrElse(Array.empty).foreach(rm)
+      else rm(root)
+    }
+  }
+}
+
 /** 128-bit content/logic fingerprints as lowercase hex (the
   * reference uses 16-byte Blake2b, rust/utils/src/fingerprint.rs:39;
   * we use MD5 — also 16 bytes, available both in the JVM and as a

@@ -153,7 +153,16 @@ final class LiveMap(val name: String = "livemap") extends Target {
 
   def apply(spark: SparkSession, upserts: DataFrame,
       deleteKeys: DataFrame): TargetStats = {
-    val up = upserts.limit(LiveMap.MaxEntries + 1).collect()
+    // count EXACTLY before collecting: a limit() here could silently
+    // drop arbitrary rows of an over-cap batch while the engine's
+    // tracking commits them as applied — the map would be missing
+    // rows forever with every later run classifying them noop
+    val nUp = upserts.count()
+    require(nUp <= LiveMap.MaxEntries,
+      s"LiveMap '$name': batch of $nUp rows exceeds the " +
+        s"${LiveMap.MaxEntries}-entry cap — use a ParquetTableTarget " +
+        "chain for unbounded hand-off")
+    val up = upserts.collect()
     val keyIdx = upserts.columns.indexOf("row_key")
     // cap on the RESULTING size: re-upserting present keys updates in
     // place and must not fail a map that isn't actually growing

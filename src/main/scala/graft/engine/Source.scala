@@ -122,16 +122,36 @@ object Source {
     if (bounded.isEmpty)
       emptyBinary(spark)
     else if (bounded.length <= LocalFsSource.MaxPushdownPaths) {
-      // Hadoop treats [ ] { } * ? as glob metacharacters in load paths
-      val paths = bounded.map(r => toPath(r.getString(0)).flatMap {
-        case c if "[]{}*?".indexOf(c) >= 0 => s"\\$c"
-        case c => c.toString
-      })
-      spark.read.format("binaryFile").load(paths.toIndexedSeq: _*)
-        .select(relKey.as("item_key"), col("content"))
+      // a file can vanish between the listing/stat and this load (a
+      // churning live directory): a missing literal path fails plan
+      // resolution, so filter existence driver-side (O(delta) stats,
+      // same order as the re-stat that produced the keys) and let
+      // ignoreMissingFiles absorb the remaining stat→read race — the
+      // vanished item classifies gone on the next tick
+      val conf = spark.sparkContext.hadoopConfiguration
+      val present = bounded.map(r => toPath(r.getString(0))).filter { raw =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(raw)
+          p.getFileSystem(conf).exists(p)
+        } catch { case _: Exception => false }
+      }
+      if (present.isEmpty) emptyBinary(spark)
+      else {
+        // Hadoop treats [ ] { } * ? as glob metacharacters in load paths
+        val paths = present.map(_.flatMap {
+          case c if "[]{}*?".indexOf(c) >= 0 => s"\\$c"
+          case c => c.toString
+        })
+        spark.read.format("binaryFile")
+          .option("ignoreMissingFiles", "true")
+          .load(paths.toIndexedSeq: _*)
+          .select(relKey.as("item_key"), col("content"))
+      }
     } else
       spark.read.format("binaryFile")
-        .option("recursiveFileLookup", "true").load(scanBase)
+        .option("recursiveFileLookup", "true")
+        .option("ignoreMissingFiles", "true")
+        .load(scanBase)
         .select(relKey.as("item_key"), col("content"))
         .join(keys.select("item_key"), Seq("item_key"), "left_semi")
   }

@@ -90,17 +90,29 @@ final class StateStore(spark: SparkSession, rootDir: String) {
   def readFamily(family: String, schema: StructType): DataFrame = {
     val v = currentVersion
     val base = root.resolve(s"v=$v")
-    val shards =
+    val dirs =
       if (v > 0 && Files.exists(base))
         Option(base.toFile.listFiles()).getOrElse(Array.empty)
           .filter(f => f.isDirectory &&
             (f.getName == family || f.getName.startsWith(family + "~")))
-          .map(_.getPath).toSeq
-      else Nil
-    if (shards.isEmpty)
+      else Array.empty[java.io.File]
+    val (legacy, shards) = dirs.partition(_.getName == family)
+    def readDirs(ds: Array[java.io.File]): DataFrame =
+      spark.read.schema(schema).parquet(ds.map(_.getPath).toIndexedSeq: _*)
+    if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema)
-    else spark.read.schema(schema).parquet(shards: _*)
+    else if (legacy.isEmpty || shards.isEmpty) readDirs(dirs)
+    else {
+      // a scope that has migrated to its own shard was SEEDED from the
+      // legacy table (readScoped) — its legacy rows are a frozen copy
+      // that must not double-count or resurrect shard-pruned rows;
+      // only scopes without a shard still read from legacy
+      val shardRows = readDirs(shards)
+      readDirs(legacy)
+        .join(shardRows.select("scope").distinct(), Seq("scope"), "left_anti")
+        .unionByName(shardRows)
+    }
   }
 
   /** Write the next snapshot, then atomically flip `_CURRENT`.
@@ -164,11 +176,7 @@ final class StateStore(spark: SparkSession, rootDir: String) {
   }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => Files.deleteIfExists(f))
-    }
+    FsUtil.deleteRecursively(p.toFile)
 }
 
 object StateStore {

@@ -80,14 +80,8 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
     s"parquet;dir=$dir;pk=row_key;buckets=$numBuckets" +
       (if (bucketKeySql == "row_key") "" else s";bkey=$bucketKeySql")
 
-  override def truncate(spark: SparkSession): Unit = {
-    val root = new java.io.File(dir)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    if (root.exists()) rm(root)
-  }
+  override def truncate(spark: SparkSession): Unit =
+    FsUtil.deleteRecursively(new java.io.File(dir))
 
   private def bucketDirs: Seq[java.io.File] =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
@@ -181,14 +175,8 @@ final case class LocalFsDirTarget(dir: String) extends Target {
 
   override def containerSignature: String = s"managed-dir;dir=$dir"
 
-  override def truncate(spark: SparkSession): Unit = {
-    val root = new java.io.File(dir)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    Option(root.listFiles()).getOrElse(Array.empty).foreach(rm)
-  }
+  override def truncate(spark: SparkSession): Unit =
+    FsUtil.deleteRecursively(new java.io.File(dir), keepRoot = true)
 
   def apply(spark: SparkSession, upserts: DataFrame,
       deleteKeys: DataFrame): TargetStats = {

@@ -46,14 +46,8 @@ final case class TopicTarget(dir: String,
     * is the only destructive transition (topic re-create). */
   override def containerSignature: String = s"topic;dir=$dir"
 
-  override def truncate(spark: SparkSession): Unit = {
-    val root = new java.io.File(dir)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    if (root.exists()) rm(root)
-  }
+  override def truncate(spark: SparkSession): Unit =
+    FsUtil.deleteRecursively(new java.io.File(dir))
 
   private def segments: Seq[(Long, java.io.File)] =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
@@ -160,11 +154,7 @@ final case class TopicTarget(dir: String,
       .filter(col("__rn") === 1)
       .select(col("key"), col("value"), lit(maxSeq).as("seq"))
       .localCheckpoint() // materialize BEFORE deleting the inputs
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    segs.foreach { case (_, d) => rm(d) }
+    segs.foreach { case (_, d) => FsUtil.deleteRecursively(d) }
     folded.write.mode("overwrite").parquet(s"$dir/seg=$maxSeq")
   }
 

@@ -391,6 +391,39 @@ class FlowSpec extends SparkSpec {
     assert(!Files.exists(tgt.resolve("y.md.out")))
   }
 
+  test("deletion-only runs skip the stages: a fragile stage cannot crash GC") {
+    val (src, tgt, st) = (tmpDir("fr-src"), tmpDir("fr-tgt"), tmpDir("fr-st"))
+    write(src, "a.md", "alpha")
+    write(src, "b.md", "bravo")
+    // a stage that cannot run on empty input — the class declaredSchema
+    // explicitly tolerates (degrading to stage-version tracking)
+    val fragile = CocoFn("fragile", 1, fn = df => {
+      if (df.isEmpty)
+        throw new IllegalStateException("cannot run on empty input")
+      df.select(col("item_key"), col("item_key").as("row_key"),
+        length(Source.textOf(col("content"))).as("n"))
+    })
+    val flow = new Flow("fragile",
+      LocalFsSource(src.toString, Seq("**.md")), Seq(fragile),
+      ParquetTableTarget(tgt.toString, numBuckets = 2), st.toString)
+    assert(flow.run(spark).rowsInserted == 2)
+
+    // delete one file with nothing else changed: nChanged == 0, so the
+    // stages must be skipped entirely — the GC path cannot depend on a
+    // stage being runnable on empty input
+    Files.delete(src.resolve("a.md"))
+    val r = flow.run(spark)
+    assert(r.deletedComponents == 1 && r.rowsDeleted == 1, s"$r")
+    assert(ParquetTableTarget(tgt.toString, 2).read(spark)
+      .select("row_key").collect().map(_.getString(0)).toSet == Set("b.md"))
+    // and a touch-only (memo-refresh) run takes the same skip path
+    val now = System.currentTimeMillis()
+    Files.setLastModifiedTime(src.resolve("b.md"),
+      java.nio.file.attribute.FileTime.fromMillis(now + 5000))
+    val r2 = flow.run(spark)
+    assert(r2.refreshed == 1 && r2.recomputed == 0, s"$r2")
+  }
+
   test("taxonomy retry inside a stage: transients recover, poison routes to errors") {
     val (src, tgt, st) = (tmpDir("rt-src"), tmpDir("rt-tgt"), tmpDir("rt-st"))
     write(src, "a.md", "alpha")
