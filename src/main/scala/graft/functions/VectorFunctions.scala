@@ -30,8 +30,15 @@ object VectorFunctions {
 
   def l2Norm(a: Column): Column = sqrt(squaredNorm(a))
 
-  def cosineSimilarity(a: Column, b: Column): Column =
-    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    // zero-norm guard: under Spark 4's default ANSI mode a division
+    // by zero THROWS, so one all-zeros embedding (a failed embed
+    // call) would kill the whole job; define cos(0-vector, _) = 0
+    val denom = l2Norm(a) * l2Norm(b)
+    org.apache.spark.sql.functions.when(denom === 0.0,
+      org.apache.spark.sql.functions.lit(0.0))
+      .otherwise(dotProduct(a, b) / denom)
+  }
 
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(

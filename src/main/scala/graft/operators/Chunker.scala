@@ -101,10 +101,17 @@ object Chunker {
     }
     if (start >= 0) merged += ((start, end))
 
-    // 3. apply overlap and trim sub-minimum tails; compute line numbers.
-    val spans = merged.result().filter { case (s0, e0) =>
-      e0 - s0 >= math.min(minChunkSize, text.length)
-    }
+    // 3. apply overlap and trim a sub-minimum TAIL; compute line
+    // numbers. Only the tail may be dropped — an interior span below
+    // the minimum (an atom its neighbors couldn't absorb) must stay,
+    // or its text would appear in no chunk at all.
+    val allSpans = merged.result()
+    val spans =
+      if (allSpans.length > 1 &&
+          (allSpans.last._2 - allSpans.last._1) <
+            math.min(minChunkSize, text.length))
+        allSpans.dropRight(1)
+      else allSpans
     // 1-based line number = 1 + count of newlines strictly before off
     val lineOf: Int => Int = {
       val nl = Array.newBuilder[Int]

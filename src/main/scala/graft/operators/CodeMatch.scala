@@ -49,7 +49,10 @@ object CodeMatch {
       keywords: Set[String] = DefaultKeywords): Seq[String] = {
     // composite matchers first (they may contain quotes/regexes whose
     // content is NOT required — a `\(A?:/x/\)` can match empty)
-    val noComposite = pattern.replaceAll("""\\\(.*?\\\)""", " ")
+    // (?s): a composite matcher can span newlines — without DOTALL
+    // its inner tokens would leak into the required set, making the
+    // prefilter reject sources the pattern actually matches
+    val noComposite = pattern.replaceAll("""(?s)\\\(.*?\\\)""", " ")
     val noMeta = noComposite.replaceAll("""\\[A-Za-z_][A-Za-z0-9_]*""", " ")
 
     val strLit = java.util.regex.Pattern.compile("\"([^\"]*)\"|'([^']*)'")

@@ -86,22 +86,37 @@ object Curation {
   def distinctWordFraction(text: Column): Column =
     distinctWordFractionOf(TextFunctions.words(text))
 
-  /** The Gopher-style keep decision (thresholds tuned for this
-    * corpus' vocabulary so both classes are exercised; a production
-    * sweep would sweep them). */
+  /** The Gopher-style keep decision over a PRE-STAGED word array —
+    * pass a column REFERENCE to a projected `words(text)` column (the
+    * q67 `__ws` pattern), so the tokenize runs once per row instead
+    * of once per statistic. */
+  def repetitionKeepOf(
+      ws: Column,
+      maxTopWordFrac: Double = 0.12,
+      maxTopBigramFrac: Double = 0.05,
+      minDistinctFrac: Double = 0.5,
+      minWords: Int = 10,
+      maxWords: Int = 100000): Column = {
+    val n = size(ws)
+    (topWordFractionOf(ws) <= maxTopWordFrac) &&
+      (topBigramFractionOf(ws) <= maxTopBigramFrac) &&
+      (distinctWordFractionOf(ws) >= minDistinctFrac) &&
+      (n >= minWords) && (n <= maxWords)
+  }
+
+  /** Convenience form over raw text. CAUTION: each statistic inlines
+    * its own copy of the word split (~15 tokenizations per row after
+    * CollapseProject) — for a corpus-scale filter pass, stage the
+    * array once and use [[repetitionKeepOf]]. */
   def repetitionKeep(
       text: Column,
       maxTopWordFrac: Double = 0.12,
       maxTopBigramFrac: Double = 0.05,
       minDistinctFrac: Double = 0.5,
       minWords: Int = 10,
-      maxWords: Int = 100000): Column = {
-    val n = TextFunctions.wordCount(text)
-    (topWordFraction(text) <= maxTopWordFrac) &&
-      (topBigramFraction(text) <= maxTopBigramFrac) &&
-      (distinctWordFraction(text) >= minDistinctFrac) &&
-      (n >= minWords) && (n <= maxWords)
-  }
+      maxWords: Int = 100000): Column =
+    repetitionKeepOf(TextFunctions.words(text), maxTopWordFrac,
+      maxTopBigramFrac, minDistinctFrac, minWords, maxWords)
 
   // ---- PII redaction ------------------------------------------------------
 

@@ -72,7 +72,7 @@ object Dedup {
     val candidates = prefix.select(col("doc_id").as("doc_a"),
         col("sz").as("sz_a"), col("tok"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
-        col("tok")), Seq("tok"))
+        col("tok")), Seq("tok")) // (d unpersisted after materialization below)
       .filter(col("doc_a") < col("doc_b") &&
         // length filter (exact): J ≥ t ⇒ t·|A| ≤ |B| and t·|B| ≤ |A|
         col("sz_b") >= col("sz_a") * threshold &&
@@ -86,10 +86,13 @@ object Dedup {
     // materializing the concatenated array per pair
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val unionSize = size(col("sh_a")) + size(col("sh_b")) - inter
-    verified
+    val out = verified
       .withColumn("jaccard", round(inter.cast("double") / unionSize, 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+      .localCheckpoint() // materialize, then release the shingle cache
+    d.unpersist()
+    out
   }
 
   /** 64-bit SimHash of a document's shingle set: each shingle hash
@@ -207,8 +210,11 @@ object Dedup {
       col("sig"))
       .withColumn("code", bandCode(bandRows))
       .select("doc_id", "sz", "band", "code")
-    verifyJaccard(bandCandidates(banded, threshold),
+    val out = verifyJaccard(bandCandidates(banded, threshold),
       d.select("doc_id", "sh"), threshold)
+      .localCheckpoint() // materialize, then release the signature cache
+    d.unpersist()
+    out
   }
 
   /** MinHash signatures from the already-hashed shingle column — the

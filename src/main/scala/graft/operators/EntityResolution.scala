@@ -90,8 +90,13 @@ object EntityResolution {
         .join(broadcast(mapDf), Seq("id"), "left")
         .select(col("id"), coalesce(col("__cc"), col("id")).as("component"))
     }
+    // cast to long like the local path: raw string ids would make
+    // min/least compare LEXICOGRAPHICALLY ("10" < "9"), yielding
+    // different labels (and a different schema) than the union-find
+    // side of the threshold
     var labels = vertices
-      .select(col(idCol).as("id"), col(idCol).as("component"))
+      .select(col(idCol).cast("long").as("id"),
+        col(idCol).cast("long").as("component"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0

@@ -152,7 +152,11 @@ object Fts {
     val target = graft.engine.ParquetTableTarget(
       s"$indexDir/postings", numBuckets,
       bucketKeySql = "substring_index(row_key, ':', -1)")
-    val post = graft.engine.CocoFn("fts_postings", 1, fn = df => {
+    // textCol/idCol are stage logic: reconfiguring either on an
+    // existing stateDir must invalidate the memo, or unchanged docs
+    // keep serving postings built from the OLD column
+    val post = graft.engine.CocoFn("fts_postings", 1,
+      deps = Seq(s"t=$textCol", s"id=$idCol"), fn = df => {
       val toks = df.select(col("item_key"),
         explode(tokens(col(textCol))).as("term"))
       toks.groupBy("item_key", "term").agg(count(lit(1)).as("tf"))
@@ -164,7 +168,8 @@ object Fts {
     // have no doc-length row either — otherwise the served N/avgdl
     // diverge from buildIndex, which derives lengths from exploded
     // tokens and never sees such docs
-    val dl = graft.engine.CocoFn("fts_doclen", 1, fn = df => df
+    val dl = graft.engine.CocoFn("fts_doclen", 1,
+      deps = Seq(s"t=$textCol", s"id=$idCol"), fn = df => df
       .select(col("item_key"), col("item_key").as("row_key"),
         size(tokens(col(textCol))).cast("long").as("dl"))
       .filter(col("dl") > 0))

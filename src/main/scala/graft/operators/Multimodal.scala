@@ -130,13 +130,16 @@ object Multimodal {
       .toDF(keyCol, "frame_idx", "frame_bytes")
   }
 
-  /** Resize STUB: rescales the fake decode's dimensions and features
-    * to a target box, preserving aspect ratio — the transform a real
-    * image pipeline applies post-decode. Pure columnar arithmetic on
-    * the decode output. */
+  /** Rescale decoded dimensions to a target box, preserving aspect
+    * ratio — the transform a real image pipeline applies post-decode.
+    * Pure columnar arithmetic on the decode output. */
   def resizeTo(decoded: DataFrame, maxSide: Int): DataFrame = {
-    val scale = least(lit(1.0),
-      lit(maxSide) / greatest(col("width"), col("height")))
+    // decode_ok=false rows carry width=height=0 by contract; a
+    // division by that zero would THROW under ANSI mode — pass the
+    // zeroed rows through unscaled instead
+    val longSide = greatest(col("width"), col("height"))
+    val scale = when(longSide === 0, lit(1.0))
+      .otherwise(least(lit(1.0), lit(maxSide) / longSide))
     // clamp: ceil can overshoot by 1 when the double division rounds
     // up (e.g. 224/293 * 293 = 224.00000000000003)
     decoded

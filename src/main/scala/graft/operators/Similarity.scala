@@ -309,7 +309,9 @@ object Similarity {
     }
 
     val assign = graft.engine.CocoFn("ivf_assign", 1,
-      deps = Seq(s"cells=$nCells"),
+      // embCol is stage logic: switching the embedding column on an
+      // existing stateDir must invalidate memoized assignments
+      deps = Seq(s"cells=$nCells", s"emb=$embCol", s"id=$idCol"),
       fn = df => {
         val cents = df.sparkSession.read.parquet(centDir)
         val vecs = df.select(col("item_key").as("neighbor_id"),
@@ -472,7 +474,11 @@ object Similarity {
           if (ia != ib) {
             var dot = 0.0; var k = 0
             while (k < ea.length) { dot += ea(k) * eb(k); k += 1 }
-            val cos = dot / (na * nb)
+            // zero-norm pairs score 0, not NaN (NaN >= cutoff is
+            // silently false — it would drop the pair even when a
+            // non-positive threshold should include it, diverging
+            // from the scorers that already guard this)
+            val cos = if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
             if (cos >= cutoff)
               out += (if (ia < ib) (ia, ib, cos) else (ib, ia, cos))
           }

@@ -133,6 +133,19 @@ class ChunkerSpec extends SparkSpec {
     // null-safe UDF form covered by q56 at the oracle gate
   }
 
+  test("greedy splitter keeps interior sub-minimum spans (only tails drop)") {
+    // the middle atom is too small to merge into either full
+    // neighbor: it must still be emitted, or its text vanishes from
+    // every downstream embed/index
+    val text = "aaaaaaaaaa\n\nx\n\nbbbbbbbbbb"
+    val chunks = Chunker.recursiveSplit(text, 10, 0, minChunkSize = 5)
+    val covered = chunks.flatMap(c => c.start_char until c.end_char).toSet
+    text.zipWithIndex.foreach { case (ch, i) =>
+      if (!ch.isWhitespace)
+        assert(covered(i), s"char $i '$ch' lost by the merge filter")
+    }
+  }
+
   // -------------------------------------------------------------------
   // RecursiveMerge parity: the reference's own split tests, verbatim
   // (rust/ops_text/src/split/recursive.rs:723-810). These gate the

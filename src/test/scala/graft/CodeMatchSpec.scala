@@ -27,6 +27,12 @@ class CodeMatchSpec extends SparkSpec {
     // (prefilter.rs:103-110); the regex content must NOT be required
     val terms = CodeMatch.requiredTerms("""handler(\(A?:/optional_lit/\))""")
     assert(terms == Seq("handler"))
+    // a composite spanning a NEWLINE must strip too — without DOTALL
+    // its inner tokens would leak into the required set and the
+    // prefilter would reject sources the pattern matches (unsound)
+    val multiline = CodeMatch.requiredTerms(
+      "handler(\\(A?:\noptional_lit\\))")
+    assert(multiline == Seq("handler"))
   }
 
   test("requiredTerms: minLen drops short terms") {
