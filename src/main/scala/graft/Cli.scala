@@ -35,10 +35,11 @@ object Cli {
 
   def flowFor(srcDir: String, workDir: String): Flow = {
     // version history: v2 = BOM-aware decode (chunk) and the
-    // single-pass FNV embedder (embed) — stage logic changed, so the
-    // fingerprints must change or persisted indexes silently mix the
-    // old and new value spaces
-    val chunk = CocoFn("chunk", 2, deps = Seq("size=400", "overlap=40"),
+    // single-pass FNV embedder (embed); v3 = recursiveSplit keeps
+    // interior sub-minimum spans (r8 DP-merge parity) — stage logic
+    // changed, so the fingerprints must change or persisted indexes
+    // silently mix the old and new value spaces
+    val chunk = CocoFn("chunk", 3, deps = Seq("size=400", "overlap=40"),
       fn = df => {
         val c = Chunker.chunkUdf(chunkSize = 400, overlap = 40,
           language = "markdown")

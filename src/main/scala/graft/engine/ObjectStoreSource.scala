@@ -117,11 +117,20 @@ final case class ObjectStoreSource(
       }
 
     val m = matcher
+    keyedRows(spark, walked, base)
+  }
+
+  /** (uri, size, mtime) walk output → (item_key, memo_state, size)
+    * listing rows. A listed URI outside the qualified base would
+    * corrupt item keys (and the memo entries keyed by them) — fail
+    * loudly, the next listing cannot silently disagree with this one. */
+  private def keyedRows(
+      spark: SparkSession,
+      walked: org.apache.spark.rdd.RDD[(String, Long, Long)],
+      base: String): DataFrame = {
+    val m = matcher
     import spark.implicits._
-    val rows = walked.toDF("uri", "size", "mtime")
-      // a listed URI outside the qualified base would corrupt item
-      // keys (and the memo entries keyed by them) — fail loudly, the
-      // next listing cannot silently disagree with this one
+    walked.toDF("uri", "size", "mtime")
       .withColumn("item_key",
         when(col("uri").startsWith(base),
           expr(s"substring(uri, ${base.length + 1})"))
@@ -129,9 +138,44 @@ final case class ObjectStoreSource(
             lit(s"ObjectStoreSource: listed URI outside base $base: "),
             col("uri")))))
       .filter(udf((rel: String) => m.matches(rel)).apply(col("item_key")))
-    rows.select(col("item_key"),
-      concat_ws(":", col("size"), col("mtime")).as("memo_state"),
-      col("size"))
+      .select(col("item_key"),
+        concat_ws(":", col("size"), col("mtime")).as("memo_state"),
+        col("size"))
+  }
+
+  /** O(subtree) prefix listing — the [[LocalFsSource.listUnder]]
+    * counterpart for object stores. Each directory-shaped prefix
+    * walks ONLY its subtree (one executor task); a file-shaped
+    * prefix is one HEAD via [[listKeys]]; a vanished prefix drops
+    * out. Without this override the trait default re-lists the whole
+    * bucket for a scoped [[Flow.runDeltaPrefix]] catch-up. */
+  override def listUnder(spark: SparkSession, prefixes: Seq[String])
+      : DataFrame = {
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val base = qualifiedBase(conf.value)
+    val fs = basePath.getFileSystem(conf.value)
+    val (dirPrefixes, filePrefixes) = prefixes.distinct.partition { p =>
+      try fs.getFileStatus(new Path(base + p)).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
+    }
+    val fileRows = listKeys(spark, filePrefixes)
+    if (dirPrefixes.isEmpty) fileRows
+    else {
+      val walked = spark.sparkContext
+        .parallelize(dirPrefixes.map(base + _), dirPrefixes.length)
+        .flatMap { prefix =>
+          val p = new Path(prefix)
+          val pfs = p.getFileSystem(conf.value)
+          statsUnder(pfs, p, recursive = true).map(s =>
+            (s.getPath.toString, s.getLen, s.getModificationTime))
+        }
+      // nested/overlapping prefixes would list shared keys once per
+      // prefix — the reconcile requires a UNIQUE listing per item
+      fileRows.unionByName(
+          keyedRows(spark, walked, base).drop("size"))
+        .dropDuplicates("item_key")
+    }
   }
 
   /** O(keys) per-key stat — the live delta loop's re-stat, one HEAD

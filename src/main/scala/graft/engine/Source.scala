@@ -142,10 +142,23 @@ object Source {
           case c if "[]{}*?".indexOf(c) >= 0 => s"\\$c"
           case c => c.toString
         })
+        // Every path here was derived from a REQUESTED key, so a key
+        // the source cannot map back (its `\u0000` sentinel prefix)
+        // is a derivation bug that would silently drop the item's
+        // content — and the reconcile would then delete its target
+        // rows and commit the memo as recomputed. Fail loudly; the
+        // lenient sentinel drop is only for full-scan bystanders
+        // below, where the semi-join filters them.
         spark.read.format("binaryFile")
           .option("ignoreMissingFiles", "true")
           .load(paths.toIndexedSeq: _*)
-          .select(relKey.as("item_key"), col("content"))
+          .select(
+            when(relKey.startsWith("\u0000"),
+              raise_error(concat(
+                lit("boundedBinaryLoad: unresolvable path for requested key: "),
+                col("path"))))
+              .otherwise(relKey).as("item_key"),
+            col("content"))
       }
     } else
       spark.read.format("binaryFile")

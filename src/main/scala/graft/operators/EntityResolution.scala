@@ -406,12 +406,19 @@ object EntityResolution {
     // the partition invariant (:427) requires the edge set to be a
     // SUPERSET of every pair the double-precision greedy search can
     // surface; the blocked scorer quantizes inputs to float32, so the
-    // threshold is widened by a float-rounding margin (~sqrt(dim)·ε₃₂)
-    // — extra edges only merge components (the resolver still decides
-    // every pair), missing edges would silently change results
+    // threshold is widened by a float-rounding margin — extra edges
+    // only merge components (the resolver still decides every pair),
+    // missing edges would silently change results. float32 dot-product
+    // error grows ~linearly with dimension (dim accumulation steps of
+    // ε₃₂ ≈ 1.2e-7 each), so the margin scales with the actual
+    // embedding width instead of assuming low-dim: a fixed 1e-5 is
+    // exceeded by few-thousand-dim embeddings.
+    val dim = base.select(size(col("emb")))
+      .as[Int].head(1).headOption.getOrElse(0)
+    val f32Margin = dim * 1.2e-7 + 1e-6
     val edges = Similarity.nearDupPairsBlocked(
         base.select(col("id").as("vec_id"), col("emb").as("embedding")),
-        threshold = math.max(-1.0, 1.0 - maxDistance - 1e-5))
+        threshold = math.max(-1.0, 1.0 - maxDistance - f32Margin))
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val comps = connectedComponents(base.select("id"), edges)
 
