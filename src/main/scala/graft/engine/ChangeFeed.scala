@@ -1,0 +1,52 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A keyed change feed adapted onto any [[Source]] — the reference's
+  * `LiveMapFeed` driving `mount_each` (python/cocoindex/_internal/
+  * live_component.py:567 `_MountEachLiveComponent.process_live`:
+  * each feed entry updates/deletes exactly its key's component;
+  * kafka/_source.py:482 is the canonical feed).
+  *
+  * The wrapped source answers the engine's table-shaped questions
+  * (`list`/`load`/`listKeys`); the feed answers "what changed since
+  * last time" — so a table-backed flow ([[graft.operators.AggView]],
+  * the FTS/MinHash/IVF index flows) stops re-fingerprinting the whole
+  * base table per refresh: [[Flow.runFeed]] / [[Flow.runLiveWatched]]
+  * drain the feed and re-stat ONLY the drained keys through
+  * [[Source.listKeys]], which [[TableSource]] answers with a
+  * pushed-down O(keys) scan. At 100 TB base scale this is the
+  * difference between a refresh that costs O(delta) and one that
+  * re-reads the table to discover that 0.1% of it changed.
+  *
+  * The feed thunk is invoked per watch(): each arm produces a fresh
+  * watcher (durable feeds — e.g. [[TopicTarget.feed]] with a consumer
+  * group — resume from their committed offset, so one-shot catch-up
+  * runs compose across process restarts).
+  */
+final case class ChangeFeedSource(inner: Source, feed: () => SourceWatcher)
+    extends Source with WatchableSource {
+  def list(spark: SparkSession): DataFrame = inner.list(spark)
+  def load(spark: SparkSession, keys: DataFrame): DataFrame =
+    inner.load(spark, keys)
+  def contentFpOf: Option[org.apache.spark.sql.Column] = inner.contentFpOf
+  override def listKeys(spark: SparkSession, keys: Seq[String]): DataFrame =
+    inner.listKeys(spark, keys)
+  override def listUnder(spark: SparkSession, prefixes: Seq[String]): DataFrame =
+    inner.listUnder(spark, prefixes)
+  def watch(): SourceWatcher = feed()
+}
+
+/** Key-space adapter for a drained delta: the feed speaks the BASE
+  * table's row keys, but a flow's components may live in a coarser
+  * key space (AggView's hash buckets). `f` maps a batch of feed keys
+  * into component keys; overflow passes through untouched (the full
+  * rescan it forces re-lists every component anyway). */
+final class MappedWatcher(inner: SourceWatcher, f: Seq[String] => Seq[String])
+    extends SourceWatcher {
+  def drain(): (Seq[String], Boolean) = {
+    val (keys, overflow) = inner.drain()
+    (f(keys).distinct, overflow)
+  }
+  def close(): Unit = inner.close()
+}

@@ -281,8 +281,17 @@ final class Flow(
     val pFp = planned.effectiveFp
 
     // ---- memo probe (level 1: listing state vs stored memo) -----------
+    // listing and probe are METADATA-scale (one short row per source
+    // item) but their lineage is the source's full listing plan — and
+    // they fan out into nearly every downstream action (classify,
+    // load keys, memo rebuild, commit writes). localCheckpoint (not
+    // cache) truncates that lineage to a leaf: Catalyst stops
+    // re-analyzing the whole source plan on each of the ~10 actions
+    // per run, which at small deltas is the dominant fixed cost of an
+    // engine pass. (Payload-scale frames below stay cache(): they are
+    // recomputable and never held beyond the run.)
     val listing = listingOverride.getOrElse(source.list(spark))
-      .select(col("item_key"), col("memo_state")).cache()
+      .select(col("item_key"), col("memo_state")).localCheckpoint()
     val memo = st.read("component_memo", ComponentMemoSchema)
     val probe = listing.select(col("item_key"), col("memo_state"))
       .join(memo.select(col("item_key"), col("processor_fp"),
@@ -294,8 +303,14 @@ final class Flow(
           .when(col("processor_fp") =!= pFp ||
             lit(fullReprocess), lit("changed"))                    // logic change
           .when(col("stored_state") === col("memo_state"), lit("unchanged"))
-          .otherwise(lit("suspect")))                              // level 2 needed
-      .cache()
+          // level 2 exists only for sources WITH a content
+          // fingerprint: without one there is no refresh outcome —
+          // classifying straight to changed skips the whole level-2
+          // join/count chain (several Spark jobs per run) that would
+          // conclude "changed" anyway
+          .otherwise(lit(
+            if (source.contentFpOf.isDefined) "suspect" else "changed")))
+      .localCheckpoint()
 
     // classification counts: a ≤4-row aggregate — the per-item probe
     // rows never leave the executors (at 10⁷–10⁸ source items a
@@ -549,6 +564,61 @@ final class Flow(
       .foreach(_.unpersist())
     stats
   }
+
+  /** One-shot O(delta) catch-up from the source's change feed — the
+    * batch twin of [[runLiveWatched]] for DURABLE feeds (e.g.
+    * [[TopicTarget.feed]] with a consumer group): arm the watcher,
+    * bootstrap with one full run iff this flow has never committed a
+    * memo (the reference's committed-state-gated `update_all()`,
+    * live_component.py:546-564), then drain-and-[[runDelta]] until a
+    * drain comes back empty — that final empty drain is also what
+    * commits the last processed tick's offset (the one-drain-late
+    * protocol). Every subsequent refresh over an N-component base
+    * with a k-key delta costs O(k) stat work, not an O(N) re-listing.
+    *
+    * A watcher overflow falls back to exactly one full rescan; a
+    * source without a feed degrades to a plain [[run]]. Stats are the
+    * summed deltas of every tick this call processed (component
+    * totals are the final tick's). */
+  def runFeed(spark: SparkSession, maxTicks: Int = 1000): RunStats =
+    source match {
+      case w: WatchableSource =>
+        val watcher = w.watch() // armed/resumed BEFORE any scan
+        try {
+          val bootstrap =
+            state(spark).read("component_memo", ComponentMemoSchema).isEmpty
+          var acc: Option[RunStats] = if (bootstrap) Some(run(spark)) else None
+          var done = false
+          var ticks = 0
+          while (!done && ticks < maxTicks) {
+            ticks += 1
+            val (delta, overflow) = watcher.drain()
+            if (overflow) acc = Some(mergeStats(acc, run(spark)))
+            else if (delta.isEmpty) done = true
+            else acc = Some(mergeStats(acc, runDelta(spark, delta)))
+          }
+          acc.getOrElse(RunStats(0, 0, 0, 0, 0, 0, 0, 0, 0))
+        } finally watcher.close()
+      case _ => run(spark)
+    }
+
+  /** Tick-summed stats: deltas add; component totals (components /
+    * unchanged) describe the corpus as of the LAST tick. */
+  private def mergeStats(acc: Option[RunStats], next: RunStats): RunStats =
+    acc match {
+      case None => next
+      case Some(a) => RunStats(
+        components = next.components,
+        unchanged = next.unchanged,
+        refreshed = a.refreshed + next.refreshed,
+        recomputed = a.recomputed + next.recomputed,
+        deletedComponents = a.deletedComponents + next.deletedComponents,
+        rowsInserted = a.rowsInserted + next.rowsInserted,
+        rowsUpdated = a.rowsUpdated + next.rowsUpdated,
+        rowsDeleted = a.rowsDeleted + next.rowsDeleted,
+        rowsNoop = a.rowsNoop + next.rowsNoop,
+        rowsFailed = a.rowsFailed + next.rowsFailed)
+    }
 
   /** Run continuously: re-execute on a fixed delay as a streaming
     * query; each tick costs only the changed delta (reference live

@@ -371,8 +371,10 @@ object LocalFsSource {
 final case class TableSource(
     table: SparkSession => DataFrame, keyCol: String) extends Source {
 
-  def list(spark: SparkSession): DataFrame = {
-    val df = table(spark)
+  /** The shared level-1 fingerprint projection — [[list]] and
+    * [[listKeys]] MUST produce bit-identical memo states for the same
+    * row, or a delta re-stat would misclassify every surviving key. */
+  private def fingerprinted(df: DataFrame): DataFrame = {
     val valueCols = df.columns.filterNot(_ == keyCol).sorted.map(col)
     // FnMemo.JsonOptions: the default to_json truncates timestamps to
     // milliseconds — a micro-only change would be invisible here, and
@@ -382,13 +384,63 @@ final case class TableSource(
         .as("memo_state"))
   }
 
-  /** Semi-join on the key set — fully plan-side: no driver
-    * materialization at any delta size; AQE turns it into a broadcast
-    * join when the changed set is small. */
-  def load(spark: SparkSession, keys: DataFrame): DataFrame =
-    table(spark)
-      .withColumn("item_key", col(keyCol).cast("string"))
-      .join(keys.select("item_key"), Seq("item_key"), "left_semi")
+  /** Keys arrive as the STRING item_key (`cast(keyCol as string)`);
+    * a filter on `cast(keyCol as string) IN (...)` is correct but a
+    * cast blocks parquet pushdown, so integral/string key columns get
+    * the literals parsed back to the column's own type — the plain
+    * `keyCol IN (...)` then reaches the scan as `PushedFilters: In`
+    * (string round-trips exactly for these types). Other key types
+    * keep the cast form: still O(keys) fingerprint work after the
+    * scan, just without storage-level pruning. */
+  private def keyFilter(df: DataFrame, keys: Seq[String]): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(keyCol).dataType match {
+      case LongType    => col(keyCol).isin(keys.map(_.toLong): _*)
+      case IntegerType => col(keyCol).isin(keys.map(_.toInt): _*)
+      case ShortType   => col(keyCol).isin(keys.map(_.toShort): _*)
+      case ByteType    => col(keyCol).isin(keys.map(_.toByte): _*)
+      case StringType  => col(keyCol).isin(keys: _*)
+      case _ => col(keyCol).cast("string").isin(keys: _*)
+    }
+  }
+
+  def list(spark: SparkSession): DataFrame = fingerprinted(table(spark))
+
+  /** O(keys) re-stat — the [[graft.engine.ChangeFeedSource]] delta
+    * path: the key filter is applied to the RAW table before any
+    * fingerprinting, so a k-key drain over an N-row base fingerprints
+    * k rows, not N (and prunes the scan itself when the filter pushes
+    * down). The trait default would re-fingerprint the whole table
+    * and semi-join — exactly the full scan a change feed exists to
+    * avoid. */
+  override def listKeys(spark: SparkSession, keys: Seq[String]): DataFrame = {
+    val df = table(spark)
+    if (keys.isEmpty) fingerprinted(df).limit(0)
+    else fingerprinted(df.filter(keyFilter(df, keys.distinct)))
+  }
+
+  /** Bounded literal pushdown, then semi-join past the bound (the
+    * [[Source.boundedBinaryLoad]] policy): a small changed set loads
+    * through a pushed-down `IN` — O(delta) row decodes — while a
+    * backfill-sized delta degrades to the fully plan-side semi-join
+    * (no driver materialization at any delta size; AQE broadcasts the
+    * key side when small). */
+  def load(spark: SparkSession, keys: DataFrame): DataFrame = {
+    val full = table(spark)
+    // limit(cap+1) never truncates a set that is within the cap — it
+    // either returns ALL keys (≤ cap) or proves the set is over it
+    val bounded = keys.select(col("item_key"))
+      .limit(LocalFsSource.MaxPushdownPaths + 1).collect()
+    if (bounded.length <= LocalFsSource.MaxPushdownPaths) {
+      val ks = bounded.map(_.getString(0)).toSeq.distinct
+      if (ks.isEmpty)
+        full.withColumn("item_key", col(keyCol).cast("string")).limit(0)
+      else full.filter(keyFilter(full, ks))
+        .withColumn("item_key", col(keyCol).cast("string"))
+    } else
+      full.withColumn("item_key", col(keyCol).cast("string"))
+        .join(keys.select("item_key"), Seq("item_key"), "left_semi")
+  }
 
   def contentFpOf: Option[Column] = None
 }

@@ -101,8 +101,18 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
       deleteKeys: DataFrame): TargetStats = {
     val up = upserts.withColumn("bucket", bucketOf).cache()
     val del = deleteKeys.select(col("row_key")).cache()
-    val nUp = up.count()
-    val nDel = del.count()
+    // ONE driver action answers everything the apply plan needs —
+    // row counts per side and the touched-bucket set (this replaces
+    // three separate count/collect jobs; every engine pass pays this
+    // path, so job count here is pure fixed overhead)
+    val perBucket = up.select(col("bucket"), lit(1L).as("is_up"))
+      .unionByName(del.select(bucketOf.as("bucket"), lit(0L).as("is_up")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("is_up").as("n_up"))
+      .collect()
+    val nTotal = perBucket.map(_.getLong(1)).sum
+    val nUp = perBucket.map(_.getLong(2)).sum
+    val nDel = nTotal - nUp
     if (nUp == 0 && nDel == 0) return TargetStats(0, 0)
 
     if (!exists) {
@@ -115,9 +125,7 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
     }
 
     val touchedKeys = up.select("row_key").union(del).distinct()
-    val touchedBuckets = touchedKeys
-      .select(bucketOf.as("bucket"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val touchedBuckets = perBucket.map(_.getInt(0)).toSeq
 
     val current = read(spark).filter(col("bucket").isin(touchedBuckets: _*))
     val survivors = current.join(touchedKeys, Seq("row_key"), "left_anti")

@@ -221,46 +221,63 @@ final case class TopicTarget(dir: String,
     * collecting the whole corpus's keys. */
   def source(spark: SparkSession, consumerGroup: Option[String] = None,
       drainKeyCap: Int = LocalFsSource.MaxPushdownPaths)
-      : Source with WatchableSource = {
+      : Source with WatchableSource =
+    ChangeFeedSource(
+      TableSource(sp => compacted(sp), keyCol = "key"),
+      () => feed(spark, consumerGroup, drainKeyCap))
+
+  /** The raw consumer-offset watcher behind [[source]] — exposed so a
+    * DOWNSTREAM flow over any table derived from this topic (an
+    * [[graft.operators.AggView]] whose base is the compacted map, an
+    * FTS/MinHash/IVF index flow) can consume this topic as its change
+    * feed via [[ChangeFeedSource]] without adopting the compacted map
+    * as its literal source. Each consuming flow needs its OWN
+    * consumer group: groups share nothing but the log.
+    *
+    * A fresh group (no committed offset) arms at the CURRENT log head
+    * and commits that offset immediately: a feed's contract starts at
+    * arming — history before it is the caller's bootstrap-scan duty
+    * ([[Flow.runFeed]] full-runs when the memo is empty) — and
+    * without the eager commit a group that processed zero ticks would
+    * re-arm at a LATER head next run, silently skipping the segments
+    * produced in between. */
+  def feed(spark: SparkSession, consumerGroup: Option[String] = None,
+      drainKeyCap: Int = LocalFsSource.MaxPushdownPaths): SourceWatcher = {
     val self = this
-    new Source with WatchableSource {
-      private val inner =
-        TableSource(sp => self.compacted(sp), keyCol = "key")
-      def list(sp: SparkSession): DataFrame = inner.list(sp)
-      def load(sp: SparkSession, keys: DataFrame): DataFrame =
-        inner.load(sp, keys)
-      def contentFpOf: Option[org.apache.spark.sql.Column] =
-        inner.contentFpOf
-      def watch(): SourceWatcher = new SourceWatcher {
-        // armed NOW — or at the durable offset when resuming a group:
-        // messages past that point are unseen
-        private var committed: Long = consumerGroup
-          .flatMap(self.committedOffset)
-          .getOrElse(self.segments.lastOption.map(_._1).getOrElse(0L))
-        private var pending: Long = committed
-        private def commitPending(): Unit =
-          if (pending > committed) {
-            consumerGroup.foreach(self.commitOffset(_, pending))
-            committed = pending
-          }
-        def drain(): (Seq[String], Boolean) = {
-          // the previous tick has been processed by the synchronous
-          // caller — its offset is now safe to commit
-          commitPending()
-          val fresh = self.segments.filter(_._1 > pending)
-          if (fresh.isEmpty) (Nil, false)
-          else {
-            pending = fresh.map(_._1).max
-            val bounded = spark.read.parquet(fresh.map(_._2.getPath): _*)
-              .select("key").distinct()
-              .limit(drainKeyCap + 1)
-              .collect()
-            if (bounded.length > drainKeyCap) (Nil, true)
-            else (bounded.map(_.getString(0)).toSeq, false)
-          }
-        }
-        def close(): Unit = () // never commit here — see scaladoc
+    new SourceWatcher {
+      // armed NOW — or at the durable offset when resuming a group:
+      // messages past that point are unseen
+      private var committed: Long = consumerGroup
+        .flatMap(self.committedOffset) match {
+        case Some(off) => off
+        case None =>
+          val head = self.segments.lastOption.map(_._1).getOrElse(0L)
+          consumerGroup.foreach(self.commitOffset(_, head))
+          head
       }
+      private var pending: Long = committed
+      private def commitPending(): Unit =
+        if (pending > committed) {
+          consumerGroup.foreach(self.commitOffset(_, pending))
+          committed = pending
+        }
+      def drain(): (Seq[String], Boolean) = {
+        // the previous tick has been processed by the synchronous
+        // caller — its offset is now safe to commit
+        commitPending()
+        val fresh = self.segments.filter(_._1 > pending)
+        if (fresh.isEmpty) (Nil, false)
+        else {
+          pending = fresh.map(_._1).max
+          val bounded = spark.read.parquet(fresh.map(_._2.getPath): _*)
+            .select("key").distinct()
+            .limit(drainKeyCap + 1)
+            .collect()
+          if (bounded.length > drainKeyCap) (Nil, true)
+          else (bounded.map(_.getString(0)).toSeq, false)
+        }
+      }
+      def close(): Unit = () // never commit here — see scaladoc
     }
   }
 }

@@ -56,19 +56,40 @@ object AggView {
         pmod(xxhash64(col(keyCol).cast("string")), lit(numBuckets))
           .cast("string"))
 
-    def list(spark: SparkSession): DataFrame = {
-      val df = table(spark)
+    /** The shared bucket-fingerprint aggregate: [[list]] and
+      * [[listKeys]] must produce bit-identical memo states for the
+      * same bucket, or a feed-driven re-stat would misclassify every
+      * surviving bucket as changed. */
+    private def bucketStates(df: DataFrame): DataFrame = {
       // nested hash, no JSON string building: the inner per-column
       // hash keeps nulls positional (a null column yields the seed
       // constant, so values cannot slide across columns), the outer
       // hash mixes them order-sensitively
-      val valueCols = df.columns.sorted.map(c => xxhash64(col(c))).toSeq
-      withBucket(df)
-        .select(col("item_key"),
+      val valueCols = df.columns.filterNot(_ == "item_key").sorted
+        .map(c => xxhash64(col(c))).toSeq
+      df.select(col("item_key"),
           xxhash64(valueCols: _*).cast("decimal(38,0)").as("row_fp"))
         .groupBy("item_key")
         .agg(concat_ws(":", sum(col("row_fp")), count(lit(1)))
           .as("memo_state"))
+    }
+
+    def list(spark: SparkSession): DataFrame =
+      bucketStates(withBucket(table(spark)))
+
+    /** Bucket re-stat restricted to the requested buckets (a
+      * [[graft.engine.ChangeFeedSource]] drain mapped through
+      * [[AggView.bucketOf]]): the bucket id is a derived hash, so the
+      * scan itself is not pruned for an arbitrary table thunk — but
+      * the fingerprint + map-side-combined aggregate + shuffle run
+      * over only the dirty buckets' rows, which is what dominates the
+      * full listing's cost. A base table physically laid out by the
+      * same bucketing (e.g. an upstream ParquetTableTarget) can prune
+      * the scan too by filtering inside its thunk. */
+    override def listKeys(spark: SparkSession, keys: Seq[String]): DataFrame = {
+      val b = withBucket(table(spark))
+      if (keys.isEmpty) bucketStates(b).limit(0)
+      else bucketStates(b.filter(col("item_key").isin(keys.distinct: _*)))
     }
 
     def load(spark: SparkSession, keys: DataFrame): DataFrame =
@@ -76,6 +97,19 @@ object AggView {
         .join(keys.select("item_key"), Seq("item_key"), "left_semi")
 
     def contentFpOf: Option[org.apache.spark.sql.Column] = None
+  }
+
+  /** Bucket of a base-table key under [[BucketedTableSource]]'s
+    * layout — the driver-side twin of its `pmod(xxhash64(key), n)`
+    * (same seed-42 hash Spark evaluates; the [[graft.operators.Fts]]
+    * termBucket pattern), used to map a change feed's row keys into
+    * the dirty component set. */
+  def bucketOf(key: String, numBuckets: Int): Int = {
+    val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
+        key, org.apache.spark.sql.types.StringType)))
+      .eval(null).asInstanceOf[Long]
+    java.lang.Math.floorMod(h, numBuckets.toLong).toInt
   }
 
   /** The maintained view: count/sum/min/max of `valueCol` per
@@ -103,7 +137,14 @@ object AggView {
       /** KLL accuracy parameter: the sketch (and its merge) is EXACT
         * while a group's total count stays ≤ k, approximate
         * (±~1.65% rank error at 200) past it. Serve with the same k. */
-      quantileK: Int = graft.functions.QuantileSketch.DefaultK): Flow = {
+      quantileK: Int = graft.functions.QuantileSketch.DefaultK,
+      /** A keyed change feed over the base table (e.g.
+        * [[graft.engine.TopicTarget.feed]] on the upstream flow's
+        * topic, one consumer group per view): drained row keys map to
+        * their hash buckets, and a [[Flow.runFeed]] refresh re-stats
+        * ONLY the dirty buckets — O(delta) view maintenance instead
+        * of an O(N) base re-listing per refresh. */
+      changeFeed: Option[() => graft.engine.SourceWatcher] = None): Flow = {
     val gcols = groupCols.map(col)
     val aggs =
       Seq(count(lit(1)).as("p_cnt"),
@@ -134,8 +175,15 @@ object AggView {
         // (a separator join would collide "a","bc" with "ab","c")
         .withColumn("row_key",
           concat(col("item_key"), lit(":"), to_json(struct(gcols: _*)))))
+    val bucketed = BucketedTableSource(table, keyCol, numBuckets)
+    val src: Source = changeFeed match {
+      case Some(f) => graft.engine.ChangeFeedSource(bucketed,
+        () => new graft.engine.MappedWatcher(f(),
+          keys => keys.map(k => bucketOf(k, numBuckets).toString)))
+      case None => bucketed
+    }
     new Flow(name,
-      BucketedTableSource(table, keyCol, numBuckets),
+      src,
       Seq(stage),
       ParquetTableTarget(viewDir, numBuckets = 8),
       stateDir,

@@ -290,7 +290,12 @@ object Dedup {
       corpus: org.apache.spark.sql.SparkSession => DataFrame,
       indexDir: String, stateDir: String,
       numHashes: Int = 32, bandRows: Int = 2, n: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text")
+      idCol: String = "doc_id", textCol: String = "text",
+      /** Keyed change feed over the corpus (doc-id keys, durable
+        * cursor): with it, a [[graft.engine.Flow.runFeed]] refresh
+        * re-stats only the changed docs instead of re-fingerprinting
+        * the whole corpus per catch-up. */
+      changeFeed: Option[() => graft.engine.SourceWatcher] = None)
       : graft.engine.Flow = {
     require(numHashes % bandRows == 0)
     val nBands = numHashes / bandRows
@@ -310,8 +315,10 @@ object Dedup {
         .select(col("item_key"),
           concat(col("item_key"), lit(":"), col("band")).as("row_key"),
           col("band"), col("code"), col("sz")))
+    val tableSrc = graft.engine.TableSource(corpus, keyCol = idCol)
     new graft.engine.Flow(name,
-      graft.engine.TableSource(corpus, keyCol = idCol),
+      changeFeed.map(f => graft.engine.ChangeFeedSource(tableSrc, f):
+        graft.engine.Source).getOrElse(tableSrc),
       Seq(stage),
       graft.engine.ParquetTableTarget(indexDir, numBuckets = 8),
       stateDir,

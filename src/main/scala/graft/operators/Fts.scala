@@ -119,6 +119,14 @@ object Fts {
       docLens.run(spark)
       postings.run(spark)
     }
+    /** Feed-driven refresh: each flow drains its OWN watcher (they
+      * hold separate consumer groups — see [[ftsFlow]]'s changeFeed),
+      * so both converge on the same delta independently. */
+    def runFeed(spark: org.apache.spark.sql.SparkSession)
+        : graft.engine.RunStats = {
+      docLens.runFeed(spark)
+      postings.runFeed(spark)
+    }
   }
 
   /** The inverted index as an engine-maintained flow target — the
@@ -144,8 +152,24 @@ object Fts {
       spark: org.apache.spark.sql.SparkSession, name: String,
       corpus: org.apache.spark.sql.SparkSession => DataFrame,
       indexDir: String, stateDir: String, numBuckets: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text")
+      idCol: String = "doc_id", textCol: String = "text",
+      /** Keyed change feed over the corpus (doc-id keys), one watcher
+        * per SUB-FLOW: the factory is called with "postings" /
+        * "doclen" and must return a watcher with its own durable
+        * cursor (e.g. [[graft.engine.TopicTarget.feed]] with a
+        * per-sub-flow consumer group) — the two flows drain
+        * independently, so a shared cursor would starve the second.
+        * With a feed, [[FtsFlows.runFeed]] re-stats only the changed
+        * docs instead of re-fingerprinting the corpus. */
+      changeFeed: Option[String => graft.engine.SourceWatcher] = None)
       : FtsFlows = {
+    def srcFor(sub: String): graft.engine.Source = {
+      val t = graft.engine.TableSource(corpus, keyCol = idCol)
+      changeFeed match {
+        case Some(f) => graft.engine.ChangeFeedSource(t, () => f(sub))
+        case None => t
+      }
+    }
     // terms are [a-z0-9]+ tokens (no ':'), so the substring after the
     // LAST ':' of `doc:term` is unambiguously the term even when doc
     // ids themselves contain ':'
@@ -175,7 +199,7 @@ object Fts {
       .filter(col("dl") > 0))
     FtsFlows(
       postings = new graft.engine.Flow(name,
-        graft.engine.TableSource(corpus, keyCol = idCol),
+        srcFor("postings"),
         Seq(post), target, s"$stateDir/postings",
         // the layout declaration ftsLoad prunes by — written only
         // AFTER a successful commit, so it always describes the
@@ -184,7 +208,7 @@ object Fts {
           new java.io.File(indexDir, "_graft_fts.json"),
           Map("numBuckets" -> numBuckets.toString)))),
       docLens = new graft.engine.Flow(s"${name}_dl",
-        graft.engine.TableSource(corpus, keyCol = idCol),
+        srcFor("doclen"),
         Seq(dl),
         graft.engine.ParquetTableTarget(s"$indexDir/doclen", numBuckets),
         s"$stateDir/doclen"))

@@ -281,7 +281,12 @@ object Similarity {
       corpus: org.apache.spark.sql.SparkSession => DataFrame,
       indexDir: String, stateDir: String,
       nCells: Int = 16, lloydRounds: Int = 3, numBuckets: Int = 8,
-      idCol: String = "vec_id", embCol: String = "embedding")
+      idCol: String = "vec_id", embCol: String = "embedding",
+      /** Keyed change feed over the corpus (vec-id keys, durable
+        * cursor): with it, a [[graft.engine.Flow.runFeed]] refresh
+        * re-assigns only the changed vectors instead of
+        * re-fingerprinting the whole corpus per catch-up. */
+      changeFeed: Option[() => graft.engine.SourceWatcher] = None)
       : graft.engine.Flow = {
     val centDir = s"$indexDir/centroids"
     if (!new java.io.File(centDir).exists())
@@ -320,8 +325,10 @@ object Similarity {
           .select(col("neighbor_id").as("item_key"),
             col("neighbor_id").as("row_key"), col("cell"), col("c_emb"))
       })
+    val tableSrc = graft.engine.TableSource(corpus, keyCol = idCol)
     new graft.engine.Flow(name,
-      graft.engine.TableSource(corpus, keyCol = idCol),
+      changeFeed.map(f => graft.engine.ChangeFeedSource(tableSrc, f):
+        graft.engine.Source).getOrElse(tableSrc),
       Seq(assign), target, stateDir)
   }
 

@@ -170,6 +170,88 @@ object FlowPack extends QueryPack {
           quantileK = 4096)
           .select(col("lang"), col("cnt"),
             col("p50"), col("p95"), col("p99"))
+      }),
+
+    // the change-feed-maintained view: an upstream flow produces the
+    // documents table into a topic log; a downstream AggView consumes
+    // the topic's compacted map as its base AND its consumer-offset
+    // feed as the change signal. The second refresh drains only the
+    // edited/deleted doc keys and recomputes only their hash buckets
+    // (O(delta) maintenance, enforced by the requires) — and the
+    // served aggregate is value-identical to the oracle's direct
+    // GROUP BY over the post-edit table.
+    Q(
+      "q76_changefeed_view",
+      Some("""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(n_final) AS BIGINT) AS sum_v,
+               CAST(min(n_final) AS BIGINT) AS min_v,
+               CAST(max(n_final) AS BIGINT) AS max_v
+        FROM (SELECT lang,
+                     CASE WHEN doc_id % 89 = 0 THEN n_chars + 1
+                          ELSE n_chars END AS n_final
+              FROM documents WHERE doc_id % 97 <> 0)
+        GROUP BY lang"""),
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft-cfview-q76")
+        work.toFile.deleteOnExit()
+        val topic = TopicTarget(work.resolve("log").toString)
+        // the upstream producer is q63's gate — here the segments are
+        // produced directly so this query's engine passes all
+        // exercise the DOWNSTREAM feed consumption
+        val docs = graft.Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            col("n_chars").cast("long").as("n_final"))
+        val noKeys = docs.select(col("doc_id").cast("string").as("row_key"))
+          .limit(0)
+        // seg 1: every document
+        topic.apply(s,
+          docs.select(col("doc_id").cast("string").as("row_key"),
+            col("lang"), col("n_final")), noKeys)
+
+        val viewDir = work.resolve("view").toString
+        val numBuckets = 32
+        val view = graft.operators.AggView.flow("doc_chars_cf",
+          sp => topic.compacted(sp).select(col("key"),
+            get_json_object(col("value"), "$.lang").as("lang"),
+            get_json_object(col("value"), "$.n_final").cast("long")
+              .as("n_final")),
+          keyCol = "key", groupCols = Seq("lang"), valueCol = "n_final",
+          viewDir = viewDir, stateDir = work.resolve("state").toString,
+          numBuckets = numBuckets,
+          changeFeed = Some(() => topic.feed(s, Some("doc_chars_cf"))))
+        view.runFeed(s) // bootstrap: full scan, feed armed before it
+
+        // seg 2: ~1% of docs deleted (tombstones), ~1% edited — the
+        // log gains exactly those keys' messages. A doc matching BOTH
+        // predicates (doc 0) deletes: within one produce batch a key
+        // appears at most once (the TopicTarget contract).
+        topic.apply(s,
+          docs.filter(col("doc_id") % 89 === 0 && col("doc_id") % 97 =!= 0)
+            .select(col("doc_id").cast("string").as("row_key"),
+              col("lang"), (col("n_final") + 1).as("n_final")),
+          docs.filter(col("doc_id") % 97 === 0)
+            .select(col("doc_id").cast("string").as("row_key")))
+
+        val changedKeys = graft.Tables(s, dir, "documents")
+          .filter(col("doc_id") % 97 === 0 || col("doc_id") % 89 === 0)
+          .count()
+        val delta = view.runFeed(s)
+        // O(delta) maintenance: at most one dirty bucket per changed
+        // key — NOT the full bucket set when the delta is small, and
+        // never a full recompute of an untouched bucket's partials
+        require(delta.recomputed <= math.min(changedKeys, numBuckets.toLong),
+          s"dirty buckets must be bounded by changed keys: $delta " +
+            s"($changedKeys changed)")
+        require(delta.recomputed + delta.unchanged +
+          delta.deletedComponents >= 1, s"delta must classify: $delta")
+        require(view.runFeed(s).isNoop,
+          "feed-quiet refresh must be a pure no-op")
+
+        graft.operators.AggView.serve(s, viewDir, Seq("lang"))
+          .select(col("lang"), col("cnt"), col("sum").as("sum_v"),
+            col("min").as("min_v"), col("max").as("max_v"))
       })
   )
 }
