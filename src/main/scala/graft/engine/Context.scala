@@ -1,0 +1,148 @@
+package graft.engine
+
+/** Typed dependency-injection key (reference `ContextKey`,
+  * python/cocoindex/_internal/context_keys.py:99-121). With
+  * `detectChange = true`, reads of this key participate in memo
+  * invalidation: the PROVIDED VALUE's fingerprint joins the reading
+  * stage's logic fingerprint, so changing the value recomputes every
+  * memoized component downstream — the reference's context-change
+  * dep (context_keys.py:179-214). Without it the key is pure DI:
+  * value changes are invisible to memoization.
+  */
+final case class ContextKey[T](key: String, detectChange: Boolean = false) {
+  /** The reference's `__coco_memo_key__` (context_keys.py:120). */
+  def memoKey: String = s"context:$key"
+}
+
+/** The DI container + resource lifecycle — the reference's
+  * `ContextProvider` (context_keys.py:124-271) merged with the
+  * lifespan half of `Environment` (environment.py): `provide` binds a
+  * value (re-provide REPLACES, re-fingerprinting a detect-change key
+  * — the reference unregisters the old fp, :188-198), `get` fails
+  * loudly on an unbound key, `provideWith` additionally registers the
+  * resource for LIFO teardown at `close()` (the exit-stack contract).
+  *
+  * Spark mapping: context values are DRIVER-side plan-construction
+  * inputs (model ids, client configs, thresholds). A stage reads them
+  * while BUILDING its DataFrame transform, and declares its reads via
+  * [[deps]] in its [[CocoFn.deps]] — detect-change keys contribute
+  * `ctx:<key>=<value-fp>`, so the engine's processor fingerprint (and
+  * with it every component memo) reacts to value changes exactly like
+  * the reference's registered context logic fps. Values are
+  * conceptually immutable between provide() and use (reference
+  * comment, context_keys.py:203-206); re-provide then rebuild the
+  * flow to roll a new value out. The reference's per-fp memo-state
+  * functions (live revalidation of mutable context objects) are out
+  * of scope — graft contexts are immutable snapshots by contract.
+  */
+final class Environment extends AutoCloseable {
+  private val values = scala.collection.mutable.HashMap[String, Any]()
+  private val fps = scala.collection.mutable.HashMap[String, String]()
+  private val closers = scala.collection.mutable.ArrayBuffer[() => Unit]()
+
+  /** Bind `value` under `key`; returns it for inline use. The
+    * fingerprint of a detect-change key is derived from the value's
+    * CANONICAL STRING form — provide values whose `toString` is
+    * value-determined (strings, numbers, case classes), or pass an
+    * explicit `canonical`. */
+  def provide[T](key: ContextKey[T], value: T,
+      canonical: T => String = (v: T) => String.valueOf(v)): T =
+    synchronized {
+      values(key.key) = value
+      if (key.detectChange)
+        // length-prefixed multi-part hash — ("ab","c") never collides
+        // with ("a","bc"); mirrors the reference's
+        // ("context_key", key, value) canonical tuple (:181)
+        fps(key.key) = Fingerprint.of("context_key", key.key, canonical(value))
+      else fps.remove(key.key) // re-provide may toggle detectChange off
+      value
+    }
+
+  /** [[provide]] + register the resource for LIFO teardown at
+    * [[close]] (the reference's `provide_with` exit stack, :238). */
+  def provideWith[T <: AutoCloseable](key: ContextKey[T], value: T,
+      canonical: T => String = (v: T) => String.valueOf(v)): T =
+    synchronized {
+      closers += (() => value.close())
+      provide(key, value, canonical)
+    }
+
+  /** The bound value. Fails loudly on an unbound key (the reference
+    * raises KeyError, :249-254): a silently-defaulted context would
+    * fingerprint and compute with a value the caller never chose. */
+  def get[T](key: ContextKey[T]): T = synchronized {
+    values.getOrElse(key.key, throw new NoSuchElementException(
+      s"context key '${key.key}' has not been provided")).asInstanceOf[T]
+  }
+
+  /** The memo fingerprint of a detect-change key (reference
+    * `get_fingerprint`, :216). Fails on unbound or non-detect keys. */
+  def fingerprintOf(key: ContextKey[_]): String = synchronized {
+    fps.getOrElse(key.key, throw new NoSuchElementException(
+      s"context key '${key.key}' has no change-detection fingerprint " +
+        "(not provided, or declared with detectChange = false)"))
+  }
+
+  /** Dep strings for a stage's [[CocoFn.deps]] declaring its context
+    * reads: detect-change keys contribute their value fingerprint
+    * (the memo-invalidation semantic); identity-only keys contribute
+    * nothing — their value changes are invisible to memoization, the
+    * reference's non-detected read. */
+  def deps(keys: ContextKey[_]*): Seq[String] =
+    keys.filter(_.detectChange).map(k => s"ctx:${k.key}=${fingerprintOf(k)}")
+
+  /** LIFO teardown of every [[provideWith]] resource (the lifespan /
+    * exit-stack contract). Idempotent; failures chain so one bad
+    * close cannot leak the rest. */
+  def close(): Unit = synchronized {
+    val toClose = closers.reverse.toList
+    closers.clear()
+    var first: Throwable = null
+    toClose.foreach { c =>
+      try c()
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          if (first == null) first = e else first.addSuppressed(e)
+      }
+    }
+    if (first != null) throw first
+  }
+}
+
+/** `coco.map` — concurrent map WITHIN a component, no new components
+  * (reference api.py:552-631). Contract mirrored exactly:
+  *
+  *   - every started task runs to completion even when another task
+  *     fails (the reference drains its TaskGroup before raising);
+  *   - if multiple tasks fail, the FIRST FAILURE IN INPUT ORDER is
+  *     raised — not the chronologically first;
+  *   - result order is input order.
+  *
+  * Spark mapping: this is driver-side (or inside a mapGroups task)
+  * concurrency for per-item side effects like provider calls — NOT a
+  * distributed operator; distributed fan-out is `mount_each`
+  * (= the engine's component set).
+  */
+object CocoMap {
+  def map[A, B](items: Seq[A],
+      parallelism: Int = Runtime.getRuntime.availableProcessors())
+      (fn: A => B): Seq[B] = {
+    if (items.isEmpty) return Nil
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, items.size)))
+    try {
+      val futures = items.map { a =>
+        pool.submit(new java.util.concurrent.Callable[Either[Throwable, B]] {
+          def call(): Either[Throwable, B] =
+            try Right(fn(a))
+            catch { case scala.util.control.NonFatal(e) => Left(e) }
+        })
+      }
+      // .get on every future IS the drain: later tasks finish (and
+      // their side effects land) before any failure propagates
+      val outcomes = futures.map(_.get())
+      outcomes.collectFirst { case Left(e) => e }.foreach(e => throw e)
+      outcomes.collect { case Right(b) => b }
+    } finally pool.shutdown()
+  }
+}

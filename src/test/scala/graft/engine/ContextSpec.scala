@@ -1,0 +1,125 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** ContextKey / Environment DI + coco.map (reference
+  * context_keys.py:99-271, api.py:552-631): typed provide/get, LIFO
+  * lifespan teardown, detect-change fingerprints folding into the
+  * engine's memo invalidation, and the map contract (drain all,
+  * first-input-order failure, order preserved).
+  */
+class ContextSpec extends SparkSpec {
+
+  private val ModelKey = ContextKey[String]("embed_model", detectChange = true)
+  private val PoolKey = ContextKey[String]("conn_pool")
+
+  test("provide/get round-trips; unbound keys fail loudly") {
+    val env = new Environment
+    assert(env.provide(ModelKey, "minilm-v2") == "minilm-v2")
+    assert(env.get(ModelKey) == "minilm-v2")
+    intercept[NoSuchElementException] { env.get(PoolKey) }
+    intercept[NoSuchElementException] { env.fingerprintOf(PoolKey) }
+  }
+
+  test("detect-change fingerprints track the VALUE; identity keys don't") {
+    val env = new Environment
+    env.provide(ModelKey, "minilm-v2")
+    val fp1 = env.fingerprintOf(ModelKey)
+    // re-provide with the same value: fingerprint is stable
+    env.provide(ModelKey, "minilm-v2")
+    assert(env.fingerprintOf(ModelKey) == fp1)
+    // re-provide with a new value REPLACES the fingerprint (the
+    // reference unregisters the old fp, context_keys.py:188-198)
+    env.provide(ModelKey, "minilm-v3")
+    assert(env.fingerprintOf(ModelKey) != fp1)
+
+    // identity-only keys contribute no dep at all
+    env.provide(PoolKey, "pool-a")
+    assert(env.deps(ModelKey, PoolKey).size == 1)
+    assert(env.deps(ModelKey, PoolKey).head.startsWith("ctx:embed_model="))
+    intercept[NoSuchElementException] { env.fingerprintOf(PoolKey) }
+  }
+
+  test("provideWith tears down LIFO at close; failures chain") {
+    val order = scala.collection.mutable.ArrayBuffer[String]()
+    final class R(name: String, fail: Boolean = false) extends AutoCloseable {
+      def close(): Unit = {
+        order += name
+        if (fail) throw new IllegalStateException(s"close $name failed")
+      }
+      override def toString: String = name
+    }
+    val env = new Environment
+    env.provideWith(ContextKey[R]("a"), new R("a"))
+    env.provideWith(ContextKey[R]("b"), new R("b", fail = true))
+    env.provideWith(ContextKey[R]("c"), new R("c"))
+    val e = intercept[IllegalStateException] { env.close() }
+    assert(order.toList == List("c", "b", "a"), "teardown must be LIFO")
+    assert(e.getMessage.contains("close b failed"))
+    env.close() // idempotent: nothing left to close
+    assert(order.size == 3)
+  }
+
+  test("a detect-change context value invalidates memoized components") {
+    val env = new Environment
+    env.provide(ModelKey, "minilm-v2")
+
+    val work = Files.createTempDirectory("ctx-flow")
+    work.toFile.deleteOnExit()
+    val base = work.resolve("base").toString
+    spark.range(20).select(col("id").as("doc_id"), col("id").as("v"))
+      .write.parquet(base)
+
+    def flow() = {
+      // the stage reads the model at PLAN-BUILD time and declares the
+      // read — this is the whole wiring
+      val model = env.get(ModelKey)
+      val stage = CocoFn("embed", 1, deps = env.deps(ModelKey),
+        fn = df => df.select(col("item_key"),
+          col("item_key").as("row_key"),
+          concat(lit(model), lit(":"), col("v")).as("emb")))
+      new Flow("ctx", TableSource(sp => sp.read.parquet(base), "doc_id"),
+        Seq(stage),
+        ParquetTableTarget(work.resolve("out").toString, numBuckets = 2),
+        work.resolve("state").toString)
+    }
+
+    assert(flow().run(spark).recomputed == 20)
+    assert(flow().run(spark).isNoop, "same context value ⇒ memo hits")
+
+    env.provide(ModelKey, "minilm-v3") // roll the model
+    val r = flow().run(spark)
+    assert(r.recomputed == 20,
+      s"a changed detect-change context must recompute everything: $r")
+    val sample = flow().target.read(spark).select("emb")
+      .as(org.apache.spark.sql.Encoders.STRING).collect()
+    assert(sample.forall(_.startsWith("minilm-v3:")))
+  }
+
+  test("coco.map: order preserved, all tasks drained, " +
+      "first INPUT-order failure raised") {
+    // order: results come back in input order regardless of timing
+    val out = CocoMap.map(Seq(3, 1, 2), parallelism = 3) { i =>
+      Thread.sleep(i * 30L); i * 10
+    }
+    assert(out == Seq(30, 10, 20))
+
+    // failure selection: item 0 fails SLOWLY, item 2 fails instantly —
+    // the reference raises the first failure in INPUT order (api.py
+    // :564-566), and every started task still runs to completion
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val e = intercept[IllegalStateException] {
+      CocoMap.map(Seq(0, 1, 2, 3), parallelism = 4) { i =>
+        if (i == 0) { Thread.sleep(150); ran.incrementAndGet()
+          throw new IllegalStateException("slow failure (input-first)") }
+        if (i == 2) { ran.incrementAndGet()
+          throw new IllegalStateException("fast failure") }
+        Thread.sleep(60); ran.incrementAndGet(); i
+      }
+    }
+    assert(e.getMessage == "slow failure (input-first)")
+    assert(ran.get() == 4, "every started task must be drained")
+  }
+}
