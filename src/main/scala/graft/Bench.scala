@@ -15,8 +15,37 @@ import org.apache.spark.sql.SparkSession
   * per-query numbers reflect steady state.
   */
 object Bench {
+
+  /** 1-minute load average, or -1 when /proc/loadavg is unreadable.
+    * Stamped into the output JSON so a reviewer can tell whether the
+    * run competed with another JVM (e.g. a concurrent `sbt test`):
+    * on an otherwise-idle 32-cpu box a clean run starts near 0 and a
+    * contended one starts in the tens.
+    */
+  private def loadAvg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ")(0).toDouble
+      finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
+
+  import scala.jdk.CollectionConverters._
+
+  /** Count of other java processes alive on the box (excluding our
+    * own JVM), a second contention signal independent of load decay. */
+  private def otherJvms(): Int =
+    try {
+      val self = java.lang.ProcessHandle.current().pid()
+      java.lang.ProcessHandle.allProcesses().toList.asScala.count { p =>
+        p.pid() != self &&
+        p.info().command().map[Boolean](_.contains("java")).orElse(false)
+      }
+    } catch { case scala.util.control.NonFatal(_) => -1 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadAtStart = loadAvg()
+    val jvmsAtStart = otherJvms()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
@@ -41,8 +70,9 @@ object Bench {
       .mkString("{", ",", "}")
     val fj = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val loadAtEnd = loadAvg()
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir","load_avg_start":$loadAtStart%.2f,"load_avg_end":$loadAtEnd%.2f,"other_jvms_at_start":$jvmsAtStart}""")
     spark.stop()
   }
 }

@@ -40,6 +40,101 @@ object VectorFunctions {
       .otherwise(dotProduct(a, b) / denom)
   }
 
+  /** ColBERT-style late-interaction MaxSim over two multi-vector
+    * (`ARRAY<ARRAY<FLOAT>>`) columns:
+    *
+    *   maxsim(Q, D) = Σ_{q ∈ Q} max_{d ∈ D} sim(q, d)
+    *
+    * the comparator the reference exposes for multi-vector columns
+    * (reference python/cocoindex/connectors/qdrant/_target.py:69
+    * `multivector_comparator: Literal["max_sim"]`, resources/
+    * schema.py:49 `MultiVectorSchema`; used by the ColPali example,
+    * examples/image_search_colpali/pipeline.py).
+    *
+    * Exactness contract: each per-query-token max similarity is
+    * rounded to 6 decimals and accumulated in integer MICRO-units
+    * (`round(x,6)·10⁶` is an exact long), so the sum is
+    * order-independent and matches a DuckDB `sum(CAST(… AS
+    * DECIMAL(18,6)))` oracle bit-for-bit — float summation order can
+    * never flip a rank. Division back by 10⁶ at the end is the same
+    * nearest-double conversion DuckDB's DECIMAL→DOUBLE cast performs.
+    *
+    * A deliberate UDF, not a HOF expression: the |Q|·|D| token-pair
+    * loop nested inside `aggregate`/`zip_with` lambdas stays
+    * interpreted (HigherOrderFunction has no codegen) and measured
+    * 11.6 s for 16k pairs at sf0.1; the primitive double-array loop
+    * below is the same shape [[graft.operators.Similarity]] already
+    * uses for quantizer assignment ("the interpreted HOF form was the
+    * training bottleneck") and runs the same workload in well under a
+    * second. Operation order is kept IEEE-identical to the
+    * [[cosineSimilarity]] expression (index-ordered accumulation,
+    * `dot / (√‖q‖² · √‖d‖²)`, zero-norm → 0, HALF_UP rounding) so the
+    * DuckDB oracle still matches bit-for-bit.
+    *
+    * `sim` is cosine (`distance = "cosine"`, the reference default)
+    * or raw dot product (`"dot"`). Empty token lists on either side
+    * score 0; token pairs of unequal length compare their common
+    * prefix.
+    */
+  def maxSimScore(qToks: Column, dToks: Column,
+      distance: String = "cosine"): Column = {
+    val cosineDist = distance match {
+      case "cosine" => true
+      case "dot" => false
+      case other =>
+        throw new IllegalArgumentException(
+          s"maxSimScore: unsupported distance '$other' (cosine|dot)")
+    }
+    val scorer = udf { (q: Seq[Seq[Float]], d: Seq[Seq[Float]]) =>
+      if (q == null || d == null || q.isEmpty || d.isEmpty) 0.0
+      else {
+        var micro = 0L
+        val qi = q.iterator
+        while (qi.hasNext) {
+          val qt = qi.next()
+          var best = -2.0
+          val di = d.iterator
+          while (di.hasNext) {
+            val dt = di.next()
+            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            val n = math.min(qt.length, dt.length)
+            while (i < n) {
+              val x = qt(i).toDouble; val y = dt(i).toDouble
+              dot += x * y; na += x * x; nb += y * y; i += 1
+            }
+            val cs =
+              if (!cosineDist) dot
+              else {
+                val denom = math.sqrt(na) * math.sqrt(nb)
+                if (denom == 0.0) 0.0 else dot / denom
+              }
+            if (cs > best) best = cs
+          }
+          // round(best, 6) with Spark's HALF_UP semantics, then exact
+          // integer micro-units: sum order can never flip a rank and a
+          // DuckDB sum(CAST(round(…,6) AS DECIMAL(18,6))) agrees.
+          val r6 = BigDecimal(best)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          micro += Math.round(r6 * 1e6)
+        }
+        micro / 1e6
+      }
+    }
+    scorer(qToks, dToks)
+  }
+
+  /** Slice a flat `ARRAY<FLOAT>` embedding into `numTokens`
+    * contiguous token vectors of `dim / numTokens` — the cheap way to
+    * derive a multi-vector column from an existing single-vector one
+    * (and the construction q77's oracle mirrors in DuckDB). */
+  def sliceTokens(emb: Column, numTokens: Int): Column = {
+    // Column `/` is double division — truncate back to int (embedding
+    // dims are exact multiples of numTokens by contract)
+    val tokDim = (size(emb) / lit(numTokens)).cast("int")
+    transform(sequence(lit(0), lit(numTokens - 1)),
+      i => slice(emb, i * tokDim + 1, tokDim))
+  }
+
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(
       zip_with(a, b, (x, y) => {

@@ -51,6 +51,36 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** Exact top-k under ColBERT-style MaxSim over MULTI-VECTOR columns
+    * (`ARRAY<ARRAY<FLOAT>>` — one token-vector list per row), the
+    * reference's `MultiVectorSchema` + `multivector_comparator=
+    * "max_sim"` surface (reference resources/schema.py:49,
+    * qdrant/_target.py:69, examples/image_search_colpali/pipeline.py).
+    *
+    * Plan shape = [[bruteForceTopK]]'s: the query batch is broadcast,
+    * the corpus is scanned ONCE with the whole MaxSim computed as a
+    * single expression per (query, doc) pair
+    * ([[graft.functions.VectorFunctions.maxSimScore]] — no explode to
+    * token-level rows, no shuffle before the per-query top-k window's
+    * partial TakeOrdered). At 100 TB this stays corpus-partition-
+    * parallel with shuffle volume O(candidates), not O(N·|Q|·tokens).
+    */
+  def maxSimTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      distance: String = "cosine",
+      idCol: String = "vec_id", embCol: String = "tokens"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_toks"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_toks"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", maxSimScore(col("q_toks"), col("c_toks"), distance))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane,
     * dim): a hash-derived value in [-1, 1). Pure columnar — the
     * planes are never materialized driver-side. */

@@ -100,6 +100,45 @@ object SimilarityPack extends QueryPack {
           Tables(s, dir, "embeddings").filter(col("vec_id") < 8), index, 10)
       }),
 
+    // ---- multi-vector (ColBERT MaxSim) top-k ----------------------------
+    // Multi-vector columns are derived by slicing each 64-dim
+    // embedding into 8 contiguous 8-dim token vectors — a
+    // deterministic construction DuckDB can mirror exactly, so the
+    // late-interaction score (Σ per-query-token max cosine, each term
+    // rounded to 6 decimals, summed as DECIMAL) is fully
+    // oracle-checkable: maxsim is exact arithmetic, not approximate.
+    Q(
+      "q77_multivector_maxsim",
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings WHERE vec_id < 8),
+             c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+             qt AS (SELECT query_id, i AS qpos, emb[CAST(i*8+1 AS INT) : CAST(i*8+8 AS INT)] AS tok
+                    FROM q, (SELECT unnest(range(8)) AS i)),
+             ct AS (SELECT neighbor_id, i AS cpos, emb[CAST(i*8+1 AS INT) : CAST(i*8+8 AS INT)] AS tok
+                    FROM c, (SELECT unnest(range(8)) AS i)),
+             best AS (
+               SELECT qt.query_id, ct.neighbor_id, qt.qpos,
+                      max(round(list_cosine_similarity(qt.tok, ct.tok), 6)) AS b
+               FROM qt JOIN ct ON qt.query_id <> ct.neighbor_id
+               GROUP BY 1, 2, 3),
+             score AS (
+               SELECT query_id, neighbor_id,
+                      CAST(sum(CAST(b AS DECIMAL(18,6))) AS DOUBLE) AS score
+               FROM best GROUP BY 1, 2)
+        SELECT query_id, neighbor_id, score, CAST(rnk AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rnk FROM score)
+        WHERE rnk <= 5"""),
+      (s, dir) => {
+        val mv = Tables(s, dir, "embeddings")
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions
+              .sliceTokens(col("embedding"), 8).as("tokens"))
+        Similarity.maxSimTopK(mv.filter(col("vec_id") < 8), mv, 5)
+      }),
+
     // ---- entity resolution: similarity edges → connected components →
     // canonical map. Oracle: transitive closure via recursive CTE. ------
     Q(

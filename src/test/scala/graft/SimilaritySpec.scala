@@ -91,4 +91,81 @@ class SimilaritySpec extends SparkSpec {
       g.foreach(r => assert(r.getLong(0) != r.getLong(1)))
     }
   }
+
+  // ---- multi-vector MaxSim ------------------------------------------------
+
+  test("maxSimScore: hand-computed late-interaction score") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.maxSimScore
+    // query tokens: unit x, unit y. doc tokens: unit x, unit (x+y)/√2.
+    // token1 best = cos(x, x) = 1; token2 best = cos(y, (x+y)/√2) =
+    // 1/√2 ≈ 0.707107 (rounded to 6). maxsim = 1.707107.
+    val s = math.sqrt(2.0).toFloat
+    val df = Seq((
+      Seq(Seq(1f, 0f), Seq(0f, 1f)),
+      Seq(Seq(1f, 0f), Seq(1f / s, 1f / s))
+    )).toDF("q", "d")
+    val got = df.select(maxSimScore(col("q"), col("d"))).head.getDouble(0)
+    assert(got == 1.707107, s"maxsim = $got")
+  }
+
+  test("maxSimScore: identical multi-vectors score numTokens; empties score 0") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.maxSimScore
+    val toks = Seq(Seq(1f, 2f, 3f), Seq(-1f, 0f, 4f), Seq(0.5f, 0.5f, 0.5f))
+    val df = Seq((toks, toks, Seq.empty[Seq[Float]]))
+      .toDF("q", "d", "empty")
+    val row = df.select(
+      maxSimScore(col("q"), col("d")),
+      maxSimScore(col("q"), col("empty")),
+      maxSimScore(col("empty"), col("d"))).head
+    assert(row.getDouble(0) == 3.0) // each token's best match is itself
+    assert(row.getDouble(1) == 0.0 && row.getDouble(2) == 0.0)
+  }
+
+  test("maxSimScore dot distance: raw inner products, no normalization") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.maxSimScore
+    // q token (2,0): best dot = max(2*1, 2*3) = 6; q token (0,1):
+    // best dot = max(0, 0) = 0 → maxsim_dot = 6.
+    val df = Seq((
+      Seq(Seq(2f, 0f), Seq(0f, 1f)),
+      Seq(Seq(1f, 0f), Seq(3f, 0f))
+    )).toDF("q", "d")
+    val got = df.select(maxSimScore(col("q"), col("d"), "dot")).head.getDouble(0)
+    assert(got == 6.0, s"maxsim_dot = $got")
+  }
+
+  test("sliceTokens splits a flat embedding into contiguous token vectors") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.sliceTokens
+    val df = Seq(Seq(1f, 2f, 3f, 4f, 5f, 6f)).toDF("emb")
+    val got = df.select(sliceTokens(col("emb"), 3)).head
+      .getSeq[scala.collection.Seq[Float]](0).map(_.toSeq)
+    assert(got == Seq(Seq(1f, 2f), Seq(3f, 4f), Seq(5f, 6f)))
+  }
+
+  test("maxSimTopK: k ranked neighbors per query, scores agree with maxSimScore") {
+    assume(testdataAvailable)
+    import graft.functions.VectorFunctions.{maxSimScore, sliceTokens}
+    val mv = emb.select(col("vec_id"), sliceTokens(col("embedding"), 8).as("tokens"))
+    val top = Similarity.maxSimTopK(mv.filter(col("vec_id") < 4), mv, 5)
+    val rows = top.collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet == (0L until 4L).toSet)
+    byQuery.values.foreach { g =>
+      assert(g.length == 5)
+      assert(g.map(_.getInt(3)).sorted.toSeq == (1 to 5))
+      g.foreach(r => assert(r.getLong(0) != r.getLong(1)))
+    }
+    // recompute one reported pair's score independently
+    val r0 = rows.minBy(r => (r.getLong(0), r.getInt(3)))
+    val pair = mv.filter(col("vec_id") === r0.getLong(0))
+      .select(col("tokens").as("q"))
+      .crossJoin(mv.filter(col("vec_id") === r0.getLong(1))
+        .select(col("tokens").as("d")))
+    val expect = pair.select(maxSimScore(col("q"), col("d"))).head.getDouble(0)
+    assert(r0.getDouble(2) == expect,
+      s"maxSimTopK score ${r0.getDouble(2)} != recomputed $expect")
+  }
 }
