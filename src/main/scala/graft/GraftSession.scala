@@ -16,6 +16,21 @@ object GraftSession {
     b.config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Coalesce post-shuffle partitions by SIZE, not core count: the
+      // default (parallelismFirst=true) pins even KB-scale shuffles at
+      // ~`cpus` tasks, which at 30+ metadata-scale stages per engine
+      // pass is most of a Flow run's fixed cost — and at 100 TB,
+      // bytes-per-partition (not cores) is how shuffles must be sized
+      // anyway (Spark's own docs recommend disabling parallelismFirst
+      // in production). The advisory size is tuned to the bench scale:
+      // 1 MB collapses the engine's metadata shuffles (KBs) to one
+      // task while keeping compute-dense analytical shuffles (PPJoin
+      // verify, window sorts — MBs of longs with high per-byte cost)
+      // spread; measured: q35 3.5 s at 1 MB vs 8 s at 16 MB, q65
+      // 7.7 s vs 9.3 s with parallelismFirst. At cluster scale raise
+      // it toward 64 MB with the data volume.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

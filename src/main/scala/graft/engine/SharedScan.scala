@@ -1,0 +1,115 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shares one physical source scan across CO-SOURCED flows — flows
+  * that read the same corpus into different targets (the reference
+  * shape: one `mount_each` source fanned into several exports,
+  * live_component.py:567; here concretely [[graft.operators.Fts]]'s
+  * postings + doc-length flows, whose separate engine passes were
+  * measured as most of q65's cost).
+  *
+  * Outside a cycle this wrapper is a strict pass-through. Inside a
+  * [[beginCycle]]/[[endCycle]] bracket it memoizes, per corpus
+  * snapshot:
+  *
+  *   - `list()` — the O(corpus) fingerprint scan every refresh pays:
+  *     computed once, `localCheckpoint`ed (metadata-scale: one short
+  *     row per item), returned to every co-sourced flow in the cycle.
+  *     This is the recurring 100×-scale win: k flows over one table
+  *     stop paying k full stat scans per tick.
+  *   - `load(keys)` — cached ONLY when the key set is within
+  *     [[LocalFsSource.MaxPushdownPaths]] and literally equal to the
+  *     cached one (exact comparison, never a hash of the plan). The
+  *     frame is `cache()`d (payload-scale: recomputable, spillable),
+  *     so the second flow's transform reuses the materialized blocks
+  *     instead of re-scanning the table. Key sets past the bound pass
+  *     through uncached — they still share the listing, and the
+  *     bounded path covers both incremental deltas and initial builds
+  *     up to the pushdown cap.
+  *
+  * Sharing a cycle also pins every co-sourced flow to the SAME corpus
+  * snapshot — without it, a row changing between the two passes would
+  * commit postings and doc-lengths that disagree about the corpus.
+  *
+  * The caller owns the bracket: open a cycle, run every co-sourced
+  * flow, close it (always close — `try/finally` — or the cached
+  * frames pin executor storage until the next cycle). A flow run
+  * OUTSIDE any cycle never sees a stale cache because nothing is
+  * cached then.
+  */
+final class SharedScanSource(val inner: Source)
+    extends Source with Serializable {
+
+  // driver-only caches, nullable on purpose: @transient vars
+  // deserialize as null (an Option field would NPE in dropCaches), and
+  // a deserialized copy must come up outside any cycle = pass-through
+  @transient private var inCycle = false
+  @transient private var listing: DataFrame = _
+  @transient private var loadedKeys: Seq[String] = _
+  @transient private var loaded: DataFrame = _
+
+  /** Start sharing: subsequent list/load calls memoize until
+    * [[endCycle]]. Any cache from a previous cycle is dropped first —
+    * the corpus may have changed since. */
+  def beginCycle(): Unit = synchronized {
+    dropCaches()
+    inCycle = true
+  }
+
+  /** Stop sharing and release the cached frames. Idempotent. */
+  def endCycle(): Unit = synchronized {
+    dropCaches()
+    inCycle = false
+  }
+
+  private def dropCaches(): Unit = {
+    if (listing != null) listing.unpersist()
+    if (loaded != null) loaded.unpersist()
+    listing = null; loadedKeys = null; loaded = null
+  }
+
+  def list(spark: SparkSession): DataFrame = synchronized {
+    if (!inCycle) inner.list(spark)
+    else {
+      if (listing == null) listing = inner.list(spark).localCheckpoint()
+      listing
+    }
+  }
+
+  def load(spark: SparkSession, keys: DataFrame): DataFrame = synchronized {
+    if (!inCycle) inner.load(spark, keys)
+    else {
+      // limit(cap+1) either returns ALL keys (within cap) or proves
+      // the set is over it — the same never-truncates bound
+      // TableSource.load uses for literal pushdown
+      val bounded = keys.select(org.apache.spark.sql.functions.col("item_key"))
+        .limit(LocalFsSource.MaxPushdownPaths + 1).collect()
+      if (bounded.length > LocalFsSource.MaxPushdownPaths)
+        inner.load(spark, keys) // over-bound: uncached pass-through
+      else if (bounded.isEmpty)
+        // trivial, and caching it would thrash the real cache: every
+        // flow probes an EMPTY load first (declaredSchema) — caching
+        // that would evict the shared payload between co-sourced runs
+        inner.load(spark, Source.keysDf(spark, Nil))
+      else {
+        val ks = bounded.map(_.getString(0)).toSeq.distinct.sorted
+        if (loaded == null || loadedKeys != ks) {
+          if (loaded != null) loaded.unpersist()
+          loaded = inner.load(spark, Source.keysDf(spark, ks)).cache()
+          loadedKeys = ks
+        }
+        loaded
+      }
+    }
+  }
+
+  def contentFpOf: Option[org.apache.spark.sql.Column] = inner.contentFpOf
+
+  // O(delta) paths: cheap enough per-flow that caching would only add
+  // staleness surface
+  override def listKeys(spark: SparkSession, keys: Seq[String]): DataFrame =
+    inner.listKeys(spark, keys)
+  override def listUnder(spark: SparkSession, prefixes: Seq[String]): DataFrame =
+    inner.listUnder(spark, prefixes)
+}

@@ -172,6 +172,77 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
     } else throw new IllegalStateException(s"target $dir not yet written")
 }
 
+/** One flow, several physical containers: routes each desired row to
+  * one CHILD target by a tag derived from its `row_key` (default: the
+  * prefix before the first ':'). This is the multi-target-stage shape
+  * the reference gets from mounting one source into several exports
+  * (one `mount_each` fanned into sibling targets,
+  * python/cocoindex/_internal/live_component.py:567) — the corpus is
+  * listed, loaded, staged and reconciled ONCE, and only the final
+  * apply fans out, instead of each export paying its own full engine
+  * pass over the same source.
+  *
+  * Delete keys carry only `row_key`, which is why the tag must be
+  * derivable from the key itself — a separate tag column could not
+  * route deletes. Rows whose tag matches no child fail the apply
+  * loudly (a silently dropped row would desync the tracking table
+  * from the physical containers); children with an empty slice are
+  * skipped without paying their per-apply jobs.
+  */
+final case class FanoutTarget(children: Map[String, Target],
+    tagOfKeySql: String = "substring_index(row_key, ':', 1)")
+    extends Target {
+  require(children.nonEmpty, "FanoutTarget needs at least one child")
+
+  private def tagCol = expr(tagOfKeySql)
+
+  override def containerSignature: String =
+    children.toSeq.sortBy(_._1)
+      .map { case (tag, t) => s"$tag={${t.containerSignature}}" }
+      .mkString(s"fanout;tag=$tagOfKeySql;", ";", "")
+
+  override def truncate(spark: SparkSession): Unit =
+    children.values.foreach(_.truncate(spark))
+
+  def apply(spark: SparkSession, upserts: DataFrame,
+      deleteKeys: DataFrame): TargetStats = {
+    val up = upserts.withColumn("__tag", tagCol).cache()
+    val del = deleteKeys.select(col("row_key")).withColumn("__tag", tagCol)
+      .cache()
+    try {
+      // one action answers routing for every child: which tags have
+      // rows (skip empty children's per-apply jobs) and whether any
+      // row routes nowhere (fail before touching any container)
+      val tagsPresent = up.select("__tag").unionByName(del.select("__tag"))
+        .distinct().collect().map(_.getString(0)).toSet
+      val unrouted = tagsPresent -- children.keySet
+      require(unrouted.isEmpty,
+        s"FanoutTarget: rows with tag(s) ${unrouted.mkString(", ")} match " +
+          s"no child (children: ${children.keys.toSeq.sorted.mkString(", ")})")
+      children.toSeq.sortBy(_._1).map { case (tag, t) =>
+        if (!tagsPresent(tag)) TargetStats(0, 0)
+        else t.apply(spark,
+          up.filter(col("__tag") === tag).drop("__tag"),
+          del.filter(col("__tag") === tag).drop("__tag"))
+      }.reduce((a, b) => TargetStats(a.upserted + b.upserted,
+        a.deleted + b.deleted))
+    } finally { up.unpersist(); del.unpersist() }
+  }
+
+  /** Union of the children's contents, tagged; children not yet
+    * written are skipped (a fanout flow's first apply may create only
+    * the children that received rows). */
+  def read(spark: SparkSession): DataFrame = {
+    val readable = children.toSeq.sortBy(_._1).flatMap { case (tag, t) =>
+      try Some(t.read(spark).withColumn("__fanout", lit(tag)))
+      catch { case _: IllegalStateException => None }
+    }
+    if (readable.isEmpty)
+      throw new IllegalStateException("FanoutTarget: no child written yet")
+    readable.reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+}
+
 /** Files in a managed directory — the reference's
   * `localfs.mount_dir_target` (python/cocoindex/connectors/localfs/
   * _target.py:300-451): each row is one file (`row_key` = relative

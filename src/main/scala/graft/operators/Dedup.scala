@@ -57,7 +57,13 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // Shingles are hashed to longs at the scan: every downstream
     // shuffle/join/intersect moves longs, not n-gram strings.
+    // spread the shingle UDF + explode across the full parallelism up
+    // front: a narrow few-partition input would otherwise bottleneck
+    // every downstream stage (AQE coalesces by BYTES and cannot see
+    // that these stages are compute-dense at few bytes per row)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val d = docs
+      .repartition(par)
       .select(col(idCol).as("doc_id"), shingleHashUdf(n)(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
       .cache() // reused by prefix generation and both verify joins

@@ -110,31 +110,34 @@ object Fts {
     java.lang.Math.floorMod(h, numBuckets.toLong).toInt
   }
 
-  /** The maintained FTS index: a postings flow and a doc-lengths flow
-    * over the same corpus (run() drives both; stats are the postings
-    * flow's, the interesting ones). */
-  final case class FtsFlows(postings: graft.engine.Flow,
-      docLens: graft.engine.Flow) {
-    def run(spark: org.apache.spark.sql.SparkSession): graft.engine.RunStats = {
-      docLens.run(spark)
-      postings.run(spark)
-    }
-    /** Feed-driven refresh: each flow drains its OWN watcher (they
-      * hold separate consumer groups — see [[ftsFlow]]'s changeFeed),
-      * so both converge on the same delta independently. */
+  /** The maintained FTS index: ONE flow whose stage emits both the
+    * postings rows and the doc-length rows, fanned into the two
+    * physical tables by a [[graft.engine.FanoutTarget]] — the corpus
+    * is listed, loaded, tokenized and reconciled once per refresh
+    * (it used to be two separate engine passes, which a clean
+    * measurement showed doubled the per-refresh fixed cost), and both
+    * tables always commit views of the SAME corpus snapshot. */
+  final case class FtsFlows(flow: graft.engine.Flow) {
+    def run(spark: org.apache.spark.sql.SparkSession): graft.engine.RunStats =
+      flow.run(spark)
+    /** Feed-driven refresh: one watcher, one consumer group — the
+      * single flow re-stats only the changed docs per drain. */
     def runFeed(spark: org.apache.spark.sql.SparkSession)
-        : graft.engine.RunStats = {
-      docLens.runFeed(spark)
-      postings.runFeed(spark)
-    }
+        : graft.engine.RunStats =
+      flow.runFeed(spark)
   }
 
   /** The inverted index as an engine-maintained flow target — the
     * FTS analog of [[Similarity.ivfFlow]]: each document is one
-    * component whose rows are its postings (`row_key = doc:term`),
-    * so an edited document rewrites exactly its own posting rows
-    * through the reconcile (O(changed docs), not a corpus rebuild),
-    * and a deleted document's postings are GC'd as orphans.
+    * component whose rows are its postings plus its one doc-length
+    * row (`row_key = pl:doc:term` / `dl:doc`), so an edited document
+    * rewrites exactly its own rows through the reconcile (O(changed
+    * docs), not a corpus rebuild), and a deleted document's rows are
+    * GC'd as orphans. A single engine pass maintains BOTH tables: the
+    * stage emits the two row kinds and a [[graft.engine.FanoutTarget]]
+    * routes them by `row_key` prefix into the postings and doclen
+    * containers (previously two separate flows = two full list/load/
+    * reconcile cycles per refresh over the same corpus).
     *
     * Layout is read-optimized: postings are BUCKETED BY TERM
     * (`bucketKeySql` hashes the row_key's term suffix), so a query
@@ -144,7 +147,7 @@ object Fts {
     * min(|terms|, numBuckets) buckets instead of one — the classic
     * read-optimized trade every search engine makes (Lucene pays it
     * as segment merging). Doc lengths are their own maintained table
-    * (`row_key = doc`), so corpus stats (N, avgdl) fold from a
+    * (`row_key = dl:doc`), so corpus stats (N, avgdl) fold from a
     * doc-count-sized table instead of re-aggregating the postings
     * per query.
     */
@@ -153,65 +156,64 @@ object Fts {
       corpus: org.apache.spark.sql.SparkSession => DataFrame,
       indexDir: String, stateDir: String, numBuckets: Int = 8,
       idCol: String = "doc_id", textCol: String = "text",
-      /** Keyed change feed over the corpus (doc-id keys), one watcher
-        * per SUB-FLOW: the factory is called with "postings" /
-        * "doclen" and must return a watcher with its own durable
-        * cursor (e.g. [[graft.engine.TopicTarget.feed]] with a
-        * per-sub-flow consumer group) — the two flows drain
-        * independently, so a shared cursor would starve the second.
-        * With a feed, [[FtsFlows.runFeed]] re-stats only the changed
-        * docs instead of re-fingerprinting the corpus. */
-      changeFeed: Option[String => graft.engine.SourceWatcher] = None)
+      /** Keyed change feed over the corpus (doc-id keys) with a
+        * durable cursor (e.g. [[graft.engine.TopicTarget.feed]] with
+        * a consumer group): with it, [[FtsFlows.runFeed]] re-stats
+        * only the changed docs instead of re-fingerprinting the
+        * corpus. One watcher maintains both tables — the single flow
+        * needs a single cursor. */
+      changeFeed: Option[() => graft.engine.SourceWatcher] = None)
       : FtsFlows = {
-    def srcFor(sub: String): graft.engine.Source = {
-      val t = graft.engine.TableSource(corpus, keyCol = idCol)
-      changeFeed match {
-        case Some(f) => graft.engine.ChangeFeedSource(t, () => f(sub))
-        case None => t
-      }
+    val tableSrc = graft.engine.TableSource(corpus, keyCol = idCol)
+    val src: graft.engine.Source = changeFeed match {
+      case Some(f) => graft.engine.ChangeFeedSource(tableSrc, f)
+      case None => tableSrc
     }
     // terms are [a-z0-9]+ tokens (no ':'), so the substring after the
-    // LAST ':' of `doc:term` is unambiguously the term even when doc
-    // ids themselves contain ':'
-    val target = graft.engine.ParquetTableTarget(
-      s"$indexDir/postings", numBuckets,
-      bucketKeySql = "substring_index(row_key, ':', -1)")
+    // LAST ':' of `pl:doc:term` is unambiguously the term even when
+    // doc ids themselves contain ':'
+    val target = graft.engine.FanoutTarget(Map(
+      "pl" -> graft.engine.ParquetTableTarget(
+        s"$indexDir/postings", numBuckets,
+        bucketKeySql = "substring_index(row_key, ':', -1)"),
+      "dl" -> graft.engine.ParquetTableTarget(
+        s"$indexDir/doclen", numBuckets)))
     // textCol/idCol are stage logic: reconfiguring either on an
     // existing stateDir must invalidate the memo, or unchanged docs
-    // keep serving postings built from the OLD column
-    val post = graft.engine.CocoFn("fts_postings", 1,
+    // keep serving postings built from the OLD column. v2: the
+    // single-flow layout prefixed every row_key (pl:/dl:) — memoized
+    // v1 outputs describe rows that no longer exist under these keys
+    val stage = graft.engine.CocoFn("fts_index", 2,
       deps = Seq(s"t=$textCol", s"id=$idCol"), fn = df => {
       val toks = df.select(col("item_key"),
         explode(tokens(col(textCol))).as("term"))
-      toks.groupBy("item_key", "term").agg(count(lit(1)).as("tf"))
+      val postings = toks.groupBy("item_key", "term")
+        .agg(count(lit(1)).as("tf"))
         .select(col("item_key"),
-          concat(col("item_key"), lit(":"), col("term")).as("row_key"),
-          col("term"), col("tf"))
+          concat(lit("pl:"), col("item_key"), lit(":"), col("term"))
+            .as("row_key"),
+          col("term"), col("tf"),
+          lit(null).cast("long").as("dl"))
+      // token-less (or null-text) docs have no postings, so they must
+      // have no doc-length row either — otherwise the served N/avgdl
+      // diverge from buildIndex, which derives lengths from exploded
+      // tokens and never sees such docs
+      val lens = df
+        .select(col("item_key"),
+          concat(lit("dl:"), col("item_key")).as("row_key"),
+          lit(null).cast("string").as("term"),
+          lit(null).cast("long").as("tf"),
+          size(tokens(col(textCol))).cast("long").as("dl"))
+        .filter(col("dl") > 0)
+      postings.unionByName(lens)
     })
-    // token-less (or null-text) docs have no postings, so they must
-    // have no doc-length row either — otherwise the served N/avgdl
-    // diverge from buildIndex, which derives lengths from exploded
-    // tokens and never sees such docs
-    val dl = graft.engine.CocoFn("fts_doclen", 1,
-      deps = Seq(s"t=$textCol", s"id=$idCol"), fn = df => df
-      .select(col("item_key"), col("item_key").as("row_key"),
-        size(tokens(col(textCol))).cast("long").as("dl"))
-      .filter(col("dl") > 0))
-    FtsFlows(
-      postings = new graft.engine.Flow(name,
-        srcFor("postings"),
-        Seq(post), target, s"$stateDir/postings",
-        // the layout declaration ftsLoad prunes by — written only
-        // AFTER a successful commit, so it always describes the
-        // bucketing actually on disk
-        afterCommit = Some(() => graft.engine.Sidecar.write(
-          new java.io.File(indexDir, "_graft_fts.json"),
-          Map("numBuckets" -> numBuckets.toString)))),
-      docLens = new graft.engine.Flow(s"${name}_dl",
-        srcFor("doclen"),
-        Seq(dl),
-        graft.engine.ParquetTableTarget(s"$indexDir/doclen", numBuckets),
-        s"$stateDir/doclen"))
+    FtsFlows(new graft.engine.Flow(name, src, Seq(stage), target, stateDir,
+      // the layout declaration ftsLoad prunes by — written only
+      // AFTER a successful commit, so it always describes the
+      // bucketing actually on disk
+      afterCommit = Some(() => graft.engine.Sidecar.write(
+        new java.io.File(indexDir, "_graft_fts.json"),
+        Map("numBuckets" -> numBuckets.toString)))))
   }
 
   /** Load an [[ftsFlow]]-maintained index for [[bm25]]. Doc ids are

@@ -36,10 +36,11 @@ class FtsFlowSpec extends SparkSpec {
     val flow = Fts.ftsFlow(spark, "fts", corpus, indexDir, stateDir,
       numBuckets = 4)
 
-    // cold build: one posting per distinct (doc, term)
+    // cold build: one posting per distinct (doc, term) plus one
+    // doc-length row per tokenful doc, all through the single pass
     val r1 = flow.run(spark)
     val distinctPostings = texts.map { case (_, t) => t.split(" ").toSet.size }.sum
-    assert(r1.rowsInserted == distinctPostings, s"$r1")
+    assert(r1.rowsInserted == distinctPostings + texts.size, s"$r1")
     assert(flow.run(spark).isNoop, "stable corpus ⇒ stable index")
 
     // served scores == from-scratch scores on the same corpus
@@ -161,5 +162,54 @@ class FtsFlowSpec extends SparkSpec {
     }
     assert(served.keySet == direct.keySet)
     for ((k, v) <- served) assert(math.abs(v - direct(k)) < 1e-12, s"doc $k")
+  }
+
+  test("single pass maintains both tables: one corpus scan per refresh") {
+    val root = Files.createTempDirectory("fts-onepass")
+    val corpusDir = root.resolve("corpus").toString
+    writeCorpus(corpusDir, texts)
+    // every row that physically flows out of the corpus scan bumps
+    // the accumulator — so "how many times was the table scanned" is
+    // measurable as touched-rows, the same style of evidence
+    // LiveWatchSpec uses for O(delta) claims
+    val acc = spark.sparkContext.longAccumulator("corpus-rows-touched")
+    // nondeterministic so Catalyst can neither reorder it below other
+    // filters nor collapse duplicate evaluations — each physical pass
+    // over the corpus counts fully
+    val touchUdf = udf { (_: String) => acc.add(1); true }.asNondeterministic()
+    def corpus = (s: org.apache.spark.sql.SparkSession) =>
+      s.read.parquet(corpusDir).filter(touchUdf(col("text")))
+
+    val flows = Fts.ftsFlow(spark, "fts_1p", corpus,
+      root.resolve("i1").toString, root.resolve("s1").toString, numBuckets = 4)
+    acc.reset()
+    flows.run(spark)
+    val buildTouched = acc.value.toLong
+    // one listing pass + one load pass (each ≤ N rows; the load may
+    // re-evaluate once more under the reconcile's cache miss) — far
+    // below the 4 passes two separate flows used to pay
+    val n = texts.size.toLong
+    assert(buildTouched <= 3 * n,
+      s"cold build touched $buildTouched rows for a $n-doc corpus")
+
+    // a stable-corpus refresh is one listing pass, and a noop
+    acc.reset()
+    assert(flows.run(spark).isNoop)
+    val noopTouched = acc.value.toLong
+    assert(noopTouched <= n,
+      s"noop refresh touched $noopTouched rows for a $n-doc corpus")
+
+    // both tables committed from the single pass, consistent with the
+    // from-scratch build
+    val idx = Fts.ftsLoad(spark, root.resolve("i1").toString)
+    val direct = Fts.buildIndex(
+      spark.read.parquet(corpusDir)
+        .select(col("doc_id").cast("string").as("doc_id"), col("text")))
+    assert(idx.postings.select("doc_id", "term", "tf").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet ==
+      direct.postings.collect()
+        .map(r => (r.getString(1), r.getString(0), r.getLong(2))).toSet)
+    assert(idx.docLengths.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      direct.docLengths.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
   }
 }
