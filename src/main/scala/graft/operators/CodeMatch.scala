@@ -122,4 +122,50 @@ object CodeMatch {
     }
     prefiltered.filter(mightMatch(col(textCol), req))
   }
+
+  /** One row per match of the precise structural matcher. */
+  final case class MatchRow(match_start: Int, match_end: Int,
+      match_text: String, captures: Map[String, String])
+
+  /** The reference's `match_code` (ops/code.py:150-176): PRECISE
+    * structural matches with metavariable captures, via the
+    * [[CodePattern]] token-tree matcher. The plan is the same
+    * two-stage shape as [[search]] — the codegen'd required-term
+    * conjunction ([[mightMatch]], pushable to the scan; optionally the
+    * q36 term index via [[prefilterCandidates]]) rejects non-candidate
+    * docs before any of them pays tokenization, then the matcher UDF
+    * runs on survivors only. At 100 TB the matcher cost is therefore
+    * proportional to the prefiltered candidate set, not the corpus —
+    * exactly the reference's "a rejected file never costs a parse"
+    * contract (code.py:159-166).
+    *
+    * Output: one row per match — `docId`, `match_start`, `match_end`,
+    * `match_text`, `captures` (metavar name → captured text). */
+  def matchCode(docs: DataFrame, docId: String, textCol: String,
+      pattern: String, lang: String = "python",
+      termIndex: Option[DataFrame] = None,
+      minLen: Int = 3, indexMinLen: Int = 4): DataFrame = {
+    val cfg = CodeTree.byName(lang).getOrElse(
+      throw new IllegalArgumentException(s"unsupported language: $lang"))
+    val compiled = CodePattern.compile(pattern, cfg)
+    val req = compiled.requiredTerms(minLen)
+    val prefiltered = termIndex match {
+      case Some(idx) if req.exists(_.length >= indexMinLen) =>
+        docs.join(
+          prefilterCandidates(idx, req, indexMinLen)
+            .withColumnRenamed("doc_id", docId),
+          Seq(docId), "left_semi")
+      case _ => docs
+    }
+    val matchUdf = udf { (text: String) =>
+      if (text == null) Seq.empty[MatchRow]
+      else compiled.matches(text).map(m => MatchRow(m.start, m.end, m.text,
+        m.captures.map { case (k, v) => (k, v.text) }))
+    }
+    prefiltered
+      .filter(mightMatch(col(textCol), req))
+      .select(col(docId), explode(matchUdf(col(textCol))).as("m"))
+      .select(col(docId), col("m.match_start"), col("m.match_end"),
+        col("m.match_text"), col("m.captures"))
+  }
 }

@@ -1,0 +1,669 @@
+package graft.operators
+
+import scala.collection.mutable
+import java.util.regex.{Pattern => JPattern}
+
+import CodeTree.{Indexed, Lang, Leaf, Span}
+
+/** The precise `CodePattern` matcher — metavariable unification over a
+  * token tree (reference `match_code`, rust/code_match/src/matcher.rs
+  * + lexer.rs; surfaced in python/cocoindex/ops/code.py:150-176).
+  *
+  * Pattern syntax (ported from lexer.rs:5-38, sigil `\`):
+  *   - `\NAME` / `\(NAME\)`  bind ONE node (a token or a balanced
+  *     `()`/`[]`/`{}` group). Repeating a name requires equal text
+  *     (sed-like backreference unification).
+  *   - `\(NAME*\)` zero-or-more same-level siblings; `\(NAME+\)`
+  *     one-or-more; `\(NAME?\)` optional. Anonymous: `\_ \* \+ \?`.
+  *   - `\(NAME:/re/\)`, `\/re/` regex-constrained (whole-node
+  *     anchored, `^(?:re)$` — lexer.rs:26-38).
+  *   - `\{{ INNER \}}` containment: INNER must match some descendant
+  *     of one node here. `\{ P \}` whole-node boundary: P must match
+  *     an entire node exactly.
+  *   - `\\` a literal sigil.
+  *
+  * Match semantics are the reference's: candidates are tree nodes,
+  * matched whole or as a child-aligned fragment spanning ≥2 children
+  * (leading/trailing tolerance, matcher.rs:319-411), leftmost-longest
+  * non-overlapping per candidate, bindings threaded forward with a
+  * `(pi, li)` fail-memo when sound (unique names, no brackets).
+  *
+  * DOCUMENTED DIVERGENCE from the reference: the source tree is a
+  * balanced-delimiter token tree, not a tree-sitter AST ([[CodeTree]]).
+  * Nodes = tokens and delimiter groups only, so `\X` cannot bind an
+  * undelimited compound expression (`a + b` is three siblings — write
+  * `\(X*\)`), and match `kind`s are "ident"/"number"/"string"/"()"/
+  * "root" rather than grammar node names. Everything else — atomic
+  * strings, same-level runs, unification, tolerance, containment — is
+  * at parity, gated by CodeMatchSpec's port of the reference vectors.
+  */
+object CodePattern {
+
+  sealed trait Card
+  case object One extends Card
+  case object Many extends Card
+  case object OneOrMore extends Card
+  case object Optional extends Card
+
+  sealed trait PItem extends Serializable
+  /** operator/punct/word — matches one source leaf by text (a run of
+    * consecutive PToks may jointly match one compound leaf). */
+  final case class PTok(text: String) extends PItem
+  /** atomic whole-node literal (string/char) — matches a node span. */
+  final case class PStr(text: String) extends PItem
+  final case class PMeta(name: Option[String], card: Card,
+      regex: Option[JPattern]) extends PItem
+  final case class PContainsOpen(var close: Int) extends PItem
+  case object PContainsClose extends PItem
+  final case class PWholeOpen(var close: Int) extends PItem
+  case object PWholeClose extends PItem
+
+  final case class Capture(text: String, start: Int, end: Int,
+      multi: Boolean)
+  final case class MatchResult(kind: String, start: Int, end: Int,
+      text: String, captures: Map[String, Capture])
+
+  /** Compile `pattern` for `lang`; throws IllegalArgumentException on
+    * a malformed matcher regex or unbalanced `\{`/`\{{` (the
+    * reference's `client` errors). */
+  def compile(pattern: String, lang: Lang): Compiled = {
+    val items = lexPattern(pattern, lang)
+    val hasBrackets = items.exists {
+      case _: PContainsOpen | _: PWholeOpen => true; case _ => false
+    }
+    val names = items.collect { case PMeta(Some(n), _, _) => n }
+    val noDups = names.distinct.length == names.length
+    new Compiled(pattern, items, lang, noDups && !hasBrackets, noDups)
+  }
+
+  // ------------------------------------------------------------------
+  // pattern lexer (reference lexer.rs:105-235)
+  // ------------------------------------------------------------------
+
+  private[operators] def lexPattern(pattern: String, lang: Lang)
+      : Array[PItem] = {
+    val out = mutable.ArrayBuffer[PItem]()
+    var i = 0
+    val n = pattern.length
+    while (i < n) {
+      val c = pattern.charAt(i)
+      if (Character.isWhitespace(c)) i += 1
+      else if (c == '\\') {
+        val after = i + 1
+        if (after < n && pattern.charAt(after) == '\\') {
+          out += PTok("\\"); i = after + 1 // doubled sigil = literal
+        } else if (pattern.startsWith("{{", after)) {
+          out += PContainsOpen(0); i = after + 2
+        } else if (pattern.startsWith("}}", after)) {
+          out += PContainsClose; i = after + 2
+        } else if (after < n && pattern.charAt(after) == '{') {
+          out += PWholeOpen(0); i = after + 1
+        } else if (after < n && pattern.charAt(after) == '}') {
+          out += PWholeClose; i = after + 1
+        } else lexMetavar(pattern, after) match {
+          case Some((item, next)) => out += item; i = next
+          case None => out += PTok("\\"); i = after // bare sigil
+        }
+      } else {
+        // longest match across string/ident/number classes; the
+        // pattern side lexes punctuation CHAR-BY-CHAR (reference
+        // splittables, config.rs:356-373) — match_token_run
+        // reconciles a char run against one compound source leaf
+        val rest = pattern.substring(i)
+        var bestLen = 0
+        var bestStr = false
+        for (t <- lang.stringToks; l <- t(rest) if l > bestLen) {
+          bestLen = l; bestStr = true
+        }
+        for (t <- Seq(identT, numberT); l <- t(rest) if l > bestLen) {
+          bestLen = l; bestStr = false
+        }
+        if (bestLen > 0) {
+          val text = rest.substring(0, bestLen)
+          out += (if (bestStr) PStr(text) else PTok(text))
+          i += bestLen
+        } else { out += PTok(c.toString); i += 1 }
+      }
+    }
+    resolveBrackets(out)
+    out.toArray
+  }
+
+  private val identT: CodeTree.Tok = { s =>
+    val c = s.charAt(0)
+    if (c == '_' || Character.isLetter(c)) {
+      var i = 1
+      while (i < s.length && (s(i) == '_' || Character.isLetterOrDigit(s(i)))) i += 1
+      Some(i)
+    } else None
+  }
+  private val numberT: CodeTree.Tok = {
+    val re = """(?:[0-9]|\.[0-9])(?:[eEpP][-+]|[0-9A-Za-z_.])*""".r
+    s => re.findPrefixMatchOf(s).map(_.end)
+  }
+
+  /** `\…` metavar after the sigil (lexer.rs:286-312). */
+  private def lexMetavar(p: String, s: Int): Option[(PItem, Int)] = {
+    if (s >= p.length) return None
+    p.charAt(s) match {
+      case '(' => lexQualified(p, s + 1)
+      case '*' => Some((PMeta(None, Many, None), s + 1))
+      case '+' => Some((PMeta(None, OneOrMore, None), s + 1))
+      case '?' => Some((PMeta(None, Optional, None), s + 1))
+      case '/' =>
+        val (re, next) = lexRegex(p, s)
+        Some((PMeta(None, One, Some(re)), next))
+      case c if c.isLetterOrDigit || c == '_' =>
+        val (name, end) = readName(p, s)
+        Some((PMeta(binding(name), One, None), end))
+      case _ => None
+    }
+  }
+
+  /** `\( NAME [*+?] [:/re/] [*+?] \)` (lexer.rs:335-377). */
+  private def lexQualified(p: String, j: Int): Option[(PItem, Int)] = {
+    val (name, k0) = readName(p, j)
+    var k = k0
+    val cardAfterName = readCard(p, k).map { case (c, nk) => k = nk; c }
+    k = skipSpaces(p, k)
+    val regex: Option[JPattern] =
+      if (k < p.length && p.charAt(k) == ':' && name.nonEmpty) {
+        val (re, nk) = lexRegex(p, skipSpaces(p, k + 1)); k = nk; Some(re)
+      } else if (k < p.length && p.charAt(k) == '/' && name.isEmpty) {
+        val (re, nk) = lexRegex(p, k); k = nk; Some(re)
+      } else None
+    val cardAfterTerm =
+      if (regex.isDefined) readCard(p, k).map { case (c, nk) => k = nk; c }
+      else None
+    val card = cardAfterTerm.orElse(cardAfterName).getOrElse(One)
+    k = skipSpaces(p, k)
+    if (!p.startsWith("\\)", k)) None // malformed: sigil stays literal
+    else Some((PMeta(binding(name), card, regex), k + 2))
+  }
+
+  private def readCard(p: String, k: Int): Option[(Card, Int)] =
+    if (k >= p.length) None
+    else p.charAt(k) match {
+      case '*' => Some((Many, k + 1))
+      case '+' => Some((OneOrMore, k + 1))
+      case '?' => Some((Optional, k + 1))
+      case _ => None
+    }
+
+  /** Delimited `/re/`, closing at the first unescaped `/` (escape a
+    * literal one as `\/`); compiled whole-node anchored `^(?:re)$`
+    * (lexer.rs:386-413). */
+  private def lexRegex(p: String, k: Int): (JPattern, Int) = {
+    require(k < p.length && p.charAt(k) == '/',
+      "metavar matcher must be a regex: expected `/`")
+    val start = k + 1
+    var q = start
+    var close = -1
+    while (close < 0) {
+      if (q >= p.length)
+        throw new IllegalArgumentException("unterminated regex in metavar matcher")
+      else p.charAt(q) match {
+        case '\\' => q += 2
+        case '/' => close = q
+        case _ => q += 1
+      }
+    }
+    val raw = p.substring(start, close)
+    val re = try JPattern.compile(s"^(?:$raw)$$")
+    catch { case e: Exception =>
+      throw new IllegalArgumentException(s"invalid regex `/$raw/`: ${e.getMessage}")
+    }
+    (re, close + 1)
+  }
+
+  private def skipSpaces(p: String, k0: Int): Int = {
+    var k = k0
+    while (k < p.length && p.charAt(k) == ' ') k += 1
+    k
+  }
+
+  // names are ASCII `[A-Za-z0-9_]+` (lexer.rs:22-24)
+  private def readName(p: String, j: Int): (String, Int) = {
+    var k = j
+    while (k < p.length && {
+      val c = p.charAt(k)
+      (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '_'
+    }) k += 1
+    (p.substring(j, k), k)
+  }
+
+  private def binding(name: String): Option[String] =
+    if (name.isEmpty || name == "_") None else Some(name)
+
+  /** Pair `\{{`/`\}}` and `\{`/`\}` with a typed stack; crossed or
+    * unmatched markers are malformed (lexer.rs:242-278). */
+  private def resolveBrackets(items: mutable.ArrayBuffer[PItem]): Unit = {
+    var stack = List.empty[(Int, Boolean)] // (open index, isContainment)
+    for (idx <- items.indices) items(idx) match {
+      case _: PContainsOpen => stack = (idx, true) :: stack
+      case _: PWholeOpen => stack = (idx, false) :: stack
+      case PContainsClose =>
+        stack match {
+          case (open, true) :: rest =>
+            items(open).asInstanceOf[PContainsOpen].close = idx
+            stack = rest
+          case (_, false) :: _ =>
+            throw new IllegalArgumentException("`\\}}` closing a `\\{` in pattern")
+          case Nil =>
+            throw new IllegalArgumentException("unmatched `\\}}` in pattern")
+        }
+      case PWholeClose =>
+        stack match {
+          case (open, false) :: rest =>
+            items(open).asInstanceOf[PWholeOpen].close = idx
+            stack = rest
+          case (_, true) :: _ =>
+            throw new IllegalArgumentException("`\\}` closing a `\\{{` in pattern")
+          case Nil =>
+            throw new IllegalArgumentException("unmatched `\\}` in pattern")
+        }
+      case _ =>
+    }
+    if (stack.nonEmpty)
+      throw new IllegalArgumentException("unmatched `\\{` or `\\{{` in pattern")
+  }
+
+  // ------------------------------------------------------------------
+  // compiled pattern + matcher (reference matcher.rs)
+  // ------------------------------------------------------------------
+
+  final class Compiled private[CodePattern] (
+      val pattern: String,
+      private[operators] val items: Array[PItem],
+      val lang: Lang,
+      /** `(pi, li)` fail-memo soundness: unique names AND no brackets
+        * (matcher.rs:126-133). */
+      private val useMemo: Boolean,
+      private val noDups: Boolean) extends Serializable {
+
+    /** Required word-bounded literal terms, for [[CodeMatch]]'s
+      * prefilter (reference prefilter.rs:75-127 — identifiers that
+      * aren't keywords, plus each string literal's word runs; metavar
+      * regex literals are DROPPED, which is sound: a dropped
+      * constraint only admits extra candidates). */
+    def requiredTerms(minLen: Int = 3): Seq[String] = {
+      val out = mutable.LinkedHashSet[String]()
+      for (it <- items) it match {
+        case PTok(t) if t.nonEmpty && (t.charAt(0).isLetter ||
+            t.charAt(0) == '_') && !lang.keywords.contains(t) &&
+            t.length >= minLen => out += t
+        case PStr(t) =>
+          out ++= "[A-Za-z0-9_]+".r.findAllIn(t)
+            .filter(r => r.length >= minLen && r.exists(_ != '_'))
+        case _ =>
+      }
+      out.toSeq
+    }
+
+    /** All matches in `source`, leftmost-longest non-overlapping per
+      * candidate node (matcher.rs:310-413). */
+    def matches(source: String): Seq[MatchResult] = {
+      val idx = CodeTree.index(source, lang)
+      if (idx.leaves.isEmpty) return Nil
+      val out = mutable.ArrayBuffer[MatchResult]()
+      val nItems = items.length
+      for (cand <- idx.candidates) {
+        val kids = cand.childBounds
+        val hi = cand.endLeaf + 1
+        val stops: Set[Int] = kids.iterator.map(_._2 + 1).toSet
+        val ctx = new Ctx(items, idx, source, useMemo, noDups, stops,
+          lang.trailingDelimiters)
+        val starts: Array[Int] =
+          if (kids.isEmpty) Array(cand.startLeaf) else kids.map(_._1)
+        val startIdx = kids.iterator.map(_._1).zipWithIndex.toMap
+        val endIdx = kids.iterator.map(_._2).zipWithIndex.toMap
+        var nextStart = 0
+        for (a <- starts if a >= nextStart) {
+          ctx.bound.clear()
+          if (ctx.dp(0, nItems, a, hi)) {
+            val b = ctx.matchedEnd
+            val range: Option[(Int, Int)] =
+              if (a == cand.startLeaf && b == hi) Some((cand.start, cand.end))
+              else if (b > a) {
+                val ci = startIdx(a)
+                val cj = endIdx(b - 1)
+                // a fragment must span ≥2 children, or be a single
+                // ANONYMOUS leaf (a named one defers to its own
+                // candidate — matcher.rs:384-397)
+                val ok = cj > ci || {
+                  val (s, e) = kids(ci); s == e && idx.leaves(s).anon
+                }
+                if (ok) Some((idx.leaves(a).start, idx.leaves(b - 1).end))
+                else None
+              } else None // zero-width match: not a fragment
+            range.foreach { case (s, e) =>
+              out += MatchResult(cand.kind, s, e, source.substring(s, e),
+                ctx.bound.toMap)
+              nextStart = b
+            }
+          }
+        }
+      }
+      out.toSeq
+    }
+
+    /** [[matches]] gated by the required-term prefilter — a rejected
+      * source never pays tokenization (reference
+      * `matches_prefiltered`, matcher.rs:170-181). */
+    def matchesPrefiltered(source: String, required: Seq[String])
+        : Seq[MatchResult] = {
+      val ok = required.forall { t =>
+        var from = 0
+        var found = false
+        while (!found && { from = source.indexOf(t, from); from >= 0 }) {
+          val b = from == 0 || !isWordCh(source.charAt(from - 1))
+          val a = from + t.length == source.length ||
+            !isWordCh(source.charAt(from + t.length))
+          if (b && a) found = true else from += 1
+        }
+        found
+      }
+      if (ok) matches(source) else Nil
+    }
+  }
+
+  private def isWordCh(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  private def regexOk(re: Option[JPattern], text: String): Boolean =
+    re.forall(_.matcher(text).matches())
+
+  /** The DP matching context — a direct port of matcher.rs `Ctx`
+    * (555-1150): forward-threaded bindings, per-candidate stops with
+    * trailing delimiter tolerance, fail-memo when sound. */
+  private final class Ctx(
+      items: Array[PItem],
+      idx: Indexed,
+      source: String,
+      private var useMemo: Boolean,
+      noDups: Boolean,
+      private var stops: Set[Int],
+      delimiters: Set[String]) {
+
+    val bound = mutable.HashMap[String, Capture]()
+    private var fail = mutable.HashSet[(Int, Int)]()
+    var matchedEnd: Int = 0
+    private var tolerantEnd: Option[Int] = None
+
+    def dp(pi: Int, end: Int, li: Int, hi: Int): Boolean = {
+      if (pi == end) {
+        if (end == items.length || tolerantEnd.contains(end)) {
+          if (li == hi || stops.contains(li)) { matchedEnd = li; return true }
+          // trailing tolerance into the last child: consume ONLY
+          // statement delimiters up to the next stop (`;`, `,` — never
+          // closers, so `f(\X` can't match `f(a)`; matcher.rs:622-639)
+          val nexts = stops.filter(_ > li)
+          if (nexts.nonEmpty) {
+            val s = nexts.min
+            if ((li until s).forall { l =>
+              val lf = idx.leaves(l); lf.anon && delimiters.contains(lf.text)
+            }) { matchedEnd = s; return true }
+          }
+          return false
+        }
+        return li == hi // inner sub-pattern must land exactly on hi
+      }
+      if (useMemo && fail.contains((pi, li))) return false
+      val ok = items(pi) match {
+        case _: PTok => matchTokenRun(pi, end, li, hi)
+        case PStr(s) => matchLiteral(pi, end, li, hi, s)
+        case PMeta(name, card, regex) => card match {
+          case One => matchSingle(pi, end, li, hi, name, regex)
+          case Many => matchMulti(pi, end, li, hi, name, nonempty = false, regex)
+          case OneOrMore => matchMulti(pi, end, li, hi, name, nonempty = true, regex)
+          case Optional => matchOptional(pi, end, li, hi, name, regex)
+        }
+        case o: PContainsOpen => matchContains(pi, o.close, end, li, hi)
+        case o: PWholeOpen => matchWhole(pi, o.close, end, li, hi)
+        case PContainsClose | PWholeClose => false // never landed on
+      }
+      if (!ok && useMemo) fail += ((pi, li))
+      ok
+    }
+
+    /** Consecutive pattern `PTok`s vs ONE source leaf: accumulate
+      * until the concatenation equals the leaf text (`=` `>` matches a
+      * compound `=>` leaf; first exact equality keeps the one-to-one
+      * path — matcher.rs:696-718). */
+    private def matchTokenRun(pi: Int, end: Int, li: Int, hi: Int): Boolean = {
+      if (li >= hi) return false
+      val target = idx.leaves(li).text
+      val acc = new StringBuilder
+      var j = pi
+      while (j < end) {
+        items(j) match {
+          case PTok(t) =>
+            acc.append(t)
+            if (acc.length > target.length ||
+              !target.startsWith(acc.toString)) return false
+            j += 1
+            if (acc.length == target.length) return dp(j, end, li + 1, hi)
+          case _ => return false
+        }
+      }
+      false
+    }
+
+    /** A string/char literal: any node span with equal text
+      * (matcher.rs:720-737). */
+    private def matchLiteral(pi: Int, end: Int, li: Int, hi: Int,
+        s: String): Boolean = {
+      if (li >= hi) return false
+      idx.spansByStart(li).exists { sp =>
+        sp.endLeaf < hi && source.substring(sp.start, sp.end) == s &&
+          dp(pi + 1, end, sp.endLeaf + 1, hi)
+      }
+    }
+
+    private def matchSingle(pi: Int, end: Int, li: Int, hi: Int,
+        name: Option[String], regex: Option[JPattern]): Boolean = {
+      if (li >= hi) return false
+      // greedy: spans sorted largest-first; regex filters INSIDE the
+      // loop so every satisfying nesting level stays backtrackable
+      for (sp <- idx.spansByStart(li)) {
+        if (sp.endLeaf < hi &&
+          regexOk(regex, source.substring(sp.start, sp.end))) {
+          val cap = Capture(source.substring(sp.start, sp.end),
+            sp.start, sp.end, multi = false)
+          bind(name, cap) match {
+            case Inconsistent =>
+            case b =>
+              if (dp(pi + 1, end, sp.endLeaf + 1, hi)) return true
+              unbind(name, b)
+          }
+        }
+      }
+      // anonymous-leaf fallback (keyword/operator/punct) — tried LAST
+      // so greedy named-subtree preference is unchanged (matcher.rs:776)
+      val leaf = idx.leaves(li)
+      if (leaf.anon && regexOk(regex, leaf.text)) {
+        val cap = Capture(leaf.text, leaf.start, leaf.end, multi = false)
+        bind(name, cap) match {
+          case Inconsistent =>
+          case b =>
+            if (dp(pi + 1, end, li + 1, hi)) return true
+            unbind(name, b)
+        }
+      }
+      false
+    }
+
+    /** `\(X*\)` — a contiguous same-level sibling run
+      * (matcher.rs:801-842). */
+    private def matchMulti(pi: Int, end: Int, li: Int, hi: Int,
+        name: Option[String], nonempty: Boolean,
+        regex: Option[JPattern]): Boolean = {
+      for (next <- reachable(li, hi, regex)) {
+        val skip = (nonempty && next == li) || !idx.sameLevel(li, next)
+        if (!skip) {
+          val (sb, eb) =
+            if (next > li) (idx.leaves(li).start, idx.leaves(next - 1).end)
+            else {
+              val b = if (li < idx.leaves.length) idx.leaves(li).start
+                else if (li > 0) idx.leaves(li - 1).end else 0
+              (b, b)
+            }
+          val cap = Capture(source.substring(sb, eb), sb, eb, multi = true)
+          bind(name, cap) match {
+            case Inconsistent =>
+            case b =>
+              if (dp(pi + 1, end, next, hi)) return true
+              unbind(name, b)
+          }
+        }
+      }
+      false
+    }
+
+    /** Positions reachable from `li` by consuming whole units (a named
+      * span or one anonymous leaf), descending = greedy longest first
+      * (matcher.rs:1169-1194). A regex constrains every unit. */
+    private def reachable(li: Int, hi: Int, re: Option[JPattern]): Seq[Int] = {
+      val n = hi - li
+      val reach = new Array[Boolean](n + 1)
+      reach(0) = true
+      for (off <- 0 until n if reach(off)) {
+        val p = li + off
+        for (sp <- idx.spansByStart(p))
+          if (sp.endLeaf < hi &&
+            re.forall(_.matcher(source.substring(sp.start, sp.end)).matches()))
+            reach(sp.endLeaf + 1 - li) = true
+        if (idx.leaves(p).anon &&
+          re.forall(_.matcher(idx.leaves(p).text).matches()))
+          reach(p + 1 - li) = true
+      }
+      (0 to n).filter(reach).map(li + _).reverse
+    }
+
+    /** `\{ P \}` — P must match an ENTIRE node starting at `li`
+      * (no tolerance), then the outer match continues from its end
+      * (matcher.rs:851-875). */
+    private def matchWhole(pi: Int, close: Int, end: Int, li: Int,
+        hi: Int): Boolean = {
+      val inner = pi + 1
+      val cont = close + 1
+      if (li >= idx.leaves.length) return false
+      for (sp <- idx.spansByStart(li)) {
+        val next = sp.endLeaf + 1
+        if (next <= hi) {
+          val snapshot = bound.toMap
+          val savedTol = tolerantEnd
+          tolerantEnd = None
+          val pOk = dp(inner, close, li, next)
+          tolerantEnd = savedTol
+          if (pOk && dp(cont, end, next, hi)) return true
+          bound.clear(); bound ++= snapshot
+        }
+      }
+      false
+    }
+
+    /** `\{{ INNER \}}` — one single-child node here must CONTAIN a
+      * descendant matching INNER (matcher.rs:877-921; the per-call
+      * candidate scan — the reference's precomputed containment cache
+      * is an optimization for repeated outer positions that chunk-
+      * sized sources don't need). */
+    private def matchContains(pi: Int, close: Int, end: Int, li: Int,
+        hi: Int): Boolean = {
+      val inner = pi + 1
+      val cont = close + 1
+      if (li >= idx.leaves.length) return false
+      for (sp <- idx.spansByStart(li)) {
+        val next = sp.endLeaf + 1
+        if (next <= hi && idx.singleChild(li, next)) {
+          // descendants fully inside, post-order (innermost first)
+          for (cand <- idx.candidates
+               if cand.startLeaf >= li && cand.endLeaf < next) {
+            val snapshot = bound.toMap
+            if (innerMatchesCandidate(inner, close, cand) &&
+              dp(cont, end, next, hi)) return true
+            bound.clear(); bound ++= snapshot
+          }
+          // all-optional INNER matching zero nodes
+          val snapshot = bound.toMap
+          if (dp(inner, close, li, li) && dp(cont, end, next, hi)) return true
+          bound.clear(); bound ++= snapshot
+        }
+      }
+      false
+    }
+
+    /** INNER vs a descendant candidate with the same whole-node /
+      * fragment tolerance a top-level match gets, under a fresh
+      * per-descendant memo when sound (matcher.rs:1031-1063). */
+    private def innerMatchesCandidate(lo: Int, hiItems: Int,
+        cand: Span): Boolean = {
+      val candHi = cand.endLeaf + 1
+      val newStops = cand.childBounds.iterator.map(_._2 + 1).toSet + candHi
+      val starts = cand.startLeaf +: cand.childBounds.map(_._1).toSeq
+      val savedStops = stops; stops = newStops
+      val savedTol = tolerantEnd; tolerantEnd = Some(hiItems)
+      val savedFail = fail; fail = mutable.HashSet[(Int, Int)]()
+      val savedUseMemo = useMemo; useMemo = noDups
+      var ok = false
+      val it = starts.iterator
+      while (!ok && it.hasNext) {
+        val a = it.next()
+        val snap = bound.toMap
+        if (dp(lo, hiItems, a, candHi)) ok = true
+        else { bound.clear(); bound ++= snap }
+      }
+      useMemo = savedUseMemo
+      fail = savedFail
+      stops = savedStops
+      tolerantEnd = savedTol
+      ok
+    }
+
+    private def matchOptional(pi: Int, end: Int, li: Int, hi: Int,
+        name: Option[String], regex: Option[JPattern]): Boolean = {
+      if (li < hi) {
+        for (sp <- idx.spansByStart(li)) {
+          if (sp.endLeaf < hi &&
+            regexOk(regex, source.substring(sp.start, sp.end))) {
+            val cap = Capture(source.substring(sp.start, sp.end),
+              sp.start, sp.end, multi = false)
+            bind(name, cap) match {
+              case Inconsistent =>
+              case b =>
+                if (dp(pi + 1, end, sp.endLeaf + 1, hi)) return true
+                unbind(name, b)
+            }
+          }
+        }
+      }
+      // zero nodes: empty capture, cursor unmoved
+      val b0 = if (li < idx.leaves.length) idx.leaves(li).start
+        else if (li > 0) idx.leaves(li - 1).end else 0
+      bind(name, Capture("", b0, b0, multi = false)) match {
+        case Inconsistent => false
+        case b =>
+          if (dp(pi + 1, end, li, hi)) true
+          else { unbind(name, b); false }
+      }
+    }
+
+    private def bind(name: Option[String], cap: Capture): BindResult =
+      name match {
+        case None => NotInserted
+        case Some(n) => bound.get(n) match {
+          case Some(existing) if existing.text != cap.text => Inconsistent
+          case Some(_) => NotInserted
+          case None => bound(n) = cap; Inserted
+        }
+      }
+
+    private def unbind(name: Option[String], b: BindResult): Unit =
+      if (b == Inserted) name.foreach(bound.remove)
+  }
+
+  private sealed trait BindResult
+  private case object Inserted extends BindResult
+  private case object NotInserted extends BindResult
+  private case object Inconsistent extends BindResult
+}

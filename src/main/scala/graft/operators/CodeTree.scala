@@ -1,0 +1,353 @@
+package graft.operators
+
+import scala.collection.mutable
+
+/** Source-side half of the precise `CodePattern` matcher: tokenize a
+  * source file and shape it into the leaf-frontier + node-span index
+  * the DP matcher consumes (reference rust/code_match/src/matcher.rs:
+  * `Leaf`/`Span`/`Indexed`/`index_tree`, lines 53-116 and 428-553).
+  *
+  * The reference builds its index from a tree-sitter parse. tree-sitter
+  * is JNI-infeasible offline (SURVEY.md §2.C), so the tree here is a
+  * BALANCED-DELIMITER token tree instead: nodes are single tokens and
+  * `(…)` / `[…]` / `{…}` groups. That preserves the matcher semantics
+  * that matter — metavariables snap to node boundaries, a string
+  * literal is atomic (a `)` inside it can't close a group), sibling
+  * runs (`\(X*\)`) stay within one parent — and loses only grammar
+  * nodes with no delimiter (a bare `a + b` is three siblings, not one
+  * expression node; bind it with `\(X*\)` instead of `\X`). That
+  * divergence is documented on [[CodePattern]].
+  */
+object CodeTree {
+
+  /** One source token. `anon` mirrors tree-sitter's unnamed nodes —
+    * operators, punctuation and keywords — which a fragment match may
+    * start/stop beside but a metavar only binds as a fallback
+    * (matcher.rs:776-781). */
+  final case class Leaf(text: String, anon: Boolean, start: Int, end: Int)
+
+  /** A node span over the leaf frontier: a named single token
+    * (identifier / number / string) or a balanced delimiter group
+    * (`childBounds` = each direct child's inclusive leaf range —
+    * delimiters included, exactly like tree-sitter's argument_list). */
+  final case class Span(startLeaf: Int, endLeaf: Int, start: Int, end: Int,
+      kind: String, childBounds: Array[(Int, Int)])
+
+  /** The matcher's view of one source (matcher.rs `Indexed`). */
+  final class Indexed(
+      val leaves: Array[Leaf],
+      /** spans grouped by first leaf, sorted largest-first (leaf
+        * extent, then byte width) — greedy metavar binding order. */
+      val spansByStart: Array[List[Span]],
+      /** every span, post-order (innermost first), deduped by leaf
+        * extent — the match candidates. */
+      val candidates: Array[Span],
+      childStartOwners: Array[List[Int]],
+      childEndOwners: Array[List[Int]]) {
+
+    /** Is `[li, next)` a contiguous run of one node's direct children?
+      * (matcher.rs:91-98 — children tile a node contiguously.) */
+    def sameLevel(li: Int, next: Int): Boolean =
+      next <= li ||
+        childStartOwners(li).exists(n => childEndOwners(next - 1).contains(n))
+
+    /** Is `[li, next)` exactly ONE direct child of some parent
+      * (matcher.rs:106-115) — what a containment `\{{…\}}` brackets. */
+    def singleChild(li: Int, next: Int): Boolean = {
+      if (next <= li) return false
+      val last = next - 1
+      childStartOwners(li).exists { m =>
+        childEndOwners(last).contains(m) &&
+          !(li until last).exists(e => childEndOwners(e).contains(m))
+      }
+    }
+  }
+
+  /** A tokenizer for one literal class: length of a token at the start
+    * of the input, or None (reference config.rs `Tokenizer`). */
+  type Tok = String => Option[Int]
+
+  def regexTok(pattern: String): Tok = {
+    val re = pattern.r
+    s => re.findPrefixMatchOf(s).map(_.end).filter(_ > 0)
+  }
+
+  /** Rust `r#"…"#` raw strings — the `#`-count balance no regex can
+    * express (reference lang/rust.rs:25-66). */
+  val rustRawString: Tok = { input =>
+    var p = if (input.startsWith("b")) 1 else 0
+    if (!input.lift(p).contains('r')) None
+    else {
+      p += 1
+      val hs = p
+      while (p < input.length && input(p) == '#') p += 1
+      val hashes = p - hs
+      if (!input.lift(p).contains('"')) None
+      else {
+        p += 1
+        var res = -1
+        while (res < 0 && p < input.length) {
+          if (input(p) == '"') {
+            var q = p + 1; var h = 0
+            while (h < hashes && q < input.length && input(q) == '#') { h += 1; q += 1 }
+            if (h == hashes) res = q else p += 1
+          } else p += 1
+        }
+        if (res < 0) None else Some(res)
+      }
+    }
+  }
+
+  /** Per-language matcher config (reference config.rs `LangConfig`,
+    * tables hand-written instead of grammar-derived — no tree-sitter
+    * grammar to introspect). `opTokens` are the SOURCE-side compound
+    * operators (longest-first maximal munch; `>>` stays one leaf); the
+    * pattern side always lexes punctuation char-by-char and the
+    * matcher's token-run reconciles the two (matcher.rs:696-718). */
+  final case class Lang(
+      name: String,
+      lineComments: Seq[String],
+      blockComments: Seq[(String, String)],
+      stringToks: Seq[Tok],
+      opTokens: Seq[String],
+      keywords: Set[String],
+      trailingDelimiters: Set[String] = Set(";", ",")) extends Serializable
+
+  private val identTok: Tok = { s =>
+    val c = s.charAt(0)
+    if (c == '_' || Character.isLetter(c)) {
+      var i = 1
+      while (i < s.length && (s(i) == '_' || Character.isLetterOrDigit(s(i)))) i += 1
+      Some(i)
+    } else None
+  }
+
+  // reference config.rs number(): digit or .digit start, then
+  // digits/letters/_/. with signed exponents tried first
+  private val numberTok: Tok =
+    regexTok("""(?:[0-9]|\.[0-9])(?:[eEpP][-+]|[0-9A-Za-z_.])*""")
+
+  private val dq = regexTok("""(?s)"(?:\\.|[^"\\])*"""")
+  private val sq = regexTok("""(?s)'(?:\\.|[^'\\])*'""")
+  private val backtick = regexTok("""(?s)`(?:\\.|[^`\\])*`""")
+
+  private val cLikeOps = Seq(
+    ">>>=", "<<=", ">>=", ">>>", "===", "!==", "...", "..=", "?.", "??",
+    "=>", "->", "::", "++", "--", "==", "!=", "<=", ">=", "&&", "||",
+    "+=", "-=", "*=", "/=", "%=", "&=", "|=", "^=", "<<", ">>", "..")
+
+  val python: Lang = Lang("python",
+    lineComments = Seq("#"),
+    blockComments = Nil,
+    stringToks = Seq(
+      regexTok("""(?s)[rbfuRBFU]{0,2}\"\"\".*?\"\"\""""),
+      regexTok("""(?s)[rbfuRBFU]{0,2}'''.*?'''"""),
+      regexTok("""(?s)[rbfuRBFU]{1,2}"(?:\\.|[^"\\])*""""),
+      regexTok("""(?s)[rbfuRBFU]{1,2}'(?:\\.|[^'\\])*'"""),
+      dq, sq),
+    opTokens = Seq("**=", "//=", "<<=", ">>=", "->", ":=", "==", "!=",
+      "<=", ">=", "**", "//", "<<", ">>", "+=", "-=", "*=", "/=", "%=",
+      "&=", "|=", "^=", "@="),
+    keywords = Set("def", "class", "return", "if", "elif", "else", "for",
+      "while", "import", "from", "as", "pass", "break", "continue",
+      "lambda", "with", "try", "except", "finally", "raise", "yield",
+      "async", "await", "global", "nonlocal", "del", "not", "and", "or",
+      "in", "is", "None", "True", "False", "assert", "match", "case"),
+    trailingDelimiters = Set(",")) // python has no `;`-terminated statements
+
+  private val cKeywords = Set("if", "else", "for", "while", "do",
+    "return", "break", "continue", "switch", "case", "default", "goto",
+    "struct", "enum", "union", "typedef", "static", "const", "void",
+    "int", "char", "long", "short", "float", "double", "unsigned",
+    "signed", "sizeof", "extern", "volatile", "inline", "new", "delete",
+    "class", "public", "private", "protected", "virtual", "template",
+    "typename", "namespace", "using", "try", "catch", "throw", "this")
+
+  val c: Lang = Lang("c", Seq("//"), Seq(("/*", "*/")),
+    Seq(dq, sq), cLikeOps, cKeywords)
+
+  val javascript: Lang = Lang("javascript", Seq("//"), Seq(("/*", "*/")),
+    Seq(dq, sq, backtick), cLikeOps,
+    cKeywords ++ Set("function", "var", "let", "const", "typeof",
+      "instanceof", "of", "in", "async", "await", "yield", "export",
+      "import", "extends", "super", "null", "undefined", "true", "false"))
+
+  val rust: Lang = Lang("rust", Seq("//"), Seq(("/*", "*/")),
+    Seq(rustRawString, regexTok("""(?s)b"(?:\\.|[^"\\])*""""), dq, sq),
+    cLikeOps,
+    Set("fn", "let", "mut", "pub", "use", "mod", "impl", "trait",
+      "struct", "enum", "match", "if", "else", "for", "while", "loop",
+      "return", "break", "continue", "crate", "self", "Self", "super",
+      "where", "move", "ref", "static", "const", "unsafe", "async",
+      "await", "dyn", "as", "in", "true", "false"))
+
+  val java: Lang = Lang("java", Seq("//"), Seq(("/*", "*/")),
+    Seq(dq, sq), cLikeOps,
+    cKeywords ++ Set("package", "import", "interface", "implements",
+      "extends", "final", "abstract", "synchronized", "instanceof",
+      "boolean", "byte", "null", "true", "false"))
+
+  val go: Lang = Lang("go", Seq("//"), Seq(("/*", "*/")),
+    Seq(dq, sq, regexTok("(?s)`[^`]*`")), cLikeOps ++ Seq("<-", ":="),
+    Set("func", "var", "const", "type", "struct", "interface", "map",
+      "chan", "go", "defer", "select", "package", "import", "range",
+      "if", "else", "for", "switch", "case", "default", "return",
+      "break", "continue", "fallthrough", "nil", "true", "false"))
+
+  val scalaLang: Lang = Lang("scala", Seq("//"), Seq(("/*", "*/")),
+    Seq(regexTok("(?s)\"\"\".*?\"\"\""), dq, sq), cLikeOps ++ Seq("<-"),
+    Set("def", "val", "var", "class", "object", "trait", "extends",
+      "with", "case", "match", "if", "else", "for", "while", "yield",
+      "import", "package", "new", "this", "super", "implicit", "lazy",
+      "sealed", "final", "override", "private", "protected", "type",
+      "return", "throw", "try", "catch", "finally", "null", "true",
+      "false"))
+
+  /** Resolve a language name (aliases follow the reference registry's
+    * common ones, lang/mod.rs:75-111). */
+  def byName(name: String): Option[Lang] = name.toLowerCase match {
+    case "python" | "py" => Some(python)
+    case "c" | "cpp" | "c++" | "csharp" | "c#" => Some(c)
+    case "javascript" | "js" | "typescript" | "ts" | "tsx" => Some(javascript)
+    case "rust" | "rs" => Some(rust)
+    case "java" | "kotlin" => Some(java)
+    case "go" | "golang" => Some(go)
+    case "scala" => Some(scalaLang)
+    case _ => None
+  }
+
+  private val openOf = Map(')' -> '(', ']' -> '[', '}' -> '{')
+  private def isOpen(c: Char) = c == '(' || c == '[' || c == '{'
+  private def isClose(c: Char) = c == ')' || c == ']' || c == '}'
+
+  /** Tokenize `source`: skip whitespace + comments, longest-match
+    * across string/identifier/number tokenizers (so `r"hi"` is one
+    * string, not `r` + string — reference lexer.rs:180-193), then
+    * compound-operator maximal munch, then single char. */
+  def tokenize(source: String, lang: Lang): Array[Leaf] = {
+    val out = mutable.ArrayBuffer[Leaf]()
+    var i = 0
+    val n = source.length
+    while (i < n) {
+      val c = source.charAt(i)
+      if (Character.isWhitespace(c)) i += 1
+      else {
+        val rest = source.substring(i)
+        val lc = lang.lineComments.find(rest.startsWith)
+        val bc = lang.blockComments.find { case (o, _) => rest.startsWith(o) }
+        if (lc.isDefined) {
+          val nl = source.indexOf('\n', i)
+          i = if (nl < 0) n else nl + 1
+        } else if (bc.isDefined) {
+          val (o, cl) = bc.get
+          val e = source.indexOf(cl, i + o.length)
+          i = if (e < 0) n else e + cl.length // unterminated: to end
+        } else {
+          // longest match across string + word/number classes
+          var bestLen = 0
+          var bestStr = false
+          for (t <- lang.stringToks; l <- t(rest) if l > bestLen) {
+            bestLen = l; bestStr = true
+          }
+          for (t <- Seq(identTok, numberTok); l <- t(rest) if l > bestLen) {
+            bestLen = l; bestStr = false
+          }
+          if (bestLen > 0) {
+            val text = rest.substring(0, bestLen)
+            val anon = !bestStr && lang.keywords.contains(text)
+            out += Leaf(text, anon, i, i + bestLen)
+            i += bestLen
+          } else {
+            val op = lang.opTokens.filter(rest.startsWith)
+              .sortBy(-_.length).headOption
+            val len = op.map(_.length).getOrElse(1)
+            out += Leaf(rest.substring(0, len), anon = true, i, i + len)
+            i += len
+          }
+        }
+      }
+    }
+    out.toArray
+  }
+
+  /** Build the matcher index: leaves → balanced-group tree → spans +
+    * candidates + child-boundary ownership (matcher.rs `index_tree`).
+    * A mismatched closer stays a plain leaf; an unclosed opener's
+    * children fold into the parent (no span). `kind` of a Leaf span is
+    * "ident"/"number"/"string"; a group's is its delimiter pair; the
+    * implicit root's is "root". */
+  def index(source: String, lang: Lang): Indexed = {
+    val leaves = tokenize(source, lang)
+    val n = leaves.length
+    val spans = mutable.ArrayBuffer[Span]()
+
+    // frames: (open delimiter char, open leaf index, children buffer)
+    final case class Frame(open: Char, openLeaf: Int,
+        kids: mutable.ArrayBuffer[(Int, Int)])
+    val root = Frame(' ', -1, mutable.ArrayBuffer())
+    var stack = List(root)
+
+    for (li <- 0 until n) {
+      val lf = leaves(li)
+      val ch = if (lf.text.length == 1) lf.text.charAt(0) else ' '
+      if (lf.anon && isOpen(ch)) {
+        val f = Frame(ch, li, mutable.ArrayBuffer((li, li)))
+        stack = f :: stack
+      } else if (lf.anon && isClose(ch) && stack.head.open == openOf(ch)) {
+        val f = stack.head
+        stack = stack.tail
+        f.kids += ((li, li))
+        spans += Span(f.openLeaf, li, leaves(f.openLeaf).start, lf.end,
+          s"${f.open}$ch", f.kids.toArray)
+        stack.head.kids += ((f.openLeaf, li))
+      } else {
+        // named single tokens are spans of their own (identifier /
+        // number / string — tree-sitter's named leaves)
+        if (!lf.anon) {
+          val kind =
+            if (lf.text.charAt(0).isDigit || (lf.text.charAt(0) == '.' &&
+              lf.text.length > 1 && lf.text.charAt(1).isDigit)) "number"
+            else if (Character.isLetter(lf.text.charAt(0)) ||
+              lf.text.charAt(0) == '_') "ident"
+            else "string"
+          spans += Span(li, li, lf.start, lf.end, kind, Array.empty)
+        }
+        stack.head.kids += ((li, li))
+      }
+    }
+    // unclosed openers: fold children into the parent, open leaf first
+    while (stack.tail.nonEmpty) {
+      val f = stack.head
+      stack = stack.tail
+      stack.head.kids += ((f.openLeaf, f.openLeaf))
+      stack.head.kids ++= f.kids.drop(1)
+    }
+    if (n > 0)
+      spans += Span(0, n - 1, leaves(0).start, leaves(n - 1).end, "root",
+        root.kids.sortBy(_._1).toArray)
+
+    val spansByStart = Array.fill(n)(List.empty[Span])
+    for (sp <- spans) spansByStart(sp.startLeaf) ::= sp
+    for (li <- 0 until n)
+      spansByStart(li) = spansByStart(li).sortBy(s =>
+        (-s.endLeaf, -(s.end - s.start)))
+
+    // child-boundary ownership (only nodes WITH children own any)
+    val cso = Array.fill(n)(List.empty[Int])
+    val ceo = Array.fill(n)(List.empty[Int])
+    var nid = 0
+    for (sp <- spans if sp.childBounds.nonEmpty) {
+      for ((s, e) <- sp.childBounds) { cso(s) ::= nid; ceo(e) ::= nid }
+      nid += 1
+    }
+
+    // candidates: post-order (spans is built innermost-first for
+    // groups; single leaves precede their enclosing group; root last),
+    // dedup by leaf extent keeping the first (matcher.rs:474-479)
+    val seen = mutable.HashSet[(Int, Int)]()
+    val candidates = spans.filter(sp =>
+      seen.add((sp.startLeaf, sp.endLeaf))).toArray
+
+    new Indexed(leaves, spansByStart, candidates, cso, ceo)
+  }
+}

@@ -227,6 +227,42 @@ object OpsPack extends QueryPack {
         graft.operators.CodeMatch.search(docs, "doc_id", "text",
           """merge(stream, "window batch")""", Some(termIndex))
           .select(col("doc_id"), col("n_chars"))
+      }),
+
+    // ---- precise structural match_code under the oracle -----------------
+    // (reference match_code, ops/code.py:150-176 + the full matcher,
+    // rust/code_match/src/matcher.rs — here the token-tree port,
+    // operators/CodePattern.scala. The corpus is a deterministic
+    // code-shaped string built from each doc's words, constructible
+    // identically in DuckDB, so the matcher's METAVARIABLE UNIFICATION
+    // is gated by an independent SQL predicate: the pattern repeats \X
+    // and \Y, and docs where doc_id%3==0 return their 4th word instead
+    // of the 2nd — those must match only when the two words collide.
+    // Captures F/X/Y are checked against the words that produced them.)
+    Q(
+      "q78_match_code",
+      Some("""
+        SELECT doc_id,
+               split_part(text, ' ', 1) AS fname,
+               split_part(text, ' ', 2) AS x,
+               split_part(text, ' ', 3) AS y
+        FROM documents
+        WHERE (doc_id % 3 <> 0)
+           OR split_part(text, ' ', 4) = split_part(text, ' ', 2)"""),
+      (s, dir) => {
+        val w = split(col("text"), " ")
+        val code = concat(lit("def "), w(0), lit("("), w(1), lit(", "),
+          w(2), lit("): return "),
+          when(col("doc_id") % 3 === 0, w(3)).otherwise(w(1)),
+          lit(" * "), w(2))
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), code.as("code"))
+        graft.operators.CodeMatch.matchCode(docs, "doc_id", "code",
+          """def \F(\X, \Y): return \X * \Y""")
+          .select(col("doc_id"),
+            col("captures")("F").as("fname"),
+            col("captures")("X").as("x"),
+            col("captures")("Y").as("y"))
       })
   )
 }

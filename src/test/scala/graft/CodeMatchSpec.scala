@@ -1,100 +1,511 @@
 package graft
 
-import graft.operators.CodeMatch
-import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{CodePattern, CodeTree}
+import graft.operators.CodePattern.MatchResult
 
-/** Required-term extraction + prefilter soundness for the parse-free
-  * code search (reference prefilter contract,
-  * rust/code_match/src/prefilter.rs:1-14: "may pass a source that
-  * doesn't actually match, but never rejects one that would").
+/** Parity matrix for the precise [[CodePattern]] matcher, ported from
+  * the reference's engine-feature tests
+  * (rust/code_match/tests/features.rs) and per-language vectors
+  * (rust/code_match/src/lang/{python,rust,c,javascript,go}.rs tests).
+  *
+  * Vectors relying on grammar-only AST nodes (expression nodes,
+  * python indentation blocks, per-grammar statement nesting) are
+  * adapted to token-tree semantics or exercised through brace
+  * languages — the documented divergence on [[CodePattern]]. Every
+  * other behavior (atomic strings, same-level runs, unification,
+  * regex matchers, tolerance, containment, whole-node boundary,
+  * compound-operator alignment, comments) asserts the reference's
+  * expected captures verbatim.
   */
-class CodeMatchSpec extends SparkSpec {
+class CodeMatchSpec extends AnyFunSuite {
 
-  test("requiredTerms: identifiers yes; keywords, metavars, numbers no") {
-    val terms = CodeMatch.requiredTerms(
-      """def \NAME(load_config): return parse_yaml(path, 42)""")
-    // def/return are keywords, \NAME a metavar, 42 a number
-    assert(terms == Seq("load_config", "parse_yaml", "path"))
+  private val py = CodeTree.python
+  private val ts = CodeTree.javascript
+  private val rs = CodeTree.rust
+  private val cc = CodeTree.c
+
+  private def matches(lang: CodeTree.Lang, pat: String, src: String)
+      : Seq[MatchResult] = {
+    val p = CodePattern.compile(pat, lang)
+    val out = p.matches(src)
+    // the reference's testutil cross-checks prefilter soundness on
+    // every vector (lang/mod.rs:114-137): it must never reject a
+    // matching source, and the prefiltered path must agree
+    val req = p.requiredTerms(minLen = 1)
+    assert(out.isEmpty || p.matchesPrefiltered(src, req).size == out.size,
+      s"prefilter disagreed for pattern `$pat` on `$src`")
+    out
   }
 
-  test("requiredTerms: string literals contribute their word runs") {
-    assert(CodeMatch.requiredTerms("""log("fatal error: %s", 'retry')""") ==
-      Seq("log", "fatal", "error", "retry"))
+  private def cap(ms: Seq[MatchResult], name: String): Option[String] =
+    ms.flatMap(_.captures.get(name)).headOption.map(_.text)
+
+  private def capsAll(ms: Seq[MatchResult], name: String): Seq[String] =
+    ms.flatMap(_.captures.get(name)).map(_.text).sorted
+
+  // ---------------- structural matching ----------------
+
+  test("call with multi args binds the sibling run (python/c/js/go/rust)") {
+    assert(cap(matches(py, """foo(\(ARGS*\))""", "foo(a, b, c)"), "ARGS")
+      .contains("a, b, c"))
+    assert(cap(matches(cc, """foo(\(ARGS*\))""", "void g(){ foo(a, b); }"), "ARGS")
+      .contains("a, b"))
+    assert(cap(matches(ts, """foo(\(ARGS*\))""", "foo(a, b);"), "ARGS")
+      .contains("a, b"))
+    assert(cap(matches(rs, """foo(\(ARGS*\))""", "fn m(){ foo(a, b); }"), "ARGS")
+      .contains("a, b"))
   }
 
-  test("requiredTerms: composite matchers contribute nothing") {
-    // a \(A?:/x/\) can match empty — extracting 'x' would be unsound
-    // (prefilter.rs:103-110); the regex content must NOT be required
-    val terms = CodeMatch.requiredTerms("""handler(\(A?:/optional_lit/\))""")
-    assert(terms == Seq("handler"))
-    // a composite spanning a NEWLINE must strip too — without DOTALL
-    // its inner tokens would leak into the required set and the
-    // prefilter would reject sources the pattern matches (unsound)
-    val multiline = CodeMatch.requiredTerms(
-      "handler(\\(A?:\noptional_lit\\))")
-    assert(multiline == Seq("handler"))
+  test("string is atomic: a `)` inside a literal cannot close the group") {
+    val ms = matches(ts, """foo(\(ARGS*\))""", """foo("a)b");""")
+    assert(cap(ms, "ARGS").contains("\"a)b\""))
+    // python too (reference string_atomic)
+    assert(cap(matches(py, """print(\(ARGS*\))""", """print("a)b")"""), "ARGS")
+      .contains("\"a)b\""))
   }
 
-  test("requiredTerms: minLen drops short terms") {
-    assert(CodeMatch.requiredTerms("ab(xyz)", minLen = 3) == Seq("xyz"))
+  test("balanced nesting: a nested call is one node in the run") {
+    val ms = matches(cc, """foo(\(ARGS*\))""", "void g(){ foo(bar(x), baz); }")
+    assert(cap(ms, "ARGS").contains("bar(x), baz"))
   }
 
-  test("string literals keep underscore runs whole — no false negatives") {
-    // word_runs includes '_' (prefilter.rs:292-299): splitting
-    // "foo_bar" into foo+bar would make \bfoo\b fail against a source
-    // containing exactly f("foo_bar") — an unsound rejection
-    assert(CodeMatch.requiredTerms("""f("foo_bar", "___")""") ==
-      Seq("foo_bar"))
-    import spark.implicits._
-    val docs = Seq(
-      (1L, """f("foo_bar")"""),   // exactly the pattern's literal
-      (2L, """f("foo bar")""")    // different string — may drop
-    ).toDF("doc_id", "text")
-    val got = CodeMatch.search(docs, "doc_id", "text", """f("foo_bar")""")
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(got.contains(1L), "the exactly-matching doc must survive")
+  test("keyword args (python)") {
+    assert(cap(matches(py, """f(\(KW*\))""", "f(x=1, y=2)"), "KW")
+      .contains("x=1, y=2"))
   }
 
-  test("mightMatch requires word boundaries, not substrings") {
-    import spark.implicits._
-    val df = Seq(
-      (1L, "the stream merges"),          // 'merges' != \bmerge\b
-      (2L, "stream then merge now"),      // both words
-      (3L, "downstream merge"),           // 'downstream' != \bstream\b
-      (4L, "stream_merge fused")          // joined identifier: neither
-    ).toDF("doc_id", "text")
-    val got = df.filter(CodeMatch.mightMatch(col("text"),
-      Seq("stream", "merge"))).select("doc_id")
-      .collect().map(_.getLong(0)).toSet
-    assert(got == Set(2L))
+  test("leading/trailing tolerance: signature matches ignoring body") {
+    // reference function_signature_ignores_body + rust
+    // signature_ignores_visibility_and_body: the reported range is the
+    // matched FRAGMENT, not the whole node
+    for (src <- Seq("pub fn clone(self) {}", "pub(crate) fn clone(self) {}",
+      "fn clone(self) {}")) {
+      val ms = matches(rs, """fn clone(self)""", src)
+      assert(ms.size == 1, s"one match for `$src`, got $ms")
+      assert(ms.head.text == "fn clone(self)")
+    }
+    assert(matches(ts, """function f()""", "function f() { return 1; }")
+      .exists(_.text == "function f()"))
   }
 
-  test("prefilter is sound: index join never changes the verified result") {
-    import spark.implicits._
-    val docs = Seq(
-      (1L, "alpha merge stream window batch"),
-      (2L, "merge stream window"),          // missing batch
-      (3L, "premerge stream window batch"), // 'premerge' fails boundary
-      (4L, "batch window stream merge deep nest"),
-      (5L, "unrelated words entirely")
-    ).toDF("doc_id", "text")
-    val index = docs.select(col("doc_id"),
-      explode(array_distinct(regexp_extract_all(col("text"),
-        lit("[A-Za-z_][A-Za-z0-9_]{3,}"), lit(0)))).as("term"))
-    val pattern = """merge(stream, "window batch")"""
-
-    val withIndex = CodeMatch.search(docs, "doc_id", "text", pattern,
-      Some(index)).select("doc_id").collect().map(_.getLong(0)).toSet
-    val noIndex = CodeMatch.search(docs, "doc_id", "text", pattern,
-      None).select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(withIndex == noIndex, "prefilter must be a pure optimization")
-    assert(withIndex == Set(1L, 4L))
+  test("same-level runs cannot leak across group boundaries") {
+    // a `\*` run is bounded to one parent's sibling slice: `(\(A*\))`
+    // over two adjacent groups binds within one group, never `) (`
+    val ms = matches(ts, """(\(A*\))""", "(a) (b)")
+    assert(capsAll(ms, "A") == Seq("a", "b"))
   }
 
-  test("a pattern with no extractable terms is always a maybe") {
-    import spark.implicits._
-    val docs = Seq((1L, "anything"), (2L, "at all")).toDF("doc_id", "text")
-    val got = CodeMatch.search(docs, "doc_id", "text", """\A(\B*)""", None)
-    assert(got.count() == 2)
+  test("multiple gaps DP: two runs around an anchor") {
+    val ms = matches(ts, """{ \(A*\) foo(); \(B*\) }""",
+      "function f() { a(); foo(); b(); }")
+    assert(cap(ms, "A").contains("a();"), s"got $ms")
+    assert(cap(ms, "B").contains("b();"))
+  }
+
+  test("optional metavar: zero or one argument") {
+    assert(cap(matches(ts, """f(\(ARG?\))""", "f(x);"), "ARG").contains("x"))
+    assert(matches(ts, """f(\(ARG?\))""", "f();").nonEmpty,
+      "no-arg call should match")
+  }
+
+  test("one-or-more vs zero-or-more") {
+    val src = "f(a, b); g();"
+    assert(cap(matches(ts, """f(\(ARGS+\))""", src), "ARGS").contains("a, b"))
+    assert(matches(ts, """f(\+)""", src).nonEmpty)
+    assert(matches(ts, """g(\(A+\))""", src).isEmpty,
+      "`+` must require at least one node")
+    assert(matches(ts, """g(\(A*\))""", src).nonEmpty)
+  }
+
+  test("anonymous metavars match without capturing") {
+    val ms = matches(ts, """\_.method(\*)""", "obj.method(1, 2, 3);")
+    assert(ms.nonEmpty)
+    assert(ms.forall(_.captures.isEmpty))
+  }
+
+  test("multiple match sites, leftmost non-overlapping") {
+    val ms = matches(ts, """log(\A)""", "log(1); log(2); other(3);")
+    val caps = capsAll(ms, "A")
+    assert(caps == Seq("1", "2"), s"got $caps")
+  }
+
+  test("no false match") {
+    assert(matches(ts, """console.log(\*)""", "foo(1);").isEmpty)
+  }
+
+  // ---------------- metavar equality ----------------
+
+  test("repeated metavar must capture equal text") {
+    assert(cap(matches(ts, """\X == \X""", "if (a == a) {}"), "X").contains("a"))
+    assert(matches(ts, """\X == \X""", "if (a == b) {}").isEmpty)
+  }
+
+  test("distinct metavars need not be equal") {
+    val ms = matches(ts, """\A = \B""", "x = y;")
+    assert(ms.exists(m => m.captures.get("A").exists(_.text == "x") &&
+      m.captures.get("B").exists(_.text == "y")))
+  }
+
+  test("digit and lowercase metavar names (sed-like)") {
+    assert(matches(ts, """\1 == \1""", "if (a == a) {}").nonEmpty)
+    assert(matches(ts, """\1 == \1""", "if (a == b) {}").isEmpty)
+    val ms = matches(ts, """\x = \y""", "m = n;")
+    assert(ms.exists(m => m.captures.get("x").exists(_.text == "m") &&
+      m.captures.get("y").exists(_.text == "n")))
+  }
+
+  // ---------------- regex metavar matcher ----------------
+
+  test("regex constrains an identifier (whole-node anchored prefix)") {
+    val src = "getUser(1); setName(2); getId(3);"
+    assert(capsAll(matches(ts, """\(F:/get.*/\)(\*)""", src), "F") ==
+      Seq("getId", "getUser"))
+  }
+
+  test("anonymous regex matcher filters without capturing") {
+    val src = "getUser(1); setName(2); getId(3);"
+    for (pat <- Seq("""\(/get.*/\)(\*)""", """\/get.*/(\*)""")) {
+      val texts = matches(ts, pat, src).map(_.text)
+      assert(texts.exists(_.contains("getUser")) &&
+        texts.exists(_.contains("getId")), s"$pat got $texts")
+      assert(!texts.exists(_.contains("setName")), s"$pat got $texts")
+    }
+  }
+
+  test("regex on a subtree's source text") {
+    // token-tree divergence: `a + b` is a 3-sibling run (no expression
+    // node), so the reference's single-node contains-`+` vector can't
+    // bind it — the run form is the token-tree idiom, and the regex
+    // still constrains every node of the run
+    val run = matches(ts, """f(\(A:/[a-z]+|\+/*\))""", "f(a + b);")
+    assert(cap(run, "A").contains("a + b"), s"got $run")
+    assert(matches(ts, """f(\(A:/.*\+.*/\))""", "f(a + b);").isEmpty,
+      "a single-node metavar cannot span an undelimited sibling run")
+    assert(matches(ts, """f(\(A:/.*\+.*/\))""", "f(ab);").isEmpty)
+  }
+
+  test("regex alternation with balanced parens needs no escaping") {
+    val ms = matches(ts, """\(N:/^(foo|bar)$/\)""", "foo; bar; baz;")
+    assert(capsAll(ms, "N") == Seq("bar", "foo"))
+  }
+
+  test("regex escaped slash is a literal slash") {
+    val ms = matches(ts, """f(\(P:/a\/b/\))""", "f(a/b); f(ab);")
+    // `a/b` is three sibling tokens; the single-node metavar can't
+    // span them — but the reference's vector relies on the slash
+    // being division (one expression node). Adapt: a string literal
+    // carries the slash as one node.
+    val s = matches(ts, """f(\(P:/"a\/b"/\))""", """f("a/b"); f("ab");""")
+    assert(cap(s, "P").contains("\"a/b\""), s"got $s")
+    assert(ms.isEmpty || cap(ms, "P").forall(_ != "ab"))
+  }
+
+  test("regex matches a string literal node (quotes included)") {
+    val ms = matches(py, """\/".*Hello.*"/""", "x = \"Hello world!\"\n")
+    assert(ms.exists(m => m.kind == "string" && m.text == "\"Hello world!\""),
+      s"got $ms")
+  }
+
+  test("regex on a run constrains every node; separators end it") {
+    val src = "const x = [1, 2, 3];"
+    val ms = matches(ts, """[\(N:/[0-9]+|,/*\)]""", src)
+    assert(cap(ms, "N").contains("1, 2, 3"))
+    assert(matches(ts, """[\(/[0-9]+/*\)]""", src).forall(_.kind != "[]"),
+      "a non-matching separator must end the run")
+    val empty = "const y = [];"
+    assert(matches(ts, """[\(/[0-9]+/*\)]""", empty).exists(_.kind == "[]"))
+    assert(!matches(ts, """[\(/[0-9]+/+\)]""", empty).exists(_.kind == "[]"))
+  }
+
+  test("zero-width run match at a boundary is dropped, not reported") {
+    val ms = matches(ts, """\(/[a-z]/*\)""", "x = a + b + c;")
+    assert(ms.forall(_.text.nonEmpty), s"got $ms")
+    assert(ms.exists(_.text == "a"))
+  }
+
+  test("regex `.*` behaves exactly like a bare metavar") {
+    val src = "a = b = c;"
+    val bare = matches(ts, """\X = \Y""", src)
+    val dotstar = matches(ts, """\(X:/.*/\) = \Y""", src)
+    assert(bare.size == dotstar.size)
+    assert(capsAll(bare, "X") == capsAll(dotstar, "X"))
+  }
+
+  test("optional regex constrains when present, allows absence") {
+    assert(cap(matches(ts, """f(\(A?:/^x/\))""", "f(x);"), "A").contains("x"))
+    assert(matches(ts, """f(\(A?:/^x/\))""", "f();").nonEmpty)
+    assert(matches(ts, """f(\(A?:/^x/\))""", "f(y);").isEmpty)
+  }
+
+  test("invalid regex is a compile error") {
+    intercept[IllegalArgumentException] {
+      CodePattern.compile("""\(Z:/[/\) = \Y""", ts)
+    }
+    intercept[IllegalArgumentException] {
+      CodePattern.compile("""\(Z:/abc""", ts) // unterminated
+    }
+  }
+
+  test("regex pins the nesting level among candidates") {
+    val ms = matches(ts, """\(OBJ:/^foo$/\).bar(\*)""", "foo.bar(x);")
+    assert(cap(ms, "OBJ").contains("foo"))
+  }
+
+  // ---------------- sigil escaping / lexer robustness ----------------
+
+  test("doubled sigil is a literal backslash") {
+    assert(matches(ts, """\X = 1""", "a = 1;").nonEmpty)
+    assert(matches(ts, """\\X = 1""", "a = 1;").isEmpty,
+      "`\\\\X` must be a literal backslash + X, not a metavar")
+  }
+
+  test("malformed patterns compile leniently or error cleanly") {
+    // bare/unterminated sigil is lenient (lexed as a literal)
+    CodePattern.compile("foo(\"\\", ts).matches("foo();")
+    CodePattern.compile("\\", ts).matches("x;")
+    // unbalanced brackets are errors (reference contains_unbalanced)
+    intercept[IllegalArgumentException] {
+      CodePattern.compile("""def foo(): \{{ return \X""", py)
+    }
+    intercept[IllegalArgumentException] {
+      CodePattern.compile("""return \X \}}""", py)
+    }
+    // crossed typed brackets are errors
+    intercept[IllegalArgumentException] { CodePattern.compile("""\{ a \}}""", ts) }
+    intercept[IllegalArgumentException] { CodePattern.compile("""\{{ a \}""", ts) }
+  }
+
+  // ---------------- literals per language ----------------
+
+  test("python literal forms lex as one token and match") {
+    for ((lit, ctx) <- Seq(
+      ("\"hi\"", "x = \"hi\""),
+      ("r\"a\\b\"", "x = r\"a\\b\""),
+      ("f\"hi\"", "x = f\"hi\""),
+      ("b\"hi\"", "x = b\"hi\""),
+      ("0xFF", "x = 0xFF"),
+      ("1_000", "x = 1_000"),
+      ("1.5e-10", "x = 1.5e-10"),
+      (".5", "x = .5")))
+      assert(matches(py, lit, ctx).nonEmpty, s"python literal `$lit`")
+  }
+
+  test("python triple-quoted string matches") {
+    assert(matches(py, "x = \"\"\"a\nb\"\"\"", "x = \"\"\"a\nb\"\"\"\n").nonEmpty)
+  }
+
+  test("rust raw strings: literal and metavar capture") {
+    val src = """fn m() { log(r#"a"b"#); }"""
+    assert(matches(rs, """log(r#"a"b"#)""", src).nonEmpty)
+    assert(cap(matches(rs, """log(\S)""", src), "S").contains("r#\"a\"b\"#"))
+    assert(matches(rs, "1_000u64", "fn m() { let n = 1_000u64; }").nonEmpty)
+  }
+
+  test("js literal forms (backtick templates)") {
+    for ((lit, ctx) <- Seq(
+      ("`tmpl`", "var x = `tmpl`"),
+      ("`a${b}c`", "var x = `a${b}c`"),
+      ("0xFF", "var x = 0xFF"),
+      ("1.5e-10", "var x = 1.5e-10")))
+      assert(matches(ts, lit, ctx).nonEmpty, s"JS literal `$lit`")
+  }
+
+  test("float literal is one token; metavar captures it") {
+    assert(matches(cc, "foo(3.14)", "void g(){ foo(3.14); }").nonEmpty)
+    assert(cap(matches(ts, """f(\N)""", "let x = f(2.5e3);"), "N")
+      .contains("2.5e3"))
+  }
+
+  test("CJK string content and identifiers") {
+    val src = """print("你好")"""
+    assert(matches(py, """print("你好")""", src).nonEmpty)
+    assert(cap(matches(py, """print(\S)""", src), "S").contains("\"你好\""))
+    assert(cap(matches(py, """变量 = \V""", "变量 = 1"), "V").contains("1"))
+  }
+
+  test("non-ascii patterns never crash") {
+    for (pat <- Seq("😀", """\😀""", "a😀b", "\"你好\\", "λ + 你好 * \\X",
+      "变量.😀()"))
+      try CodePattern.compile(pat, ts).matches("x;")
+      catch { case _: IllegalArgumentException => () }
+  }
+
+  // ---------------- operator / generics alignment ----------------
+
+  test("compound operators align pattern char-runs with source leaves") {
+    def ok(lang: CodeTree.Lang, frag: String, src: String) =
+      matches(lang, frag, src).nonEmpty
+    assert(ok(cc, "a >> b", "int n = a >> b;"))
+    assert(ok(cc, "vector<vector<int>>", "vector<vector<int>> v;"))
+    assert(ok(cc, "p->field", "void g(){ p->field; }"))
+    assert(ok(rs, "std::mem::swap", "fn m(){ std::mem::swap(); }"))
+    assert(ok(ts, "a === b", "if (a === b) {}"))
+  }
+
+  test("nested generics split: pattern `>` `>` matches one `>>` leaf") {
+    val ms = matches(rs, """Vec<Vec<\T>>""", "fn m(){ let v: Vec<Vec<i32>> = mk(); }")
+    assert(cap(ms, "T").contains("i32"), s"got $ms")
+  }
+
+  test("path separator alignment") {
+    val ms = matches(rs, """std::mem::\F()""", "fn m(){ let x = std::mem::size_of(); }")
+    assert(cap(ms, "F").contains("size_of"))
+  }
+
+  test("bare compound operator matches its source leaf") {
+    assert(matches(ts, "=>", "const f = (x) => x + 1;").nonEmpty)
+    assert(matches(ts, "==", "if (a == b) {}").nonEmpty)
+    assert(matches(ts, "===", "if (a === b) {}").nonEmpty)
+    assert(matches(ts, "&&", "if (a && b) {}").nonEmpty)
+  }
+
+  // ---------------- comments are transparent ----------------
+
+  test("comments between tokens are skipped and never matched") {
+    assert(cap(matches(rs, """foo(\X)""", "fn m() { foo(/* hi */ bar); }"), "X")
+      .contains("bar"))
+    assert(matches(py, """foo(\X)""", "# foo(bar)\ny = 1\n").isEmpty,
+      "must not match inside a comment")
+    assert(cap(matches(py, """return \(X*\)""",
+      "def f():\n    # leading comment\n    return a + b\n"), "X")
+      .contains("a + b"))
+    // a `*` run's capture spans the comment bytes (reference
+    // star_run_does_not_absorb_a_comment: text includes `/* c */`)
+    assert(cap(matches(rs, """foo(\(ARGS*\))""",
+      "fn m() { foo(a, /* c */ b); }"), "ARGS").contains("a, /* c */ b"))
+  }
+
+  test("prefilter passes comment text but the matcher skips it") {
+    val p = CodePattern.compile("""process(\X)""", py)
+    val req = p.requiredTerms(3)
+    val src = "# process(stuff)\nx = 1\n"
+    assert(p.matchesPrefiltered(src, req).isEmpty)
+  }
+
+  // ---------------- trailing tolerance ----------------
+
+  test("trailing tolerance skips delimiters, never closers") {
+    assert(matches(ts, """if (\X) return \Y""",
+      "function g(c){ if (c) return foo; }").nonEmpty,
+      "the `;` terminating the return is free trailing context")
+    assert(matches(ts, """f(\X""", "f(a);").isEmpty,
+      "the `)` closer must not be skipped")
+    assert(matches(ts, """return \Y""", "function g(){ return foo; }").nonEmpty)
+  }
+
+  // ---------------- containment ----------------
+
+  test("containment: a node here must contain INNER (brace language)") {
+    val src = "function foo() { z = 1; return a; }"
+    val ms = matches(ts, """function foo() \{{ return \X \}}""", src)
+    assert(cap(ms, "X").contains("a"), s"got $ms")
+    val absent = matches(ts, """function foo() \{{ return \X \}}""",
+      "function foo() { z = 1; }")
+    assert(absent.isEmpty, "no `return` in the body => no match")
+  }
+
+  test("containment searches any depth") {
+    val src = "function foo() { if (c) { while (b) { throw e; } } }"
+    assert(matches(ts, """function foo() \{{ throw \}}""", src).nonEmpty,
+      "INNER must reach a throw nested several levels deep")
+  }
+
+  test("containment: bindings thread across the bracket") {
+    val pat = """function foo(\P) \{{ return \P \}}"""
+    assert(matches(ts, pat, "function foo(a) { return a; }").nonEmpty,
+      "param `a` and returned `a` are equal => match")
+    assert(matches(ts, pat, "function foo(b) { return a; }").isEmpty,
+      "param `b` != returned `a` => no match")
+  }
+
+  test("nested containment") {
+    val src = "function foo() { if (c) { return a; } }"
+    val ms = matches(ts,
+      """function foo() \{{ if (\C) \{{ return \X \}} \}}""", src)
+    assert(cap(ms, "C").contains("c"), s"got $ms")
+    assert(cap(ms, "X").contains("a"))
+  }
+
+  test("containment brackets a single node, not a sibling region") {
+    // `\{{ b() \}}` over three sibling statements must not bracket the
+    // whole root — only a node containing b() (here the brace group)
+    val ms = matches(ts, """\{{ b(); \}}""", "{ a(); b(); c(); }")
+    assert(ms.nonEmpty)
+    assert(ms.forall(_.kind != "root"), s"must not bracket the root, got $ms")
+  }
+
+  test("containment INNER gets fragment tolerance (bare keyword)") {
+    val src = "function g() { try { x(); } catch (e) { throw e; } }"
+    assert(matches(ts, """catch (\_) \{{ throw \}}""", src).nonEmpty)
+    // regression: a `\*` before `\{{` can land at the end-exclusive
+    // position — must not crash (reference containment_at_candidate_end)
+    matches(ts, """catch \* \{{ throw \}}""", src)
+  }
+
+  test("containment INNER leading-fragment at depth") {
+    val src = "mod m { impl Foo { pub fn clone(self) -> Foo { Foo } } }"
+    assert(matches(rs, """fn clone(self)""", src).nonEmpty)
+    val ms = matches(rs, """impl \T \{{ fn clone(self) \}}""", src)
+    assert(ms.nonEmpty, "the impl contains the leading-fragment fn")
+  }
+
+  test("trailing delimiter tolerance reaches containment INNER") {
+    assert(matches(ts,
+      """switch (\X) \{{ case \Y: return \Z \}}""",
+      "function f(t){ switch (t) { case 1: return 0.5; } }").nonEmpty)
+  }
+
+  // ---------------- whole-node boundary ----------------
+
+  test("whole-node `is`: P must span the entire node") {
+    // a group fully covered matches; one with extra children does not
+    assert(matches(ts, """\{ (\X, \Y) \}""", "f(a, b);").nonEmpty)
+    assert(matches(ts, """\{ (\X) \}""", "f(a, b);").isEmpty,
+      "whole-node P must span every child")
+    // nests with containment
+    assert(matches(ts, """\{ { if (\X) \{{ return \Y \}} } \}""",
+      "function f(c){ { if (c) { return a; } } }").nonEmpty)
+  }
+
+  // ---------------- fragments / dedup ----------------
+
+  test("single named child defers to its own candidate (dedup)") {
+    // `a` as a whole-node candidate: 4 word leaves, no root fragment
+    val ms = matches(ts, "a", "a b a b a b a\n")
+    assert(ms.size == 4, s"got $ms")
+  }
+
+  test("fragments are leftmost-longest non-overlapping") {
+    val src = "a b a b a b a\n"
+    assert(matches(ts, "a b", src).map(_.text) == Seq("a b", "a b", "a b"))
+    assert(matches(ts, "a b a", src).map(_.text) == Seq("a b a", "a b a"))
+  }
+
+  test("every dict pair matches (single-DP-per-candidate path)") {
+    val ms = matches(py, """\K: \V""", "d = {a: 1, bb: 2, ccc: 3}\n")
+    val pairs = ms.flatMap(m => for {
+      k <- m.captures.get("K"); v <- m.captures.get("V")
+    } yield (k.text, v.text)).toSet
+    assert(pairs == Set(("a", "1"), ("bb", "2"), ("ccc", "3")), s"got $pairs")
+  }
+
+  test("leading wildcard with trailing literal token") {
+    // token-tree divergence on the reported span: the reference's
+    // typed_parameter candidate starts at `x`; ours is the `()` group,
+    // whose leftmost fragment start is the `(` delimiter — the match
+    // still lands on the annotated parameter
+    val ms = matches(py, """\*: Path""", "def f(x: Path):\n    pass\n")
+    assert(ms.exists(_.text.endsWith("x: Path")), s"got $ms")
+  }
+
+  // ---------------- prefilter terms ----------------
+
+  test("requiredTerms: identifiers + string word runs, no keywords/metavars") {
+    val p = CodePattern.compile("""def \F(merge, "window batch"):""", py)
+    assert(p.requiredTerms(3) == Seq("merge", "window", "batch"))
+    // a regex matcher's literals are dropped (sound), not required
+    val q = CodePattern.compile("""\(F:/getUser/\)(\*)""", ts)
+    assert(q.requiredTerms(3).isEmpty)
   }
 }
