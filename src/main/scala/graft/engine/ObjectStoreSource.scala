@@ -29,7 +29,11 @@ import org.apache.spark.util.SerializableConfiguration
   * the bounded literal-path pushdown of [[LocalFsSource]].
   */
 final case class ObjectStoreSource(
-    baseUri: String, patterns: Seq[String] = Nil)
+    baseUri: String, patterns: Seq[String] = Nil,
+    /** A directory level with at least this many DIRECT file children
+      * is "flat-heavy": its listing is split into key-range tasks by
+      * sampled markers instead of one task (see [[planListTasks]]). */
+    flatSplitThreshold: Int = 100000)
     extends Source {
 
   private val matcher = PathMatcher(patterns)
@@ -68,55 +72,100 @@ final case class ObjectStoreSource(
     }
   }
 
-  def list(spark: SparkSession): DataFrame = {
-    val conf = new SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    val base = qualifiedBase(conf.value)
-    val fs = basePath.getFileSystem(conf.value)
+  import ObjectStoreSource.ListTask
 
-    // driver-side: expand the shallowest levels into disjoint prefixes
-    // until there are enough to keep the cluster busy. Each expansion
-    // is one paged LIST that only RETAINS subdirectory names — file
-    // statuses are never held on the driver, so a pathological flat
-    // 10⁸-object prefix costs the driver nothing (its walk happens in
-    // the executor task below).
-    //
-    // Known limitation: the fan-out is by DELIMITER only. A flat
-    // layout (millions of keys under one prefix, no "/" structure)
-    // yields a single executor task paging that whole prefix — safe
-    // (nothing driver-side, bounded memory) but not parallel. Proper
-    // key-range splitting needs the store's start-after/marker LIST
-    // parameters, which the generic Hadoop FileSystem API does not
-    // expose; an s3a-specific splitter is the upgrade path.
+  /** Driver-side task planning: expand the shallowest levels into
+    * disjoint prefixes until there are enough to keep the cluster
+    * busy. Each expansion is one paged LIST that RETAINS only
+    * subdirectory names plus a BOUNDED key sample — file statuses are
+    * never held on the driver, so a pathological flat 10⁸-object
+    * prefix costs the driver O(sample), not O(keys).
+    *
+    * Flat-heavy levels (≥ [[flatSplitThreshold]] direct files) are
+    * split into key-RANGE tasks at sampled marker keys — the
+    * reference's paged-marker parallelism (amazon_s3/_source.py
+    * continuation tokens) expressed as [lo, hi) name ranges. The
+    * generic Hadoop walker below realizes a range by paging the level
+    * and filtering (same LIST calls, but stat + downstream work
+    * parallelize); a store whose client exposes start-after LIST
+    * (S3 ListObjectsV2 StartAfter) can seek straight to `lo` and stop
+    * at `hi`, dividing the LIST pages themselves — the task shape is
+    * the seam, this method needs no change for that upgrade. */
+  private[engine] def planListTasks(spark: SparkSession): Seq[ListTask] = {
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val targetPrefixes =
       math.max(spark.sparkContext.defaultParallelism, 16)
     val pending =
       scala.collection.mutable.Queue(fs.makeQualified(basePath).toString)
-    val shallow = Vector.newBuilder[String] // expanded: list non-recursively
+    val shallow = Vector.newBuilder[ListTask]
     var nShallow = 0
     while (pending.nonEmpty && (pending.length + nShallow) < targetPrefixes) {
       val d = pending.dequeue()
-      shallow += d; nShallow += 1
+      // one paged pass over this level: enqueue subdirs; sample file
+      // names with a doubling stride so memory stays ≤ ~512 keys no
+      // matter how many files the level holds
+      var seen = 0L
+      var stride = 1L
+      val sample = scala.collection.mutable.ArrayBuffer[String]()
       try iter(fs.listStatusIterator(new Path(d))).foreach { s =>
         if (s.isDirectory) pending.enqueue(s.getPath.toString)
+        else {
+          seen += 1
+          if (seen % stride == 0) {
+            sample += s.getPath.getName
+            if (sample.length > 512) {
+              val thinned = sample.grouped(2).map(_.head).toVector
+              sample.clear(); sample ++= thinned
+              stride *= 2
+            }
+          }
+        }
       } catch { case _: java.io.FileNotFoundException => () }
+      if (seen >= flatSplitThreshold && sample.length >= 2) {
+        // split the level at up-to-targetPrefixes sampled markers:
+        // name ranges (-inf, m1), [m1, m2) … [mk, +inf)
+        val sorted = sample.sorted.distinct
+        val nSplits = math.min(targetPrefixes, sorted.length)
+        val step = sorted.length.toDouble / nSplits
+        val bounds = (1 until nSplits).map(i => sorted((i * step).toInt))
+          .distinct
+        val los = None +: bounds.map(Option(_))
+        val his = bounds.map(Option(_)) :+ None
+        los.zip(his).foreach { case (lo, hi) =>
+          shallow += ListTask(d, recursive = false, lo, hi)
+        }
+        nShallow += los.length
+      } else {
+        shallow += ListTask(d, recursive = false, None, None)
+        nShallow += 1
+      }
     }
-    // (prefix, recursive): expanded dirs re-LIST their own level only;
     // unexpanded frontier dirs walk their whole subtree
-    val tasks = shallow.result().map((_, false)) ++
-      pending.toVector.map((_, true))
+    shallow.result() ++
+      pending.toVector.map(ListTask(_, recursive = true, None, None))
+  }
 
-    // executor-side: walk every prefix in parallel, one task each
+  def list(spark: SparkSession): DataFrame = {
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val base = qualifiedBase(conf.value)
+    val tasks = planListTasks(spark)
+
+    // executor-side: walk every prefix (or key range) in parallel,
+    // one task each
     val walked = spark.sparkContext
       .parallelize(tasks, math.max(tasks.length, 1))
-      .flatMap { case (prefix, recursive) =>
-        val p = new Path(prefix)
+      .flatMap { t =>
+        val p = new Path(t.prefix)
         val pfs = p.getFileSystem(conf.value)
-        statsUnder(pfs, p, recursive).map(s =>
-          (s.getPath.toString, s.getLen, s.getModificationTime))
+        statsUnder(pfs, p, t.recursive)
+          .filter { s =>
+            val nm = s.getPath.getName
+            t.lo.forall(nm >= _) && t.hi.forall(nm < _)
+          }
+          .map(s => (s.getPath.toString, s.getLen, s.getModificationTime))
       }
 
-    val m = matcher
     keyedRows(spark, walked, base)
   }
 
@@ -236,4 +285,13 @@ final case class ObjectStoreSource(
   }
 
   def contentFpOf: Option[Column] = Some(md5(col("content")))
+}
+
+object ObjectStoreSource {
+  /** One executor listing task: a prefix, walked recursively (an
+    * unexpanded frontier subtree) or non-recursively (an expanded
+    * level), optionally restricted to direct children whose NAME is
+    * in `[lo, hi)` — a key-range slice of a flat-heavy level. */
+  private[engine] final case class ListTask(prefix: String,
+      recursive: Boolean, lo: Option[String], hi: Option[String])
 }

@@ -59,6 +59,33 @@ class ObjectStoreSourceSpec extends SparkSpec {
     assert(got == Set("a/one.md"))
   }
 
+  test("a flat-heavy level splits into key-range tasks, listing intact") {
+    // one prefix, 300 keys, no "/" structure — the layout that used to
+    // degenerate to a single executor task. With the threshold at 100,
+    // planListTasks must cut the level into sampled-marker name ranges
+    // (>1 task), and the ranges must partition the keyspace: the
+    // listing equals the unsplit source's exactly.
+    val root = java.nio.file.Files.createTempDirectory("graft-objflat")
+    root.toFile.deleteOnExit()
+    for (i <- 0 until 300)
+      java.nio.file.Files.writeString(root.resolve(f"k$i%04d.dat"), s"v$i")
+    val split = ObjectStoreSource(s"file://$root", flatSplitThreshold = 100)
+    val tasks = split.planListTasks(spark)
+    assert(tasks.length > 1, s"flat level must split, got $tasks")
+    assert(tasks.forall(!_.recursive))
+    // contiguous, non-overlapping coverage: first lo and last hi open
+    assert(tasks.head.lo.isEmpty && tasks.last.hi.isEmpty)
+    assert(tasks.sliding(2).forall {
+      case Seq(a, b) => a.hi == b.lo; case _ => true
+    })
+    val got = split.list(spark).select("item_key", "memo_state").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val unsplit = ObjectStoreSource(s"file://$root").list(spark)
+      .select("item_key", "memo_state").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size == 300 && got == unsplit)
+  }
+
   test("an incremental flow runs end-to-end over the object source") {
     val root = seed()
     val work = java.nio.file.Files.createTempDirectory("graft-objflow")
