@@ -1,0 +1,83 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The generic keyed-listing connector seam — the [[Source]] contract
+  * for API-backed stores that are NOT filesystems: a paged LIST
+  * returning `(key, version)` and a batched GET returning payload
+  * bytes. This is the shape every remaining reference connector
+  * plugs into: `google_drive` (Drive files API paging + per-file
+  * download, python/cocoindex/connectors/google_drive/_source.py:255),
+  * a REST bucket inventory, a CRM export — anything with a
+  * list/fetch pair and an etag-like freshness token.
+  *
+  * Scale shape:
+  *   - LIST is driver-paged BY PROTOCOL (such APIs hand out sequential
+  *     page tokens — the reference's Drive source pages the same way).
+  *     The listing holds only `(key, version)` string pairs, the same
+  *     metadata-scale rows every other source's listing carries.
+  *   - GET runs on the EXECUTORS: the requested keys stay a
+  *     distributed relation, re-chunked to `fetchBatch`-sized
+  *     partitions, each partition calling `fetch` once — so a 10⁶-key
+  *     backfill is 10⁶/fetchBatch parallel API batches, and payload
+  *     bytes never gather on the driver.
+  *   - `stat` (optional, e.g. a HEAD/files.get metadata call) makes
+  *     [[listKeys]] O(changed keys) for the live delta loop; without
+  *     it the default full-list semi-join applies.
+  *
+  * The functions must be serializable (plain lambdas capturing
+  * connection config are; capture clients lazily inside). */
+final case class KeyedListingSource(
+    lister: () => Iterator[(String, String)],
+    fetch: Seq[String] => Seq[(String, Array[Byte])],
+    stat: Option[Seq[String] => Seq[(String, String)]] = None,
+    fetchBatch: Int = 64)
+    extends Source {
+
+  def list(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // pull the pages through the iterator; only (key, version) pairs
+    // are retained (driver memory O(keys × ~100B) — the protocol's
+    // floor, same as the reference's Drive paging)
+    lister().toSeq.toDF("item_key", "memo_state")
+  }
+
+  def load(spark: SparkSession, keys: DataFrame): DataFrame = {
+    import spark.implicits._
+    val f = fetch
+    val batch = math.max(fetchBatch, 1)
+    val keyRdd = keys.select(col("item_key")).as[String].rdd
+    val n = keyRdd.count()
+    if (n == 0) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("item_key",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("content",
+            org.apache.spark.sql.types.BinaryType, nullable = true))))
+    } else {
+      val parts = math.max(1, math.min(
+        (n / batch).toInt + 1, spark.sparkContext.defaultParallelism * 4))
+      keyRdd.repartition(parts)
+        .mapPartitions { ks =>
+          val grouped = ks.grouped(batch)
+          grouped.flatMap(g => f(g.toSeq))
+        }
+        .toDF("item_key", "content")
+    }
+  }
+
+  /** O(changed) re-stat when the connector provides a metadata call;
+    * vanished keys are absent from the result (⇒ classified gone). */
+  override def listKeys(spark: SparkSession, keys: Seq[String]): DataFrame =
+    stat match {
+      case Some(h) =>
+        import spark.implicits._
+        h(keys.distinct).toDF("item_key", "memo_state")
+      case None => super.listKeys(spark, keys)
+    }
+
+  def contentFpOf: Option[Column] = Some(md5(col("content")))
+}

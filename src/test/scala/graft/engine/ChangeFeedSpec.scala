@@ -144,6 +144,66 @@ class ChangeFeedSpec extends SparkSpec {
     assert(flow.runFeed(spark).isNoop)
   }
 
+  test("event-driven object-store live: a tick re-stats only event keys") {
+    // the reference's oci_object_storage event-driven refresh
+    // (_source.py:640): store notifications land on a topic; the
+    // flow's tick drains them and re-stats ONLY those objects —
+    // composing ChangeFeedSource over ObjectStoreSource with a
+    // TopicTarget feed, no new machinery.
+    val root = tmp("os-live")
+    for (i <- 0 until 50)
+      Files.writeString(root.resolve(f"o$i%02d.dat"), s"v$i")
+    val inner = ObjectStoreSource(s"file://$root")
+
+    // counting proxy: proves the tick never re-lists the bucket and
+    // stats exactly the event keys
+    var fullLists = 0
+    val statCalls = scala.collection.mutable.Buffer[Seq[String]]()
+    val counting = new Source {
+      def list(sp: org.apache.spark.sql.SparkSession) = {
+        fullLists += 1; inner.list(sp)
+      }
+      def load(sp: org.apache.spark.sql.SparkSession,
+          keys: org.apache.spark.sql.DataFrame) = inner.load(sp, keys)
+      def contentFpOf = inner.contentFpOf
+      override def listKeys(sp: org.apache.spark.sql.SparkSession,
+          keys: Seq[String]) = { statCalls += keys; inner.listKeys(sp, keys) }
+      override def listUnder(sp: org.apache.spark.sql.SparkSession,
+          prefixes: Seq[String]) = inner.listUnder(sp, prefixes)
+    }
+
+    import spark.implicits._
+    val topic = TopicTarget(tmp("os-events").resolve("t").toString)
+    val none = Seq.empty[String].toDF("row_key")
+    val stage = CocoFn("sizes", 1, fn = df => df.select(
+      col("item_key"), col("item_key").as("row_key"),
+      length(Source.textOf(col("content"))).as("n")))
+    val flow = new Flow("oslive",
+      ChangeFeedSource(counting, () => topic.feed(spark, Some("oslive"))),
+      Seq(stage),
+      ParquetTableTarget(tmp("os-t").resolve("t").toString, numBuckets = 4),
+      tmp("os-s").toString)
+
+    val boot = flow.runFeed(spark)
+    assert(boot.components == 50 && boot.recomputed == 50, s"$boot")
+    assert(fullLists >= 1)
+
+    // two objects change; their bucket notifications hit the topic
+    Files.writeString(root.resolve("o07.dat"), "v7-edited")
+    Files.writeString(root.resolve("o31.dat"), "v31-edited")
+    topic.apply(spark,
+      Seq(("o07.dat", 1), ("o31.dat", 1)).toDF("row_key", "n"), none)
+
+    fullLists = 0; statCalls.clear()
+    val delta = flow.runFeed(spark)
+    assert(delta.recomputed == 2 && delta.unchanged == 48, s"$delta")
+    assert(fullLists == 0, "an event tick must never re-list the bucket")
+    assert(statCalls.flatten.toSet == Set("o07.dat", "o31.dat"),
+      s"tick must stat exactly the event keys, got $statCalls")
+
+    assert(flow.runFeed(spark).isNoop)
+  }
+
   test("AggView change feed recomputes only the dirty buckets") {
     val N = 200
     val numBuckets = 16
