@@ -225,16 +225,33 @@ object Chunker {
         start: Int, end: Int, boundarySyntaxLevel: Int,
         internalLb: Int, boundaryLb: Int)
 
-    /** DFS atom collection over the separator hierarchy
-      * (collect_atom_chunks + AtomChunksCollector, recursive.rs:283,345). */
-    private def collectAtoms(
-        text: String, seps: IndexedSeq[Pattern],
-        minAtomChunkSize: Int): IndexedSeq[Atom] = {
-      // (start, end, nextSepId)
-      final case class IChunk(start: Int, end: Int, sepId: Int)
+    /** Chunk kinds, the reference's `ChunkKind` (recursive.rs:79):
+      * a regex-separator descent carries its pattern hierarchy + next
+      * level; a syntax descent carries a [[CodeTree.Node]] standing in
+      * for the tree-sitter node. */
+    private sealed trait Kind
+    private final case class RegexSep(seps: IndexedSeq[Pattern], sepId: Int)
+        extends Kind
+    private final case class Syntax(node: CodeTree.Node) extends Kind
+    private final case class IChunk(start: Int, end: Int, kind: Kind)
 
-      def children(c: IChunk): Iterator[IChunk] = new Iterator[IChunk] {
-        private val m = seps(c.sepId).matcher(text)
+    private[operators] lazy val DefaultPats: IndexedSeq[Pattern] =
+      DefaultSeparatorsRegex.map(Pattern.compile(_)).toIndexedSeq
+
+    /** DFS atom collection over the separator hierarchy and/or the
+      * syntax tree (collect_atom_chunks + AtomChunksCollector,
+      * recursive.rs:283,345): a syntax node with children descends
+      * into them with inter-child gaps routed through the DEFAULT
+      * separator hierarchy (TreeSitterNodeIter::fill_gap,
+      * recursive.rs:166-181); a childless/terminal node re-enters as
+      * a regex chunk over its own text (recursive.rs:379). */
+    private def collectAtoms(
+        text: String, root: IChunk,
+        minAtomChunkSize: Int): IndexedSeq[Atom] = {
+
+      def textChildren(c: IChunk, seps: IndexedSeq[Pattern], sepId: Int)
+          : Iterator[IChunk] = new Iterator[IChunk] {
+        private val m = seps(sepId).matcher(text)
         m.region(c.start, c.end)
         private var nextStart = c.start
         private var exhausted = false
@@ -251,7 +268,7 @@ object Chunker {
               if (start >= c.end) { exhausted = true; return }
               c.end
             }
-          pending = IChunk(start, end, c.sepId + 1)
+          pending = IChunk(start, end, RegexSep(seps, sepId + 1))
           hasPending = true
         }
         def hasNext: Boolean = { advance(); hasPending }
@@ -261,6 +278,44 @@ object Chunker {
           hasPending = false; pending
         }
       }
+
+      /** The reference's TreeSitterNodeIter: yield each child as a
+        * syntax chunk, filling the gaps before/between/after children
+        * as default-hierarchy regex chunks. */
+      def syntaxChildren(node: CodeTree.Node): Iterator[IChunk] =
+        new Iterator[IChunk] {
+          private var idx = 0
+          private var nextStart = node.start
+          private var pending: IChunk = _
+          private var hasPending = false
+          private def advance(): Unit = {
+            if (hasPending) return
+            if (idx >= node.children.length) {
+              if (nextStart < node.end) {
+                pending = IChunk(nextStart, node.end, RegexSep(DefaultPats, 0))
+                nextStart = node.end
+                hasPending = true
+              }
+            } else {
+              val child = node.children(idx)
+              if (nextStart < child.start) {
+                pending = IChunk(nextStart, child.start, RegexSep(DefaultPats, 0))
+                nextStart = child.start
+              } else {
+                idx += 1
+                nextStart = child.end
+                pending = IChunk(child.start, child.end, Syntax(child))
+              }
+              hasPending = true
+            }
+          }
+          def hasNext: Boolean = { advance(); hasPending }
+          def next(): IChunk = {
+            advance()
+            if (!hasPending) throw new NoSuchElementException
+            hasPending = false; pending
+          }
+        }
 
       val atoms = scala.collection.mutable.ArrayBuffer.empty[Atom]
       var minLevel = 0
@@ -289,14 +344,22 @@ object Chunker {
 
       val stack = scala.collection.mutable.ArrayBuffer
         .empty[Iterator[IChunk]]
-      stack += Iterator.single(IChunk(0, text.length, 0))
+      stack += Iterator.single(root)
       while (stack.nonEmpty) {
         currLevel = stack.length
         if (stack.last.hasNext) {
           val c = stack.last.next()
           if (c.end - c.start <= minAtomChunkSize) collect(c.start, c.end)
-          else if (c.sepId >= seps.length) collect(c.start, c.end)
-          else stack += children(c)
+          else c.kind match {
+            case Syntax(node) =>
+              if (node.children.nonEmpty) stack += syntaxChildren(node)
+              else // terminal: regex-split its innards one level down
+                stack += Iterator.single(
+                  IChunk(c.start, c.end, RegexSep(DefaultPats, 0)))
+            case RegexSep(seps, sepId) =>
+              if (sepId >= seps.length) collect(c.start, c.end)
+              else stack += textChildren(c, seps, sepId)
+          }
         } else {
           stack.remove(stack.length - 1)
           currLevel = stack.length
@@ -430,18 +493,33 @@ object Chunker {
 
     /** Reference `split` (recursive.rs:650): min chunk defaults to
       * chunkSize/2; overlap is clamped to min chunk; atoms stop
-      * splitting below the overlap (or min-chunk) size. */
+      * splitting below the overlap (or min-chunk) size. With a
+      * `language` that [[CodeTree.byName]] knows, atoms come from the
+      * SYNTAX TREE (recursive.rs:673-680: a parsed source roots the
+      * DFS at its tree; the balanced-delimiter token tree stands in
+      * for tree-sitter — SURVEY §2.C) and chunk boundaries prefer
+      * shallow token-nesting depth; unknown/absent language falls
+      * back to the regex-separator hierarchy. */
     def split(
         text: String, chunkSize: Int,
         minChunkSize: Option[Int] = None,
         chunkOverlap: Option[Int] = None,
-        separators: Seq[String] = DefaultSeparatorsRegex): Seq[ChunkOut] = {
+        separators: Seq[String] = DefaultSeparatorsRegex,
+        language: Option[String] = None): Seq[ChunkOut] = {
       if (text == null || text.isEmpty) return Seq.empty
       val minChunk = minChunkSize.getOrElse(chunkSize / 2)
       val overlap = math.min(chunkOverlap.getOrElse(0), minChunk)
       val minAtom = if (overlap > 0) overlap else minChunk
-      val pats = separators.map(Pattern.compile(_)).toIndexedSeq
-      val atoms = collectAtoms(text, pats, minAtom)
+      val root = language.flatMap(CodeTree.byName) match {
+        case Some(lang) =>
+          IChunk(0, text.length, Syntax(CodeTree.tree(text, lang)))
+        case None =>
+          val pats =
+            if (separators eq DefaultSeparatorsRegex) DefaultPats
+            else separators.map(Pattern.compile(_)).toIndexedSeq
+          IChunk(0, text.length, RegexSep(pats, 0))
+      }
+      val atoms = collectAtoms(text, root, minAtom)
       val spans = mergeAtoms(text, atoms, chunkSize, minChunk, overlap)
 
       val lineOf: Int => Int = {
@@ -467,6 +545,18 @@ object Chunker {
     udf((text: String) =>
       if (text == null) Seq.empty[ChunkOut]
       else RecursiveMerge.split(text, chunkSize, minChunkSize, overlap))
+
+  /** Syntax-aware chunking as a generator UDF taking (text, language)
+    * per row — the reference's `SplitRecursively` with a `language`
+    * argument (ops/text.py:121-191): a recognized code language roots
+    * atom collection at the token-tree parse, anything else at the
+    * regex hierarchy. Per-document, shuffle-free. */
+  def chunkCodeUdf(chunkSize: Int, minChunkSize: Option[Int] = None,
+      overlap: Option[Int] = None) =
+    udf((text: String, language: String) =>
+      if (text == null) Seq.empty[ChunkOut]
+      else RecursiveMerge.split(text, chunkSize, minChunkSize, overlap,
+        language = Option(language)))
 
   /** Standalone separator splitting with position tracking — the
     * reference's `SeparatorSplitter` (ops/text.py:40-85; Rust

@@ -220,6 +220,49 @@ object CodeTree {
   private def isOpen(c: Char) = c == '(' || c == '[' || c == '{'
   private def isClose(c: Char) = c == ')' || c == ']' || c == '}'
 
+  /** A chunker-facing syntax node: a char span plus direct children
+    * (delimiter tokens included, like tree-sitter's argument_list).
+    * Leaf tokens have no children; the root spans the whole source.
+    * This is the [[graft.operators.Chunker.RecursiveMerge]] atom
+    * source standing in for the reference's tree-sitter parse
+    * (recursive.rs:360-381 walks exactly this shape: node → children
+    * with gap-fill, childless/terminal node → regex-split innards). */
+  final case class Node(start: Int, end: Int, children: IndexedSeq[Node])
+
+  /** Build the chunker's syntax tree: tokens → balanced-delimiter
+    * groups, mismatched closers stay plain tokens, an unclosed
+    * opener's children fold into its parent (same recovery as
+    * [[index]]). Whitespace and comments live in the GAPS between
+    * child spans — the chunker's gap-fill routes them through the
+    * default separator hierarchy, which is where the reference sends
+    * inter-node text too. */
+  def tree(source: String, lang: Lang): Node = {
+    val leaves = tokenize(source, lang)
+    final case class Frame(open: Char, openLeaf: Leaf,
+        kids: mutable.ArrayBuffer[Node])
+    val root = Frame(' ', null, mutable.ArrayBuffer())
+    var stack = List(root)
+    for (lf <- leaves) {
+      val ch = if (lf.text.length == 1) lf.text.charAt(0) else ' '
+      if (lf.anon && isOpen(ch))
+        stack = Frame(ch, lf,
+          mutable.ArrayBuffer(Node(lf.start, lf.end, IndexedSeq.empty))) :: stack
+      else if (lf.anon && isClose(ch) && stack.head.open == openOf(ch)) {
+        val f = stack.head
+        stack = stack.tail
+        f.kids += Node(lf.start, lf.end, IndexedSeq.empty)
+        stack.head.kids += Node(f.openLeaf.start, lf.end, f.kids.toIndexedSeq)
+      } else stack.head.kids += Node(lf.start, lf.end, IndexedSeq.empty)
+    }
+    while (stack.tail.nonEmpty) { // unclosed opener: fold into parent
+      val f = stack.head
+      stack = stack.tail
+      stack.head.kids += f.kids.head // the opener token itself
+      stack.head.kids ++= f.kids.drop(1)
+    }
+    Node(0, source.length, root.kids.toIndexedSeq)
+  }
+
   /** Tokenize `source`: skip whitespace + comments, longest-match
     * across string/identifier/number tokenizers (so `r"hi"` is one
     * string, not `r` + string — reference lexer.rs:180-193), then

@@ -57,6 +57,42 @@ object ChunkPack extends QueryPack {
           .select(col("doc_id"), col("chunk_id"),
             round(graft.functions.VectorFunctions.l2Norm(col("embedding")), 4)
               .as("emb_norm"))
+      }),
+
+    // ---- syntax-aware code chunking (token-tree atoms) ------------------
+    // the reference's tree-sitter chunk source (recursive.rs:673-680)
+    // via the balanced-delimiter token tree: chunk boundaries prefer
+    // shallow nesting depth (never split inside an arg list when a
+    // function seam fits). The corpus is a deterministic code-shaped
+    // render of each doc (as q78 does); languages rotate through the
+    // q53 extension wheel so the per-row fallback path (md/txt/json →
+    // regex hierarchy) runs in the same query. DP merge ⇒ rows-only at
+    // the oracle; boundary behavior is gated by ChunkerSpec's syntax
+    // cases.
+    Q(
+      "q79_chunk_code",
+      None,
+      (s, dir) => {
+        val w = split(col("text"), " ")
+        val code = concat(
+          lit("fn "), w(0), lit("(x: u32) {\n    let a = combine(x,\n\n        "),
+          w(1), lit(");\n    // "), substring(col("text"), 1, 160),
+          lit("\n}\nfn tail_"), w(2), lit("() {\n    finish(\""), w(3),
+          lit("\");\n}\n"))
+        val exts = array(Seq("md", "py", "rs", "txt", "scala", "json")
+          .map(lit): _*)
+        val fname = concat(lit("doc_"), col("doc_id"), lit("."),
+          element_at(exts, (col("doc_id") % 6).cast("int") + 1))
+        val chunk = Chunker.chunkCodeUdf(chunkSize = 120, overlap = Some(20))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            Chunker.detectCodeLanguage(fname).as("language"),
+            code.as("code"))
+          .select(col("doc_id"), col("language"),
+            explode(chunk(col("code"), col("language"))).as("c"))
+          .select(col("doc_id"), col("language"), col("c.chunk_id"),
+            col("c.text").as("chunk_text"), col("c.start_char"),
+            col("c.end_char"))
       })
   )
 }

@@ -234,6 +234,122 @@ class ChunkerSpec extends SparkSpec {
     }
   }
 
+  // -------------------------------------------------------------------
+  // Syntax-aware atoms: the token-tree stand-in for the reference's
+  // tree-sitter chunk source (recursive.rs:360-381 / 673-680).
+  // -------------------------------------------------------------------
+
+  test("syntax path: chunk boundary prefers the function seam over an in-paren break") {
+    // the ONLY double newline sits INSIDE a parenthesized arg list; the
+    // seam between the functions is a single newline. The regex
+    // hierarchy ranks \n\n+ above \n, so it splits inside the parens
+    // (and dangles the next function's header); the syntax tree puts
+    // the paren innards two levels deeper, so the split lands exactly
+    // on the function seam.
+    val g1 = "fn alpha() {\n    let v = compute(one_item_long,\n\n" +
+      "        two_item_longer, three);\n}"
+    val g2 = "fn beta() {\n    tiny(a);\n}\nfn gamma() {\n    other(b);\n}"
+    val text = g1 + "\n" + g2
+    val size = g1.length
+    val syn = RecursiveMerge.split(text, size, chunkOverlap = Some(0),
+      language = Some("rust"))
+    val rex = RecursiveMerge.split(text, size, chunkOverlap = Some(0))
+    // syntax: exactly the two top-level spans
+    assert(syn.map(_.text) == Seq(g1, g2), syn.map(_.text))
+    // regex: a different (worse) plan — splits at the in-paren \n\n
+    assert(rex.map(_.text) != syn.map(_.text))
+    assert(rex.exists(c => c.end_char > 30 && c.end_char < 50),
+      s"expected an in-paren regex boundary, got ${rex.map(_.end_char)}")
+    // and no syntax boundary falls strictly inside any paren group
+    val parenSpans = {
+      val opens = text.zipWithIndex.filter(_._1 == '(').map(_._2)
+      opens.map(o => (o, text.indexOf(')', o)))
+    }
+    syn.drop(1).foreach(c => parenSpans.foreach { case (o, cl) =>
+      assert(c.start_char <= o || c.start_char > cl,
+        s"boundary ${c.start_char} inside paren ($o,$cl)")
+    })
+  }
+
+  test("syntax path: invariants over a seeded code corpus") {
+    val rnd = new scala.util.Random(7)
+    def ident() = ("v" + ('a' + rnd.nextInt(26)).toChar.toString) * (1 + rnd.nextInt(3))
+    val codes = (0 until 15).map { _ =>
+      val sb = new StringBuilder
+      val nFn = 1 + rnd.nextInt(5)
+      for (i <- 0 until nFn) {
+        sb.append(s"fn f$i(${ident()}: u32) {\n")
+        for (_ <- 0 until rnd.nextInt(6)) {
+          rnd.nextInt(4) match {
+            case 0 => sb.append(s"    let ${ident()} = ${ident()} + 1;\n")
+            case 1 => sb.append(s"    call(${ident()}, ${ident()});\n")
+            case 2 => sb.append(s"    // note ${ident()} does things.\n")
+            case _ => sb.append(s"    let s = \"lit ${ident()}\";\n")
+          }
+        }
+        sb.append("}\n")
+        if (rnd.nextBoolean()) sb.append("\n")
+      }
+      sb.result()
+    } :+ "fn broken( {\n let x = 1;\n" :+ "}}})((" :+ "" // unbalanced + degenerate
+    for (text <- codes; size <- Seq(24, 80, 240); overlap <- Seq(0, 8)) {
+      val chunks = RecursiveMerge.split(text, size,
+        chunkOverlap = Some(overlap), language = Some("rust"))
+      assert(chunks == RecursiveMerge.split(text, size,
+        chunkOverlap = Some(overlap), language = Some("rust"))) // deterministic
+      assert(chunks.map(_.chunk_id) == chunks.indices)
+      chunks.foreach(c =>
+        assert(c.text == text.substring(c.start_char, c.end_char)))
+      chunks.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b.start_char >= a.start_char && b.end_char >= a.end_char)
+          assert(a.end_char - b.start_char <= math.min(overlap, size / 2))
+        case _ =>
+      }
+      // coverage: every non-whitespace char outside separator-droppable
+      // punctuation appears in some chunk
+      if (text.nonEmpty) {
+        val covered = new Array[Boolean](text.length)
+        chunks.foreach(c =>
+          (c.start_char until c.end_char).foreach(covered(_) = true))
+        val separatorChars = ".?!;:-—,。？！；：，"
+        text.zipWithIndex.foreach { case (ch, i) =>
+          if (!Character.isWhitespace(ch) && separatorChars.indexOf(ch) < 0)
+            assert(covered(i), s"char $i '$ch' uncovered (size=$size ov=$overlap)")
+        }
+      }
+    }
+  }
+
+  test("syntax path: unknown language falls back to the regex hierarchy") {
+    val text = "Some prose. With sentences.\n\nAnd a paragraph break."
+    val viaUnknown = RecursiveMerge.split(text, 30, chunkOverlap = Some(0),
+      language = Some("klingon"))
+    val viaRegex = RecursiveMerge.split(text, 30, chunkOverlap = Some(0))
+    assert(viaUnknown == viaRegex)
+  }
+
+  test("CodeTree.tree: groups nest, delimiters are children, recovery folds") {
+    import graft.operators.CodeTree
+    val t = CodeTree.tree("f(a, g(b))", CodeTree.rust)
+    assert(t.start == 0 && t.end == 10)
+    // top level: ident f, group (a, g(b))
+    assert(t.children.length == 2)
+    val outer = t.children(1)
+    assert(outer.children.nonEmpty && t.children.head.children.isEmpty)
+    assert(outer.start == 1 && outer.end == 10)
+    // inner group `(b)` nested inside outer's children (`g` is its
+    // sibling token, tree-sitter-style: the group node is the parens)
+    val inner = outer.children.find(_.children.nonEmpty)
+    assert(inner.isDefined && inner.get.start == 6 && inner.get.end == 9)
+    // a `)` inside a string cannot close the group
+    val s = CodeTree.tree("""f(")", x)""", CodeTree.rust)
+    assert(s.children.length == 2 && s.children(1).end == 9)
+    // unclosed opener folds children into the parent, no crash
+    val u = CodeTree.tree("f(a, b", CodeTree.rust)
+    assert(u.children.map(_.children.length).forall(_ == 0))
+  }
+
   test("fixed chunking matches its SQL-oracle semantics on testdata") {
     assume(testdataAvailable)
     val docs = Tables(spark, Sf0001, "documents").select("doc_id", "text")
