@@ -408,4 +408,100 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  // -------------------------------------------------------------------
+  // Exact substring-level dedup (Lee et al. 2022, "Deduplicating
+  // Training Data Makes Language Models Better": remove every
+  // substring of length ≥ L that occurs more than once in the
+  // corpus). The paper builds a corpus-wide suffix array; the
+  // shuffle-native equivalent used here is the L-gram tiling: a
+  // duplicated substring of length M ≥ L is tiled by M−L+1 duplicated
+  // L-grams, so grouping every L-gram occurrence by gram and merging
+  // the overlapping/adjacent duplicated positions per document
+  // reconstructs exactly the maximal duplicated spans.
+  // -------------------------------------------------------------------
+
+  /** Maximal duplicated-substring spans per document: every char range
+    * whose text (length ≥ `minLen`) appears elsewhere in the corpus
+    * (another doc or another position of the same doc). Returns
+    * `(id, span_id, span_start, span_end)` with 1-based inclusive
+    * char positions; `span_id` numbers a doc's spans from 1 in order.
+    *
+    * Pure Catalyst — sequence/explode/substring + two windows, fully
+    * codegen'd, no UDF — so DuckDB can replay it verbatim as the
+    * oracle.
+    *
+    * Scale shape: the exploded relation is O(total chars) rows — the
+    * same asymptotic footprint as the paper's suffix array. One
+    * shuffle groups occurrences by gram; `hashGrams = true` shuffles
+    * an 8-byte `xxhash64` key instead of the L-char gram (the 100 TB
+    * setting — at ~10¹⁴ positions a 64-bit collision marking a few
+    * spurious positions as duplicated is noise against the fuzziness
+    * of L itself; string mode is bit-exact and oracle-checkable). The
+    * second shuffle re-partitions duplicated positions by doc for the
+    * island merge — windows are per-doc, bounded by doc length, never
+    * global. No `.collect()`, no cross join.
+    */
+  def exactSubstringSpans(
+      df: DataFrame, idCol: String, textCol: String, minLen: Int,
+      hashGrams: Boolean = false): DataFrame = {
+    require(minLen > 0, s"minLen must be positive, got $minLen")
+    val L = minLen
+    val positions = df.select(
+      col(idCol).as("id"),
+      explode(sequence(lit(1),
+        greatest(length(col(textCol)) - (L - 1), lit(0)))).as("p"),
+      col(textCol).as("t"))
+      .select(col("id"), col("p"),
+        (if (hashGrams) xxhash64(col("t").substr(col("p"), lit(L)))
+         else col("t").substr(col("p"), lit(L))).as("gram"))
+    val dup = positions
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("c") > 1)
+      .select("id", "p")
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("p"))
+    val spans = dup
+      .withColumn("prev", lag(col("p"), 1).over(byDoc))
+      // merge overlapping AND adjacent tiles: p ≤ prev + L continues a span
+      .withColumn("ni",
+        when(col("prev").isNull || col("p") > col("prev") + L, 1).otherwise(0))
+      .withColumn("span_id",
+        sum(col("ni")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("span_id"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + (L - 1)).as("span_end"))
+      .select(col("id"), col("span_id").cast("int").as("span_id"),
+        col("span_start"), col("span_end"))
+    spans
+  }
+
+  /** Strip duplicated spans out of the text: every char inside any
+    * [[exactSubstringSpans]] span is deleted (the paper's "remove the
+    * duplicated substring" applied to all occurrences — convergent
+    * and order-independent). Docs with no spans pass through intact.
+    * The per-doc span list is bounded by doc length / minLen. */
+  def stripSpans(
+      df: DataFrame, spans: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val agg = spans.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
+        .as("spans"))
+    val cut = udf { (text: String, ss: Seq[org.apache.spark.sql.Row]) =>
+      if (ss == null || ss.isEmpty) text
+      else {
+        val sb = new StringBuilder
+        var from = 1 // 1-based positions
+        ss.foreach { r =>
+          val s = r.getAs[Number](0).intValue; val e = r.getAs[Number](1).intValue
+          if (s > from) sb.append(text.substring(from - 1, s - 1))
+          from = math.max(from, e + 1)
+        }
+        if (from <= text.length) sb.append(text.substring(from - 1))
+        sb.result()
+      }
+    }
+    df.join(agg, df(idCol) === agg("id"), "left")
+      .withColumn("clean_text", cut(col(textCol), col("spans")))
+      .drop("id", "spans")
+  }
 }

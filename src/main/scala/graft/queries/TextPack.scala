@@ -277,6 +277,43 @@ object TextPack extends QueryPack {
                     len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.2"""),
       (s, dir) =>
         graft.operators.Dedup.shingleNearDup(
-          Tables(s, dir, "documents"), threshold = 0.2, n = 3))
+          Tables(s, dir, "documents"), threshold = 0.2, n = 3)),
+
+    // ---- exact substring-level dedup spans ------------------------------
+    // Lee et al. 2022 suffix-array dedup re-expressed as the L-gram
+    // tiling (operators/Dedup.exactSubstringSpans): maximal char spans
+    // whose text (≥ 30 chars) occurs more than once in the corpus.
+    // Pure Catalyst (sequence/explode/substring + two windows), so the
+    // oracle replays it verbatim.
+    Q(
+      "q80_exact_substring_spans",
+      Some("""
+        WITH pos AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(1, greatest(length(text) - 29, 0)))::INT AS p
+          FROM documents),
+        g AS (
+          SELECT doc_id, p, substr(text, p, 30) AS gram FROM pos),
+        dp AS (
+          SELECT doc_id, p FROM (
+            SELECT doc_id, p, count(*) OVER (PARTITION BY gram) AS c FROM g)
+          WHERE c > 1),
+        isl AS (
+          SELECT doc_id, p,
+                 CASE WHEN lag(p) OVER w IS NULL OR p > lag(p) OVER w + 30
+                      THEN 1 ELSE 0 END AS ni
+          FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        grp AS (
+          SELECT doc_id, p,
+                 CAST(sum(ni) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+                   AS span_id
+          FROM isl)
+        SELECT doc_id, span_id, min(p) AS span_start, max(p) + 29 AS span_end
+        FROM grp GROUP BY doc_id, span_id"""),
+      (s, dir) =>
+        graft.operators.Dedup.exactSubstringSpans(
+          Tables(s, dir, "documents"), "doc_id", "text", minLen = 30)
+          .withColumnRenamed("id", "doc_id"))
   )
 }

@@ -114,4 +114,104 @@ class DedupSpec extends SparkSpec {
       assert(recall >= 0.9, s"LSH near-dup recall $recall < 0.9")
     }
   }
+
+  // -------------------------------------------------------------------
+  // Exact substring-level dedup (Lee et al. 2022 L-gram tiling)
+  // -------------------------------------------------------------------
+
+  private def spansOf(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, Seq[(Int, Int)]] =
+    df.collect()
+      .map(r => (r.getLong(0), (r.getInt(2), r.getInt(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+
+  /** Brute-force reference: a position i (1-based) is duplicated iff
+    * the L-gram at i occurs ≥ 2 times in the corpus; merge runs of
+    * duplicated positions closer than L apart into maximal spans. */
+  private def bruteSpans(docs: Seq[(Long, String)], L: Int)
+      : Map[Long, Seq[(Int, Int)]] = {
+    val counts = scala.collection.mutable.HashMap[String, Int]()
+    for ((_, t) <- docs; i <- 0 to t.length - L)
+      counts.updateWith(t.substring(i, i + L))(c => Some(c.getOrElse(0) + 1))
+    docs.flatMap { case (id, t) =>
+      val ps = (0 to t.length - L).filter(i => counts(t.substring(i, i + L)) > 1)
+        .map(_ + 1) // 1-based
+      if (ps.isEmpty) None
+      else {
+        val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+        var (s, e) = (ps.head, ps.head + L - 1)
+        ps.tail.foreach { p =>
+          if (p > e - L + 1 + L) { spans += ((s, e)); s = p; e = p + L - 1 }
+          else e = p + L - 1
+        }
+        spans += ((s, e))
+        Some(id -> spans.toSeq)
+      }
+    }.toMap
+  }
+
+  test("exact substring spans: planted cross-doc and within-doc duplicates") {
+    import spark.implicits._
+    val shared = "The quick brown fox jumps over the lazy dog once more!" // 55 chars
+    val rep = "abcdefghijklmnopqrstuvwxyz0123456789" // 36 chars
+    val docs = Seq(
+      (1L, s"unique-head-one $shared unique-tail-one"),
+      (2L, s"XdifferentpreambleX$shared"),
+      (3L, s"prefix $rep middle filler text $rep suffix"),
+      (4L, "entirely unique text with no repeats anywhere in the corpus at all"))
+    val df = docs.toDF("doc_id", "text")
+    val got = spansOf(
+      Dedup.exactSubstringSpans(df, "doc_id", "text", minLen = 30))
+    // docs 1+2 share exactly `shared`: one maximal span each, exactly it
+    val d1 = docs.head._2
+    assert(got(1L) == Seq((d1.indexOf(shared) + 1, d1.indexOf(shared) + shared.length)))
+    val d2 = docs(1)._2
+    assert(got(2L) == Seq((d2.indexOf(shared) + 1, d2.length)))
+    // doc 3 repeats `rep` twice within itself; BOTH occurrences are
+    // preceded and followed by a space, so the maximal duplicated
+    // substring is " rep " — spans extend one char each side
+    val d3 = docs(2)._2
+    val first = d3.indexOf(rep); val second = d3.indexOf(rep, first + 1)
+    assert(got(3L) == Seq((first, first + rep.length + 1),
+      (second, second + rep.length + 1)))
+    // doc 4 has none
+    assert(!got.contains(4L))
+  }
+
+  test("exact substring spans equal the brute-force oracle on a seeded corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // tiny alphabet forces plenty of natural repeats at L=12
+    val docs = (1L to 10L).map(id =>
+      (id, (0 until 150 + rnd.nextInt(100))
+        .map(_ => "abcd".charAt(rnd.nextInt(4))).mkString))
+    val df = docs.toDF("doc_id", "text")
+    val expected = bruteSpans(docs, 12)
+    val got = spansOf(Dedup.exactSubstringSpans(df, "doc_id", "text", 12))
+    assert(got == expected)
+    // hashGrams mode: same spans with 8-byte shuffle keys
+    val hashed = spansOf(
+      Dedup.exactSubstringSpans(df, "doc_id", "text", 12, hashGrams = true))
+    assert(hashed == expected)
+  }
+
+  test("stripSpans removes exactly the duplicated chars; span-free docs intact") {
+    import spark.implicits._
+    val shared = "0123456789012345678901234567890123456789" // 40 chars
+    val docs = Seq(
+      (1L, s"keep-head $shared keep-tail"),
+      (2L, s"$shared trailing-kept"),
+      (3L, "nothing duplicated here at all, this text stays whole"))
+    val df = docs.toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(df, "doc_id", "text", minLen = 30)
+    val cleaned = Dedup.stripSpans(df, spans, "doc_id", "text")
+      .select("doc_id", "clean_text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // both occurrences are followed by a space, so the maximal
+    // duplicated substring is `shared + " "` — the trailing space is
+    // stripped with it; doc 1 keeps only its leading space
+    assert(cleaned(1L) == "keep-head keep-tail")
+    assert(cleaned(2L) == "trailing-kept")
+    assert(cleaned(3L) == docs(2)._2)
+  }
 }
