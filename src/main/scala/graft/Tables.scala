@@ -9,13 +9,17 @@ import org.apache.spark.sql.functions._
   * to the file scan, so downstream queries only pay for what they
   * project.
   *
-  * `events.ts` is stored as parquet TIMESTAMP(NANOS). Spark has no
-  * nanosecond timestamp type, so the session reads it as a raw long
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and we expose:
-  *   - `ts_ns` — the raw nanoseconds-since-epoch long,
-  *   - `ts_us` — microseconds (integer division, i.e. truncation —
+  * `events.ts` has shipped in two physical encodings across testdata
+  * generations — parquet TIMESTAMP(NANOS) (Spark reads it as a raw
+  * long under `spark.sql.legacy.parquet.nanosAsLong`) and parquet
+  * timestamp[us] (read as TIMESTAMP_NTZ). The loader branches on the
+  * observed type and exposes the same three columns either way:
+  *   - `ts_ns` — nanoseconds-since-epoch long,
+  *   - `ts_us` — microseconds (truncating division from nanos —
   *     identical to DuckDB's TIMESTAMP_NS → TIMESTAMP cast),
-  *   - `ts`    — a microsecond TimestampType column.
+  *   - `ts`    — a microsecond TimestampType column (the NTZ wall
+  *     clock is interpreted in the session's UTC zone, matching how
+  *     DuckDB's `epoch_us` reads the same naive value).
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -30,10 +34,17 @@ object Tables {
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns div 1000"))
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS)
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // timestamp[us], read as NTZ (or LTZ) TimestampType
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
 
   /** Register every table as a temp view so `spark.sql` works over the

@@ -1,0 +1,359 @@
+package graft.engine
+
+import java.sql.{Connection, DriverManager, PreparedStatement, SQLException, Types}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Keyed SQL table over JDBC — the reference's relational table-target
+  * transport (python/cocoindex/connectors/postgres/_target.py:1468
+  * `mount_table_target`, row reconcile `:850-881`, batched multi-row
+  * upserts `:769-791`, batched deletes `:813-836`, idempotent SQL
+  * attachments `:1362`) realized against a real SQL engine:
+  *
+  *   - managed DDL: the observed table shape is read back from JDBC
+  *     metadata and reconciled against the desired schema — CREATE
+  *     TABLE when absent, ALTER TABLE ADD for new columns, DROP+ADD
+  *     for a changed column type (the statediff Lossy transition: the
+  *     engine bumps the schema version so every item re-upserts and
+  *     refills the rebuilt column in the same apply);
+  *   - batched convergent upserts: single-statement `MERGE INTO`
+  *     per row, executed in JDBC batches chunk-by-chunk with
+  *     lock-conflict retry — re-applying the same delta after a crash
+  *     converges (at-least-once, roll-forward);
+  *   - batched `DELETE` by key, same chunking;
+  *   - `sqlAttachments`: arbitrary idempotent DDL run after the table
+  *     exists (the reference's `declare_sql_command_attachment` /
+  *     `declare_vector_index` slot — e.g. `CREATE INDEX`), with
+  *     "already exists" tolerated so reruns converge.
+  *
+  * Tested against embedded Apache Derby (ships in the Spark jars;
+  * supports `MERGE` since 10.11). The embedded URL only reaches a
+  * same-JVM store — right for local[n]; on a cluster the url points at
+  * a network server (Derby client, postgres, …) and the same code
+  * drives it, each executor holding its own pooled connection.
+  *
+  * Writes happen executor-side (`foreachPartition`), never through the
+  * driver; `writePartitions` bounds sink concurrency the way the
+  * reference bounds per-sink batch concurrency. Vector columns
+  * (`ARRAY<FLOAT>`) are stored as float32-LE BLOBs — decode on read
+  * with [[JdbcTableTarget.floatVectorFromBinary]].
+  */
+final case class JdbcTableTarget(url: String, table: String,
+    sqlAttachments: Seq[String] = Nil,
+    writePartitions: Int = 4, batchSize: Int = 256)
+    extends Target {
+
+  import JdbcTableTarget._
+
+  /** Container identity = the store + table + PK signature (the
+    * reference's main tracking record, postgres/_target.py:930-947).
+    * Value columns are NOT identity — they reconcile in place via
+    * ALTER (the sub-records). */
+  override def containerSignature: String =
+    s"jdbc;url=$url;table=$table;pk=row_key"
+
+  override def truncate(spark: SparkSession): Unit =
+    withConnection(url) { conn =>
+      execIgnoring(conn, s"""DROP TABLE $q$table$q""",
+        Set("42Y55", "42X05")) // no such table — already converged
+    }
+
+  private def exists(conn: Connection): Boolean = {
+    val rs = conn.getMetaData.getTables(null, null, table, null)
+    try rs.next() finally rs.close()
+  }
+
+  /** Observed column shape: name → JDBC type name (metadata is the
+    * "previously observed tracking record" — the store itself is the
+    * source of truth, so a crash between DDL and commit re-observes
+    * and converges). */
+  private def observedColumns(conn: Connection): Map[String, String] = {
+    val rs = conn.getMetaData.getColumns(null, null, table, null)
+    val b = Map.newBuilder[String, String]
+    try while (rs.next()) b += rs.getString("COLUMN_NAME") ->
+      rs.getString("TYPE_NAME")
+    finally rs.close()
+    b.result()
+  }
+
+  /** CREATE/ALTER the physical table toward `schema` (row_key +
+    * value columns). Extra observed columns are kept, not dropped — a
+    * deletion-only apply sees a key-only schema and must not destroy
+    * payload columns (same stance as the parquet target's
+    * allowMissingColumns union). */
+  private def ensureTable(conn: Connection, schema: StructType): Unit = {
+    val valueCols = schema.fields.filter(_.name != RowKey)
+    if (!exists(conn)) {
+      val cols = valueCols
+        .map(f => s"""$q${f.name}$q ${sqlType(f.dataType)}""")
+      val ddl = (s"""$q$RowKey$q VARCHAR($KeyLen) NOT NULL PRIMARY KEY""" +:
+        cols).mkString(s"""CREATE TABLE $q$table$q (""", ", ", ")")
+      execIgnoring(conn, ddl, Set("X0Y32")) // concurrent creator won
+    } else {
+      val observed = observedColumns(conn)
+      valueCols.foreach { f =>
+        val want = sqlType(f.dataType)
+        observed.get(f.name) match {
+          case None =>
+            execIgnoring(conn,
+              s"""ALTER TABLE $q$table$q ADD COLUMN $q${f.name}$q $want""",
+              Set("X0Y32"))
+          case Some(have) if !typeMatches(have, want) =>
+            // lossy column rebuild (statediff Replace on the
+            // sub-record): the engine's schema-version bump makes
+            // every item re-upsert, so the emptied column refills
+            // within this same apply
+            conn.createStatement().execute(
+              s"""ALTER TABLE $q$table$q DROP COLUMN $q${f.name}$q""")
+            conn.createStatement().execute(
+              s"""ALTER TABLE $q$table$q ADD COLUMN $q${f.name}$q $want""")
+          case _ => ()
+        }
+      }
+    }
+    sqlAttachments.foreach(execIgnoring(conn, _, Set("X0Y32")))
+  }
+
+  def apply(spark: SparkSession, upserts: DataFrame,
+      deleteKeys: DataFrame): TargetStats = {
+    val up = upserts.cache()
+    val del = deleteKeys.select(col(RowKey)).cache()
+    try {
+      val nUp = up.count()
+      val nDel = del.count()
+      if (nUp == 0 && nDel == 0) return TargetStats(0, 0)
+
+      withConnection(url) { conn =>
+        if (nUp > 0 || exists(conn)) ensureTable(conn, up.schema)
+      }
+
+      val (u, t, bs) = (url, table, batchSize)
+      if (nUp > 0) {
+        val schema = up.schema
+        val valueFields = schema.fields.filter(_.name != RowKey).toSeq
+        val keyIdx = schema.fieldIndex(RowKey)
+        val merge = mergeSql(t, valueFields.map(f => f.name))
+        up.repartition(writePartitions).foreachPartition {
+          rows: Iterator[Row] =>
+            writeChunked(u, merge, rows, bs) { (ps, row) =>
+              // ON key, then UPDATE SET values, then INSERT key+values
+              ps.setString(1, row.getString(keyIdx))
+              var i = 2
+              valueFields.foreach { f =>
+                bind(ps, i, f.dataType, row, schema.fieldIndex(f.name)); i += 1
+              }
+              ps.setString(i, row.getString(keyIdx)); i += 1
+              valueFields.foreach { f =>
+                bind(ps, i, f.dataType, row, schema.fieldIndex(f.name)); i += 1
+              }
+            }
+        }
+      }
+      if (nDel > 0) {
+        val delSql = s"""DELETE FROM $q$t$q WHERE $q$RowKey$q = ?"""
+        del.repartition(writePartitions).foreachPartition {
+          rows: Iterator[Row] =>
+            writeChunked(u, delSql, rows, bs) { (ps, row) =>
+              ps.setString(1, row.getString(0))
+            }
+        }
+      }
+      TargetStats(nUp, nDel)
+    } finally { up.unpersist(); del.unpersist() }
+  }
+
+  /** Read back through Spark's JDBC source (single partition by
+    * default — pass partitioning options at the call site for large
+    * tables; correctness reads here are dimension-sized). */
+  def read(spark: SparkSession): DataFrame = {
+    val present = withConnection(url)(exists)
+    if (!present)
+      throw new IllegalStateException(s"jdbc target $table not yet written")
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", s"""$q$table$q""")
+      .load()
+  }
+}
+
+object JdbcTableTarget {
+  val RowKey = "row_key"
+  /** PK columns need an index; Derby's key length is bounded, and the
+    * engine's row keys are short structured ids. */
+  val KeyLen = 1024
+  private val q = '"'
+
+  // keep Derby's log out of the working directory
+  System.setProperty("derby.stream.error.file",
+    new java.io.File(System.getProperty("java.io.tmpdir"), "derby.log")
+      .getAbsolutePath)
+
+  /** Embedded-Derby URL for a filesystem path. */
+  def derbyUrl(dbDir: String): String = s"jdbc:derby:$dbDir;create=true"
+
+  private[engine] def withConnection[T](url: String)(f: Connection => T): T = {
+    val conn = DriverManager.getConnection(url)
+    try f(conn) finally conn.close()
+  }
+
+  private[engine] def execIgnoring(conn: Connection, sql: String,
+      okStates: Set[String]): Unit =
+    try { conn.createStatement().execute(sql); () }
+    catch {
+      case e: SQLException if okStates.contains(e.getSQLState) => ()
+    }
+
+  /** Spark type → SQL column type. `ARRAY<FLOAT>` (the vector column
+    * type) maps to a float32-LE BLOB — the portable encoding a store
+    * without a native vector type gets (pgvector/sqlite-vec swap in a
+    * native type by overriding the DDL, not the contract). */
+  private[engine] def sqlType(dt: DataType): String = dt match {
+    case StringType => "VARCHAR(32672)"
+    case IntegerType => "INTEGER"
+    case LongType => "BIGINT"
+    case ShortType => "SMALLINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case BinaryType => "BLOB"
+    case TimestampType => "TIMESTAMP"
+    case DateType => "DATE"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case ArrayType(FloatType, _) => "BLOB"
+    case other =>
+      throw new IllegalArgumentException(
+        s"JdbcTableTarget: unsupported column type $other")
+  }
+
+  /** JDBC metadata TYPE_NAME vs our DDL type, compared on the base
+    * name (metadata reports e.g. "VARCHAR" without the length). */
+  private def typeMatches(observed: String, declared: String): Boolean =
+    observed.toUpperCase.takeWhile(_ != ' ') ==
+      declared.toUpperCase.takeWhile(c => c != '(' && c != ' ')
+
+  /** One-row convergent upsert: Derby MERGE against the dummy table
+    * (the single-source-row idiom); executed in JDBC batches. The ON
+    * parameter needs an explicit CAST — a bare ? is untyped there. */
+  private def mergeSql(table: String, valueCols: Seq[String]): String = {
+    val set =
+      if (valueCols.isEmpty) ""
+      else valueCols.map(c => s"""$q$c$q = ?""")
+        .mkString(" WHEN MATCHED THEN UPDATE SET ", ", ", "")
+    val insCols = (RowKey +: valueCols).map(c => s"""$q$c$q""")
+      .mkString(", ")
+    val insVals = (s"CAST(? AS VARCHAR($KeyLen))" +:
+      valueCols.map(_ => "?")).mkString(", ")
+    s"""MERGE INTO $q$table$q T USING SYSIBM.SYSDUMMY1""" +
+      s""" ON T.$q$RowKey$q = CAST(? AS VARCHAR($KeyLen))""" +
+      set +
+      s""" WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)"""
+  }
+
+  private def jdbcTypeOf(dt: DataType): Int = dt match {
+    case StringType => Types.VARCHAR
+    case IntegerType => Types.INTEGER
+    case LongType => Types.BIGINT
+    case ShortType => Types.SMALLINT
+    case DoubleType => Types.DOUBLE
+    case FloatType => Types.REAL
+    case BooleanType => Types.BOOLEAN
+    case BinaryType => Types.BLOB
+    case TimestampType => Types.TIMESTAMP
+    case DateType => Types.DATE
+    case _: DecimalType => Types.DECIMAL
+    case ArrayType(FloatType, _) => Types.BLOB
+    case other =>
+      throw new IllegalArgumentException(s"unsupported bind type $other")
+  }
+
+  private def bind(ps: PreparedStatement, idx: Int, dt: DataType,
+      row: Row, field: Int): Unit =
+    if (row.isNullAt(field)) ps.setNull(idx, jdbcTypeOf(dt))
+    else dt match {
+      case StringType => ps.setString(idx, row.getString(field))
+      case IntegerType => ps.setInt(idx, row.getInt(field))
+      case LongType => ps.setLong(idx, row.getLong(field))
+      case ShortType => ps.setShort(idx, row.getShort(field))
+      case DoubleType => ps.setDouble(idx, row.getDouble(field))
+      case FloatType => ps.setFloat(idx, row.getFloat(field))
+      case BooleanType => ps.setBoolean(idx, row.getBoolean(field))
+      case BinaryType => ps.setBytes(idx, row.getAs[Array[Byte]](field))
+      case TimestampType => ps.setTimestamp(idx, row.getTimestamp(field))
+      case DateType => ps.setDate(idx, row.getDate(field))
+      case _: DecimalType => ps.setBigDecimal(idx, row.getDecimal(field))
+      case ArrayType(FloatType, _) =>
+        ps.setBytes(idx, encodeFloats(row.getSeq[Float](field)))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported bind type $other")
+    }
+
+  private[engine] def encodeFloats(v: Seq[Float]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(v.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    v.foreach(bb.putFloat)
+    bb.array()
+  }
+
+  private[engine] def decodeFloats(b: Array[Byte]): Array[Float] = {
+    val bb = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Array.fill(b.length / 4)(bb.getFloat)
+  }
+
+  /** Decode a float32-LE BLOB column back to `ARRAY<FLOAT>` (readback
+    * side of the vector mapping). UDF is fine here: readback is a
+    * serving-path decode, not a corpus-scan hot path. */
+  def floatVectorFromBinary(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val f = udf((b: Array[Byte]) => if (b == null) null else decodeFloats(b))
+    f(c)
+  }
+
+  /** Rows loop → fixed-size chunks → one JDBC batch per chunk, with
+    * rebind-and-retry on lock conflicts (Derby 40001 deadlock / 40XL1
+    * lock timeout): the chunk is the retry unit, so a batch that died
+    * mid-flight re-executes its MERGEs idempotently. */
+  private def writeChunked(url: String, sql: String, rows: Iterator[Row],
+      batchSize: Int)(bindRow: (PreparedStatement, Row) => Unit): Unit = {
+    if (!rows.hasNext) return
+    withConnection(url) { conn =>
+      conn.setAutoCommit(false)
+      val ps = conn.prepareStatement(sql)
+      try rows.grouped(batchSize).foreach { chunk =>
+        var attempt = 0
+        var done = false
+        while (!done) {
+          try {
+            chunk.foreach { r => bindRow(ps, r); ps.addBatch() }
+            ps.executeBatch()
+            conn.commit()
+            done = true
+          } catch {
+            case e: SQLException
+                if retriableState(e) && attempt < MaxRetries =>
+              conn.rollback()
+              ps.clearBatch()
+              attempt += 1
+              Thread.sleep(50L << attempt)
+          }
+        }
+      } finally ps.close()
+    }
+  }
+
+  private val MaxRetries = 5
+
+  private def retriableState(e: SQLException): Boolean = {
+    var cur: SQLException = e
+    // executeBatch failures surface as BatchUpdateException wrapping
+    // the real state; walk the chain
+    while (cur != null) {
+      val s = cur.getSQLState
+      if (s == "40001" || s == "40XL1") return true
+      cur = cur.getNextException
+    }
+    false
+  }
+}
