@@ -60,21 +60,37 @@ final case class JdbcTableTarget(url: String, table: String,
         Set("42Y55", "42X05")) // no such table — already converged
     }
 
+  /** getTables/getColumns take the table name as a LIKE pattern, so a
+    * '_' in the name (e.g. `doc_chunks`) matches any character and a
+    * similarly-named sibling (`docXchunks`) would pollute the observed
+    * shape — silently skipping an ALTER ADD and failing the MERGE
+    * later. Rows are filtered on EXACT name equality instead of
+    * trusting the pattern. */
   private def exists(conn: Connection): Boolean = {
     val rs = conn.getMetaData.getTables(null, null, table, null)
-    try rs.next() finally rs.close()
+    try {
+      while (rs.next())
+        if (rs.getString("TABLE_NAME") == table) return true
+      false
+    } finally rs.close()
   }
 
-  /** Observed column shape: name → JDBC type name (metadata is the
+  /** Observed column shape: name → rendered type (metadata is the
     * "previously observed tracking record" — the store itself is the
     * source of truth, so a crash between DDL and commit re-observes
-    * and converges). */
+    * and converges). Precision/scale are folded in for the types where
+    * they matter (VARCHAR length, DECIMAL precision/scale), so a
+    * declared `DECIMAL(10,2)` → `DECIMAL(12,2)` change triggers the
+    * lossy rebuild instead of silently overflowing the stale column. */
   private def observedColumns(conn: Connection): Map[String, String] = {
     val rs = conn.getMetaData.getColumns(null, null, table, null)
     val b = Map.newBuilder[String, String]
-    try while (rs.next()) b += rs.getString("COLUMN_NAME") ->
-      rs.getString("TYPE_NAME")
-    finally rs.close()
+    try while (rs.next()) {
+      if (rs.getString("TABLE_NAME") == table)
+        b += rs.getString("COLUMN_NAME") -> renderObserved(
+          rs.getString("TYPE_NAME"), rs.getInt("COLUMN_SIZE"),
+          rs.getInt("DECIMAL_DIGITS"))
+    } finally rs.close()
     b.result()
   }
 
@@ -105,10 +121,8 @@ final case class JdbcTableTarget(url: String, table: String,
             // sub-record): the engine's schema-version bump makes
             // every item re-upsert, so the emptied column refills
             // within this same apply
-            conn.createStatement().execute(
-              s"""ALTER TABLE $q$table$q DROP COLUMN $q${f.name}$q""")
-            conn.createStatement().execute(
-              s"""ALTER TABLE $q$table$q ADD COLUMN $q${f.name}$q $want""")
+            exec(conn, s"""ALTER TABLE $q$table$q DROP COLUMN $q${f.name}$q""")
+            exec(conn, s"""ALTER TABLE $q$table$q ADD COLUMN $q${f.name}$q $want""")
           case _ => ()
         }
       }
@@ -198,9 +212,14 @@ object JdbcTableTarget {
     try f(conn) finally conn.close()
   }
 
+  private[engine] def exec(conn: Connection, sql: String): Unit = {
+    val st = conn.createStatement()
+    try { st.execute(sql); () } finally st.close()
+  }
+
   private[engine] def execIgnoring(conn: Connection, sql: String,
       okStates: Set[String]): Unit =
-    try { conn.createStatement().execute(sql); () }
+    try exec(conn, sql)
     catch {
       case e: SQLException if okStates.contains(e.getSQLState) => ()
     }
@@ -227,11 +246,29 @@ object JdbcTableTarget {
         s"JdbcTableTarget: unsupported column type $other")
   }
 
-  /** JDBC metadata TYPE_NAME vs our DDL type, compared on the base
-    * name (metadata reports e.g. "VARCHAR" without the length). */
-  private def typeMatches(observed: String, declared: String): Boolean =
-    observed.toUpperCase.takeWhile(_ != ' ') ==
-      declared.toUpperCase.takeWhile(c => c != '(' && c != ' ')
+  /** Metadata TYPE_NAME + COLUMN_SIZE/DECIMAL_DIGITS → comparable
+    * rendered type. Only VARCHAR and DECIMAL carry meaningful
+    * precision (Derby reports a COLUMN_SIZE for every type — e.g. 10
+    * for INTEGER — which must NOT leak into the comparison). */
+  private def renderObserved(typeName: String, size: Int,
+      digits: Int): String =
+    typeName.toUpperCase.takeWhile(_ != ' ') match {
+      case "VARCHAR" => s"VARCHAR($size)"
+      case "DECIMAL" | "NUMERIC" => s"DECIMAL($size,$digits)"
+      case base => base
+    }
+
+  /** Observed (rendered) type vs our DDL type: full comparison incl.
+    * precision/scale for VARCHAR/DECIMAL (so a precision widening
+    * plans the rebuild the engine's Lossy transition expects), base
+    * name only for everything else. */
+  private def typeMatches(observed: String, declared: String): Boolean = {
+    val d = declared.toUpperCase.replace(" ", "")
+    val o = observed.toUpperCase.replace(" ", "")
+    val base = d.takeWhile(_ != '(')
+    if (base == "VARCHAR" || base == "DECIMAL") o == d
+    else o.takeWhile(_ != '(') == base
+  }
 
   /** One-row convergent upsert: Derby MERGE against the dummy table
     * (the single-source-row idiom); executed in JDBC batches. The ON
@@ -280,7 +317,13 @@ object JdbcTableTarget {
       case FloatType => ps.setFloat(idx, row.getFloat(field))
       case BooleanType => ps.setBoolean(idx, row.getBoolean(field))
       case BinaryType => ps.setBytes(idx, row.getAs[Array[Byte]](field))
-      case TimestampType => ps.setTimestamp(idx, row.getTimestamp(field))
+      case TimestampType =>
+        // bind through an explicit UTC calendar: without it the wall
+        // clock is encoded in the executor JVM's default timezone,
+        // which drifts between writers on a cluster with mixed
+        // executor TZs (the Spark-SQL session TZ does not reach raw
+        // JDBC binds)
+        ps.setTimestamp(idx, row.getTimestamp(field), utcCalendar())
       case DateType => ps.setDate(idx, row.getDate(field))
       case _: DecimalType => ps.setBigDecimal(idx, row.getDecimal(field))
       case ArrayType(FloatType, _) =>
@@ -288,6 +331,13 @@ object JdbcTableTarget {
       case other =>
         throw new IllegalArgumentException(s"unsupported bind type $other")
     }
+
+  /** Calendar is mutable and not thread-safe — one per thread. */
+  private val utcCal =
+    ThreadLocal.withInitial[java.util.Calendar](() =>
+      java.util.Calendar.getInstance(
+        java.util.TimeZone.getTimeZone("UTC")))
+  private[engine] def utcCalendar(): java.util.Calendar = utcCal.get()
 
   private[engine] def encodeFloats(v: Seq[Float]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(v.length * 4)
@@ -345,7 +395,7 @@ object JdbcTableTarget {
 
   private val MaxRetries = 5
 
-  private def retriableState(e: SQLException): Boolean = {
+  private[engine] def retriableState(e: SQLException): Boolean = {
     var cur: SQLException = e
     // executeBatch failures surface as BatchUpdateException wrapping
     // the real state; walk the chain

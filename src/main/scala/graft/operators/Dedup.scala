@@ -432,15 +432,24 @@ object Dedup {
     * oracle.
     *
     * Scale shape: the exploded relation is O(total chars) rows — the
-    * same asymptotic footprint as the paper's suffix array. One
-    * shuffle groups occurrences by gram; `hashGrams = true` shuffles
-    * an 8-byte `xxhash64` key instead of the L-char gram (the 100 TB
-    * setting — at ~10¹⁴ positions a 64-bit collision marking a few
-    * spurious positions as duplicated is noise against the fuzziness
-    * of L itself; string mode is bit-exact and oracle-checkable). The
-    * second shuffle re-partitions duplicated positions by doc for the
-    * island merge — windows are per-doc, bounded by doc length, never
-    * global. No `.collect()`, no cross join.
+    * same asymptotic footprint as the paper's suffix array.
+    * Duplicate detection is `groupBy(gram).count` — map-side partial
+    * aggregation means the gram-count exchange carries at most one
+    * row per (map task × distinct gram), so a pathologically hot gram
+    * (whitespace runs, license boilerplate: billions of positions at
+    * 100 TB) costs each map task ONE partial row instead of
+    * co-residing every position in a single window partition. The
+    * duplicated-gram set then semi-joins back against positions — a
+    * plain shuffle join, which AQE's skew-join splitting re-plans at
+    * runtime if a hot gram still dominates a partition (and converts
+    * to broadcast outright when few grams are duplicated).
+    * `hashGrams = true` shuffles an 8-byte `xxhash64` key instead of
+    * the L-char gram (the 100 TB setting — at ~10¹⁴ positions a
+    * 64-bit collision marking a few spurious positions as duplicated
+    * is noise against the fuzziness of L itself; string mode is
+    * bit-exact and oracle-checkable). The island-merge windows are
+    * per-doc, bounded by doc length, never global. No `.collect()`,
+    * no cross join.
     */
   def exactSubstringSpans(
       df: DataFrame, idCol: String, textCol: String, minLen: Int,
@@ -455,9 +464,14 @@ object Dedup {
       .select(col("id"), col("p"),
         (if (hashGrams) xxhash64(col("t").substr(col("p"), lit(L)))
          else col("t").substr(col("p"), lit(L))).as("gram"))
-    val dup = positions
-      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("gram"))))
+    // grams occurring >1 time, via partial-aggregated count — NOT a
+    // count-over-window, which would force every position of one gram
+    // into a single partition with no map-side combine
+    val dupGrams = positions.groupBy(col("gram"))
+      .agg(count(lit(1)).as("c"))
       .filter(col("c") > 1)
+      .select("gram")
+    val dup = positions.join(dupGrams, Seq("gram"), "left_semi")
       .select("id", "p")
     val byDoc = Window.partitionBy(col("id")).orderBy(col("p"))
     val spans = dup

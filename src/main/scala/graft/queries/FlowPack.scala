@@ -48,6 +48,45 @@ object FlowPack extends QueryPack {
         flow.target.read(s)
           .select("row_key", "doc_id", "chunk_idx", "chunk_text")
       }),
+    // q60's shape through the JDBC transport: the same chunk flow
+    // reconciled into an embedded-Derby table via batched MERGE
+    // upserts (the reference's postgres table target,
+    // python/cocoindex/connectors/postgres/_target.py:769-947), run
+    // twice with the second pass proven a no-op, then read back
+    // through Spark's JDBC source for value-identical comparison.
+    Q(
+      "q81_jdbc_target",
+      Some("""
+        SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR) AS row_key,
+               doc_id, CAST(i AS INT) AS chunk_idx,
+               substring(text, CAST(i AS INT) * 150 + 1, 200) AS chunk_text
+        FROM (SELECT doc_id, text,
+                     unnest(range(CAST(ceil(length(text) / 150.0) AS BIGINT))) AS i
+              FROM documents)"""),
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft-jdbc-q81")
+        work.toFile.deleteOnExit()
+        val chunkStage = CocoFn("chunk_fixed", 1, deps = Seq("w=200", "s=150"),
+          fn = df => Chunker.chunkFixed(
+              df.select(col("item_key"), col("doc_id"), col("text")),
+              "text", width = 200, stride = 150)
+            .select(col("item_key"),
+              concat(col("item_key"), lit("#"), col("chunk_idx")).as("row_key"),
+              col("doc_id"), col("chunk_idx"), col("chunk_text")))
+        val flow = new Flow(
+          "jdbc_index",
+          TableSource(sp => Tables(sp, dir, "documents"), keyCol = "doc_id"),
+          Seq(chunkStage),
+          JdbcTableTarget(
+            JdbcTableTarget.derbyUrl(work.resolve("db").toString),
+            "doc_chunks", writePartitions = 4, batchSize = 512),
+          work.resolve("state").toString)
+        flow.run(s)
+        require(flow.run(s).isNoop,
+          "incremental contract violated: JDBC rerun was not a no-op")
+        flow.target.read(s)
+          .select("row_key", "doc_id", "chunk_idx", "chunk_text")
+      }),
     Q(
       "q63_topic_target",
       // the final compacted map after: produce all docs, then a second

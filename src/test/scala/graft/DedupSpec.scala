@@ -195,6 +195,50 @@ class DedupSpec extends SparkSpec {
     assert(hashed == expected)
   }
 
+  test("exact substring spans: hot gram does not funnel through a window") {
+    import spark.implicits._
+    // one pathologically hot gram: a single char repeated ⇒ ~1e5
+    // positions of the SAME L-gram (the whitespace-run / boilerplate
+    // shape real corpora have). Pre-fix, duplicate detection was
+    // count() OVER (PARTITION BY gram): every one of those positions
+    // co-resided in ONE window partition with no map-side combine.
+    val hot = (1L, "a" * 50000)
+    val hot2 = (2L, "a" * 50000) // second doc: cross-doc duplication too
+    val normal = (3L, "a normal document with no big repeats to speak of!")
+    val df = Seq(hot, hot2, normal).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(df, "doc_id", "text", minLen = 20)
+
+    // 1) the plan must contain NO window partitioned by the gram —
+    //    the only windows left are the per-doc island merge (bounded
+    //    by doc length); duplicate counting must be an aggregate
+    //    (map-side partial combine) feeding a join. Asserted on the
+    //    optimized logical plan (AQE wraps the physical plan in an
+    //    opaque adaptive node).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWindow}
+    val lp = spans.queryExecution.optimizedPlan
+    val windowParts = lp.collect {
+      case w: LWindow =>
+        w.partitionSpec.flatMap(_.references.toSeq.map(_.name.toLowerCase))
+    }.flatten
+    assert(windowParts.nonEmpty && windowParts.forall(!_.contains("gram")),
+      s"gram-partitioned window found: $windowParts")
+    val aggGroups = lp.collect {
+      case a: LAgg => a.groupingExpressions.map(e =>
+        (e.references.toSeq.map(_.name.toLowerCase).toSet, e.sql.toLowerCase))
+    }.flatten
+    assert(aggGroups.exists { case (refs, sql) =>
+      refs.contains("gram") || sql.contains("gram") ||
+        sql.contains("substr") || sql.contains("xxhash")
+    }, s"no gram-grouped aggregate found: $aggGroups")
+
+    // 2) values: each hot doc collapses to one full-length span;
+    //    the normal doc has none
+    val got = spansOf(spans)
+    assert(got(1L) == Seq((1, 50000)))
+    assert(got(2L) == Seq((1, 50000)))
+    assert(!got.contains(3L))
+  }
+
   test("stripSpans removes exactly the duplicated chars; span-free docs intact") {
     import spark.implicits._
     val shared = "0123456789012345678901234567890123456789" // 40 chars
