@@ -167,20 +167,31 @@ object Cli {
         if (args.contains("--retrain"))
           Similarity.ivfRetrain(spark, s"$workDir/ivf",
             flow.target.read(spark), idCol = "row_key")
+        // both indexes are CO-SOURCED on the chunk table: one shared
+        // source inside one cycle = one corpus fingerprint scan (and
+        // one corpus snapshot) for the pair, instead of each flow
+        // paying its own full re-stat per `index` invocation
+        val sharedCorpus = new SharedScanSource(TableSource(
+          sp => flow.target.read(sp)
+            .select(col("row_key"), col("chunk_text"), col("embedding")),
+          keyCol = "row_key"))
         val ivf = Similarity.ivfFlow(spark, "cli_ivf",
           sp => flow.target.read(sp)
             .select(col("row_key"), col("embedding")),
-          s"$workDir/ivf", s"$workDir/ivf_state", idCol = "row_key")
-        val stats = ivf.run(spark)
-        println(s"index: $stats")
+          s"$workDir/ivf", s"$workDir/ivf_state", idCol = "row_key",
+          sourceOverride = Some(sharedCorpus))
         // the BM25 inverted index rides the same maintenance loop:
         // only chunks whose text changed rewrite their postings
         val fts = Fts.ftsFlow(spark, "cli_fts",
           sp => flow.target.read(sp)
             .select(col("row_key"), col("chunk_text")),
           s"$workDir/fts", s"$workDir/fts_state",
-          idCol = "row_key", textCol = "chunk_text")
-        println(s"index(fts): ${fts.run(spark)}")
+          idCol = "row_key", textCol = "chunk_text",
+          sourceOverride = Some(sharedCorpus))
+        SharedScanSource.cycle(sharedCorpus) {
+          println(s"index: ${ivf.run(spark)}")
+          println(s"index(fts): ${fts.run(spark)}")
+        }
       case "drop" =>
         val stats = flow.drop(spark)
         println(s"drop: removed ${stats.deleted} rows")

@@ -38,6 +38,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * OUTSIDE any cycle never sees a stale cache because nothing is
   * cached then.
   */
+object SharedScanSource {
+  /** The auto-bracket: run `body` (typically several co-sourced flow
+    * runs) inside ONE list/load-sharing cycle, releasing the cached
+    * frames on every exit path. This is the form call sites should
+    * use — a hand-rolled begin/end pair that forgets the `finally`
+    * pins executor storage until the next cycle. */
+  def cycle[T](shared: SharedScanSource)(body: => T): T = {
+    shared.beginCycle()
+    try body finally shared.endCycle()
+  }
+}
+
 final class SharedScanSource(val inner: Source)
     extends Source with Serializable {
 

@@ -125,7 +125,8 @@ object CodeMatch {
 
   /** One row per match of the precise structural matcher. */
   final case class MatchRow(match_start: Int, match_end: Int,
-      match_text: String, captures: Map[String, String])
+      match_text: String, match_kind: String,
+      captures: Map[String, String])
 
   /** The reference's `match_code` (ops/code.py:150-176): PRECISE
     * structural matches with metavariable captures, via the
@@ -144,7 +145,12 @@ object CodeMatch {
   def matchCode(docs: DataFrame, docId: String, textCol: String,
       pattern: String, lang: String = "python",
       termIndex: Option[DataFrame] = None,
-      minLen: Int = 3, indexMinLen: Int = 4): DataFrame = {
+      minLen: Int = 3, indexMinLen: Int = 4,
+      /** Restrict to one heuristic node kind (the reference's
+        * node-type filters): e.g. `Some("fn-def")` keeps matches
+        * anchored at a definition and drops the identical token run
+        * appearing as a call — see [[CodePattern.classifyKind]]. */
+      matchKind: Option[String] = None): DataFrame = {
     val cfg = CodeTree.byName(lang).getOrElse(
       throw new IllegalArgumentException(s"unsupported language: $lang"))
     val compiled = CodePattern.compile(pattern, cfg)
@@ -159,13 +165,14 @@ object CodeMatch {
     }
     val matchUdf = udf { (text: String) =>
       if (text == null) Seq.empty[MatchRow]
-      else compiled.matches(text).map(m => MatchRow(m.start, m.end, m.text,
-        m.captures.map { case (k, v) => (k, v.text) }))
+      else compiled.matches(text, matchKind).map(m =>
+        MatchRow(m.start, m.end, m.text, m.kind,
+          m.captures.map { case (k, v) => (k, v.text) }))
     }
     prefiltered
       .filter(mightMatch(col(textCol), req))
       .select(col(docId), explode(matchUdf(col(textCol))).as("m"))
       .select(col(docId), col("m.match_start"), col("m.match_end"),
-        col("m.match_text"), col("m.captures"))
+        col("m.match_text"), col("m.match_kind"), col("m.captures"))
   }
 }

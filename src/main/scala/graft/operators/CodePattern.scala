@@ -303,7 +303,16 @@ object CodePattern {
 
     /** All matches in `source`, leftmost-longest non-overlapping per
       * candidate node (matcher.rs:310-413). */
-    def matches(source: String): Seq[MatchResult] = {
+    def matches(source: String): Seq[MatchResult] = matches(source, None)
+
+    /** [[matches]] restricted to results whose heuristic node kind
+      * equals `kindFilter` — the reference's node-type filters
+      * (matcher.rs matches against grammar node kinds; here kinds are
+      * shape-derived, [[CodePattern.classifyKind]]): e.g.
+      * `Some("fn-def")` keeps `def f(...)` matches and drops the
+      * identical token run appearing as a call. */
+    def matches(source: String, kindFilter: Option[String])
+        : Seq[MatchResult] = {
       val idx = CodeTree.index(source, lang)
       if (idx.leaves.isEmpty) return Nil
       val out = mutable.ArrayBuffer[MatchResult]()
@@ -338,8 +347,13 @@ object CodePattern {
                 else None
               } else None // zero-width match: not a fragment
             range.foreach { case (s, e) =>
-              out += MatchResult(cand.kind, s, e, source.substring(s, e),
-                ctx.bound.toMap)
+              val kind = classifyKind(idx, lang, a, b, cand.kind)
+              if (kindFilter.forall(_ == kind))
+                out += MatchResult(kind, s, e, source.substring(s, e),
+                  ctx.bound.toMap)
+              // a filtered-out match still claims its range: the kind
+              // filter is a view over the same leftmost-longest
+              // non-overlapping match set, not a different search
               nextStart = b
             }
           }
@@ -366,6 +380,32 @@ object CodePattern {
       }
       if (ok) matches(source) else Nil
     }
+  }
+
+  /** Heuristic node-type name for the matched leaf run `[a, b)` — the
+    * token-tree stand-in for tree-sitter grammar kinds (the
+    * reference's matcher consults node types, matcher.rs:319-411):
+    *
+    *   - a run starting with a definition-introducing keyword reports
+    *     that keyword's kind from [[CodeTree.Lang.defKinds]]
+    *     (`def`/`fn`/`func`/`function` → "fn-def",
+    *     `class`/`struct`/`trait`/… → "class-def");
+    *   - an identifier immediately applied to a `(` group — and not
+    *     itself preceded by a definition keyword (that is the header
+    *     of a definition, not an application) → "call";
+    *   - anything else keeps the candidate's structural kind
+    *     ("ident"/"number"/"string"/"()"/"[]"/"{}"/"root").
+    */
+  private[operators] def classifyKind(idx: Indexed, lang: Lang,
+      a: Int, b: Int, fallback: String): String = {
+    val first = idx.leaves(a)
+    val c0 = first.text.charAt(0)
+    if (first.anon) lang.defKinds.getOrElse(first.text, fallback)
+    else if ((Character.isLetter(c0) || c0 == '_') && a + 1 < b &&
+        idx.leaves(a + 1).anon && idx.leaves(a + 1).text == "(" &&
+        !(a > 0 && lang.defKinds.contains(idx.leaves(a - 1).text)))
+      "call"
+    else fallback
   }
 
   private def isWordCh(c: Char): Boolean = c.isLetterOrDigit || c == '_'

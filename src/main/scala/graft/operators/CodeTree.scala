@@ -111,7 +111,12 @@ object CodeTree {
       stringToks: Seq[Tok],
       opTokens: Seq[String],
       keywords: Set[String],
-      trailingDelimiters: Set[String] = Set(";", ",")) extends Serializable
+      trailingDelimiters: Set[String] = Set(";", ","),
+      /** Definition-introducing keywords → the heuristic node kind a
+        * match starting with them reports ("fn-def"/"class-def") —
+        * the token-tree stand-in for the reference's grammar node
+        * names (matcher.rs:319-411 matches against node types). */
+      defKinds: Map[String, String] = Map.empty) extends Serializable
 
   private val identTok: Tok = { s =>
     val c = s.charAt(0)
@@ -153,7 +158,9 @@ object CodeTree {
       "lambda", "with", "try", "except", "finally", "raise", "yield",
       "async", "await", "global", "nonlocal", "del", "not", "and", "or",
       "in", "is", "None", "True", "False", "assert", "match", "case"),
-    trailingDelimiters = Set(",")) // python has no `;`-terminated statements
+    trailingDelimiters = Set(","), // python has no `;`-terminated statements
+    defKinds = Map("def" -> "fn-def", "lambda" -> "fn-def",
+      "class" -> "class-def"))
 
   private val cKeywords = Set("if", "else", "for", "while", "do",
     "return", "break", "continue", "switch", "case", "default", "goto",
@@ -164,13 +171,16 @@ object CodeTree {
     "typename", "namespace", "using", "try", "catch", "throw", "this")
 
   val c: Lang = Lang("c", Seq("//"), Seq(("/*", "*/")),
-    Seq(dq, sq), cLikeOps, cKeywords)
+    Seq(dq, sq), cLikeOps, cKeywords,
+    defKinds = Map("struct" -> "class-def", "class" -> "class-def",
+      "union" -> "class-def", "enum" -> "class-def"))
 
   val javascript: Lang = Lang("javascript", Seq("//"), Seq(("/*", "*/")),
     Seq(dq, sq, backtick), cLikeOps,
     cKeywords ++ Set("function", "var", "let", "const", "typeof",
       "instanceof", "of", "in", "async", "await", "yield", "export",
-      "import", "extends", "super", "null", "undefined", "true", "false"))
+      "import", "extends", "super", "null", "undefined", "true", "false"),
+    defKinds = Map("function" -> "fn-def", "class" -> "class-def"))
 
   val rust: Lang = Lang("rust", Seq("//"), Seq(("/*", "*/")),
     Seq(rustRawString, regexTok("""(?s)b"(?:\\.|[^"\\])*""""), dq, sq),
@@ -179,20 +189,26 @@ object CodeTree {
       "struct", "enum", "match", "if", "else", "for", "while", "loop",
       "return", "break", "continue", "crate", "self", "Self", "super",
       "where", "move", "ref", "static", "const", "unsafe", "async",
-      "await", "dyn", "as", "in", "true", "false"))
+      "await", "dyn", "as", "in", "true", "false"),
+    defKinds = Map("fn" -> "fn-def", "struct" -> "class-def",
+      "enum" -> "class-def", "trait" -> "class-def",
+      "impl" -> "class-def"))
 
   val java: Lang = Lang("java", Seq("//"), Seq(("/*", "*/")),
     Seq(dq, sq), cLikeOps,
     cKeywords ++ Set("package", "import", "interface", "implements",
       "extends", "final", "abstract", "synchronized", "instanceof",
-      "boolean", "byte", "null", "true", "false"))
+      "boolean", "byte", "null", "true", "false"),
+    defKinds = Map("class" -> "class-def", "interface" -> "class-def",
+      "enum" -> "class-def"))
 
   val go: Lang = Lang("go", Seq("//"), Seq(("/*", "*/")),
     Seq(dq, sq, regexTok("(?s)`[^`]*`")), cLikeOps ++ Seq("<-", ":="),
     Set("func", "var", "const", "type", "struct", "interface", "map",
       "chan", "go", "defer", "select", "package", "import", "range",
       "if", "else", "for", "switch", "case", "default", "return",
-      "break", "continue", "fallthrough", "nil", "true", "false"))
+      "break", "continue", "fallthrough", "nil", "true", "false"),
+    defKinds = Map("func" -> "fn-def", "type" -> "class-def"))
 
   val scalaLang: Lang = Lang("scala", Seq("//"), Seq(("/*", "*/")),
     Seq(regexTok("(?s)\"\"\".*?\"\"\""), dq, sq), cLikeOps ++ Seq("<-"),
@@ -201,7 +217,9 @@ object CodeTree {
       "import", "package", "new", "this", "super", "implicit", "lazy",
       "sealed", "final", "override", "private", "protected", "type",
       "return", "throw", "try", "catch", "finally", "null", "true",
-      "false"))
+      "false"),
+    defKinds = Map("def" -> "fn-def", "class" -> "class-def",
+      "trait" -> "class-def", "object" -> "class-def"))
 
   /** Resolve a language name (aliases follow the reference registry's
     * common ones, lang/mod.rs:75-111). */

@@ -162,9 +162,20 @@ object Fts {
         * only the changed docs instead of re-fingerprinting the
         * corpus. One watcher maintains both tables — the single flow
         * needs a single cursor. */
-      changeFeed: Option[() => graft.engine.SourceWatcher] = None)
+      changeFeed: Option[() => graft.engine.SourceWatcher] = None,
+      /** Pre-built source to read the corpus through instead of a
+        * private TableSource — pass the SAME
+        * [[graft.engine.SharedScanSource]] to every co-sourced index
+        * flow and run them inside one `SharedScanSource.cycle` so
+        * they pay ONE corpus fingerprint scan per refresh (and see
+        * one corpus snapshot). The shared projection must carry
+        * `textCol`; extra columns (a sibling flow's embedding) only
+        * widen the memo fingerprint — rows whose other columns
+        * change re-stat but reconcile to noop. */
+      sourceOverride: Option[graft.engine.Source] = None)
       : FtsFlows = {
-    val tableSrc = graft.engine.TableSource(corpus, keyCol = idCol)
+    val tableSrc = sourceOverride.getOrElse(
+      graft.engine.TableSource(corpus, keyCol = idCol))
     val src: graft.engine.Source = changeFeed match {
       case Some(f) => graft.engine.ChangeFeedSource(tableSrc, f)
       case None => tableSrc

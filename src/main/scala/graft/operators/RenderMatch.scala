@@ -12,14 +12,22 @@ import org.apache.spark.sql.functions.udf
   *
   * The reference derives context frames from enclosing AST scopes
   * (view/frames.rs:50-88); tree-sitter is infeasible offline on the
-  * JVM (SURVEY.md §2.C), so frames here come from the indentation
-  * profile: walking up from the envelope, each non-blank,
-  * non-annotation line with strictly smaller indent than everything
-  * below it is an enclosing structure's head line. Exact for
-  * indent-structured code (Python, YAML) and for idiomatically
-  * formatted brace languages; the cue grammar (`...` gap lines,
-  * `... ` mid-line continuations, whitespace glue) follows
-  * render.rs:42-80 verbatim.
+  * JVM (SURVEY.md §2.C), so frames here come from two structural
+  * sources merged:
+  *
+  *   - **token-tree scopes** (when a language is given): each
+  *     balanced delimiter group from [[CodeTree.tree]] that encloses
+  *     the envelope and opens on an earlier line contributes its
+  *     opening line — the `fn f(a) {` head of the block a match sits
+  *     in, robust to non-idiomatic indentation;
+  *   - **the indentation profile**: walking up from the envelope,
+  *     each non-blank, non-annotation line with strictly smaller
+  *     indent than everything below it — which is what scopes ARE in
+  *     indent-structured code (Python, YAML), where bodies have no
+  *     delimiter group to find.
+  *
+  * The cue grammar (`...` gap lines, `... ` mid-line continuations,
+  * whitespace glue) follows render.rs:42-80 verbatim.
   *
   * Rendering is a per-match display op, not a scan-path operator: it
   * runs on the few rows [[CodeMatch.search]] lets through, so a UDF
@@ -83,38 +91,86 @@ object RenderMatch {
   private def indentWidth(line: String): Int =
     line.takeWhile(_.isWhitespace).map(c => if (c == '\t') 4 else 1).sum
 
-  /** Enclosing-structure head lines for the envelope, outermost first —
-    * the indentation stand-in for frames.rs `context_frames`: walking
+  /** Frame segment for the line starting at `ls`: trailing whitespace
+    * trimmed, over-long lines truncated with `…` (frames.rs:18);
+    * blank and annotation-only `@...` lines yield none
+    * (frames.rs:33-47). */
+  private def frameSegFor(src: String, ls: Int): Option[RawSeg] = {
+    val le = lineEndAt(src, ls)
+    val line = src.substring(ls, le)
+    val trimmed = line.trim
+    if (trimmed.isEmpty || trimmed.startsWith("@")) None
+    else {
+      var text = line.reverse.dropWhile(_.isWhitespace).reverse
+      if (text.length > FrameLineMax) text = text.take(FrameLineMax) + "…"
+      val inclNl = math.min(le + 1, src.length)
+      val raw = src.substring(ls, inclNl)
+      Some(RawSeg(ls, inclNl, "frame",
+        if (raw == text + "\n") None else Some(text + "\n")))
+    }
+  }
+
+  /** Indentation-profile frame line starts, innermost first: walking
     * up from the envelope's first line, keep each non-blank line whose
-    * indent is strictly below the running minimum (annotation-only
-    * `@...` lines skipped, frames.rs:33-47); stop after a zero-indent
-    * frame. The envelope's own line is never a frame. */
-  private def contextFrames(src: String, envStart: Int): Seq[RawSeg] = {
+    * indent is strictly below the running minimum; stop after a
+    * zero-indent frame. The envelope's own line is never a frame. */
+  private def indentFrameLines(src: String, envStart: Int): Seq[Int] = {
     val firstLineStart = lineStartAt(src, envStart)
     var threshold = {
       val l = src.substring(firstLineStart, lineEndAt(src, firstLineStart))
       if (l.trim.isEmpty) Int.MaxValue else indentWidth(l)
     }
-    val frames = scala.collection.mutable.ArrayBuffer[RawSeg]()
+    val lines = scala.collection.mutable.ArrayBuffer[Int]()
     var ls = firstLineStart
-    while (ls > 0 && threshold > 0 && frames.size < MaxFrames) {
+    while (ls > 0 && threshold > 0 && lines.size < MaxFrames) {
       ls = lineStartAt(src, ls - 1) // previous line
-      val le = lineEndAt(src, ls)
-      val line = src.substring(ls, le)
+      val line = src.substring(ls, lineEndAt(src, ls))
       val trimmed = line.trim
       if (trimmed.nonEmpty && !trimmed.startsWith("@") &&
           indentWidth(line) < threshold) {
         threshold = indentWidth(line)
-        var text = line.reverse.dropWhile(_.isWhitespace).reverse
-        val truncated = text.length > FrameLineMax
-        if (truncated) text = text.take(FrameLineMax) + "…"
-        val inclNl = math.min(le + 1, src.length)
-        val raw = src.substring(ls, inclNl)
-        frames += RawSeg(ls, inclNl, "frame",
-          if (raw == text + "\n") None else Some(text + "\n"))
+        lines += ls
       }
     }
-    frames.reverse.toSeq
+    lines.toSeq
+  }
+
+  /** Token-tree scope frame line starts (the reference's AST scopes,
+    * frames.rs:50-88): walk the delimiter-group chain enclosing the
+    * envelope start; each group opening on a line strictly above the
+    * envelope's contributes that line. A `{` block's opening line is
+    * typically its structure's head (`fn f(a) {`), so this recovers
+    * brace-language scopes even when indentation lies. */
+  private def treeScopeLines(src: String, lang: CodeTree.Lang,
+      envStart: Int): Seq[Int] = {
+    val firstLineStart = lineStartAt(src, envStart)
+    val lines = scala.collection.mutable.ArrayBuffer[Int]()
+    var node = CodeTree.tree(src, lang)
+    var descending = true
+    while (descending) {
+      node.children.find(c => c.children.nonEmpty &&
+          c.start <= envStart && envStart < c.end) match {
+        case Some(g) =>
+          val ls = lineStartAt(src, g.start)
+          if (ls < firstLineStart) lines += ls
+          node = g
+        case None => descending = false
+      }
+    }
+    lines.toSeq
+  }
+
+  /** Enclosing-structure head lines for the envelope, outermost
+    * first: token-tree scopes (when `lang` is known) merged with the
+    * indentation profile, deduped by line, capped at the innermost
+    * [[MaxFrames]]. */
+  private def contextFrames(src: String, envStart: Int,
+      lang: Option[CodeTree.Lang]): Seq[RawSeg] = {
+    val indentLines = indentFrameLines(src, envStart)
+    val treeLines = lang.toSeq.flatMap(treeScopeLines(src, _, envStart))
+    (indentLines ++ treeLines).distinct.sorted
+      .takeRight(MaxFrames)
+      .flatMap(frameSegFor(src, _))
   }
 
   /** Zero-width frame cue at `pos` (render.rs:42-49). */
@@ -148,7 +204,15 @@ object RenderMatch {
     * with cues where material is omitted. Ranges are clamped, empty
     * ones dropped, the rest rendered in source order; no ranges
     * yields an empty view. */
-  def renderRanges(src: String, ranges: Seq[(Int, Int)]): SourceView = {
+  def renderRanges(src: String, ranges: Seq[(Int, Int)]): SourceView =
+    renderRanges(src, ranges, None)
+
+  /** As [[renderRanges]], with `language` (any [[CodeTree.byName]]
+    * alias) enabling token-tree scope frames; unknown/absent language
+    * falls back to indentation frames alone. */
+  def renderRanges(src: String, ranges: Seq[(Int, Int)],
+      language: Option[String]): SourceView = {
+    val lang = language.flatMap(CodeTree.byName)
     val sorted = ranges
       .map { case (s, e) => (math.max(0, math.min(s, src.length)),
         math.max(0, math.min(e, src.length))) }
@@ -166,7 +230,7 @@ object RenderMatch {
     val envStart = clean.head._1
 
     val segs = scala.collection.mutable.ArrayBuffer[RawSeg]()
-    val frames = contextFrames(src, envStart)
+    val frames = contextFrames(src, envStart, lang)
     segs ++= frames
 
     // Cue between the innermost frame and the first range
@@ -217,8 +281,9 @@ object RenderMatch {
   }
 
   /** `renderRanges` over a whole match (all its chunk spans). */
-  def renderMatch(src: String, spans: Seq[(Int, Int)]): String =
-    renderRanges(src, spans).text
+  def renderMatch(src: String, spans: Seq[(Int, Int)],
+      language: Option[String] = None): String =
+    renderRanges(src, spans, language).text
 
   /** Column form for pipelines: render the view text for a single
     * `[start,end)` span per row. Display-path UDF by design (see
@@ -230,4 +295,15 @@ object RenderMatch {
 
   def renderSpan(text: Column, start: Column, end: Column): Column =
     renderSpanUdf(text, start, end)
+
+  /** [[renderSpan]] with a per-row language column for token-tree
+    * scope frames. */
+  val renderSpanLangUdf =
+    udf((text: String, start: Int, end: Int, language: String) =>
+      if (text == null) null
+      else renderRanges(text, Seq((start, end)), Option(language)).text)
+
+  def renderSpan(text: Column, start: Column, end: Column,
+      language: Column): Column =
+    renderSpanLangUdf(text, start, end, language)
 }

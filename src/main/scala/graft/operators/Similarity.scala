@@ -316,7 +316,14 @@ object Similarity {
         * cursor): with it, a [[graft.engine.Flow.runFeed]] refresh
         * re-assigns only the changed vectors instead of
         * re-fingerprinting the whole corpus per catch-up. */
-      changeFeed: Option[() => graft.engine.SourceWatcher] = None)
+      changeFeed: Option[() => graft.engine.SourceWatcher] = None,
+      /** Pre-built source to read the corpus through — see
+        * [[Fts.ftsFlow]]'s `sourceOverride`: one
+        * [[graft.engine.SharedScanSource]] across co-sourced index
+        * flows inside a `cycle` = one corpus scan per refresh.
+        * Quantizer training still reads `corpus` directly (one-time,
+        * outside the cycle). */
+      sourceOverride: Option[graft.engine.Source] = None)
       : graft.engine.Flow = {
     val centDir = s"$indexDir/centroids"
     if (!new java.io.File(centDir).exists())
@@ -355,7 +362,8 @@ object Similarity {
           .select(col("neighbor_id").as("item_key"),
             col("neighbor_id").as("row_key"), col("cell"), col("c_emb"))
       })
-    val tableSrc = graft.engine.TableSource(corpus, keyCol = idCol)
+    val tableSrc = sourceOverride.getOrElse(
+      graft.engine.TableSource(corpus, keyCol = idCol))
     new graft.engine.Flow(name,
       changeFeed.map(f => graft.engine.ChangeFeedSource(tableSrc, f):
         graft.engine.Source).getOrElse(tableSrc),

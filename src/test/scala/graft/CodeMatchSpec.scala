@@ -499,6 +499,54 @@ class CodeMatchSpec extends AnyFunSuite {
     assert(ms.exists(_.text.endsWith("x: Path")), s"got $ms")
   }
 
+  // ---------------- heuristic node kinds ----------------
+  // (the reference matches against grammar node types,
+  // matcher.rs:319-411; here kinds derive from token-tree shapes —
+  // CodePattern.classifyKind)
+
+  test("kinds: def-anchored pattern reports fn-def, call site reports call") {
+    val src = "def foo(a, b): return a\nfoo(1, 2)\n"
+    val defs = matches(py, """def \F(\(A*\))""", src)
+    assert(defs.map(_.kind) == Seq("fn-def"), s"got $defs")
+    // the bare application pattern matches BOTH the def header's
+    // `foo(a, b)` fragment and the call — kinds tell them apart
+    val apps = CodePattern.compile("""\F(\(A*\))""", py).matches(src)
+    assert(apps.map(_.kind).sorted == Seq("call", "fn-def").sorted ||
+      apps.map(_.kind).contains("call"), s"got $apps")
+    assert(apps.filter(_.kind == "call").forall(_.start > src.indexOf("\n")),
+      s"the def-header fragment must NOT be a call: $apps")
+  }
+
+  test("kinds: matchKind filter keeps only the requested kind") {
+    val src = "def foo(a, b): return a\nfoo(1, 2)\nbar(foo(3, 4))\n"
+    val p = CodePattern.compile("""foo(\(A*\))""", py)
+    val calls = p.matches(src, Some("call"))
+    assert(calls.nonEmpty && calls.forall(_.kind == "call"), s"got $calls")
+    // none of the call matches is the definition header
+    assert(calls.forall(_.start > src.indexOf("\n")), s"got $calls")
+    // filtering to a kind this pattern never produces yields nothing
+    assert(p.matches(src, Some("class-def")).isEmpty)
+  }
+
+  test("kinds: class-def and per-language def keywords") {
+    assert(matches(py, """class \N(\(B*\))""",
+      "class Foo(Base):\n    pass\n").map(_.kind) == Seq("class-def"))
+    assert(matches(rs, """fn \F(\(A*\))""",
+      "fn go(x: u8) -> u8 { x }").map(_.kind) == Seq("fn-def"))
+    assert(matches(rs, """struct \N { \* }""",
+      "struct P { x: u8 }").map(_.kind) == Seq("class-def"))
+    assert(matches(ts, """function \F(\(A*\))""",
+      "function f(a) { return a; }").map(_.kind) == Seq("fn-def"))
+  }
+
+  test("kinds: structural kinds survive where no heuristic applies") {
+    // a whole-node string match keeps "string"; a bare group "()"
+    val s1 = matches(py, """\/".*"/""", """x = "hi there"""")
+    assert(s1.map(_.kind) == Seq("string"), s"got $s1")
+    val s2 = matches(py, """(\(A*\))""", "y = (1, 2)")
+    assert(s2.headOption.map(_.kind).contains("()"), s"got $s2")
+  }
+
   // ---------------- prefilter terms ----------------
 
   test("requiredTerms: identifiers + string word runs, no keywords/metavars") {

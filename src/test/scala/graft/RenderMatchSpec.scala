@@ -185,6 +185,70 @@ class RenderMatchSpec extends SparkSpec {
     assert(view.text.contains("return value"))
   }
 
+  test("token-tree scopes: brace-language frames survive flat indentation") {
+    // zero indentation everywhere: the indentation profile sees no
+    // structure above the match, but the delimiter-group chain does —
+    // the enclosing `{` blocks open on the `fn`/`impl` head lines,
+    // which must appear as frames (the reference's AST scope frames,
+    // frames.rs:50-88)
+    val rs =
+      """impl Widget {
+        |fn process(&self, req: Req) -> Out {
+        |let cfg = load();
+        |apply(cfg, req)
+        |}
+        |}
+        |""".stripMargin
+    val (s, e) = rangeOf(rs, "apply(cfg, req)")
+    val withLang = renderRanges(rs, Seq((s, e)), Some("rust"))
+    assert(withLang.text ==
+      "impl Widget {\nfn process(&self, req: Req) -> Out {\n...\n" +
+        "apply(cfg, req)",
+      s"got: ${withLang.text}")
+    // without a language the flat indentation yields only the
+    // default upward walk (first line at indent 0 — one frame at most,
+    // not the scope chain)
+    val without = renderRanges(rs, Seq((s, e)))
+    assert(!without.text.contains("fn process"),
+      s"indentation alone must not see the flat-indented scope: " +
+        s"${without.text}")
+  }
+
+  test("token-tree scopes: same-line group adds no frame; dedup vs indent") {
+    // idiomatically indented braces: tree scopes and the indentation
+    // profile find the SAME head lines — frames must not duplicate
+    val js =
+      """function outer() {
+        |  function inner(x) {
+        |    return x + 1;
+        |  }
+        |}
+        |""".stripMargin
+    val (s, e) = rangeOf(js, "return x + 1;")
+    val view = renderChecked(js, rangeOf(js, "return x + 1;"))
+    val withLang = renderRanges(js, Seq((s, e)), Some("js"))
+    assert(withLang.text ==
+      "function outer() {\n  function inner(x) {\nreturn x + 1;")
+    assert(withLang.text == view.text,
+      "tree + indent frames must dedupe to the indentation result here")
+    // a group OPENING on the match's own line contributes nothing
+    val oneLine = "const f = (a) => { return a; };\n"
+    val v2 = renderRanges(oneLine,
+      Seq(rangeOf(oneLine, "return a;")), Some("js"))
+    assert(v2.segments.count(_.kind == "frame") <= 1) // only the `... ` cue
+  }
+
+  test("renderSpan with language column uses token-tree frames") {
+    import spark.implicits._
+    val flat = "impl W {\nfn go(&self) -> u8 {\nself.v\n}\n}\n"
+    val df = Seq((1L, flat, "rust")).toDF("doc_id", "text", "lang")
+      .withColumn("s", expr("instr(text, 'self.v') - 1"))
+      .withColumn("view", RenderMatch.renderSpan(col("text"), col("s"),
+        col("s") + lit("self.v".length), col("lang")))
+    assert(df.collect().head.getAs[String]("view") ==
+      "impl W {\nfn go(&self) -> u8 {\nself.v")
+  }
+
   test("renderSpan column renders per-row under search") {
     import spark.implicits._
     val docs = Seq(

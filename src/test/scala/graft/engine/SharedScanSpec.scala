@@ -92,6 +92,69 @@ class SharedScanSpec extends SparkSpec {
       .filter(col("va").endsWith("x")).count() == 10)
   }
 
+  test("production seam: ivf + fts index flows share one corpus scan") {
+    import graft.operators.{Fts, Similarity}
+    import spark.implicits._
+    val root = Files.createTempDirectory("shared-ivf-fts")
+    val base = root.resolve("base").toString
+    val words = Seq("alpha", "beta", "gamma", "delta")
+    (1 to 40).map(i => (s"d$i",
+        s"${words(i % 4)} ${words((i + 1) % 4)} document number $i",
+        Array.tabulate(8)(j => (i * 31 + j).toFloat / 100f)))
+      .toDF("id", "text", "emb")
+      .write.mode("overwrite").parquet(base)
+
+    val acc = spark.sparkContext.longAccumulator("corpus-rows-touched")
+    val touch = udf { (_: String) => acc.add(1); true }.asNondeterministic()
+    def corpus(sp: org.apache.spark.sql.SparkSession) =
+      sp.read.parquet(base).filter(touch(col("id")))
+
+    def build(tag: String, src: Option[Source]) = {
+      val fts = Fts.ftsFlow(spark, s"ss_fts_$tag", corpus,
+        root.resolve(s"fts_$tag").toString,
+        root.resolve(s"fts_state_$tag").toString,
+        idCol = "id", textCol = "text", sourceOverride = src)
+      val ivf = Similarity.ivfFlow(spark, s"ss_ivf_$tag", corpus,
+        root.resolve(s"ivf_$tag").toString,
+        root.resolve(s"ivf_state_$tag").toString,
+        nCells = 2, idCol = "id", embCol = "emb", sourceOverride = src)
+      (fts, ivf)
+    }
+
+    // bracketed: the exact Cli `index` shape — one shared source,
+    // both flows inside one cycle
+    val shared = new SharedScanSource(TableSource(corpus, keyCol = "id"))
+    val (ftsA, ivfA) = build("a", Some(shared))
+    acc.reset()
+    SharedScanSource.cycle(shared) {
+      assert(!ftsA.run(spark).isNoop)
+      assert(!ivfA.run(spark).isNoop)
+    }
+    val cycleTouched = acc.value.toLong
+
+    // unbracketed baseline on fresh state: each flow re-scans
+    val (ftsB, ivfB) = build("b", None)
+    acc.reset()
+    ftsB.run(spark); ivfB.run(spark)
+    val soloTouched = acc.value.toLong
+    assert(cycleTouched < soloTouched,
+      s"cycle touched $cycleTouched rows, solo $soloTouched")
+
+    // identical indexes either way
+    def postings(tag: String) =
+      spark.read.parquet(root.resolve(s"fts_$tag").toString + "/postings")
+        .select("row_key", "tf").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(postings("a") == postings("b"))
+
+    // a quiet bracketed refresh is noop for both at one listing scan
+    acc.reset()
+    SharedScanSource.cycle(shared) {
+      assert(ftsA.run(spark).isNoop && ivfA.run(spark).isNoop)
+    }
+    assert(acc.value.toLong <= 40, s"noop cycle touched ${acc.value}")
+  }
+
   test("outside a cycle the wrapper is a strict pass-through") {
     val root = Files.createTempDirectory("shared-scan-solo")
     val base = root.resolve("base").toString
