@@ -31,13 +31,20 @@ object Bench {
 
   import scala.jdk.CollectionConverters._
 
-  /** Count of other java processes alive on the box (excluding our
-    * own JVM), a second contention signal independent of load decay. */
+  /** Count of other java processes alive on the box, a second
+    * contention signal independent of load decay. Our own ANCESTOR
+    * chain is excluded (a forked `sbt runMain` bench always has the
+    * sbt JVM as its parent — that launcher idles while we measure and
+    * must not read as contention). */
   private def otherJvms(): Int =
     try {
-      val self = java.lang.ProcessHandle.current().pid()
+      val ancestors = scala.collection.mutable.Set[Long]()
+      var cur = java.util.Optional.of(java.lang.ProcessHandle.current())
+      while (cur.isPresent) {
+        ancestors += cur.get.pid(); cur = cur.get.parent()
+      }
       java.lang.ProcessHandle.allProcesses().toList.asScala.count { p =>
-        p.pid() != self &&
+        !ancestors.contains(p.pid()) &&
         p.info().command().map[Boolean](_.contains("java")).orElse(false)
       }
     } catch { case scala.util.control.NonFatal(_) => -1 }
@@ -45,7 +52,31 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val loadAtStart = loadAvg()
-    val jvmsAtStart = otherJvms()
+
+    // A contended recording is WORSE than no recording: it reads as a
+    // regression and costs a reviewer a re-run (the r9 lesson — the
+    // driver's 142.8 s vs a clean 111.5 s). Wait briefly for foreign
+    // JVMs (a lingering `sbt test`) to drain, then refuse rather than
+    // stamp-and-record. SPARK_GRAFT_BENCH_FORCE=1 overrides.
+    val quiesceMs =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIESCE_MS", "60000").toLong
+    val t0 = System.currentTimeMillis()
+    var jvmsAtStart = otherJvms()
+    while (jvmsAtStart > 0 &&
+        System.currentTimeMillis() - t0 < quiesceMs) {
+      System.err.println(
+        s"[bench] waiting for $jvmsAtStart other JVM(s) to exit " +
+          "before recording...")
+      Thread.sleep(5000)
+      jvmsAtStart = otherJvms()
+    }
+    if (jvmsAtStart > 0 && !sys.env.contains("SPARK_GRAFT_BENCH_FORCE")) {
+      System.err.println(
+        s"[bench] REFUSING to record: $jvmsAtStart foreign JVM(s) alive " +
+          "would contend the measurement (SPARK_GRAFT_BENCH_FORCE=1 " +
+          "to override)")
+      sys.exit(3)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),

@@ -35,7 +35,7 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.schema("ts").dataType match {
+    val widened = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS)
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts_us", expr("ts_ns div 1000"))
@@ -45,6 +45,12 @@ object Tables {
           .withColumn("ts_us", unix_micros(col("ts")))
           .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
     }
+    // the two branches produce different column ORDERS (the nanos one
+    // renames in place, the NTZ one appends) — normalize so a
+    // positional `SELECT *` is identical across testdata generations
+    val tsCols = Seq("ts", "ts_us", "ts_ns")
+    val rest = widened.columns.filterNot(tsCols.contains)
+    widened.select((rest ++ tsCols).map(col).toSeq: _*)
   }
 
   /** Register every table as a temp view so `spark.sql` works over the

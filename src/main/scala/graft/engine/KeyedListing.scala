@@ -32,15 +32,34 @@ final case class KeyedListingSource(
     lister: () => Iterator[(String, String)],
     fetch: Seq[String] => Seq[(String, Array[Byte])],
     stat: Option[Seq[String] => Seq[(String, String)]] = None,
-    fetchBatch: Int = 64)
+    fetchBatch: Int = 64,
+    /** Executor-paged LIST for protocols that can shard the listing
+      * (key-prefix shards, per-drive/per-folder ids, partition
+      * tokens): each element lists ONE shard independently; [[list]]
+      * then runs one task per shard, so the `(key, version)` relation
+      * is built distributed and never gathers on the driver — the
+      * scale path past the ~10⁸-key ceiling of a driver-paged LIST.
+      * Shard functions must be serializable (capture config, build
+      * clients lazily inside). When absent, `lister` pages on the
+      * driver (the protocol floor for sequential page tokens). */
+    shards: Option[Seq[() => Iterator[(String, String)]]] = None)
     extends Source {
 
-  def list(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    // pull the pages through the iterator; only (key, version) pairs
-    // are retained (driver memory O(keys × ~100B) — the protocol's
-    // floor, same as the reference's Drive paging)
-    lister().toSeq.toDF("item_key", "memo_state")
+  def list(spark: SparkSession): DataFrame = shards match {
+    case Some(ss) if ss.nonEmpty =>
+      import spark.implicits._
+      val fns = ss.toIndexedSeq
+      // one task per shard: each executor pages its own shard and
+      // emits metadata-scale (key, version) rows locally
+      spark.sparkContext.parallelize(fns.indices, fns.size)
+        .flatMap(i => fns(i)())
+        .toDF("item_key", "memo_state")
+    case _ =>
+      import spark.implicits._
+      // pull the pages through the iterator; only (key, version) pairs
+      // are retained (driver memory O(keys × ~100B) — the protocol's
+      // floor, same as the reference's Drive paging)
+      lister().toSeq.toDF("item_key", "memo_state")
   }
 
   def load(spark: SparkSession, keys: DataFrame): DataFrame = {

@@ -79,6 +79,43 @@ class KeyedListingSpec extends SparkSpec {
     assert(got == Map("k3" -> "v1", "k5" -> "v1"))
   }
 
+  test("sharded listing distributes: one task per shard, executor-side paging") {
+    store.clear(); shardTasks.clear()
+    for (i <- 0 until 24) store.put(f"s$i%02d", ("v1", s"p$i".getBytes("UTF-8")))
+    val nShards = 4
+    val shardFns: Seq[() => Iterator[(String, String)]] =
+      (0 until nShards).map { sh =>
+        () => {
+          // proof the paging ran inside a Spark task, not on the driver
+          if (org.apache.spark.TaskContext.get() != null) shardTasks.add(sh)
+          store.toSeq.sortBy(_._1)
+            .filter { case (k, _) => k.drop(1).toInt % nShards == sh }
+            .map { case (k, (ver, _)) => (k, ver) }.iterator
+        }
+      }
+    val src = freshSource().copy(shards = Some(shardFns))
+
+    val listing = src.list(spark)
+    assert(listing.rdd.getNumPartitions == nShards,
+      s"one partition per shard, got ${listing.rdd.getNumPartitions}")
+    val got = listing.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == store.toMap.map { case (k, (v, _)) => k -> v },
+      "sharded listing must union to the full key set")
+    assert(shardTasks.toArray.toSet.size == nShards,
+      s"every shard must page inside its own task: ${shardTasks.toArray.toSeq}")
+
+    // the incremental flow behaves identically over a sharded listing
+    val stage = CocoFn("len", 1, fn = df => df.select(
+      col("item_key"), col("item_key").as("row_key"),
+      length(Source.textOf(col("content"))).as("n")))
+    val flow = new Flow("keyed_sharded", src, Seq(stage),
+      ParquetTableTarget(tmp("kl-sh").resolve("t").toString, numBuckets = 4),
+      tmp("kl-shs").toString)
+    assert(flow.run(spark).components == 24)
+    assert(flow.run(spark).isNoop)
+  }
+
   test("load distributes GETs: empty set touches nothing, batches bound calls") {
     store.clear(); fetched.clear()
     for (i <- 0 until 20) store.put(s"b$i", ("v1", s"x$i".getBytes("UTF-8")))
@@ -97,4 +134,5 @@ object KeyedListingSpec {
   // lambdas resolve it on executors (same JVM under local[*])
   val store: TrieMap[String, (String, Array[Byte])] = TrieMap.empty
   val fetched = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val shardTasks = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
 }
