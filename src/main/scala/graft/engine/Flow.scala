@@ -677,7 +677,10 @@ final class Flow(
     * update_stats.py). Built on the push-based [[runLiveWatched]]. */
   def runLiveHandle(spark: SparkSession, interval: String): UpdateHandle = {
     val handle = new UpdateHandle
-    handle.attach(runLiveWatched(spark, interval, handle.record))
+    // the flow name is the processor label in the per-component
+    // breakdown (reference: Rust groups ProcessingStatsGroup per
+    // processor name)
+    handle.attach(runLiveWatched(spark, interval, handle.record(name, _)))
     handle
   }
 

@@ -42,10 +42,17 @@ import org.apache.spark.sql.types._
   */
 final case class JdbcTableTarget(url: String, table: String,
     sqlAttachments: Seq[String] = Nil,
-    writePartitions: Int = 4, batchSize: Int = 256)
+    writePartitions: Int = 4, batchSize: Int = 256,
+    /** Store-specific statement shapes ([[SqlDialect]]): Derby is the
+      * executed-in-tests default; Postgres/Sqlite/Snowflake/BigQuery/
+      * Doris generate their reference connectors' exact SQL through
+      * the same engine machinery. */
+    dialect: SqlDialect = SqlDialect.Derby)
     extends Target {
 
   import JdbcTableTarget._
+
+  private def qi(ident: String): String = dialect.q(ident)
 
   /** Container identity = the store + table + PK signature (the
     * reference's main tracking record, postgres/_target.py:930-947).
@@ -56,8 +63,8 @@ final case class JdbcTableTarget(url: String, table: String,
 
   override def truncate(spark: SparkSession): Unit =
     withConnection(url) { conn =>
-      execIgnoring(conn, s"""DROP TABLE $q$table$q""",
-        Set("42Y55", "42X05")) // no such table — already converged
+      execIgnoring(conn, s"DROP TABLE ${qi(table)}",
+        dialect.ddlMissingStates) // no such table — already converged
     }
 
   /** getTables/getColumns take the table name as a LIKE pattern, so a
@@ -103,31 +110,31 @@ final case class JdbcTableTarget(url: String, table: String,
     val valueCols = schema.fields.filter(_.name != RowKey)
     if (!exists(conn)) {
       val cols = valueCols
-        .map(f => s"""$q${f.name}$q ${sqlType(f.dataType)}""")
-      val ddl = (s"""$q$RowKey$q VARCHAR($KeyLen) NOT NULL PRIMARY KEY""" +:
-        cols).mkString(s"""CREATE TABLE $q$table$q (""", ", ", ")")
-      execIgnoring(conn, ddl, Set("X0Y32")) // concurrent creator won
+        .map(f => s"${qi(f.name)} ${dialect.sqlType(f.dataType)}")
+      val ddl = (s"${qi(RowKey)} VARCHAR($KeyLen) NOT NULL PRIMARY KEY" +:
+        cols).mkString(s"CREATE TABLE ${qi(table)} (", ", ", ")")
+      execIgnoring(conn, ddl, dialect.ddlExistsStates) // concurrent creator won
     } else {
       val observed = observedColumns(conn)
       valueCols.foreach { f =>
-        val want = sqlType(f.dataType)
+        val want = dialect.sqlType(f.dataType)
         observed.get(f.name) match {
           case None =>
             execIgnoring(conn,
-              s"""ALTER TABLE $q$table$q ADD COLUMN $q${f.name}$q $want""",
-              Set("X0Y32"))
+              s"ALTER TABLE ${qi(table)} ADD COLUMN ${qi(f.name)} $want",
+              dialect.ddlExistsStates)
           case Some(have) if !typeMatches(have, want) =>
             // lossy column rebuild (statediff Replace on the
             // sub-record): the engine's schema-version bump makes
             // every item re-upsert, so the emptied column refills
             // within this same apply
-            exec(conn, s"""ALTER TABLE $q$table$q DROP COLUMN $q${f.name}$q""")
-            exec(conn, s"""ALTER TABLE $q$table$q ADD COLUMN $q${f.name}$q $want""")
+            exec(conn, s"ALTER TABLE ${qi(table)} DROP COLUMN ${qi(f.name)}")
+            exec(conn, s"ALTER TABLE ${qi(table)} ADD COLUMN ${qi(f.name)} $want")
           case _ => ()
         }
       }
     }
-    sqlAttachments.foreach(execIgnoring(conn, _, Set("X0Y32")))
+    sqlAttachments.foreach(execIgnoring(conn, _, dialect.ddlExistsStates))
   }
 
   def apply(spark: SparkSession, upserts: DataFrame,
@@ -143,33 +150,34 @@ final case class JdbcTableTarget(url: String, table: String,
         if (nUp > 0 || exists(conn)) ensureTable(conn, up.schema)
       }
 
-      val (u, t, bs) = (url, table, batchSize)
+      val (u, t, bs, dia) = (url, table, batchSize, dialect)
       if (nUp > 0) {
         val schema = up.schema
         val valueFields = schema.fields.filter(_.name != RowKey).toSeq
         val keyIdx = schema.fieldIndex(RowKey)
-        val merge = mergeSql(t, valueFields.map(f => f.name))
+        val merge = dia.upsertSql(t, KeyLen, valueFields.map(_.name))
+        val reps = if (dia.bindTwice) 2 else 1
         up.repartition(writePartitions).foreachPartition {
           rows: Iterator[Row] =>
-            writeChunked(u, merge, rows, bs) { (ps, row) =>
-              // ON key, then UPDATE SET values, then INSERT key+values
-              ps.setString(1, row.getString(keyIdx))
-              var i = 2
-              valueFields.foreach { f =>
-                bind(ps, i, f.dataType, row, schema.fieldIndex(f.name)); i += 1
-              }
-              ps.setString(i, row.getString(keyIdx)); i += 1
-              valueFields.foreach { f =>
-                bind(ps, i, f.dataType, row, schema.fieldIndex(f.name)); i += 1
+            writeChunked(u, merge, rows, bs, dia) { (ps, row) =>
+              // the (key, values…) tuple, bound once or twice per the
+              // dialect's statement shape
+              var i = 1
+              (0 until reps).foreach { _ =>
+                ps.setString(i, row.getString(keyIdx)); i += 1
+                valueFields.foreach { f =>
+                  bind(ps, i, f.dataType, row, schema.fieldIndex(f.name))
+                  i += 1
+                }
               }
             }
         }
       }
       if (nDel > 0) {
-        val delSql = s"""DELETE FROM $q$t$q WHERE $q$RowKey$q = ?"""
+        val delSql = dia.deleteSql(t, RowKey)
         del.repartition(writePartitions).foreachPartition {
           rows: Iterator[Row] =>
-            writeChunked(u, delSql, rows, bs) { (ps, row) =>
+            writeChunked(u, delSql, rows, bs, dia) { (ps, row) =>
               ps.setString(1, row.getString(0))
             }
         }
@@ -187,7 +195,7 @@ final case class JdbcTableTarget(url: String, table: String,
       throw new IllegalStateException(s"jdbc target $table not yet written")
     spark.read.format("jdbc")
       .option("url", url)
-      .option("dbtable", s"""$q$table$q""")
+      .option("dbtable", qi(table))
       .load()
   }
 }
@@ -197,8 +205,6 @@ object JdbcTableTarget {
   /** PK columns need an index; Derby's key length is bounded, and the
     * engine's row keys are short structured ids. */
   val KeyLen = 1024
-  private val q = '"'
-
   // keep Derby's log out of the working directory
   System.setProperty("derby.stream.error.file",
     new java.io.File(System.getProperty("java.io.tmpdir"), "derby.log")
@@ -224,28 +230,6 @@ object JdbcTableTarget {
       case e: SQLException if okStates.contains(e.getSQLState) => ()
     }
 
-  /** Spark type → SQL column type. `ARRAY<FLOAT>` (the vector column
-    * type) maps to a float32-LE BLOB — the portable encoding a store
-    * without a native vector type gets (pgvector/sqlite-vec swap in a
-    * native type by overriding the DDL, not the contract). */
-  private[engine] def sqlType(dt: DataType): String = dt match {
-    case StringType => "VARCHAR(32672)"
-    case IntegerType => "INTEGER"
-    case LongType => "BIGINT"
-    case ShortType => "SMALLINT"
-    case DoubleType => "DOUBLE"
-    case FloatType => "REAL"
-    case BooleanType => "BOOLEAN"
-    case BinaryType => "BLOB"
-    case TimestampType => "TIMESTAMP"
-    case DateType => "DATE"
-    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
-    case ArrayType(FloatType, _) => "BLOB"
-    case other =>
-      throw new IllegalArgumentException(
-        s"JdbcTableTarget: unsupported column type $other")
-  }
-
   /** Metadata TYPE_NAME + COLUMN_SIZE/DECIMAL_DIGITS → comparable
     * rendered type. Only VARCHAR and DECIMAL carry meaningful
     * precision (Derby reports a COLUMN_SIZE for every type — e.g. 10
@@ -268,24 +252,6 @@ object JdbcTableTarget {
     val base = d.takeWhile(_ != '(')
     if (base == "VARCHAR" || base == "DECIMAL") o == d
     else o.takeWhile(_ != '(') == base
-  }
-
-  /** One-row convergent upsert: Derby MERGE against the dummy table
-    * (the single-source-row idiom); executed in JDBC batches. The ON
-    * parameter needs an explicit CAST — a bare ? is untyped there. */
-  private def mergeSql(table: String, valueCols: Seq[String]): String = {
-    val set =
-      if (valueCols.isEmpty) ""
-      else valueCols.map(c => s"""$q$c$q = ?""")
-        .mkString(" WHEN MATCHED THEN UPDATE SET ", ", ", "")
-    val insCols = (RowKey +: valueCols).map(c => s"""$q$c$q""")
-      .mkString(", ")
-    val insVals = (s"CAST(? AS VARCHAR($KeyLen))" +:
-      valueCols.map(_ => "?")).mkString(", ")
-    s"""MERGE INTO $q$table$q T USING SYSIBM.SYSDUMMY1""" +
-      s""" ON T.$q$RowKey$q = CAST(? AS VARCHAR($KeyLen))""" +
-      set +
-      s""" WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)"""
   }
 
   private def jdbcTypeOf(dt: DataType): Int = dt match {
@@ -362,11 +328,13 @@ object JdbcTableTarget {
   }
 
   /** Rows loop → fixed-size chunks → one JDBC batch per chunk, with
-    * rebind-and-retry on lock conflicts (Derby 40001 deadlock / 40XL1
-    * lock timeout): the chunk is the retry unit, so a batch that died
-    * mid-flight re-executes its MERGEs idempotently. */
+    * rebind-and-retry on the dialect's lock-conflict states (Derby
+    * 40001 deadlock / 40XL1 lock timeout; postgres 40001/40P01/55P03):
+    * the chunk is the retry unit, so a batch that died mid-flight
+    * re-executes its upserts idempotently. */
   private def writeChunked(url: String, sql: String, rows: Iterator[Row],
-      batchSize: Int)(bindRow: (PreparedStatement, Row) => Unit): Unit = {
+      batchSize: Int, dialect: SqlDialect)
+      (bindRow: (PreparedStatement, Row) => Unit): Unit = {
     if (!rows.hasNext) return
     withConnection(url) { conn =>
       conn.setAutoCommit(false)
@@ -382,7 +350,8 @@ object JdbcTableTarget {
             done = true
           } catch {
             case e: SQLException
-                if retriableState(e) && attempt < MaxRetries =>
+                if retriableState(e, dialect.retriableStates) &&
+                  attempt < MaxRetries =>
               conn.rollback()
               ps.clearBatch()
               attempt += 1
@@ -395,13 +364,16 @@ object JdbcTableTarget {
 
   private val MaxRetries = 5
 
-  private[engine] def retriableState(e: SQLException): Boolean = {
+  private[engine] def retriableState(e: SQLException): Boolean =
+    retriableState(e, SqlDialect.Derby.retriableStates)
+
+  private[engine] def retriableState(e: SQLException,
+      states: Set[String]): Boolean = {
     var cur: SQLException = e
     // executeBatch failures surface as BatchUpdateException wrapping
     // the real state; walk the chain
     while (cur != null) {
-      val s = cur.getSQLState
-      if (s == "40001" || s == "40XL1") return true
+      if (states.contains(cur.getSQLState)) return true
       cur = cur.getNextException
     }
     false

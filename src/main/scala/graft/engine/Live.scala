@@ -17,6 +17,8 @@ final case class UpdateStats(
     numExecutionStarts: Long = 0, numUnchanged: Long = 0, numAdds: Long = 0,
     numDeletes: Long = 0, numReprocesses: Long = 0, numErrors: Long = 0) {
   def numProcessed: Long = numUnchanged + numAdds + numDeletes + numReprocesses
+  /** Reference `ComponentStats.num_finished` (update_stats.py:66). */
+  def numFinished: Long = numProcessed + numErrors
   def add(r: RunStats): UpdateStats = UpdateStats(
     numExecutionStarts + 1,
     numUnchanged + r.unchanged + r.refreshed,
@@ -24,6 +26,13 @@ final case class UpdateStats(
     numDeletes + r.deletedComponents,
     numReprocesses + r.recomputed,
     numErrors + r.rowsFailed)
+  /** Counter-wise sum — the reference's `UpdateStats.total`
+    * aggregation across processors (update_stats.py:84-96). */
+  def merge(o: UpdateStats): UpdateStats = UpdateStats(
+    numExecutionStarts + o.numExecutionStarts,
+    numUnchanged + o.numUnchanged, numAdds + o.numAdds,
+    numDeletes + o.numDeletes, numReprocesses + o.numReprocesses,
+    numErrors + o.numErrors)
 }
 
 /** Handle over a running live update: poll [[stats]], subscribe with
@@ -39,13 +48,26 @@ final class UpdateHandle {
     query = Some(q)
 
   private val cumulative = new AtomicReference(UpdateStats())
+  private val perComponent =
+    new AtomicReference(Map.empty[String, UpdateStats])
   @volatile private var readyFlag = false
   @volatile private var last: Option[RunStats] = None
   private val watchers =
     ConcurrentHashMap.newKeySet[(UpdateStats, RunStats) => Unit]()
 
-  private[engine] def record(r: RunStats): Unit = {
+  private[engine] def record(r: RunStats): Unit = record("", r)
+
+  /** Record one tick's delta under a processor (stats-group) name —
+    * the per-component breakdown the reference's `UpdateStats
+    * .by_component` carries (update_stats.py:80-96: Rust aggregates
+    * `ProcessingStatsGroup` per processor; here the flow name is the
+    * processor). */
+  private[engine] def record(processor: String, r: RunStats): Unit = {
     val c = cumulative.updateAndGet(_.add(r))
+    perComponent.updateAndGet { m =>
+      m.updated(processor,
+        m.getOrElse(processor, UpdateStats()).add(r))
+    }
     last = Some(r)
     readyFlag = true // the initial catch-up tick has completed
     watchers.asScala.foreach(w => w(c, r))
@@ -53,6 +75,9 @@ final class UpdateHandle {
 
   /** Cumulative counters so far (cheap snapshot, no locks). */
   def stats(): UpdateStats = cumulative.get()
+  /** Per-processor breakdown — the reference's `by_component` map;
+    * `stats()` equals the counter-wise total of this map. */
+  def statsByComponent: Map[String, UpdateStats] = perComponent.get()
   /** The most recent tick's delta, if any tick has completed. */
   def lastTick: Option[RunStats] = last
   /** RUNNING until the initial catch-up completes, then READY. */
@@ -74,6 +99,44 @@ final class UpdateHandle {
 
   def stop(): Unit = query.foreach(_.stop())
   def isActive: Boolean = query.exists(_.isActive)
+}
+
+/** A named aggregation scope over several live handles — the
+  * reference's `coco.stats_group(...)` read through
+  * `StatsGroupHandle` (update_stats.py:151-166): the same
+  * `stats()`/`statsByComponent`/`status` surface as one
+  * [[UpdateHandle]], totalled across every handle in the group. A
+  * group has no result and owns no lifecycle — [[stopAll]] is a
+  * convenience, not a contract. */
+final class StatsGroup {
+  private val handles = ConcurrentHashMap.newKeySet[UpdateHandle]()
+
+  /** Enroll a handle; returns it so call sites can wrap creation:
+    * `group.add(flow.runLiveHandle(spark, "1 second"))`. */
+  def add(h: UpdateHandle): UpdateHandle = { handles.add(h); h }
+
+  /** Union of the members' per-processor maps (processor names are
+    * flow names — unique per engine instance; a collision merges,
+    * matching the reference's per-processor-name grouping). */
+  def statsByComponent: Map[String, UpdateStats] =
+    handles.asScala.foldLeft(Map.empty[String, UpdateStats]) { (acc, h) =>
+      h.statsByComponent.foldLeft(acc) { case (m, (k, v)) =>
+        m.updated(k, m.getOrElse(k, UpdateStats()).merge(v))
+      }
+    }
+
+  /** Counter-wise total across the group (reference
+    * `UpdateStats.total`). */
+  def stats(): UpdateStats =
+    statsByComponent.values.foldLeft(UpdateStats())(_ merge _)
+
+  /** READY only when every member handle is ready. */
+  def status: String =
+    if (handles.asScala.nonEmpty && handles.asScala.forall(_.status == "ready"))
+      "ready"
+    else "running"
+
+  def stopAll(): Unit = handles.asScala.foreach(_.stop())
 }
 
 /** Per-subpath incremental control over one flow — the reference's

@@ -1,0 +1,294 @@
+package graft.engine
+
+import org.apache.spark.sql.types._
+
+/** Per-store SQL dialect — the seam along which the reference's
+  * relational table connectors differ. Each reference connector
+  * re-implements the same contract (managed DDL + batched convergent
+  * upserts + batched keyed deletes) with store-specific statements:
+  *
+  *   - postgres: multi-row `INSERT … ON CONFLICT (pk) DO UPDATE SET
+  *     c = EXCLUDED.c` (python/cocoindex/connectors/postgres/
+  *     _target.py:747-789);
+  *   - sqlite: the same ON CONFLICT shape with `excluded.c`
+  *     (sqlite/_target.py:514-521);
+  *   - snowflake: `MERGE INTO … USING (SELECT …) AS source ON
+  *     target.pk = source.pk WHEN MATCHED … WHEN NOT MATCHED …`
+  *     (snowflake/_target.py:270-293);
+  *   - bigquery: the same MERGE with backtick identifiers
+  *     (bigquery/_target.py:294, :704);
+  *   - doris: plain `INSERT INTO` upserting through the unique-key
+  *     table model (doris/_target.py).
+  *
+  * [[JdbcTableTarget]] holds everything dialect-independent (delta
+  * classification, chunked batches, retry, metadata reconcile); a
+  * dialect contributes only identifier quoting, the type map, the
+  * one-row upsert statement + its bind shape, and the store's
+  * lock-conflict / idempotent-DDL SQLSTATEs. The Derby dialect is
+  * executed end-to-end in tests (the engine ships Derby); the others
+  * generate the reference's exact statement shapes — asserted by
+  * SqlDialectSpec — but no driver for them exists in this
+  * environment, so they are the written-but-unexecuted transport the
+  * corresponding stores plug in.
+  */
+trait SqlDialect extends Serializable {
+  def name: String
+
+  /** Quote one identifier. */
+  def q(ident: String): String
+
+  /** Spark type → DDL column type. */
+  def sqlType(dt: DataType): String
+
+  /** One-row convergent upsert for `table(row_key, valueCols…)`.
+    * Parameter order is `row_key, values…` — repeated twice when
+    * [[bindTwice]] (statement shapes that name the parameters in two
+    * clauses), once otherwise. */
+  def upsertSql(table: String, keyLen: Int, valueCols: Seq[String]): String
+
+  /** Whether [[upsertSql]] binds the `(key, values…)` tuple twice. */
+  def bindTwice: Boolean
+
+  def deleteSql(table: String, keyCol: String): String =
+    s"DELETE FROM ${q(table)} WHERE ${q(keyCol)} = ?"
+
+  /** SQLSTATEs meaning a concurrent lock conflict: rollback + retry
+    * the chunk. */
+  def retriableStates: Set[String]
+
+  /** SQLSTATEs tolerable on idempotent CREATE/ALTER (object already
+    * exists — a concurrent creator won). */
+  def ddlExistsStates: Set[String]
+
+  /** SQLSTATEs tolerable on DROP (object already absent). */
+  def ddlMissingStates: Set[String]
+}
+
+object SqlDialect {
+
+  /** Shared ANSI-ish type map; dialects override the cases their
+    * store spells differently. `ARRAY<FLOAT>` (the vector column
+    * type) maps to the dialect's binary type — float32-LE encoded
+    * (stores with a native vector type override: pgvector `vector(N)`
+    * swaps in via DDL, not via the contract). */
+  private[engine] def ansiType(dt: DataType, text: String,
+      binary: String, float8: String): String = dt match {
+    case StringType => text
+    case IntegerType => "INTEGER"
+    case LongType => "BIGINT"
+    case ShortType => "SMALLINT"
+    case DoubleType => float8
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case BinaryType => binary
+    case TimestampType => "TIMESTAMP"
+    case DateType => "DATE"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case ArrayType(FloatType, _) => binary
+    case other =>
+      throw new IllegalArgumentException(
+        s"SqlDialect: unsupported column type $other")
+  }
+
+  private def dq(ident: String) = "\"" + ident + "\""
+
+  /** Embedded Apache Derby — the dialect the tests EXECUTE. MERGE
+    * against the one-row dummy table (Derby's single-source-row
+    * idiom); an untyped `?` in the ON clause needs an explicit CAST. */
+  object Derby extends SqlDialect {
+    val name = "derby"
+    def q(ident: String): String = dq(ident)
+    def sqlType(dt: DataType): String =
+      ansiType(dt, "VARCHAR(32672)", "BLOB", "DOUBLE")
+    def upsertSql(table: String, keyLen: Int,
+        valueCols: Seq[String]): String = {
+      val key = JdbcTableTarget.RowKey
+      val set =
+        if (valueCols.isEmpty) ""
+        else valueCols.map(c => s"${q(c)} = ?")
+          .mkString(" WHEN MATCHED THEN UPDATE SET ", ", ", "")
+      val insCols = (key +: valueCols).map(q).mkString(", ")
+      val insVals = (s"CAST(? AS VARCHAR($keyLen))" +:
+        valueCols.map(_ => "?")).mkString(", ")
+      s"MERGE INTO ${q(table)} T USING SYSIBM.SYSDUMMY1" +
+        s" ON T.${q(key)} = CAST(? AS VARCHAR($keyLen))" +
+        set +
+        s" WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)"
+    }
+    // ON key, UPDATE SET values, INSERT key+values ⇒ the tuple binds
+    // twice (key, values, key, values)
+    val bindTwice = true
+    val retriableStates = Set("40001", "40XL1")
+    val ddlExistsStates = Set("X0Y32", "X0Y68")
+    val ddlMissingStates = Set("42Y55", "42X05")
+  }
+
+  /** PostgreSQL — the reference's flagship target: `INSERT … ON
+    * CONFLICT (pk) DO UPDATE SET c = EXCLUDED.c`, or `DO NOTHING`
+    * for a key-only table (postgres/_target.py:747-749,789). */
+  object Postgres extends SqlDialect {
+    val name = "postgres"
+    def q(ident: String): String = dq(ident)
+    def sqlType(dt: DataType): String = dt match {
+      case TimestampType => "TIMESTAMPTZ"
+      case DoubleType => "DOUBLE PRECISION"
+      case d: DecimalType => s"NUMERIC(${d.precision},${d.scale})"
+      case other => ansiType(other, "TEXT", "BYTEA", "DOUBLE PRECISION")
+    }
+    def upsertSql(table: String, keyLen: Int,
+        valueCols: Seq[String]): String = {
+      val key = JdbcTableTarget.RowKey
+      val cols = (key +: valueCols).map(q).mkString(", ")
+      val vals = (key +: valueCols).map(_ => "?").mkString(", ")
+      val conflict =
+        if (valueCols.isEmpty) s"ON CONFLICT (${q(key)}) DO NOTHING"
+        else valueCols.map(c => s"${q(c)} = EXCLUDED.${q(c)}")
+          .mkString(s"ON CONFLICT (${q(key)}) DO UPDATE SET ", ", ", "")
+      s"INSERT INTO ${q(table)} ($cols) VALUES ($vals) $conflict"
+    }
+    val bindTwice = false
+    // 40001 serialization_failure, 40P01 deadlock_detected, 55P03
+    // lock_not_available
+    val retriableStates = Set("40001", "40P01", "55P03")
+    val ddlExistsStates = Set("42P07", "42701") // duplicate table/column
+    val ddlMissingStates = Set("42P01") // undefined_table
+  }
+
+  /** SQLite (`sqlite-vec` optional in the reference) — same ON
+    * CONFLICT shape with lowercase `excluded`
+    * (sqlite/_target.py:514-521). JDBC sqlite drivers report busy
+    * via SQLITE_BUSY without a stable SQLSTATE — retries ride the
+    * driver's busy_timeout instead. */
+  object Sqlite extends SqlDialect {
+    val name = "sqlite"
+    def q(ident: String): String = dq(ident)
+    def sqlType(dt: DataType): String = dt match {
+      case DoubleType | FloatType => "REAL"
+      case BooleanType | IntegerType | LongType | ShortType => "INTEGER"
+      case _: DecimalType => "NUMERIC"
+      case other => ansiType(other, "TEXT", "BLOB", "REAL")
+    }
+    def upsertSql(table: String, keyLen: Int,
+        valueCols: Seq[String]): String = {
+      val key = JdbcTableTarget.RowKey
+      val cols = (key +: valueCols).map(q).mkString(", ")
+      val vals = (key +: valueCols).map(_ => "?").mkString(", ")
+      val conflict =
+        if (valueCols.isEmpty) s"ON CONFLICT (${q(key)}) DO NOTHING"
+        else valueCols.map(c => s"${q(c)} = excluded.${q(c)}")
+          .mkString(s"ON CONFLICT (${q(key)}) DO UPDATE SET ", ", ", "")
+      s"INSERT INTO ${q(table)} ($cols) VALUES ($vals) $conflict"
+    }
+    val bindTwice = false
+    val retriableStates = Set.empty[String]
+    val ddlExistsStates = Set.empty[String]
+    val ddlMissingStates = Set.empty[String]
+  }
+
+  /** Snowflake — `MERGE INTO … USING (SELECT ?…) AS source`
+    * (snowflake/_target.py:270-293): the source row is a parameter
+    * SELECT, so the tuple binds once. */
+  object Snowflake extends SqlDialect {
+    val name = "snowflake"
+    def q(ident: String): String = dq(ident)
+    def sqlType(dt: DataType): String = dt match {
+      case StringType => "VARCHAR"
+      case TimestampType => "TIMESTAMP_TZ"
+      case DoubleType => "DOUBLE"
+      case other => ansiType(other, "VARCHAR", "BINARY", "DOUBLE")
+    }
+    def upsertSql(table: String, keyLen: Int,
+        valueCols: Seq[String]): String = {
+      val key = JdbcTableTarget.RowKey
+      val all = key +: valueCols
+      val sourceSel = all.map(c => s"? AS ${q(c)}").mkString(", ")
+      val update =
+        if (valueCols.isEmpty) ""
+        else valueCols.map(c => s"${q(c)} = source.${q(c)}")
+          .mkString(" WHEN MATCHED THEN UPDATE SET ", ", ", "")
+      val insCols = all.map(q).mkString(", ")
+      val insVals = all.map(c => s"source.${q(c)}").mkString(", ")
+      s"MERGE INTO ${q(table)} AS target" +
+        s" USING (SELECT $sourceSel) AS source" +
+        s" ON target.${q(key)} = source.${q(key)}" +
+        update +
+        s" WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)"
+    }
+    val bindTwice = false
+    val retriableStates = Set("40001")
+    val ddlExistsStates = Set("42S01", "42711")
+    val ddlMissingStates = Set("42S02")
+  }
+
+  /** BigQuery — the same MERGE shape with backtick identifiers
+    * (bigquery/_target.py:294 `MERGE … AS target`, :704 backticked
+    * qualified names). */
+  object BigQuery extends SqlDialect {
+    val name = "bigquery"
+    def q(ident: String): String = "`" + ident + "`"
+    def sqlType(dt: DataType): String = dt match {
+      case StringType => "STRING"
+      case IntegerType | LongType | ShortType => "INT64"
+      case DoubleType | FloatType => "FLOAT64"
+      case BooleanType => "BOOL"
+      case BinaryType | ArrayType(FloatType, _) => "BYTES"
+      case TimestampType => "TIMESTAMP"
+      case DateType => "DATE"
+      case d: DecimalType => s"NUMERIC(${d.precision},${d.scale})"
+      case other =>
+        throw new IllegalArgumentException(
+          s"SqlDialect: unsupported column type $other")
+    }
+    def upsertSql(table: String, keyLen: Int,
+        valueCols: Seq[String]): String = {
+      val key = JdbcTableTarget.RowKey
+      val all = key +: valueCols
+      val sourceSel = all.map(c => s"? AS ${q(c)}").mkString(", ")
+      val update =
+        if (valueCols.isEmpty) ""
+        else valueCols.map(c => s"${q(c)} = source.${q(c)}")
+          .mkString(" WHEN MATCHED THEN UPDATE SET ", ", ", "")
+      val insCols = all.map(q).mkString(", ")
+      val insVals = all.map(c => s"source.${q(c)}").mkString(", ")
+      s"MERGE ${q(table)} AS target" +
+        s" USING (SELECT $sourceSel) AS source" +
+        s" ON target.${q(key)} = source.${q(key)}" +
+        update +
+        s" WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)"
+    }
+    val bindTwice = false
+    val retriableStates = Set.empty[String]
+    val ddlExistsStates = Set.empty[String]
+    val ddlMissingStates = Set.empty[String]
+  }
+
+  /** Apache Doris — plain INSERT upserts through the unique-key table
+    * model (doris/_target.py: rows INSERT, the model collapses on the
+    * key; deletes are keyed DELETEs, :704-shape). */
+  object Doris extends SqlDialect {
+    val name = "doris"
+    def q(ident: String): String = "`" + ident + "`"
+    def sqlType(dt: DataType): String = dt match {
+      case StringType => "STRING"
+      case DoubleType => "DOUBLE"
+      case BooleanType => "BOOLEAN"
+      case BinaryType | ArrayType(FloatType, _) => "STRING" // base64 in doris
+      case other => ansiType(other, "STRING", "STRING", "DOUBLE")
+    }
+    def upsertSql(table: String, keyLen: Int,
+        valueCols: Seq[String]): String = {
+      val key = JdbcTableTarget.RowKey
+      val cols = (key +: valueCols).map(q).mkString(", ")
+      val vals = (key +: valueCols).map(_ => "?").mkString(", ")
+      s"INSERT INTO ${q(table)} ($cols) VALUES ($vals)"
+    }
+    val bindTwice = false
+    val retriableStates = Set.empty[String]
+    val ddlExistsStates = Set.empty[String]
+    val ddlMissingStates = Set.empty[String]
+  }
+
+  val byName: Map[String, SqlDialect] = Seq(
+    Derby, Postgres, Sqlite, Snowflake, BigQuery, Doris)
+    .map(d => d.name -> d).toMap
+}

@@ -13,6 +13,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object AutoRefresh {
 
+  // identityHashCode is NOT unique across objects — two concurrent
+  // queries collided on it; a monotonic counter is
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+
   /** Run `body` once per `interval` until the returned query is
     * stopped. Failures propagate to the query (observable via
     * `StreamingQuery.exception`). */
@@ -22,6 +26,6 @@ object AutoRefresh {
       .writeStream
       .trigger(Trigger.ProcessingTime(interval))
       .foreachBatch((_: DataFrame, _: Long) => body)
-      .queryName(s"auto_refresh_${System.identityHashCode(body)}")
+      .queryName(s"auto_refresh_${seq.incrementAndGet()}")
       .start()
 }

@@ -90,6 +90,82 @@ class LiveSpec extends SparkSpec {
     assert(!handle.isActive)
   }
 
+  test("per-component stats stream: ComponentStats shape, errors, stats group") {
+    // two flows under one StatsGroup — the reference's
+    // `coco.stats_group` scope read through StatsGroupHandle
+    // (update_stats.py:151-166), with UpdateStats.by_component keyed
+    // by processor name and errors counted per component
+    val (srcA, tgtA, stA) = (tmpDir("sg-srcA"), tmpDir("sg-tgtA"), tmpDir("sg-stA"))
+    val (srcB, tgtB, stB) = (tmpDir("sg-srcB"), tmpDir("sg-tgtB"), tmpDir("sg-stB"))
+    write(srcA, "a.md", "alpha")
+    write(srcB, "x.md", "xray")
+    write(srcB, "bad.md", "BAD content")
+
+    // flow B rejects BAD content as an __error row (the engine routes
+    // it to the errors table and counts it in rowsFailed)
+    val failingStage = CocoFn("checked_upper", 1, fn = df =>
+      df.select(col("item_key"),
+        concat(col("item_key"), lit("#0")).as("row_key"),
+        upper(Source.textOf(col("content"))).as("text"),
+        when(Source.textOf(col("content")).contains("BAD"),
+          lit("rejected: BAD content")).as("__error")))
+
+    val flowA = new Flow("sg_a", LocalFsSource(srcA.toString, Seq("**.md")),
+      Seq(upperStage), ParquetTableTarget(tgtA.toString, 2), stA.toString)
+    val flowB = new Flow("sg_b", LocalFsSource(srcB.toString, Seq("**.md")),
+      Seq(failingStage), ParquetTableTarget(tgtB.toString, 2), stB.toString)
+
+    val group = new StatsGroup
+    assert(group.status == "running", "an empty group is not ready")
+    val ha = group.add(flowA.runLiveHandle(spark, "1 second"))
+    val hb = group.add(flowB.runLiveHandle(spark, "1 second"))
+    try {
+      assert(ha.awaitReady(60000) && hb.awaitReady(60000))
+      assert(group.status == "ready")
+
+      // per-component breakdown: keyed by flow name, totals consistent
+      val by = group.statsByComponent
+      assert(by.keySet == Set("sg_a", "sg_b"), s"got ${by.keySet}")
+      assert(by("sg_a").numAdds == 1 && by("sg_a").numErrors == 0,
+        s"${by("sg_a")}")
+      // flow B: both components processed; the BAD one's row went to
+      // the errors table, not the target
+      assert(by("sg_b").numReprocesses == 2 && by("sg_b").numErrors == 1,
+        s"${by("sg_b")}")
+      assert(by("sg_b").numAdds == 1, s"${by("sg_b")}")
+
+      // the ComponentStats arithmetic of the reference
+      // (update_stats.py:62-70): processed/finished compose from the
+      // base counters, and the group total is the counter-wise sum
+      val b = by("sg_b")
+      assert(b.numProcessed ==
+        b.numUnchanged + b.numAdds + b.numDeletes + b.numReprocesses)
+      assert(b.numFinished == b.numProcessed + b.numErrors)
+      val total = group.stats()
+      assert(total.numAdds == by.values.map(_.numAdds).sum)
+      assert(total.numErrors == 1)
+
+      // a handle's own stats equal its component's slice of the group
+      assert(ha.stats() == by("sg_a"))
+      assert(ha.statsByComponent == Map("sg_a" -> ha.stats()))
+
+      // per-tick deltas keep streaming per component: fixing the BAD
+      // file clears the error path and upserts the corrected row
+      write(srcB, "bad.md", "good now")
+      val deadline = System.currentTimeMillis() + 60000
+      var fixed = false
+      while (!fixed && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        fixed = group.statsByComponent("sg_b").numAdds >= 2
+      }
+      assert(fixed, s"the fix tick must add the corrected row: " +
+        s"${group.statsByComponent("sg_b")}")
+      assert(group.statsByComponent("sg_b").numErrors == 1,
+        "the historical error count is cumulative, not rewritten")
+    } finally group.stopAll()
+    assert(!ha.isActive && !hb.isActive)
+  }
+
   test("LiveMap: producer flow hands off to a consumer flow with O(changed) sync") {
     val (src, tgtB, stA, stB) =
       (tmpDir("lm-src"), tmpDir("lm-tgtB"), tmpDir("lm-stA"), tmpDir("lm-stB"))

@@ -1,0 +1,101 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+
+/** [[SqlDialect]] statement generation — each dialect must produce
+  * the statement shape its reference connector executes:
+  * postgres `INSERT … ON CONFLICT DO UPDATE SET c = EXCLUDED.c`
+  * (postgres/_target.py:747-789), sqlite's `excluded.c` variant
+  * (sqlite/_target.py:514-521), snowflake/bigquery `MERGE … USING
+  * (SELECT …) AS source` (snowflake/_target.py:270-293,
+  * bigquery/_target.py:294), doris unique-key INSERT. The Derby
+  * dialect is additionally executed end-to-end by JdbcTargetSpec —
+  * these assertions pin the seam the real stores plug into.
+  */
+class SqlDialectSpec extends AnyFunSuite {
+
+  private val cols = Seq("txt", "n")
+
+  test("postgres: INSERT .. ON CONFLICT DO UPDATE SET EXCLUDED, once-bound") {
+    val sql = SqlDialect.Postgres.upsertSql("doc_chunks", 1024, cols)
+    assert(sql ==
+      """INSERT INTO "doc_chunks" ("row_key", "txt", "n") VALUES (?, ?, ?) """ +
+      """ON CONFLICT ("row_key") DO UPDATE SET "txt" = EXCLUDED."txt", "n" = EXCLUDED."n"""")
+    assert(!SqlDialect.Postgres.bindTwice)
+    // key-only table: DO NOTHING (postgres/_target.py:749)
+    assert(SqlDialect.Postgres.upsertSql("t", 1024, Nil)
+      .endsWith("""ON CONFLICT ("row_key") DO NOTHING"""))
+    // parameter count equals placeholder count
+    assert(sql.count(_ == '?') == 1 + cols.length)
+  }
+
+  test("sqlite: lowercase excluded, once-bound") {
+    val sql = SqlDialect.Sqlite.upsertSql("doc_chunks", 1024, cols)
+    assert(sql.contains("""ON CONFLICT ("row_key") DO UPDATE SET """ +
+      """"txt" = excluded."txt", "n" = excluded."n""""))
+    assert(!SqlDialect.Sqlite.bindTwice)
+  }
+
+  test("snowflake: MERGE INTO .. USING (SELECT ..) AS source") {
+    val sql = SqlDialect.Snowflake.upsertSql("doc_chunks", 1024, cols)
+    assert(sql.startsWith("""MERGE INTO "doc_chunks" AS target USING """ +
+      """(SELECT ? AS "row_key", ? AS "txt", ? AS "n") AS source"""))
+    assert(sql.contains("""ON target."row_key" = source."row_key""""))
+    assert(sql.contains("""WHEN MATCHED THEN UPDATE SET "txt" = source."txt", "n" = source."n""""))
+    assert(sql.contains("""WHEN NOT MATCHED THEN INSERT ("row_key", "txt", "n") """ +
+      """VALUES (source."row_key", source."txt", source."n")"""))
+    assert(!SqlDialect.Snowflake.bindTwice)
+    assert(sql.count(_ == '?') == 1 + cols.length)
+  }
+
+  test("bigquery: MERGE (no INTO) with backtick identifiers") {
+    val sql = SqlDialect.BigQuery.upsertSql("doc_chunks", 1024, cols)
+    assert(sql.startsWith("MERGE `doc_chunks` AS target USING"))
+    assert(sql.contains("ON target.`row_key` = source.`row_key`"))
+    assert(!sql.contains("\""), "bigquery quotes with backticks only")
+  }
+
+  test("doris: plain INSERT through the unique-key model") {
+    val sql = SqlDialect.Doris.upsertSql("doc_chunks", 1024, cols)
+    assert(sql == "INSERT INTO `doc_chunks` (`row_key`, `txt`, `n`) " +
+      "VALUES (?, ?, ?)")
+  }
+
+  test("derby: parameter-dummy MERGE binds the tuple twice") {
+    val sql = SqlDialect.Derby.upsertSql("doc_chunks", 1024, cols)
+    assert(sql.contains("USING SYSIBM.SYSDUMMY1"))
+    assert(sql.contains("CAST(? AS VARCHAR(1024))"))
+    assert(SqlDialect.Derby.bindTwice)
+    // ON key + UPDATE(values) + INSERT(key+values) placeholders
+    assert(sql.count(_ == '?') == 2 * (1 + cols.length))
+  }
+
+  test("type maps differ where the stores do") {
+    val dec = DecimalType(12, 2)
+    assert(SqlDialect.Postgres.sqlType(StringType) == "TEXT")
+    assert(SqlDialect.Postgres.sqlType(TimestampType) == "TIMESTAMPTZ")
+    assert(SqlDialect.Postgres.sqlType(dec) == "NUMERIC(12,2)")
+    assert(SqlDialect.Postgres.sqlType(ArrayType(FloatType)) == "BYTEA")
+    assert(SqlDialect.BigQuery.sqlType(LongType) == "INT64")
+    assert(SqlDialect.BigQuery.sqlType(DoubleType) == "FLOAT64")
+    assert(SqlDialect.Sqlite.sqlType(BooleanType) == "INTEGER")
+    assert(SqlDialect.Derby.sqlType(ArrayType(FloatType)) == "BLOB")
+    assert(SqlDialect.Snowflake.sqlType(TimestampType) == "TIMESTAMP_TZ")
+  }
+
+  test("retriable states are per-store; delete shape is shared") {
+    assert(SqlDialect.Postgres.retriableStates == Set("40001", "40P01", "55P03"))
+    assert(SqlDialect.Derby.retriableStates == Set("40001", "40XL1"))
+    assert(SqlDialect.Postgres.deleteSql("t", "row_key") ==
+      """DELETE FROM "t" WHERE "row_key" = ?""")
+    assert(SqlDialect.Doris.deleteSql("t", "row_key") ==
+      "DELETE FROM `t` WHERE `row_key` = ?")
+  }
+
+  test("dialect registry resolves by name") {
+    assert(SqlDialect.byName.keySet ==
+      Set("derby", "postgres", "sqlite", "snowflake", "bigquery", "doris"))
+    assert(SqlDialect.byName("postgres") eq SqlDialect.Postgres)
+  }
+}
