@@ -456,6 +456,12 @@ object Dedup {
       hashGrams: Boolean = false): DataFrame = {
     require(minLen > 0, s"minLen must be positive, got $minLen")
     val L = minLen
+    // localCheckpoint: `positions` feeds BOTH the gram-count aggregate
+    // and the join back — without it the O(total chars) explode +
+    // substring materializes twice (measured 2.7× the whole operator
+    // at sf0.1). The checkpoint writes the relation to executor-local
+    // storage once — the same order of disk traffic as the one
+    // shuffle the old count-over-window paid.
     val positions = df.select(
       col(idCol).as("id"),
       explode(sequence(lit(1),
@@ -464,6 +470,7 @@ object Dedup {
       .select(col("id"), col("p"),
         (if (hashGrams) xxhash64(col("t").substr(col("p"), lit(L)))
          else col("t").substr(col("p"), lit(L))).as("gram"))
+      .localCheckpoint()
     // grams occurring >1 time, via partial-aggregated count — NOT a
     // count-over-window, which would force every position of one gram
     // into a single partition with no map-side combine
