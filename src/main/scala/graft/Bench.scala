@@ -51,7 +51,6 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val loadAtStart = loadAvg()
 
     // A contended recording is WORSE than no recording: it reads as a
     // regression and costs a reviewer a re-run (the r9 lesson — the
@@ -77,6 +76,9 @@ object Bench {
           "to override)")
       sys.exit(3)
     }
+    // sampled AFTER the quiesce wait: a run that waited out a
+    // lingering JVM must not be stamped with the pre-wait load
+    val loadAtStart = loadAvg()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),

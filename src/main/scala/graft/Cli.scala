@@ -170,7 +170,13 @@ object Cli {
         // both indexes are CO-SOURCED on the chunk table: one shared
         // source inside one cycle = one corpus fingerprint scan (and
         // one corpus snapshot) for the pair, instead of each flow
-        // paying its own full re-stat per `index` invocation
+        // paying its own full re-stat per `index` invocation.
+        // NOTE the shared projection widens each flow's memo
+        // fingerprint to all three columns: a pre-existing ivf_state/
+        // fts_state built from the narrow projections re-processes
+        // once on upgrade, and a text-only edit re-stats the row in
+        // BOTH flows (the ivf output is unchanged, so it reconciles
+        // to noop rows)
         val sharedCorpus = new SharedScanSource(TableSource(
           sp => flow.target.read(sp)
             .select(col("row_key"), col("chunk_text"), col("embedding")),

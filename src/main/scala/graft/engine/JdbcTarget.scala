@@ -109,10 +109,8 @@ final case class JdbcTableTarget(url: String, table: String,
   private def ensureTable(conn: Connection, schema: StructType): Unit = {
     val valueCols = schema.fields.filter(_.name != RowKey)
     if (!exists(conn)) {
-      val cols = valueCols
-        .map(f => s"${qi(f.name)} ${dialect.sqlType(f.dataType)}")
-      val ddl = (s"${qi(RowKey)} VARCHAR($KeyLen) NOT NULL PRIMARY KEY" +:
-        cols).mkString(s"CREATE TABLE ${qi(table)} (", ", ", ")")
+      val ddl = dialect.createTableSql(table, RowKey, KeyLen,
+        valueCols.toSeq.map(f => f.name -> dialect.sqlType(f.dataType)))
       execIgnoring(conn, ddl, dialect.ddlExistsStates) // concurrent creator won
     } else {
       val observed = observedColumns(conn)
@@ -242,16 +240,43 @@ object JdbcTableTarget {
       case base => base
     }
 
+  /** Store-alias canonicalization so an observed metadata name and a
+    * dialect's declared DDL spelling compare equal: NUMERIC ≡ DECIMAL,
+    * postgres's DOUBLE PRECISION/FLOAT8 ≡ DOUBLE, TEXT ≡ VARCHAR,
+    * TIMESTAMPTZ ≡ TIMESTAMP, BYTEA ≡ BLOB. Without this a
+    * non-Derby dialect would see e.g. declared `NUMERIC(12,2)` vs
+    * observed `DECIMAL(12,2)` and run the destructive column rebuild
+    * on EVERY apply. */
+  private def canonicalBase(base: String): String = base match {
+    case "NUMERIC" => "DECIMAL"
+    case "DOUBLEPRECISION" | "FLOAT8" => "DOUBLE"
+    case "TEXT" | "STRING" => "VARCHAR"
+    case "TIMESTAMPTZ" | "TIMESTAMP_TZ" | "TIMESTAMPWITHTIMEZONE" =>
+      "TIMESTAMP"
+    case "BYTEA" | "BYTES" | "BINARY" => "BLOB"
+    case "INT64" => "BIGINT"
+    case "FLOAT64" => "DOUBLE"
+    case "BOOL" => "BOOLEAN"
+    case other => other
+  }
+
   /** Observed (rendered) type vs our DDL type: full comparison incl.
     * precision/scale for VARCHAR/DECIMAL (so a precision widening
-    * plans the rebuild the engine's Lossy transition expects), base
-    * name only for everything else. */
+    * plans the rebuild the engine's Lossy transition expects),
+    * alias-canonicalized base name for everything else. */
   private def typeMatches(observed: String, declared: String): Boolean = {
     val d = declared.toUpperCase.replace(" ", "")
     val o = observed.toUpperCase.replace(" ", "")
-    val base = d.takeWhile(_ != '(')
-    if (base == "VARCHAR" || base == "DECIMAL") o == d
-    else o.takeWhile(_ != '(') == base
+    val dBase = canonicalBase(d.takeWhile(_ != '('))
+    val oBase = canonicalBase(o.takeWhile(_ != '('))
+    if (dBase == "VARCHAR" || dBase == "DECIMAL") {
+      val dArgs = d.dropWhile(_ != '(')
+      val oArgs = o.dropWhile(_ != '(')
+      // an argument-less spelling (postgres TEXT, sqlite NUMERIC)
+      // matches any precision of the same base — the store chose the
+      // representation, there is nothing to widen
+      dBase == oBase && (dArgs.isEmpty || oArgs.isEmpty || dArgs == oArgs)
+    } else oBase == dBase
   }
 
   private def jdbcTypeOf(dt: DataType): Int = dt match {

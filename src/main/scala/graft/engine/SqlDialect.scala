@@ -52,6 +52,16 @@ trait SqlDialect extends Serializable {
   def deleteSql(table: String, keyCol: String): String =
     s"DELETE FROM ${q(table)} WHERE ${q(keyCol)} = ?"
 
+  /** CREATE TABLE for `(keyCol, valueCols…)`; the default is the ANSI
+    * shape with an inline PRIMARY KEY. Stores with their own table
+    * model override — Doris needs the unique-key model for its
+    * INSERT upserts to converge; BigQuery has no inline PK. */
+  def createTableSql(table: String, keyCol: String, keyLen: Int,
+      valueCols: Seq[(String, String)]): String =
+    (s"${q(keyCol)} VARCHAR($keyLen) NOT NULL PRIMARY KEY" +:
+      valueCols.map { case (n, t) => s"${q(n)} $t" })
+      .mkString(s"CREATE TABLE ${q(table)} (", ", ", ")")
+
   /** SQLSTATEs meaning a concurrent lock conflict: rollback + retry
     * the chunk. */
   def retriableStates: Set[String]
@@ -256,6 +266,13 @@ object SqlDialect {
         update +
         s" WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)"
     }
+    /** BigQuery has no VARCHAR and no inline PRIMARY KEY — MERGE
+      * needs none. */
+    override def createTableSql(table: String, keyCol: String, keyLen: Int,
+        valueCols: Seq[(String, String)]): String =
+      (s"${q(keyCol)} STRING NOT NULL" +:
+        valueCols.map { case (n, t) => s"${q(n)} $t" })
+        .mkString(s"CREATE TABLE ${q(table)} (", ", ", ")")
     val bindTwice = false
     val retriableStates = Set.empty[String]
     val ddlExistsStates = Set.empty[String]
@@ -282,6 +299,17 @@ object SqlDialect {
       val vals = (key +: valueCols).map(_ => "?").mkString(", ")
       s"INSERT INTO ${q(table)} ($cols) VALUES ($vals)"
     }
+    /** Doris upserts CONVERGE only on a unique-key-model table — the
+      * model collapses rows on the key at read/compaction time
+      * (doris/_target.py table DDL); a plain table would append
+      * duplicates on every re-upsert. */
+    override def createTableSql(table: String, keyCol: String, keyLen: Int,
+        valueCols: Seq[(String, String)]): String =
+      (s"${q(keyCol)} VARCHAR($keyLen) NOT NULL" +:
+        valueCols.map { case (n, t) => s"${q(n)} $t" })
+        .mkString(s"CREATE TABLE ${q(table)} (", ", ", ")") +
+        s" UNIQUE KEY(${q(keyCol)})" +
+        s" DISTRIBUTED BY HASH(${q(keyCol)}) BUCKETS 16"
     val bindTwice = false
     val retriableStates = Set.empty[String]
     val ddlExistsStates = Set.empty[String]

@@ -462,10 +462,15 @@ object Dedup {
     // at sf0.1). The checkpoint writes the relation to executor-local
     // storage once — the same order of disk traffic as the one
     // shuffle the old count-over-window paid.
+    // docs shorter than L emit NO positions: sequence(1, 0) is the
+    // DESCENDING [1, 0] in Spark (not empty), and positions 0 and 1
+    // yield the identical gram (substr treats pos 0 as pos 1) — the
+    // doc would self-collide and be marked fully duplicated
+    val nPos = length(col(textCol)) - (L - 1)
     val positions = df.select(
       col(idCol).as("id"),
-      explode(sequence(lit(1),
-        greatest(length(col(textCol)) - (L - 1), lit(0)))).as("p"),
+      explode(when(nPos >= 1, sequence(lit(1), nPos))
+        .otherwise(array().cast("array<int>"))).as("p"),
       col(textCol).as("t"))
       .select(col("id"), col("p"),
         (if (hashGrams) xxhash64(col("t").substr(col("p"), lit(L)))

@@ -239,6 +239,32 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains(3L))
   }
 
+  test("docs shorter than minLen are never marked duplicated") {
+    import spark.implicits._
+    // regression: sequence(1, 0) is DESCENDING [1, 0] in Spark and
+    // substr(t, 0, L) == substr(t, 1, L), so a short doc used to
+    // self-collide and get a bogus whole-doc span — which stripSpans
+    // then deleted entirely
+    val docs = Seq(
+      (1L, "short"),
+      (2L, "also tiny"),
+      (3L, ""),
+      (4L, "a" * 50)) // exactly one real duplicate pair below
+    val dup = Seq((5L, "x" * 40), (6L, "x" * 40))
+    val df = (docs ++ dup).toDF("doc_id", "text")
+    val got = spansOf(Dedup.exactSubstringSpans(df, "doc_id", "text", 30))
+    assert(!got.contains(1L) && !got.contains(2L) && !got.contains(3L),
+      s"short docs must have no spans: $got")
+    assert(got.contains(5L) && got.contains(6L))
+    // stripSpans leaves them untouched
+    val spans = Dedup.exactSubstringSpans(df, "doc_id", "text", 30)
+    val cleaned = Dedup.stripSpans(df, spans, "doc_id", "text")
+      .select("doc_id", "clean_text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(cleaned(1L) == "short" && cleaned(2L) == "also tiny")
+    assert(cleaned(5L) == "")
+  }
+
   test("stripSpans removes exactly the duplicated chars; span-free docs intact") {
     import spark.implicits._
     val shared = "0123456789012345678901234567890123456789" // 40 chars

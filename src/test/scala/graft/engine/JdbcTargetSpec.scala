@@ -161,18 +161,30 @@ class JdbcTargetSpec extends SparkSpec {
     val t = JdbcTableTarget(freshDb("jdbc-ts"), "events")
     import spark.implicits._
     val ts = Timestamp.from(java.time.Instant.parse("2026-03-01T12:34:56.789Z"))
-    t.apply(spark,
-      Seq(("a", ts)).toDF("row_key", "at"),
-      noDeletes)
-    // read back via raw JDBC with the same UTC calendar: the stored
-    // wall clock must denote the original instant regardless of the
-    // JVM default timezone
+    // run the WRITE under a non-UTC default timezone: on a UTC-default
+    // JVM a same-calendar write/read round-trips even without the UTC
+    // bind, so the regression gate would be vacuous. With New York as
+    // the default, an unfixed bind would store the wall clock
+    // 07:34:56 instead of 12:34:56.
+    val saved = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(
+        java.util.TimeZone.getTimeZone("America/New_York"))
+      t.apply(spark,
+        Seq(("a", ts)).toDF("row_key", "at"),
+        noDeletes)
+    } finally java.util.TimeZone.setDefault(saved)
     JdbcTableTarget.withConnection(t.url) { conn =>
       val st = conn.createStatement()
       try {
         val rs = st.executeQuery("""SELECT "at" FROM "events"""")
         try {
           assert(rs.next())
+          // the stored WALL CLOCK itself must be the UTC rendering —
+          // asserted on the string so no calendar can mask a
+          // wrong-zone bind
+          assert(rs.getString(1).startsWith("2026-03-01 12:34:56"),
+            s"stored wall clock: ${rs.getString(1)}")
           val got = rs.getTimestamp(1, JdbcTableTarget.utcCalendar())
           assert(got.toInstant == ts.toInstant, s"$got vs $ts")
         } finally rs.close()

@@ -93,6 +93,22 @@ class SqlDialectSpec extends AnyFunSuite {
       "DELETE FROM `t` WHERE `row_key` = ?")
   }
 
+  test("create-table shapes: ANSI PK default, doris unique-key, bigquery") {
+    val vcols = Seq("txt" -> "TEXT")
+    assert(SqlDialect.Postgres.createTableSql("t", "row_key", 1024, vcols) ==
+      """CREATE TABLE "t" ("row_key" VARCHAR(1024) NOT NULL PRIMARY KEY, "txt" TEXT)""")
+    // doris INSERT upserts only converge on the unique-key model
+    val doris = SqlDialect.Doris.createTableSql("t", "row_key", 1024,
+      Seq("txt" -> "STRING"))
+    assert(doris.contains("UNIQUE KEY(`row_key`)") &&
+      doris.contains("DISTRIBUTED BY HASH(`row_key`)"))
+    assert(!doris.contains("PRIMARY KEY"))
+    // bigquery: STRING key, no inline PK
+    val bq = SqlDialect.BigQuery.createTableSql("t", "row_key", 1024,
+      Seq("n" -> "INT64"))
+    assert(bq == "CREATE TABLE `t` (`row_key` STRING NOT NULL, `n` INT64)")
+  }
+
   test("dialect registry resolves by name") {
     assert(SqlDialect.byName.keySet ==
       Set("derby", "postgres", "sqlite", "snowflake", "bigquery", "doris"))
