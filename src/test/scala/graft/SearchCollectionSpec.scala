@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.SearchCollection
+import graft.functions.HashEmbedder
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import scala.collection.concurrent.TrieMap
+
+/** [[SearchCollection]] — rows + maintained IVF + maintained BM25
+  * declared as one unit (the lancedb/qdrant/doris collection shape):
+  * cold sync builds all three, an edited row is O(changed) through
+  * every layer, a deleted row leaves all three, and the three serving
+  * modes (knn / keyword / hybrid) answer from the maintained indexes.
+  */
+class SearchCollectionSpec extends SparkSpec {
+
+  import SearchCollectionSpec._
+
+  test("one declare: rows, vector index and fts index sync and serve") {
+    docs.clear()
+    val root = Files.createTempDirectory("search-coll")
+    root.toFile.deleteOnExit()
+    for (i <- 0 until 40)
+      docs.put(i.toLong, s"document $i about ${topics(i % 4)} systems")
+
+    def corpus(sp: org.apache.spark.sql.SparkSession) = {
+      import sp.implicits._
+      docs.toSeq.toDF("doc_id", "text")
+        .withColumn("embedding", HashEmbedder.embed(col("text"), 16))
+    }
+    val coll = SearchCollection("docs", corpus,
+      root.resolve("data").toString, root.resolve("state").toString,
+      nCells = 4, numBuckets = 4)
+
+    // cold build: every layer populates
+    val (r1, i1, f1) = coll.sync(spark)
+    assert(r1.recomputed == 40 && i1.recomputed == 40 && f1.recomputed == 40,
+      s"$r1 / $i1 / $f1")
+    assert(coll.read(spark).count() == 40)
+
+    // quiet resync: a no-op through all three layers
+    val (r2, i2, f2) = coll.sync(spark)
+    assert(r2.isNoop && i2.isNoop && f2.isNoop, s"$r2 / $i2 / $f2")
+
+    // keyword serving answers from the maintained postings
+    val kw = coll.keyword(spark, Seq("streaming"))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    val expectKw = docs.filter(_._2.contains("streaming")).keySet
+      .map(_.toString)
+    assert(kw == expectKw, s"got $kw expected $expectKw")
+
+    // knn serving: the top hit for a doc's own embedding is itself
+    import spark.implicits._
+    val q = Seq((0L, docs(7L))).toDF("qid", "text")
+      .select(lit("q").as("vec_id"),
+        HashEmbedder.embed(col("text"), 16).as("embedding"))
+    val top = coll.knn(spark, q, k = 3, nProbe = 4).orderBy("rank")
+      .select("neighbor_id").first().getString(0)
+    assert(top == "7", s"nearest neighbor of doc 7's text is $top")
+
+    // hybrid fuses both rankings
+    val hy = coll.hybrid(spark, q, Seq("streaming"), k = 5)
+    assert(hy.count() > 0)
+    assert(hy.columns.toSet == Set("doc_id", "rrf", "rank_0", "rank_1"))
+
+    // O(changed) maintenance through every layer: one edit, one delete
+    docs.put(7L, "document 7 now about quantum mechanics")
+    docs.remove(13L)
+    val (r3, i3, f3) = coll.sync(spark)
+    assert(r3.recomputed == 1 && r3.deletedComponents == 1, s"$r3")
+    assert(i3.recomputed == 1 && i3.deletedComponents == 1, s"$i3")
+    assert(f3.recomputed == 1 && f3.deletedComponents == 1, s"$f3")
+    assert(coll.read(spark).count() == 39)
+    val kw2 = coll.keyword(spark, Seq("quantum"))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(kw2 == Set("7"))
+  }
+}
+
+object SearchCollectionSpec {
+  val topics = Seq("database", "streaming", "compiler", "network")
+  val docs: TrieMap[Long, String] = TrieMap.empty
+}
