@@ -17,12 +17,12 @@ object SearchPack extends QueryPack {
 
   private val QueryTerms = Seq("vector", "stream", "window")
 
-  /** Shared BM25 oracle CTEs over `documents` (keep the analysis
-    * chain in sync with [[Fts.tokens]]). */
-  private val bm25Ctes = """
+  /** Shared BM25 oracle CTEs (keep the analysis chain in sync with
+    * [[Fts.tokens]]); `src` is the corpus relation. */
+  private def bm25CtesOver(src: String) = s"""
     toks AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-      FROM documents),
+      FROM $src),
     dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
     stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
     qt AS (SELECT unnest(['vector', 'stream', 'window']) AS term),
@@ -38,6 +38,8 @@ object SearchPack extends QueryPack {
                    4) AS score
       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
       GROUP BY tf.doc_id)"""
+
+  private val bm25Ctes = bm25CtesOver("documents")
 
   val all: Seq[Q] = Seq(
 
@@ -101,6 +103,41 @@ object SearchPack extends QueryPack {
           sp => Tables(sp, dir, "documents").select("doc_id", "text"),
           s"$tmp/index", s"$tmp/state").run(s)
         Fts.bm25(Fts.ftsLoad(s, s"$tmp/index"), QueryTerms)
+          .select(col("doc_id").cast("bigint").as("doc_id"),
+            round(col("score"), 4).as("score"))
+      }),
+
+    // ---- the composed search collection under the oracle ----------------
+    // (the lancedb/qdrant collection shape: rows + maintained vector
+    // index + maintained BM25 index declared as ONE unit,
+    // lancedb/_target.py:1258,1288,1337 — built through
+    // SearchCollection.sync (rows flow → shared-scan cycle over both
+    // index flows, second sync proven a no-op through every layer),
+    // then the KEYWORD mode served from the maintained postings must
+    // equal the oracle's from-corpus BM25 exactly)
+    Q(
+      "q82_search_collection",
+      Some(s"""
+        WITH ${bm25CtesOver("(SELECT * FROM documents WHERE doc_id % 3 = 0)")}
+        SELECT doc_id, score FROM scored"""),
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q82")
+        tmp.toFile.deleteOnExit()
+        // a deterministic third of the corpus: the gate exercises the
+        // composed unit (three flows, two syncs), not corpus volume —
+        // q65 already gates the full-corpus FTS path
+        val coll = graft.operators.SearchCollection("q82",
+          sp => Tables(sp, dir, "documents")
+            .filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id"), col("text"),
+            graft.functions.HashEmbedder.embed(col("text"), 16)
+              .as("embedding")),
+          s"$tmp/data", s"$tmp/state", nCells = 8)
+        coll.sync(s)
+        val (r, i, f) = coll.sync(s)
+        require(r.isNoop && i.isNoop && f.isNoop,
+          s"collection resync must no-op every layer: $r / $i / $f")
+        coll.keyword(s, QueryTerms)
           .select(col("doc_id").cast("bigint").as("doc_id"),
             round(col("score"), 4).as("score"))
       }),
