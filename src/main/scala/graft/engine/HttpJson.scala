@@ -1,0 +1,92 @@
+package graft.engine
+
+import java.io.InputStream
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Minimal JSON-over-HTTP client for store transports (qdrant,
+  * turbopuffer, surrealdb — REST APIs the reference drives through
+  * their Python clients). JDK `HttpURLConnection` only — no client
+  * dependency; non-2xx statuses surface as
+  * [[Batching.ApiStatusException]] so the litellm-derived retry
+  * taxonomy ([[Batching.defaultClassify]]: 408/429/5xx transient,
+  * 401-404 global, rest batch-bound) applies to store writes exactly
+  * as it does to embedding calls.
+  */
+object HttpJson {
+
+  final case class Response(status: Int, body: JValue)
+
+  /** One request. Throws ApiStatusException on status >= 400 (body
+    * text in the message), IOException on transport faults — both
+    * already classified by [[Batching.defaultClassify]]. */
+  def request(method: String, url: String, body: Option[JValue] = None,
+      headers: Map[String, String] = Map.empty,
+      connectTimeoutMs: Int = 5000, readTimeoutMs: Int = 60000): Response = {
+    val conn = URI.create(url).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    try {
+      conn.setConnectTimeout(connectTimeoutMs)
+      conn.setReadTimeout(readTimeoutMs)
+      conn.setRequestMethod(method)
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      body.foreach { b =>
+        conn.setRequestProperty("Content-Type", "application/json")
+        conn.setDoOutput(true)
+        val bytes = JsonMethods.compact(JsonMethods.render(b)).getBytes(UTF_8)
+        val os = conn.getOutputStream
+        try { os.write(bytes); os.flush() } finally os.close()
+      }
+      val status = conn.getResponseCode
+      val stream: InputStream =
+        if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val text =
+        if (stream == null) ""
+        else try new String(stream.readAllBytes(), UTF_8) finally stream.close()
+      if (status >= 400)
+        throw Batching.ApiStatusException(status,
+          s"$method $url → ${text.take(500)}")
+      val json =
+        if (text.isEmpty) JNothing
+        else try JsonMethods.parse(text) catch {
+          case scala.util.control.NonFatal(_) => JString(text)
+        }
+      Response(status, json)
+    } finally conn.disconnect()
+  }
+
+  def get(url: String): Response = request("GET", url)
+  def put(url: String, body: JValue): Response =
+    request("PUT", url, Some(body))
+  def post(url: String, body: JValue): Response =
+    request("POST", url, Some(body))
+  def delete(url: String): Response = request("DELETE", url)
+
+  /** One driver-side call under the taxonomy retry: transient wire
+    * errors (429/5xx/timeouts) back off and retry, global errors
+    * (auth) fail fast. For DDL-ish single requests; batched writes
+    * use [[sendBatched]]. */
+  def retrying[T](policy: Batching.RetryPolicy = Batching.RetryPolicy())(
+      f: => T): T =
+    Batching.withTaxonomyRetry(Seq(()), policy)(_ => Seq(f)) match {
+      case Seq(Right(v)) => v
+      case Seq(Left(e)) => throw e
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }
+
+  /** Run `send` on `batch` under the taxonomy retry (transient →
+    * backoff, global → fail fast, else halve); throws the first error
+    * if any item ultimately fails — store writes are all-or-surface,
+    * there is no partial-success contract to report. */
+  def sendBatched[A](batch: Seq[A],
+      policy: Batching.RetryPolicy = Batching.RetryPolicy())(
+      send: Seq[A] => Unit): Unit = {
+    val results = Batching.withTaxonomyRetry(batch, policy) { items =>
+      send(items); items.map(_ => ())
+    }
+    results.collectFirst { case Left(e) => e }.foreach(e => throw e)
+  }
+}

@@ -1,0 +1,152 @@
+package graft.engine
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, InputStream}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** RESP2 wire values (the Redis/Valkey serialization protocol). The
+  * protocol the reference's valkey and falkordb connectors speak
+  * through their client libraries (glide / redis-py); here the codec
+  * itself is implemented so the targets carry a real transport with
+  * no client dependency.
+  */
+sealed trait RespValue {
+  /** Bulk/simple payload as UTF-8 text (errors throw — a reply that
+    * should be data but is an error is a transport-contract bug the
+    * caller must see, not a silent empty string). */
+  def text: String = this match {
+    case RespValue.Simple(s) => s
+    case RespValue.Bulk(b) => new String(b, UTF_8)
+    case RespValue.Num(n) => n.toString
+    case RespValue.Err(m) => throw new RespException(m)
+    case RespValue.NullValue => null
+    case RespValue.Arr(_) =>
+      throw new RespException("array reply where scalar expected")
+  }
+  def items: Vector[RespValue] = this match {
+    case RespValue.Arr(v) => v
+    case RespValue.Err(m) => throw new RespException(m)
+    case other =>
+      throw new RespException(s"expected array reply, got $other")
+  }
+  /** Raise if this reply (or any nested element) is an error. */
+  def orThrow: RespValue = this match {
+    case RespValue.Err(m) => throw new RespException(m)
+    case RespValue.Arr(v) => v.foreach(_.orThrow); this
+    case _ => this
+  }
+}
+
+final class RespException(msg: String) extends RuntimeException(msg)
+
+object RespValue {
+  final case class Simple(s: String) extends RespValue
+  final case class Err(msg: String) extends RespValue
+  final case class Num(n: Long) extends RespValue
+  final case class Bulk(bytes: Array[Byte]) extends RespValue
+  case object NullValue extends RespValue
+  final case class Arr(elems: Vector[RespValue]) extends RespValue
+
+  def bulk(s: String): Bulk = Bulk(s.getBytes(UTF_8))
+}
+
+object Resp {
+  private val CRLF = "\r\n".getBytes(UTF_8)
+
+  /** Encode one command (an array of bulk strings — the only client →
+    * server shape the protocol defines). */
+  def encodeCommand(args: Seq[Array[Byte]], out: java.io.OutputStream): Unit = {
+    out.write(s"*${args.length}".getBytes(UTF_8)); out.write(CRLF)
+    args.foreach { a =>
+      out.write(s"$$${a.length}".getBytes(UTF_8)); out.write(CRLF)
+      out.write(a); out.write(CRLF)
+    }
+  }
+
+  /** Decode one reply. Blocking; throws EOFException on a closed peer. */
+  def decode(in: InputStream): RespValue = {
+    val t = in.read()
+    if (t < 0) throw new EOFException("resp: connection closed")
+    t.toChar match {
+      case '+' => RespValue.Simple(readLine(in))
+      case '-' => RespValue.Err(readLine(in))
+      case ':' => RespValue.Num(readLine(in).toLong)
+      case '$' =>
+        val n = readLine(in).toInt
+        if (n < 0) RespValue.NullValue
+        else {
+          val buf = new Array[Byte](n)
+          var off = 0
+          while (off < n) {
+            val r = in.read(buf, off, n - off)
+            if (r < 0) throw new EOFException("resp: truncated bulk")
+            off += r
+          }
+          expectCrlf(in)
+          RespValue.Bulk(buf)
+        }
+      case '*' =>
+        val n = readLine(in).toInt
+        if (n < 0) RespValue.NullValue
+        else RespValue.Arr(Vector.fill(n)(decode(in)))
+      case c =>
+        throw new RespException(s"resp: unknown type byte '$c'")
+    }
+  }
+
+  private def readLine(in: InputStream): String = {
+    val sb = new java.lang.StringBuilder(16)
+    var b = in.read()
+    while (b != '\r') {
+      if (b < 0) throw new EOFException("resp: truncated line")
+      sb.append(b.toChar)
+      b = in.read()
+    }
+    if (in.read() != '\n') throw new RespException("resp: missing LF")
+    sb.toString
+  }
+
+  private def expectCrlf(in: InputStream): Unit =
+    if (in.read() != '\r' || in.read() != '\n')
+      throw new RespException("resp: missing CRLF after bulk")
+}
+
+/** A pipelining RESP client over one TCP connection. Used
+  * executor-side (one client per partition, like the JDBC target's
+  * per-partition connection) and driver-side for index DDL / scans.
+  * Not thread-safe — callers own one client per thread.
+  */
+final class RespClient(host: String, port: Int,
+    connectTimeoutMs: Int = 5000, readTimeoutMs: Int = 30000)
+    extends AutoCloseable {
+
+  private val socket = new Socket()
+  socket.setTcpNoDelay(true)
+  socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+  socket.setSoTimeout(readTimeoutMs)
+  private val in = new BufferedInputStream(socket.getInputStream, 1 << 16)
+  private val out = new BufferedOutputStream(socket.getOutputStream, 1 << 16)
+
+  /** One command, one reply (errors surface via orThrow at call sites
+    * that require success — some callers legitimately branch on Err,
+    * e.g. "Unknown index name" on drop). */
+  def command(args: Seq[Array[Byte]]): RespValue = {
+    Resp.encodeCommand(args, out)
+    out.flush()
+    Resp.decode(in)
+  }
+
+  def commandS(args: String*): RespValue =
+    command(args.map(_.getBytes(UTF_8)))
+
+  /** Pipeline: write all commands, then read all replies — one
+    * round-trip for a whole batch (the write-path throughput lever;
+    * the reference batches through its async client the same way). */
+  def pipeline(cmds: Seq[Seq[Array[Byte]]]): Seq[RespValue] = {
+    cmds.foreach(Resp.encodeCommand(_, out))
+    out.flush()
+    cmds.map(_ => Resp.decode(in))
+  }
+
+  override def close(): Unit = socket.close()
+}

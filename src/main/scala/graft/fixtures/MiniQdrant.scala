@@ -1,0 +1,226 @@
+package graft.fixtures
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import org.json4s._
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
+
+/** An in-JVM qdrant stand-in speaking the store's REST API over a real
+  * HTTP socket (JDK HttpServer). As with Derby-for-postgres and
+  * MiniValkey-for-valkey: the environment has no qdrant server, so
+  * this fixture receives the DELIVERABLE —
+  * [[graft.engine.QdrantCollectionTarget]]'s request shapes, executor
+  * batching, convergence and read-back — end-to-end over genuine HTTP.
+  *
+  * Endpoints mirror the subset the reference connector drives through
+  * its client (python/cocoindex/connectors/qdrant/_target.py:254-284
+  * upsert/delete, :416-457 create_collection, :385-399
+  * delete_collection on replace) plus scroll/search for read-back and
+  * serving. Scoring is brute force — it is a fixture, not an index.
+  */
+final class MiniQdrant extends AutoCloseable {
+  import MiniQdrant._
+
+  private val server = HttpServer.create(
+    new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 64)
+  server.setExecutor(java.util.concurrent.Executors
+    .newFixedThreadPool(8, r => {
+      val t = new Thread(r, "mini-qdrant"); t.setDaemon(true); t
+    }))
+  val port: Int = server.getAddress.getPort
+  val baseUrl: String = s"http://127.0.0.1:$port"
+
+  private val lock = new Object
+  private val collections = mutable.LinkedHashMap.empty[String, Collection]
+  /** METHOD path observed, for transport-shape assertions. */
+  val observed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  /** Failure injection: each entry fails exactly one incoming request
+    * whose path contains the substring, before it routes — specs
+    * drive the client's retry taxonomy (429/503 transient-retry, 401
+    * fail-fast) through a real wire error, not a mock. */
+  private val failures =
+    new java.util.concurrent.CopyOnWriteArrayList[(String, Int)]()
+  def failOnce(pathContains: String, status: Int): Unit =
+    failures.add((pathContains, status))
+
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+  server.start()
+
+  override def close(): Unit = server.stop(0)
+
+  def collectionNames: Seq[String] = lock.synchronized(collections.keys.toSeq)
+  def pointCount(coll: String): Int =
+    lock.synchronized(collections.get(coll).map(_.points.size).getOrElse(0))
+
+  private def handle(ex: HttpExchange): Unit = {
+    val method = ex.getRequestMethod
+    val path = ex.getRequestURI.getPath
+    observed.add(s"$method $path")
+    val body =
+      try {
+        val bytes = ex.getRequestBody.readAllBytes()
+        if (bytes.isEmpty) JNothing else JsonMethods.parse(new String(bytes, UTF_8))
+      } catch { case NonFatal(_) => JNothing }
+    val (status, reply): (Int, JValue) =
+      try {
+        import scala.jdk.CollectionConverters._
+        failures.asScala.find { case (sub, _) => path.contains(sub) }
+          .foreach { hit =>
+            failures.remove(hit)
+            throw new ApiError(hit._2, s"injected failure ${hit._2}")
+          }
+        lock.synchronized(route(method, path.split("/").filter(_.nonEmpty)
+          .toList, body))
+      }
+      catch {
+        case e: ApiError => (e.status,
+          ("status" -> ("error" -> e.getMessage): JValue))
+        case NonFatal(e) => (500,
+          ("status" -> ("error" -> String.valueOf(e.getMessage)): JValue))
+      }
+    val out = JsonMethods.compact(JsonMethods.render(reply)).getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, out.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(out) finally os.close()
+  }
+
+  private def ok(result: JValue): (Int, JValue) =
+    (200, ("status" -> "ok") ~ ("result" -> result))
+
+  private def route(method: String, parts: List[String],
+      body: JValue): (Int, JValue) = (method, parts) match {
+    case ("GET", List("collections", c, "exists")) =>
+      ok("exists" -> collections.contains(c))
+    case ("PUT", List("collections", c)) =>
+      if (collections.contains(c))
+        throw new ApiError(409, s"collection $c already exists")
+      collections(c) = Collection(body, mutable.TreeMap.empty)
+      ok(JBool(true))
+    case ("DELETE", List("collections", c)) =>
+      if (collections.remove(c).isEmpty)
+        throw new ApiError(404, s"collection $c not found")
+      ok(JBool(true))
+    case ("PUT", List("collections", c, "points")) =>
+      val coll = collectionOf(c)
+      val pts = body \ "points" match {
+        case JArray(a) => a
+        case _ => throw new ApiError(400, "missing points")
+      }
+      pts.foreach { p =>
+        coll.points(idKey(p \ "id")) =
+          Point(p \ "id", p \ "vector", p \ "payload")
+      }
+      ok("operation_id" -> 0)
+    case ("POST", List("collections", c, "points", "delete")) =>
+      val coll = collectionOf(c)
+      body \ "points" match {
+        case JArray(ids) => ids.foreach(id => coll.points.remove(idKey(id)))
+        case _ => throw new ApiError(400, "missing points selector")
+      }
+      ok("operation_id" -> 0)
+    case ("POST", List("collections", c, "points", "scroll")) =>
+      val coll = collectionOf(c)
+      val limit = (body \ "limit") match {
+        case JInt(i) => i.toInt; case _ => 10
+      }
+      val offset = body \ "offset" match {
+        case JNothing | JNull => None
+        case o => Some(idKey(o))
+      }
+      val keys = coll.points.keysIteratorFrom(offset.getOrElse("")).toVector
+      val page = keys.take(limit)
+      val next = keys.drop(limit).headOption
+      ok(("points" -> JArray(page.toList.map(k =>
+        pointJson(coll.points(k))))) ~
+        ("next_page_offset" -> next.map(k =>
+          coll.points(k).id).getOrElse(JNull)))
+    case ("POST", List("collections", c, "points", "search")) =>
+      val coll = collectionOf(c)
+      val limit = (body \ "limit") match {
+        case JInt(i) => i.toInt; case _ => 10
+      }
+      val (name, qvec) = body \ "vector" match {
+        case JArray(xs) => ("", xs.map(num))
+        case o => ((o \ "name") match { case JString(s) => s; case _ => "" },
+          (o \ "vector") match {
+            case JArray(xs) => xs.map(num)
+            case _ => throw new ApiError(400, "bad query vector")
+          })
+      }
+      val dist = distanceOf(coll.config, name)
+      val scored = coll.points.values.toVector.flatMap { p =>
+        vectorOf(p, name).map(v => (p, score(dist, qvec, v)))
+      }.sortBy(-_._2).take(limit)
+      ok(JArray(scored.toList.map { case (p, s) =>
+        ("id" -> p.id) ~ ("score" -> s) ~ ("payload" -> p.payload)
+      }))
+    case _ =>
+      throw new ApiError(404, s"no route $method /${parts.mkString("/")}")
+  }
+
+  private def collectionOf(c: String): Collection =
+    collections.getOrElse(c, throw new ApiError(404, s"collection $c not found"))
+}
+
+object MiniQdrant {
+  final class ApiError(val status: Int, msg: String)
+      extends RuntimeException(msg)
+
+  final case class Point(id: JValue, vector: JValue, payload: JValue)
+  final case class Collection(config: JValue,
+      points: mutable.TreeMap[String, Point])
+
+  /** Point ids (int | uuid-string) as an ordering-stable map key. */
+  private def idKey(id: JValue): String = id match {
+    case JInt(i) => f"i$i%020d"
+    case JString(s) => s"s$s"
+    case other => throw new ApiError(400, s"bad point id $other")
+  }
+
+  private def num(j: JValue): Double = j match {
+    case JDouble(d) => d
+    case JInt(i) => i.toDouble
+    case JLong(l) => l.toDouble
+    case JDecimal(d) => d.toDouble
+    case other => throw new ApiError(400, s"not a number: $other")
+  }
+
+  private def pointJson(p: Point): JValue =
+    ("id" -> p.id) ~ ("vector" -> p.vector) ~ ("payload" -> p.payload)
+
+  /** Dense query vector against a point's unnamed or named vector. */
+  private def vectorOf(p: Point, name: String): Option[List[Double]] =
+    (if (name == "") p.vector match {
+      case a: JArray => a
+      case o => o \ "vector"
+    } else p.vector \ name) match {
+      case JArray(xs) => Some(xs.map(num))
+      case _ => None
+    }
+
+  private def distanceOf(config: JValue, name: String): String = {
+    val v = if (name == "") config \ "vectors"
+      else config \ "vectors" \ name
+    (v \ "distance") match { case JString(s) => s; case _ => "Cosine" }
+  }
+
+  /** Qdrant score semantics: higher is better (cosine similarity /
+    * negated euclid / dot). */
+  private def score(distance: String, a: List[Double],
+      b: List[Double]): Double = distance match {
+    case "Euclid" =>
+      -math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    case "Dot" => a.zip(b).map { case (x, y) => x * y }.sum
+    case _ =>
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+  }
+}

@@ -1,0 +1,170 @@
+package graft.fixtures
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import org.json4s._
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
+
+/** An in-JVM turbopuffer stand-in speaking the store's v2 REST API
+  * over real HTTP — the fixture peer for
+  * [[graft.engine.TurbopufferNamespaceTarget]] (same stance as
+  * Derby-for-postgres / MiniQdrant): namespaces are created
+  * implicitly on first write, one write call carries upsert_rows
+  * and/or deletes plus the distance_metric and explicit schema
+  * (python/cocoindex/connectors/turbopuffer/_target.py:287-313),
+  * DELETE clears a namespace, and /query serves id-ordered keyset
+  * scans and brute-force ANN.
+  */
+final class MiniTurbopuffer extends AutoCloseable {
+  import MiniTurbopuffer._
+
+  private val server = HttpServer.create(
+    new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 64)
+  server.setExecutor(java.util.concurrent.Executors
+    .newFixedThreadPool(8, r => {
+      val t = new Thread(r, "mini-tpuf"); t.setDaemon(true); t
+    }))
+  val port: Int = server.getAddress.getPort
+  val baseUrl: String = s"http://127.0.0.1:$port"
+
+  private val lock = new Object
+  private val namespaces = mutable.LinkedHashMap.empty[String, Namespace]
+  val observed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+  server.start()
+
+  override def close(): Unit = server.stop(0)
+
+  def namespaceNames: Seq[String] = lock.synchronized(namespaces.keys.toSeq)
+  def rowCount(ns: String): Int =
+    lock.synchronized(namespaces.get(ns).map(_.rows.size).getOrElse(0))
+  /** The schema payload last written for a namespace (shape pinning). */
+  def schemaOf(ns: String): Option[JValue] =
+    lock.synchronized(namespaces.get(ns).map(_.schema))
+
+  private def handle(ex: HttpExchange): Unit = {
+    val method = ex.getRequestMethod
+    val path = ex.getRequestURI.getPath
+    observed.add(s"$method $path")
+    val body =
+      try {
+        val bytes = ex.getRequestBody.readAllBytes()
+        if (bytes.isEmpty) JNothing
+        else JsonMethods.parse(new String(bytes, UTF_8))
+      } catch { case NonFatal(_) => JNothing }
+    val (status, reply): (Int, JValue) =
+      try lock.synchronized(
+        route(method, path.split("/").filter(_.nonEmpty).toList, body))
+      catch {
+        case e: ApiError => (e.status, "error" -> e.getMessage: JValue)
+        case NonFatal(e) => (500, "error" -> String.valueOf(e.getMessage))
+      }
+    val out = JsonMethods.compact(JsonMethods.render(reply)).getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, out.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(out) finally os.close()
+  }
+
+  private def route(method: String, parts: List[String],
+      body: JValue): (Int, JValue) = (method, parts) match {
+    case ("POST", List("v2", "namespaces", ns)) =>
+      val n = namespaces.getOrElseUpdate(ns,
+        Namespace(body \ "distance_metric", body \ "schema",
+          mutable.TreeMap.empty))
+      // latest write's schema/metric wins (the store validates
+      // consistency; the fixture just records the last-seen shape)
+      val n2 = n.copy(distance = body \ "distance_metric",
+        schema = body \ "schema")
+      namespaces(ns) = n2
+      body \ "upsert_rows" match {
+        case JArray(rows) => rows.foreach { r =>
+          val id = idOf(r \ "id")
+          n2.rows(id) = r
+        }
+        case _ => ()
+      }
+      body \ "deletes" match {
+        case JArray(ids) => ids.foreach(id => n2.rows.remove(idOf(id)))
+        case _ => ()
+      }
+      (200, "status" -> "OK": JValue)
+    case ("DELETE", List("v2", "namespaces", ns)) =>
+      if (namespaces.remove(ns).isEmpty)
+        throw new ApiError(404, s"namespace $ns not found")
+      (200, "status" -> "OK": JValue)
+    case ("POST", List("v2", "namespaces", ns, "query")) =>
+      val n = namespaces.getOrElse(ns,
+        throw new ApiError(404, s"namespace $ns not found"))
+      val topK = body \ "top_k" match { case JInt(i) => i.toInt; case _ => 10 }
+      val ranked: Vector[(JValue, JValue)] = body \ "rank_by" match {
+        // ["id", "asc"] keyset scan
+        case JArray(List(JString("id"), JString("asc"))) =>
+          val after = body \ "filters" match {
+            case JArray(List(JString("id"), JString("Gt"), JString(v))) =>
+              Some(v)
+            case _ => None
+          }
+          n.rows.iteratorFrom(after.map(_ + "\u0000").getOrElse(""))
+            .map { case (_, r) => (r, JNothing) }.take(topK).toVector
+        // [field, "ANN", [..]] brute-force scored by the namespace metric
+        case JArray(List(JString(field), JString("ANN"), JArray(q))) =>
+          val qv = q.map(num)
+          n.rows.values.toVector.flatMap { r =>
+            r \ field match {
+              case JArray(xs) =>
+                Some((r, JDouble(dist(n.distance, qv, xs.map(num)))))
+              case _ => None
+            }
+          }.sortBy { case (_, JDouble(d)) => d; case _ => 0.0 }.take(topK)
+        case other => throw new ApiError(400, s"bad rank_by $other")
+      }
+      (200, "rows" -> JArray(ranked.toList.map { case (r, d) =>
+        d match { case JNothing => r
+          case dd => r.asInstanceOf[JObject] ~ ("$dist" -> dd) }
+      }): JValue)
+    case _ =>
+      throw new ApiError(404, s"no route $method /${parts.mkString("/")}")
+  }
+}
+
+object MiniTurbopuffer {
+  final class ApiError(val status: Int, msg: String)
+      extends RuntimeException(msg)
+
+  final case class Namespace(distance: JValue, schema: JValue,
+      rows: mutable.TreeMap[String, JValue])
+
+  private def idOf(j: JValue): String = j match {
+    case JString(s) => s
+    case JInt(i) => i.toString
+    case other => throw new ApiError(400, s"bad row id $other")
+  }
+
+  private def num(j: JValue): Double = j match {
+    case JDouble(d) => d
+    case JInt(i) => i.toDouble
+    case JLong(l) => l.toDouble
+    case JDecimal(d) => d.toDouble
+    case other => throw new ApiError(400, s"not a number: $other")
+  }
+
+  /** Distance per the namespace metric (smaller = better, like the
+    * store's $dist): cosine_distance or euclidean_squared. */
+  private def dist(metric: JValue, a: List[Double],
+      b: List[Double]): Double = metric match {
+    case JString("euclidean_squared") =>
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    case _ =>
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 1.0 else 1.0 - dot / (na * nb)
+  }
+}

@@ -1,0 +1,341 @@
+package graft.fixtures
+
+import java.io.{BufferedInputStream, BufferedOutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.ByteBuffer
+import java.nio.ByteOrder.LITTLE_ENDIAN
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import graft.engine.{Resp, RespValue}
+
+/** An in-JVM Valkey/RediSearch stand-in speaking real RESP2 over a
+  * real TCP socket.
+  *
+  * The environment has no reachable Valkey server, so — exactly as
+  * embedded Derby stands in for postgres on the JDBC transport — this
+  * fixture stands in for the store while the DELIVERABLE, the RESP
+  * wire client and the target's reconcile/batch/convergence logic
+  * ([[graft.engine.ValkeyIndexTarget]]), is exercised end-to-end over
+  * a genuine socket: encode → TCP → decode → mutate → reply.
+  *
+  * Implemented commands are the ones the reference's valkey connector
+  * issues (python/cocoindex/connectors/valkey/_target.py:297-321 DEL+
+  * HSET in MULTI/EXEC, :441-481 SCAN purge, :482-539 FT.CREATE,
+  * FT.DROPINDEX / FT._LIST, plus FT.SEARCH KNN for the serve side).
+  * Vector scoring is brute-force over the prefix — it is a fixture,
+  * not an index; the target's scale story lives in the client batching
+  * and in the engine's delta classification, not here.
+  */
+final class MiniValkey extends AutoCloseable {
+  import MiniValkey._
+
+  private val server = new ServerSocket(0, 64,
+    java.net.InetAddress.getLoopbackAddress)
+  val port: Int = server.getLocalPort
+  val host: String = server.getInetAddress.getHostAddress
+
+  // one global lock: fixture-grade concurrency (MULTI/EXEC atomicity
+  // falls out for free — EXEC runs its queue under the same lock)
+  private val lock = new Object
+  private val hashes = mutable.TreeMap.empty[String, mutable.LinkedHashMap[String, Array[Byte]]]
+  private val indexes = mutable.LinkedHashMap.empty[String, IndexDef]
+  /** Commands observed, for transport-shape assertions in specs. */
+  val observed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  @volatile private var closed = false
+  private val acceptor = new Thread(() => acceptLoop(), "mini-valkey-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def url: (String, Int) = (host, port)
+
+  /** Snapshot of all hashes under a key prefix (assertion helper). */
+  def dump(prefix: String): Map[String, Map[String, Array[Byte]]] =
+    lock.synchronized {
+      hashes.iterator.filter(_._1.startsWith(prefix))
+        .map { case (k, m) => k -> m.toMap }.toMap
+    }
+
+  def indexNames: Seq[String] = lock.synchronized(indexes.keys.toSeq)
+
+  override def close(): Unit = { closed = true; server.close() }
+
+  private def acceptLoop(): Unit =
+    while (!closed) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => serve(sock), "mini-valkey-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case NonFatal(_) => if (closed) return }
+    }
+
+  private def serve(sock: Socket): Unit = {
+    sock.setTcpNoDelay(true)
+    val in = new BufferedInputStream(sock.getInputStream, 1 << 16)
+    val out = new BufferedOutputStream(sock.getOutputStream, 1 << 16)
+    // per-connection MULTI queue (None = not in a transaction)
+    var txn: Option[mutable.Buffer[Vector[Array[Byte]]]] = None
+    try {
+      while (true) {
+        val cmd = Resp.decode(in) match {
+          case RespValue.Arr(elems) => elems.map {
+            case RespValue.Bulk(b) => b
+            case other => other.text.getBytes(UTF_8)
+          }
+          case other => Vector(other.text.getBytes(UTF_8))
+        }
+        if (cmd.isEmpty) write(out, RespValue.Err("ERR empty command"))
+        else {
+          val name = new String(cmd.head, UTF_8).toUpperCase
+          observed.add((name +: cmd.tail.take(2).map(b =>
+            new String(b, UTF_8))).mkString(" "))
+          val reply = name match {
+            case "MULTI" =>
+              txn = Some(mutable.Buffer.empty); RespValue.Simple("OK")
+            case "DISCARD" => txn = None; RespValue.Simple("OK")
+            case "EXEC" => txn match {
+              case Some(q) =>
+                txn = None
+                lock.synchronized {
+                  RespValue.Arr(q.toVector.map(c => dispatch(
+                    new String(c.head, UTF_8).toUpperCase, c.tail)))
+                }
+              case None => RespValue.Err("ERR EXEC without MULTI")
+            }
+            case other if txn.isDefined =>
+              txn.get += cmd; RespValue.Simple("QUEUED")
+            case other =>
+              lock.synchronized(dispatch(other, cmd.tail))
+          }
+          write(out, reply)
+          out.flush()
+        }
+      }
+    } catch { case NonFatal(_) => () } finally sock.close()
+  }
+
+  private def write(out: java.io.OutputStream, v: RespValue): Unit = v match {
+    case RespValue.Simple(s) => out.write(s"+$s\r\n".getBytes(UTF_8))
+    case RespValue.Err(m) => out.write(s"-$m\r\n".getBytes(UTF_8))
+    case RespValue.Num(n) => out.write(s":$n\r\n".getBytes(UTF_8))
+    case RespValue.Bulk(b) =>
+      out.write(s"$$${b.length}\r\n".getBytes(UTF_8))
+      out.write(b); out.write("\r\n".getBytes(UTF_8))
+    case RespValue.NullValue => out.write("$-1\r\n".getBytes(UTF_8))
+    case RespValue.Arr(elems) =>
+      out.write(s"*${elems.length}\r\n".getBytes(UTF_8))
+      elems.foreach(write(out, _))
+  }
+
+  // ---- command dispatch (caller holds the lock) ----
+
+  private def dispatch(name: String, args: Vector[Array[Byte]]): RespValue =
+    try {
+      name match {
+        case "PING" => RespValue.Simple("PONG")
+        case "HSET" => hset(args)
+        case "HGETALL" => hgetall(args)
+        case "DEL" | "UNLINK" =>
+          var n = 0L
+          args.foreach { k =>
+            if (hashes.remove(new String(k, UTF_8)).isDefined) n += 1
+          }
+          RespValue.Num(n)
+        case "SCAN" => scan(args)
+        case "DBSIZE" => RespValue.Num(hashes.size.toLong)
+        case "FT.CREATE" => ftCreate(args)
+        case "FT.DROPINDEX" =>
+          val idx = new String(args.head, UTF_8)
+          if (indexes.remove(idx).isDefined) RespValue.Simple("OK")
+          else RespValue.Err("Unknown index name")
+        case "FT._LIST" =>
+          RespValue.Arr(indexes.keys.toVector.map(RespValue.bulk))
+        case "FT.SEARCH" => ftSearch(args)
+        case other => RespValue.Err(s"ERR unknown command '$other'")
+      }
+    } catch {
+      case NonFatal(e) => RespValue.Err(s"ERR ${e.getMessage}")
+    }
+
+  private def hset(args: Vector[Array[Byte]]): RespValue = {
+    val key = new String(args.head, UTF_8)
+    val m = hashes.getOrElseUpdate(key, mutable.LinkedHashMap.empty)
+    var added = 0L
+    args.tail.grouped(2).foreach {
+      case Vector(f, v) =>
+        if (m.put(new String(f, UTF_8), v).isEmpty) added += 1
+      case _ => throw new IllegalArgumentException("wrong number of arguments for HSET")
+    }
+    RespValue.Num(added)
+  }
+
+  private def hgetall(args: Vector[Array[Byte]]): RespValue =
+    hashes.get(new String(args.head, UTF_8)) match {
+      case None => RespValue.Arr(Vector.empty)
+      case Some(m) => RespValue.Arr(m.iterator.flatMap { case (f, v) =>
+        Iterator(RespValue.bulk(f), RespValue.Bulk(v))
+      }.toVector)
+    }
+
+  /** Cursor = offset into the key set ordered by name (stable under
+    * the lock; keys inserted mid-scan may or may not be seen, exactly
+    * the guarantee real SCAN gives). MATCH supports the `prefix*`
+    * shape the connector uses. */
+  private def scan(args: Vector[Array[Byte]]): RespValue = {
+    var cursor = new String(args.head, UTF_8).toInt
+    var matchPat: Option[String] = None
+    var count = 10
+    var i = 1
+    while (i + 1 < args.length + 1 && i < args.length) {
+      new String(args(i), UTF_8).toUpperCase match {
+        case "MATCH" => matchPat = Some(new String(args(i + 1), UTF_8)); i += 2
+        case "COUNT" => count = new String(args(i + 1), UTF_8).toInt; i += 2
+        case _ => i += 1
+      }
+    }
+    val all = hashes.keys.toVector
+    val page = all.slice(cursor, cursor + count)
+    val next = if (cursor + count >= all.length) 0 else cursor + count
+    val hits = page.filter { k =>
+      matchPat.forall { p =>
+        if (p.endsWith("*")) k.startsWith(p.dropRight(1)) else k == p
+      }
+    }
+    RespValue.Arr(Vector(
+      RespValue.bulk(next.toString),
+      RespValue.Arr(hits.map(RespValue.bulk))))
+  }
+
+  /** FT.CREATE idx ON HASH PREFIX 1 p: SCHEMA vector VECTOR FLAT 6
+    * TYPE FLOAT32 DIM d DISTANCE_METRIC COSINE f TEXT [SORTABLE] … */
+  private def ftCreate(args: Vector[Array[Byte]]): RespValue = {
+    val toks = args.map(new String(_, UTF_8))
+    val idx = toks.head
+    if (indexes.contains(idx)) return RespValue.Err("Index already exists")
+    var prefix = ""
+    var vec: Option[VectorDef] = None
+    val fields = mutable.Buffer.empty[(String, String)]
+    var i = 1
+    while (i < toks.length) {
+      toks(i).toUpperCase match {
+        case "ON" => i += 2
+        case "PREFIX" =>
+          val n = toks(i + 1).toInt
+          prefix = toks(i + 2) // connector always declares exactly one
+          i += 2 + n
+        case "SCHEMA" =>
+          i += 1
+          while (i < toks.length) {
+            val fname = toks(i)
+            toks(i + 1).toUpperCase match {
+              case "VECTOR" =>
+                val algo = toks(i + 2).toUpperCase
+                val nargs = toks(i + 3).toInt
+                val kv = toks.slice(i + 4, i + 4 + nargs)
+                  .grouped(2).collect { case Seq(k, v) =>
+                    k.toUpperCase -> v }.toMap
+                vec = Some(VectorDef(fname, algo,
+                  kv("DIM").toInt, kv.getOrElse("DISTANCE_METRIC", "COSINE")))
+                i += 4 + nargs
+              case t @ ("TEXT" | "TAG" | "NUMERIC") =>
+                fields += fname -> t
+                i += 2
+                if (i < toks.length && toks(i).toUpperCase == "SORTABLE") i += 1
+              case other =>
+                throw new IllegalArgumentException(s"bad field type $other")
+            }
+          }
+        case other => throw new IllegalArgumentException(s"bad token $other")
+      }
+    }
+    indexes.put(idx, IndexDef(prefix, vec, fields.toVector))
+    RespValue.Simple("OK")
+  }
+
+  /** FT.SEARCH idx "*=>[KNN k @vector $B]" PARAMS 2 B blob DIALECT 2
+    * [LIMIT 0 n] — replies RediSearch-style: total, then key +
+    * flat field array per hit with `__vector_score` (distance)
+    * appended. */
+  private def ftSearch(args: Vector[Array[Byte]]): RespValue = {
+    val idx = new String(args.head, UTF_8)
+    val dfn = indexes.getOrElse(idx,
+      return RespValue.Err("Unknown index name"))
+    val query = new String(args(1), UTF_8)
+    val knn = KnnRe.findFirstMatchIn(query).getOrElse(
+      return RespValue.Err("ERR fixture supports only KNN queries"))
+    val k = knn.group(1).toInt
+    val paramName = knn.group(3)
+    // locate PARAMS <n> name value …
+    var blob: Array[Byte] = null
+    var i = 2
+    while (i < args.length) {
+      new String(args(i), UTF_8).toUpperCase match {
+        case "PARAMS" =>
+          val n = new String(args(i + 1), UTF_8).toInt
+          args.slice(i + 2, i + 2 + n).grouped(2).foreach {
+            case Vector(nm, v) =>
+              if (new String(nm, UTF_8) == paramName) blob = v
+            case _ => ()
+          }
+          i += 2 + n
+        case _ => i += 1
+      }
+    }
+    if (blob == null) return RespValue.Err("ERR missing KNN blob param")
+    val q = floatsOf(blob)
+    val vecField = dfn.vector.map(_.name).getOrElse("vector")
+    val scored = hashes.iterator
+      .filter(_._1.startsWith(dfn.prefix))
+      .flatMap { case (key, m) =>
+        m.get(vecField).map { vb =>
+          (key, m, distance(dfn.vector.map(_.distance).getOrElse("COSINE"),
+            q, floatsOf(vb)))
+        }
+      }
+      .toVector.sortBy(_._3).take(k)
+    RespValue.Arr(
+      RespValue.Num(scored.length.toLong) +:
+        scored.flatMap { case (key, m, d) =>
+          Vector(
+            RespValue.bulk(key),
+            RespValue.Arr(
+              (m.iterator.filter(_._1 != vecField).flatMap { case (f, v) =>
+                Iterator(RespValue.bulk(f), RespValue.Bulk(v))
+              } ++ Iterator(RespValue.bulk("__vector_score"),
+                RespValue.bulk(d.toString))).toVector))
+        })
+  }
+}
+
+object MiniValkey {
+  private val KnnRe = """\[KNN (\d+) @(\w+) \$(\w+)\]""".r
+
+  final case class VectorDef(name: String, algorithm: String, dim: Int,
+      distance: String)
+  final case class IndexDef(prefix: String, vector: Option[VectorDef],
+      fields: Vector[(String, String)])
+
+  private[fixtures] def floatsOf(b: Array[Byte]): Array[Float] = {
+    val bb = ByteBuffer.wrap(b).order(LITTLE_ENDIAN)
+    val out = new Array[Float](b.length / 4)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getFloat(); i += 1 }
+    out
+  }
+
+  private def distance(metric: String, a: Array[Float],
+      b: Array[Float]): Double = metric.toUpperCase match {
+    case "L2" =>
+      math.sqrt(a.zip(b).map { case (x, y) =>
+        (x - y).toDouble * (x - y) }.sum)
+    case "IP" => 1.0 - a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    case _ => // COSINE → cosine distance
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 1.0 else 1.0 - dot / (na * nb)
+  }
+}

@@ -87,6 +87,119 @@ object FlowPack extends QueryPack {
         flow.target.read(s)
           .select("row_key", "doc_id", "chunk_idx", "chunk_text")
       }),
+    // q60's shape through the Valkey RESP transport: the same chunk
+    // flow reconciled as HASH documents + FT search index over a real
+    // RESP2 socket (graft.fixtures.MiniValkey stands in for the
+    // env-blocked store the way Derby does for postgres; the wire
+    // client, atomic DEL+HSET upserts, batched DELs and SCAN/HGETALL
+    // read-back are the production path), run twice with the second
+    // pass proven a no-op. Payload fields come back stringified (the
+    // reference stores str(v), valkey/_target.py:362-365) — the
+    // oracle casts to match.
+    Q(
+      "q83_valkey_target",
+      Some("""
+        SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR) AS row_key,
+               CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(i AS VARCHAR) AS chunk_idx,
+               substring(text, CAST(i AS INT) * 150 + 1, 200) AS chunk_text
+        FROM (SELECT doc_id, text,
+                     unnest(range(CAST(ceil(length(text) / 150.0) AS BIGINT))) AS i
+              FROM documents)"""),
+      (s, dir) => {
+        val server = new graft.fixtures.MiniValkey
+        try {
+          val work = java.nio.file.Files.createTempDirectory("graft-valkey-q83")
+          work.toFile.deleteOnExit()
+          val chunkStage = CocoFn("chunk_fixed", 1, deps = Seq("w=200", "s=150"),
+            fn = df => Chunker.chunkFixed(
+                df.select(col("item_key"), col("doc_id"), col("text")),
+                "text", width = 200, stride = 150)
+              .select(col("item_key"),
+                concat(col("item_key"), lit("#"), col("chunk_idx")).as("row_key"),
+                col("doc_id").cast("string").as("doc_id"),
+                col("chunk_idx").cast("string").as("chunk_idx"),
+                col("chunk_text")))
+          val flow = new Flow(
+            "valkey_index",
+            TableSource(sp => Tables(sp, dir, "documents"), keyCol = "doc_id"),
+            Seq(chunkStage),
+            ValkeyIndexTarget(server.host, server.port, "chunks",
+              fields = Seq(ValkeyField("doc_id", "tag"),
+                ValkeyField("chunk_idx", "numeric", sortable = true),
+                ValkeyField("chunk_text", "text")),
+              writePartitions = 4, batchSize = 256),
+            work.resolve("state").toString)
+          flow.run(s)
+          require(flow.run(s).isNoop,
+            "incremental contract violated: valkey rerun was not a no-op")
+          // materialize the read-back BEFORE the fixture closes — the
+          // store is in-JVM and dies with it (row count is the sf's
+          // chunk count; bounded, and only this gate collects)
+          val back = flow.target.read(s)
+            .select("row_key", "doc_id", "chunk_idx", "chunk_text")
+          val rows = back.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 4), back.schema)
+        } finally server.close()
+      }),
+    // the chunk flow through the qdrant HTTP transport: points with a
+    // dense vector + payload upserted via batched PUT /points against
+    // an in-JVM REST peer (graft.fixtures.MiniQdrant), rerun proven a
+    // no-op, read back through the scroll API. The vector is built
+    // from SQL-expressible values (chunk length, index) so the oracle
+    // verifies the f32 vector round-trip too, not just payload.
+    Q(
+      "q84_qdrant_points",
+      Some("""
+        SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR) AS row_key,
+               CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(i AS BIGINT) AS chunk_idx,
+               substring(text, CAST(i AS INT) * 150 + 1, 200) AS chunk_text,
+               CAST(length(substring(text, CAST(i AS INT) * 150 + 1, 200)) AS REAL) AS v1,
+               CAST(i AS REAL) AS v2
+        FROM (SELECT doc_id, text,
+                     unnest(range(CAST(ceil(length(text) / 150.0) AS BIGINT))) AS i
+              FROM documents)"""),
+      (s, dir) => {
+        val server = new graft.fixtures.MiniQdrant
+        try {
+          val work = java.nio.file.Files.createTempDirectory("graft-qdrant-q84")
+          work.toFile.deleteOnExit()
+          val chunkStage = CocoFn("chunk_embed", 1, deps = Seq("w=200", "s=150"),
+            fn = df => Chunker.chunkFixed(
+                df.select(col("item_key"), col("doc_id"), col("text")),
+                "text", width = 200, stride = 150)
+              .select(col("item_key"),
+                concat(col("item_key"), lit("#"), col("chunk_idx")).as("row_key"),
+                array(length(col("chunk_text")).cast("float"),
+                  col("chunk_idx").cast("float")).as("vector"),
+                col("doc_id").cast("string").as("doc_id"),
+                col("chunk_idx").cast("long").as("chunk_idx"),
+                col("chunk_text")))
+          val flow = new Flow(
+            "qdrant_points",
+            TableSource(sp => Tables(sp, dir, "documents"), keyCol = "doc_id"),
+            Seq(chunkStage),
+            QdrantCollectionTarget(server.baseUrl, "chunks",
+              vectors = Seq(QdrantVectorDef("", 2)),
+              payloadCols = Seq(
+                "doc_id" -> org.apache.spark.sql.types.StringType,
+                "chunk_idx" -> org.apache.spark.sql.types.LongType,
+                "chunk_text" -> org.apache.spark.sql.types.StringType),
+              writePartitions = 4, batchSize = 512),
+            work.resolve("state").toString)
+          flow.run(s)
+          require(flow.run(s).isNoop,
+            "incremental contract violated: qdrant rerun was not a no-op")
+          val back = flow.target.read(s)
+            .select(col("row_key"), col("doc_id"), col("chunk_idx"),
+              col("chunk_text"),
+              element_at(col("vector"), 1).as("v1"),
+              element_at(col("vector"), 2).as("v2"))
+          val rows = back.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 4), back.schema)
+        } finally server.close()
+      }),
     Q(
       "q63_topic_target",
       // the final compacted map after: produce all docs, then a second

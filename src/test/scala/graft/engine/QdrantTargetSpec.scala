@@ -1,0 +1,223 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.fixtures.MiniQdrant
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** The qdrant collection/points target over real HTTP ([[HttpJson]]
+  * against [[MiniQdrant]], an in-JVM peer speaking the store's REST
+  * API). Reference semantics under test
+  * (python/cocoindex/connectors/qdrant/_target.py):
+  *
+  *   - collection create if-not-exists with unnamed / named dense +
+  *     sparse vector configs (:416-457);
+  *   - batched idempotent point upsert + delete (:254-284);
+  *   - point id domain (int | UUID) with the engine's string row key
+  *     riding in payload;
+  *   - scroll read-back, search serving;
+  *   - wire-error retry taxonomy: 503 retries, 401 fails fast;
+  *   - a full Flow run (reconcile → HTTP apply → rerun no-op → delta).
+  */
+class QdrantTargetSpec extends SparkSpec {
+
+  private def withServer[T](f: MiniQdrant => T): T = {
+    val s = new MiniQdrant
+    try f(s) finally s.close()
+  }
+
+  private def target(s: MiniQdrant): QdrantCollectionTarget =
+    QdrantCollectionTarget(s.baseUrl, "docs",
+      vectors = Seq(QdrantVectorDef("", 2)),
+      payloadCols = Seq("txt" -> StringType, "n" -> LongType),
+      writePartitions = 2, batchSize = 2)
+
+  private def df(rows: Seq[(String, Array[Float], Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("row_key", "vector", "n", "txt")
+  }
+
+  private def noDeletes: DataFrame = {
+    import spark.implicits._
+    Seq.empty[String].toDF("row_key")
+  }
+
+  private def contents(t: QdrantCollectionTarget)
+      : Map[String, (Seq[Float], Long, String)] =
+    t.read(spark).select("row_key", "vector", "n", "txt").collect()
+      .map(r => r.getString(0) ->
+        ((r.getSeq[Float](1), r.getLong(2), r.getString(3)))).toMap
+
+  test("create, upsert, scroll readback, idempotent re-apply, delete") {
+    withServer { s =>
+      val t = target(s)
+      val s1 = t.apply(spark, df(Seq(
+        ("a", Array(1f, 0f), 1L, "alpha"),
+        ("b", Array(0f, 1f), 2L, "beta"))), noDeletes)
+      assert(s1 == TargetStats(2, 0))
+      assert(s.collectionNames == Seq("docs"))
+      assert(contents(t) == Map(
+        "a" -> ((Seq(1f, 0f), 1L, "alpha")),
+        "b" -> ((Seq(0f, 1f), 2L, "beta"))))
+
+      // convergent re-apply; collection created exactly once
+      t.apply(spark, df(Seq(
+        ("a", Array(1f, 0f), 1L, "alpha"),
+        ("b", Array(0f, 1f), 2L, "beta"))), noDeletes)
+      import scala.jdk.CollectionConverters._
+      assert(s.observed.asScala.count(o =>
+        o == "PUT /collections/docs") == 1)
+
+      // update + insert + delete in one apply
+      import spark.implicits._
+      val s2 = t.apply(spark, df(Seq(
+        ("a", Array(0.5f, 0.5f), 10L, "ALPHA"),
+        ("c", Array(1f, 1f), 3L, "gamma"))),
+        Seq("b").toDF("row_key"))
+      assert(s2 == TargetStats(2, 1))
+      assert(contents(t).keySet == Set("a", "c"))
+      assert(contents(t)("a") == ((Seq(0.5f, 0.5f), 10L, "ALPHA")))
+
+      assert(t.apply(spark, df(Nil), noDeletes) == TargetStats(0, 0))
+    }
+  }
+
+  test("point ids: digit keys ride as ints, strings as name-UUIDs") {
+    import org.json4s._
+    assert(QdrantCollectionTarget.pointId("42") == JInt(42))
+    val u = QdrantCollectionTarget.pointId("3#2")
+    assert(u.isInstanceOf[JString])
+    // deterministic: same key, same UUID
+    assert(u == QdrantCollectionTarget.pointId("3#2"))
+    assert(java.util.UUID.fromString(
+      u.asInstanceOf[JString].s).version() == 3)
+  }
+
+  test("named dense + sparse vectors round-trip") {
+    withServer { s =>
+      val t = QdrantCollectionTarget(s.baseUrl, "multi",
+        vectors = Seq(QdrantVectorDef("title", 2),
+          QdrantVectorDef("body", 3)),
+        sparseVectors = Seq(QdrantSparseVectorDef("terms")),
+        payloadCols = Seq("txt" -> StringType),
+        writePartitions = 1, batchSize = 8)
+      val schema = StructType(Seq(
+        StructField("row_key", StringType),
+        StructField("title", ArrayType(FloatType)),
+        StructField("body", ArrayType(FloatType)),
+        StructField("terms", QdrantCollectionTarget.SparseVectorType),
+        StructField("txt", StringType)))
+      val rows = Seq(Row("d1", Seq(1f, 2f), Seq(0f, 1f, 0f),
+        Row(Seq(3, 17), Seq(0.5f, 0.25f)), "hello"))
+      val up = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      t.apply(spark, up, noDeletes)
+
+      val back = t.read(spark).collect().head
+      assert(back.getString(0) == "d1")
+      assert(back.getSeq[Float](back.fieldIndex("title")) == Seq(1f, 2f))
+      assert(back.getSeq[Float](back.fieldIndex("body")) == Seq(0f, 1f, 0f))
+      val sp = back.getStruct(back.fieldIndex("terms"))
+      assert(sp.getSeq[Int](0) == Seq(3, 17))
+      assert(sp.getSeq[Float](1) == Seq(0.5f, 0.25f))
+      assert(back.getString(back.fieldIndex("txt")) == "hello")
+
+      // vector length enforcement fails loudly at write time
+      val bad = spark.createDataFrame(spark.sparkContext.parallelize(
+        Seq(Row("d2", Seq(1f), Seq(0f, 1f, 0f),
+          Row(Seq(1), Seq(1f)), "x")), 1), schema)
+      intercept[org.apache.spark.SparkException] {
+        t.apply(spark, bad, noDeletes)
+      }
+    }
+  }
+
+  test("search serves nearest-first with qdrant score semantics") {
+    withServer { s =>
+      val t = target(s)
+      t.apply(spark, df(Seq(
+        ("east", Array(1f, 0f), 1L, "east doc"),
+        ("north", Array(0f, 1f), 2L, "north doc"),
+        ("ne", Array(0.7f, 0.7f), 3L, "ne doc"))), noDeletes)
+      val hits = t.knn(spark, Array(0.9f, 0.1f), 2).collect()
+      assert(hits.map(_.getString(0)).toSeq == Seq("east", "ne"))
+      // cosine similarity: higher is better
+      assert(hits(0).getDouble(1) > hits(1).getDouble(1))
+      assert(hits(0).getString(2) == "east doc")
+    }
+  }
+
+  test("wire errors: 503 retries transparently, 401 fails fast") {
+    withServer { s =>
+      val t = target(s).copy(writePartitions = 1, batchSize = 8)
+      // 503 on the executor's point upsert AND on the driver's exists
+      // probe: both legs ride the taxonomy and retry
+      s.failOnce("/points", 503)
+      s.failOnce("/exists", 503)
+      t.apply(spark, df(Seq(("a", Array(1f, 0f), 1L, "alpha"))), noDeletes)
+      assert(contents(t).keySet == Set("a"))
+
+      // 401 (global class) on the upsert: fails the apply without
+      // endless retry, surfacing from the executor task
+      s.failOnce("/points", 401)
+      val e = intercept[Exception] {
+        t.apply(spark, df(Seq(("b", Array(0f, 1f), 2L, "beta"))), noDeletes)
+      }
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(6)
+          .map(x => String.valueOf(x.getMessage)).toSeq
+      assert(chain(e).exists(_.contains("401")), chain(e).toString)
+    }
+  }
+
+  test("truncate deletes the collection; next apply recreates it") {
+    withServer { s =>
+      val t = target(s)
+      t.apply(spark, df(Seq(("a", Array(1f, 0f), 1L, "alpha"))), noDeletes)
+      t.truncate(spark)
+      assert(s.collectionNames.isEmpty)
+      t.truncate(spark) // converges on an already-absent container
+      t.apply(spark, df(Seq(("b", Array(0f, 1f), 2L, "beta"))), noDeletes)
+      assert(contents(t).keySet == Set("b"))
+    }
+  }
+
+  test("full Flow over HTTP: reconcile → apply → rerun no-op → delta") {
+    withServer { s =>
+      val work = Files.createTempDirectory("qdrant-flow")
+      work.toFile.deleteOnExit()
+      import spark.implicits._
+
+      val base = new java.util.concurrent.atomic.AtomicReference(
+        Map("d1" -> "alpha text", "d2" -> "beta text", "d3" -> "gamma text"))
+      def src = TableSource(
+        sp => {
+          import sp.implicits._
+          base.get().toSeq.toDF("doc_id", "text")
+        },
+        keyCol = "doc_id")
+      val stage = CocoFn("embed", 1, fn = df => df.select(
+        col("item_key"), col("item_key").as("row_key"),
+        array(length(col("text")).cast("float"),
+          lit(1.0f)).as("vector"),
+        upper(col("text")).as("txt"), length(col("text")).cast("long").as("n")))
+      val flow = new Flow("qdrant_e2e", src, Seq(stage), target(s),
+        work.resolve("state").toString)
+
+      val r1 = flow.run(spark)
+      assert(r1.rowsInserted == 3 && r1.rowsDeleted == 0, s"$r1")
+      assert(flow.run(spark).isNoop, "rerun over unchanged source must no-op")
+
+      base.set(Map("d1" -> "alpha text", "d2" -> "beta EDITED"))
+      val r2 = flow.run(spark)
+      assert(r2.rowsUpdated == 1 && r2.rowsDeleted == 1 &&
+        r2.rowsInserted == 0, s"$r2")
+      val got = flow.target.read(spark).select("row_key", "txt").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == Map("d1" -> "ALPHA TEXT", "d2" -> "BETA EDITED"))
+      assert(flow.run(spark).isNoop)
+    }
+  }
+}

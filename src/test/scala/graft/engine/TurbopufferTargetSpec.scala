@@ -1,0 +1,198 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.fixtures.MiniTurbopuffer
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** The turbopuffer namespace target over real HTTP ([[HttpJson]]
+  * against [[MiniTurbopuffer]]). Reference semantics under test
+  * (python/cocoindex/connectors/turbopuffer/_target.py):
+  *
+  *   - implicit namespace creation on first write, each write
+  *     carrying distance_metric + the explicit `[N]f32/ann` schema
+  *     (:248-259, :287-313);
+  *   - upsert_rows/deletes batched and idempotent by string id;
+  *   - attribute typing preserved through JSON;
+  *   - namespace DELETE on truncate;
+  *   - keyset read-back and ANN serving ($dist ordering);
+  *   - a full Flow run (reconcile → HTTP apply → rerun no-op → delta).
+  */
+class TurbopufferTargetSpec extends SparkSpec {
+
+  private def withServer[T](f: MiniTurbopuffer => T): T = {
+    val s = new MiniTurbopuffer
+    try f(s) finally s.close()
+  }
+
+  private def target(s: MiniTurbopuffer): TurbopufferNamespaceTarget =
+    TurbopufferNamespaceTarget(s.baseUrl, "docs",
+      vectors = Seq(TpufVectorDef("", 2)),
+      attrCols = Seq("txt" -> StringType, "n" -> LongType),
+      writePartitions = 2, batchSize = 2)
+
+  private def df(rows: Seq[(String, Array[Float], Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("row_key", "vector", "n", "txt")
+  }
+
+  private def noDeletes: DataFrame = {
+    import spark.implicits._
+    Seq.empty[String].toDF("row_key")
+  }
+
+  private def contents(t: TurbopufferNamespaceTarget)
+      : Map[String, (Seq[Float], Long, String)] =
+    t.read(spark).select("row_key", "vector", "n", "txt").collect()
+      .map(r => r.getString(0) ->
+        ((r.getSeq[Float](1), r.getLong(2), r.getString(3)))).toMap
+
+  test("implicit create, upsert, keyset readback, re-apply, delete") {
+    withServer { s =>
+      val t = target(s)
+      val s1 = t.apply(spark, df(Seq(
+        ("a", Array(1f, 0f), 1L, "alpha"),
+        ("b", Array(0f, 1f), 2L, "beta"))), noDeletes)
+      assert(s1 == TargetStats(2, 0))
+      // implicit creation: no DDL call, just the write
+      assert(s.namespaceNames == Seq("docs"))
+      assert(contents(t) == Map(
+        "a" -> ((Seq(1f, 0f), 1L, "alpha")),
+        "b" -> ((Seq(0f, 1f), 2L, "beta"))))
+
+      // every write carried the explicit schema payload
+      import org.json4s._
+      assert(s.schemaOf("docs").contains(
+        JObject("vector" -> JObject("type" -> JString("[2]f32"),
+          "ann" -> JBool(true)))))
+
+      // convergent re-apply
+      t.apply(spark, df(Seq(
+        ("a", Array(1f, 0f), 1L, "alpha"),
+        ("b", Array(0f, 1f), 2L, "beta"))), noDeletes)
+      assert(contents(t).keySet == Set("a", "b"))
+
+      // update + insert + delete in one apply
+      import spark.implicits._
+      val s2 = t.apply(spark, df(Seq(
+        ("a", Array(0.5f, 0.5f), 10L, "ALPHA"),
+        ("c", Array(1f, 1f), 3L, "gamma"))),
+        Seq("b").toDF("row_key"))
+      assert(s2 == TargetStats(2, 1))
+      assert(contents(t).keySet == Set("a", "c"))
+      assert(contents(t)("a") == ((Seq(0.5f, 0.5f), 10L, "ALPHA")))
+
+      assert(t.apply(spark, df(Nil), noDeletes) == TargetStats(0, 0))
+    }
+  }
+
+  test("keyset pagination walks id order across page boundaries") {
+    withServer { s =>
+      val t = target(s).copy(batchSize = 64)
+      // > one 512-row page to force a second keyset query
+      val rows = (0 until 1100).map(i =>
+        (f"k$i%05d", Array(i.toFloat, 1f), i.toLong, s"doc $i"))
+      t.apply(spark, df(rows), noDeletes)
+      val back = t.read(spark)
+      assert(back.count() == 1100)
+      val keys = back.select("row_key").collect().map(_.getString(0))
+      assert(keys.distinct.length == 1100)
+      import scala.jdk.CollectionConverters._
+      // at least three query pages (512+512+76)
+      assert(s.observed.asScala.count(
+        _ == "POST /v2/namespaces/docs/query") >= 3)
+    }
+  }
+
+  test("named vectors write to their own fields") {
+    withServer { s =>
+      val t = TurbopufferNamespaceTarget(s.baseUrl, "multi",
+        vectors = Seq(TpufVectorDef("title", 2), TpufVectorDef("body", 3)),
+        attrCols = Seq("txt" -> StringType),
+        writePartitions = 1, batchSize = 8)
+      val schema = StructType(Seq(
+        StructField("row_key", StringType),
+        StructField("title", ArrayType(FloatType)),
+        StructField("body", ArrayType(FloatType)),
+        StructField("txt", StringType)))
+      val up = spark.createDataFrame(spark.sparkContext.parallelize(
+        Seq(Row("d1", Seq(1f, 2f), Seq(0f, 1f, 0f), "hello")), 1), schema)
+      t.apply(spark, up, noDeletes)
+      val back = t.read(spark).collect().head
+      assert(back.getSeq[Float](back.fieldIndex("title")) == Seq(1f, 2f))
+      assert(back.getSeq[Float](back.fieldIndex("body")) == Seq(0f, 1f, 0f))
+
+      // dim mismatch fails loudly
+      val bad = spark.createDataFrame(spark.sparkContext.parallelize(
+        Seq(Row("d2", Seq(1f), Seq(0f, 1f, 0f), "x")), 1), schema)
+      intercept[org.apache.spark.SparkException] {
+        t.apply(spark, bad, noDeletes)
+      }
+    }
+  }
+
+  test("ANN query serves smallest-distance-first") {
+    withServer { s =>
+      val t = target(s)
+      t.apply(spark, df(Seq(
+        ("east", Array(1f, 0f), 1L, "east doc"),
+        ("north", Array(0f, 1f), 2L, "north doc"),
+        ("ne", Array(0.7f, 0.7f), 3L, "ne doc"))), noDeletes)
+      val hits = t.knn(spark, Array(0.9f, 0.1f), 2).collect()
+      assert(hits.map(_.getString(0)).toSeq == Seq("east", "ne"))
+      assert(hits(0).getDouble(1) < hits(1).getDouble(1))
+      assert(hits(0).getString(2) == "east doc")
+    }
+  }
+
+  test("truncate deletes the namespace and converges when absent") {
+    withServer { s =>
+      val t = target(s)
+      t.apply(spark, df(Seq(("a", Array(1f, 0f), 1L, "alpha"))), noDeletes)
+      t.truncate(spark)
+      assert(s.namespaceNames.isEmpty)
+      t.truncate(spark) // NotFound tolerated (reference pass on NotFoundError)
+      t.apply(spark, df(Seq(("b", Array(0f, 1f), 2L, "beta"))), noDeletes)
+      assert(contents(t).keySet == Set("b"))
+    }
+  }
+
+  test("full Flow over HTTP: reconcile → apply → rerun no-op → delta") {
+    withServer { s =>
+      val work = Files.createTempDirectory("tpuf-flow")
+      work.toFile.deleteOnExit()
+      import spark.implicits._
+
+      val base = new java.util.concurrent.atomic.AtomicReference(
+        Map("d1" -> "alpha text", "d2" -> "beta text", "d3" -> "gamma text"))
+      def src = TableSource(
+        sp => {
+          import sp.implicits._
+          base.get().toSeq.toDF("doc_id", "text")
+        },
+        keyCol = "doc_id")
+      val stage = CocoFn("embed", 1, fn = df => df.select(
+        col("item_key"), col("item_key").as("row_key"),
+        array(length(col("text")).cast("float"), lit(1.0f)).as("vector"),
+        upper(col("text")).as("txt"),
+        length(col("text")).cast("long").as("n")))
+      val flow = new Flow("tpuf_e2e", src, Seq(stage), target(s),
+        work.resolve("state").toString)
+
+      val r1 = flow.run(spark)
+      assert(r1.rowsInserted == 3 && r1.rowsDeleted == 0, s"$r1")
+      assert(flow.run(spark).isNoop, "rerun over unchanged source must no-op")
+
+      base.set(Map("d1" -> "alpha text", "d2" -> "beta EDITED"))
+      val r2 = flow.run(spark)
+      assert(r2.rowsUpdated == 1 && r2.rowsDeleted == 1 &&
+        r2.rowsInserted == 0, s"$r2")
+      val got = flow.target.read(spark).select("row_key", "txt").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == Map("d1" -> "ALPHA TEXT", "d2" -> "BETA EDITED"))
+      assert(flow.run(spark).isNoop)
+    }
+  }
+}
