@@ -1,0 +1,140 @@
+package graft.engine
+
+/** Pure Cypher generation for property-graph targets — a port of the
+  * reference's `_cypher` module
+  * (python/cocoindex/connectors/neo4j/_cypher.py, shared shape with
+  * falkordb per its own docstring): identifiers are VALIDATED at
+  * entry (labels/property names cannot be parameter-bound, so they
+  * are never escaped at query-build time), values always bind via
+  * `$`-parameters.
+  *
+  * Two transports consume these strings: neo4j-style `tx.run(cypher,
+  * params)` and falkordb's `GRAPH.QUERY graph "CYPHER k=v … <query>"`
+  * where [[Cypher.paramsPrefix]] inlines the params in the store's
+  * literal syntax (what the falkordb client does under
+  * `graph.query(cypher, params)`).
+  */
+object Cypher {
+
+  private val IdentifierRe = "^[a-zA-Z_][a-zA-Z0-9_]*$".r
+
+  /** Reject anything that isn't `[a-zA-Z_][a-zA-Z0-9_]*`
+    * (_cypher.py:44-54). */
+  def validateIdentifier(name: String, kind: String): String = {
+    if (!IdentifierRe.matches(name))
+      throw new IllegalArgumentException(
+        s"Invalid graph $kind: '$name'. Must match [a-zA-Z_][a-zA-Z0-9_]*.")
+    name
+  }
+
+  private def q(name: String): String = s"`$name`"
+
+  private def keyClause(prefix: String, fields: Seq[String]): String =
+    fields.zipWithIndex.map { case (f, i) => s"${q(f)}: $$${prefix}_$i" }
+      .mkString("{", ", ", "}")
+
+  /** `MERGE (n:\`Label\` {pk: $key_0, …}) [SET n += $props]`
+    * (_cypher.py:93-108). */
+  def nodeUpsert(label: String, pkFields: Seq[String],
+      hasValueFields: Boolean): String = {
+    require(pkFields.nonEmpty, "nodeUpsert requires at least one pk field")
+    validateIdentifier(label, "label")
+    pkFields.foreach(validateIdentifier(_, "property name"))
+    val m = s"MERGE (n:${q(label)} ${keyClause("key", pkFields)})"
+    if (hasValueFields) s"$m SET n += $$props" else m
+  }
+
+  /** `MATCH (n:\`Label\` {pk: $key_0, …}) DETACH DELETE n`
+    * (_cypher.py:111-122). `label = None` emits a label-free match —
+    * the engine's delete delta carries only the key, and row keys are
+    * globally unique across labels in the flow convention (documented
+    * divergence from the reference, whose per-table handlers always
+    * know their label). */
+  def nodeDelete(label: Option[String], pkFields: Seq[String]): String = {
+    require(pkFields.nonEmpty, "nodeDelete requires at least one pk field")
+    label.foreach(validateIdentifier(_, "label"))
+    pkFields.foreach(validateIdentifier(_, "property name"))
+    val l = label.map(l => s":${q(l)}").getOrElse("")
+    s"MATCH (n$l ${keyClause("key", pkFields)}) DETACH DELETE n"
+  }
+
+  /** Three MERGEs — source endpoint, target endpoint, relationship —
+    * endpoint properties untouched (owned by their own table's
+    * handler), `SET r += $props` only on the relationship
+    * (_cypher.py:120-146). Endpoint labels are optional for the same
+    * delta-shape reason as [[nodeDelete]]. */
+  def relationshipUpsert(relType: String,
+      fromLabel: Option[String], fromPkFields: Seq[String],
+      toLabel: Option[String], toPkFields: Seq[String],
+      relPkFields: Seq[String], hasValueFields: Boolean): String = {
+    require(fromPkFields.nonEmpty && toPkFields.nonEmpty &&
+      relPkFields.nonEmpty,
+      "relationshipUpsert requires pk fields for from, to and the relationship")
+    validateIdentifier(relType, "relationship type")
+    (fromLabel ++ toLabel).foreach(validateIdentifier(_, "label"))
+    (fromPkFields ++ toPkFields ++ relPkFields)
+      .foreach(validateIdentifier(_, "property name"))
+    def end(v: String, label: Option[String], prefix: String,
+        fields: Seq[String]) = {
+      val l = label.map(l => s":${q(l)}").getOrElse("")
+      s"MERGE ($v$l ${keyClause(prefix, fields)})"
+    }
+    val m = end("s", fromLabel, "from_key", fromPkFields) + " " +
+      end("t", toLabel, "to_key", toPkFields) + " " +
+      s"MERGE (s)-[r:${q(relType)} ${keyClause("rel_key", relPkFields)}]->(t)"
+    if (hasValueFields) s"$m SET r += $$props" else m
+  }
+
+  /** `MATCH ()-[r:\`RelType\` {pk: $key_0, …}]->() DELETE r` —
+    * endpoints intentionally not deleted (_cypher.py:148-161). */
+  def relationshipDelete(relType: Option[String],
+      pkFields: Seq[String]): String = {
+    require(pkFields.nonEmpty,
+      "relationshipDelete requires at least one pk field")
+    relType.foreach(validateIdentifier(_, "relationship type"))
+    pkFields.foreach(validateIdentifier(_, "property name"))
+    val t = relType.map(t => s":${q(t)}").getOrElse("")
+    s"MATCH ()-[r$t ${keyClause("key", pkFields)}]->() DELETE r"
+  }
+
+  // ---- falkordb param transport ------------------------------------
+
+  /** One value in the store's Cypher literal syntax (what the client
+    * inlines into the `CYPHER k=v` prefix): strings double-quoted
+    * with escapes, numbers/booleans plain, Maps `{k: v}`, Seqs
+    * `[v, …]`, null `null`. */
+  def literal(v: Any): String = v match {
+    case null => "null"
+    case s: String =>
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c => c.toString
+      } + "\""
+    case b: Boolean => if (b) "true" else "false"
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, mv) =>
+        s"${validateIdentifier(String.valueOf(k), "property name")}: " +
+          literal(mv)
+      }.mkString("{", ", ", "}")
+    case xs: scala.collection.Seq[_] =>
+      xs.map(literal).mkString("[", ", ", "]")
+    case f: Float => f.toString
+    case d: Double => d.toString
+    case n: Number => n.toString
+    case other =>
+      throw new IllegalArgumentException(
+        s"unsupported cypher literal ${other.getClass}")
+  }
+
+  /** `CYPHER key_0="x" props={…} ` — the falkordb client's param
+    * transport prefix; empty params yield no prefix. */
+  def paramsPrefix(params: Seq[(String, Any)]): String =
+    if (params.isEmpty) ""
+    else params.map { case (k, v) =>
+      s"${validateIdentifier(k, "parameter name")}=${literal(v)}"
+    }.mkString("CYPHER ", " ", " ")
+}

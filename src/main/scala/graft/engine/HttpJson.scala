@@ -25,7 +25,25 @@ object HttpJson {
     * already classified by [[Batching.defaultClassify]]. */
   def request(method: String, url: String, body: Option[JValue] = None,
       headers: Map[String, String] = Map.empty,
-      connectTimeoutMs: Int = 5000, readTimeoutMs: Int = 60000): Response = {
+      connectTimeoutMs: Int = 5000, readTimeoutMs: Int = 60000): Response =
+    requestBytes(method, url,
+      body.map(b => (JsonMethods.compact(JsonMethods.render(b))
+        .getBytes(UTF_8), "application/json")),
+      headers, connectTimeoutMs, readTimeoutMs)
+
+  /** A request whose body is raw text (e.g. a SurrealQL script posted
+    * to `/sql`); the response still parses as JSON. */
+  def requestText(method: String, url: String, body: String,
+      contentType: String = "text/plain",
+      headers: Map[String, String] = Map.empty,
+      connectTimeoutMs: Int = 5000, readTimeoutMs: Int = 60000): Response =
+    requestBytes(method, url, Some((body.getBytes(UTF_8), contentType)),
+      headers, connectTimeoutMs, readTimeoutMs)
+
+  private def requestBytes(method: String, url: String,
+      body: Option[(Array[Byte], String)],
+      headers: Map[String, String],
+      connectTimeoutMs: Int, readTimeoutMs: Int): Response = {
     val conn = URI.create(url).toURL.openConnection()
       .asInstanceOf[HttpURLConnection]
     try {
@@ -33,10 +51,9 @@ object HttpJson {
       conn.setReadTimeout(readTimeoutMs)
       conn.setRequestMethod(method)
       headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
-      body.foreach { b =>
-        conn.setRequestProperty("Content-Type", "application/json")
+      body.foreach { case (bytes, contentType) =>
+        conn.setRequestProperty("Content-Type", contentType)
         conn.setDoOutput(true)
-        val bytes = JsonMethods.compact(JsonMethods.render(b)).getBytes(UTF_8)
         val os = conn.getOutputStream
         try { os.write(bytes); os.flush() } finally os.close()
       }

@@ -1,0 +1,236 @@
+package graft.fixtures
+
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.mutable
+
+import graft.engine.RespValue
+
+/** An in-JVM FalkorDB stand-in: `GRAPH.QUERY <graph> <cypher>` over
+  * real RESP2 ([[MiniRespServer]]), executing exactly the canonical
+  * statement shapes [[graft.engine.Cypher]] generates (the reference
+  * `_cypher` builders) against an in-memory property graph — node
+  * MERGE + `SET n += $props`, three-MERGE relationship upserts,
+  * DETACH DELETE, label-free delta deletes, per-graph multitenancy,
+  * `GRAPH.DELETE`. Params arrive through the client's `CYPHER k=v`
+  * literal prefix and are parsed with a real literal parser (strings,
+  * numbers, booleans, maps, lists).
+  *
+  * This is not a Cypher engine: statements outside the generator's
+  * canonical shapes (plus the two read-back MATCH/RETURN queries) are
+  * rejected loudly, which doubles as a transport-shape assertion.
+  */
+final class MiniFalkor extends MiniRespServer("mini-falkor") {
+  import MiniFalkor._
+
+  private val graphs = mutable.LinkedHashMap.empty[String, Graph]
+
+  def graphNames: Seq[String] = lock.synchronized(graphs.keys.toSeq)
+  def nodeCount(g: String): Int =
+    lock.synchronized(graphs.get(g).map(_.nodes.size).getOrElse(0))
+  def edgeCount(g: String): Int =
+    lock.synchronized(graphs.get(g).map(_.edges.size).getOrElse(0))
+  /** Raw statements received (minus params), for shape pinning. */
+  val statements = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  protected def dispatch(name: String,
+      args: Vector[Array[Byte]]): RespValue = name match {
+    case "PING" => RespValue.Simple("PONG")
+    case "GRAPH.QUERY" =>
+      val g = graphs.getOrElseUpdate(new String(args(0), UTF_8), new Graph)
+      val (params, stmt) = splitParams(new String(args(1), UTF_8))
+      statements.add(stmt)
+      query(g, stmt, params)
+    case "GRAPH.DELETE" =>
+      if (graphs.remove(new String(args(0), UTF_8)).isDefined)
+        RespValue.Simple("OK")
+      else RespValue.Err("ERR Invalid graph operation on empty key")
+    case other => RespValue.Err(s"ERR unknown command '$other'")
+  }
+
+  private def query(g: Graph, stmt: String,
+      params: Map[String, Any]): RespValue = {
+    def p(name: String): Any = params.getOrElse(name,
+      throw new IllegalArgumentException(s"missing parameter $$$name"))
+    def props(name: String): Map[String, Any] = params.get(name) match {
+      case Some(m: Map[_, _]) =>
+        m.map { case (k, v) => String.valueOf(k) -> v }
+      case Some(other) =>
+        throw new IllegalArgumentException(s"$$${name} is not a map: $other")
+      case None => Map.empty
+    }
+    stmt match {
+      case NodeUpsertRe(label, pk) =>
+        val id = String.valueOf(p("key_0"))
+        val n = g.nodes.getOrElseUpdate(id, new Node)
+        n.label = label
+        n.props ++= props("props")
+        okStats
+      case NodeDeleteRe(pk) =>
+        val id = String.valueOf(p("key_0"))
+        g.nodes.remove(id)
+        g.edges.filterInPlace((_, e) => e.src != id && e.dst != id)
+        okStats
+      case RelUpsertRe(fromLabel, pk1, toLabel, pk2, relType, pk3) =>
+        val (from, to) = (String.valueOf(p("from_key_0")),
+          String.valueOf(p("to_key_0")))
+        val fromNode = g.nodes.getOrElseUpdate(from, new Node)
+        if (fromLabel != null) fromNode.label = fromNode.label match {
+          case null => fromLabel.stripPrefix(":`").stripSuffix("`")
+          case l => l
+        }
+        val toNode = g.nodes.getOrElseUpdate(to, new Node)
+        if (toLabel != null) toNode.label = toNode.label match {
+          case null => toLabel.stripPrefix(":`").stripSuffix("`")
+          case l => l
+        }
+        val id = String.valueOf(p("rel_key_0"))
+        val e = g.edges.getOrElseUpdate(id, new Edge)
+        e.rel = relType; e.src = from; e.dst = to
+        e.props ++= props("props")
+        okStats
+      case RelDeleteRe(pk) =>
+        g.edges.remove(String.valueOf(p("key_0")))
+        okStats
+      case "MATCH (n) RETURN n" =>
+        RespValue.Arr(Vector(
+          RespValue.Arr(Vector(RespValue.bulk("n"))),
+          RespValue.Arr(g.nodes.toVector.map { case (id, n) =>
+            RespValue.Arr(Vector(entity(
+              Seq("__id" -> id, "__label" -> n.label) ++ n.props.toSeq)))
+          })))
+      case "MATCH (s)-[r]->(t) RETURN r" =>
+        RespValue.Arr(Vector(
+          RespValue.Arr(Vector(RespValue.bulk("r"))),
+          RespValue.Arr(g.edges.toVector.map { case (id, e) =>
+            RespValue.Arr(Vector(entity(
+              Seq("__id" -> id, "__src" -> e.src, "__dst" -> e.dst,
+                "__type" -> e.rel) ++ e.props.toSeq)))
+          })))
+      case other =>
+        RespValue.Err(s"ERR fixture does not recognize statement: $other")
+    }
+  }
+
+  private def okStats: RespValue =
+    RespValue.Arr(Vector(RespValue.Arr(Vector.empty),
+      RespValue.Arr(Vector.empty)))
+
+  private def entity(kvs: Seq[(String, Any)]): RespValue =
+    RespValue.Arr(kvs.flatMap { case (k, v) =>
+      Seq(RespValue.bulk(k),
+        if (v == null) RespValue.NullValue
+        else RespValue.bulk(String.valueOf(v)))
+    }.toVector)
+}
+
+object MiniFalkor {
+  final class Node {
+    var label: String = null
+    val props = mutable.LinkedHashMap.empty[String, Any]
+  }
+  final class Edge {
+    var rel: String = null
+    var src: String = null
+    var dst: String = null
+    val props = mutable.LinkedHashMap.empty[String, Any]
+  }
+  final class Graph {
+    val nodes = mutable.LinkedHashMap.empty[String, Node]
+    val edges = mutable.LinkedHashMap.empty[String, Edge]
+  }
+
+  // the generator's canonical statement shapes (Cypher.scala); the id
+  // key clause is always a single pk field bound to one parameter
+  private val Key = """\{`(\w+)`: \$\w+\}"""
+  private val NodeUpsertRe =
+    ("""MERGE \(n:`(\w+)` """ + Key + """\)(?: SET n \+= \$props)?""").r
+  private val NodeDeleteRe =
+    ("""MATCH \(n """ + Key + """\) DETACH DELETE n""").r
+  private val RelUpsertRe =
+    ("""MERGE \(s(:`\w+`)? """ + Key + """\) MERGE \(t(:`\w+`)? """ + Key +
+      """\) MERGE \(s\)-\[r:`(\w+)` """ + Key +
+      """\]->\(t\)(?: SET r \+= \$props)?""").r
+  private val RelDeleteRe =
+    ("""MATCH \(\)-\[r """ + Key + """\]->\(\) DELETE r""").r
+
+  /** Split `CYPHER k=v … <statement>` into params + statement; no
+    * prefix → empty params. Literal grammar: strings with escapes,
+    * numbers, booleans, null, {maps}, [lists] — what
+    * [[graft.engine.Cypher.literal]] emits (and the store accepts). */
+  def splitParams(q: String): (Map[String, Any], String) = {
+    if (!q.startsWith("CYPHER ")) return (Map.empty, q)
+    val s = q.drop("CYPHER ".length)
+    var i = 0
+    val params = Map.newBuilder[String, Any]
+    def skipSpaces(): Unit = while (i < s.length && s(i) == ' ') i += 1
+    def parseValue(): Any = {
+      s(i) match {
+        case '"' =>
+          i += 1
+          val sb = new StringBuilder
+          while (s(i) != '"') {
+            if (s(i) == '\\') {
+              i += 1
+              sb.append(s(i) match {
+                case 'n' => '\n'; case 'r' => '\r'; case 't' => '\t'
+                case c => c
+              })
+            } else sb.append(s(i))
+            i += 1
+          }
+          i += 1
+          sb.toString
+        case '{' =>
+          i += 1
+          val m = Map.newBuilder[String, Any]
+          skipSpaces()
+          while (s(i) != '}') {
+            val ks = i
+            while (s(i) != ':') i += 1
+            val k = s.substring(ks, i).trim
+            i += 1; skipSpaces()
+            m += k -> parseValue()
+            skipSpaces()
+            if (s(i) == ',') { i += 1; skipSpaces() }
+          }
+          i += 1
+          m.result()
+        case '[' =>
+          i += 1
+          val xs = Vector.newBuilder[Any]
+          skipSpaces()
+          while (s(i) != ']') {
+            xs += parseValue()
+            skipSpaces()
+            if (s(i) == ',') { i += 1; skipSpaces() }
+          }
+          i += 1
+          xs.result()
+        case _ =>
+          val st = i
+          while (i < s.length && !" ,}]".contains(s(i))) i += 1
+          s.substring(st, i) match {
+            case "true" => true
+            case "false" => false
+            case "null" => null
+            case num if num.contains('.') || num.contains('e') ||
+              num.contains('E') => num.toDouble
+            case num => num.toLong
+          }
+      }
+    }
+    // `ident=value` pairs until the next token is not an assignment
+    var reading = true
+    while (reading) {
+      skipSpaces()
+      val st = i
+      while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+      if (i < s.length && s(i) == '=' && i > st) {
+        val k = s.substring(st, i)
+        i += 1
+        params += k -> parseValue()
+      } else { i = st; reading = false }
+    }
+    (params.result(), s.substring(i))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.fixtures
+
+import java.io.{BufferedInputStream, BufferedOutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import graft.engine.{Resp, RespValue}
+
+/** Shared RESP2 server plumbing for in-JVM store stand-ins
+  * ([[MiniValkey]], [[MiniFalkor]]): accept loop, per-connection
+  * decode/encode, MULTI/EXEC transaction queueing, and a global lock
+  * under which `dispatch` runs. Subclasses implement only the command
+  * table.
+  */
+abstract class MiniRespServer(threadName: String) extends AutoCloseable {
+
+  private val server = new ServerSocket(0, 64,
+    java.net.InetAddress.getLoopbackAddress)
+  val port: Int = server.getLocalPort
+  val host: String = server.getInetAddress.getHostAddress
+
+  /** One global lock: fixture-grade concurrency (MULTI/EXEC atomicity
+    * falls out for free — EXEC runs its queue under the same lock). */
+  protected val lock = new Object
+  /** Commands observed (name + first two args), for transport-shape
+    * assertions in specs. */
+  val observed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  @volatile private var closed = false
+  private val acceptor = new Thread(() => acceptLoop(), s"$threadName-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  override def close(): Unit = { closed = true; server.close() }
+
+  /** Handle one command (caller holds [[lock]]). */
+  protected def dispatch(name: String, args: Vector[Array[Byte]]): RespValue
+
+  private def acceptLoop(): Unit =
+    while (!closed) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => serve(sock), s"$threadName-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case NonFatal(_) => if (closed) return }
+    }
+
+  private def serve(sock: Socket): Unit = {
+    sock.setTcpNoDelay(true)
+    val in = new BufferedInputStream(sock.getInputStream, 1 << 16)
+    val out = new BufferedOutputStream(sock.getOutputStream, 1 << 16)
+    var txn: Option[mutable.Buffer[Vector[Array[Byte]]]] = None
+    try {
+      while (true) {
+        val cmd = Resp.decode(in) match {
+          case RespValue.Arr(elems) => elems.map {
+            case RespValue.Bulk(b) => b
+            case other => other.text.getBytes(UTF_8)
+          }
+          case other => Vector(other.text.getBytes(UTF_8))
+        }
+        if (cmd.isEmpty) write(out, RespValue.Err("ERR empty command"))
+        else {
+          val name = new String(cmd.head, UTF_8).toUpperCase
+          observed.add((name +: cmd.tail.take(2).map(b =>
+            new String(b, UTF_8))).mkString(" "))
+          val reply = name match {
+            case "MULTI" =>
+              txn = Some(mutable.Buffer.empty); RespValue.Simple("OK")
+            case "DISCARD" => txn = None; RespValue.Simple("OK")
+            case "EXEC" => txn match {
+              case Some(q) =>
+                txn = None
+                lock.synchronized {
+                  RespValue.Arr(q.toVector.map(c => safeDispatch(
+                    new String(c.head, UTF_8).toUpperCase, c.tail)))
+                }
+              case None => RespValue.Err("ERR EXEC without MULTI")
+            }
+            case _ if txn.isDefined =>
+              txn.get += cmd; RespValue.Simple("QUEUED")
+            case other =>
+              lock.synchronized(safeDispatch(other, cmd.tail))
+          }
+          write(out, reply)
+          out.flush()
+        }
+      }
+    } catch { case NonFatal(_) => () } finally sock.close()
+  }
+
+  private def safeDispatch(name: String,
+      args: Vector[Array[Byte]]): RespValue =
+    try dispatch(name, args)
+    catch { case NonFatal(e) => RespValue.Err(s"ERR ${e.getMessage}") }
+
+  private def write(out: java.io.OutputStream, v: RespValue): Unit = v match {
+    case RespValue.Simple(s) => out.write(s"+$s\r\n".getBytes(UTF_8))
+    case RespValue.Err(m) => out.write(s"-$m\r\n".getBytes(UTF_8))
+    case RespValue.Num(n) => out.write(s":$n\r\n".getBytes(UTF_8))
+    case RespValue.Bulk(b) =>
+      out.write(s"$$${b.length}\r\n".getBytes(UTF_8))
+      out.write(b); out.write("\r\n".getBytes(UTF_8))
+    case RespValue.NullValue => out.write("$-1\r\n".getBytes(UTF_8))
+    case RespValue.Arr(elems) =>
+      out.write(s"*${elems.length}\r\n".getBytes(UTF_8))
+      elems.foreach(write(out, _))
+  }
+}

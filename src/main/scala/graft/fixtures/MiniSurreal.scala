@@ -1,0 +1,200 @@
+package graft.fixtures
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** An in-JVM SurrealDB stand-in: the store's HTTP `/sql` endpoint
+  * executing exactly the canonical SurrealQL statements
+  * [[graft.engine.SurrealTableTarget]] generates (reference
+  * surrealdb/_target.py:455-533, :572-594) — BEGIN/COMMIT
+  * transaction brackets, `UPSERT table:⟨id⟩ CONTENT {json}`,
+  * delete-before-`RELATE` relation upserts, `DELETE table:⟨id⟩`,
+  * `DEFINE INDEX`/`REMOVE INDEX`, `REMOVE TABLE`, `SELECT * FROM t`.
+  * Namespace/database scoping comes from the `Surreal-NS`/
+  * `Surreal-DB` headers and is required, like the real store.
+  *
+  * Statement splitting respects JSON string/brace nesting (CONTENT
+  * literals may contain `;` and newlines); statements outside the
+  * canonical shapes error loudly — the fixture doubles as a
+  * transport-shape pin. Replies mirror the store: a JSON array of
+  * `{status, result}` per statement.
+  */
+final class MiniSurreal extends AutoCloseable {
+  import MiniSurreal._
+
+  private val server = HttpServer.create(
+    new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 64)
+  server.setExecutor(java.util.concurrent.Executors
+    .newFixedThreadPool(8, r => {
+      val t = new Thread(r, "mini-surreal"); t.setDaemon(true); t
+    }))
+  val port: Int = server.getAddress.getPort
+  val baseUrl: String = s"http://127.0.0.1:$port"
+
+  private val lock = new Object
+  // (ns, db) -> table -> id -> record fields (plus in/out for relations)
+  private val dbs = mutable.LinkedHashMap
+    .empty[(String, String), mutable.LinkedHashMap[String, Table]]
+  val observed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+  server.start()
+
+  override def close(): Unit = server.stop(0)
+
+  def tableNames(ns: String, db: String): Seq[String] =
+    lock.synchronized(dbs.get((ns, db)).map(_.keys.toSeq).getOrElse(Nil))
+  def rowCount(ns: String, db: String, table: String): Int =
+    lock.synchronized(
+      dbs.get((ns, db)).flatMap(_.get(table)).map(_.rows.size).getOrElse(0))
+  def indexNames(ns: String, db: String, table: String): Seq[String] =
+    lock.synchronized(dbs.get((ns, db)).flatMap(_.get(table))
+      .map(_.indexes.keys.toSeq).getOrElse(Nil))
+
+  private def handle(ex: HttpExchange): Unit = {
+    val method = ex.getRequestMethod
+    val path = ex.getRequestURI.getPath
+    observed.add(s"$method $path")
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    val (status, reply): (Int, JValue) =
+      try {
+        if (method != "POST" || path != "/sql")
+          throw new ApiError(404, s"no route $method $path")
+        val ns = Option(ex.getRequestHeaders.getFirst("Surreal-NS"))
+          .getOrElse(throw new ApiError(400, "missing Surreal-NS header"))
+        val db = Option(ex.getRequestHeaders.getFirst("Surreal-DB"))
+          .getOrElse(throw new ApiError(400, "missing Surreal-DB header"))
+        lock.synchronized {
+          val tables = dbs.getOrElseUpdate((ns, db),
+            mutable.LinkedHashMap.empty)
+          JArray(splitStatements(body).map(s => execute(tables, s)))
+        } match { case r => (200, r) }
+      } catch {
+        case e: ApiError => (e.status,
+          JObject("error" -> JString(e.getMessage)))
+        case NonFatal(e) => (500,
+          JObject("error" -> JString(String.valueOf(e.getMessage))))
+      }
+    val out = JsonMethods.compact(JsonMethods.render(reply)).getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, out.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(out) finally os.close()
+  }
+
+  private def execute(tables: mutable.LinkedHashMap[String, Table],
+      stmt: String): JValue = {
+    def ok(result: JValue): JValue =
+      JObject("status" -> JString("OK"), "result" -> result)
+    def table(name: String) = tables.getOrElseUpdate(name, new Table)
+    stmt match {
+      case "BEGIN TRANSACTION" | "COMMIT TRANSACTION" => ok(JNull)
+      case UpsertRe(t, id, json) =>
+        val rec = JsonMethods.parse(json).asInstanceOf[JObject]
+        table(t).rows(unquoteId(id)) = rec
+        ok(JArray(List(rec)))
+      case RelateRe(fromT, fromId, relT, relId, toT, toId, json) =>
+        val rec = JsonMethods.parse(json).asInstanceOf[JObject]
+        table(relT).rows(unquoteId(relId)) = JObject(rec.obj ++ List(
+          "in" -> JString(s"$fromT:${unquoteId(fromId)}"),
+          "out" -> JString(s"$toT:${unquoteId(toId)}")))
+        ok(JArray(List(rec)))
+      case DeleteRe(t, id) =>
+        table(t).rows.remove(unquoteId(id))
+        ok(JArray(Nil))
+      case SelectRe(t) =>
+        ok(JArray(table(t).rows.toList.map { case (id, rec) =>
+          JObject(("id" -> JString(s"$t:$id")) +: rec.obj)
+        }))
+      case RemoveIndexRe(ifExists, name, t) =>
+        val existed = table(t).indexes.remove(name).isDefined
+        if (!existed && ifExists == null)
+          throw new ApiError(400, s"index $name does not exist")
+        ok(JNull)
+      case DefineIndexRe(name, t, rest) =>
+        table(t).indexes(name) = rest
+        ok(JNull)
+      case RemoveTableRe(ifExists, t) =>
+        val existed = tables.remove(t).isDefined
+        if (!existed && ifExists == null)
+          throw new ApiError(400, s"table $t does not exist")
+        ok(JNull)
+      case other =>
+        throw new ApiError(400,
+          s"fixture does not recognize statement: $other")
+    }
+  }
+}
+
+object MiniSurreal {
+  final class ApiError(val status: Int, msg: String)
+      extends RuntimeException(msg)
+
+  final class Table {
+    val rows = mutable.LinkedHashMap.empty[String, JObject]
+    val indexes = mutable.LinkedHashMap.empty[String, String]
+  }
+
+  // id = bare numeric or backtick-quoted with escapes
+  private val Id = "(-?[0-9.]+|`(?:[^`\\\\]|\\\\.)*`)"
+  private val UpsertRe =
+    ("""UPSERT (\w+):""" + Id + """ CONTENT (\{.*\})""").r
+  private val RelateRe =
+    ("""RELATE (\w+):""" + Id + """->(\w+):""" + Id +
+      """->(\w+):""" + Id + """ CONTENT (\{.*\})""").r
+  private val DeleteRe = ("""DELETE (\w+):""" + Id).r
+  private val SelectRe = """SELECT \* FROM (\w+)""".r
+  private val RemoveIndexRe =
+    """REMOVE INDEX (IF EXISTS )?(\w+) ON TABLE (\w+)""".r
+  private val DefineIndexRe = """DEFINE INDEX (\w+) ON (\w+) (.+)""".r
+  private val RemoveTableRe = """REMOVE TABLE (IF EXISTS )?(\w+)""".r
+
+  private def unquoteId(id: String): String =
+    if (id.startsWith("`") && id.endsWith("`"))
+      id.substring(1, id.length - 1).replace("\\`", "`").replace("\\\\", "\\")
+    else id
+
+  /** Split a SurrealQL script on `;` at nesting depth 0 — CONTENT
+    * JSON literals (with quotes, escapes, braces) pass through
+    * intact. */
+  def splitStatements(script: String): List[String] = {
+    val out = List.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    var inTick = false
+    var i = 0
+    while (i < script.length) {
+      val c = script(i)
+      if (inStr) {
+        cur.append(c)
+        if (c == '\\') { i += 1; if (i < script.length) cur.append(script(i)) }
+        else if (c == '"') inStr = false
+      } else if (inTick) {
+        cur.append(c)
+        if (c == '\\') { i += 1; if (i < script.length) cur.append(script(i)) }
+        else if (c == '`') inTick = false
+      } else c match {
+        case '"' => inStr = true; cur.append(c)
+        case '`' => inTick = true; cur.append(c)
+        case '{' | '[' => depth += 1; cur.append(c)
+        case '}' | ']' => depth -= 1; cur.append(c)
+        case ';' if depth == 0 =>
+          val s = cur.toString.trim
+          if (s.nonEmpty) out += s
+          cur.clear()
+        case other => cur.append(other)
+      }
+      i += 1
+    }
+    val last = cur.toString.trim
+    if (last.nonEmpty) out += last
+    out.result()
+  }
+}

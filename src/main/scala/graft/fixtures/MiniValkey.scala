@@ -1,17 +1,14 @@
 package graft.fixtures
 
-import java.io.{BufferedInputStream, BufferedOutputStream}
-import java.net.{ServerSocket, Socket}
 import java.nio.ByteBuffer
 import java.nio.ByteOrder.LITTLE_ENDIAN
 import java.nio.charset.StandardCharsets.UTF_8
 import scala.collection.mutable
-import scala.util.control.NonFatal
 
-import graft.engine.{Resp, RespValue}
+import graft.engine.RespValue
 
 /** An in-JVM Valkey/RediSearch stand-in speaking real RESP2 over a
-  * real TCP socket.
+  * real TCP socket ([[MiniRespServer]]).
   *
   * The environment has no reachable Valkey server, so — exactly as
   * embedded Derby stands in for postgres on the JDBC transport — this
@@ -28,26 +25,11 @@ import graft.engine.{Resp, RespValue}
   * not an index; the target's scale story lives in the client batching
   * and in the engine's delta classification, not here.
   */
-final class MiniValkey extends AutoCloseable {
+final class MiniValkey extends MiniRespServer("mini-valkey") {
   import MiniValkey._
 
-  private val server = new ServerSocket(0, 64,
-    java.net.InetAddress.getLoopbackAddress)
-  val port: Int = server.getLocalPort
-  val host: String = server.getInetAddress.getHostAddress
-
-  // one global lock: fixture-grade concurrency (MULTI/EXEC atomicity
-  // falls out for free — EXEC runs its queue under the same lock)
-  private val lock = new Object
   private val hashes = mutable.TreeMap.empty[String, mutable.LinkedHashMap[String, Array[Byte]]]
   private val indexes = mutable.LinkedHashMap.empty[String, IndexDef]
-  /** Commands observed, for transport-shape assertions in specs. */
-  val observed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-
-  @volatile private var closed = false
-  private val acceptor = new Thread(() => acceptLoop(), "mini-valkey-accept")
-  acceptor.setDaemon(true)
-  acceptor.start()
 
   def url: (String, Int) = (host, port)
 
@@ -60,104 +42,31 @@ final class MiniValkey extends AutoCloseable {
 
   def indexNames: Seq[String] = lock.synchronized(indexes.keys.toSeq)
 
-  override def close(): Unit = { closed = true; server.close() }
-
-  private def acceptLoop(): Unit =
-    while (!closed) {
-      try {
-        val sock = server.accept()
-        val t = new Thread(() => serve(sock), "mini-valkey-conn")
-        t.setDaemon(true)
-        t.start()
-      } catch { case NonFatal(_) => if (closed) return }
-    }
-
-  private def serve(sock: Socket): Unit = {
-    sock.setTcpNoDelay(true)
-    val in = new BufferedInputStream(sock.getInputStream, 1 << 16)
-    val out = new BufferedOutputStream(sock.getOutputStream, 1 << 16)
-    // per-connection MULTI queue (None = not in a transaction)
-    var txn: Option[mutable.Buffer[Vector[Array[Byte]]]] = None
-    try {
-      while (true) {
-        val cmd = Resp.decode(in) match {
-          case RespValue.Arr(elems) => elems.map {
-            case RespValue.Bulk(b) => b
-            case other => other.text.getBytes(UTF_8)
-          }
-          case other => Vector(other.text.getBytes(UTF_8))
-        }
-        if (cmd.isEmpty) write(out, RespValue.Err("ERR empty command"))
-        else {
-          val name = new String(cmd.head, UTF_8).toUpperCase
-          observed.add((name +: cmd.tail.take(2).map(b =>
-            new String(b, UTF_8))).mkString(" "))
-          val reply = name match {
-            case "MULTI" =>
-              txn = Some(mutable.Buffer.empty); RespValue.Simple("OK")
-            case "DISCARD" => txn = None; RespValue.Simple("OK")
-            case "EXEC" => txn match {
-              case Some(q) =>
-                txn = None
-                lock.synchronized {
-                  RespValue.Arr(q.toVector.map(c => dispatch(
-                    new String(c.head, UTF_8).toUpperCase, c.tail)))
-                }
-              case None => RespValue.Err("ERR EXEC without MULTI")
-            }
-            case other if txn.isDefined =>
-              txn.get += cmd; RespValue.Simple("QUEUED")
-            case other =>
-              lock.synchronized(dispatch(other, cmd.tail))
-          }
-          write(out, reply)
-          out.flush()
-        }
-      }
-    } catch { case NonFatal(_) => () } finally sock.close()
-  }
-
-  private def write(out: java.io.OutputStream, v: RespValue): Unit = v match {
-    case RespValue.Simple(s) => out.write(s"+$s\r\n".getBytes(UTF_8))
-    case RespValue.Err(m) => out.write(s"-$m\r\n".getBytes(UTF_8))
-    case RespValue.Num(n) => out.write(s":$n\r\n".getBytes(UTF_8))
-    case RespValue.Bulk(b) =>
-      out.write(s"$$${b.length}\r\n".getBytes(UTF_8))
-      out.write(b); out.write("\r\n".getBytes(UTF_8))
-    case RespValue.NullValue => out.write("$-1\r\n".getBytes(UTF_8))
-    case RespValue.Arr(elems) =>
-      out.write(s"*${elems.length}\r\n".getBytes(UTF_8))
-      elems.foreach(write(out, _))
-  }
-
   // ---- command dispatch (caller holds the lock) ----
 
-  private def dispatch(name: String, args: Vector[Array[Byte]]): RespValue =
-    try {
-      name match {
-        case "PING" => RespValue.Simple("PONG")
-        case "HSET" => hset(args)
-        case "HGETALL" => hgetall(args)
-        case "DEL" | "UNLINK" =>
-          var n = 0L
-          args.foreach { k =>
-            if (hashes.remove(new String(k, UTF_8)).isDefined) n += 1
-          }
-          RespValue.Num(n)
-        case "SCAN" => scan(args)
-        case "DBSIZE" => RespValue.Num(hashes.size.toLong)
-        case "FT.CREATE" => ftCreate(args)
-        case "FT.DROPINDEX" =>
-          val idx = new String(args.head, UTF_8)
-          if (indexes.remove(idx).isDefined) RespValue.Simple("OK")
-          else RespValue.Err("Unknown index name")
-        case "FT._LIST" =>
-          RespValue.Arr(indexes.keys.toVector.map(RespValue.bulk))
-        case "FT.SEARCH" => ftSearch(args)
-        case other => RespValue.Err(s"ERR unknown command '$other'")
-      }
-    } catch {
-      case NonFatal(e) => RespValue.Err(s"ERR ${e.getMessage}")
+  protected def dispatch(name: String,
+      args: Vector[Array[Byte]]): RespValue =
+    name match {
+      case "PING" => RespValue.Simple("PONG")
+      case "HSET" => hset(args)
+      case "HGETALL" => hgetall(args)
+      case "DEL" | "UNLINK" =>
+        var n = 0L
+        args.foreach { k =>
+          if (hashes.remove(new String(k, UTF_8)).isDefined) n += 1
+        }
+        RespValue.Num(n)
+      case "SCAN" => scan(args)
+      case "DBSIZE" => RespValue.Num(hashes.size.toLong)
+      case "FT.CREATE" => ftCreate(args)
+      case "FT.DROPINDEX" =>
+        val idx = new String(args.head, UTF_8)
+        if (indexes.remove(idx).isDefined) RespValue.Simple("OK")
+        else RespValue.Err("Unknown index name")
+      case "FT._LIST" =>
+        RespValue.Arr(indexes.keys.toVector.map(RespValue.bulk))
+      case "FT.SEARCH" => ftSearch(args)
+      case other => RespValue.Err(s"ERR unknown command '$other'")
     }
 
   private def hset(args: Vector[Array[Byte]]): RespValue = {
@@ -167,7 +76,8 @@ final class MiniValkey extends AutoCloseable {
     args.tail.grouped(2).foreach {
       case Vector(f, v) =>
         if (m.put(new String(f, UTF_8), v).isEmpty) added += 1
-      case _ => throw new IllegalArgumentException("wrong number of arguments for HSET")
+      case _ => throw new IllegalArgumentException(
+        "wrong number of arguments for HSET")
     }
     RespValue.Num(added)
   }
@@ -189,7 +99,7 @@ final class MiniValkey extends AutoCloseable {
     var matchPat: Option[String] = None
     var count = 10
     var i = 1
-    while (i + 1 < args.length + 1 && i < args.length) {
+    while (i < args.length) {
       new String(args(i), UTF_8).toUpperCase match {
         case "MATCH" => matchPat = Some(new String(args(i + 1), UTF_8)); i += 2
         case "COUNT" => count = new String(args(i + 1), UTF_8).toInt; i += 2

@@ -200,6 +200,143 @@ object FlowPack extends QueryPack {
           s.createDataFrame(s.sparkContext.parallelize(rows, 4), back.schema)
         } finally server.close()
       }),
+    // a documents→sources knowledge graph through the FalkorDB
+    // transport: node/edge rows reconciled as reference-shaped Cypher
+    // MERGE statements over real RESP GRAPH.QUERY calls
+    // (graft.fixtures.MiniFalkor executes exactly the canonical
+    // statement shapes), rerun proven a no-op, read back via
+    // MATCH/RETURN and compared whole-graph against the oracle.
+    Q(
+      "q85_falkordb_graph",
+      Some("""
+        SELECT 'n:doc_' || CAST(doc_id AS VARCHAR) AS row_key,
+               'Document' AS label, CAST(NULL AS VARCHAR) AS src,
+               CAST(NULL AS VARCHAR) AS dst, CAST(NULL AS VARCHAR) AS rel_type,
+               CAST(NULL AS VARCHAR) AS txt, CAST(n_chars AS BIGINT) AS n
+        FROM documents
+        UNION ALL
+        SELECT 'n:src_' || CAST(doc_id AS VARCHAR), 'Source', NULL, NULL,
+               NULL, source, NULL
+        FROM documents
+        UNION ALL
+        SELECT 'e:from_' || CAST(doc_id AS VARCHAR), NULL,
+               'doc_' || CAST(doc_id AS VARCHAR),
+               'src_' || CAST(doc_id AS VARCHAR), 'FROM_SOURCE', NULL, NULL
+        FROM documents"""),
+      (s, dir) => {
+        val server = new graft.fixtures.MiniFalkor
+        try {
+          val work = java.nio.file.Files.createTempDirectory("graft-falkor-q85")
+          work.toFile.deleteOnExit()
+          val graphStage = CocoFn("graph", 1, fn = df => {
+            val docNodes = df.select(col("item_key"),
+              concat(lit("n:doc_"), col("item_key")).as("row_key"),
+              lit("Document").as("label"),
+              lit(null).cast("string").as("src"),
+              lit(null).cast("string").as("dst"),
+              lit(null).cast("string").as("rel_type"),
+              lit(null).cast("string").as("src_label"),
+              lit(null).cast("string").as("dst_label"),
+              lit(null).cast("string").as("txt"),
+              col("n_chars").cast("long").as("n"))
+            val srcNodes = df.select(col("item_key"),
+              concat(lit("n:src_"), col("item_key")).as("row_key"),
+              lit("Source").as("label"),
+              lit(null).cast("string").as("src"),
+              lit(null).cast("string").as("dst"),
+              lit(null).cast("string").as("rel_type"),
+              lit(null).cast("string").as("src_label"),
+              lit(null).cast("string").as("dst_label"),
+              col("source").as("txt"),
+              lit(null).cast("long").as("n"))
+            val edges = df.select(col("item_key"),
+              concat(lit("e:from_"), col("item_key")).as("row_key"),
+              lit(null).cast("string").as("label"),
+              concat(lit("doc_"), col("item_key")).as("src"),
+              concat(lit("src_"), col("item_key")).as("dst"),
+              lit("FROM_SOURCE").as("rel_type"),
+              lit("Document").as("src_label"),
+              lit("Source").as("dst_label"),
+              lit(null).cast("string").as("txt"),
+              lit(null).cast("long").as("n"))
+            docNodes.unionByName(srcNodes).unionByName(edges)
+          })
+          val flow = new Flow(
+            "falkor_graph",
+            TableSource(sp => Tables(sp, dir, "documents"), keyCol = "doc_id"),
+            Seq(graphStage),
+            FalkorGraphTarget(server.host, server.port, "docs",
+              nodeProps = Seq(
+                "txt" -> org.apache.spark.sql.types.StringType,
+                "n" -> org.apache.spark.sql.types.LongType),
+              writePartitions = 4, batchSize = 128),
+            work.resolve("state").toString)
+          flow.run(s)
+          require(flow.run(s).isNoop,
+            "incremental contract violated: falkordb rerun was not a no-op")
+          val back = flow.target.read(s)
+            .select("row_key", "label", "src", "dst", "rel_type", "txt", "n")
+          val rows = back.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 4), back.schema)
+        } finally server.close()
+      }),
+    // documents + a citation relation through the SurrealDB transport:
+    // batched multi-statement SurrealQL transactions (UPSERT CONTENT /
+    // delete-before-RELATE) over real HTTP /sql against an in-JVM peer
+    // (graft.fixtures.MiniSurreal), rerun proven a no-op, both tables
+    // read back and compared whole-model against the oracle.
+    Q(
+      "q86_surrealdb_table",
+      Some("""
+        SELECT 'n:' || CAST(doc_id AS VARCHAR) AS row_key,
+               CAST(NULL AS VARCHAR) AS src, CAST(NULL AS VARCHAR) AS dst,
+               source AS txt, CAST(n_chars AS BIGINT) AS n
+        FROM documents
+        UNION ALL
+        SELECT 'e:cite_' || CAST(doc_id AS VARCHAR),
+               CAST(doc_id AS VARCHAR), CAST(doc_id % 50 AS VARCHAR),
+               NULL, NULL
+        FROM documents"""),
+      (s, dir) => {
+        val server = new graft.fixtures.MiniSurreal
+        try {
+          val work = java.nio.file.Files.createTempDirectory("graft-surreal-q86")
+          work.toFile.deleteOnExit()
+          val stage = CocoFn("model", 1, fn = df => {
+            val docs = df.select(col("item_key"),
+              concat(lit("n:"), col("item_key")).as("row_key"),
+              lit(null).cast("string").as("src"),
+              lit(null).cast("string").as("dst"),
+              col("source").as("txt"),
+              col("n_chars").cast("long").as("n"))
+            val cites = df.select(col("item_key"),
+              concat(lit("e:cite_"), col("item_key")).as("row_key"),
+              col("item_key").as("src"),
+              (col("doc_id") % 50).cast("string").as("dst"),
+              lit(null).cast("string").as("txt"),
+              lit(null).cast("long").as("n"))
+            docs.unionByName(cites)
+          })
+          val flow = new Flow(
+            "surreal_model",
+            TableSource(sp => Tables(sp, dir, "documents"), keyCol = "doc_id"),
+            Seq(stage),
+            SurrealTableTarget(server.baseUrl, "graft", "main", "doc",
+              relTable = "cites",
+              readCols = Seq(
+                "txt" -> org.apache.spark.sql.types.StringType,
+                "n" -> org.apache.spark.sql.types.LongType),
+              writePartitions = 4, batchSize = 256),
+            work.resolve("state").toString)
+          flow.run(s)
+          require(flow.run(s).isNoop,
+            "incremental contract violated: surrealdb rerun was not a no-op")
+          val back = flow.target.read(s)
+            .select("row_key", "src", "dst", "txt", "n")
+          val rows = back.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 4), back.schema)
+        } finally server.close()
+      }),
     Q(
       "q63_topic_target",
       // the final compacted map after: produce all docs, then a second

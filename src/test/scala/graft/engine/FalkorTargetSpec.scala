@@ -1,0 +1,246 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.fixtures.MiniFalkor
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** The FalkorDB graph target: Cypher over real RESP GRAPH.QUERY
+  * against [[MiniFalkor]], which executes ONLY the canonical
+  * statement shapes the [[Cypher]] generator emits (anything else is
+  * a loud error — the fixture doubles as a shape pin). Reference
+  * semantics under test
+  * (python/cocoindex/connectors/falkordb/_target.py:444-541 +
+  * neo4j/_cypher.py):
+  *
+  *   - statement text matches the `_cypher` builders exactly;
+  *   - params inline through the `CYPHER k=v` literal prefix;
+  *   - v0 apply ordering (node upserts → rel upserts → rel deletes →
+  *     node deletes) and endpoint-property ownership;
+  *   - DETACH DELETE node deletes; GRAPH.DELETE truncate;
+  *   - a full Flow run building a doc→language knowledge graph.
+  */
+class FalkorTargetSpec extends SparkSpec {
+
+  private def withServer[T](f: MiniFalkor => T): T = {
+    val s = new MiniFalkor
+    try f(s) finally s.close()
+  }
+
+  private def target(s: MiniFalkor): FalkorGraphTarget =
+    FalkorGraphTarget(s.host, s.port, "kg",
+      nodeProps = Seq("txt" -> StringType, "n" -> LongType),
+      writePartitions = 2, batchSize = 2)
+
+  private val schema = StructType(Seq(
+    StructField("row_key", StringType), StructField("label", StringType),
+    StructField("src", StringType), StructField("dst", StringType),
+    StructField("rel_type", StringType),
+    StructField("src_label", StringType),
+    StructField("dst_label", StringType),
+    StructField("txt", StringType), StructField("n", LongType)))
+
+  private def node(id: String, label: String, txt: String,
+      n: java.lang.Long): Row =
+    Row(s"n:$id", label, null, null, null, null, null, txt, n)
+
+  private def edge(id: String, src: String, dst: String, rel: String,
+      srcLabel: String = null, dstLabel: String = null): Row =
+    Row(s"e:$id", null, src, dst, rel, srcLabel, dstLabel, null, null)
+
+  private def df(rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size.min(2))),
+      schema)
+
+  private def noDeletes: DataFrame = {
+    import spark.implicits._
+    Seq.empty[String].toDF("row_key")
+  }
+
+  test("cypher generator matches the reference statement shapes") {
+    assert(Cypher.nodeUpsert("Document", Seq("id"), hasValueFields = true) ==
+      "MERGE (n:`Document` {`id`: $key_0}) SET n += $props")
+    assert(Cypher.nodeUpsert("Document", Seq("id"), hasValueFields = false) ==
+      "MERGE (n:`Document` {`id`: $key_0})")
+    assert(Cypher.nodeDelete(Some("Document"), Seq("id")) ==
+      "MATCH (n:`Document` {`id`: $key_0}) DETACH DELETE n")
+    assert(Cypher.relationshipUpsert("HAS_LANG",
+      Some("Document"), Seq("id"), Some("Language"), Seq("id"),
+      Seq("id"), hasValueFields = true) ==
+      "MERGE (s:`Document` {`id`: $from_key_0}) " +
+        "MERGE (t:`Language` {`id`: $to_key_0}) " +
+        "MERGE (s)-[r:`HAS_LANG` {`id`: $rel_key_0}]->(t) SET r += $props")
+    assert(Cypher.relationshipDelete(Some("HAS_LANG"), Seq("id")) ==
+      "MATCH ()-[r:`HAS_LANG` {`id`: $key_0}]->() DELETE r")
+    // identifiers are validated, never escaped (injection refused)
+    intercept[IllegalArgumentException] {
+      Cypher.nodeUpsert("Doc`) DETACH DELETE (m", Seq("id"), false)
+    }
+    intercept[IllegalArgumentException] {
+      Cypher.paramsPrefix(Seq("k v" -> "x"))
+    }
+  }
+
+  test("param literals: strings escape, maps/lists/numbers inline") {
+    assert(Cypher.literal("a\"b\\c\nd") == "\"a\\\"b\\\\c\\nd\"")
+    assert(Cypher.literal(42L) == "42")
+    assert(Cypher.literal(Map("a" -> 1L, "b" -> "x")) ==
+      "{a: 1, b: \"x\"}")
+    assert(Cypher.literal(Seq(1.5, 2.5)) == "[1.5, 2.5]")
+    assert(Cypher.paramsPrefix(Seq("key_0" -> "d1")) ==
+      "CYPHER key_0=\"d1\" ")
+    // round-trip through the fixture's parser
+    val (params, stmt) = graft.fixtures.MiniFalkor.splitParams(
+      "CYPHER key_0=\"a b\" props={x: 1, y: \"z,w\"} MERGE (n:`L` {`id`: $key_0})")
+    assert(params == Map("key_0" -> "a b",
+      "props" -> Map("x" -> 1L, "y" -> "z,w")))
+    assert(stmt == "MERGE (n:`L` {`id`: $key_0})")
+  }
+
+  test("upsert, readback, idempotent re-apply, delta update/delete") {
+    withServer { s =>
+      val t = target(s)
+      val s1 = t.apply(spark, df(Seq(
+        node("d1", "Document", "alpha", 1L),
+        node("d2", "Document", "beta", 2L),
+        node("scala", "Language", null, null),
+        edge("d1>scala", "d1", "scala", "HAS_LANG",
+          "Document", "Language"))), noDeletes)
+      assert(s1 == TargetStats(4, 0))
+      assert(s.nodeCount("kg") == 3 && s.edgeCount("kg") == 1)
+
+      val back = t.read(spark)
+      val nodes = back.filter(col("row_key").startsWith("n:"))
+      assert(nodes.count() == 3)
+      assert(nodes.filter(col("label") === "Document").count() == 2)
+      val d1 = nodes.filter(col("row_key") === "n:d1").collect().head
+      assert(d1.getAs[String]("txt") == "alpha" && d1.getAs[Long]("n") == 1L)
+      val e1 = back.filter(col("row_key") === "e:d1>scala").collect().head
+      assert(e1.getAs[String]("src") == "d1" &&
+        e1.getAs[String]("dst") == "scala" &&
+        e1.getAs[String]("rel_type") == "HAS_LANG")
+
+      // convergent re-apply
+      t.apply(spark, df(Seq(node("d1", "Document", "alpha", 1L))), noDeletes)
+      assert(s.nodeCount("kg") == 3 && s.edgeCount("kg") == 1)
+
+      // delta: update d1, delete d2 and the edge
+      import spark.implicits._
+      t.apply(spark, df(Seq(node("d1", "Document", "ALPHA", 10L))),
+        Seq("n:d2", "e:d1>scala").toDF("row_key"))
+      assert(s.nodeCount("kg") == 2 && s.edgeCount("kg") == 0)
+      val d1b = t.read(spark).filter(col("row_key") === "n:d1")
+        .collect().head
+      assert(d1b.getAs[String]("txt") == "ALPHA")
+    }
+  }
+
+  test("edge endpoints MERGE as placeholders; DETACH DELETE cascades") {
+    withServer { s =>
+      val t = target(s)
+      // edge arrives before its endpoint rows: endpoints materialize
+      // as placeholder nodes (the reference's endpoint MERGE)
+      t.apply(spark, df(Seq(
+        edge("a>b", "a", "b", "LINKS", "Doc", "Doc"))), noDeletes)
+      assert(s.nodeCount("kg") == 2 && s.edgeCount("kg") == 1)
+
+      // deleting node a detaches its edge too
+      import spark.implicits._
+      t.apply(spark, df(Nil), Seq("n:a").toDF("row_key"))
+      assert(s.nodeCount("kg") == 1 && s.edgeCount("kg") == 0)
+    }
+  }
+
+  test("only canonical statements reach the wire; injection is refused") {
+    withServer { s =>
+      val t = target(s)
+      t.apply(spark, df(Seq(node("d1", "Document", "alpha", 1L))), noDeletes)
+      import scala.jdk.CollectionConverters._
+      val stmts = s.statements.asScala.toVector
+      assert(stmts.contains(
+        "MERGE (n:`Document` {`id`: $key_0}) SET n += $props"))
+      // a hostile label never becomes a statement — validation throws
+      // executor-side before anything is sent
+      intercept[org.apache.spark.SparkException] {
+        t.apply(spark, df(Seq(
+          node("x", "Doc`) DETACH DELETE (m", null, null))), noDeletes)
+      }
+    }
+  }
+
+  test("truncate = GRAPH.DELETE, converges when the graph is absent") {
+    withServer { s =>
+      val t = target(s)
+      t.apply(spark, df(Seq(node("d1", "Document", "alpha", 1L))), noDeletes)
+      t.truncate(spark)
+      assert(s.nodeCount("kg") == 0)
+      t.truncate(spark) // empty-key error tolerated
+    }
+  }
+
+  test("full Flow: docs→language knowledge graph over GRAPH.QUERY") {
+    withServer { s =>
+      val work = Files.createTempDirectory("falkor-flow")
+      work.toFile.deleteOnExit()
+      import spark.implicits._
+
+      val base = new java.util.concurrent.atomic.AtomicReference(
+        Map("a.md" -> "alpha doc", "b.py" -> "print('bravo')"))
+      def src = TableSource(
+        sp => {
+          import sp.implicits._
+          base.get().toSeq.toDF("path", "text")
+        },
+        keyCol = "path")
+      val graphStage = CocoFn("graph", 1, fn = df => {
+        val lang = graft.operators.Chunker.detectCodeLanguage(col("path"))
+        val docNodes = df.select(col("item_key"),
+          concat(lit("n:doc_"), col("item_key")).as("row_key"),
+          lit("Document").as("label"),
+          lit(null).cast("string").as("src"),
+          lit(null).cast("string").as("dst"),
+          lit(null).cast("string").as("rel_type"),
+          lit(null).cast("string").as("src_label"),
+          lit(null).cast("string").as("dst_label"),
+          col("text").as("txt"), length(col("text")).cast("long").as("n"))
+        val langNodes = df.select(col("item_key"),
+          concat(lit("n:lang_"), col("item_key")).as("row_key"),
+          lit("Language").as("label"),
+          lit(null).cast("string").as("src"),
+          lit(null).cast("string").as("dst"),
+          lit(null).cast("string").as("rel_type"),
+          lit(null).cast("string").as("src_label"),
+          lit(null).cast("string").as("dst_label"),
+          lang.as("txt"), lit(null).cast("long").as("n"))
+        val edges = df.select(col("item_key"),
+          concat(lit("e:"), col("item_key"), lit("_lang")).as("row_key"),
+          lit(null).cast("string").as("label"),
+          concat(lit("doc_"), col("item_key")).as("src"),
+          concat(lit("lang_"), col("item_key")).as("dst"),
+          lit("HAS_LANG").as("rel_type"),
+          lit("Document").as("src_label"),
+          lit("Language").as("dst_label"),
+          lit(null).cast("string").as("txt"),
+          lit(null).cast("long").as("n"))
+        docNodes.unionByName(langNodes).unionByName(edges)
+      })
+      val flow = new Flow("falkor_kg", src, Seq(graphStage), target(s),
+        work.resolve("state").toString)
+
+      val r1 = flow.run(spark)
+      assert(r1.rowsInserted == 6, s"$r1") // 2 docs x (doc+lang+edge)
+      assert(s.nodeCount("kg") == 4 && s.edgeCount("kg") == 2)
+      assert(flow.run(spark).isNoop)
+
+      // drop one doc: its three rows delete, graph shrinks
+      base.set(Map("a.md" -> "alpha doc"))
+      val r2 = flow.run(spark)
+      assert(r2.rowsDeleted == 3, s"$r2")
+      assert(s.nodeCount("kg") == 2 && s.edgeCount("kg") == 1)
+      assert(flow.run(spark).isNoop)
+    }
+  }
+}

@@ -1,0 +1,190 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.fixtures.MiniSurreal
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** The SurrealDB multi-model target over real HTTP `/sql`
+  * ([[MiniSurreal]] executes exactly the canonical SurrealQL the
+  * generator emits). Reference semantics under test
+  * (python/cocoindex/connectors/surrealdb/_target.py):
+  *
+  *   - one multi-statement transaction per batch (:488-533);
+  *   - `UPSERT table:⟨id⟩ CONTENT {json}`; delete-before-RELATE
+  *     relation upserts binding in/out; `DELETE table:⟨id⟩`;
+  *   - record-id formatting (:86-99): numerics bare, strings
+  *     backtick-escaped;
+  *   - vector index drop-and-recreate DDL (:572-594);
+  *   - namespace/database header scoping;
+  *   - a full Flow run (normal + relation records, no-op rerun,
+  *     delta).
+  */
+class SurrealTargetSpec extends SparkSpec {
+
+  private def withServer[T](f: MiniSurreal => T): T = {
+    val s = new MiniSurreal
+    try f(s) finally s.close()
+  }
+
+  private def target(s: MiniSurreal): SurrealTableTarget =
+    SurrealTableTarget(s.baseUrl, "testns", "testdb", "doc",
+      relTable = "refs",
+      readCols = Seq("txt" -> StringType, "n" -> LongType),
+      writePartitions = 2, batchSize = 2)
+
+  private val schema = StructType(Seq(
+    StructField("row_key", StringType), StructField("src", StringType),
+    StructField("dst", StringType), StructField("txt", StringType),
+    StructField("n", LongType)))
+
+  private def node(id: String, txt: String, n: java.lang.Long): Row =
+    Row(s"n:$id", null, null, txt, n)
+
+  private def edge(id: String, src: String, dst: String,
+      txt: String = null): Row =
+    Row(s"e:$id", src, dst, txt, null)
+
+  private def df(rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size.min(2))),
+      schema)
+
+  private def noDeletes: DataFrame = {
+    import spark.implicits._
+    Seq.empty[String].toDF("row_key")
+  }
+
+  test("record ids: numerics bare, strings backtick-escaped") {
+    assert(SurrealTableTarget.recordId(42L) == "42")
+    assert(SurrealTableTarget.recordId("alice") == "`alice`")
+    assert(SurrealTableTarget.recordId("has`tick\\slash") ==
+      "`has\\`tick\\\\slash`")
+  }
+
+  test("statement splitting survives `;` and braces inside CONTENT") {
+    val script = "BEGIN TRANSACTION;\n" +
+      "UPSERT doc:`a` CONTENT {\"txt\":\"x; {y} \\\" z\",\"n\":1};\n" +
+      "COMMIT TRANSACTION;\n"
+    val stmts = MiniSurreal.splitStatements(script)
+    assert(stmts.length == 3, stmts.toString)
+    assert(stmts(1).startsWith("UPSERT doc:`a` CONTENT"))
+  }
+
+  test("upsert, readback, idempotent re-apply, delta update/delete") {
+    withServer { s =>
+      val t = target(s)
+      val s1 = t.apply(spark, df(Seq(
+        node("d1", "alpha", 1L), node("d2", "beta", 2L),
+        edge("d1_d2", "d1", "d2", "links"))), noDeletes)
+      assert(s1 == TargetStats(3, 0))
+      assert(s.rowCount("testns", "testdb", "doc") == 2)
+      assert(s.rowCount("testns", "testdb", "refs") == 1)
+
+      val back = t.read(spark)
+      val d1 = back.filter(col("row_key") === "n:d1").collect().head
+      assert(d1.getAs[String]("txt") == "alpha" && d1.getAs[Long]("n") == 1L)
+      val e1 = back.filter(col("row_key") === "e:d1_d2").collect().head
+      assert(e1.getAs[String]("src") == "d1" &&
+        e1.getAs[String]("dst") == "d2" &&
+        e1.getAs[String]("txt") == "links")
+
+      // convergent re-apply (delete-before-RELATE keeps one relation)
+      t.apply(spark, df(Seq(edge("d1_d2", "d1", "d2", "links"))), noDeletes)
+      assert(s.rowCount("testns", "testdb", "refs") == 1)
+
+      // delta: update d1, delete d2 and the relation
+      import spark.implicits._
+      t.apply(spark, df(Seq(node("d1", "ALPHA", 10L))),
+        Seq("n:d2", "e:d1_d2").toDF("row_key"))
+      assert(s.rowCount("testns", "testdb", "doc") == 1)
+      assert(s.rowCount("testns", "testdb", "refs") == 0)
+      val d1b = t.read(spark).filter(col("row_key") === "n:d1")
+        .collect().head
+      assert(d1b.getAs[String]("txt") == "ALPHA")
+
+      assert(t.apply(spark, df(Nil), noDeletes) == TargetStats(0, 0))
+    }
+  }
+
+  test("special ids round-trip through backtick escaping") {
+    withServer { s =>
+      val t = target(s)
+      t.apply(spark, df(Seq(node("weird id:with ; stuff", "w", 1L))),
+        noDeletes)
+      val back = t.read(spark).filter(col("txt") === "w").collect().head
+      assert(back.getString(0) == "n:weird id:with ; stuff")
+      import spark.implicits._
+      t.apply(spark, df(Nil),
+        Seq("n:weird id:with ; stuff").toDF("row_key"))
+      assert(s.rowCount("testns", "testdb", "doc") == 0)
+    }
+  }
+
+  test("vector index DDL: drop-and-recreate, recorded shape") {
+    withServer { s =>
+      val t = target(s).copy(vectorIndexes = Seq(
+        SurrealVectorIndex("idx_doc__vec", "vec", dimension = 8)))
+      t.apply(spark, df(Seq(node("d1", "alpha", 1L))), noDeletes)
+      assert(s.indexNames("testns", "testdb", "doc") == Seq("idx_doc__vec"))
+      // re-apply converges (REMOVE IF EXISTS + DEFINE again)
+      t.apply(spark, df(Seq(node("d1", "alpha", 1L))), noDeletes)
+      assert(s.indexNames("testns", "testdb", "doc") == Seq("idx_doc__vec"))
+    }
+  }
+
+  test("truncate removes both tables and converges when absent") {
+    withServer { s =>
+      val t = target(s)
+      t.apply(spark, df(Seq(node("d1", "alpha", 1L),
+        edge("x", "d1", "d1"))), noDeletes)
+      t.truncate(spark)
+      assert(s.rowCount("testns", "testdb", "doc") == 0)
+      assert(s.rowCount("testns", "testdb", "refs") == 0)
+      t.truncate(spark) // IF EXISTS converges
+    }
+  }
+
+  test("full Flow over /sql: reconcile → apply → rerun no-op → delta") {
+    withServer { s =>
+      val work = Files.createTempDirectory("surreal-flow")
+      work.toFile.deleteOnExit()
+      import spark.implicits._
+
+      val base = new java.util.concurrent.atomic.AtomicReference(
+        Map("d1" -> "alpha text", "d2" -> "beta text", "d3" -> "gamma text"))
+      def src = TableSource(
+        sp => {
+          import sp.implicits._
+          base.get().toSeq.toDF("doc_id", "text")
+        },
+        keyCol = "doc_id")
+      val stage = CocoFn("upper", 1, fn = df => df.select(
+        col("item_key"),
+        concat(lit("n:"), col("item_key")).as("row_key"),
+        lit(null).cast("string").as("src"),
+        lit(null).cast("string").as("dst"),
+        upper(col("text")).as("txt"),
+        length(col("text")).cast("long").as("n")))
+      val flow = new Flow("surreal_e2e", src, Seq(stage), target(s),
+        work.resolve("state").toString)
+
+      val r1 = flow.run(spark)
+      assert(r1.rowsInserted == 3 && r1.rowsDeleted == 0, s"$r1")
+      assert(flow.run(spark).isNoop, "rerun over unchanged source must no-op")
+
+      base.set(Map("d1" -> "alpha text", "d2" -> "beta EDITED"))
+      val r2 = flow.run(spark)
+      assert(r2.rowsUpdated == 1 && r2.rowsDeleted == 1 &&
+        r2.rowsInserted == 0, s"$r2")
+      val got = flow.target.read(spark)
+        .filter(col("row_key").startsWith("n:"))
+        .select("row_key", "txt").collect()
+        .map(r => r.getString(0).drop(2) -> r.getString(1)).toMap
+      assert(got == Map("d1" -> "ALPHA TEXT", "d2" -> "BETA EDITED"))
+      assert(flow.run(spark).isNoop)
+    }
+  }
+}
