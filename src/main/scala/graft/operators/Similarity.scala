@@ -537,4 +537,85 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  // ---- sparse-vector retrieval ---------------------------------------
+
+  /** Text → sparse term-frequency weights `(id, term, w)` — the
+    * simplest learned-sparse stand-in (a SPLADE/BM25-family model
+    * would emit the same relation with learned weights; the reference
+    * stores such vectors as qdrant sparse vectors,
+    * qdrant/_target.py:72-81, and zvec sparse fields,
+    * zvec/_target.py:236-241). Tokenization is [[Fts.tokens]], the
+    * analysis chain every keyword path here shares. */
+  def sparseTermWeights(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(Fts.tokens(col(textCol))).as("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).cast("double").as("w"))
+
+  /** Sparse struct columns (`indices: ARRAY<INT>, values:
+    * ARRAY<FLOAT>` — the wire shape of qdrant/zvec sparse vectors) →
+    * the same `(id, term, w)` relation, terms being dimension ids. */
+  def sparseStructWeights(docs: DataFrame, idCol: String,
+      sparseCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(arrays_zip(col(s"$sparseCol.indices"),
+        col(s"$sparseCol.values"))).as("t"))
+      .select(col("id"), col("t.indices").cast("string").as("term"),
+        col("t.values").cast("double").as("w"))
+
+  /** Top-k sparse dot-product retrieval — the inverted-index join:
+    * score(q, d) = Σ_{t ∈ q ∩ d} q_t · d_t.
+    *
+    * Scale shape: with a small query batch the query side is
+    * BROADCAST, so the corpus posting relation is scanned once with
+    * no shuffle of corpus rows — the join is a map-side hash probe on
+    * `term`, partials aggregate map-side, and the per-query top-k is
+    * a ranking window (partial TakeOrdered per partition). With
+    * `broadcastQueries = false` it degrades to a term-shuffled
+    * equi-join for query sets too big to broadcast. Hot terms
+    * (stopword-like dimensions) fan out the probe — prune them with
+    * `maxDocFreq` (drop terms occurring in more than that fraction of
+    * docs; learned-sparse models train those weights toward zero
+    * anyway, and the reference's own FTS pruning plays the same
+    * role).
+    *
+    * Ties break on ascending doc id, like every other top-k here.
+    */
+  def sparseTopK(docWeights: DataFrame, queryWeights: DataFrame, k: Int,
+      broadcastQueries: Boolean = true,
+      maxDocFreq: Double = 1.0,
+      /** Drop hits whose doc id equals the query id — for
+        * corpus-as-queries self-retrieval (near-dup style). */
+      excludeSelf: Boolean = false): DataFrame = {
+    val d0 = docWeights.select(col("id").as("doc_id"), col("term"),
+      col("w").as("dw"))
+    val d =
+      if (maxDocFreq >= 1.0) d0
+      else {
+        val nDocs = docWeights.select("id").distinct().count()
+        val keep = d0.groupBy("term")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= lit(maxDocFreq * nDocs))
+          .select("term")
+        d0.join(broadcast(keep), "term")
+      }
+    val q = queryWeights.select(col("id").as("query_id"), col("term"),
+      col("w").as("qw"))
+    val joined =
+      if (broadcastQueries) d.join(broadcast(q), "term")
+      else d.join(q, "term")
+    val filtered =
+      if (excludeSelf) joined.filter(col("doc_id") =!= col("query_id"))
+      else joined
+    val scores = filtered
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("qw") * col("dw")).as("score"))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    scores.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "score")
+  }
 }

@@ -192,5 +192,37 @@ object SearchPack extends QueryPack {
           .select(col("doc_id"),
             col("rank_0").as("rank_txt"), col("rank_1").as("rank_vec"),
             round(col("rrf"), 6).as("rrf"))
+      }),
+
+    // ---- sparse-vector retrieval (SPLADE-family / qdrant sparse ----
+    // vectors qdrant/_target.py:72-81 / zvec sparse fields
+    // zvec/_target.py:236-241): term-frequency sparse vectors, top-k
+    // by sparse dot product via the inverted-index join. The query
+    // batch (doc_id % 100 = 0) is broadcast, so corpus postings scan
+    // once with no shuffle; scores are exact integer-count products.
+    Q(
+      "q87_sparse_knn",
+      Some("""
+        WITH tf AS (
+          SELECT doc_id AS id, t.term, CAST(COUNT(*) AS DOUBLE) AS w
+          FROM documents,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(term)
+          GROUP BY doc_id, t.term),
+        scores AS (
+          SELECT q.id AS query_id, d.id AS doc_id, SUM(q.w * d.w) AS score
+          FROM tf q JOIN tf d ON q.term = d.term
+          WHERE q.id % 100 = 0 AND d.id <> q.id
+          GROUP BY q.id, d.id)
+        SELECT query_id, doc_id, score
+        FROM scores
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) <= 5"""),
+      (s, dir) => {
+        val tf = Similarity.sparseTermWeights(
+          Tables(s, dir, "documents"), "doc_id", "text")
+        val queries = tf.filter(col("id") % 100 === 0)
+        Similarity.sparseTopK(tf, queries, k = 5, excludeSelf = true)
+          .select(col("query_id").cast("long").as("query_id"),
+            col("doc_id").cast("long").as("doc_id"), col("score"))
       }))
 }

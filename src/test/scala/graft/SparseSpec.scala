@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sparse-vector retrieval ([[Similarity.sparseTermWeights]] /
+  * [[Similarity.sparseStructWeights]] / [[Similarity.sparseTopK]]) —
+  * the SPLADE-family sparse shape the reference stores as qdrant
+  * sparse vectors (qdrant/_target.py:72-81) and zvec sparse fields
+  * (zvec/_target.py:236-241), served as an inverted-index join.
+  */
+class SparseSpec extends SparkSpec {
+
+  private def tinyCorpus = {
+    import spark.implicits._
+    Seq(
+      (0L, "spark streams data data"),
+      (1L, "spark data"),
+      (2L, "quantum cats"),
+      (3L, "data data data")).toDF("doc_id", "text")
+  }
+
+  test("term weights are per-doc term frequencies over Fts tokens") {
+    val tf = Similarity.sparseTermWeights(tinyCorpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(tf((0L, "data")) == 2.0)
+    assert(tf((0L, "spark")) == 1.0)
+    assert(tf((3L, "data")) == 3.0)
+    assert(!tf.contains((2L, "data")))
+  }
+
+  test("struct sparse vectors explode to the same relation shape") {
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("sparse", StructType(Seq(
+        StructField("indices", ArrayType(IntegerType)),
+        StructField("values", ArrayType(FloatType)))))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("a", Row(Seq(3, 17), Seq(0.5f, 2.0f))),
+      Row("b", Row(Seq(17), Seq(1.0f)))), 1), schema)
+    val w = Similarity.sparseStructWeights(df, "id", "sparse")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(w(("a", "3")) == 0.5 && w(("a", "17")) == 2.0)
+    assert(w(("b", "17")) == 1.0)
+  }
+
+  test("sparse top-k equals hand-computed dot products; ties on id") {
+    val tf = Similarity.sparseTermWeights(tinyCorpus, "doc_id", "text")
+    import spark.implicits._
+    val queries = tf.filter(col("id") === 0L)
+    val hits = Similarity.sparseTopK(tf, queries, k = 3,
+      excludeSelf = true).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    // q0 = {spark:1, streams:1, data:2}; d1 = {spark:1, data:1} → 3;
+    // d3 = {data:3} → 6; d2 → no overlap
+    assert(hits.toSeq == Seq((3L, 6.0), (1L, 3.0)))
+  }
+
+  test("broadcast and shuffled variants agree") {
+    val tf = Similarity.sparseTermWeights(tinyCorpus, "doc_id", "text")
+    val queries = tf.filter(col("id").isin(0L, 2L))
+    def res(b: Boolean) = Similarity.sparseTopK(tf, queries, 3,
+      broadcastQueries = b, excludeSelf = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(res(true) == res(false))
+    // and the default plan really does broadcast the query side
+    val plan = Similarity.sparseTopK(tf, queries, 3, excludeSelf = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("maxDocFreq prunes stopword-like terms from the join") {
+    val tf = Similarity.sparseTermWeights(tinyCorpus, "doc_id", "text")
+    val queries = tf.filter(col("id") === 0L)
+    // 'data' occurs in 3 of 4 docs (df 0.75): pruned at 0.5 → only
+    // 'spark' overlap survives, so d3 (data-only) drops out entirely
+    val hits = Similarity.sparseTopK(tf, queries, 3,
+      maxDocFreq = 0.5, excludeSelf = true).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(hits.toSeq == Seq((1L, 1.0)))
+  }
+
+  test("without excludeSelf the query's own doc ranks first") {
+    val tf = Similarity.sparseTermWeights(tinyCorpus, "doc_id", "text")
+    val queries = tf.filter(col("id") === 0L)
+    val top = Similarity.sparseTopK(tf, queries, 1).collect().head
+    assert(top.getLong(1) == 0L) // self has the maximal dot product
+  }
+}
