@@ -1,0 +1,20 @@
+package graft
+// temporary diagnostic - remove after q81 sf0.1 investigation
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Chunker
+object DebugDup {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(cpus = 8, appName = "debug-dup")
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables(spark, "/root/testdata/sf0.1", "documents")
+      .select(col("doc_id").cast("string").as("item_key"),
+        col("doc_id"), col("text"))
+    val chunks = Chunker.chunkFixed(docs, "text", width = 200, stride = 150)
+      .select(concat(col("item_key"), lit("#"), col("chunk_idx")).as("row_key"))
+    val dups = chunks.groupBy("row_key").count().filter(col("count") > 1)
+    println("DUPCOUNT=" + dups.count())
+    dups.show(10, false)
+    spark.stop()
+  }
+}

@@ -68,7 +68,7 @@ final case class FalkorGraphTarget(host: String, port: Int, graph: String,
       val (h, p, g, pk, bs) = (host, port, graph, pkField, batchSize)
       val schema = up.schema
       def send(df: DataFrame, mk: (Row, StructType) => String): Unit =
-        df.repartition(writePartitions).foreachPartition {
+        df.repartition(writePartitions, col(RowKey)).foreachPartition {
           rows: Iterator[Row] =>
             val c = new RespClient(h, p)
             try rows.grouped(bs).foreach { batch =>
@@ -78,7 +78,7 @@ final case class FalkorGraphTarget(host: String, port: Int, graph: String,
             } finally c.close()
         }
       def sendKeys(df: DataFrame, mk: String => String): Unit =
-        df.repartition(writePartitions).foreachPartition {
+        df.repartition(writePartitions, col(RowKey)).foreachPartition {
           rows: Iterator[Row] =>
             val c = new RespClient(h, p)
             try rows.grouped(bs).foreach { batch =>

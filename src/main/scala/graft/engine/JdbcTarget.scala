@@ -149,13 +149,22 @@ final case class JdbcTableTarget(url: String, table: String,
       }
 
       val (u, t, bs, dia) = (url, table, batchSize, dialect)
+      // see SqlDialect.concurrentWriters — stores whose engine can't
+      // take concurrent writer connections (embedded Derby) serialize
+      val parts =
+        if (dialect.concurrentWriters) writePartitions else 1
       if (nUp > 0) {
         val schema = up.schema
         val valueFields = schema.fields.filter(_.name != RowKey).toSeq
         val keyIdx = schema.fieldIndex(RowKey)
         val merge = dia.upsertSql(t, KeyLen, valueFields.map(_.name))
         val reps = if (dia.bindTwice) 2 else 1
-        up.repartition(writePartitions).foreachPartition {
+        // hash-partition BY KEY, not round-robin: every key has
+        // exactly one writer connection, so concurrent MERGEs can
+        // never race the same key into a spurious duplicate-key
+        // abort (observed as Derby 23505 under load at sf0.1), and a
+        // task retry re-sends a deterministic key set
+        up.repartition(parts, col(RowKey)).foreachPartition {
           rows: Iterator[Row] =>
             writeChunked(u, merge, rows, bs, dia) { (ps, row) =>
               // the (key, values…) tuple, bound once or twice per the
@@ -173,7 +182,7 @@ final case class JdbcTableTarget(url: String, table: String,
       }
       if (nDel > 0) {
         val delSql = dia.deleteSql(t, RowKey)
-        del.repartition(writePartitions).foreachPartition {
+        del.repartition(parts, col(RowKey)).foreachPartition {
           rows: Iterator[Row] =>
             writeChunked(u, delSql, rows, bs, dia) { (ps, row) =>
               ps.setString(1, row.getString(0))
@@ -374,8 +383,14 @@ object JdbcTableTarget {
             conn.commit()
             done = true
           } catch {
+            // lock conflicts AND duplicate-key aborts both retry: a
+            // MERGE that lost a race to a concurrent committer finds
+            // the row WHEN MATCHED on the rerun and updates it — the
+            // convergent-upsert contract (belt-and-braces; key-hashed
+            // write partitioning already serializes same-key writes)
             case e: SQLException
-                if retriableState(e, dialect.retriableStates) &&
+                if (retriableState(e, dialect.retriableStates) ||
+                  retriableState(e, DuplicateKeyStates)) &&
                   attempt < MaxRetries =>
               conn.rollback()
               ps.clearBatch()
@@ -383,11 +398,24 @@ object JdbcTableTarget {
               Thread.sleep(50L << attempt)
           }
         }
+      } catch {
+        // roll back the open transaction before the connection
+        // closes: Derby refuses to close mid-transaction, and that
+        // secondary error would MASK the real failure (first seen as
+        // q81 "Cannot close a connection while a transaction is
+        // still active" hiding the actual batch exception)
+        case t: Throwable =>
+          try conn.rollback()
+          catch { case s: Throwable => t.addSuppressed(s) }
+          throw t
       } finally ps.close()
     }
   }
 
   private val MaxRetries = 5
+  /** SQLSTATE 23505: unique/PK violation — retriable for convergent
+    * MERGE upserts (see writeChunked). */
+  private val DuplicateKeyStates = Set("23505")
 
   private[engine] def retriableState(e: SQLException): Boolean =
     retriableState(e, SqlDialect.Derby.retriableStates)

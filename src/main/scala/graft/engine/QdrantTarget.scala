@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.JsonDSL._
@@ -58,8 +59,10 @@ final case class QdrantCollectionTarget(baseUrl: String, collection: String,
 
   require(vectors.nonEmpty || sparseVectors.nonEmpty,
     "a qdrant collection declares at least one vector")
-  require(!vectors.exists(_.name == "") || vectors.length == 1,
-    "the unnamed vector ('') must be the collection's only dense vector")
+  require(!vectors.exists(_.name == "") ||
+    (vectors.length == 1 && sparseVectors.isEmpty),
+    "the unnamed vector ('') must be the collection's only vector — " +
+      "qdrant requires NAMED vectors when mixing dense and sparse")
 
   private def cUrl = s"$baseUrl/collections/$collection"
 
@@ -109,7 +112,7 @@ final case class QdrantCollectionTarget(baseUrl: String, collection: String,
       val sparseDefs = sparseVectors
       if (nUp > 0) {
         val schema = up.schema
-        up.repartition(writePartitions).foreachPartition {
+        up.repartition(writePartitions, col(RowKey)).foreachPartition {
           rows: Iterator[Row] =>
             rows.grouped(bs).foreach { batch =>
               HttpJson.sendBatched(batch) { items =>
@@ -123,7 +126,7 @@ final case class QdrantCollectionTarget(baseUrl: String, collection: String,
         }
       }
       if (nDel > 0) {
-        del.repartition(writePartitions).foreachPartition {
+        del.repartition(writePartitions, col(RowKey)).foreachPartition {
           rows: Iterator[Row] =>
             rows.grouped(bs).foreach { batch =>
               HttpJson.sendBatched(batch) { items =>

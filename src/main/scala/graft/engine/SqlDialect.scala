@@ -72,6 +72,16 @@ trait SqlDialect extends Serializable {
 
   /** SQLSTATEs tolerable on DROP (object already absent). */
   def ddlMissingStates: Set[String]
+
+  /** Whether the store handles CONCURRENT writer connections on one
+    * table. True for every server store (postgres upserts from many
+    * executors are the point of the transport); false only where the
+    * engine itself is unsafe — embedded Derby's batched MERGE has
+    * internal races under multi-connection load (observed: spurious
+    * 23505, an `_actionRS` NullPointerException, "page attempted
+    * latched twice"), so its writes serialize onto one connection.
+    * This is a property of the TEST store, not of the transport. */
+  def concurrentWriters: Boolean = true
 }
 
 object SqlDialect {
@@ -131,6 +141,7 @@ object SqlDialect {
     val retriableStates = Set("40001", "40XL1")
     val ddlExistsStates = Set("X0Y32", "X0Y68")
     val ddlMissingStates = Set("42Y55", "42X05")
+    override def concurrentWriters: Boolean = false
   }
 
   /** PostgreSQL — the reference's flagship target: `INSERT … ON

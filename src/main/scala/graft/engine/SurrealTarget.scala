@@ -111,7 +111,7 @@ final case class SurrealTableTarget(baseUrl: String, namespace: String,
       val schema = up.schema
       val me = this
       def sendBatches(df: DataFrame, mk: Row => String): Unit =
-        df.repartition(writePartitions).foreachPartition {
+        df.repartition(writePartitions, col(RowKey)).foreachPartition {
           rows: Iterator[Row] =>
             rows.grouped(bs).foreach { batch =>
               me.postSql(
@@ -123,6 +123,13 @@ final case class SurrealTableTarget(baseUrl: String, namespace: String,
 
       // v0 ordering (:471-487)
       if (nUp > 0) {
+        if (rel.isEmpty) {
+          // a relation row with no relation table declared must fail
+          // loudly, not silently skip the write
+          val nRel = up.filter(!isNode(col(RowKey))).count()
+          require(nRel == 0,
+            s"$nRel relation rows (e:…) but no relTable declared on $table")
+        }
         sendBatches(up.filter(isNode(col(RowKey))), r =>
           upsertSurql(t, r, schema))
         if (rel.nonEmpty)
@@ -130,6 +137,9 @@ final case class SurrealTableTarget(baseUrl: String, namespace: String,
             relateSurql(rel, t, r, schema))
       }
       if (nDel > 0) {
+        if (rel.isEmpty)
+          require(del.filter(!isNode(col(RowKey))).isEmpty,
+            s"relation delete keys (e:…) but no relTable declared on $table")
         if (rel.nonEmpty)
           sendBatches(del.filter(!isNode(col(RowKey))), r =>
             s"DELETE $rel:${recordId(r.getString(0).drop(2))};\n")

@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.JsonDSL._
@@ -81,7 +82,7 @@ final case class TurbopufferNamespaceTarget(baseUrl: String,
       val vecDefs = vectors
       if (nUp > 0) {
         val schema = up.schema
-        up.repartition(writePartitions).foreachPartition {
+        up.repartition(writePartitions, col(RowKey)).foreachPartition {
           rows: Iterator[Row] =>
             rows.grouped(bs).foreach { batch =>
               HttpJson.sendBatched(batch) { items =>
@@ -95,7 +96,7 @@ final case class TurbopufferNamespaceTarget(baseUrl: String,
         }
       }
       if (nDel > 0) {
-        del.repartition(writePartitions).foreachPartition {
+        del.repartition(writePartitions, col(RowKey)).foreachPartition {
           rows: Iterator[Row] =>
             rows.grouped(bs).foreach { batch =>
               HttpJson.sendBatched(batch) { items =>

@@ -5,6 +5,7 @@ import java.nio.ByteOrder.LITTLE_ENDIAN
 import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** An indexed field in a Valkey search index (reference `FieldDef`,
@@ -103,7 +104,7 @@ final case class ValkeyIndexTarget(host: String, port: Int,
         val keyIdx = schema.fieldIndex(RowKey)
         val valueFields = schema.fields.zipWithIndex
           .filter(_._1.name != RowKey).toSeq
-        up.repartition(writePartitions).foreachPartition {
+        up.repartition(writePartitions, col(RowKey)).foreachPartition {
           rows: Iterator[Row] =>
             val c = new RespClient(h, p)
             try rows.grouped(bs).foreach { batch =>
@@ -128,7 +129,7 @@ final case class ValkeyIndexTarget(host: String, port: Int,
         }
       }
       if (nDel > 0) {
-        del.repartition(writePartitions).foreachPartition {
+        del.repartition(writePartitions, col(RowKey)).foreachPartition {
           rows: Iterator[Row] =>
             val c = new RespClient(h, p)
             try rows.grouped(bs).foreach { batch =>
