@@ -1,0 +1,385 @@
+package graft.engine
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.CRC32C
+
+/** The Kafka wire protocol, from the public protocol guide
+  * (kafka.apache.org/protocol): size-prefixed frames, request header
+  * v1, and the v2 record-batch format (magic 2, CRC32C from
+  * `attributes` to the end — deliberately excluding `baseOffset` so a
+  * broker can assign offsets without re-checksumming; zigzag-varint
+  * record fields). Implemented because the reference's kafka/iggy
+  * connectors' remaining gap was the broker TRANSPORT (the produce
+  * semantics are already gated broker-less by TopicTarget/q63); as
+  * with RESP and the HTTP stores, the codec itself is the
+  * deliverable and [[graft.fixtures.MiniKafkaBroker]] is the in-JVM
+  * peer.
+  *
+  * Scope: Metadata v1, Produce v3 (acks all), Fetch v4 — the minimal
+  * API set a produce-and-verify connector needs.
+  */
+object KafkaWire {
+
+  final case class Record(offset: Long, timestamp: Long,
+      key: Array[Byte], value: Array[Byte])
+
+  // ---- primitive codec --------------------------------------------
+
+  final class Writer {
+    private val out = new java.io.ByteArrayOutputStream(1 << 12)
+    def bytes: Array[Byte] = out.toByteArray
+    def i8(v: Int): this.type = { out.write(v & 0xff); this }
+    def i16(v: Int): this.type = { out.write(v >> 8); out.write(v); this }
+    def i32(v: Int): this.type = {
+      out.write(v >> 24); out.write(v >> 16); out.write(v >> 8); out.write(v)
+      this
+    }
+    def i64(v: Long): this.type = { i32((v >> 32).toInt); i32(v.toInt) }
+    def raw(b: Array[Byte]): this.type = { out.write(b); this }
+    def str(s: String): this.type = {
+      val b = s.getBytes(UTF_8); i16(b.length); raw(b)
+    }
+    def nullableStr(s: Option[String]): this.type = s match {
+      case None => i16(-1)
+      case Some(v) => str(v)
+    }
+    def bytesField(b: Array[Byte]): this.type =
+      if (b == null) i32(-1) else { i32(b.length); raw(b) }
+    /** Protobuf-style unsigned LEB128 of the zigzag encoding. */
+    def varint(v: Int): this.type = varlong(v.toLong)
+    def varlong(v: Long): this.type = {
+      var z = (v << 1) ^ (v >> 63)
+      while ((z & ~0x7fL) != 0) { out.write(((z & 0x7f) | 0x80).toInt); z >>>= 7 }
+      out.write(z.toInt)
+      this
+    }
+    def array[T](items: Seq[T])(f: T => Unit): this.type = {
+      i32(items.length); items.foreach(f); this
+    }
+  }
+
+  final class Reader(buf: ByteBuffer) {
+    def i8: Int = buf.get().toInt
+    def i16: Int = buf.getShort().toInt
+    def i32: Int = buf.getInt()
+    def i64: Long = buf.getLong()
+    def str: String = {
+      val n = i16
+      val b = new Array[Byte](n); buf.get(b); new String(b, UTF_8)
+    }
+    def nullableStr: Option[String] = {
+      val n = i16
+      if (n < 0) None
+      else { val b = new Array[Byte](n); buf.get(b); Some(new String(b, UTF_8)) }
+    }
+    def bytesField: Array[Byte] = {
+      val n = i32
+      if (n < 0) null else { val b = new Array[Byte](n); buf.get(b); b }
+    }
+    def varint: Int = varlong.toInt
+    def varlong: Long = {
+      var z = 0L
+      var shift = 0
+      var b = 0
+      do {
+        b = buf.get() & 0xff
+        z |= (b & 0x7fL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      (z >>> 1) ^ -(z & 1)
+    }
+    def remaining: Int = buf.remaining()
+    def array[T](f: => T): Vector[T] = Vector.fill(i32)(f)
+  }
+
+  // ---- record batch v2 --------------------------------------------
+
+  /** Encode one v2 batch. `baseOffset` is normally 0 from a producer
+    * (the broker assigns the real one by rewriting the field — legal
+    * because the CRC starts at `attributes`). */
+  def encodeBatch(baseOffset: Long, records: Seq[(Array[Byte], Array[Byte])],
+      baseTimestamp: Long): Array[Byte] = {
+    require(records.nonEmpty, "empty record batch")
+    val body = new Writer
+    body.i16(0) // attributes: no compression, create-time
+    body.i32(records.length - 1) // lastOffsetDelta
+    body.i64(baseTimestamp)
+    body.i64(baseTimestamp) // maxTimestamp (all records share the base)
+    body.i64(-1L) // producerId
+    body.i16(-1) // producerEpoch
+    body.i32(-1) // baseSequence
+    body.i32(records.length)
+    records.zipWithIndex.foreach { case ((k, v), i) =>
+      val r = new Writer
+      r.i8(0) // record attributes
+      r.varlong(0L) // timestampDelta
+      r.varint(i) // offsetDelta
+      if (k == null) r.varint(-1) else { r.varint(k.length); r.raw(k) }
+      if (v == null) r.varint(-1) else { r.varint(v.length); r.raw(v) }
+      r.varint(0) // headers
+      val rb = r.bytes
+      body.varint(rb.length)
+      body.raw(rb)
+    }
+    val bodyBytes = body.bytes
+    val crc = new CRC32C
+    crc.update(bodyBytes)
+    val head = new Writer
+    head.i64(baseOffset)
+    head.i32(4 + 1 + 4 + bodyBytes.length) // partitionLeaderEpoch..end
+    head.i32(-1) // partitionLeaderEpoch
+    head.i8(2) // magic
+    head.i32(crc.getValue.toInt)
+    head.raw(bodyBytes)
+    head.bytes
+  }
+
+  /** Decode a record-set (one or more concatenated v2 batches),
+    * validating each batch's CRC32C. */
+  def decodeBatches(recordSet: Array[Byte]): Vector[Record] = {
+    if (recordSet == null) return Vector.empty
+    val buf = ByteBuffer.wrap(recordSet)
+    val out = Vector.newBuilder[Record]
+    while (buf.remaining() >= 12) {
+      val baseOffset = buf.getLong()
+      val batchLength = buf.getInt()
+      if (buf.remaining() < batchLength) return out.result() // truncated tail
+      val batch = new Array[Byte](batchLength)
+      buf.get(batch)
+      val b = ByteBuffer.wrap(batch)
+      b.getInt() // partitionLeaderEpoch
+      val magic = b.get()
+      require(magic == 2, s"unsupported record batch magic $magic")
+      val crcStored = b.getInt()
+      val crc = new CRC32C
+      crc.update(batch, b.position(), batch.length - b.position())
+      require(crc.getValue.toInt == crcStored,
+        "record batch CRC32C mismatch")
+      val r = new Reader(b)
+      r.i16 // attributes
+      r.i32 // lastOffsetDelta
+      val baseTs = r.i64
+      r.i64; r.i64; r.i16; r.i32 // maxTs, producerId, epoch, baseSeq
+      val n = r.i32
+      var i = 0
+      while (i < n) {
+        val len = r.varint
+        val end = b.position() + len
+        r.i8 // attributes
+        val tsDelta = r.varlong
+        val offDelta = r.varint
+        val kLen = r.varint
+        val k = if (kLen < 0) null else {
+          val a = new Array[Byte](kLen); b.get(a); a
+        }
+        val vLen = r.varint
+        val v = if (vLen < 0) null else {
+          val a = new Array[Byte](vLen); b.get(a); a
+        }
+        b.position(end) // skip headers
+        out += Record(baseOffset + offDelta, baseTs + tsDelta, k, v)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Kafka's default partitioner hash (murmur2, seed 0x9747b28c),
+    * ported from the public client: partition =
+    * (murmur2(keyBytes) & 0x7fffffff) % numPartitions. */
+  def murmur2(data: Array[Byte]): Int = {
+    val seed = 0x9747b28c
+    val m = 0x5bd1e995
+    val r = 24
+    val length = data.length
+    var h = seed ^ length
+    val length4 = length / 4
+    var i = 0
+    while (i < length4) {
+      val i4 = i * 4
+      var k = (data(i4) & 0xff) + ((data(i4 + 1) & 0xff) << 8) +
+        ((data(i4 + 2) & 0xff) << 16) + ((data(i4 + 3) & 0xff) << 24)
+      k *= m
+      k ^= k >>> r
+      k *= m
+      h *= m
+      h ^= k
+      i += 1
+    }
+    (length % 4) match {
+      case 3 =>
+        h ^= (data((length & ~3) + 2) & 0xff) << 16
+        h ^= (data((length & ~3) + 1) & 0xff) << 8
+        h ^= data(length & ~3) & 0xff
+        h *= m
+      case 2 =>
+        h ^= (data((length & ~3) + 1) & 0xff) << 8
+        h ^= data(length & ~3) & 0xff
+        h *= m
+      case 1 =>
+        h ^= data(length & ~3) & 0xff
+        h *= m
+      case _ => ()
+    }
+    h ^= h >>> 13
+    h *= m
+    h ^= h >>> 15
+    h
+  }
+
+  def partitionFor(key: Array[Byte], numPartitions: Int): Int =
+    (murmur2(key) & 0x7fffffff) % numPartitions
+
+  // API keys
+  val ApiProduce = 0
+  val ApiFetch = 1
+  val ApiMetadata = 3
+}
+
+/** One connection to a Kafka-protocol broker. Not thread-safe — one
+  * client per partition task, like every other wire client here. */
+final class KafkaWireClient(host: String, port: Int,
+    clientId: String = "graft",
+    connectTimeoutMs: Int = 5000, readTimeoutMs: Int = 30000)
+    extends AutoCloseable {
+  import KafkaWire._
+
+  private val socket = new Socket()
+  socket.setTcpNoDelay(true)
+  socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+  socket.setSoTimeout(readTimeoutMs)
+  private val in = new DataInputStream(
+    new BufferedInputStream(socket.getInputStream, 1 << 16))
+  private val out = new DataOutputStream(
+    new BufferedOutputStream(socket.getOutputStream, 1 << 16))
+  private var correlation = 0
+
+  override def close(): Unit = socket.close()
+
+  private def roundTrip(apiKey: Int, apiVersion: Int,
+      body: Writer): Reader = {
+    correlation += 1
+    val header = new Writer
+    header.i16(apiKey).i16(apiVersion).i32(correlation).str(clientId)
+    val hb = header.bytes
+    val bb = body.bytes
+    out.writeInt(hb.length + bb.length)
+    out.write(hb); out.write(bb)
+    out.flush()
+    val size = in.readInt()
+    if (size < 4) throw new EOFException("kafka: bad response frame")
+    val frame = new Array[Byte](size)
+    in.readFully(frame)
+    val buf = ByteBuffer.wrap(frame)
+    val corr = buf.getInt()
+    require(corr == correlation,
+      s"kafka: correlation mismatch ($corr != $correlation)")
+    new Reader(buf)
+  }
+
+  final case class PartitionMeta(partition: Int, leader: Int)
+  final case class TopicMeta(name: String, partitions: Vector[PartitionMeta])
+
+  /** Metadata v1. */
+  def metadata(topics: Seq[String]): Vector[TopicMeta] = {
+    val body = new Writer
+    body.array(topics)(t => body.str(t))
+    val r = roundTrip(ApiMetadata, 1, body)
+    r.array { // brokers
+      val _ = r.i32; r.str; r.i32; r.nullableStr
+    }
+    r.i32 // controller id
+    r.array {
+      val err = r.i16
+      val name = r.str
+      r.i8 // is_internal
+      val parts = r.array {
+        val perr = r.i16
+        val idx = r.i32
+        val leader = r.i32
+        r.array(r.i32) // replicas
+        r.array(r.i32) // isr
+        require(perr == 0, s"metadata error $perr on $name/$idx")
+        PartitionMeta(idx, leader)
+      }
+      require(err == 0, s"metadata error $err on topic $name")
+      TopicMeta(name, parts)
+    }
+  }
+
+  /** Produce v3, acks=-1 (all): one record batch per call. Returns
+    * the assigned base offset. Errors (per partition) throw — the
+    * caller's delta re-apply is the retry unit, and produces are
+    * idempotent at the compaction level (same key, same value). */
+  def produce(topic: String, partition: Int,
+      records: Seq[(Array[Byte], Array[Byte])],
+      timestamp: Long): Long = {
+    val batch = encodeBatch(0L, records, timestamp)
+    val body = new Writer
+    body.nullableStr(None) // transactional_id
+    body.i16(-1) // acks = all
+    body.i32(30000) // timeout_ms
+    body.array(Seq(topic)) { t =>
+      body.str(t)
+      body.array(Seq(partition)) { p =>
+        body.i32(p)
+        body.bytesField(batch)
+      }
+    }
+    val r = roundTrip(ApiProduce, 3, body)
+    var baseOffset = -1L
+    r.array { // topics
+      r.str
+      r.array { // partitions
+        val _ = r.i32
+        val err = r.i16
+        baseOffset = r.i64
+        r.i64 // log_append_time
+        require(err == 0, s"produce error $err on $topic/$partition")
+      }
+    }
+    r.i32 // throttle
+    baseOffset
+  }
+
+  /** Fetch v4 from `offset`; returns decoded records (offset >= the
+    * requested one) and the partition high watermark. */
+  def fetch(topic: String, partition: Int, offset: Long,
+      maxBytes: Int = 1 << 22): (Vector[Record], Long) = {
+    val body = new Writer
+    body.i32(-1) // replica_id
+    body.i32(100) // max_wait_ms
+    body.i32(1) // min_bytes
+    body.i32(maxBytes)
+    body.i8(0) // isolation_level: read_uncommitted
+    body.array(Seq(topic)) { t =>
+      body.str(t)
+      body.array(Seq(partition)) { p =>
+        body.i32(p)
+        body.i64(offset)
+        body.i32(maxBytes)
+      }
+    }
+    val r = roundTrip(ApiFetch, 4, body)
+    r.i32 // throttle
+    var recs = Vector.empty[Record]
+    var hw = -1L
+    r.array { // topics
+      r.str
+      r.array { // partitions
+        val _ = r.i32
+        val err = r.i16
+        hw = r.i64
+        r.i64 // last_stable_offset
+        r.array { r.i64; r.i64 } // aborted transactions
+        val rs = r.bytesField
+        require(err == 0, s"fetch error $err on $topic/$partition")
+        recs = decodeBatches(rs).filter(_.offset >= offset)
+      }
+    }
+    (recs, hw)
+  }
+}

@@ -1,0 +1,217 @@
+package graft.fixtures
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.ByteBuffer
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import graft.engine.KafkaWire
+import graft.engine.KafkaWire.{Reader, Writer}
+
+/** An in-JVM Kafka-protocol broker: size-prefixed frames, request
+  * header v1, Metadata v1 / Produce v3 / Fetch v4, v2 record batches
+  * stored as received with the broker-assigned `baseOffset` rewritten
+  * in place (legal — the batch CRC32C deliberately starts after the
+  * offset fields). The peer for [[graft.engine.KafkaWireClient]] /
+  * [[graft.engine.KafkaWireTopicTarget]], standing in for the
+  * env-blocked broker exactly as MiniValkey does for valkey.
+  *
+  * Topics auto-create with `numPartitions` partitions (a dev-broker
+  * convenience; the reference treats topics as user-managed and never
+  * creates them itself — auto-create plays the role of the operator
+  * having provisioned the topic).
+  */
+final class MiniKafkaBroker(numPartitions: Int = 2) extends AutoCloseable {
+
+  private final class PartitionLog {
+    var nextOffset = 0L
+    /** (baseOffset, lastOffset, batchBytes) */
+    val batches = mutable.ArrayBuffer.empty[(Long, Long, Array[Byte])]
+  }
+
+  private val server = new ServerSocket(0, 64,
+    java.net.InetAddress.getLoopbackAddress)
+  val port: Int = server.getLocalPort
+  val host: String = server.getInetAddress.getHostAddress
+
+  private val lock = new Object
+  private val topics =
+    mutable.LinkedHashMap.empty[String, Vector[PartitionLog]]
+  val observed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  @volatile private var closed = false
+  private val acceptor = new Thread(() => acceptLoop(), "mini-kafka-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  override def close(): Unit = { closed = true; server.close() }
+
+  def topicNames: Seq[String] = lock.synchronized(topics.keys.toSeq)
+  def endOffset(topic: String, partition: Int): Long = lock.synchronized {
+    topics.get(topic).map(_(partition).nextOffset).getOrElse(0L)
+  }
+  def batchCount(topic: String, partition: Int): Int = lock.synchronized {
+    topics.get(topic).map(_(partition).batches.length).getOrElse(0)
+  }
+
+  private def logOf(topic: String): Vector[PartitionLog] =
+    topics.getOrElseUpdate(topic,
+      Vector.fill(numPartitions)(new PartitionLog))
+
+  private def acceptLoop(): Unit =
+    while (!closed) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => serve(sock), "mini-kafka-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case NonFatal(_) => if (closed) return }
+    }
+
+  private def serve(sock: Socket): Unit = {
+    sock.setTcpNoDelay(true)
+    val in = new DataInputStream(
+      new BufferedInputStream(sock.getInputStream, 1 << 16))
+    val out = new DataOutputStream(
+      new BufferedOutputStream(sock.getOutputStream, 1 << 16))
+    try {
+      while (true) {
+        val size = in.readInt()
+        val frame = new Array[Byte](size)
+        in.readFully(frame)
+        val r = new Reader(ByteBuffer.wrap(frame))
+        val apiKey = r.i16
+        val apiVersion = r.i16
+        val correlationId = r.i32
+        r.nullableStr // clientId
+        observed.add(s"api=$apiKey v=$apiVersion")
+        val body: Writer = lock.synchronized {
+          apiKey match {
+            case KafkaWire.ApiMetadata => metadata(r)
+            case KafkaWire.ApiProduce => produce(r)
+            case KafkaWire.ApiFetch => fetch(r)
+            case other =>
+              throw new IllegalArgumentException(s"unsupported api $other")
+          }
+        }
+        val bb = body.bytes
+        out.writeInt(4 + bb.length)
+        out.writeInt(correlationId)
+        out.write(bb)
+        out.flush()
+      }
+    } catch { case NonFatal(_) => () } finally sock.close()
+  }
+
+  /** Metadata v1: auto-creates requested topics. */
+  private def metadata(r: Reader): Writer = {
+    val requested = r.array(r.str)
+    val w = new Writer
+    w.array(Seq(0)) { id => // brokers
+      w.i32(id); w.str(host); w.i32(port); w.nullableStr(None)
+    }
+    w.i32(0) // controller id
+    w.array(requested) { t =>
+      val parts = logOf(t)
+      w.i16(0) // topic error
+      w.str(t)
+      w.i8(0) // is_internal
+      w.array(parts.indices) { p =>
+        w.i16(0) // partition error
+        w.i32(p)
+        w.i32(0) // leader
+        w.array(Seq(0))(w.i32) // replicas
+        w.array(Seq(0))(w.i32) // isr
+      }
+    }
+    w
+  }
+
+  /** Produce v3: validates each batch CRC via the decoder, assigns
+    * offsets by rewriting `baseOffset` in the stored bytes. */
+  private def produce(r: Reader): Writer = {
+    r.nullableStr // transactional_id
+    r.i16 // acks
+    r.i32 // timeout
+    val results =
+      mutable.ArrayBuffer.empty[(String, Int, Int, Long)]
+    r.array {
+      val topic = r.str
+      r.array {
+        val partition = r.i32
+        val recordSet = r.bytesField
+        val logs = logOf(topic)
+        if (partition < 0 || partition >= logs.length)
+          results += ((topic, partition, 3 /*UNKNOWN_TOPIC_OR_PARTITION*/ , -1L))
+        else {
+          val log = logs(partition)
+          try {
+            val records = KafkaWire.decodeBatches(recordSet) // CRC check
+            require(records.nonEmpty, "empty record set")
+            val base = log.nextOffset
+            val stored = recordSet.clone()
+            ByteBuffer.wrap(stored).putLong(0, base)
+            log.batches += ((base, base + records.length - 1, stored))
+            log.nextOffset = base + records.length
+            results += ((topic, partition, 0, base))
+          } catch {
+            case NonFatal(_) =>
+              results += ((topic, partition, 2 /*CORRUPT_MESSAGE*/ , -1L))
+          }
+        }
+      }
+    }
+    val w = new Writer
+    val byTopic = results.groupBy(_._1)
+    w.array(byTopic.toSeq) { case (topic, parts) =>
+      w.str(topic)
+      w.array(parts.toSeq) { case (_, p, err, off) =>
+        w.i32(p); w.i16(err); w.i64(off); w.i64(-1L)
+      }
+    }
+    w.i32(0) // throttle
+    w
+  }
+
+  /** Fetch v4: concatenated stored batches covering the offset. */
+  private def fetch(r: Reader): Writer = {
+    r.i32; r.i32; r.i32; r.i32; r.i8 // replica, wait, min, max, isolation
+    val reqs = mutable.ArrayBuffer.empty[(String, Int, Long)]
+    r.array {
+      val topic = r.str
+      r.array {
+        val partition = r.i32
+        val offset = r.i64
+        r.i32 // partition max bytes
+        reqs += ((topic, partition, offset))
+      }
+    }
+    val w = new Writer
+    w.i32(0) // throttle
+    w.array(reqs.groupBy(_._1).toSeq) { case (topic, parts) =>
+      w.str(topic)
+      w.array(parts.toSeq) { case (_, p, offset) =>
+        val logs = logOf(topic)
+        w.i32(p)
+        if (p < 0 || p >= logs.length) {
+          w.i16(3); w.i64(-1L); w.i64(-1L)
+          w.array(Seq.empty[Int])(_ => ())
+          w.bytesField(null)
+        } else {
+          val log = logs(p)
+          val visible = log.batches.filter(_._2 >= offset)
+          val bytes =
+            if (visible.isEmpty) null
+            else visible.flatMap(_._3).toArray
+          w.i16(0)
+          w.i64(log.nextOffset) // high watermark
+          w.i64(log.nextOffset) // last stable offset
+          w.array(Seq.empty[Int])(_ => ()) // aborted txns
+          w.bytesField(bytes)
+        }
+      }
+    }
+    w
+  }
+}

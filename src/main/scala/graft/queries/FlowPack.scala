@@ -337,6 +337,57 @@ object FlowPack extends QueryPack {
           s.createDataFrame(s.sparkContext.parallelize(rows, 4), back.schema)
         } finally server.close()
       }),
+    // q63's compaction semantics through the REAL Kafka wire: deltas
+    // produced as v2 record batches (CRC32C, murmur2-partitioned,
+    // acks=all) to an in-JVM broker (graft.fixtures.MiniKafkaBroker),
+    // tombstones for deletes, O(changed) appends asserted, and the
+    // client-side compacted view compared under the oracle.
+    Q(
+      "q88_kafka_topic",
+      Some("""
+        SELECT CAST(doc_id AS VARCHAR) AS key,
+               CAST(CASE WHEN doc_id % 7 = 0 THEN n_chars + 1
+                         ELSE n_chars END AS BIGINT) AS n_final
+        FROM documents
+        WHERE doc_id % 13 <> 0"""),
+      (s, dir) => {
+        val broker = new graft.fixtures.MiniKafkaBroker(numPartitions = 4)
+        try {
+          val work = java.nio.file.Files.createTempDirectory("graft-kafka-q88")
+          work.toFile.deleteOnExit()
+          val topic = KafkaWireTopicTarget(broker.host, broker.port,
+            "doc_events", writePartitions = 4)
+          val stage = CocoFn("emit", 1, fn = df => df.select(col("item_key"),
+            col("item_key").as("row_key"),
+            col("n_final").cast("string").as("value")))
+          def flowOver(src: org.apache.spark.sql.SparkSession
+              => org.apache.spark.sql.DataFrame) =
+            new Flow("kafka_docs", TableSource(src, keyCol = "doc_id"),
+              Seq(stage), topic, work.resolve("state").toString)
+
+          val n1 = flowOver(sp => Tables(sp, dir, "documents")
+            .select(col("doc_id"), col("n_chars").cast("long").as("n_final")))
+            .run(s)
+          val r2 = flowOver(sp => Tables(sp, dir, "documents")
+            .filter(col("doc_id") % 13 =!= 0)
+            .select(col("doc_id"),
+              when(col("doc_id") % 7 === 0, col("n_chars") + 1)
+                .otherwise(col("n_chars")).cast("long").as("n_final")))
+            .run(s)
+          val appended = (0 until 4)
+            .map(p => broker.endOffset("doc_events", p)).sum
+          require(appended ==
+            n1.rowsInserted + r2.rowsUpdated + r2.rowsDeleted,
+            s"broker log must hold exactly the changed messages: $n1 / $r2")
+          require(r2.rowsInserted == 0 && r2.rowsUpdated > 0 &&
+            r2.rowsDeleted > 0, s"delta shape: $r2")
+          val back = topic.read(s).select(col("key"),
+            col("value").cast("long").as("n_final"))
+          // materialize before the broker closes
+          val rows = back.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 4), back.schema)
+        } finally broker.close()
+      }),
     Q(
       "q63_topic_target",
       // the final compacted map after: produce all docs, then a second

