@@ -1,0 +1,256 @@
+package graft.engine
+
+import java.net.{HttpURLConnection, URI, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import javax.crypto.Mac
+import javax.crypto.spec.SecretKeySpec
+
+/** AWS Signature Version 4 (the public signing spec,
+  * docs.aws.amazon.com/AmazonS3/latest/API/sig-v4-authenticating-requests
+  * .html): canonical request → string-to-sign → derived signing key →
+  * HMAC-SHA256 signature. This is the "creds" half of the reference's
+  * amazon_s3 connector transport (the aiobotocore client's signer);
+  * S3RestSpec pins the implementation against the worked example in
+  * the AWS documentation (the `examplebucket` GET vector).
+  */
+object SigV4 {
+
+  final case class Credentials(accessKey: String, secretKey: String)
+
+  val EmptyPayloadHash: String =
+    "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+
+  def sha256Hex(data: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-256").digest(data)
+      .map("%02x".format(_)).mkString
+
+  def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(UTF_8))
+  }
+
+  /** RFC 3986 strict encoding (space → %20, '~' untouched), the
+    * encoding SigV4 canonicalization requires. */
+  def uriEncode(s: String, encodeSlash: Boolean): String = {
+    val b = new StringBuilder
+    s.foreach {
+      case c if (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.' ||
+        c == '~' => b.append(c)
+      case '/' if !encodeSlash => b.append('/')
+      case c =>
+        c.toString.getBytes(UTF_8).foreach(x => b.append(f"%%${x & 0xff}%02X"))
+    }
+    b.toString
+  }
+
+  final case class Signed(authorization: String, amzDate: String,
+      payloadHash: String, canonicalRequest: String, stringToSign: String)
+
+  /** Sign one request. `headers` must already include `host`;
+    * `x-amz-date` and `x-amz-content-sha256` are added here. */
+  def sign(method: String, path: String, query: Seq[(String, String)],
+      headers: Map[String, String], payload: Array[Byte],
+      creds: Credentials, region: String, service: String,
+      amzDate: String): Signed = {
+    val dateStamp = amzDate.take(8)
+    val payloadHash =
+      if (payload == null || payload.isEmpty) EmptyPayloadHash
+      else sha256Hex(payload)
+    val allHeaders = headers ++ Map(
+      "x-amz-date" -> amzDate, "x-amz-content-sha256" -> payloadHash)
+    val sortedHeaders = allHeaders.map { case (k, v) =>
+      k.toLowerCase -> v.trim }.toSeq.sortBy(_._1)
+    val canonicalHeaders =
+      sortedHeaders.map { case (k, v) => s"$k:$v\n" }.mkString
+    val signedHeaders = sortedHeaders.map(_._1).mkString(";")
+    val canonicalQuery = query
+      .map { case (k, v) => (uriEncode(k, true), uriEncode(v, true)) }
+      .sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+    val canonicalRequest = Seq(
+      method, uriEncode(path, encodeSlash = false), canonicalQuery,
+      canonicalHeaders, signedHeaders, payloadHash).mkString("\n")
+    val scope = s"$dateStamp/$region/$service/aws4_request"
+    val stringToSign = Seq("AWS4-HMAC-SHA256", amzDate, scope,
+      sha256Hex(canonicalRequest.getBytes(UTF_8))).mkString("\n")
+    val kDate = hmac(("AWS4" + creds.secretKey).getBytes(UTF_8), dateStamp)
+    val kRegion = hmac(kDate, region)
+    val kService = hmac(kRegion, service)
+    val kSigning = hmac(kService, "aws4_request")
+    val signature = hmac(kSigning, stringToSign)
+      .map("%02x".format(_)).mkString
+    Signed(
+      s"AWS4-HMAC-SHA256 Credential=${creds.accessKey}/$scope, " +
+        s"SignedHeaders=$signedHeaders, Signature=$signature",
+      amzDate, payloadHash, canonicalRequest, stringToSign)
+  }
+
+  def nowAmzDate(): String = {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd'T'HHmmss'Z'")
+      .withZone(java.time.ZoneOffset.UTC)
+    fmt.format(java.time.Instant.now())
+  }
+}
+
+/** S3 object metadata from a listing or HEAD. */
+final case class S3Object(key: String, size: Long, etag: String)
+
+/** Minimal S3 REST client: ListObjectsV2 (paged), GetObject,
+  * HeadObject, PutObject — the call set the reference's amazon_s3
+  * source drives through aiobotocore
+  * (python/cocoindex/connectors/amazon_s3/_source.py:291-298 paginate
+  * list_objects_v2, :124 head_object, :136 get_object; ETag → content
+  * fingerprint :35-44). Requests are SigV4-signed; path-style
+  * addressing so one endpoint serves any bucket (the fixture, or a
+  * real endpoint/minio-style gateway).
+  *
+  * Transport errors and 5xx ride [[Batching.defaultClassify]] via
+  * [[Batching.ApiStatusException]], same as every HTTP store here. */
+final class S3RestClient(endpoint: String, bucket: String,
+    creds: SigV4.Credentials, region: String = "us-east-1",
+    connectTimeoutMs: Int = 5000, readTimeoutMs: Int = 60000)
+    extends Serializable {
+
+  private def hostHeader: String = {
+    val u = URI.create(endpoint)
+    if (u.getPort > 0) s"${u.getHost}:${u.getPort}" else u.getHost
+  }
+
+  private def request(method: String, path: String,
+      query: Seq[(String, String)], payload: Array[Byte])
+      : (Int, Array[Byte], Map[String, String]) = {
+    val signed = SigV4.sign(method, path, query,
+      Map("host" -> hostHeader), payload, creds, region, "s3",
+      SigV4.nowAmzDate())
+    val qs =
+      if (query.isEmpty) ""
+      else "?" + query.map { case (k, v) =>
+        s"${SigV4.uriEncode(k, true)}=${SigV4.uriEncode(v, true)}"
+      }.mkString("&")
+    val url = endpoint + SigV4.uriEncode(path, encodeSlash = false) + qs
+    val conn = URI.create(url).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    try {
+      conn.setConnectTimeout(connectTimeoutMs)
+      conn.setReadTimeout(readTimeoutMs)
+      conn.setRequestMethod(method)
+      conn.setRequestProperty("Authorization", signed.authorization)
+      conn.setRequestProperty("x-amz-date", signed.amzDate)
+      conn.setRequestProperty("x-amz-content-sha256", signed.payloadHash)
+      if (payload != null && payload.nonEmpty) {
+        conn.setDoOutput(true)
+        val os = conn.getOutputStream
+        try { os.write(payload); os.flush() } finally os.close()
+      }
+      val status = conn.getResponseCode
+      val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val body =
+        if (stream == null) Array.emptyByteArray
+        else try stream.readAllBytes() finally stream.close()
+      if (status >= 400)
+        throw Batching.ApiStatusException(status,
+          s"$method $url → ${new String(body, UTF_8).take(300)}")
+      import scala.jdk.CollectionConverters._
+      val hdrs = conn.getHeaderFields.asScala.collect {
+        case (k, vs) if k != null => k.toLowerCase -> vs.get(0)
+      }.toMap
+      (status, body, hdrs)
+    } finally conn.disconnect()
+  }
+
+  /** One ListObjectsV2 page. */
+  def listPage(prefix: String, continuationToken: Option[String],
+      maxKeys: Int = 1000): (Vector[S3Object], Option[String]) = {
+    val query = Seq("list-type" -> "2") ++
+      (if (prefix.nonEmpty) Seq("prefix" -> prefix) else Nil) ++
+      Seq("max-keys" -> maxKeys.toString) ++
+      continuationToken.map("continuation-token" -> _).toSeq
+    val (_, body, _) = HttpJson.retrying()(
+      request("GET", s"/$bucket", query, null))
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(body))
+    def text(el: org.w3c.dom.Element, tag: String): Option[String] = {
+      val ns = el.getElementsByTagName(tag)
+      if (ns.getLength == 0) None else Some(ns.item(0).getTextContent)
+    }
+    val root = doc.getDocumentElement
+    val contents = root.getElementsByTagName("Contents")
+    val objs = (0 until contents.getLength).toVector.map { i =>
+      val el = contents.item(i).asInstanceOf[org.w3c.dom.Element]
+      S3Object(
+        text(el, "Key").getOrElse(""),
+        text(el, "Size").map(_.toLong).getOrElse(0L),
+        text(el, "ETag").getOrElse("").stripPrefix("\"").stripSuffix("\""))
+    }
+    val truncated = text(root, "IsTruncated").contains("true")
+    val next = if (truncated) text(root, "NextContinuationToken") else None
+    (objs, next)
+  }
+
+  /** All objects under a prefix (pages pulled lazily). */
+  def listAll(prefix: String): Iterator[S3Object] =
+    Iterator.unfold(Option(Option.empty[String])) {
+      case None => None
+      case Some(token) =>
+        val (objs, next) = listPage(prefix, token)
+        Some((objs, next.map(t => Some(Some(t))).getOrElse(None)))
+    }.flatten
+
+  def getObject(key: String): Array[Byte] =
+    HttpJson.retrying()(request("GET", s"/$bucket/$key", Nil, null)._2)
+
+  def headObject(key: String): S3Object = {
+    val (_, _, hdrs) = HttpJson.retrying()(
+      request("HEAD", s"/$bucket/$key", Nil, null))
+    S3Object(key,
+      hdrs.get("content-length").map(_.toLong).getOrElse(0L),
+      hdrs.getOrElse("etag", "").stripPrefix("\"").stripSuffix("\""))
+  }
+
+  def putObject(key: String, bytes: Array[Byte]): Unit = {
+    HttpJson.retrying()(request("PUT", s"/$bucket/$key", Nil, bytes))
+    ()
+  }
+}
+
+/** The reference's `amazon_s3.list_objects` source over the REST
+  * transport, plugged into the [[KeyedListingSource]] seam:
+  * driver-paged (or prefix-sharded) ListObjectsV2 producing
+  * `(key, etag)` — the ETag IS the content fingerprint, so unchanged
+  * objects never re-download — executor-batched GetObject for
+  * payloads, HeadObject as the O(changed) stat. Directory markers
+  * (keys ending '/') are skipped like the reference walker
+  * (_source.py:301-303).
+  */
+object S3RestSource {
+  def apply(endpoint: String, bucket: String, prefix: String,
+      creds: SigV4.Credentials, region: String = "us-east-1",
+      fetchBatch: Int = 64,
+      /** Optional prefix shards (e.g. hash buckets, date partitions):
+        * each lists independently in its own executor task. */
+      shardPrefixes: Seq[String] = Nil): KeyedListingSource = {
+    def client() = new S3RestClient(endpoint, bucket, creds, region)
+    def pageOf(pfx: String): Iterator[(String, String)] =
+      client().listAll(pfx)
+        .filterNot(_.key.endsWith("/"))
+        .map(o => o.key -> o.etag)
+    KeyedListingSource(
+      lister = () => pageOf(prefix),
+      fetch = keys => {
+        val c = client()
+        keys.map(k => k -> c.getObject(k))
+      },
+      stat = Some(keys => {
+        val c = client()
+        keys.map(k => k -> c.headObject(k).etag)
+      }),
+      fetchBatch = fetchBatch,
+      shards =
+        if (shardPrefixes.isEmpty) None
+        else Some(shardPrefixes.map(p => () => pageOf(p))))
+  }
+}

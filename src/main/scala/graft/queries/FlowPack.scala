@@ -388,6 +388,50 @@ object FlowPack extends QueryPack {
           s.createDataFrame(s.sparkContext.parallelize(rows, 4), back.schema)
         } finally broker.close()
       }),
+    // the documents corpus served from an S3-protocol endpoint: the
+    // SigV4-signed REST transport (ListObjectsV2 pages → (key, ETag),
+    // executor-batched GetObject) through the KeyedListing seam into
+    // a full incremental flow, rerun proven a no-op on unchanged
+    // ETags, content fidelity checked via md5 under the oracle.
+    Q(
+      "q89_s3_source",
+      Some("""
+        SELECT 'doc/' || CAST(doc_id AS VARCHAR) AS row_key,
+               CAST(length(text) AS BIGINT) AS n,
+               md5(text) AS content_md5
+        FROM documents"""),
+      (s, dir) => {
+        val creds = SigV4.Credentials("GRAFTKEY", "graft-secret")
+        val server = new graft.fixtures.MiniS3(creds)
+        try {
+          val work = java.nio.file.Files.createTempDirectory("graft-s3-q89")
+          work.toFile.deleteOnExit()
+          // stage the corpus into the store executor-parallel (PUTs
+          // are setup, not the measured transport path)
+          val (ep, bkt) = (server.endpoint, "corpus")
+          Tables(s, dir, "documents")
+            .select(col("doc_id").cast("string"), col("text"))
+            .repartition(8)
+            .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+              val c = new S3RestClient(ep, bkt, creds)
+              rows.foreach(r => c.putObject(s"doc/${r.getString(0)}",
+                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            }
+          val source = S3RestSource(ep, bkt, "doc/", creds,
+            fetchBatch = 128)
+          val stage = CocoFn("digest", 1, fn = df => df.select(
+            col("item_key"), col("item_key").as("row_key"),
+            length(decode(col("content"), "UTF-8")).cast("long").as("n"),
+            md5(col("content")).as("content_md5")))
+          val flow = new Flow("s3_digest", source, Seq(stage),
+            ParquetTableTarget(work.resolve("out").toString, numBuckets = 8),
+            work.resolve("state").toString)
+          flow.run(s)
+          require(flow.run(s).isNoop,
+            "incremental contract violated: unchanged ETags must no-op")
+          flow.target.read(s).select("row_key", "n", "content_md5")
+        } finally server.close()
+      }),
     Q(
       "q63_topic_target",
       // the final compacted map after: produce all docs, then a second
