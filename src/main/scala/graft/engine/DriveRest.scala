@@ -1,0 +1,201 @@
+package graft.engine
+
+import java.net.{HttpURLConnection, URI, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.json4s._
+
+/** Google Drive v3 REST client — the API the reference's
+  * google_drive source drives through its SDK
+  * (python/cocoindex/connectors/google_drive/_source.py:184-214
+  * `files.list` with `q='folder' in parents and trashed = false`,
+  * `fields=nextPageToken, files(id, name, mimeType, size,
+  * modifiedTime)` and pageToken paging; :121-139 `get_media` /
+  * `export_media` downloads). Auth is a Bearer token: the service
+  * account JWT exchange is the only egress-bound piece
+  * (_source.py:155-176); the token itself is injected, everything
+  * after it is this client.
+  */
+final class DriveRestClient(baseUrl: String, token: String,
+    connectTimeoutMs: Int = 5000, readTimeoutMs: Int = 60000)
+    extends Serializable {
+
+  import DriveRestClient._
+
+  private def get(path: String, query: Seq[(String, String)])
+      : (Array[Byte], Map[String, String]) = {
+    val qs =
+      if (query.isEmpty) ""
+      else "?" + query.map { case (k, v) =>
+        s"${URLEncoder.encode(k, UTF_8)}=${URLEncoder.encode(v, UTF_8)}"
+      }.mkString("&")
+    val conn = URI.create(baseUrl + path + qs).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    try {
+      conn.setConnectTimeout(connectTimeoutMs)
+      conn.setReadTimeout(readTimeoutMs)
+      conn.setRequestProperty("Authorization", s"Bearer $token")
+      val status = conn.getResponseCode
+      val stream =
+        if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val body =
+        if (stream == null) Array.emptyByteArray
+        else try stream.readAllBytes() finally stream.close()
+      if (status >= 400)
+        throw Batching.ApiStatusException(status,
+          s"GET $path → ${new String(body, UTF_8).take(300)}")
+      import scala.jdk.CollectionConverters._
+      (body, conn.getHeaderFields.asScala.collect {
+        case (k, vs) if k != null => k.toLowerCase -> vs.get(0)
+      }.toMap)
+    } finally conn.disconnect()
+  }
+
+  private def getJson(path: String,
+      query: Seq[(String, String)]): JValue =
+    org.json4s.jackson.JsonMethods.parse(
+      new String(HttpJson.retrying()(get(path, query))._1, UTF_8))
+
+  /** One `files.list` page of a folder's children (the reference's
+    * `_list_children` loop body). */
+  def listChildren(folderId: String, pageToken: Option[String])
+      : (Vector[DriveFileInfo], Option[String]) = {
+    val q = s"'$folderId' in parents and trashed = false"
+    val query = Seq("q" -> q,
+      "fields" ->
+        "nextPageToken, files(id, name, mimeType, size, modifiedTime)") ++
+      pageToken.map("pageToken" -> _).toSeq
+    val j = getJson("/drive/v3/files", query)
+    val files = (j \ "files") match {
+      case JArray(a) => a.toVector.map { f =>
+        DriveFileInfo(
+          (f \ "id").asInstanceOf[JString].s,
+          (f \ "name").asInstanceOf[JString].s,
+          (f \ "mimeType").asInstanceOf[JString].s,
+          f \ "size" match {
+            case JString(s) => s.toLong // Drive sizes are strings
+            case JInt(i) => i.toLong
+            case _ => 0L
+          },
+          f \ "modifiedTime" match {
+            case JString(s) => s
+            case _ => ""
+          })
+      }
+      case _ => Vector.empty
+    }
+    val next = j \ "nextPageToken" match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
+    (files, next)
+  }
+
+  /** Recursive walk from the root folders — folders recurse, files
+    * yield, optional mime filter (the reference's `list_files`,
+    * _source.py:216-229). */
+  def walk(rootFolderIds: Seq[String],
+      mimeTypes: Set[String] = Set.empty): Iterator[DriveFileInfo] = {
+    val queue = scala.collection.mutable.Queue(rootFolderIds: _*)
+    val out = Vector.newBuilder[DriveFileInfo]
+    while (queue.nonEmpty) {
+      val folder = queue.dequeue()
+      var token: Option[String] = None
+      var done = false
+      while (!done) {
+        val (files, next) = listChildren(folder, token)
+        files.foreach { f =>
+          if (f.mimeType == FolderMime) queue.enqueue(f.id)
+          else if (mimeTypes.isEmpty || mimeTypes.contains(f.mimeType))
+            out += f
+        }
+        token = next
+        done = next.isEmpty
+      }
+    }
+    out.result().iterator
+  }
+
+  /** `files/{id}?alt=media`, or the export endpoint for Google-Docs
+    * types (`_EXPORT_MIME_BY_TYPE`, _source.py:126-132). */
+  def download(info: DriveFileInfo): Array[Byte] =
+    ExportMimeByType.get(info.mimeType) match {
+      case Some(exportMime) =>
+        HttpJson.retrying()(get(s"/drive/v3/files/${info.id}/export",
+          Seq("mimeType" -> exportMime)))._1
+      case None =>
+        HttpJson.retrying()(get(s"/drive/v3/files/${info.id}",
+          Seq("alt" -> "media")))._1
+    }
+
+  def downloadById(fileId: String, mimeType: String): Array[Byte] =
+    download(DriveFileInfo(fileId, "", mimeType, 0L, ""))
+
+  /** Metadata-only fetch (the HEAD-ish stat: `fields=modifiedTime`,
+    * _source.py:103-110). */
+  def stat(fileId: String): DriveFileInfo = {
+    val j = getJson(s"/drive/v3/files/$fileId",
+      Seq("fields" -> "id, name, mimeType, size, modifiedTime"))
+    DriveFileInfo(
+      (j \ "id").asInstanceOf[JString].s,
+      j \ "name" match { case JString(s) => s; case _ => "" },
+      j \ "mimeType" match { case JString(s) => s; case _ => "" },
+      j \ "size" match {
+        case JString(s) => s.toLong; case JInt(i) => i.toLong; case _ => 0L
+      },
+      j \ "modifiedTime" match { case JString(s) => s; case _ => "" })
+  }
+}
+
+final case class DriveFileInfo(id: String, name: String, mimeType: String,
+    size: Long, modifiedTime: String)
+
+object DriveRestClient {
+  val FolderMime = "application/vnd.google-apps.folder"
+  /** Google-Docs types download through export with a mapped mime
+    * (the reference's `_EXPORT_MIME_BY_TYPE`). */
+  val ExportMimeByType: Map[String, String] = Map(
+    "application/vnd.google-apps.document" -> "text/plain",
+    "application/vnd.google-apps.spreadsheet" -> "text/csv",
+    "application/vnd.google-apps.presentation" -> "text/plain")
+}
+
+/** The reference's google_drive source over the REST client, plugged
+  * into the [[KeyedListingSource]] seam exactly as its docstring
+  * anticipated: item key = the Drive file id (the store's stable
+  * identity), version = `modifiedTime` (changed files re-download,
+  * unchanged never do), LIST = the recursive folder walk
+  * (driver-paged — sequential page tokens are the protocol floor; a
+  * multi-root corpus shards per root folder), GET = executor-batched
+  * downloads incl. Google-Docs exports, stat = the metadata-only
+  * `files.get`. */
+object DriveRestSource {
+  def apply(baseUrl: String, token: String, rootFolderIds: Seq[String],
+      mimeTypes: Set[String] = Set.empty,
+      fetchBatch: Int = 32): KeyedListingSource = {
+    def client() = new DriveRestClient(baseUrl, token)
+    // mime types ride in the key's version field? No — fetch needs
+    // them; a second stat per fetch batch resolves current mime
+    // (export vs media) without a driver-side map
+    KeyedListingSource(
+      lister = () => client().walk(rootFolderIds, mimeTypes)
+        .map(f => f.id -> f.modifiedTime),
+      fetch = keys => {
+        val c = client()
+        keys.map { id =>
+          val info = c.stat(id)
+          id -> c.download(info)
+        }
+      },
+      stat = Some(keys => {
+        val c = client()
+        keys.map(id => id -> c.stat(id).modifiedTime)
+      }),
+      fetchBatch = fetchBatch,
+      shards =
+        if (rootFolderIds.length <= 1) None
+        else Some(rootFolderIds.map(root =>
+          () => client().walk(Seq(root), mimeTypes)
+            .map(f => f.id -> f.modifiedTime))))
+  }
+}

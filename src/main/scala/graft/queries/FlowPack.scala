@@ -432,6 +432,45 @@ object FlowPack extends QueryPack {
           flow.target.read(s).select("row_key", "n", "content_md5")
         } finally server.close()
       }),
+    // the corpus served from a Drive-v3-protocol endpoint: Bearer-
+    // authed files.list pages walked recursively, executor-batched
+    // alt=media downloads, modifiedTime-versioned incremental reruns
+    // (graft.fixtures.MiniDrive is the peer; the OAuth exchange is
+    // the only piece not modeled — the token is injected).
+    Q(
+      "q90_drive_source",
+      Some("""
+        SELECT CAST(doc_id AS VARCHAR) AS row_key,
+               CAST(length(text) AS BIGINT) AS n,
+               md5(text) AS content_md5
+        FROM documents"""),
+      (s, dir) => {
+        val token = "graft-q90-token"
+        val server = new graft.fixtures.MiniDrive(token, pageSize = 100)
+        try {
+          val work = java.nio.file.Files.createTempDirectory("graft-drive-q90")
+          work.toFile.deleteOnExit()
+          server.addFolder("root", parent = "")
+          Tables(s, dir, "documents")
+            .select(col("doc_id").cast("string"), col("text"))
+            .collect() // fixture seeding is driver-side by design
+            .foreach(r => server.addFile(r.getString(0),
+              s"${r.getString(0)}.txt", "root", r.getString(1)))
+          val source = DriveRestSource(server.baseUrl, token, Seq("root"),
+            fetchBatch = 64)
+          val stage = CocoFn("digest", 1, fn = df => df.select(
+            col("item_key"), col("item_key").as("row_key"),
+            length(decode(col("content"), "UTF-8")).cast("long").as("n"),
+            md5(col("content")).as("content_md5")))
+          val flow = new Flow("drive_digest", source, Seq(stage),
+            ParquetTableTarget(work.resolve("out").toString, numBuckets = 8),
+            work.resolve("state").toString)
+          flow.run(s)
+          require(flow.run(s).isNoop,
+            "incremental contract violated: unchanged modifiedTimes must no-op")
+          flow.target.read(s).select("row_key", "n", "content_md5")
+        } finally server.close()
+      }),
     Q(
       "q63_topic_target",
       // the final compacted map after: produce all docs, then a second
