@@ -31,24 +31,26 @@ final class DriveRestClient(baseUrl: String, token: String,
       }.mkString("&")
     val conn = URI.create(baseUrl + path + qs).toURL.openConnection()
       .asInstanceOf[HttpURLConnection]
-    try {
-      conn.setConnectTimeout(connectTimeoutMs)
-      conn.setReadTimeout(readTimeoutMs)
-      conn.setRequestProperty("Authorization", s"Bearer $token")
-      val status = conn.getResponseCode
-      val stream =
-        if (status >= 400) conn.getErrorStream else conn.getInputStream
-      val body =
-        if (stream == null) Array.emptyByteArray
-        else try stream.readAllBytes() finally stream.close()
-      if (status >= 400)
-        throw Batching.ApiStatusException(status,
-          s"GET $path → ${new String(body, UTF_8).take(300)}")
-      import scala.jdk.CollectionConverters._
-      (body, conn.getHeaderFields.asScala.collect {
-        case (k, vs) if k != null => k.toLowerCase -> vs.get(0)
-      }.toMap)
-    } finally conn.disconnect()
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    conn.setRequestProperty("Authorization", s"Bearer $token")
+    val status = conn.getResponseCode
+    val stream =
+      if (status >= 400) conn.getErrorStream else conn.getInputStream
+    val body =
+      if (stream == null) Array.emptyByteArray
+      else try stream.readAllBytes() finally stream.close()
+    if (status >= 400)
+      throw Batching.ApiStatusException(status,
+        s"GET $path → ${new String(body, UTF_8).take(300)}")
+    import scala.jdk.CollectionConverters._
+    (body, conn.getHeaderFields.asScala.collect {
+      case (k, vs) if k != null => k.toLowerCase -> vs.get(0)
+    }.toMap)
+    // no conn.disconnect(): response streams are closed above, which
+    // returns the connection to the JVM keep-alive pool — explicit
+    // teardown forced a fresh TCP handshake on every store call and
+    // dominated the wire gates' wall-clock at sf0.1
   }
 
   private def getJson(path: String,
@@ -174,17 +176,21 @@ object DriveRestSource {
       mimeTypes: Set[String] = Set.empty,
       fetchBatch: Int = 32): KeyedListingSource = {
     def client() = new DriveRestClient(baseUrl, token)
-    // mime types ride in the key's version field? No — fetch needs
-    // them; a second stat per fetch batch resolves current mime
-    // (export vs media) without a driver-side map
     KeyedListingSource(
       lister = () => client().walk(rootFolderIds, mimeTypes)
         .map(f => f.id -> f.modifiedTime),
+      // fast path: alt=media directly (one request per file); only a
+      // Google-Docs file answers 403 fileNotDownloadable, and only
+      // then does a stat resolve the export mime — a stat-per-file
+      // here would double the API calls of every backfill
       fetch = keys => {
         val c = client()
         keys.map { id =>
-          val info = c.stat(id)
-          id -> c.download(info)
+          id -> (try c.downloadById(id, "application/octet-stream")
+          catch {
+            case Batching.ApiStatusException(403, _) =>
+              c.download(c.stat(id))
+          })
         }
       },
       stat = Some(keys => {

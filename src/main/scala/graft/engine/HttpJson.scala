@@ -46,33 +46,35 @@ object HttpJson {
       connectTimeoutMs: Int, readTimeoutMs: Int): Response = {
     val conn = URI.create(url).toURL.openConnection()
       .asInstanceOf[HttpURLConnection]
-    try {
-      conn.setConnectTimeout(connectTimeoutMs)
-      conn.setReadTimeout(readTimeoutMs)
-      conn.setRequestMethod(method)
-      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
-      body.foreach { case (bytes, contentType) =>
-        conn.setRequestProperty("Content-Type", contentType)
-        conn.setDoOutput(true)
-        val os = conn.getOutputStream
-        try { os.write(bytes); os.flush() } finally os.close()
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    conn.setRequestMethod(method)
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    body.foreach { case (bytes, contentType) =>
+      conn.setRequestProperty("Content-Type", contentType)
+      conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      try { os.write(bytes); os.flush() } finally os.close()
+    }
+    val status = conn.getResponseCode
+    val stream: InputStream =
+      if (status >= 400) conn.getErrorStream else conn.getInputStream
+    val text =
+      if (stream == null) ""
+      else try new String(stream.readAllBytes(), UTF_8) finally stream.close()
+    if (status >= 400)
+      throw Batching.ApiStatusException(status,
+        s"$method $url → ${text.take(500)}")
+    val json =
+      if (text.isEmpty) JNothing
+      else try JsonMethods.parse(text) catch {
+        case scala.util.control.NonFatal(_) => JString(text)
       }
-      val status = conn.getResponseCode
-      val stream: InputStream =
-        if (status >= 400) conn.getErrorStream else conn.getInputStream
-      val text =
-        if (stream == null) ""
-        else try new String(stream.readAllBytes(), UTF_8) finally stream.close()
-      if (status >= 400)
-        throw Batching.ApiStatusException(status,
-          s"$method $url → ${text.take(500)}")
-      val json =
-        if (text.isEmpty) JNothing
-        else try JsonMethods.parse(text) catch {
-          case scala.util.control.NonFatal(_) => JString(text)
-        }
-      Response(status, json)
-    } finally conn.disconnect()
+    Response(status, json)
+    // no conn.disconnect(): response streams are closed above, which
+    // returns the connection to the JVM keep-alive pool — explicit
+    // teardown forced a fresh TCP handshake on every store call and
+    // dominated the wire gates' wall-clock at sf0.1
   }
 
   def get(url: String): Response = request("GET", url)

@@ -133,32 +133,34 @@ final class S3RestClient(endpoint: String, bucket: String,
     val url = endpoint + SigV4.uriEncode(path, encodeSlash = false) + qs
     val conn = URI.create(url).toURL.openConnection()
       .asInstanceOf[HttpURLConnection]
-    try {
-      conn.setConnectTimeout(connectTimeoutMs)
-      conn.setReadTimeout(readTimeoutMs)
-      conn.setRequestMethod(method)
-      conn.setRequestProperty("Authorization", signed.authorization)
-      conn.setRequestProperty("x-amz-date", signed.amzDate)
-      conn.setRequestProperty("x-amz-content-sha256", signed.payloadHash)
-      if (payload != null && payload.nonEmpty) {
-        conn.setDoOutput(true)
-        val os = conn.getOutputStream
-        try { os.write(payload); os.flush() } finally os.close()
-      }
-      val status = conn.getResponseCode
-      val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
-      val body =
-        if (stream == null) Array.emptyByteArray
-        else try stream.readAllBytes() finally stream.close()
-      if (status >= 400)
-        throw Batching.ApiStatusException(status,
-          s"$method $url → ${new String(body, UTF_8).take(300)}")
-      import scala.jdk.CollectionConverters._
-      val hdrs = conn.getHeaderFields.asScala.collect {
-        case (k, vs) if k != null => k.toLowerCase -> vs.get(0)
-      }.toMap
-      (status, body, hdrs)
-    } finally conn.disconnect()
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    conn.setRequestMethod(method)
+    conn.setRequestProperty("Authorization", signed.authorization)
+    conn.setRequestProperty("x-amz-date", signed.amzDate)
+    conn.setRequestProperty("x-amz-content-sha256", signed.payloadHash)
+    if (payload != null && payload.nonEmpty) {
+      conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      try { os.write(payload); os.flush() } finally os.close()
+    }
+    val status = conn.getResponseCode
+    val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+    val body =
+      if (stream == null) Array.emptyByteArray
+      else try stream.readAllBytes() finally stream.close()
+    if (status >= 400)
+      throw Batching.ApiStatusException(status,
+        s"$method $url → ${new String(body, UTF_8).take(300)}")
+    import scala.jdk.CollectionConverters._
+    val hdrs = conn.getHeaderFields.asScala.collect {
+      case (k, vs) if k != null => k.toLowerCase -> vs.get(0)
+    }.toMap
+    (status, body, hdrs)
+    // no conn.disconnect(): response streams are closed above, which
+    // returns the connection to the JVM keep-alive pool — explicit
+    // teardown forced a fresh TCP handshake on every store call and
+    // dominated the wire gates' wall-clock at sf0.1
   }
 
   /** One ListObjectsV2 page. */

@@ -90,6 +90,12 @@ final class MiniDrive(token: String, pageSize: Int = 2)
           case List("drive", "v3", "files", id) =>
             files.get(id) match {
               case None => reply(ex, 404, """{"error":{"code":404}}""")
+              case Some(e) if params.get("alt").contains("media") &&
+                  e.mimeType.startsWith("application/vnd.google-apps") =>
+                // real Drive refuses alt=media on Docs-native files —
+                // the client must fall back to /export
+                reply(ex, 403,
+                  """{"error":{"code":403,"errors":[{"reason":"fileNotDownloadable"}]}}""")
               case Some(e) if params.get("alt").contains("media") =>
                 replyBytes(ex, 200, e.content)
               case Some(e) =>

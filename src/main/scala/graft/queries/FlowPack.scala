@@ -399,7 +399,7 @@ object FlowPack extends QueryPack {
         SELECT 'doc/' || CAST(doc_id AS VARCHAR) AS row_key,
                CAST(length(text) AS BIGINT) AS n,
                md5(text) AS content_md5
-        FROM documents"""),
+        FROM documents WHERE doc_id % 3 = 0"""),
       (s, dir) => {
         val creds = SigV4.Credentials("GRAFTKEY", "graft-secret")
         val server = new graft.fixtures.MiniS3(creds)
@@ -409,7 +409,11 @@ object FlowPack extends QueryPack {
           // stage the corpus into the store executor-parallel (PUTs
           // are setup, not the measured transport path)
           val (ep, bkt) = (server.endpoint, "corpus")
+          // a deterministic third of the corpus: the gate exercises
+          // the signed transport (each object is its own PUT + GET
+          // round trip), not corpus volume — q60 gates volume
           Tables(s, dir, "documents")
+            .filter(col("doc_id") % 3 === 0)
             .select(col("doc_id").cast("string"), col("text"))
             .repartition(8)
             .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
@@ -443,7 +447,7 @@ object FlowPack extends QueryPack {
         SELECT CAST(doc_id AS VARCHAR) AS row_key,
                CAST(length(text) AS BIGINT) AS n,
                md5(text) AS content_md5
-        FROM documents"""),
+        FROM documents WHERE doc_id % 3 = 0"""),
       (s, dir) => {
         val token = "graft-q90-token"
         val server = new graft.fixtures.MiniDrive(token, pageSize = 100)
@@ -451,7 +455,10 @@ object FlowPack extends QueryPack {
           val work = java.nio.file.Files.createTempDirectory("graft-drive-q90")
           work.toFile.deleteOnExit()
           server.addFolder("root", parent = "")
+          // a deterministic third, like q89: per-file API round trips
+          // are the gate's subject, not corpus volume
           Tables(s, dir, "documents")
+            .filter(col("doc_id") % 3 === 0)
             .select(col("doc_id").cast("string"), col("text"))
             .collect() // fixture seeding is driver-side by design
             .foreach(r => server.addFile(r.getString(0),

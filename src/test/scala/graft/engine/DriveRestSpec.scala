@@ -75,8 +75,11 @@ class DriveRestSpec extends SparkSpec {
       seed(s)
       val work = Files.createTempDirectory("drive-flow")
       work.toFile.deleteOnExit()
+      // the Docs-native file rides along: its alt=media fast path
+      // 403s and the fetch falls back to stat + export
       val source = DriveRestSource(s.baseUrl, Token, Seq("root"),
-        mimeTypes = Set("text/plain"), fetchBatch = 2)
+        mimeTypes = Set("text/plain",
+          "application/vnd.google-apps.document"), fetchBatch = 2)
       val stage = CocoFn("upper", 1, fn = df => df.select(
         col("item_key"), col("item_key").as("row_key"),
         upper(decode(col("content"), "UTF-8")).as("txt")))
@@ -85,7 +88,7 @@ class DriveRestSpec extends SparkSpec {
         work.resolve("state").toString)
 
       val r1 = flow.run(spark)
-      assert(r1.rowsInserted == 4, s"$r1")
+      assert(r1.rowsInserted == 5, s"$r1")
       import scala.jdk.CollectionConverters._
       def downloads = s.observed.asScala.count(o =>
         o.contains("alt") || (o.startsWith("GET /drive/v3/files/f") &&
@@ -108,7 +111,7 @@ class DriveRestSpec extends SparkSpec {
       val got = flow.target.read(spark).select("row_key", "txt").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
       assert(got == Map("f2" -> "BETA EDITED", "f3" -> "GAMMA",
-        "f4" -> "DELTA"))
+        "f4" -> "DELTA", "f5" -> "GDOC BODY"))
     }
   }
 }
