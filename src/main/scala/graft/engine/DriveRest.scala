@@ -182,13 +182,17 @@ object DriveRestSource {
       // fast path: alt=media directly (one request per file); only a
       // Google-Docs file answers 403 fileNotDownloadable, and only
       // then does a stat resolve the export mime — a stat-per-file
-      // here would double the API calls of every backfill
+      // here would double the API calls of every backfill. Drive uses
+      // 403 for quota/permission errors too: only the downloadability
+      // reason takes the export fallback, everything else propagates
+      // to the retry taxonomy untouched
       fetch = keys => {
         val c = client()
         keys.map { id =>
           id -> (try c.downloadById(id, "application/octet-stream")
           catch {
-            case Batching.ApiStatusException(403, _) =>
+            case Batching.ApiStatusException(403, msg)
+                if msg.contains("fileNotDownloadable") =>
               c.download(c.stat(id))
           })
         }

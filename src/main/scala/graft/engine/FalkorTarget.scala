@@ -108,7 +108,10 @@ final case class FalkorGraphTarget(host: String, port: Int, graph: String,
   /** Read back through canonical `MATCH … RETURN` queries (the
     * fixture executes exactly these shapes); nodes and edges come
     * back unioned like [[GraphTarget.read]], props re-typed via the
-    * declared `nodeProps`/`edgeProps`. Gate/assertion-sized. */
+    * declared `nodeProps`/`edgeProps`. Gate/assertion-sized. The
+    * fixture's entity encoding always carries the id under `__id`
+    * regardless of the statement-side pk field name — `pkField`
+    * names the Cypher property, not the reply key. */
   def read(spark: SparkSession): DataFrame = {
     val (nodes, edges) = withClient { c =>
       def rowsOf(q: String): Vector[Map[String, String]] =
@@ -138,10 +141,10 @@ final case class FalkorGraphTarget(host: String, port: Int, graph: String,
         StructField("dst", StringType), StructField("rel_type", StringType)) ++
         edgeProps.map { case (n, dt) => StructField(n, dt) })
     val nodeRows = nodes.map(m => Row.fromSeq(
-      ("n:" + m(s"__$pkField")) +: m.getOrElse("__label", null) +:
+      ("n:" + m("__id")) +: m.getOrElse("__label", null) +:
         nodeProps.map { case (n, dt) => retype(m.getOrElse(n, null), dt) }))
     val edgeRows = edges.map(m => Row.fromSeq(
-      ("e:" + m(s"__$pkField")) +: m.getOrElse("__src", null) +:
+      ("e:" + m("__id")) +: m.getOrElse("__src", null) +:
         m.getOrElse("__dst", null) +: m.getOrElse("__type", null) +:
         edgeProps.map { case (n, dt) => retype(m.getOrElse(n, null), dt) }))
     val n = spark.createDataFrame(

@@ -1,0 +1,29 @@
+package graft.engine
+
+import java.nio.ByteBuffer
+import java.nio.ByteOrder.LITTLE_ENDIAN
+
+/** The one float32-little-endian vector codec every binary transport
+  * shares — JDBC BLOB columns, Valkey hash fields, FT.SEARCH KNN
+  * param blobs (the reference's `_vector_to_bytes`,
+  * valkey/_target.py:258-262, and the pgvector byte layout). One
+  * definition, one place to change the wire format. */
+object Float32LE {
+
+  def encode(v: Seq[Float]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(v.length * 4).order(LITTLE_ENDIAN)
+    v.foreach(bb.putFloat)
+    bb.array()
+  }
+
+  def encodeDoubles(v: Seq[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(v.length * 4).order(LITTLE_ENDIAN)
+    v.foreach(d => bb.putFloat(d.toFloat))
+    bb.array()
+  }
+
+  def decode(b: Array[Byte]): Array[Float] = {
+    val bb = ByteBuffer.wrap(b).order(LITTLE_ENDIAN)
+    Array.fill(b.length / 4)(bb.getFloat)
+  }
+}

@@ -339,18 +339,11 @@ object JdbcTableTarget {
         java.util.TimeZone.getTimeZone("UTC")))
   private[engine] def utcCalendar(): java.util.Calendar = utcCal.get()
 
-  private[engine] def encodeFloats(v: Seq[Float]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(v.length * 4)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    v.foreach(bb.putFloat)
-    bb.array()
-  }
+  private[engine] def encodeFloats(v: Seq[Float]): Array[Byte] =
+    Float32LE.encode(v)
 
-  private[engine] def decodeFloats(b: Array[Byte]): Array[Float] = {
-    val bb = java.nio.ByteBuffer.wrap(b)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    Array.fill(b.length / 4)(bb.getFloat)
-  }
+  private[engine] def decodeFloats(b: Array[Byte]): Array[Float] =
+    Float32LE.decode(b)
 
   /** Decode a float32-LE BLOB column back to `ARRAY<FLOAT>` (readback
     * side of the vector mapping). UDF is fine here: readback is a

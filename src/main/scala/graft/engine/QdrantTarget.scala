@@ -273,9 +273,14 @@ object QdrantCollectionTarget {
 
   private val Digits = "^\\d{1,18}$".r
 
-  /** Qdrant's id domain (ExtendedPointId: unsigned int | UUID). */
+  /** Qdrant's id domain (ExtendedPointId: unsigned int | UUID). Only
+    * a CANONICAL decimal key rides as an int — a zero-padded "07"
+    * must NOT collide with "7" in the store's id space, so any
+    * non-canonical spelling takes the UUID path like every other
+    * string. */
   def pointId(rowKey: String): JValue = rowKey match {
-    case Digits() => JInt(BigInt(rowKey))
+    case Digits() if BigInt(rowKey).toString == rowKey =>
+      JInt(BigInt(rowKey))
     case other => JString(java.util.UUID.nameUUIDFromBytes(
       other.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString)
   }

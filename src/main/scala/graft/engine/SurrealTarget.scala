@@ -213,16 +213,15 @@ object SurrealTableTarget {
       s"`$s`"
   }
 
-  /** `table:⟨id⟩` back to the plain id (fixture replies carry the
-    * full record id the way the store does). */
+  /** `table:id` back to the plain id. Replies carry the RAW id after
+    * the table prefix (backtick quoting is STATEMENT syntax, not
+    * data — stripping quote-looking characters here would corrupt an
+    * id that legitimately starts and ends with a backtick). Table
+    * names are `\w+`, so the first ':' is always the separator. */
   private[engine] def plainId(j: JValue): String = j match {
     case JString(s) =>
       val cut = s.indexOf(':')
-      val raw = if (cut < 0) s else s.substring(cut + 1)
-      if (raw.startsWith("`") && raw.endsWith("`"))
-        raw.substring(1, raw.length - 1)
-          .replace("\\`", "`").replace("\\\\", "\\")
-      else raw
+      if (cut < 0) s else s.substring(cut + 1)
     case other => String.valueOf(other)
   }
 

@@ -60,7 +60,11 @@ final case class ValkeyIndexTarget(host: String, port: Int,
   override def containerSignature: String =
     s"valkey;$host:$port;index=$indexName" +
       s";vec=$vectorDim:$algorithm:$distance" +
-      s";fields=${fields.map(f => s"${f.name}:${f.ftype}").mkString(",")}"
+      // sortable is part of the FT.CREATE definition: a flipped flag
+      // must plan the destructive replace, or the live index keeps
+      // the old SORTABLE forever (create is if-not-exists)
+      s";fields=${fields.map(f =>
+        s"${f.name}:${f.ftype}${if (f.sortable) ":s" else ""}").mkString(",")}"
 
   private def withClient[T](f: RespClient => T): T = {
     val c = new RespClient(host, port)
@@ -112,12 +116,21 @@ final case class ValkeyIndexTarget(host: String, port: Int,
                 val key = (pfx + row.getString(keyIdx)).getBytes(UTF_8)
                 val hset = Seq.newBuilder[Array[Byte]]
                 hset += "HSET".getBytes(UTF_8) += key
+                var nFields = 0
                 valueFields.foreach { case (f, i) =>
                   if (!row.isNullAt(i)) {
                     hset += f.name.getBytes(UTF_8)
                     hset += fieldBytes(f.name, f.dataType, row, i, dim)
+                    nFields += 1
                   }
                 }
+                // an empty hash does not exist in the store, and HSET
+                // with no pairs is an arity error — an all-null row
+                // cannot be represented; fail loudly, never silently
+                // vanish from read-back
+                require(nFields > 0,
+                  s"valkey document ${row.getString(keyIdx)} has no " +
+                    "non-null fields — an empty hash cannot exist")
                 Seq(
                   Seq("MULTI".getBytes(UTF_8)),
                   Seq("DEL".getBytes(UTF_8), key),
@@ -221,9 +234,7 @@ final case class ValkeyIndexTarget(host: String, port: Int,
     * (row_key, score, fields…); k-sized, driver-built. */
   def knn(spark: SparkSession, query: Array[Float], k: Int): DataFrame = {
     require(vectorDim > 0, s"index $indexName has no vector attribute")
-    val blob = new Array[Byte](query.length * 4)
-    val bb = ByteBuffer.wrap(blob).order(LITTLE_ENDIAN)
-    query.foreach(bb.putFloat)
+    val blob = Float32LE.encode(query.toSeq)
     val reply = withClient(_.command(Seq(
       "FT.SEARCH", indexName, s"*=>[KNN $k @$VectorFieldName $$B]",
       "PARAMS", "2", "B").map(_.getBytes(UTF_8)) ++
@@ -253,13 +264,8 @@ object ValkeyIndexTarget {
   val VectorFieldName = "vector"
   val MaxScanIterations = 10000
 
-  private[engine] def floatsOf(b: Array[Byte]): Array[Float] = {
-    val bb = ByteBuffer.wrap(b).order(LITTLE_ENDIAN)
-    val out = new Array[Float](b.length / 4)
-    var i = 0
-    while (i < out.length) { out(i) = bb.getFloat(); i += 1 }
-    out
-  }
+  private[engine] def floatsOf(b: Array[Byte]): Array[Float] =
+    Float32LE.decode(b)
 
   /** One row column → hash-field bytes: the vector column packs to
     * float32-LE (reference `_vector_to_bytes`); everything else is
@@ -270,18 +276,12 @@ object ValkeyIndexTarget {
       val v = row.getSeq[Float](i)
       require(dim <= 0 || v.length == dim,
         s"vector length ${v.length} != declared DIM $dim")
-      val out = new Array[Byte](v.length * 4)
-      val bb = ByteBuffer.wrap(out).order(LITTLE_ENDIAN)
-      v.foreach(bb.putFloat)
-      out
+      Float32LE.encode(v)
     case ArrayType(DoubleType, _) if name == VectorFieldName =>
       val v = row.getSeq[Double](i)
       require(dim <= 0 || v.length == dim,
         s"vector length ${v.length} != declared DIM $dim")
-      val out = new Array[Byte](v.length * 4)
-      val bb = ByteBuffer.wrap(out).order(LITTLE_ENDIAN)
-      v.foreach(d => bb.putFloat(d.toFloat))
-      out
+      Float32LE.encodeDoubles(v)
     case _ => String.valueOf(row.get(i)).getBytes(UTF_8)
   }
 }

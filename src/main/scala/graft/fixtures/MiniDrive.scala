@@ -1,46 +1,31 @@
 package graft.fixtures
 
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import java.net.InetSocketAddress
+import com.sun.net.httpserver.HttpExchange
 import java.nio.charset.StandardCharsets.UTF_8
 import scala.collection.mutable
-import scala.util.control.NonFatal
 
 import org.json4s._
 import org.json4s.JsonDSL._
 import org.json4s.jackson.JsonMethods
 
-/** An in-JVM Google Drive v3 stand-in: `files.list` with the
-  * `'folder' in parents and trashed = false` query shape and
-  * pageToken paging (small pages, to force the client's page loop),
-  * `alt=media` downloads, Google-Docs `export`, metadata `files.get`,
-  * and Bearer-token auth enforced on every request. The peer for
+/** An in-JVM Google Drive v3 stand-in ([[MiniHttpServer]]):
+  * `files.list` with the `'folder' in parents and trashed = false`
+  * query shape and pageToken paging (small pages, to force the
+  * client's page loop), `alt=media` downloads (refused with 403
+  * fileNotDownloadable for Docs-native mimes, like the real store),
+  * Google-Docs `export`, metadata `files.get`, and Bearer-token auth
+  * enforced on every request. The peer for
   * [[graft.engine.DriveRestClient]] / DriveRestSource — the OAuth
   * token exchange is the only thing it does not model (the token is
   * shared out-of-band, as a service-account deployment would).
   */
 final class MiniDrive(token: String, pageSize: Int = 2)
-    extends AutoCloseable {
+    extends MiniHttpServer("mini-drive") {
+  import MiniHttpServer.ApiError
   import MiniDrive._
 
-  private val server = HttpServer.create(
-    new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 64)
-  server.setExecutor(java.util.concurrent.Executors
-    .newFixedThreadPool(8, r => {
-      val t = new Thread(r, "mini-drive"); t.setDaemon(true); t
-    }))
-  val port: Int = server.getAddress.getPort
-  val baseUrl: String = s"http://127.0.0.1:$port"
-
-  private val lock = new Object
   private val files = mutable.LinkedHashMap.empty[String, Entry]
-  val observed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   @volatile var authFailures: Int = 0
-
-  server.createContext("/", (ex: HttpExchange) => handle(ex))
-  server.start()
-
-  override def close(): Unit = server.stop(0)
 
   // ---- fixture-side content management ----------------------------
 
@@ -61,56 +46,36 @@ final class MiniDrive(token: String, pageSize: Int = 2)
     files.remove(id); ()
   }
 
-  private def handle(ex: HttpExchange): Unit = {
-    val path = ex.getRequestURI.getPath
-    val query = Option(ex.getRequestURI.getQuery).getOrElse("")
-    observed.add(s"GET $path")
-    try {
-      val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
-      if (!auth.contains(s"Bearer $token")) {
-        authFailures += 1
-        reply(ex, 401, """{"error":{"code":401,"message":"Invalid Credentials"}}""")
-        return
-      }
-      val params = query.split("&").filter(_.nonEmpty).map { kv =>
-        kv.split("=", 2) match {
-          case Array(k, v) => java.net.URLDecoder.decode(k, UTF_8) ->
-            java.net.URLDecoder.decode(v, UTF_8)
-          case Array(k) => k -> ""
+  protected def route(ex: HttpExchange, method: String, path: String,
+      body: Array[Byte]): Unit = {
+    val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+    if (!auth.contains(s"Bearer $token")) {
+      authFailures += 1
+      throw new ApiError(401, "Invalid Credentials")
+    }
+    val params = parseQuery(ex.getRequestURI.getQuery).toMap
+    path.split("/").filter(_.nonEmpty).toList match {
+      case List("drive", "v3", "files") => listFiles(ex, params)
+      case List("drive", "v3", "files", id, "export") =>
+        files.get(id) match {
+          case Some(e) => replyBytes(ex, 200, e.content) // trivial convert
+          case None => throw new ApiError(404, s"no file $id")
         }
-      }.toMap
-      lock.synchronized {
-        path.split("/").filter(_.nonEmpty).toList match {
-          case List("drive", "v3", "files") => listFiles(ex, params)
-          case List("drive", "v3", "files", id, "export") =>
-            files.get(id) match {
-              case Some(e) => replyBytes(ex, 200, e.content) // trivial convert
-              case None => reply(ex, 404, """{"error":{"code":404}}""")
-            }
-          case List("drive", "v3", "files", id) =>
-            files.get(id) match {
-              case None => reply(ex, 404, """{"error":{"code":404}}""")
-              case Some(e) if params.get("alt").contains("media") &&
-                  e.mimeType.startsWith("application/vnd.google-apps") =>
-                // real Drive refuses alt=media on Docs-native files —
-                // the client must fall back to /export
-                reply(ex, 403,
-                  """{"error":{"code":403,"errors":[{"reason":"fileNotDownloadable"}]}}""")
-              case Some(e) if params.get("alt").contains("media") =>
-                replyBytes(ex, 200, e.content)
-              case Some(e) =>
-                reply(ex, 200, JsonMethods.compact(JsonMethods.render(
-                  fileJson(e))))
-            }
-          case other =>
-            reply(ex, 404, s"""{"error":{"message":"no route $other"}}""")
+      case List("drive", "v3", "files", id) =>
+        files.get(id) match {
+          case None => throw new ApiError(404, s"no file $id")
+          case Some(e) if params.get("alt").contains("media") &&
+              e.mimeType.startsWith("application/vnd.google-apps") =>
+            // real Drive refuses alt=media on Docs-native files —
+            // the client must fall back to /export
+            throw new ApiError(403, "fileNotDownloadable")
+          case Some(e) if params.get("alt").contains("media") =>
+            replyBytes(ex, 200, e.content)
+          case Some(e) =>
+            replyJson(ex, 200, fileJson(e))
         }
-      }
-    } catch {
-      case NonFatal(e) =>
-        try reply(ex, 500,
-          s"""{"error":{"message":"${String.valueOf(e.getMessage)}"}}""")
-        catch { case NonFatal(_) => () }
+      case other =>
+        throw new ApiError(404, s"no route $other")
     }
   }
 
@@ -121,9 +86,7 @@ final class MiniDrive(token: String, pageSize: Int = 2)
     val ParentRe = """'([^']+)' in parents and trashed = false""".r
     val parent = q match {
       case ParentRe(p) => p
-      case other =>
-        reply(ex, 400, s"""{"error":{"message":"unsupported q: $other"}}""")
-        return
+      case other => throw new ApiError(400, s"unsupported q: $other")
     }
     val children = files.values.toVector.filter(_.parent == parent)
     val offset = params.get("pageToken").map(_.toInt).getOrElse(0)
@@ -132,29 +95,16 @@ final class MiniDrive(token: String, pageSize: Int = 2)
       if (offset + pageSize < children.length)
         Some((offset + pageSize).toString)
       else None
-    val body: JValue = ("files" -> JArray(page.toList.map(fileJson))) ~
-      ("nextPageToken" -> next.map(JString(_)).getOrElse(JNothing: JValue))
-    reply(ex, 200, JsonMethods.compact(JsonMethods.render(body)))
+    replyJson(ex, 200,
+      ("files" -> JArray(page.toList.map(fileJson))) ~
+        ("nextPageToken" -> next.map(JString(_))
+          .getOrElse(JNothing: JValue)))
   }
 
   private def fileJson(e: Entry): JValue =
     ("id" -> e.id) ~ ("name" -> e.name) ~ ("mimeType" -> e.mimeType) ~
       ("size" -> e.content.length.toString) ~ // Drive sizes are strings
       ("modifiedTime" -> e.modifiedTime)
-
-  private def reply(ex: HttpExchange, status: Int, body: String): Unit =
-    replyBytes(ex, status, body.getBytes(UTF_8))
-
-  private def replyBytes(ex: HttpExchange, status: Int,
-      body: Array[Byte]): Unit = {
-    ex.sendResponseHeaders(status,
-      if (body.isEmpty) -1 else body.length.toLong)
-    if (body.nonEmpty) {
-      val os = ex.getResponseBody
-      try os.write(body) finally os.close()
-    }
-    ex.close()
-  }
 }
 
 object MiniDrive {

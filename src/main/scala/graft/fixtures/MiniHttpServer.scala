@@ -1,0 +1,115 @@
+package graft.fixtures
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.util.control.NonFatal
+
+/** Shared HTTP plumbing for the in-JVM store stand-ins (MiniQdrant,
+  * MiniTurbopuffer, MiniSurreal, MiniS3, MiniDrive) — the HTTP twin
+  * of [[MiniRespServer]]: daemon-threaded JDK HttpServer on a
+  * loopback port, a global lock for fixture-grade atomicity, an
+  * `observed` request trace for transport-shape assertions, uniform
+  * failure injection for retry-taxonomy specs, and reply helpers.
+  * Subclasses implement only `route`.
+  */
+abstract class MiniHttpServer(threadName: String) extends AutoCloseable {
+
+  private val server = HttpServer.create(
+    new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 64)
+  server.setExecutor(java.util.concurrent.Executors
+    .newFixedThreadPool(8, r => {
+      val t = new Thread(r, threadName); t.setDaemon(true); t
+    }))
+  val port: Int = server.getAddress.getPort
+  val baseUrl: String = s"http://127.0.0.1:$port"
+
+  protected val lock = new Object
+  /** METHOD path observed per request, for shape assertions. */
+  val observed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Failure injection: each entry fails exactly one incoming request
+    * whose path contains the substring, before it routes — specs
+    * drive the client retry taxonomy (429/503 transient-retry, 401
+    * fail-fast) through a real wire error, not a mock. */
+  private val failures =
+    new java.util.concurrent.CopyOnWriteArrayList[(String, Int)]()
+  def failOnce(pathContains: String, status: Int): Unit =
+    failures.add((pathContains, status))
+
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+  server.start()
+
+  override def close(): Unit = server.stop(0)
+
+  /** Handle one request (called under [[lock]]); throw
+    * [[MiniHttpServer.ApiError]] for a status-coded failure. */
+  protected def route(ex: HttpExchange, method: String, path: String,
+      body: Array[Byte]): Unit
+
+  /** Status to use for an unexpected internal error (stores differ:
+    * 500 JSON vs XML bodies) — the body is the exception message. */
+  protected def errorBody(status: Int, message: String): Array[Byte] =
+    s"""{"error":{"code":$status,"message":"$message"}}""".getBytes(UTF_8)
+
+  private def handle(ex: HttpExchange): Unit = {
+    val method = ex.getRequestMethod
+    val path = ex.getRequestURI.getPath
+    observed.add(s"$method $path")
+    val body =
+      try ex.getRequestBody.readAllBytes()
+      catch { case NonFatal(_) => Array.emptyByteArray }
+    try {
+      import scala.jdk.CollectionConverters._
+      failures.asScala.find { case (sub, _) => path.contains(sub) }
+        .foreach { hit =>
+          failures.remove(hit)
+          throw new MiniHttpServer.ApiError(hit._2,
+            s"injected failure ${hit._2}")
+        }
+      lock.synchronized(route(ex, method, path, body))
+    } catch {
+      case e: MiniHttpServer.ApiError =>
+        replyBytes(ex, e.status, errorBody(e.status, e.getMessage))
+      case NonFatal(e) =>
+        try replyBytes(ex, 500,
+          errorBody(500, String.valueOf(e.getMessage)))
+        catch { case NonFatal(_) => () }
+    }
+  }
+
+  protected def replyBytes(ex: HttpExchange, status: Int,
+      body: Array[Byte], contentType: String = null): Unit = {
+    if (contentType != null)
+      ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(status,
+      if (body.isEmpty) -1 else body.length.toLong)
+    if (body.nonEmpty) {
+      val os = ex.getResponseBody
+      try os.write(body) finally os.close()
+    }
+    ex.close()
+  }
+
+  protected def replyJson(ex: HttpExchange, status: Int,
+      json: org.json4s.JValue): Unit =
+    replyBytes(ex, status,
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(json)).getBytes(UTF_8),
+      "application/json")
+
+  protected def parseQuery(raw: String): Seq[(String, String)] =
+    if (raw == null || raw.isEmpty) Nil
+    else raw.split("&").toSeq.filter(_.nonEmpty).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => java.net.URLDecoder.decode(k, UTF_8) ->
+          java.net.URLDecoder.decode(v, UTF_8)
+        case Array(k) => java.net.URLDecoder.decode(k, UTF_8) -> ""
+      }
+    }
+}
+
+object MiniHttpServer {
+  final class ApiError(val status: Int, msg: String)
+      extends RuntimeException(msg)
+}

@@ -1,7 +1,6 @@
 package graft.fixtures
 
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import java.net.InetSocketAddress
+import com.sun.net.httpserver.HttpExchange
 import java.nio.charset.StandardCharsets.UTF_8
 import scala.collection.mutable
 import scala.util.control.NonFatal
@@ -11,7 +10,7 @@ import org.json4s.JsonDSL._
 import org.json4s.jackson.JsonMethods
 
 /** An in-JVM qdrant stand-in speaking the store's REST API over a real
-  * HTTP socket (JDK HttpServer). As with Derby-for-postgres and
+  * HTTP socket ([[MiniHttpServer]]). As with Derby-for-postgres and
   * MiniValkey-for-valkey: the environment has no qdrant server, so
   * this fixture receives the DELIVERABLE —
   * [[graft.engine.QdrantCollectionTarget]]'s request shapes, executor
@@ -23,77 +22,37 @@ import org.json4s.jackson.JsonMethods
   * delete_collection on replace) plus scroll/search for read-back and
   * serving. Scoring is brute force — it is a fixture, not an index.
   */
-final class MiniQdrant extends AutoCloseable {
+final class MiniQdrant extends MiniHttpServer("mini-qdrant") {
+  import MiniHttpServer.ApiError
   import MiniQdrant._
 
-  private val server = HttpServer.create(
-    new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 64)
-  server.setExecutor(java.util.concurrent.Executors
-    .newFixedThreadPool(8, r => {
-      val t = new Thread(r, "mini-qdrant"); t.setDaemon(true); t
-    }))
-  val port: Int = server.getAddress.getPort
-  val baseUrl: String = s"http://127.0.0.1:$port"
-
-  private val lock = new Object
   private val collections = mutable.LinkedHashMap.empty[String, Collection]
-  /** METHOD path observed, for transport-shape assertions. */
-  val observed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  /** Failure injection: each entry fails exactly one incoming request
-    * whose path contains the substring, before it routes — specs
-    * drive the client's retry taxonomy (429/503 transient-retry, 401
-    * fail-fast) through a real wire error, not a mock. */
-  private val failures =
-    new java.util.concurrent.CopyOnWriteArrayList[(String, Int)]()
-  def failOnce(pathContains: String, status: Int): Unit =
-    failures.add((pathContains, status))
-
-  server.createContext("/", (ex: HttpExchange) => handle(ex))
-  server.start()
-
-  override def close(): Unit = server.stop(0)
 
   def collectionNames: Seq[String] = lock.synchronized(collections.keys.toSeq)
   def pointCount(coll: String): Int =
     lock.synchronized(collections.get(coll).map(_.points.size).getOrElse(0))
 
-  private def handle(ex: HttpExchange): Unit = {
-    val method = ex.getRequestMethod
-    val path = ex.getRequestURI.getPath
-    observed.add(s"$method $path")
+  protected def route(ex: HttpExchange, method: String, path: String,
+      bodyBytes: Array[Byte]): Unit = {
     val body =
       try {
-        val bytes = ex.getRequestBody.readAllBytes()
-        if (bytes.isEmpty) JNothing else JsonMethods.parse(new String(bytes, UTF_8))
+        if (bodyBytes.isEmpty) JNothing
+        else JsonMethods.parse(new String(bodyBytes, UTF_8))
       } catch { case NonFatal(_) => JNothing }
-    val (status, reply): (Int, JValue) =
-      try {
-        import scala.jdk.CollectionConverters._
-        failures.asScala.find { case (sub, _) => path.contains(sub) }
-          .foreach { hit =>
-            failures.remove(hit)
-            throw new ApiError(hit._2, s"injected failure ${hit._2}")
-          }
-        lock.synchronized(route(method, path.split("/").filter(_.nonEmpty)
-          .toList, body))
-      }
-      catch {
-        case e: ApiError => (e.status,
-          ("status" -> ("error" -> e.getMessage): JValue))
-        case NonFatal(e) => (500,
-          ("status" -> ("error" -> String.valueOf(e.getMessage)): JValue))
-      }
-    val out = JsonMethods.compact(JsonMethods.render(reply)).getBytes(UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(status, out.length.toLong)
-    val os = ex.getResponseBody
-    try os.write(out) finally os.close()
+    val (status, reply) = dispatch(method,
+      path.split("/").filter(_.nonEmpty).toList, body)
+    replyJson(ex, status, reply)
   }
+
+  override protected def errorBody(status: Int,
+      message: String): Array[Byte] =
+    JsonMethods.compact(JsonMethods.render(
+      ("status" -> ("error" -> message)): JValue)).getBytes(UTF_8)
 
   private def ok(result: JValue): (Int, JValue) =
     (200, ("status" -> "ok") ~ ("result" -> result))
 
-  private def route(method: String, parts: List[String],
+  private def dispatch(method: String, parts: List[String],
       body: JValue): (Int, JValue) = (method, parts) match {
     case ("GET", List("collections", c, "exists")) =>
       ok("exists" -> collections.contains(c))
@@ -165,12 +124,12 @@ final class MiniQdrant extends AutoCloseable {
   }
 
   private def collectionOf(c: String): Collection =
-    collections.getOrElse(c, throw new ApiError(404, s"collection $c not found"))
+    collections.getOrElse(c, throw new ApiError(404,
+      s"collection $c not found"))
 }
 
 object MiniQdrant {
-  final class ApiError(val status: Int, msg: String)
-      extends RuntimeException(msg)
+  import MiniHttpServer.ApiError
 
   final case class Point(id: JValue, vector: JValue, payload: JValue)
   final case class Collection(config: JValue,

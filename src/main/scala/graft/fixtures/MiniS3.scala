@@ -1,49 +1,34 @@
 package graft.fixtures
 
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import java.net.InetSocketAddress
+import com.sun.net.httpserver.HttpExchange
 import java.nio.charset.StandardCharsets.UTF_8
 import java.security.MessageDigest
 import scala.collection.mutable
-import scala.util.control.NonFatal
 
 import graft.engine.SigV4
 
-/** An in-JVM S3-protocol endpoint: path-style ListObjectsV2 (XML,
-  * paged via continuation tokens), GetObject / HeadObject / PutObject,
-  * single-part ETags = MD5 like the real store, and REAL SigV4
-  * verification — the fixture knows the secret key and RECOMPUTES the
-  * request signature from the received method/path/query/headers,
-  * rejecting mismatches with 403. The peer for
-  * [[graft.engine.S3RestClient]] / [[graft.engine.S3RestSource]]:
-  * the signer and the protocol shapes are the deliverable; this
-  * receives them over real HTTP the way Derby receives the JDBC
-  * transport.
+/** An in-JVM S3-protocol endpoint ([[MiniHttpServer]]): path-style
+  * ListObjectsV2 (XML, paged via continuation tokens), GetObject /
+  * HeadObject / PutObject, single-part ETags = MD5 like the real
+  * store, and REAL SigV4 verification — the fixture knows the secret
+  * key and RECOMPUTES the request signature from the received
+  * method/path/query/headers, rejecting mismatches with 403. The
+  * peer for [[graft.engine.S3RestClient]] /
+  * [[graft.engine.S3RestSource]]: the signer and the protocol shapes
+  * are the deliverable; this receives them over real HTTP the way
+  * Derby receives the JDBC transport.
   */
 final class MiniS3(creds: SigV4.Credentials, region: String = "us-east-1")
-    extends AutoCloseable {
+    extends MiniHttpServer("mini-s3") {
+  import MiniHttpServer.ApiError
 
-  private val server = HttpServer.create(
-    new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 64)
-  server.setExecutor(java.util.concurrent.Executors
-    .newFixedThreadPool(8, r => {
-      val t = new Thread(r, "mini-s3"); t.setDaemon(true); t
-    }))
-  val port: Int = server.getAddress.getPort
-  val endpoint: String = s"http://127.0.0.1:$port"
-
-  private val lock = new Object
   // bucket -> key -> bytes (TreeMap: listing order is key order, like S3)
   private val buckets =
     mutable.LinkedHashMap.empty[String, mutable.TreeMap[String, Array[Byte]]]
-  val observed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   /** Count of requests rejected by signature verification. */
   @volatile var authFailures: Int = 0
 
-  server.createContext("/", (ex: HttpExchange) => handle(ex))
-  server.start()
-
-  override def close(): Unit = server.stop(0)
+  val endpoint: String = baseUrl
 
   def objectCount(bucket: String): Int =
     lock.synchronized(buckets.get(bucket).map(_.size).getOrElse(0))
@@ -52,84 +37,56 @@ final class MiniS3(creds: SigV4.Credentials, region: String = "us-east-1")
     MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
 
-  private def handle(ex: HttpExchange): Unit = {
-    val method = ex.getRequestMethod
-    val rawPath = ex.getRequestURI.getRawPath
-    val rawQuery = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-    observed.add(s"$method $rawPath${if (rawQuery.nonEmpty) "?" else ""}")
-    val body = ex.getRequestBody.readAllBytes()
-    try {
-      verifySignature(ex, method, rawQuery, body) match {
-        case Some(reason) =>
-          authFailures += 1
-          reply(ex, 403, (s"<Error><Code>SignatureDoesNotMatch</Code>" +
-            s"<Message>$reason</Message></Error>").getBytes(UTF_8))
-          return
-        case None => ()
-      }
-      val path = java.net.URLDecoder.decode(rawPath, UTF_8)
-      val parts = path.split("/", 3).toList.filter(_.nonEmpty)
-      lock.synchronized {
-        (method, parts) match {
-          case ("PUT", bucket :: key :: Nil) =>
-            val objs = buckets.getOrElseUpdate(bucket, mutable.TreeMap.empty)
-            objs(key) = body
-            ex.getResponseHeaders.set("ETag", s""""${etagOf(body)}"""")
-            reply(ex, 200, Array.emptyByteArray)
-          case ("GET", bucket :: Nil) =>
-            listObjects(ex, bucket, parseQuery(rawQuery))
-          case ("GET", bucket :: key :: Nil) =>
-            buckets.get(bucket).flatMap(_.get(key)) match {
-              case Some(bytes) =>
-                ex.getResponseHeaders.set("ETag", s""""${etagOf(bytes)}"""")
-                reply(ex, 200, bytes)
-              case None => reply(ex, 404,
-                "<Error><Code>NoSuchKey</Code></Error>".getBytes(UTF_8))
-            }
-          case ("HEAD", bucket :: key :: Nil) =>
-            buckets.get(bucket).flatMap(_.get(key)) match {
-              case Some(bytes) =>
-                ex.getResponseHeaders.set("ETag", s""""${etagOf(bytes)}"""")
-                ex.getResponseHeaders.set("Content-Length",
-                  bytes.length.toString)
-                ex.sendResponseHeaders(200, -1)
-                ex.close()
-              case None =>
-                ex.sendResponseHeaders(404, -1)
-                ex.close()
-            }
-          case other =>
-            reply(ex, 400, s"bad request $other".getBytes(UTF_8))
-        }
-      }
-    } catch {
-      case NonFatal(e) =>
-        try reply(ex, 500,
-          String.valueOf(e.getMessage).getBytes(UTF_8))
-        catch { case NonFatal(_) => () }
-    }
-  }
+  override protected def errorBody(status: Int,
+      message: String): Array[Byte] =
+    (s"<Error><Code>${if (status == 403) "SignatureDoesNotMatch"
+    else "Error"}</Code><Message>$message</Message></Error>")
+      .getBytes(UTF_8)
 
-  private def reply(ex: HttpExchange, status: Int,
+  protected def route(ex: HttpExchange, method: String, pathArg: String,
       body: Array[Byte]): Unit = {
-    ex.sendResponseHeaders(status,
-      if (body.isEmpty) -1 else body.length.toLong)
-    if (body.nonEmpty) {
-      val os = ex.getResponseBody
-      try os.write(body) finally os.close()
+    val rawQuery = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    verifySignature(ex, method, rawQuery, body).foreach { reason =>
+      authFailures += 1
+      throw new ApiError(403, reason)
     }
-    ex.close()
+    // decode from the RAW path (the base hands over the pre-decoded
+    // one; decoding that again would corrupt %-containing keys)
+    val path = java.net.URLDecoder.decode(
+      ex.getRequestURI.getRawPath, UTF_8)
+    val parts = path.split("/", 3).toList.filter(_.nonEmpty)
+    (method, parts) match {
+      case ("PUT", bucket :: key :: Nil) =>
+        val objs = buckets.getOrElseUpdate(bucket, mutable.TreeMap.empty)
+        objs(key) = body
+        ex.getResponseHeaders.set("ETag", s""""${etagOf(body)}"""")
+        replyBytes(ex, 200, Array.emptyByteArray)
+      case ("GET", bucket :: Nil) =>
+        listObjects(ex, bucket, parseQuery(rawQuery))
+      case ("GET", bucket :: key :: Nil) =>
+        buckets.get(bucket).flatMap(_.get(key)) match {
+          case Some(bytes) =>
+            ex.getResponseHeaders.set("ETag", s""""${etagOf(bytes)}"""")
+            replyBytes(ex, 200, bytes)
+          case None => replyBytes(ex, 404,
+            "<Error><Code>NoSuchKey</Code></Error>".getBytes(UTF_8))
+        }
+      case ("HEAD", bucket :: key :: Nil) =>
+        buckets.get(bucket).flatMap(_.get(key)) match {
+          case Some(bytes) =>
+            ex.getResponseHeaders.set("ETag", s""""${etagOf(bytes)}"""")
+            ex.getResponseHeaders.set("Content-Length",
+              bytes.length.toString)
+            ex.sendResponseHeaders(200, -1)
+            ex.close()
+          case None =>
+            ex.sendResponseHeaders(404, -1)
+            ex.close()
+        }
+      case other =>
+        throw new ApiError(400, s"bad request $other")
+    }
   }
-
-  private def parseQuery(raw: String): Seq[(String, String)] =
-    if (raw.isEmpty) Nil
-    else raw.split("&").toSeq.map { kv =>
-      kv.split("=", 2) match {
-        case Array(k, v) => java.net.URLDecoder.decode(k, UTF_8) ->
-          java.net.URLDecoder.decode(v, UTF_8)
-        case Array(k) => java.net.URLDecoder.decode(k, UTF_8) -> ""
-      }
-    }
 
   /** Recompute the SigV4 signature for the received request; None =
     * valid. The fixture mirrors the server-side verification a real
@@ -166,11 +123,8 @@ final class MiniS3(creds: SigV4.Credentials, region: String = "us-east-1")
   private def listObjects(ex: HttpExchange, bucket: String,
       query: Seq[(String, String)]): Unit = {
     val q = query.toMap
-    if (!q.get("list-type").contains("2")) {
-      reply(ex, 400, "<Error><Code>InvalidArgument</Code></Error>"
-        .getBytes(UTF_8))
-      return
-    }
+    if (!q.get("list-type").contains("2"))
+      throw new ApiError(400, "only list-type=2 is supported")
     val prefix = q.getOrElse("prefix", "")
     val maxKeys = q.get("max-keys").map(_.toInt).getOrElse(1000)
     val after = q.get("continuation-token")
@@ -199,7 +153,6 @@ final class MiniS3(creds: SigV4.Credentials, region: String = "us-east-1")
         s"""<ETag>&quot;${etagOf(bytes)}&quot;</ETag></Contents>"""
     }
     xml ++= "</ListBucketResult>"
-    ex.getResponseHeaders.set("Content-Type", "application/xml")
-    reply(ex, 200, xml.toString.getBytes(UTF_8))
+    replyBytes(ex, 200, xml.toString.getBytes(UTF_8), "application/xml")
   }
 }

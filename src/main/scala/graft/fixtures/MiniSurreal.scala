@@ -1,18 +1,16 @@
 package graft.fixtures
 
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import java.net.InetSocketAddress
+import com.sun.net.httpserver.HttpExchange
 import java.nio.charset.StandardCharsets.UTF_8
 import scala.collection.mutable
-import scala.util.control.NonFatal
 
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-/** An in-JVM SurrealDB stand-in: the store's HTTP `/sql` endpoint
-  * executing exactly the canonical SurrealQL statements
-  * [[graft.engine.SurrealTableTarget]] generates (reference
-  * surrealdb/_target.py:455-533, :572-594) — BEGIN/COMMIT
+/** An in-JVM SurrealDB stand-in ([[MiniHttpServer]]): the store's
+  * HTTP `/sql` endpoint executing exactly the canonical SurrealQL
+  * statements [[graft.engine.SurrealTableTarget]] generates
+  * (reference surrealdb/_target.py:455-533, :572-594) — BEGIN/COMMIT
   * transaction brackets, `UPSERT table:⟨id⟩ CONTENT {json}`,
   * delete-before-`RELATE` relation upserts, `DELETE table:⟨id⟩`,
   * `DEFINE INDEX`/`REMOVE INDEX`, `REMOVE TABLE`, `SELECT * FROM t`.
@@ -25,28 +23,13 @@ import org.json4s.jackson.JsonMethods
   * transport-shape pin. Replies mirror the store: a JSON array of
   * `{status, result}` per statement.
   */
-final class MiniSurreal extends AutoCloseable {
+final class MiniSurreal extends MiniHttpServer("mini-surreal") {
+  import MiniHttpServer.ApiError
   import MiniSurreal._
 
-  private val server = HttpServer.create(
-    new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 64)
-  server.setExecutor(java.util.concurrent.Executors
-    .newFixedThreadPool(8, r => {
-      val t = new Thread(r, "mini-surreal"); t.setDaemon(true); t
-    }))
-  val port: Int = server.getAddress.getPort
-  val baseUrl: String = s"http://127.0.0.1:$port"
-
-  private val lock = new Object
   // (ns, db) -> table -> id -> record fields (plus in/out for relations)
   private val dbs = mutable.LinkedHashMap
     .empty[(String, String), mutable.LinkedHashMap[String, Table]]
-  val observed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-
-  server.createContext("/", (ex: HttpExchange) => handle(ex))
-  server.start()
-
-  override def close(): Unit = server.stop(0)
 
   def tableNames(ns: String, db: String): Seq[String] =
     lock.synchronized(dbs.get((ns, db)).map(_.keys.toSeq).getOrElse(Nil))
@@ -57,35 +40,18 @@ final class MiniSurreal extends AutoCloseable {
     lock.synchronized(dbs.get((ns, db)).flatMap(_.get(table))
       .map(_.indexes.keys.toSeq).getOrElse(Nil))
 
-  private def handle(ex: HttpExchange): Unit = {
-    val method = ex.getRequestMethod
-    val path = ex.getRequestURI.getPath
-    observed.add(s"$method $path")
-    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-    val (status, reply): (Int, JValue) =
-      try {
-        if (method != "POST" || path != "/sql")
-          throw new ApiError(404, s"no route $method $path")
-        val ns = Option(ex.getRequestHeaders.getFirst("Surreal-NS"))
-          .getOrElse(throw new ApiError(400, "missing Surreal-NS header"))
-        val db = Option(ex.getRequestHeaders.getFirst("Surreal-DB"))
-          .getOrElse(throw new ApiError(400, "missing Surreal-DB header"))
-        lock.synchronized {
-          val tables = dbs.getOrElseUpdate((ns, db),
-            mutable.LinkedHashMap.empty)
-          JArray(splitStatements(body).map(s => execute(tables, s)))
-        } match { case r => (200, r) }
-      } catch {
-        case e: ApiError => (e.status,
-          JObject("error" -> JString(e.getMessage)))
-        case NonFatal(e) => (500,
-          JObject("error" -> JString(String.valueOf(e.getMessage))))
-      }
-    val out = JsonMethods.compact(JsonMethods.render(reply)).getBytes(UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(status, out.length.toLong)
-    val os = ex.getResponseBody
-    try os.write(out) finally os.close()
+  protected def route(ex: HttpExchange, method: String, path: String,
+      bodyBytes: Array[Byte]): Unit = {
+    if (method != "POST" || path != "/sql")
+      throw new ApiError(404, s"no route $method $path")
+    val ns = Option(ex.getRequestHeaders.getFirst("Surreal-NS"))
+      .getOrElse(throw new ApiError(400, "missing Surreal-NS header"))
+    val db = Option(ex.getRequestHeaders.getFirst("Surreal-DB"))
+      .getOrElse(throw new ApiError(400, "missing Surreal-DB header"))
+    val tables = dbs.getOrElseUpdate((ns, db), mutable.LinkedHashMap.empty)
+    val reply = JArray(splitStatements(new String(bodyBytes, UTF_8))
+      .map(s => execute(tables, s)))
+    replyJson(ex, 200, reply)
   }
 
   private def execute(tables: mutable.LinkedHashMap[String, Table],
@@ -133,8 +99,6 @@ final class MiniSurreal extends AutoCloseable {
 }
 
 object MiniSurreal {
-  final class ApiError(val status: Int, msg: String)
-      extends RuntimeException(msg)
 
   final class Table {
     val rows = mutable.LinkedHashMap.empty[String, JObject]

@@ -1,7 +1,6 @@
 package graft.fixtures
 
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import java.net.InetSocketAddress
+import com.sun.net.httpserver.HttpExchange
 import java.nio.charset.StandardCharsets.UTF_8
 import scala.collection.mutable
 import scala.util.control.NonFatal
@@ -11,7 +10,7 @@ import org.json4s.JsonDSL._
 import org.json4s.jackson.JsonMethods
 
 /** An in-JVM turbopuffer stand-in speaking the store's v2 REST API
-  * over real HTTP — the fixture peer for
+  * over real HTTP ([[MiniHttpServer]]) — the fixture peer for
   * [[graft.engine.TurbopufferNamespaceTarget]] (same stance as
   * Derby-for-postgres / MiniQdrant): namespaces are created
   * implicitly on first write, one write call carries upsert_rows
@@ -20,26 +19,11 @@ import org.json4s.jackson.JsonMethods
   * DELETE clears a namespace, and /query serves id-ordered keyset
   * scans and brute-force ANN.
   */
-final class MiniTurbopuffer extends AutoCloseable {
+final class MiniTurbopuffer extends MiniHttpServer("mini-tpuf") {
+  import MiniHttpServer.ApiError
   import MiniTurbopuffer._
 
-  private val server = HttpServer.create(
-    new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 64)
-  server.setExecutor(java.util.concurrent.Executors
-    .newFixedThreadPool(8, r => {
-      val t = new Thread(r, "mini-tpuf"); t.setDaemon(true); t
-    }))
-  val port: Int = server.getAddress.getPort
-  val baseUrl: String = s"http://127.0.0.1:$port"
-
-  private val lock = new Object
   private val namespaces = mutable.LinkedHashMap.empty[String, Namespace]
-  val observed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-
-  server.createContext("/", (ex: HttpExchange) => handle(ex))
-  server.start()
-
-  override def close(): Unit = server.stop(0)
 
   def namespaceNames: Seq[String] = lock.synchronized(namespaces.keys.toSeq)
   def rowCount(ns: String): Int =
@@ -48,31 +32,24 @@ final class MiniTurbopuffer extends AutoCloseable {
   def schemaOf(ns: String): Option[JValue] =
     lock.synchronized(namespaces.get(ns).map(_.schema))
 
-  private def handle(ex: HttpExchange): Unit = {
-    val method = ex.getRequestMethod
-    val path = ex.getRequestURI.getPath
-    observed.add(s"$method $path")
+  override protected def errorBody(status: Int,
+      message: String): Array[Byte] =
+    JsonMethods.compact(JsonMethods.render(
+      ("error" -> message): JValue)).getBytes(UTF_8)
+
+  protected def route(ex: HttpExchange, method: String, path: String,
+      bodyBytes: Array[Byte]): Unit = {
     val body =
       try {
-        val bytes = ex.getRequestBody.readAllBytes()
-        if (bytes.isEmpty) JNothing
-        else JsonMethods.parse(new String(bytes, UTF_8))
+        if (bodyBytes.isEmpty) JNothing
+        else JsonMethods.parse(new String(bodyBytes, UTF_8))
       } catch { case NonFatal(_) => JNothing }
-    val (status, reply): (Int, JValue) =
-      try lock.synchronized(
-        route(method, path.split("/").filter(_.nonEmpty).toList, body))
-      catch {
-        case e: ApiError => (e.status, "error" -> e.getMessage: JValue)
-        case NonFatal(e) => (500, "error" -> String.valueOf(e.getMessage))
-      }
-    val out = JsonMethods.compact(JsonMethods.render(reply)).getBytes(UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(status, out.length.toLong)
-    val os = ex.getResponseBody
-    try os.write(out) finally os.close()
+    val (status, reply) = dispatch(method,
+      path.split("/").filter(_.nonEmpty).toList, body)
+    replyJson(ex, status, reply)
   }
 
-  private def route(method: String, parts: List[String],
+  private def dispatch(method: String, parts: List[String],
       body: JValue): (Int, JValue) = (method, parts) match {
     case ("POST", List("v2", "namespaces", ns)) =>
       val n = namespaces.getOrElseUpdate(ns,
@@ -111,7 +88,8 @@ final class MiniTurbopuffer extends AutoCloseable {
               Some(v)
             case _ => None
           }
-          n.rows.iteratorFrom(after.map(_ + "\u0000").getOrElse(""))
+          // NUL suffix = the smallest strictly-greater key (Gt, not Ge)
+          n.rows.iteratorFrom(after.map(_ + 0.toChar).getOrElse(""))
             .map { case (_, r) => (r, JNothing) }.take(topK).toVector
         // [field, "ANN", [..]] brute-force scored by the namespace metric
         case JArray(List(JString(field), JString("ANN"), JArray(q))) =>
@@ -135,8 +113,7 @@ final class MiniTurbopuffer extends AutoCloseable {
 }
 
 object MiniTurbopuffer {
-  final class ApiError(val status: Int, msg: String)
-      extends RuntimeException(msg)
+  import MiniHttpServer.ApiError
 
   final case class Namespace(distance: JValue, schema: JValue,
       rows: mutable.TreeMap[String, JValue])

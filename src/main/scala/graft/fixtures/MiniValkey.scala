@@ -228,13 +228,8 @@ object MiniValkey {
   final case class IndexDef(prefix: String, vector: Option[VectorDef],
       fields: Vector[(String, String)])
 
-  private[fixtures] def floatsOf(b: Array[Byte]): Array[Float] = {
-    val bb = ByteBuffer.wrap(b).order(LITTLE_ENDIAN)
-    val out = new Array[Float](b.length / 4)
-    var i = 0
-    while (i < out.length) { out(i) = bb.getFloat(); i += 1 }
-    out
-  }
+  private[fixtures] def floatsOf(b: Array[Byte]): Array[Float] =
+    graft.engine.Float32LE.decode(b)
 
   private def distance(metric: String, a: Array[Float],
       b: Array[Float]): Double = metric.toUpperCase match {

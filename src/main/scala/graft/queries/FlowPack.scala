@@ -376,6 +376,11 @@ object FlowPack extends QueryPack {
             .run(s)
           val appended = (0 until 4)
             .map(p => broker.endOffset("doc_events", p)).sum
+          // exact-count O(changed) assertion: safe here because local
+          // mode has no silent task retries (a failed produce task
+          // fails the whole run) — on a cluster, at-least-once task
+          // retries could legitimately duplicate appends and only
+          // the compacted view below stays exact
           require(appended ==
             n1.rowsInserted + r2.rowsUpdated + r2.rowsDeleted,
             s"broker log must hold exactly the changed messages: $n1 / $r2")

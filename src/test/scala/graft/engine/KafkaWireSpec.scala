@@ -67,13 +67,18 @@ class KafkaWireSpec extends SparkSpec {
     assert(parts.forall(p => p >= 0 && p < 16))
     assert(parts.distinct.length == 16, "all 16 partitions hit")
     assert(keys.map(KafkaWire.partitionFor(_, 16)) == parts) // stable
-    // pinned values guard the ported arithmetic against regression
-    assert(KafkaWire.murmur2(bytes("graft")) ==
-      KafkaWire.murmur2(bytes("graft")))
-    assert(KafkaWire.partitionFor(bytes("doc:1"), 4) !=
-      KafkaWire.partitionFor(bytes("doc:2"), 4) ||
-      KafkaWire.partitionFor(bytes("doc:1"), 1024) !=
-      KafkaWire.partitionFor(bytes("doc:2"), 1024))
+    // constants cross-checked against an INDEPENDENT implementation
+    // of the published algorithm (a from-scratch Python port with
+    // explicit 32-bit overflow/unsigned-shift semantics) — pins the
+    // JVM port's sign handling, tail fall-through and shifts against
+    // regression
+    assert(KafkaWire.murmur2(bytes("graft")) == -1847519619)
+    assert(KafkaWire.murmur2(bytes("doc:1")) == 1430697163)
+    assert(KafkaWire.murmur2(bytes("doc:2")) == -1931216357)
+    assert(KafkaWire.murmur2(bytes("key-0")) == 29210041)
+    assert(KafkaWire.murmur2(bytes("")) == 275646681)
+    assert(KafkaWire.partitionFor(bytes("doc:1"), 4) == 3)
+    assert(KafkaWire.partitionFor(bytes("key-0"), 4) == 1)
   }
 
   test("produce assigns sequential offsets; fetch honors the offset") {

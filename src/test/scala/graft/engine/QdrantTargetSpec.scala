@@ -93,6 +93,12 @@ class QdrantTargetSpec extends SparkSpec {
     assert(u == QdrantCollectionTarget.pointId("3#2"))
     assert(java.util.UUID.fromString(
       u.asInstanceOf[JString].s).version() == 3)
+    // a zero-padded key must NOT collide with its canonical spelling
+    // in the store's id space — "07" takes the UUID path
+    assert(QdrantCollectionTarget.pointId("07") !=
+      QdrantCollectionTarget.pointId("7"))
+    assert(QdrantCollectionTarget.pointId("07").isInstanceOf[JString])
+    assert(QdrantCollectionTarget.pointId("0") == JInt(0))
   }
 
   test("named dense + sparse vectors round-trip") {

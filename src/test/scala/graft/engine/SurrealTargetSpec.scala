@@ -120,6 +120,13 @@ class SurrealTargetSpec extends SparkSpec {
       t.apply(spark, df(Nil),
         Seq("n:weird id:with ; stuff").toDF("row_key"))
       assert(s.rowCount("testns", "testdb", "doc") == 0)
+
+      // an id that itself starts AND ends with a backtick is DATA,
+      // not statement quoting — it must survive read-back verbatim
+      t.apply(spark, df(Seq(node("`q`", "tick", 2L))), noDeletes)
+      val tick = t.read(spark).filter(col("txt") === "tick")
+        .collect().head
+      assert(tick.getString(0) == "n:`q`")
     }
   }
 

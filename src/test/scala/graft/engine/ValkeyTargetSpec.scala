@@ -121,6 +121,25 @@ class ValkeyTargetSpec extends SparkSpec {
       t.apply(spark, Seq(("a", 5L)).toDF("row_key", "n"), noDeletes)
       assert(s.dump("docs:")("docs:a").keySet == Set("n"))
       assert(new String(s.dump("docs:")("docs:a")("n"), "UTF-8") == "5")
+
+      // an all-null row cannot exist as a hash: loud failure, not a
+      // silent vanish (HSET with zero pairs is an arity error)
+      val allNull = Seq(("b", null: java.lang.Long))
+        .toDF("row_key", "n")
+      intercept[org.apache.spark.SparkException] {
+        t.apply(spark, allNull, noDeletes)
+      }
+    }
+  }
+
+  test("flipping a field's SORTABLE flag changes container identity") {
+    withServer { s =>
+      val a = target(s)
+      val b = a.copy(fields = a.fields.map(f =>
+        if (f.name == "n") f.copy(sortable = !f.sortable) else f))
+      // a changed FT.CREATE definition must plan the destructive
+      // replace — the create path is if-not-exists
+      assert(a.containerSignature != b.containerSignature)
     }
   }
 
