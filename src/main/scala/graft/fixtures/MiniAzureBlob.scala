@@ -1,0 +1,132 @@
+package graft.fixtures
+
+import com.sun.net.httpserver.HttpExchange
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.mutable
+
+import graft.engine.AzureSharedKey
+
+/** An in-JVM Azure Blob endpoint ([[MiniHttpServer]]): List Blobs XML
+  * with marker paging, Get/Head/Put Blob, quoted ETags, and REAL
+  * SharedKey verification — the fixture holds the account key and
+  * recomputes every request's signature from the received verb,
+  * headers and canonicalized resource, rejecting mismatches with 403
+  * (the strongest possible check on the client's StringToSign
+  * construction). The peer for [[graft.engine.AzureBlobClient]] /
+  * AzureBlobSource.
+  */
+final class MiniAzureBlob(creds: AzureSharedKey.Credentials)
+    extends MiniHttpServer("mini-azure") {
+  import MiniHttpServer.ApiError
+
+  // container -> blob name -> bytes (TreeMap: listing is name order)
+  private val containers =
+    mutable.LinkedHashMap.empty[String, mutable.TreeMap[String, Array[Byte]]]
+  @volatile var authFailures: Int = 0
+
+  val endpoint: String = baseUrl
+
+  def blobCount(container: String): Int =
+    lock.synchronized(containers.get(container).map(_.size).getOrElse(0))
+
+  private def etagOf(bytes: Array[Byte]): String =
+    "\"0x" + java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .take(8).map("%02X".format(_)).mkString + "\""
+
+  override protected def errorBody(status: Int,
+      message: String): Array[Byte] =
+    (s"<Error><Code>${if (status == 403) "AuthenticationFailed"
+    else "Error"}</Code><Message>$message</Message></Error>")
+      .getBytes(UTF_8)
+
+  protected def route(ex: HttpExchange, method: String, path: String,
+      body: Array[Byte]): Unit = {
+    val query = parseQuery(Option(ex.getRequestURI.getRawQuery).orNull)
+    verify(ex, method, path, query, body).foreach { reason =>
+      authFailures += 1
+      throw new ApiError(403, reason)
+    }
+    val parts = path.split("/", 3).toList.filter(_.nonEmpty)
+    (method, parts) match {
+      case ("PUT", container :: name :: Nil) =>
+        val blobs = containers.getOrElseUpdate(container,
+          mutable.TreeMap.empty)
+        blobs(name) = body
+        ex.getResponseHeaders.set("ETag", etagOf(body))
+        replyBytes(ex, 201, Array.emptyByteArray)
+      case ("GET", container :: Nil)
+          if query.toMap.get("comp").contains("list") =>
+        listBlobs(ex, container, query.toMap)
+      case ("GET", container :: name :: Nil) =>
+        containers.get(container).flatMap(_.get(name)) match {
+          case Some(bytes) =>
+            ex.getResponseHeaders.set("ETag", etagOf(bytes))
+            replyBytes(ex, 200, bytes)
+          case None => throw new ApiError(404, s"no blob $name")
+        }
+      case ("HEAD", container :: name :: Nil) =>
+        containers.get(container).flatMap(_.get(name)) match {
+          case Some(bytes) =>
+            ex.getResponseHeaders.set("ETag", etagOf(bytes))
+            ex.getResponseHeaders.set("Content-Length",
+              bytes.length.toString)
+            ex.sendResponseHeaders(200, -1)
+            ex.close()
+          case None =>
+            ex.sendResponseHeaders(404, -1)
+            ex.close()
+        }
+      case other => throw new ApiError(400, s"bad request $other")
+    }
+  }
+
+  /** Recompute the SharedKey signature server-side; None = valid. */
+  private def verify(ex: HttpExchange, method: String, path: String,
+      query: Seq[(String, String)],
+      body: Array[Byte]): Option[String] = {
+    val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .getOrElse(return Some("missing Authorization"))
+    if (!auth.startsWith(s"SharedKey ${creds.account}:"))
+      return Some("wrong scheme or account")
+    import scala.jdk.CollectionConverters._
+    val headers = ex.getRequestHeaders.asScala.map { case (k, vs) =>
+      k.toLowerCase -> vs.get(0)
+    }.toMap
+    val ours = AzureSharedKey.sign(method, path, query, headers,
+      if (body == null) 0L else body.length.toLong, creds)
+    if (ours == auth) None else Some("signature mismatch")
+  }
+
+  /** List Blobs: prefix filter, name order, maxresults pages with the
+    * next name as the marker (inclusive-start, like the service). */
+  private def listBlobs(ex: HttpExchange, container: String,
+      q: Map[String, String]): Unit = {
+    val prefix = q.getOrElse("prefix", "")
+    val maxResults = q.get("maxresults").map(_.toInt).getOrElse(1000)
+    val marker = q.get("marker")
+    val blobs = containers.get(container).map(_.toVector)
+      .getOrElse(Vector.empty)
+      .filter(_._1.startsWith(prefix))
+    val remaining = marker match {
+      case Some(m) => blobs.dropWhile(_._1 < m)
+      case None => blobs
+    }
+    val page = remaining.take(maxResults)
+    val next = remaining.drop(maxResults).headOption.map(_._1)
+    def esc(s: String): String = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val xml = new StringBuilder
+    xml ++= """<?xml version="1.0" encoding="utf-8"?>"""
+    xml ++= s"""<EnumerationResults ContainerName="${esc(container)}">"""
+    xml ++= s"<Prefix>${esc(prefix)}</Prefix><MaxResults>$maxResults</MaxResults><Blobs>"
+    page.foreach { case (name, bytes) =>
+      xml ++= s"<Blob><Name>${esc(name)}</Name><Properties>" +
+        s"<Content-Length>${bytes.length}</Content-Length>" +
+        s"<Etag>${esc(etagOf(bytes))}</Etag></Properties></Blob>"
+    }
+    xml ++= "</Blobs>"
+    xml ++= s"<NextMarker>${next.map(esc).getOrElse("")}</NextMarker>"
+    xml ++= "</EnumerationResults>"
+    replyBytes(ex, 200, xml.toString.getBytes(UTF_8), "application/xml")
+  }
+}

@@ -483,6 +483,53 @@ object FlowPack extends QueryPack {
           flow.target.read(s).select("row_key", "n", "content_md5")
         } finally server.close()
       }),
+    // the corpus served from an Azure-Blob-protocol endpoint:
+    // SharedKey-signed List Blobs marker pages → (name, ETag),
+    // executor-batched Get Blob, ETag-driven no-op reruns — every
+    // request signature recomputed and verified server-side by
+    // graft.fixtures.MiniAzureBlob. Same deterministic-third scope
+    // as q89 (per-blob round trips are the subject, not volume).
+    Q(
+      "q91_azure_source",
+      Some("""
+        SELECT 'doc/' || CAST(doc_id AS VARCHAR) AS row_key,
+               CAST(length(text) AS BIGINT) AS n,
+               md5(text) AS content_md5
+        FROM documents WHERE doc_id % 3 = 0"""),
+      (s, dir) => {
+        val creds = AzureSharedKey.Credentials("graftacct",
+          java.util.Base64.getEncoder.encodeToString(
+            "graft-q91-account-key-32-bytes!!".getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)))
+        val server = new graft.fixtures.MiniAzureBlob(creds)
+        try {
+          val work = java.nio.file.Files.createTempDirectory("graft-az-q91")
+          work.toFile.deleteOnExit()
+          val (ep, cont) = (server.endpoint, "corpus")
+          Tables(s, dir, "documents")
+            .filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id").cast("string"), col("text"))
+            .repartition(8)
+            .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+              val c = new AzureBlobClient(ep, cont, creds)
+              rows.foreach(r => c.putBlob(s"doc/${r.getString(0)}",
+                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            }
+          val source = AzureBlobSource(ep, cont, "doc/", creds,
+            fetchBatch = 128)
+          val stage = CocoFn("digest", 1, fn = df => df.select(
+            col("item_key"), col("item_key").as("row_key"),
+            length(decode(col("content"), "UTF-8")).cast("long").as("n"),
+            md5(col("content")).as("content_md5")))
+          val flow = new Flow("azure_digest", source, Seq(stage),
+            ParquetTableTarget(work.resolve("out").toString, numBuckets = 8),
+            work.resolve("state").toString)
+          flow.run(s)
+          require(flow.run(s).isNoop,
+            "incremental contract violated: unchanged ETags must no-op")
+          flow.target.read(s).select("row_key", "n", "content_md5")
+        } finally server.close()
+      }),
     Q(
       "q63_topic_target",
       // the final compacted map after: produce all docs, then a second

@@ -1,0 +1,124 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.fixtures.MiniAzureBlob
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+/** The Azure Blob SharedKey transport against [[MiniAzureBlob]],
+  * which RECOMPUTES every request signature server-side with the
+  * shared account key — signing, List Blobs marker paging, blob
+  * round-trips and the source's ETag-driven incremental contract
+  * (reference azure_blob/_source.py:59-69 list_blobs/download_blob,
+  * :72-73 ETag-as-fingerprint).
+  */
+class AzureBlobSpec extends SparkSpec {
+
+  private val testCreds = AzureSharedKey.Credentials("graftacct",
+    java.util.Base64.getEncoder.encodeToString(
+      "a-test-account-key-32-bytes-long".getBytes(UTF_8)))
+
+  private def withServer[T](f: (MiniAzureBlob, AzureBlobClient) => T): T = {
+    val s = new MiniAzureBlob(testCreds)
+    try f(s, new AzureBlobClient(s.endpoint, "corpus", testCreds))
+    finally s.close()
+  }
+
+  test("StringToSign canonicalization: headers sorted, resource + query") {
+    // shape check of the signed pieces (the wire-level proof is the
+    // fixture's server-side recomputation in every other test)
+    val auth = AzureSharedKey.sign("GET", "/corpus",
+      Seq("restype" -> "container", "comp" -> "list"),
+      Map("x-ms-date" -> "Thu, 01 Jan 2026 00:00:00 GMT",
+        "x-ms-version" -> "2021-08-06"),
+      0L, testCreds)
+    assert(auth.startsWith("SharedKey graftacct:"))
+    // deterministic for fixed inputs
+    assert(auth == AzureSharedKey.sign("GET", "/corpus",
+      Seq("comp" -> "list", "restype" -> "container"), // order-free
+      Map("x-ms-version" -> "2021-08-06",
+        "x-ms-date" -> "Thu, 01 Jan 2026 00:00:00 GMT"),
+      0L, testCreds))
+  }
+
+  test("put/get/head round-trip under server-side verification") {
+    withServer { (s, c) =>
+      c.putBlob("docs/a.txt", "hello azure".getBytes(UTF_8))
+      assert(new String(c.getBlob("docs/a.txt"), UTF_8) == "hello azure")
+      val head = c.headBlob("docs/a.txt")
+      assert(head.size == 11L && head.etag.nonEmpty)
+      assert(s.authFailures == 0)
+    }
+  }
+
+  test("List Blobs pages via markers; prefix prunes") {
+    withServer { (s, c) =>
+      (0 until 25).foreach(i =>
+        c.putBlob(f"docs/k$i%03d", s"v$i".getBytes(UTF_8)))
+      c.putBlob("other/x", "y".getBytes(UTF_8))
+
+      val (p1, m1) = c.listPage("docs/", None, maxResults = 10)
+      assert(p1.length == 10 && m1.isDefined)
+      val (p2, m2) = c.listPage("docs/", m1, maxResults = 10)
+      assert(p2.length == 10 && m2.isDefined)
+      val (p3, m3) = c.listPage("docs/", m2, maxResults = 10)
+      assert(p3.length == 5 && m3.isEmpty)
+      assert((p1 ++ p2 ++ p3).map(_.name).distinct.length == 25)
+      assert(c.listAll("").toVector.length == 26)
+    }
+  }
+
+  test("a wrong account key is rejected by signature recomputation") {
+    withServer { (s, _) =>
+      val bad = new AzureBlobClient(s.endpoint, "corpus",
+        testCreds.copy(keyBase64 = java.util.Base64.getEncoder
+          .encodeToString("wrong-key".getBytes(UTF_8))))
+      val e = intercept[Batching.ApiStatusException] {
+        bad.putBlob("x", "y".getBytes(UTF_8))
+      }
+      assert(e.status == 403 && s.authFailures >= 1)
+    }
+  }
+
+  test("full incremental Flow: ETag fingerprints make reruns O(changed)") {
+    withServer { (s, c) =>
+      c.putBlob("docs/a.txt", "alpha".getBytes(UTF_8))
+      c.putBlob("docs/b.txt", "beta".getBytes(UTF_8))
+      c.putBlob("docs/c.txt", "gamma".getBytes(UTF_8))
+
+      val work = Files.createTempDirectory("azure-flow")
+      work.toFile.deleteOnExit()
+      val source = AzureBlobSource(s.endpoint, "corpus", "docs/",
+        testCreds, fetchBatch = 2)
+      val stage = CocoFn("upper", 1, fn = df => df.select(
+        col("item_key"), col("item_key").as("row_key"),
+        upper(decode(col("content"), "UTF-8")).as("txt")))
+      val flow = new Flow("azure_e2e", source, Seq(stage),
+        ParquetTableTarget(work.resolve("out").toString, numBuckets = 2),
+        work.resolve("state").toString)
+
+      val r1 = flow.run(spark)
+      assert(r1.rowsInserted == 3, s"$r1")
+      import scala.jdk.CollectionConverters._
+      def gets = s.observed.asScala.count(o =>
+        o.startsWith("GET /corpus/docs/"))
+      val afterCold = gets
+      assert(flow.run(spark).isNoop,
+        "unchanged ETags must make the rerun a no-op")
+      assert(gets == afterCold, "no-op rerun must not re-download")
+
+      c.putBlob("docs/b.txt", "beta EDITED".getBytes(UTF_8))
+      val r2 = flow.run(spark)
+      assert(r2.rowsUpdated == 1 && r2.rowsInserted == 0 &&
+        r2.rowsDeleted == 0, s"$r2")
+      assert(gets == afterCold + 1, "only the changed blob downloads")
+
+      val got = flow.target.read(spark).select("row_key", "txt").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == Map(
+        "docs/a.txt" -> "ALPHA", "docs/b.txt" -> "BETA EDITED",
+        "docs/c.txt" -> "GAMMA"))
+    }
+  }
+}
