@@ -1,0 +1,188 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PostgreSQL table source over the real v3 wire protocol — the
+  * reference's `PgTableSource`
+  * (python/cocoindex/connectors/postgres/_source.py:155 `items()`,
+  * `:122-137` cursor SELECT) re-expressed for Spark's execution
+  * model: where the reference streams the whole table through ONE
+  * connection's cursor, a 100 TB table needs partitioned reads — the
+  * key space is split into ranges (the `spark.read.jdbc
+  * partitionColumn` idiom SURVEY.md §2.A names) and each task scans
+  * its range over its own connection with `WHERE key >= lo AND key <
+  * hi ORDER BY key`.
+  *
+  * Range boundaries: numeric keys split arithmetically from
+  * `min/max/count`; other key types sample boundaries with
+  * `ORDER BY key LIMIT 1 OFFSET k·stride` probes (one round trip per
+  * boundary, server-side scan — the price of an opaque key domain).
+  *
+  * Incremental-flow integration: the whole row fingerprints through
+  * [[TableSource.fingerprinted]] (level 1 = any row change), and the
+  * delta paths push down over the wire — `listKeys`/`load` for a
+  * k-key delta issue chunked `WHERE key IN ($1,…)` reads, O(delta)
+  * rows over the socket instead of a full-table rescan.
+  */
+final case class PgWireTableSource(host: String, port: Int,
+    database: String, table: String, keyCol: String,
+    user: String = "graft", numPartitions: Int = 8) extends Source {
+
+  import PgWireTableSource._
+
+  SurrealTableTarget.validateIdentifier(table, "table name")
+  SurrealTableTarget.validateIdentifier(keyCol, "column name")
+
+  private def withClient[T](f: PgWire.Client => T): T = {
+    val c = new PgWire.Client(host, port, user, database)
+    try f(c) finally c.close()
+  }
+
+  /** Column shape probe: `SELECT * … LIMIT 0` → names + OIDs. */
+  private def probeColumns(c: PgWire.Client): Vector[PgWire.PgColumn] =
+    c.query(s"""SELECT * FROM "$table" LIMIT 0""").head.columns
+
+  private def schemaOf(cols: Vector[PgWire.PgColumn]): StructType =
+    StructType(cols.map(pc =>
+      StructField(pc.name, PgTableTarget.sparkTypeOf(pc.oid), nullable = true)))
+
+  /** The partitioned full scan. */
+  private[engine] def scan(spark: SparkSession): DataFrame = {
+    val (cols, ranges) = withClient { c =>
+      val cols = probeColumns(c)
+      val stats = c.execute(
+        s"""SELECT count(*), min("$keyCol"), max("$keyCol") FROM "$table"""")
+      val row = stats.rows.head
+      val n = row(0).get.toLong
+      val keyOid = cols.find(_.name == keyCol)
+        .getOrElse(throw new IllegalArgumentException(
+          s"key column $keyCol not in $table")).oid
+      (cols, boundaries(c, n, row(1), row(2), keyOid))
+    }
+    val schema = schemaOf(cols)
+    if (ranges.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+    val (h, p, db, usr, t, k) = (host, port, database, user, table, keyCol)
+    val colList = cols.map(c => s""""${c.name}"""").mkString(", ")
+    val oids = cols.map(_.oid)
+    val rdd = spark.sparkContext.parallelize(ranges, ranges.length)
+      .mapPartitions { it =>
+        it.flatMap { case (lo, hi) =>
+          val c = new PgWire.Client(h, p, usr, db)
+          try {
+            // repeatable-read readonly txn per range — the reference's
+            // snapshot stance for a consistent scan (_source.py:135)
+            c.query("BEGIN ISOLATION LEVEL REPEATABLE READ READ ONLY")
+            val where = (lo.map(_ => s""""$k" >= $$1""").toSeq ++
+              hi.map(_ => s""""$k" < $$${1 + lo.size}""").toSeq)
+              .mkString(" AND ")
+            val sql = s"""SELECT $colList FROM "$t"""" +
+              (if (where.nonEmpty) s" WHERE $where" else "") +
+              s""" ORDER BY "$k""""
+            val res = c.execute(sql, (lo.toSeq ++ hi.toSeq).map(Some(_)))
+            c.query("COMMIT")
+            res.rows.map(decodeRow(_, oids))
+          } finally c.close()
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Chunked pushed-down point reads for a bounded key set —
+    * executor-side, each task's chunk one `WHERE key IN` statement. */
+  private def scanKeys(spark: SparkSession, keys: Seq[String]): DataFrame = {
+    val cols = withClient(probeColumns)
+    val schema = schemaOf(cols)
+    if (keys.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val (h, p, db, usr, t, k) = (host, port, database, user, table, keyCol)
+    val colList = cols.map(c => s""""${c.name}"""").mkString(", ")
+    val oids = cols.map(_.oid)
+    val parts = math.min(numPartitions, 1 + keys.length / 1024)
+    val rdd = spark.sparkContext.parallelize(keys.distinct, parts)
+      .mapPartitions { it =>
+        val batch = it.toVector
+        if (batch.isEmpty) Iterator.empty
+        else {
+          val c = new PgWire.Client(h, p, usr, db)
+          try batch.grouped(PgTableTarget.BindLimit).flatMap { chunk =>
+            val placeholders =
+              chunk.indices.map(i => s"$$${i + 1}").mkString(", ")
+            val res = c.execute(
+              s"""SELECT $colList FROM "$t" WHERE "$k" IN ($placeholders)""",
+              chunk.map(Some(_)))
+            res.rows.map(decodeRow(_, oids))
+          }.toVector.iterator
+          finally c.close()
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private def fingerprinted(df: DataFrame): DataFrame =
+    TableSource.fingerprinted(df, keyCol)
+
+  def list(spark: SparkSession): DataFrame = fingerprinted(scan(spark))
+
+  /** O(delta) re-stat: only the named keys travel the wire. */
+  override def listKeys(spark: SparkSession, keys: Seq[String]): DataFrame =
+    fingerprinted(scanKeys(spark, keys.distinct))
+
+  def load(spark: SparkSession, keys: DataFrame): DataFrame = {
+    val bounded = keys.select(col("item_key"))
+      .limit(LocalFsSource.MaxPushdownPaths + 1).collect()
+    val full =
+      if (bounded.length <= LocalFsSource.MaxPushdownPaths)
+        scanKeys(spark, bounded.map(_.getString(0)).toSeq)
+      else
+        // backfill-sized delta: the partitioned full scan + semi-join
+        scan(spark).withColumn("item_key", col(keyCol).cast("string"))
+          .join(keys.select("item_key"), Seq("item_key"), "left_semi")
+          .drop("item_key")
+    full.withColumn("item_key", col(keyCol).cast("string"))
+  }
+
+  def contentFpOf: Option[Column] = None
+
+  /** Key ranges `(lo?, hi?)` covering the table; first range open
+    * below, last open above (values still arriving during the scan
+    * land in an edge range instead of being missed). */
+  private def boundaries(c: PgWire.Client, n: Long,
+      min: Option[String], max: Option[String],
+      keyOid: Int): Seq[(Option[String], Option[String])] = {
+    if (n == 0 || min.isEmpty || max.isEmpty) return Nil
+    val parts = math.max(1, math.min(numPartitions, n).toInt)
+    if (parts == 1) return Seq((None, None))
+    val cuts: Seq[String] = keyOid match {
+      case PgWire.OidInt2 | PgWire.OidInt4 | PgWire.OidInt8 =>
+        val lo = min.get.toLong
+        val hi = max.get.toLong
+        // arithmetic split, the spark.read.jdbc partitionColumn idiom
+        (1 until parts).map(i =>
+          (lo + (BigInt(hi) - lo) * i / parts).toString).distinct
+      case _ =>
+        // opaque key domain: OFFSET-sampled boundaries, one probe per
+        // cut (server-side O(n) per probe; driver holds only `parts`
+        // strings)
+        val stride = math.max(1L, n / parts)
+        (1 until parts).flatMap { i =>
+          c.execute(
+            s"""SELECT "$keyCol" FROM "$table" ORDER BY "$keyCol" """ +
+              s"LIMIT 1 OFFSET ${i * stride}").rows.headOption.flatMap(_.head)
+        }.distinct
+    }
+    val bounds = (None +: cuts.map(Some(_))) :+ None
+    bounds.zip(bounds.tail).map { case (lo, hi) => (lo, hi) }
+  }
+}
+
+object PgWireTableSource {
+  private[engine] def decodeRow(r: Vector[Option[String]],
+      oids: Vector[Int]): Row =
+    Row.fromSeq(oids.zipWithIndex.map { case (oid, i) =>
+      PgTableTarget.decodeValue(r(i), oid)
+    })
+}

@@ -1,0 +1,383 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A pgvector index on the table (reference `_VectorIndexSpec` +
+  * handler, python/cocoindex/connectors/postgres/_target.py:480-557):
+  * physical name `{table}__vector__{name}`, drop-then-recreate DDL,
+  * `USING ivfflat|hnsw ("col" vector_<metric>_ops) WITH (…)`. */
+final case class PgVectorIndex(name: String, column: String,
+    method: String = "ivfflat", metric: String = "cosine",
+    lists: Option[Int] = Some(100), m: Option[Int] = None,
+    efConstruction: Option[Int] = None) {
+
+  def opClass: String = metric match {
+    case "cosine" => "vector_cosine_ops"
+    case "l2" => "vector_l2_ops"
+    case "ip" => "vector_ip_ops"
+    case other =>
+      throw new IllegalArgumentException(s"unknown pgvector metric $other")
+  }
+
+  def createSql(table: String): String = {
+    val withParams = method match {
+      case "ivfflat" => lists.map(v => s"lists = $v").toSeq
+      case "hnsw" =>
+        m.map(v => s"m = $v").toSeq ++
+          efConstruction.map(v => s"ef_construction = $v").toSeq
+      case other =>
+        throw new IllegalArgumentException(s"unknown pgvector method $other")
+    }
+    val withClause =
+      if (withParams.isEmpty) "" else withParams.mkString(" WITH (", ", ", ")")
+    s"""CREATE INDEX "${physicalName(table)}" ON "$table" """ +
+      s"""USING $method ("$column" $opClass)$withClause"""
+  }
+
+  def physicalName(table: String): String = s"${table}__vector__$name"
+}
+
+/** PostgreSQL table target over the real v3 wire protocol — the
+  * reference's flagship connector transport
+  * (python/cocoindex/connectors/postgres/_target.py) executed
+  * against [[graft.fixtures.MiniPg]] in this environment and against
+  * a real server anywhere else, statement for statement:
+  *
+  *   - batched convergent upserts: ONE multi-row `INSERT INTO t
+  *     (cols) VALUES ($1,…),(…) ON CONFLICT (pk) DO UPDATE SET c =
+  *     EXCLUDED.c` per chunk, chunk size `max(1, 32767 / numCols)` —
+  *     the store's int16 bind-parameter ceiling (`_BIND_LIMIT`,
+  *     :71,:755); key-only tables get `DO NOTHING` (:747-749);
+  *   - batched deletes: `DELETE FROM t WHERE pk IN ($1,…)`, chunked
+  *     under the same limit (:813-836);
+  *   - managed DDL: `CREATE TABLE IF NOT EXISTS` with an inline
+  *     `PRIMARY KEY` (:1068-1103); new columns via `ALTER TABLE ADD
+  *     COLUMN IF NOT EXISTS` (:1156-1158); a changed column type
+  *     tries `ALTER COLUMN TYPE` first and falls back to the lossy
+  *     DROP+ADD rebuild when the cast fails (:1160-1186) — the
+  *     engine's schema-version bump re-upserts every row, refilling
+  *     the rebuilt column in the same apply;
+  *   - pgvector: `ARRAY<FLOAT>` columns declared `vector(N)` after
+  *     `CREATE EXTENSION IF NOT EXISTS vector` (:1055,:1083-1085),
+  *     values in the extension's text form `[x,y,…]`; vector indexes
+  *     drop-and-recreate as `{table}__vector__{name}` (:524-556).
+  *
+  * The observed table shape is read back from
+  * `information_schema.columns` and reconciled against the desired
+  * schema — the store itself is the tracking record, the same stance
+  * as [[JdbcTableTarget]]: a crash between DDL and commit re-observes
+  * and converges. Writes happen executor-side (`foreachPartition`,
+  * key-hashed so each key has exactly one writer), each partition on
+  * its own wire connection with the engine's lock-conflict retry
+  * taxonomy (40001/40P01/55P03 + convergent 23505).
+  */
+final case class PgTableTarget(host: String, port: Int, database: String,
+    table: String, user: String = "graft",
+    vectorDims: Map[String, Int] = Map.empty,
+    vectorIndexes: Seq[PgVectorIndex] = Nil,
+    sqlAttachments: Seq[String] = Nil,
+    writePartitions: Int = 4) extends Target {
+
+  import PgTableTarget._
+
+  SurrealTableTarget.validateIdentifier(table, "table name")
+
+  private def withClient[T](f: PgWire.Client => T): T = {
+    val c = new PgWire.Client(host, port, user, database)
+    try f(c) finally c.close()
+  }
+
+  override def containerSignature: String =
+    s"postgres;$host:$port/$database;table=$table;pk=$RowKey"
+
+  override def truncate(spark: SparkSession): Unit =
+    withClient { c => c.query(s"""DROP TABLE IF EXISTS "$table""""); () }
+
+  private def declaredType(f: StructField): String = f.dataType match {
+    case ArrayType(FloatType, _) =>
+      val dim = vectorDims.getOrElse(f.name, throw new IllegalArgumentException(
+        s"vector column ${f.name} needs a dimension in vectorDims"))
+      s"vector($dim)"
+    case other => SqlDialect.Postgres.sqlType(other)
+  }
+
+  /** Observed column shape via information_schema — name → canonical
+    * comparable type. Extension types report `USER-DEFINED` +
+    * `udt_name` (how a real server surfaces pgvector); the dimension
+    * is not in information_schema, so vector columns compare on the
+    * udt_name alone. */
+  private def observedColumns(c: PgWire.Client): Map[String, String] = {
+    val res = c.execute(
+      "SELECT column_name, data_type, udt_name, character_maximum_length, " +
+        "numeric_precision, numeric_scale FROM information_schema.columns " +
+        "WHERE table_name = $1", Seq(Some(table)))
+    res.rows.map { r =>
+      val name = r(0).get
+      val dataType = r(1).get
+      val udt = r(2).getOrElse("")
+      val rendered = dataType match {
+        case "USER-DEFINED" => udt
+        case "character varying" =>
+          r(3).map(n => s"varchar($n)").getOrElse("varchar")
+        case "numeric" => (r(4), r(5)) match {
+          case (Some(p), Some(s)) => s"numeric($p,$s)"
+          case _ => "numeric"
+        }
+        case other => other
+      }
+      name -> rendered
+    }.toMap
+  }
+
+  /** Declared DDL type → the information_schema rendering, for
+    * change detection. */
+  private def comparable(declared: String): String = {
+    val d = declared.toLowerCase
+    if (d.startsWith("vector")) "vector"
+    else if (d == "timestamptz") "timestamp with time zone"
+    else if (d == "timestamp") "timestamp without time zone"
+    else if (d.startsWith("varchar")) d
+    else d
+  }
+
+  private def ensureTable(c: PgWire.Client, schema: StructType): Unit = {
+    val valueFields = schema.fields.filter(_.name != RowKey)
+    valueFields.foreach(f =>
+      SurrealTableTarget.validateIdentifier(f.name, "column name"))
+    if (valueFields.exists(f =>
+        f.dataType.isInstanceOf[ArrayType] || vectorDims.contains(f.name)))
+      c.query("CREATE EXTENSION IF NOT EXISTS vector")
+
+    val observed = observedColumns(c)
+    if (observed.isEmpty) {
+      val colDefs = (s""""$RowKey" text NOT NULL""" +:
+        valueFields.toSeq.map(f => s""""${f.name}" ${declaredType(f)}""")) :+
+        s"""PRIMARY KEY ("$RowKey")"""
+      c.query(colDefs.mkString(
+        s"""CREATE TABLE IF NOT EXISTS "$table" (""", ", ", ")"))
+    } else valueFields.foreach { f =>
+      val want = declaredType(f)
+      observed.get(f.name) match {
+        case None =>
+          c.query(
+            s"""ALTER TABLE "$table" ADD COLUMN IF NOT EXISTS "${f.name}" $want""")
+        case Some(have) if have != comparable(want) =>
+          // reference replace semantics (:1160-1186): in-place ALTER
+          // TYPE when the store can cast, lossy DROP+ADD when not —
+          // the schema-version bump upstream re-upserts every row
+          try c.query(
+            s"""ALTER TABLE "$table" ALTER COLUMN "${f.name}" TYPE $want""")
+          catch {
+            case _: PgWire.PgErrorException =>
+              c.query(
+                s"""ALTER TABLE "$table" DROP COLUMN IF EXISTS "${f.name}"""")
+              c.query(
+                s"""ALTER TABLE "$table" ADD COLUMN "${f.name}" $want""")
+          }
+        case _ => ()
+      }
+    }
+    // vector indexes: the reference drops-and-recreates when the
+    // SPEC changes (:533-556, fired off a tracking-record diff); the
+    // store-as-tracking equivalent observes pg_indexes and rebuilds
+    // only an absent or definition-changed index — a steady-state
+    // apply never pays an index rebuild
+    if (vectorIndexes.nonEmpty) {
+      val existing = c.execute(
+        "SELECT indexname, indexdef FROM pg_indexes WHERE tablename = $1",
+        Seq(Some(table))).rows
+        .map(r => r(0).get -> r(1).getOrElse("")).toMap
+      vectorIndexes.foreach { vi =>
+        val name = vi.physicalName(table)
+        val want = vi.createSql(table)
+        if (!existing.get(name).contains(want)) {
+          c.query(s"""DROP INDEX IF EXISTS "$name"""")
+          c.query(want)
+        }
+      }
+    }
+    sqlAttachments.foreach { sql =>
+      try { c.query(sql); () }
+      catch {
+        case e: PgWire.PgErrorException
+            if SqlDialect.Postgres.ddlExistsStates.contains(e.sqlState) => ()
+      }
+    }
+  }
+
+  def apply(spark: SparkSession, upserts: DataFrame,
+      deleteKeys: DataFrame): TargetStats = {
+    val up = upserts.cache()
+    val del = deleteKeys.select(col(RowKey)).cache()
+    try {
+      val nUp = up.count()
+      val nDel = del.count()
+      if (nUp == 0 && nDel == 0) return TargetStats(0, 0)
+
+      withClient { c =>
+        if (nUp > 0 || observedColumns(c).nonEmpty) ensureTable(c, up.schema)
+      }
+
+      val (h, p, db, usr, t) = (host, port, database, user, table)
+      if (nUp > 0) {
+        val schema = up.schema
+        val fields = schema.fields.toSeq
+        val keyIdx = schema.fieldIndex(RowKey)
+        val names = RowKey +: fields.filter(_.name != RowKey).map(_.name)
+        val valueIdx = names.drop(1).map(schema.fieldIndex)
+        val valueTypes = valueIdx.map(i => schema.fields(i).dataType)
+        val nCols = names.length
+        val chunkSize = math.max(1, BindLimit / nCols)
+        val colList = names.map(n => s""""$n"""").mkString(", ")
+        val conflict =
+          if (nCols == 1) s"""ON CONFLICT ("$RowKey") DO NOTHING"""
+          else names.drop(1).map(n => s""""$n" = EXCLUDED."$n"""")
+            .mkString(s"""ON CONFLICT ("$RowKey") DO UPDATE SET """, ", ", "")
+        // hash-partition BY KEY: every key has exactly one writer
+        // connection (same stance as JdbcTableTarget)
+        up.repartition(writePartitions, col(RowKey)).foreachPartition {
+          rows: Iterator[Row] =>
+            if (rows.hasNext) {
+              val c = new PgWire.Client(h, p, usr, db)
+              try rows.grouped(chunkSize).foreach { chunk =>
+                val placeholders = chunk.indices.map { r =>
+                  (0 until nCols)
+                    .map(j => s"$$${r * nCols + j + 1}")
+                    .mkString("(", ", ", ")")
+                }.mkString(", ")
+                val sql =
+                  s"""INSERT INTO "$t" ($colList) VALUES $placeholders $conflict"""
+                val params = chunk.flatMap { row =>
+                  Some(row.getString(keyIdx)) +:
+                    valueIdx.zip(valueTypes).map { case (i, dt) =>
+                      renderValue(row, i, dt)
+                    }
+                }
+                PgWire.retrying() { c.execute(sql, params); () }
+              } finally c.close()
+            }
+        }
+      }
+      if (nDel > 0) {
+        val chunkSize = BindLimit
+        del.repartition(writePartitions, col(RowKey)).foreachPartition {
+          rows: Iterator[Row] =>
+            if (rows.hasNext) {
+              val c = new PgWire.Client(h, p, usr, db)
+              try rows.grouped(chunkSize).foreach { chunk =>
+                val placeholders =
+                  chunk.indices.map(i => s"$$${i + 1}").mkString(", ")
+                val sql =
+                  s"""DELETE FROM "$t" WHERE "$RowKey" IN ($placeholders)"""
+                PgWire.retrying() {
+                  c.execute(sql, chunk.map(r => Some(r.getString(0)))); ()
+                }
+              } finally c.close()
+            }
+        }
+      }
+      TargetStats(nUp, nDel)
+    } finally { up.unpersist(); del.unpersist() }
+  }
+
+  /** Read back over the wire: `SELECT * FROM t` decoded by result
+    * OID — driver-side, gate/serve-sized (large scans belong to
+    * [[PgWireTableSource]], which partitions by key range). */
+  def read(spark: SparkSession): DataFrame = {
+    val (cols, rows) = withClient { c =>
+      val res = c.query(s"""SELECT * FROM "$table"""").head
+      (res.columns, res.rows)
+    }
+    val schema = StructType(cols.map(c =>
+      StructField(c.name, sparkTypeOf(c.oid), nullable = true)))
+    val data = rows.map { r =>
+      Row.fromSeq(cols.zipWithIndex.map { case (c, i) =>
+        decodeValue(r(i), c.oid)
+      })
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 1), schema)
+  }
+}
+
+object PgTableTarget {
+  val RowKey = "row_key"
+  /** The store's int16 bind-parameter ceiling — the chunking bound
+    * (`_BIND_LIMIT`, postgres/_target.py:71). */
+  val BindLimit = 32767
+
+  private val TsFormat = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Spark value → wire text form. Timestamps render in UTC (the
+    * same mixed-executor-TZ stance as JdbcTableTarget's UTC
+    * calendar); bytea as `\x` hex; float vectors as pgvector's
+    * `[x,y,…]` literal. */
+  private[engine] def renderValue(row: Row, i: Int,
+      dt: DataType): Option[String] =
+    if (row.isNullAt(i)) None
+    else Some(dt match {
+      case StringType => row.getString(i)
+      case IntegerType => row.getInt(i).toString
+      case LongType => row.getLong(i).toString
+      case ShortType => row.getShort(i).toString
+      case DoubleType => row.getDouble(i).toString
+      case FloatType => row.getFloat(i).toString
+      case BooleanType => if (row.getBoolean(i)) "true" else "false"
+      case BinaryType =>
+        "\\x" + row.getAs[Array[Byte]](i).map("%02x".format(_)).mkString
+      case TimestampType =>
+        TsFormat.format(row.getTimestamp(i).toInstant
+          .atZone(java.time.ZoneOffset.UTC))
+      case DateType => row.getDate(i).toString
+      case _: DecimalType => row.getDecimal(i).toPlainString
+      case ArrayType(FloatType, _) =>
+        row.getSeq[Float](i).mkString("[", ",", "]")
+      case other =>
+        throw new IllegalArgumentException(s"unsupported pg bind type $other")
+    })
+
+  private[engine] def sparkTypeOf(oid: Int): DataType = oid match {
+    case PgWire.OidText | PgWire.OidVarchar => StringType
+    case PgWire.OidInt4 => IntegerType
+    case PgWire.OidInt8 => LongType
+    case PgWire.OidInt2 => ShortType
+    case PgWire.OidFloat8 => DoubleType
+    case PgWire.OidFloat4 => FloatType
+    case PgWire.OidBool => BooleanType
+    case PgWire.OidBytea => BinaryType
+    case PgWire.OidTimestamp | PgWire.OidTimestamptz => TimestampType
+    case PgWire.OidDate => DateType
+    case PgWire.OidNumeric => DecimalType(38, 18)
+    case PgWire.OidVector => ArrayType(FloatType)
+    case _ => StringType
+  }
+
+  private[engine] def decodeValue(v: Option[String], oid: Int): Any =
+    v match {
+      case None => null
+      case Some(s) => oid match {
+        case PgWire.OidInt4 => s.toInt
+        case PgWire.OidInt8 => s.toLong
+        case PgWire.OidInt2 => s.toShort
+        case PgWire.OidFloat8 => s.toDouble
+        case PgWire.OidFloat4 => s.toFloat
+        case PgWire.OidBool => s == "t" || s == "true"
+        case PgWire.OidBytea =>
+          s.stripPrefix("\\x").grouped(2)
+            .map(Integer.parseInt(_, 16).toByte).toArray
+        case PgWire.OidTimestamp | PgWire.OidTimestamptz =>
+          java.sql.Timestamp.from(
+            java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC))
+        case PgWire.OidDate => java.sql.Date.valueOf(s)
+        case PgWire.OidNumeric => new java.math.BigDecimal(s)
+        case PgWire.OidVector =>
+          s.stripPrefix("[").stripSuffix("]").split(',')
+            .filter(_.nonEmpty).map(_.trim.toFloat).toSeq
+        case _ => s
+      }
+    }
+}

@@ -1,0 +1,307 @@
+package graft.engine
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.mutable.ArrayBuffer
+
+/** The PostgreSQL frontend/backend wire protocol (v3), from the
+  * public protocol documentation (postgresql.org/docs/current/
+  * protocol.html): typed length-prefixed frames, the startup
+  * handshake, the simple query protocol (`Q`) and the extended query
+  * protocol (`Parse`/`Bind`/`Describe`/`Execute`/`Sync`) with
+  * text-format parameters and results.
+  *
+  * This is the transport under the reference's flagship connector —
+  * the postgres table target/source drive their store through
+  * exactly these messages (asyncpg speaks the same protocol:
+  * python/cocoindex/connectors/postgres/_target.py:788-791
+  * `conn.execute(sql, *params)` is one Parse/Bind/Execute/Sync
+  * round; `_source.py:134-137` streams a cursor over the simple
+  * portal). As with the Kafka/RESP/REST transports, the codec itself
+  * is the deliverable and [[graft.fixtures.MiniPg]] is the in-JVM
+  * peer executing the same statements a real server would.
+  *
+  * Scope: startup (trust or cleartext-password auth), simple query,
+  * extended query with the unnamed statement/portal, text result
+  * format, SQLSTATE-bearing error responses. No SSL, COPY, or binary
+  * format — the connectors don't use them.
+  */
+object PgWire {
+
+  // ---- type OIDs (pg_type.dat, stable public catalog numbers) -----
+  val OidBool = 16
+  val OidBytea = 17
+  val OidInt8 = 20
+  val OidInt2 = 21
+  val OidInt4 = 23
+  val OidText = 25
+  val OidFloat4 = 700
+  val OidFloat8 = 701
+  val OidVarchar = 1043
+  val OidDate = 1082
+  val OidTimestamp = 1114
+  val OidTimestamptz = 1184
+  val OidNumeric = 1700
+  /** pgvector's `vector` type has no fixed OID (extension types get
+    * database-local OIDs); [[graft.fixtures.MiniPg]] uses this
+    * stand-in the way a real database assigns one past 16384. */
+  val OidVector = 16428
+
+  final case class PgColumn(name: String, oid: Int)
+
+  /** One statement's result: columns (empty for command statements),
+    * text-format rows, and the CommandComplete tag (`INSERT 0 5`,
+    * `DELETE 3`, `SELECT 2`, …). */
+  final case class PgResult(columns: Vector[PgColumn],
+      rows: Vector[Vector[Option[String]]], tag: String) {
+    /** Rows affected, parsed off the command tag. */
+    def affected: Long = {
+      val parts = tag.split(' ')
+      if (parts.isEmpty) 0L
+      else
+        try parts.last.toLong
+        catch { case _: NumberFormatException => 0L }
+    }
+  }
+
+  /** ErrorResponse surfaced as an exception carrying the SQLSTATE —
+    * the field the connectors' retry/idempotence taxonomy dispatches
+    * on ([[SqlDialect.Postgres]] retriable/DDL-exists states). */
+  final class PgErrorException(val sqlState: String, message: String)
+      extends RuntimeException(s"$sqlState: $message")
+
+  // ---- frame codec ------------------------------------------------
+
+  private final class FrameWriter(out: DataOutputStream) {
+    private val buf = new java.io.ByteArrayOutputStream(1 << 10)
+    private val w = new DataOutputStream(buf)
+    def i16(v: Int): this.type = { w.writeShort(v); this }
+    def i32(v: Int): this.type = { w.writeInt(v); this }
+    def cstr(s: String): this.type = {
+      w.write(s.getBytes(UTF_8)); w.write(0); this
+    }
+    def raw(b: Array[Byte]): this.type = { w.write(b); this }
+    /** Emit as a typed frame; length covers itself + payload. */
+    def send(msgType: Char): Unit = {
+      val body = buf.toByteArray
+      out.writeByte(msgType.toInt)
+      out.writeInt(4 + body.length)
+      out.write(body)
+      buf.reset()
+    }
+    /** Emit untyped (startup only). */
+    def sendUntyped(): Unit = {
+      val body = buf.toByteArray
+      out.writeInt(4 + body.length)
+      out.write(body)
+      buf.reset()
+    }
+  }
+
+  final case class Frame(msgType: Char, body: Array[Byte]) {
+    private var pos = 0
+    def i8: Int = { val v = body(pos) & 0xff; pos += 1; v }
+    def i16: Int = { val v = ((body(pos) & 0xff) << 8) | (body(pos + 1) & 0xff); pos += 2; v }
+    def i32: Int = {
+      val v = ((body(pos) & 0xff) << 24) | ((body(pos + 1) & 0xff) << 16) |
+        ((body(pos + 2) & 0xff) << 8) | (body(pos + 3) & 0xff)
+      pos += 4; v
+    }
+    def cstr: String = {
+      val start = pos
+      while (body(pos) != 0) pos += 1
+      val s = new String(body, start, pos - start, UTF_8)
+      pos += 1
+      s
+    }
+    def bytes(n: Int): Array[Byte] = {
+      val b = java.util.Arrays.copyOfRange(body, pos, pos + n); pos += n; b
+    }
+    def remaining: Int = body.length - pos
+  }
+
+  def readFrame(in: DataInputStream): Frame = {
+    val t = in.readByte().toChar
+    val len = in.readInt()
+    if (len < 4 || len > (64 << 20))
+      throw new IllegalStateException(s"bad pg frame length $len (type $t)")
+    val body = new Array[Byte](len - 4)
+    in.readFully(body)
+    Frame(t, body)
+  }
+
+  /** Parse an ErrorResponse/NoticeResponse body's tagged fields. */
+  def errorFields(f: Frame): Map[Char, String] = {
+    val b = Map.newBuilder[Char, String]
+    var code = f.i8
+    while (code != 0) {
+      b += code.toChar -> f.cstr
+      code = f.i8
+    }
+    b.result()
+  }
+
+  // ---- client -----------------------------------------------------
+
+  /** One connection. Not thread-safe — one per writer task, the same
+    * stance as every wire client in this engine. */
+  final class Client(host: String, port: Int, user: String,
+      database: String, password: String = "") extends AutoCloseable {
+
+    private val sock = new Socket()
+    sock.setTcpNoDelay(true)
+    sock.connect(new InetSocketAddress(host, port), 10000)
+    sock.setSoTimeout(60000)
+    private val in = new DataInputStream(
+      new BufferedInputStream(sock.getInputStream, 1 << 16))
+    private val out = new DataOutputStream(
+      new BufferedOutputStream(sock.getOutputStream, 1 << 16))
+    private val w = new FrameWriter(out)
+
+    // startup: protocol 3.0 + user/database parameters
+    w.i32(196608).cstr("user").cstr(user)
+      .cstr("database").cstr(database).raw(Array[Byte](0))
+    w.sendUntyped()
+    out.flush()
+    awaitReady()
+
+    private def awaitReady(): Unit = {
+      var err: Option[PgErrorException] = None
+      var ready = false
+      while (!ready) {
+        val f = readFrame(in)
+        f.msgType match {
+          case 'R' =>
+            f.i32 match {
+              case 0 => () // AuthenticationOk
+              case 3 => // CleartextPassword
+                w.cstr(password); w.send('p'); out.flush()
+              case other => throw new IllegalStateException(
+                s"unsupported pg auth method $other")
+            }
+          case 'S' | 'K' | 'N' => () // ParameterStatus/BackendKeyData/Notice
+          case 'E' =>
+            val fields = errorFields(f)
+            err = Some(new PgErrorException(
+              fields.getOrElse('C', "XX000"), fields.getOrElse('M', "error")))
+          case 'Z' => ready = true
+          case other => throw new IllegalStateException(
+            s"unexpected pg message '$other' during startup")
+        }
+      }
+      err.foreach(throw _)
+    }
+
+    /** Simple query protocol: one `Q` frame, possibly several
+      * statements; returns one [[PgResult]] per completed statement.
+      * On ErrorResponse the backend aborts the rest of the string;
+      * the error is raised after ReadyForQuery (connection stays
+      * usable). */
+    def query(sql: String): Vector[PgResult] = {
+      w.cstr(sql); w.send('Q'); out.flush()
+      collectResults()
+    }
+
+    /** Extended query protocol with the unnamed statement: Parse →
+      * Bind (text params) → Describe(portal) → Execute → Sync. One
+      * statement, `$n` placeholders, `params` in order (`None` =
+      * NULL). This is the `conn.execute(sql, *params)` path of the
+      * reference's batched upserts/deletes
+      * (postgres/_target.py:788-791,835-836). */
+    def execute(sql: String, params: Seq[Option[String]] = Nil): PgResult = {
+      w.cstr("").cstr(sql).i16(0)
+      w.send('P') // Parse, unnamed statement, no forced param types
+      w.cstr("").cstr("").i16(0).i16(params.length)
+      params.foreach {
+        case None => w.i32(-1)
+        case Some(v) =>
+          val b = v.getBytes(UTF_8)
+          w.i32(b.length).raw(b)
+      }
+      w.i16(0)
+      w.send('B') // Bind, unnamed portal, all-text formats
+      // Describe the unnamed portal: kind byte 'P' + empty name
+      w.raw(Array('P'.toByte)).cstr("").send('D')
+      w.cstr("").i32(0).send('E') // Execute, no row limit
+      w.send('S') // Sync
+      out.flush()
+      val rs = collectResults()
+      if (rs.isEmpty) PgResult(Vector.empty, Vector.empty, "") else rs.head
+    }
+
+    /** Drain backend messages until ReadyForQuery, building results;
+      * raise the first ErrorResponse after the drain. */
+    private def collectResults(): Vector[PgResult] = {
+      val results = ArrayBuffer.empty[PgResult]
+      var cols = Vector.empty[PgColumn]
+      var rows = ArrayBuffer.empty[Vector[Option[String]]]
+      var err: Option[PgErrorException] = None
+      var ready = false
+      while (!ready) {
+        val f = readFrame(in)
+        f.msgType match {
+          case 'T' =>
+            cols = Vector.fill(f.i16) {
+              val name = f.cstr
+              f.i32; f.i16 // table oid, attnum
+              val oid = f.i32
+              f.i16; f.i32; f.i16 // typlen, typmod, format
+              PgColumn(name, oid)
+            }
+            rows = ArrayBuffer.empty
+          case 'D' =>
+            rows += Vector.fill(f.i16) {
+              val n = f.i32
+              if (n < 0) None else Some(new String(f.bytes(n), UTF_8))
+            }
+          case 'C' =>
+            results += PgResult(cols, rows.toVector, f.cstr)
+            cols = Vector.empty
+            rows = ArrayBuffer.empty
+          case 'I' => // EmptyQueryResponse
+            results += PgResult(Vector.empty, Vector.empty, "")
+          case 'E' =>
+            val fields = errorFields(f)
+            if (err.isEmpty)
+              err = Some(new PgErrorException(
+                fields.getOrElse('C', "XX000"), fields.getOrElse('M', "error")))
+          case 'Z' => ready = true
+          case '1' | '2' | '3' | 'n' | 's' | 'S' | 'N' | 't' =>
+            () // ParseComplete/BindComplete/CloseComplete/NoData/
+               // PortalSuspended/ParameterStatus/Notice/ParamDescription
+          case other => throw new IllegalStateException(
+            s"unexpected pg message '$other' in result stream")
+        }
+      }
+      err.foreach(throw _)
+      results.toVector
+    }
+
+    override def close(): Unit = {
+      try { w.send('X'); out.flush() } catch { case _: Exception => () }
+      sock.close()
+    }
+  }
+
+  /** Retry wrapper matching the engine's SQL retry taxonomy: rerun
+    * the thunk on the dialect's lock-conflict SQLSTATEs plus 23505
+    * (a convergent upsert that lost a race finds the row ON CONFLICT
+    * on the rerun — same belt-and-braces as
+    * [[JdbcTableTarget.writeChunked]]). */
+  def retrying[T](maxRetries: Int = 5,
+      states: Set[String] = SqlDialect.Postgres.retriableStates + "23505")
+      (body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: PgErrorException
+            if states.contains(e.sqlState) && attempt < maxRetries =>
+          attempt += 1
+          Thread.sleep(50L << attempt)
+      }
+    }
+    sys.error("unreachable")
+  }
+}

@@ -374,15 +374,8 @@ final case class TableSource(
   /** The shared level-1 fingerprint projection — [[list]] and
     * [[listKeys]] MUST produce bit-identical memo states for the same
     * row, or a delta re-stat would misclassify every surviving key. */
-  private def fingerprinted(df: DataFrame): DataFrame = {
-    val valueCols = df.columns.filterNot(_ == keyCol).sorted.map(col)
-    // FnMemo.JsonOptions: the default to_json truncates timestamps to
-    // milliseconds — a micro-only change would be invisible here, and
-    // TableSource has no level-2 content check to catch it
-    df.select(col(keyCol).cast("string").as("item_key"),
-      md5(to_json(struct(valueCols.toSeq: _*), FnMemo.JsonOptions))
-        .as("memo_state"))
-  }
+  private def fingerprinted(df: DataFrame): DataFrame =
+    TableSource.fingerprinted(df, keyCol)
 
   /** Keys arrive as the STRING item_key (`cast(keyCol as string)`);
     * a filter on `cast(keyCol as string) IN (...)` is correct but a
@@ -443,4 +436,20 @@ final case class TableSource(
   }
 
   def contentFpOf: Option[Column] = None
+}
+
+object TableSource {
+  /** The canonical whole-row level-1 fingerprint shared by every
+    * table-shaped source ([[TableSource]], [[PgWireTableSource]]):
+    * sources that interoperate through the same flow state MUST hash
+    * identically for the same row. */
+  private[engine] def fingerprinted(df: DataFrame, keyCol: String): DataFrame = {
+    val valueCols = df.columns.filterNot(_ == keyCol).sorted.map(col)
+    // FnMemo.JsonOptions: the default to_json truncates timestamps to
+    // milliseconds — a micro-only change would be invisible here, and
+    // TableSource has no level-2 content check to catch it
+    df.select(col(keyCol).cast("string").as("item_key"),
+      md5(to_json(struct(valueCols.toSeq: _*), FnMemo.JsonOptions))
+        .as("memo_state"))
+  }
 }

@@ -1,0 +1,876 @@
+package graft.fixtures
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import graft.engine.PgWire
+
+/** In-JVM PostgreSQL stand-in speaking the real v3 wire protocol —
+  * the peer for [[graft.engine.PgWire.Client]], the same role
+  * MiniValkey/MiniQdrant/MiniS3 play for their transports: no
+  * postgres server exists in this environment, so the fixture
+  * implements the protocol (startup incl. SSLRequest refusal, simple
+  * + extended query, text format, SQLSTATE-bearing errors) and a
+  * constrained SQL interpreter covering exactly the statement shapes
+  * the reference's postgres connectors emit
+  * (python/cocoindex/connectors/postgres/_target.py:747-791 multi-row
+  * `INSERT … ON CONFLICT`, `:813-836` IN-list deletes, `:1068-1186`
+  * managed DDL incl. the ALTER-TYPE-then-rebuild fallback,
+  * `:524-556` vector index DDL; `_source.py:122-137` cursor SELECTs).
+  *
+  * Fixture-grade divergences, all invisible to these connectors:
+  * RowDescription is sent with Execute rather than in reply to
+  * Describe; BEGIN/COMMIT are accepted but writes apply immediately
+  * (the engine's convergent roll-forward never relies on rollback);
+  * ReadyForQuery always reports idle.
+  */
+final class MiniPg extends AutoCloseable {
+
+  import MiniPg._
+
+  private val server = new ServerSocket(0, 64,
+    java.net.InetAddress.getLoopbackAddress)
+  val port: Int = server.getLocalPort
+  val host: String = server.getInetAddress.getHostAddress
+
+  private val lock = new Object
+  private val tables = mutable.LinkedHashMap.empty[String, Table]
+  /** index name → (table name, CREATE INDEX statement text). */
+  private val indexes = mutable.LinkedHashMap.empty[String, (String, String)]
+  private var vectorExtension = false
+
+  /** Statements observed (first 80 chars), for transport-shape
+    * assertions in specs. */
+  val observed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Direct store access for spec assertions. */
+  def table(name: String): Option[Table] = lock.synchronized(tables.get(name))
+  def indexDefs: Map[String, String] =
+    lock.synchronized(indexes.map { case (n, (_, d)) => n -> d }.toMap)
+  def hasVectorExtension: Boolean = lock.synchronized(vectorExtension)
+
+  @volatile private var closed = false
+  private val acceptor = new Thread(() => acceptLoop(), "minipg-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  override def close(): Unit = { closed = true; server.close() }
+
+  private def acceptLoop(): Unit =
+    while (!closed) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => serve(sock), "minipg-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case NonFatal(_) => if (closed) return }
+    }
+
+  // ---- per-connection protocol loop -------------------------------
+
+  private def serve(sock: Socket): Unit = {
+    sock.setTcpNoDelay(true)
+    val in = new DataInputStream(
+      new BufferedInputStream(sock.getInputStream, 1 << 16))
+    val out = new DataOutputStream(
+      new BufferedOutputStream(sock.getOutputStream, 1 << 16))
+    try {
+      // startup: length-prefixed untyped frame; SSLRequest → 'N'
+      var code = 0
+      do {
+        val len = in.readInt()
+        val body = new Array[Byte](len - 4)
+        in.readFully(body)
+        code = java.nio.ByteBuffer.wrap(body).getInt
+        if (code == 80877103) out.write('N') // SSLRequest: not supported
+        else if (code != 196608)
+          throw new IllegalStateException(s"unsupported pg protocol $code")
+      } while (code == 80877103)
+      send(out, 'R')(_.writeInt(0)) // AuthenticationOk (trust)
+      send(out, 'S') { w =>
+        w.write("server_version".getBytes(UTF_8)); w.write(0)
+        w.write("16.0 (MiniPg)".getBytes(UTF_8)); w.write(0)
+      }
+      readyForQuery(out)
+      out.flush()
+
+      var parsedSql = ""
+      var boundParams = Vector.empty[Option[String]]
+      var errorUntilSync = false
+      while (true) {
+        val f = PgWire.readFrame(in)
+        f.msgType match {
+          case 'Q' =>
+            val sql = f.cstr
+            var failed = false
+            splitStatements(sql).foreach { st =>
+              if (!failed)
+                runStatement(st, Vector.empty) match {
+                  case Right(res) => writeResult(out, res)
+                  case Left(err) => writeError(out, err); failed = true
+                }
+            }
+            readyForQuery(out); out.flush()
+          case 'P' =>
+            if (!errorUntilSync) {
+              f.cstr // statement name (the connectors use the unnamed one)
+              parsedSql = f.cstr
+              send(out, '1')(_ => ())
+            }
+          case 'B' =>
+            if (!errorUntilSync) {
+              f.cstr; f.cstr // portal, statement
+              val nFmt = f.i16
+              (0 until nFmt).foreach(_ => f.i16)
+              boundParams = Vector.fill(f.i16) {
+                val n = f.i32
+                if (n < 0) None else Some(new String(f.bytes(n), UTF_8))
+              }
+              send(out, '2')(_ => ())
+            }
+          case 'D' => () // Describe: RowDescription arrives with Execute
+          case 'E' =>
+            if (!errorUntilSync)
+              runStatement(parsedSql, boundParams) match {
+                case Right(res) => writeResult(out, res)
+                case Left(err) => writeError(out, err); errorUntilSync = true
+              }
+          case 'S' =>
+            errorUntilSync = false
+            readyForQuery(out); out.flush()
+          case 'X' => return
+          case 'H' => out.flush() // Flush
+          case _ => () // ignore Close etc.
+        }
+      }
+    } catch { case NonFatal(_) => () } finally sock.close()
+  }
+
+  private def readyForQuery(out: DataOutputStream): Unit =
+    send(out, 'Z')(_.write('I'))
+
+  private def send(out: DataOutputStream, msgType: Char)
+      (body: DataOutputStream => Unit): Unit = {
+    val buf = new java.io.ByteArrayOutputStream()
+    body(new DataOutputStream(buf))
+    val b = buf.toByteArray
+    out.writeByte(msgType.toInt)
+    out.writeInt(4 + b.length)
+    out.write(b)
+  }
+
+  private def writeError(out: DataOutputStream, err: PgError): Unit =
+    send(out, 'E') { w =>
+      def field(code: Char, v: String): Unit = {
+        w.writeByte(code.toInt); w.write(v.getBytes(UTF_8)); w.write(0)
+      }
+      field('S', "ERROR"); field('V', "ERROR")
+      field('C', err.state); field('M', err.message)
+      w.write(0)
+    }
+
+  private def writeResult(out: DataOutputStream, res: StatementResult): Unit = {
+    if (res.columns.nonEmpty) {
+      send(out, 'T') { w =>
+        w.writeShort(res.columns.length)
+        res.columns.foreach { c =>
+          w.write(c.name.getBytes(UTF_8)); w.write(0)
+          w.writeInt(0); w.writeShort(0) // table oid, attnum
+          w.writeInt(c.oid)
+          w.writeShort(-1); w.writeInt(-1); w.writeShort(0)
+        }
+      }
+      res.rows.foreach { row =>
+        send(out, 'D') { w =>
+          w.writeShort(row.length)
+          row.foreach {
+            case None => w.writeInt(-1)
+            case Some(v) =>
+              val b = v.getBytes(UTF_8)
+              w.writeInt(b.length); w.write(b)
+          }
+        }
+      }
+    }
+    send(out, 'C') { w =>
+      w.write(res.tag.getBytes(UTF_8)); w.write(0)
+    }
+  }
+
+  // ---- statement dispatch -----------------------------------------
+
+  private def runStatement(sql: String, params: Vector[Option[String]])
+      : Either[PgError, StatementResult] = {
+    val st = sql.trim
+    if (st.isEmpty) return Right(StatementResult(Vector.empty, Vector.empty, ""))
+    observed.add(st.take(80))
+    try lock.synchronized(Right(interpret(st, params)))
+    catch {
+      case e: PgError => Left(e)
+      case NonFatal(e) =>
+        Left(PgError("XX000", s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+    }
+  }
+
+  // ---- the interpreter (caller holds lock) ------------------------
+
+  private def interpret(sql: String,
+      params: Vector[Option[String]]): StatementResult = {
+    val u = sql.toUpperCase
+    if (u.startsWith("BEGIN")) StatementResult(Vector.empty, Vector.empty, "BEGIN")
+    else if (u.startsWith("COMMIT")) StatementResult(Vector.empty, Vector.empty, "COMMIT")
+    else if (u.startsWith("ROLLBACK")) StatementResult(Vector.empty, Vector.empty, "ROLLBACK")
+    else if (u.startsWith("SET ")) StatementResult(Vector.empty, Vector.empty, "SET")
+    else if (u.startsWith("CREATE SCHEMA")) StatementResult(Vector.empty, Vector.empty, "CREATE SCHEMA")
+    else if (u.startsWith("CREATE EXTENSION")) {
+      vectorExtension = true
+      StatementResult(Vector.empty, Vector.empty, "CREATE EXTENSION")
+    }
+    else if (u.startsWith("CREATE TABLE")) createTable(sql)
+    else if (u.startsWith("ALTER TABLE")) alterTable(sql)
+    else if (u.startsWith("DROP TABLE")) dropTable(sql)
+    else if (u.startsWith("CREATE INDEX")) createIndex(sql)
+    else if (u.startsWith("DROP INDEX")) dropIndex(sql)
+    else if (u.startsWith("INSERT INTO")) insert(sql, params)
+    else if (u.startsWith("DELETE FROM")) delete(sql, params)
+    else if (u.startsWith("SELECT")) select(sql, params)
+    else throw PgError("42601", s"unsupported statement: ${sql.take(60)}")
+  }
+
+  // CREATE TABLE [IF NOT EXISTS] t ("c" type [NOT NULL]…, PRIMARY KEY ("k"))
+  private def createTable(sql: String): StatementResult = {
+    val m = """(?is)CREATE\s+TABLE(\s+IF\s+NOT\s+EXISTS)?\s+(\S+)\s*\((.*)\)\s*""".r
+      .findFirstMatchIn(sql)
+      .getOrElse(throw PgError("42601", "bad CREATE TABLE"))
+    val ifNotExists = m.group(1) != null
+    val name = tableName(m.group(2))
+    if (tables.contains(name)) {
+      if (ifNotExists)
+        return StatementResult(Vector.empty, Vector.empty, "CREATE TABLE")
+      throw PgError("42P07", s"""relation "$name" already exists""")
+    }
+    val parts = splitTopLevel(m.group(3))
+    var pk = Vector.empty[String]
+    val cols = mutable.LinkedHashMap.empty[String, Column]
+    parts.foreach { p =>
+      val t = p.trim
+      val pkm = """(?i)PRIMARY\s+KEY\s*\((.*)\)""".r.findFirstMatchIn(t)
+      if (pkm.isDefined)
+        pk = splitTopLevel(pkm.get.group(1)).map(s => unquote(s.trim)).toVector
+      else {
+        val cm = """(?s)^"([^"]+)"\s+(.*)$""".r.findFirstMatchIn(t)
+          .getOrElse(throw PgError("42601", s"bad column def: $t"))
+        val colName = cm.group(1)
+        var typePart = cm.group(2).trim
+        val notNull = """(?i)\s+NOT\s+NULL\s*$""".r.findFirstMatchIn(typePart)
+        if (notNull.isDefined)
+          typePart = typePart.substring(0, notNull.get.start).trim
+        cols += colName -> Column(colName, canonType(typePart), !notNull.isDefined)
+      }
+    }
+    require(pk.nonEmpty, "CREATE TABLE without PRIMARY KEY")
+    tables += name -> new Table(name, cols, pk)
+    StatementResult(Vector.empty, Vector.empty, "CREATE TABLE")
+  }
+
+  private def alterTable(sql: String): StatementResult = {
+    val hm = """(?is)ALTER\s+TABLE\s+(\S+)\s+(.*)""".r.findFirstMatchIn(sql)
+      .getOrElse(throw PgError("42601", "bad ALTER TABLE"))
+    val t = getTable(tableName(hm.group(1)))
+    val actions = splitTopLevel(hm.group(2))
+    actions.foreach { a0 =>
+      val a = a0.trim
+      val add = """(?is)^ADD\s+COLUMN(\s+IF\s+NOT\s+EXISTS)?\s+"([^"]+)"\s+(.*)$"""
+        .r.findFirstMatchIn(a)
+      val drop = """(?is)^DROP\s+COLUMN(\s+IF\s+EXISTS)?\s+"([^"]+)"\s*$"""
+        .r.findFirstMatchIn(a)
+      val altType = """(?is)^ALTER\s+COLUMN\s+"([^"]+)"\s+TYPE\s+(.*)$"""
+        .r.findFirstMatchIn(a)
+      val altNull = """(?is)^ALTER\s+COLUMN\s+"([^"]+)"\s+(SET|DROP)\s+NOT\s+NULL\s*$"""
+        .r.findFirstMatchIn(a)
+      if (add.isDefined) {
+        val (ifnx, c, typ) =
+          (add.get.group(1) != null, add.get.group(2), add.get.group(3).trim)
+        if (t.cols.contains(c)) {
+          if (!ifnx) throw PgError("42701",
+            s"""column "$c" of relation "${t.name}" already exists""")
+        } else {
+          t.cols += c -> Column(c, canonType(typ), nullable = true)
+          t.rows.values.foreach(_.update(c, None))
+        }
+      } else if (drop.isDefined) {
+        val (ifx, c) = (drop.get.group(1) != null, drop.get.group(2))
+        if (!t.cols.contains(c)) {
+          if (!ifx) throw PgError("42703",
+            s"""column "$c" of relation "${t.name}" does not exist""")
+        } else {
+          t.cols -= c
+          t.rows.values.foreach(_.remove(c))
+        }
+      } else if (altType.isDefined) {
+        val (c, typ) = (altType.get.group(1), canonType(altType.get.group(2).trim))
+        val col = t.cols.getOrElse(c, throw PgError("42703",
+          s"""column "$c" does not exist"""))
+        // a real server casts the stored values; values that don't
+        // parse as the new type fail the whole ALTER — the error the
+        // reference's drop+add fallback exists for (:1160-1186)
+        t.rows.values.foreach { r =>
+          r.getOrElse(c, None).foreach(v => validate(typ, v, c))
+        }
+        t.cols += c -> col.copy(pgType = typ)
+      } else if (altNull.isDefined) {
+        val (c, mode) = (altNull.get.group(1), altNull.get.group(2).toUpperCase)
+        val col = t.cols.getOrElse(c, throw PgError("42703",
+          s"""column "$c" does not exist"""))
+        if (mode == "SET")
+          t.rows.values.foreach { r =>
+            if (r.getOrElse(c, None).isEmpty)
+              throw PgError("23502", s"""column "$c" contains null values""")
+          }
+        t.cols += c -> col.copy(nullable = mode == "DROP")
+      } else throw PgError("42601", s"unsupported ALTER action: $a")
+    }
+    StatementResult(Vector.empty, Vector.empty, "ALTER TABLE")
+  }
+
+  private def dropTable(sql: String): StatementResult = {
+    val m = """(?is)DROP\s+TABLE(\s+IF\s+EXISTS)?\s+(\S+)\s*""".r
+      .findFirstMatchIn(sql)
+      .getOrElse(throw PgError("42601", "bad DROP TABLE"))
+    val name = tableName(m.group(2))
+    if (!tables.contains(name) && m.group(1) == null)
+      throw PgError("42P01", s"""table "$name" does not exist""")
+    tables -= name
+    // a real server drops the table's indexes with it
+    indexes.filterInPlace { case (_, (t, _)) => t != name }
+    StatementResult(Vector.empty, Vector.empty, "DROP TABLE")
+  }
+
+  private def createIndex(sql: String): StatementResult = {
+    val m = """(?is)CREATE\s+INDEX(\s+IF\s+NOT\s+EXISTS)?\s+(\S+)\s+ON\s+(\S+)\s*(.*)""".r
+      .findFirstMatchIn(sql)
+      .getOrElse(throw PgError("42601", "bad CREATE INDEX"))
+    val name = unquote(m.group(2))
+    val onTable = tableName(m.group(3))
+    if (indexes.contains(name)) {
+      if (m.group(1) == null)
+        throw PgError("42P07", s"""relation "$name" already exists""")
+    } else indexes += name -> (onTable, sql.trim)
+    StatementResult(Vector.empty, Vector.empty, "CREATE INDEX")
+  }
+
+  private def dropIndex(sql: String): StatementResult = {
+    val m = """(?is)DROP\s+INDEX(\s+IF\s+EXISTS)?\s+(\S+)\s*""".r
+      .findFirstMatchIn(sql)
+      .getOrElse(throw PgError("42601", "bad DROP INDEX"))
+    val name = tableName(m.group(2)) // strips any schema qualifier
+    if (!indexes.contains(name) && m.group(1) == null)
+      throw PgError("42704", s"""index "$name" does not exist""")
+    indexes -= name
+    StatementResult(Vector.empty, Vector.empty, "DROP INDEX")
+  }
+
+  // INSERT INTO t ("c"…) VALUES ($1,…),(…) [ON CONFLICT ("k") DO …]
+  private def insert(sql: String,
+      params: Vector[Option[String]]): StatementResult = {
+    val m = ("""(?is)INSERT\s+INTO\s+(\S+)\s*\(([^)]*)\)\s*VALUES\s*(.*?)""" +
+      """(\s+ON\s+CONFLICT\s*\(([^)]*)\)\s*DO\s+(NOTHING|UPDATE\s+SET\s+.*))?\s*$""").r
+      .findFirstMatchIn(sql)
+      .getOrElse(throw PgError("42601", "bad INSERT"))
+    val t = getTable(tableName(m.group(1)))
+    val cols = splitTopLevel(m.group(2)).map(s => unquote(s.trim))
+    cols.foreach(c => if (!t.cols.contains(c))
+      throw PgError("42703", s"""column "$c" does not exist"""))
+    val tuples = parseTupleList(m.group(3), params)
+    val conflictCols =
+      if (m.group(4) == null) Nil
+      else splitTopLevel(m.group(5)).map(s => unquote(s.trim))
+    val doNothing = m.group(4) != null &&
+      m.group(6).toUpperCase.startsWith("NOTHING")
+    val updateCols: Seq[String] =
+      if (m.group(4) == null || doNothing) Nil
+      else """(?i)"([^"]+)"\s*=\s*EXCLUDED\."([^"]+)"""".r
+        .findAllMatchIn(m.group(6)).map { um =>
+          require(um.group(1) == um.group(2),
+            s"ON CONFLICT SET ${um.group(1)} = EXCLUDED.${um.group(2)}")
+          um.group(1)
+        }.toSeq
+    if (conflictCols.nonEmpty && conflictCols != t.pk.toList)
+      throw PgError("42P10",
+        "there is no unique or exclusion constraint matching the ON CONFLICT specification")
+
+    var affected = 0
+    tuples.foreach { tup =>
+      if (tup.length != cols.length)
+        throw PgError("42601", "INSERT has more expressions than target columns")
+      val byCol = cols.zip(tup).toMap
+      // type + null validation before any write
+      t.cols.values.foreach { c =>
+        val v = byCol.getOrElse(c.name, None)
+        v.foreach(validate(c.pgType, _, c.name))
+        if (v.isEmpty && !c.nullable && byCol.contains(c.name))
+          throw PgError("23502",
+            s"""null value in column "${c.name}" violates not-null constraint""")
+      }
+      val key = t.pk.map(k => byCol.getOrElse(k, None).getOrElse(
+        throw PgError("23502", s"""null value in primary key "$k""""))).mkString(" ")
+      t.rows.get(key) match {
+        case None =>
+          val row = mutable.LinkedHashMap.empty[String, Option[String]]
+          t.cols.keys.foreach(c => row(c) = byCol.getOrElse(c, None))
+          t.rows += key -> row
+          affected += 1
+        case Some(existing) =>
+          if (conflictCols.isEmpty)
+            throw PgError("23505",
+              s"""duplicate key value violates unique constraint "${t.name}_pkey"""")
+          if (!doNothing) {
+            updateCols.foreach(c => existing(c) = byCol.getOrElse(c, None))
+            affected += 1
+          }
+      }
+    }
+    StatementResult(Vector.empty, Vector.empty, s"INSERT 0 $affected")
+  }
+
+  // DELETE FROM t WHERE "k" IN ($1,…) | "k" = $1
+  private def delete(sql: String,
+      params: Vector[Option[String]]): StatementResult = {
+    val m = """(?is)DELETE\s+FROM\s+(\S+)\s+WHERE\s+(.*)""".r
+      .findFirstMatchIn(sql)
+      .getOrElse(throw PgError("42601", "bad DELETE"))
+    val t = getTable(tableName(m.group(1)))
+    val pred = parsePredicate(m.group(2), t, params)
+    val doomed = t.rows.filter { case (_, row) => pred(row) }.keys.toVector
+    doomed.foreach(t.rows -= _)
+    StatementResult(Vector.empty, Vector.empty, s"DELETE ${doomed.length}")
+  }
+
+  // ---- SELECT -----------------------------------------------------
+
+  private def select(sql: String,
+      params: Vector[Option[String]]): StatementResult = {
+    if (sql.toLowerCase.contains("information_schema.columns"))
+      return selectInfoSchema(sql, params)
+    if (sql.toLowerCase.contains("pg_indexes"))
+      return selectPgIndexes(sql, params)
+    val m = ("""(?is)SELECT\s+(.*?)\s+FROM\s+(\S+)""" +
+      """(?:\s+WHERE\s+(.*?))?(?:\s+ORDER\s+BY\s+"([^"]+)"(\s+DESC)?)?""" +
+      """(?:\s+LIMIT\s+(\d+))?(?:\s+OFFSET\s+(\d+))?\s*$""").r
+      .findFirstMatchIn(sql)
+      .getOrElse(throw PgError("42601", s"bad SELECT: ${sql.take(60)}"))
+    val t = getTable(tableName(m.group(2)))
+    val pred = Option(m.group(3))
+      .map(parsePredicate(_, t, params))
+      .getOrElse((_: RowMap) => true)
+
+    var rows = t.rows.values.filter(pred).toVector
+    Option(m.group(4)).foreach { ob =>
+      val colType = t.cols.get(ob).map(_.pgType).getOrElse("text")
+      rows = rows.sortWith { (a, b) =>
+        cmp(colType, a.getOrElse(ob, None), b.getOrElse(ob, None)) < 0
+      }
+      if (m.group(5) != null) rows = rows.reverse
+    }
+    Option(m.group(7)).foreach(off => rows = rows.drop(off.toInt))
+    Option(m.group(6)).foreach(lim => rows = rows.take(lim.toInt))
+
+    val selectList = m.group(1).trim
+    // aggregates: count(*), min("c"), max("c") — the source's
+    // partition-boundary probe
+    val aggRe = """(?i)(count\(\*\)|min\("([^"]+)"\)|max\("([^"]+)"\))""".r
+    val aggItems = splitTopLevel(selectList).map(_.trim)
+    if (aggItems.forall(i => aggRe.pattern.matcher(i).matches())) {
+      val out = aggItems.map { i =>
+        val am = aggRe.findFirstMatchIn(i).get
+        if (am.group(1).toLowerCase.startsWith("count"))
+          (PgWire.PgColumn("count", PgWire.OidInt8),
+            Some(rows.length.toString))
+        else {
+          val c = Option(am.group(2)).getOrElse(am.group(3))
+          val colType = t.cols.get(c).map(_.pgType).getOrElse("text")
+          val vs = rows.flatMap(_.getOrElse(c, None))
+          val v =
+            if (vs.isEmpty) None
+            else if (am.group(1).toLowerCase.startsWith("min"))
+              Some(vs.min(cmpOrdering(colType)))
+            else Some(vs.max(cmpOrdering(colType)))
+          (PgWire.PgColumn(am.group(1).takeWhile(_ != '(').toLowerCase,
+            oidOf(colType)), v)
+        }
+      }
+      return StatementResult(out.map(_._1).toVector,
+        Vector(out.map(_._2).toVector), "SELECT 1")
+    }
+
+    val cols: Seq[Column] =
+      if (selectList == "*") t.cols.values.toSeq
+      else splitTopLevel(selectList).map { s =>
+        val c = unquote(s.trim)
+        t.cols.getOrElse(c,
+          throw PgError("42703", s"""column "$c" does not exist"""))
+      }
+    StatementResult(
+      cols.map(c => PgWire.PgColumn(c.name, oidOf(c.pgType))).toVector,
+      rows.map(r => cols.map(c => r.getOrElse(c.name, None)).toVector),
+      s"SELECT ${rows.length}")
+  }
+
+  /** information_schema.columns — the managed-DDL observation path:
+    * column_name, data_type (information_schema spelling, with
+    * USER-DEFINED + udt_name for extension types exactly as a real
+    * server reports pgvector), character_maximum_length,
+    * numeric_precision, numeric_scale. */
+  private def selectInfoSchema(sql: String,
+      params: Vector[Option[String]]): StatementResult = {
+    val tm = """(?i)table_name\s*=\s*(\$\d+|'[^']*')""".r.findFirstMatchIn(sql)
+      .getOrElse(throw PgError("42601", "information_schema query needs table_name ="))
+    val name = resolveScalar(tm.group(1), params)
+      .getOrElse(throw PgError("22004", "null table_name"))
+    val cols = Vector(
+      PgWire.PgColumn("column_name", PgWire.OidText),
+      PgWire.PgColumn("data_type", PgWire.OidText),
+      PgWire.PgColumn("udt_name", PgWire.OidText),
+      PgWire.PgColumn("character_maximum_length", PgWire.OidInt4),
+      PgWire.PgColumn("numeric_precision", PgWire.OidInt4),
+      PgWire.PgColumn("numeric_scale", PgWire.OidInt4))
+    val rows = tables.get(name) match {
+      case None => Vector.empty
+      case Some(t) => t.cols.values.toVector.map { c =>
+        val (dt, udt, maxLen, prec, scale) = infoSchemaType(c.pgType)
+        Vector(Some(c.name), Some(dt), Some(udt), maxLen, prec, scale)
+      }
+    }
+    StatementResult(cols, rows, s"SELECT ${rows.length}")
+  }
+
+  /** pg_indexes — the index-reconcile observation path: indexname +
+    * indexdef for one table. A real server normalizes indexdef
+    * through the deparser; the fixture stores the original statement
+    * text, so an exact-match compare works here and degrades to a
+    * harmless rebuild against a real server. */
+  private def selectPgIndexes(sql: String,
+      params: Vector[Option[String]]): StatementResult = {
+    val tm = """(?i)tablename\s*=\s*(\$\d+|'[^']*')""".r.findFirstMatchIn(sql)
+      .getOrElse(throw PgError("42601", "pg_indexes query needs tablename ="))
+    val name = resolveScalar(tm.group(1), params)
+      .getOrElse(throw PgError("22004", "null tablename"))
+    val cols = Vector(
+      PgWire.PgColumn("indexname", PgWire.OidText),
+      PgWire.PgColumn("indexdef", PgWire.OidText))
+    val rows = indexes.collect {
+      case (ix, (t, d)) if t == name => Vector(Some(ix): Option[String], Some(d))
+    }.toVector
+    StatementResult(cols, rows, s"SELECT ${rows.length}")
+  }
+
+  // ---- predicate / value helpers ----------------------------------
+
+  private type RowMap = mutable.LinkedHashMap[String, Option[String]]
+
+  /** AND-conjunction of `"c" OP $n|literal` and `"c" IN (…)`. */
+  private def parsePredicate(text: String, t: Table,
+      params: Vector[Option[String]]): RowMap => Boolean = {
+    val clauses = text.split("(?i)\\s+AND\\s+").toSeq.map(_.trim).map { cl =>
+      val in = """(?is)^"([^"]+)"\s+IN\s*\((.*)\)$""".r.findFirstMatchIn(cl)
+      val cm = """(?is)^"([^"]+)"\s*(=|!=|<>|>=|<=|>|<)\s*(\$\d+|'(?:[^']|'')*'|[\w.\-\[\],:]+)$""".r
+        .findFirstMatchIn(cl)
+      if (in.isDefined) {
+        val c = in.get.group(1)
+        val vals = splitTopLevel(in.get.group(2))
+          .flatMap(v => resolveScalar(v.trim, params)).toSet
+        (row: RowMap) => row.getOrElse(c, None).exists(vals.contains)
+      } else if (cm.isDefined) {
+        val (c, op, rhs) = (cm.get.group(1), cm.get.group(2), cm.get.group(3))
+        val rv = resolveScalar(rhs, params)
+        val colType = t.cols.get(c).map(_.pgType).getOrElse("text")
+        (row: RowMap) => {
+          val lv = row.getOrElse(c, None)
+          (lv, rv) match {
+            case (Some(l), Some(r)) =>
+              val d = cmp(colType, Some(l), Some(r))
+              op match {
+                case "=" => d == 0
+                case "!=" | "<>" => d != 0
+                case ">" => d > 0
+                case ">=" => d >= 0
+                case "<" => d < 0
+                case "<=" => d <= 0
+              }
+            case _ => false // SQL null comparison semantics
+          }
+        }
+      } else throw PgError("42601", s"unsupported predicate: $cl")
+    }
+    row => clauses.forall(_(row))
+  }
+
+  /** `$n`, quoted literal, NULL, or bare token → value. */
+  private def resolveScalar(token: String,
+      params: Vector[Option[String]]): Option[String] = {
+    val tk = token.trim
+    if (tk.startsWith("$")) {
+      val i = tk.drop(1).toInt
+      if (i < 1 || i > params.length)
+        throw PgError("08P01", s"bind parameter $$${i} out of range")
+      params(i - 1)
+    } else if (tk.equalsIgnoreCase("NULL")) None
+    else if (tk.startsWith("'") && tk.endsWith("'"))
+      Some(tk.substring(1, tk.length - 1).replace("''", "'"))
+    else Some(tk)
+  }
+
+  /** `($1,$2),(…)` → one Vector per tuple. */
+  private def parseTupleList(text: String,
+      params: Vector[Option[String]]): Seq[Vector[Option[String]]] = {
+    val tuples = ArrayBuffer.empty[Vector[Option[String]]]
+    var depth = 0
+    var start = -1
+    var i = 0
+    var inStr = false
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1; if (depth == 1) start = i + 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0)
+            tuples += splitTopLevel(text.substring(start, i))
+              .map(v => resolveScalar(v.trim, params)).toVector
+        case _ => ()
+      }
+      i += 1
+    }
+    tuples.toSeq
+  }
+
+  private def getTable(name: String): Table =
+    tables.getOrElse(name,
+      throw PgError("42P01", s"""relation "$name" does not exist"""))
+
+  /** Strip an optional schema qualifier + quotes: `"s"."t"` → t. */
+  private def tableName(raw: String): String = {
+    val parts = raw.split('.')
+    unquote(parts.last.trim)
+  }
+
+  private def unquote(s: String): String =
+    if (s.startsWith("\"") && s.endsWith("\"") && s.length >= 2)
+      s.substring(1, s.length - 1)
+    else s
+
+  /** Split on top-level commas (not inside parens or quotes). */
+  private def splitTopLevel(text: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    var depth = 0
+    var inStr = false
+    var start = 0
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += text.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    if (start < text.length || out.nonEmpty) out += text.substring(start)
+    out.toSeq.filter(_.trim.nonEmpty)
+  }
+
+  private def splitStatements(sql: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    var inStr = false
+    var start = 0
+    var i = 0
+    while (i < sql.length) {
+      val ch = sql.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else if (ch == '\'') inStr = true
+      else if (ch == ';') { out += sql.substring(start, i); start = i + 1 }
+      i += 1
+    }
+    out += sql.substring(start)
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  // ---- types ------------------------------------------------------
+
+  private def canonType(raw: String): String = {
+    val t = raw.trim.toLowerCase
+    val vec = """vector\s*\(\s*(\d+)\s*\)""".r.findFirstMatchIn(t)
+    if (vec.isDefined) {
+      if (!vectorExtension)
+        throw PgError("42704", """type "vector" does not exist""")
+      s"vector(${vec.get.group(1)})"
+    }
+    else if (t == "text") "text"
+    else if (t.startsWith("character varying") || t.startsWith("varchar")) {
+      val n = """\((\d+)\)""".r.findFirstMatchIn(t).map(_.group(1))
+      n.map(v => s"varchar($v)").getOrElse("varchar")
+    }
+    else if (t == "integer" || t == "int" || t == "int4") "integer"
+    else if (t == "bigint" || t == "int8") "bigint"
+    else if (t == "smallint" || t == "int2") "smallint"
+    else if (t == "double precision" || t == "float8") "double precision"
+    else if (t == "real" || t == "float4") "real"
+    else if (t == "boolean" || t == "bool") "boolean"
+    else if (t == "bytea") "bytea"
+    else if (t == "timestamptz" || t == "timestamp with time zone") "timestamptz"
+    else if (t.startsWith("timestamp")) "timestamp"
+    else if (t == "date") "date"
+    else if (t.startsWith("numeric") || t.startsWith("decimal")) {
+      val args = """\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r.findFirstMatchIn(t)
+      args.map(a => s"numeric(${a.group(1)},${a.group(2)})")
+        .getOrElse("numeric")
+    }
+    else throw PgError("42704", s"""type "$raw" does not exist""")
+  }
+
+  private def oidOf(pgType: String): Int = {
+    val base = pgType.takeWhile(_ != '(')
+    base match {
+      case "text" => PgWire.OidText
+      case "varchar" => PgWire.OidVarchar
+      case "integer" => PgWire.OidInt4
+      case "bigint" => PgWire.OidInt8
+      case "smallint" => PgWire.OidInt2
+      case "double precision" => PgWire.OidFloat8
+      case "real" => PgWire.OidFloat4
+      case "boolean" => PgWire.OidBool
+      case "bytea" => PgWire.OidBytea
+      case "timestamptz" => PgWire.OidTimestamptz
+      case "timestamp" => PgWire.OidTimestamp
+      case "date" => PgWire.OidDate
+      case "numeric" => PgWire.OidNumeric
+      case "vector" => PgWire.OidVector
+      case _ => PgWire.OidText
+    }
+  }
+
+  private def infoSchemaType(pgType: String)
+      : (String, String, Option[String], Option[String], Option[String]) = {
+    val base = pgType.takeWhile(_ != '(')
+    val args = pgType.dropWhile(_ != '(').stripPrefix("(").stripSuffix(")")
+      .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    base match {
+      case "varchar" =>
+        ("character varying", "varchar", args.headOption, None, None)
+      case "text" => ("text", "text", None, None, None)
+      case "integer" => ("integer", "int4", None, Some("32"), Some("0"))
+      case "bigint" => ("bigint", "int8", None, Some("64"), Some("0"))
+      case "smallint" => ("smallint", "int2", None, Some("16"), Some("0"))
+      case "double precision" =>
+        ("double precision", "float8", None, Some("53"), None)
+      case "real" => ("real", "float4", None, Some("24"), None)
+      case "boolean" => ("boolean", "bool", None, None, None)
+      case "bytea" => ("bytea", "bytea", None, None, None)
+      case "timestamptz" =>
+        ("timestamp with time zone", "timestamptz", None, None, None)
+      case "timestamp" =>
+        ("timestamp without time zone", "timestamp", None, None, None)
+      case "date" => ("date", "date", None, None, None)
+      case "numeric" =>
+        ("numeric", "numeric", None, args.headOption, args.lift(1))
+      case "vector" =>
+        // a real server reports extension types as USER-DEFINED with
+        // the udt_name; the declared dimension is not in
+        // information_schema (it lives in atttypmod) — the target
+        // compares on udt_name only, same as a dimension-blind ALTER
+        ("USER-DEFINED", "vector", None, None, None)
+      case other => (other, other, None, None, None)
+    }
+  }
+
+  private def validate(pgType: String, v: String, col: String): Unit = {
+    val base = pgType.takeWhile(_ != '(')
+    def bad(): Nothing = throw PgError("22P02",
+      s"""invalid input syntax for type $base in column "$col": "${v.take(40)}"""")
+    base match {
+      case "integer" | "bigint" | "smallint" =>
+        try { v.trim.toLong; () } catch { case _: NumberFormatException => bad() }
+      case "double precision" | "real" | "numeric" =>
+        try { BigDecimal(v.trim); () } catch { case _: NumberFormatException => bad() }
+      case "boolean" =>
+        if (!Set("t", "f", "true", "false", "1", "0", "on", "off")
+          .contains(v.trim.toLowerCase)) bad()
+      case "bytea" =>
+        if (!v.startsWith("\\x") ||
+          !v.drop(2).forall(c => Character.digit(c, 16) >= 0)) bad()
+      case "vector" =>
+        val body = v.trim
+        if (!body.startsWith("[") || !body.endsWith("]")) bad()
+        val elems = body.substring(1, body.length - 1).split(',')
+          .map(_.trim).filter(_.nonEmpty)
+        elems.foreach(e =>
+          try e.toFloat
+          catch { case _: NumberFormatException => bad() })
+        val dim = pgType.dropWhile(_ != '(').stripPrefix("(")
+          .stripSuffix(")").trim
+        if (dim.nonEmpty && elems.length != dim.toInt)
+          throw PgError("22000",
+            s"expected $dim dimensions, not ${elems.length}")
+      case "date" =>
+        try { java.time.LocalDate.parse(v.trim); () }
+        catch { case _: Exception => bad() }
+      case "timestamp" | "timestamptz" =>
+        // accept `yyyy-MM-dd HH:mm:ss[.ffffff][+tz]` — the wire text
+        // form our target emits; a full pg datetime parser is out of
+        // fixture scope
+        if (!v.matches("""\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}.*""")) bad()
+      case _ => ()
+    }
+  }
+
+  private def cmp(pgType: String, a: Option[String], b: Option[String]): Int =
+    (a, b) match {
+      case (None, None) => 0
+      case (None, _) => 1 // NULLS LAST, pg default ordering
+      case (_, None) => -1
+      case (Some(x), Some(y)) =>
+        val base = pgType.takeWhile(_ != '(')
+        base match {
+          case "integer" | "bigint" | "smallint" =>
+            java.lang.Long.compare(x.trim.toLong, y.trim.toLong)
+          case "double precision" | "real" | "numeric" =>
+            BigDecimal(x.trim).compare(BigDecimal(y.trim))
+          case _ => x.compareTo(y)
+        }
+    }
+
+  private def cmpOrdering(pgType: String): Ordering[String] =
+    (x: String, y: String) => cmp(pgType, Some(x), Some(y))
+
+  private type ArrayBuffer[T] = mutable.ArrayBuffer[T]
+  private val ArrayBuffer = mutable.ArrayBuffer
+}
+
+object MiniPg {
+
+  final case class PgError(state: String, message: String)
+      extends RuntimeException(message)
+
+  final case class Column(name: String, pgType: String, nullable: Boolean)
+
+  /** One table: ordered columns, PK column list, rows keyed by the
+    * PK values joined with NUL. */
+  final class Table(val name: String,
+      val cols: mutable.LinkedHashMap[String, Column],
+      val pk: Vector[String]) {
+    val rows = mutable.LinkedHashMap
+      .empty[String, mutable.LinkedHashMap[String, Option[String]]]
+  }
+
+  final case class StatementResult(columns: Vector[PgWire.PgColumn],
+      rows: Vector[Vector[Option[String]]], tag: String)
+}

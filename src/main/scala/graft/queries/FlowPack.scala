@@ -530,6 +530,96 @@ object FlowPack extends QueryPack {
           flow.target.read(s).select("row_key", "n", "content_md5")
         } finally server.close()
       }),
+    // q81's shape through the REAL postgres wire: the chunk flow
+    // reconciled into a table over protocol v3 (graft.fixtures.MiniPg
+    // is the in-JVM peer) — CREATE TABLE IF NOT EXISTS, multi-row
+    // INSERT … ON CONFLICT DO UPDATE chunked under the 32767 bind
+    // limit, executor-side connections — rerun proven a no-op, read
+    // back over the wire with OID-typed decode for value-identical
+    // comparison (reference postgres/_target.py:747-791,1068-1103).
+    Q(
+      "q92_pg_target",
+      Some("""
+        SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR) AS row_key,
+               doc_id, CAST(i AS INT) AS chunk_idx,
+               substring(text, CAST(i AS INT) * 150 + 1, 200) AS chunk_text
+        FROM (SELECT doc_id, text,
+                     unnest(range(CAST(ceil(length(text) / 150.0) AS BIGINT))) AS i
+              FROM documents)"""),
+      (s, dir) => {
+        val server = new graft.fixtures.MiniPg
+        try {
+          val work = java.nio.file.Files.createTempDirectory("graft-pg-q92")
+          work.toFile.deleteOnExit()
+          val chunkStage = CocoFn("chunk_fixed", 1, deps = Seq("w=200", "s=150"),
+            fn = df => Chunker.chunkFixed(
+                df.select(col("item_key"), col("doc_id"), col("text")),
+                "text", width = 200, stride = 150)
+              .select(col("item_key"),
+                concat(col("item_key"), lit("#"), col("chunk_idx")).as("row_key"),
+                col("doc_id"), col("chunk_idx"), col("chunk_text")))
+          val flow = new Flow(
+            "pg_index",
+            TableSource(sp => Tables(sp, dir, "documents"), keyCol = "doc_id"),
+            Seq(chunkStage),
+            PgTableTarget(server.host, server.port, "graft", "doc_chunks",
+              writePartitions = 4),
+            work.resolve("state").toString)
+          flow.run(s)
+          require(flow.run(s).isNoop,
+            "incremental contract violated: postgres rerun was not a no-op")
+          val back = flow.target.read(s)
+            .select("row_key", "doc_id", "chunk_idx", "chunk_text")
+          // materialize before the in-JVM store closes
+          val rows = back.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 4), back.schema)
+        } finally server.close()
+      }),
+    // the corpus served FROM postgres over the wire: a table staged
+    // through the batched target transport, then read by
+    // PgWireTableSource — key-range-partitioned scans (OFFSET-sampled
+    // boundaries for the text key), each task on its own connection
+    // under a repeatable-read snapshot — through a full incremental
+    // flow with the rerun proven a no-op on stable row fingerprints
+    // (reference postgres/_source.py:122-137 generalized from one
+    // cursor to partitioned range reads).
+    Q(
+      "q93_pg_source",
+      Some("""
+        SELECT CAST(doc_id AS VARCHAR) AS row_key,
+               CAST(n_chars AS BIGINT) AS n,
+               md5(text) AS content_md5
+        FROM documents"""),
+      (s, dir) => {
+        val server = new graft.fixtures.MiniPg
+        try {
+          val work = java.nio.file.Files.createTempDirectory("graft-pg-q93")
+          work.toFile.deleteOnExit()
+          // stage the corpus into the store through the batched wire
+          // target (setup, not the measured path)
+          PgTableTarget(server.host, server.port, "graft", "docs",
+            writePartitions = 8).apply(s,
+            Tables(s, dir, "documents").select(
+              col("doc_id").cast("string").as("row_key"),
+              col("text"), col("n_chars").cast("long").as("n_chars")),
+            s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("row_key",
+                  org.apache.spark.sql.types.StringType)))))
+          val source = PgWireTableSource(server.host, server.port, "graft",
+            "docs", keyCol = "row_key", numPartitions = 8)
+          val stage = CocoFn("digest", 1, fn = df => df.select(
+            col("item_key"), col("item_key").as("row_key"),
+            col("n_chars").as("n"), md5(col("text")).as("content_md5")))
+          val flow = new Flow("pg_docs", source, Seq(stage),
+            ParquetTableTarget(work.resolve("out").toString, numBuckets = 8),
+            work.resolve("state").toString)
+          flow.run(s)
+          require(flow.run(s).isNoop,
+            "incremental contract violated: stable pg rows must no-op")
+          flow.target.read(s).select("row_key", "n", "content_md5")
+        } finally server.close()
+      }),
     Q(
       "q63_topic_target",
       // the final compacted map after: produce all docs, then a second
