@@ -1,0 +1,359 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** An ANN (vector) index baked into the Doris table DDL (reference
+  * `VectorIndexDef` → `INDEX idx_vec_f (f) USING ANN PROPERTIES …`,
+  * python/cocoindex/connectors/doris/_target.py:730-789). */
+final case class DorisVectorIndex(field: String, indexType: String = "HNSW",
+    metric: String = "l2_distance", maxDegree: Option[Int] = None,
+    efConstruction: Option[Int] = None, nlist: Option[Int] = None)
+
+/** An inverted (full-text) index (reference `InvertedIndexDef`,
+  * `_target.py:731-800`). */
+final case class DorisInvertedIndex(field: String,
+    parser: Option[String] = None)
+
+/** Apache Doris table target over the store's BOTH real transports —
+  * the reference's doris connector
+  * (python/cocoindex/connectors/doris/_target.py) statement for
+  * statement:
+  *
+  *   - DDL, deletes and reads travel the MySQL wire protocol on the
+  *     query port ([[MysqlWire.Client]] = what pymysql does,
+  *     `:519-545`): `CREATE TABLE IF NOT EXISTS … ENGINE = OLAP
+  *     DUPLICATE KEY(pk) DISTRIBUTED BY HASH(pk) BUCKETS AUTO`
+  *     with ANN/INVERTED index defs inline (`:738-815`), `ALTER
+  *     TABLE ADD/DROP COLUMN` for shape drift (`:1104-1121`),
+  *     `DELETE … WHERE (pk='…') OR …` with escaped literals
+  *     (`:690-704`);
+  *   - bulk upserts travel HTTP Stream Load (`PUT
+  *     /api/{db}/{table}/_stream_load`, format=json +
+  *     strip_outer_array + a unique label, `:565-676`), preceded by
+  *     a keyed DELETE — the DUPLICATE KEY model appends without
+  *     uniqueness, so delete-before-insert is what makes the upsert
+  *     converge (`:875-888`).
+  *
+  * Writes run executor-side (key-hashed partitions, one MySQL + one
+  * HTTP session per task), chunked by `batchSize` with the HTTP retry
+  * taxonomy on loads. Vector columns (`ARRAY<FLOAT>`) carry their
+  * JSON-array text form; `BOOLEAN` round-trips as Doris's 1/0.
+  */
+final case class DorisTableTarget(host: String, mysqlPort: Int,
+    httpPort: Int, database: String, table: String,
+    user: String = "root", password: String = "",
+    vectorIndexes: Seq[DorisVectorIndex] = Nil,
+    invertedIndexes: Seq[DorisInvertedIndex] = Nil,
+    writePartitions: Int = 4, batchSize: Int = 4096) extends Target {
+
+  import DorisTableTarget._
+
+  SurrealTableTarget.validateIdentifier(database, "database name")
+  SurrealTableTarget.validateIdentifier(table, "table name")
+
+  private def withMysql[T](f: MysqlWire.Client => T): T = {
+    val c = new MysqlWire.Client(host, mysqlPort, user, database, password)
+    try f(c) finally c.close()
+  }
+
+  override def containerSignature: String =
+    s"doris;$host:$mysqlPort/$database;table=$table;pk=$RowKey"
+
+  override def truncate(spark: SparkSession): Unit =
+    withMysql { c =>
+      c.query(s"DROP TABLE IF EXISTS `$database`.`$table`"); ()
+    }
+
+  /** The reference's CREATE TABLE shape (`:738-815`): key column
+    * first (TEXT keys become VARCHAR(512), `:493-496`), ANN/INVERTED
+    * index defs inline, OLAP DUPLICATE KEY + hash distribution. */
+  private def createTableSql(schema: StructType): String = {
+    val valueFields = schema.fields.filter(_.name != RowKey)
+    val colDefs =
+      (s"    `$RowKey` VARCHAR(512) NOT NULL" +:
+        valueFields.toSeq.map { f =>
+          val vec = f.dataType match {
+            case ArrayType(FloatType, _) => true
+            case _ => false
+          }
+          val nullable = if (vec) "NOT NULL" else "NULL"
+          s"    `${f.name}` ${dorisType(f.dataType)} $nullable"
+        }) ++
+        vectorIndexes.map { vi =>
+          val dim = valueFields.find(_.name == vi.field)
+            .map(_ => vectorDimOf(vi.field))
+          val props =
+            Seq(s""""index_type" = "${vi.indexType.toLowerCase}"""",
+              s""""metric_type" = "${vi.metric.toLowerCase}"""") ++
+              dim.flatten.map(d => s""""dim" = "$d"""") ++
+              vi.maxDegree.map(v => s""""max_degree" = "$v"""") ++
+              vi.efConstruction.map(v => s""""ef_construction" = "$v"""") ++
+              vi.nlist.map(v => s""""nlist" = "$v"""")
+          s"    INDEX idx_vec_${vi.field} (`${vi.field}`) USING ANN " +
+            s"PROPERTIES (${props.mkString(", ")})"
+        } ++
+        invertedIndexes.map { inv =>
+          s"    INDEX idx_inv_${inv.field} (`${inv.field}`) USING INVERTED" +
+            inv.parser.map(p => s""" PROPERTIES ("parser" = "$p")""")
+              .getOrElse("")
+        }
+    s"CREATE TABLE IF NOT EXISTS `$database`.`$table` (\n" +
+      colDefs.mkString(",\n") + "\n)\n" +
+      s"ENGINE = OLAP\nDUPLICATE KEY(`$RowKey`)\n" +
+      s"DISTRIBUTED BY HASH(`$RowKey`) BUCKETS AUTO\n" +
+      "PROPERTIES (\n    \"replication_num\" = \"1\"\n)"
+  }
+
+  /** Declared vector dimensions are discovered lazily from the first
+    * apply's rows — Doris's ANN index wants a "dim" property, but the
+    * Spark schema doesn't carry one; absent rows, the property is
+    * simply omitted (legal: the store infers from the column). */
+  @transient private var observedDims: Map[String, Int] = Map.empty
+  private def vectorDimOf(field: String): Option[Int] =
+    observedDims.get(field)
+
+  private def ensureTable(c: MysqlWire.Client, schema: StructType): Unit = {
+    val observed: Map[String, String] =
+      try c.query(s"DESC `$database`.`$table`").rows
+        .map(r => r(0).get -> r(1).getOrElse("")).toMap
+      catch {
+        case e: MysqlWire.MysqlErrorException if e.code == 1146 => Map.empty
+      }
+    if (observed.isEmpty)
+      c.query(createTableSql(schema))
+    else
+      schema.fields.filter(_.name != RowKey).foreach { f =>
+        if (!observed.contains(f.name)) {
+          // the reference adds drifted columns best-effort and
+          // tolerates the concurrent-creator race (:1113-1121)
+          try c.query(s"ALTER TABLE `$database`.`$table` " +
+            s"ADD COLUMN `${f.name}` ${dorisType(f.dataType)} NULL")
+          catch {
+            case e: MysqlWire.MysqlErrorException if e.code == 1060 => ()
+          }
+          ()
+        }
+      }
+  }
+
+  def apply(spark: SparkSession, upserts: DataFrame,
+      deleteKeys: DataFrame): TargetStats = {
+    val up = upserts.cache()
+    val del = deleteKeys.select(col(RowKey)).cache()
+    try {
+      val nUp = up.count()
+      val nDel = del.count()
+      if (nUp == 0 && nDel == 0) return TargetStats(0, 0)
+
+      // record vector dims for the ANN DDL before the table exists
+      up.schema.fields.foreach { f =>
+        f.dataType match {
+          case ArrayType(FloatType, _) if !observedDims.contains(f.name) =>
+            up.select(size(col(f.name)).as("d")).filter(col("d") > 0)
+              .limit(1).collect().headOption
+              .foreach(r => observedDims += f.name -> r.getInt(0))
+          case _ => ()
+        }
+      }
+      withMysql { c =>
+        val tableExists =
+          try { c.query(s"DESC `$database`.`$table`"); true }
+          catch {
+            case e: MysqlWire.MysqlErrorException if e.code == 1146 => false
+          }
+        if (nUp > 0 || tableExists) ensureTable(c, up.schema)
+      }
+
+      val (h, mp, hp, db, usr, pw, t, bs) =
+        (host, mysqlPort, httpPort, database, user, password, table, batchSize)
+      if (nUp > 0) {
+        val schema = up.schema
+        val keyIdx = schema.fieldIndex(RowKey)
+        up.repartition(writePartitions, col(RowKey)).foreachPartition {
+          rows: Iterator[Row] =>
+            if (rows.hasNext) {
+              val c = new MysqlWire.Client(h, mp, usr, db, pw)
+              try rows.grouped(bs).foreach { chunk =>
+                // delete-before-insert: the DUPLICATE KEY model has
+                // no ON CONFLICT — convergence comes from clearing
+                // the keys first (:875-888)
+                c.query(deleteSql(db, t,
+                  chunk.map(_.getString(keyIdx))))
+                streamLoad(h, hp, db, t, usr, pw,
+                  chunk.map(rowJson(_, schema)))
+              } finally c.close()
+            }
+        }
+      }
+      if (nDel > 0) {
+        del.repartition(writePartitions, col(RowKey)).foreachPartition {
+          rows: Iterator[Row] =>
+            if (rows.hasNext) {
+              val c = new MysqlWire.Client(h, mp, usr, db, pw)
+              try rows.grouped(bs).foreach { chunk =>
+                c.query(deleteSql(db, t, chunk.map(_.getString(0))))
+              } finally c.close()
+            }
+        }
+      }
+      TargetStats(nUp, nDel)
+    } finally { up.unpersist(); del.unpersist() }
+  }
+
+  /** Read back over the MySQL wire — driver-side, gate/serve-sized;
+    * values decode by the DESC-observed column types. */
+  def read(spark: SparkSession): DataFrame = {
+    val (types, res) = withMysql { c =>
+      val desc = c.query(s"DESC `$database`.`$table`").rows
+        .map(r => r(0).get -> r(1).getOrElse("TEXT"))
+      (desc, c.query(s"SELECT * FROM `$database`.`$table`"))
+    }
+    val typeOf = types.toMap
+    val schema = StructType(res.columns.map(mc =>
+      StructField(mc.name,
+        sparkTypeOf(typeOf.getOrElse(mc.name, "TEXT")), nullable = true)))
+    val data = res.rows.map { r =>
+      Row.fromSeq(res.columns.zipWithIndex.map { case (mc, i) =>
+        decodeValue(r(i), typeOf.getOrElse(mc.name, "TEXT"))
+      })
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+  }
+}
+
+object DorisTableTarget {
+  val RowKey = "row_key"
+
+  /** Spark type → Doris DDL type (reference `_LEAF_TYPE_MAPPINGS`,
+    * doris/_target.py:263-277: str→TEXT, int→BIGINT, float→DOUBLE,
+    * bool→BOOLEAN, datetime→DATETIME(6), date→DATE, Decimal→TEXT,
+    * ndarray→ARRAY&lt;FLOAT&gt;). */
+  private[engine] def dorisType(dt: DataType): String = dt match {
+    case StringType => "TEXT"
+    case LongType => "BIGINT"
+    case IntegerType => "INT"
+    case ShortType => "SMALLINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "FLOAT"
+    case BooleanType => "BOOLEAN"
+    case TimestampType => "DATETIME(6)"
+    case DateType => "DATE"
+    case _: DecimalType => "TEXT"
+    case ArrayType(FloatType, _) => "ARRAY<FLOAT>"
+    case other =>
+      throw new IllegalArgumentException(s"unsupported doris type $other")
+  }
+
+  /** `DATETIME(6)` → `DATETIME`, `ARRAY<FLOAT>` → `ARRAY`. */
+  private def baseType(dorisType: String): String =
+    dorisType.takeWhile(c => c != '(' && c != '<')
+
+  private[engine] def sparkTypeOf(dorisType: String): DataType =
+    baseType(dorisType) match {
+      case "BIGINT" => LongType
+      case "INT" => IntegerType
+      case "SMALLINT" => ShortType
+      case "DOUBLE" => DoubleType
+      case "FLOAT" => FloatType
+      case "BOOLEAN" => BooleanType
+      case "DATETIME" => TimestampType
+      case "DATE" => DateType
+      case "ARRAY" => ArrayType(FloatType)
+      case _ => StringType
+    }
+
+  private val TsFormat = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
+  /** One row as the Stream Load JSON object (the reference sends
+    * `json.dumps(rows)` with isoformat datetimes, doris/_target.py:
+    * 272-273,599). */
+  private[engine] def rowJson(row: Row, schema: StructType): JValue =
+    JObject(schema.fields.toList.zipWithIndex.map { case (f, i) =>
+      val v: JValue =
+        if (row.isNullAt(i)) JNull
+        else f.dataType match {
+          case StringType => JString(row.getString(i))
+          case LongType => JInt(row.getLong(i))
+          case IntegerType => JInt(row.getInt(i))
+          case ShortType => JInt(row.getShort(i).toInt)
+          case DoubleType => JDouble(row.getDouble(i))
+          case FloatType => JDouble(row.getFloat(i).toDouble)
+          case BooleanType => JBool(row.getBoolean(i))
+          case TimestampType => JString(TsFormat.format(
+            row.getTimestamp(i).toInstant.atZone(java.time.ZoneOffset.UTC)))
+          case DateType => JString(row.getDate(i).toString)
+          case _: DecimalType => JString(row.getDecimal(i).toPlainString)
+          case ArrayType(FloatType, _) =>
+            JArray(row.getSeq[Float](i).toList.map(x => JDouble(x.toDouble)))
+          case other => throw new IllegalArgumentException(
+            s"unsupported doris value type $other")
+        }
+      f.name -> v
+    })
+
+  private[engine] def decodeValue(v: Option[String],
+      dorisType: String): Any = v match {
+    case None => null
+    case Some(s) => baseType(dorisType) match {
+      case "BIGINT" => s.toLong
+      case "INT" => s.toInt
+      case "SMALLINT" => s.toShort
+      case "DOUBLE" => s.toDouble
+      case "FLOAT" => s.toFloat
+      case "BOOLEAN" => s == "1" || s.equalsIgnoreCase("true")
+      case "DATETIME" => java.sql.Timestamp.from(
+        java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC))
+      case "DATE" => java.sql.Date.valueOf(s)
+      case "ARRAY" => JsonMethods.parse(s) match {
+        case JArray(xs) =>
+          xs.map(QdrantCollectionTarget.doubleOf(_).toFloat)
+        case _ => null
+      }
+      case _ => s
+    }
+  }
+
+  /** `DELETE … WHERE (pk='…') OR …` with the reference's literal
+    * escaping (doris/_target.py:690-704). */
+  private[engine] def deleteSql(database: String, table: String,
+      keys: Seq[String]): String = {
+    val conds = keys.map { k =>
+      val escaped = k.replace("\\", "\\\\").replace("'", "\\'")
+      s"(`$RowKey` = '$escaped')"
+    }
+    s"DELETE FROM `$database`.`$table` WHERE ${conds.mkString(" OR ")}"
+  }
+
+  /** One Stream Load call (`PUT /api/{db}/{table}/_stream_load`,
+    * format=json + strip_outer_array + unique label + Basic auth,
+    * doris/_target.py:584-656), under the HTTP retry taxonomy; a
+    * JSON body whose Status is neither Success nor Publish Timeout
+    * fails the chunk. */
+  private[engine] def streamLoad(host: String, httpPort: Int,
+      database: String, table: String, user: String, password: String,
+      rows: Seq[JValue]): Unit = {
+    if (rows.isEmpty) return
+    val label = s"graft_${System.currentTimeMillis()}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val auth = java.util.Base64.getEncoder.encodeToString(
+      s"$user:$password".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val resp = HttpJson.retrying()(HttpJson.requestText("PUT",
+      s"http://$host:$httpPort/api/$database/$table/_stream_load",
+      JsonMethods.compact(JsonMethods.render(JArray(rows.toList))),
+      contentType = "application/json",
+      headers = Map("format" -> "json", "strip_outer_array" -> "true",
+        "label" -> label, "Expect" -> "100-continue",
+        "Authorization" -> s"Basic $auth")))
+    resp.body \ "Status" match {
+      case JString("Success") | JString("Publish Timeout") => ()
+      case other => throw new IllegalStateException(
+        s"stream load failed (${other}): ${resp.body \ "Message"}")
+    }
+  }
+}

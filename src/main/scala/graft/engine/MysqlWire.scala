@@ -1,0 +1,291 @@
+package graft.engine
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** The MySQL client/server wire protocol (text protocol), from the
+  * public protocol documentation (dev.mysql.com/doc/dev/mysql-server/
+  * latest/ §Client/Server Protocol): 3-byte little-endian
+  * length-prefixed packets with a sequence id, the HandshakeV10 /
+  * HandshakeResponse41 exchange with `mysql_native_password` auth,
+  * `COM_QUERY`, and OK / ERR / text-resultset responses with
+  * length-encoded values.
+  *
+  * This is the query-port transport of the reference's Apache Doris
+  * connector — pymysql/aiomysql speak exactly this protocol for the
+  * connector's DDL, deletes and reads
+  * (python/cocoindex/connectors/doris/_target.py:519-545
+  * `_execute_ddl_sync`/`_query_sync`); the bulk-ingest half is HTTP
+  * Stream Load ([[DorisTableTarget]]). As with PgWire/KafkaWire/RESP,
+  * the codec is the deliverable and [[graft.fixtures.MiniDoris]] is
+  * the in-JVM peer.
+  *
+  * Scope: handshake (empty or native-password auth), COM_QUERY,
+  * COM_PING, COM_QUIT. No prepared statements (the connector inlines
+  * literals), no compression, no SSL, no DEPRECATE_EOF.
+  */
+object MysqlWire {
+
+  // capability flags (protocol constants)
+  val ClientProtocol41 = 0x00000200
+  val ClientSecureConnection = 0x00008000
+  val ClientPluginAuth = 0x00080000
+  val ClientConnectWithDb = 0x00000008
+
+  // text-protocol column type bytes
+  val TypeLongLong = 8
+  val TypeDouble = 5
+  val TypeVarString = 253
+
+  final case class MysqlColumn(name: String, colType: Int)
+
+  final case class MysqlResult(columns: Vector[MysqlColumn],
+      rows: Vector[Vector[Option[String]]], affected: Long)
+
+  /** ERR packet surfaced as an exception with the server error code
+    * and SQLSTATE. */
+  final class MysqlErrorException(val code: Int, val sqlState: String,
+      message: String) extends RuntimeException(s"($code) $sqlState: $message")
+
+  // ---- packet codec -----------------------------------------------
+
+  final class PacketWriter {
+    private val buf = new java.io.ByteArrayOutputStream(1 << 10)
+    def i1(v: Int): this.type = { buf.write(v & 0xff); this }
+    def i2(v: Int): this.type = { i1(v); i1(v >> 8) }
+    def i3(v: Int): this.type = { i2(v); i1(v >> 16) }
+    def i4(v: Int): this.type = { i3(v); i1(v >> 24) }
+    def raw(b: Array[Byte]): this.type = { buf.write(b); this }
+    def nulStr(s: String): this.type = { raw(s.getBytes(UTF_8)); i1(0) }
+    def lenenc(v: Long): this.type =
+      if (v < 251) i1(v.toInt)
+      else if (v < (1 << 16)) { i1(0xfc); i2(v.toInt) }
+      else if (v < (1 << 24)) { i1(0xfd); i3(v.toInt) }
+      else { i1(0xfe); (0 until 8).foreach(i => i1((v >> (8 * i)).toInt)); this }
+    def lenencStr(s: String): this.type = {
+      val b = s.getBytes(UTF_8); lenenc(b.length.toLong); raw(b)
+    }
+    def bytes: Array[Byte] = buf.toByteArray
+  }
+
+  final class PacketReader(val body: Array[Byte]) {
+    private var pos = 0
+    def i1: Int = { val v = body(pos) & 0xff; pos += 1; v }
+    def i2: Int = i1 | (i1 << 8)
+    def i3: Int = i2 | (i1 << 16)
+    def i4: Int = i3 | (i1 << 24)
+    def peek: Int = body(pos) & 0xff
+    def raw(n: Int): Array[Byte] = {
+      val b = java.util.Arrays.copyOfRange(body, pos, pos + n); pos += n; b
+    }
+    def skip(n: Int): Unit = pos += n
+    def nulStr: String = {
+      val start = pos
+      while (pos < body.length && body(pos) != 0) pos += 1
+      val s = new String(body, start, pos - start, UTF_8)
+      pos += 1
+      s
+    }
+    def lenenc: Long = {
+      val first = i1
+      if (first < 251) first.toLong
+      else if (first == 0xfc) i2.toLong
+      else if (first == 0xfd) i3.toLong
+      else if (first == 0xfe)
+        (0 until 8).map(i => (i1.toLong & 0xff) << (8 * i)).reduce(_ | _)
+      else throw new IllegalStateException(s"bad lenenc lead byte $first")
+    }
+    /** Length-encoded string, or None for the 0xFB NULL marker. */
+    def lenencStrOrNull: Option[String] =
+      if (peek == 0xfb) { skip(1); None }
+      else {
+        val n = lenenc.toInt
+        Some(new String(raw(n), UTF_8))
+      }
+    def remaining: Int = body.length - pos
+  }
+
+  def writePacket(out: DataOutputStream, seq: Int,
+      payload: Array[Byte]): Unit = {
+    out.write(payload.length & 0xff)
+    out.write((payload.length >> 8) & 0xff)
+    out.write((payload.length >> 16) & 0xff)
+    out.write(seq & 0xff)
+    out.write(payload)
+  }
+
+  /** Returns (sequence id, payload). */
+  def readPacket(in: DataInputStream): (Int, Array[Byte]) = {
+    val a = in.readUnsignedByte()
+    val b = in.readUnsignedByte()
+    val c = in.readUnsignedByte()
+    val len = a | (b << 8) | (c << 16)
+    val seq = in.readUnsignedByte()
+    val body = new Array[Byte](len)
+    in.readFully(body)
+    (seq, body)
+  }
+
+  /** `mysql_native_password`: SHA1(pass) XOR SHA1(scramble ·
+    * SHA1(SHA1(pass))); empty password → empty response. */
+  def nativePassword(password: String, scramble: Array[Byte]): Array[Byte] =
+    if (password.isEmpty) Array.emptyByteArray
+    else {
+      val sha1 = java.security.MessageDigest.getInstance("SHA-1")
+      val h1 = sha1.digest(password.getBytes(UTF_8))
+      sha1.reset()
+      val h2 = sha1.digest(h1)
+      sha1.reset()
+      sha1.update(scramble)
+      sha1.update(h2)
+      val h3 = sha1.digest()
+      h1.indices.map(i => (h1(i) ^ h3(i)).toByte).toArray
+    }
+
+  // ---- client -----------------------------------------------------
+
+  /** One connection; not thread-safe — one per writer task. */
+  final class Client(host: String, port: Int, user: String,
+      database: String, password: String = "") extends AutoCloseable {
+
+    private val sock = new Socket()
+    sock.setTcpNoDelay(true)
+    sock.connect(new InetSocketAddress(host, port), 10000)
+    sock.setSoTimeout(60000)
+    private val in = new DataInputStream(
+      new BufferedInputStream(sock.getInputStream, 1 << 16))
+    private val out = new DataOutputStream(
+      new BufferedOutputStream(sock.getOutputStream, 1 << 16))
+
+    // HandshakeV10 → HandshakeResponse41 → OK
+    locally {
+      val (_, greeting) = readPacket(in)
+      val r = new PacketReader(greeting)
+      val proto = r.i1
+      if (proto != 10)
+        throw new IllegalStateException(s"unsupported mysql protocol $proto")
+      r.nulStr // server version
+      r.skip(4) // thread id
+      val scramble1 = r.raw(8)
+      r.skip(1) // filler
+      r.skip(2) // capabilities lower
+      r.skip(1) // charset
+      r.skip(2) // status
+      r.skip(2) // capabilities upper
+      val authLen = r.i1
+      r.skip(10) // reserved
+      val scramble2 =
+        r.raw(math.max(13, authLen - 8)).takeWhile(_ != 0)
+      val scramble = scramble1 ++ scramble2
+
+      val w = new PacketWriter
+      w.i4(ClientProtocol41 | ClientSecureConnection | ClientPluginAuth |
+        ClientConnectWithDb)
+      w.i4(1 << 24) // max packet
+      w.i1(33) // utf8
+      w.raw(new Array[Byte](23))
+      w.nulStr(user)
+      val auth = nativePassword(password, scramble)
+      w.i1(auth.length)
+      w.raw(auth)
+      w.nulStr(database)
+      w.nulStr("mysql_native_password")
+      writePacket(out, 1, w.bytes)
+      out.flush()
+      val (_, reply) = readPacket(in)
+      checkOkOrErr(reply)
+    }
+
+    private def checkOkOrErr(payload: Array[Byte]): Long = {
+      val r = new PacketReader(payload)
+      r.peek match {
+        case 0x00 => r.skip(1); r.lenenc // OK: affected rows
+        case 0xff => throw decodeErr(r)
+        case other =>
+          throw new IllegalStateException(s"unexpected reply byte $other")
+      }
+    }
+
+    private def decodeErr(r: PacketReader): MysqlErrorException = {
+      r.skip(1)
+      val code = r.i2
+      var state = "HY000"
+      if (r.remaining > 0 && r.peek == '#') {
+        r.skip(1)
+        state = new String(r.raw(5), UTF_8)
+      }
+      val msg = new String(r.raw(r.remaining), UTF_8)
+      new MysqlErrorException(code, state, msg)
+    }
+
+    /** COM_QUERY. Returns the OK affected-count or the text result
+      * set; ERR raises with code + SQLSTATE. */
+    def query(sql: String): MysqlResult = {
+      val w = new PacketWriter
+      w.i1(0x03).raw(sql.getBytes(UTF_8))
+      writePacket(out, 0, w.bytes)
+      out.flush()
+      val (_, first) = readPacket(in)
+      val r = new PacketReader(first)
+      r.peek match {
+        case 0x00 =>
+          r.skip(1)
+          MysqlResult(Vector.empty, Vector.empty, r.lenenc)
+        case 0xff => throw decodeErr(r)
+        case _ =>
+          val nCols = r.lenenc.toInt
+          val cols = Vector.fill(nCols) {
+            val (_, colDef) = readPacket(in)
+            val cr = new PacketReader(colDef)
+            cr.lenencStrOrNull // catalog ("def")
+            cr.lenencStrOrNull // schema
+            cr.lenencStrOrNull // table
+            cr.lenencStrOrNull // org_table
+            val name = cr.lenencStrOrNull.getOrElse("")
+            cr.lenencStrOrNull // org_name
+            cr.lenenc // fixed-fields length (0x0c)
+            cr.skip(2 + 4) // charset + column length
+            val colType = cr.i1
+            MysqlColumn(name, colType)
+          }
+          expectEof() // column-definition terminator
+          val rows = Vector.newBuilder[Vector[Option[String]]]
+          var done = false
+          while (!done) {
+            val (_, p) = readPacket(in)
+            if ((p.head & 0xff) == 0xfe && p.length < 9) done = true
+            else if ((p.head & 0xff) == 0xff)
+              throw decodeErr(new PacketReader(p))
+            else {
+              val rr = new PacketReader(p)
+              rows += Vector.fill(nCols)(rr.lenencStrOrNull)
+            }
+          }
+          MysqlResult(cols, rows.result(), 0L)
+      }
+    }
+
+    private def expectEof(): Unit = {
+      val (_, p) = readPacket(in)
+      if ((p.head & 0xff) != 0xfe)
+        throw new IllegalStateException("expected EOF packet")
+    }
+
+    def ping(): Unit = {
+      writePacket(out, 0, Array(0x0e.toByte))
+      out.flush()
+      val (_, reply) = readPacket(in)
+      checkOkOrErr(reply)
+      ()
+    }
+
+    override def close(): Unit = {
+      try {
+        writePacket(out, 0, Array(0x01.toByte)) // COM_QUIT
+        out.flush()
+      } catch { case _: Exception => () }
+      sock.close()
+    }
+  }
+}

@@ -1,0 +1,502 @@
+package graft.fixtures
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import com.sun.net.httpserver.HttpExchange
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.engine.MysqlWire
+
+/** In-JVM Apache Doris stand-in speaking the store's BOTH real
+  * transports — the peer for [[graft.engine.DorisTableTarget]]:
+  *
+  *   - the MySQL wire protocol on the query port (HandshakeV10,
+  *     COM_QUERY, OK/ERR/text result sets) for DDL, deletes and
+  *     reads — what pymysql drives in the reference
+  *     (python/cocoindex/connectors/doris/_target.py:519-545);
+  *   - HTTP Stream Load on the FE port (`PUT
+  *     /api/{db}/{table}/_stream_load`, format=json +
+  *     strip_outer_array + label headers, JSON status body) for bulk
+  *     upserts (`_stream_load`, :565-676).
+  *
+  * The store models Doris's DUPLICATE KEY table: rows append without
+  * a uniqueness constraint (the connector's delete-before-insert is
+  * what keeps steady state duplicate-free), `DELETE … WHERE (pk=…)
+  * OR …` removes by predicate, and `DESC` exposes the column shape.
+  * MySQL error codes carry the store's taxonomy: 1050 table exists,
+  * 1146 unknown table, 1054/1060 unknown/duplicate column.
+  */
+final class MiniDoris extends MiniHttpServer("minidoris-http") {
+
+  import MiniDoris._
+
+  private val mysqlServer = new ServerSocket(0, 64,
+    java.net.InetAddress.getLoopbackAddress)
+  val mysqlPort: Int = mysqlServer.getLocalPort
+  val host: String = mysqlServer.getInetAddress.getHostAddress
+
+  private val tables = mutable.LinkedHashMap.empty[String, DTable]
+  /** MySQL statements observed (first 100 chars). */
+  val observedSql = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  def table(name: String): Option[DTable] = lock.synchronized(tables.get(name))
+
+  @volatile private var closedMysql = false
+  private val acceptor = new Thread(() => acceptLoop(), "minidoris-mysql-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  override def close(): Unit = {
+    closedMysql = true
+    mysqlServer.close()
+    super.close()
+  }
+
+  // ---- HTTP half: Stream Load -------------------------------------
+
+  protected def route(ex: HttpExchange, method: String, path: String,
+      body: Array[Byte]): Unit = {
+    val m = "/api/([^/]+)/([^/]+)/_stream_load".r.findFirstMatchIn(path)
+    if (method != "PUT" || m.isEmpty)
+      throw new MiniHttpServer.ApiError(404, s"no route: $method $path")
+    val tableName = m.get.group(2)
+    val fmt = Option(ex.getRequestHeaders.getFirst("format")).getOrElse("")
+    val label = Option(ex.getRequestHeaders.getFirst("label")).getOrElse("")
+    if (fmt != "json" || label.isEmpty)
+      throw new MiniHttpServer.ApiError(400,
+        "stream load requires format=json and a label")
+    val t = tables.getOrElse(tableName, {
+      reply(ex, 200, loadStatus("Fail", 0, s"unknown table $tableName"))
+      return
+    })
+    val rows = JsonMethods.parse(new String(body, UTF_8)) match {
+      case JArray(items) => items
+      case other => throw new MiniHttpServer.ApiError(400, s"expected JSON array, got $other")
+    }
+    var loaded = 0
+    rows.foreach {
+      case JObject(fields) =>
+        val byName = fields.toMap
+        byName.keys.foreach { k =>
+          if (!t.cols.contains(k))
+            throw new MiniHttpServer.ApiError(400, s"unknown column $k")
+        }
+        val row = mutable.LinkedHashMap.empty[String, Option[String]]
+        t.cols.keys.foreach(c => row(c) = byName.get(c).flatMap(jsonText))
+        t.rows += row
+        loaded += 1
+      case other => throw new MiniHttpServer.ApiError(400, s"expected object row: $other")
+    }
+    reply(ex, 200, loadStatus("Success", loaded, "OK"))
+  }
+
+  private def loadStatus(status: String, n: Int, msg: String): Array[Byte] =
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "TxnId" -> JInt(1), "Label" -> JString("x"), "Status" -> JString(status),
+      "Message" -> JString(msg), "NumberTotalRows" -> JInt(n),
+      "NumberLoadedRows" -> JInt(n), "NumberFilteredRows" -> JInt(0),
+      "NumberUnselectedRows" -> JInt(0)))).getBytes(UTF_8)
+
+  private def reply(ex: HttpExchange, status: Int, body: Array[Byte]): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, body.length.toLong)
+    ex.getResponseBody.write(body)
+    ex.getResponseBody.close()
+  }
+
+  /** JSON value → stored text (doris text forms: booleans 1/0,
+    * arrays kept as JSON). */
+  private def jsonText(j: JValue): Option[String] = j match {
+    case JNull | JNothing => None
+    case JString(s) => Some(s)
+    case JBool(b) => Some(if (b) "1" else "0")
+    case JInt(n) => Some(n.toString)
+    case JLong(n) => Some(n.toString)
+    case JDouble(d) => Some(d.toString)
+    case JDecimal(d) => Some(d.toString)
+    case arr: JArray => Some(JsonMethods.compact(JsonMethods.render(arr)))
+    case obj: JObject => Some(JsonMethods.compact(JsonMethods.render(obj)))
+    case other => Some(other.toString)
+  }
+
+  // ---- MySQL half -------------------------------------------------
+
+  private def acceptLoop(): Unit =
+    while (!closedMysql) {
+      try {
+        val sock = mysqlServer.accept()
+        val t = new Thread(() => serveMysql(sock), "minidoris-mysql-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case NonFatal(_) => if (closedMysql) return }
+    }
+
+  private def serveMysql(sock: Socket): Unit = {
+    sock.setTcpNoDelay(true)
+    val in = new DataInputStream(
+      new BufferedInputStream(sock.getInputStream, 1 << 16))
+    val out = new DataOutputStream(
+      new BufferedOutputStream(sock.getOutputStream, 1 << 16))
+    try {
+      // HandshakeV10 with a fixed scramble; any credentials accepted
+      val w = new MysqlWire.PacketWriter
+      w.i1(10).nulStr("5.7.99 Apache Doris (MiniDoris)")
+      w.i4(1) // thread id
+      w.raw("graftdor".getBytes(UTF_8)).i1(0) // scramble part 1 + filler
+      w.i2(0xffff) // capabilities lower
+      w.i1(33).i2(2) // charset, status (autocommit)
+      w.i2((MysqlWire.ClientPluginAuth >> 16) & 0xffff) // capabilities upper
+      w.i1(21) // auth data length
+      w.raw(new Array[Byte](10))
+      w.raw("graftdoris12".getBytes(UTF_8)).i1(0) // scramble part 2 + NUL
+      w.nulStr("mysql_native_password")
+      MysqlWire.writePacket(out, 0, w.bytes)
+      out.flush()
+      MysqlWire.readPacket(in) // HandshakeResponse41 — accept any
+      sendOk(out, 2, 0)
+      out.flush()
+
+      while (true) {
+        val (_, payload) = MysqlWire.readPacket(in)
+        (payload.head & 0xff) match {
+          case 0x01 => return // COM_QUIT
+          case 0x0e => sendOk(out, 1, 0); out.flush() // COM_PING
+          case 0x03 =>
+            val sql = new String(payload, 1, payload.length - 1, UTF_8).trim
+            observedSql.add(sql.take(100))
+            try {
+              val res = lock.synchronized(interpret(sql))
+              res match {
+                case Left(affected) => sendOk(out, 1, affected)
+                case Right((cols, rows)) => sendResultSet(out, cols, rows)
+              }
+            } catch {
+              case e: SqlError => sendErr(out, 1, e.code, e.state, e.getMessage)
+              case NonFatal(e) => sendErr(out, 1, 1064, "42000",
+                s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            }
+            out.flush()
+          case other =>
+            sendErr(out, 1, 1047, "08S01", s"unknown command $other")
+            out.flush()
+        }
+      }
+    } catch { case NonFatal(_) => () } finally sock.close()
+  }
+
+  private def sendOk(out: DataOutputStream, seq: Int, affected: Long): Unit = {
+    val w = new MysqlWire.PacketWriter
+    w.i1(0x00).lenenc(affected).lenenc(0).i2(2).i2(0)
+    MysqlWire.writePacket(out, seq, w.bytes)
+  }
+
+  private def sendErr(out: DataOutputStream, seq: Int, code: Int,
+      state: String, msg: String): Unit = {
+    val w = new MysqlWire.PacketWriter
+    w.i1(0xff).i2(code).i1('#').raw(state.getBytes(UTF_8))
+      .raw(msg.getBytes(UTF_8))
+    MysqlWire.writePacket(out, seq, w.bytes)
+  }
+
+  private def sendResultSet(out: DataOutputStream,
+      cols: Seq[(String, Int)],
+      rows: Seq[Seq[Option[String]]]): Unit = {
+    var seq = 1
+    def packet(bytes: Array[Byte]): Unit = {
+      MysqlWire.writePacket(out, seq, bytes); seq += 1
+    }
+    packet(new MysqlWire.PacketWriter().lenenc(cols.length.toLong).bytes)
+    cols.foreach { case (name, colType) =>
+      val w = new MysqlWire.PacketWriter
+      w.lenencStr("def").lenencStr("").lenencStr("").lenencStr("")
+      w.lenencStr(name).lenencStr(name)
+      w.lenenc(0x0c).i2(33).i4(1024).i1(colType).i2(0).i1(0).i2(0)
+      packet(w.bytes)
+    }
+    packet(eofPacket)
+    rows.foreach { row =>
+      val w = new MysqlWire.PacketWriter
+      row.foreach {
+        case None => w.i1(0xfb)
+        case Some(v) => w.lenencStr(v)
+      }
+      packet(w.bytes)
+    }
+    packet(eofPacket)
+  }
+
+  private val eofPacket =
+    new MysqlWire.PacketWriter().i1(0xfe).i2(0).i2(2).bytes
+
+  // ---- the SQL interpreter (caller holds lock) --------------------
+
+  private def interpret(sql: String)
+      : Either[Long, (Seq[(String, Int)], Seq[Seq[Option[String]]])] = {
+    val u = sql.toUpperCase
+    if (u.startsWith("CREATE TABLE")) Left(createTable(sql))
+    else if (u.startsWith("DROP TABLE")) Left(dropTable(sql))
+    else if (u.startsWith("ALTER TABLE")) Left(alterTable(sql))
+    else if (u.startsWith("DELETE FROM")) Left(delete(sql))
+    else if (u.startsWith("DESC")) Right(describe(sql))
+    else if (u.startsWith("SELECT")) Right(select(sql))
+    else if (u.startsWith("SET ") || u.startsWith("USE ")) Left(0L)
+    else throw SqlError(1064, "42000", s"unsupported statement: ${sql.take(60)}")
+  }
+
+  private def createTable(sql: String): Long = {
+    val m = ("""(?is)CREATE\s+TABLE(\s+IF\s+NOT\s+EXISTS)?\s+(\S+)\s*""" +
+      """\((.*)\)\s*ENGINE\s*=\s*OLAP\s+DUPLICATE\s+KEY\s*\(([^)]*)\)""" +
+      """\s+DISTRIBUTED\s+BY\s+HASH\s*\([^)]*\)\s+BUCKETS\s+\S+""" +
+      """(\s+PROPERTIES\s*\(.*\))?\s*$""").r.findFirstMatchIn(sql)
+      .getOrElse(throw SqlError(1064, "42000",
+        "bad CREATE TABLE (the store needs the OLAP DUPLICATE KEY shape)"))
+    val name = tableName(m.group(2))
+    if (tables.contains(name)) {
+      if (m.group(1) != null) return 0L
+      throw SqlError(1050, "42S01", s"Table '$name' already exists")
+    }
+    val keyCols = splitTop(m.group(4)).map(s => unquote(s.trim))
+    val cols = mutable.LinkedHashMap.empty[String, DCol]
+    val indexes = mutable.ArrayBuffer.empty[String]
+    splitTop(m.group(3)).map(_.trim).filter(_.nonEmpty).foreach { part =>
+      if (part.toUpperCase.startsWith("INDEX")) indexes += part
+      else {
+        val cm = """(?s)^`([^`]+)`\s+(.*)$""".r.findFirstMatchIn(part)
+          .getOrElse(throw SqlError(1064, "42000", s"bad column def: $part"))
+        var typ = cm.group(2).trim
+        var nullable = true
+        val nn = """(?i)\s+NOT\s+NULL\s*$""".r.findFirstMatchIn(typ)
+        val nl = """(?i)\s+NULL\s*$""".r.findFirstMatchIn(typ)
+        if (nn.isDefined) { typ = typ.substring(0, nn.get.start).trim; nullable = false }
+        else if (nl.isDefined) typ = typ.substring(0, nl.get.start).trim
+        cols += cm.group(1) -> DCol(typ.toUpperCase, nullable,
+          keyCols.contains(cm.group(1)))
+      }
+    }
+    keyCols.foreach(k => if (!cols.contains(k))
+      throw SqlError(1054, "42S22", s"Key column '$k' not defined"))
+    tables += name -> new DTable(name, cols, keyCols.toVector, indexes.toVector)
+    0L
+  }
+
+  private def dropTable(sql: String): Long = {
+    val m = """(?is)DROP\s+TABLE(\s+IF\s+EXISTS)?\s+(\S+)\s*""".r
+      .findFirstMatchIn(sql)
+      .getOrElse(throw SqlError(1064, "42000", "bad DROP TABLE"))
+    val name = tableName(m.group(2))
+    if (!tables.contains(name) && m.group(1) == null)
+      throw SqlError(1146, "42S02", s"Unknown table '$name'")
+    tables -= name
+    0L
+  }
+
+  private def alterTable(sql: String): Long = {
+    val hm = """(?is)ALTER\s+TABLE\s+(\S+)\s+(.*)""".r.findFirstMatchIn(sql)
+      .getOrElse(throw SqlError(1064, "42000", "bad ALTER TABLE"))
+    val t = getTable(tableName(hm.group(1)))
+    val a = hm.group(2).trim
+    val add = """(?is)^ADD\s+COLUMN\s+`([^`]+)`\s+(.*?)(\s+NOT\s+NULL|\s+NULL)?\s*$"""
+      .r.findFirstMatchIn(a)
+    val drop = """(?is)^DROP\s+COLUMN\s+`([^`]+)`\s*$""".r.findFirstMatchIn(a)
+    if (add.isDefined) {
+      val c = add.get.group(1)
+      if (t.cols.contains(c))
+        throw SqlError(1060, "42S21", s"Duplicate column name '$c'")
+      val nullable = add.get.group(3) == null ||
+        !add.get.group(3).toUpperCase.contains("NOT")
+      t.cols += c -> DCol(add.get.group(2).trim.toUpperCase, nullable,
+        isKey = false)
+      t.rows.foreach(_.update(c, None))
+    } else if (drop.isDefined) {
+      val c = drop.get.group(1)
+      if (!t.cols.contains(c))
+        throw SqlError(1054, "42S22", s"Unknown column '$c'")
+      t.cols -= c
+      t.rows.foreach(_.remove(c))
+    } else throw SqlError(1064, "42000", s"unsupported ALTER action: $a")
+    0L
+  }
+
+  // DELETE FROM `db`.`t` WHERE (`k` = 'v' AND …) OR (…) | `k` = 'v'
+  private def delete(sql: String): Long = {
+    val m = """(?is)DELETE\s+FROM\s+(\S+)\s+WHERE\s+(.*)""".r
+      .findFirstMatchIn(sql)
+      .getOrElse(throw SqlError(1064, "42000", "bad DELETE"))
+    val t = getTable(tableName(m.group(1)))
+    val pred = parseOrPredicate(m.group(2))
+    val before = t.rows.length
+    t.rows.filterInPlace(r => !pred(r))
+    (before - t.rows.length).toLong
+  }
+
+  private def describe(sql: String): (Seq[(String, Int)], Seq[Seq[Option[String]]]) = {
+    val m = """(?is)DESC(?:RIBE)?\s+(\S+)\s*""".r.findFirstMatchIn(sql)
+      .getOrElse(throw SqlError(1064, "42000", "bad DESC"))
+    val t = getTable(tableName(m.group(1)))
+    val cols = Seq("Field", "Type", "Null", "Key", "Default", "Extra")
+      .map(_ -> MysqlWire.TypeVarString)
+    val rows = t.cols.toSeq.map { case (n, c) =>
+      Seq(Some(n), Some(c.dorisType),
+        Some(if (c.nullable) "Yes" else "No"),
+        Some(if (c.isKey) "true" else "false"), None, Some(""))
+    }
+    (cols, rows)
+  }
+
+  private def select(sql: String): (Seq[(String, Int)], Seq[Seq[Option[String]]]) = {
+    val m = ("""(?is)SELECT\s+(.*?)\s+FROM\s+(\S+)""" +
+      """(?:\s+WHERE\s+(.*?))?(?:\s+ORDER\s+BY\s+`([^`]+)`(\s+DESC)?)?""" +
+      """(?:\s+LIMIT\s+(\d+))?\s*$""").r.findFirstMatchIn(sql)
+      .getOrElse(throw SqlError(1064, "42000", s"bad SELECT: ${sql.take(60)}"))
+    val t = getTable(tableName(m.group(2)))
+    val pred = Option(m.group(3)).map(parseOrPredicate)
+      .getOrElse((_: RowMap) => true)
+    var rows = t.rows.filter(pred).toVector
+    Option(m.group(4)).foreach { ob =>
+      rows = rows.sortBy(_.getOrElse(ob, None))(optOrdering(t, ob))
+      if (m.group(5) != null) rows = rows.reverse
+    }
+    Option(m.group(6)).foreach(lim => rows = rows.take(lim.toInt))
+    val selected: Seq[String] =
+      if (m.group(1).trim == "*") t.cols.keys.toSeq
+      else splitTop(m.group(1)).map(s => unquote(s.trim))
+    selected.foreach(c => if (!t.cols.contains(c))
+      throw SqlError(1054, "42S22", s"Unknown column '$c'"))
+    val cols = selected.map(c => c -> mysqlTypeOf(t.cols(c).dorisType))
+    (cols, rows.map(r => selected.map(c => r.getOrElse(c, None))))
+  }
+
+  private def optOrdering(t: DTable, col: String): Ordering[Option[String]] = {
+    val numeric = Set("BIGINT", "INT", "SMALLINT", "TINYINT", "DOUBLE",
+      "FLOAT").contains(t.cols(col).dorisType.takeWhile(_ != '('))
+    Ordering.Option(if (numeric)
+      Ordering.by((s: String) => BigDecimal(s.trim))
+    else Ordering.String)
+  }
+
+  private def mysqlTypeOf(dorisType: String): Int =
+    dorisType.takeWhile(_ != '(') match {
+      case "BIGINT" | "INT" | "SMALLINT" | "TINYINT" | "BOOLEAN" =>
+        MysqlWire.TypeLongLong
+      case "DOUBLE" | "FLOAT" => MysqlWire.TypeDouble
+      case _ => MysqlWire.TypeVarString
+    }
+
+  private type RowMap = mutable.LinkedHashMap[String, Option[String]]
+
+  /** OR of parenthesized AND-conjunctions of `` `c` = literal `` /
+    * `` `c` IS NULL `` — the reference's delete-predicate shape
+    * (doris/_target.py:690-704). */
+  private def parseOrPredicate(text: String): RowMap => Boolean = {
+    val groups = splitTopOnOr(text.trim).map { g0 =>
+      val g = g0.trim.stripPrefix("(").stripSuffix(")")
+      val conds = g.split("(?i)\\s+AND\\s+").toSeq.map(_.trim).map { cl =>
+        val isNull = """(?is)^`([^`]+)`\s+IS\s+NULL$""".r.findFirstMatchIn(cl)
+        val eq = """(?is)^`([^`]+)`\s*=\s*(.+)$""".r.findFirstMatchIn(cl)
+        if (isNull.isDefined) {
+          val c = isNull.get.group(1)
+          (row: RowMap) => row.getOrElse(c, None).isEmpty
+        } else if (eq.isDefined) {
+          val (c, rhs) = (eq.get.group(1), literal(eq.get.group(2).trim))
+          (row: RowMap) => row.getOrElse(c, None).contains(rhs)
+        } else throw SqlError(1064, "42000", s"unsupported predicate: $cl")
+      }
+      (row: RowMap) => conds.forall(_(row))
+    }
+    row => groups.exists(_(row))
+  }
+
+  /** `'…'` with backslash escapes, or a bare numeric/token. */
+  private def literal(tk: String): String =
+    if (tk.startsWith("'") && tk.endsWith("'"))
+      tk.substring(1, tk.length - 1)
+        .replace("\\'", "'").replace("\\\\", "\\")
+    else tk
+
+  /** Split on top-level OR (outside parens and quotes). */
+  private def splitTopOnOr(text: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var inStr = false
+    var start = 0
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      if (inStr) {
+        if (ch == '\\') i += 1
+        else if (ch == '\'') inStr = false
+      } else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'O' | 'o' if depth == 0 && i + 2 <= text.length &&
+            text.regionMatches(true, i, "OR", 0, 2) &&
+            (i == 0 || text.charAt(i - 1).isWhitespace) &&
+            (i + 2 == text.length || text.charAt(i + 2).isWhitespace) =>
+          out += text.substring(start, i); start = i + 2; i += 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += text.substring(start)
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def splitTop(text: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var inStr = false
+    var start = 0
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      if (inStr) {
+        if (ch == '\\') i += 1
+        else if (ch == '\'' || ch == '"') inStr = false
+      } else ch match {
+        case '\'' | '"' => inStr = true
+        case '(' | '<' => depth += 1
+        case ')' | '>' => depth -= 1
+        case ',' if depth == 0 =>
+          out += text.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    if (start < text.length || out.nonEmpty) out += text.substring(start)
+    out.toSeq.filter(_.trim.nonEmpty)
+  }
+
+  private def getTable(name: String): DTable =
+    tables.getOrElse(name,
+      throw SqlError(1146, "42S02", s"Unknown table '$name'"))
+
+  private def tableName(raw: String): String =
+    unquote(raw.split('.').last.trim)
+
+  private def unquote(s: String): String =
+    if (s.length >= 2 && s.startsWith("`") && s.endsWith("`"))
+      s.substring(1, s.length - 1)
+    else s
+}
+
+object MiniDoris {
+
+  final case class SqlError(code: Int, state: String, message: String)
+      extends RuntimeException(message)
+
+  final case class DCol(dorisType: String, nullable: Boolean, isKey: Boolean)
+
+  /** DUPLICATE KEY table: rows append without uniqueness. */
+  final class DTable(val tname: String,
+      val cols: mutable.LinkedHashMap[String, DCol],
+      val dupKeys: Vector[String], val indexes: Vector[String]) {
+    val rows = mutable.ArrayBuffer
+      .empty[mutable.LinkedHashMap[String, Option[String]]]
+  }
+}

@@ -620,6 +620,50 @@ object FlowPack extends QueryPack {
           flow.target.read(s).select("row_key", "n", "content_md5")
         } finally server.close()
       }),
+    // q81's shape through Apache Doris's BOTH real transports: DDL +
+    // keyed deletes over the MySQL wire protocol, bulk upserts over
+    // HTTP Stream Load (format=json, labeled), delete-before-insert
+    // convergence on the DUPLICATE KEY table model, rerun proven a
+    // no-op, read back over the MySQL wire for value-identical
+    // comparison (reference doris/_target.py:519-545,565-676,875-888).
+    Q(
+      "q94_doris_table",
+      Some("""
+        SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR) AS row_key,
+               doc_id, CAST(i AS INT) AS chunk_idx,
+               substring(text, CAST(i AS INT) * 150 + 1, 200) AS chunk_text
+        FROM (SELECT doc_id, text,
+                     unnest(range(CAST(ceil(length(text) / 150.0) AS BIGINT))) AS i
+              FROM documents)"""),
+      (s, dir) => {
+        val server = new graft.fixtures.MiniDoris
+        try {
+          val work = java.nio.file.Files.createTempDirectory("graft-doris-q94")
+          work.toFile.deleteOnExit()
+          val chunkStage = CocoFn("chunk_fixed", 1, deps = Seq("w=200", "s=150"),
+            fn = df => Chunker.chunkFixed(
+                df.select(col("item_key"), col("doc_id"), col("text")),
+                "text", width = 200, stride = 150)
+              .select(col("item_key"),
+                concat(col("item_key"), lit("#"), col("chunk_idx")).as("row_key"),
+                col("doc_id"), col("chunk_idx"), col("chunk_text")))
+          val flow = new Flow(
+            "doris_index",
+            TableSource(sp => Tables(sp, dir, "documents"), keyCol = "doc_id"),
+            Seq(chunkStage),
+            DorisTableTarget(server.host, server.mysqlPort, server.port,
+              "graft", "doc_chunks", writePartitions = 4),
+            work.resolve("state").toString)
+          flow.run(s)
+          require(flow.run(s).isNoop,
+            "incremental contract violated: doris rerun was not a no-op")
+          val back = flow.target.read(s)
+            .select("row_key", "doc_id", "chunk_idx", "chunk_text")
+          // materialize before the in-JVM store closes
+          val rows = back.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 4), back.schema)
+        } finally server.close()
+      }),
     Q(
       "q63_topic_target",
       // the final compacted map after: produce all docs, then a second
