@@ -25,11 +25,16 @@ import org.apache.spark.sql.types._
   * dialect contributes only identifier quoting, the type map, the
   * one-row upsert statement + its bind shape, and the store's
   * lock-conflict / idempotent-DDL SQLSTATEs. The Derby dialect is
-  * executed end-to-end in tests (the engine ships Derby); the others
-  * generate the reference's exact statement shapes — asserted by
-  * SqlDialectSpec — but no driver for them exists in this
-  * environment, so they are the written-but-unexecuted transport the
-  * corresponding stores plug in.
+  * executed end-to-end in tests (the engine ships Derby). Postgres,
+  * Snowflake, BigQuery and Doris are ALSO executed — over their own
+  * wire protocols by [[PgTableTarget]], [[SnowflakeTableTarget]],
+  * [[BigQueryTableTarget]] and [[DorisTableTarget]] (which reuse the
+  * type maps here and follow their reference connectors' statement
+  * shapes, e.g. multi-row VALUES for postgres, per-row
+  * MERGE-USING-SELECT for the warehouses); the JDBC-driver route
+  * through this seam remains for deployments that prefer it. Only
+  * sqlite stays statement-shape-only (an embedded store, no wire,
+  * no driver jar in this environment).
   */
 trait SqlDialect extends Serializable {
   def name: String

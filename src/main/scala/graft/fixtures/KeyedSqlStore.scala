@@ -1,0 +1,347 @@
+package graft.fixtures
+
+import scala.collection.mutable
+
+/** Shared keyed-table SQL core for the warehouse store stand-ins
+  * ([[MiniSnowflake]], [[MiniBigQuery]]) — the statement surface both
+  * reference connectors emit is identical up to identifier quoting
+  * and parameter style (snowflake/_target.py:270-293 vs
+  * bigquery/_target.py:284-307 generate the same MERGE; both delete
+  * with keyed IN-lists and manage DDL with CREATE/ALTER [IF [NOT]
+  * EXISTS]), so one interpreter serves both fixtures:
+  *
+  *   - `CREATE DATABASE/SCHEMA IF NOT EXISTS` (accepted),
+  *     `CREATE TABLE [IF NOT EXISTS] t (cols [, PRIMARY KEY (…)])`,
+  *     `ALTER TABLE ADD COLUMN [IF NOT EXISTS] / DROP COLUMN
+  *     [IF EXISTS]`, `DROP TABLE [IF EXISTS]`;
+  *   - `MERGE [INTO] t AS target USING (SELECT … AS c, …) AS source
+  *     ON target.k = source.k [WHEN MATCHED THEN UPDATE SET …]
+  *     WHEN NOT MATCHED THEN INSERT (…) VALUES (…)` — the upsert;
+  *   - `DELETE FROM t WHERE k IN (…)`;
+  *   - `SELECT * FROM t` / `SELECT c,… FROM t [ORDER BY c] [LIMIT n]`
+  *     and `DESC TABLE t` for shape observation.
+  *
+  * Values arrive as literal tokens or `@name` parameters — the
+  * `resolve` callback owns the difference. Errors surface as typed
+  * [[KeyedSqlStore.StoreError]]s; each fixture maps them onto its
+  * protocol's taxonomy.
+  */
+final class KeyedSqlStore(quote: Char) {
+
+  import KeyedSqlStore._
+
+  private val q = quote
+  val tables: mutable.LinkedHashMap[String, Table] = mutable.LinkedHashMap.empty
+
+  /** Quoted-identifier regex fragment for this flavor. */
+  private val ident = s"$q([^$q]+)$q"
+
+  final case class Result(columns: Seq[(String, String)],
+      rows: Seq[Seq[Option[String]]], affected: Long)
+
+  /** Execute one statement; `resolve` maps an `@name` parameter
+    * token to its value. */
+  def execute(sql0: String,
+      resolve: String => Option[String] = noParams): Result = synchronized {
+    val sql = sql0.trim
+    val u = sql.toUpperCase
+    if (u.startsWith("CREATE DATABASE") || u.startsWith("CREATE SCHEMA"))
+      Result(Nil, Nil, 0)
+    else if (u.startsWith("CREATE TABLE")) createTable(sql)
+    else if (u.startsWith("ALTER TABLE")) alterTable(sql)
+    else if (u.startsWith("DROP TABLE")) dropTable(sql)
+    else if (u.startsWith("MERGE")) merge(sql, resolve)
+    else if (u.startsWith("DELETE FROM")) delete(sql, resolve)
+    else if (u.startsWith("DESC")) describe(sql)
+    else if (u.startsWith("SELECT")) select(sql)
+    else throw StoreError(Syntax, s"unsupported statement: ${sql.take(60)}")
+  }
+
+  private def createTable(sql: String): Result = {
+    val m = """(?is)CREATE\s+TABLE(\s+IF\s+NOT\s+EXISTS)?\s+(\S+)\s*\((.*)\)\s*$""".r
+      .findFirstMatchIn(sql)
+      .getOrElse(throw StoreError(Syntax, "bad CREATE TABLE"))
+    val name = tableName(m.group(2))
+    if (tables.contains(name)) {
+      if (m.group(1) != null) return Result(Nil, Nil, 0)
+      throw StoreError(TableExists, s"table $name already exists")
+    }
+    var pk = Vector.empty[String]
+    val cols = mutable.LinkedHashMap.empty[String, Col]
+    splitTop(m.group(3)).map(_.trim).filter(_.nonEmpty).foreach { part =>
+      // BigQuery appends NOT ENFORCED to its (unenforceable) PK
+      val pkm = """(?is)^PRIMARY\s+KEY\s*\((.*)\)(\s+NOT\s+ENFORCED)?$""".r
+        .findFirstMatchIn(part)
+      if (pkm.isDefined)
+        pk = splitTop(pkm.get.group(1)).map(s => unquote(s.trim)).toVector
+      else {
+        val cm = s"""(?s)^$ident\\s+(.*)$$""".r.findFirstMatchIn(part)
+          .getOrElse(throw StoreError(Syntax, s"bad column def: $part"))
+        var typ = cm.group(2).trim
+        val nn = """(?i)\s+NOT\s+NULL\s*$""".r.findFirstMatchIn(typ)
+        if (nn.isDefined) typ = typ.substring(0, nn.get.start).trim
+        cols += cm.group(1) -> Col(typ.toUpperCase, nullable = nn.isEmpty)
+      }
+    }
+    // BigQuery tables carry no PRIMARY KEY clause — the first column
+    // is the connector's row key by construction
+    val keyCols = if (pk.nonEmpty) pk else Vector(cols.keys.head)
+    tables += name -> new Table(cols, keyCols)
+    Result(Nil, Nil, 0)
+  }
+
+  private def alterTable(sql: String): Result = {
+    val hm = """(?is)ALTER\s+TABLE\s+(\S+)\s+(.*)""".r.findFirstMatchIn(sql)
+      .getOrElse(throw StoreError(Syntax, "bad ALTER TABLE"))
+    val t = getTable(tableName(hm.group(1)))
+    val a = hm.group(2).trim
+    val add = s"""(?is)^ADD\\s+COLUMN(\\s+IF\\s+NOT\\s+EXISTS)?\\s+$ident\\s+(.*?)(\\s+NOT\\s+NULL)?\\s*$$"""
+      .r.findFirstMatchIn(a)
+    val drop = s"""(?is)^DROP\\s+COLUMN(\\s+IF\\s+EXISTS)?\\s+$ident\\s*$$"""
+      .r.findFirstMatchIn(a)
+    if (add.isDefined) {
+      val (ifnx, c, typ) =
+        (add.get.group(1) != null, add.get.group(2), add.get.group(3).trim)
+      if (t.cols.contains(c)) {
+        if (!ifnx) throw StoreError(ColumnExists, s"column $c already exists")
+      } else {
+        t.cols += c -> Col(typ.toUpperCase, nullable = true)
+        t.rows.values.foreach(_.update(c, None))
+      }
+    } else if (drop.isDefined) {
+      val (ifx, c) = (drop.get.group(1) != null, drop.get.group(2))
+      if (!t.cols.contains(c)) {
+        if (!ifx) throw StoreError(UnknownColumn, s"column $c does not exist")
+      } else {
+        t.cols -= c
+        t.rows.values.foreach(_.remove(c))
+      }
+    } else throw StoreError(Syntax, s"unsupported ALTER action: $a")
+    Result(Nil, Nil, 0)
+  }
+
+  private def dropTable(sql: String): Result = {
+    val m = """(?is)DROP\s+TABLE(\s+IF\s+EXISTS)?\s+(\S+)\s*$""".r
+      .findFirstMatchIn(sql)
+      .getOrElse(throw StoreError(Syntax, "bad DROP TABLE"))
+    val name = tableName(m.group(2))
+    if (!tables.contains(name) && m.group(1) == null)
+      throw StoreError(UnknownTable, s"table $name does not exist")
+    tables -= name
+    Result(Nil, Nil, 0)
+  }
+
+  /** The reference's exact MERGE shape (snowflake `MERGE INTO …`,
+    * bigquery `MERGE …` — both `AS target USING (SELECT …) AS source`). */
+  private def merge(sql: String, resolve: String => Option[String]): Result = {
+    val m = ("""(?is)MERGE(?:\s+INTO)?\s+(\S+)\s+AS\s+target\s+""" +
+      """USING\s*\(\s*SELECT\s+(.*?)\)\s+AS\s+source\s+ON\s+(.*?)""" +
+      """(?:\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?))?""" +
+      """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(([^)]*)\)\s*""" +
+      """VALUES\s*\(([^)]*)\)\s*$""").r.findFirstMatchIn(sql)
+      .getOrElse(throw StoreError(Syntax, s"bad MERGE: ${sql.take(80)}"))
+    val t = getTable(tableName(m.group(1)))
+    // source row: `expr AS "c"` items
+    val sourceRow: Map[String, Option[String]] =
+      splitTop(m.group(2)).map { item =>
+        val im = s"""(?is)^(.*?)\\s+AS\\s+$ident\\s*$$""".r
+          .findFirstMatchIn(item.trim)
+          .getOrElse(throw StoreError(Syntax, s"bad source item: $item"))
+        im.group(2) -> value(im.group(1).trim, resolve)
+      }.toMap
+    sourceRow.keys.foreach(c => if (!t.cols.contains(c))
+      throw StoreError(UnknownColumn, s"column $c does not exist"))
+    // ON: AND of target.k = source.k
+    val onCols = m.group(3).split("(?i)\\s+AND\\s+").toSeq.map { cl =>
+      val om = s"""(?is)^target\\.$ident\\s*=\\s*source\\.$ident\\s*$$""".r
+        .findFirstMatchIn(cl.trim)
+        .getOrElse(throw StoreError(Syntax, s"bad ON clause: $cl"))
+      require(om.group(1) == om.group(2), s"ON ${om.group(1)}=${om.group(2)}")
+      om.group(1)
+    }
+    if (onCols != t.pk)
+      throw StoreError(Syntax,
+        s"MERGE ON ${onCols.mkString(",")} does not match key ${t.pk.mkString(",")}")
+    val updateCols: Seq[String] = Option(m.group(4)).toSeq.flatMap { set =>
+      splitTop(set).map { cl =>
+        val um = s"""(?is)^$ident\\s*=\\s*source\\.$ident\\s*$$""".r
+          .findFirstMatchIn(cl.trim)
+          .getOrElse(throw StoreError(Syntax, s"bad SET clause: $cl"))
+        require(um.group(1) == um.group(2), s"SET ${um.group(1)}")
+        um.group(1)
+      }
+    }
+    val insertCols = splitTop(m.group(5)).map(s => unquote(s.trim))
+    val key = t.pk.map(k => sourceRow.getOrElse(k, None).getOrElse(
+      throw StoreError(Syntax, s"null merge key $k"))).mkString(" ")
+    t.rows.get(key) match {
+      case None =>
+        val row = mutable.LinkedHashMap.empty[String, Option[String]]
+        t.cols.keys.foreach { c =>
+          row(c) = if (insertCols.contains(c)) sourceRow.getOrElse(c, None)
+            else None
+        }
+        t.rows += key -> row
+      case Some(existing) =>
+        updateCols.foreach(c => existing(c) = sourceRow.getOrElse(c, None))
+    }
+    Result(Nil, Nil, 1)
+  }
+
+  private def delete(sql: String, resolve: String => Option[String]): Result = {
+    val m = """(?is)DELETE\s+FROM\s+(\S+)\s+WHERE\s+(.*)$""".r
+      .findFirstMatchIn(sql)
+      .getOrElse(throw StoreError(Syntax, "bad DELETE"))
+    val t = getTable(tableName(m.group(1)))
+    val in = s"""(?is)^$ident\\s+IN\\s*\\((.*)\\)\\s*$$""".r
+      .findFirstMatchIn(m.group(2).trim)
+      .getOrElse(throw StoreError(Syntax,
+        s"unsupported DELETE predicate: ${m.group(2).take(60)}"))
+    val c = in.group(1)
+    if (!t.cols.contains(c))
+      throw StoreError(UnknownColumn, s"column $c does not exist")
+    val vals = splitTop(in.group(2))
+      .flatMap(v => value(v.trim, resolve)).toSet
+    // single-column keys only (the engine's row_key); multi-pk OR
+    // chains are out of fixture scope
+    val doomed = t.rows.collect {
+      case (k, row) if row.getOrElse(c, None).exists(vals.contains) => k
+    }.toVector
+    doomed.foreach(t.rows -= _)
+    Result(Nil, Nil, doomed.size.toLong)
+  }
+
+  private def describe(sql: String): Result = {
+    val m = """(?is)DESC(?:RIBE)?(?:\s+TABLE)?\s+(\S+)\s*$""".r
+      .findFirstMatchIn(sql)
+      .getOrElse(throw StoreError(Syntax, "bad DESC"))
+    val t = getTable(tableName(m.group(1)))
+    Result(Seq("name" -> "TEXT", "type" -> "TEXT"),
+      t.cols.toSeq.map { case (n, c) => Seq(Some(n), Some(c.sqlType)) }, 0)
+  }
+
+  private def select(sql: String): Result = {
+    val m = ("""(?is)SELECT\s+(.*?)\s+FROM\s+(\S+)""" +
+      s"""(?:\\s+ORDER\\s+BY\\s+$ident)?(?:\\s+LIMIT\\s+(\\d+))?\\s*$$""").r
+      .findFirstMatchIn(sql)
+      .getOrElse(throw StoreError(Syntax, s"bad SELECT: ${sql.take(60)}"))
+    val t = getTable(tableName(m.group(2)))
+    var rows = t.rows.values.toVector
+    Option(m.group(3)).foreach { ob =>
+      if (!t.cols.contains(ob))
+        throw StoreError(UnknownColumn, s"column $ob does not exist")
+      rows = rows.sortBy(_.getOrElse(ob, None))
+    }
+    Option(m.group(4)).foreach(lim => rows = rows.take(lim.toInt))
+    val selected: Seq[String] =
+      if (m.group(1).trim == "*") t.cols.keys.toSeq
+      else splitTop(m.group(1)).map(s => unquote(s.trim))
+    selected.foreach(c => if (!t.cols.contains(c))
+      throw StoreError(UnknownColumn, s"column $c does not exist"))
+    Result(selected.map(c => c -> t.cols(c).sqlType),
+      rows.map(r => selected.map(c => r.getOrElse(c, None))), 0)
+  }
+
+  /** Literal / parameter token → value: `@name` resolves through the
+    * caller; `'…'` unescapes doubled quotes; NULL; bare token. */
+  private def value(token: String,
+      resolve: String => Option[String]): Option[String] = {
+    val tk = token.trim
+    if (tk.startsWith("@")) resolve(tk.drop(1))
+    else if (tk.equalsIgnoreCase("NULL")) None
+    else if (tk.startsWith("'") && tk.endsWith("'") && tk.length >= 2)
+      Some(tk.substring(1, tk.length - 1).replace("''", "'"))
+    else if (tk.toUpperCase.startsWith("PARSE_JSON(")) {
+      val inner = tk.substring("PARSE_JSON(".length, tk.length - 1).trim
+      value(inner, resolve)
+    } else Some(tk)
+  }
+
+  private def getTable(name: String): Table =
+    tables.getOrElse(name,
+      throw StoreError(UnknownTable, s"table $name does not exist"))
+
+  /** Strip `db.schema.` qualifiers + quotes. Handles both
+    * `"db"."schema"."t"` (per-segment quotes, snowflake) and
+    * `` `proj.ds.t` `` (one quote pair around the dotted path,
+    * bigquery). */
+  private def tableName(raw0: String): String = {
+    val raw = raw0.trim
+    val whole =
+      if (raw.length >= 2 && raw.head == q && raw.last == q &&
+        raw.substring(1, raw.length - 1).indexOf(q) < 0)
+        raw.substring(1, raw.length - 1) // one quote pair: unwrap first
+      else raw
+    // split on dots OUTSIDE quoted identifiers
+    val parts = mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inQ = false
+    whole.foreach { ch =>
+      if (ch == q) { inQ = !inQ; sb += ch }
+      else if (ch == '.' && !inQ) { parts += sb.toString; sb.clear() }
+      else sb += ch
+    }
+    parts += sb.toString
+    unquote(parts.last.trim)
+  }
+
+  private def unquote(s: String): String =
+    if (s.length >= 2 && s.head == q && s.last == q)
+      s.substring(1, s.length - 1)
+    else s
+
+  /** Split on top-level commas (outside parens, quotes and quoted
+    * identifiers). */
+  private def splitTop(text: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var inStr = false
+    var inIdent = false
+    var start = 0
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      if (inStr) {
+        if (ch == '\'') {
+          if (i + 1 < text.length && text.charAt(i + 1) == '\'') i += 1
+          else inStr = false
+        }
+      } else if (inIdent) { if (ch == q) inIdent = false }
+      else ch match {
+        case '\'' => inStr = true
+        case c if c == q => inIdent = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += text.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    if (start < text.length || out.nonEmpty) out += text.substring(start)
+    out.toSeq.filter(_.trim.nonEmpty)
+  }
+}
+
+object KeyedSqlStore {
+  sealed trait ErrorKind
+  case object UnknownTable extends ErrorKind
+  case object TableExists extends ErrorKind
+  case object UnknownColumn extends ErrorKind
+  case object ColumnExists extends ErrorKind
+  case object Syntax extends ErrorKind
+
+  final case class StoreError(kind: ErrorKind, message: String)
+      extends RuntimeException(message)
+
+  final case class Col(sqlType: String, nullable: Boolean)
+
+  final class Table(val cols: mutable.LinkedHashMap[String, Col],
+      val pk: Vector[String]) {
+    val rows = mutable.LinkedHashMap
+      .empty[String, mutable.LinkedHashMap[String, Option[String]]]
+  }
+
+  val noParams: String => Option[String] =
+    n => throw StoreError(Syntax, s"unexpected parameter @$n")
+}

@@ -1,0 +1,120 @@
+package graft.fixtures
+
+import com.sun.net.httpserver.HttpExchange
+import java.nio.charset.StandardCharsets.UTF_8
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import KeyedSqlStore._
+
+/** In-JVM BigQuery stand-in speaking the v2 REST API — the peer for
+  * [[graft.engine.BigQueryRest.Client]]: `jobs.query`
+  * (`POST /bigquery/v2/projects/{p}/queries`) with NAMED query
+  * parameters resolved into a [[KeyedSqlStore]] executing the
+  * reference connector's exact statements, results in the API's
+  * `schema.fields` + `rows[].f[].v` shape (every value a string),
+  * and `tables.get` for shape observation. Bearer-token auth is
+  * verified on every request (401 otherwise); store errors map onto
+  * the API's HTTP taxonomy (404 notFound, 409 duplicate,
+  * 400 invalidQuery).
+  */
+final class MiniBigQuery(token: String) extends MiniHttpServer("minibigquery") {
+
+  private val store = new KeyedSqlStore('`')
+
+  /** Statements observed (first 100 chars). */
+  val observedSql = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  def table(name: String): Option[KeyedSqlStore.Table] =
+    store.tables.get(name)
+
+  private def bqError(status: Int, reason: String, message: String): Nothing =
+    throw new MiniHttpServer.ApiError(status, s"$reason: $message")
+
+  override protected def errorBody(status: Int,
+      message: String): Array[Byte] = {
+    val reason = message.takeWhile(_ != ':')
+    JsonMethods.compact(JsonMethods.render(JObject("error" -> JObject(
+      "code" -> JInt(status), "message" -> JString(message),
+      "errors" -> JArray(List(JObject("reason" -> JString(reason),
+        "message" -> JString(message)))))))).getBytes(UTF_8)
+  }
+
+  protected def route(ex: HttpExchange, method: String, path: String,
+      body: Array[Byte]): Unit = {
+    val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .getOrElse("")
+    if (auth != s"Bearer $token")
+      bqError(401, "authError", "invalid authentication credentials")
+
+    val queries = "/bigquery/v2/projects/([^/]+)/queries".r
+    val tablesGet =
+      "/bigquery/v2/projects/([^/]+)/datasets/([^/]+)/tables/([^/]+)".r
+    (method, path) match {
+      case ("POST", queries(_)) =>
+        val json = JsonMethods.parse(new String(body, UTF_8))
+        val sql = (json \ "query") match {
+          case JString(s) => s
+          case _ => bqError(400, "invalidQuery", "missing query")
+        }
+        observedSql.add(sql.trim.take(100))
+        val params: Map[String, Option[String]] =
+          (json \ "queryParameters") match {
+            case JArray(ps) => ps.map { p =>
+              val name = (p \ "name") match {
+                case JString(s) => s; case _ => ""
+              }
+              val value = (p \ "parameterValue" \ "value") match {
+                case JString(s) => Some(s)
+                case _ => None
+              }
+              name -> value
+            }.toMap
+            case _ => Map.empty
+          }
+        val res =
+          try store.execute(sql, n => params.getOrElse(n,
+            throw StoreError(Syntax, s"undeclared parameter @$n")))
+          catch {
+            case e: StoreError => e.kind match {
+              case UnknownTable => bqError(404, "notFound", e.getMessage)
+              case TableExists => bqError(409, "duplicate", e.getMessage)
+              case _ => bqError(400, "invalidQuery", e.getMessage)
+            }
+          }
+        val out = JObject(
+          "kind" -> JString("bigquery#queryResponse"),
+          "jobComplete" -> JBool(true),
+          "schema" -> JObject("fields" -> JArray(
+            res.columns.toList.map { case (n, t) =>
+              JObject("name" -> JString(n),
+                "type" -> JString(t.takeWhile(c => c != '(' && c != '<')),
+                "mode" -> JString("NULLABLE"))
+            })),
+          "totalRows" -> JString(res.rows.size.toString),
+          "numDmlAffectedRows" -> JString(res.affected.toString),
+          "rows" -> JArray(res.rows.toList.map(r =>
+            JObject("f" -> JArray(r.toList.map(v =>
+              JObject("v" -> v.map(JString(_)).getOrElse(JNull))))))))
+        replyJson(ex, 200, out)
+      case ("GET", tablesGet(_, dataset, tname)) =>
+        store.tables.get(tname) match {
+          case None => bqError(404, "notFound",
+            s"Not found: Table $dataset.$tname")
+          case Some(t) =>
+            replyJson(ex, 200, JObject(
+              "kind" -> JString("bigquery#table"),
+              "schema" -> JObject("fields" -> JArray(
+                t.cols.toList.map { case (n, c) =>
+                  JObject("name" -> JString(n),
+                    "type" -> JString(
+                      c.sqlType.takeWhile(ch => ch != '(' && ch != '<')),
+                    "mode" -> JString(
+                      if (c.nullable) "NULLABLE" else "REQUIRED"))
+                }))))
+        }
+      case other =>
+        bqError(404, "notFound", s"no route: $other")
+    }
+  }
+}

@@ -1,0 +1,121 @@
+package graft.fixtures
+
+import com.sun.net.httpserver.HttpExchange
+import java.nio.charset.StandardCharsets.UTF_8
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import KeyedSqlStore._
+
+/** In-JVM Snowflake stand-in speaking the client REST protocol —
+  * the peer for [[graft.engine.SnowflakeRest.Client]]: the
+  * `/session/v1/login-request` token exchange (requests without the
+  * issued `Snowflake Token="…"` header are rejected 390104) and
+  * `/queries/v1/query-request` statement execution with
+  * `rowtype`/`rowset` results, over a [[KeyedSqlStore]] executing
+  * the reference connector's exact statements (MERGE-USING-SELECT
+  * upserts, IN-list deletes, IF [NOT] EXISTS DDL, DESC TABLE).
+  * Store errors map onto Snowflake's code/sqlState taxonomy
+  * (002003/42S02 unknown object, 002002/42S01 already exists,
+  * 000904/42703 invalid identifier).
+  */
+final class MiniSnowflake extends MiniHttpServer("minisnowflake") {
+
+  private val store = new KeyedSqlStore('"')
+  private val tokens =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Statements observed (first 100 chars). */
+  val observedSql = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  def table(name: String): Option[KeyedSqlStore.Table] =
+    store.tables.get(name)
+
+  protected def route(ex: HttpExchange, method: String, path: String,
+      body: Array[Byte]): Unit = {
+    if (method != "POST")
+      throw new MiniHttpServer.ApiError(405, s"bad method $method")
+    val json = JsonMethods.parse(new String(body, UTF_8))
+    path match {
+      case p if p.startsWith("/session/v1/login-request") =>
+        val account = (json \ "data" \ "ACCOUNT_NAME")
+        val login = (json \ "data" \ "LOGIN_NAME")
+        if (account == JNothing || login == JNothing) {
+          replyJson(ex, 200, JObject("success" -> JBool(false),
+            "code" -> JString("390100"),
+            "message" -> JString("Incorrect username or password.")))
+          return
+        }
+        val token = java.util.UUID.randomUUID().toString
+        tokens.add(token)
+        replyJson(ex, 200, JObject("success" -> JBool(true),
+          "data" -> JObject("token" -> JString(token),
+            "masterToken" -> JString(token + "-master"))))
+      case p if p.startsWith("/queries/v1/query-request") =>
+        val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .getOrElse("")
+        val tok = """Snowflake Token="([^"]+)"""".r
+          .findFirstMatchIn(auth).map(_.group(1))
+        if (!tok.exists(tokens.contains)) {
+          replyJson(ex, 200, JObject("success" -> JBool(false),
+            "code" -> JString("390104"),
+            "message" -> JString("Session token invalid.")))
+          return
+        }
+        val sql = (json \ "sqlText") match {
+          case JString(s) => s
+          case _ =>
+            replyJson(ex, 200, JObject("success" -> JBool(false),
+              "code" -> JString("001003"),
+              "message" -> JString("missing sqlText")))
+            return
+        }
+        observedSql.add(sql.trim.take(100))
+        try {
+          val res = store.execute(sql)
+          val rowtype = JArray(res.columns.toList.map { case (n, t) =>
+            JObject("name" -> JString(n), "type" -> JString(rowTypeOf(t)),
+              "nullable" -> JBool(true))
+          })
+          val rowset = JArray(res.rows.toList.map(r =>
+            JArray(r.toList.map {
+              case None => JNull
+              case Some(v) => JString(v)
+            })))
+          replyJson(ex, 200, JObject("success" -> JBool(true),
+            "data" -> JObject("rowtype" -> rowtype, "rowset" -> rowset,
+              "total" -> JInt(res.rows.size),
+              "returned" -> JInt(res.rows.size))))
+        } catch {
+          case e: StoreError =>
+            val (code, state) = e.kind match {
+              case UnknownTable => ("002003", "42S02")
+              case TableExists => ("002002", "42S01")
+              case UnknownColumn => ("000904", "42703")
+              case ColumnExists => ("001430", "42711")
+              case Syntax => ("001003", "42000")
+            }
+            replyJson(ex, 200, JObject("success" -> JBool(false),
+              "code" -> JString(code),
+              "message" -> JString(e.getMessage),
+              "data" -> JObject("sqlState" -> JString(state))))
+        }
+      case other =>
+        throw new MiniHttpServer.ApiError(404, s"no route: $other")
+    }
+  }
+
+  /** Declared DDL type → the result `rowtype.type` a real server
+    * reports (everything integral/decimal is `fixed`). */
+  private def rowTypeOf(declared: String): String =
+    declared.toUpperCase.takeWhile(_ != '(') match {
+      case "BIGINT" | "INTEGER" | "INT" | "SMALLINT" | "NUMBER" |
+           "DECIMAL" | "NUMERIC" => "fixed"
+      case "DOUBLE" | "REAL" | "FLOAT" => "real"
+      case "BOOLEAN" => "boolean"
+      case "BINARY" => "binary"
+      case "TIMESTAMP_TZ" | "TIMESTAMP" | "TIMESTAMPTZ" => "timestamp_tz"
+      case "DATE" => "date"
+      case _ => "text"
+    }
+}

@@ -664,6 +664,105 @@ object FlowPack extends QueryPack {
           s.createDataFrame(s.sparkContext.parallelize(rows, 4), back.schema)
         } finally server.close()
       }),
+    // the chunk flow through Snowflake's client REST protocol: a
+    // login-request token exchange, then the reference's per-row
+    // MERGE INTO … USING (SELECT literals) AS source statements —
+    // parameters inlined client-side per the python connector's
+    // pyformat default — with IN-list deletes, IF NOT EXISTS DDL and
+    // DESC TABLE observation; rerun proven a no-op, read back over
+    // the same wire. Deterministic-third scope like q89: the per-
+    // statement round trip is the subject, not corpus volume
+    // (reference snowflake/_target.py:270-293,407-426).
+    Q(
+      "q95_snowflake_table",
+      Some("""
+        SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR) AS row_key,
+               doc_id, CAST(i AS BIGINT) AS chunk_idx,
+               substring(text, CAST(i AS INT) * 150 + 1, 200) AS chunk_text
+        FROM (SELECT doc_id, text,
+                     unnest(range(CAST(ceil(length(text) / 150.0) AS BIGINT))) AS i
+              FROM documents WHERE doc_id % 3 = 0)"""),
+      (s, dir) => {
+        val server = new graft.fixtures.MiniSnowflake
+        try {
+          val work = java.nio.file.Files.createTempDirectory("graft-sf-q95")
+          work.toFile.deleteOnExit()
+          val chunkStage = CocoFn("chunk_fixed", 1, deps = Seq("w=200", "s=150"),
+            fn = df => Chunker.chunkFixed(
+                df.select(col("item_key"), col("doc_id"), col("text")),
+                "text", width = 200, stride = 150)
+              .select(col("item_key"),
+                concat(col("item_key"), lit("#"), col("chunk_idx")).as("row_key"),
+                col("doc_id"),
+                // snowflake integers come back as `fixed` ⇒ BIGINT
+                col("chunk_idx").cast("long").as("chunk_idx"),
+                col("chunk_text")))
+          val flow = new Flow(
+            "snowflake_index",
+            TableSource(sp => Tables(sp, dir, "documents")
+              .filter(col("doc_id") % 3 === 0), keyCol = "doc_id"),
+            Seq(chunkStage),
+            SnowflakeTableTarget(server.baseUrl, "graft", "graftdb",
+              "public", "doc_chunks", writePartitions = 4),
+            work.resolve("state").toString)
+          flow.run(s)
+          require(flow.run(s).isNoop,
+            "incremental contract violated: snowflake rerun was not a no-op")
+          val back = flow.target.read(s)
+            .select("row_key", "doc_id", "chunk_idx", "chunk_text")
+          val rows = back.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 4), back.schema)
+        } finally server.close()
+      }),
+    // the chunk flow through BigQuery's v2 REST API: jobs.query with
+    // the reference's per-row MERGE + NAMED @pN parameters, IN-list
+    // deletes, IF NOT EXISTS DDL (PRIMARY KEY … NOT ENFORCED), shape
+    // observed via tables.get, Bearer auth verified on every
+    // request; rerun proven a no-op, read back over the same wire.
+    // Deterministic-third scope like q89/q95 (reference
+    // bigquery/_target.py:284-307,380-386,509-523).
+    Q(
+      "q96_bigquery_table",
+      Some("""
+        SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR) AS row_key,
+               doc_id, CAST(i AS BIGINT) AS chunk_idx,
+               substring(text, CAST(i AS INT) * 150 + 1, 200) AS chunk_text
+        FROM (SELECT doc_id, text,
+                     unnest(range(CAST(ceil(length(text) / 150.0) AS BIGINT))) AS i
+              FROM documents WHERE doc_id % 3 = 0)"""),
+      (s, dir) => {
+        val token = "graft-q96-token"
+        val server = new graft.fixtures.MiniBigQuery(token)
+        try {
+          val work = java.nio.file.Files.createTempDirectory("graft-bq-q96")
+          work.toFile.deleteOnExit()
+          val chunkStage = CocoFn("chunk_fixed", 1, deps = Seq("w=200", "s=150"),
+            fn = df => Chunker.chunkFixed(
+                df.select(col("item_key"), col("doc_id"), col("text")),
+                "text", width = 200, stride = 150)
+              .select(col("item_key"),
+                concat(col("item_key"), lit("#"), col("chunk_idx")).as("row_key"),
+                col("doc_id"),
+                // bigquery integers are INT64
+                col("chunk_idx").cast("long").as("chunk_idx"),
+                col("chunk_text")))
+          val flow = new Flow(
+            "bigquery_index",
+            TableSource(sp => Tables(sp, dir, "documents")
+              .filter(col("doc_id") % 3 === 0), keyCol = "doc_id"),
+            Seq(chunkStage),
+            BigQueryTableTarget(server.baseUrl, "graftproj", "graftds",
+              "doc_chunks", token = token, writePartitions = 4),
+            work.resolve("state").toString)
+          flow.run(s)
+          require(flow.run(s).isNoop,
+            "incremental contract violated: bigquery rerun was not a no-op")
+          val back = flow.target.read(s)
+            .select("row_key", "doc_id", "chunk_idx", "chunk_text")
+          val rows = back.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 4), back.schema)
+        } finally server.close()
+      }),
     Q(
       "q63_topic_target",
       // the final compacted map after: produce all docs, then a second

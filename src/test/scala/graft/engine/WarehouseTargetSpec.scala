@@ -1,0 +1,180 @@
+package graft.engine
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+import graft.fixtures.{MiniBigQuery, MiniSnowflake}
+
+/** The warehouse REST transports: Snowflake's login/query-request
+  * protocol and BigQuery's jobs.query API, each driving the
+  * reference's per-row MERGE-USING-SELECT upserts, IN-list deletes
+  * and IF [NOT] EXISTS DDL against the shared
+  * [[graft.fixtures.KeyedSqlStore]] interpreter. */
+class WarehouseTargetSpec extends SparkSpec {
+
+  private val chunkSchema = StructType(Seq(
+    StructField("row_key", StringType),
+    StructField("doc_id", LongType),
+    StructField("chunk_idx", IntegerType),
+    StructField("chunk_text", StringType)))
+
+  private def chunkDf(rows: (String, Long, Int, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        Row(r._1, r._2, r._3, r._4)), 2), chunkSchema)
+
+  private def emptyKeys = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[Row],
+    StructType(Seq(StructField("row_key", StringType))))
+
+  // ---- snowflake ---------------------------------------------------
+
+  test("snowflake: login token gates query-request; errors carry sqlState") {
+    val sf = new MiniSnowflake
+    try {
+      val c = new SnowflakeRest.Client(sf.baseUrl, "acct", "graft", "pw")
+      c.execute("""CREATE TABLE IF NOT EXISTS "d"."s"."t" """ +
+        """("row_key" VARCHAR NOT NULL, "v" VARCHAR, PRIMARY KEY ("row_key"))""")
+      val missing = intercept[SnowflakeRest.SnowflakeError] {
+        c.execute("""DESC TABLE "d"."s"."nope"""")
+      }
+      assert(missing.code == "002003" && missing.sqlState == "42S02")
+      // a forged token is rejected before any SQL runs
+      val forged = intercept[SnowflakeRest.SnowflakeError] {
+        // bypass login by hand-rolling a client call through HttpJson
+        val resp = HttpJson.request("POST",
+          s"${sf.baseUrl}/queries/v1/query-request?requestId=x",
+          Some(org.json4s.JObject(
+            "sqlText" -> org.json4s.JString("SELECT 1"))),
+          headers = Map("Authorization" -> "Snowflake Token=\"bogus\""))
+        (resp.body \ "success") match {
+          case org.json4s.JBool(true) => ()
+          case _ => throw SnowflakeRest.SnowflakeError("390104", "08004",
+            "Session token invalid.")
+        }
+      }
+      assert(forged.code == "390104")
+    } finally sf.close()
+  }
+
+  test("SnowflakeTableTarget: per-row MERGE converges; escaping; deletes") {
+    val sf = new MiniSnowflake
+    try {
+      val target = SnowflakeTableTarget(sf.baseUrl, "acct",
+        "graftdb", "public", "chunks")
+      val df1 = chunkDf(("1#0", 1L, 0, "it's alpha"), ("1#1", 1L, 1, "beta"),
+        ("2#0", 2L, 0, "gamma"))
+      target.apply(spark, df1, emptyKeys)
+      // re-apply converges (MERGE matches, updates in place)
+      target.apply(spark, df1, emptyKeys)
+      assert(sf.table("chunks").get.rows.size == 3)
+      val back1 = target.read(spark).orderBy("row_key").collect()
+      // the quote in "it's alpha" survived the '' escaping round trip
+      assert(back1.head.getString(3) == "it's alpha")
+      assert(back1.head.getLong(1) == 1L)
+
+      val keys = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row("2#0")), 1),
+        StructType(Seq(StructField("row_key", StringType))))
+      target.apply(spark, chunkDf(("1#1", 1L, 1, "beta*")), keys)
+      val back2 = target.read(spark).orderBy("row_key").collect()
+      assert(back2.map(r => (r.getString(0), r.getString(3))).toSeq ==
+        Seq(("1#0", "it's alpha"), ("1#1", "beta*")))
+
+      val sql = sf.observedSql.toArray.map(_.toString)
+      assert(sql.exists(_.startsWith("CREATE TABLE IF NOT EXISTS \"graftdb\".\"public\".\"chunks\"")))
+      assert(sql.exists(_.startsWith("MERGE INTO \"graftdb\".\"public\".\"chunks\" AS target USING (SELECT")))
+      assert(sql.exists(_.startsWith("DELETE FROM \"graftdb\".\"public\".\"chunks\" WHERE \"row_key\" IN")))
+    } finally sf.close()
+  }
+
+  test("SnowflakeTableTarget: drift ALTER ADD; lossy rebuild; binary vectors") {
+    val sf = new MiniSnowflake
+    try {
+      val target = SnowflakeTableTarget(sf.baseUrl, "acct",
+        "graftdb", "public", "evolving")
+      target.apply(spark, chunkDf(("1#0", 1L, 0, "alpha")), emptyKeys)
+      // widened schema: new column via ALTER ADD IF NOT EXISTS, and a
+      // type change via the lossy DROP+ADD rebuild
+      val widened = StructType(Seq(
+        StructField("row_key", StringType),
+        StructField("doc_id", LongType),
+        StructField("chunk_idx", IntegerType),
+        StructField("chunk_text", BinaryType), // was VARCHAR
+        StructField("emb", ArrayType(FloatType)))) // new, rides BINARY
+      val df2 = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row("1#0", 1L, 0, "alpha".getBytes("UTF-8"),
+            Seq(0.5f, -1.25f))), 1), widened)
+      target.apply(spark, df2, emptyKeys)
+      val cols = sf.table("evolving").get.cols
+      assert(cols("chunk_text").sqlType == "BINARY")
+      assert(cols("emb").sqlType == "BINARY")
+      val back = target.read(spark).collect().head
+      assert(new String(back.getAs[Array[Byte]]("chunk_text"), "UTF-8")
+        == "alpha")
+      assert(Float32LE.decode(back.getAs[Array[Byte]]("emb")).toSeq
+        == Seq(0.5f, -1.25f))
+    } finally sf.close()
+  }
+
+  // ---- bigquery ----------------------------------------------------
+
+  test("BigQueryTableTarget: named-param MERGE converges; tables.get observes") {
+    val bq = new MiniBigQuery("bq-test-token")
+    try {
+      val target = BigQueryTableTarget(bq.baseUrl, "proj", "ds", "chunks",
+        token = "bq-test-token")
+      val df1 = chunkDf(("1#0", 1L, 0, "alpha"), ("1#1", 1L, 1, "beta"),
+        ("2#0", 2L, 0, "gamma"))
+      target.apply(spark, df1, emptyKeys)
+      target.apply(spark, df1, emptyKeys)
+      assert(bq.table("chunks").get.rows.size == 3)
+
+      val keys = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row("2#0")), 1),
+        StructType(Seq(StructField("row_key", StringType))))
+      target.apply(spark, chunkDf(("1#1", 1L, 1, "beta*")), keys)
+      val back = target.read(spark).orderBy("row_key").collect()
+      assert(back.map(r => (r.getString(0), r.getString(3))).toSeq ==
+        Seq(("1#0", "alpha"), ("1#1", "beta*")))
+      // INT64 results decode typed
+      assert(back.head.getLong(1) == 1L)
+
+      val sql = bq.observedSql.toArray.map(_.toString)
+      assert(sql.exists(_.startsWith("CREATE TABLE IF NOT EXISTS `proj.ds.chunks`")))
+      assert(sql.exists(s => s.startsWith("MERGE `proj.ds.chunks` AS target")
+        && s.contains("@p0 AS `row_key`")))
+      assert(sql.exists(_.startsWith("DELETE FROM `proj.ds.chunks` WHERE `row_key` IN (@p0")))
+    } finally bq.close()
+  }
+
+  test("BigQueryTableTarget: auth gate, drift ALTER, BYTES vector roundtrip") {
+    val bq = new MiniBigQuery("bq-test-token")
+    try {
+      // a wrong bearer token fails fast (the 401 is a global error in
+      // the retry taxonomy, not a retried transient)
+      val bad = BigQueryTableTarget(bq.baseUrl, "proj", "ds", "chunks",
+        token = "wrong")
+      val e = intercept[Exception] {
+        bad.apply(spark, chunkDf(("1#0", 1L, 0, "x")), emptyKeys)
+      }
+      assert(e.getMessage.contains("401") ||
+        String.valueOf(e.getCause).contains("401"))
+
+      val target = BigQueryTableTarget(bq.baseUrl, "proj", "ds", "evolving",
+        token = "bq-test-token")
+      target.apply(spark, chunkDf(("1#0", 1L, 0, "alpha")), emptyKeys)
+      val widened = StructType(chunkSchema.fields :+
+        StructField("emb", ArrayType(FloatType)))
+      val df2 = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row("1#0", 1L, 0, "alpha", Seq(0.5f, -1.25f))), 1), widened)
+      target.apply(spark, df2, emptyKeys)
+      assert(bq.table("evolving").get.cols("emb").sqlType == "BYTES")
+      val back = target.read(spark).collect().head
+      assert(Float32LE.decode(back.getAs[Array[Byte]]("emb")).toSeq
+        == Seq(0.5f, -1.25f))
+    } finally bq.close()
+  }
+}
