@@ -282,6 +282,33 @@ final case class PgTableTarget(host: String, port: Int, database: String,
     } finally { up.unpersist(); del.unpersist() }
   }
 
+  /** The reference's flagship retrieval statement served over the
+    * wire — `SELECT …, "vcol" <=> $1 AS distance FROM t ORDER BY
+    * distance ASC LIMIT $2` (examples/text_embedding/main.py:146-155;
+    * `<=>` = pgvector cosine distance), with a deterministic key
+    * tiebreak appended for stable pagination. Returns the selected
+    * columns plus `distance DOUBLE`. */
+  def knnQuery(spark: SparkSession, queryVec: Seq[Float], k: Int,
+      vectorCol: String = "embedding",
+      selectCols: Seq[String] = Seq(RowKey)): DataFrame = {
+    selectCols.foreach(
+      SurrealTableTarget.validateIdentifier(_, "column name"))
+    SurrealTableTarget.validateIdentifier(vectorCol, "column name")
+    val cols = selectCols.map(c => s""""$c"""").mkString(", ")
+    val res = withClient(_.execute(
+      s"""SELECT $cols, "$vectorCol" <=> $$1 AS distance FROM "$table"""" +
+        s""" ORDER BY distance ASC, "$RowKey" LIMIT $$2""",
+      Seq(Some(queryVec.mkString("[", ",", "]")), Some(k.toString))))
+    val schema = StructType(res.columns.map(c =>
+      StructField(c.name, sparkTypeOf(c.oid), nullable = true)))
+    val data = res.rows.map { r =>
+      Row.fromSeq(res.columns.zipWithIndex.map { case (c, i) =>
+        decodeValue(r(i), c.oid)
+      })
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+  }
+
   /** Read back over the wire: `SELECT * FROM t` decoded by result
     * OID — driver-side, gate/serve-sized (large scans belong to
     * [[PgWireTableSource]], which partitions by key range). */

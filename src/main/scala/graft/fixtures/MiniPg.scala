@@ -457,6 +457,8 @@ final class MiniPg extends AutoCloseable {
       return selectInfoSchema(sql, params)
     if (sql.toLowerCase.contains("pg_indexes"))
       return selectPgIndexes(sql, params)
+    if (sql.contains("<=>"))
+      return selectVectorDistance(sql, params)
     val m = ("""(?is)SELECT\s+(.*?)\s+FROM\s+(\S+)""" +
       """(?:\s+WHERE\s+(.*?))?(?:\s+ORDER\s+BY\s+"([^"]+)"(\s+DESC)?)?""" +
       """(?:\s+LIMIT\s+(\d+))?(?:\s+OFFSET\s+(\d+))?\s*$""").r
@@ -517,6 +519,102 @@ final class MiniPg extends AutoCloseable {
       cols.map(c => PgWire.PgColumn(c.name, oidOf(c.pgType))).toVector,
       rows.map(r => cols.map(c => r.getOrElse(c.name, None)).toVector),
       s"SELECT ${rows.length}")
+  }
+
+  /** pgvector's distance serving query — the reference's flagship
+    * retrieval statement (examples/text_embedding/main.py:146-155:
+    * `SELECT …, embedding <=> $1 AS distance FROM t ORDER BY distance
+    * ASC LIMIT $2`): payload columns plus ONE `"vcol" <=> $n AS
+    * alias` item, ordered by the computed distance (optional
+    * secondary tiebreak column), LIMIT as a literal or parameter.
+    * `<=>` is pgvector's cosine distance: 1 − cos(a,b), computed in
+    * double precision like the extension. */
+  private def selectVectorDistance(sql: String,
+      params: Vector[Option[String]]): StatementResult = {
+    val m = ("""(?is)SELECT\s+(.*?)\s+FROM\s+(\S+)""" +
+      """\s+ORDER\s+BY\s+(\w+)(\s+ASC|\s+DESC)?(?:\s*,\s*"([^"]+)")?""" +
+      """\s+LIMIT\s+(\$\d+|\d+)\s*$""").r.findFirstMatchIn(sql)
+      .getOrElse(throw PgError("42601",
+        s"bad vector-distance SELECT: ${sql.take(80)}"))
+    val t = getTable(tableName(m.group(2)))
+    val items = splitTopLevel(m.group(1)).map(_.trim)
+    val distRe = """(?is)^"([^"]+)"\s*<=>\s*(\$\d+)\s+AS\s+(\w+)$""".r
+    var distCol: Option[(String, Array[Double], String)] = None
+    val plainCols = ArrayBuffer.empty[String]
+    items.foreach { item =>
+      distRe.findFirstMatchIn(item) match {
+        case Some(dm) =>
+          val vcol = dm.group(1)
+          if (!t.cols.get(vcol).exists(_.pgType.startsWith("vector")))
+            throw PgError("42883",
+              s"""operator does not exist: ${t.cols.get(vcol).map(_.pgType)
+                .getOrElse("?")} <=> vector""")
+          val qv = resolveScalar(dm.group(2), params)
+            .getOrElse(throw PgError("22004", "null query vector"))
+          distCol = Some((vcol, parseVector(qv), dm.group(3)))
+        case None => plainCols += unquote(item)
+      }
+    }
+    val (vcol, qvec, alias) = distCol.getOrElse(
+      throw PgError("42601", "no <=> item in vector SELECT"))
+    plainCols.foreach(c => if (!t.cols.contains(c))
+      throw PgError("42703", s"""column "$c" does not exist"""))
+    if (m.group(3) != alias)
+      throw PgError("42601", s"ORDER BY ${m.group(3)} is not the distance alias")
+
+    val desc = m.group(4) != null && m.group(4).trim.equalsIgnoreCase("DESC")
+    val tieCol = Option(m.group(5))
+    val limit = resolveScalar(m.group(6), params)
+      .getOrElse(throw PgError("22004", "null LIMIT")).trim.toInt
+
+    var scored = t.rows.values.toVector.flatMap { r =>
+      r.getOrElse(vcol, None).map { v =>
+        (r, 1.0 - cosineSim(parseVector(v), qvec))
+      }
+    }
+    val base = scored.sortBy(_._2)
+    scored = if (desc) base.reverse else base
+    tieCol.foreach { tc =>
+      val ct = t.cols.get(tc).map(_.pgType).getOrElse("text")
+      scored = scored.sortWith { (a, b) =>
+        val d = java.lang.Double.compare(a._2, b._2)
+        val dd = if (desc) -d else d
+        if (dd != 0) dd < 0
+        else cmp(ct, a._1.getOrElse(tc, None), b._1.getOrElse(tc, None)) < 0
+      }
+    }
+    scored = scored.take(limit)
+
+    val cols = plainCols.toVector.map(c =>
+      PgWire.PgColumn(c, oidOf(t.cols(c).pgType))) :+
+      PgWire.PgColumn(alias, PgWire.OidFloat8)
+    val rows = scored.map { case (r, d) =>
+      plainCols.toVector.map(c => r.getOrElse(c, None)) :+
+        (Some(d.toString): Option[String])
+    }
+    StatementResult(cols, rows, s"SELECT ${rows.length}")
+  }
+
+  private def parseVector(text: String): Array[Double] = {
+    val body = text.trim
+    if (!body.startsWith("[") || !body.endsWith("]"))
+      throw PgError("22P02", s"""invalid vector: "${body.take(40)}"""")
+    body.substring(1, body.length - 1).split(',')
+      .iterator.map(_.trim).filter(_.nonEmpty).map(_.toDouble).toArray
+  }
+
+  private def cosineSim(a: Array[Double], b: Array[Double]): Double = {
+    if (a.length != b.length)
+      throw PgError("22000",
+        s"different vector dimensions ${a.length} and ${b.length}")
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
   }
 
   /** information_schema.columns — the managed-DDL observation path:

@@ -287,6 +287,41 @@ class PgWireSpec extends SparkSpec {
     }
   }
 
+  test("pgvector <=> serving: nearest-first, param LIMIT, dim check") {
+    withPg { pg =>
+      val schema = StructType(Seq(
+        StructField("row_key", StringType),
+        StructField("embedding", ArrayType(FloatType))))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row("a", Seq(1f, 0f, 0f)),
+          Row("b", Seq(0.9f, 0.1f, 0f)),
+          Row("c", Seq(0f, 1f, 0f)),
+          Row("d", Seq(-1f, 0f, 0f))), 1), schema)
+      val target = PgTableTarget(pg.host, pg.port, "testdb", "vecs",
+        vectorDims = Map("embedding" -> 3))
+      target.apply(spark, df, emptyKeys)
+
+      val top = target.knnQuery(spark, Seq(1f, 0f, 0f), k = 2).collect()
+      assert(top.map(_.getString(0)).toSeq == Seq("a", "b"))
+      assert(top.head.getDouble(1) == 0.0) // identical vector: distance 0
+      assert(top(1).getDouble(1) > 0 && top(1).getDouble(1) < 0.1)
+
+      // a mismatched query dimension fails like the extension does
+      val bad = intercept[PgWire.PgErrorException] {
+        target.knnQuery(spark, Seq(1f, 0f), k = 2).collect()
+      }
+      assert(bad.sqlState == "22000")
+      // <=> on a non-vector column is an operator error
+      val notVec = intercept[PgWire.PgErrorException] {
+        PgTableTarget(pg.host, pg.port, "testdb", "vecs")
+          .knnQuery(spark, Seq(1f, 0f, 0f), k = 2,
+            vectorCol = "row_key").collect()
+      }
+      assert(notVec.sqlState == "42883")
+    }
+  }
+
   // ---- PgWireTableSource ------------------------------------------
 
   test("PgWireTableSource: partitioned scan, pushed-down delta, load") {
