@@ -204,6 +204,51 @@ final case class DorisTableTarget(host: String, mysqlPort: Int,
     } finally { up.unpersist(); del.unpersist() }
   }
 
+  /** Doris's ANN serving query over the MySQL wire — the reference's
+    * `build_vector_search_query` (doris/_target.py:1338-1392):
+    * `SELECT cols, fn(`vf`, [v…]) as _distance FROM t ORDER BY
+    * _distance LIMIT n`, metric → (`l2_distance_approximate` ASC /
+    * `inner_product_approximate` DESC / named fn), vector inlined;
+    * a deterministic key tiebreak appended for stable pagination.
+    * Returns the selected columns plus `_distance DOUBLE`. */
+  def knnQuery(spark: SparkSession, queryVec: Seq[Float], k: Int,
+      metric: String = "l2_distance", vectorCol: String = "embedding",
+      selectCols: Seq[String] = Seq(RowKey)): DataFrame = {
+    selectCols.foreach(
+      SurrealTableTarget.validateIdentifier(_, "column name"))
+    SurrealTableTarget.validateIdentifier(vectorCol, "column name")
+    val (fn, order) = metric match {
+      case "l2_distance" => ("l2_distance_approximate", "ASC")
+      case "inner_product" => ("inner_product_approximate", "DESC")
+      case other =>
+        (other, if (other.contains("distance")) "ASC" else "DESC")
+    }
+    val vecLit = queryVec.map(v => v.toDouble.toString)
+      .mkString("[", ", ", "]")
+    val select = selectCols.map(c => s"`$c`").mkString(", ")
+    val sql =
+      s"SELECT $select, $fn(`$vectorCol`, $vecLit) as _distance\n" +
+        s"FROM `$database`.`$table`\n" +
+        s"ORDER BY _distance $order, `$RowKey`\nLIMIT $k"
+    val (types, res) = withMysql { c =>
+      val desc = c.query(s"DESC `$database`.`$table`").rows
+        .map(r => r(0).get -> r(1).getOrElse("TEXT")).toMap
+      (desc, c.query(sql))
+    }
+    val schema = StructType(res.columns.map(mc =>
+      StructField(mc.name,
+        if (mc.name == "_distance") DoubleType
+        else sparkTypeOf(types.getOrElse(mc.name, "TEXT")), nullable = true)))
+    val data = res.rows.map { r =>
+      Row.fromSeq(res.columns.zipWithIndex.map { case (mc, i) =>
+        if (mc.name == "_distance")
+          r(i) match { case Some(s) => s.toDouble; case None => null }
+        else decodeValue(r(i), types.getOrElse(mc.name, "TEXT"))
+      })
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+  }
+
   /** Read back over the MySQL wire — driver-side, gate/serve-sized;
     * values decode by the DESC-observed column types. */
   def read(spark: SparkSession): DataFrame = {

@@ -348,7 +348,82 @@ final class MiniDoris extends MiniHttpServer("minidoris-http") {
     (cols, rows)
   }
 
+  /** Doris's ANN serving query (reference `build_vector_search_query`,
+    * doris/_target.py:1338-1392): `SELECT cols,
+    * fn(`vf`, [v1, v2, …]) as _distance FROM t ORDER BY _distance
+    * ASC|DESC LIMIT n` with the vector inline. The `_approximate`
+    * variants use the ANN index on a real server; the fixture
+    * computes them exactly. An optional trailing ``, `col` ``
+    * tiebreak is honored for deterministic pagination. */
+  private def selectVectorSearch(sql: String)
+      : (Seq[(String, Int)], Seq[Seq[Option[String]]]) = {
+    val m = ("""(?is)SELECT\s+(.*?),\s*(\w+)\s*\(\s*`([^`]+)`\s*,\s*""" +
+      """(\[[^\]]*\])\s*\)\s+as\s+_distance\s+FROM\s+(\S+)""" +
+      """\s+ORDER\s+BY\s+_distance(\s+ASC|\s+DESC)?(?:\s*,\s*`([^`]+)`)?""" +
+      """\s+LIMIT\s+(\d+)\s*$""").r.findFirstMatchIn(sql)
+      .getOrElse(throw SqlError(1064, "42000",
+        s"bad vector search: ${sql.take(80)}"))
+    val t = getTable(tableName(m.group(5)))
+    val vcol = m.group(3)
+    if (!t.cols.get(vcol).exists(_.dorisType.startsWith("ARRAY")))
+      throw SqlError(1105, "HY000", s"`$vcol` is not an ARRAY column")
+    val qvec = m.group(4).stripPrefix("[").stripSuffix("]").split(',')
+      .iterator.map(_.trim).filter(_.nonEmpty).map(_.toDouble).toArray
+    val fn = m.group(2).toLowerCase
+    val desc = m.group(6) != null && m.group(6).trim.equalsIgnoreCase("DESC")
+    val tieCol = Option(m.group(7))
+    val limit = m.group(8).toInt
+    val selected: Seq[String] =
+      if (m.group(1).trim == "*") t.cols.keys.toSeq
+      else splitTop(m.group(1)).map(s => unquote(s.trim))
+    selected.foreach(c => if (!t.cols.contains(c))
+      throw SqlError(1054, "42S22", s"Unknown column '$c'"))
+
+    def dist(v: Array[Double]): Double = {
+      if (v.length != qvec.length)
+        throw SqlError(1105, "HY000",
+          s"vector dimensions ${v.length} and ${qvec.length} differ")
+      fn match {
+        case "l2_distance" | "l2_distance_approximate" =>
+          math.sqrt(v.indices.map(i => {
+            val d = v(i) - qvec(i); d * d
+          }).sum)
+        case "inner_product" | "inner_product_approximate" =>
+          v.indices.map(i => v(i) * qvec(i)).sum
+        case "cosine_distance" =>
+          val dot = v.indices.map(i => v(i) * qvec(i)).sum
+          val na = math.sqrt(v.map(x => x * x).sum)
+          val nb = math.sqrt(qvec.map(x => x * x).sum)
+          if (na == 0 || nb == 0) 1.0 else 1.0 - dot / (na * nb)
+        case other =>
+          throw SqlError(1305, "42000", s"FUNCTION $other does not exist")
+      }
+    }
+    var scored = t.rows.toVector.flatMap { r =>
+      r.getOrElse(vcol, None).map { v =>
+        val arr = v.stripPrefix("[").stripSuffix("]").split(',')
+          .iterator.map(_.trim).filter(_.nonEmpty).map(_.toDouble).toArray
+        (r, dist(arr))
+      }
+    }
+    scored = scored.sortWith { (a, b) =>
+      val d = java.lang.Double.compare(a._2, b._2)
+      val dd = if (desc) -d else d
+      if (dd != 0) dd < 0
+      else tieCol.exists { tc =>
+        Ordering.Option(Ordering.String)
+          .lt(a._1.getOrElse(tc, None), b._1.getOrElse(tc, None))
+      }
+    }.take(limit)
+    val cols = selected.map(c => c -> mysqlTypeOf(t.cols(c).dorisType)) :+
+      ("_distance" -> MysqlWire.TypeDouble)
+    (cols, scored.map { case (r, d) =>
+      selected.map(c => r.getOrElse(c, None)) :+ (Some(d.toString): Option[String])
+    })
+  }
+
   private def select(sql: String): (Seq[(String, Int)], Seq[Seq[Option[String]]]) = {
+    if (sql.contains("_distance")) return selectVectorSearch(sql)
     val m = ("""(?is)SELECT\s+(.*?)\s+FROM\s+(\S+)""" +
       """(?:\s+WHERE\s+(.*?))?(?:\s+ORDER\s+BY\s+`([^`]+)`(\s+DESC)?)?""" +
       """(?:\s+LIMIT\s+(\d+))?\s*$""").r.findFirstMatchIn(sql)

@@ -835,6 +835,76 @@ object FlowPack extends QueryPack {
           s.createDataFrame(s.sparkContext.parallelize(rows, 4), schema)
         } finally server.close()
       }),
+    // Doris's ANN serving path over the MySQL wire: the embeddings
+    // corpus reconciled into an ARRAY<FLOAT> column (ANN index baked
+    // into the OLAP DDL) through the stream-load transport, then the
+    // reference's exact search statement — `SELECT …,
+    // l2_distance_approximate(`emb`, [v…]) as _distance … ORDER BY
+    // _distance ASC LIMIT k` (doris/_target.py:1338-1392) — served
+    // per query vector. q40's frame: self excluded, key-text
+    // tiebreak, round-6 distances; oracle = DuckDB list_distance.
+    Q(
+      "q98_doris_knn",
+      Some("""
+        WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings WHERE vec_id < 8),
+             c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings)
+        SELECT query_id, neighbor_id, distance, CAST(rnk AS INT) AS rank
+        FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_distance(q.emb, c.emb), 6) AS distance,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_distance(q.emb, c.emb) ASC,
+                            CAST(c.vec_id AS VARCHAR)) AS rnk
+          FROM q, c WHERE q.vec_id <> c.vec_id) x
+        WHERE rnk <= 10"""),
+      (s, dir) => {
+        val server = new graft.fixtures.MiniDoris
+        try {
+          val work = java.nio.file.Files.createTempDirectory("graft-doris-q98")
+          work.toFile.deleteOnExit()
+          val stage = CocoFn("rows", 1, fn = df => df.select(
+            col("item_key"), col("item_key").as("row_key"),
+            col("embedding")))
+          val target = DorisTableTarget(server.host, server.mysqlPort,
+            server.port, "graft", "vectors",
+            vectorIndexes = Seq(DorisVectorIndex("embedding")),
+            writePartitions = 4)
+          val flow = new Flow("doris_vec",
+            TableSource(sp => Tables(sp, dir, "embeddings")
+              .select(col("vec_id"), col("embedding")), keyCol = "vec_id"),
+            Seq(stage), target, work.resolve("state").toString)
+          flow.run(s)
+          require(flow.run(s).isNoop,
+            "incremental contract violated: doris rerun was not a no-op")
+          val queries = Tables(s, dir, "embeddings")
+            .filter(col("vec_id") < 8)
+            .select(col("vec_id"), col("embedding")).collect()
+          val rows = queries.toIndexedSeq.flatMap { qr =>
+            val qid = qr.getLong(0)
+            target.knnQuery(s, qr.getSeq[Float](1), k = 11).collect()
+              .toIndexedSeq
+              .filter(_.getString(0) != qid.toString)
+              .take(10).zipWithIndex.map { case (r, i) =>
+                org.apache.spark.sql.Row(qid, r.getString(0).toLong,
+                  BigDecimal(r.getDouble(1))
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                    .toDouble, i + 1)
+              }
+          }
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("query_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("neighbor_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("distance",
+              org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("rank",
+              org.apache.spark.sql.types.IntegerType)))
+          s.createDataFrame(s.sparkContext.parallelize(rows, 4), schema)
+        } finally server.close()
+      }),
     Q(
       "q63_topic_target",
       // the final compacted map after: produce all docs, then a second

@@ -137,6 +137,42 @@ class DorisTargetSpec extends SparkSpec {
     }
   }
 
+  test("DorisTableTarget: ANN serving query — metrics, order, dim check") {
+    withDoris { d =>
+      val vecSchema = StructType(Seq(
+        StructField("row_key", StringType),
+        StructField("emb", ArrayType(FloatType))))
+      val vdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row("a", Seq(1f, 0f)), Row("b", Seq(0.9f, 0.1f)),
+          Row("c", Seq(0f, 1f)), Row("x", Seq(-1f, 0f))), 1), vecSchema)
+      val target = DorisTableTarget(d.host, d.mysqlPort, d.port,
+        "graft", "vs",
+        vectorIndexes = Seq(DorisVectorIndex("emb")))
+      target.apply(spark, vdf, emptyKeys)
+
+      // l2: nearest-first ASC through l2_distance_approximate
+      val l2 = target.knnQuery(spark, Seq(1f, 0f), k = 2,
+        vectorCol = "emb").collect()
+      assert(l2.map(_.getString(0)).toSeq == Seq("a", "b"))
+      assert(l2.head.getDouble(1) == 0.0)
+      // inner product: largest-first DESC
+      val ip = target.knnQuery(spark, Seq(1f, 0f), k = 2,
+        metric = "inner_product", vectorCol = "emb").collect()
+      assert(ip.map(_.getString(0)).toSeq == Seq("a", "b"))
+      assert(ip.head.getDouble(1) == 1.0)
+      // the exact reference statement shape reached the wire
+      assert(d.observedSql.toArray.map(_.toString).exists(s =>
+        s.startsWith("SELECT `row_key`, l2_distance_approximate(`emb`, [1.0, 0.0]) as _distance")))
+      // dimension mismatch errors like the store
+      val bad = intercept[MysqlWire.MysqlErrorException] {
+        target.knnQuery(spark, Seq(1f, 0f, 0f), k = 2,
+          vectorCol = "emb").collect()
+      }
+      assert(bad.getMessage.contains("dimensions"))
+    }
+  }
+
   test("DorisTableTarget: column drift ALTER ADD; OLAP DDL carries indexes") {
     withDoris { d =>
       val target = DorisTableTarget(d.host, d.mysqlPort, d.port,
