@@ -1,0 +1,156 @@
+package graft.fixtures
+
+import com.sun.net.httpserver.HttpExchange
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.PublicKey
+import scala.collection.concurrent.TrieMap
+import org.json4s._
+
+import graft.engine.OciSign
+
+/** In-JVM OCI Object Storage stand-in — the peer for
+  * [[graft.engine.OciRestClient]]: the native Object Storage REST
+  * surface (`/n/{ns}/b/{bucket}/o` list with `prefix`/`start`/
+  * `limit`/`fields` + `nextStartWith` pagination; `/o/{name}`
+  * GET/HEAD/PUT) with EVERY request's RSA-SHA256 HTTP signature
+  * re-derived and verified against the public key registered for its
+  * keyId — like MiniS3 recomputes SigV4 and MiniAzureBlob the
+  * SharedKey MAC, the crypto is checked for real, not pattern-
+  * matched. ETags are content MD5s, so an unchanged object keeps its
+  * version across re-lists.
+  */
+final class MiniOci(namespace: String,
+    keys: Map[String, PublicKey]) extends MiniHttpServer("minioci") {
+
+  /** name → (bytes, etag, timeModified). */
+  private val objects = TrieMap.empty[String, (Array[Byte], String, String)]
+
+  def put(name: String, bytes: Array[Byte]): Unit =
+    objects.put(name, (bytes, md5(bytes),
+      java.time.format.DateTimeFormatter.ISO_INSTANT
+        .format(java.time.Instant.now()))) match { case _ => () }
+
+  def objectCount: Int = objects.size
+
+  private def md5(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
+
+  private def verifySignature(ex: HttpExchange, method: String,
+      body: Array[Byte]): Unit = {
+    val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .getOrElse(throw new MiniHttpServer.ApiError(401, "NotAuthenticated"))
+    def field(name: String): String =
+      s"""$name="([^"]*)"""".r.findFirstMatchIn(auth).map(_.group(1))
+        .getOrElse(throw new MiniHttpServer.ApiError(401,
+          s"NotAuthenticated: missing $name"))
+    if (!auth.startsWith("Signature "))
+      throw new MiniHttpServer.ApiError(401, "NotAuthenticated: bad scheme")
+    val keyId = field("keyId")
+    val headerList = field("headers").split(' ').toSeq
+    val signature = field("signature")
+    if (field("algorithm") != "rsa-sha256")
+      throw new MiniHttpServer.ApiError(401, "NotAuthenticated: bad algorithm")
+    val publicKey = keys.getOrElse(keyId,
+      throw new MiniHttpServer.ApiError(401, s"NotAuthenticated: unknown key $keyId"))
+
+    val uri = ex.getRequestURI
+    val pathAndQuery = uri.getRawPath +
+      Option(uri.getRawQuery).map("?" + _).getOrElse("")
+    def header(h: String): String =
+      Option(ex.getRequestHeaders.getFirst(h)).getOrElse(
+        throw new MiniHttpServer.ApiError(401,
+          s"NotAuthenticated: missing header $h"))
+    val values = headerList.filterNot(_ == "(request-target)").map {
+      case h @ "x-content-sha256" =>
+        // verify the body digest actually matches, then bind it
+        val claimed = header(h)
+        if (claimed != OciSign.sha256Base64(body))
+          throw new MiniHttpServer.ApiError(401,
+            "NotAuthenticated: body digest mismatch")
+        h -> claimed
+      case h @ "content-length" => h -> body.length.toString
+      case h => h -> header(h)
+    }.toMap
+    val toVerify = OciSign.signingString(headerList, method,
+      pathAndQuery, values)
+    if (!OciSign.verify(publicKey, toVerify, signature))
+      throw new MiniHttpServer.ApiError(401,
+        "NotAuthenticated: signature mismatch")
+  }
+
+  protected def route(ex: HttpExchange, method: String, path: String,
+      body: Array[Byte]): Unit = {
+    verifySignature(ex, method, body)
+    val listRe = s"/n/([^/]+)/b/([^/]+)/o".r
+    val objRe = s"/n/([^/]+)/b/([^/]+)/o/(.+)".r
+    path match {
+      case objRe(ns, _, rawName) =>
+        requireNs(ns)
+        val name = URLDecoder.decode(rawName, UTF_8)
+        method match {
+          case "PUT" =>
+            put(name, body)
+            ex.getResponseHeaders.set("ETag", objects(name)._2)
+            replyBytes(ex, 200, Array.emptyByteArray)
+          case "GET" =>
+            objects.get(name) match {
+              case None => throw new MiniHttpServer.ApiError(404,
+                s"ObjectNotFound: $name")
+              case Some((bytes, etag, _)) =>
+                ex.getResponseHeaders.set("ETag", etag)
+                replyBytes(ex, 200, bytes, "application/octet-stream")
+            }
+          case "HEAD" =>
+            objects.get(name) match {
+              case None => throw new MiniHttpServer.ApiError(404,
+                s"ObjectNotFound: $name")
+              case Some((bytes, etag, tm)) =>
+                ex.getResponseHeaders.set("ETag", etag)
+                ex.getResponseHeaders.set("last-modified", tm)
+                ex.getResponseHeaders.set("Content-Length",
+                  bytes.length.toString)
+                // HEAD: headers only
+                ex.sendResponseHeaders(200, -1)
+                ex.close()
+            }
+          case other => throw new MiniHttpServer.ApiError(405,
+            s"bad method $other")
+        }
+      case listRe(ns, _) if method == "GET" =>
+        requireNs(ns)
+        val q = parseQuery(ex.getRequestURI.getRawQuery).toMap
+        val prefix = q.getOrElse("prefix", "")
+        val start = q.get("start")
+        val limit = q.get("limit").map(_.toInt).getOrElse(1000)
+        val fields = q.getOrElse("fields", "name").split(',').toSet
+        val all = objects.keys.toVector.sorted
+          .filter(_.startsWith(prefix))
+          .filter(n => start.forall(n >= _))
+        val page = all.take(limit)
+        val next = if (all.length > limit) Some(all(limit)) else None
+        val objs = JArray(page.toList.map { n =>
+          val (bytes, etag, tm) = objects(n)
+          JObject(List(
+            Some("name" -> (JString(n): JValue)),
+            if (fields("size")) Some("size" -> (JInt(bytes.length): JValue))
+            else None,
+            if (fields("etag")) Some("etag" -> (JString(etag): JValue))
+            else None,
+            if (fields("timeModified"))
+              Some("timeModified" -> (JString(tm): JValue))
+            else None).flatten)
+        })
+        replyJson(ex, 200, JObject(
+          ("objects" -> (objs: JValue)) ::
+            next.map(n => "nextStartWith" -> (JString(n): JValue)).toList))
+      case other =>
+        throw new MiniHttpServer.ApiError(404, s"no route: $method $other")
+    }
+  }
+
+  private def requireNs(ns: String): Unit =
+    if (URLDecoder.decode(ns, UTF_8) != namespace)
+      throw new MiniHttpServer.ApiError(404, s"NamespaceNotFound: $ns")
+}

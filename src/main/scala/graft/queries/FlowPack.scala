@@ -905,6 +905,52 @@ object FlowPack extends QueryPack {
           s.createDataFrame(s.sparkContext.parallelize(rows, 4), schema)
         } finally server.close()
       }),
+    // the corpus served from an OCI-Object-Storage-protocol endpoint:
+    // RSA-SHA256 request signatures (verified server-side by
+    // graft.fixtures.MiniOci against the registered public key),
+    // native ListObjects nextStartWith pages → (name, ETag),
+    // executor-batched GetObject, ETag-driven no-op reruns — the
+    // KeyedListing seam like q89/q90/q91, same deterministic-third
+    // scope (per-object round trips are the subject, not volume).
+    Q(
+      "q99_oci_source",
+      Some("""
+        SELECT 'doc/' || CAST(doc_id AS VARCHAR) AS row_key,
+               CAST(length(text) AS BIGINT) AS n,
+               md5(text) AS content_md5
+        FROM documents WHERE doc_id % 3 = 0"""),
+      (s, dir) => {
+        val (apiKey, publicKey) = OciSign.generate()
+        val server = new graft.fixtures.MiniOci("graftns",
+          Map(apiKey.keyId -> publicKey))
+        try {
+          val work = java.nio.file.Files.createTempDirectory("graft-oci-q99")
+          work.toFile.deleteOnExit()
+          val (ep, ns) = (server.baseUrl, "graftns")
+          Tables(s, dir, "documents")
+            .filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id").cast("string"), col("text"))
+            .repartition(8)
+            .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+              val c = new OciRestClient(ep, ns, "corpus", apiKey)
+              rows.foreach(r => c.putObject(s"doc/${r.getString(0)}",
+                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            }
+          val source = OciRestSource(ep, ns, "corpus", "doc/", apiKey,
+            fetchBatch = 128)
+          val stage = CocoFn("digest", 1, fn = df => df.select(
+            col("item_key"), col("item_key").as("row_key"),
+            length(decode(col("content"), "UTF-8")).cast("long").as("n"),
+            md5(col("content")).as("content_md5")))
+          val flow = new Flow("oci_digest", source, Seq(stage),
+            ParquetTableTarget(work.resolve("out").toString, numBuckets = 8),
+            work.resolve("state").toString)
+          flow.run(s)
+          require(flow.run(s).isNoop,
+            "incremental contract violated: unchanged ETags must no-op")
+          flow.target.read(s).select("row_key", "n", "content_md5")
+        } finally server.close()
+      }),
     Q(
       "q63_topic_target",
       // the final compacted map after: produce all docs, then a second
