@@ -1,0 +1,325 @@
+package graft.engine
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.mutable
+
+/** The Bolt protocol (v4.4) with PackStream v2 — neo4j's wire, from
+  * the public specification (neo4j.com/docs/bolt): the
+  * `6060 B017` handshake with four proposed versions, chunked
+  * message transfer (u16 chunk sizes, `0000` terminator), and
+  * PackStream-encoded message structures — HELLO/RUN/PULL/RESET/
+  * GOODBYE requests, SUCCESS/RECORD/IGNORED/FAILURE summaries, Node
+  * (tag 'N') and Relationship (tag 'R') value structs.
+  *
+  * This is the transport under the reference's neo4j connector (the
+  * `neo4j` python driver speaks exactly this;
+  * python/cocoindex/connectors/neo4j/_target.py drives it with the
+  * `_cypher.py` statements [[Cypher]] reimplements). As with every
+  * wire here, the codec is the deliverable and
+  * [[graft.fixtures.MiniNeo4j]] is the in-JVM peer.
+  */
+object BoltWire {
+
+  // message struct tags
+  val MsgHello = 0x01
+  val MsgGoodbye = 0x02
+  val MsgReset = 0x0f
+  val MsgRun = 0x10
+  val MsgPull = 0x3f
+  val MsgRecord = 0x71
+  val MsgSuccess = 0x70
+  val MsgIgnored = 0x7e
+  val MsgFailure = 0x7f
+  // value struct tags
+  val StructNode = 0x4e // 'N'
+  val StructRelationship = 0x52 // 'R'
+
+  final case class BoltStruct(tag: Int, fields: Vector[Any])
+
+  final class BoltFailureException(val code: String, message: String)
+      extends RuntimeException(s"$code: $message")
+
+  // ---- PackStream v2 ----------------------------------------------
+
+  final class Packer {
+    private val buf = new java.io.ByteArrayOutputStream(1 << 10)
+    private val out = new DataOutputStream(buf)
+    def bytes: Array[Byte] = { out.flush(); buf.toByteArray }
+
+    def pack(v: Any): this.type = {
+      v match {
+        case null => out.writeByte(0xc0)
+        case b: Boolean => out.writeByte(if (b) 0xc3 else 0xc2)
+        case d: Double => out.writeByte(0xc1); out.writeDouble(d)
+        case f: Float => out.writeByte(0xc1); out.writeDouble(f.toDouble)
+        case n: Byte => packLong(n.toLong)
+        case n: Short => packLong(n.toLong)
+        case n: Int => packLong(n.toLong)
+        case n: Long => packLong(n)
+        case s: String => packString(s)
+        case m: scala.collection.Map[_, _] =>
+          packMapHeader(m.size)
+          m.foreach { case (k, mv) => packString(String.valueOf(k)); pack(mv) }
+        case st: BoltStruct =>
+          require(st.fields.size < 16, "oversized struct")
+          out.writeByte(0xb0 | st.fields.size)
+          out.writeByte(st.tag)
+          st.fields.foreach(pack)
+        case xs: scala.collection.Seq[_] =>
+          packListHeader(xs.size)
+          xs.foreach(pack)
+        case other => throw new IllegalArgumentException(
+          s"cannot pack ${other.getClass}")
+      }
+      this
+    }
+
+    def packLong(v: Long): Unit =
+      if (v >= -16 && v <= 127) out.writeByte(v.toInt)
+      else if (v >= Byte.MinValue && v <= Byte.MaxValue) {
+        out.writeByte(0xc8); out.writeByte(v.toInt)
+      } else if (v >= Short.MinValue && v <= Short.MaxValue) {
+        out.writeByte(0xc9); out.writeShort(v.toInt)
+      } else if (v >= Int.MinValue && v <= Int.MaxValue) {
+        out.writeByte(0xca); out.writeInt(v.toInt)
+      } else { out.writeByte(0xcb); out.writeLong(v) }
+
+    def packString(s: String): Unit = {
+      val b = s.getBytes(UTF_8)
+      if (b.length < 16) out.writeByte(0x80 | b.length)
+      else if (b.length < 256) { out.writeByte(0xd0); out.writeByte(b.length) }
+      else if (b.length < 65536) { out.writeByte(0xd1); out.writeShort(b.length) }
+      else { out.writeByte(0xd2); out.writeInt(b.length) }
+      out.write(b)
+    }
+
+    def packListHeader(n: Int): Unit =
+      if (n < 16) out.writeByte(0x90 | n)
+      else if (n < 256) { out.writeByte(0xd4); out.writeByte(n) }
+      else if (n < 65536) { out.writeByte(0xd5); out.writeShort(n) }
+      else { out.writeByte(0xd6); out.writeInt(n) }
+
+    def packMapHeader(n: Int): Unit =
+      if (n < 16) out.writeByte(0xa0 | n)
+      else if (n < 256) { out.writeByte(0xd8); out.writeByte(n) }
+      else if (n < 65536) { out.writeByte(0xd9); out.writeShort(n) }
+      else { out.writeByte(0xda); out.writeInt(n) }
+  }
+
+  final class Unpacker(data: Array[Byte]) {
+    private var pos = 0
+    private def u8: Int = { val v = data(pos) & 0xff; pos += 1; v }
+    private def u16: Int = (u8 << 8) | u8
+    private def u32: Int = (u16 << 16) | u16
+    private def i64: Long = ((u32.toLong & 0xffffffffL) << 32) |
+      (u32.toLong & 0xffffffffL)
+    private def str(n: Int): String = {
+      val s = new String(data, pos, n, UTF_8); pos += n; s
+    }
+
+    def unpack(): Any = {
+      val marker = u8
+      if (marker <= 0x7f) marker.toLong // tiny positive int
+      else if (marker >= 0xf0) (marker - 0x100).toLong // tiny negative
+      else if ((marker & 0xf0) == 0x80) str(marker & 0x0f)
+      else if ((marker & 0xf0) == 0x90) unpackList(marker & 0x0f)
+      else if ((marker & 0xf0) == 0xa0) unpackMap(marker & 0x0f)
+      else if ((marker & 0xf0) == 0xb0) {
+        val size = marker & 0x0f
+        val tag = u8
+        BoltStruct(tag, Vector.fill(size)(unpack()))
+      } else marker match {
+        case 0xc0 => null
+        case 0xc1 =>
+          java.lang.Double.longBitsToDouble(i64)
+        case 0xc2 => false
+        case 0xc3 => true
+        case 0xc8 => (u8.toByte).toLong
+        case 0xc9 => (u16.toShort).toLong
+        case 0xca => u32.toLong
+        case 0xcb => i64
+        case 0xd0 => str(u8)
+        case 0xd1 => str(u16)
+        case 0xd2 => str(u32)
+        case 0xd4 => unpackList(u8)
+        case 0xd5 => unpackList(u16)
+        case 0xd6 => unpackList(u32)
+        case 0xd8 => unpackMap(u8)
+        case 0xd9 => unpackMap(u16)
+        case 0xda => unpackMap(u32)
+        case other => throw new IllegalStateException(
+          f"unsupported packstream marker 0x$other%02x")
+      }
+    }
+
+    private def unpackList(n: Int): Vector[Any] = Vector.fill(n)(unpack())
+    private def unpackMap(n: Int): Map[String, Any] =
+      (0 until n).map { _ =>
+        val k = unpack() match {
+          case s: String => s
+          case other => String.valueOf(other)
+        }
+        k -> unpack()
+      }.toMap
+  }
+
+  // ---- chunked message transfer -----------------------------------
+
+  def writeMessage(out: DataOutputStream, payload: Array[Byte]): Unit = {
+    var off = 0
+    while (off < payload.length) {
+      val n = math.min(payload.length - off, 0xffff)
+      out.writeShort(n)
+      out.write(payload, off, n)
+      off += n
+    }
+    out.writeShort(0) // end-of-message
+  }
+
+  def readMessage(in: DataInputStream): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream(1 << 10)
+    var n = in.readUnsignedShort()
+    while (n != 0) {
+      val chunk = new Array[Byte](n)
+      in.readFully(chunk)
+      buf.write(chunk)
+      n = in.readUnsignedShort()
+    }
+    buf.toByteArray
+  }
+
+  def messageOf(tag: Int, fields: Any*): Array[Byte] =
+    new Packer().pack(BoltStruct(tag, fields.toVector)).bytes
+
+  // ---- client -----------------------------------------------------
+
+  /** One Bolt connection; not thread-safe — one per writer task. */
+  final class Client(host: String, port: Int, user: String = "neo4j",
+      password: String = "") extends AutoCloseable {
+
+    private val sock = new Socket()
+    sock.setTcpNoDelay(true)
+    sock.connect(new InetSocketAddress(host, port), 10000)
+    sock.setSoTimeout(60000)
+    private val in = new DataInputStream(
+      new BufferedInputStream(sock.getInputStream, 1 << 16))
+    private val out = new DataOutputStream(
+      new BufferedOutputStream(sock.getOutputStream, 1 << 16))
+
+    val negotiatedVersion: Int = {
+      out.write(Array(0x60, 0x60, 0xb0, 0x17).map(_.toByte))
+      // propose 4.4 only
+      out.writeInt(0x00000404); out.writeInt(0); out.writeInt(0); out.writeInt(0)
+      out.flush()
+      val v = in.readInt()
+      if (v == 0) throw new IllegalStateException("bolt version rejected")
+      v
+    }
+
+    locally {
+      send(messageOf(MsgHello, Map(
+        "user_agent" -> "graft-bolt/1.0",
+        "scheme" -> "basic", "principal" -> user, "credentials" -> password)))
+      expectSuccess()
+    }
+
+    private def send(payload: Array[Byte]): Unit = {
+      writeMessage(out, payload)
+      out.flush()
+    }
+
+    private def readStruct(): BoltStruct =
+      new Unpacker(readMessage(in)).unpack() match {
+        case s: BoltStruct => s
+        case other => throw new IllegalStateException(s"not a message: $other")
+      }
+
+    private def expectSuccess(): Map[String, Any] = readStruct() match {
+      case BoltStruct(MsgSuccess, fields) =>
+        fields.headOption.map(_.asInstanceOf[Map[String, Any]])
+          .getOrElse(Map.empty)
+      case BoltStruct(MsgFailure, fields) =>
+        val m = fields.headOption.map(_.asInstanceOf[Map[String, Any]])
+          .getOrElse(Map.empty)
+        // clear the failure so the connection stays usable; a
+        // TERMINAL failure (failed HELLO — the server closes) makes
+        // the reset moot, so IO errors here don't mask the cause
+        try { send(messageOf(MsgReset)); drainUntilSuccess() }
+        catch { case _: java.io.IOException => () }
+        throw new BoltFailureException(
+          String.valueOf(m.getOrElse("code", "Neo.Error")),
+          String.valueOf(m.getOrElse("message", "failure")))
+      case BoltStruct(other, _) =>
+        throw new IllegalStateException(f"unexpected bolt message 0x$other%02x")
+    }
+
+    private def drainUntilSuccess(): Unit = {
+      var done = false
+      while (!done) readStruct() match {
+        case BoltStruct(MsgSuccess, _) => done = true
+        case BoltStruct(MsgIgnored, _) | BoltStruct(MsgFailure, _) => ()
+        case BoltStruct(other, _) => throw new IllegalStateException(
+          f"unexpected bolt message 0x$other%02x during reset")
+      }
+    }
+
+    /** RUN + PULL{n:-1}, pipelined: returns (fields, records). A
+      * FAILURE on either message resets the connection and raises. */
+    def run(query: String, params: Map[String, Any] = Map.empty)
+        : (Vector[String], Vector[Vector[Any]]) = {
+      writeMessage(out, messageOf(MsgRun, query, params, Map.empty))
+      writeMessage(out, messageOf(MsgPull, Map("n" -> -1L)))
+      out.flush()
+      val runSummary = readStruct() match {
+        case BoltStruct(MsgSuccess, fields) =>
+          fields.headOption.map(_.asInstanceOf[Map[String, Any]])
+            .getOrElse(Map.empty)
+        case BoltStruct(MsgFailure, fields) =>
+          val m = fields.headOption.map(_.asInstanceOf[Map[String, Any]])
+            .getOrElse(Map.empty)
+          // the pipelined PULL will be IGNORED; then RESET
+          readStruct() match {
+            case BoltStruct(MsgIgnored, _) => ()
+            case other => throw new IllegalStateException(s"expected IGNORED, got $other")
+          }
+          send(messageOf(MsgReset))
+          drainUntilSuccess()
+          throw new BoltFailureException(
+            String.valueOf(m.getOrElse("code", "Neo.Error")),
+            String.valueOf(m.getOrElse("message", "failure")))
+        case BoltStruct(other, _) =>
+          throw new IllegalStateException(f"unexpected bolt message 0x$other%02x")
+      }
+      val fields = runSummary.get("fields") match {
+        case Some(xs: Seq[_]) => xs.toVector.map(String.valueOf(_))
+        case _ => Vector.empty
+      }
+      val records = mutable.ArrayBuffer.empty[Vector[Any]]
+      var done = false
+      while (!done) readStruct() match {
+        case BoltStruct(MsgRecord, recFields) =>
+          records += recFields.headOption.map(_.asInstanceOf[Vector[Any]])
+            .getOrElse(Vector.empty)
+        case BoltStruct(MsgSuccess, _) => done = true
+        case BoltStruct(MsgFailure, f2) =>
+          val m = f2.headOption.map(_.asInstanceOf[Map[String, Any]])
+            .getOrElse(Map.empty)
+          send(messageOf(MsgReset))
+          drainUntilSuccess()
+          throw new BoltFailureException(
+            String.valueOf(m.getOrElse("code", "Neo.Error")),
+            String.valueOf(m.getOrElse("message", "failure")))
+        case BoltStruct(other, _) =>
+          throw new IllegalStateException(f"unexpected bolt message 0x$other%02x")
+      }
+      (fields, records.toVector)
+    }
+
+    override def close(): Unit = {
+      try send(messageOf(MsgGoodbye)) catch { case _: Exception => () }
+      sock.close()
+    }
+  }
+}

@@ -171,22 +171,22 @@ object FalkorGraphTarget {
   private val Routing = Set(RowKey, "label", "src", "dst", "rel_type",
     "src_label", "dst_label")
 
-  private def stripped(rowKey: String): String = rowKey.drop(2)
+  private[engine] def stripped(rowKey: String): String = rowKey.drop(2)
 
-  private def propValue(row: Row, i: Int, dt: DataType): Any = dt match {
+  private[engine] def propValue(row: Row, i: Int, dt: DataType): Any = dt match {
     case ArrayType(FloatType, _) => row.getSeq[Float](i)
     case ArrayType(DoubleType, _) => row.getSeq[Double](i)
     case _ => row.get(i)
   }
 
-  private def propsOf(row: Row, schema: StructType): Map[String, Any] =
+  private[engine] def propsOf(row: Row, schema: StructType): Map[String, Any] =
     schema.fields.zipWithIndex.collect {
       case (f, i) if !Routing.contains(f.name) && !row.isNullAt(i) =>
         Cypher.validateIdentifier(f.name, "property name") ->
           propValue(row, i, f.dataType)
     }.toMap
 
-  private def strCol(row: Row, schema: StructType,
+  private[engine] def strCol(row: Row, schema: StructType,
       name: String): Option[String] =
     if (!schema.fieldNames.contains(name)) None
     else {

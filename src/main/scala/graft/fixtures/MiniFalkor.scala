@@ -140,17 +140,19 @@ object MiniFalkor {
   }
 
   // the generator's canonical statement shapes (Cypher.scala); the id
-  // key clause is always a single pk field bound to one parameter
+  // key clause is always a single pk field bound to one parameter.
+  // private[fixtures]: MiniNeo4j executes the SAME statements over
+  // Bolt — the neo4j/falkordb connectors share the _cypher builders.
   private val Key = """\{`(\w+)`: \$\w+\}"""
-  private val NodeUpsertRe =
+  private[fixtures] val NodeUpsertRe =
     ("""MERGE \(n:`(\w+)` """ + Key + """\)(?: SET n \+= \$props)?""").r
-  private val NodeDeleteRe =
+  private[fixtures] val NodeDeleteRe =
     ("""MATCH \(n """ + Key + """\) DETACH DELETE n""").r
-  private val RelUpsertRe =
+  private[fixtures] val RelUpsertRe =
     ("""MERGE \(s(:`\w+`)? """ + Key + """\) MERGE \(t(:`\w+`)? """ + Key +
       """\) MERGE \(s\)-\[r:`(\w+)` """ + Key +
       """\]->\(t\)(?: SET r \+= \$props)?""").r
-  private val RelDeleteRe =
+  private[fixtures] val RelDeleteRe =
     ("""MATCH \(\)-\[r """ + Key + """\]->\(\) DELETE r""").r
 
   /** Split `CYPHER k=v … <statement>` into params + statement; no

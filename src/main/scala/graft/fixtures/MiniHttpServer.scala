@@ -15,6 +15,10 @@ import scala.util.control.NonFatal
   */
 abstract class MiniHttpServer(threadName: String) extends AutoCloseable {
 
+  // force the companion's static init (TCP_NODELAY) BEFORE the JDK
+  // server latches its config
+  MiniHttpServer.init
+
   private val server = HttpServer.create(
     new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 64)
   server.setExecutor(java.util.concurrent.Executors
@@ -112,4 +116,16 @@ abstract class MiniHttpServer(threadName: String) extends AutoCloseable {
 object MiniHttpServer {
   final class ApiError(val status: Int, msg: String)
       extends RuntimeException(msg)
+
+  /** The JDK HttpServer leaves Nagle ON; with small header+body
+    * writes every response stalls ~40 ms on the peer's delayed ACK —
+    * measured 44.6 ms/req on loopback, which turned the per-statement
+    * warehouse transports into 49 s gates. `sun.net.httpserver
+    * .nodelay` is read ONCE when the server's config class loads, so
+    * it must be set before the first HttpServer.create in the JVM —
+    * the constructor touches this val to guarantee ordering. */
+  private[fixtures] val init: Unit = {
+    if (System.getProperty("sun.net.httpserver.nodelay") == null)
+      System.setProperty("sun.net.httpserver.nodelay", "true")
+  }
 }

@@ -1,0 +1,239 @@
+package graft.fixtures
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket}
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import graft.engine.BoltWire
+import graft.engine.BoltWire.BoltStruct
+
+/** In-JVM neo4j stand-in speaking real Bolt 4.4 — the peer for
+  * [[graft.engine.BoltWire.Client]]: the version handshake, chunked
+  * PackStream messages (HELLO with basic-auth check, pipelined
+  * RUN/PULL, FAILURE → IGNORED → RESET recovery, GOODBYE), executing
+  * exactly the canonical Cypher shapes [[graft.engine.Cypher]]
+  * generates — the SAME statement set [[MiniFalkor]] accepts over
+  * RESP, because the reference's neo4j and falkordb connectors share
+  * the `_cypher.py` builders. Parameters arrive natively in the RUN
+  * message (no literal-prefix transport here); the MERGE key
+  * property lands ON the entity like a real server, and read-backs
+  * return genuine Node (tag 'N') / Relationship (tag 'R') structs.
+  */
+final class MiniNeo4j(user: String = "neo4j", password: String = "") {
+
+  import MiniFalkor.{NodeUpsertRe, NodeDeleteRe, RelUpsertRe, RelDeleteRe}
+  import MiniNeo4j._
+
+  private val server = new ServerSocket(0, 64,
+    java.net.InetAddress.getLoopbackAddress)
+  val port: Int = server.getLocalPort
+  val host: String = server.getInetAddress.getHostAddress
+
+  private val lock = new Object
+  private val nodes = mutable.LinkedHashMap.empty[String, GNode]
+  private val edges = mutable.LinkedHashMap.empty[String, GEdge]
+  private var nextEntityId = 0L
+
+  def nodeCount: Int = lock.synchronized(nodes.size)
+  def edgeCount: Int = lock.synchronized(edges.size)
+  /** Statements received, for transport-shape assertions. */
+  val statements = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  @volatile private var closed = false
+  private val acceptor = new Thread(() => acceptLoop(), "minineo4j-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def close(): Unit = { closed = true; server.close() }
+
+  private def acceptLoop(): Unit =
+    while (!closed) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => serve(sock), "minineo4j-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case NonFatal(_) => if (closed) return }
+    }
+
+  private def serve(sock: Socket): Unit = {
+    sock.setTcpNoDelay(true)
+    val in = new DataInputStream(
+      new BufferedInputStream(sock.getInputStream, 1 << 16))
+    val out = new DataOutputStream(
+      new BufferedOutputStream(sock.getOutputStream, 1 << 16))
+    def reply(payload: Array[Byte]): Unit = {
+      BoltWire.writeMessage(out, payload); out.flush()
+    }
+    try {
+      // handshake: magic + four proposed versions; we speak 4.4
+      val magic = in.readInt()
+      if (magic != 0x6060b017)
+        throw new IllegalStateException(f"bad bolt magic 0x$magic%08x")
+      val proposed = Vector.fill(4)(in.readInt())
+      if (!proposed.contains(0x00000404)) {
+        out.writeInt(0); out.flush(); return
+      }
+      out.writeInt(0x00000404); out.flush()
+
+      var authed = false
+      // a failed request leaves the server ignoring everything
+      // until RESET — the protocol's failure state machine
+      var failed = false
+      // Bolt couples RUN→PULL on one connection: the pending result
+      // is PER-CONNECTION state
+      var pendingRecords: Vector[Seq[Any]] = Vector.empty
+      while (true) {
+        val raw = new BoltWire.Unpacker(BoltWire.readMessage(in)).unpack()
+        val msg = raw match {
+          case s: BoltStruct => s
+          case other =>
+            throw new IllegalStateException(s"not a message: $other")
+        }
+        msg.tag match {
+          case BoltWire.MsgGoodbye => return
+          case BoltWire.MsgReset =>
+            failed = false
+            reply(BoltWire.messageOf(BoltWire.MsgSuccess, Map.empty))
+          case _ if failed =>
+            reply(BoltWire.messageOf(BoltWire.MsgIgnored))
+          case BoltWire.MsgHello =>
+            val meta = msg.fields.headOption
+              .map(_.asInstanceOf[Map[String, Any]]).getOrElse(Map.empty)
+            if (meta.get("scheme").contains("basic") &&
+              meta.get("principal").contains(user) &&
+              meta.get("credentials").contains(password)) {
+              authed = true
+              reply(BoltWire.messageOf(BoltWire.MsgSuccess, Map(
+                "server" -> "Neo4j/4.4.0 (MiniNeo4j)",
+                "connection_id" -> "bolt-1")))
+            } else {
+              reply(BoltWire.messageOf(BoltWire.MsgFailure, Map(
+                "code" -> "Neo.ClientError.Security.Unauthorized",
+                "message" -> "authentication failure")))
+              return // a real server closes after failed auth
+            }
+          case BoltWire.MsgRun if !authed =>
+            failed = true
+            reply(BoltWire.messageOf(BoltWire.MsgFailure, Map(
+              "code" -> "Neo.ClientError.Security.Unauthorized",
+              "message" -> "not authenticated")))
+          case BoltWire.MsgRun =>
+            val query = String.valueOf(msg.fields.head)
+            val params = msg.fields.lift(1)
+              .map(_.asInstanceOf[Map[String, Any]]).getOrElse(Map.empty)
+            statements.add(query)
+            try {
+              val (fields, records) = lock.synchronized(run(query, params))
+              reply(BoltWire.messageOf(BoltWire.MsgSuccess,
+                Map("fields" -> fields, "t_first" -> 0L)))
+              pendingRecords = records
+            } catch {
+              case NonFatal(e) =>
+                failed = true
+                reply(BoltWire.messageOf(BoltWire.MsgFailure, Map(
+                  "code" -> "Neo.ClientError.Statement.SyntaxError",
+                  "message" -> String.valueOf(e.getMessage))))
+            }
+          case BoltWire.MsgPull =>
+            pendingRecords.foreach(r =>
+              reply(BoltWire.messageOf(BoltWire.MsgRecord, r)))
+            pendingRecords = Vector.empty
+            reply(BoltWire.messageOf(BoltWire.MsgSuccess,
+              Map("type" -> "w", "t_last" -> 0L)))
+          case other =>
+            failed = true
+            reply(BoltWire.messageOf(BoltWire.MsgFailure, Map(
+              "code" -> "Neo.ClientError.Request.Invalid",
+              "message" -> f"unexpected message 0x$other%02x")))
+        }
+      }
+    } catch { case NonFatal(_) => () } finally sock.close()
+  }
+
+  /** Execute one canonical statement (caller holds [[lock]]).
+    * Returns (fields, records). */
+  private def run(stmt: String,
+      params: Map[String, Any]): (Vector[String], Vector[Seq[Any]]) = {
+    def p(name: String): Any = params.getOrElse(name,
+      throw new IllegalArgumentException(s"missing parameter $$$name"))
+    def props(name: String): Map[String, Any] = params.get(name) match {
+      case Some(m: Map[_, _]) =>
+        m.map { case (k, v) => String.valueOf(k) -> v }
+      case Some(other) =>
+        throw new IllegalArgumentException(s"$$${name} is not a map: $other")
+      case None => Map.empty
+    }
+    stmt match {
+      case NodeUpsertRe(label, pk) =>
+        val id = String.valueOf(p("key_0"))
+        val n = nodes.getOrElseUpdate(id,
+          { nextEntityId += 1; new GNode(nextEntityId) })
+        n.label = label
+        // a real MERGE sets the key property on create
+        n.props(pk) = p("key_0")
+        n.props ++= props("props")
+        (Vector.empty, Vector.empty)
+      case NodeDeleteRe(_) =>
+        val id = String.valueOf(p("key_0"))
+        nodes.remove(id)
+        edges.filterInPlace((_, e) => e.src != id && e.dst != id)
+        (Vector.empty, Vector.empty)
+      case RelUpsertRe(fromLabel, _, toLabel, _, relType, relPk) =>
+        val (from, to) = (String.valueOf(p("from_key_0")),
+          String.valueOf(p("to_key_0")))
+        def endpoint(id: String, label: String): GNode = {
+          val n = nodes.getOrElseUpdate(id,
+            { nextEntityId += 1; new GNode(nextEntityId) })
+          if (label != null && n.label == null)
+            n.label = label.stripPrefix(":`").stripSuffix("`")
+          n
+        }
+        endpoint(from, fromLabel)
+        endpoint(to, toLabel)
+        val id = String.valueOf(p("rel_key_0"))
+        val e = edges.getOrElseUpdate(id,
+          { nextEntityId += 1; new GEdge(nextEntityId) })
+        e.rel = relType; e.src = from; e.dst = to
+        e.props(relPk) = p("rel_key_0")
+        e.props ++= props("props")
+        (Vector.empty, Vector.empty)
+      case RelDeleteRe(_) =>
+        edges.remove(String.valueOf(p("key_0")))
+        (Vector.empty, Vector.empty)
+      case "MATCH (n) RETURN n" =>
+        (Vector("n"), nodes.values.toVector.map(n => Seq(
+          BoltStruct(BoltWire.StructNode, Vector(
+            n.entityId,
+            if (n.label == null) Vector.empty else Vector(n.label),
+            n.props.toMap)))))
+      case "MATCH (s)-[r]->(t) RETURN r" =>
+        (Vector("r"), edges.values.toVector.map { e =>
+          Seq(BoltStruct(BoltWire.StructRelationship, Vector(
+            e.entityId,
+            nodes.get(e.src).map(_.entityId).getOrElse(-1L),
+            nodes.get(e.dst).map(_.entityId).getOrElse(-1L),
+            e.rel, e.props.toMap)))
+        })
+      case "MATCH (n) DETACH DELETE n" => // the truncate statement
+        nodes.clear(); edges.clear()
+        (Vector.empty, Vector.empty)
+      case other => throw new IllegalArgumentException(
+        s"fixture does not recognize statement: $other")
+    }
+  }
+}
+
+object MiniNeo4j {
+  final class GNode(val entityId: Long) {
+    var label: String = null
+    val props = mutable.LinkedHashMap.empty[String, Any]
+  }
+  final class GEdge(val entityId: Long) {
+    var rel: String = null
+    var src: String = null
+    var dst: String = null
+    val props = mutable.LinkedHashMap.empty[String, Any]
+  }
+}

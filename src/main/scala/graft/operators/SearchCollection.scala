@@ -26,6 +26,14 @@ import graft.engine._
   * Serving: [[knn]] (IVF-pruned), [[keyword]] (bucket-pruned BM25),
   * [[hybrid]] (RRF fusion) — the three retrieval modes every
   * reference vector target exposes.
+  *
+  * This is also the engine's answer for the reference's EMBEDDED
+  * vector stores — lancedb (local Lance tables) and zvec (embedded
+  * dense+sparse collections, zvec/_target.py:894-989): those
+  * connectors have no wire protocol to transport, only the
+  * rows+indexes-in-one-declare capability, which this implements
+  * natively on the engine's own storage (sparse retrieval rides
+  * [[Similarity]]'s sparse index, q87).
   */
 final class SearchCollection private (
     val rows: Flow,

@@ -951,6 +951,86 @@ object FlowPack extends QueryPack {
           flow.target.read(s).select("row_key", "n", "content_md5")
         } finally server.close()
       }),
+    // q85's graph model through the REAL neo4j wire: the same
+    // canonical Cypher statements, but over Bolt 4.4 with PackStream-
+    // native parameter maps (graft.fixtures.MiniNeo4j is the peer:
+    // version handshake, HELLO auth, pipelined RUN/PULL, genuine
+    // Node/Relationship structs on read-back), rerun proven a no-op,
+    // whole graph compared under the oracle.
+    Q(
+      "q100_neo4j_graph",
+      Some("""
+        SELECT 'n:doc_' || CAST(doc_id AS VARCHAR) AS row_key,
+               'Document' AS label, CAST(NULL AS VARCHAR) AS src,
+               CAST(NULL AS VARCHAR) AS dst, CAST(NULL AS VARCHAR) AS rel_type,
+               CAST(NULL AS VARCHAR) AS txt, CAST(n_chars AS BIGINT) AS n
+        FROM documents
+        UNION ALL
+        SELECT 'n:src_' || CAST(doc_id AS VARCHAR), 'Source', NULL, NULL,
+               NULL, source, NULL
+        FROM documents
+        UNION ALL
+        SELECT 'e:from_' || CAST(doc_id AS VARCHAR), NULL,
+               'doc_' || CAST(doc_id AS VARCHAR),
+               'src_' || CAST(doc_id AS VARCHAR), 'FROM_SOURCE', NULL, NULL
+        FROM documents"""),
+      (s, dir) => {
+        val server = new graft.fixtures.MiniNeo4j(password = "graft")
+        try {
+          val work = java.nio.file.Files.createTempDirectory("graft-neo4j-q100")
+          work.toFile.deleteOnExit()
+          val graphStage = CocoFn("graph", 1, fn = df => {
+            val docNodes = df.select(col("item_key"),
+              concat(lit("n:doc_"), col("item_key")).as("row_key"),
+              lit("Document").as("label"),
+              lit(null).cast("string").as("src"),
+              lit(null).cast("string").as("dst"),
+              lit(null).cast("string").as("rel_type"),
+              lit(null).cast("string").as("src_label"),
+              lit(null).cast("string").as("dst_label"),
+              lit(null).cast("string").as("txt"),
+              col("n_chars").cast("long").as("n"))
+            val srcNodes = df.select(col("item_key"),
+              concat(lit("n:src_"), col("item_key")).as("row_key"),
+              lit("Source").as("label"),
+              lit(null).cast("string").as("src"),
+              lit(null).cast("string").as("dst"),
+              lit(null).cast("string").as("rel_type"),
+              lit(null).cast("string").as("src_label"),
+              lit(null).cast("string").as("dst_label"),
+              col("source").as("txt"),
+              lit(null).cast("long").as("n"))
+            val edges = df.select(col("item_key"),
+              concat(lit("e:from_"), col("item_key")).as("row_key"),
+              lit(null).cast("string").as("label"),
+              concat(lit("doc_"), col("item_key")).as("src"),
+              concat(lit("src_"), col("item_key")).as("dst"),
+              lit("FROM_SOURCE").as("rel_type"),
+              lit("Document").as("src_label"),
+              lit("Source").as("dst_label"),
+              lit(null).cast("string").as("txt"),
+              lit(null).cast("long").as("n"))
+            docNodes.unionByName(srcNodes).unionByName(edges)
+          })
+          val flow = new Flow(
+            "neo4j_graph",
+            TableSource(sp => Tables(sp, dir, "documents"), keyCol = "doc_id"),
+            Seq(graphStage),
+            Neo4jBoltTarget(server.host, server.port, password = "graft",
+              nodeProps = Seq(
+                "txt" -> org.apache.spark.sql.types.StringType,
+                "n" -> org.apache.spark.sql.types.LongType),
+              writePartitions = 4),
+            work.resolve("state").toString)
+          flow.run(s)
+          require(flow.run(s).isNoop,
+            "incremental contract violated: neo4j rerun was not a no-op")
+          val back = flow.target.read(s)
+            .select("row_key", "label", "src", "dst", "rel_type", "txt", "n")
+          val rows = back.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 4), back.schema)
+        } finally server.close()
+      }),
     Q(
       "q63_topic_target",
       // the final compacted map after: produce all docs, then a second

@@ -1,0 +1,111 @@
+package graft.engine
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+import graft.fixtures.MiniNeo4j
+
+/** The Bolt transport: PackStream codec round-trips, the 4.4
+  * handshake + HELLO auth, the FAILURE→IGNORED→RESET state machine,
+  * and [[Neo4jBoltTarget]] driving the canonical Cypher statements
+  * with natively-bound parameters against [[MiniNeo4j]]. */
+class Neo4jBoltSpec extends SparkSpec {
+
+  private def withNeo[T](f: MiniNeo4j => T): T = {
+    val server = new MiniNeo4j(password = "graftpw")
+    try f(server) finally server.close()
+  }
+
+  test("packstream round-trips the bolt value universe") {
+    val values: Seq[Any] = Seq(
+      null, true, false, 0L, 1L, -1L, -16L, -17L, 127L, 128L, -129L,
+      32767L, -32768L, Int.MaxValue.toLong + 1, Long.MinValue,
+      1.5d, "", "hello", "x" * 300,
+      Vector(1L, "two", Vector(3L)),
+      Map("a" -> 1L, "b" -> Map("c" -> "d")),
+      BoltWire.BoltStruct(0x4e, Vector(7L, Vector("L"), Map("k" -> "v"))))
+    values.foreach { v =>
+      val packed = new BoltWire.Packer().pack(v).bytes
+      val back = new BoltWire.Unpacker(packed).unpack()
+      assert(back == v, s"round trip of $v gave $back")
+    }
+  }
+
+  test("handshake + auth: wrong credentials are rejected at HELLO") {
+    withNeo { s =>
+      val denied = intercept[BoltWire.BoltFailureException] {
+        new BoltWire.Client(s.host, s.port, "neo4j", "wrong")
+      }
+      assert(denied.code == "Neo.ClientError.Security.Unauthorized")
+      val c = new BoltWire.Client(s.host, s.port, "neo4j", "graftpw")
+      assert(c.negotiatedVersion == 0x00000404)
+      c.close()
+    }
+  }
+
+  test("FAILURE resets cleanly and the connection stays usable") {
+    withNeo { s =>
+      val c = new BoltWire.Client(s.host, s.port, "neo4j", "graftpw")
+      try {
+        val bad = intercept[BoltWire.BoltFailureException] {
+          c.run("THIS IS NOT CYPHER")
+        }
+        assert(bad.code == "Neo.ClientError.Statement.SyntaxError")
+        // after RESET the same connection executes fine
+        c.run(Cypher.nodeUpsert("Doc", Seq("id"), hasValueFields = false),
+          Map("key_0" -> "a"))
+        assert(s.nodeCount == 1)
+      } finally c.close()
+    }
+  }
+
+  test("Neo4jBoltTarget: nodes + edges upsert/delete, native params, readback") {
+    withNeo { s =>
+      val schema = StructType(Seq(
+        StructField("row_key", StringType), StructField("label", StringType),
+        StructField("src", StringType), StructField("dst", StringType),
+        StructField("rel_type", StringType), StructField("title", StringType),
+        StructField("weight", DoubleType)))
+      def df(rows: Row*) = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema)
+      val target = Neo4jBoltTarget(s.host, s.port, password = "graftpw",
+        nodeProps = Seq("title" -> StringType),
+        edgeProps = Seq("weight" -> DoubleType))
+
+      target.apply(spark, df(
+        Row("n:d1", "Doc", null, null, null, "alpha", null),
+        Row("n:d2", "Doc", null, null, null, "beta", null),
+        Row("e:cite1", null, "d1", "d2", "CITES", null, 0.5)),
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(StructField("row_key", StringType)))))
+      assert(s.nodeCount == 2 && s.edgeCount == 1)
+
+      // the wire carried the canonical statements
+      val stmts = s.statements.toArray.map(_.toString)
+      assert(stmts.contains(
+        "MERGE (n:`Doc` {`id`: $key_0}) SET n += $props"))
+      assert(stmts.exists(_.startsWith(
+        "MERGE (s {`id`: $from_key_0}) MERGE (t {`id`: $to_key_0}) " +
+          "MERGE (s)-[r:`CITES` {`id`: $rel_key_0}]->(t)")))
+
+      val back = target.read(spark).collect()
+      val byKey = back.map(r => r.getString(0) -> r).toMap
+      assert(byKey("n:d1").getAs[String]("title") == "alpha")
+      assert(byKey("n:d1").getAs[String]("label") == "Doc")
+      assert(byKey("e:cite1").getAs[String]("src") == "d1")
+      assert(byKey("e:cite1").getAs[String]("dst") == "d2")
+      assert(byKey("e:cite1").getAs[String]("rel_type") == "CITES")
+      assert(byKey("e:cite1").getAs[Double]("weight") == 0.5)
+
+      // delete the edge + one node; rerun converges
+      val delKeys = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row("e:cite1"), Row("n:d2")), 1),
+        StructType(Seq(StructField("row_key", StringType))))
+      target.apply(spark, df(), delKeys)
+      assert(s.nodeCount == 1 && s.edgeCount == 0)
+
+      target.truncate(spark)
+      assert(s.nodeCount == 0)
+    }
+  }
+}
