@@ -78,9 +78,12 @@ object BigQueryRest {
     def getTable(dataset: String, table: String)
         : Option[Vector[(String, String)]] =
       try {
-        val resp = HttpJson.request("GET",
+        // under the transport's retry taxonomy like every other call;
+        // 404 classifies as a global (non-retried) error and falls
+        // through to the None below
+        val resp = HttpJson.retrying()(HttpJson.request("GET",
           s"$baseUrl/bigquery/v2/projects/$project/datasets/$dataset/tables/$table",
-          headers = auth)
+          headers = auth))
         Some((resp.body \ "schema" \ "fields") match {
           case JArray(fs) => fs.toVector.map { f =>
             val n = (f \ "name") match { case JString(s) => s; case _ => "" }
@@ -124,6 +127,10 @@ final case class BigQueryTableTarget(baseUrl: String, project: String,
 
   SurrealTableTarget.validateIdentifier(dataset, "dataset name")
   SurrealTableTarget.validateIdentifier(table, "table name")
+  // GCP project ids allow dashes (and dots for domain-scoped ids) —
+  // a dedicated check keeps the backtick quoting unbreakable
+  require(project.matches("^[a-zA-Z0-9_.:-]+$"),
+    s"invalid BigQuery project id: '$project'")
 
   private def qname = s"`$project.$dataset.$table`"
 
@@ -136,9 +143,10 @@ final case class BigQueryTableTarget(baseUrl: String, project: String,
     client().query(s"DROP TABLE IF EXISTS $qname"); ()
   }
 
-  private def ensureTable(c: Client, schema: StructType): Unit = {
+  private def ensureTable(c: Client, schema: StructType,
+      observed0: Option[Vector[(String, String)]]): Unit = {
     val valueFields = schema.fields.filter(_.name != RowKey)
-    c.getTable(dataset, table) match {
+    observed0 match {
       case None =>
         c.query(s"CREATE SCHEMA IF NOT EXISTS `$project.$dataset`")
         val colDefs = (s"`$RowKey` STRING NOT NULL" +:
@@ -179,9 +187,12 @@ final case class BigQueryTableTarget(baseUrl: String, project: String,
       val nDel = del.count()
       if (nUp == 0 && nDel == 0) return TargetStats(0, 0)
 
+      // observe ONCE; a delete-only apply against an absent table is
+      // already converged — running the DELETEs would 404
       val c0 = client()
-      if (nUp > 0 || c0.getTable(dataset, table).isDefined)
-        ensureTable(c0, up.schema)
+      val observed = c0.getTable(dataset, table)
+      if (nUp > 0 || observed.isDefined) ensureTable(c0, up.schema, observed)
+      else return TargetStats(0, 0)
 
       val (url, proj, tok, qn) = (baseUrl, project, token, qname)
       if (nUp > 0) {

@@ -116,13 +116,15 @@ final case class DorisTableTarget(host: String, mysqlPort: Int,
   private def vectorDimOf(field: String): Option[Int] =
     observedDims.get(field)
 
-  private def ensureTable(c: MysqlWire.Client, schema: StructType): Unit = {
-    val observed: Map[String, String] =
-      try c.query(s"DESC `$database`.`$table`").rows
-        .map(r => r(0).get -> r(1).getOrElse("")).toMap
-      catch {
-        case e: MysqlWire.MysqlErrorException if e.code == 1146 => Map.empty
-      }
+  private def observedColumns(c: MysqlWire.Client): Map[String, String] =
+    try c.query(s"DESC `$database`.`$table`").rows
+      .map(r => r(0).get -> r(1).getOrElse("")).toMap
+    catch {
+      case e: MysqlWire.MysqlErrorException if e.code == 1146 => Map.empty
+    }
+
+  private def ensureTable(c: MysqlWire.Client, schema: StructType,
+      observed: Map[String, String]): Unit = {
     if (observed.isEmpty)
       c.query(createTableSql(schema))
     else
@@ -159,14 +161,15 @@ final case class DorisTableTarget(host: String, mysqlPort: Int,
           case _ => ()
         }
       }
-      withMysql { c =>
-        val tableExists =
-          try { c.query(s"DESC `$database`.`$table`"); true }
-          catch {
-            case e: MysqlWire.MysqlErrorException if e.code == 1146 => false
-          }
-        if (nUp > 0 || tableExists) ensureTable(c, up.schema)
+      // observe ONCE; a delete-only apply against an absent table is
+      // already converged — running the DELETEs would fail on 1146
+      val proceed = withMysql { c =>
+        val observed = observedColumns(c)
+        if (nUp > 0 || observed.nonEmpty) {
+          ensureTable(c, up.schema, observed); true
+        } else false
       }
+      if (!proceed) return TargetStats(0, 0)
 
       val (h, mp, hp, db, usr, pw, t, bs) =
         (host, mysqlPort, httpPort, database, user, password, table, batchSize)

@@ -142,7 +142,8 @@ final case class PgTableTarget(host: String, port: Int, database: String,
     else d
   }
 
-  private def ensureTable(c: PgWire.Client, schema: StructType): Unit = {
+  private def ensureTable(c: PgWire.Client, schema: StructType,
+      observed: Map[String, String]): Unit = {
     val valueFields = schema.fields.filter(_.name != RowKey)
     valueFields.foreach(f =>
       SurrealTableTarget.validateIdentifier(f.name, "column name"))
@@ -150,7 +151,6 @@ final case class PgTableTarget(host: String, port: Int, database: String,
         f.dataType.isInstanceOf[ArrayType] || vectorDims.contains(f.name)))
       c.query("CREATE EXTENSION IF NOT EXISTS vector")
 
-    val observed = observedColumns(c)
     if (observed.isEmpty) {
       val colDefs = (s""""$RowKey" text NOT NULL""" +:
         valueFields.toSeq.map(f => s""""${f.name}" ${declaredType(f)}""")) :+
@@ -216,9 +216,16 @@ final case class PgTableTarget(host: String, port: Int, database: String,
       val nDel = del.count()
       if (nUp == 0 && nDel == 0) return TargetStats(0, 0)
 
-      withClient { c =>
-        if (nUp > 0 || observedColumns(c).nonEmpty) ensureTable(c, up.schema)
+      // observe ONCE; a delete-only apply against an absent table is
+      // already converged (nothing to delete) — running the DELETEs
+      // would fail on 42P01, not converge
+      val tableExists = withClient { c =>
+        val observed = observedColumns(c)
+        if (nUp > 0 || observed.nonEmpty)
+          ensureTable(c, up.schema, observed)
+        nUp > 0 || observed.nonEmpty
       }
+      if (!tableExists) return TargetStats(0, 0)
 
       val (h, p, db, usr, t) = (host, port, database, user, table)
       if (nUp > 0) {
@@ -396,9 +403,24 @@ object PgTableTarget {
           s.stripPrefix("\\x").grouped(2)
             .map(Integer.parseInt(_, 16).toByte).toArray
         case PgWire.OidTimestamp | PgWire.OidTimestamptz =>
-          java.sql.Timestamp.from(
-            java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-              .toInstant(java.time.ZoneOffset.UTC))
+          // a real server renders timestamptz with an offset suffix
+          // ("2024-01-01 12:00:00.123456+00"); timestamp (and the
+          // fixture) without one — parse both
+          val iso = s.replace(' ', 'T')
+          val m = """([+-]\d{2})(:?\d{2})?$""".r.findFirstMatchIn(iso)
+          m match {
+            case Some(om) =>
+              val base = iso.substring(0, om.start)
+              val off = om.group(1) +
+                Option(om.group(2)).map(_.stripPrefix(":"))
+                  .map(":" + _).getOrElse(":00")
+              java.sql.Timestamp.from(
+                java.time.OffsetDateTime.parse(base + off).toInstant)
+            case None =>
+              java.sql.Timestamp.from(
+                java.time.LocalDateTime.parse(iso)
+                  .toInstant(java.time.ZoneOffset.UTC))
+          }
         case PgWire.OidDate => java.sql.Date.valueOf(s)
         case PgWire.OidNumeric => new java.math.BigDecimal(s)
         case PgWire.OidVector =>

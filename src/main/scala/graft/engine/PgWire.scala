@@ -170,7 +170,16 @@ object PgWire {
       var err: Option[PgErrorException] = None
       var ready = false
       while (!ready) {
-        val f = readFrame(in)
+        // a FATAL startup error (bad password/database) is followed by
+        // a server-side close, not ReadyForQuery — surface the recorded
+        // SQLSTATE-bearing error, not the EOF it causes
+        val f =
+          try readFrame(in)
+          catch {
+            case e: java.io.EOFException =>
+              throw err.getOrElse(new IllegalStateException(
+                "connection closed during pg startup", e))
+          }
         f.msgType match {
           case 'R' =>
             f.i32 match {

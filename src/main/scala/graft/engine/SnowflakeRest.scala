@@ -26,7 +26,12 @@ object SnowflakeRest {
       message: String)
       extends RuntimeException(s"$code ($sqlState): $message")
 
-  final case class SfResult(rowtype: Vector[(String, String)],
+  /** One result column: the rowtype's name/type plus the numeric
+    * scale (real servers report every integral/decimal column as
+    * `fixed` and distinguish them ONLY by scale). */
+  final case class SfColumn(name: String, colType: String, scale: Int)
+
+  final case class SfResult(rowtype: Vector[SfColumn],
       rowset: Vector[Vector[Option[String]]])
 
   /** One session (login happens eagerly). Not thread-safe — one per
@@ -71,7 +76,12 @@ object SnowflakeRest {
               val typ = (it \ "type") match {
                 case JString(s) => s; case _ => "text"
               }
-              name -> typ
+              val scale = (it \ "scale") match {
+                case JInt(n) => n.toInt
+                case JLong(n) => n.toInt
+                case _ => 0
+              }
+              SfColumn(name, typ, scale)
             }
             case _ => Vector.empty
           }
@@ -137,6 +147,8 @@ final case class SnowflakeTableTarget(baseUrl: String, account: String,
   import SnowflakeTableTarget._
 
   SurrealTableTarget.validateIdentifier(table, "table name")
+  SurrealTableTarget.validateIdentifier(database, "database name")
+  SurrealTableTarget.validateIdentifier(schemaName, "schema name")
 
   private def qname = s""""$database"."$schemaName"."$table""""
 
@@ -149,12 +161,14 @@ final case class SnowflakeTableTarget(baseUrl: String, account: String,
     client().execute(s"DROP TABLE IF EXISTS $qname"); ()
   }
 
-  private def ensureTable(c: Client, schema: StructType): Unit = {
+  private def observedColumns(c: Client): Map[String, String] =
+    try c.execute(s"DESC TABLE $qname").rowset
+      .map(r => r(0).get -> r(1).getOrElse("")).toMap
+    catch { case e: SnowflakeError if e.sqlState == "42S02" => Map.empty }
+
+  private def ensureTable(c: Client, schema: StructType,
+      observed: Map[String, String]): Unit = {
     val valueFields = schema.fields.filter(_.name != RowKey)
-    val observed: Map[String, String] =
-      try c.execute(s"DESC TABLE $qname").rowset
-        .map(r => r(0).get -> r(1).getOrElse("")).toMap
-      catch { case e: SnowflakeError if e.sqlState == "42S02" => Map.empty }
     if (observed.isEmpty) {
       c.execute(s"""CREATE DATABASE IF NOT EXISTS "$database"""")
       c.execute(s"""CREATE SCHEMA IF NOT EXISTS "$database"."$schemaName"""")
@@ -192,11 +206,12 @@ final case class SnowflakeTableTarget(baseUrl: String, account: String,
       val nDel = del.count()
       if (nUp == 0 && nDel == 0) return TargetStats(0, 0)
 
+      // observe ONCE; a delete-only apply against an absent table is
+      // already converged — running the DELETEs would fail on 42S02
       val c0 = client()
-      val exists =
-        try { c0.execute(s"DESC TABLE $qname"); true }
-        catch { case e: SnowflakeError if e.sqlState == "42S02" => false }
-      if (nUp > 0 || exists) ensureTable(c0, up.schema)
+      val observed = observedColumns(c0)
+      if (nUp > 0 || observed.nonEmpty) ensureTable(c0, up.schema, observed)
+      else return TargetStats(0, 0)
 
       val (url, acct, usr, pw, qn) = (baseUrl, account, user, password, qname)
       if (nUp > 0) {
@@ -233,12 +248,11 @@ final case class SnowflakeTableTarget(baseUrl: String, account: String,
     * driver-side, gate/serve-sized. */
   def read(spark: SparkSession): DataFrame = {
     val res = client().execute(s"SELECT * FROM $qname")
-    val schema = StructType(res.rowtype.map { case (n, t) =>
-      StructField(n, sparkTypeOf(t), nullable = true)
-    })
+    val schema = StructType(res.rowtype.map(c =>
+      StructField(c.name, sparkTypeOf(c.colType, c.scale), nullable = true)))
     val data = res.rowset.map { r =>
-      Row.fromSeq(res.rowtype.zipWithIndex.map { case ((_, t), i) =>
-        decodeValue(r(i), t)
+      Row.fromSeq(res.rowtype.zipWithIndex.map { case (c, i) =>
+        decodeValue(r(i), c.colType, c.scale)
       })
     }
     spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
@@ -295,10 +309,13 @@ object SnowflakeTableTarget {
       s" WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)"
   }
 
-  /** Snowflake result `rowtype.type` → Spark type. */
-  private[engine] def sparkTypeOf(t: String): DataType =
+  /** Snowflake result `rowtype.type` → Spark type. Every integral or
+    * decimal column reports `fixed`; the SCALE tells them apart — a
+    * scaled fixed decodes as DECIMAL, not Long. */
+  private[engine] def sparkTypeOf(t: String, scale: Int = 0): DataType =
     t.toLowerCase.takeWhile(_ != '(') match {
-      case "fixed" | "integer" | "bigint" => LongType
+      case "fixed" | "integer" | "bigint" =>
+        if (scale > 0) DecimalType(38, scale) else LongType
       case "real" | "double" => DoubleType
       case "boolean" => BooleanType
       case "binary" => BinaryType
@@ -307,11 +324,13 @@ object SnowflakeTableTarget {
       case _ => StringType
     }
 
-  private[engine] def decodeValue(v: Option[String], t: String): Any =
+  private[engine] def decodeValue(v: Option[String], t: String,
+      scale: Int = 0): Any =
     v match {
       case None => null
       case Some(s) => t.toLowerCase.takeWhile(_ != '(') match {
-        case "fixed" | "integer" | "bigint" => s.toLong
+        case "fixed" | "integer" | "bigint" =>
+          if (scale > 0) new java.math.BigDecimal(s) else s.toLong
         case "real" | "double" => s.toDouble
         case "boolean" => s.equalsIgnoreCase("true")
         case "binary" => s.grouped(2)

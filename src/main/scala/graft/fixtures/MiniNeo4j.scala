@@ -180,18 +180,23 @@ final class MiniNeo4j(user: String = "neo4j", password: String = "") {
         nodes.remove(id)
         edges.filterInPlace((_, e) => e.src != id && e.dst != id)
         (Vector.empty, Vector.empty)
-      case RelUpsertRe(fromLabel, _, toLabel, _, relType, relPk) =>
+      case RelUpsertRe(fromLabel, fromPk, toLabel, toPk, relType, relPk) =>
         val (from, to) = (String.valueOf(p("from_key_0")),
           String.valueOf(p("to_key_0")))
-        def endpoint(id: String, label: String): GNode = {
+        def endpoint(id: String, label: String, pk: String,
+            key: Any): GNode = {
           val n = nodes.getOrElseUpdate(id,
             { nextEntityId += 1; new GNode(nextEntityId) })
           if (label != null && n.label == null)
             n.label = label.stripPrefix(":`").stripSuffix("`")
+          // a real MERGE (s {pk: $key}) sets the key property on a
+          // created endpoint — without it, read-back can't identify
+          // a node that was only ever touched as an edge endpoint
+          if (!n.props.contains(pk)) n.props(pk) = key
           n
         }
-        endpoint(from, fromLabel)
-        endpoint(to, toLabel)
+        endpoint(from, fromLabel, fromPk, p("from_key_0"))
+        endpoint(to, toLabel, toPk, p("to_key_0"))
         val id = String.valueOf(p("rel_key_0"))
         val e = edges.getOrElseUpdate(id,
           { nextEntityId += 1; new GEdge(nextEntityId) })

@@ -83,9 +83,14 @@ final class MiniOci(namespace: String,
   protected def route(ex: HttpExchange, method: String, path: String,
       body: Array[Byte]): Unit = {
     verifySignature(ex, method, body)
+    // match on the RAW path: the `path` argument is already
+    // percent-decoded by the JDK server, so decoding a captured
+    // segment again would corrupt names with '+' or literal '%'
+    // (and a decoded %2F would have split the object name)
+    val raw = ex.getRequestURI.getRawPath
     val listRe = s"/n/([^/]+)/b/([^/]+)/o".r
     val objRe = s"/n/([^/]+)/b/([^/]+)/o/(.+)".r
-    path match {
+    raw match {
       case objRe(ns, _, rawName) =>
         requireNs(ns)
         val name = URLDecoder.decode(rawName, UTF_8)

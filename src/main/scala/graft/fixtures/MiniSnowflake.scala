@@ -75,7 +75,7 @@ final class MiniSnowflake extends MiniHttpServer("minisnowflake") {
           val res = store.execute(sql)
           val rowtype = JArray(res.columns.toList.map { case (n, t) =>
             JObject("name" -> JString(n), "type" -> JString(rowTypeOf(t)),
-              "nullable" -> JBool(true))
+              "scale" -> JInt(scaleOf(t)), "nullable" -> JBool(true))
           })
           val rowset = JArray(res.rows.toList.map(r =>
             JArray(r.toList.map {
@@ -103,6 +103,18 @@ final class MiniSnowflake extends MiniHttpServer("minisnowflake") {
       case other =>
         throw new MiniHttpServer.ApiError(404, s"no route: $other")
     }
+  }
+
+  /** Declared `DECIMAL(p,s)` → its result scale (a real server
+    * distinguishes integral from decimal `fixed` columns ONLY by
+    * scale). */
+  private def scaleOf(declared: String): Int = {
+    val u = declared.toUpperCase
+    if (u.startsWith("DECIMAL") || u.startsWith("NUMERIC") ||
+      u.startsWith("NUMBER"))
+      """\(\s*\d+\s*,\s*(\d+)\s*\)""".r.findFirstMatchIn(u)
+        .map(_.group(1).toInt).getOrElse(0)
+    else 0
   }
 
   /** Declared DDL type → the result `rowtype.type` a real server

@@ -287,6 +287,36 @@ class PgWireSpec extends SparkSpec {
     }
   }
 
+  test("a delete-only apply against an absent table converges as a no-op") {
+    withPg { pg =>
+      val target = PgTableTarget(pg.host, pg.port, "testdb", "ghost")
+      val keys = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row("k1"), Row("k2")), 1),
+        StructType(Seq(StructField("row_key", StringType))))
+      val emptyUp = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], chunkSchema)
+      // the rows can't exist if the table doesn't — must not 42P01
+      target.apply(spark, emptyUp, keys)
+      assert(pg.table("ghost").isEmpty)
+    }
+  }
+
+  test("timestamptz decode handles a real server's offset suffix") {
+    // the fixture emits no offset, but a real timestamptz renders
+    // "…+00" / "…-05:30" — both must decode to the same instant
+    val base = PgTableTarget.decodeValue(
+      Some("2024-01-01 12:00:00.123456"), PgWire.OidTimestamp)
+      .asInstanceOf[java.sql.Timestamp]
+    val utc = PgTableTarget.decodeValue(
+      Some("2024-01-01 12:00:00.123456+00"), PgWire.OidTimestamptz)
+      .asInstanceOf[java.sql.Timestamp]
+    assert(base == utc)
+    val offset = PgTableTarget.decodeValue(
+      Some("2024-01-01 17:30:00.123456+05:30"), PgWire.OidTimestamptz)
+      .asInstanceOf[java.sql.Timestamp]
+    assert(offset == utc)
+  }
+
   test("pgvector <=> serving: nearest-first, param LIMIT, dim check") {
     withPg { pg =>
       val schema = StructType(Seq(

@@ -118,6 +118,38 @@ class WarehouseTargetSpec extends SparkSpec {
     } finally sf.close()
   }
 
+  test("snowflake: DECIMAL columns decode with scale; delete-only absent table no-ops") {
+    val sf = new MiniSnowflake
+    try {
+      val decSchema = StructType(Seq(
+        StructField("row_key", StringType),
+        StructField("qty", LongType),
+        StructField("price", DecimalType(12, 2))))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row("a", 3L, new java.math.BigDecimal("1.50"))), 1), decSchema)
+      val target = SnowflakeTableTarget(sf.baseUrl, "acct",
+        "graftdb", "public", "priced")
+      target.apply(spark, df, emptyKeys)
+      val back = target.read(spark).collect().head
+      // every integral/decimal column reports `fixed` — scale tells
+      // them apart: qty stays Long, price comes back as a DECIMAL
+      assert(back.getAs[Long]("qty") == 3L)
+      assert(back.getAs[java.math.BigDecimal]("price")
+        .compareTo(new java.math.BigDecimal("1.50")) == 0)
+
+      // delete-only against an absent table: converged no-op
+      val ghost = SnowflakeTableTarget(sf.baseUrl, "acct",
+        "graftdb", "public", "ghost")
+      val keys = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row("k")), 1),
+        StructType(Seq(StructField("row_key", StringType))))
+      ghost.apply(spark, spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], chunkSchema), keys)
+      assert(sf.table("ghost").isEmpty)
+    } finally sf.close()
+  }
+
   // ---- bigquery ----------------------------------------------------
 
   test("BigQueryTableTarget: named-param MERGE converges; tables.get observes") {
