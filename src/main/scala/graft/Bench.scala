@@ -59,21 +59,30 @@ object Bench {
     // stamp-and-record. SPARK_GRAFT_BENCH_FORCE=1 overrides.
     val quiesceMs =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIESCE_MS", "60000").toLong
+    // Non-JVM load contends the measurement just as hard as a foreign
+    // JVM (the r10 lesson: load 2.46 at start with other_jvms=0 read
+    // as phantom 3-5x regressions). On a 32-cpu box an idle baseline
+    // sits near 0; anything above ~1.5 means someone else is running.
+    val loadMax =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "1.5").toDouble
     val t0 = System.currentTimeMillis()
     var jvmsAtStart = otherJvms()
-    while (jvmsAtStart > 0 &&
+    var loadNow = loadAvg()
+    while ((jvmsAtStart > 0 || loadNow > loadMax) &&
         System.currentTimeMillis() - t0 < quiesceMs) {
       System.err.println(
-        s"[bench] waiting for $jvmsAtStart other JVM(s) to exit " +
-          "before recording...")
+        f"[bench] waiting to record: $jvmsAtStart other JVM(s), " +
+          f"load $loadNow%.2f (max $loadMax%.2f)...")
       Thread.sleep(5000)
       jvmsAtStart = otherJvms()
+      loadNow = loadAvg()
     }
-    if (jvmsAtStart > 0 && !sys.env.contains("SPARK_GRAFT_BENCH_FORCE")) {
+    if ((jvmsAtStart > 0 || loadNow > loadMax) &&
+        !sys.env.contains("SPARK_GRAFT_BENCH_FORCE")) {
       System.err.println(
-        s"[bench] REFUSING to record: $jvmsAtStart foreign JVM(s) alive " +
-          "would contend the measurement (SPARK_GRAFT_BENCH_FORCE=1 " +
-          "to override)")
+        f"[bench] REFUSING to record: $jvmsAtStart foreign JVM(s), " +
+          f"load $loadNow%.2f > $loadMax%.2f — a contended recording " +
+          "reads as a regression (SPARK_GRAFT_BENCH_FORCE=1 to override)")
       sys.exit(3)
     }
     // sampled AFTER the quiesce wait: a run that waited out a

@@ -29,7 +29,11 @@ object BigQueryRest {
 
     private def auth = Map("Authorization" -> s"Bearer $token")
 
-    /** jobs.query — one statement, NAMED parameters. */
+    /** jobs.query — one statement, NAMED parameters. A slow query
+      * (`jobComplete=false`) is polled via getQueryResults, and a
+      * result beyond one page (the API's default maxResults / 10 MB
+      * cap) is followed through `pageToken` until exhausted — the
+      * first page alone would silently truncate reads. */
     def query(sql: String, params: Seq[BqParam] = Nil): BqResult = {
       val qp = JArray(params.toList.map { p =>
         JObject(
@@ -45,10 +49,47 @@ object BigQueryRest {
         "useLegacySql" -> JBool(false),
         "parameterMode" -> JString("NAMED"),
         "queryParameters" -> qp)
-      val resp = HttpJson.retrying()(HttpJson.request("POST",
+      var page = HttpJson.retrying()(HttpJson.request("POST",
         s"$baseUrl/bigquery/v2/projects/$project/queries", Some(body),
-        headers = auth))
-      val fields = (resp.body \ "schema" \ "fields") match {
+        headers = auth)).body
+      def jobId: String = (page \ "jobReference" \ "jobId") match {
+        case JString(s) => s
+        case _ => throw new IllegalStateException(
+          "jobs.query response has no jobReference.jobId to poll/page")
+      }
+      def getResults(token: Option[String]): JValue = {
+        val q = token.map(t => s"?pageToken=$t").getOrElse("")
+        HttpJson.retrying()(HttpJson.request("GET",
+          s"$baseUrl/bigquery/v2/projects/$project/queries/$jobId$q",
+          headers = auth)).body
+      }
+      // incomplete job: poll getQueryResults until the server reports done
+      var polls = 0
+      while ((page \ "jobComplete") == JBool(false)) {
+        polls += 1
+        if (polls > 600) throw new IllegalStateException(
+          s"jobs.query job $jobId still not complete after $polls polls")
+        Thread.sleep(math.min(100L * polls, 2000L))
+        page = getResults(None)
+      }
+      val fields = parseFields(page)
+      val rows = Vector.newBuilder[Vector[Option[String]]]
+      rows ++= parseRows(page)
+      var token = (page \ "pageToken") match {
+        case JString(t) if t.nonEmpty => Some(t); case _ => None
+      }
+      while (token.isDefined) {
+        page = getResults(token)
+        rows ++= parseRows(page)
+        token = (page \ "pageToken") match {
+          case JString(t) if t.nonEmpty => Some(t); case _ => None
+        }
+      }
+      BqResult(fields, rows.result())
+    }
+
+    private def parseFields(body: JValue): Vector[(String, String)] =
+      (body \ "schema" \ "fields") match {
         case JArray(fs) => fs.toVector.map { f =>
           val n = (f \ "name") match { case JString(s) => s; case _ => "" }
           val t = (f \ "type") match { case JString(s) => s; case _ => "STRING" }
@@ -56,7 +97,9 @@ object BigQueryRest {
         }
         case _ => Vector.empty
       }
-      val rows = (resp.body \ "rows") match {
+
+    private def parseRows(body: JValue): Vector[Vector[Option[String]]] =
+      (body \ "rows") match {
         case JArray(rs) => rs.toVector.map { r =>
           (r \ "f") match {
             case JArray(cells) => cells.toVector.map { c =>
@@ -71,8 +114,6 @@ object BigQueryRest {
         }
         case _ => Vector.empty
       }
-      BqResult(fields, rows)
-    }
 
     /** tables.get — `Some(fields)` when the table exists, None on 404. */
     def getTable(dataset: String, table: String)
@@ -336,7 +377,23 @@ object BigQueryTableTarget {
         case "BOOL" | "BOOLEAN" => s.equalsIgnoreCase("true")
         case "BYTES" => java.util.Base64.getDecoder.decode(s)
         case "TIMESTAMP" | "DATETIME" =>
-          java.sql.Timestamp.from(java.time.Instant.parse(s))
+          // real jobs.query renders TIMESTAMP as epoch seconds in
+          // scientific notation ("1.6742208E9"); DATETIME (and the
+          // fallback) as an ISO civil string
+          if (s.matches("""-?\d+(\.\d+)?([eE][+-]?\d+)?""")) {
+            val bd = new java.math.BigDecimal(s)
+            val secs = bd.setScale(0, java.math.RoundingMode.FLOOR)
+            val nanos = bd.subtract(secs)
+              .movePointRight(9).longValueExact()
+            java.sql.Timestamp.from(
+              java.time.Instant.ofEpochSecond(secs.longValueExact(), nanos))
+          } else if (s.contains("T") || s.contains(" ")) {
+            val iso = s.replace(' ', 'T')
+            java.sql.Timestamp.from(
+              if (iso.endsWith("Z")) java.time.Instant.parse(iso)
+              else java.time.LocalDateTime.parse(iso)
+                .toInstant(java.time.ZoneOffset.UTC))
+          } else java.sql.Timestamp.from(java.time.Instant.parse(s))
         case "DATE" => java.sql.Date.valueOf(s)
         case "NUMERIC" | "BIGNUMERIC" => new java.math.BigDecimal(s)
         case _ => s

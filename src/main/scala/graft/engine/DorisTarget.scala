@@ -391,13 +391,32 @@ object DorisTableTarget {
       java.util.UUID.randomUUID().toString.take(8)
     val auth = java.util.Base64.getEncoder.encodeToString(
       s"$user:$password".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val resp = HttpJson.retrying()(HttpJson.requestText("PUT",
-      s"http://$host:$httpPort/api/$database/$table/_stream_load",
-      JsonMethods.compact(JsonMethods.render(JArray(rows.toList))),
-      contentType = "application/json",
-      headers = Map("format" -> "json", "strip_outer_array" -> "true",
-        "label" -> label, "Expect" -> "100-continue",
-        "Authorization" -> s"Basic $auth")))
+    val payload = JsonMethods.compact(JsonMethods.render(JArray(rows.toList)))
+    // "Expect: 100-continue" (which the reference client sends) is a
+    // JDK-restricted header that setRequestProperty silently drops —
+    // omitted rather than pretended.
+    val hdrs = Map("format" -> "json", "strip_outer_array" -> "true",
+      "label" -> label, "Authorization" -> s"Basic $auth")
+    // A real FE answers Stream Load with a 307 to a BE address and the
+    // client must re-PUT the body there with auth intact
+    // (doris/_target.py:613-622); HttpURLConnection refuses to replay
+    // a PUT body on 307, so redirects are followed by hand.
+    val resp = HttpJson.retrying() {
+      var url = s"http://$host:$httpPort/api/$database/$table/_stream_load"
+      var r = HttpJson.requestText("PUT", url, payload,
+        contentType = "application/json", headers = hdrs,
+        followRedirects = false)
+      var hops = 0
+      while ((r.status == 307 || r.status == 308) && hops < 3) {
+        url = r.location.getOrElse(throw new IllegalStateException(
+          s"stream load ${r.status} redirect without Location"))
+        r = HttpJson.requestText("PUT", url, payload,
+          contentType = "application/json", headers = hdrs,
+          followRedirects = false)
+        hops += 1
+      }
+      r
+    }
     resp.body \ "Status" match {
       case JString("Success") | JString("Publish Timeout") => ()
       case other => throw new IllegalStateException(

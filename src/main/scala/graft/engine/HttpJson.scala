@@ -18,7 +18,8 @@ import org.json4s.jackson.JsonMethods
   */
 object HttpJson {
 
-  final case class Response(status: Int, body: JValue)
+  final case class Response(status: Int, body: JValue,
+      location: Option[String] = None)
 
   /** One request. Throws ApiStatusException on status >= 400 (body
     * text in the message), IOException on transport faults — both
@@ -36,18 +37,25 @@ object HttpJson {
   def requestText(method: String, url: String, body: String,
       contentType: String = "text/plain",
       headers: Map[String, String] = Map.empty,
-      connectTimeoutMs: Int = 5000, readTimeoutMs: Int = 60000): Response =
+      connectTimeoutMs: Int = 5000, readTimeoutMs: Int = 60000,
+      followRedirects: Boolean = true): Response =
     requestBytes(method, url, Some((body.getBytes(UTF_8), contentType)),
-      headers, connectTimeoutMs, readTimeoutMs)
+      headers, connectTimeoutMs, readTimeoutMs, followRedirects)
 
   private def requestBytes(method: String, url: String,
       body: Option[(Array[Byte], String)],
       headers: Map[String, String],
-      connectTimeoutMs: Int, readTimeoutMs: Int): Response = {
+      connectTimeoutMs: Int, readTimeoutMs: Int,
+      followRedirects: Boolean = true): Response = {
     val conn = URI.create(url).toURL.openConnection()
       .asInstanceOf[HttpURLConnection]
     conn.setConnectTimeout(connectTimeoutMs)
     conn.setReadTimeout(readTimeoutMs)
+    // HttpURLConnection will NOT replay a PUT body across a 307
+    // anyway — callers that expect redirects (Doris Stream Load's
+    // FE→BE 307) must disable following and re-PUT to Location
+    // themselves
+    if (!followRedirects) conn.setInstanceFollowRedirects(false)
     conn.setRequestMethod(method)
     headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
     body.foreach { case (bytes, contentType) =>
@@ -70,7 +78,7 @@ object HttpJson {
       else try JsonMethods.parse(text) catch {
         case scala.util.control.NonFatal(_) => JString(text)
       }
-    Response(status, json)
+    Response(status, json, Option(conn.getHeaderField("Location")))
     // no conn.disconnect(): response streams are closed above, which
     // returns the connection to the JVM keep-alive pool — explicit
     // teardown forced a fresh TCP handshake on every store call and

@@ -106,25 +106,52 @@ object MysqlWire {
     def remaining: Int = body.length - pos
   }
 
+  /** A payload at/above 16 MB − 1 splits across frames per the
+    * multi-packet convention: each full 0xffffff frame continues in
+    * the next (sequence ids incrementing), terminated by a frame
+    * shorter than 0xffffff (possibly empty). */
   def writePacket(out: DataOutputStream, seq: Int,
       payload: Array[Byte]): Unit = {
-    out.write(payload.length & 0xff)
-    out.write((payload.length >> 8) & 0xff)
-    out.write((payload.length >> 16) & 0xff)
-    out.write(seq & 0xff)
-    out.write(payload)
+    var off = 0
+    var s = seq
+    var continue = true
+    while (continue) {
+      val n = math.min(payload.length - off, 0xffffff)
+      out.write(n & 0xff)
+      out.write((n >> 8) & 0xff)
+      out.write((n >> 16) & 0xff)
+      out.write(s & 0xff)
+      out.write(payload, off, n)
+      off += n; s += 1
+      // a final exactly-0xffffff frame requires an empty terminator
+      continue = off < payload.length || n == 0xffffff
+    }
   }
 
-  /** Returns (sequence id, payload). */
+  /** Returns (last sequence id, payload), reassembling the
+    * multi-packet convention: a frame of exactly 0xffffff bytes
+    * continues in the next. */
   def readPacket(in: DataInputStream): (Int, Array[Byte]) = {
-    val a = in.readUnsignedByte()
-    val b = in.readUnsignedByte()
-    val c = in.readUnsignedByte()
-    val len = a | (b << 8) | (c << 16)
-    val seq = in.readUnsignedByte()
-    val body = new Array[Byte](len)
-    in.readFully(body)
-    (seq, body)
+    def frame(): (Int, Array[Byte]) = {
+      val a = in.readUnsignedByte()
+      val b = in.readUnsignedByte()
+      val c = in.readUnsignedByte()
+      val len = a | (b << 8) | (c << 16)
+      val seq = in.readUnsignedByte()
+      val body = new Array[Byte](len)
+      in.readFully(body)
+      (seq, body)
+    }
+    var (seq, body) = frame()
+    if (body.length < 0xffffff) (seq, body) // the common single-frame case
+    else {
+      val buf = new java.io.ByteArrayOutputStream()
+      buf.write(body)
+      while (body.length == 0xffffff) {
+        val (s, b) = frame(); seq = s; body = b; buf.write(body)
+      }
+      (seq, buf.toByteArray)
+    }
   }
 
   /** `mysql_native_password`: SHA1(pass) XOR SHA1(scramble ·

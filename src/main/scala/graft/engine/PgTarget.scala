@@ -363,8 +363,12 @@ object PgTableTarget {
       case BinaryType =>
         "\\x" + row.getAs[Array[Byte]](i).map("%02x".format(_)).mkString
       case TimestampType =>
+        // explicit +00 offset: a timestamptz literal without one is
+        // parsed in the session TimeZone, so a non-UTC server would
+        // shift every written instant (the startup TimeZone=UTC pin
+        // is belt; this is suspenders)
         TsFormat.format(row.getTimestamp(i).toInstant
-          .atZone(java.time.ZoneOffset.UTC))
+          .atZone(java.time.ZoneOffset.UTC)) + "+00"
       case DateType => row.getDate(i).toString
       case _: DecimalType => row.getDecimal(i).toPlainString
       case ArrayType(FloatType, _) =>

@@ -159,9 +159,12 @@ object PgWire {
       new BufferedOutputStream(sock.getOutputStream, 1 << 16))
     private val w = new FrameWriter(out)
 
-    // startup: protocol 3.0 + user/database parameters
+    // startup: protocol 3.0 + user/database parameters. TimeZone is
+    // pinned to UTC so offset-less timestamptz literals (and any the
+    // server renders back) are never shifted by a server-local zone.
     w.i32(196608).cstr("user").cstr(user)
-      .cstr("database").cstr(database).raw(Array[Byte](0))
+      .cstr("database").cstr(database)
+      .cstr("TimeZone").cstr("UTC").raw(Array[Byte](0))
     w.sendUntyped()
     out.flush()
     awaitReady()

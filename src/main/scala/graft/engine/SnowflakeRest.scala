@@ -336,7 +336,19 @@ object SnowflakeTableTarget {
         case "binary" => s.grouped(2)
           .map(Integer.parseInt(_, 16).toByte).toArray
         case "timestamp_tz" | "timestamp_ntz" | "timestamp" =>
-          java.sql.Timestamp.from(java.time.Instant.parse(s))
+          // the real rowset form is epoch seconds with nano fraction,
+          // timestamp_tz with a trailing " <minutes+1440>" tz token
+          // ("1674220800.000000000 1440") — the instant is the epoch
+          // part; ISO-8601 kept as fallback
+          val epochPart = s.split(' ')(0)
+          if (epochPart.matches("""-?\d+(\.\d+)?""")) {
+            val bd = new java.math.BigDecimal(epochPart)
+            val secs = bd.setScale(0, java.math.RoundingMode.FLOOR)
+            val nanos = bd.subtract(secs)
+              .movePointRight(9).longValueExact()
+            java.sql.Timestamp.from(
+              java.time.Instant.ofEpochSecond(secs.longValueExact(), nanos))
+          } else java.sql.Timestamp.from(java.time.Instant.parse(s))
         case "date" => java.sql.Date.valueOf(s)
         case _ => s
       }

@@ -25,6 +25,63 @@ final class MiniBigQuery(token: String) extends MiniHttpServer("minibigquery") {
   /** Statements observed (first 100 chars). */
   val observedSql = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
+  /** Completed job results, pollable/pageable via
+    * `GET queries/{jobId}` (the real API's getQueryResults). */
+  private val jobs =
+    new java.util.concurrent.ConcurrentHashMap[String, store.Result]()
+  private val jobCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Rows per result page; a result larger than this pages via
+    * `pageToken` exactly like the API's maxResults / 10 MB cap. */
+  @volatile var pageRows: Int = Int.MaxValue
+
+  /** While > 0, each new jobs.query answers `jobComplete=false` once
+    * (decrementing) and the rows are only available by polling
+    * getQueryResults — exercises the client's slow-query path. */
+  @volatile var deferJobs: Int = 0
+
+  /** One jobs.query result page: schema + rows[offset, offset+pageRows)
+    * + pageToken when more remain. */
+  private def renderPage(jobId: String, res: store.Result,
+      offset: Int): JObject = {
+    val colTypes = res.columns.map(_._2.toUpperCase
+      .takeWhile(c => c != '(' && c != '<'))
+    val slice = res.rows.slice(offset, offset + math.max(1, pageRows))
+    val nextOffset = offset + slice.size
+    val page = JArray(slice.toList.map { r =>
+      JObject("f" -> JArray(r.toList.zip(colTypes).map {
+        // a real jobs.query renders TIMESTAMP values as epoch seconds
+        // in scientific notation ("1.6742208E9"), not the ISO text the
+        // client bound — emit that form so the client's epoch decoder
+        // is what the gates exercise
+        case (Some(v), "TIMESTAMP") =>
+          JObject("v" -> JString(try {
+            val inst = java.time.Instant.parse(v)
+            (inst.getEpochSecond + inst.getNano / 1e9).toString
+          } catch { case _: Exception => v }))
+        case (v, _) =>
+          JObject("v" -> v.map(JString(_)).getOrElse(JNull))
+      }))
+    })
+    val base = List(
+      "kind" -> JString("bigquery#queryResponse"),
+      "jobComplete" -> JBool(true),
+      "jobReference" -> JObject("jobId" -> JString(jobId)),
+      "schema" -> JObject("fields" -> JArray(
+        res.columns.toList.map { case (n, t) =>
+          JObject("name" -> JString(n),
+            "type" -> JString(t.takeWhile(c => c != '(' && c != '<')),
+            "mode" -> JString("NULLABLE"))
+        })),
+      "totalRows" -> JString(res.rows.size.toString),
+      "numDmlAffectedRows" -> JString(res.affected.toString),
+      "rows" -> page)
+    JObject(
+      if (nextOffset < res.rows.size)
+        base :+ ("pageToken" -> JString(nextOffset.toString))
+      else base)
+  }
+
   def table(name: String): Option[KeyedSqlStore.Table] =
     store.tables.get(name)
 
@@ -48,6 +105,7 @@ final class MiniBigQuery(token: String) extends MiniHttpServer("minibigquery") {
       bqError(401, "authError", "invalid authentication credentials")
 
     val queries = "/bigquery/v2/projects/([^/]+)/queries".r
+    val queriesGet = "/bigquery/v2/projects/([^/]+)/queries/([^/]+)".r
     val tablesGet =
       "/bigquery/v2/projects/([^/]+)/datasets/([^/]+)/tables/([^/]+)".r
     (method, path) match {
@@ -82,21 +140,26 @@ final class MiniBigQuery(token: String) extends MiniHttpServer("minibigquery") {
               case _ => bqError(400, "invalidQuery", e.getMessage)
             }
           }
-        val out = JObject(
-          "kind" -> JString("bigquery#queryResponse"),
-          "jobComplete" -> JBool(true),
-          "schema" -> JObject("fields" -> JArray(
-            res.columns.toList.map { case (n, t) =>
-              JObject("name" -> JString(n),
-                "type" -> JString(t.takeWhile(c => c != '(' && c != '<')),
-                "mode" -> JString("NULLABLE"))
-            })),
-          "totalRows" -> JString(res.rows.size.toString),
-          "numDmlAffectedRows" -> JString(res.affected.toString),
-          "rows" -> JArray(res.rows.toList.map(r =>
-            JObject("f" -> JArray(r.toList.map(v =>
-              JObject("v" -> v.map(JString(_)).getOrElse(JNull))))))))
-        replyJson(ex, 200, out)
+        val jobId = s"job_${jobCounter.incrementAndGet()}"
+        jobs.put(jobId, res)
+        if (deferJobs > 0) {
+          // a slow query: the first response reports jobComplete=false
+          // and the client must poll getQueryResults for the rows
+          deferJobs -= 1
+          replyJson(ex, 200, JObject(
+            "kind" -> JString("bigquery#queryResponse"),
+            "jobComplete" -> JBool(false),
+            "jobReference" -> JObject("jobId" -> JString(jobId))))
+        } else replyJson(ex, 200, renderPage(jobId, res, 0))
+      case ("GET", queriesGet(_, jobId)) =>
+        val res = Option(jobs.get(jobId)).getOrElse(
+          bqError(404, "notFound", s"Not found: Job $jobId"))
+        val offset = Option(ex.getRequestURI.getQuery).toSeq
+          .flatMap(_.split('&')).collectFirst {
+            case kv if kv.startsWith("pageToken=") =>
+              kv.stripPrefix("pageToken=").toInt
+          }.getOrElse(0)
+        replyJson(ex, 200, renderPage(jobId, res, offset))
       case ("GET", tablesGet(_, dataset, tname)) =>
         store.tables.get(tname) match {
           case None => bqError(404, "notFound",

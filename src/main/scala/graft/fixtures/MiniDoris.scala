@@ -61,7 +61,18 @@ final class MiniDoris extends MiniHttpServer("minidoris-http") {
 
   protected def route(ex: HttpExchange, method: String, path: String,
       body: Array[Byte]): Unit = {
-    val m = "/api/([^/]+)/([^/]+)/_stream_load".r.findFirstMatchIn(path)
+    // A real FE answers the Stream Load PUT with a 307 to a BE URL
+    // and expects the client to re-PUT the body there (auth intact).
+    // Emulated here by redirecting the bare /api path to /be/api so
+    // the client's manual-redirect path is what the gates exercise.
+    if (method == "PUT" && path.startsWith("/api/") &&
+        path.endsWith("/_stream_load")) {
+      ex.getResponseHeaders.set("Location", s"$baseUrl/be$path")
+      ex.sendResponseHeaders(307, -1)
+      ex.close()
+      return
+    }
+    val m = "/be/api/([^/]+)/([^/]+)/_stream_load".r.findFirstMatchIn(path)
     if (method != "PUT" || m.isEmpty)
       throw new MiniHttpServer.ApiError(404, s"no route: $method $path")
     val tableName = m.get.group(2)

@@ -77,10 +77,20 @@ final class MiniSnowflake extends MiniHttpServer("minisnowflake") {
             JObject("name" -> JString(n), "type" -> JString(rowTypeOf(t)),
               "scale" -> JInt(scaleOf(t)), "nullable" -> JBool(true))
           })
+          // a real server renders timestamp rowset values as epoch
+          // seconds with nano fraction plus the tz token (minutes+1440),
+          // NOT the ISO text the client inlined — emit that form so the
+          // client's epoch decoder is what the gates exercise
+          val colTypes = res.columns.map { case (_, t) => rowTypeOf(t) }
           val rowset = JArray(res.rows.toList.map(r =>
-            JArray(r.toList.map {
-              case None => JNull
-              case Some(v) => JString(v)
+            JArray(r.toList.zip(colTypes).map {
+              case (None, _) => JNull
+              case (Some(v), "timestamp_tz") =>
+                JString(try {
+                  val inst = java.time.Instant.parse(v)
+                  f"${inst.getEpochSecond}%d.${inst.getNano}%09d 1440"
+                } catch { case _: Exception => v })
+              case (Some(v), _) => JString(v)
             })))
           replyJson(ex, 200, JObject("success" -> JBool(true),
             "data" -> JObject("rowtype" -> rowtype, "rowset" -> rowset,

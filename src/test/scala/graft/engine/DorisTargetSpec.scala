@@ -36,6 +36,29 @@ class DorisTargetSpec extends SparkSpec {
 
   // ---- MySQL wire protocol ----------------------------------------
 
+  test("multi-packet framing: a >=16MB payload splits and reassembles") {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream,
+      DataInputStream, DataOutputStream}
+    // 0xffffff + a remainder, plus the boundary case of EXACTLY
+    // 0xffffff (which requires an empty terminating frame)
+    for (size <- Seq(0xffffff + 12345, 0xffffff, 100)) {
+      val payload = new Array[Byte](size)
+      new java.util.Random(size).nextBytes(payload)
+      val sink = new ByteArrayOutputStream()
+      MysqlWire.writePacket(new DataOutputStream(sink), 0, payload)
+      val framed = sink.toByteArray
+      // full frames + one terminating frame (empty when size is an
+      // exact multiple of 0xffffff), 4 header bytes each
+      val frames = size / 0xffffff + 1
+      assert(framed.length == size + 4 * frames)
+      val (seq, back) = MysqlWire.readPacket(
+        new DataInputStream(new ByteArrayInputStream(framed)))
+      assert(back.length == size)
+      assert(java.util.Arrays.equals(back, payload))
+      assert(seq == frames - 1)
+    }
+  }
+
   test("mysql handshake, COM_QUERY DDL, DESC, typed SELECT") {
     withDoris { d =>
       withMysql(d) { c =>

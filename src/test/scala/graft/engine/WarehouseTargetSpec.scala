@@ -209,4 +209,63 @@ class WarehouseTargetSpec extends SparkSpec {
         == Seq(0.5f, -1.25f))
     } finally bq.close()
   }
+
+  test("BigQuery: multi-page results and jobComplete=false polling") {
+    val bq = new MiniBigQuery("bq-test-token")
+    try {
+      val target = BigQueryTableTarget(bq.baseUrl, "proj", "ds", "paged",
+        token = "bq-test-token")
+      val rows = (0 until 10).map(i => (s"k$i", i.toLong, i, s"text $i"))
+      target.apply(spark, chunkDf(rows: _*), emptyKeys)
+
+      // a result beyond one page is followed through pageToken — a
+      // first-page-only client would silently return 3 of 10 rows
+      bq.pageRows = 3
+      val paged = target.read(spark).orderBy("row_key").collect()
+      assert(paged.length == 10)
+      assert(paged.map(_.getString(0)).toSeq ==
+        (0 until 10).map(i => s"k$i").sorted)
+
+      // a slow query (jobComplete=false) is polled via getQueryResults
+      bq.pageRows = Int.MaxValue
+      bq.deferJobs = 1
+      val deferred = target.read(spark).collect()
+      assert(deferred.length == 10)
+      assert(bq.deferJobs == 0)
+    } finally bq.close()
+  }
+
+  test("warehouse timestamps decode from the real epoch wire forms") {
+    // MiniSnowflake renders timestamp rowset values as
+    // "epoch.nnnnnnnnn 1440" and MiniBigQuery as "1.6742208E9" — the
+    // documented wire forms — so these round trips prove the epoch
+    // decoders, not an ISO-echo shortcut.
+    val tsSchema = StructType(Seq(
+      StructField("row_key", StringType),
+      StructField("at", TimestampType)))
+    val inst = java.time.Instant.parse("2023-01-20T12:34:56.123456Z")
+    def tsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("a", java.sql.Timestamp.from(inst))), 1), tsSchema)
+
+    val sf = new MiniSnowflake
+    try {
+      val t = SnowflakeTableTarget(sf.baseUrl, "acct", "graftdb",
+        "public", "stamped")
+      t.apply(spark, tsDf, emptyKeys)
+      val back = t.read(spark).collect().head
+      assert(back.getAs[java.sql.Timestamp]("at").toInstant == inst)
+    } finally sf.close()
+
+    val bq = new MiniBigQuery("bq-test-token")
+    try {
+      val t = BigQueryTableTarget(bq.baseUrl, "proj", "ds", "stamped",
+        token = "bq-test-token")
+      t.apply(spark, tsDf, emptyKeys)
+      val back = t.read(spark).collect().head
+      // the API's double rendering caps precision near the microsecond
+      val got = back.getAs[java.sql.Timestamp]("at").toInstant
+      assert(math.abs(java.time.Duration.between(got, inst).toNanos) < 1000)
+    } finally bq.close()
+  }
 }
