@@ -1,0 +1,167 @@
+package graft
+
+import graft.engine._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+
+/** The engine's own state-store scale shape — the Spark analog of the
+  * reference's `benchmarks/state_store/` sweep
+  * (benchmarks/state_store/README.md:1-40): isolate the state-store
+  * cost of the core lifecycle phases as the component count grows,
+  * with a no-op sink so nothing but the engine's own bookkeeping is
+  * measured.
+  *
+  * Phases per (N, M) cell, each against a fresh temp state dir:
+  *   - cold: first run — memo + tracking writes for all N components
+  *     (× M target states each)
+  *   - warm: second run — pure memo lookups, all hits; MUST commit
+  *     nothing (the no-op fast path skips the snapshot entirely)
+  *   - edit: one component's payload changed — O(changed) recompute
+  *     AND O(changed) state write (delta segments, not base rewrites)
+  *   - drop: revert all target states + clear state
+  *
+  * Alongside wall seconds, each phase records the state bytes
+  * PHYSICALLY WRITTEN (files in the new snapshot whose inode did not
+  * exist in the previous one — hard-linked carry-forward is
+  * metadata-only and correctly counts as zero).
+  *
+  * The contract (BASELINE.md "scale shape" target): cold grows
+  * ~linearly in N·M, warm is scale-independent (no-op), edit's write
+  * volume is O(changed) independent of N.
+  */
+object StateScale {
+
+  final case class Cell(
+      n: Int, m: Int,
+      coldSec: Double, warmSec: Double, editSec: Double, dropSec: Double,
+      coldBytes: Long, warmBytes: Long, editBytes: Long,
+      coldStats: RunStats, warmStats: RunStats, editStats: RunStats)
+
+  /** (inode → size) of every regular file under the state root. */
+  private def inodes(root: Path): Map[Long, Long] =
+    if (!Files.exists(root)) Map.empty
+    else {
+      val out = Map.newBuilder[Long, Long]
+      val it = Files.walk(root).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (Files.isRegularFile(p))
+          out += (Files.getAttribute(p, "unix:ino").asInstanceOf[Long] ->
+            Files.size(p))
+      }
+      out.result()
+    }
+
+  /** Run one (N, M) cell against fresh temp dirs. */
+  def runCell(spark: SparkSession, n: Int, m: Int): Cell = {
+    val work = Files.createTempDirectory(s"state_scale_${n}_$m")
+    work.toFile.deleteOnExit()
+    val srcDir = work.resolve("src").toString
+    val stateDir = work.resolve("state")
+
+    def writeSource(editKey: Option[Long]): Unit =
+      spark.range(n.toLong).toDF("k")
+        .withColumn("payload",
+          when(lit(editKey.getOrElse(-1L)) === col("k"), lit("EDITED"))
+            .otherwise(concat(lit("payload-"), col("k"))))
+        .repartition(8)
+        .write.mode("overwrite").parquet(srcDir)
+
+    // M target states per component; M = 0 leaves pure component
+    // bookkeeping (the reference's default), exactly like its no-op
+    // fake target (benchmarks/state_store/main.py)
+    val stage = CocoFn("fanout", 1, Seq(s"m=$m"), df =>
+      if (m == 0)
+        df.select(col("item_key"), col("item_key").as("row_key"),
+          col("payload")).limit(0)
+      else
+        df.select(col("item_key"), explode(
+            sequence(lit(0), lit(m - 1))).as("i"), col("payload"))
+          .select(col("item_key"),
+            concat(col("item_key"), lit("#"), col("i")).as("row_key"),
+            col("payload")))
+
+    val flow = new Flow(s"state_scale_${n}_$m",
+      TableSource(sp => sp.read.parquet(srcDir), "k"),
+      Seq(stage), NoopTarget, stateDir.toString)
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def bytesWritten(before: Map[Long, Long]): Long =
+      inodes(stateDir).collect {
+        case (ino, sz) if !before.contains(ino) => sz
+      }.sum
+
+    writeSource(None)
+    val pre = inodes(stateDir)
+    val (coldStats, coldSec) = timed(flow.run(spark))
+    val coldBytes = bytesWritten(pre)
+
+    val preWarm = inodes(stateDir)
+    val (warmStats, warmSec) = timed(flow.run(spark))
+    val warmBytes = bytesWritten(preWarm)
+
+    writeSource(Some(0L)) // 1 of N components changes
+    val preEdit = inodes(stateDir)
+    val (editStats, editSec) = timed(flow.run(spark))
+    val editBytes = bytesWritten(preEdit)
+
+    val (_, dropSec) = timed(flow.drop(spark))
+    Cell(n, m, coldSec, warmSec, editSec, dropSec,
+      coldBytes, warmBytes, editBytes, coldStats, warmStats, editStats)
+  }
+
+  def toJson(cells: Seq[Cell]): String =
+    cells.map { c =>
+      f"""{"n":${c.n},"m":${c.m},"cold_sec":${c.coldSec}%.3f,""" +
+      f""""warm_sec":${c.warmSec}%.3f,"edit_sec":${c.editSec}%.3f,""" +
+      f""""drop_sec":${c.dropSec}%.3f,"cold_bytes":${c.coldBytes},""" +
+      f""""warm_bytes":${c.warmBytes},"edit_bytes":${c.editBytes},""" +
+      s""""cold_recomputed":${c.coldStats.recomputed},""" +
+      s""""warm_noop":${c.warmStats.isNoop},""" +
+      s""""edit_recomputed":${c.editStats.recomputed}}"""
+    }.mkString("""{"cells":[""", ",", "]}")
+}
+
+/** The no-op sink: the engine runs its full classify/reconcile/commit
+  * lifecycle and the target does nothing — the reference's fake
+  * target (benchmarks/state_store/main.py). Counts force the
+  * action-frame materialization so planning isn't skipped. */
+object NoopTarget extends Target {
+  override def containerSignature: String = "noop"
+  def apply(spark: SparkSession, upserts: DataFrame, deleteKeys: DataFrame)
+      : TargetStats = TargetStats(upserts.count(), deleteKeys.count())
+  def read(spark: SparkSession): DataFrame = spark.emptyDataFrame
+}
+
+object StateScaleBench {
+  def main(args: Array[String]): Unit = {
+    val ns = sys.env.getOrElse("SPARK_GRAFT_SCALE_NS", "100,1000,10000")
+      .split(",").map(_.trim.toInt).toSeq
+    val ms = sys.env.getOrElse("SPARK_GRAFT_SCALE_MS", "0,2")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]")
+        .appName("graft-state-scale"), cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cells = for (m <- ms; n <- ns) yield {
+      val c = StateScale.runCell(spark, n, m)
+      System.err.println(
+        f"[state-scale] n=$n m=$m cold=${c.coldSec}%.2fs " +
+        f"warm=${c.warmSec}%.2fs edit=${c.editSec}%.2fs " +
+        f"drop=${c.dropSec}%.2fs coldBytes=${c.coldBytes} " +
+        f"editBytes=${c.editBytes} warmNoop=${c.warmStats.isNoop}")
+      c
+    }
+    val json = StateScale.toJson(cells)
+    Files.write(Paths.get("STATE_SCALE.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}

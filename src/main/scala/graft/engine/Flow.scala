@@ -489,10 +489,14 @@ final class Flow(
 
     // ---- commit the new state snapshot --------------------------------
     // (reference commit_in_txn, execution.rs:400-665; child GC :1838 is
-    // the anti-join that drops gone components' memo + tracking rows)
-    val keptMemo = memo
-      .join(probe.filter(col("cls") === "unchanged").select("item_key"),
-        Seq("item_key"), "left_semi")
+    // the tombstone set that drops gone components' memo + tracking
+    // rows). Every table commits as a DELTA segment — upserts for the
+    // run's changed/refreshed rows plus tombstones for the gone ones —
+    // so a 1-component change writes O(changed) state; the unchanged
+    // bulk of every family carries forward as hard links
+    // (StateStore.commitTables). Unchanged components never appear in
+    // any segment: their memo/tracking/state rows stay physically in
+    // place in the base.
     val refreshedMemo = memo.drop("memo_state")
       .join(level2.filter(col("cls2") === "refreshed").select("item_key"),
         Seq("item_key"), "left_semi")
@@ -503,39 +507,41 @@ final class Flow(
       .join(loadedFps, Seq("item_key"), "left")
       .select(col("item_key"), lit(pFp).as("processor_fp"),
         col("memo_state"), col("__content_fp").as("content_fp"))
-    val newMemo = keptMemo.unionByName(refreshedMemo)
-      .unionByName(recomputedMemo)
+    val memoCommit = StateStore.Delta(
+      refreshedMemo.unionByName(recomputedMemo), goneKeys)
 
-    // ownership preemption (reference execution.rs:771-833): a row_key
-    // declared this run evicts any stale tracking row held by another
-    // component — the target MERGE already overwrote the row, so the
-    // new declarer must become its sole tracked owner
-    val keptTracking0 = tracking
-      .join(scopeKeys, Seq("item_key"), "left_anti")
-      .join(desired.select("row_key"), Seq("row_key"), "left_anti")
-    // destructive: the container was recreated — no pre-existing row
-    // survived, so no stale tracking may survive either
-    val keptTracking =
-      if (planned.destructive) keptTracking0.limit(0) else keptTracking0
-    val newTracking = keptTracking
-      .select("item_key", "row_key", "value_fp")
-      .unionByName(desired.select("item_key", "row_key", "value_fp"))
+    // tracking: every desired row upserts — latest-wins on row_key IS
+    // the ownership preemption (reference execution.rs:771-833): a
+    // row_key declared this run shadows any stale tracking row held by
+    // another component. Delete-action rows tombstone. Destructive:
+    // the container was recreated — no pre-existing row survived, so
+    // tracking is rewritten as exactly the desired set.
+    val desiredTracking = desired.select("item_key", "row_key", "value_fp")
+    val trackingCommit: StateStore.TableCommit =
+      if (planned.destructive) StateStore.Full(desiredTracking)
+      else StateStore.Delta(desiredTracking, deleteKeys)
 
     // errors reconcile unconditionally: a stage that STOPPED emitting
     // __error must still clear the stale failure records of the
-    // components that recomputed cleanly (and of deleted components)
-    val errorTables: Map[String, DataFrame] = {
-      val prevErrors = st.read("errors", ErrorsSchema)
-      val newFailed =
-        if (hasErrors) failed
-        else spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ErrorsSchema)
-      Map("errors" -> prevErrors
-        .join(scopeKeys, Seq("item_key"), "left_anti")
-        .unionByName(newFailed))
-    }
-    val stateTables = errorTables ++ Map("component_memo" -> newMemo,
-      "tracking" -> newTracking) ++ targetStateTable(spark, planned) ++
+    // components that recomputed cleanly (and of deleted components) —
+    // tombstone every scope component's previous failures, upsert the
+    // new ones (upserts shadow their own tombstones in-segment)
+    val errorTables: Map[String, StateStore.TableCommit] =
+      if (!hasErrors && !st.tableExists("errors")) Map.empty
+      else {
+        val prevErrors = st.read("errors", ErrorsSchema)
+        val newFailed =
+          if (hasErrors) failed
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ErrorsSchema)
+        Map("errors" -> StateStore.Delta(newFailed,
+          prevErrors.join(scopeKeys, Seq("item_key"), "left_semi")
+            .select("item_key", "row_key")))
+      }
+    val stateTables: Map[String, StateStore.TableCommit] = errorTables ++
+      Map("component_memo" -> memoCommit, "tracking" -> trackingCommit) ++
+      targetStateTable(spark, planned)
+        .map { case (n, df) => n -> StateStore.Full(df) } ++
       userStateFn.map { fn =>
       val prev = st.read("user_state", UserStateSchema)
       val prevChanged = prev.join(changedKeys, Seq("item_key"), "left_semi")
@@ -543,10 +549,11 @@ final class Flow(
         .select(col("item_key"), col("state_key"), col("value").cast("string"))
       // unchanged components keep state; changed components' state is
       // exactly what they redeclared; gone components' state is pruned
-      "user_state" -> prev.join(scopeKeys, Seq("item_key"), "left_anti")
-        .unionByName(declared)
+      "user_state" -> (StateStore.Delta(declared,
+        prev.join(scopeKeys, Seq("item_key"), "left_semi")
+          .select("item_key", "state_key")): StateStore.TableCommit)
     }
-    st.commit(stateTables)
+    st.commitTables(stateTables)
     afterCommit.foreach(_.apply())
 
     val stats = RunStats(

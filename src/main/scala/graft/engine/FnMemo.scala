@@ -95,10 +95,22 @@ object FnMemo {
       .withColumn("scope", lit(name))
       .select("scope", "args_fp", "result_json")
     if (!computed.isEmpty) { // all-hit runs don't bump the state version
-      val all = store.readScoped("fn_memo", name, FnMemoSchema)
-        .unionByName(newEntries).dropDuplicates("scope", "args_fp")
-        .localCheckpoint()
-      store.commit(Map(shard -> all))
+      // delta commit: only the NEW entries are physically written —
+      // the existing cache carries forward as hard links, so a run
+      // that computes k new calls over a 10⁷-entry cache writes O(k).
+      // Exception: the shard's first commit while a legacy unsharded
+      // fn_memo still feeds readScoped must seed the full scope (a
+      // delta-only shard would shadow the legacy rows).
+      val mustSeed = !store.tableExists(shard) && store.tableExists("fn_memo")
+      if (mustSeed) {
+        val all = store.readScoped("fn_memo", name, FnMemoSchema)
+          .unionByName(newEntries).dropDuplicates("scope", "args_fp")
+          .localCheckpoint()
+        store.commit(Map(shard -> all))
+      } else
+        store.commitTables(Map(shard -> StateStore.Delta(
+          newEntries.localCheckpoint(),
+          newEntries.select("scope", "args_fp").limit(0))))
     }
 
     val replayed = hits.filter(col("result_json").isNotNull)
@@ -134,10 +146,19 @@ object FnMemo {
     val refKeys = referenced.select(col(referenced.columns.head).as("args_fp"))
     val dropped = memo.join(refKeys, Seq("args_fp"), "left_anti").count()
     if (dropped > 0) {
-      val kept = memo.join(refKeys, Seq("args_fp"), "left_semi")
-        .select("scope", "args_fp", "result_json")
-        .localCheckpoint()
-      store.commit(Map(shard -> kept))
+      val mustSeed = !store.tableExists(shard) && store.tableExists("fn_memo")
+      if (mustSeed) {
+        val kept = memo.join(refKeys, Seq("args_fp"), "left_semi")
+          .select("scope", "args_fp", "result_json")
+          .localCheckpoint()
+        store.commit(Map(shard -> kept))
+      } else {
+        // O(dropped) tombstones; survivors carry forward as hard links
+        val dels = memo.join(refKeys, Seq("args_fp"), "left_anti")
+          .select("scope", "args_fp").localCheckpoint()
+        store.commitTables(Map(shard -> StateStore.Delta(
+          memo.select("scope", "args_fp", "result_json").limit(0), dels)))
+      }
     }
     dropped
   }

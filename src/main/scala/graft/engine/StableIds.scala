@@ -61,15 +61,26 @@ object IdSequencer {
       .withColumn("id",
         row_number().over(Window.orderBy("seq_key")).cast("long") + maxId)
     val assigned = existing.unionByName(fresh).localCheckpoint()
-    val newTable = assigned.withColumn("scope", lit(scope))
+    // delta commit: only the FRESH assignments are physically written
+    // (historical ids are immutable — nothing to update, nothing to
+    // delete), so the cost of extending a 10⁷-key sequence by k keys
+    // is O(k), with the whole history carried forward as hard links.
+    // Exception: the shard's FIRST commit while a legacy unsharded
+    // table still feeds readScoped must seed the full scope — a
+    // delta-only shard would shadow the legacy rows and restart ids.
+    val freshRows = assigned
+      .join(inScope.select("seq_key"), Seq("seq_key"), "left_anti")
+      .withColumn("scope", lit(scope))
       .select("scope", "seq_key", "id")
-      // keep every historical assignment (ids are never reused), plus
-      // assignments for keys not present this run
-      .unionByName(inScope.join(k, Seq("seq_key"), "left_anti")
-        .select("scope", "seq_key", "id"))
-      .dropDuplicates("scope", "seq_key")
-      .localCheckpoint()
-    store.commit(Map(shard -> newTable))
+    val mustSeed = !store.tableExists(shard) && store.tableExists("id_seq")
+    if (mustSeed) {
+      val all = freshRows
+        .unionByName(inScope.select("scope", "seq_key", "id"))
+        .dropDuplicates("scope", "seq_key").localCheckpoint()
+      store.commit(Map(shard -> all))
+    } else if (!freshRows.isEmpty)
+      store.commitTables(Map(shard -> StateStore.Delta(
+        freshRows, freshRows.select("scope", "seq_key").limit(0))))
     assigned
   }
 }

@@ -12,13 +12,13 @@ import scala.util.Try
   * versioned parquet snapshots:
   *
   * {{{
-  *   stateDir/v=3/component_memo/…parquet
-  *   stateDir/v=3/tracking/…parquet
+  *   stateDir/v=3/component_memo/…parquet        # base table
+  *   stateDir/v=3/tracking@s000004/…parquet      # delta segment
   *   stateDir/_CURRENT            # contains "3"; atomically replaced
   * }}}
   *
-  * `commit` writes a complete new snapshot and then atomically moves
-  * the `_CURRENT` pointer. Convergence contract (the reference's
+  * `commit` writes a new snapshot and then atomically moves the
+  * `_CURRENT` pointer. Convergence contract (the reference's
   * "no rollback, convergent roll-forward",
   * docs processing_component.mdx): target writes are idempotent
   * keyed MERGEs and happen *before* the pointer flip, so a crash
@@ -29,10 +29,18 @@ import scala.util.Try
   * (execution.rs:806-827) because it commits per-component; a
   * whole-snapshot pointer collapses that to a single atomic rename.
   *
-  * State tables are metadata-scale (one row per source item / target
-  * row fingerprint), so full-snapshot rewrite is a bounded cost (the
-  * same order as a Delta checkpoint); a production variant would
-  * MERGE into a transactional table format instead.
+  * Write amplification: a table may be committed either [[StateStore.Full]]
+  * (complete rewrite — the reference's whole-DB LMDB txn analog) or
+  * [[StateStore.Delta]] (ONE new parquet segment holding just the
+  * run's upserts + delete tombstones). Delta commits make a changing
+  * run's state write O(changed rows), not O(components): every
+  * untouched base/segment directory carries forward as hard links
+  * (metadata-only). `read` merges base + segments latest-wins on the
+  * family's merge keys and filters tombstones — the Delta-log /
+  * LSM-compaction pattern on a plain filesystem. When a family
+  * accumulates more than [[StateStore.MaxSegments]] segments, the
+  * next Delta commit compacts it back to a single base (amortized
+  * O(N) every ~MaxSegments runs, so reads stay a bounded union).
   */
 final class StateStore(spark: SparkSession, rootDir: String) {
   import StateStore._
@@ -48,22 +56,67 @@ final class StateStore(spark: SparkSession, rootDir: String) {
     else 0L
   }
 
+  /** Directory names inside snapshot `v` (empty when absent). */
+  private def snapshotDirs(v: Long): Array[String] =
+    if (v <= 0) Array.empty
+    else Option(root.resolve(s"v=$v").toFile.listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName)
+
+  /** Segment dirs of `table` at version `v`, (name, seq) sorted by seq. */
+  private def segmentsOf(table: String, v: Long): Seq[(String, Long)] =
+    snapshotDirs(v).toSeq
+      .filter(_.startsWith(table + SegSep))
+      .flatMap { n =>
+        Try(n.drop(table.length + SegSep.length).toLong).toOption.map(n -> _)
+      }
+      .sortBy(_._2)
+
+  private def emptyDf(schema: StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
   /** Read a state table at the current version (empty with the right
-    * schema when absent). */
+    * schema when absent). Base + delta segments merge latest-wins on
+    * the family's merge keys; tombstones are filtered. */
   def read(table: String, schema: StructType): DataFrame = {
     val v = currentVersion
-    val dir = root.resolve(s"v=$v").resolve(table)
-    if (v > 0 && Files.exists(dir))
-      spark.read.schema(schema).parquet(dir.toString)
-    else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schema)
+    val base = root.resolve(s"v=$v").resolve(table)
+    val hasBase = v > 0 && Files.exists(base)
+    val segs = segmentsOf(table, v)
+    if (!hasBase && segs.isEmpty) emptyDf(schema)
+    else if (segs.isEmpty) spark.read.schema(schema).parquet(base.toString)
+    else {
+      import org.apache.spark.sql.functions._
+      val keys = StateStore.mergeKeysOf(table)
+      require(keys.nonEmpty,
+        s"state table $table has delta segments but no registered merge keys")
+      val segSchema = StructType(schema.fields :+
+        StructField(DelCol, org.apache.spark.sql.types.BooleanType))
+      val parts =
+        (if (hasBase)
+          Seq(spark.read.schema(schema).parquet(base.toString)
+            .withColumn(DelCol, lit(false)).withColumn(SeqCol, lit(0L)))
+        else Seq.empty) ++
+        segs.map { case (name, seq) =>
+          spark.read.schema(segSchema)
+            .parquet(root.resolve(s"v=$v").resolve(name).toString)
+            .withColumn(SeqCol, lit(seq))
+        }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*).orderBy(col(SeqCol).desc)
+      parts.reduce(_.unionByName(_))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && !col(DelCol))
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
   }
 
-  /** Whether `table` exists in the current snapshot. */
+  /** Whether `table` exists (base or any delta segment) in the
+    * current snapshot. */
   def tableExists(table: String): Boolean = {
     val v = currentVersion
-    v > 0 && Files.exists(root.resolve(s"v=$v").resolve(table))
+    v > 0 && (Files.exists(root.resolve(s"v=$v").resolve(table)) ||
+      segmentsOf(table, v).nonEmpty)
   }
 
   /** One scope's slice of a sharded family: its shard once that
@@ -89,49 +142,120 @@ final class StateStore(spark: SparkSession, rootDir: String) {
     * as hard links. */
   def readFamily(family: String, schema: StructType): DataFrame = {
     val v = currentVersion
-    val base = root.resolve(s"v=$v")
-    val dirs =
-      if (v > 0 && Files.exists(base))
-        Option(base.toFile.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory &&
-            (f.getName == family || f.getName.startsWith(family + "~")))
-      else Array.empty[java.io.File]
-    val (legacy, shards) = dirs.partition(_.getName == family)
-    def readDirs(ds: Array[java.io.File]): DataFrame =
-      spark.read.schema(schema).parquet(ds.map(_.getPath).toIndexedSeq: _*)
-    if (dirs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schema)
-    else if (legacy.isEmpty || shards.isEmpty) readDirs(dirs)
+    // distinct logical TABLE names of the family (segment suffixes
+    // stripped): the base family plus every `family~scope-hash` shard
+    val tables = snapshotDirs(v)
+      .map(n => n.indexOf(SegSep) match {
+        case -1 => n
+        case i  => n.take(i)
+      })
+      .distinct
+      .filter(n => n == family || n.startsWith(family + "~"))
+    val (legacy, shards) = tables.partition(_ == family)
+    def readAll(ts: Array[String]): DataFrame =
+      ts.map(read(_, schema)).reduce(_.unionByName(_))
+    if (tables.isEmpty) emptyDf(schema)
+    else if (legacy.isEmpty || shards.isEmpty) readAll(tables)
     else {
       // a scope that has migrated to its own shard was SEEDED from the
       // legacy table (readScoped) — its legacy rows are a frozen copy
       // that must not double-count or resurrect shard-pruned rows;
       // only scopes without a shard still read from legacy
-      val shardRows = readDirs(shards)
-      readDirs(legacy)
+      val shardRows = readAll(shards)
+      readAll(legacy)
         .join(shardRows.select("scope").distinct(), Seq("scope"), "left_anti")
         .unionByName(shardRows)
     }
   }
 
+  /** Full-rewrite commit of every given table (the original protocol;
+    * tables absent from `tables` carry forward as hard links). */
+  def commit(tables: Map[String, DataFrame]): Long =
+    commitTables(tables.map { case (n, df) => n -> Full(df) })
+
   /** Write the next snapshot, then atomically flip `_CURRENT`.
-    * Tables present in the current snapshot but absent from `tables`
-    * are carried forward untouched (file-level copy — a committer of
-    * memo+tracking must not lose id_seq/user_state). Returns the new
-    * version. */
-  def commit(tables: Map[String, DataFrame]): Long = {
+    * [[Full]] tables are rewritten (their old base + segments drop);
+    * [[Delta]] tables gain ONE new segment of upserts + tombstones —
+    * O(changed rows) of physical write. Every other directory in the
+    * current snapshot carries forward untouched as hard links
+    * (metadata-only — a committer of memo+tracking must not lose
+    * id_seq/user_state). Returns the new version. */
+  def commitTables(tables: Map[String, TableCommit]): Long = {
     val cur = currentVersion
     val next = cur + 1
     val dir = root.resolve(s"v=$next")
-    tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(dir.resolve(name).toString)
+    // resolve Delta → physical write plan; a family over MaxSegments
+    // compacts: its merged current content + the delta rewrites as a
+    // fresh base (amortized O(N) every ~MaxSegments delta commits)
+    var written = Set.empty[String] // logical tables written this commit
+    tables.foreach {
+      case (name, Full(df)) =>
+        df.write.mode("overwrite").parquet(dir.resolve(name).toString)
+        written += name
+      case (name, Delta(upserts, deleteKeys)) =>
+        val keys = mergeKeysOf(name)
+        require(keys.nonEmpty,
+          s"Delta commit of $name: no registered merge keys")
+        require(keys.forall(upserts.columns.contains),
+          s"Delta commit of $name: upserts missing key cols " +
+            keys.filterNot(upserts.columns.contains).mkString(","))
+        import org.apache.spark.sql.functions._
+        val schema = upserts.schema
+        val segs = segmentsOf(name, cur)
+        val hasBase = cur > 0 &&
+          Files.exists(root.resolve(s"v=$cur").resolve(name))
+        if (!hasBase && segs.isEmpty) {
+          // first commit of this table: the delta IS the content —
+          // write it as a clean base (tombstones have nothing to hit),
+          // so steady-state reads start from a single dir
+          upserts.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+            .write.mode("overwrite").parquet(dir.resolve(name).toString)
+          written += name
+        } else if (segs.size >= MaxSegments) {
+          // compact: merged view (lazy over the CURRENT version's
+          // files, which survive until prune keeps `next`-1) + delta
+          val base = read(name, schema)
+          val delKeys = deleteKeys
+            .select(keys.map(c => col(c)).toIndexedSeq: _*).distinct()
+          val merged = base
+            .join(upserts.select(keys.map(col).toIndexedSeq: _*)
+              .union(delKeys), keys, "left_anti")
+            .unionByName(upserts.select(schema.fieldNames.map(col)
+              .toIndexedSeq: _*))
+          merged.write.mode("overwrite").parquet(dir.resolve(name).toString)
+          written += name
+        } else {
+          val nextSeq = segs.lastOption.map(_._2 + 1).getOrElse(1L)
+          // a key both deleted and re-upserted must survive: the
+          // upsert wins within a segment (tombstones are anti-joined)
+          val ups = upserts
+            .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+            .withColumn(DelCol, lit(false))
+          val tombs = deleteKeys
+            .select(keys.map(col).toIndexedSeq: _*).distinct()
+            .join(upserts.select(keys.map(col).toIndexedSeq: _*),
+              keys, "left_anti")
+          val tombRows = schema.fields.filterNot(f => keys.contains(f.name))
+            .foldLeft(tombs)((df, f) =>
+              df.withColumn(f.name, lit(null).cast(f.dataType)))
+            .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+            .withColumn(DelCol, lit(true))
+          // small-delta segments coalesce to one file: the write cost
+          // of a 1-row change must be one small file, not 32 shards
+          ups.unionByName(tombRows).coalesce(1).write.mode("overwrite")
+            .parquet(dir.resolve(f"$name$SegSep$nextSeq%06d").toString)
+          // base + prior segments of this family carry forward below
+        }
     }
     val prevDir = root.resolve(s"v=$cur")
     if (cur > 0 && Files.exists(prevDir)) {
       import scala.jdk.CollectionConverters._
+      // a directory carries forward unless its logical table was
+      // REWRITTEN this commit (Full/compaction replaces base+segments)
+      def tableOf(n: String): String =
+        n.indexOf(SegSep) match { case -1 => n; case i => n.take(i) }
       Option(prevDir.toFile.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && !tables.contains(f.getName))
+        .filter(f => f.isDirectory && !written.contains(tableOf(f.getName)))
         .foreach { t =>
           val tgt = dir.resolve(t.getName)
           Files.walk(t.toPath).iterator().asScala.foreach { p =>
@@ -181,6 +305,46 @@ final class StateStore(spark: SparkSession, rootDir: String) {
 
 object StateStore {
   val CurrentFile = "_CURRENT"
+
+  /** Segment-dir separator: `tracking@s000004` is delta segment 4 of
+    * table `tracking`. (`~` is taken by scope shards; `@` is inert to
+    * both Hadoop path parsing and glob expansion.) */
+  val SegSep = "@s"
+
+  /** Tombstone marker column inside delta segments. */
+  val DelCol = "__del"
+
+  /** Merge-ordinal column (derived from the segment name at read). */
+  val SeqCol = "__seq"
+
+  /** Delta segments allowed per table before the next Delta commit
+    * compacts back to a single base — bounds the read-side union at
+    * O(MaxSegments) parquet dirs while keeping the per-run write at
+    * O(changed). */
+  val MaxSegments: Int =
+    sys.env.getOrElse("SPARK_GRAFT_STATE_MAX_SEGMENTS", "8").toInt
+
+  /** How a table is committed: [[Full]] rewrites it; [[Delta]] writes
+    * one segment of upserts + delete-key tombstones (O(changed)). */
+  sealed trait TableCommit
+  final case class Full(df: DataFrame) extends TableCommit
+  final case class Delta(upserts: DataFrame, deleteKeys: DataFrame)
+      extends TableCommit
+
+  /** Latest-wins merge keys per state family (shard names resolve to
+    * their family). A family absent here is Full-commit-only. */
+  def mergeKeysOf(table: String): Seq[String] = {
+    val family = table.split('~')(0)
+    family match {
+      case "component_memo" => Seq("item_key")
+      case "tracking"       => Seq("row_key")
+      case "errors"         => Seq("item_key", "row_key")
+      case "user_state"     => Seq("item_key", "state_key")
+      case "fn_memo"        => Seq("scope", "args_fp")
+      case "id_seq"         => Seq("scope", "seq_key")
+      case _                => Seq.empty
+    }
+  }
 
   /** Physical table name for one scope of a sharded family:
     * `family~<sanitized-scope>-<hash8>`. Committing a scope rewrites

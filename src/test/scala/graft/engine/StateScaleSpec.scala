@@ -1,0 +1,47 @@
+package graft.engine
+
+import graft.{SparkSpec, StateScale}
+
+/** The state-store scale shape (BASELINE.md's cold/warm/edit/drop
+  * target, mirroring reference benchmarks/state_store/): asserted on
+  * small N so the suite stays fast — the full sweep is
+  * `sbt "runMain graft.StateScaleBench"` → STATE_SCALE.json.
+  *
+  * Time-based asserts would be Spark fixed-overhead noise at these
+  * sizes; the contract is asserted structurally on the engine's
+  * OBSERVABLE state traffic: bytes physically written per phase.
+  */
+class StateScaleSpec extends SparkSpec {
+
+  test("cold linear-ish, warm commits nothing, edit writes O(changed)") {
+    val small = StateScale.runCell(spark, n = 50, m = 2)
+    val big = StateScale.runCell(spark, n = 800, m = 2)
+
+    // cold writes every component: byte volume grows with N — but
+    // sub-linearly per row (parquet/encoding overhead amortizes), so
+    // 16x the components must cost between ~2x and ~40x the bytes
+    assert(small.coldStats.recomputed == 50 && big.coldStats.recomputed == 800)
+    val ratio = big.coldBytes.toDouble / small.coldBytes
+    assert(ratio > 2.0 && ratio < 40.0,
+      s"cold bytes should scale with N: 50→${small.coldBytes}B, " +
+        s"800→${big.coldBytes}B (ratio $ratio)")
+
+    // warm: all memo hits — the run is a no-op and commits NOTHING
+    // (scale-independence: the reference's warm phase is pure lookups)
+    assert(small.warmStats.isNoop && big.warmStats.isNoop)
+    assert(small.warmBytes == 0 && big.warmBytes == 0,
+      s"warm run must not write state (got ${small.warmBytes}/${big.warmBytes})")
+
+    // edit of 1 component: state write volume is O(changed), NOT O(N) —
+    // delta segments only, with the base carried forward as hard links.
+    // Both sizes change exactly one component, so the written bytes
+    // must be small AND essentially independent of N.
+    assert(small.editStats.recomputed == 1 && big.editStats.recomputed == 1)
+    assert(big.editBytes < big.coldBytes / 4,
+      s"edit wrote ${big.editBytes}B vs cold ${big.coldBytes}B — " +
+        "not O(changed)")
+    assert(big.editBytes < small.editBytes * 4 + 4096,
+      s"edit bytes must not scale with N: n=50→${small.editBytes}B, " +
+        s"n=800→${big.editBytes}B")
+  }
+}

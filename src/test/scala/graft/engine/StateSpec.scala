@@ -121,12 +121,18 @@ class StateSpec extends SparkSpec {
     val store = new StateStore(spark, root.toString)
     IdSequencer.assign(spark, store, "alpha", Seq("a", "b").toDF("k"))
     val alphaShard = StateStore.shardName("id_seq", "alpha")
+    // alpha's physical dirs: its base and/or its delta segments
     def shardFiles(v: Long): Map[String, (Long, Array[Byte])] = {
-      val dir = root.resolve(s"v=$v").resolve(alphaShard)
-      Files.walk(dir).filter(Files.isRegularFile(_)).toArray.map { p0 =>
-        val p = p0.asInstanceOf[java.nio.file.Path]
-        val ino = Files.getAttribute(p, "unix:ino").asInstanceOf[Long]
-        dir.relativize(p).toString -> (ino, Files.readAllBytes(p))
+      val vdir = root.resolve(s"v=$v")
+      val dirs = Option(vdir.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith(alphaShard))
+      assert(dirs.nonEmpty, s"no physical dirs for $alphaShard at v=$v")
+      dirs.flatMap { d =>
+        Files.walk(d.toPath).filter(Files.isRegularFile(_)).toArray.map { p0 =>
+          val p = p0.asInstanceOf[java.nio.file.Path]
+          val ino = Files.getAttribute(p, "unix:ino").asInstanceOf[Long]
+          vdir.relativize(p).toString -> (ino, Files.readAllBytes(p))
+        }
       }.toMap
     }
     val v1 = store.currentVersion
