@@ -161,7 +161,16 @@ object BigQueryRest {
   */
 final case class BigQueryTableTarget(baseUrl: String, project: String,
     dataset: String, table: String, token: String,
-    writePartitions: Int = 4, deleteBatch: Int = 1000) extends Target {
+    writePartitions: Int = 4, deleteBatch: Int = 1000,
+    /** Rows per staging INSERT in the bulk write path: per writer
+      * partition, a stage table is loaded with chunked multi-row
+      * parameterized INSERTs, then ONE MERGE-from-stage applies the
+      * whole partition — jobs.query round trips are O(rows /
+      * bulkBatch), not O(rows) (the REST-surface analog of a load job
+      * + MERGE). Chunks additionally cap at ~9000 bound parameters
+      * per request (the API's 10k limit). `<= 0` falls back to the
+      * reference-faithful per-row MERGE (bigquery/_target.py:509-523). */
+    bulkBatch: Int = 500) extends Target {
 
   import BigQueryRest._
   import BigQueryTableTarget._
@@ -238,11 +247,31 @@ final case class BigQueryTableTarget(baseUrl: String, project: String,
       val (url, proj, tok, qn) = (baseUrl, project, token, qname)
       if (nUp > 0) {
         val schema = up.schema
+        val bb = bulkBatch
+        val (ds, tbl) = (dataset, table)
         up.repartition(writePartitions, col(RowKey)).foreachPartition {
           rows: Iterator[Row] =>
             if (rows.hasNext) {
               val c = new Client(url, proj, tok)
-              rows.foreach { row =>
+              if (bb > 0) {
+                val sfx = java.util.UUID.randomUUID().toString
+                  .replace("-", "").take(8)
+                val stage = s"`$proj.$ds.${tbl}__stage_$sfx`"
+                c.query(createStageSql(stage, schema))
+                try {
+                  // stay under the API's named-parameter cap as well
+                  // as the row batch size
+                  val ncols = schema.fields.length.max(1)
+                  val chunkRows = bb.min((9000 / ncols).max(1))
+                  rows.grouped(chunkRows).foreach { chunk =>
+                    val (sql, params) = insertStageSql(stage, chunk, schema)
+                    c.query(sql, params)
+                    ()
+                  }
+                  c.query(mergeFromStageSql(qn, stage, schema))
+                  ()
+                } finally c.query(s"DROP TABLE IF EXISTS $stage")
+              } else rows.foreach { row =>
                 val (sql, params) = mergeSql(qn, row, schema)
                 c.query(sql, params)
                 ()
@@ -330,19 +359,11 @@ object BigQueryTableTarget {
         throw new IllegalArgumentException(s"unsupported bq value type $other")
     })
 
-  /** The reference's `_merge_sql` + `_row_query_params`: one MERGE
-    * with `@p0…@pN` named parameters per row (:284-307,:380-386). */
-  private[engine] def mergeSql(qname: String, row: Row,
-      schema: StructType): (String, Seq[BqParam]) = {
-    val fields = schema.fields
-    val names = RowKey +: fields.filter(_.name != RowKey).map(_.name).toSeq
-    val params = names.zipWithIndex.map { case (n, i) =>
-      val fi = schema.fieldIndex(n)
-      BqParam(s"p$i", paramType(fields(fi).dataType),
-        paramValue(row, fi, fields(fi).dataType))
-    }
-    val sourceSel = names.zipWithIndex
-      .map { case (n, i) => s"@p$i AS `$n`" }.mkString(", ")
+  private def colNames(schema: StructType): Seq[String] =
+    RowKey +: schema.fields.filter(_.name != RowKey).map(_.name).toSeq
+
+  /** Shared MERGE ON/UPDATE/INSERT tail over `source.*`. */
+  private def mergeTail(names: Seq[String]): String = {
     val nonKey = names.filterNot(_ == RowKey)
     val update =
       if (nonKey.isEmpty) ""
@@ -350,11 +371,64 @@ object BigQueryTableTarget {
         .mkString(" WHEN MATCHED THEN UPDATE SET ", ", ", "")
     val insertCols = names.map(n => s"`$n`").mkString(", ")
     val insertVals = names.map(n => s"source.`$n`").mkString(", ")
-    (s"MERGE $qname AS target USING (SELECT $sourceSel) AS source" +
-      s" ON target.`$RowKey` = source.`$RowKey`" + update +
-      s" WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)",
-      params)
+    s" ON target.`$RowKey` = source.`$RowKey`" + update +
+      s" WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)"
   }
+
+  /** The reference's `_merge_sql` + `_row_query_params`: one MERGE
+    * with `@p0…@pN` named parameters per row (:284-307,:380-386). */
+  private[engine] def mergeSql(qname: String, row: Row,
+      schema: StructType): (String, Seq[BqParam]) = {
+    val names = colNames(schema)
+    val params = names.zipWithIndex.map { case (n, i) =>
+      val fi = schema.fieldIndex(n)
+      BqParam(s"p$i", paramType(schema.fields(fi).dataType),
+        paramValue(row, fi, schema.fields(fi).dataType))
+    }
+    val sourceSel = names.zipWithIndex
+      .map { case (n, i) => s"@p$i AS `$n`" }.mkString(", ")
+    (s"MERGE $qname AS target USING (SELECT $sourceSel) AS source" +
+      mergeTail(names), params)
+  }
+
+  /** Stage table for the bulk path (the REST-surface analog of a
+    * load-job destination; unique-named per writer partition). */
+  private[engine] def createStageSql(stage: String,
+      schema: StructType): String = {
+    val defs = colNames(schema).map { n =>
+      if (n == RowKey) s"`$RowKey` STRING NOT NULL"
+      else s"`$n` ${SqlDialect.BigQuery.sqlType(
+        schema.fields(schema.fieldIndex(n)).dataType)}"
+    }
+    defs.mkString(s"CREATE TABLE $stage (", ", ", ")")
+  }
+
+  /** One chunk of the staging load: a multi-row VALUES INSERT with
+    * named parameters — one jobs.query round trip per chunk. */
+  private[engine] def insertStageSql(stage: String, chunk: Seq[Row],
+      schema: StructType): (String, Seq[BqParam]) = {
+    val names = colNames(schema)
+    val params = Seq.newBuilder[BqParam]
+    var p = 0
+    val tuples = chunk.map { row =>
+      names.map { n =>
+        val fi = schema.fieldIndex(n)
+        val nm = s"p$p"; p += 1
+        params += BqParam(nm, paramType(schema.fields(fi).dataType),
+          paramValue(row, fi, schema.fields(fi).dataType))
+        s"@$nm"
+      }.mkString("(", ", ", ")")
+    }
+    val cols = names.map(n => s"`$n`").mkString(", ")
+    (s"INSERT INTO $stage ($cols) VALUES " + tuples.mkString(", "),
+      params.result())
+  }
+
+  /** ONE MERGE applying the whole staged partition. */
+  private[engine] def mergeFromStageSql(qname: String, stage: String,
+      schema: StructType): String =
+    s"MERGE $qname AS target USING (SELECT * FROM $stage) AS source" +
+      mergeTail(colNames(schema))
 
   private[engine] def sparkTypeOf(t: String): DataType =
     t.toUpperCase.takeWhile(_ != '(') match {

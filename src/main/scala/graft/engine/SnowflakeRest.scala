@@ -141,7 +141,15 @@ object SnowflakeRest {
 final case class SnowflakeTableTarget(baseUrl: String, account: String,
     database: String, schemaName: String, table: String,
     user: String = "graft", password: String = "graft",
-    writePartitions: Int = 4, deleteBatch: Int = 1000) extends Target {
+    writePartitions: Int = 4, deleteBatch: Int = 1000,
+    /** Rows per staging INSERT in the bulk write path (the scale
+      * shape: per writer partition, a TEMPORARY stage table is
+      * multi-row-INSERTed in chunks of this size, then ONE
+      * MERGE-from-stage applies the whole partition — HTTP round
+      * trips are O(rows / bulkBatch), not O(rows). `<= 0` falls back
+      * to the reference-faithful per-row MERGE
+      * (snowflake/_target.py:407-415). */
+    bulkBatch: Int = 500) extends Target {
 
   import SnowflakeRest._
   import SnowflakeTableTarget._
@@ -216,11 +224,28 @@ final case class SnowflakeTableTarget(baseUrl: String, account: String,
       val (url, acct, usr, pw, qn) = (baseUrl, account, user, password, qname)
       if (nUp > 0) {
         val schema = up.schema
+        val bb = bulkBatch
+        val (db, sch, tbl) = (database, schemaName, table)
         up.repartition(writePartitions, col(RowKey)).foreachPartition {
           rows: Iterator[Row] =>
             if (rows.hasNext) {
               val c = new Client(url, acct, usr, pw)
-              rows.foreach { row =>
+              if (bb > 0) {
+                // staged bulk: TEMPORARY stage → chunked multi-row
+                // INSERT → one MERGE-from-stage → drop. The suffix
+                // keeps concurrent partitions' stages disjoint (real
+                // TEMPORARY tables are session-scoped anyway).
+                val sfx = java.util.UUID.randomUUID().toString
+                  .replace("-", "").take(8)
+                val stage = s""""$db"."$sch"."${tbl}__stage_$sfx""""
+                c.execute(createStageSql(stage, schema))
+                try {
+                  rows.grouped(bb).foreach { chunk =>
+                    c.execute(insertStageSql(stage, chunk, schema)); ()
+                  }
+                  c.execute(mergeFromStageSql(qn, stage, schema)); ()
+                } finally c.execute(s"DROP TABLE IF EXISTS $stage")
+              } else rows.foreach { row =>
                 c.execute(mergeSql(qn, row, schema)); ()
               }
             }
@@ -264,39 +289,53 @@ object SnowflakeTableTarget {
 
   import SnowflakeRest.lit
 
+  /** Column order shared by every statement builder: key first. */
+  private def colNames(schema: StructType): Seq[String] =
+    RowKey +: schema.fields.filter(_.name != RowKey).map(_.name).toSeq
+
+  /** pyformat client-side binding: one column of one row as an
+    * inlined SQL literal (snowflake/_target.py:262-293). */
+  private[engine] def litOf(row: Row, schema: StructType,
+      name: String): String = {
+    val i = schema.fieldIndex(name)
+    if (row.isNullAt(i)) "NULL"
+    else schema.fields(i).dataType match {
+      case StringType => lit(row.getString(i))
+      case IntegerType => row.getInt(i).toString
+      case LongType => row.getLong(i).toString
+      case ShortType => row.getShort(i).toString
+      case DoubleType => row.getDouble(i).toString
+      case FloatType => row.getFloat(i).toString
+      case BooleanType => row.getBoolean(i).toString.toUpperCase
+      case _: DecimalType => row.getDecimal(i).toPlainString
+      case TimestampType => lit(row.getTimestamp(i).toInstant.toString)
+      case DateType => lit(row.getDate(i).toString)
+      case BinaryType =>
+        lit(row.getAs[Array[Byte]](i).map("%02x".format(_)).mkString)
+      case ArrayType(FloatType, _) =>
+        // vectors ride the BINARY column as hex (the dialect's
+        // float32-LE mapping); snowflake hex literal = TO_BINARY
+        lit(Float32LE.encode(row.getSeq[Float](i))
+          .map("%02x".format(_)).mkString)
+      case other => throw new IllegalArgumentException(
+        s"unsupported snowflake literal type $other")
+    }
+  }
+
   /** The reference's `_merge_sql` with pyformat client-side binding
     * applied: the source row is a SELECT of inlined literals
     * (snowflake/_target.py:262-293). */
   private[engine] def mergeSql(qname: String, row: Row,
       schema: StructType): String = {
-    val fields = schema.fields
-    val names = RowKey +: fields.filter(_.name != RowKey).map(_.name).toSeq
-    def litOf(name: String): String = {
-      val i = schema.fieldIndex(name)
-      if (row.isNullAt(i)) "NULL"
-      else fields(i).dataType match {
-        case StringType => lit(row.getString(i))
-        case IntegerType => row.getInt(i).toString
-        case LongType => row.getLong(i).toString
-        case ShortType => row.getShort(i).toString
-        case DoubleType => row.getDouble(i).toString
-        case FloatType => row.getFloat(i).toString
-        case BooleanType => row.getBoolean(i).toString.toUpperCase
-        case _: DecimalType => row.getDecimal(i).toPlainString
-        case TimestampType => lit(row.getTimestamp(i).toInstant.toString)
-        case DateType => lit(row.getDate(i).toString)
-        case BinaryType =>
-          lit(row.getAs[Array[Byte]](i).map("%02x".format(_)).mkString)
-        case ArrayType(FloatType, _) =>
-          // vectors ride the BINARY column as hex (the dialect's
-          // float32-LE mapping); snowflake hex literal = TO_BINARY
-          lit(Float32LE.encode(row.getSeq[Float](i))
-            .map("%02x".format(_)).mkString)
-        case other => throw new IllegalArgumentException(
-          s"unsupported snowflake literal type $other")
-      }
-    }
-    val sourceSel = names.map(n => s"""${litOf(n)} AS "$n"""").mkString(", ")
+    val names = colNames(schema)
+    val sourceSel = names
+      .map(n => s"""${litOf(row, schema, n)} AS "$n"""").mkString(", ")
+    s"MERGE INTO $qname AS target USING (SELECT $sourceSel) AS source" +
+      mergeTail(names)
+  }
+
+  /** Shared MERGE ON/UPDATE/INSERT tail over `source.*`. */
+  private def mergeTail(names: Seq[String]): String = {
     val nonKey = names.filterNot(_ == RowKey)
     val update =
       if (nonKey.isEmpty) ""
@@ -304,10 +343,41 @@ object SnowflakeTableTarget {
         .mkString(" WHEN MATCHED THEN UPDATE SET ", ", ", "")
     val insertCols = names.map(n => s""""$n"""").mkString(", ")
     val insertVals = names.map(n => s"""source."$n"""").mkString(", ")
-    s"MERGE INTO $qname AS target USING (SELECT $sourceSel) AS source" +
-      s""" ON target."$RowKey" = source."$RowKey"""" + update +
+    s""" ON target."$RowKey" = source."$RowKey"""" + update +
       s" WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)"
   }
+
+  /** Session-scoped staging table matching the write schema — the
+    * bulk path's COPY-target analog (real Snowflake would PUT a file
+    * and COPY INTO this table; over the query REST surface the load
+    * is a chunked multi-row INSERT). */
+  private[engine] def createStageSql(stage: String,
+      schema: StructType): String = {
+    val defs = colNames(schema).map { n =>
+      if (n == RowKey) s""""$RowKey" VARCHAR NOT NULL"""
+      else s""""$n" ${SqlDialect.Snowflake.sqlType(
+        schema.fields(schema.fieldIndex(n)).dataType)}"""
+    } :+ s"""PRIMARY KEY ("$RowKey")"""
+    defs.mkString(s"CREATE TEMPORARY TABLE $stage (", ", ", ")")
+  }
+
+  /** One chunk of the staging load: a multi-row VALUES INSERT —
+    * one HTTP round trip per `bulkBatch` rows. */
+  private[engine] def insertStageSql(stage: String, chunk: Seq[Row],
+      schema: StructType): String = {
+    val names = colNames(schema)
+    val cols = names.map(n => s""""$n"""").mkString(", ")
+    val tuples = chunk.map(r =>
+      names.map(n => litOf(r, schema, n)).mkString("(", ", ", ")"))
+    s"INSERT INTO $stage ($cols) VALUES " + tuples.mkString(", ")
+  }
+
+  /** ONE MERGE applying the whole staged partition — the
+    * MERGE-from-stage that replaces per-row round trips at scale. */
+  private[engine] def mergeFromStageSql(qname: String, stage: String,
+      schema: StructType): String =
+    s"MERGE INTO $qname AS target USING (SELECT * FROM $stage) AS source" +
+      mergeTail(colNames(schema))
 
   /** Snowflake result `rowtype.type` → Spark type. Every integral or
     * decimal column reports `fixed`; the SCALE tells them apart — a

@@ -47,10 +47,13 @@ final class KeyedSqlStore(quote: Char) {
     val u = sql.toUpperCase
     if (u.startsWith("CREATE DATABASE") || u.startsWith("CREATE SCHEMA"))
       Result(Nil, Nil, 0)
-    else if (u.startsWith("CREATE TABLE")) createTable(sql)
+    else if (u.startsWith("CREATE TABLE") ||
+      u.startsWith("CREATE TEMPORARY TABLE") ||
+      u.startsWith("CREATE TEMP TABLE")) createTable(sql)
     else if (u.startsWith("ALTER TABLE")) alterTable(sql)
     else if (u.startsWith("DROP TABLE")) dropTable(sql)
     else if (u.startsWith("MERGE")) merge(sql, resolve)
+    else if (u.startsWith("INSERT INTO")) insert(sql, resolve)
     else if (u.startsWith("DELETE FROM")) delete(sql, resolve)
     else if (u.startsWith("DESC")) describe(sql)
     else if (u.startsWith("SELECT")) select(sql)
@@ -58,7 +61,7 @@ final class KeyedSqlStore(quote: Char) {
   }
 
   private def createTable(sql: String): Result = {
-    val m = """(?is)CREATE\s+TABLE(\s+IF\s+NOT\s+EXISTS)?\s+(\S+)\s*\((.*)\)\s*$""".r
+    val m = """(?is)CREATE\s+(?:TEMPORARY\s+|TEMP\s+)?TABLE(\s+IF\s+NOT\s+EXISTS)?\s+(\S+)\s*\((.*)\)\s*$""".r
       .findFirstMatchIn(sql)
       .getOrElse(throw StoreError(Syntax, "bad CREATE TABLE"))
     val name = tableName(m.group(2))
@@ -131,25 +134,43 @@ final class KeyedSqlStore(quote: Char) {
     Result(Nil, Nil, 0)
   }
 
-  /** The reference's exact MERGE shape (snowflake `MERGE INTO …`,
-    * bigquery `MERGE …` — both `AS target USING (SELECT …) AS source`). */
+  /** The reference's exact MERGE shape (snowflake `MERGE INTO ...`,
+    * bigquery `MERGE ...` - both `AS target USING ... AS source`).
+    * The source is either the per-row `(SELECT lit AS c, ...)` the
+    * reference emits, or a STAGE TABLE (`(SELECT * FROM stage)` /
+    * bare `stage`) - the engine's bulk MERGE-from-stage path. */
   private def merge(sql: String, resolve: String => Option[String]): Result = {
     val m = ("""(?is)MERGE(?:\s+INTO)?\s+(\S+)\s+AS\s+target\s+""" +
-      """USING\s*\(\s*SELECT\s+(.*?)\)\s+AS\s+source\s+ON\s+(.*?)""" +
+      """USING\s+(.+?)\s+AS\s+source\s+ON\s+(.*?)""" +
       """(?:\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?))?""" +
       """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(([^)]*)\)\s*""" +
       """VALUES\s*\(([^)]*)\)\s*$""").r.findFirstMatchIn(sql)
       .getOrElse(throw StoreError(Syntax, s"bad MERGE: ${sql.take(80)}"))
     val t = getTable(tableName(m.group(1)))
-    // source row: `expr AS "c"` items
-    val sourceRow: Map[String, Option[String]] =
-      splitTop(m.group(2)).map { item =>
-        val im = s"""(?is)^(.*?)\\s+AS\\s+$ident\\s*$$""".r
-          .findFirstMatchIn(item.trim)
-          .getOrElse(throw StoreError(Syntax, s"bad source item: $item"))
-        im.group(2) -> value(im.group(1).trim, resolve)
-      }.toMap
-    sourceRow.keys.foreach(c => if (!t.cols.contains(c))
+    // source rows: inline single row, or every row of a stage table
+    val using = m.group(2).trim
+    val unparen =
+      if (using.startsWith("(") && using.endsWith(")"))
+        using.substring(1, using.length - 1).trim
+      else using
+    val stageRef = """(?is)^SELECT\s+\*\s+FROM\s+(\S+)$""".r
+      .findFirstMatchIn(unparen).map(_.group(1))
+      .orElse(if (!unparen.toUpperCase.startsWith("SELECT")) Some(unparen)
+        else None)
+    val sourceRows: Seq[Map[String, Option[String]]] = stageRef match {
+      case Some(ref) =>
+        getTable(tableName(ref)).rows.values.toVector.map(_.toMap)
+      case None =>
+        val sel = """(?is)^SELECT\s+(.*)$""".r.findFirstMatchIn(unparen)
+          .getOrElse(throw StoreError(Syntax, s"bad USING: ${using.take(60)}"))
+        Seq(splitTop(sel.group(1)).map { item =>
+          val im = s"""(?is)^(.*?)\\s+AS\\s+$ident\\s*$$""".r
+            .findFirstMatchIn(item.trim)
+            .getOrElse(throw StoreError(Syntax, s"bad source item: $item"))
+          im.group(2) -> value(im.group(1).trim, resolve)
+        }.toMap)
+    }
+    sourceRows.flatMap(_.keys).distinct.foreach(c => if (!t.cols.contains(c))
       throw StoreError(UnknownColumn, s"column $c does not exist"))
     // ON: AND of target.k = source.k
     val onCols = m.group(3).split("(?i)\\s+AND\\s+").toSeq.map { cl =>
@@ -172,20 +193,54 @@ final class KeyedSqlStore(quote: Char) {
       }
     }
     val insertCols = splitTop(m.group(5)).map(s => unquote(s.trim))
-    val key = t.pk.map(k => sourceRow.getOrElse(k, None).getOrElse(
-      throw StoreError(Syntax, s"null merge key $k"))).mkString(" ")
-    t.rows.get(key) match {
-      case None =>
-        val row = mutable.LinkedHashMap.empty[String, Option[String]]
-        t.cols.keys.foreach { c =>
-          row(c) = if (insertCols.contains(c)) sourceRow.getOrElse(c, None)
-            else None
-        }
-        t.rows += key -> row
-      case Some(existing) =>
-        updateCols.foreach(c => existing(c) = sourceRow.getOrElse(c, None))
+    sourceRows.foreach { sourceRow =>
+      val key = t.pk.map(k => sourceRow.getOrElse(k, None).getOrElse(
+        throw StoreError(Syntax, s"null merge key $k"))).mkString(" ")
+      t.rows.get(key) match {
+        case None =>
+          val row = mutable.LinkedHashMap.empty[String, Option[String]]
+          t.cols.keys.foreach { c =>
+            row(c) = if (insertCols.contains(c)) sourceRow.getOrElse(c, None)
+              else None
+          }
+          t.rows += key -> row
+        case Some(existing) =>
+          updateCols.foreach(c => existing(c) = sourceRow.getOrElse(c, None))
+      }
     }
-    Result(Nil, Nil, 1)
+    Result(Nil, Nil, sourceRows.size.toLong)
+  }
+
+  /** Multi-row `INSERT INTO t (c, ...) VALUES (...), (...), ...` -
+    * the bulk staging load. Rows key by the table's pk; a duplicate
+    * key overwrites (stage tables are written once per batch). */
+  private def insert(sql: String, resolve: String => Option[String]): Result = {
+    val m = """(?is)INSERT\s+INTO\s+(\S+)\s*\(([^)]*)\)\s*VALUES\s*(.*)$""".r
+      .findFirstMatchIn(sql)
+      .getOrElse(throw StoreError(Syntax, s"bad INSERT: ${sql.take(60)}"))
+    val t = getTable(tableName(m.group(1)))
+    val cols = splitTop(m.group(2)).map(s => unquote(s.trim))
+    cols.foreach(c => if (!t.cols.contains(c))
+      throw StoreError(UnknownColumn, s"column $c does not exist"))
+    val groups = splitTop(m.group(3).trim).map(_.trim)
+    var n = 0L
+    groups.foreach { g =>
+      if (!(g.startsWith("(") && g.endsWith(")")))
+        throw StoreError(Syntax, s"bad VALUES group: ${g.take(40)}")
+      val vals = splitTop(g.substring(1, g.length - 1))
+        .map(v => value(v.trim, resolve))
+      if (vals.size != cols.size)
+        throw StoreError(Syntax,
+          s"INSERT arity: ${cols.size} columns, ${vals.size} values")
+      val byCol = cols.zip(vals).toMap
+      val key = t.pk.map(k => byCol.getOrElse(k, None).getOrElse(
+        throw StoreError(Syntax, s"null insert key $k"))).mkString(" ")
+      val row = mutable.LinkedHashMap.empty[String, Option[String]]
+      t.cols.keys.foreach(c => row(c) = byCol.getOrElse(c, None))
+      t.rows += key -> row
+      n += 1
+    }
+    Result(Nil, Nil, n)
   }
 
   private def delete(sql: String, resolve: String => Option[String]): Result = {

@@ -61,7 +61,7 @@ class WarehouseTargetSpec extends SparkSpec {
     val sf = new MiniSnowflake
     try {
       val target = SnowflakeTableTarget(sf.baseUrl, "acct",
-        "graftdb", "public", "chunks")
+        "graftdb", "public", "chunks", bulkBatch = 0) // reference per-row path
       val df1 = chunkDf(("1#0", 1L, 0, "it's alpha"), ("1#1", 1L, 1, "beta"),
         ("2#0", 2L, 0, "gamma"))
       target.apply(spark, df1, emptyKeys)
@@ -156,7 +156,7 @@ class WarehouseTargetSpec extends SparkSpec {
     val bq = new MiniBigQuery("bq-test-token")
     try {
       val target = BigQueryTableTarget(bq.baseUrl, "proj", "ds", "chunks",
-        token = "bq-test-token")
+        token = "bq-test-token", bulkBatch = 0) // reference per-row path
       val df1 = chunkDf(("1#0", 1L, 0, "alpha"), ("1#1", 1L, 1, "beta"),
         ("2#0", 2L, 0, "gamma"))
       target.apply(spark, df1, emptyKeys)
@@ -266,6 +266,83 @@ class WarehouseTargetSpec extends SparkSpec {
       // the API's double rendering caps precision near the microsecond
       val got = back.getAs[java.sql.Timestamp]("at").toInstant
       assert(math.abs(java.time.Duration.between(got, inst).toNanos) < 1000)
+    } finally bq.close()
+  }
+
+  // ---- staged bulk write path (the 100x-scale shape) ---------------
+
+  private def manyRows(n: Int) = chunkDf(
+    (0 until n).map(i => (f"k$i%04d", i.toLong, i, s"text $i")): _*)
+
+  test("snowflake bulk: round trips are O(batches), not O(rows)") {
+    val sf = new MiniSnowflake
+    try {
+      val n = 60
+      val target = SnowflakeTableTarget(sf.baseUrl, "acct",
+        "graftdb", "public", "bulked", writePartitions = 2, bulkBatch = 10)
+      target.apply(spark, manyRows(n), emptyKeys)
+      assert(sf.table("bulked").get.rows.size == n)
+
+      val sql = sf.observedSql.toArray.map(_.toString)
+      val inserts = sql.count(_.startsWith("INSERT INTO"))
+      val merges = sql.count(_.startsWith("MERGE INTO"))
+      val stages = sql.count(_.contains("CREATE TEMPORARY TABLE"))
+      val drops = sql.count(_.startsWith("DROP TABLE IF EXISTS"))
+      // per non-empty partition: 1 stage + ceil(rows/10) inserts +
+      // 1 MERGE-from-stage + 1 drop. With 2 partitions of ~30 rows
+      // that is ≤ 2 + 6+2slack + 2 + 2 — far below the 60 per-row
+      // MERGEs the reference-faithful path would have issued.
+      assert(merges <= 2, s"expected ≤2 bulk MERGEs, saw $merges")
+      assert(stages >= 1 && stages <= 2 && drops == stages)
+      assert(inserts >= 6 && inserts <= 8,
+        s"expected ~ceil(60/10) staging INSERTs, saw $inserts")
+      assert(sql.count(s => s.startsWith("MERGE") || s.startsWith("INSERT"))
+        < n / 2, "total write statements must be O(batches)")
+      assert(sql.exists(_.matches(
+        "(?s)MERGE INTO \"graftdb\"\\.\"public\"\\.\"bulked\" AS target " +
+          "USING \\(SELECT \\* FROM \"graftdb\".*")))
+
+      // convergence + update-in-place through the staged path
+      target.apply(spark, manyRows(n), emptyKeys)
+      assert(sf.table("bulked").get.rows.size == n)
+      val keys = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row("k0001")), 1),
+        StructType(Seq(StructField("row_key", StringType))))
+      target.apply(spark, chunkDf(("k0000", 0L, 0, "text 0*")), keys)
+      val back = target.read(spark).orderBy("row_key").collect()
+      assert(back.length == n - 1)
+      assert(back.head.getString(3) == "text 0*")
+      // no stage table leaked: every CREATE TEMPORARY has its DROP
+      val allSql = sf.observedSql.toArray.map(_.toString)
+      assert(allSql.count(_.contains("CREATE TEMPORARY TABLE")) ==
+        allSql.count(_.startsWith("DROP TABLE IF EXISTS")))
+    } finally sf.close()
+  }
+
+  test("bigquery bulk: staged INSERT+MERGE; param cap respected") {
+    val bq = new MiniBigQuery("bq-test-token")
+    try {
+      val n = 50
+      val target = BigQueryTableTarget(bq.baseUrl, "proj", "ds", "bulked",
+        token = "bq-test-token", writePartitions = 2, bulkBatch = 10)
+      target.apply(spark, manyRows(n), emptyKeys)
+      assert(bq.table("bulked").get.rows.size == n)
+
+      val sql = bq.observedSql.toArray.map(_.toString)
+      val merges = sql.count(_.startsWith("MERGE `proj.ds.bulked`"))
+      val inserts = sql.count(_.startsWith("INSERT INTO"))
+      assert(merges <= 2, s"expected ≤2 bulk MERGEs, saw $merges")
+      assert(inserts >= 5 && inserts <= 7,
+        s"expected ~ceil(50/10) staging INSERTs, saw $inserts")
+      assert(sql.exists(_.contains("AS target USING (SELECT * FROM")))
+
+      // update flows through the stage; delete unchanged
+      val keys = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row("k0001")), 1),
+        StructType(Seq(StructField("row_key", StringType))))
+      target.apply(spark, chunkDf(("k0000", 0L, 0, "text 0*")), keys)
+      val back = target.read(spark).orderBy("row_key").collect()
+      assert(back.length == n - 1 && back.head.getString(3) == "text 0*")
     } finally bq.close()
   }
 }
