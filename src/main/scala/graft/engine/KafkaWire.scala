@@ -236,7 +236,10 @@ object KafkaWire {
   // API keys
   val ApiProduce = 0
   val ApiFetch = 1
+  val ApiListOffsets = 2
   val ApiMetadata = 3
+  val ApiOffsetCommit = 8
+  val ApiOffsetFetch = 9
 }
 
 /** One connection to a Kafka-protocol broker. Not thread-safe — one
@@ -343,6 +346,86 @@ final class KafkaWireClient(host: String, port: Int,
     }
     r.i32 // throttle
     baseOffset
+  }
+
+  /** ListOffsets v1: the partition offset at `timestamp` — `-1` =
+    * latest (log-end), `-2` = earliest. The consumer's arming probe:
+    * discovering the head without fetching any data. */
+  def listOffset(topic: String, partition: Int,
+      timestamp: Long = -1L): Long = {
+    val body = new Writer
+    body.i32(-1) // replica_id
+    body.array(Seq(topic)) { t =>
+      body.str(t)
+      body.array(Seq(partition)) { p => body.i32(p); body.i64(timestamp) }
+    }
+    val r = roundTrip(ApiListOffsets, 1, body)
+    var off = -1L
+    r.array { // topics
+      r.str
+      r.array { // partitions
+        val _ = r.i32
+        val err = r.i16
+        r.i64 // timestamp
+        off = r.i64
+        require(err == 0, s"listOffsets error $err on $topic/$partition")
+      }
+    }
+    off
+  }
+
+  /** OffsetCommit v2 as a SIMPLE consumer (generation -1, no member) —
+    * broker-stored durable offsets without the group-membership
+    * protocol, exactly what a single-writer engine feed needs. */
+  def commitOffsets(group: String, topic: String,
+      offsets: Map[Int, Long]): Unit = {
+    val body = new Writer
+    body.str(group)
+    body.i32(-1) // generation_id: simple consumer
+    body.str("") // member_id
+    body.i64(-1L) // retention_time: broker default
+    body.array(Seq(topic)) { t =>
+      body.str(t)
+      body.array(offsets.toSeq.sortBy(_._1)) { case (p, o) =>
+        body.i32(p); body.i64(o); body.nullableStr(None)
+      }
+    }
+    val r = roundTrip(ApiOffsetCommit, 2, body)
+    r.array { // topics
+      r.str
+      r.array { // partitions
+        val p = r.i32
+        val err = r.i16
+        require(err == 0, s"offsetCommit error $err on $topic/$p")
+      }
+    }
+    ()
+  }
+
+  /** OffsetFetch v1 (broker-stored): committed offset per partition,
+    * `-1` where the group has never committed. */
+  def fetchOffsets(group: String, topic: String,
+      partitions: Seq[Int]): Map[Int, Long] = {
+    val body = new Writer
+    body.str(group)
+    body.array(Seq(topic)) { t =>
+      body.str(t)
+      body.array(partitions)(p => { body.i32(p); () })
+    }
+    val r = roundTrip(ApiOffsetFetch, 1, body)
+    val out = Map.newBuilder[Int, Long]
+    r.array { // topics
+      r.str
+      r.array { // partitions
+        val p = r.i32
+        val off = r.i64
+        r.nullableStr // metadata
+        val err = r.i16
+        require(err == 0, s"offsetFetch error $err on $topic/$p")
+        out += p -> off
+      }
+    }
+    out.result()
   }
 
   /** Fetch v4 from `offset`; returns decoded records (offset >= the

@@ -1,0 +1,180 @@
+package graft.engine
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+
+/** `topic_as_map` as a LIVE keyed feed over the real broker wire —
+  * the reference's kafka source (kafka/_source.py:482): the topic is
+  * a changing keyed map; each fetched message upserts its key, a
+  * tombstone (null value) removes it, and the live feed drives
+  * per-key component updates through the engine
+  * ([[Flow.runFeed]]/[[Flow.runLiveWatched]] drain → O(delta)
+  * re-stat of exactly the drained keys).
+  *
+  * Transport: [[KafkaWireClient]] — Metadata for the partition
+  * count, ListOffsets for arming at the head, Fetch v4 from the
+  * committed offsets, and broker-stored OffsetCommit/OffsetFetch
+  * (simple-consumer form, generation -1) for durable resume. The
+  * offset commit is one-drain-late, exactly like
+  * [[TopicTarget.feed]]: a tick's offsets commit at the start of the
+  * NEXT drain, so a crash between drains re-delivers the unprocessed
+  * tick — at-least-once, converging through the engine's idempotent
+  * reconcile. `close()` never commits (it runs on failure paths).
+  *
+  * Like the reference's consumer, the compacted map is held
+  * client-side (driver memory): the initial access scans the topic
+  * once, then every tick applies only the fetched delta. A drain
+  * whose key set exceeds `drainKeyCap` overflows into one full
+  * rescan (`(Nil, true)`) instead of materializing the corpus.
+  */
+final class KafkaWireMapSource(host: String, port: Int, topic: String,
+    consumerGroup: Option[String] = None,
+    drainKeyCap: Int = LocalFsSource.MaxPushdownPaths)
+    extends Source with WatchableSource with Serializable {
+
+  // driver-side compacted view (the reference's in-process map,
+  // kafka/_source.py: the consumer materializes latest-per-key)
+  @transient private lazy val map = mutable.LinkedHashMap.empty[String, String]
+  @transient @volatile private var bootstrapped = false
+
+  private def withClient[A](f: KafkaWireClient => A): A = {
+    val c = new KafkaWireClient(host, port)
+    try f(c) finally c.close()
+  }
+
+  private def partitionCount(c: KafkaWireClient): Int =
+    c.metadata(Seq(topic)).find(_.name == topic)
+      .getOrElse(throw new IllegalStateException(s"no topic $topic"))
+      .partitions.length
+
+  /** Apply fetched records latest-wins into the map; returns the
+    * touched keys. */
+  private def applyRecords(records: Seq[KafkaWire.Record]): Seq[String] =
+    map.synchronized {
+      records.map { r =>
+        val k = new String(r.key, UTF_8)
+        if (r.value == null) map.remove(k)
+        else map(k) = new String(r.value, UTF_8)
+        k
+      }
+    }
+
+  /** One full wire scan compacting the whole topic — runs at most
+    * once per source instance; ticks after it are pure delta. */
+  private def ensureBootstrapped(): Unit = map.synchronized {
+    if (!bootstrapped) {
+      withClient { c =>
+        (0 until partitionCount(c)).foreach { p =>
+          var offset = 0L
+          var done = false
+          while (!done) {
+            val (records, hw) = c.fetch(topic, p, offset)
+            applyRecords(records)
+            offset = records.lastOption.map(_.offset + 1).getOrElse(hw)
+            done = records.isEmpty || offset >= hw
+          }
+        }
+      }
+      bootstrapped = true
+    }
+  }
+
+  /** Force the next [[list]] to rescan the wire (overflow path). */
+  private[engine] def invalidate(): Unit = map.synchronized {
+    bootstrapped = false; map.clear()
+  }
+
+  private def snapshotDf(spark: SparkSession,
+      onlyKeys: Option[Set[String]]): DataFrame = {
+    ensureBootstrapped()
+    val rows = map.synchronized {
+      (onlyKeys match {
+        case Some(ks) => map.iterator.filter { case (k, _) => ks(k) }
+        case None => map.iterator
+      }).map { case (k, v) => Row(k, v) }.toVector
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 5000 + 1)),
+      StructType(Seq(StructField("key", StringType),
+        StructField("value", StringType))))
+  }
+
+  def list(spark: SparkSession): DataFrame =
+    TableSource.fingerprinted(snapshotDf(spark, None), "key")
+
+  override def listKeys(spark: SparkSession, keys: Seq[String]): DataFrame =
+    TableSource.fingerprinted(snapshotDf(spark, Some(keys.toSet)), "key")
+
+  def load(spark: SparkSession, keys: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    snapshotDf(spark, None)
+      .withColumn("item_key", col("key"))
+      .join(keys.select("item_key"), Seq("item_key"), "left_semi")
+  }
+
+  def contentFpOf: Option[org.apache.spark.sql.Column] = None
+
+  /** Arm the consumer NOW: resume at the group's broker-committed
+    * offsets, or at the current head (committed eagerly for a fresh
+    * group — the [[TopicTarget.feed]] contract: history before
+    * arming is the bootstrap scan's duty, and a zero-tick group must
+    * not silently re-arm at a LATER head next run). */
+  def watch(): SourceWatcher = new SourceWatcher {
+    private val client = new KafkaWireClient(host, port)
+    private val nParts = partitionCount(client)
+
+    private var committed: Map[Int, Long] = {
+      val stored = consumerGroup
+        .map(g => client.fetchOffsets(g, topic, 0 until nParts))
+        .getOrElse(Map.empty)
+      val armed = (0 until nParts).map { p =>
+        p -> (stored.getOrElse(p, -1L) match {
+          case -1L => client.listOffset(topic, p)
+          case off => off
+        })
+      }.toMap
+      if (stored.isEmpty || stored.values.forall(_ == -1L))
+        consumerGroup.foreach(client.commitOffsets(_, topic, armed))
+      armed
+    }
+    private var pending: Map[Int, Long] = committed
+
+    private def commitPending(): Unit =
+      if (pending.exists { case (p, o) => o > committed.getOrElse(p, -1L) }) {
+        consumerGroup.foreach(client.commitOffsets(_, topic, pending))
+        committed = pending
+      }
+
+    def drain(): (Seq[String], Boolean) = {
+      commitPending() // previous tick is processed by now (one-drain-late)
+      ensureBootstrapped() // tombstones need the base to delete from
+      val keys = Vector.newBuilder[String]
+      var n = 0
+      var overflow = false
+      val next = (0 until nParts).map { p =>
+        var offset = committed(p)
+        var done = false
+        while (!done) {
+          val (records, hw) = client.fetch(topic, p, offset)
+          val touched = applyRecords(records)
+          n += touched.size
+          if (n > drainKeyCap) overflow = true else keys ++= touched
+          offset = records.lastOption.map(_.offset + 1).getOrElse(hw)
+          done = records.isEmpty || offset >= hw
+        }
+        p -> offset
+      }.toMap
+      pending = next
+      if (overflow) {
+        // the rescan must re-list from the wire, not the stale cache
+        invalidate()
+        (Nil, true)
+      } else (keys.result().distinct, false)
+    }
+
+    def close(): Unit = client.close() // deliberately no commit
+  }
+}

@@ -38,6 +38,9 @@ final class MiniKafkaBroker(numPartitions: Int = 2) extends AutoCloseable {
   private val lock = new Object
   private val topics =
     mutable.LinkedHashMap.empty[String, Vector[PartitionLog]]
+  /** Broker-stored consumer offsets: (group, topic, partition) →
+    * committed offset (the `__consumer_offsets` analog). */
+  private val groupOffsets = mutable.Map.empty[(String, String, Int), Long]
   val observed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   @volatile private var closed = false
@@ -91,6 +94,9 @@ final class MiniKafkaBroker(numPartitions: Int = 2) extends AutoCloseable {
             case KafkaWire.ApiMetadata => metadata(r)
             case KafkaWire.ApiProduce => produce(r)
             case KafkaWire.ApiFetch => fetch(r)
+            case KafkaWire.ApiListOffsets => listOffsets(r)
+            case KafkaWire.ApiOffsetCommit => offsetCommit(r)
+            case KafkaWire.ApiOffsetFetch => offsetFetch(r)
             case other =>
               throw new IllegalArgumentException(s"unsupported api $other")
           }
@@ -171,6 +177,81 @@ final class MiniKafkaBroker(numPartitions: Int = 2) extends AutoCloseable {
       }
     }
     w.i32(0) // throttle
+    w
+  }
+
+  /** ListOffsets v1: `-1` → log-end offset, `-2` → earliest (0). */
+  private def listOffsets(r: Reader): Writer = {
+    r.i32 // replica_id
+    val reqs = mutable.ArrayBuffer.empty[(String, Int, Long)]
+    r.array {
+      val topic = r.str
+      r.array {
+        val partition = r.i32
+        val ts = r.i64
+        reqs += ((topic, partition, ts))
+      }
+    }
+    val w = new Writer
+    w.array(reqs.groupBy(_._1).toSeq) { case (topic, parts) =>
+      w.str(topic)
+      w.array(parts.toSeq) { case (_, p, ts) =>
+        val logs = logOf(topic)
+        w.i32(p)
+        if (p < 0 || p >= logs.length) { w.i16(3); w.i64(-1L); w.i64(-1L) }
+        else {
+          val off = if (ts == -2L) 0L else logs(p).nextOffset
+          w.i16(0); w.i64(ts); w.i64(off)
+        }
+      }
+    }
+    w
+  }
+
+  /** OffsetCommit v2: broker-stored group offsets (simple-consumer
+    * commits with generation -1 accepted, as on a real broker). */
+  private def offsetCommit(r: Reader): Writer = {
+    val group = r.str
+    r.i32 // generation_id
+    r.str // member_id
+    r.i64 // retention_time
+    val acks = mutable.ArrayBuffer.empty[(String, Int)]
+    r.array {
+      val topic = r.str
+      r.array {
+        val partition = r.i32
+        val offset = r.i64
+        r.nullableStr // metadata
+        groupOffsets((group, topic, partition)) = offset
+        acks += ((topic, partition))
+      }
+    }
+    val w = new Writer
+    w.array(acks.groupBy(_._1).toSeq) { case (topic, parts) =>
+      w.str(topic)
+      w.array(parts.toSeq) { case (_, p) => w.i32(p); w.i16(0) }
+    }
+    w
+  }
+
+  /** OffsetFetch v1: committed offset or -1 when the group has none. */
+  private def offsetFetch(r: Reader): Writer = {
+    val group = r.str
+    val reqs = mutable.ArrayBuffer.empty[(String, Int)]
+    r.array {
+      val topic = r.str
+      r.array { reqs += ((topic, r.i32)) }
+    }
+    val w = new Writer
+    w.array(reqs.groupBy(_._1).toSeq) { case (topic, parts) =>
+      w.str(topic)
+      w.array(parts.toSeq) { case (_, p) =>
+        w.i32(p)
+        w.i64(groupOffsets.getOrElse((group, topic, p), -1L))
+        w.nullableStr(None)
+        w.i16(0)
+      }
+    }
     w
   }
 
