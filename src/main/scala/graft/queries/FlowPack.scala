@@ -1031,6 +1031,64 @@ object FlowPack extends QueryPack {
           s.createDataFrame(s.sparkContext.parallelize(rows, 4), back.schema)
         } finally server.close()
       }),
+    // the turbopuffer namespace target under the oracle: the same
+    // chunk→vector flow as q84, reconciled through the store's v2
+    // REST write API (schema-carrying upsert_rows batches, delete
+    // batches), rerun proven a no-op, read back with the driver-paged
+    // keyset scan (rank_by id asc + Gt filters) and compared
+    // value-identical against the oracle.
+    Q(
+      "q101_turbopuffer_rows",
+      Some("""
+        SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR) AS row_key,
+               CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(i AS BIGINT) AS chunk_idx,
+               substring(text, CAST(i AS INT) * 150 + 1, 200) AS chunk_text,
+               CAST(length(substring(text, CAST(i AS INT) * 150 + 1, 200)) AS REAL) AS v1,
+               CAST(i AS REAL) AS v2
+        FROM (SELECT doc_id, text,
+                     unnest(range(CAST(ceil(length(text) / 150.0) AS BIGINT))) AS i
+              FROM documents)"""),
+      (s, dir) => {
+        val server = new graft.fixtures.MiniTurbopuffer
+        try {
+          val work = java.nio.file.Files.createTempDirectory("graft-tpuf-q101")
+          work.toFile.deleteOnExit()
+          val chunkStage = CocoFn("chunk_embed", 1, deps = Seq("w=200", "s=150"),
+            fn = df => Chunker.chunkFixed(
+                df.select(col("item_key"), col("doc_id"), col("text")),
+                "text", width = 200, stride = 150)
+              .select(col("item_key"),
+                concat(col("item_key"), lit("#"), col("chunk_idx")).as("row_key"),
+                array(length(col("chunk_text")).cast("float"),
+                  col("chunk_idx").cast("float")).as("vector"),
+                col("doc_id").cast("string").as("doc_id"),
+                col("chunk_idx").cast("long").as("chunk_idx"),
+                col("chunk_text")))
+          val flow = new Flow(
+            "turbopuffer_rows",
+            TableSource(sp => Tables(sp, dir, "documents"), keyCol = "doc_id"),
+            Seq(chunkStage),
+            TurbopufferNamespaceTarget(server.baseUrl, "chunks",
+              vectors = Seq(TpufVectorDef("", 2)),
+              attrCols = Seq(
+                "doc_id" -> org.apache.spark.sql.types.StringType,
+                "chunk_idx" -> org.apache.spark.sql.types.LongType,
+                "chunk_text" -> org.apache.spark.sql.types.StringType),
+              writePartitions = 4, batchSize = 512),
+            work.resolve("state").toString)
+          flow.run(s)
+          require(flow.run(s).isNoop,
+            "incremental contract violated: turbopuffer rerun was not a no-op")
+          val back = flow.target.read(s)
+            .select(col("row_key"), col("doc_id"), col("chunk_idx"),
+              col("chunk_text"),
+              element_at(col("vector"), 1).as("v1"),
+              element_at(col("vector"), 2).as("v2"))
+          val rows = back.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 4), back.schema)
+        } finally server.close()
+      }),
     Q(
       "q63_topic_target",
       // the final compacted map after: produce all docs, then a second
