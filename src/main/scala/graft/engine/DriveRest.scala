@@ -5,20 +5,119 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import org.json4s._
 
+/** The Google OAuth2 service-account JWT grant — the auth the
+  * reference's google_drive source sets up through its SDK
+  * (python/cocoindex/connectors/google_drive/_source.py:155-176),
+  * from the public scheme (developers.google.com/identity/protocols/
+  * oauth2/service-account): a RS256-signed JWT
+  * (`{"alg":"RS256","typ":"JWT"}` header; iss/scope/aud/iat/exp
+  * claims, aud = the token endpoint) asserted at the token URI with
+  * `grant_type=urn:ietf:params:oauth:grant-type:jwt-bearer` for a
+  * short-lived Bearer token. [[GoogleServiceAccount.TokenProvider]]
+  * caches the token and re-exchanges before expiry, so long walks
+  * and live loops never carry a stale credential.
+  */
+object GoogleServiceAccount {
+
+  final case class Credentials(clientEmail: String,
+      privateKey: java.security.PrivateKey, tokenUri: String)
+
+  val DriveScope = "https://www.googleapis.com/auth/drive.readonly"
+
+  private def b64url(b: Array[Byte]): String =
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+
+  /** The signed assertion for one exchange. */
+  def assertionJwt(creds: Credentials, scope: String,
+      now: java.time.Instant = java.time.Instant.now(),
+      ttlSecs: Long = 3600): String = {
+    import org.json4s.JsonDSL._
+    val header = """{"alg":"RS256","typ":"JWT"}"""
+    val claims = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("iss" -> creds.clientEmail) ~ ("scope" -> scope) ~
+          ("aud" -> creds.tokenUri) ~ ("iat" -> now.getEpochSecond) ~
+          ("exp" -> (now.getEpochSecond + ttlSecs))))
+    val input = b64url(header.getBytes(UTF_8)) + "." +
+      b64url(claims.getBytes(UTF_8))
+    val sig = java.security.Signature.getInstance("SHA256withRSA")
+    sig.initSign(creds.privateKey)
+    sig.update(input.getBytes(UTF_8))
+    input + "." + b64url(sig.sign())
+  }
+
+  /** One exchange: `(accessToken, expiresAtEpochMillis)`. */
+  def exchange(creds: Credentials, scope: String): (String, Long) = {
+    val form = "grant_type=" + URLEncoder.encode(
+      "urn:ietf:params:oauth:grant-type:jwt-bearer", UTF_8) +
+      "&assertion=" + URLEncoder.encode(assertionJwt(creds, scope), UTF_8)
+    val conn = URI.create(creds.tokenUri).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type",
+      "application/x-www-form-urlencoded")
+    // no streaming mode: buffered output keeps the JDK able to read
+    // the error body of a 4xx reply (streaming-mode connections can
+    // surface a null error stream)
+    val bytes = form.getBytes(UTF_8)
+    val os = conn.getOutputStream
+    try { os.write(bytes); os.flush() } finally os.close()
+    val status = conn.getResponseCode
+    val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+    val body =
+      if (stream == null) Array.emptyByteArray
+      else try stream.readAllBytes() finally stream.close()
+    if (status >= 400)
+      throw Batching.ApiStatusException(status,
+        s"token exchange → ${new String(body, UTF_8).take(300)}")
+    val j = org.json4s.jackson.JsonMethods.parse(new String(body, UTF_8))
+    val token = (j \ "access_token") match {
+      case JString(s) => s
+      case other => throw new IllegalStateException(s"no access_token: $other")
+    }
+    val expiresIn = (j \ "expires_in") match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case JDouble(d) => d.toLong
+      case _ => 3600L
+    }
+    (token, System.currentTimeMillis() + expiresIn * 1000L)
+  }
+
+  /** Caching provider: exchanges on first use and re-exchanges when
+    * within `refreshSkewMs` of expiry. Serializable (executor-side
+    * fetch batches carry it); the cache is per-JVM. */
+  final class TokenProvider(creds: Credentials,
+      scope: String = DriveScope, refreshSkewMs: Long = 60000L)
+      extends Serializable {
+    @transient @volatile private var cached: (String, Long) = null
+    def token(): String = synchronized {
+      if (cached == null ||
+        cached._2 - refreshSkewMs <= System.currentTimeMillis())
+        cached = exchange(creds, scope)
+      cached._1
+    }
+  }
+}
+
 /** Google Drive v3 REST client — the API the reference's
   * google_drive source drives through its SDK
   * (python/cocoindex/connectors/google_drive/_source.py:184-214
   * `files.list` with `q='folder' in parents and trashed = false`,
   * `fields=nextPageToken, files(id, name, mimeType, size,
   * modifiedTime)` and pageToken paging; :121-139 `get_media` /
-  * `export_media` downloads). Auth is a Bearer token: the service
-  * account JWT exchange is the only egress-bound piece
-  * (_source.py:155-176); the token itself is injected, everything
-  * after it is this client.
+  * `export_media` downloads). Auth is a Bearer token from `tokenOf`
+  * — a fixed injected token, or [[GoogleServiceAccount.TokenProvider]]
+  * running the service-account JWT exchange with expiry refresh
+  * (_source.py:155-176).
   */
-final class DriveRestClient(baseUrl: String, token: String,
+final class DriveRestClient(baseUrl: String, tokenOf: () => String,
     connectTimeoutMs: Int = 5000, readTimeoutMs: Int = 60000)
     extends Serializable {
+
+  def this(baseUrl: String, token: String) =
+    this(baseUrl, () => token)
 
   import DriveRestClient._
 
@@ -33,7 +132,7 @@ final class DriveRestClient(baseUrl: String, token: String,
       .asInstanceOf[HttpURLConnection]
     conn.setConnectTimeout(connectTimeoutMs)
     conn.setReadTimeout(readTimeoutMs)
-    conn.setRequestProperty("Authorization", s"Bearer $token")
+    conn.setRequestProperty("Authorization", s"Bearer ${tokenOf()}")
     val status = conn.getResponseCode
     val stream =
       if (status >= 400) conn.getErrorStream else conn.getInputStream
@@ -172,10 +271,29 @@ object DriveRestClient {
   * downloads incl. Google-Docs exports, stat = the metadata-only
   * `files.get`. */
 object DriveRestSource {
+  /** Injected-token form (tests of the raw transport). */
   def apply(baseUrl: String, token: String, rootFolderIds: Seq[String],
       mimeTypes: Set[String] = Set.empty,
+      fetchBatch: Int = 32): KeyedListingSource =
+    build(baseUrl, () => token, rootFolderIds, mimeTypes, fetchBatch)
+
+  /** The reference's deployment shape: the source authenticates
+    * ITSELF — service-account credentials exchanged for Bearer tokens
+    * via the RS256 JWT grant, refreshed before expiry
+    * (google_drive/_source.py:155-176). */
+  def withServiceAccount(baseUrl: String,
+      creds: GoogleServiceAccount.Credentials, rootFolderIds: Seq[String],
+      mimeTypes: Set[String] = Set.empty,
       fetchBatch: Int = 32): KeyedListingSource = {
-    def client() = new DriveRestClient(baseUrl, token)
+    val provider = new GoogleServiceAccount.TokenProvider(creds)
+    build(baseUrl, () => provider.token(), rootFolderIds, mimeTypes,
+      fetchBatch)
+  }
+
+  private def build(baseUrl: String, tokenOf: () => String,
+      rootFolderIds: Seq[String], mimeTypes: Set[String],
+      fetchBatch: Int): KeyedListingSource = {
+    def client() = new DriveRestClient(baseUrl, tokenOf)
     KeyedListingSource(
       lister = () => client().walk(rootFolderIds, mimeTypes)
         .map(f => f.id -> f.modifiedTime),

@@ -19,13 +19,22 @@ import org.json4s.jackson.JsonMethods
   * token exchange is the only thing it does not model (the token is
   * shared out-of-band, as a service-account deployment would).
   */
-final class MiniDrive(token: String, pageSize: Int = 2)
+final class MiniDrive(token: String, pageSize: Int = 2,
+    /** `(client_email, public key)` of a service account allowed to
+      * exchange RS256 JWT assertions at `/token`; None keeps the
+      * fixture injected-token-only. */
+    serviceAccount: Option[(String, java.security.PublicKey)] = None,
+    /** Lifetime of issued tokens (short in specs to force refresh). */
+    tokenTtlMs: Long = 3600000L)
     extends MiniHttpServer("mini-drive") {
   import MiniHttpServer.ApiError
   import MiniDrive._
 
   private val files = mutable.LinkedHashMap.empty[String, Entry]
+  /** issued access token → expiry epoch millis */
+  private val issued = mutable.LinkedHashMap.empty[String, Long]
   @volatile var authFailures: Int = 0
+  @volatile var tokenExchanges: Int = 0
 
   // ---- fixture-side content management ----------------------------
 
@@ -48,8 +57,14 @@ final class MiniDrive(token: String, pageSize: Int = 2)
 
   protected def route(ex: HttpExchange, method: String, path: String,
       body: Array[Byte]): Unit = {
+    if (path == "/token") { tokenExchange(ex, body); return }
     val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
-    if (!auth.contains(s"Bearer $token")) {
+    val ok = auth.exists { a =>
+      a == s"Bearer $token" || (a.startsWith("Bearer ") &&
+        lock.synchronized(issued.get(a.drop(7))
+          .exists(_ > System.currentTimeMillis())))
+    }
+    if (!ok) {
       authFailures += 1
       throw new ApiError(401, "Invalid Credentials")
     }
@@ -77,6 +92,53 @@ final class MiniDrive(token: String, pageSize: Int = 2)
       case other =>
         throw new ApiError(404, s"no route $other")
     }
+  }
+
+  /** The OAuth2 token endpoint: verifies an RS256 service-account JWT
+    * assertion (signature against the registered public key; iss =
+    * the client email, aud = this endpoint, exp in the future) and
+    * issues a short-lived access token — the server half of the
+    * google_drive auth setup (_source.py:155-176). */
+  private def tokenExchange(ex: HttpExchange, body: Array[Byte]): Unit = {
+    val (email, pub) = serviceAccount.getOrElse(
+      throw new ApiError(403, "service-account exchange not enabled"))
+    val form = parseQuery(new String(body, UTF_8)).toMap
+    if (!form.get("grant_type")
+        .contains("urn:ietf:params:oauth:grant-type:jwt-bearer"))
+      throw new ApiError(400, "unsupported grant_type")
+    val assertion = form.getOrElse("assertion",
+      throw new ApiError(400, "missing assertion"))
+    val parts = assertion.split('.')
+    if (parts.length != 3) throw new ApiError(400, "malformed JWT")
+    val dec = java.util.Base64.getUrlDecoder
+    // RS256 signature over header.claims with the registered key
+    val verifier = java.security.Signature.getInstance("SHA256withRSA")
+    verifier.initVerify(pub)
+    verifier.update(s"${parts(0)}.${parts(1)}".getBytes(UTF_8))
+    val sigOk = try verifier.verify(dec.decode(parts(2)))
+      catch { case _: Exception => false }
+    if (!sigOk) throw new ApiError(401, "invalid_grant: bad signature")
+    val header = JsonMethods.parse(new String(dec.decode(parts(0)), UTF_8))
+    if (!(header \ "alg").equals(JString("RS256")))
+      throw new ApiError(400, "unsupported alg")
+    val claims = JsonMethods.parse(new String(dec.decode(parts(1)), UTF_8))
+    val iss = claims \ "iss" match { case JString(s) => s; case _ => "" }
+    val aud = claims \ "aud" match { case JString(s) => s; case _ => "" }
+    val exp = claims \ "exp" match {
+      case JInt(n) => n.toLong; case JLong(n) => n; case _ => 0L
+    }
+    if (iss != email) throw new ApiError(401, s"invalid_grant: iss $iss")
+    if (aud != s"$baseUrl/token")
+      throw new ApiError(401, s"invalid_grant: aud $aud")
+    if (exp <= System.currentTimeMillis() / 1000)
+      throw new ApiError(401, "invalid_grant: expired assertion")
+    val access = java.util.UUID.randomUUID().toString
+    lock.synchronized {
+      issued(access) = System.currentTimeMillis() + tokenTtlMs
+    }
+    tokenExchanges += 1
+    replyJson(ex, 200, ("access_token" -> access) ~
+      ("expires_in" -> tokenTtlMs / 1000) ~ ("token_type" -> "Bearer"))
   }
 
   /** `files.list`: supports exactly the connector's query shape. */

@@ -454,8 +454,16 @@ object FlowPack extends QueryPack {
                md5(text) AS content_md5
         FROM documents WHERE doc_id % 3 = 0"""),
       (s, dir) => {
-        val token = "graft-q90-token"
-        val server = new graft.fixtures.MiniDrive(token, pageSize = 100)
+        // the reference's deployment shape end-to-end: the source
+        // authenticates ITSELF — an RS256 service-account JWT
+        // exchanged at /token (signature verified server-side), no
+        // injected token anywhere
+        val kpg = java.security.KeyPairGenerator.getInstance("RSA")
+        kpg.initialize(2048)
+        val kp = kpg.generateKeyPair()
+        val email = "graft@q90.iam.gserviceaccount.com"
+        val server = new graft.fixtures.MiniDrive("unused-injected-token",
+          pageSize = 100, serviceAccount = Some((email, kp.getPublic)))
         try {
           val work = java.nio.file.Files.createTempDirectory("graft-drive-q90")
           work.toFile.deleteOnExit()
@@ -468,8 +476,10 @@ object FlowPack extends QueryPack {
             .collect() // fixture seeding is driver-side by design
             .foreach(r => server.addFile(r.getString(0),
               s"${r.getString(0)}.txt", "root", r.getString(1)))
-          val source = DriveRestSource(server.baseUrl, token, Seq("root"),
-            fetchBatch = 64)
+          val source = DriveRestSource.withServiceAccount(server.baseUrl,
+            GoogleServiceAccount.Credentials(email, kp.getPrivate,
+              s"${server.baseUrl}/token"),
+            Seq("root"), fetchBatch = 64)
           val stage = CocoFn("digest", 1, fn = df => df.select(
             col("item_key"), col("item_key").as("row_key"),
             length(decode(col("content"), "UTF-8")).cast("long").as("n"),

@@ -114,4 +114,73 @@ class DriveRestSpec extends SparkSpec {
         "f4" -> "DELTA", "f5" -> "GDOC BODY"))
     }
   }
+
+  // ---- service-account JWT exchange --------------------------------
+
+  private def rsaKeys() = {
+    val kpg = java.security.KeyPairGenerator.getInstance("RSA")
+    kpg.initialize(2048)
+    kpg.generateKeyPair()
+  }
+
+  test("service account: RS256 JWT exchanges for a token end-to-end") {
+    val kp = rsaKeys()
+    val email = "walker@graft.iam.gserviceaccount.com"
+    val s = new MiniDrive("never-used", pageSize = 2,
+      serviceAccount = Some((email, kp.getPublic)))
+    try {
+      seed(s)
+      val creds = GoogleServiceAccount.Credentials(email, kp.getPrivate,
+        s"${s.baseUrl}/token")
+      val provider = new GoogleServiceAccount.TokenProvider(creds)
+      val c = new DriveRestClient(s.baseUrl, () => provider.token())
+      val names = c.walk(Seq("root")).map(_.name).toVector.sorted
+      assert(names.nonEmpty)
+      // one exchange served the whole walk (cached until expiry)
+      assert(s.tokenExchanges == 1, s"exchanges: ${s.tokenExchanges}")
+      assert(s.authFailures == 0)
+    } finally s.close()
+  }
+
+  test("service account: expired tokens refresh; forged JWTs rejected") {
+    val kp = rsaKeys()
+    val email = "walker@graft.iam.gserviceaccount.com"
+    // 300ms token lifetime with a 250ms refresh skew: the second call
+    // after a sleep must re-exchange rather than carry the stale token
+    val s = new MiniDrive("never-used", pageSize = 2,
+      serviceAccount = Some((email, kp.getPublic)), tokenTtlMs = 300L)
+    try {
+      seed(s)
+      val creds = GoogleServiceAccount.Credentials(email, kp.getPrivate,
+        s"${s.baseUrl}/token")
+      val provider = new GoogleServiceAccount.TokenProvider(creds,
+        refreshSkewMs = 250L)
+      val c = new DriveRestClient(s.baseUrl, () => provider.token())
+      c.stat("f1")
+      assert(s.tokenExchanges == 1)
+      Thread.sleep(120)
+      c.stat("f1") // within skew of expiry → proactive re-exchange
+      assert(s.tokenExchanges >= 2,
+        s"expected a refresh before expiry, exchanges=${s.tokenExchanges}")
+      assert(s.authFailures == 0, "no request ever carried a stale token")
+
+      // an assertion signed by the WRONG key is invalid_grant
+      val other = rsaKeys()
+      val forged = GoogleServiceAccount.Credentials(email, other.getPrivate,
+        s"${s.baseUrl}/token")
+      val e = intercept[Batching.ApiStatusException] {
+        GoogleServiceAccount.exchange(forged, GoogleServiceAccount.DriveScope)
+      }
+      assert(e.status == 401 && e.getMessage.contains("bad signature"))
+      // and a wrong issuer is rejected even with a valid signature
+      val wrongIss = GoogleServiceAccount.Credentials(
+        "intruder@other.iam.gserviceaccount.com", kp.getPrivate,
+        s"${s.baseUrl}/token")
+      val e2 = intercept[Batching.ApiStatusException] {
+        GoogleServiceAccount.exchange(wrongIss,
+          GoogleServiceAccount.DriveScope)
+      }
+      assert(e2.status == 401 && e2.getMessage.contains("iss"))
+    } finally s.close()
+  }
 }
