@@ -16,9 +16,10 @@ import org.apache.spark.sql.types._
   * hi ORDER BY key`.
   *
   * Range boundaries: numeric keys split arithmetically from
-  * `min/max/count`; other key types sample boundaries with
-  * `ORDER BY key LIMIT 1 OFFSET k·stride` probes (one round trip per
-  * boundary, server-side scan — the price of an opaque key domain).
+  * `min/max/count`; other key types keyset-walk the index — each cut
+  * jumps one stride past the previous via `WHERE key > $prev ORDER BY
+  * key LIMIT 1 OFFSET stride-1`, one segmented index pass in total
+  * rather than a from-the-start rescan per boundary.
   *
   * Incremental-flow integration: the whole row fingerprints through
   * [[TableSource.fingerprinted]] (level 1 = any row change), and the
@@ -164,15 +165,36 @@ final case class PgWireTableSource(host: String, port: Int,
         (1 until parts).map(i =>
           (lo + (BigInt(hi) - lo) * i / parts).toString).distinct
       case _ =>
-        // opaque key domain: OFFSET-sampled boundaries, one probe per
-        // cut (server-side O(n) per probe; driver holds only `parts`
-        // strings)
+        // opaque key domain: KEYSET WALK — each cut jumps `stride`
+        // rows past the PREVIOUS cut through a pushed-down
+        // `WHERE key > $prev` range probe. Against a btree key each
+        // probe is one index descent plus ~stride index entries, so
+        // the whole discovery is a single segmented pass over the
+        // index (O(parts·log n + n) entries total) — the absolute
+        // OFFSET probes this replaces rescanned from the start every
+        // time (probe i walked i·stride rows; total O(n·parts)).
         val stride = math.max(1L, n / parts)
-        (1 until parts).flatMap { i =>
-          c.execute(
-            s"""SELECT "$keyCol" FROM "$table" ORDER BY "$keyCol" """ +
-              s"LIMIT 1 OFFSET ${i * stride}").rows.headOption.flatMap(_.head)
-        }.distinct
+        val cuts = Vector.newBuilder[String]
+        var prev: Option[String] = None
+        var i = 0
+        var exhausted = false
+        while (i < parts - 1 && !exhausted) {
+          val res = prev match {
+            case None => c.execute(
+              s"""SELECT "$keyCol" FROM "$table" ORDER BY "$keyCol" """ +
+                s"LIMIT 1 OFFSET $stride")
+            case Some(p) => c.execute(
+              s"""SELECT "$keyCol" FROM "$table" WHERE "$keyCol" > $$1 """ +
+                s"""ORDER BY "$keyCol" LIMIT 1 OFFSET ${stride - 1}""",
+              Seq(Some(p)))
+          }
+          res.rows.headOption.flatMap(_.head) match {
+            case Some(cut) => cuts += cut; prev = Some(cut)
+            case None => exhausted = true // tail shorter than a stride
+          }
+          i += 1
+        }
+        cuts.result().distinct
     }
     val bounds = (None +: cuts.map(Some(_))) :+ None
     bounds.zip(bounds.tail).map { case (lo, hi) => (lo, hi) }

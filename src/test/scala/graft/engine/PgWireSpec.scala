@@ -392,6 +392,43 @@ class PgWireSpec extends SparkSpec {
     }
   }
 
+  test("PgWireTableSource: text keys keyset-walk boundaries, no O(n) rescans") {
+    withPg { pg =>
+      withClient(pg) { c =>
+        c.query("""CREATE TABLE "docs" ("name" text NOT NULL, "v" text, """ +
+          """PRIMARY KEY ("name"))""")
+        (1 to 80).foreach { i =>
+          c.execute("""INSERT INTO "docs" ("name", "v") VALUES ($1, $2)""",
+            Seq(Some(f"doc$i%03d"), Some(s"value $i")))
+        }
+      }
+      val src = PgWireTableSource(pg.host, pg.port, "testdb", "docs", "name",
+        numPartitions = 4)
+      pg.observed.clear()
+      assert(src.list(spark).count() == 80)
+
+      val probes = pg.observed.toArray.map(_.toString)
+        .filter(s => s.startsWith("SELECT \"name\" FROM \"docs\"")
+          && s.contains("OFFSET"))
+      assert(probes.length == 3, s"expected 3 boundary probes: " +
+        probes.mkString(" | "))
+      // every probe jumps at most ONE stride (80/4 = 20): the keyset
+      // walk never issues the growing absolute offsets (40, 60) that
+      // rescan the table from the start
+      val offsets = probes.flatMap(s =>
+        """OFFSET (\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt))
+      assert(offsets.forall(_ <= 20), s"offsets grew: ${offsets.toSeq}")
+      // probes after the first resume from the previous cut
+      assert(probes.count(_.contains("WHERE \"name\" > $1")) == 2,
+        s"probes must keyset-resume: ${probes.mkString(" | ")}")
+
+      // and the ranges actually cover the table exactly once: the
+      // partitioned scan returned every key with no dupes (checked by
+      // count above + distinct here)
+      assert(src.list(spark).select("item_key").distinct().count() == 80)
+    }
+  }
+
   test("PgWireTableSource: listing fingerprints match TableSource semantics") {
     withPg { pg =>
       withClient(pg) { c =>
