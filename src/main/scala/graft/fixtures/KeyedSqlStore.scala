@@ -39,6 +39,32 @@ final class KeyedSqlStore(quote: Char) {
   final case class Result(columns: Seq[(String, String)],
       rows: Seq[Seq[Option[String]]], affected: Long)
 
+  /** Execute a statement with JDBC-style positional `?` parameters
+    * (the [[graft.engine.SqlDialect]] statement shapes — e.g.
+    * `SqlDialect.Sqlite`'s `INSERT … ON CONFLICT … excluded.c`): each
+    * top-level `?` is rewritten to `@pN` in occurrence order and
+    * resolved from `params`. */
+  def executePositional(sql: String,
+      params: Seq[Option[String]]): Result = {
+    val out = new StringBuilder
+    var inStr = false
+    var inIdent = false
+    var n = 0
+    sql.foreach { ch =>
+      if (inStr) { out += ch; if (ch == '\'') inStr = false }
+      else if (inIdent) { out += ch; if (ch == q) inIdent = false }
+      else ch match {
+        case '\'' => inStr = true; out += ch
+        case c if c == q => inIdent = true; out += ch
+        case '?' => out ++= s"@p$n"; n += 1
+        case c => out += c
+      }
+    }
+    require(n == params.length,
+      s"positional arity: $n placeholders, ${params.length} params")
+    execute(out.toString, name => params(name.drop(1).toInt))
+  }
+
   /** Execute one statement; `resolve` maps an `@name` parameter
     * token to its value. */
   def execute(sql0: String,
@@ -81,6 +107,12 @@ final class KeyedSqlStore(quote: Char) {
         val cm = s"""(?s)^$ident\\s+(.*)$$""".r.findFirstMatchIn(part)
           .getOrElse(throw StoreError(Syntax, s"bad column def: $part"))
         var typ = cm.group(2).trim
+        // inline `… NOT NULL PRIMARY KEY` (the ANSI dialect shape)
+        val ipk = """(?i)\s+PRIMARY\s+KEY\s*$""".r.findFirstMatchIn(typ)
+        if (ipk.isDefined) {
+          typ = typ.substring(0, ipk.get.start).trim
+          pk = Vector(cm.group(1))
+        }
         val nn = """(?i)\s+NOT\s+NULL\s*$""".r.findFirstMatchIn(typ)
         if (nn.isDefined) typ = typ.substring(0, nn.get.start).trim
         cols += cm.group(1) -> Col(typ.toUpperCase, nullable = nn.isEmpty)
@@ -211,9 +243,11 @@ final class KeyedSqlStore(quote: Char) {
     Result(Nil, Nil, sourceRows.size.toLong)
   }
 
-  /** Multi-row `INSERT INTO t (c, ...) VALUES (...), (...), ...` -
-    * the bulk staging load. Rows key by the table's pk; a duplicate
-    * key overwrites (stage tables are written once per batch). */
+  /** Multi-row `INSERT INTO t (c, ...) VALUES (...), (...), ...` with
+    * an optional trailing `ON CONFLICT (pk) DO UPDATE SET c =
+    * excluded.c, ... | DO NOTHING` (the sqlite/postgres upsert shape,
+    * sqlite/_target.py:514-521). Without a conflict clause rows key
+    * by the table's pk and overwrite (the bulk staging load). */
   private def insert(sql: String, resolve: String => Option[String]): Result = {
     val m = """(?is)INSERT\s+INTO\s+(\S+)\s*\(([^)]*)\)\s*VALUES\s*(.*)$""".r
       .findFirstMatchIn(sql)
@@ -222,7 +256,53 @@ final class KeyedSqlStore(quote: Char) {
     val cols = splitTop(m.group(2)).map(s => unquote(s.trim))
     cols.foreach(c => if (!t.cols.contains(c))
       throw StoreError(UnknownColumn, s"column $c does not exist"))
-    val groups = splitTop(m.group(3).trim).map(_.trim)
+    // split the VALUES groups from a top-level ON CONFLICT tail
+    val tail = m.group(3).trim
+    val conflictAt = {
+      var inStr = false; var inIdent = false; var depth = 0
+      var found = -1
+      val u = tail.toUpperCase
+      var i = 0
+      while (i < tail.length && found < 0) {
+        val ch = tail.charAt(i)
+        if (inStr) { if (ch == '\'') inStr = false }
+        else if (inIdent) { if (ch == q) inIdent = false }
+        else ch match {
+          case '\'' => inStr = true
+          case c if c == q => inIdent = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case 'O' | 'o' if depth == 0 &&
+            u.startsWith("ON CONFLICT", i) => found = i
+          case _ => ()
+        }
+        i += 1
+      }
+      found
+    }
+    val (valuesPart, conflict) =
+      if (conflictAt < 0) (tail, None)
+      else (tail.take(conflictAt).trim, Some(tail.drop(conflictAt).trim))
+    // parse the conflict clause once: Left(()) = DO NOTHING,
+    // Right(updateCols) = DO UPDATE SET c = excluded.c list
+    val onConflict: Option[Either[Unit, Seq[String]]] = conflict.map { cl =>
+      val cm = ("""(?is)^ON\s+CONFLICT\s*\(([^)]*)\)\s*DO\s+""" +
+        """(NOTHING|UPDATE\s+SET\s+(.*))$""").r.findFirstMatchIn(cl)
+        .getOrElse(throw StoreError(Syntax, s"bad ON CONFLICT: $cl"))
+      val conflictCols = splitTop(cm.group(1)).map(s => unquote(s.trim))
+      if (conflictCols != t.pk)
+        throw StoreError(Syntax, s"ON CONFLICT (${conflictCols.mkString(",")})" +
+          s" does not match key ${t.pk.mkString(",")}")
+      if (cm.group(2).toUpperCase.startsWith("NOTHING")) Left(())
+      else Right(splitTop(cm.group(3)).map { item =>
+        val um = s"""(?is)^$ident\\s*=\\s*excluded\\.$ident\\s*$$""".r
+          .findFirstMatchIn(item.trim)
+          .getOrElse(throw StoreError(Syntax, s"bad SET clause: $item"))
+        require(um.group(1) == um.group(2), s"SET ${um.group(1)}")
+        um.group(1)
+      })
+    }
+    val groups = splitTop(valuesPart).map(_.trim)
     var n = 0L
     groups.foreach { g =>
       if (!(g.startsWith("(") && g.endsWith(")")))
@@ -235,9 +315,15 @@ final class KeyedSqlStore(quote: Char) {
       val byCol = cols.zip(vals).toMap
       val key = t.pk.map(k => byCol.getOrElse(k, None).getOrElse(
         throw StoreError(Syntax, s"null insert key $k"))).mkString(" ")
-      val row = mutable.LinkedHashMap.empty[String, Option[String]]
-      t.cols.keys.foreach(c => row(c) = byCol.getOrElse(c, None))
-      t.rows += key -> row
+      (t.rows.get(key), onConflict) match {
+        case (Some(_), Some(Left(()))) => () // DO NOTHING
+        case (Some(existing), Some(Right(updateCols))) =>
+          updateCols.foreach(c => existing(c) = byCol.getOrElse(c, None))
+        case _ =>
+          val row = mutable.LinkedHashMap.empty[String, Option[String]]
+          t.cols.keys.foreach(c => row(c) = byCol.getOrElse(c, None))
+          t.rows += key -> row
+      }
       n += 1
     }
     Result(Nil, Nil, n)
@@ -248,15 +334,21 @@ final class KeyedSqlStore(quote: Char) {
       .findFirstMatchIn(sql)
       .getOrElse(throw StoreError(Syntax, "bad DELETE"))
     val t = getTable(tableName(m.group(1)))
+    val pred = m.group(2).trim
     val in = s"""(?is)^$ident\\s+IN\\s*\\((.*)\\)\\s*$$""".r
-      .findFirstMatchIn(m.group(2).trim)
-      .getOrElse(throw StoreError(Syntax,
-        s"unsupported DELETE predicate: ${m.group(2).take(60)}"))
-    val c = in.group(1)
+      .findFirstMatchIn(pred)
+    val eq = s"""(?is)^$ident\\s*=\\s*(\\S+)\\s*$$""".r
+      .findFirstMatchIn(pred)
+    val (c, vals) =
+      if (in.isDefined)
+        (in.get.group(1), splitTop(in.get.group(2))
+          .flatMap(v => value(v.trim, resolve)).toSet)
+      else if (eq.isDefined) // the dialects' keyed `WHERE k = ?` delete
+        (eq.get.group(1), value(eq.get.group(2), resolve).toSet)
+      else throw StoreError(Syntax,
+        s"unsupported DELETE predicate: ${pred.take(60)}")
     if (!t.cols.contains(c))
       throw StoreError(UnknownColumn, s"column $c does not exist")
-    val vals = splitTop(in.group(2))
-      .flatMap(v => value(v.trim, resolve)).toSet
     // single-column keys only (the engine's row_key); multi-pk OR
     // chains are out of fixture scope
     val doomed = t.rows.collect {
