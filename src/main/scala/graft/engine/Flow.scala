@@ -173,11 +173,61 @@ final class Flow(
         * transition must invalidate memoized components even when
         * logic and schema are untouched — e.g. a bucket-layout
         * change; stable again once committed, restoring memo hits). */
-      effectiveFp: String) {
+      effectiveFp: String,
+      /** SQL-command attachment lifecycle for this run (reference
+        * declare_sql_command_attachment + attachment target states):
+        * teardowns run first (removed + changed old versions), then
+        * setups (created + changed new versions). Executed AFTER the
+        * row apply, so the container exists; a failing statement
+        * aborts before the state commit and replans next run. */
+      attSetups: Seq[TargetAttachment] = Nil,
+      attTeardowns: Seq[String] = Nil,
+      /** An attachment change/removal declared child invalidation:
+        * components re-run (generation bump) AND rows re-upsert
+        * defensively — the container itself is NOT recreated (only a
+        * TABLE-record change truncates). */
+      attForcesReupsert: Boolean = false) {
     def destructive: Boolean =
       plan.childInvalidation.contains(StateDiff.Destructive)
-    def lossy: Boolean = plan.childInvalidation.contains(StateDiff.Lossy)
+    def lossy: Boolean =
+      plan.childInvalidation.contains(StateDiff.Lossy) || attForcesReupsert
   }
+
+  /** Stored attachment record (the att_json entries). */
+  private final case class AttRecord(name: String, fp: String,
+      teardown: Option[String], inval: Option[String])
+
+  private def encodeAtts(atts: Seq[TargetAttachment]): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.compact(JsonMethods.render(atts.map { a =>
+      ("name" -> a.name) ~ ("fp" -> a.fingerprint) ~
+        ("teardown" -> a.teardownSql) ~
+        ("inval" -> a.invalidation.map(_.name))
+    }))
+  }
+
+  private def decodeAtts(s: String): Seq[AttRecord] =
+    if (s == null || s.isEmpty) Nil
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.parse(s) match {
+        case JArray(items) => items.map { it =>
+          val JString(n) = it \ "name"
+          val JString(fp) = it \ "fp"
+          val td = it \ "teardown" match {
+            case JString(t) => Some(t); case _ => None
+          }
+          val iv = it \ "inval" match {
+            case JString(v) => Some(v); case _ => None
+          }
+          AttRecord(n, fp, td, iv)
+        }
+        case other => throw new IllegalStateException(
+          s"corrupt att_json in target_state: $other")
+      }
+    }
 
   private def tablePlan(spark: SparkSession, st: StateStore): PlannedRun = {
     val declared = declaredSchema(spark)
@@ -191,9 +241,43 @@ final class Flow(
         r.getLong(3), r.getLong(4))
     }
     val (pid, sv) = prev.map(p => (p._2, p._3)).getOrElse((0L, 0L))
+
+    // ---- attachment lifecycle (declare_sql_command_attachment) ------
+    val prevAtts = prevRows.headOption
+      .map(r => decodeAtts(r.getString(5))).getOrElse(Nil)
+    val desiredAtts = target.attachments
+    require(desiredAtts.map(_.name).distinct.size == desiredAtts.size,
+      "duplicate attachment names: " + desiredAtts.map(_.name).mkString(","))
+    val prevByName = prevAtts.map(a => a.name -> a).toMap
+    val desNames = desiredAtts.map(_.name).toSet
+    val attCreated = desiredAtts.filter(a => !prevByName.contains(a.name))
+    val attChanged = desiredAtts.filter(a =>
+      prevByName.get(a.name).exists(_.fp != a.fingerprint))
+    val attRemoved = prevAtts.filterNot(a => desNames(a.name))
+    // change/removal may invalidate children per the attachment's own
+    // declared severity (test_attachment_target_states.py:243,295);
+    // creation never does (nothing depended on it yet)
+    val attInval: Option[StateDiff.ChildInvalidation] = {
+      val names = attChanged.flatMap(_.invalidation.map(_.name)) ++
+        attRemoved.flatMap(_.inval)
+      if (names.contains(StateDiff.Destructive.name))
+        Some(StateDiff.Destructive)
+      else if (names.contains(StateDiff.Lossy.name)) Some(StateDiff.Lossy)
+      else None
+    }
+    val attPending =
+      attCreated.nonEmpty || attChanged.nonEmpty || attRemoved.nonEmpty
+
+    def bump(base: (Long, Long),
+        inv: Option[StateDiff.ChildInvalidation]): (Long, Long) = inv match {
+      case Some(StateDiff.Destructive) => (base._1 + 1, 0L)
+      case Some(StateDiff.Lossy)       => (base._1, base._2 + 1)
+      case None                        => base
+    }
     val (plan, newPid, newSv, desired, pending) = declared match {
       case None => // schema unknowable on empty input: no DDL planning
-        (StateDiff.TablePlan(None, Map.empty, None), pid, sv,
+        val gen = bump((pid, sv), attInval)
+        (StateDiff.TablePlan(None, Map.empty, None), gen._1, gen._2,
           Option.empty[StateDiff.TableRecord], false)
       case Some(sch) =>
         val d = desiredTableRecord(sch)
@@ -201,15 +285,30 @@ final class Flow(
           Some(StateDiff.Mutual(d, managedBy)),
           prev.map(_._1).toSeq,
           prevMayBeMissing = prev.isEmpty))
-        val gen = p.childInvalidation match {
-          case Some(StateDiff.Destructive) => (pid + 1, 0L)
-          case Some(StateDiff.Lossy)       => (pid, sv + 1)
-          case None                        => (pid, sv)
-        }
+        val gen = bump(bump((pid, sv), p.childInvalidation), attInval)
         (p, gen._1, gen._2, Some(d), !prev.map(_._1.record).contains(d))
     }
-    PlannedRun(plan, newPid, newSv, desired, pending,
-      Fingerprint.of(processorFingerprint, schemaFp, s"gen:$newPid:$newSv"))
+    // a destructive table transition recreates the container: every
+    // declared attachment re-runs setup (its objects died with the
+    // table); teardowns are moot
+    val destructive = plan.childInvalidation.contains(StateDiff.Destructive)
+    val (setups, teardowns) =
+      if (destructive) (desiredAtts, Nil)
+      else (attCreated ++ attChanged,
+        (attRemoved.flatMap(_.teardown) ++
+          attChanged.flatMap(a => prevByName(a.name).teardown)))
+    PlannedRun(plan, newPid, newSv, desired, pending || attPending,
+      Fingerprint.of(processorFingerprint, schemaFp, s"gen:$newPid:$newSv"),
+      attSetups = setups, attTeardowns = teardowns,
+      attForcesReupsert = attInval.isDefined)
+  }
+
+  /** Run the planned attachment transition (teardowns, then setups)
+    * — after the row apply, so the container exists. */
+  private def applyAttachments(spark: SparkSession,
+      planned: PlannedRun): Unit = {
+    planned.attTeardowns.foreach(target.execAttachmentSql(spark, _))
+    planned.attSetups.foreach(a => target.execAttachmentSql(spark, a.setupSql))
   }
 
   /** The table-level tracking record + generation, committed with the
@@ -221,7 +320,8 @@ final class Flow(
     "target_state" -> spark.createDataFrame(
       java.util.Arrays.asList(org.apache.spark.sql.Row(
         d.main, encodeColumns(d.sub), managedBy.name,
-        planned.providerId, planned.schemaVersion)),
+        planned.providerId, planned.schemaVersion,
+        encodeAtts(target.attachments))),
       TargetStateSchema)
   }
 
@@ -385,6 +485,7 @@ final class Flow(
     if (nChanged == 0 && byCls("gone") == 0 && nRefreshed == 0) {
       if (planned.pendingTransition) {
         if (planned.destructive) target.truncate(spark)
+        applyAttachments(spark, planned)
         st.commit(targetStateTable(spark, planned).toMap)
         afterCommit.foreach(_.apply())
       }
@@ -486,6 +587,10 @@ final class Flow(
       .join(upsertKeys, Seq("row_key"), "left_semi")
     val deleteKeys = actions.filter(col("action") === "delete").select("row_key")
     target.apply(spark, upserts, deleteKeys)
+    // attachment transition after the row apply (the container exists
+    // by now); a throwing statement aborts before the state commit,
+    // so the transition replans and re-runs next time (convergent)
+    applyAttachments(spark, planned)
 
     // ---- commit the new state snapshot --------------------------------
     // (reference commit_in_txn, execution.rs:400-665; child GC :1838 is

@@ -42,6 +42,10 @@ import org.apache.spark.sql.types._
   */
 final case class JdbcTableTarget(url: String, table: String,
     sqlAttachments: Seq[String] = Nil,
+    /** Engine-reconciled attachments (full create/change/remove
+      * lifecycle, reference declare_sql_command_attachment);
+      * `sqlAttachments` above is the legacy run-always form. */
+    override val attachments: Seq[TargetAttachment] = Nil,
     writePartitions: Int = 4, batchSize: Int = 256,
     /** Store-specific statement shapes ([[SqlDialect]]): Derby is the
       * executed-in-tests default; Postgres/Sqlite/Snowflake/BigQuery/
@@ -65,6 +69,15 @@ final case class JdbcTableTarget(url: String, table: String,
     withConnection(url) { conn =>
       execIgnoring(conn, s"DROP TABLE ${qi(table)}",
         dialect.ddlMissingStates) // no such table — already converged
+    }
+
+  /** Attachment setup/teardown statement, idempotence-tolerant both
+    * ways (re-running a setup after a crash, tearing down an object
+    * the container's drop already took). */
+  override def execAttachmentSql(spark: SparkSession, sql: String): Unit =
+    withConnection(url) { conn =>
+      execIgnoring(conn, sql,
+        dialect.ddlExistsStates ++ dialect.ddlMissingStates)
     }
 
   /** getTables/getColumns take the table name as a LIKE pattern, so a

@@ -78,6 +78,10 @@ final case class PgTableTarget(host: String, port: Int, database: String,
     vectorDims: Map[String, Int] = Map.empty,
     vectorIndexes: Seq[PgVectorIndex] = Nil,
     sqlAttachments: Seq[String] = Nil,
+    /** Engine-reconciled attachments (create/change/remove lifecycle
+      * over the wire — the reference's declare_sql_command_attachment
+      * on THIS connector, postgres/_target.py:1362). */
+    override val attachments: Seq[TargetAttachment] = Nil,
     writePartitions: Int = 4) extends Target {
 
   import PgTableTarget._
@@ -94,6 +98,16 @@ final case class PgTableTarget(host: String, port: Int, database: String,
 
   override def truncate(spark: SparkSession): Unit =
     withClient { c => c.query(s"""DROP TABLE IF EXISTS "$table""""); () }
+
+  override def execAttachmentSql(spark: SparkSession, sql: String): Unit =
+    withClient { c =>
+      try { c.query(sql); () }
+      catch {
+        case e: PgWire.PgErrorException
+            if SqlDialect.Postgres.ddlExistsStates.contains(e.sqlState) ||
+              SqlDialect.Postgres.ddlMissingStates.contains(e.sqlState) => ()
+      }
+    }
 
   private def declaredType(f: StructField): String = f.dataType match {
     case ArrayType(FloatType, _) =>

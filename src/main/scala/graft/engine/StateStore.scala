@@ -412,5 +412,8 @@ object StateStore {
     StructField("sub_json", StringType, nullable = false),
     StructField("managed_by", StringType, nullable = false),
     StructField("provider_id", LongType, nullable = false),
-    StructField("schema_version", LongType, nullable = false)))
+    StructField("schema_version", LongType, nullable = false),
+    // SQL-command attachment records (name/fp/teardown/invalidation;
+    // reference attachment target states) — null in legacy snapshots
+    StructField("att_json", StringType, nullable = true)))
 }

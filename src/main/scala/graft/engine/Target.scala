@@ -6,6 +6,27 @@ import org.apache.spark.sql.functions._
 /** Row counts actually written/removed by one target apply. */
 final case class TargetStats(upserted: Long, deleted: Long)
 
+/** A named SQL command attached to a table target — the reference's
+  * `declare_sql_command_attachment`
+  * (python/cocoindex/connectors/postgres/_target.py:1362-1386):
+  * `setupSql` executes when the attachment is created or changed
+  * (after the OLD version's teardown on change); `teardownSql` (if
+  * any) executes when the attachment is removed. `invalidation`
+  * optionally makes a CHANGE or REMOVAL bump the provider generation
+  * — Destructive treats every component as never written, Lossy
+  * re-upserts matching rows (the attachment child-invalidation
+  * semantics, python/tests/core/test_attachment_target_states.py:
+  * 243-330). */
+final case class TargetAttachment(name: String, setupSql: String,
+    teardownSql: Option[String] = None,
+    invalidation: Option[StateDiff.ChildInvalidation] = None) {
+  /** Identity of this version of the attachment: any change to the
+    * SQL re-runs setup (after teardown). */
+  def fingerprint: String =
+    Fingerprint.of("att", name, setupSql, teardownSql.getOrElse(""),
+      invalidation.map(_.name).getOrElse(""))
+}
+
 /** A managed external container the engine reconciles desired rows
   * into — the reference's target contract (TargetHandler.reconcile →
   * batched convergent sinks,
@@ -34,6 +55,22 @@ trait Target {
     * transition's DDL (reference `_drop_table` before re-create,
     * postgres/_target.py:1002-1010). */
   def truncate(spark: SparkSession): Unit = ()
+
+  /** Declared SQL-command attachments. The ENGINE reconciles them
+    * with the full lifecycle against its stored records: setup on
+    * create/change, teardown on removal/before change, nothing on an
+    * unchanged rerun, re-setup after a destructive table transition
+    * (reference attachment target states,
+    * target_state.py + test_attachment_target_states.py). */
+  def attachments: Seq[TargetAttachment] = Nil
+
+  /** Execute one attachment statement (setup or teardown) against
+    * the store. Required for targets declaring [[attachments]];
+    * implementations should tolerate idempotent-DDL "already exists"
+    * errors so crash reruns converge. */
+  def execAttachmentSql(spark: SparkSession, sql: String): Unit =
+    throw new UnsupportedOperationException(
+      s"${getClass.getSimpleName} does not execute attachment SQL")
 }
 
 /** Keyed parquet table with hash-bucketed copy-on-write — the MERGE

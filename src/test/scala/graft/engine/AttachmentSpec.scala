@@ -1,0 +1,145 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.fixtures.MiniPg
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path}
+
+/** SQL-command attachment target states — the reference's
+  * `declare_sql_command_attachment`
+  * (postgres/_target.py:1362-1386) with the engine-side lifecycle of
+  * python/tests/core/test_attachment_target_states.py: setup on
+  * create, teardown-then-setup on change, teardown on removal,
+  * NOTHING on an unchanged rerun; a destructive table transition
+  * re-runs every setup; an attachment declaring child invalidation
+  * bumps the provider generation so memoized components re-run and
+  * rows re-upsert. Driven over the real PG wire against MiniPg.
+  */
+class AttachmentSpec extends SparkSpec {
+
+  private def tmp(p: String): Path = {
+    val d = Files.createTempDirectory(p); d.toFile.deleteOnExit(); d
+  }
+
+  private val n = 6
+  private def src(sp: org.apache.spark.sql.SparkSession) =
+    sp.range(n.toLong).select(col("id").as("k"),
+      concat(lit("doc "), col("id")).as("txt"))
+
+  private def mkFlow(pg: MiniPg, state: Path,
+      atts: Seq[TargetAttachment]): Flow =
+    new Flow("att_flow",
+      TableSource(src, keyCol = "k"),
+      Seq(CocoFn("emit", 1, Nil, df => df.select(col("item_key"),
+        col("item_key").as("row_key"), col("txt"),
+        length(col("txt")).cast("long").as("len")))),
+      PgTableTarget(pg.host, pg.port, "testdb", "docs",
+        attachments = atts),
+      state.toString)
+
+  private def attSql(pg: MiniPg, since: Int): Seq[String] =
+    pg.observed.toArray.drop(since).map(_.toString)
+      .filter(s => s.startsWith("CREATE INDEX") || s.startsWith("DROP INDEX"))
+
+  test("lifecycle: create, unchanged no-op, change, removal") {
+    val pg = new MiniPg
+    try {
+      val state = tmp("att-state")
+      val a1 = TargetAttachment("by_txt",
+        """CREATE INDEX "i_txt" ON "docs" ("txt")""",
+        Some("""DROP INDEX IF EXISTS "i_txt""""))
+      def a2(col: String) = TargetAttachment("by_len",
+        s"""CREATE INDEX "i_len" ON "docs" ("$col")""",
+        Some("""DROP INDEX IF EXISTS "i_len""""))
+
+      val r1 = mkFlow(pg, state, Seq(a1, a2("len"))).run(spark)
+      assert(r1.recomputed == n)
+      assert(pg.indexDefs.keySet == Set("i_txt", "i_len"))
+
+      // unchanged rerun: a pure no-op — NO attachment SQL re-runs
+      // (the reference's basic-lifecycle expectation: setup once)
+      var mark = pg.observed.toArray.length
+      val r2 = mkFlow(pg, state, Seq(a1, a2("len"))).run(spark)
+      assert(r2.isNoop)
+      assert(attSql(pg, mark).isEmpty,
+        s"unchanged attachments must not re-run: ${attSql(pg, mark)}")
+
+      // change one: its OLD teardown runs, then the new setup; the
+      // other attachment is untouched; components do NOT recompute
+      // (no invalidation declared)
+      mark = pg.observed.toArray.length
+      val r3 = mkFlow(pg, state, Seq(a1, a2("txt"))).run(spark)
+      assert(r3.recomputed == 0 && r3.unchanged == n, s"$r3")
+      val sql3 = attSql(pg, mark)
+      assert(sql3 == Seq("""DROP INDEX IF EXISTS "i_len"""",
+        s"""CREATE INDEX "i_len" ON "docs" ("txt")"""), sql3.mkString("|"))
+
+      // remove one: exactly its teardown runs
+      mark = pg.observed.toArray.length
+      val r4 = mkFlow(pg, state, Seq(a2("txt"))).run(spark)
+      assert(r4.recomputed == 0)
+      assert(attSql(pg, mark) == Seq("""DROP INDEX IF EXISTS "i_txt""""))
+      assert(pg.indexDefs.keySet == Set("i_len"))
+
+      // and the now-stable declaration is again a full no-op
+      mark = pg.observed.toArray.length
+      assert(mkFlow(pg, state, Seq(a2("txt"))).run(spark).isNoop)
+      assert(attSql(pg, mark).isEmpty)
+    } finally pg.close()
+  }
+
+  test("invalidation: a lossy attachment change re-runs components") {
+    val pg = new MiniPg
+    try {
+      val state = tmp("att-inval")
+      def att(v: Int) = TargetAttachment("tuned",
+        s"""CREATE INDEX "i_v$v" ON "docs" ("txt")""",
+        Some(s"""DROP INDEX IF EXISTS "i_v${v - 1}""""),
+        invalidation = Some(StateDiff.Lossy))
+      assert(mkFlow(pg, state, Seq(att(1))).run(spark).recomputed == n)
+      // same declaration: generation is stable, memo hits hold
+      assert(mkFlow(pg, state, Seq(att(1))).run(spark).isNoop)
+
+      // changed: the declared Lossy invalidation bumps the schema
+      // version — every component recomputes AND re-upserts even
+      // though values are identical (prev_may_be_missing semantics)
+      val r = mkFlow(pg, state, Seq(att(2))).run(spark)
+      assert(r.recomputed == n && r.rowsUpdated == n, s"$r")
+      // once committed, stability is restored
+      assert(mkFlow(pg, state, Seq(att(2))).run(spark).isNoop)
+    } finally pg.close()
+  }
+
+  test("a destructive table transition re-runs every setup") {
+    val pg = new MiniPg
+    try {
+      val state = tmp("att-destr")
+      val atts = Seq(TargetAttachment("by_txt",
+        """CREATE INDEX "i_txt" ON "docs" ("txt")""",
+        Some("""DROP INDEX IF EXISTS "i_txt"""")))
+      // two flows over the SAME state differing only in the target's
+      // container identity (different numbered table ⇒ main-record
+      // change ⇒ destructive truncate + recreate)
+      def flowTo(table: String) = new Flow("att_flow",
+        TableSource(src, keyCol = "k"),
+        Seq(CocoFn("emit", 1, Nil, df => df.select(col("item_key"),
+          col("item_key").as("row_key"), col("txt")))),
+        PgTableTarget(pg.host, pg.port, "testdb", table,
+          attachments = atts.map(a => a.copy(
+            setupSql = a.setupSql.replace("\"docs\"", s""""$table""""))),
+        ),
+        state.toString)
+      flowTo("docs").run(spark)
+      assert(pg.indexDefs.contains("i_txt"))
+
+      // container change: destructive — the table (and its indexes)
+      // are recreated, so the UNCHANGED attachment re-runs its setup
+      val mark = pg.observed.toArray.length
+      val r = flowTo("docs2").run(spark)
+      assert(r.recomputed == n, s"$r")
+      assert(attSql(pg, mark).exists(_.startsWith(
+        """CREATE INDEX "i_txt" ON "docs2"""")),
+        attSql(pg, mark).mkString("|"))
+    } finally pg.close()
+  }
+}

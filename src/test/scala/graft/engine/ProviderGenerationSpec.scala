@@ -278,7 +278,8 @@ class ProviderGenerationSpec extends SparkSpec {
     assert(legacySub.contains("\t"), "fixture must exercise the old format")
     val legacyRow = org.apache.spark.sql.Row(
       cur.getString(0), legacySub, cur.getString(2),
-      cur.getLong(3), cur.getLong(4))
+      cur.getLong(3), cur.getLong(4),
+      null) // legacy snapshots predate att_json
     store.commit(Map("target_state" -> spark.createDataFrame(
       java.util.Collections.singletonList(legacyRow),
       StateStore.TargetStateSchema)))
