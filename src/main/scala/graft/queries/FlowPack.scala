@@ -1099,6 +1099,114 @@ object FlowPack extends QueryPack {
           s.createDataFrame(s.sparkContext.parallelize(rows, 4), back.schema)
         } finally server.close()
       }),
+    // the multi-target APP shape: ONE flow (one listing, one memo
+    // probe, one reconcile) declaring into THREE physical stores over
+    // their real protocols — doc rows to PostgreSQL (v3 wire), chunk
+    // vectors to Qdrant (REST), per-doc messages to Kafka (broker
+    // protocol) — the reference's one-source-many-exports composition
+    // (mount_each fanned into sibling targets). The second pass drops
+    // doc_id%13 (deletes fan to all three: SQL DELETE, point delete,
+    // tombstone) and bumps n_chars for doc_id%7 (updates reach pg +
+    // kafka; unchanged chunk vectors noop at qdrant). The oracle is
+    // the union of all three stores' final states.
+    Q(
+      "q102_multi_store_app",
+      Some("""
+        WITH base AS (
+          SELECT doc_id, text, source,
+                 n_chars + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS n2
+          FROM documents WHERE doc_id % 13 <> 0)
+        SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS row_key,
+               source AS txt, CAST(n2 AS BIGINT) AS n,
+               CAST(NULL AS VARCHAR) AS chunk_text,
+               CAST(NULL AS REAL) AS v1, CAST(NULL AS REAL) AS v2,
+               CAST(NULL AS VARCHAR) AS msg_value
+        FROM base
+        UNION ALL
+        SELECT 'chunk:' || CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR),
+               NULL, NULL,
+               substring(text, CAST(i AS INT) * 150 + 1, 200),
+               CAST(length(substring(text, CAST(i AS INT) * 150 + 1, 200)) AS REAL),
+               CAST(i AS REAL), NULL
+        FROM (SELECT doc_id, text,
+                     unnest(range(CAST(ceil(length(text) / 150.0) AS BIGINT))) AS i
+              FROM base)
+        UNION ALL
+        SELECT 'msg:' || CAST(doc_id AS VARCHAR), NULL, NULL, NULL,
+               NULL, NULL, CAST(n2 AS VARCHAR)
+        FROM base"""),
+      (s, dir) => {
+        val pg = new graft.fixtures.MiniPg
+        val qd = new graft.fixtures.MiniQdrant
+        val kb = new graft.fixtures.MiniKafkaBroker(numPartitions = 2)
+        try {
+          val work = java.nio.file.Files.createTempDirectory("graft-app-q102")
+          work.toFile.deleteOnExit()
+          val stage = CocoFn("fan3", 1, deps = Seq("w=200", "s=150"), fn = df => {
+            val nullS = lit(null).cast("string")
+            val nullL = lit(null).cast("long")
+            val nullV = lit(null).cast("array<float>")
+            val docs = df.select(col("item_key"),
+              concat(lit("doc:"), col("item_key")).as("row_key"),
+              col("source").as("txt"), col("n_chars").cast("long").as("n"),
+              nullS.as("chunk_text"), nullV.as("vector"), nullS.as("value"))
+            val chunks = Chunker.chunkFixed(
+                df.select(col("item_key"), col("text")),
+                "text", width = 200, stride = 150)
+              .select(col("item_key"),
+                concat(lit("chunk:"), col("item_key"), lit("#"),
+                  col("chunk_idx")).as("row_key"),
+                nullS.as("txt"), nullL.as("n"), col("chunk_text"),
+                array(length(col("chunk_text")).cast("float"),
+                  col("chunk_idx").cast("float")).as("vector"),
+                nullS.as("value"))
+            val msgs = df.select(col("item_key"),
+              concat(lit("msg:"), col("item_key")).as("row_key"),
+              nullS.as("txt"), nullL.as("n"), nullS.as("chunk_text"),
+              nullV.as("vector"),
+              col("n_chars").cast("string").as("value"))
+            docs.unionByName(chunks).unionByName(msgs)
+          })
+          val target = FanoutTarget(Map(
+            "doc" -> PgTableTarget(pg.host, pg.port, "testdb", "app_docs",
+              vectorDims = Map("vector" -> 2), writePartitions = 4),
+            "chunk" -> QdrantCollectionTarget(qd.baseUrl, "app_chunks",
+              vectors = Seq(QdrantVectorDef("", 2)),
+              payloadCols = Seq(
+                "chunk_text" -> org.apache.spark.sql.types.StringType),
+              writePartitions = 4, batchSize = 512),
+            "msg" -> KafkaWireTopicTarget(kb.host, kb.port, "app_msgs")))
+          def mkFlow(table: org.apache.spark.sql.DataFrame =>
+              org.apache.spark.sql.DataFrame) = new Flow(
+            "multi_store_app",
+            TableSource(sp => table(Tables(sp, dir, "documents")),
+              keyCol = "doc_id"),
+            Seq(stage), target, work.resolve("state").toString)
+
+          // pass 1: the full corpus into all three stores
+          mkFlow(identity).run(s)
+          // pass 2: doc_id%13 vanish (deletes fan everywhere),
+          // doc_id%7 bump n_chars (pg + kafka update, chunks noop)
+          val flow2 = mkFlow(df => df.filter(col("doc_id") % 13 =!= 0)
+            .withColumn("n_chars",
+              when(col("doc_id") % 7 === 0, col("n_chars") + 1)
+                .otherwise(col("n_chars"))))
+          flow2.run(s)
+          require(flow2.run(s).isNoop,
+            "incremental contract violated: multi-store rerun was not a no-op")
+
+          val back = flow2.target.read(s)
+            .select(
+              // kafka messages carry the full row_key as their key
+              coalesce(col("row_key"), col("key")).as("row_key"),
+              col("txt"), col("n").cast("long").as("n"), col("chunk_text"),
+              element_at(col("vector"), 1).as("v1"),
+              element_at(col("vector"), 2).as("v2"),
+              col("value").as("msg_value"))
+          val rows = back.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 4), back.schema)
+        } finally { pg.close(); qd.close(); kb.close() }
+      }),
     Q(
       "q63_topic_target",
       // the final compacted map after: produce all docs, then a second
