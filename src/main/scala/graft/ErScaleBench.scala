@@ -1,0 +1,156 @@
+package graft
+
+import graft.operators.EntityResolution
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** The entity-resolution cost shape — the Spark analog of the
+  * reference's `benchmarks/entity_resolution`
+  * (benchmarks/entity_resolution/README.md:1-45): deterministic
+  * synthetic alias clusters run through the REAL resolution protocol
+  * with an instrumented resolver, recording resolver call count,
+  * per-call latency, MAX LOGICAL CONCURRENCY, component count and
+  * elapsed time.
+  *
+  * The reference's two parallelism extremes are reproduced as
+  * profiles: `many-components` (G independent clusters — resolver
+  * calls fan out across component tasks) and `one-component` (one
+  * giant alias clique — strictly sequential inside its task, the
+  * protocol's within-component ordering guarantee). The
+  * `latency` profile injects per-call sleep so resolver latency
+  * dominates, measuring how well component parallelism hides it.
+  */
+object ErScale {
+
+  /** Cross-task metering (one JVM in local[n]): calls, in-flight
+    * peak, summed latency. Keyed by run id so concurrent cells don't
+    * bleed. */
+  object Meter {
+    import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+    final class Counters {
+      val calls = new AtomicInteger(0)
+      val inFlight = new AtomicInteger(0)
+      val peak = new AtomicInteger(0)
+      val latencyNanos = new AtomicLong(0L)
+    }
+    private val byRun =
+      new java.util.concurrent.ConcurrentHashMap[String, Counters]()
+    def of(runId: String): Counters =
+      byRun.computeIfAbsent(runId, _ => new Counters)
+    def drop(runId: String): Unit = { byRun.remove(runId); () }
+  }
+
+  /** Merge-with-first resolver wrapped in the meter; optional
+    * injected latency (the reference's synthetic-latency profile). */
+  final case class MeteredResolver(runId: String, delayMs: Long = 0L)
+      extends EntityResolution.PairResolver {
+    def resolvePair(entity: String,
+        candidates: Seq[String]): EntityResolution.PairDecision = {
+      val c = Meter.of(runId)
+      val now = c.inFlight.incrementAndGet()
+      c.peak.getAndUpdate(p => math.max(p, now))
+      val t0 = System.nanoTime()
+      try {
+        if (delayMs > 0) Thread.sleep(delayMs)
+        EntityResolution.PairDecision(matched = candidates.headOption)
+      } finally {
+        c.latencyNanos.addAndGet(System.nanoTime() - t0)
+        c.calls.incrementAndGet()
+        c.inFlight.decrementAndGet()
+        ()
+      }
+    }
+  }
+
+  /** Deterministic alias clusters: group g gets a distinct orthogonal
+    * centroid direction; aliases perturb it slightly, so every
+    * in-group pair is a candidate (cos ≈ 1) and no cross-group pair
+    * is (cos ≈ 0) — the reference generator's shape without
+    * randomness. */
+  def entities(spark: SparkSession, groups: Int,
+      aliasesPerGroup: Int, dim: Int = 16): DataFrame = {
+    // one distinct unordered axis pair per group: cross-group vectors
+    // share at most ONE axis, so cos ≤ 0.5 + tilt — strictly below
+    // the 0.7 candidate threshold; in-group pairs sit at cos ≈ 1
+    val pairs = (for { i <- 0 until dim; j <- i + 1 until dim }
+      yield (i, j)).toIndexedSeq
+    require(groups <= pairs.size,
+      s"need ≤ ${pairs.size} groups for separated centroids at dim=$dim")
+    val rows = for {
+      g <- 0 until groups
+      a <- 0 until aliasesPerGroup
+    } yield {
+      val (i, j) = pairs(g)
+      val v = Array.fill(dim)(0.0)
+      v(i) = 1.0
+      // alias-specific tilt INSIDE the group's 2-axis subspace
+      v(j) = 1.0 + 0.05 * (a % 7)
+      Row(s"entity-$g-alias-$a", v.toSeq)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 2000)),
+      StructType(Seq(StructField("name", StringType),
+        StructField("embedding", ArrayType(DoubleType)))))
+  }
+
+  final case class CellResult(
+      profile: String, entities: Int, components: Long,
+      resolverCalls: Int, maxConcurrency: Int,
+      meanCallMs: Double, elapsedSec: Double)
+
+  def runCell(spark: SparkSession, profile: String, groups: Int,
+      aliasesPerGroup: Int, delayMs: Long = 0L): CellResult = {
+    val runId = java.util.UUID.randomUUID().toString
+    val in = entities(spark, groups, aliasesPerGroup)
+    val t0 = System.nanoTime()
+    val out = EntityResolution.resolveEntitiesProtocol(
+      in, MeteredResolver(runId, delayMs), maxDistance = 0.3)
+    val components = out.select("component").distinct().count()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val c = Meter.of(runId)
+    val res = CellResult(profile, groups * aliasesPerGroup, components,
+      c.calls.get(), c.peak.get(),
+      if (c.calls.get() == 0) 0.0
+      else c.latencyNanos.get() / 1e6 / c.calls.get(), elapsed)
+    Meter.drop(runId)
+    res
+  }
+
+  def toJson(cells: Seq[CellResult]): String =
+    cells.map { c =>
+      f"""{"profile":"${c.profile}","entities":${c.entities},""" +
+      f""""components":${c.components},"resolver_calls":${c.resolverCalls},""" +
+      f""""max_concurrency":${c.maxConcurrency},""" +
+      f""""mean_call_ms":${c.meanCallMs}%.2f,"elapsed_sec":${c.elapsedSec}%.2f}"""
+    }.mkString("""{"cells":[""", ",", "]}")
+}
+
+object ErScaleBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]")
+        .appName("graft-er-scale"), cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cells = Seq(
+      ErScale.runCell(spark, "many-components-fast",
+        groups = 100, aliasesPerGroup = 10),
+      ErScale.runCell(spark, "many-components-latency",
+        groups = 64, aliasesPerGroup = 4, delayMs = 20),
+      ErScale.runCell(spark, "one-component",
+        groups = 1, aliasesPerGroup = 400),
+      ErScale.runCell(spark, "one-component-latency",
+        groups = 1, aliasesPerGroup = 48, delayMs = 20))
+    cells.foreach(c => System.err.println(
+      f"[er-scale] ${c.profile}: entities=${c.entities} " +
+      f"components=${c.components} calls=${c.resolverCalls} " +
+      f"maxConc=${c.maxConcurrency} meanCall=${c.meanCallMs}%.1fms " +
+      f"elapsed=${c.elapsedSec}%.2fs"))
+    val json = ErScale.toJson(cells)
+    Files.write(Paths.get("ER_SCALE.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}

@@ -427,27 +427,42 @@ object EntityResolution {
       .select(col("component"), col("name"), col("emb"), col("is_existing"))
       .as[(Long, String, Seq[Double], Boolean)]
 
-    val resolved = grouped
-      .groupByKey(_._1)
-      .flatMapGroups { (component: Long, rows: Iterator[(Long, String, Seq[Double], Boolean)]) =>
-        val infos = rows.map { case (_, nm, v, ex) =>
-          EntityInfo(nm, v.toArray, ex)
-        }.toSeq
-        val (dedup, events) =
-          resolveComponentLocal(infos, resolver, policy, maxDistance, topN)
-        events.iterator.map { e =>
-          (e.entity, dedup(e.entity), chainWalk(dedup, e.entity), component,
-            e.candidates, e.matched, e.decisionSide, e.repointed, e.seeded,
-            e.pass)
+    // components are BYTE-tiny but each resolves with a sequential
+    // loop of (possibly slow) resolver calls — the cost AQE cannot
+    // see. Its partition coalescing would fold the whole shuffle into
+    // one task and serialize every component behind one another,
+    // losing exactly the cross-component latency hiding the reference
+    // gets from per-component asyncio tasks (:584). Pin coalescing
+    // off for THIS materialization (restored after).
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    val resolved = try {
+      grouped
+        .groupByKey(_._1)
+        .flatMapGroups { (component: Long, rows: Iterator[(Long, String, Seq[Double], Boolean)]) =>
+          val infos = rows.map { case (_, nm, v, ex) =>
+            EntityInfo(nm, v.toArray, ex)
+          }.toSeq
+          val (dedup, events) =
+            resolveComponentLocal(infos, resolver, policy, maxDistance, topN)
+          events.iterator.map { e =>
+            (e.entity, dedup(e.entity), chainWalk(dedup, e.entity), component,
+              e.candidates, e.matched, e.decisionSide, e.repointed, e.seeded,
+              e.pass)
+          }
         }
-      }
-      .toDF("entity", "target", "canonical", "component", "candidates",
-        "matched", "decision_side", "repointed", "seeded", "pass")
-      // materialize BEFORE releasing the cache: the lazy plan reads
-      // `base` twice (directly and through the component edges), and
-      // an uncached re-evaluation of dropDuplicates could pick
-      // different rows than the ones the components were built from
-      .localCheckpoint()
+        .toDF("entity", "target", "canonical", "component", "candidates",
+          "matched", "decision_side", "repointed", "seeded", "pass")
+        // materialize BEFORE releasing the cache: the lazy plan reads
+        // `base` twice (directly and through the component edges), and
+        // an uncached re-evaluation of dropDuplicates could pick
+        // different rows than the ones the components were built from
+        .localCheckpoint()
+    } finally prevCoalesce match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None => spark.conf.unset(coalesceKey)
+    }
     base.unpersist()
     resolved
   }

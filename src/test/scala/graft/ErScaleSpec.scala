@@ -1,0 +1,37 @@
+package graft
+
+/** The ER benchmark's structural claims (reference
+  * benchmarks/entity_resolution/README.md "Component parallelism"):
+  * resolution is component-parallel — many independent clusters drive
+  * resolver calls CONCURRENTLY across component tasks, while one big
+  * component resolves strictly sequentially inside its task (the
+  * protocol's within-component ordering guarantee) — and resolver
+  * call volume is O(entities), not O(pairs).
+  */
+class ErScaleSpec extends SparkSpec {
+
+  test("many components resolve concurrently; call volume is O(entities)") {
+    // 20ms injected latency makes overlap measurable: 60 components
+    // of 4 aliases = 180 resolver calls; sequential would be ≥3.6s of
+    // pure sleep — component parallelism across local[*] tasks must
+    // overlap them (peak in-flight > 1)
+    val c = ErScale.runCell(spark, "spec-many", groups = 60,
+      aliasesPerGroup = 4, delayMs = 20)
+    assert(c.components == 60, s"$c")
+    // greedy protocol: first alias of a component seeds without a
+    // call; every later alias resolves once → (A-1) calls per group
+    assert(c.resolverCalls == 60 * 3,
+      s"calls must be O(entities): $c")
+    assert(c.maxConcurrency > 1,
+      s"independent components must resolve in parallel: $c")
+  }
+
+  test("one component is sequential inside its task") {
+    val c = ErScale.runCell(spark, "spec-one", groups = 1,
+      aliasesPerGroup = 30, delayMs = 5)
+    assert(c.components == 1, s"$c")
+    assert(c.resolverCalls == 29, s"$c")
+    assert(c.maxConcurrency == 1,
+      s"within-component resolution must be sequential: $c")
+  }
+}
