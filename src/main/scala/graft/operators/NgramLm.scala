@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model perplexity scoring — the CCNet-style
+  * quality signal a large-scale training-data pipeline runs where a
+  * neural LM is too expensive (and the one scorer family that needs
+  * no external model: the LM is FIT from a reference corpus slice
+  * inside the pipeline). Documents far from the reference
+  * distribution (boilerplate, lorem-ipsum, non-language noise) score
+  * high negative-log-likelihood and are dropped.
+  *
+  * Model: word bigrams with add-k smoothing over a pruned count
+  * table. For a document's adjacent token pairs (w1, w2):
+  *
+  *   - bigram retained (count ≥ minCount):  −ln (c12 + k)/(c1 + k·V)
+  *   - unseen bigram, known history w1:     −ln k/(c1 + k·V)
+  *   - unknown history:                     −ln 1/V
+  *
+  * and the score is the mean over pairs (≈ ln-perplexity).
+  *
+  * Scale shape: fitting is two partial-aggregated `groupBy` counts
+  * over the exploded pair stream (shuffles carry (word, word, count)
+  * — never documents); the model is vocabulary-bounded (pruning
+  * keeps it ~millions of rows at web scale), so scoring joins it
+  * BROADCAST against the pair stream — per-doc aggregation is the
+  * only payload-keyed shuffle. Nothing touches the driver.
+  */
+object NgramLm {
+
+  /** Deterministic tokenization shared with the oracle: lowercase,
+    * non-letter runs become separators, empties dropped. */
+  def tokensOf(text: Column): Column =
+    filter(split(regexp_replace(lower(text), "[^a-z]+", " "), " "),
+      t => t =!= "")
+
+  /** Adjacent-pair stream of `textCol`: (idCol, w1, w2). */
+  def pairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), tokensOf(col(textCol)).as("ws"))
+    toks
+      .select(col(idCol), posexplode(slice(col("ws"), lit(1),
+        greatest(size(col("ws")) - 1, lit(0)))).as(Seq("i", "w1")),
+        col("ws"))
+      .select(col(idCol), col("w1"),
+        element_at(col("ws"), col("i") + 2).as("w2"))
+  }
+
+  /** The fitted model: (bigrams(w1, w2, c12), histories(w1, c1),
+    * vocabSize). `c1` counts w1 AS A HISTORY (= sum of its bigram
+    * counts, pre-pruning), the denominator the smoothing needs. */
+  final case class BigramLm(bigrams: DataFrame, histories: DataFrame,
+      vocabSize: Long, k: Double)
+
+  def fit(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 2L, k: Double = 0.5): BigramLm = {
+    val p = pairs(docs, idCol, textCol).cache()
+    val hist = p.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val big = p.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val vocab = docs.select(explode(tokensOf(col(textCol))).as("w"))
+      .select(countDistinct("w")).collect()(0).getLong(0)
+    // the model is vocabulary-bounded — materialize it off the pair
+    // stream so scoring doesn't recompute the corpus aggregation
+    val lm = BigramLm(big.localCheckpoint(), hist.localCheckpoint(),
+      vocab, k)
+    p.unpersist()
+    lm
+  }
+
+  /** Mean negative log-likelihood per document: (idCol, nll).
+    * Documents with fewer than two tokens yield no pairs and are
+    * absent — left-join from the corpus if every id must appear. */
+  def scoreNll(docs: DataFrame, idCol: String, textCol: String,
+      lm: BigramLm): DataFrame = {
+    val p = pairs(docs, idCol, textCol)
+    val denom = col("c1") + lit(lm.k) * lit(lm.vocabSize.toDouble)
+    p
+      .join(broadcast(lm.bigrams), Seq("w1", "w2"), "left")
+      .join(broadcast(lm.histories), Seq("w1"), "left")
+      .withColumn("nll_pair",
+        when(col("c12").isNotNull, -log((col("c12") + lm.k) / denom))
+          .when(col("c1").isNotNull, -log(lit(lm.k) / denom))
+          .otherwise(-log(lit(1.0) / lit(lm.vocabSize.toDouble))))
+      .groupBy(idCol)
+      .agg(avg("nll_pair").as("nll"))
+  }
+
+  /** Fit-and-filter in one pass shape: every document scored against
+    * the corpus LM, kept while mean NLL ≤ `maxNll`. */
+  def perplexityFilter(docs: DataFrame, idCol: String, textCol: String,
+      maxNll: Double, minCount: Long = 2L, k: Double = 0.5): DataFrame = {
+    val lm = fit(docs, idCol, textCol, minCount, k)
+    docs.join(scoreNll(docs, idCol, textCol, lm), Seq(idCol), "left")
+      .withColumn("keep", col("nll").isNull || col("nll") <= maxNll)
+  }
+}

@@ -281,6 +281,54 @@ object CurationPack extends QueryPack {
               md5(substring(lower(regexp_replace(col("text"), " +", " ")),
                 1, 64)).as("block_hash")),
           clusterCol = "block_hash", qualityCol = "n_chars", idCol = "doc_id")
-          .select("doc_id", "block_hash", "keep_id", "kept"))
+          .select("doc_id", "block_hash", "keep_id", "kept")),
+
+    // ---- CCNet-style LM perplexity filtering ------------------------
+    // A bigram LM with add-k smoothing is FIT from the corpus itself
+    // (two partial-aggregated counts over the pair stream), then every
+    // document's mean negative log-likelihood is scored through a
+    // broadcast model join; far-from-distribution documents drop. The
+    // oracle recomputes the identical model and scores in SQL.
+    Q(
+      "q103_lm_perplexity",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(
+                   regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+                   x -> x <> '') AS ws
+          FROM documents),
+        vocab AS (
+          SELECT COUNT(DISTINCT w) AS v
+          FROM (SELECT unnest(ws) AS w FROM toks)),
+        pairs AS (
+          SELECT doc_id, ws[CAST(i AS INT)] AS w1,
+                 ws[CAST(i AS INT) + 1] AS w2
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                FROM toks)),
+        hist AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
+        big AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs
+                GROUP BY w1, w2 HAVING COUNT(*) >= 2),
+        scored AS (
+          SELECT p.doc_id,
+                 AVG(CASE
+                   WHEN b.c12 IS NOT NULL
+                     THEN -ln((b.c12 + 0.5) / (h.c1 + 0.5 * v.v))
+                   WHEN h.c1 IS NOT NULL
+                     THEN -ln(0.5 / (h.c1 + 0.5 * v.v))
+                   ELSE -ln(1.0 / v.v) END) AS nll
+          FROM pairs p
+          LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+          LEFT JOIN hist h ON p.w1 = h.w1
+          CROSS JOIN vocab v
+          GROUP BY p.doc_id)
+        SELECT d.doc_id, round(s.nll, 4) AS nll,
+               (s.nll IS NULL OR s.nll <= 3.4) AS keep
+        FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id"""),
+      (s, dir) =>
+        graft.operators.NgramLm.perplexityFilter(
+            Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+            idCol = "doc_id", textCol = "text", maxNll = 3.4)
+          .select(col("doc_id"), round(col("nll"), 4).as("nll"), col("keep")))
   )
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bigram-LM perplexity scoring: hand-computed smoothing arithmetic
+  * (retained / unseen-bigram / unknown-history branches), pruning,
+  * and the scale shape — the model joins BROADCAST against the pair
+  * stream. */
+class NgramLmSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "a b a b"), // pairs (a,b) (b,a) (a,b)
+    (2L, "a b c")    // pairs (a,b) (b,c)
+  ).toDF("doc_id", "text")
+
+  test("fit counts, prunes, and scores all three smoothing branches") {
+    val lm = NgramLm.fit(corpus, "doc_id", "text", minCount = 2, k = 0.5)
+    // vocab {a,b,c}; histories a→3, b→2; only (a,b) survives pruning
+    assert(lm.vocabSize == 3)
+    assert(lm.bigrams.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSet ==
+      Set(("a", "b", 3L)))
+    assert(lm.histories.collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSet == Set(("a", 3L), ("b", 2L)))
+
+    val scored = NgramLm.scoreNll(
+      Seq((2L, "a b c"), (3L, "z z")).toDF("doc_id", "text"),
+      "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 2: retained (a,b): -ln(3.5/4.5); unseen (b,c): -ln(0.5/3.5)
+    val expect2 = (-math.log(3.5 / 4.5) - math.log(0.5 / 3.5)) / 2
+    assert(math.abs(scored(2L) - expect2) < 1e-12, s"${scored(2L)}")
+    // doc 3: unknown history z → uniform 1/V
+    assert(math.abs(scored(3L) - math.log(3.0)) < 1e-12, s"${scored(3L)}")
+  }
+
+  test("the model joins broadcast against the pair stream") {
+    val lm = NgramLm.fit(corpus, "doc_id", "text", minCount = 1, k = 0.5)
+    val plan = NgramLm.scoreNll(corpus, "doc_id", "text", lm)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model joins must broadcast, not shuffle the pair stream:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "no payload-side merge join")
+  }
+
+  test("short documents survive the filter with null scores") {
+    val out = NgramLm.perplexityFilter(
+      Seq((1L, "a b a b"), (2L, "solo"), (3L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", maxNll = 100.0)
+    val rows = out.select("doc_id", "nll", "keep").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), r.getBoolean(2)))).toMap
+    assert(rows(2L)._1.isEmpty && rows(2L)._2, "1-token doc: null nll, kept")
+    assert(rows(3L)._1.isEmpty && rows(3L)._2, "empty doc: null nll, kept")
+    assert(rows(1L)._1.isDefined)
+  }
+}
