@@ -846,6 +846,13 @@ final class Flow(
     val empty = tracking.select("row_key").limit(0)
     val stats = target.apply(spark, upserts = empty.limit(0),
       deleteKeys = tracking.select("row_key"))
+    // attachments are target states too: drop reverts them by running
+    // the STORED teardowns (the declared set may have drifted since
+    // the last commit — the stored records describe what exists)
+    st.read("target_state", TargetStateSchema).collect().headOption
+      .toSeq.flatMap(r => decodeAtts(r.getString(5)))
+      .flatMap(_.teardown)
+      .foreach(target.execAttachmentSql(spark, _))
     st.clear()
     stats
   }

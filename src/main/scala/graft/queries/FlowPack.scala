@@ -573,11 +573,18 @@ object FlowPack extends QueryPack {
             TableSource(sp => Tables(sp, dir, "documents"), keyCol = "doc_id"),
             Seq(chunkStage),
             PgTableTarget(server.host, server.port, "graft", "doc_chunks",
+              // a reconciled SQL-command attachment rides the gate:
+              // setup once on create, silent on the unchanged rerun
+              attachments = Seq(TargetAttachment("by_doc",
+                """CREATE INDEX "i_doc" ON "doc_chunks" ("doc_id")""",
+                Some("""DROP INDEX IF EXISTS "i_doc""""))),
               writePartitions = 4),
             work.resolve("state").toString)
           flow.run(s)
           require(flow.run(s).isNoop,
             "incremental contract violated: postgres rerun was not a no-op")
+          require(server.indexDefs.contains("i_doc"),
+            "the SQL-command attachment must have run its setup")
           val back = flow.target.read(s)
             .select("row_key", "doc_id", "chunk_idx", "chunk_text")
           // materialize before the in-JVM store closes

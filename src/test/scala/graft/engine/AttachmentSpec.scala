@@ -88,6 +88,22 @@ class AttachmentSpec extends SparkSpec {
     } finally pg.close()
   }
 
+  test("drop tears attachments down with the rest of the target") {
+    val pg = new MiniPg
+    try {
+      val state = tmp("att-drop")
+      val flow = mkFlow(pg, state, Seq(TargetAttachment("by_txt",
+        """CREATE INDEX "i_txt" ON "docs" ("txt")""",
+        Some("""DROP INDEX IF EXISTS "i_txt""""))))
+      flow.run(spark)
+      assert(pg.indexDefs.contains("i_txt"))
+      flow.drop(spark)
+      assert(!pg.indexDefs.contains("i_txt"),
+        "drop must run the stored teardowns (attachments are target states)")
+      assert(pg.table("docs").forall(_.rows.isEmpty))
+    } finally pg.close()
+  }
+
   test("invalidation: a lossy attachment change re-runs components") {
     val pg = new MiniPg
     try {
