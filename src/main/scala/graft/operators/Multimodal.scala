@@ -205,4 +205,134 @@ object Multimodal {
       }
       .toDF(keyCol, "media")
   }
+
+  // ---- audio ------------------------------------------------------
+
+  /** Decoded-audio record: container format facts plus exact integer
+    * signal statistics of the first channel. */
+  final case class DecodedAudio(
+      ok: Boolean, sampleRate: Int, channels: Int, bits: Int,
+      frames: Long, peak: Int, rms: Long, zeroCrossings: Long)
+
+  /** Real audio codec over `javax.sound.sampled` (WAV/AIFF/AU — the
+    * containers the JVM ships readers for; compressed codecs would
+    * slot a JNI decoder into the same batched seam). Statistics are
+    * integer-exact on PCM16, so square-wave fixtures make every
+    * field a closed-form function of the key — the q55 trick for
+    * audio. */
+  object AudioCodec {
+    private val failed = DecodedAudio(ok = false, 0, 0, 0, 0L, 0, 0L, 0L)
+
+    /** Decode one payload; never throws (corrupt media at 100 TB is
+      * a row fact, not a job failure). Supports the signed-16-bit
+      * PCM WAV shape; anything else reports ok=false. */
+    def decode(bytes: Array[Byte]): DecodedAudio = {
+      if (bytes == null || bytes.length == 0) return failed
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (in == null) return failed
+      try {
+        val f = in.getFormat
+        if (f.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          f.getSampleSizeInBits != 16) return failed
+        val channels = f.getChannels
+        val frameBytes = f.getFrameSize
+        val data = in.readAllBytes()
+        val frames = data.length / frameBytes
+        var peak = 0
+        var sumSq = 0.0
+        var zc = 0L
+        var prevSign = 0
+        var i = 0
+        while (i < frames) {
+          val off = i * frameBytes // first channel only
+          val lo = data(off) & 0xff
+          val hi = data(off + 1).toInt
+          val s =
+            if (f.isBigEndian) (data(off).toInt << 8) | (data(off + 1) & 0xff)
+            else (hi << 8) | lo
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          sumSq += s.toDouble * s
+          val sign = if (s >= 0) 1 else -1
+          if (i > 0 && sign != prevSign) zc += 1
+          prevSign = sign
+          i += 1
+        }
+        val rms =
+          if (frames == 0) 0L else math.round(math.sqrt(sumSq / frames))
+        DecodedAudio(ok = true, f.getSampleRate.toInt, channels, 16,
+          frames.toLong, peak, rms, zc)
+      } catch { case _: Exception => failed }
+      finally in.close()
+    }
+
+    /** Minimal PCM16 mono WAV container (RIFF/fmt/data). */
+    def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2) // byte rate
+        .putShort(2) // block align
+        .putShort(16) // bits
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+  }
+
+  /** Batched audio decode + feature extraction — the same
+    * mapPartitions seam as [[decodeBatched]]. Output: (keyCol, ok,
+    * sample_rate, channels, bits, frames, peak, rms,
+    * zero_crossings). */
+  def decodeAudioBatched(df: DataFrame, keyCol: String, mediaCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long"), col(mediaCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (k, bytes) =>
+            val d = AudioCodec.decode(bytes)
+            (k, d.ok, d.sampleRate, d.channels, d.bits, d.frames,
+              d.peak, d.rms, d.zeroCrossings)
+          }
+        }
+      }
+      .toDF(keyCol, "decode_ok", "sample_rate", "channels", "bits",
+        "frames", "peak", "rms", "zero_crossings")
+  }
+
+  /** Deterministic real-WAV fixture generator: one mono PCM16 square
+    * wave per key, every decoded statistic a closed form —
+    *   frames = 1000 + (key mod 7)·500, amp = 1000 + (key mod 9)·1000,
+    *   half-period p = 4 + (key mod 10), sample rate 8000;
+    *   rms = amp exactly, peak = amp,
+    *   zero_crossings = floor((frames−1)/p). */
+  def syntheticWavs(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long")).as[Long]
+      .mapPartitions { keys =>
+        keys.map { k =>
+          val frames = 1000 + java.lang.Math.floorMod(k, 7L).toInt * 500
+          val amp = 1000 + java.lang.Math.floorMod(k, 9L).toInt * 1000
+          val p = 4 + java.lang.Math.floorMod(k, 10L).toInt
+          val samples = Array.tabulate(frames)(i =>
+            (if ((i / p) % 2 == 0) amp else -amp).toShort)
+          (k, AudioCodec.encodeWav(8000, samples))
+        }
+      }
+      .toDF(keyCol, "media")
+  }
 }

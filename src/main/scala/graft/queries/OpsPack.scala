@@ -124,6 +124,40 @@ object OpsPack extends QueryPack {
             col("magic"))
       }),
 
+    // ---- multimodal: REAL audio decode, oracle-gated --------------------
+    // Real PCM16 WAVs (square waves) are rendered per doc_id with
+    // closed-form signal statistics (Multimodal.syntheticWavs),
+    // decoded back through javax.sound.sampled, and the decoded
+    // frames/peak/RMS/zero-crossing counts compared against the
+    // oracle's formulas. A square wave makes RMS integer-exact, so
+    // any codec defect (header misparse, endianness, channel stride)
+    // breaks the hash.
+    Q(
+      "q104_audio_decode",
+      Some("""
+        SELECT doc_id,
+               CAST(8000 AS INT) AS sample_rate,
+               CAST(1 AS INT) AS channels,
+               CAST(16 AS INT) AS bits,
+               CAST(1000 + (doc_id % 7) * 500 AS BIGINT) AS frames,
+               CAST(1000 + (doc_id % 9) * 1000 AS INT) AS peak,
+               CAST(1000 + (doc_id % 9) * 1000 AS BIGINT) AS rms,
+               CAST(floor((1000 + (doc_id % 7) * 500 - 1)
+                 / (4 + doc_id % 10)) AS BIGINT) AS zero_crossings,
+               '52494646' AS magic
+        FROM documents"""),
+      (s, dir) => {
+        val wavs = Multimodal.syntheticWavs(
+          Tables(s, dir, "documents").select(col("doc_id")), "doc_id")
+        Multimodal.decodeAudioBatched(wavs, keyCol = "doc_id",
+            mediaCol = "media")
+          .join(wavs.select(col("doc_id"),
+            Multimodal.mediaMagic(col("media")).as("magic")), Seq("doc_id"))
+          .select(col("doc_id"), col("sample_rate"), col("channels"),
+            col("bits"), col("frames"), col("peak"), col("rms"),
+            col("zero_crossings"), col("magic"))
+      }),
+
     // ---- multi-format scans: CSV + JSON + ORC round-trip ----------------
     // (§2.F scans beyond parquet: the same relation is written to and
     // read back from three formats; the 3-way union must triple the
