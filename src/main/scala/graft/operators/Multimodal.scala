@@ -335,4 +335,172 @@ object Multimodal {
       }
       .toDF(keyCol, "media")
   }
+
+  // ---- video ------------------------------------------------------
+
+  /** Parsed MP4/ISO-BMFF container facts (no frame decode — that is
+    * the JNI-codec slot): brand, movie duration/timescale, track
+    * count, first video track's presentation dimensions. */
+  final case class VideoMeta(
+      ok: Boolean, brand: String, timescale: Long, duration: Long,
+      tracks: Int, width: Int, height: Int)
+
+  /** ISO base-media (MP4) box parser — the container walk a video
+    * pipeline runs on every file before deciding whether to pay for
+    * frame extraction (the public ISO/IEC 14496-12 box structure:
+    * `u32 size + 4cc type + payload`, `moov/mvhd` movie header,
+    * `trak/tkhd` track headers with 16.16 fixed-point dimensions). */
+  object VideoContainer {
+    private val failed = VideoMeta(ok = false, "", 0L, 0L, 0, 0, 0)
+
+    def parse(bytes: Array[Byte]): VideoMeta = {
+      if (bytes == null || bytes.length < 16) return failed
+      try {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.BIG_ENDIAN)
+        var brand = ""
+        var timescale = 0L
+        var duration = 0L
+        var tracks = 0
+        var width = 0
+        var height = 0
+        def fourcc(): String = {
+          val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+        }
+        def walk(end: Int, depth: Int): Unit =
+          while (bb.position() + 8 <= end) {
+            val start = bb.position()
+            val size = bb.getInt()
+            val typ = fourcc()
+            if (size < 8 || start + size > end)
+              throw new IllegalArgumentException(s"bad box $typ size $size")
+            typ match {
+              case "ftyp" =>
+                brand = fourcc()
+                bb.position(start + size)
+              case "moov" | "trak" =>
+                if (typ == "trak") tracks += 1
+                walk(start + size, depth + 1) // container boxes recurse
+              case "mvhd" =>
+                val version = bb.get() & 0xff
+                bb.position(bb.position() + 3) // flags
+                if (version == 1) {
+                  bb.getLong(); bb.getLong() // times
+                  timescale = bb.getInt().toLong & 0xffffffffL
+                  duration = bb.getLong()
+                } else {
+                  bb.getInt(); bb.getInt()
+                  timescale = bb.getInt().toLong & 0xffffffffL
+                  duration = bb.getInt().toLong & 0xffffffffL
+                }
+                bb.position(start + size)
+              case "tkhd" =>
+                // width/height are the LAST two 16.16 fields
+                bb.position(start + size - 8)
+                val w = bb.getInt() >>> 16
+                val h = bb.getInt() >>> 16
+                if (width == 0 && w > 0) { width = w; height = h }
+                bb.position(start + size)
+              case _ =>
+                bb.position(start + size)
+            }
+          }
+        walk(bytes.length, 0)
+        if (brand.isEmpty || timescale == 0) failed
+        else VideoMeta(ok = true, brand, timescale, duration, tracks,
+          width, height)
+      } catch { case _: Exception => failed }
+    }
+
+    private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII"))
+        .put(payload)
+      bb.array()
+    }
+
+    /** Minimal well-formed MP4: ftyp + moov(mvhd + tracks·trak(tkhd)). */
+    def encodeMp4(brand: String, timescale: Int, duration: Int,
+        tracks: Int, width: Int, height: Int): Array[Byte] = {
+      val ftyp = box("ftyp", {
+        val b = java.nio.ByteBuffer.allocate(16)
+        b.put(brand.getBytes("US-ASCII")).putInt(0x200)
+          .put("isom".getBytes("US-ASCII")).put("iso2".getBytes("US-ASCII"))
+        b.array()
+      })
+      val mvhd = box("mvhd", {
+        val b = java.nio.ByteBuffer.allocate(100)
+        b.putInt(0) // version 0 + flags
+          .putInt(0).putInt(0) // times
+          .putInt(timescale).putInt(duration)
+          .putInt(0x00010000).putShort(0x0100.toShort) // rate, volume
+        b.position(b.position() + 10) // reserved
+        Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+          .foreach(b.putInt) // identity matrix
+        b.position(b.position() + 24) // predefined
+        b.putInt(tracks + 1) // next track id
+        b.array()
+      })
+      val traks = (1 to tracks).map { id =>
+        box("trak", box("tkhd", {
+          val b = java.nio.ByteBuffer.allocate(84)
+          b.putInt(0x000007) // version 0, flags enabled
+            .putInt(0).putInt(0).putInt(id).putInt(0).putInt(duration)
+          b.position(b.position() + 8) // reserved
+          b.putShort(0).putShort(0).putShort(0).putShort(0)
+          Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            .foreach(b.putInt)
+          // only the FIRST track carries presentation dimensions
+          if (id == 1) { b.putInt(width << 16).putInt(height << 16) }
+          else { b.putInt(0).putInt(0) }
+          b.array()
+        }))
+      }
+      val moov = box("moov", mvhd ++ traks.flatten)
+      ftyp ++ moov
+    }
+  }
+
+  /** Batched container parse — same seam as the codecs. Output:
+    * (keyCol, parse_ok, brand, timescale, duration, tracks, width,
+    * height). */
+  def parseVideoBatched(df: DataFrame, keyCol: String, mediaCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long"), col(mediaCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (k, bytes) =>
+            val m = VideoContainer.parse(bytes)
+            (k, m.ok, m.brand, m.timescale, m.duration, m.tracks,
+              m.width, m.height)
+          }
+        }
+      }
+      .toDF(keyCol, "parse_ok", "brand", "timescale", "duration",
+        "tracks", "width", "height")
+  }
+
+  /** Deterministic MP4 fixture generator with closed-form container
+    * facts: timescale 1000, duration = 5000 + (key mod 11)·1000,
+    * tracks = 1 + (key mod 3), width = 320 + (key mod 5)·160,
+    * height = 240 + (key mod 4)·120, brand isom. */
+  def syntheticMp4s(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long")).as[Long]
+      .mapPartitions { keys =>
+        keys.map { k =>
+          (k, VideoContainer.encodeMp4("isom", 1000,
+            5000 + java.lang.Math.floorMod(k, 11L).toInt * 1000,
+            1 + java.lang.Math.floorMod(k, 3L).toInt,
+            320 + java.lang.Math.floorMod(k, 5L).toInt * 160,
+            240 + java.lang.Math.floorMod(k, 4L).toInt * 120))
+        }
+      }
+      .toDF(keyCol, "media")
+  }
 }

@@ -158,6 +158,33 @@ object OpsPack extends QueryPack {
             col("zero_crossings"), col("magic"))
       }),
 
+    // ---- multimodal: MP4 container parse, oracle-gated ------------------
+    // Real ISO-BMFF containers (ftyp + moov/mvhd + trak/tkhd) are
+    // built per doc_id and parsed back through the box walker —
+    // brand, movie duration/timescale, track count, and the first
+    // track's 16.16 fixed-point dimensions all closed-form. Frame
+    // decode stays the documented JNI-codec slot; the container walk
+    // is what a pipeline runs on EVERY file before paying for it.
+    Q(
+      "q105_video_container",
+      Some("""
+        SELECT doc_id,
+               'isom' AS brand,
+               CAST(1000 AS BIGINT) AS timescale,
+               CAST(5000 + (doc_id % 11) * 1000 AS BIGINT) AS duration,
+               CAST(1 + doc_id % 3 AS INT) AS tracks,
+               CAST(320 + (doc_id % 5) * 160 AS INT) AS width,
+               CAST(240 + (doc_id % 4) * 120 AS INT) AS height
+        FROM documents"""),
+      (s, dir) => {
+        val mp4s = Multimodal.syntheticMp4s(
+          Tables(s, dir, "documents").select(col("doc_id")), "doc_id")
+        Multimodal.parseVideoBatched(mp4s, keyCol = "doc_id",
+            mediaCol = "media")
+          .select(col("doc_id"), col("brand"), col("timescale"),
+            col("duration"), col("tracks"), col("width"), col("height"))
+      }),
+
     // ---- multi-format scans: CSV + JSON + ORC round-trip ----------------
     // (§2.F scans beyond parquet: the same relation is written to and
     // read back from three formats; the 3-way union must triple the
