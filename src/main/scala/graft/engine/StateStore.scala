@@ -204,6 +204,27 @@ final class StateStore(spark: SparkSession, rootDir: String) {
         val segs = segmentsOf(name, cur)
         val hasBase = cur > 0 &&
           Files.exists(root.resolve(s"v=$cur").resolve(name))
+        def dirBytes(d: Path): Long =
+          if (!Files.exists(d)) 0L
+          else {
+            var n = 0L
+            val it = Files.walk(d).iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              if (Files.isRegularFile(p)) n += Files.size(p)
+            }
+            n
+          }
+        // LSM trigger: enough segments AND (their bytes approach the
+        // base's, or the hard fan-in cap is hit) — amortized O(delta)
+        // write per commit, bounded read-side union
+        val shouldCompact = segs.size >= MaxSegments && {
+          val segBytes = segs.map { case (n2, _) =>
+            dirBytes(root.resolve(s"v=$cur").resolve(n2))
+          }.sum
+          val baseBytes = dirBytes(root.resolve(s"v=$cur").resolve(name))
+          segs.size >= HardMaxSegments || segBytes * 4L >= baseBytes
+        }
         if (!hasBase && segs.isEmpty) {
           // first commit of this table: the delta IS the content —
           // write it as a clean base (tombstones have nothing to hit),
@@ -211,7 +232,7 @@ final class StateStore(spark: SparkSession, rootDir: String) {
           upserts.select(schema.fieldNames.map(col).toIndexedSeq: _*)
             .write.mode("overwrite").parquet(dir.resolve(name).toString)
           written += name
-        } else if (segs.size >= MaxSegments) {
+        } else if (shouldCompact) {
           // compact: merged view (lazy over the CURRENT version's
           // files, which survive until prune keeps `next`-1) + delta
           val base = read(name, schema)
@@ -317,12 +338,19 @@ object StateStore {
   /** Merge-ordinal column (derived from the segment name at read). */
   val SeqCol = "__seq"
 
-  /** Delta segments allowed per table before the next Delta commit
-    * compacts back to a single base — bounds the read-side union at
-    * O(MaxSegments) parquet dirs while keeping the per-run write at
-    * O(changed). */
+  /** Segment count past which compaction is CONSIDERED. Actually
+    * compacting additionally requires the accumulated segment bytes
+    * to reach a fraction of the base (LSM-style): compacting a huge
+    * base because 8 one-row ticks accumulated would make a
+    * high-frequency live loop pay amortized O(N/8) per tick — the
+    * cost the delta log exists to avoid. */
   val MaxSegments: Int =
     sys.env.getOrElse("SPARK_GRAFT_STATE_MAX_SEGMENTS", "8").toInt
+
+  /** Hard segment-count cap: compaction is forced here regardless of
+    * byte ratio, bounding the read-side union fan-in. */
+  val HardMaxSegments: Int =
+    sys.env.getOrElse("SPARK_GRAFT_STATE_HARD_MAX_SEGMENTS", "64").toInt
 
   /** How a table is committed: [[Full]] rewrites it; [[Delta]] writes
     * one segment of upserts + delete-key tombstones (O(changed)). */
