@@ -88,6 +88,46 @@ class StateDeltaLogSpec extends SparkSpec {
       StateStore.MaxSegments + 2L)
   }
 
+  test("a sustained edit loop keeps segments bounded and reads exact") {
+    val n = 40
+    val src = tmpDir("dlloop"); val state = tmpDir("dlloop-st")
+    val tgt = tmpDir("dlloop-t")
+    (1 to n).foreach(i => write(src, f"d$i%02d.md", s"doc $i v0"))
+    val flow = new Flow("dl_loop",
+      LocalFsSource(src.toString, Seq("**.md")),
+      Seq(CocoFn("ident", 1, Nil, df => df.select(col("item_key"),
+        col("item_key").as("row_key"),
+        length(col("content")).as("len")))),
+      ParquetTableTarget(tgt.toString, numBuckets = 4), state.toString)
+    flow.run(spark)
+
+    // 25 one-file edit ticks: the LSM trigger must keep the physical
+    // segment count bounded (compactions fold them back) while every
+    // read stays exact
+    (1 to 25).foreach { t =>
+      write(src, f"d${(t % n) + 1}%02d.md", s"doc ${(t % n) + 1} v$t")
+      val r = flow.run(spark)
+      assert(r.recomputed == 1, s"tick $t: $r")
+    }
+    val st = new StateStore(spark, state.toString)
+    val v = st.currentVersion
+    val segCounts = Option(state.resolve(s"v=$v").toFile.listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.contains(StateStore.SegSep))
+      .groupBy(f => f.getName.takeWhile(_ != '@')).view.mapValues(_.length)
+    segCounts.foreach { case (table, c) =>
+      assert(c <= StateStore.HardMaxSegments,
+        s"$table accumulated $c segments — compaction never fired")
+    }
+    assert(flow.componentMemo(spark).count() == n)
+    assert(flow.target.read(spark).count() == n)
+    // and the final contents reflect the LAST writes exactly
+    val len25 = s"doc ${(25 % n) + 1} v25".length
+    assert(flow.target.read(spark)
+      .filter(col("row_key") === f"d${(25 % n) + 1}%02d.md")
+      .select("len").collect().head.getInt(0) == len25)
+  }
+
   test("a 1-file edit writes O(changed) state rows, not O(components)") {
     val n = 120
     val src = tmpDir("dlsrc"); val state = tmpDir("dlstate")
