@@ -42,15 +42,18 @@ object StateScale {
   private def inodes(root: Path): Map[Long, Long] =
     if (!Files.exists(root)) Map.empty
     else {
-      val out = Map.newBuilder[Long, Long]
-      val it = Files.walk(root).iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        if (Files.isRegularFile(p))
-          out += (Files.getAttribute(p, "unix:ino").asInstanceOf[Long] ->
-            Files.size(p))
-      }
-      out.result()
+      val stream = Files.walk(root)
+      try {
+        val out = Map.newBuilder[Long, Long]
+        val it = stream.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (Files.isRegularFile(p))
+            out += (Files.getAttribute(p, "unix:ino").asInstanceOf[Long] ->
+              Files.size(p))
+        }
+        out.result()
+      } finally stream.close()
     }
 
   /** Run one (N, M) cell against fresh temp dirs. */

@@ -400,7 +400,11 @@ object BigQueryTableTarget {
       else s"`$n` ${SqlDialect.BigQuery.sqlType(
         schema.fields(schema.fieldIndex(n)).dataType)}"
     }
-    defs.mkString(s"CREATE TABLE $stage (", ", ", ")")
+    // expiration backstop: a writer JVM dying between CREATE and the
+    // finally-DROP must not leak a permanent table into the dataset
+    defs.mkString(s"CREATE TABLE $stage (", ", ", ")") +
+      " OPTIONS (expiration_timestamp = TIMESTAMP_ADD(" +
+      "CURRENT_TIMESTAMP(), INTERVAL 1 HOUR))"
   }
 
   /** One chunk of the staging load: a multi-row VALUES INSERT with

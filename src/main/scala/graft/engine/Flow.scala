@@ -307,8 +307,10 @@ final class Flow(
     * — after the row apply, so the container exists. */
   private def applyAttachments(spark: SparkSession,
       planned: PlannedRun): Unit = {
-    planned.attTeardowns.foreach(target.execAttachmentSql(spark, _))
-    planned.attSetups.foreach(a => target.execAttachmentSql(spark, a.setupSql))
+    planned.attTeardowns.foreach(
+      target.execAttachmentSql(spark, _, tolerateMissing = true))
+    planned.attSetups.foreach(a =>
+      target.execAttachmentSql(spark, a.setupSql))
   }
 
   /** The table-level tracking record + generation, committed with the
@@ -316,13 +318,24 @@ final class Flow(
     * the generation is stable — memo hits are restored (reference
     * test_provider_generation.py:138-181). */
   private def targetStateTable(spark: SparkSession, planned: PlannedRun)
-      : Option[(String, DataFrame)] = planned.desired.map { d =>
-    "target_state" -> spark.createDataFrame(
-      java.util.Arrays.asList(org.apache.spark.sql.Row(
-        d.main, encodeColumns(d.sub), managedBy.name,
-        planned.providerId, planned.schemaVersion,
-        encodeAtts(target.attachments))),
-      TargetStateSchema)
+      : Option[(String, DataFrame)] = {
+    // with an unknowable schema (empty source) there is no table
+    // record to store — but declared ATTACHMENTS must still persist,
+    // or every run replays their teardown+setup forever; a container-
+    // signature placeholder with no columns reconciles additively
+    // once the schema becomes known
+    val record: Option[(String, String)] = planned.desired
+      .map(d => (d.main, encodeColumns(d.sub)))
+      .orElse(if (target.attachments.nonEmpty)
+        Some((target.containerSignature, "[]")) else None)
+    record.map { case (main, subJson) =>
+      "target_state" -> spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(
+          main, subJson, managedBy.name,
+          planned.providerId, planned.schemaVersion,
+          encodeAtts(target.attachments))),
+        TargetStateSchema)
+    }
   }
 
   private def state(spark: SparkSession) = new StateStore(spark, stateDir)
@@ -852,7 +865,7 @@ final class Flow(
     st.read("target_state", TargetStateSchema).collect().headOption
       .toSeq.flatMap(r => decodeAtts(r.getString(5)))
       .flatMap(_.teardown)
-      .foreach(target.execAttachmentSql(spark, _))
+      .foreach(target.execAttachmentSql(spark, _, tolerateMissing = true))
     st.clear()
     stats
   }

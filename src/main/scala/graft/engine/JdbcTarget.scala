@@ -71,13 +71,13 @@ final case class JdbcTableTarget(url: String, table: String,
         dialect.ddlMissingStates) // no such table — already converged
     }
 
-  /** Attachment setup/teardown statement, idempotence-tolerant both
-    * ways (re-running a setup after a crash, tearing down an object
-    * the container's drop already took). */
-  override def execAttachmentSql(spark: SparkSession, sql: String): Unit =
+  override def execAttachmentSql(spark: SparkSession, sql: String,
+      tolerateMissing: Boolean): Unit =
     withConnection(url) { conn =>
       execIgnoring(conn, sql,
-        dialect.ddlExistsStates ++ dialect.ddlMissingStates)
+        if (tolerateMissing) // teardown: object may already be gone
+          dialect.ddlExistsStates ++ dialect.ddlMissingStates
+        else dialect.ddlExistsStates) // setup: missing container is real
     }
 
   /** getTables/getColumns take the table name as a LIKE pattern, so a

@@ -51,14 +51,19 @@ final class KafkaWireMapSource(host: String, port: Int, topic: String,
       .partitions.length
 
   /** Apply fetched records latest-wins into the map; returns the
-    * touched keys. */
+    * touched keys. Unkeyed records (Kafka permits key = null) cannot
+    * be map entries — they are skipped, never allowed to crash the
+    * feed (one bad message must not wedge the source). */
   private def applyRecords(records: Seq[KafkaWire.Record]): Seq[String] =
     map.synchronized {
-      records.map { r =>
-        val k = new String(r.key, UTF_8)
-        if (r.value == null) map.remove(k)
-        else map(k) = new String(r.value, UTF_8)
-        k
+      records.flatMap { r =>
+        if (r.key == null) None
+        else {
+          val k = new String(r.key, UTF_8)
+          if (r.value == null) map.remove(k)
+          else map(k) = new String(r.value, UTF_8)
+          Some(k)
+        }
       }
     }
 
@@ -136,8 +141,15 @@ final class KafkaWireMapSource(host: String, port: Int, topic: String,
           case off => off
         })
       }.toMap
-      if (stored.isEmpty || stored.values.forall(_ == -1L))
-        consumerGroup.foreach(client.commitOffsets(_, topic, armed))
+      // eager-commit exactly the partitions armed at the head (no
+      // stored offset) — per-partition, so a group that grew new
+      // partitions doesn't silently re-arm them at a LATER head after
+      // a zero-tick run
+      val fresh = armed.filter { case (p, _) =>
+        stored.getOrElse(p, -1L) == -1L
+      }
+      if (fresh.nonEmpty)
+        consumerGroup.foreach(client.commitOffsets(_, topic, fresh))
       armed
     }
     private var pending: Map[Int, Long] = committed

@@ -99,13 +99,16 @@ final case class PgTableTarget(host: String, port: Int, database: String,
   override def truncate(spark: SparkSession): Unit =
     withClient { c => c.query(s"""DROP TABLE IF EXISTS "$table""""); () }
 
-  override def execAttachmentSql(spark: SparkSession, sql: String): Unit =
+  override def execAttachmentSql(spark: SparkSession, sql: String,
+      tolerateMissing: Boolean): Unit =
     withClient { c =>
       try { c.query(sql); () }
       catch {
         case e: PgWire.PgErrorException
             if SqlDialect.Postgres.ddlExistsStates.contains(e.sqlState) ||
-              SqlDialect.Postgres.ddlMissingStates.contains(e.sqlState) => ()
+              (tolerateMissing &&
+                SqlDialect.Postgres.ddlMissingStates.contains(e.sqlState)) =>
+          ()
       }
     }
 

@@ -207,13 +207,16 @@ final class StateStore(spark: SparkSession, rootDir: String) {
         def dirBytes(d: Path): Long =
           if (!Files.exists(d)) 0L
           else {
-            var n = 0L
-            val it = Files.walk(d).iterator()
-            while (it.hasNext) {
-              val p = it.next()
-              if (Files.isRegularFile(p)) n += Files.size(p)
-            }
-            n
+            val stream = Files.walk(d)
+            try {
+              var n = 0L
+              val it = stream.iterator()
+              while (it.hasNext) {
+                val p = it.next()
+                if (Files.isRegularFile(p)) n += Files.size(p)
+              }
+              n
+            } finally stream.close() // walk holds directory fds open
           }
         // LSM trigger: enough segments AND (their bytes approach the
         // base's, or the hard fan-in cap is hit) — amortized O(delta)
@@ -279,7 +282,8 @@ final class StateStore(spark: SparkSession, rootDir: String) {
         .filter(f => f.isDirectory && !written.contains(tableOf(f.getName)))
         .foreach { t =>
           val tgt = dir.resolve(t.getName)
-          Files.walk(t.toPath).iterator().asScala.foreach { p =>
+          val stream = Files.walk(t.toPath)
+          try stream.iterator().asScala.foreach { p =>
             val rel = t.toPath.relativize(p)
             val dst = tgt.resolve(rel.toString)
             if (Files.isDirectory(p)) Files.createDirectories(dst)
@@ -295,7 +299,7 @@ final class StateStore(spark: SparkSession, rootDir: String) {
                 Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
               }
             }
-          }
+          } finally stream.close()
         }
     }
     val tmp = root.resolve(s"$CurrentFile.tmp")

@@ -64,11 +64,15 @@ trait Target {
     * target_state.py + test_attachment_target_states.py). */
   def attachments: Seq[TargetAttachment] = Nil
 
-  /** Execute one attachment statement (setup or teardown) against
-    * the store. Required for targets declaring [[attachments]];
-    * implementations should tolerate idempotent-DDL "already exists"
-    * errors so crash reruns converge. */
-  def execAttachmentSql(spark: SparkSession, sql: String): Unit =
+  /** Execute one attachment statement against the store. Required
+    * for targets declaring [[attachments]]. Implementations tolerate
+    * idempotent-DDL "already exists" errors (crash reruns converge);
+    * `tolerateMissing` is set for TEARDOWNS only — tearing down an
+    * object the container's drop already took is converged, but a
+    * SETUP failing on a missing container is a real error that must
+    * abort before the state commit (the transition replans). */
+  def execAttachmentSql(spark: SparkSession, sql: String,
+      tolerateMissing: Boolean = false): Unit =
     throw new UnsupportedOperationException(
       s"${getClass.getSimpleName} does not execute attachment SQL")
 }

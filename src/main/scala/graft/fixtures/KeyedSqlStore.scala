@@ -86,7 +86,11 @@ final class KeyedSqlStore(quote: Char) {
     else throw StoreError(Syntax, s"unsupported statement: ${sql.take(60)}")
   }
 
-  private def createTable(sql: String): Result = {
+  private def createTable(sql0: String): Result = {
+    // BigQuery appends OPTIONS (expiration_timestamp = ...) after the
+    // column list; strip it before the generic parse
+    val sql = """(?is)\s*OPTIONS\s*\(.*\)\s*$""".r
+      .replaceFirstIn(sql0, "")
     val m = """(?is)CREATE\s+(?:TEMPORARY\s+|TEMP\s+)?TABLE(\s+IF\s+NOT\s+EXISTS)?\s+(\S+)\s*\((.*)\)\s*$""".r
       .findFirstMatchIn(sql)
       .getOrElse(throw StoreError(Syntax, "bad CREATE TABLE"))

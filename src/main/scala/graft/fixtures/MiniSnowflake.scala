@@ -88,7 +88,12 @@ final class MiniSnowflake extends MiniHttpServer("minisnowflake") {
               case (Some(v), "timestamp_tz") =>
                 JString(try {
                   val inst = java.time.Instant.parse(v)
-                  f"${inst.getEpochSecond}%d.${inst.getNano}%09d 1440"
+                  // BigDecimal keeps pre-1970 instants mathematically
+                  // right: -1.5s is "-1.500000000", not the epoch/nano
+                  // concatenation "-2.500000000"
+                  val dec = java.math.BigDecimal.valueOf(inst.getEpochSecond)
+                    .add(java.math.BigDecimal.valueOf(inst.getNano.toLong, 9))
+                  dec.setScale(9).toPlainString + " 1440"
                 } catch { case _: Exception => v })
               case (Some(v), _) => JString(v)
             })))

@@ -35,16 +35,19 @@ object NgramLm {
     filter(split(regexp_replace(lower(text), "[^a-z]+", " "), " "),
       t => t =!= "")
 
-  /** Adjacent-pair stream of `textCol`: (idCol, w1, w2). */
-  def pairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol), tokensOf(col(textCol)).as("ws"))
+  /** Pair stream from a pre-tokenized (idCol, ws) frame. */
+  private def pairsOfToks(toks: DataFrame, idCol: String): DataFrame =
     toks
       .select(col(idCol), posexplode(slice(col("ws"), lit(1),
         greatest(size(col("ws")) - 1, lit(0)))).as(Seq("i", "w1")),
         col("ws"))
       .select(col(idCol), col("w1"),
         element_at(col("ws"), col("i") + 2).as("w2"))
-  }
+
+  /** Adjacent-pair stream of `textCol`: (idCol, w1, w2). */
+  def pairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    pairsOfToks(
+      docs.select(col(idCol), tokensOf(col(textCol)).as("ws")), idCol)
 
   /** The fitted model: (bigrams(w1, w2, c12), histories(w1, c1),
     * vocabSize). `c1` counts w1 AS A HISTORY (= sum of its bigram
@@ -54,26 +57,26 @@ object NgramLm {
 
   def fit(docs: DataFrame, idCol: String, textCol: String,
       minCount: Long = 2L, k: Double = 0.5): BigramLm = {
-    val p = pairs(docs, idCol, textCol).cache()
+    // tokenize ONCE (the expensive regexp pass): counts, vocab and
+    // pairs all derive from the cached token frame
+    val toks = docs
+      .select(col(idCol), tokensOf(col(textCol)).as("ws")).cache()
+    val p = pairsOfToks(toks, idCol)
     val hist = p.groupBy("w1").agg(count(lit(1)).as("c1"))
     val big = p.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .filter(col("c12") >= minCount)
-    val vocab = docs.select(explode(tokensOf(col(textCol))).as("w"))
+    val vocab = toks.select(explode(col("ws")).as("w"))
       .select(countDistinct("w")).collect()(0).getLong(0)
-    // the model is vocabulary-bounded — materialize it off the pair
+    // the model is vocabulary-bounded — materialize it off the token
     // stream so scoring doesn't recompute the corpus aggregation
     val lm = BigramLm(big.localCheckpoint(), hist.localCheckpoint(),
       vocab, k)
-    p.unpersist()
+    toks.unpersist()
     lm
   }
 
-  /** Mean negative log-likelihood per document: (idCol, nll).
-    * Documents with fewer than two tokens yield no pairs and are
-    * absent — left-join from the corpus if every id must appear. */
-  def scoreNll(docs: DataFrame, idCol: String, textCol: String,
+  private def scorePairs(p: DataFrame, idCol: String,
       lm: BigramLm): DataFrame = {
-    val p = pairs(docs, idCol, textCol)
     val denom = col("c1") + lit(lm.k) * lit(lm.vocabSize.toDouble)
     p
       .join(broadcast(lm.bigrams), Seq("w1", "w2"), "left")
@@ -86,12 +89,35 @@ object NgramLm {
       .agg(avg("nll_pair").as("nll"))
   }
 
-  /** Fit-and-filter in one pass shape: every document scored against
-    * the corpus LM, kept while mean NLL ≤ `maxNll`. */
+  /** Mean negative log-likelihood per document: (idCol, nll).
+    * Documents with fewer than two tokens yield no pairs and are
+    * absent — left-join from the corpus if every id must appear. */
+  def scoreNll(docs: DataFrame, idCol: String, textCol: String,
+      lm: BigramLm): DataFrame =
+    scorePairs(pairs(docs, idCol, textCol), idCol, lm)
+
+  /** Fit-and-filter: every document scored against the corpus LM,
+    * kept while mean NLL ≤ `maxNll`. The corpus is tokenized ONCE
+    * for fit and scoring alike (the model side materializes inside
+    * fit, so the token cache lives exactly one pass). */
   def perplexityFilter(docs: DataFrame, idCol: String, textCol: String,
       maxNll: Double, minCount: Long = 2L, k: Double = 0.5): DataFrame = {
-    val lm = fit(docs, idCol, textCol, minCount, k)
-    docs.join(scoreNll(docs, idCol, textCol, lm), Seq(idCol), "left")
+    val toks = docs
+      .select(col(idCol), tokensOf(col(textCol)).as("ws")).cache()
+    val lm = {
+      val p = pairsOfToks(toks, idCol)
+      val hist = p.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val big = p.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= minCount)
+      val vocab = toks.select(explode(col("ws")).as("w"))
+        .select(countDistinct("w")).collect()(0).getLong(0)
+      BigramLm(big.localCheckpoint(), hist.localCheckpoint(), vocab, k)
+    }
+    val scored = scorePairs(pairsOfToks(toks, idCol), idCol, lm)
+    val out = docs.join(scored, Seq(idCol), "left")
       .withColumn("keep", col("nll").isNull || col("nll") <= maxNll)
+      .localCheckpoint() // release the token cache deterministically
+    toks.unpersist()
+    out
   }
 }
