@@ -82,7 +82,15 @@ final case class PgTableTarget(host: String, port: Int, database: String,
       * over the wire — the reference's declare_sql_command_attachment
       * on THIS connector, postgres/_target.py:1362). */
     override val attachments: Seq[TargetAttachment] = Nil,
-    writePartitions: Int = 4) extends Target {
+    writePartitions: Int = 4,
+    /** Bulk-load path: per writer partition, rows stream into a
+      * TEMPORARY stage over the COPY sub-protocol (one statement +
+      * framed data instead of one bind tuple per row), then ONE
+      * `INSERT … SELECT … FROM stage ON CONFLICT DO UPDATE` applies
+      * the partition — PostgreSQL's canonical bulk-upsert recipe.
+      * `false` keeps the reference-faithful chunked multi-row
+      * INSERT…ON CONFLICT binds (postgres/_target.py:769-791). */
+    copyBulk: Boolean = true) extends Target {
 
   import PgTableTarget._
 
@@ -259,27 +267,58 @@ final case class PgTableTarget(host: String, port: Int, database: String,
           if (nCols == 1) s"""ON CONFLICT ("$RowKey") DO NOTHING"""
           else names.drop(1).map(n => s""""$n" = EXCLUDED."$n"""")
             .mkString(s"""ON CONFLICT ("$RowKey") DO UPDATE SET """, ", ", "")
+        // stage DDL rendered driver-side (declaredType reads vectorDims)
+        val stageDdl: String => String = { stage =>
+          ((s""""$RowKey" text NOT NULL""" +:
+            fields.filter(_.name != RowKey).map(f =>
+              s""""${f.name}" ${declaredType(f)}""")) :+
+            s"""PRIMARY KEY ("$RowKey")""")
+            .mkString(s"""CREATE TEMPORARY TABLE "$stage" (""", ", ", ")")
+        }
+        val useCopy = copyBulk
         // hash-partition BY KEY: every key has exactly one writer
         // connection (same stance as JdbcTableTarget)
         up.repartition(writePartitions, col(RowKey)).foreachPartition {
           rows: Iterator[Row] =>
             if (rows.hasNext) {
               val c = new PgWire.Client(h, p, usr, db)
-              try rows.grouped(chunkSize).foreach { chunk =>
-                val placeholders = chunk.indices.map { r =>
-                  (0 until nCols)
-                    .map(j => s"$$${r * nCols + j + 1}")
-                    .mkString("(", ", ", ")")
-                }.mkString(", ")
-                val sql =
-                  s"""INSERT INTO "$t" ($colList) VALUES $placeholders $conflict"""
-                val params = chunk.flatMap { row =>
-                  Some(row.getString(keyIdx)) +:
-                    valueIdx.zip(valueTypes).map { case (i, dt) =>
-                      renderValue(row, i, dt)
+              try {
+                if (useCopy) {
+                  // COPY into a TEMPORARY stage, ONE upsert from it
+                  val stage = t + "__stage_" + java.util.UUID.randomUUID()
+                    .toString.replace("-", "").take(8)
+                  c.query(stageDdl(stage))
+                  try {
+                    c.copyIn(s"""COPY "$stage" ($colList) FROM STDIN""",
+                      rows.map { row =>
+                        Some(row.getString(keyIdx)) +:
+                          valueIdx.zip(valueTypes).map { case (i, dt) =>
+                            renderValue(row, i, dt)
+                          }
+                      })
+                    val selList = names.map(n => s""""$n"""").mkString(", ")
+                    PgWire.retrying() {
+                      c.query(s"""INSERT INTO "$t" ($colList) """ +
+                        s"""SELECT $selList FROM "$stage" $conflict""")
+                      ()
                     }
+                  } finally c.query(s"""DROP TABLE IF EXISTS "$stage"""")
+                } else rows.grouped(chunkSize).foreach { chunk =>
+                  val placeholders = chunk.indices.map { r =>
+                    (0 until nCols)
+                      .map(j => s"$$${r * nCols + j + 1}")
+                      .mkString("(", ", ", ")")
+                  }.mkString(", ")
+                  val sql =
+                    s"""INSERT INTO "$t" ($colList) VALUES $placeholders $conflict"""
+                  val params = chunk.flatMap { row =>
+                    Some(row.getString(keyIdx)) +:
+                      valueIdx.zip(valueTypes).map { case (i, dt) =>
+                        renderValue(row, i, dt)
+                      }
+                  }
+                  PgWire.retrying() { c.execute(sql, params); () }
                 }
-                PgWire.retrying() { c.execute(sql, params); () }
               } finally c.close()
             }
         }

@@ -132,6 +132,38 @@ object PgWire {
   }
 
   /** Parse an ErrorResponse/NoticeResponse body's tagged fields. */
+  /** COPY text-format escaping: backslash, tab, newline, CR (the
+    * documented encoding; everything else passes through). */
+  private[engine] def copyEscapeInto(sb: java.lang.StringBuilder,
+      s: String): Unit =
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '\t' => sb.append("\\t")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case c => sb.append(c)
+    }
+
+  /** Inverse of [[copyEscapeInto]] for one field. */
+  private[graft] def copyUnescape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => sb.append('\\')
+          case 't' => sb.append('\t')
+          case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r')
+          case other => sb.append(other)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   def errorFields(f: Frame): Map[Char, String] = {
     val b = Map.newBuilder[Char, String]
     var code = f.i8
@@ -240,6 +272,61 @@ object PgWire {
       out.flush()
       val rs = collectResults()
       if (rs.isEmpty) PgResult(Vector.empty, Vector.empty, "") else rs.head
+    }
+
+    /** `COPY … FROM STDIN` (text format) — the store's bulk-load
+      * fast path (the public COPY sub-protocol: CopyInResponse `G`,
+      * streamed CopyData `d` frames, CopyDone `c`): rows flow as
+      * tab-separated escaped text in ~64 KiB frames, one statement
+      * per partition instead of one bind tuple per row. Returns the
+      * copied row count. */
+    def copyIn(sql: String, rows: Iterator[Seq[Option[String]]]): Long = {
+      w.cstr(sql); w.send('Q'); out.flush()
+      // enter copy mode (or drain the refusal to ReadyForQuery)
+      var err: Option[PgErrorException] = None
+      var inCopy = false
+      var ready = false
+      while (!inCopy && !ready) {
+        val f = readFrame(in)
+        f.msgType match {
+          case 'G' => inCopy = true // format header ignored (text)
+          case 'E' =>
+            val fields = errorFields(f)
+            if (err.isEmpty) err = Some(new PgErrorException(
+              fields.getOrElse('C', "XX000"), fields.getOrElse('M', "error")))
+          case 'Z' => ready = true
+          case 'S' | 'N' | 'K' | 'C' => ()
+          case other => throw new IllegalStateException(
+            s"unexpected pg message '$other' before CopyInResponse")
+        }
+      }
+      err.foreach(throw _)
+      if (!inCopy) throw new IllegalStateException(
+        "COPY: backend never entered copy-in mode")
+
+      val sb = new java.lang.StringBuilder(1 << 16)
+      def flushBuf(): Unit = if (sb.length > 0) {
+        w.raw(sb.toString.getBytes(UTF_8)); w.send('d')
+        sb.setLength(0)
+      }
+      rows.foreach { r =>
+        var i = 0
+        r.foreach { v =>
+          if (i > 0) sb.append('\t')
+          v match {
+            case None => sb.append("\\N")
+            case Some(s) => PgWire.copyEscapeInto(sb, s)
+          }
+          i += 1
+        }
+        sb.append('\n')
+        if (sb.length >= (1 << 16)) flushBuf()
+      }
+      flushBuf()
+      w.send('c') // CopyDone
+      out.flush()
+      val rs = collectResults()
+      rs.headOption.map(_.affected).getOrElse(0L)
     }
 
     /** Drain backend messages until ReadyForQuery, building results;

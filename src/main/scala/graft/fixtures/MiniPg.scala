@@ -105,15 +105,19 @@ final class MiniPg extends AutoCloseable {
         f.msgType match {
           case 'Q' =>
             val sql = f.cstr
-            var failed = false
-            splitStatements(sql).foreach { st =>
-              if (!failed)
-                runStatement(st, Vector.empty) match {
-                  case Right(res) => writeResult(out, res)
-                  case Left(err) => writeError(out, err); failed = true
-                }
+            if ("""(?is)^\s*COPY\s.+FROM\s+STDIN.*""".r.matches(sql))
+              copyIn(sql, in, out)
+            else {
+              var failed = false
+              splitStatements(sql).foreach { st =>
+                if (!failed)
+                  runStatement(st, Vector.empty) match {
+                    case Right(res) => writeResult(out, res)
+                    case Left(err) => writeError(out, err); failed = true
+                  }
+              }
+              readyForQuery(out); out.flush()
             }
-            readyForQuery(out); out.flush()
           case 'P' =>
             if (!errorUntilSync) {
               f.cstr // statement name (the connectors use the unnamed one)
@@ -147,6 +151,105 @@ final class MiniPg extends AutoCloseable {
         }
       }
     } catch { case NonFatal(_) => () } finally sock.close()
+  }
+
+  /** Server half of `COPY t (cols) FROM STDIN` text format:
+    * CopyInResponse, accumulate CopyData frames, parse
+    * tab-separated/backslash-escaped rows on CopyDone (CopyFail or a
+    * malformed row errors), insert keyed by pk (duplicates are a
+    * 23505, as on a real server). */
+  private def copyIn(sql: String, in: DataInputStream,
+      out: DataOutputStream): Unit = {
+    observed.add(sql.trim.take(80))
+    val m = """(?is)^\s*COPY\s+(\S+)\s*\(([^)]*)\)\s*FROM\s+STDIN\s*$""".r
+      .findFirstMatchIn(sql)
+    val parsed = m.flatMap { mm =>
+      lock.synchronized {
+        tables.get(tableName(mm.group(1))).map { t =>
+          (t, splitTopLevel(mm.group(2)).map(c => unquote(c.trim)))
+        }
+      }
+    }
+    parsed match {
+      case None =>
+        writeError(out, PgError("42601",
+          s"unsupported COPY: ${sql.take(60)}"))
+        readyForQuery(out); out.flush()
+      case Some((t, cols)) if !cols.forall(t.cols.contains) =>
+        writeError(out, PgError("42703", "COPY column does not exist"))
+        readyForQuery(out); out.flush()
+      case Some((t, cols)) =>
+        send(out, 'G') { w =>
+          w.writeByte(0) // text format
+          w.writeShort(cols.length)
+          cols.foreach(_ => w.writeShort(0))
+        }
+        out.flush()
+        val data = new java.io.ByteArrayOutputStream()
+        var done = false
+        var failed: Option[PgError] = None
+        while (!done) {
+          val f = PgWire.readFrame(in)
+          f.msgType match {
+            case 'd' => data.write(f.body)
+            case 'c' => done = true
+            case 'f' =>
+              failed = Some(PgError("57014", "COPY aborted by client"))
+              done = true
+            case 'H' | 'S' => ()
+            case other =>
+              failed = Some(PgError("08P01",
+                s"unexpected message '$other' during COPY"))
+              done = true
+          }
+        }
+        val result = failed.toLeft(()).flatMap { _ =>
+          try {
+            val text = new String(data.toByteArray, UTF_8)
+            val lines = text.split("\n", -1).toSeq
+              .filter(l => l.nonEmpty && l != "\\.")
+            var n = 0
+            lock.synchronized {
+              lines.foreach { line =>
+                val fields = line.split("\t", -1).toSeq
+                if (fields.length != cols.length)
+                  throw PgError("22P04",
+                    s"row field count ${fields.length} != ${cols.length}")
+                val vals = fields.map(fv =>
+                  if (fv == "\\N") None
+                  else Some(PgWire.copyUnescape(fv)))
+                val byCol = cols.zip(vals).toMap
+                t.cols.values.foreach { c =>
+                  byCol.getOrElse(c.name, None)
+                    .foreach(validate(c.pgType, _, c.name))
+                }
+                val key = t.pk.map(k => byCol.getOrElse(k, None).getOrElse(
+                  throw PgError("23502",
+                    s"""null value in primary key "$k""""))).mkString(" ")
+                if (t.rows.contains(key))
+                  throw PgError("23505",
+                    s"""duplicate key value violates unique constraint "${t.name}_pkey"""")
+                val row = mutable.LinkedHashMap.empty[String, Option[String]]
+                t.cols.keys.foreach(c => row(c) = byCol.getOrElse(c, None))
+                t.rows += key -> row
+                n += 1
+              }
+            }
+            Right(n)
+          } catch {
+            case e: PgError => Left(e)
+            case NonFatal(e) => Left(PgError("XX000", String.valueOf(e)))
+          }
+        }
+        result match {
+          case Right(n) =>
+            send(out, 'C') { w =>
+              w.write(s"COPY $n".getBytes(UTF_8)); w.write(0)
+            }
+          case Left(err) => writeError(out, err)
+        }
+        readyForQuery(out); out.flush()
+    }
   }
 
   private def readyForQuery(out: DataOutputStream): Unit =
@@ -229,7 +332,9 @@ final class MiniPg extends AutoCloseable {
       vectorExtension = true
       StatementResult(Vector.empty, Vector.empty, "CREATE EXTENSION")
     }
-    else if (u.startsWith("CREATE TABLE")) createTable(sql)
+    else if (u.startsWith("CREATE TABLE") ||
+      u.startsWith("CREATE TEMPORARY TABLE") ||
+      u.startsWith("CREATE TEMP TABLE")) createTable(sql)
     else if (u.startsWith("ALTER TABLE")) alterTable(sql)
     else if (u.startsWith("DROP TABLE")) dropTable(sql)
     else if (u.startsWith("CREATE INDEX")) createIndex(sql)
@@ -242,7 +347,7 @@ final class MiniPg extends AutoCloseable {
 
   // CREATE TABLE [IF NOT EXISTS] t ("c" type [NOT NULL]…, PRIMARY KEY ("k"))
   private def createTable(sql: String): StatementResult = {
-    val m = """(?is)CREATE\s+TABLE(\s+IF\s+NOT\s+EXISTS)?\s+(\S+)\s*\((.*)\)\s*""".r
+    val m = """(?is)CREATE\s+(?:TEMPORARY\s+|TEMP\s+)?TABLE(\s+IF\s+NOT\s+EXISTS)?\s+(\S+)\s*\((.*)\)\s*""".r
       .findFirstMatchIn(sql)
       .getOrElse(throw PgError("42601", "bad CREATE TABLE"))
     val ifNotExists = m.group(1) != null
@@ -374,26 +479,46 @@ final class MiniPg extends AutoCloseable {
   }
 
   // INSERT INTO t ("c"…) VALUES ($1,…),(…) [ON CONFLICT ("k") DO …]
+  // or INSERT INTO t ("c"…) SELECT "c"… FROM src [ON CONFLICT …] —
+  // the COPY-stage upsert shape
   private def insert(sql: String,
       params: Vector[Option[String]]): StatementResult = {
-    val m = ("""(?is)INSERT\s+INTO\s+(\S+)\s*\(([^)]*)\)\s*VALUES\s*(.*?)""" +
+    val valuesRe = ("""(?is)INSERT\s+INTO\s+(\S+)\s*\(([^)]*)\)\s*VALUES\s*(.*?)""" +
       """(\s+ON\s+CONFLICT\s*\(([^)]*)\)\s*DO\s+(NOTHING|UPDATE\s+SET\s+.*))?\s*$""").r
-      .findFirstMatchIn(sql)
-      .getOrElse(throw PgError("42601", "bad INSERT"))
+    val selectRe = ("""(?is)INSERT\s+INTO\s+(\S+)\s*\(([^)]*)\)\s*SELECT\s+(.*?)\s+FROM\s+(\S+)""" +
+      """(\s+ON\s+CONFLICT\s*\(([^)]*)\)\s*DO\s+(NOTHING|UPDATE\s+SET\s+.*))?\s*$""").r
+    val (m, fromSelect) = valuesRe.findFirstMatchIn(sql) match {
+      case Some(vm) => (vm, None)
+      case None =>
+        val sm = selectRe.findFirstMatchIn(sql)
+          .getOrElse(throw PgError("42601", "bad INSERT"))
+        (sm, Some(sm))
+    }
     val t = getTable(tableName(m.group(1)))
     val cols = splitTopLevel(m.group(2)).map(s => unquote(s.trim))
     cols.foreach(c => if (!t.cols.contains(c))
       throw PgError("42703", s"""column "$c" does not exist"""))
-    val tuples = parseTupleList(m.group(3), params)
+    val tuples: Seq[Vector[Option[String]]] = fromSelect match {
+      case None => parseTupleList(m.group(3), params).map(_.toVector)
+      case Some(sm) =>
+        val src = getTable(tableName(sm.group(4)))
+        val selCols = splitTopLevel(sm.group(3)).map(c => unquote(c.trim))
+        selCols.foreach(c => if (!src.cols.contains(c))
+          throw PgError("42703", s"""column "$c" does not exist"""))
+        src.rows.values.toVector
+          .map(r => selCols.toVector.map(c => r.getOrElse(c, None)))
+    }
+    val conflictGroupAt = if (fromSelect.isEmpty) 4 else 5
     val conflictCols =
-      if (m.group(4) == null) Nil
-      else splitTopLevel(m.group(5)).map(s => unquote(s.trim))
-    val doNothing = m.group(4) != null &&
-      m.group(6).toUpperCase.startsWith("NOTHING")
+      if (m.group(conflictGroupAt) == null) Nil
+      else splitTopLevel(m.group(conflictGroupAt + 1))
+        .map(s => unquote(s.trim))
+    val doNothing = m.group(conflictGroupAt) != null &&
+      m.group(conflictGroupAt + 2).toUpperCase.startsWith("NOTHING")
     val updateCols: Seq[String] =
-      if (m.group(4) == null || doNothing) Nil
+      if (m.group(conflictGroupAt) == null || doNothing) Nil
       else """(?i)"([^"]+)"\s*=\s*EXCLUDED\."([^"]+)"""".r
-        .findAllMatchIn(m.group(6)).map { um =>
+        .findAllMatchIn(m.group(conflictGroupAt + 2)).map { um =>
           require(um.group(1) == um.group(2),
             s"ON CONFLICT SET ${um.group(1)} = EXCLUDED.${um.group(2)}")
           um.group(1)

@@ -392,6 +392,62 @@ class PgWireSpec extends SparkSpec {
     }
   }
 
+  test("COPY bulk path: one stage+COPY+upsert per partition; escaping") {
+    withPg { pg =>
+      val n = 50
+      val rows = (0 until n).map { i =>
+        val txt = i match {
+          case 0 => "tab\there"
+          case 1 => "line\nbreak \\ slash"
+          case 2 => "cr\rreturn"
+          case _ => s"text $i"
+        }
+        org.apache.spark.sql.Row(f"k$i%03d", txt,
+          if (i == 3) null else java.lang.Long.valueOf(i.toLong))
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 2),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("row_key",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("txt",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType))))
+      val target = PgTableTarget(pg.host, pg.port, "testdb", "bulked",
+        writePartitions = 2) // copyBulk default ON
+      val empty = df.select("row_key").limit(0)
+      target.apply(spark, df, empty)
+
+      val sql = pg.observed.toArray.map(_.toString)
+      val copies = sql.count(_.startsWith("COPY \"bulked__stage_"))
+      val stageUpserts = sql.count(s =>
+        s.startsWith("INSERT INTO \"bulked\"") && s.contains("SELECT"))
+      val rowInserts = sql.count(s =>
+        s.startsWith("INSERT INTO \"bulked\"") && s.contains("VALUES"))
+      assert(copies >= 1 && copies <= 2, s"COPY per partition: $copies")
+      assert(stageUpserts == copies, "one upsert-from-stage per COPY")
+      assert(rowInserts == 0, "no per-row/multi-row binds on the bulk path")
+      assert(sql.count(_.startsWith("CREATE TEMPORARY TABLE")) == copies)
+      assert(sql.count(_.startsWith("DROP TABLE IF EXISTS \"bulked__stage_"))
+        == copies)
+
+      // escaping round-trips bit-exact; NULL survives as NULL
+      val back = target.read(spark).collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.get(2)))).toMap
+      assert(back.size == n)
+      assert(back("k000")._1 == "tab\there")
+      assert(back("k001")._1 == "line\nbreak \\ slash")
+      assert(back("k002")._1 == "cr\rreturn")
+      assert(back("k003")._2 == null)
+      assert(back("k010")._2 == 10L)
+
+      // convergence: re-apply updates in place through the stage
+      target.apply(spark, df, empty)
+      assert(target.read(spark).count() == n)
+    }
+  }
+
   test("PgWireTableSource: text keys keyset-walk boundaries, no O(n) rescans") {
     withPg { pg =>
       withClient(pg) { c =>
