@@ -27,6 +27,9 @@ object BoltWire {
   val MsgGoodbye = 0x02
   val MsgReset = 0x0f
   val MsgRun = 0x10
+  val MsgBegin = 0x11
+  val MsgCommit = 0x12
+  val MsgRollback = 0x13
   val MsgPull = 0x3f
   val MsgRecord = 0x71
   val MsgSuccess = 0x70
@@ -267,6 +270,34 @@ object BoltWire {
 
     /** RUN + PULL{n:-1}, pipelined: returns (fields, records). A
       * FAILURE on either message resets the connection and raises. */
+    /** Explicit transaction (Bolt 4.4 BEGIN/COMMIT/ROLLBACK): the
+      * reference wraps each apply batch in ONE transaction so partial
+      * writes roll back together (neo4j/_target.py:487). A FAILURE
+      * resets the connection (which also aborts the open tx) and
+      * raises. */
+    def begin(): Unit =
+      txExchange(messageOf(MsgBegin, Map.empty[String, Any]))
+    def commit(): Unit = txExchange(messageOf(MsgCommit))
+    def rollback(): Unit = txExchange(messageOf(MsgRollback))
+
+    private def txExchange(msg: Array[Byte]): Unit = {
+      writeMessage(out, msg)
+      out.flush()
+      readStruct() match {
+        case BoltStruct(MsgSuccess, _) => ()
+        case BoltStruct(MsgFailure, fields) =>
+          val m = fields.headOption.map(_.asInstanceOf[Map[String, Any]])
+            .getOrElse(Map.empty)
+          send(messageOf(MsgReset))
+          drainUntilSuccess()
+          throw new BoltFailureException(
+            String.valueOf(m.getOrElse("code", "Neo.Error")),
+            String.valueOf(m.getOrElse("message", "failure")))
+        case BoltStruct(other, _) =>
+          throw new IllegalStateException(f"unexpected bolt message 0x$other%02x")
+      }
+    }
+
     def run(query: String, params: Map[String, Any] = Map.empty)
         : (Vector[String], Vector[Vector[Any]]) = {
       writeMessage(out, messageOf(MsgRun, query, params, Map.empty))

@@ -34,7 +34,12 @@ final case class Neo4jBoltTarget(host: String, port: Int,
     pkField: String = "id",
     nodeProps: Seq[(String, DataType)] = Nil,
     edgeProps: Seq[(String, DataType)] = Nil,
-    writePartitions: Int = 4) extends Target {
+    writePartitions: Int = 4,
+    /** Statements per explicit transaction: the reference wraps each
+      * apply batch in ONE tx so partial writes roll back together
+      * (neo4j/_target.py:487-530); chunking bounds server-side tx
+      * state on huge partitions. */
+    txBatch: Int = 500) extends Target {
 
   import FalkorGraphTarget.{RowKey, propsOf, strCol, stripped}
 
@@ -59,32 +64,31 @@ final case class Neo4jBoltTarget(host: String, port: Int,
       if (nUp == 0 && nDel == 0) return TargetStats(0, 0)
 
       val (h, p, u, pw, pk) = (host, port, user, password, pkField)
+      val tb = txBatch
       val schema = up.schema
+      // each chunk commits as ONE explicit transaction (the
+      // reference's per-batch atomicity, neo4j/_target.py:487): a
+      // failing statement FAILUREs, run() RESETs the connection —
+      // which aborts the open tx server-side — and the error
+      // propagates; the rerun re-applies the whole chunk idempotently
+      def inTx(rows: Iterator[(String, Map[String, Any])]): Unit =
+        if (rows.hasNext) {
+          val c = new BoltWire.Client(h, p, u, pw)
+          try rows.grouped(tb).foreach { chunk =>
+            c.begin()
+            chunk.foreach { case (stmt, params) => c.run(stmt, params); () }
+            c.commit()
+          } finally c.close()
+        }
       def send(df: DataFrame,
           mk: (Row, StructType) => (String, Map[String, Any])): Unit =
         df.repartition(writePartitions, col(RowKey)).foreachPartition {
-          rows: Iterator[Row] =>
-            if (rows.hasNext) {
-              val c = new BoltWire.Client(h, p, u, pw)
-              try rows.foreach { r =>
-                val (stmt, params) = mk(r, schema)
-                c.run(stmt, params)
-                ()
-              } finally c.close()
-            }
+          rows: Iterator[Row] => inTx(rows.map(mk(_, schema)))
         }
       def sendKeys(df: DataFrame,
           mk: String => (String, Map[String, Any])): Unit =
         df.repartition(writePartitions, col(RowKey)).foreachPartition {
-          rows: Iterator[Row] =>
-            if (rows.hasNext) {
-              val c = new BoltWire.Client(h, p, u, pw)
-              try rows.foreach { r =>
-                val (stmt, params) = mk(r.getString(0))
-                c.run(stmt, params)
-                ()
-              } finally c.close()
-            }
+          rows: Iterator[Row] => inTx(rows.map(r => mk(r.getString(0))))
         }
 
       // the reference's v0 ordering

@@ -37,6 +37,29 @@ final class MiniNeo4j(user: String = "neo4j", password: String = "") {
 
   def nodeCount: Int = lock.synchronized(nodes.size)
   def edgeCount: Int = lock.synchronized(edges.size)
+
+  /** Deep copy of the graph for transaction rollback. (Fixture
+    * simplification: a rollback restores the WHOLE graph snapshot —
+    * correct for the serialized failure paths the specs drive; a
+    * real server has per-tx MVCC.) */
+  private type Snapshot = (Seq[(String, GNode)], Seq[(String, GEdge)], Long)
+  private def snapshotState(): Snapshot = lock.synchronized {
+    (nodes.toSeq.map { case (k, n) =>
+      val c = new GNode(n.entityId); c.label = n.label; c.props ++= n.props
+      k -> c
+    },
+      edges.toSeq.map { case (k, e) =>
+        val c = new GEdge(e.entityId)
+        c.rel = e.rel; c.src = e.src; c.dst = e.dst; c.props ++= e.props
+        k -> c
+      },
+      nextEntityId)
+  }
+  private def restoreState(s: Snapshot): Unit = lock.synchronized {
+    nodes.clear(); nodes ++= s._1
+    edges.clear(); edges ++= s._2
+    nextEntityId = s._3
+  }
   /** Statements received, for transport-shape assertions. */
   val statements = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
@@ -84,7 +107,11 @@ final class MiniNeo4j(user: String = "neo4j", password: String = "") {
       // Bolt couples RUN→PULL on one connection: the pending result
       // is PER-CONNECTION state
       var pendingRecords: Vector[Seq[Any]] = Vector.empty
-      while (true) {
+      // open explicit transaction: snapshot to restore on
+      // ROLLBACK/RESET/disconnect (RESET aborts an open tx, as on a
+      // real server)
+      var txSnapshot: Option[Snapshot] = None
+      try while (true) {
         val raw = new BoltWire.Unpacker(BoltWire.readMessage(in)).unpack()
         val msg = raw match {
           case s: BoltStruct => s
@@ -95,6 +122,8 @@ final class MiniNeo4j(user: String = "neo4j", password: String = "") {
           case BoltWire.MsgGoodbye => return
           case BoltWire.MsgReset =>
             failed = false
+            txSnapshot.foreach(restoreState) // RESET aborts an open tx
+            txSnapshot = None
             reply(BoltWire.messageOf(BoltWire.MsgSuccess, Map.empty))
           case _ if failed =>
             reply(BoltWire.messageOf(BoltWire.MsgIgnored))
@@ -114,6 +143,23 @@ final class MiniNeo4j(user: String = "neo4j", password: String = "") {
                 "message" -> "authentication failure")))
               return // a real server closes after failed auth
             }
+          case BoltWire.MsgBegin if authed =>
+            if (txSnapshot.isDefined) {
+              failed = true
+              reply(BoltWire.messageOf(BoltWire.MsgFailure, Map(
+                "code" -> "Neo.ClientError.Request.Invalid",
+                "message" -> "transaction already open")))
+            } else {
+              txSnapshot = Some(snapshotState())
+              reply(BoltWire.messageOf(BoltWire.MsgSuccess, Map.empty))
+            }
+          case BoltWire.MsgCommit if authed =>
+            txSnapshot = None
+            reply(BoltWire.messageOf(BoltWire.MsgSuccess, Map.empty))
+          case BoltWire.MsgRollback if authed =>
+            txSnapshot.foreach(restoreState)
+            txSnapshot = None
+            reply(BoltWire.messageOf(BoltWire.MsgSuccess, Map.empty))
           case BoltWire.MsgRun if !authed =>
             failed = true
             reply(BoltWire.messageOf(BoltWire.MsgFailure, Map(
@@ -148,6 +194,10 @@ final class MiniNeo4j(user: String = "neo4j", password: String = "") {
               "code" -> "Neo.ClientError.Request.Invalid",
               "message" -> f"unexpected message 0x$other%02x")))
         }
+      } finally {
+        // a dropped connection aborts its open transaction
+        txSnapshot.foreach(restoreState)
+        txSnapshot = None
       }
     } catch { case NonFatal(_) => () } finally sock.close()
   }

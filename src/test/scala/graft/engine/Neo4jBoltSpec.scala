@@ -108,4 +108,43 @@ class Neo4jBoltSpec extends SparkSpec {
       assert(s.nodeCount == 0)
     }
   }
+  test("explicit transactions: commit persists, rollback and RESET abort") {
+    val s = new graft.fixtures.MiniNeo4j(password = "graftpw")
+    try {
+      val c = new BoltWire.Client(s.host, s.port, "neo4j", "graftpw")
+      try {
+        // committed tx persists
+        c.begin()
+        c.run("MERGE (n:`Doc` {`id`: $key_0}) SET n += $props",
+          Map("key_0" -> "a", "props" -> Map("t" -> "one")))
+        c.commit()
+        assert(s.nodeCount == 1)
+
+        // rolled-back tx leaves no trace
+        c.begin()
+        c.run("MERGE (n:`Doc` {`id`: $key_0}) SET n += $props",
+          Map("key_0" -> "b", "props" -> Map("t" -> "two")))
+        c.rollback()
+        assert(s.nodeCount == 1, "rollback must drop the tx's writes")
+
+        // a FAILURE mid-tx: run() RESETs the connection, which aborts
+        // the open transaction — the good write in the same tx is gone
+        // (per-batch atomicity, the reference's tx stance)
+        c.begin()
+        c.run("MERGE (n:`Doc` {`id`: $key_0}) SET n += $props",
+          Map("key_0" -> "c", "props" -> Map("t" -> "three")))
+        intercept[BoltWire.BoltFailureException] {
+          c.run("THIS IS NOT CYPHER", Map.empty)
+        }
+        assert(s.nodeCount == 1,
+          "a failed statement must abort the whole transaction")
+        // the connection stays usable after the reset
+        c.begin()
+        c.run("MERGE (n:`Doc` {`id`: $key_0}) SET n += $props",
+          Map("key_0" -> "d", "props" -> Map("t" -> "four")))
+        c.commit()
+        assert(s.nodeCount == 2)
+      } finally c.close()
+    } finally s.close()
+  }
 }
