@@ -182,6 +182,9 @@ final class Flow(
         * aborts before the state commit and replans next run. */
       attSetups: Seq[TargetAttachment] = Nil,
       attTeardowns: Seq[String] = Nil,
+      /** The record as currently stored (main, sub_json) — carried
+        * forward verbatim when the desired schema is unknowable. */
+      storedRecord: Option[(String, String)] = None,
       /** An attachment change/removal declared child invalidation:
         * components re-run (generation bump) AND rows re-upsert
         * defensively — the container itself is NOT recreated (only a
@@ -300,6 +303,8 @@ final class Flow(
     PlannedRun(plan, newPid, newSv, desired, pending || attPending,
       Fingerprint.of(processorFingerprint, schemaFp, s"gen:$newPid:$newSv"),
       attSetups = setups, attTeardowns = teardowns,
+      storedRecord = prevRows.headOption.map(r =>
+        (r.getString(0), r.getString(1))),
       attForcesReupsert = attInval.isDefined)
   }
 
@@ -319,13 +324,16 @@ final class Flow(
     * test_provider_generation.py:138-181). */
   private def targetStateTable(spark: SparkSession, planned: PlannedRun)
       : Option[(String, DataFrame)] = {
-    // with an unknowable schema (empty source) there is no table
-    // record to store — but declared ATTACHMENTS must still persist,
-    // or every run replays their teardown+setup forever; a container-
-    // signature placeholder with no columns reconciles additively
-    // once the schema becomes known
+    // with an unknowable schema (a transiently failing or empty
+    // declaredSchema) the STORED record carries forward verbatim —
+    // overwriting it with a columnless placeholder would erase real
+    // column signatures and lose a later type-change's Lossy bump.
+    // The placeholder exists only for the never-stored case, so
+    // declared ATTACHMENTS still persist (else every run replays
+    // their teardown+setup forever).
     val record: Option[(String, String)] = planned.desired
       .map(d => (d.main, encodeColumns(d.sub)))
+      .orElse(planned.storedRecord)
       .orElse(if (target.attachments.nonEmpty)
         Some((target.containerSignature, "[]")) else None)
     record.map { case (main, subJson) =>

@@ -45,9 +45,13 @@ final case class PgVectorIndex(name: String, column: String,
   * against [[graft.fixtures.MiniPg]] in this environment and against
   * a real server anywhere else, statement for statement:
   *
-  *   - batched convergent upserts: ONE multi-row `INSERT INTO t
-  *     (cols) VALUES ($1,…),(…) ON CONFLICT (pk) DO UPDATE SET c =
-  *     EXCLUDED.c` per chunk, chunk size `max(1, 32767 / numCols)` —
+  *   - bulk writes (default `copyBulk=true`): COPY into a TEMPORARY
+  *     stage + ONE `INSERT … SELECT … ON CONFLICT DO UPDATE` per
+  *     writer partition — the store's canonical bulk-upsert recipe;
+  *     `copyBulk=false` emits the reference's exact statements: ONE
+  *     multi-row `INSERT INTO t (cols) VALUES ($1,…),(…) ON CONFLICT
+  *     (pk) DO UPDATE SET c = EXCLUDED.c` per chunk, chunk size
+  *     `max(1, 32767 / numCols)` —
   *     the store's int16 bind-parameter ceiling (`_BIND_LIMIT`,
   *     :71,:755); key-only tables get `DO NOTHING` (:747-749);
   *   - batched deletes: `DELETE FROM t WHERE pk IN ($1,…)`, chunked

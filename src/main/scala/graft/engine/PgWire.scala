@@ -23,8 +23,9 @@ import scala.collection.mutable.ArrayBuffer
   * peer executing the same statements a real server would.
   *
   * Scope: startup (trust or cleartext-password auth), simple query,
-  * extended query with the unnamed statement/portal, text result
-  * format, SQLSTATE-bearing error responses. No SSL, COPY, or binary
+  * extended query with the unnamed statement/portal, the COPY-IN
+  * sub-protocol (text format — the bulk-load path), text result
+  * format, SQLSTATE-bearing error responses. No SSL or binary
   * format — the connectors don't use them.
   */
 object PgWire {
@@ -309,18 +310,32 @@ object PgWire {
         w.raw(sb.toString.getBytes(UTF_8)); w.send('d')
         sb.setLength(0)
       }
-      rows.foreach { r =>
-        var i = 0
-        r.foreach { v =>
-          if (i > 0) sb.append('\t')
-          v match {
-            case None => sb.append("\\N")
-            case Some(s) => PgWire.copyEscapeInto(sb, s)
+      try {
+        rows.foreach { r =>
+          var i = 0
+          r.foreach { v =>
+            if (i > 0) sb.append('\t')
+            v match {
+              case None => sb.append("\\N")
+              case Some(s) => PgWire.copyEscapeInto(sb, s)
+            }
+            i += 1
           }
-          i += 1
+          sb.append('\n')
+          if (sb.length >= (1 << 16)) flushBuf()
         }
-        sb.append('\n')
-        if (sb.length >= (1 << 16)) flushBuf()
+      } catch {
+        case e: Throwable =>
+          // abort the copy CLEANLY so the connection leaves copy-in
+          // mode — cleanup SQL issued by the caller's finally must
+          // not be swallowed as a protocol error; the ORIGINAL
+          // exception stays the failure
+          try {
+            w.cstr(String.valueOf(e.getMessage)); w.send('f') // CopyFail
+            out.flush()
+            collectResults() // raises the server's 57014; discard
+          } catch { case _: Exception => () }
+          throw e
       }
       flushBuf()
       w.send('c') // CopyDone

@@ -38,10 +38,11 @@ final class MiniNeo4j(user: String = "neo4j", password: String = "") {
   def nodeCount: Int = lock.synchronized(nodes.size)
   def edgeCount: Int = lock.synchronized(edges.size)
 
-  /** Deep copy of the graph for transaction rollback. (Fixture
-    * simplification: a rollback restores the WHOLE graph snapshot —
-    * correct for the serialized failure paths the specs drive; a
-    * real server has per-tx MVCC.) */
+  /** Deep copy of the graph, used ONLY inside the commit-time lock
+    * to make a buffered transaction's apply all-or-nothing — never to
+    * roll back across connections (a global restore would erase
+    * concurrent connections' committed writes; transactions BUFFER
+    * their statements instead and apply atomically at COMMIT). */
   private type Snapshot = (Seq[(String, GNode)], Seq[(String, GEdge)], Long)
   private def snapshotState(): Snapshot = lock.synchronized {
     (nodes.toSeq.map { case (k, n) =>
@@ -107,10 +108,11 @@ final class MiniNeo4j(user: String = "neo4j", password: String = "") {
       // Bolt couples RUN→PULL on one connection: the pending result
       // is PER-CONNECTION state
       var pendingRecords: Vector[Seq[Any]] = Vector.empty
-      // open explicit transaction: snapshot to restore on
-      // ROLLBACK/RESET/disconnect (RESET aborts an open tx, as on a
-      // real server)
-      var txSnapshot: Option[Snapshot] = None
+      // open explicit transaction: statements BUFFER here and apply
+      // atomically at COMMIT; ROLLBACK/RESET/disconnect discard the
+      // buffer (RESET aborts an open tx, as on a real server) —
+      // concurrent connections' committed writes are never touched
+      var txBuffer: Option[mutable.ArrayBuffer[(String, Map[String, Any])]] = None
       try while (true) {
         val raw = new BoltWire.Unpacker(BoltWire.readMessage(in)).unpack()
         val msg = raw match {
@@ -122,8 +124,7 @@ final class MiniNeo4j(user: String = "neo4j", password: String = "") {
           case BoltWire.MsgGoodbye => return
           case BoltWire.MsgReset =>
             failed = false
-            txSnapshot.foreach(restoreState) // RESET aborts an open tx
-            txSnapshot = None
+            txBuffer = None // RESET aborts an open tx
             reply(BoltWire.messageOf(BoltWire.MsgSuccess, Map.empty))
           case _ if failed =>
             reply(BoltWire.messageOf(BoltWire.MsgIgnored))
@@ -144,27 +145,83 @@ final class MiniNeo4j(user: String = "neo4j", password: String = "") {
               return // a real server closes after failed auth
             }
           case BoltWire.MsgBegin if authed =>
-            if (txSnapshot.isDefined) {
+            if (txBuffer.isDefined) {
               failed = true
               reply(BoltWire.messageOf(BoltWire.MsgFailure, Map(
                 "code" -> "Neo.ClientError.Request.Invalid",
                 "message" -> "transaction already open")))
             } else {
-              txSnapshot = Some(snapshotState())
+              txBuffer = Some(mutable.ArrayBuffer.empty)
               reply(BoltWire.messageOf(BoltWire.MsgSuccess, Map.empty))
             }
           case BoltWire.MsgCommit if authed =>
-            txSnapshot = None
-            reply(BoltWire.messageOf(BoltWire.MsgSuccess, Map.empty))
+            val buffered = txBuffer.getOrElse(mutable.ArrayBuffer.empty)
+            txBuffer = None
+            // apply the whole tx under the lock: snapshot + restore
+            // INSIDE the critical section makes it all-or-nothing
+            // without ever clobbering other connections' writes
+            val outcome = lock.synchronized {
+              val snap = snapshotState()
+              try { buffered.foreach { case (q, ps) => run(q, ps) }; None }
+              catch {
+                case NonFatal(e) => restoreState(snap); Some(e)
+              }
+            }
+            outcome match {
+              case None =>
+                reply(BoltWire.messageOf(BoltWire.MsgSuccess, Map.empty))
+              case Some(e) =>
+                failed = true
+                reply(BoltWire.messageOf(BoltWire.MsgFailure, Map(
+                  "code" -> "Neo.ClientError.Statement.SyntaxError",
+                  "message" -> String.valueOf(e.getMessage))))
+            }
           case BoltWire.MsgRollback if authed =>
-            txSnapshot.foreach(restoreState)
-            txSnapshot = None
+            txBuffer = None
             reply(BoltWire.messageOf(BoltWire.MsgSuccess, Map.empty))
           case BoltWire.MsgRun if !authed =>
             failed = true
             reply(BoltWire.messageOf(BoltWire.MsgFailure, Map(
               "code" -> "Neo.ClientError.Security.Unauthorized",
               "message" -> "not authenticated")))
+          case BoltWire.MsgRun if txBuffer.isDefined =>
+            val query = String.valueOf(msg.fields.head)
+            val params = msg.fields.lift(1)
+              .map(_.asInstanceOf[Map[String, Any]]).getOrElse(Map.empty)
+            statements.add(query)
+            val isWrite = NodeUpsertRe.findFirstIn(query).isDefined ||
+              NodeDeleteRe.findFirstIn(query).isDefined ||
+              RelUpsertRe.findFirstIn(query).isDefined ||
+              RelDeleteRe.findFirstIn(query).isDefined ||
+              query.trim == "MATCH (n) DETACH DELETE n"
+            if (isWrite) {
+              // buffered until COMMIT (fixture note: in-tx reads see
+              // the committed graph, not the tx's own writes)
+              txBuffer.foreach(_ += ((query, params)))
+              pendingRecords = Vector.empty
+              reply(BoltWire.messageOf(BoltWire.MsgSuccess,
+                Map("fields" -> Vector.empty[String], "t_first" -> 0L)))
+            } else if (query.trim.toUpperCase.startsWith("MATCH")) {
+              try {
+                val (fields, records) = lock.synchronized(run(query, params))
+                reply(BoltWire.messageOf(BoltWire.MsgSuccess,
+                  Map("fields" -> fields, "t_first" -> 0L)))
+                pendingRecords = records
+              } catch {
+                case NonFatal(e) =>
+                  failed = true
+                  txBuffer = None // a failed statement aborts the tx
+                  reply(BoltWire.messageOf(BoltWire.MsgFailure, Map(
+                    "code" -> "Neo.ClientError.Statement.SyntaxError",
+                    "message" -> String.valueOf(e.getMessage))))
+              }
+            } else {
+              failed = true
+              txBuffer = None // a failed statement aborts the tx
+              reply(BoltWire.messageOf(BoltWire.MsgFailure, Map(
+                "code" -> "Neo.ClientError.Statement.SyntaxError",
+                "message" -> s"unsupported statement: ${query.take(60)}")))
+            }
           case BoltWire.MsgRun =>
             val query = String.valueOf(msg.fields.head)
             val params = msg.fields.lift(1)
@@ -195,9 +252,7 @@ final class MiniNeo4j(user: String = "neo4j", password: String = "") {
               "message" -> f"unexpected message 0x$other%02x")))
         }
       } finally {
-        // a dropped connection aborts its open transaction
-        txSnapshot.foreach(restoreState)
-        txSnapshot = None
+        txBuffer = None // a dropped connection aborts its open tx
       }
     } catch { case NonFatal(_) => () } finally sock.close()
   }

@@ -206,11 +206,18 @@ final class MiniPg extends AutoCloseable {
         val result = failed.toLeft(()).flatMap { _ =>
           try {
             val text = new String(data.toByteArray, UTF_8)
-            val lines = text.split("\n", -1).toSeq
-              .filter(l => l.nonEmpty && l != "\\.")
-            var n = 0
+            // rows are newline-terminated: only the trailing empty
+            // segment and the optional \. terminator are dropped —
+            // an EMPTY line is a valid single-empty-string-column row
+            val segs = text.split("\n", -1).toSeq
+            val lines0 = if (segs.lastOption.contains("")) segs.dropRight(1)
+              else segs
+            val lines = lines0.filterNot(_ == "\\.")
+            // COPY is atomic per statement: parse + validate EVERY
+            // row (incl. NOT NULL and in-batch duplicates) before the
+            // first mutation, all under the lock
             lock.synchronized {
-              lines.foreach { line =>
+              val parsed = lines.map { line =>
                 val fields = line.split("\t", -1).toSeq
                 if (fields.length != cols.length)
                   throw PgError("22P04",
@@ -220,22 +227,30 @@ final class MiniPg extends AutoCloseable {
                   else Some(PgWire.copyUnescape(fv)))
                 val byCol = cols.zip(vals).toMap
                 t.cols.values.foreach { c =>
-                  byCol.getOrElse(c.name, None)
-                    .foreach(validate(c.pgType, _, c.name))
+                  val v = byCol.getOrElse(c.name, None)
+                  v.foreach(validate(c.pgType, _, c.name))
+                  if (v.isEmpty && !c.nullable && byCol.contains(c.name))
+                    throw PgError("23502",
+                      s"""null value in column "${c.name}" violates not-null constraint""")
                 }
+                // same composite-key encoding as insert()
                 val key = t.pk.map(k => byCol.getOrElse(k, None).getOrElse(
                   throw PgError("23502",
-                    s"""null value in primary key "$k""""))).mkString(" ")
-                if (t.rows.contains(key))
-                  throw PgError("23505",
-                    s"""duplicate key value violates unique constraint "${t.name}_pkey"""")
+                    s"""null value in primary key "$k""""))).mkString("\u0000")
+                key -> byCol
+              }
+              val dup = (parsed.map(_._1) ++ t.rows.keys)
+                .groupBy(identity).collectFirst { case (k, vs) if vs.size > 1 => k }
+              if (dup.isDefined)
+                throw PgError("23505",
+                  s"""duplicate key value violates unique constraint "${t.name}_pkey"""")
+              parsed.foreach { case (key, byCol) =>
                 val row = mutable.LinkedHashMap.empty[String, Option[String]]
                 t.cols.keys.foreach(c => row(c) = byCol.getOrElse(c, None))
                 t.rows += key -> row
-                n += 1
               }
+              Right(parsed.size)
             }
-            Right(n)
           } catch {
             case e: PgError => Left(e)
             case NonFatal(e) => Left(PgError("XX000", String.valueOf(e)))

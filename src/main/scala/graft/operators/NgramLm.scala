@@ -55,12 +55,11 @@ object NgramLm {
   final case class BigramLm(bigrams: DataFrame, histories: DataFrame,
       vocabSize: Long, k: Double)
 
-  def fit(docs: DataFrame, idCol: String, textCol: String,
-      minCount: Long = 2L, k: Double = 0.5): BigramLm = {
-    // tokenize ONCE (the expensive regexp pass): counts, vocab and
-    // pairs all derive from the cached token frame
-    val toks = docs
-      .select(col(idCol), tokensOf(col(textCol)).as("ws")).cache()
+  /** Fit from a pre-tokenized (idCol, ws) frame — the single copy of
+    * the model-construction logic (fit and perplexityFilter share
+    * it, so smoothing/pruning changes cannot diverge). */
+  private def fitToks(toks: DataFrame, idCol: String, minCount: Long,
+      k: Double): BigramLm = {
     val p = pairsOfToks(toks, idCol)
     val hist = p.groupBy("w1").agg(count(lit(1)).as("c1"))
     val big = p.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
@@ -69,8 +68,16 @@ object NgramLm {
       .select(countDistinct("w")).collect()(0).getLong(0)
     // the model is vocabulary-bounded — materialize it off the token
     // stream so scoring doesn't recompute the corpus aggregation
-    val lm = BigramLm(big.localCheckpoint(), hist.localCheckpoint(),
-      vocab, k)
+    BigramLm(big.localCheckpoint(), hist.localCheckpoint(), vocab, k)
+  }
+
+  def fit(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 2L, k: Double = 0.5): BigramLm = {
+    // tokenize ONCE (the expensive regexp pass): counts, vocab and
+    // pairs all derive from the cached token frame
+    val toks = docs
+      .select(col(idCol), tokensOf(col(textCol)).as("ws")).cache()
+    val lm = fitToks(toks, idCol, minCount, k)
     toks.unpersist()
     lm
   }
@@ -104,15 +111,7 @@ object NgramLm {
       maxNll: Double, minCount: Long = 2L, k: Double = 0.5): DataFrame = {
     val toks = docs
       .select(col(idCol), tokensOf(col(textCol)).as("ws")).cache()
-    val lm = {
-      val p = pairsOfToks(toks, idCol)
-      val hist = p.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val big = p.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-        .filter(col("c12") >= minCount)
-      val vocab = toks.select(explode(col("ws")).as("w"))
-        .select(countDistinct("w")).collect()(0).getLong(0)
-      BigramLm(big.localCheckpoint(), hist.localCheckpoint(), vocab, k)
-    }
+    val lm = fitToks(toks, idCol, minCount, k)
     val scored = scorePairs(pairsOfToks(toks, idCol), idCol, lm)
     val out = docs.join(scored, Seq(idCol), "left")
       .withColumn("keep", col("nll").isNull || col("nll") <= maxNll)
