@@ -48,4 +48,24 @@ object HashEmbedder {
     }
     u(text)
   }
+
+  /** The i-th component of the ORACLE-REPLICABLE embedding variant:
+    * a long in [-1000, 1000] derived from md5 — both engines share
+    * md5 bit-for-bit, so an external SQL oracle can recompute it
+    * (`('0x' || substring(md5(t || ':' || i), 1, 8))::UBIGINT::BIGINT
+    * % 2001 - 1000` in DuckDB). Integer-exact in doubles, so the
+    * normalized components divide identically everywhere. */
+  def md5Component(text: Column, i: Int): Column =
+    conv(substring(md5(concat(text, lit(s":$i"))), 1, 8), 16, 10)
+      .cast("long") % 2001 - 1000
+
+  /** Fully codegen'd md5-derived unit vector (no UDF): the embedding
+    * whose every component an external oracle can verify value-exact
+    * — the gate-strength option where [[embed]]'s fnv64 digest is the
+    * fast in-JVM one. */
+  def embedMd5(text: Column, dim: Int): Column = {
+    val comps = (0 until dim).map(i => md5Component(text, i).cast("double"))
+    val norm = sqrt(comps.map(c => c * c).reduce(_ + _) + lit(1e-12))
+    array(comps.map(c => (c / norm).cast("float")): _*)
+  }
 }

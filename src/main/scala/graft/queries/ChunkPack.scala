@@ -44,19 +44,53 @@ object ChunkPack extends QueryPack {
             col("c.start_char"), col("c.end_char"))
       }),
 
-    // ---- chunk → hash-embed pipeline (map-only, no shuffle) -------------
+    // ---- chunk → embed pipeline, VALUE-EXACT under the oracle -----------
+    // The embedder here is the md5-derived variant both engines can
+    // compute bit-for-bit (HashEmbedder.embedMd5's formula restated in
+    // SQL), so the whole chunk→embed pipeline gates on exact vector
+    // components instead of the norm-only rows check it used to get.
     Q(
       "q52_chunk_embed",
-      None,
+      Some("""
+        WITH ch AS (
+          SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                 substring(text, CAST(i AS INT) * 150 + 1, 200) AS ct
+          FROM (SELECT doc_id, text,
+                       unnest(range(CAST(ceil(length(text) / 150.0) AS BIGINT))) AS i
+                FROM documents)),
+        c AS (
+          SELECT doc_id, chunk_idx,
+            CAST(CAST(('0x' || substring(md5(ct || ':0'), 1, 8)) AS UBIGINT) AS BIGINT) % 2001 - 1000 AS c0,
+            CAST(CAST(('0x' || substring(md5(ct || ':1'), 1, 8)) AS UBIGINT) AS BIGINT) % 2001 - 1000 AS c1,
+            CAST(CAST(('0x' || substring(md5(ct || ':2'), 1, 8)) AS UBIGINT) AS BIGINT) % 2001 - 1000 AS c2,
+            CAST(CAST(('0x' || substring(md5(ct || ':3'), 1, 8)) AS UBIGINT) AS BIGINT) % 2001 - 1000 AS c3,
+            CAST(CAST(('0x' || substring(md5(ct || ':4'), 1, 8)) AS UBIGINT) AS BIGINT) % 2001 - 1000 AS c4,
+            CAST(CAST(('0x' || substring(md5(ct || ':5'), 1, 8)) AS UBIGINT) AS BIGINT) % 2001 - 1000 AS c5,
+            CAST(CAST(('0x' || substring(md5(ct || ':6'), 1, 8)) AS UBIGINT) AS BIGINT) % 2001 - 1000 AS c6,
+            CAST(CAST(('0x' || substring(md5(ct || ':7'), 1, 8)) AS UBIGINT) AS BIGINT) % 2001 - 1000 AS c7
+          FROM ch)
+        SELECT doc_id, chunk_idx,
+               round(CAST(c0 AS DOUBLE) / sqrt(
+                 CAST(c0*c0 + c1*c1 + c2*c2 + c3*c3 +
+                      c4*c4 + c5*c5 + c6*c6 + c7*c7 AS DOUBLE) + 1e-12), 4)
+                 AS v0,
+               round(CAST(c7 AS DOUBLE) / sqrt(
+                 CAST(c0*c0 + c1*c1 + c2*c2 + c3*c3 +
+                      c4*c4 + c5*c5 + c6*c6 + c7*c7 AS DOUBLE) + 1e-12), 4)
+                 AS v7
+        FROM c"""),
       (s, dir) => {
-        val chunk = Chunker.chunkUdf(chunkSize = 120, overlap = 0)
-        Tables(s, dir, "documents")
-          .select(col("doc_id"), explode(chunk(col("text"))).as("c"))
-          .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
-            HashEmbedder.embed(col("c.text"), 32).as("embedding"))
-          .select(col("doc_id"), col("chunk_id"),
-            round(graft.functions.VectorFunctions.l2Norm(col("embedding")), 4)
-              .as("emb_norm"))
+        val chunks = Chunker.chunkFixed(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", width = 200, stride = 150)
+          .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+            col("chunk_text"))
+        val comps = (0 until 8).map(i =>
+          HashEmbedder.md5Component(col("chunk_text"), i).cast("double"))
+        val norm = sqrt(comps.map(c => c * c).reduce(_ + _) + lit(1e-12))
+        chunks.select(col("doc_id"), col("chunk_idx"),
+          round(comps.head / norm, 4).as("v0"),
+          round(comps.last / norm, 4).as("v7"))
       }),
 
     // ---- syntax-aware code chunking (token-tree atoms) ------------------
