@@ -132,7 +132,6 @@ object PgWire {
     Frame(t, body)
   }
 
-  /** Parse an ErrorResponse/NoticeResponse body's tagged fields. */
   /** COPY text-format escaping: backslash, tab, newline, CR (the
     * documented encoding; everything else passes through). */
   private[engine] def copyEscapeInto(sb: java.lang.StringBuilder,
@@ -165,6 +164,7 @@ object PgWire {
     sb.toString
   }
 
+  /** Parse an ErrorResponse/NoticeResponse body's tagged fields. */
   def errorFields(f: Frame): Map[Char, String] = {
     val b = Map.newBuilder[Char, String]
     var code = f.i8

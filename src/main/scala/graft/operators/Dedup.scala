@@ -223,6 +223,119 @@ object Dedup {
     out
   }
 
+  /** ORACLE-REPLICABLE SimHash near-dup (gate-strength variant of
+    * [[simHashNearDup]]): a 60-bit fingerprint whose every bit-vote
+    * derives from md5 of the shingle strings, so an external SQL
+    * engine recomputes fingerprints, pigeonhole candidates AND
+    * Hamming distances bit-for-bit. 60 bits (15 md5 hex chars) keeps
+    * everything positive-BIGINT-safe in both engines; pigeonhole
+    * blocking stays exact: maxHamming+1 bands of 60/(maxHamming+1)
+    * bits. Fully codegen'd — no UDF anywhere. */
+  def simHashNearDupMd5(
+      docs: DataFrame, maxHamming: Int = 3, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 10)
+    val bands = math.max(2, maxHamming + 1)
+    val width = 60 / bands
+    def md5long(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val words = filter(split(col(textCol), " "), w => w =!= "")
+    val shingles = array_distinct(transform(
+      sequence(lit(0), greatest(size(words) - lit(n), lit(-1))),
+      i => concat_ws(" ",
+        (0 until n).map(j => element_at(words, i + lit(j + 1))): _*)))
+    val base = docs
+      .select(col(idCol).as("doc_id"), shingles.as("sh"))
+      .filter(size(col("sh")) > 0)
+    // per-(doc, bit) vote sums → fingerprint bits (sign of the sum)
+    val votes = base
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), md5long(col("s")).as("h"))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(59))).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(sum(when(expr("(h >> b) & 1") === 1, 1).otherwise(-1)).as("v"))
+    val fps = votes.groupBy("doc_id")
+      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
+        .otherwise(0L)).as("fp"))
+      .localCheckpoint() // fingerprints feed banding AND verification
+    val banded = fps.select(col("doc_id"), col("fp"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("code",
+        expr(s"shiftrightunsigned(fp, band * $width)")
+          .bitwiseAND(lit((1L << width) - 1)))
+    banded.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"),
+        col("band"), col("code"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
+        col("band"), col("code")), Seq("band", "code"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** ORACLE-REPLICABLE MinHash near-dup (gate-strength variant of
+    * [[minHashNearDup]]): shingle hashing and every signature
+    * component derive from md5, which an external SQL engine shares
+    * bit-for-bit — so the banded candidate set AND the verified
+    * Jaccard values are recomputable outside the JVM, and the whole
+    * approximate join gates value-exact instead of rows-only. Also
+    * fully codegen'd: shingling, hashing, signatures, banding and
+    * verification are all Catalyst expressions (no UDF anywhere).
+    * Single-hash bands (r=1): numHashes bands, right for low
+    * thresholds. The production path keeps [[minHashNearDup]]'s
+    * cheaper mixing. */
+  def minHashNearDupMd5(
+      docs: DataFrame, threshold: Double, numHashes: Int = 32,
+      n: Int = 3, idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    // md5-derived 60-bit hash (15 hex chars — BIGINT-safe everywhere)
+    def md5long(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val words = filter(split(col(textCol), " "), w => w =!= "")
+    val shingles = array_distinct(transform(
+      sequence(lit(0), greatest(size(words) - lit(n), lit(-1))),
+      i => concat_ws(" ",
+        (0 until n).map(j => element_at(words, i + lit(j + 1))): _*)))
+    val base = docs
+      .select(col(idCol).as("doc_id"), shingles.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache()
+    val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
+    // sig(doc, i) = min over shingles of md5long(shingle ':' i)
+    val sigs = exploded
+      .select(col("doc_id"), col("s"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("i"))
+      .groupBy("doc_id", "i")
+      .agg(min(md5long(concat(col("s"), lit(":"), col("i")))).as("sig"))
+    val cands = sigs.select(col("doc_id").as("doc_a"), col("i"), col("sig"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("i"), col("sig")),
+        Seq("i", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    // exact Jaccard over the md5-hashed shingle sets (the oracle
+    // hashes the same strings to the same values)
+    val hashed = base.select(col("doc_id"),
+      transform(col("sh"), s => md5long(s)).as("hs"))
+    val out = cands
+      .join(hashed.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")),
+        Seq("doc_a"))
+      .join(hashed.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")),
+        Seq("doc_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) -
+            size(array_intersect(col("hs_a"), col("hs_b")))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .localCheckpoint()
+    base.unpersist()
+    out
+  }
+
   /** MinHash signatures from the already-hashed shingle column — the
     * expensive tokenize+shingle pass runs once per doc, not twice;
     * the min scan is a primitive while-loop. */

@@ -233,23 +233,104 @@ object TextPack extends QueryPack {
     // is proven in DedupSpec's pigeonhole test) ---------------------------
     Q(
       "q48_simhash_neardup",
-      None,
+      // md5-derived fingerprint bits: the oracle recomputes the
+      // 60-bit fingerprints, the pigeonhole candidate set and the
+      // Hamming distances bit-for-bit (formerly rows-only)
+      Some("""
+        WITH dd AS (
+          SELECT doc_id, sh FROM (
+            SELECT doc_id, list_distinct(list_transform(
+                range(greatest(len(words) - 2, 0)),
+                i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))
+              AS sh
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), w -> w <> '')
+                           AS words
+                  FROM documents))
+          WHERE len(sh) > 0),
+        hs AS (
+          SELECT doc_id,
+                 CAST(CAST(('0x' || substring(md5(s), 1, 15)) AS UBIGINT)
+                   AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(sh) AS s FROM dd)),
+        bits AS (
+          SELECT doc_id, t.b AS b,
+                 sum(CASE WHEN (h >> CAST(t.b AS INT)) & 1 = 1
+                     THEN 1 ELSE -1 END) AS v
+          FROM hs, unnest(range(60)) AS t(b)
+          GROUP BY doc_id, t.b),
+        fp AS (
+          SELECT doc_id,
+                 sum(CASE WHEN v > 0
+                     THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                     ELSE 0 END) AS fp
+          FROM bits GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, fp, t.band AS band,
+                 (fp >> (CAST(t.band AS INT) * 15)) & 32767 AS code
+          FROM fp, unnest(range(4)) AS t(band)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, a.fp AS fp_a,
+                          b.doc_id AS doc_b, b.fp AS fp_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.code = b.code AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3"""),
       (s, dir) =>
-        graft.operators.Dedup.simHashNearDup(
+        graft.operators.Dedup.simHashNearDupMd5(
           Tables(s, dir, "documents"), maxHamming = 3)),
 
-    // ---- MinHash near-dup (rows-only: banded approximate candidates;
-    // subset+recall vs the exact prefix-filter join in DedupSpec).
-    // At threshold 0.2, banding must use single-hash bands: a pair at
-    // J=0.2 collides per r-row band with probability J^r, so r=1 with
-    // 32 bands gives recall 1-(0.8)^32 ≈ 0.999 where the r=2 default
-    // (right for J≥0.5) would miss half the threshold-level pairs. ------
+    // ---- MinHash near-dup, VALUE-EXACT under the oracle ------------
+    // md5-derived signatures mean the oracle recomputes the banded
+    // candidate set AND the verified Jaccards bit-for-bit (the
+    // formerly rows-only gate). Single-hash bands: a pair at J=0.2
+    // collides per r-row band with probability J^r, so r=1 with 32
+    // bands gives recall 1-(0.8)^32 ≈ 0.999 where r=2 (right for
+    // J≥0.5) would miss half the threshold-level pairs.
     Q(
       "q49_minhash_neardup",
-      None,
+      Some("""
+        WITH dd AS (
+          SELECT doc_id, sh FROM (
+            SELECT doc_id, list_distinct(list_transform(
+                range(greatest(len(words) - 2, 0)),
+                i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))
+              AS sh
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), w -> w <> '')
+                           AS words
+                  FROM documents))
+          WHERE len(sh) > 0),
+        es AS (SELECT doc_id, unnest(sh) AS s FROM dd),
+        sigs AS (
+          SELECT doc_id, t.i AS i,
+                 min(CAST(CAST(('0x' || substring(
+                   md5(s || ':' || CAST(t.i AS VARCHAR)), 1, 15))
+                   AS UBIGINT) AS BIGINT)) AS sig
+          FROM es, unnest(range(32)) AS t(i)
+          GROUP BY doc_id, t.i),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sigs a JOIN sigs b
+            ON a.i = b.i AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        h AS (
+          SELECT doc_id, list_transform(sh, s ->
+            CAST(CAST(('0x' || substring(md5(s), 1, 15)) AS UBIGINT)
+              AS BIGINT)) AS hs
+          FROM dd)
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT c.doc_a, c.doc_b,
+                 round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+                   (len(x.hs) + len(y.hs) -
+                    len(list_intersect(x.hs, y.hs))), 4) AS jaccard
+          FROM cand c
+          JOIN h x ON c.doc_a = x.doc_id
+          JOIN h y ON c.doc_b = y.doc_id)
+        WHERE jaccard >= 0.2"""),
       (s, dir) =>
-        graft.operators.Dedup.minHashNearDup(
-          Tables(s, dir, "documents"), threshold = 0.2, bandRows = 1)),
+        graft.operators.Dedup.minHashNearDupMd5(
+          Tables(s, dir, "documents"), threshold = 0.2)),
 
     // ---- n-gram Jaccard near-dup, exact via prefix-filtering join -------
     // The oracle is the *unblocked* all-pairs definition; the Spark
