@@ -223,6 +223,35 @@ object Dedup {
     out
   }
 
+  /** md5-derived 60-bit hash (15 hex chars — positive-BIGINT-safe in
+    * every engine; DuckDB computes the identical value with
+    * `CAST(CAST('0x'||substring(md5(s),1,15) AS UBIGINT) AS BIGINT)`). */
+  private def md5long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Word n-gram shingles as STRINGS (the md5 gate variants hash the
+    * strings so an external engine recomputes the same values), one
+    * JVM pass per document. SAFE on short docs: fewer than `n` words
+    * yields an empty array — the earlier expression form
+    * (`sequence(0, size-n)`) descended to `[0,-1]` when size<n and
+    * evaluated `element_at(words, 0)`, which always throws; one
+    * short/empty text failed the whole job.
+    *
+    * Deliberately a UDF, against the usual codegen preference: the
+    * higher-order-function form (split → filter → transform with
+    * per-element concat_ws) is interpreted AND re-evaluates the
+    * split per element reference — measured 16 s vs 1.2 s for this
+    * UDF over sf0.1 documents (see also [[shingleHashUdf]], the same
+    * finding on the hashed path). Values match the oracle's
+    * `list_distinct(list_transform(range(greatest(len(words)-(n-1),
+    * 0)), ...))` exactly: split on single space, empties filtered,
+    * first-occurrence distinct. */
+  private[graft] def shingleStringsUdf(n: Int) = udf { text: String =>
+    val w = text.split(' ').filter(_.nonEmpty)
+    if (w.length < n) Array.empty[String]
+    else w.sliding(n).map(_.mkString(" ")).distinct.toArray
+  }
+
   /** ORACLE-REPLICABLE SimHash near-dup (gate-strength variant of
     * [[simHashNearDup]]): a 60-bit fingerprint whose every bit-vote
     * derives from md5 of the shingle strings, so an external SQL
@@ -230,34 +259,41 @@ object Dedup {
     * Hamming distances bit-for-bit. 60 bits (15 md5 hex chars) keeps
     * everything positive-BIGINT-safe in both engines; pigeonhole
     * blocking stays exact: maxHamming+1 bands of 60/(maxHamming+1)
-    * bits. Fully codegen'd — no UDF anywhere. */
+    * bits.
+    *
+    * Shape: shingle strings from [[shingleStringsUdf]] (measured 10×
+    * the interpreted HOF expression), then ONE md5 per shingle
+    * (codegen'd), then a single partial-aggregated
+    * groupBy(doc) computing all 60 bit-vote sums as static agg
+    * columns (the earlier form exploded each shingle hash into 60
+    * (doc,bit) rows and aggregated twice — 60× the shuffled rows for
+    * identical fingerprints); bit b is static per agg column, so the
+    * plain `(h >> b) & 1` compiles into each one. */
   def simHashNearDupMd5(
       docs: DataFrame, maxHamming: Int = 3, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 10)
     val bands = math.max(2, maxHamming + 1)
     val width = 60 / bands
-    def md5long(c: org.apache.spark.sql.Column) =
-      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-    val words = filter(split(col(textCol), " "), w => w =!= "")
-    val shingles = array_distinct(transform(
-      sequence(lit(0), greatest(size(words) - lit(n), lit(-1))),
-      i => concat_ws(" ",
-        (0 until n).map(j => element_at(words, i + lit(j + 1))): _*)))
     val base = docs
-      .select(col(idCol).as("doc_id"), shingles.as("sh"))
+      .select(col(idCol).as("doc_id"),
+        shingleStringsUdf(n)(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
-    // per-(doc, bit) vote sums → fingerprint bits (sign of the sum)
+    // one codegen'd hash-aggregate: 60 bit-vote sums per doc (the
+    // map-side partials carry 60 longs per doc, never per shingle)
+    val voteCols = (0 until 60).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$b")
+    }
     val votes = base
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), md5long(col("s")).as("h"))
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(59))).as("b"))
-      .groupBy("doc_id", "b")
-      .agg(sum(when(expr("(h >> b) & 1") === 1, 1).otherwise(-1)).as("v"))
-    val fps = votes.groupBy("doc_id")
-      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
-        .otherwise(0L)).as("fp"))
+      .groupBy("doc_id")
+      .agg(voteCols.head, voteCols.tail: _*)
+    val fps = votes.select(col("doc_id"),
+      (0 until 60).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("fp"))
       .localCheckpoint() // fingerprints feed banding AND verification
     val banded = fps.select(col("doc_id"), col("fp"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
@@ -276,40 +312,74 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Mersenne prime 2^31-1: the modulus of the classic universal
+    * `(a·x + b) mod p` MinHash family. With a,b < p and x ≡ h mod p,
+    * every intermediate stays under 2^62 — no 64-bit overflow in the
+    * JVM and none in external SQL engines that ERROR on BIGINT
+    * overflow (DuckDB), which is what keeps the derivation
+    * oracle-replicable. */
+  private[graft] val MinHashP = 2147483647L
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Fixed affine-hash constants, a_i ∈ [1,p-1], b_i ∈ [0,p-1] —
+    * plan-time literals embedded identically in the Spark expression
+    * and the oracle SQL (see TextPack q49). */
+  private[graft] val minHashA: Array[Long] = Array.tabulate(64) { i =>
+    (splitmix64(2L * i + 1) & 0x7fffffffL) % (MinHashP - 1) + 1
+  }
+  private[graft] val minHashB: Array[Long] = Array.tabulate(64) { i =>
+    (splitmix64(2L * i + 2) & 0x7fffffffL) % MinHashP
+  }
+
   /** ORACLE-REPLICABLE MinHash near-dup (gate-strength variant of
     * [[minHashNearDup]]): shingle hashing and every signature
     * component derive from md5, which an external SQL engine shares
     * bit-for-bit — so the banded candidate set AND the verified
     * Jaccard values are recomputable outside the JVM, and the whole
-    * approximate join gates value-exact instead of rows-only. Also
-    * fully codegen'd: shingling, hashing, signatures, banding and
-    * verification are all Catalyst expressions (no UDF anywhere).
+    * approximate join gates value-exact instead of rows-only.
+    *
+    * Cost shape: shingle strings from [[shingleStringsUdf]] (measured
+    * 10× the interpreted HOF expression); each shingle is md5-hashed
+    * ONCE; the numHashes
+    * signature components derive arithmetically — the textbook
+    * `min over shingles of (a_i·h + b_i) mod p` universal family
+    * (p = 2^31-1), evaluated per-document with nested higher-order
+    * functions so signatures need no shuffle at all (the earlier
+    * form computed one md5 per shingle×index — 32× the hashing — and
+    * shuffled shingles×32 rows through a groupBy). The md5'd shingle
+    * sets are reused for the exact-Jaccard verify.
+    *
     * Single-hash bands (r=1): numHashes bands, right for low
     * thresholds. The production path keeps [[minHashNearDup]]'s
-    * cheaper mixing. */
+    * cheaper FNV mixing. */
   def minHashNearDupMd5(
       docs: DataFrame, threshold: Double, numHashes: Int = 32,
       n: Int = 3, idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
-    // md5-derived 60-bit hash (15 hex chars — BIGINT-safe everywhere)
-    def md5long(c: org.apache.spark.sql.Column) =
-      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-    val words = filter(split(col(textCol), " "), w => w =!= "")
-    val shingles = array_distinct(transform(
-      sequence(lit(0), greatest(size(words) - lit(n), lit(-1))),
-      i => concat_ws(" ",
-        (0 until n).map(j => element_at(words, i + lit(j + 1))): _*)))
+    require(numHashes <= minHashA.length)
     val base = docs
-      .select(col(idCol).as("doc_id"), shingles.as("sh"))
+      .select(col(idCol).as("doc_id"),
+        shingleStringsUdf(n)(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .cache()
-    val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
-    // sig(doc, i) = min over shingles of md5long(shingle ':' i)
-    val sigs = exploded
-      .select(col("doc_id"), col("s"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("i"))
-      .groupBy("doc_id", "i")
-      .agg(min(md5long(concat(col("s"), lit(":"), col("i")))).as("sig"))
+    // one md5 per shingle, computed once, reused for signatures AND
+    // the exact-Jaccard verification
+    val hashed = base.select(col("doc_id"),
+      transform(col("sh"), s => md5long(s)).as("hs"))
+      .localCheckpoint()
+    val aLit = lit(minHashA.take(numHashes))
+    val bLit = lit(minHashB.take(numHashes))
+    val sigArr = transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(col("hs"), h =>
+        (element_at(aLit, i + 1) * (h % MinHashP) + element_at(bLit, i + 1))
+          % MinHashP)))
+    val sigs = hashed.select(col("doc_id"), posexplode(sigArr))
+      .toDF("doc_id", "i", "sig")
     val cands = sigs.select(col("doc_id").as("doc_a"), col("i"), col("sig"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("i"), col("sig")),
         Seq("i", "sig"))
@@ -318,8 +388,6 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
     // exact Jaccard over the md5-hashed shingle sets (the oracle
     // hashes the same strings to the same values)
-    val hashed = base.select(col("doc_id"),
-      transform(col("sh"), s => md5long(s)).as("hs"))
     val out = cands
       .join(hashed.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")),
         Seq("doc_a"))
@@ -331,8 +399,6 @@ object Dedup {
             size(array_intersect(col("hs_a"), col("hs_b")))), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-      .localCheckpoint()
-    base.unpersist()
     out
   }
 

@@ -228,9 +228,9 @@ object TextPack extends QueryPack {
           .agg(count(lit(1)).as("n_docs"))
       }),
 
-    // ---- SimHash near-dup (rows-only: fingerprints use JVM-side FNV
-    // mixing DuckDB cannot reproduce; exactness vs brute-force Hamming
-    // is proven in DedupSpec's pigeonhole test) ---------------------------
+    // ---- SimHash near-dup, VALUE-EXACT under the oracle ----------------
+    // (exactness vs brute-force Hamming additionally proven in
+    // DedupSpec's pigeonhole test)
     Q(
       "q48_simhash_neardup",
       // md5-derived fingerprint bits: the oracle recomputes the
@@ -284,13 +284,17 @@ object TextPack extends QueryPack {
     // ---- MinHash near-dup, VALUE-EXACT under the oracle ------------
     // md5-derived signatures mean the oracle recomputes the banded
     // candidate set AND the verified Jaccards bit-for-bit (the
-    // formerly rows-only gate). Single-hash bands: a pair at J=0.2
-    // collides per r-row band with probability J^r, so r=1 with 32
-    // bands gives recall 1-(0.8)^32 ≈ 0.999 where r=2 (right for
-    // J≥0.5) would miss half the threshold-level pairs.
+    // formerly rows-only gate). One md5 per shingle; the 32 signature
+    // components derive via the classic universal family
+    // (a_i·h + b_i) mod 2^31-1 with plan-time constants interpolated
+    // below — every intermediate < 2^62, so DuckDB (which ERRORS on
+    // BIGINT overflow) computes the identical values. Single-hash
+    // bands: a pair at J=0.2 collides per r-row band with probability
+    // J^r, so r=1 with 32 bands gives recall 1-(0.8)^32 ≈ 0.999 where
+    // r=2 (right for J≥0.5) would miss half the threshold-level pairs.
     Q(
       "q49_minhash_neardup",
-      Some("""
+      Some(s"""
         WITH dd AS (
           SELECT doc_id, sh FROM (
             SELECT doc_id, list_distinct(list_transform(
@@ -302,23 +306,28 @@ object TextPack extends QueryPack {
                            AS words
                   FROM documents))
           WHERE len(sh) > 0),
-        es AS (SELECT doc_id, unnest(sh) AS s FROM dd),
-        sigs AS (
-          SELECT doc_id, t.i AS i,
-                 min(CAST(CAST(('0x' || substring(
-                   md5(s || ':' || CAST(t.i AS VARCHAR)), 1, 15))
-                   AS UBIGINT) AS BIGINT)) AS sig
-          FROM es, unnest(range(32)) AS t(i)
-          GROUP BY doc_id, t.i),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM sigs a JOIN sigs b
-            ON a.i = b.i AND a.sig = b.sig AND a.doc_id < b.doc_id),
         h AS (
           SELECT doc_id, list_transform(sh, s ->
             CAST(CAST(('0x' || substring(md5(s), 1, 15)) AS UBIGINT)
               AS BIGINT)) AS hs
-          FROM dd)
+          FROM dd),
+        es AS (SELECT doc_id, unnest(hs) AS hv FROM h),
+        consts AS (
+          SELECT t.i AS i,
+                 (${graft.operators.Dedup.minHashA.take(32)
+                     .mkString("[", ", ", "]")})[t.i + 1] AS a,
+                 (${graft.operators.Dedup.minHashB.take(32)
+                     .mkString("[", ", ", "]")})[t.i + 1] AS b
+          FROM unnest(range(32)) AS t(i)),
+        sigs AS (
+          SELECT doc_id, c.i AS i,
+                 min((c.a * (hv % 2147483647) + c.b) % 2147483647) AS sig
+          FROM es, consts c
+          GROUP BY doc_id, c.i),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sigs a JOIN sigs b
+            ON a.i = b.i AND a.sig = b.sig AND a.doc_id < b.doc_id)
         SELECT doc_a, doc_b, jaccard FROM (
           SELECT c.doc_a, c.doc_b,
                  round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /

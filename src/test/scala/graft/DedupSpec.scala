@@ -284,4 +284,65 @@ class DedupSpec extends SparkSpec {
     assert(cleaned(2L) == "trailing-kept")
     assert(cleaned(3L) == docs(2)._2)
   }
+
+  test("md5 gate variants survive short/empty docs (no shingle = no pair)") {
+    import spark.implicits._
+    // <n-word docs used to evaluate element_at(words, 0) and fail the
+    // whole job (sequence(0, size-n) descends when size<n) — they
+    // must yield an empty shingle set instead
+    val docs = Seq(
+      (1L, ""), (2L, "one"), (3L, "two words"), (4L, "   "),
+      (5L, "three whole words"),
+      (6L, "a longer document with plenty of words repeated here"),
+      (7L, "a longer document with plenty of words repeated here"))
+      .toDF("doc_id", "text")
+    val sim = Dedup.simHashNearDupMd5(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim == Set((6L, 7L)))
+    val mh = Dedup.minHashNearDupMd5(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == Set((6L, 7L)))
+  }
+
+  test("minHashNearDupMd5 affine signatures match a direct JVM recomputation") {
+    import spark.implicits._
+    // the Spark expression pipeline (md5 once per shingle, then
+    // (a_i·h + b_i) mod 2^31-1 mins) must equal the same math
+    // computed independently — the property the DuckDB oracle relies on
+    val rnd = new scala.util.Random(11)
+    val vocab = (1 to 50).map(i => s"w$i")
+    def text(k: Int) = (1 to 30).map(_ => vocab(rnd.nextInt(k))).mkString(" ")
+    val docs = (1L to 12L).map(i => (i, text(if (i % 2 == 0) 8 else 50)))
+    val df = docs.toDF("doc_id", "text")
+
+    val p = 2147483647L
+    def md5long(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def shingleSet(t: String): Seq[String] = {
+      val w = t.split(" ").filter(_.nonEmpty)
+      if (w.length < 3) Seq.empty
+      else w.sliding(3).map(_.mkString(" ")).toSeq.distinct
+    }
+    val hs = docs.map { case (id, t) =>
+      id -> shingleSet(t).map(md5long)
+    }.filter(_._2.nonEmpty).toMap
+    def sig(h: Seq[Long], i: Int): Long =
+      h.map(v => (Dedup.minHashA(i) * (v % p) + Dedup.minHashB(i)) % p).min
+    val expected = (for {
+      a <- hs.keys; b <- hs.keys
+      if a < b && (0 until 32).exists(i => sig(hs(a), i) == sig(hs(b), i))
+      inter = hs(a).toSet.intersect(hs(b).toSet).size
+      jac = BigDecimal(inter.toDouble /
+        (hs(a).size + hs(b).size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jac >= 0.2
+    } yield (a, b, jac)).toSet
+    val got = Dedup.minHashNearDupMd5(df, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+  }
 }
