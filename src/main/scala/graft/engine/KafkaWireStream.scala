@@ -1,0 +1,184 @@
+package graft.engine
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** One raw message from the wire stream. `value = None` is a Kafka
+  * tombstone — delivered at the Message level (the reference streams
+  * every polled message to the subscriber), filtered by the
+  * [[KafkaWireStreamSource.payloads]] bytes-view. */
+final case class WireStreamRecord(partition: Int, offset: Long,
+    timestamp: Long, key: Option[String], value: Option[String])
+
+/** `topic_as_stream` over the real broker wire — the reference's
+  * TopicStream (kafka/_source.py:239-360, public API :459): the
+  * topic as a LIVE append feed of raw messages, not a compacted map.
+  * Where [[KafkaWireMapSource]] materializes latest-per-key and
+  * arms at the head, the stream source delivers EVERY message from
+  * the group's committed offset onward — history is part of the
+  * stream (the reference arms at `max(committed, 0)`, i.e. a fresh
+  * group replays from earliest), and `ready` turns true once all
+  * partitions have been consumed up to the high watermarks observed
+  * at arming (the reference's `mark_ready()` contract: "all
+  * initially-assigned partitions consumed up to their initial high
+  * watermarks").
+  *
+  * Transport: [[KafkaWireClient]] — Metadata for the partition
+  * count, ListOffsets for the arming watermarks, Fetch v4 past the
+  * armed offsets, and broker-stored OffsetCommit/OffsetFetch
+  * (simple-consumer form, generation -1) for durable resume. Offsets
+  * commit one-drain-late exactly like [[KafkaWireMapSource]]: a
+  * tick's offsets commit at the start of the NEXT drain, so a crash
+  * between drains re-delivers the unprocessed tick — at-least-once.
+  * `close()` never commits (it runs on failure paths; committing an
+  * un-acknowledged tick there would be data loss).
+  *
+  * Scale shape: a drain moves O(new messages) over the wire and
+  * nothing else — no re-listing, no log scan; the per-tick batch is
+  * handed to Spark as a DataFrame ([[KafkaWireStreamSource.toDf]])
+  * for the [[graft.streaming]] ops (windowed aggregation,
+  * compaction, sessionization) exactly like a micro-batch. A real
+  * deployment at 100 TB/day fans partitions across executors — the
+  * per-partition fetch loop here is the single-node faithful form of
+  * the reference's single consumer, and the DataFrame hand-off is
+  * the seam where a multi-executor fetch (one client per partition
+  * task, as [[KafkaTarget]] already does for produce) slots in
+  * without changing consumers.
+  */
+final class KafkaWireStreamSource(host: String, port: Int, topic: String,
+    consumerGroup: Option[String] = None) extends Serializable {
+
+  import KafkaWireStreamSource._
+
+  private def withClient[A](f: KafkaWireClient => A): A = {
+    val c = new KafkaWireClient(host, port)
+    try f(c) finally c.close()
+  }
+
+  private def partitionCount(c: KafkaWireClient): Int =
+    c.metadata(Seq(topic)).find(_.name == topic)
+      .getOrElse(throw new IllegalStateException(s"no topic $topic"))
+      .partitions.length
+
+  /** Full replay from earliest — what a consumer with no committed
+    * offset sees before going live (the batch twin of [[feed]]). */
+  def replay(spark: SparkSession): DataFrame = {
+    val rows = withClient { c =>
+      (0 until partitionCount(c)).flatMap { p =>
+        drainPartition(c, topic, p, c.listOffset(topic, p, timestamp = -2L))._1
+      }
+    }
+    toDf(spark, rows)
+  }
+
+  /** Arm the live feed NOW: resume at the group's broker-committed
+    * offsets, or at EARLIEST where the group has none (the
+    * reference's `max(committed.offset, 0)` — a stream consumer's
+    * history is delivered through the stream itself, unlike the map
+    * source's bootstrap-scan-then-head arming). */
+  def feed(): WireStreamFeed =
+    new WireStreamFeed(new KafkaWireClient(host, port), topic, consumerGroup)
+}
+
+object KafkaWireStreamSource {
+
+  val schema: StructType = StructType(Seq(
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("timestamp", LongType, nullable = false),
+    StructField("key", StringType),
+    StructField("value", StringType)))
+
+  /** One tick's records as a micro-batch DataFrame for the
+    * [[graft.streaming]] ops. */
+  def toDf(spark: SparkSession, records: Seq[WireStreamRecord]): DataFrame = {
+    val rows = records.map(r =>
+      Row(r.partition, r.offset, r.timestamp, r.key.orNull, r.value.orNull))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows,
+        math.max(1, rows.size / 5000 + 1)), schema)
+  }
+
+  /** The `payloads()` view (kafka/_source.py:262-269): message values
+    * only, tombstones filtered — "consumers that need tombstone
+    * semantics should subscribe at the Message level". */
+  def payloads(records: Seq[WireStreamRecord]): Seq[String] =
+    records.flatMap(_.value)
+
+  private[engine] def drainPartition(c: KafkaWireClient, topic: String,
+      partition: Int, from: Long): (Vector[WireStreamRecord], Long) = {
+    var offset = from
+    var done = false
+    val out = Vector.newBuilder[WireStreamRecord]
+    while (!done) {
+      val (records, hw) = c.fetch(topic, partition, offset)
+      out ++= records.map(r => WireStreamRecord(partition, r.offset,
+        r.timestamp,
+        Option(r.key).map(new String(_, UTF_8)),
+        Option(r.value).map(new String(_, UTF_8))))
+      offset = records.lastOption.map(_.offset + 1).getOrElse(hw)
+      done = records.isEmpty || offset >= hw
+    }
+    (out.result(), offset)
+  }
+}
+
+/** The live consumer behind [[KafkaWireStreamSource.feed]]. Not
+  * thread-safe (one wire client), like every feed here. */
+final class WireStreamFeed private[engine](client: KafkaWireClient,
+    topic: String, consumerGroup: Option[String]) extends AutoCloseable {
+
+  import KafkaWireStreamSource._
+
+  private val nParts: Int =
+    client.metadata(Seq(topic)).find(_.name == topic)
+      .getOrElse(throw new IllegalStateException(s"no topic $topic"))
+      .partitions.length
+
+  /** High watermarks at arming — the `mark_ready` targets. */
+  private val initialHw: Map[Int, Long] =
+    (0 until nParts).map(p => p -> client.listOffset(topic, p)).toMap
+
+  private var committed: Map[Int, Long] = {
+    val stored = consumerGroup
+      .map(g => client.fetchOffsets(g, topic, 0 until nParts))
+      .getOrElse(Map.empty)
+    (0 until nParts)
+      .map(p => p -> math.max(stored.getOrElse(p, -1L), 0L)).toMap
+  }
+  private var pending: Map[Int, Long] = committed
+  private var caughtUp: Boolean =
+    (0 until nParts).forall(p => pending(p) >= initialHw(p))
+
+  /** True once every partition has been drained up to the high
+    * watermark observed at arming (the reference's single
+    * `mark_ready()` per watch). */
+  def ready: Boolean = caughtUp
+
+  private def commitPending(): Unit =
+    if (pending.exists { case (p, o) => o > committed.getOrElse(p, -1L) }) {
+      consumerGroup.foreach(client.commitOffsets(_, topic, pending))
+      committed = pending
+    }
+
+  /** All messages past the armed/previously-drained offsets, in
+    * offset order per partition. Commits the PREVIOUS tick first
+    * (one-drain-late): by the time the synchronous caller drains
+    * again, it has processed the prior batch. */
+  def drain(): Seq[WireStreamRecord] = {
+    commitPending()
+    val out = Vector.newBuilder[WireStreamRecord]
+    pending = (0 until nParts).map { p =>
+      val (records, next) = drainPartition(client, topic, p, pending(p))
+      out ++= records
+      p -> next
+    }.toMap
+    if (!caughtUp)
+      caughtUp = (0 until nParts).forall(p => pending(p) >= initialHw(p))
+    out.result()
+  }
+
+  def close(): Unit = client.close() // deliberately no commit
+}

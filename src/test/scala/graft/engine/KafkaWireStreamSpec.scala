@@ -1,0 +1,143 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.fixtures.MiniKafkaBroker
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** `topic_as_stream` over the broker wire (reference TopicStream,
+  * kafka/_source.py:239-360): raw messages from the committed offset
+  * onward, `ready` at the arming watermarks, tombstones at the
+  * Message level, payloads view filtered, broker-stored offset
+  * resume — the stream twin of KafkaWireLiveSpec's keyed map. */
+class KafkaWireStreamSpec extends SparkSpec {
+
+  private val kvSchema = StructType(Seq(
+    StructField("row_key", StringType),
+    StructField("value", StringType)))
+
+  private def kvDf(rows: (String, String)*) = spark.createDataFrame(
+    spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1),
+    kvSchema)
+
+  private def keysDf(keys: String*) = spark.createDataFrame(
+    spark.sparkContext.parallelize(keys.map(Row(_)), 1),
+    StructType(Seq(StructField("row_key", StringType))))
+
+  test("fresh group replays from earliest; ready at initial HW; payloads filter tombstones") {
+    val broker = new MiniKafkaBroker(numPartitions = 2)
+    try {
+      val topic = "events"
+      val producer = KafkaWireTopicTarget(broker.host, broker.port, topic)
+      val n = 20
+      producer.apply(spark,
+        kvDf((0 until n).map(i => (f"k$i%02d", s"payload $i")): _*),
+        keysDf())
+      // one tombstone on the wire (delete of k03)
+      producer.apply(spark, kvDf(), keysDf("k03"))
+
+      val src = new KafkaWireStreamSource(
+        broker.host, broker.port, topic, Some("s1"))
+      val feed = src.feed()
+      try {
+        // messages exist past the (absent) committed offset: not yet
+        // caught up to the arming watermarks
+        assert(!feed.ready)
+        val batch = feed.drain()
+        assert(feed.ready)
+        assert(batch.length == n + 1, s"got ${batch.length}")
+        // the stream delivers the tombstone as a Message
+        val tomb = batch.filter(_.value.isEmpty)
+        assert(tomb.map(_.key) == Seq(Some("k03")))
+        // ...and the payloads() bytes-view drops it
+        val pl = KafkaWireStreamSource.payloads(batch)
+        assert(pl.length == n && !pl.exists(_ == null))
+        // offset order per partition
+        batch.groupBy(_.partition).foreach { case (_, rs) =>
+          assert(rs.map(_.offset) == rs.map(_.offset).sorted)
+        }
+        // the batch replay view sees the same stream
+        val replayed = src.replay(spark)
+        assert(replayed.count() == n + 1)
+        assert(replayed.filter(col("value").isNull).select("key")
+          .collect().map(_.getString(0)).toSeq == Seq("k03"))
+      } finally feed.close()
+    } finally broker.close()
+  }
+
+  test("O(delta) wire ticks; one-drain-late commit resumes at-least-once") {
+    val broker = new MiniKafkaBroker(numPartitions = 2)
+    try {
+      val topic = "resume-stream"
+      val producer = KafkaWireTopicTarget(broker.host, broker.port, topic)
+      producer.apply(spark,
+        kvDf(("a", "alpha"), ("b", "beta"), ("c", "gamma")), keysDf())
+
+      val src = new KafkaWireStreamSource(
+        broker.host, broker.port, topic, Some("s2"))
+      val feed = src.feed()
+      val first = feed.drain()
+      assert(first.length == 3)
+
+      // an idle tick: the wire traffic is one fetch per partition
+      // plus the previous tick's offset commit — no rescan
+      val before = broker.observed.toArray.length
+      assert(feed.drain().isEmpty)
+      val apis = broker.observed.toArray.drop(before).map(_.toString)
+      assert(apis.count(_.startsWith("api=1 ")) <= 2, apis.mkString(", "))
+
+      // new messages: the next drain delivers exactly the delta
+      producer.apply(spark, kvDf(("b", "beta v2"), ("d", "delta")), keysDf())
+      val tick = feed.drain()
+      assert(tick.flatMap(_.value).toSet == Set("beta v2", "delta"))
+      feed.close() // close never commits
+
+      // restart on the SAME group: the last tick was never committed
+      // (one-drain-late + close-without-commit), so it is re-delivered
+      // — at-least-once, never skipped
+      val feed2 = src.feed()
+      try {
+        val redelivered = feed2.drain()
+        assert(redelivered.flatMap(_.value).toSet == Set("beta v2", "delta"))
+        assert(feed2.drain().isEmpty) // now committed; nothing new
+      } finally feed2.close()
+
+      // a FRESH group replays everything from earliest
+      val freshFeed = new KafkaWireStreamSource(
+        broker.host, broker.port, topic, Some("other")).feed()
+      try assert(freshFeed.drain().length == 5)
+      finally freshFeed.close()
+    } finally broker.close()
+  }
+
+  test("tick batches drive streaming ops: per-key compaction over micro-batches") {
+    val broker = new MiniKafkaBroker(numPartitions = 2)
+    try {
+      val topic = "compact-stream"
+      val producer = KafkaWireTopicTarget(broker.host, broker.port, topic)
+      producer.apply(spark,
+        kvDf(("u1", "v1"), ("u2", "v1"), ("u3", "v1")), keysDf())
+
+      val src = new KafkaWireStreamSource(
+        broker.host, broker.port, topic, Some("s3"))
+      val feed = src.feed()
+      try {
+        // accumulate micro-batches exactly as a streaming consumer
+        // would: union each tick's DataFrame, compact latest-per-key
+        // (same key → same partition via murmur2, so (partition,
+        // offset) orders a key's history totally)
+        var log = KafkaWireStreamSource.toDf(spark, feed.drain())
+        producer.apply(spark, kvDf(("u2", "v2")), keysDf("u1"))
+        log = log.unionByName(KafkaWireStreamSource.toDf(spark, feed.drain()))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("key").orderBy(col("offset").desc)
+        val compacted = log.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("value").isNotNull)
+          .select("key", "value").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        assert(compacted == Map("u2" -> "v2", "u3" -> "v1"))
+      } finally feed.close()
+    } finally broker.close()
+  }
+}
