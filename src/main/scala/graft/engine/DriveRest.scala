@@ -46,13 +46,19 @@ object GoogleServiceAccount {
     input + "." + b64url(sig.sign())
   }
 
-  /** One exchange: `(accessToken, expiresAtEpochMillis)`. */
-  def exchange(creds: Credentials, scope: String): (String, Long) = {
+  /** One exchange: `(accessToken, expiresAtEpochMillis)`. Timeouts
+    * match DriveRestClient's — a stalled token endpoint must fail the
+    * walk loudly, not hang it indefinitely. */
+  def exchange(creds: Credentials, scope: String,
+      connectTimeoutMs: Int = 5000, readTimeoutMs: Int = 60000)
+      : (String, Long) = {
     val form = "grant_type=" + URLEncoder.encode(
       "urn:ietf:params:oauth:grant-type:jwt-bearer", UTF_8) +
       "&assertion=" + URLEncoder.encode(assertionJwt(creds, scope), UTF_8)
     val conn = URI.create(creds.tokenUri).toURL.openConnection()
       .asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
     conn.setRequestMethod("POST")
     conn.setDoOutput(true)
     conn.setRequestProperty("Content-Type",
@@ -87,17 +93,37 @@ object GoogleServiceAccount {
 
   /** Caching provider: exchanges on first use and re-exchanges when
     * within `refreshSkewMs` of expiry. Serializable (executor-side
-    * fetch batches carry it); the cache is per-JVM. */
+    * fetch batches carry it); the cache is genuinely per-JVM: a
+    * STATIC map keyed by (clientEmail, tokenUri, scope), so the many
+    * deserialized provider copies in executor-side fetch tasks share
+    * one token instead of each re-exchanging (an instance-field
+    * `@transient` cache resets on every deserialization). */
   final class TokenProvider(creds: Credentials,
       scope: String = DriveScope, refreshSkewMs: Long = 60000L)
       extends Serializable {
-    @transient @volatile private var cached: (String, Long) = null
-    def token(): String = synchronized {
-      if (cached == null ||
-        cached._2 - refreshSkewMs <= System.currentTimeMillis())
-        cached = exchange(creds, scope)
-      cached._1
+    private def cacheKey = (creds.clientEmail, creds.tokenUri, scope)
+    def token(): String = {
+      val now = System.currentTimeMillis()
+      val cached = TokenProvider.cache.get(cacheKey)
+      if (cached != null && cached._2 - refreshSkewMs > now) cached._1
+      else TokenProvider.cache.synchronized {
+        // re-check under the lock: one exchange per JVM, not per task
+        val c2 = TokenProvider.cache.get(cacheKey)
+        if (c2 != null && c2._2 - refreshSkewMs > now) c2._1
+        else {
+          val fresh = exchange(creds, scope)
+          TokenProvider.cache.put(cacheKey, fresh)
+          fresh._1
+        }
+      }
     }
+  }
+
+  object TokenProvider {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      (String, String, String), (String, Long)]()
+    /** Test seam: drop every cached token. */
+    private[engine] def clearCache(): Unit = cache.clear()
   }
 }
 

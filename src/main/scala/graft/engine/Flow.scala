@@ -656,13 +656,22 @@ final class Flow(
       if (!hasErrors && !st.tableExists("errors")) Map.empty
       else {
         val prevErrors = st.read("errors", ErrorsSchema)
-        val newFailed =
-          if (hasErrors) failed
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ErrorsSchema)
-        Map("errors" -> StateStore.Delta(newFailed,
-          prevErrors.join(scopeKeys, Seq("item_key"), "left_semi")
-            .select("item_key", "row_key")))
+        val tombstones = prevErrors
+          .join(scopeKeys, Seq("item_key"), "left_semi")
+          .select("item_key", "row_key")
+        // no new failures AND no stale scope failures to clear ⇒ skip
+        // the family entirely — a zero-row Delta segment per run is
+        // pure segment churn (and periodic no-op compactions). The
+        // probe is a head(1) over the tiny errors table.
+        if (!hasErrors && tombstones.isEmpty) Map.empty
+        else {
+          val newFailed =
+            if (hasErrors) failed
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              ErrorsSchema)
+          Map("errors" -> StateStore.Delta(newFailed, tombstones))
+        }
       }
     val stateTables: Map[String, StateStore.TableCommit] = errorTables ++
       Map("component_memo" -> memoCommit, "tracking" -> trackingCommit) ++

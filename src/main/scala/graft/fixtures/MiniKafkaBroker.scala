@@ -39,7 +39,12 @@ final class MiniKafkaBroker(numPartitions: Int = 2) extends AutoCloseable {
   private val topics =
     mutable.LinkedHashMap.empty[String, Vector[PartitionLog]]
   /** Broker-stored consumer offsets: (group, topic, partition) →
-    * committed offset (the `__consumer_offsets` analog). */
+    * committed offset (the `__consumer_offsets` analog). Guarded by
+    * `lock` like all broker state: every API handler (including
+    * offsetCommit/offsetFetch) runs inside the single
+    * `lock.synchronized` at the dispatch site in [[serve]], so
+    * per-connection handler threads never touch this map (or
+    * `topics`) unsynchronized. */
   private val groupOffsets = mutable.Map.empty[(String, String, Int), Long]
   val observed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
