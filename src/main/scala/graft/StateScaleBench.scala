@@ -145,7 +145,9 @@ object StateScaleBench {
   def main(args: Array[String]): Unit = {
     val ns = sys.env.getOrElse("SPARK_GRAFT_SCALE_NS", "100,1000,10000")
       .split(",").map(_.trim.toInt).toSeq
-    val ms = sys.env.getOrElse("SPARK_GRAFT_SCALE_MS", "0,2")
+    // m=8 covers the many-target-states-per-component shape: edit
+    // bytes must stay O(changed · M), never O(N · M)
+    val ms = sys.env.getOrElse("SPARK_GRAFT_SCALE_MS", "0,2,8")
       .split(",").map(_.trim.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.configure(

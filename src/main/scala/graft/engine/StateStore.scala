@@ -75,9 +75,20 @@ final class StateStore(spark: SparkSession, rootDir: String) {
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  private def rootKey: String = root.toAbsolutePath.toString
+
   /** Read a state table at the current version (empty with the right
     * schema when absent). Base + delta segments merge latest-wins on
-    * the family's merge keys; tombstones are filtered. */
+    * the family's merge keys; tombstones are filtered.
+    *
+    * The merged view is persisted and memoized JVM-wide by
+    * (root, version, table): snapshots are immutable, so every read
+    * of the same table at the same version — an engine run touches
+    * component_memo several times, and multi-run gates more — shares
+    * one materialization instead of re-running the union + window
+    * per consumer. Entries invalidate with their snapshot (commit
+    * prune / clear). Base-only reads are NOT cached: a plain parquet
+    * scan is already cheap and cache-managed by the file index. */
   def read(table: String, schema: StructType): DataFrame = {
     val v = currentVersion
     val base = root.resolve(s"v=$v").resolve(table)
@@ -86,28 +97,36 @@ final class StateStore(spark: SparkSession, rootDir: String) {
     if (!hasBase && segs.isEmpty) emptyDf(schema)
     else if (segs.isEmpty) spark.read.schema(schema).parquet(base.toString)
     else {
-      import org.apache.spark.sql.functions._
-      val keys = StateStore.mergeKeysOf(table)
-      require(keys.nonEmpty,
-        s"state table $table has delta segments but no registered merge keys")
-      val segSchema = StructType(schema.fields :+
-        StructField(DelCol, org.apache.spark.sql.types.BooleanType))
-      val parts =
-        (if (hasBase)
-          Seq(spark.read.schema(schema).parquet(base.toString)
-            .withColumn(DelCol, lit(false)).withColumn(SeqCol, lit(0L)))
-        else Seq.empty) ++
-        segs.map { case (name, seq) =>
-          spark.read.schema(segSchema)
-            .parquet(root.resolve(s"v=$v").resolve(name).toString)
-            .withColumn(SeqCol, lit(seq))
-        }
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keys.map(col): _*).orderBy(col(SeqCol).desc)
-      parts.reduce(_.unionByName(_))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1 && !col(DelCol))
-        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      val key = (rootKey, v, table)
+      val cached = StateStore.readCache.get(key)
+      if (cached != null) cached
+      else {
+        import org.apache.spark.sql.functions._
+        val keys = StateStore.mergeKeysOf(table)
+        require(keys.nonEmpty,
+          s"state table $table has delta segments but no registered merge keys")
+        val segSchema = StructType(schema.fields :+
+          StructField(DelCol, org.apache.spark.sql.types.BooleanType))
+        val parts =
+          (if (hasBase)
+            Seq(spark.read.schema(schema).parquet(base.toString)
+              .withColumn(DelCol, lit(false)).withColumn(SeqCol, lit(0L)))
+          else Seq.empty) ++
+          segs.map { case (name, seq) =>
+            spark.read.schema(segSchema)
+              .parquet(root.resolve(s"v=$v").resolve(name).toString)
+              .withColumn(SeqCol, lit(seq))
+          }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col(SeqCol).desc)
+        val merged = parts.reduce(_.unionByName(_))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1 && !col(DelCol))
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val prior = StateStore.readCache.putIfAbsent(key, merged)
+        if (prior != null) { merged.unpersist(false); prior } else merged
+      }
     }
   }
 
@@ -306,12 +325,17 @@ final class StateStore(spark: SparkSession, rootDir: String) {
     Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, root.resolve(CurrentFile),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // cached merged views of the snapshots prune() is about to delete
+    // must go FIRST: an unmaterialized cached plan over deleted files
+    // would fail its first action
+    StateStore.invalidateReadCache(rootKey, upTo = next - 2)
     prune(keep = 2, next)
     next
   }
 
   /** Drop all state (the `drop` lifecycle op). */
   def clear(): Unit = {
+    StateStore.invalidateReadCache(rootKey, upTo = Long.MaxValue)
     deleteRecursively(root)
     Files.createDirectories(root)
   }
@@ -330,6 +354,24 @@ final class StateStore(spark: SparkSession, rootDir: String) {
 
 object StateStore {
   val CurrentFile = "_CURRENT"
+
+  /** JVM-wide memo of persisted merged reads, keyed by
+    * (state root, snapshot version, table) — see [[StateStore.read]].
+    * Snapshot immutability makes the key sound; entries die with
+    * their snapshot. */
+  private val readCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, String), DataFrame]()
+
+  private def invalidateReadCache(rootKey: String, upTo: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    readCache.keySet.asScala.toVector
+      .filter(k => k._1 == rootKey && k._2 <= upTo)
+      .foreach { k =>
+        val df = readCache.remove(k)
+        if (df != null)
+          scala.util.Try(df.unpersist(blocking = false))
+      }
+  }
 
   /** Segment-dir separator: `tracking@s000004` is delta segment 4 of
     * table `tracking`. (`~` is taken by scope shards; `@` is inert to

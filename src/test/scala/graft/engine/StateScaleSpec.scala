@@ -44,4 +44,21 @@ class StateScaleSpec extends SparkSpec {
       s"edit bytes must not scale with N: n=50→${small.editBytes}B, " +
         s"n=800→${big.editBytes}B")
   }
+
+  test("edit write volume stays O(changed) at high target-state fan-out (M=8)") {
+    // a component declaring MANY target states (M rows each) must
+    // still edit-commit O(changed · M) bytes, never O(N · M): the
+    // tracking family's delta segment holds the edited component's
+    // M rows plus bookkeeping, independent of N
+    val small = StateScale.runCell(spark, n = 50, m = 8)
+    val big = StateScale.runCell(spark, n = 800, m = 8)
+    assert(small.warmBytes == 0 && big.warmBytes == 0)
+    assert(small.editStats.recomputed == 1 && big.editStats.recomputed == 1)
+    assert(big.editBytes < big.coldBytes / 4,
+      s"edit wrote ${big.editBytes}B vs cold ${big.coldBytes}B at m=8 — " +
+        "not O(changed)")
+    assert(big.editBytes < small.editBytes * 4 + 4096,
+      s"edit bytes must not scale with N at m=8: n=50→${small.editBytes}B, " +
+        s"n=800→${big.editBytes}B")
+  }
 }
