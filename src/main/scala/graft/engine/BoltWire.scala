@@ -202,6 +202,12 @@ object BoltWire {
   final class Client(host: String, port: Int, user: String = "neo4j",
       password: String = "") extends AutoCloseable {
 
+    /** Flush-then-await cycles performed (HELLO, each run(), each
+      * tx exchange, each pipelined batch count 1) — the round-trip
+      * count write-path specs assert on. */
+    private var syncExchanges0 = 0L
+    def syncExchanges: Long = syncExchanges0
+
     private val sock = new Socket()
     sock.setTcpNoDelay(true)
     sock.connect(new InetSocketAddress(host, port), 10000)
@@ -222,6 +228,7 @@ object BoltWire {
     }
 
     locally {
+      syncExchanges0 += 1
       send(messageOf(MsgHello, Map(
         "user_agent" -> "graft-bolt/1.0",
         "scheme" -> "basic", "principal" -> user, "credentials" -> password)))
@@ -281,6 +288,7 @@ object BoltWire {
     def rollback(): Unit = txExchange(messageOf(MsgRollback))
 
     private def txExchange(msg: Array[Byte]): Unit = {
+      syncExchanges0 += 1
       writeMessage(out, msg)
       out.flush()
       readStruct() match {
@@ -300,6 +308,7 @@ object BoltWire {
 
     def run(query: String, params: Map[String, Any] = Map.empty)
         : (Vector[String], Vector[Vector[Any]]) = {
+      syncExchanges0 += 1
       writeMessage(out, messageOf(MsgRun, query, params, Map.empty))
       writeMessage(out, messageOf(MsgPull, Map("n" -> -1L)))
       out.flush()
@@ -346,6 +355,53 @@ object BoltWire {
           throw new IllegalStateException(f"unexpected bolt message 0x$other%02x")
       }
       (fields, records.toVector)
+    }
+
+    /** PIPELINED write batch: every statement's RUN+PULL is written
+      * before ANY response is read, with ONE flush — so a
+      * k-statement transaction costs one round trip, not k (the
+      * behavior of the real drivers' lazy result consumption; the
+      * per-statement [[run]] awaits each summary and pays k round
+      * trips). Results are discarded (write statements return
+      * nothing). On a FAILURE anywhere in the batch the server
+      * IGNOREs every remaining pipelined message until RESET — the
+      * drain consumes those, resets, and raises; the open
+      * transaction aborts server-side with the reset. */
+    def runPipelined(statements: Seq[(String, Map[String, Any])]): Unit = {
+      if (statements.isEmpty) return
+      syncExchanges0 += 1
+      statements.foreach { case (query, params) =>
+        writeMessage(out, messageOf(MsgRun, query, params, Map.empty))
+        writeMessage(out, messageOf(MsgPull, Map("n" -> -1L)))
+      }
+      out.flush()
+      var awaiting = statements.length * 2 // a summary per RUN and PULL
+      while (awaiting > 0) readStruct() match {
+        case BoltStruct(MsgSuccess, _) | BoltStruct(MsgIgnored, _) =>
+          awaiting -= 1
+        case BoltStruct(MsgRecord, _) => () // not a summary
+        case BoltStruct(MsgFailure, fields) =>
+          awaiting -= 1
+          val m = fields.headOption.map(_.asInstanceOf[Map[String, Any]])
+            .getOrElse(Map.empty)
+          // remaining pipelined messages come back IGNORED; consume
+          // them, then RESET (which also aborts the open tx) and raise
+          while (awaiting > 0) readStruct() match {
+            case BoltStruct(MsgIgnored, _) | BoltStruct(MsgFailure, _) =>
+              awaiting -= 1
+            case BoltStruct(MsgRecord, _) => () // not a summary
+            case BoltStruct(other, _) => throw new IllegalStateException(
+              f"unexpected bolt message 0x$other%02x after failure")
+          }
+          send(messageOf(MsgReset))
+          drainUntilSuccess()
+          throw new BoltFailureException(
+            String.valueOf(m.getOrElse("code", "Neo.Error")),
+            String.valueOf(m.getOrElse("message", "failure")))
+        case BoltStruct(other, _) =>
+          throw new IllegalStateException(
+            f"unexpected bolt message 0x$other%02x")
+      }
     }
 
     override def close(): Unit = {

@@ -67,16 +67,22 @@ final case class Neo4jBoltTarget(host: String, port: Int,
       val tb = txBatch
       val schema = up.schema
       // each chunk commits as ONE explicit transaction (the
-      // reference's per-batch atomicity, neo4j/_target.py:487): a
-      // failing statement FAILUREs, run() RESETs the connection —
-      // which aborts the open tx server-side — and the error
-      // propagates; the rerun re-applies the whole chunk idempotently
+      // reference's per-batch atomicity, neo4j/_target.py:487), and
+      // the chunk's statements are PIPELINED — one flush, one round
+      // trip for the whole batch (runPipelined), so a chunk costs 3
+      // synchronous exchanges (BEGIN + batch + COMMIT), not 2 + k.
+      // A failing statement FAILUREs, the pipelined drain RESETs the
+      // connection — which aborts the open tx server-side — and the
+      // error propagates; the rerun re-applies the whole chunk
+      // idempotently. txBatch also bounds the response backlog a
+      // pipelined batch buffers (~2 small summaries per statement),
+      // keeping it far under socket-buffer deadlock territory.
       def inTx(rows: Iterator[(String, Map[String, Any])]): Unit =
         if (rows.hasNext) {
           val c = new BoltWire.Client(h, p, u, pw)
           try rows.grouped(tb).foreach { chunk =>
             c.begin()
-            chunk.foreach { case (stmt, params) => c.run(stmt, params); () }
+            c.runPipelined(chunk)
             c.commit()
           } finally c.close()
         }

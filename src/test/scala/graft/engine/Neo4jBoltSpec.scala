@@ -147,4 +147,52 @@ class Neo4jBoltSpec extends SparkSpec {
       } finally c.close()
     } finally s.close()
   }
+
+  test("pipelined batches: one round trip per tx batch, not per statement") {
+    withNeo { s =>
+      val c = new BoltWire.Client(s.host, s.port, "neo4j", "graftpw")
+      try {
+        val afterHello = c.syncExchanges // HELLO's exchange
+        val stmts = (0 until 120).map { i =>
+          ("MERGE (n:`Doc` {`id`: $key_0}) SET n += $props",
+            Map[String, Any]("key_0" -> s"n$i",
+              "props" -> Map("t" -> s"v$i")))
+        }
+        c.begin()
+        c.runPipelined(stmts)
+        c.commit()
+        // a 120-statement transaction = exactly 3 synchronous
+        // exchanges (BEGIN + pipelined batch + COMMIT) — the
+        // O(batches) round-trip contract; the per-statement run()
+        // path would have paid 122
+        assert(c.syncExchanges - afterHello == 3,
+          s"exchanges: ${c.syncExchanges - afterHello}")
+        assert(s.nodeCount == 120)
+
+        // a failure mid-batch aborts the whole tx (the remaining
+        // pipelined messages come back IGNORED, the drain resets) and
+        // the connection stays usable
+        c.begin()
+        intercept[BoltWire.BoltFailureException] {
+          c.runPipelined(Seq(
+            ("MERGE (n:`Doc` {`id`: $key_0}) SET n += $props",
+              Map[String, Any]("key_0" -> "x1",
+                "props" -> Map("t" -> "x"))),
+            ("THIS IS NOT CYPHER", Map.empty[String, Any]),
+            ("MERGE (n:`Doc` {`id`: $key_0}) SET n += $props",
+              Map[String, Any]("key_0" -> "x2",
+                "props" -> Map("t" -> "x")))))
+        }
+        assert(s.nodeCount == 120,
+          "a failed pipelined batch must abort the whole transaction")
+        c.begin()
+        c.runPipelined(Seq(
+          ("MERGE (n:`Doc` {`id`: $key_0}) SET n += $props",
+            Map[String, Any]("key_0" -> "ok",
+              "props" -> Map("t" -> "ok")))))
+        c.commit()
+        assert(s.nodeCount == 121)
+      } finally c.close()
+    }
+  }
 }
