@@ -204,4 +204,27 @@ object Curation {
     df.withColumn("keep_id", first(col(idCol)).over(w))
       .withColumn("kept", col(idCol) === col("keep_id"))
   }
+
+  // ---- per-domain hard caps -----------------------------------------------
+
+  /** Per-domain document cap — the C4/CCNet-style guard against any
+    * single domain dominating the corpus: keep at most `cap` rows per
+    * `domainCol`, PRIORITIZED by descending `qualityCol` (ties by
+    * ascending `idCol`), so the cap keeps a domain's best documents
+    * rather than an arbitrary prefix. Complements [[mixtureSample]]:
+    * α-weights shape the mixture proportionally, the cap is the hard
+    * ceiling skewed domains still need. One hash-partitioned window —
+    * the shuffle is by domain; a pathologically hot domain is exactly
+    * the row group the cap truncates, and only its top-`cap` rows
+    * survive the rank. */
+  def domainCap(
+      df: org.apache.spark.sql.DataFrame, cap: Int, domainCol: String,
+      qualityCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(domainCol)
+      .orderBy(col(qualityCol).desc, col(idCol))
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= cap)
+      .drop("__rank")
+  }
 }

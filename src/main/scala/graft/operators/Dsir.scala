@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection with Importance Resampling (Xie et al.
+  * 2023, arXiv:2302.03169): select raw-corpus documents whose hashed
+  * n-gram feature distribution looks like a TARGET corpus. The
+  * standard pretraining-data curation move when a small high-quality
+  * target exists (the paper's Pile→Wikipedia/books setup):
+  *
+  *   1. features: unigrams + bigrams hashed into `buckets` counts;
+  *   2. fit two bag-of-buckets models — p̂ on the target subset,
+  *      q̂ on the whole raw corpus — with Laplace (+1) smoothing;
+  *   3. per-doc importance weight  log p̂(doc) − log q̂(doc)
+  *      = Σ_f c_f(doc) · (ln p̂_f − ln q̂_f);
+  *   4. resample: the deterministic variant keeps the top-k by
+  *      weight (the paper samples Gumbel-perturbed weights; a seeded
+  *      hash perturbation slots in where determinism is not needed).
+  *
+  * Scale shape: one tokenize+hash pass (single-pass UDF — see
+  * [[Dedup.shingleStringsUdf]] for the measured 10× over the
+  * interpreted HOF expression), ONE partial-aggregated groupBy to
+  * (doc, bucket) counts, two bucket-level aggregations whose results
+  * are `buckets`-sized (broadcast), a broadcast join back and one
+  * final per-doc sum. Nothing shuffles more than (docs × distinct
+  * buckets per doc) rows; the model is O(buckets) however big the
+  * corpus.
+  *
+  * Oracle-replicability: bucket ids derive from md5 (shared with any
+  * SQL engine), and the per-bucket log-ratio is QUANTIZED to a
+  * 1e-4-granular integer before the per-doc sum — integer sums are
+  * exact and order-independent, so the result cannot drift across
+  * engines the way a float Σ over nondeterministic partition order
+  * can (a last-ulp difference under a 4-decimal round would
+  * otherwise flip a gate hash at the rounding boundary).
+  */
+object Dsir {
+
+  private def md5long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Unigrams + bigrams in one JVM pass (order irrelevant — the
+    * features are counted, and repeats must be KEPT: DSIR counts
+    * occurrences, not presence). */
+  private[graft] val gramsUdf = udf { text: String =>
+    val w = text.split(' ').filter(_.nonEmpty)
+    if (w.length < 2) w
+    else w ++ w.sliding(2).map(_.mkString(" "))
+  }
+
+  /** Per-document importance weights: (idCol, weight) for EVERY doc.
+    * `targetPred` marks the target subset (evaluated on the input
+    * row, e.g. `col("lang") === "en"`). */
+  def importanceWeights(docs: DataFrame, targetPred: Column,
+      buckets: Int = 1024, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(buckets > 0)
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), targetPred.as("is_target"),
+        explode(gramsUdf(col(textCol))).as("gram"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(md5long(col("gram")), lit(buckets.toLong)).as("bucket"))
+      .groupBy("doc_id", "is_target", "bucket")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds both model fits and the final score
+    val raw = perDoc.groupBy("bucket").agg(sum("c").as("cq"))
+    val tgt = perDoc.filter(col("is_target"))
+      .groupBy("bucket").agg(sum("c").as("cp"))
+    // corpus-level totals: a 1-row frame, broadcast like every other
+    // bounded corpus-stat here
+    val totals = perDoc.agg(
+      sum("c").as("q_tot"),
+      sum(when(col("is_target"), col("c")).otherwise(0L)).as("p_tot"))
+    val model = docs.sparkSession.range(buckets.toLong)
+      .toDF("bucket")
+      .join(tgt, Seq("bucket"), "left")
+      .join(raw, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        // ln p̂_f − ln q̂_f, quantized to 1e-4 as an exact integer
+        round((log((coalesce(col("cp"), lit(0L)) + lit(1.0)) /
+            (col("p_tot") + lit(buckets.toDouble))) -
+          log((coalesce(col("cq"), lit(0L)) + lit(1.0)) /
+            (col("q_tot") + lit(buckets.toDouble)))) * 10000, 0)
+          .cast("long").as("lrq"))
+    perDoc
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("c") * col("lrq")) / 10000.0, 4).as("weight"))
+  }
+
+  /** The deterministic resample: top-k docs by importance weight
+    * (ties by id — stable in any engine). */
+  def select(docs: DataFrame, targetPred: Column, k: Int,
+      buckets: Int = 1024, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    importanceWeights(docs, targetPred, buckets, idCol, textCol)
+      .orderBy(col("weight").desc, col("doc_id"))
+      .limit(k)
+}

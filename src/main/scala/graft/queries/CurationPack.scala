@@ -329,6 +329,77 @@ object CurationPack extends QueryPack {
         graft.operators.NgramLm.perplexityFilter(
             Tables(s, dir, "documents").select(col("doc_id"), col("text")),
             idCol = "doc_id", textCol = "text", maxNll = 3.4)
-          .select(col("doc_id"), round(col("nll"), 4).as("nll"), col("keep")))
+          .select(col("doc_id"), round(col("nll"), 4).as("nll"), col("keep"))),
+
+    // ---- DSIR importance resampling (Xie et al. 2023) -------------------
+    // Hashed unigram+bigram features (md5 buckets both engines
+    // share), Laplace-smoothed target (lang='en') vs raw bag-of-
+    // buckets models, per-doc log-ratio weights, deterministic top-k.
+    // The per-bucket log-ratio quantizes to a 1e-4 integer BEFORE the
+    // per-doc sum: integer sums are exact and order-independent, so
+    // Spark's partition-order float accumulation cannot drift a
+    // 4-decimal gate hash at a rounding boundary.
+    Q(
+      "q106_dsir_resample",
+      Some("""
+        WITH w AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS words
+          FROM documents),
+        g AS (
+          SELECT doc_id, (lang = 'en') AS is_target,
+                 unnest(list_concat(words,
+                   list_transform(range(greatest(len(words) - 1, 0)),
+                     i -> words[i+1] || ' ' || words[i+2]))) AS gram
+          FROM w),
+        pd AS (
+          SELECT doc_id, is_target,
+                 CAST(CAST(('0x' || substring(md5(gram), 1, 15)) AS UBIGINT)
+                   AS BIGINT) % 1024 AS bucket,
+                 count(*) AS c
+          FROM g GROUP BY 1, 2, 3),
+        cq AS (SELECT bucket, sum(c) AS cq FROM pd GROUP BY 1),
+        cp AS (SELECT bucket, sum(c) AS cp FROM pd WHERE is_target GROUP BY 1),
+        tot AS (
+          SELECT sum(c) AS q_tot,
+                 sum(CASE WHEN is_target THEN c ELSE 0 END) AS p_tot
+          FROM pd),
+        model AS (
+          SELECT t.b AS bucket,
+                 CAST(round((ln((COALESCE(cp.cp, 0) + 1.0) /
+                     (tot.p_tot + 1024.0)) -
+                   ln((COALESCE(cq.cq, 0) + 1.0) /
+                     (tot.q_tot + 1024.0))) * 10000, 0) AS BIGINT) AS lrq
+          FROM unnest(range(1024)) AS t(b)
+          LEFT JOIN cp ON cp.bucket = t.b
+          LEFT JOIN cq ON cq.bucket = t.b
+          CROSS JOIN tot)
+        SELECT doc_id, weight FROM (
+          SELECT pd.doc_id,
+                 round(sum(pd.c * m.lrq) / 10000.0, 4) AS weight
+          FROM pd JOIN model m ON pd.bucket = m.bucket
+          GROUP BY pd.doc_id)
+        ORDER BY weight DESC, doc_id LIMIT 200"""),
+      (s, dir) =>
+        graft.operators.Dsir.select(
+          Tables(s, dir, "documents"),
+          targetPred = col("lang") === "en", k = 200)),
+
+    // ---- per-domain hard cap (C4/CCNet-style) ---------------------------
+    // keep each source's best 40 documents (quality proxy n_chars,
+    // ties by doc_id) — the hard ceiling against skewed domains that
+    // proportional mixing (q74) does not give
+    Q(
+      "q107_domain_cap",
+      Some("""
+        SELECT doc_id, source, n_chars
+        FROM documents
+        QUALIFY row_number() OVER (
+          PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 40"""),
+      (s, dir) =>
+        graft.operators.Curation.domainCap(
+          Tables(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          cap = 40, domainCol = "source", qualityCol = "n_chars",
+          idCol = "doc_id"))
   )
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** DSIR importance resampling: the Spark pipeline must equal the
+  * same math computed independently in plain JVM code (the property
+  * the DuckDB oracle relies on), and weights must actually rank
+  * target-like documents above off-target ones. */
+class DsirSpec extends SparkSpec {
+
+  private val B = 64
+
+  private def md5long(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  private def grams(t: String): Seq[String] = {
+    val w = t.split(' ').filter(_.nonEmpty).toSeq
+    if (w.length < 2) w else w ++ w.sliding(2).map(_.mkString(" "))
+  }
+
+  test("weights equal a direct JVM recomputation; target-like docs rank higher") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val targetVocab = (1 to 20).map(i => s"sci$i")
+    val rawVocab = (1 to 20).map(i => s"web$i")
+    def text(vocab: Seq[String], mix: Seq[String], k: Int) =
+      (1 to 40).map { _ =>
+        if (rnd.nextInt(10) < k) vocab(rnd.nextInt(vocab.length))
+        else mix(rnd.nextInt(mix.length))
+      }.mkString(" ")
+    // targets (lang=tgt) speak targetVocab; raw docs vary: some
+    // target-like, some not
+    val docs =
+      (1L to 6L).map(i => (i, text(targetVocab, targetVocab, 10), "tgt")) ++
+      (7L to 12L).map(i => (i, text(targetVocab, rawVocab, 7), "raw")) ++
+      (13L to 18L).map(i => (i, text(rawVocab, rawVocab, 10), "raw"))
+    val df = docs.toDF("doc_id", "text", "lang")
+
+    val got = Dsir.importanceWeights(df, col("lang") === "tgt", buckets = B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // independent recomputation
+    val perDoc = docs.map { case (id, t, lang) =>
+      (id, lang == "tgt",
+        grams(t).groupBy(g => md5long(g) % B).view.mapValues(_.size).toMap)
+    }
+    val cq = new scala.collection.mutable.HashMap[Long, Long]()
+    val cp = new scala.collection.mutable.HashMap[Long, Long]()
+    var qTot = 0L; var pTot = 0L
+    perDoc.foreach { case (_, isT, counts) =>
+      counts.foreach { case (b, c) =>
+        cq(b) = cq.getOrElse(b, 0L) + c; qTot += c
+        if (isT) { cp(b) = cp.getOrElse(b, 0L) + c; pTot += c }
+      }
+    }
+    // HALF_UP (away from zero) like Spark's round and DuckDB's —
+    // math.round would differ on negative halves
+    def lrq(b: Long): Long = BigDecimal(
+      (math.log((cp.getOrElse(b, 0L) + 1.0) / (pTot + B.toDouble)) -
+        math.log((cq.getOrElse(b, 0L) + 1.0) / (qTot + B.toDouble))) * 10000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expected = perDoc.map { case (id, _, counts) =>
+      val s = counts.map { case (b, c) => c * lrq(b) }.sum
+      id -> BigDecimal(s / 10000.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    assert(got == expected)
+
+    // ranking: every pure-target doc outweighs every pure-raw doc
+    val tgtMin = (1L to 6L).map(got).min
+    val rawMax = (13L to 18L).map(got).max
+    assert(tgtMin > rawMax,
+      s"target-like docs must outrank off-target: $tgtMin vs $rawMax")
+
+    // deterministic top-k selection: ordered by weight then id
+    val top = Dsir.select(df, col("lang") === "tgt", k = 6, buckets = B)
+      .collect().map(_.getLong(0)).toSet
+    val expectTop = expected.toSeq
+      .sortBy { case (id, w) => (-w, id) }.take(6).map(_._1).toSet
+    assert(top == expectTop)
+  }
+
+  test("degenerate docs (empty / one word) score without failing") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "", "raw"), (2L, "solo", "raw"), (3L, "a b c a b", "tgt"))
+      .toDF("doc_id", "text", "lang")
+    val w = Dsir.importanceWeights(df, col("lang") === "tgt")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the empty doc has no features → no weight row; one-word doc
+    // contributes its unigram only
+    assert(!w.contains(1L) && w.contains(2L) && w.contains(3L))
+  }
+}
