@@ -81,23 +81,40 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane,
-    * dim): a hash-derived value in [-1, 1). Pure columnar — the
-    * planes are never materialized driver-side. */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    (pmod(xxhash64(plane, dim), lit(1000000L)).cast("double") / 500000.0) - 1.0
+  /** Deterministic SRP hyperplane matrix: component (p, d) =
+    * (md5₆₀("p:d") mod 10⁶) / (5·10⁵) − 1 ∈ [−1, 1), where md5₆₀ is
+    * the first 15 hex chars of md5 as a positive long — the same
+    * md5-derivation scheme the dedup gates use, so an EXTERNAL SQL
+    * engine regenerates the identical planes and the whole LSH
+    * candidate set becomes oracle-replicable (q43 went rows-only →
+    * value-exact on this). Materialized once at plan time as a
+    * literal: zero per-row hashing (the earlier xxhash64 form
+    * re-hashed every (plane, dim) per corpus row). */
+  private[graft] def srpPlaneMatrix(planes: Int, dims: Int)
+      : Seq[Seq[Double]] =
+    (0 until planes).map { p =>
+      (0 until dims).map { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p:$d".getBytes("UTF-8"))
+        val h = java.lang.Long.parseLong(
+          md.map("%02x".format(_)).mkString.take(15), 16)
+        (h % 1000000L).toDouble / 500000.0 - 1.0
+      }
+    }
 
   /** `planes`-bit sign-random-projection signature of an embedding,
     * returned as an array of per-band long codes (`planes` must be a
-    * multiple of `bands`). */
-  def srpBandCodes(emb: Column, planes: Int, bands: Int): Column = {
+    * multiple of `bands`; embeddings must have `dims` components). */
+  def srpBandCodes(emb: Column, planes: Int, bands: Int,
+      dims: Int = 64): Column = {
     val perBand = planes / bands
+    val m = typedLit(srpPlaneMatrix(planes, dims))
     transform(sequence(lit(0), lit(bands - 1)), b =>
       aggregate(sequence(lit(0), lit(perBand - 1)), lit(0L), (acc, i) => {
-        val plane = b * perBand + i
+        val row = element_at(m, b * perBand + i + 1)
         val dot = aggregate(
           zip_with(emb, sequence(lit(0), size(emb) - 1),
-            (x, d) => x.cast("double") * planeComponent(plane, d)),
+            (x, d) => x.cast("double") * element_at(row, d + 1)),
           lit(0.0), (a, x) => a + x)
         shiftleft(acc, 1) + when(dot >= 0, 1L).otherwise(0L)
       }))
@@ -109,10 +126,11 @@ object Similarity {
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       planes: Int = 32, bands: Int = 8,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      dims: Int = 64): DataFrame = {
     def banded(df: DataFrame, id: String, emb: String) =
       df.select(col(idCol).as(id), col(embCol).as(emb),
-          posexplode(srpBandCodes(col(embCol), planes, bands))
+          posexplode(srpBandCodes(col(embCol), planes, bands, dims))
             .as(Seq("band", "code")))
     val q = banded(queries, "query_id", "q_emb")
     val c = banded(corpus, "neighbor_id", "c_emb")

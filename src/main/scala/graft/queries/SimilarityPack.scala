@@ -79,7 +79,47 @@ object SimilarityPack extends QueryPack {
     // ---- approximate KNN via SRP-LSH (no oracle: approximate) -----------
     Q(
       "q43_knn_lsh",
-      None,
+      // VALUE-EXACT (round 12, formerly rows-only): the SRP
+      // hyperplanes derive from md5 ((md5_60("p:d") mod 1e6)/5e5 − 1,
+      // Similarity.srpPlaneMatrix), so the oracle regenerates the
+      // identical planes, band codes, candidate set AND the re-ranked
+      // scores. Sign decisions are robust to float summation order (a
+      // dot would have to land within ~1e-16 of 0 to flip); the
+      // re-rank reuses q40's round-6 cosine, already proven
+      // cross-engine.
+      Some("""
+        WITH pl AS (
+          SELECT p.p AS plane, d.d AS dim,
+                 (CAST(CAST(('0x' || substring(md5(
+                    CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)),
+                    1, 15)) AS UBIGINT) AS BIGINT) % 1000000)
+                   / 500000.0 - 1.0 AS v
+          FROM unnest(range(32)) p(p), unnest(range(64)) d(d)),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings),
+        dots AS (
+          SELECT e.vec_id, pl.plane, sum(e.emb[pl.dim + 1] * pl.v) AS dot
+          FROM e, pl GROUP BY 1, 2),
+        codes AS (
+          SELECT vec_id, CAST(plane // 4 AS INT) AS band,
+                 sum((CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END)
+                     << CAST(3 - (plane % 4) AS INT)) AS code
+          FROM dots GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM codes q JOIN codes c ON q.band = c.band AND q.code = c.code
+          WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
+        SELECT query_id, neighbor_id, score, CAST(rnk AS INT) AS rank
+        FROM (
+          SELECT cd.query_id, cd.neighbor_id,
+                 round(list_cosine_similarity(a.emb, b.emb), 6) AS score,
+                 row_number() OVER (PARTITION BY cd.query_id
+                   ORDER BY round(list_cosine_similarity(a.emb, b.emb), 6)
+                     DESC, cd.neighbor_id) AS rnk
+          FROM cand cd
+          JOIN e a ON a.vec_id = cd.query_id
+          JOIN e b ON b.vec_id = cd.neighbor_id) x
+        WHERE rnk <= 10"""),
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
         Similarity.lshTopK(emb.filter(col("vec_id") < 8), emb, 10)
