@@ -1,0 +1,174 @@
+package graft.engine
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** `topic_as_map` over the broker wire with an UNBOUNDED compacted
+  * view — the scale path [[KafkaWireMapSource]] documents: that
+  * source holds the compacted map in driver memory (faithful to the
+  * reference's in-process consumer, kafka/_source.py:482, and
+  * explicitly capped); this one holds NOTHING in memory. Fetched
+  * wire batches spool into a local [[TopicTarget]] segment log
+  * (`(key, value, seq)` parquet, tombstones as null values) and the
+  * compacted latest-per-key view is computed BY SPARK
+  * ([[TopicTarget.compacted]] — one per-key shuffle), so the topic
+  * may exceed driver memory by any factor: driver residency per tick
+  * is O(one drain), the log is disk, the view is distributed, and
+  * log growth is bounded by [[TopicTarget.compactLog]] (Kafka's own
+  * log-cleaner analog, auto-triggered past `compactEvery` segments).
+  *
+  * Wire protocol and offset semantics are identical to
+  * [[KafkaWireMapSource]]: Metadata/ListOffsets arming,
+  * broker-stored OffsetCommit/OffsetFetch (simple-consumer form),
+  * one-drain-late commits, `close()` never commits. Bootstrap is a
+  * full wire scan spooled in bounded flushes (never a whole-topic
+  * driver buffer); after it, every tick appends O(delta).
+  *
+  * Crash safety: a tick's segment may be written while its offsets
+  * are uncommitted — the re-delivered tick re-spools the same
+  * messages as one more segment, and latest-per-key compaction
+  * converges to the same map (at-least-once, the same roll-forward
+  * argument as [[TopicTarget.apply]]).
+  */
+final class KafkaWireMirrorSource(host: String, port: Int, topic: String,
+    mirrorDir: String,
+    consumerGroup: Option[String] = None,
+    drainKeyCap: Int = LocalFsSource.MaxPushdownPaths,
+    /** Records buffered driver-side before a spool flush — bounds
+      * bootstrap memory at O(flushEvery), not O(topic). */
+    flushEvery: Int = 100000)
+    extends Source with WatchableSource with Serializable {
+
+  private val log = TopicTarget(mirrorDir, compactEvery = 8)
+
+  private def withClient[A](f: KafkaWireClient => A): A = {
+    val c = new KafkaWireClient(host, port)
+    try f(c) finally c.close()
+  }
+
+  private def partitionCount(c: KafkaWireClient): Int =
+    c.metadata(Seq(topic)).find(_.name == topic)
+      .getOrElse(throw new IllegalStateException(s"no topic $topic"))
+      .partitions.length
+
+  private def marker = new java.io.File(mirrorDir, "_bootstrapped")
+
+  /** One full wire scan spooled into the mirror log — runs at most
+    * once per mirror dir (the marker commits it; an interrupted
+    * bootstrap restarts, and re-spooled messages compact away). */
+  private def ensureBootstrapped(spark: SparkSession): Unit =
+    if (!marker.isFile) {
+      withClient { c =>
+        (0 until partitionCount(c)).foreach { p =>
+          var offset = 0L
+          var done = false
+          val buf = Vector.newBuilder[(String, Option[String])]
+          var n = 0
+          def flush(): Unit = {
+            val rs = buf.result()
+            if (rs.nonEmpty) log.produceRaw(spark, rs)
+            buf.clear(); n = 0
+          }
+          while (!done) {
+            val (records, hw) = c.fetch(topic, p, offset)
+            records.foreach { r =>
+              if (r.key != null) {
+                buf += ((new String(r.key, UTF_8),
+                  Option(r.value).map(new String(_, UTF_8))))
+                n += 1
+                if (n >= flushEvery) flush()
+              }
+            }
+            offset = records.lastOption.map(_.offset + 1).getOrElse(hw)
+            done = records.isEmpty || offset >= hw
+          }
+          flush()
+        }
+      }
+      new java.io.File(mirrorDir).mkdirs()
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+    }
+
+  def list(spark: SparkSession): DataFrame = {
+    ensureBootstrapped(spark)
+    TableSource.fingerprinted(log.compacted(spark), "key")
+  }
+
+  def load(spark: SparkSession, keys: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    ensureBootstrapped(spark)
+    log.compacted(spark)
+      .withColumn("item_key", col("key"))
+      .join(keys.select("item_key"), Seq("item_key"), "left_semi")
+  }
+
+  def contentFpOf: Option[org.apache.spark.sql.Column] = None
+
+  /** Arm NOW: resume at the group's broker-committed offsets, or at
+    * the current head for a fresh group (eagerly committed — history
+    * before arming is the bootstrap scan's duty; the
+    * [[KafkaWireMapSource.watch]] contract, verbatim). */
+  def watch(): SourceWatcher = new SourceWatcher {
+    private val client = new KafkaWireClient(host, port)
+    private val nParts = partitionCount(client)
+
+    private var committed: Map[Int, Long] = {
+      val stored = consumerGroup
+        .map(g => client.fetchOffsets(g, topic, 0 until nParts))
+        .getOrElse(Map.empty)
+      val armed = (0 until nParts).map { p =>
+        p -> (stored.getOrElse(p, -1L) match {
+          case -1L => client.listOffset(topic, p)
+          case off => off
+        })
+      }.toMap
+      val fresh = armed.filter { case (p, _) =>
+        stored.getOrElse(p, -1L) == -1L
+      }
+      if (fresh.nonEmpty)
+        consumerGroup.foreach(client.commitOffsets(_, topic, fresh))
+      armed
+    }
+    private var pending: Map[Int, Long] = committed
+
+    private def commitPending(): Unit =
+      if (pending.exists { case (p, o) => o > committed.getOrElse(p, -1L) }) {
+        consumerGroup.foreach(client.commitOffsets(_, topic, pending))
+        committed = pending
+      }
+
+    def drain(): (Seq[String], Boolean) = {
+      commitPending() // one-drain-late: the previous tick is processed
+      val spark = SparkSession.active
+      ensureBootstrapped(spark)
+      val batch = Vector.newBuilder[(String, Option[String])]
+      var n = 0
+      val next = (0 until nParts).map { p =>
+        var offset = committed(p)
+        var done = false
+        while (!done) {
+          val (records, hw) = client.fetch(topic, p, offset)
+          records.foreach { r =>
+            if (r.key != null) {
+              batch += ((new String(r.key, UTF_8),
+                Option(r.value).map(new String(_, UTF_8))))
+              n += 1
+            }
+          }
+          offset = records.lastOption.map(_.offset + 1).getOrElse(hw)
+          done = records.isEmpty || offset >= hw
+        }
+        p -> offset
+      }.toMap
+      pending = next
+      val rs = batch.result()
+      if (rs.nonEmpty) log.produceRaw(spark, rs)
+      if (n > drainKeyCap) (Nil, true) // keys exceed the driver cap:
+        // the engine re-lists (the mirror log already has the delta)
+      else (rs.map(_._1).distinct, false)
+    }
+
+    def close(): Unit = client.close() // deliberately no commit
+  }
+}

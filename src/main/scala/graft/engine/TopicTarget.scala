@@ -87,6 +87,33 @@ final case class TopicTarget(dir: String,
     TargetStats(nUp, nDel)
   }
 
+  /** Append one segment of RAW `(key, value)` messages verbatim —
+    * no JSON wrapping, null value = tombstone. The mirror seam for
+    * [[KafkaWireMirrorSource]]: a wire consumer spools fetched
+    * batches here and every read-side view ([[compacted]], [[feed]],
+    * [[compactLog]]) works unchanged. Within one call a key keeps
+    * only its LATEST message (callers pass records in offset order)
+    * — the [[apply]] at-most-once-per-key batch contract, restored
+    * here by construction because a wire tick may carry several
+    * messages for one key. */
+  def produceRaw(spark: SparkSession,
+      records: Seq[(String, Option[String])]): Unit = {
+    if (records.isEmpty) return
+    val latest = scala.collection.mutable.LinkedHashMap.empty[
+      String, Option[String]]
+    records.foreach { case (k, v) => latest.remove(k); latest(k) = v }
+    val seq = segments.lastOption.map(_._1 + 1).getOrElse(1L)
+    val rows = latest.iterator
+      .map { case (k, v) => org.apache.spark.sql.Row(k, v.orNull, seq) }
+      .toVector
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows,
+        math.max(1, rows.size / 50000 + 1)), logSchema)
+      .write.mode("errorifexists").parquet(s"$dir/seg=$seq")
+    if (compactEvery > 0 && segments.length > compactEvery)
+      compactLog(spark)
+  }
+
   private val logSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("key",
       org.apache.spark.sql.types.StringType),
