@@ -26,6 +26,24 @@ object KafkaWire {
   final case class Record(offset: Long, timestamp: Long,
       key: Array[Byte], value: Array[Byte])
 
+  /** Drain one partition from `from` to its current high watermark,
+    * streaming each record to `onRecord`; returns the next offset to
+    * fetch from. THE fetch loop — every consumer here
+    * (map/mirror/stream sources) shares this one copy, so watermark
+    * edge cases have a single home. */
+  def drainPartition(c: KafkaWireClient, topic: String, partition: Int,
+      from: Long)(onRecord: Record => Unit): Long = {
+    var offset = from
+    var done = false
+    while (!done) {
+      val (records, hw) = c.fetch(topic, partition, offset)
+      records.foreach(onRecord)
+      offset = records.lastOption.map(_.offset + 1).getOrElse(hw)
+      done = records.isEmpty || offset >= hw
+    }
+    offset
+  }
+
   // ---- primitive codec --------------------------------------------
 
   final class Writer {

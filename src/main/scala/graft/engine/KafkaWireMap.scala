@@ -73,14 +73,8 @@ final class KafkaWireMapSource(host: String, port: Int, topic: String,
     if (!bootstrapped) {
       withClient { c =>
         (0 until partitionCount(c)).foreach { p =>
-          var offset = 0L
-          var done = false
-          while (!done) {
-            val (records, hw) = c.fetch(topic, p, offset)
-            applyRecords(records)
-            offset = records.lastOption.map(_.offset + 1).getOrElse(hw)
-            done = records.isEmpty || offset >= hw
-          }
+          KafkaWire.drainPartition(c, topic, p, 0L)(r =>
+            applyRecords(Seq(r)))
         }
       }
       bootstrapped = true
@@ -167,17 +161,11 @@ final class KafkaWireMapSource(host: String, port: Int, topic: String,
       var n = 0
       var overflow = false
       val next = (0 until nParts).map { p =>
-        var offset = committed(p)
-        var done = false
-        while (!done) {
-          val (records, hw) = client.fetch(topic, p, offset)
-          val touched = applyRecords(records)
+        p -> KafkaWire.drainPartition(client, topic, p, committed(p)) { r =>
+          val touched = applyRecords(Seq(r))
           n += touched.size
           if (n > drainKeyCap) overflow = true else keys ++= touched
-          offset = records.lastOption.map(_.offset + 1).getOrElse(hw)
-          done = records.isEmpty || offset >= hw
         }
-        p -> offset
       }.toMap
       pending = next
       if (overflow) {

@@ -13,34 +13,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (`(key, value, seq)` parquet, tombstones as null values) and the
   * compacted latest-per-key view is computed BY SPARK
   * ([[TopicTarget.compacted]] — one per-key shuffle), so the topic
-  * may exceed driver memory by any factor: driver residency per tick
-  * is O(one drain), the log is disk, the view is distributed, and
-  * log growth is bounded by [[TopicTarget.compactLog]] (Kafka's own
+  * may exceed driver memory by any factor: driver residency is
+  * O(flushEvery) in every path (bootstrap AND ticks spool in bounded
+  * flushes), the log is disk, the view is distributed, and log
+  * growth is bounded by [[TopicTarget.compactLog]] (Kafka's own
   * log-cleaner analog, auto-triggered past `compactEvery` segments).
   *
-  * Wire protocol and offset semantics are identical to
-  * [[KafkaWireMapSource]]: Metadata/ListOffsets arming,
-  * broker-stored OffsetCommit/OffsetFetch (simple-consumer form),
-  * one-drain-late commits, `close()` never commits. Bootstrap is a
-  * full wire scan spooled in bounded flushes (never a whole-topic
-  * driver buffer); after it, every tick appends O(delta).
+  * Durability of the bootstrap depends on `consumerGroup`:
+  *   - WITH a group, the bootstrap scan commits its end offsets to
+  *     the broker and drops a `_bootstrapped` marker — a RESTARTED
+  *     mirror skips the rescan and its first drain resumes exactly
+  *     where the scan ended, so messages produced while the process
+  *     was down are delivered, never skipped.
+  *   - WITHOUT a group there is nowhere durable to resume from, so
+  *     the marker is ignored and each INSTANCE re-scans once (the
+  *     [[KafkaWireMapSource]] behavior); re-spooled messages
+  *     converge under latest-per-key compaction.
   *
-  * Crash safety: a tick's segment may be written while its offsets
-  * are uncommitted — the re-delivered tick re-spools the same
-  * messages as one more segment, and latest-per-key compaction
-  * converges to the same map (at-least-once, the same roll-forward
-  * argument as [[TopicTarget.apply]]).
+  * Crash safety: a drain spools segments BEFORE advancing its
+  * offsets (`pending` moves only after every flush succeeded, and
+  * offsets commit one drain later still) — a failure anywhere
+  * re-delivers the tick, and the duplicate spool compacts away:
+  * at-least-once, the same roll-forward argument as
+  * [[TopicTarget.apply]].
   */
 final class KafkaWireMirrorSource(host: String, port: Int, topic: String,
     mirrorDir: String,
     consumerGroup: Option[String] = None,
     drainKeyCap: Int = LocalFsSource.MaxPushdownPaths,
     /** Records buffered driver-side before a spool flush — bounds
-      * bootstrap memory at O(flushEvery), not O(topic). */
+      * driver memory at O(flushEvery) in bootstrap AND drains. */
     flushEvery: Int = 100000)
     extends Source with WatchableSource with Serializable {
 
   private val log = TopicTarget(mirrorDir, compactEvery = 8)
+
+  @transient @volatile private var bootedThisInstance = false
 
   private def withClient[A](f: KafkaWireClient => A): A = {
     val c = new KafkaWireClient(host, port)
@@ -54,41 +62,59 @@ final class KafkaWireMirrorSource(host: String, port: Int, topic: String,
 
   private def marker = new java.io.File(mirrorDir, "_bootstrapped")
 
-  /** One full wire scan spooled into the mirror log — runs at most
-    * once per mirror dir (the marker commits it; an interrupted
-    * bootstrap restarts, and re-spooled messages compact away). */
-  private def ensureBootstrapped(spark: SparkSession): Unit =
-    if (!marker.isFile) {
+  /** A bounded spooler: records accumulate to `flushEvery`, then
+    * flush as one raw segment. */
+  private final class Spooler(spark: SparkSession) {
+    private val buf = Vector.newBuilder[(String, Option[String])]
+    private var n = 0
+    def add(r: KafkaWire.Record): Unit = if (r.key != null) {
+      buf += ((new String(r.key, UTF_8),
+        Option(r.value).map(new String(_, UTF_8))))
+      n += 1
+      if (n >= flushEvery) flush()
+    }
+    def flush(): Unit = {
+      val rs = buf.result()
+      if (rs.nonEmpty) log.produceRaw(spark, rs)
+      buf.clear(); n = 0
+    }
+  }
+
+  /** One full wire scan spooled into the mirror log. With a consumer
+    * group the scan-end offsets commit to the broker and the durable
+    * marker makes the scan once-per-mirror; without one it runs
+    * once-per-instance (see class doc). An interrupted bootstrap
+    * restarts and its duplicates compact away. */
+  private def ensureBootstrapped(spark: SparkSession): Unit = {
+    val booted =
+      if (consumerGroup.isDefined) marker.isFile else bootedThisInstance
+    if (!booted) {
       withClient { c =>
-        (0 until partitionCount(c)).foreach { p =>
-          var offset = 0L
-          var done = false
-          val buf = Vector.newBuilder[(String, Option[String])]
-          var n = 0
-          def flush(): Unit = {
-            val rs = buf.result()
-            if (rs.nonEmpty) log.produceRaw(spark, rs)
-            buf.clear(); n = 0
+        val spool = new Spooler(spark)
+        val scanEnd = (0 until partitionCount(c)).map { p =>
+          val end = KafkaWire.drainPartition(c, topic, p, 0L)(spool.add)
+          spool.flush()
+          p -> end
+        }.toMap
+        // hand the scan position to the tick side: the group resumes
+        // where the scan ended, so messages produced between this
+        // bootstrap and any FUTURE process's first drain are fetched,
+        // not skipped (an arm-at-head fresh group would lose them)
+        consumerGroup.foreach { g =>
+          val stored = c.fetchOffsets(g, topic, scanEnd.keys.toSeq)
+          val fresh = scanEnd.filter { case (p, _) =>
+            stored.getOrElse(p, -1L) == -1L
           }
-          while (!done) {
-            val (records, hw) = c.fetch(topic, p, offset)
-            records.foreach { r =>
-              if (r.key != null) {
-                buf += ((new String(r.key, UTF_8),
-                  Option(r.value).map(new String(_, UTF_8))))
-                n += 1
-                if (n >= flushEvery) flush()
-              }
-            }
-            offset = records.lastOption.map(_.offset + 1).getOrElse(hw)
-            done = records.isEmpty || offset >= hw
-          }
-          flush()
+          if (fresh.nonEmpty) c.commitOffsets(g, topic, fresh)
         }
       }
-      new java.io.File(mirrorDir).mkdirs()
-      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      if (consumerGroup.isDefined) {
+        new java.io.File(mirrorDir).mkdirs()
+        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      }
+      bootedThisInstance = true
     }
+  }
 
   def list(spark: SparkSession): DataFrame = {
     ensureBootstrapped(spark)
@@ -105,10 +131,12 @@ final class KafkaWireMirrorSource(host: String, port: Int, topic: String,
 
   def contentFpOf: Option[org.apache.spark.sql.Column] = None
 
-  /** Arm NOW: resume at the group's broker-committed offsets, or at
-    * the current head for a fresh group (eagerly committed — history
-    * before arming is the bootstrap scan's duty; the
-    * [[KafkaWireMapSource.watch]] contract, verbatim). */
+  /** Arm NOW: resume at the group's broker-committed offsets
+    * (bootstrap commits its scan-end positions, so a resumed group
+    * continues exactly where the last process's coverage ended), or
+    * at the current head for a group-less fresh watcher (eagerly
+    * committed when a group exists — the [[KafkaWireMapSource.watch]]
+    * contract). */
   def watch(): SourceWatcher = new SourceWatcher {
     private val client = new KafkaWireClient(host, port)
     private val nParts = partitionCount(client)
@@ -142,31 +170,29 @@ final class KafkaWireMirrorSource(host: String, port: Int, topic: String,
       commitPending() // one-drain-late: the previous tick is processed
       val spark = SparkSession.active
       ensureBootstrapped(spark)
-      val batch = Vector.newBuilder[(String, Option[String])]
+      val spool = new Spooler(spark)
+      val keys = Vector.newBuilder[String]
       var n = 0
       val next = (0 until nParts).map { p =>
-        var offset = committed(p)
-        var done = false
-        while (!done) {
-          val (records, hw) = client.fetch(topic, p, offset)
-          records.foreach { r =>
-            if (r.key != null) {
-              batch += ((new String(r.key, UTF_8),
-                Option(r.value).map(new String(_, UTF_8))))
-              n += 1
-            }
+        val end = KafkaWire.drainPartition(c = client, topic = topic,
+          partition = p, from = committed(p)) { r =>
+          spool.add(r)
+          if (r.key != null) {
+            n += 1
+            if (n <= drainKeyCap) keys += new String(r.key, UTF_8)
           }
-          offset = records.lastOption.map(_.offset + 1).getOrElse(hw)
-          done = records.isEmpty || offset >= hw
         }
-        p -> offset
+        spool.flush()
+        p -> end
       }.toMap
+      // offsets advance ONLY after every spool flush succeeded: a
+      // mid-drain failure leaves pending at the committed position,
+      // the retried drain re-fetches and re-spools, and compaction
+      // absorbs the duplicates — never a committed-but-unspooled gap
       pending = next
-      val rs = batch.result()
-      if (rs.nonEmpty) log.produceRaw(spark, rs)
-      if (n > drainKeyCap) (Nil, true) // keys exceed the driver cap:
-        // the engine re-lists (the mirror log already has the delta)
-      else (rs.map(_._1).distinct, false)
+      if (n > drainKeyCap) (Nil, true) // key set exceeds the driver
+        // cap: the engine re-lists (the log already has the delta)
+      else (keys.result().distinct, false)
     }
 
     def close(): Unit = client.close() // deliberately no commit

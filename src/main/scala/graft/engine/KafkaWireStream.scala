@@ -109,19 +109,13 @@ object KafkaWireStreamSource {
 
   private[engine] def drainPartition(c: KafkaWireClient, topic: String,
       partition: Int, from: Long): (Vector[WireStreamRecord], Long) = {
-    var offset = from
-    var done = false
     val out = Vector.newBuilder[WireStreamRecord]
-    while (!done) {
-      val (records, hw) = c.fetch(topic, partition, offset)
-      out ++= records.map(r => WireStreamRecord(partition, r.offset,
-        r.timestamp,
+    val next = KafkaWire.drainPartition(c, topic, partition, from) { r =>
+      out += WireStreamRecord(partition, r.offset, r.timestamp,
         Option(r.key).map(new String(_, UTF_8)),
-        Option(r.value).map(new String(_, UTF_8))))
-      offset = records.lastOption.map(_.offset + 1).getOrElse(hw)
-      done = records.isEmpty || offset >= hw
+        Option(r.value).map(new String(_, UTF_8)))
     }
-    (out.result(), offset)
+    (out.result(), next)
   }
 }
 

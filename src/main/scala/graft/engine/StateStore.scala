@@ -99,7 +99,15 @@ final class StateStore(spark: SparkSession, rootDir: String) {
     else {
       val key = (rootKey, v, table)
       val cached = StateStore.readCache.get(key)
-      if (cached != null) cached
+      // a cached view is only valid for a LIVE session: after a
+      // session stop/restart in the same JVM the entry's plan is
+      // bound to a dead context — drop and rebuild on this session
+      val cachedLive =
+        if (cached == null) null
+        else if ((cached.sparkSession eq spark) &&
+          !spark.sparkContext.isStopped) cached
+        else { StateStore.readCache.remove(key, cached); null }
+      if (cachedLive != null) cachedLive
       else {
         import org.apache.spark.sql.functions._
         val keys = StateStore.mergeKeysOf(table)

@@ -225,8 +225,10 @@ object Dedup {
 
   /** md5-derived 60-bit hash (15 hex chars — positive-BIGINT-safe in
     * every engine; DuckDB computes the identical value with
-    * `CAST(CAST('0x'||substring(md5(s),1,15) AS UBIGINT) AS BIGINT)`). */
-  private def md5long(c: Column): Column =
+    * `CAST(CAST('0x'||substring(md5(s),1,15) AS UBIGINT) AS BIGINT)`).
+    * THE oracle-replication primitive — shared (private[graft]) so
+    * every gate derives from one definition. */
+  private[graft] def md5long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Word n-gram shingles as STRINGS (the md5 gate variants hash the
@@ -247,9 +249,12 @@ object Dedup {
     * 0)), ...))` exactly: split on single space, empties filtered,
     * first-occurrence distinct. */
   private[graft] def shingleStringsUdf(n: Int) = udf { text: String =>
-    val w = text.split(' ').filter(_.nonEmpty)
-    if (w.length < n) Array.empty[String]
-    else w.sliding(n).map(_.mkString(" ")).distinct.toArray
+    if (text == null) Array.empty[String]
+    else {
+      val w = text.split(' ').filter(_.nonEmpty)
+      if (w.length < n) Array.empty[String]
+      else w.sliding(n).map(_.mkString(" ")).distinct.toArray
+    }
   }
 
   /** ORACLE-REPLICABLE SimHash near-dup (gate-strength variant of

@@ -37,16 +37,18 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  private def md5long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  import Dedup.md5long
 
   /** Unigrams + bigrams in one JVM pass (order irrelevant — the
     * features are counted, and repeats must be KEPT: DSIR counts
     * occurrences, not presence). */
   private[graft] val gramsUdf = udf { text: String =>
-    val w = text.split(' ').filter(_.nonEmpty)
-    if (w.length < 2) w
-    else w ++ w.sliding(2).map(_.mkString(" "))
+    if (text == null) Array.empty[String]
+    else {
+      val w = text.split(' ').filter(_.nonEmpty)
+      if (w.length < 2) w
+      else w ++ w.sliding(2).map(_.mkString(" "))
+    }
   }
 
   /** Per-document importance weights: (idCol, weight) for EVERY doc.

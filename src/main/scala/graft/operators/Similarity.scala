@@ -104,16 +104,24 @@ object Similarity {
 
   /** `planes`-bit sign-random-projection signature of an embedding,
     * returned as an array of per-band long codes (`planes` must be a
-    * multiple of `bands`; embeddings must have `dims` components). */
+    * multiple of `bands`; embeddings must have at most `dims`
+    * components — a LONGER embedding FAILS LOUDLY rather than
+    * silently hashing out-of-matrix dimensions to null (which would
+    * send every vector to band code 0 and degenerate the bucket join
+    * to a cross product); shorter embeddings project on their first
+    * size(emb) plane components). */
   def srpBandCodes(emb: Column, planes: Int, bands: Int,
       dims: Int = 64): Column = {
     val perBand = planes / bands
     val m = typedLit(srpPlaneMatrix(planes, dims))
+    val checked = when(size(emb) <= dims, emb).otherwise(raise_error(
+      concat(lit("srpBandCodes: embedding has "), size(emb).cast("string"),
+        lit(s" components > dims=$dims — pass the right dims"))))
     transform(sequence(lit(0), lit(bands - 1)), b =>
       aggregate(sequence(lit(0), lit(perBand - 1)), lit(0L), (acc, i) => {
         val row = element_at(m, b * perBand + i + 1)
         val dot = aggregate(
-          zip_with(emb, sequence(lit(0), size(emb) - 1),
+          zip_with(checked, sequence(lit(0), size(checked) - 1),
             (x, d) => x.cast("double") * element_at(row, d + 1)),
           lit(0.0), (a, x) => a + x)
         shiftleft(acc, 1) + when(dot >= 0, 1L).otherwise(0L)

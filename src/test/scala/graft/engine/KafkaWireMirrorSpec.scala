@@ -119,6 +119,55 @@ class KafkaWireMirrorSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("messages produced while the process was down are never lost") {
+    val broker = new MiniKafkaBroker(numPartitions = 2)
+    try {
+      val topic = "mgap"
+      val producer = KafkaWireTopicTarget(broker.host, broker.port, topic)
+      producer.apply(spark, kvDf(("a", "1"), ("b", "2")), keysDf())
+
+      def viewOf(src: KafkaWireMirrorSource) = {
+        val keys = spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(Row("a"), Row("b"), Row("c")), 1),
+          StructType(Seq(StructField("item_key", StringType))))
+        src.load(spark, keys).select("key", "value").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+      }
+
+      // WITH a group: the bootstrap commits its scan-end offsets, so
+      // a restarted mirror's first drain resumes exactly there — the
+      // between-processes message arrives instead of being skipped by
+      // an arm-at-head fresh group
+      val gDir = tmp("kwg-mirror").toString
+      val g1 = new KafkaWireMirrorSource(broker.host, broker.port, topic,
+        gDir, Some("gap-group"))
+      assert(viewOf(g1) == Map("a" -> "1", "b" -> "2"))
+      producer.apply(spark, kvDf(("c", "3")), keysDf()) // process "down"
+      val g2 = new KafkaWireMirrorSource(broker.host, broker.port, topic,
+        gDir, Some("gap-group")) // restart: marker present, no rescan
+      val w = g2.watch()
+      try {
+        val (ks, overflow) = w.drain()
+        assert(!overflow && ks == Seq("c"), s"got $ks")
+      } finally w.close()
+      assert(viewOf(g2) == Map("a" -> "1", "b" -> "2", "c" -> "3"))
+
+      // WITHOUT a group there is no durable resume point: a NEW
+      // instance re-scans (marker ignored) and still sees everything
+      val nDir = tmp("kwn-mirror").toString
+      val n1 = new KafkaWireMirrorSource(broker.host, broker.port, topic,
+        nDir)
+      assert(viewOf(n1).keySet == Set("a", "b", "c"))
+      producer.apply(spark, kvDf(("d", "4")), keysDf())
+      val n2 = new KafkaWireMirrorSource(broker.host, broker.port, topic,
+        nDir)
+      val listed = n2.list(spark).select("item_key").collect()
+        .map(_.getString(0)).toSet
+      assert(listed.contains("d"),
+        "a group-less restart must re-scan, not trust the marker")
+    } finally broker.close()
+  }
+
   test("broker-committed offsets resume across restarts; re-spool converges") {
     val broker = new MiniKafkaBroker(numPartitions = 2)
     try {
