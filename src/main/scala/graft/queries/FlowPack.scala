@@ -393,6 +393,105 @@ object FlowPack extends QueryPack {
           s.createDataFrame(s.sparkContext.parallelize(rows, 4), back.schema)
         } finally broker.close()
       }),
+    // topic_as_stream over the broker wire, oracle-gated: a two-run
+    // produce (inserts, then updates + tombstones) replayed from
+    // earliest via KafkaWireStreamSource — per key, the MESSAGE count
+    // and the latest payload (null = tombstone last) must equal what
+    // the reconcile semantics dictate. Gates offset-ordered replay
+    // and Message-level tombstone delivery, not just the compacted
+    // view (that's q88/q109).
+    Q(
+      "q108_kafka_stream_replay",
+      Some("""
+        SELECT CAST(doc_id AS VARCHAR) AS key,
+               CAST(CASE WHEN doc_id % 13 = 0 OR doc_id % 11 = 0
+                    THEN 2 ELSE 1 END AS BIGINT) AS n_msgs,
+               CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+                         WHEN doc_id % 11 = 0 THEN n_chars + 1
+                         ELSE n_chars END AS BIGINT) AS last_value
+        FROM documents"""),
+      (s, dir) => {
+        val broker = new graft.fixtures.MiniKafkaBroker(numPartitions = 4)
+        try {
+          val work =
+            java.nio.file.Files.createTempDirectory("graft-kafka-q108")
+          work.toFile.deleteOnExit()
+          val topic = KafkaWireTopicTarget(broker.host, broker.port,
+            "doc_stream", writePartitions = 4)
+          val stage = CocoFn("emit", 1, fn = df => df.select(col("item_key"),
+            col("item_key").as("row_key"),
+            col("n_final").cast("string").as("value")))
+          def flowOver(src: org.apache.spark.sql.SparkSession
+              => org.apache.spark.sql.DataFrame) =
+            new Flow("kafka_stream_docs", TableSource(src, keyCol = "doc_id"),
+              Seq(stage), topic, work.resolve("state").toString)
+          flowOver(sp => Tables(sp, dir, "documents")
+            .select(col("doc_id"), col("n_chars").cast("long").as("n_final")))
+            .run(s)
+          flowOver(sp => Tables(sp, dir, "documents")
+            .filter(col("doc_id") % 13 =!= 0)
+            .select(col("doc_id"),
+              when(col("doc_id") % 11 === 0, col("n_chars") + 1)
+                .otherwise(col("n_chars")).cast("long").as("n_final")))
+            .run(s)
+          val src = new KafkaWireStreamSource(broker.host, broker.port,
+            "doc_stream")
+          val replayed = src.replay(s)
+          val out = replayed.groupBy("key").agg(
+            count(lit(1)).as("n_msgs"),
+            max(struct(col("offset"), col("value"))).getField("value")
+              .cast("long").as("last_value"))
+          val rows = out.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 4), out.schema)
+        } finally broker.close()
+      }),
+    // the unbounded mirror consumer under the oracle: the same
+    // produce as q88 consumed via KafkaWireMirrorSource — the
+    // SPARK-computed compacted view (driver holds no map) must equal
+    // the reconcile-dictated final table.
+    Q(
+      "q109_kafka_mirror",
+      Some("""
+        SELECT CAST(doc_id AS VARCHAR) AS key,
+               CAST(CASE WHEN doc_id % 7 = 0 THEN n_chars + 1
+                         ELSE n_chars END AS BIGINT) AS n_final
+        FROM documents
+        WHERE doc_id % 13 <> 0"""),
+      (s, dir) => {
+        val broker = new graft.fixtures.MiniKafkaBroker(numPartitions = 4)
+        try {
+          val work =
+            java.nio.file.Files.createTempDirectory("graft-kafka-q109")
+          work.toFile.deleteOnExit()
+          val topic = KafkaWireTopicTarget(broker.host, broker.port,
+            "doc_mirror", writePartitions = 4)
+          val stage = CocoFn("emit", 1, fn = df => df.select(col("item_key"),
+            col("item_key").as("row_key"),
+            col("n_final").cast("string").as("value")))
+          def flowOver(src: org.apache.spark.sql.SparkSession
+              => org.apache.spark.sql.DataFrame) =
+            new Flow("kafka_mirror_docs", TableSource(src, keyCol = "doc_id"),
+              Seq(stage), topic, work.resolve("state").toString)
+          flowOver(sp => Tables(sp, dir, "documents")
+            .select(col("doc_id"), col("n_chars").cast("long").as("n_final")))
+            .run(s)
+          flowOver(sp => Tables(sp, dir, "documents")
+            .filter(col("doc_id") % 13 =!= 0)
+            .select(col("doc_id"),
+              when(col("doc_id") % 7 === 0, col("n_chars") + 1)
+                .otherwise(col("n_chars")).cast("long").as("n_final")))
+            .run(s)
+          val mirror = new KafkaWireMirrorSource(broker.host, broker.port,
+            "doc_mirror", work.resolve("mirror").toString)
+          val back = mirror.list(s) // spool + compact (fingerprinted)
+          require(back.columns.contains("item_key"))
+          val full = TopicTarget(
+            work.resolve("mirror").toString).compacted(s)
+            .select(col("key"), col("value").cast("long").as("n_final"))
+          val rows = full.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 4), full.schema)
+        } finally broker.close()
+      }),
     // the documents corpus served from an S3-protocol endpoint: the
     // SigV4-signed REST transport (ListObjectsV2 pages → (key, ETag),
     // executor-batched GetObject) through the KeyedListing seam into
