@@ -205,6 +205,33 @@ object Curation {
       .withColumn("kept", col(idCol) === col("keep_id"))
   }
 
+  // ---- corpus diagnostics -------------------------------------------------
+
+  /** Zipf-slope corpus diagnostic: the least-squares slope of
+    * ln(frequency) on ln(rank) over each group's top-`topN` word
+    * types. Natural language sits near −1; a corpus slice drifting
+    * far from its siblings signals boilerplate flooding, template
+    * spam, or tokenization damage — a standard corpus-health check
+    * before training. One word-count aggregation, one per-group
+    * rank window (map-side group-limited), one `regr_slope`
+    * aggregate — all codegen, no driver involvement. */
+  def zipfSlopes(
+      docs: org.apache.spark.sql.DataFrame, topN: Int = 1000,
+      groupCol: String = "lang", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col(groupCol).as("g"),
+      explode(filter(split(col(textCol), " "), w => w =!= "")).as("w"))
+    val counts = words.groupBy("g", "w").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("g").orderBy(col("c").desc, col("w"))
+    counts.withColumn("r", row_number().over(w))
+      .filter(col("r") <= topN)
+      .groupBy(col("g").as(groupCol))
+      .agg(round(regr_slope(log(col("c")), log(col("r"))), 4)
+        .as("zipf_slope"),
+        count(lit(1)).as("n_types"))
+  }
+
   // ---- per-domain hard caps -----------------------------------------------
 
   /** Per-domain document cap — the C4/CCNet-style guard against any

@@ -400,6 +400,47 @@ object CurationPack extends QueryPack {
         graft.operators.Curation.domainCap(
           Tables(s, dir, "documents").select("doc_id", "source", "n_chars"),
           cap = 40, domainCol = "source", qualityCol = "n_chars",
-          idCol = "doc_id"))
+          idCol = "doc_id")),
+
+    // ---- REAL corpus-trained BPE token counts ---------------------------
+    // (rows-only: BPE training/encoding is iterative merge
+    // application no SQL engine expresses; the tokenizer itself is
+    // pinned by BpeSpec — hand-computed merges, encode ≡
+    // training-order replay, exact reconstruction, driver/executor
+    // encoder parity. The sequence-budget numbers a training
+    // pipeline actually uses, vs q30's whitespace/regex
+    // approximation.)
+    Q(
+      "q110_bpe_tokens",
+      None,
+      (s, dir) =>
+        graft.operators.Bpe.tokenCounts(
+          Tables(s, dir, "documents"), numMerges = 150)),
+
+    // ---- Zipf-slope corpus diagnostic -----------------------------------
+    // per-language least-squares slope of ln(freq) on ln(rank) over
+    // the top-1000 word types — the corpus-health check for
+    // boilerplate flooding / template spam
+    Q(
+      "q111_zipf_slope",
+      Some("""
+        WITH wc AS (
+          SELECT lang, w, count(*) AS c FROM (
+            SELECT lang,
+                   unnest(list_filter(string_split(text, ' '),
+                     x -> x <> '')) AS w
+            FROM documents)
+          GROUP BY 1, 2),
+        rk AS (
+          SELECT lang, c,
+                 row_number() OVER (
+                   PARTITION BY lang ORDER BY c DESC, w) AS r
+          FROM wc)
+        SELECT lang, round(regr_slope(ln(c), ln(r)), 4) AS zipf_slope,
+               count(*) AS n_types
+        FROM rk WHERE r <= 1000 GROUP BY lang"""),
+      (s, dir) =>
+        graft.operators.Curation.zipfSlopes(
+          Tables(s, dir, "documents")))
   )
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The corpus-trained BPE tokenizer: hand-verifiable merges, exact
+  * reconstruction, encode ≡ training-order replay, determinism, and
+  * the distributed encode path. */
+class BpeSpec extends SparkSpec {
+
+  test("training learns the hand-computable merge order") {
+    // ab×3, ac×1: pair (a,b</w>) dominates, then (a,c</w>)
+    val m = Bpe.trainOnCounts(Seq("ab" -> 3L, "ac" -> 1L), numMerges = 10)
+    assert(m.ordered == Seq(("a", "b</w>"), ("a", "c</w>")))
+    assert(Bpe.encodeWord("ab", m) == Vector("ab</w>"))
+    assert(Bpe.encodeWord("ac", m) == Vector("ac</w>"))
+    // (a,b) mid-word has no learned rank — only the final unit did
+    assert(Bpe.encodeWord("abc", m) == Vector("a", "b", "c</w>"))
+  }
+
+  test("tie-breaking is lexicographic and training is deterministic") {
+    val counts = Seq("xy" -> 2L, "xz" -> 2L, "ay" -> 1L)
+    val m1 = Bpe.trainOnCounts(counts, 3)
+    val m2 = Bpe.trainOnCounts(counts, 3)
+    assert(m1.ordered == m2.ordered)
+    // (x,y</w>) and (x,z</w>) both count 2 → lexicographic order
+    assert(m1.ordered.head == (("x", "y</w>")))
+  }
+
+  test("encode equals replaying merges in training order; tokens reconstruct") {
+    val rnd = new scala.util.Random(3)
+    val vocab = Seq("river", "rivers", "riverbed", "stone", "stones",
+      "stonework", "work", "worked", "network", "net")
+    val corpus = (1 to 300).map(_ => vocab(rnd.nextInt(vocab.length)))
+    val counts = corpus.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq
+    val m = Bpe.trainOnCounts(counts, numMerges = 40)
+    assert(m.ordered.nonEmpty)
+
+    // replay variant: apply each merge in training order everywhere
+    def replay(word: String): Vector[String] = {
+      var syms = word.toVector.map(_.toString) match {
+        case cs if cs.isEmpty => Vector.empty[String]
+        case cs => cs.init :+ (cs.last + "</w>")
+      }
+      m.ordered.foreach { case (a, b) =>
+        val ns = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            ns += (a + b); i += 2
+          } else { ns += syms(i); i += 1 }
+        }
+        syms = ns.result()
+      }
+      syms
+    }
+    (vocab ++ Seq("riverwork", "stonenet", "x")).foreach { w =>
+      val enc = Bpe.encodeWord(w, m)
+      assert(enc == replay(w), s"word $w: $enc vs ${replay(w)}")
+      // exact reconstruction
+      assert(enc.mkString.stripSuffix("</w>") == w)
+    }
+  }
+
+  test("distributed encode: counts bounded and consistent with the driver encoder") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick quick fox"),
+      (3L, ""),
+      (4L, "unseen zebra"))
+    val docs = raw.toDF("doc_id", "text")
+    val merges = Bpe.train(docs, numMerges = 30)
+    val got = Bpe.encode(docs, merges)
+      .select(col("doc_id"), col("tokens"), col("n_bpe_tokens"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[String](1), r.getInt(2))).toList
+    got.foreach { case (id, toks, n) =>
+      assert(toks.size == n)
+      val text = raw.find(_._1 == id).get._2
+      val expected = text.split(' ').filter(_.nonEmpty)
+        .flatMap(w => Bpe.encodeWord(w, merges)).toSeq
+      assert(toks == expected, s"doc $id")
+    }
+    assert(got.find(_._1 == 3L).get._3 == 0)
+  }
+}
