@@ -254,4 +254,95 @@ object Curation {
       .filter(col("__rank") <= cap)
       .drop("__rank")
   }
+
+  // ---- duplicated-segment removal (CCNet-style) ---------------------------
+
+  /** CCNet-style duplicated-segment removal (Wenzek et al. 2020 §3:
+    * paragraph-hash dedup): cut each document into fixed
+    * `segWords`-word segments, keep only the corpus-wide FIRST
+    * occurrence of each distinct segment (ordered by `idCol`, then
+    * segment position), and reassemble every document from its
+    * surviving segments. This removes cross-document boilerplate —
+    * headers, navigation, license blurbs — that document-level
+    * near-dup (q48/q49) cannot touch because the surrounding text
+    * differs.
+    *
+    * Returns one row per non-empty document: `n_segs`, `n_kept`,
+    * `dup_frac`, `dedup_text` (surviving segments in original
+    * order; empty when every segment was seen earlier).
+    *
+    * Scale shape: exactly two shuffles, each carrying every segment
+    * once — (1) by the segment's md5 (the dedup key: 16 fixed bytes,
+    * CCNet's own keying, so the exchange never moves long segment
+    * strings as keys), (2) by document id for reassembly. First-
+    * occurrence choice is a deterministic min over each hash
+    * partition, so reruns are stable; no driver participation, no
+    * corpus-sized collect. */
+  def segmentDedup(
+      docs: org.apache.spark.sql.DataFrame, segWords: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sw = lit(segWords)
+    // Stage the word array once; guard the empty doc BEFORE sequence
+    // (sequence(0, -1) descends — it never yields an empty range).
+    val staged = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.words(col(textCol)).as("__ws"))
+    val nSegs = ceil(size(col("__ws")).cast("double") / segWords).cast("int")
+    val segList = when(size(col("__ws")) > 0,
+      transform(sequence(lit(0), nSegs - 1),
+        i => array_join(slice(col("__ws"), i * sw + 1, sw), " ")))
+      .otherwise(array().cast("array<string>"))
+    val segs = staged.select(col("doc_id"),
+      posexplode(segList).as(Seq("seg_idx", "seg")))
+    val firstSeen = Window.partitionBy(md5(col("seg")))
+      .orderBy(col("doc_id"), col("seg_idx"))
+    segs
+      .withColumn("kept", row_number().over(firstSeen) === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        round(lit(1.0) -
+          count(when(col("kept"), 1)).cast("double") / count(lit(1)), 4)
+          .as("dup_frac"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("seg_idx"), col("seg"))))),
+            s => s("seg")),
+          " ").as("dedup_text"))
+  }
+
+  // ---- deterministic corpus shuffle + sharding ----------------------------
+
+  /** Deterministic global shuffle-shard — the "shuffle the corpus
+    * before training" step every pretraining pipeline runs so
+    * sequential shard reads see an unbiased sample: each row gets a
+    * pseudo-random order key `md5("shuf:" || id)`, its shard is the
+    * key's first `hexDigits` hex chars (16^hexDigits shards), and
+    * `pos` is its rank within the shard by (key, id). Seeded by the
+    * literal prefix, so the permutation is reproducible run-to-run
+    * and engine-to-engine (no `rand()`).
+    *
+    * Scale shape: one shuffle by shard + a per-shard sort — exactly
+    * the physical work a sharded training-set writer must do anyway
+    * (`repartition(shard).sortWithinPartitions(key)` is this plan);
+    * at 100 TB raise `hexDigits` so a shard fits an executor (3 hex
+    * digits = 4096 shards ≈ 25 GB/shard). The hash rank replaces a
+    * global orderBy, which would funnel the corpus through a single
+    * range-partitioner sample pass. */
+  def shuffleShard(
+      df: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+      hexDigits: Int = 1): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(hexDigits >= 1 && hexDigits <= 8, s"hexDigits $hexDigits")
+    val k = md5(concat(lit("shuf:"), col(idCol).cast("string")))
+    val keyed = df.select(col(idCol).as("doc_id"), k.as("__k"))
+    val shard = conv(substring(col("__k"), 1, hexDigits), 16, 10).cast("long")
+    val w = Window.partitionBy("shard").orderBy(col("__k"), col("doc_id"))
+    keyed.withColumn("shard", shard)
+      .select(col("doc_id"), col("shard"),
+        row_number().over(w).cast("long").as("pos"))
+  }
 }

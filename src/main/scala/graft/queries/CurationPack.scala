@@ -441,6 +441,63 @@ object CurationPack extends QueryPack {
         FROM rk WHERE r <= 1000 GROUP BY lang"""),
       (s, dir) =>
         graft.operators.Curation.zipfSlopes(
+          Tables(s, dir, "documents"))),
+
+    // ---- CCNet-style duplicated-segment removal -------------------------
+    // 8-word segments, corpus-wide first occurrence kept (by doc_id,
+    // then position), documents reassembled from survivors — the
+    // cross-document boilerplate scrub document-level near-dup
+    // (q48/q49) cannot do. Both sides dedup on md5(segment).
+    Q(
+      "q112_segment_dedup",
+      Some("""
+        WITH segs AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(CAST(ceil(len(words) / 8.0) AS BIGINT)),
+                   i -> {si: i,
+                         s: array_to_string(words[i*8+1 : i*8+8], ' ')}),
+                   recursive := true)
+          FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '')
+                     AS words
+            FROM documents)),
+        marked AS (
+          SELECT doc_id, si AS seg_idx, s AS seg,
+                 row_number() OVER (
+                   PARTITION BY md5(s) ORDER BY doc_id, si) = 1 AS kept
+          FROM segs)
+        SELECT doc_id,
+               count(*) AS n_segs,
+               count(*) FILTER (kept) AS n_kept,
+               round(1.0 - count(*) FILTER (kept)
+                       / CAST(count(*) AS DOUBLE), 4) AS dup_frac,
+               coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                          FILTER (kept), '') AS dedup_text
+        FROM marked GROUP BY doc_id"""),
+      (s, dir) =>
+        graft.operators.Curation.segmentDedup(
+          Tables(s, dir, "documents"))),
+
+    // ---- deterministic corpus shuffle-shard -----------------------------
+    // the pre-training global shuffle: md5-seeded order key, first
+    // hex digit = shard (16), rank within shard = read position —
+    // reproducible run-to-run and engine-to-engine, no rand()
+    Q(
+      "q113_corpus_shuffle",
+      Some("""
+        WITH keyed AS (
+          SELECT doc_id,
+                 md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k
+          FROM documents)
+        SELECT doc_id,
+               strpos('0123456789abcdef', substr(k, 1, 1)) - 1 AS shard,
+               row_number() OVER (
+                 PARTITION BY substr(k, 1, 1) ORDER BY k, doc_id) AS pos
+        FROM keyed"""),
+      (s, dir) =>
+        graft.operators.Curation.shuffleShard(
           Tables(s, dir, "documents")))
   )
 }

@@ -112,4 +112,78 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Int]("ni") == 0)
     assert(r.getAs[Int]("np") == 0)
   }
+
+  test("segmentDedup keeps first occurrence corpus-wide, reassembles") {
+    import spark.implicits._
+    // seg width 2: doc 1 = [a b][c d][a b] (self-dup), doc 2 = [c d]
+    // (cross-doc dup), doc 3 = [a b] only (everything seen → empty),
+    // doc 4 = short doc (1 word < segWords), doc 5 = empty (dropped)
+    val docs = Seq(
+      (1L, "a b c d a b"),
+      (2L, "c d e"),
+      (3L, "a b"),
+      (4L, "z"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = Curation.segmentDedup(docs, segWords = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_segs"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("dedup_text")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == ((3L, 2L, "a b c d")))
+    assert(out(2L) == ((2L, 1L, "e")))
+    assert(out(3L) == ((1L, 0L, "")))
+    assert(out(4L) == ((1L, 1L, "z")))
+  }
+
+  test("segmentDedup matches a brute-force scan on generated docs") {
+    import spark.implicits._
+    val words = Array("w0", "w1", "w2", "w3", "w4")
+    val docs = (0 until 40).map { d =>
+      val n = d % 11
+      (d.toLong, (0 until n).map(i => words((d * 7 + i * 3) % 5))
+        .mkString(" "))
+    }
+    val brute = {
+      val seen = scala.collection.mutable.Set[String]()
+      docs.flatMap { case (id, text) =>
+        val ws = text.split(" ").filter(_.nonEmpty)
+        if (ws.isEmpty) None
+        else {
+          val segs = ws.grouped(3).map(_.mkString(" ")).toSeq
+          val kept = segs.filter(s => seen.add(s))
+          Some(id -> ((segs.size.toLong, kept.size.toLong,
+            kept.mkString(" "))))
+        }
+      }.toMap
+    }
+    val out = Curation.segmentDedup(docs.toDF("doc_id", "text"),
+      segWords = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_segs"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("dedup_text")))).toMap
+    assert(out == brute)
+  }
+
+  test("shuffleShard is a deterministic permutation with dense ranks") {
+    import spark.implicits._
+    val df = (0L until 300L).toDF("doc_id")
+    val a = Curation.shuffleShard(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = Curation.shuffleShard(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sorted.sameElements(b.sorted)) // reproducible
+    assert(a.map(_._1).distinct.length == 300) // a permutation
+    assert(a.forall(t => t._2 >= 0 && t._2 < 16))
+    // positions dense 1..n within every shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
+    }
+    // shard really is the order key's first hex digit
+    val md = java.security.MessageDigest.getInstance("MD5")
+    a.take(20).foreach { case (id, shard, _) =>
+      val hex = md.digest(s"shuf:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(shard == java.lang.Long.parseLong(hex.take(1), 16))
+    }
+  }
 }
