@@ -57,9 +57,18 @@ object IdSequencer {
       .distinct()
     val existing = k.join(inScope, Seq("seq_key")).select("seq_key", "id")
     val maxId = inScope.agg(coalesce(max("id"), lit(0L))).collect()(0).getLong(0)
-    val fresh = k.join(inScope, Seq("seq_key"), "left_anti")
-      .withColumn("id",
-        row_number().over(Window.orderBy("seq_key")).cast("long") + maxId)
+    // number the fresh keys with a distributed exclusive prefix sum
+    // (count of keys strictly before in seq_key order), NOT a global
+    // `row_number().over(Window.orderBy(...))` — that window has no
+    // partition column, so Spark collapses every fresh key into ONE
+    // reducer task; on a first run at corpus scale "fresh" is the
+    // whole keyset. Values are identical to the single-reducer form.
+    val fresh = graft.operators.Packing
+      .exclusivePrefixSum(
+        k.join(inScope, Seq("seq_key"), "left_anti"),
+        lit(1L), Seq(col("seq_key")))
+      .withColumn("id", col("prefix") + lit(1L + maxId))
+      .drop("prefix")
     val assigned = existing.unionByName(fresh).localCheckpoint()
     // delta commit: only the FRESH assignments are physically written
     // (historical ids are immutable — nothing to update, nothing to

@@ -39,6 +39,25 @@ class StateSpec extends SparkSpec {
       .collect().head.getLong(1) == 1L)
   }
 
+  test("IdSequencer: fresh keys across many partitions still number densely in key order") {
+    import spark.implicits._
+    val store = new StateStore(spark, tmp("idseq-dist").toString)
+    IdSequencer.assign(spark, store, "s", Seq("seed").toDF("k")) // max=1
+    // 500 fresh keys scattered over 16 partitions: the distributed
+    // prefix-sum numbering must equal the sequential row_number form
+    val keys = (1 to 500).map(i => f"k$i%04d")
+    val got = IdSequencer.assign(spark, store, "s",
+        scala.util.Random.shuffle(keys).toDF("seq_key").repartition(16))
+      .filter(col("seq_key") =!= "seed")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = keys.sorted.zipWithIndex.map { case (k, i) => k -> (i + 2L) }.toMap
+    assert(got == want,
+      "ids must be max+1.. in deterministic key order, dense and unique")
+    // and sticky on rerun
+    assert(IdSequencer.assign(spark, store, "s", Seq("k0042").toDF("k"))
+      .collect().head.getLong(1) == want("k0042"))
+  }
+
   test("a legacy unsharded id_seq table keeps its sequences after the sharding upgrade") {
     import spark.implicits._
     val store = new StateStore(spark, tmp("idseq-legacy").toString)
