@@ -407,6 +407,31 @@ object Dedup {
     out
   }
 
+  /** Full fuzzy-dedup sweep (the MinHash pipeline every pretraining
+    * corpus runs end-to-end, cf. the reference's near-dup family
+    * around ops/entity_resolution): near-dup pairs → connected
+    * components → keep ONE doc per duplicate cluster — the smallest
+    * id, the usual deterministic survivor rule. One row per input
+    * doc: (doc_id, canonical_id, kept).
+    *
+    * Scale shape: pair generation is [[minHashNearDupMd5]]'s banded
+    * equi-join (never all-pairs); clustering is
+    * [[EntityResolution.connectedComponents]] — driver union-find on
+    * small graphs, distributed pointer-jumping past 2^20 edges. The
+    * md5-derived signatures make the pair set oracle-replicable, so
+    * DuckDB restates the whole sweep with a recursive min-label CTE. */
+  def fuzzyDedupKeep(
+      docs: DataFrame, threshold: Double, numHashes: Int = 32, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pairs =
+      minHashNearDupMd5(docs, threshold, numHashes, n, idCol, textCol)
+    EntityResolution
+      .connectedComponents(docs.select(col(idCol)), pairs,
+        idCol, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component").as("canonical_id"),
+        (col("id") === col("component")).as("kept"))
+  }
+
   /** MinHash signatures from the already-hashed shingle column — the
     * expensive tokenize+shingle pass runs once per doc, not twice;
     * the min scan is a primitive while-loop. */

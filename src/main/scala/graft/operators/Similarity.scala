@@ -483,6 +483,106 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Per-dimension (min, max) corpus stats for scalar quantization —
+    * a single narrow aggregation; the collect is `dims` rows,
+    * independent of corpus size. */
+  def sq8Stats(corpus: DataFrame, dims: Int, embCol: String = "embedding")
+      : (Array[Double], Array[Double]) = {
+    val rows = corpus
+      .select(posexplode(col(embCol).cast("array<double>")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect()
+    val mn = new Array[Double](dims)
+    val mx = new Array[Double](dims)
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      if (d < dims) { mn(d) = r.getDouble(1); mx(d) = r.getDouble(2) }
+    }
+    (mn, mx)
+  }
+
+  /** Encode-then-decode an embedding through uint8 scalar
+    * quantization (FAISS SQ8): per dimension, bucket
+    * t = (x−mn)/(mx−mn) into code c = min(⌊t·256⌋, 255) and
+    * reconstruct mn + c·((mx−mn)/255). ⌊·⌋ (not round) so no
+    * tie-breaking mode can diverge across engines; a constant
+    * dimension (mx = mn) reconstructs to mn. */
+  def sq8Reconstruct(emb: Column, mn: Array[Double], mx: Array[Double])
+      : Column = {
+    val mnL = lit(mn)
+    val mxL = lit(mx)
+    zip_with(emb.cast("array<double>"),
+      sequence(lit(0), lit(mn.length - 1)), (x, d) => {
+        val m = element_at(mnL, d + 1)
+        val bigM = element_at(mxL, d + 1)
+        val t = when(bigM === m, lit(0.0)).otherwise((x - m) / (bigM - m))
+        val c = least(floor(t * 256), lit(255.0))
+        m + c * ((bigM - m) / 255.0)
+      })
+  }
+
+  /** Approximate KNN over scalar-quantized (SQ8) embeddings: corpus
+    * and queries are squeezed through the uint8 codec, then scored
+    * exactly in the reconstructed space. The point of SQ8 at 100 TB
+    * is a 4× memory/bandwidth cut on the stored index (codes + 2
+    * floats per dimension instead of float32 vectors) at ~1% recall
+    * cost; the scan shape is unchanged — brute force stays O(N),
+    * compose with the IVF/LSH cells for sublinear candidates. Fully
+    * deterministic: stats are exact min/max (no accumulation-order
+    * sensitivity), the codec is ⌊·⌋-based, so an external engine
+    * recomputes every score bit-for-bit. */
+  def sq8TopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, dims: Int = 64,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val (mn, mx) = sq8Stats(corpus, dims, embCol)
+    def rec(df: DataFrame) =
+      df.withColumn(embCol, sq8Reconstruct(col(embCol), mn, mx))
+    bruteForceTopK(rec(queries), rec(corpus), k, idCol, embCol)
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023: cluster the
+    * embedding space, drop all but one of each within-cluster group
+    * of near-identical vectors). The published method clusters with
+    * k-means; here clusters are deterministic md5-derived SRP cells
+    * ([[srpPlaneMatrix]], `planes` bits → 2^planes direction
+    * buckets), which makes the whole sweep oracle-replicable while
+    * keeping the same shape: per-cluster pairwise cosine, never
+    * corpus-wide. Survivor rule: connected components over the
+    * within-cluster near-dup edges, smallest id kept — one row per
+    * input vector: (vec_id, cluster, canonical_id, kept).
+    *
+    * Scale shape: the pair join is an equi-join on the cluster code
+    * (SemDeDup's per-cluster quadratic, bounded by cluster size —
+    * pick `planes` so 2^planes ≈ √N, the paper's k); clustering is
+    * [[EntityResolution.connectedComponents]] (driver union-find on
+    * small edge sets, distributed pointer-jumping past 2^20). */
+  def semDedupKeep(
+      vectors: DataFrame, threshold: Double, planes: Int = 4,
+      dims: Int = 64, idCol: String = "vec_id", embCol: String = "embedding")
+      : DataFrame = {
+    val coded = vectors
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(embCol).cast("array<double>").as("emb"),
+        element_at(srpBandCodes(col(embCol), planes, 1, dims), 1)
+          .as("cluster"))
+    val edges = coded
+      .select(col("cluster"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
+      .join(coded.select(col("cluster"), col("vec_id").as("id_b"),
+        col("emb").as("emb_b")), Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosineSimilarity(col("emb_a"), col("emb_b")), 6)
+        >= threshold)
+      .select("id_a", "id_b")
+    EntityResolution
+      .connectedComponents(coded.select(col("vec_id")), edges,
+        "vec_id", "id_a", "id_b")
+      .join(coded.select(col("vec_id"), col("cluster")),
+        col("id") === col("vec_id"))
+      .select(col("vec_id"), col("cluster"),
+        col("component").as("canonical_id"),
+        (col("vec_id") === col("component")).as("kept"))
+  }
+
   /** Exact all-pairs cosine ≥ threshold via *block-partitioned*
     * pairwise scoring — the distributed dense-matrix form of
     * [[nearDupPairs]], value-identical to it (same IEEE operation

@@ -125,6 +125,93 @@ object SimilarityPack extends QueryPack {
         Similarity.lshTopK(emb.filter(col("vec_id") < 8), emb, 10)
       }),
 
+    // ---- scalar-quantized (SQ8) approximate KNN --------------------------
+    // FAISS-style uint8 scalar quantization: per-dimension min/max
+    // stats, ⌊t·256⌋ codes, scores computed exactly in the
+    // reconstructed space. Deterministic end-to-end (exact min/max,
+    // floor-based codec, q40's proven round-6 cosine), so the oracle
+    // recomputes every score bit-for-bit.
+    Q(
+      "q116_knn_sq8",
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        stats AS (
+          SELECT d.d AS d, min(emb[d.d + 1]) AS mn, max(emb[d.d + 1]) AS mx
+          FROM e, unnest(range(64)) d(d) GROUP BY d.d),
+        rec AS (
+          SELECT vec_id, list(CASE WHEN mx = mn THEN mn
+                                   ELSE mn + least(floor((emb[d + 1] - mn) /
+                                          (mx - mn) * 256), 255)
+                                        * ((mx - mn) / 255.0) END
+                              ORDER BY d) AS emb
+          FROM (SELECT e.vec_id, e.emb, s.d, s.mn, s.mx FROM e, stats s)
+          GROUP BY vec_id)
+        SELECT query_id, neighbor_id, score, CAST(rnk AS INT) AS rank
+        FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.emb, c.emb), 6) AS score,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.emb, c.emb), 6)
+                     DESC, c.vec_id) AS rnk
+          FROM rec q, rec c
+          WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id) x
+        WHERE rnk <= 10"""),
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.sq8TopK(emb.filter(col("vec_id") < 8), emb, 10)
+      }),
+
+    // ---- SemDeDup: semantic dedup over embedding clusters ---------------
+    // Abbas et al. 2023 re-expressed deterministically: md5-derived
+    // SRP cells stand in for the k-means clusters (the oracle
+    // regenerates the identical planes — q43's scheme), within-cell
+    // near-dup edges at round-6 cosine ≥ 0.4 (q41's proven
+    // cross-engine arithmetic), survivor = recursive min-label
+    // closure (q114's scheme). Value-exact end-to-end.
+    Q(
+      "q115_semdedup_keep",
+      Some("""
+        WITH RECURSIVE pl AS (
+          SELECT p.p AS plane, d.d AS dim,
+                 (CAST(CAST(('0x' || substring(md5(
+                    CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)),
+                    1, 15)) AS UBIGINT) AS BIGINT) % 1000000)
+                   / 500000.0 - 1.0 AS v
+          FROM unnest(range(4)) p(p), unnest(range(64)) d(d)),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings),
+        dots AS (
+          SELECT e.vec_id, pl.plane, sum(e.emb[pl.dim + 1] * pl.v) AS dot
+          FROM e, pl GROUP BY 1, 2),
+        codes AS (
+          SELECT vec_id,
+                 CAST(sum((CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) ELSE 0
+                     END) << CAST(3 - plane AS INT)) AS BIGINT) AS cluster
+          FROM dots GROUP BY 1),
+        edges0 AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM (SELECT c.vec_id, c.cluster, e.emb
+                FROM codes c JOIN e USING (vec_id)) a
+          JOIN (SELECT c.vec_id, c.cluster, e.emb
+                FROM codes c JOIN e USING (vec_id)) b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4),
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM edges0
+          UNION SELECT id_b, id_a FROM edges0),
+        reach(id, r) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT ed.d, reach.r FROM reach JOIN edges ed ON reach.id = ed.s
+          WHERE reach.r < ed.d)
+        SELECT r2.id AS vec_id, c.cluster, min(r2.r) AS canonical_id,
+               (r2.id = min(r2.r)) AS kept
+        FROM reach r2 JOIN codes c ON c.vec_id = r2.id
+        GROUP BY r2.id, c.cluster"""),
+      (s, dir) =>
+        Similarity.semDedupKeep(Tables(s, dir, "embeddings"), 0.4)),
+
     // ---- approximate KNN via IVF (no oracle: approximate; recall
     // asserted in SimilaritySpec). Build/query split: the index is
     // built once per dataset (ivfIndexFor — the DDL-built-index

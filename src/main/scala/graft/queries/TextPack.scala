@@ -341,6 +341,75 @@ object TextPack extends QueryPack {
         graft.operators.Dedup.minHashNearDupMd5(
           Tables(s, dir, "documents"), threshold = 0.2)),
 
+    // ---- full fuzzy-dedup sweep: pairs → clusters → keep-one ------------
+    // The end-to-end MinHash dedup every pretraining corpus runs:
+    // q49's value-exact pair set, clustered by connected components,
+    // smallest-id survivor per cluster. The oracle replays the pair
+    // set bit-for-bit and the clustering as a recursive min-label
+    // closure (propagating a label r across an edge only when r is
+    // smaller than the target — the component minimum reaches every
+    // member, so min(r) per node IS the canonical id).
+    Q(
+      "q114_fuzzy_dedup_keep",
+      Some(s"""
+        WITH RECURSIVE dd AS (
+          SELECT doc_id, sh FROM (
+            SELECT doc_id, list_distinct(list_transform(
+                range(greatest(len(words) - 2, 0)),
+                i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))
+              AS sh
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), w -> w <> '')
+                           AS words
+                  FROM documents))
+          WHERE len(sh) > 0),
+        h AS (
+          SELECT doc_id, list_transform(sh, s ->
+            CAST(CAST(('0x' || substring(md5(s), 1, 15)) AS UBIGINT)
+              AS BIGINT)) AS hs
+          FROM dd),
+        es AS (SELECT doc_id, unnest(hs) AS hv FROM h),
+        consts AS (
+          SELECT t.i AS i,
+                 (${graft.operators.Dedup.minHashA.take(32)
+                     .mkString("[", ", ", "]")})[t.i + 1] AS a,
+                 (${graft.operators.Dedup.minHashB.take(32)
+                     .mkString("[", ", ", "]")})[t.i + 1] AS b
+          FROM unnest(range(32)) AS t(i)),
+        sigs AS (
+          SELECT doc_id, c.i AS i,
+                 min((c.a * (hv % 2147483647) + c.b) % 2147483647) AS sig
+          FROM es, consts c
+          GROUP BY doc_id, c.i),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sigs a JOIN sigs b
+            ON a.i = b.i AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        pairs AS (
+          SELECT doc_a, doc_b FROM (
+            SELECT c.doc_a, c.doc_b,
+                   round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+                     (len(x.hs) + len(y.hs) -
+                      len(list_intersect(x.hs, y.hs))), 4) AS jaccard
+            FROM cand c
+            JOIN h x ON c.doc_a = x.doc_id
+            JOIN h y ON c.doc_b = y.doc_id)
+          WHERE jaccard >= 0.2),
+        edges AS (
+          SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.d, reach.r FROM reach JOIN edges e ON reach.id = e.s
+          WHERE reach.r < e.d)
+        SELECT id AS doc_id, min(r) AS canonical_id,
+               (id = min(r)) AS kept
+        FROM reach GROUP BY id"""),
+      (s, dir) =>
+        graft.operators.Dedup.fuzzyDedupKeep(
+          Tables(s, dir, "documents"), threshold = 0.2)),
+
     // ---- n-gram Jaccard near-dup, exact via prefix-filtering join -------
     // The oracle is the *unblocked* all-pairs definition; the Spark
     // side reproduces it exactly through Dedup.shingleNearDup's

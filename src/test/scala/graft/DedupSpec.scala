@@ -345,4 +345,26 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == expected)
   }
+
+  test("fuzzyDedupKeep keeps one doc per transitive near-dup cluster") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (10L, base),                       // chain: 10 ~ 11 ~ 12
+      (11L, base + " extra"),
+      (12L, base + " extra more"),
+      (20L, "an entirely different document about spark catalyst plans"),
+      (21L, "an entirely different document about spark catalyst plans"),
+      (30L, "unique standalone text with no duplicate partner anywhere"))
+      .toDF("doc_id", "text")
+    val got = Dedup.fuzzyDedupKeep(docs, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(got(10L) == (10L, true))
+    // transitivity: 12 may only pair with 11, but still lands in 10's
+    // cluster through the connected-components pass
+    assert(got(11L) == (10L, false) && got(12L) == (10L, false))
+    assert(got(20L) == (20L, true) && got(21L) == (20L, false))
+    assert(got(30L) == (30L, true))
+  }
 }

@@ -168,4 +168,51 @@ class SimilaritySpec extends SparkSpec {
     assert(r0.getDouble(2) == expect,
       s"maxSimTopK score ${r0.getDouble(2)} != recomputed $expect")
   }
+
+  test("sq8 codec: per-component error under one step; recall@10 >= 0.8 vs exact") {
+    assume(testdataAvailable)
+    val (mn, mx) = Similarity.sq8Stats(emb, 64)
+    // reconstruction error bound: codes bucket by (mx−mn)/256 but
+    // reconstruct on a (mx−mn)/255 grid, so the worst case stays
+    // under one 1/255 step plus the grid mismatch — 2/255 is safe
+    val err = emb
+      .select(col("embedding").cast("array<double>").as("x"),
+        Similarity.sq8Reconstruct(col("embedding"), mn, mx).as("xr"))
+      .select(explode(zip_with(col("x"), col("xr"), (a, b) => abs(a - b)))
+        .as("e"))
+      .agg(max("e")).head.getDouble(0)
+    val maxStep = mn.indices.map(d => (mx(d) - mn(d)) / 255.0 * 2).max
+    assert(err <= maxStep, s"sq8 reconstruction error $err > $maxStep")
+    val exact = Similarity.bruteForceTopK(queries, emb, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.sq8TopK(queries, emb, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SQ8 recall@10 = $recall < 0.8")
+  }
+
+  test("semDedupKeep drops within-cluster near-identical vectors, keeps the rest") {
+    import spark.implicits._
+    val v = Array.fill(8)(1.0f)
+    val vEps = v.clone(); vEps(7) = 1.001f      // ~identical direction to v
+    val w = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val vecs = Seq(
+      (1L, v), (2L, vEps), (3L, v.map(-_)),     // 3 is v's antipode
+      (4L, w))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semDedupKeep(vecs, threshold = 0.99, planes = 4,
+        dims = 8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    // 1 and 2 share a cluster (same signs on every plane) and cosine
+    // ≈ 1 ⇒ 2 folds into 1; the antipode and the alternating vector
+    // survive (different cells / below threshold)
+    assert(got(1L) == (1L, true))
+    assert(got(2L) == (1L, false))
+    assert(got(3L) == (3L, true))
+    assert(got(4L) == (4L, true))
+  }
 }
