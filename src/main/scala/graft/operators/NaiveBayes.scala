@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes text classifier — the counts-only member
+  * of the classifier family curation pipelines run for language /
+  * source / quality labeling (the role CCNet delegates to fastText;
+  * reference context: the quality and langid stages the curation
+  * queries q30–q33 score heuristically). Fit is two
+  * vocabulary-bounded aggregations plus a label histogram; there is
+  * no iterative training, so an external SQL engine recomputes the
+  * entire decision function: Laplace-1 smoothed log-likelihoods,
+  * log-priors, per-document score sums rounded to 6 (summation-order
+  * noise is ~1e-14), argmax with the label as the tie-break.
+  *
+  * 100 TB shape: token counts shuffle (label, word) partials — never
+  * documents; the fitted model is O(vocabulary × labels) rows joined
+  * back onto the test token stream by (label, word) equi-join (AQE
+  * broadcasts it when it fits); the argmax is a per-document window
+  * over |labels| rows.
+  */
+object NaiveBayes {
+
+  /** The fitted model: log-priors (label, lp), token counts
+    * (label, w, c), per-label token totals (label, n), and the
+    * training vocabulary size. */
+  final case class NbModel(priors: DataFrame, wordCounts: DataFrame,
+      classTokens: DataFrame, vocabSize: Long)
+
+  /** Tokenization shared with the oracle: split on single spaces,
+    * drop empties (the documents corpus is already normalized). */
+  private def tokens(docs: DataFrame, idCol: String, labelCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(labelCol).as("label"),
+      explode(filter(split(col(textCol), " "), w => w =!= "")).as("w"))
+
+  def fit(train: DataFrame, idCol: String = "doc_id",
+      labelCol: String = "label", textCol: String = "text"): NbModel = {
+    val t = tokens(train, idCol, labelCol, textCol).localCheckpoint()
+    val wc = t.groupBy("label", "w").agg(count(lit(1)).as("c"))
+    val ct = t.groupBy("label").agg(count(lit(1)).as("n"))
+    val v = t.select(countDistinct("w")).head.getLong(0)
+    // priors over docs that HAVE tokens (the token stream's view),
+    // so empty documents neither train nor skew the priors — and the
+    // oracle's count(DISTINCT doc_id) matches exactly
+    val total = t.select(countDistinct("doc_id")).head.getLong(0)
+    val pri = t.groupBy("label").agg(countDistinct("doc_id").as("d"))
+      .withColumn("lp", log(col("d").cast("double") / total))
+      .select("label", "lp")
+    NbModel(pri.localCheckpoint(), wc.localCheckpoint(),
+      ct.localCheckpoint(), v)
+  }
+
+  /** Classify `test` docs: (doc_id, truth, predicted, score). Docs
+    * with no tokens produce no row (nothing to condition on). */
+  def predict(model: NbModel, test: DataFrame, idCol: String = "doc_id",
+      labelCol: String = "label", textCol: String = "text"): DataFrame = {
+    val docw = tokens(test, idCol, labelCol, textCol)
+      .withColumnRenamed("label", "truth")
+      .groupBy("doc_id", "truth", "w").agg(count(lit(1)).as("cnt"))
+    val labelInfo = model.priors.join(model.classTokens, "label")
+    val scored = docw
+      .crossJoin(broadcast(labelInfo)) // |labels| rows — bounded
+      .join(model.wordCounts, Seq("label", "w"), "left")
+      .withColumn("term", col("cnt") *
+        log((coalesce(col("c"), lit(0L)) + 1.0) /
+          (col("n") + lit(model.vocabSize))))
+      .groupBy("doc_id", "truth", "label")
+      .agg(round(first("lp") + sum("term"), 6).as("score"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("label"))))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("truth"), col("label").as("predicted"),
+        col("score"))
+  }
+
+  /** Fit on the `isTrain` slice of `docs`, classify the rest, and
+    * return the confusion matrix (label, predicted, n_docs). */
+  def trainPredictConfusion(docs: DataFrame, isTrain: Column,
+      idCol: String = "doc_id", labelCol: String = "label",
+      textCol: String = "text"): DataFrame = {
+    val model = fit(docs.filter(isTrain), idCol, labelCol, textCol)
+    predict(model, docs.filter(!isTrain), idCol, labelCol, textCol)
+      .groupBy(col("truth").as("label"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+}

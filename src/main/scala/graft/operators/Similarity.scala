@@ -540,6 +540,43 @@ object Similarity {
     bruteForceTopK(rec(queries), rec(corpus), k, idCol, embCol)
   }
 
+  /** Contrastive triplet mining for embedding-model training data:
+    * for each query vector, the strongest same-label neighbor (the
+    * positive) and the strongest different-label neighbor (the hard
+    * negative — the pair a trained encoder must learn to push apart).
+    * Returns (query_id, pos_id, pos_score, neg_id, neg_score); a
+    * query missing either side (no same-label or no other-label
+    * candidate) is dropped.
+    *
+    * Same plan shape as [[bruteForceTopK]]: small query batch
+    * broadcast against a corpus-partition-parallel scan, one narrow
+    * pass, per-partition heaps via the windowed top-1. At 100 TB feed
+    * `corpus` from an ANN candidate set ([[lshTopK]] / [[ivfQuery]]
+    * output) instead of the raw table — the mining math is
+    * unchanged. */
+  def contrastiveTriplets(
+      queries: DataFrame, corpus: DataFrame, labelCol: String = "label",
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("q_lab"), col(embCol).as("q_emb"))
+    val c = corpus.select(col(idCol).as("cand_id"),
+      col(labelCol).as("c_lab"), col(embCol).as("c_emb"))
+    val pairs = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("score",
+        round(cosineSimilarity(col("q_emb"), col("c_emb")), 6))
+    def top1(side: DataFrame, id: String, sc: String) = side
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("cand_id"))))
+      .filter(col("rnk") === 1)
+      .select(col("query_id"), col("cand_id").as(id), col("score").as(sc))
+    val pos = top1(pairs.filter(col("q_lab") === col("c_lab")),
+      "pos_id", "pos_score")
+    val neg = top1(pairs.filter(col("q_lab") =!= col("c_lab")),
+      "neg_id", "neg_score")
+    pos.join(neg, Seq("query_id"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023: cluster the
     * embedding space, drop all but one of each within-cluster group
     * of near-identical vectors). The published method clusters with

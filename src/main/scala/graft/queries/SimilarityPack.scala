@@ -212,6 +212,40 @@ object SimilarityPack extends QueryPack {
       (s, dir) =>
         Similarity.semDedupKeep(Tables(s, dir, "embeddings"), 0.4)),
 
+    // ---- contrastive triplet mining (positives + hard negatives) --------
+    // Per query: the strongest same-label neighbor and the strongest
+    // different-label neighbor — the training pairs an embedding
+    // model is tuned on. Exact arithmetic (q40's round-6 cosine,
+    // label filters, deterministic tie-breaks), so fully
+    // oracle-checked.
+    Q(
+      "q118_contrastive_triplets",
+      Some("""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        pairs AS (
+          SELECT q.vec_id AS query_id, q.label AS q_lab,
+                 c.vec_id AS cand_id, c.label AS c_lab,
+                 round(list_cosine_similarity(q.emb, c.emb), 6) AS score
+          FROM e q JOIN e c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 32),
+        pos AS (
+          SELECT query_id, cand_id AS pos_id, score AS pos_score
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, cand_id) AS rnk
+                FROM pairs WHERE q_lab = c_lab) x WHERE rnk = 1),
+        neg AS (
+          SELECT query_id, cand_id AS neg_id, score AS neg_score
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, cand_id) AS rnk
+                FROM pairs WHERE q_lab <> c_lab) x WHERE rnk = 1)
+        SELECT query_id, pos_id, pos_score, neg_id, neg_score
+        FROM pos JOIN neg USING (query_id)"""),
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.contrastiveTriplets(emb.filter(col("vec_id") < 32), emb)
+      }),
+
     // ---- approximate KNN via IVF (no oracle: approximate; recall
     // asserted in SimilaritySpec). Build/query split: the index is
     // built once per dataset (ivfIndexFor — the DDL-built-index

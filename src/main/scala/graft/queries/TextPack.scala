@@ -341,6 +341,66 @@ object TextPack extends QueryPack {
         graft.operators.Dedup.minHashNearDupMd5(
           Tables(s, dir, "documents"), threshold = 0.2)),
 
+    // ---- Naive Bayes language classifier (trainable, counts-only) -------
+    // Multinomial NB fit on the md5-split train slice, evaluated as a
+    // confusion matrix on the rest — the trainable stand-in for the
+    // fastText-style langid/quality stage. No iterative training, so
+    // the oracle recomputes the full decision function (Laplace-1
+    // smoothing, round-6 scores, label tie-break).
+    Q(
+      "q117_nb_langid",
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                   AS is_train,
+                 unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+                   AS w
+          FROM documents),
+        labels AS (SELECT DISTINCT lang AS label FROM t WHERE is_train),
+        wordcnt AS (
+          SELECT lang AS label, w, count(*) AS c
+          FROM t WHERE is_train GROUP BY 1, 2),
+        classtok AS (
+          SELECT lang AS label, count(*) AS n FROM t WHERE is_train
+          GROUP BY 1),
+        vocab AS (SELECT count(DISTINCT w) AS v FROM t WHERE is_train),
+        priors AS (
+          SELECT lang AS label,
+                 ln(CAST(count(DISTINCT doc_id) AS DOUBLE) /
+                    (SELECT count(DISTINCT doc_id) FROM t WHERE is_train))
+                   AS lp
+          FROM t WHERE is_train GROUP BY 1),
+        docw AS (
+          SELECT doc_id, lang, w, count(*) AS cnt
+          FROM t WHERE NOT is_train GROUP BY 1, 2, 3),
+        scored AS (
+          SELECT d.doc_id, d.lang, l.label,
+                 round(any_value(p.lp) +
+                   sum(d.cnt * ln((coalesce(wc.c, 0) + 1.0) /
+                     (ct.n + vb.v))), 6) AS score
+          FROM docw d
+          CROSS JOIN labels l
+          LEFT JOIN wordcnt wc ON wc.label = l.label AND wc.w = d.w
+          JOIN classtok ct ON ct.label = l.label
+          JOIN priors p ON p.label = l.label
+          CROSS JOIN vocab vb
+          GROUP BY d.doc_id, d.lang, l.label),
+        pred AS (
+          SELECT doc_id, lang, label AS predicted,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, label) AS rnk
+          FROM scored)
+        SELECT lang, predicted, count(*) AS n_docs
+        FROM pred WHERE rnk = 1 GROUP BY 1, 2"""),
+      (s, dir) =>
+        graft.operators.NaiveBayes.trainPredictConfusion(
+            Tables(s, dir, "documents"),
+            substring(md5(col("doc_id").cast("string")), 1, 1) < "c",
+            labelCol = "lang")
+          .select(col("label").as("lang"), col("predicted"),
+            col("n_docs"))),
+
     // ---- full fuzzy-dedup sweep: pairs → clusters → keep-one ------------
     // The end-to-end MinHash dedup every pretraining corpus runs:
     // q49's value-exact pair set, clustered by connected components,

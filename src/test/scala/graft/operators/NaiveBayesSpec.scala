@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes: on a separable corpus the classifier must
+  * recover the labels exactly; smoothing must keep unseen words from
+  * zeroing scores; empty docs must vanish rather than fail. */
+class NaiveBayesSpec extends SparkSpec {
+
+  test("separable corpus classifies perfectly; unseen words and empty docs are safe") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "cat", "meow purr whiskers meow fur"),
+      (2L, "cat", "purr meow claws fur whiskers"),
+      (3L, "cat", "whiskers fur meow purr purr"),
+      (4L, "dog", "woof bark fetch tail woof"),
+      (5L, "dog", "bark woof leash tail fetch"),
+      (6L, "dog", "tail fetch woof bark bark"))
+      .toDF("doc_id", "label", "text")
+    val model = NaiveBayes.fit(train)
+    assert(model.vocabSize == 10)
+    val test = Seq(
+      (10L, "cat", "meow whiskers purr"),
+      (11L, "dog", "woof fetch bark"),
+      // unseen word mixed in: smoothing keeps the known signal decisive
+      (12L, "cat", "meow zebra purr"),
+      (13L, "dog", ""))                 // empty: no row in the output
+      .toDF("doc_id", "label", "text")
+    val got = NaiveBayes.predict(model, test)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(10L -> "cat", 11L -> "dog", 12L -> "cat"))
+  }
+
+  test("confusion matrix counts every non-empty test doc exactly once") {
+    import spark.implicits._
+    val docs = (1 to 40).map { i =>
+      val label = if (i % 2 == 0) "a" else "b"
+      val text = if (label == "a") "alpha apple axiom" else "beta bravo bolt"
+      (i.toLong, label, text)
+    }.toDF("doc_id", "label", "text")
+    val cm = NaiveBayes.trainPredictConfusion(docs, col("doc_id") <= 20)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // the held-out 20 docs split 10/10 and the corpus is separable
+    assert(cm == Map(("a", "a") -> 10L, ("b", "b") -> 10L))
+  }
+}
