@@ -271,18 +271,23 @@ object Curation {
     * `dup_frac`, `dedup_text` (surviving segments in original
     * order; empty when every segment was seen earlier).
     *
-    * Scale shape: exactly two shuffles, each carrying every segment
-    * once — (1) by the segment's md5 (the dedup key: 16 fixed bytes,
-    * CCNet's own keying, so the exchange never moves long segment
-    * strings as keys), (2) by document id for reassembly. First-
-    * occurrence choice is a deterministic min over each hash
-    * partition, so reruns are stable; no driver participation, no
-    * corpus-sized collect. */
+    * Scale shape: shuffles keyed by the segment's md5 (the dedup
+    * key: 16 fixed bytes, CCNet's own keying, so exchanges never
+    * move long segment strings as keys) plus one by document id for
+    * reassembly. First-occurrence selection is a
+    * `groupBy(md5(seg)).agg(min(struct(doc_id, seg_idx)))` + join
+    * back — NOT a window partitioned by the segment hash: partial
+    * aggregation folds each partition's occurrences map-side to one
+    * candidate row per segment, so a boilerplate segment repeated
+    * 10⁸ times (cookie banners, license headers — precisely what
+    * this operator removes) costs its reducer ONE row per upstream
+    * partition instead of landing every occurrence on a single
+    * hot task (the q80 window-skew class). No driver participation,
+    * no corpus-sized collect. */
   def segmentDedup(
       docs: org.apache.spark.sql.DataFrame, segWords: Int = 8,
       idCol: String = "doc_id", textCol: String = "text")
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sw = lit(segWords)
     // Stage the word array once; guard the empty doc BEFORE sequence
     // (sequence(0, -1) descends — it never yields an empty range).
@@ -295,10 +300,15 @@ object Curation {
       .otherwise(array().cast("array<string>"))
     val segs = staged.select(col("doc_id"),
       posexplode(segList).as(Seq("seg_idx", "seg")))
-    val firstSeen = Window.partitionBy(md5(col("seg")))
-      .orderBy(col("doc_id"), col("seg_idx"))
-    segs
-      .withColumn("kept", row_number().over(firstSeen) === 1)
+      .withColumn("__h", md5(col("seg")))
+    // winner per distinct segment: struct min == (doc_id, seg_idx)
+    // lexicographic order, partial-aggregated map-side
+    val firstSeen = segs.groupBy("__h")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("__w"))
+    segs.join(firstSeen, Seq("__h"))
+      .withColumn("kept",
+        col("doc_id") === col("__w.doc_id") &&
+          col("seg_idx") === col("__w.seg_idx"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_segs"),

@@ -503,10 +503,13 @@ object Similarity {
 
   /** Encode-then-decode an embedding through uint8 scalar
     * quantization (FAISS SQ8): per dimension, bucket
-    * t = (x−mn)/(mx−mn) into code c = min(⌊t·256⌋, 255) and
+    * t = (x−mn)/(mx−mn) into code c = clamp(⌊t·256⌋, 0, 255) and
     * reconstruct mn + c·((mx−mn)/255). ⌊·⌋ (not round) so no
     * tie-breaking mode can diverge across engines; a constant
-    * dimension (mx = mn) reconstructs to mn. */
+    * dimension (mx = mn) reconstructs to mn. Clamped at BOTH ends,
+    * matching FAISS: stats come from the corpus, so a QUERY
+    * component outside the corpus per-dimension range must saturate
+    * to code 0/255, not leave the uint8 domain. */
   def sq8Reconstruct(emb: Column, mn: Array[Double], mx: Array[Double])
       : Column = {
     val mnL = lit(mn)
@@ -516,7 +519,7 @@ object Similarity {
         val m = element_at(mnL, d + 1)
         val bigM = element_at(mxL, d + 1)
         val t = when(bigM === m, lit(0.0)).otherwise((x - m) / (bigM - m))
-        val c = least(floor(t * 256), lit(255.0))
+        val c = greatest(least(floor(t * 256), lit(255.0)), lit(0.0))
         m + c * ((bigM - m) / 255.0)
       })
   }
@@ -590,18 +593,40 @@ object Similarity {
     *
     * Scale shape: the pair join is an equi-join on the cluster code
     * (SemDeDup's per-cluster quadratic, bounded by cluster size —
-    * pick `planes` so 2^planes ≈ √N, the paper's k); clustering is
+    * pick `planes` so 2^planes ≈ √N, the paper's k;
+    * [[semDedupPlanesFor]] computes exactly that); clustering is
     * [[EntityResolution.connectedComponents]] (driver union-find on
-    * small edge sets, distributed pointer-jumping past 2^20). */
+    * small edge sets, distributed pointer-jumping past 2^20).
+    *
+    * Miscalibration guard: "2^planes ≈ √N" was previously only
+    * documented — nothing stopped a caller from running 10⁹ vectors
+    * through 16 cells, where one cell's within-cluster pairwise
+    * silently goes quadratic on ~6·10⁷ rows. The operator now
+    * CHECKS the cluster histogram (one cheap aggregation over the
+    * coded vectors — the operator already runs jobs for the
+    * component pass) and refuses when the largest cell exceeds
+    * `maxClusterSize`, naming the plane count that would fix it. */
   def semDedupKeep(
       vectors: DataFrame, threshold: Double, planes: Int = 4,
-      dims: Int = 64, idCol: String = "vec_id", embCol: String = "embedding")
-      : DataFrame = {
+      dims: Int = 64, idCol: String = "vec_id", embCol: String = "embedding",
+      maxClusterSize: Long = 1L << 16): DataFrame = {
     val coded = vectors
       .select(col(idCol).cast("long").as("vec_id"),
         col(embCol).cast("array<double>").as("emb"),
         element_at(srpBandCodes(col(embCol), planes, 1, dims), 1)
           .as("cluster"))
+    val (worst, total) = {
+      val r = coded.groupBy("cluster").agg(count(lit(1)).as("n"))
+        .agg(coalesce(max("n"), lit(0L)), coalesce(sum("n"), lit(0L)))
+        .head
+      (r.getLong(0), r.getLong(1))
+    }
+    require(worst <= maxClusterSize,
+      s"semDedupKeep: largest SRP cell holds $worst of $total vectors " +
+        s"(> maxClusterSize=$maxClusterSize) — within-cell pairwise " +
+        s"would run ~${worst}² comparisons. Raise planes to " +
+        s"~${semDedupPlanesFor(total)} (2^planes ≈ √N, the paper's " +
+        "cluster count) or raise maxClusterSize explicitly.")
     val edges = coded
       .select(col("cluster"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
       .join(coded.select(col("cluster"), col("vec_id").as("id_b"),
@@ -618,6 +643,17 @@ object Similarity {
       .select(col("vec_id"), col("cluster"),
         col("component").as("canonical_id"),
         (col("vec_id") === col("component")).as("kept"))
+  }
+
+  /** Smallest SRP plane count with 2^planes ≥ √n — SemDeDup's
+    * "k ≈ √N" cluster-count rule (Abbas et al. 2023), so expected
+    * within-cell pairwise work is O(√N) rows per cell. Capped at 24
+    * planes (16.7M cells — past any realistic corpus's √N·safety). */
+  def semDedupPlanesFor(n: Long): Int = {
+    require(n >= 0, s"negative corpus count $n")
+    var p = 1
+    while (p < 24 && (1L << (2 * p)) < n) p += 1
+    p
   }
 
   /** Exact all-pairs cosine ≥ threshold via *block-partitioned*

@@ -141,8 +141,9 @@ object SimilarityPack extends QueryPack {
           FROM e, unnest(range(64)) d(d) GROUP BY d.d),
         rec AS (
           SELECT vec_id, list(CASE WHEN mx = mn THEN mn
-                                   ELSE mn + least(floor((emb[d + 1] - mn) /
-                                          (mx - mn) * 256), 255)
+                                   ELSE mn + greatest(least(
+                                          floor((emb[d + 1] - mn) /
+                                            (mx - mn) * 256), 255), 0)
                                         * ((mx - mn) / 255.0) END
                               ORDER BY d) AS emb
           FROM (SELECT e.vec_id, e.emb, s.d, s.mn, s.mx FROM e, stats s)

@@ -164,6 +164,34 @@ class CurationSpec extends SparkSpec {
     assert(out == brute)
   }
 
+  test("segmentDedup hot segment: no segment-keyed window, partial agg") {
+    import spark.implicits._
+    // one boilerplate segment shared by EVERY doc — the 100 TB skew
+    // shape (cookie banner / license header). A row_number window
+    // partitioned by md5(seg) would funnel all 100k occurrences into
+    // one reducer task; the groupBy+min(struct) form partial-
+    // aggregates them map-side.
+    val n = 100000L
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("the same banner u"), col("id"),
+        lit(" v"), col("id")).as("text"))
+    val out = Curation.segmentDedup(docs, segWords = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"no window may survive in segmentDedup; plan was:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"first-occurrence pick must partial-aggregate map-side:\n$plan")
+    // winner of the hot segment is doc 0; every doc keeps its tail
+    val got = out.filter(col("doc_id").isin(0L, 1L, 77777L))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_segs"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("dedup_text")))).toMap
+    assert(got(0L) == ((2L, 2L, "the same banner u0 v0")))
+    assert(got(1L) == ((2L, 1L, "u1 v1")))
+    assert(got(77777L) == ((2L, 1L, "u77777 v77777")))
+    assert(out.count() == n)
+  }
+
   test("shuffleShard is a deterministic permutation with dense ranks") {
     import spark.implicits._
     val df = (0L until 300L).toDF("doc_id")

@@ -193,6 +193,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"SQ8 recall@10 = $recall < 0.8")
   }
 
+  test("sq8 codec clamps out-of-range QUERY components at both ends") {
+    import spark.implicits._
+    // stats from this corpus: mn = [0,0], mx = [1,1]
+    val corpus = Seq((1L, Array(0.0f, 1.0f)), (2L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val (mn, mx) = Similarity.sq8Stats(corpus, 2)
+    // query outside the corpus range: below min and above max must
+    // saturate to codes 0/255 (FAISS behavior), never escape [mn,mx]
+    val rec = Seq((9L, Array(-5.0f, 7.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.sq8Reconstruct(col("embedding"), mn, mx).as("r"))
+      .head.getSeq[Double](0)
+    assert(rec(0) == mn(0), s"below-min component must clamp to mn, got ${rec(0)}")
+    assert(rec(1) == mx(1), s"above-max component must clamp to mx, got ${rec(1)}")
+  }
+
+  test("semDedupKeep refuses a miscalibrated plane count; planesFor picks √N") {
+    import spark.implicits._
+    // every vector points the same way → ALL land in one SRP cell;
+    // with a tiny maxClusterSize the guard must fire and name the fix
+    val vecs = (1L to 64L).map(i => (i, Array.fill(8)(1.0f + i * 1e-4f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDedupKeep(vecs, threshold = 0.99, planes = 4,
+        dims = 8, maxClusterSize = 16)
+    }
+    assert(e.getMessage.contains("largest SRP cell"))
+    assert(e.getMessage.contains("planes"))
+    // a well-calibrated call on the same data passes the guard
+    Similarity.semDedupKeep(vecs, threshold = 0.99, planes = 4,
+      dims = 8).count()
+    // planesFor: smallest p with 2^p >= sqrt(n)
+    assert(Similarity.semDedupPlanesFor(1L) == 1)
+    assert(Similarity.semDedupPlanesFor(256L) == 4)
+    assert(Similarity.semDedupPlanesFor(1L << 40) == 20)
+    assert(Similarity.semDedupPlanesFor(Long.MaxValue) == 24)
+  }
+
   test("semDedupKeep drops within-cluster near-identical vectors, keeps the rest") {
     import spark.implicits._
     val v = Array.fill(8)(1.0f)
