@@ -209,63 +209,82 @@ object Similarity {
     * lists can be maintained incrementally ([[ivfFlow]]) against a
     * frozen quantizer, FAISS-style.
     *
-    * Deterministic TakeOrdered sample: the `trainSize` corpus vectors
-    * with the smallest xxhash64(id) — data-independent order, so the
-    * index is reproducible run to run. ~1 MiB at the defaults; the
-    * quantizer is a driver-scale object, which is exactly how FAISS
-    * trains ivfflat: in-memory k-means on a sample, never a
-    * distributed job per Lloyd round. */
+    * Deterministic AND oracle-replicable (the q43/q106 scheme): the
+    * sample is the `trainSize` corpus vectors with the smallest
+    * md5(id) — a hash any SQL engine reproduces, unlike xxhash64 —
+    * and every sample component is quantized to an integer
+    * ⌊x·10⁶+0.5⌋ BEFORE training, so Lloyd's centroid updates are
+    * exact integer sums (order-free: Spark, the driver loop, and an
+    * external engine cannot drift on float accumulation order).
+    * Assignment cosines round to 6 decimals with ties to the lowest
+    * cell, the same cross-engine-proven comparison every KNN gate
+    * here uses. ~1 MiB at the defaults; the quantizer is a
+    * driver-scale object, which is exactly how FAISS trains ivfflat:
+    * in-memory k-means on a sample, never a distributed job per
+    * Lloyd round. */
   def ivfTrainQuantizer(
       corpus: DataFrame, nCells: Int = 16, lloydRounds: Int = 3,
       trainSize: Int = 4096,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sampleRows: Array[Array[Double]] = corpus
+    val sampleQ: Array[Array[Long]] = corpus
       .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
-      .withColumn("h", xxhash64(col("neighbor_id")))
+      .withColumn("h", md5(col("neighbor_id").cast("string")))
       .orderBy(col("h"), col("neighbor_id"))
       .limit(math.max(trainSize, nCells))
       .select(col("c_emb").cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toArray)
-    lloyd(sampleRows, nCells, lloydRounds).zipWithIndex
+      .collect().map(_.getSeq[Double](0).toArray
+        .map(x => math.floor(x * 1e6 + 0.5).toLong))
+    lloyd(sampleQ, nCells, lloydRounds).zipWithIndex
       .map { case (a, i) => (i.toLong, a.toSeq) }.toSeq
       .toDF("cell", "centroid")
   }
 
-  /** In-memory spherical k-means (cosine Lloyd) over the sample:
-    * init = first k sample vectors, assignment by highest cosine
-    * (ties → lowest cell), update = element-wise mean; an emptied
-    * cell keeps its previous centroid. Deterministic for a fixed
-    * sample order. */
-  private def lloyd(points: Array[Array[Double]], k: Int,
+  /** round(x, 6), HALF_UP — bit-identical to Spark's `round(col, 6)`
+    * (both go through BigDecimal.setScale HALF_UP) and to DuckDB's
+    * round(x, 6), the equivalence every oracle-checked cosine gate
+    * already leans on. */
+  private[operators] def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** In-memory spherical k-means (cosine Lloyd) over the
+    * 10⁻⁶-quantized sample: init = first k sample vectors,
+    * assignment by highest round-6 cosine (ties → lowest cell),
+    * update = exact integer sum / (count·10⁶); an emptied cell keeps
+    * its previous centroid. Deterministic for a fixed sample order,
+    * and replayable by an external SQL engine (integer sums are
+    * order-free; the only float reductions — cosine dot/norms — sit
+    * behind the round-6 comparison). */
+  private def lloyd(pointsQ: Array[Array[Long]], k: Int,
       rounds: Int): Array[Array[Double]] = {
-    if (points.isEmpty) return Array.empty
-    val dim = points(0).length
+    if (pointsQ.isEmpty) return Array.empty
+    val dim = pointsQ(0).length
+    val points = pointsQ.map(_.map(_ / 1e6))
     var cents = points.take(k).map(_.clone)
     for (_ <- 1 to rounds) {
-      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val sums = Array.fill(cents.length)(new Array[Long](dim))
       val counts = new Array[Long](cents.length)
-      points.foreach { p =>
+      var pi = 0
+      while (pi < points.length) {
+        val p = points(pi)
         var best = 0; var bestCs = Double.NegativeInfinity
         var ci = 0
         while (ci < cents.length) {
-          val cs = cosineOf(p, cents(ci))
+          val cs = round6(cosineOf(p, cents(ci)))
           if (cs > bestCs) { bestCs = cs; best = ci }
           ci += 1
         }
+        val q = pointsQ(pi)
         var d = 0
-        while (d < dim) { sums(best)(d) += p(d); d += 1 }
+        while (d < dim) { sums(best)(d) += q(d); d += 1 }
         counts(best) += 1
+        pi += 1
       }
       cents = cents.zipWithIndex.map { case (old, ci) =>
         if (counts(ci) == 0) old
-        else {
-          val m = new Array[Double](dim)
-          var d = 0
-          while (d < dim) { m(d) = sums(ci)(d) / counts(ci); d += 1 }
-          m
-        }
+        else Array.tabulate(dim)(d =>
+          sums(ci)(d).toDouble / (counts(ci) * 1e6))
       }
     }
     cents
@@ -433,7 +452,9 @@ object Similarity {
 
   /** Nearest `take` cells per vector (broadcast the tiny centroid
     * table; primitive-loop cosine — the interpreted HOF form was the
-    * training bottleneck). */
+    * training bottleneck). Scores round to 6 decimals before the
+    * argmax/rank so cell choice is robust to summation order and an
+    * external engine reproduces it (ties → lowest cell). */
   private def assignCells(vecs: DataFrame, centroids: DataFrame,
       take: Int): DataFrame = {
     val cos = udf { (a: Seq[Float], b: Seq[Double]) =>
@@ -443,7 +464,7 @@ object Similarity {
         val x = a(i).toDouble; val y = b(i)
         dot += x * y; na += x * x; nb += y * y; i += 1
       }
-      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+      if (na == 0 || nb == 0) 0.0 else round6(dot / math.sqrt(na * nb))
     }
     val scored = vecs.crossJoin(broadcast(centroids))
       .withColumn("cs", cos(col("c_emb"), col("centroid")))

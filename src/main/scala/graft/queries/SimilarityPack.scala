@@ -247,14 +247,121 @@ object SimilarityPack extends QueryPack {
         Similarity.contrastiveTriplets(emb.filter(col("vec_id") < 32), emb)
       }),
 
-    // ---- approximate KNN via IVF (no oracle: approximate; recall
-    // asserted in SimilaritySpec). Build/query split: the index is
-    // built once per dataset (ivfIndexFor — the DDL-built-index
-    // analog) and the query only quantizes the batch, probes nProbe
-    // cells and re-ranks. ------------------------------------------------
+    // ---- approximate KNN via IVF ----------------------------------------
+    // VALUE-EXACT (round 13, formerly rows-only): the quantizer is
+    // deterministic AND oracle-replicable — the training sample is
+    // the 4096 vectors with the smallest md5(id) (a hash DuckDB
+    // shares, vs the old Spark-private xxhash64), sample components
+    // quantize to integers ⌊x·10⁶+0.5⌋ so Lloyd's centroid updates
+    // are exact order-free integer sums, and every assignment cosine
+    // rounds to 6 decimals (ties → lowest cell) — the comparison
+    // q40/q43 already proved cross-engine. The oracle replays the
+    // whole pipeline: 3 unrolled Lloyd rounds (assign aN / update uN
+    // / carry empty cells cN), full-corpus cell assignment, nProbe=4
+    // probes, candidate equi-join, round-6 re-rank. Build/query
+    // split: the index is built once per dataset (ivfIndexFor — the
+    // DDL-built-index analog) and the query only quantizes the
+    // batch, probes nProbe cells and re-ranks.
     Q(
       "q47_knn_ivf",
-      None,
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        samp AS (
+          SELECT row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn, emb
+          FROM e
+          QUALIFY rn <= 4096),
+        sd AS (
+          SELECT rn, d.d AS d,
+                 CAST(floor(emb[d.d + 1] * 1000000 + 0.5) AS BIGINT) AS q
+          FROM samp, unnest(range(64)) d(d)),
+        sn AS (SELECT rn, sum((q/1000000.0)*(q/1000000.0)) AS ns
+               FROM sd GROUP BY rn),
+        c0 AS (SELECT rn - 1 AS cell, d, q/1000000.0 AS v
+               FROM sd WHERE rn <= 16),
+        n1 AS (SELECT cell, sum(v*v) AS nc FROM c0 GROUP BY cell),
+        d1 AS (SELECT sd.rn, c.cell, sum((sd.q/1000000.0) * c.v) AS dot
+               FROM sd JOIN c0 c ON sd.d = c.d GROUP BY sd.rn, c.cell),
+        a1 AS (
+          SELECT rn, cell FROM (
+            SELECT d.rn, d.cell,
+                   row_number() OVER (PARTITION BY d.rn ORDER BY
+                     round(CASE WHEN sn.ns = 0 OR n.nc = 0 THEN 0
+                                ELSE d.dot / sqrt(sn.ns * n.nc) END, 6) DESC,
+                     d.cell) AS rnk
+            FROM d1 d JOIN sn ON sn.rn = d.rn JOIN n1 n ON n.cell = d.cell) x
+          WHERE rnk = 1),
+        u1 AS (SELECT a.cell, sd.d,
+                      CAST(sum(sd.q) AS DOUBLE) / (count(*) * 1000000.0) AS v
+               FROM a1 a JOIN sd ON sd.rn = a.rn GROUP BY a.cell, sd.d),
+        c1 AS (SELECT c.cell, c.d, COALESCE(u.v, c.v) AS v
+               FROM c0 c LEFT JOIN u1 u ON u.cell = c.cell AND u.d = c.d),
+        n2 AS (SELECT cell, sum(v*v) AS nc FROM c1 GROUP BY cell),
+        d2 AS (SELECT sd.rn, c.cell, sum((sd.q/1000000.0) * c.v) AS dot
+               FROM sd JOIN c1 c ON sd.d = c.d GROUP BY sd.rn, c.cell),
+        a2 AS (
+          SELECT rn, cell FROM (
+            SELECT d.rn, d.cell,
+                   row_number() OVER (PARTITION BY d.rn ORDER BY
+                     round(CASE WHEN sn.ns = 0 OR n.nc = 0 THEN 0
+                                ELSE d.dot / sqrt(sn.ns * n.nc) END, 6) DESC,
+                     d.cell) AS rnk
+            FROM d2 d JOIN sn ON sn.rn = d.rn JOIN n2 n ON n.cell = d.cell) x
+          WHERE rnk = 1),
+        u2 AS (SELECT a.cell, sd.d,
+                      CAST(sum(sd.q) AS DOUBLE) / (count(*) * 1000000.0) AS v
+               FROM a2 a JOIN sd ON sd.rn = a.rn GROUP BY a.cell, sd.d),
+        c2 AS (SELECT c.cell, c.d, COALESCE(u.v, c.v) AS v
+               FROM c1 c LEFT JOIN u2 u ON u.cell = c.cell AND u.d = c.d),
+        n3 AS (SELECT cell, sum(v*v) AS nc FROM c2 GROUP BY cell),
+        d3 AS (SELECT sd.rn, c.cell, sum((sd.q/1000000.0) * c.v) AS dot
+               FROM sd JOIN c2 c ON sd.d = c.d GROUP BY sd.rn, c.cell),
+        a3 AS (
+          SELECT rn, cell FROM (
+            SELECT d.rn, d.cell,
+                   row_number() OVER (PARTITION BY d.rn ORDER BY
+                     round(CASE WHEN sn.ns = 0 OR n.nc = 0 THEN 0
+                                ELSE d.dot / sqrt(sn.ns * n.nc) END, 6) DESC,
+                     d.cell) AS rnk
+            FROM d3 d JOIN sn ON sn.rn = d.rn JOIN n3 n ON n.cell = d.cell) x
+          WHERE rnk = 1),
+        u3 AS (SELECT a.cell, sd.d,
+                      CAST(sum(sd.q) AS DOUBLE) / (count(*) * 1000000.0) AS v
+               FROM a3 a JOIN sd ON sd.rn = a.rn GROUP BY a.cell, sd.d),
+        c3 AS (SELECT c.cell, c.d, COALESCE(u.v, c.v) AS v
+               FROM c2 c LEFT JOIN u3 u ON u.cell = c.cell AND u.d = c.d),
+        cn AS (SELECT cell, sum(v*v) AS nc FROM c3 GROUP BY cell),
+        en AS (SELECT vec_id, sum(emb[d.d + 1] * emb[d.d + 1]) AS ne
+               FROM e, unnest(range(64)) d(d) GROUP BY vec_id),
+        ed AS (SELECT e.vec_id, c.cell, sum(e.emb[c.d + 1] * c.v) AS dot
+               FROM e, c3 c GROUP BY e.vec_id, c.cell),
+        ranked AS (
+          SELECT ed.vec_id, ed.cell,
+                 row_number() OVER (PARTITION BY ed.vec_id ORDER BY
+                   round(CASE WHEN en.ne = 0 OR cn.nc = 0 THEN 0
+                              ELSE ed.dot / sqrt(en.ne * cn.nc) END, 6) DESC,
+                   ed.cell) AS rnk
+          FROM ed JOIN en ON en.vec_id = ed.vec_id
+                  JOIN cn ON cn.cell = ed.cell),
+        asg AS (SELECT vec_id, cell FROM ranked WHERE rnk = 1),
+        pr AS (SELECT vec_id AS query_id, cell FROM ranked
+               WHERE vec_id < 8 AND rnk <= 4),
+        cand AS (
+          SELECT DISTINCT pr.query_id, a.vec_id AS neighbor_id
+          FROM pr JOIN asg a ON a.cell = pr.cell
+          WHERE CAST(pr.query_id AS VARCHAR) <> CAST(a.vec_id AS VARCHAR))
+        SELECT query_id, neighbor_id, score, CAST(rnk AS INT) AS rank
+        FROM (
+          SELECT cd.query_id, cd.neighbor_id,
+                 round(list_cosine_similarity(a.emb, b.emb), 6) AS score,
+                 row_number() OVER (PARTITION BY cd.query_id
+                   ORDER BY round(list_cosine_similarity(a.emb, b.emb), 6)
+                     DESC, cd.neighbor_id) AS rnk
+          FROM cand cd
+          JOIN e a ON a.vec_id = cd.query_id
+          JOIN e b ON b.vec_id = cd.neighbor_id) x
+        WHERE rnk <= 10"""),
       (s, dir) => {
         val index = Similarity.ivfIndexFor(s"$dir/embeddings",
           Tables(s, dir, "embeddings"))
