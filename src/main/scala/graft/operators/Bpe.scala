@@ -159,4 +159,21 @@ object Bpe {
     encode(docs, merges, textCol)
       .select(col(idCol), col("n_bpe_tokens"))
   }
+
+  /** Token-budget sequence packing on LEARNED token counts — the
+    * composite every pretraining pipeline actually runs (the packing
+    * cut must fall on tokenizer tokens, not the 2-3×-drifting word
+    * count): encode with `merges`, then [[Packing.streamPack]] the
+    * `n_bpe_tokens` stream into `capacity`-token sequences. Returns
+    * (idCol, n_bpe_tokens, seq_id, seq_offset). Same scale shape as
+    * its parts: one encode map pass (broadcast merge table), then
+    * the distributed two-phase prefix sum — no single-reducer global
+    * window. */
+  def packByTokenBudget(docs: DataFrame, merges: Merges, capacity: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    Packing.streamPack(
+      encode(docs, merges, textCol)
+        .select(col(idCol), col("n_bpe_tokens").cast("long")
+          .as("n_bpe_tokens")),
+      idCol, "n_bpe_tokens", capacity)
 }

@@ -29,7 +29,116 @@ object CurationPack extends QueryPack {
   private val MixtureWeights: Map[String, Double] = Map(
     "en" -> 0.9, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.25, "zh" -> 0.1)
 
-  val all: Seq[Q] = Seq(
+  /** q119 gate plumbing (not library surface): the run memoizes its
+    * corpus-trained merge table so the ORACLE can be emitted with the
+    * identical merges as a literal relation. Sound because Verify
+    * dumps `oracle_sql.json` AFTER executing every query in the same
+    * JVM (and the driver always runs the full set); if the query has
+    * not run in this JVM the oracle is omitted → a rows-only check,
+    * never a wrong one. */
+  @volatile private var q119Merges
+      : Option[graft.operators.Bpe.Merges] = None
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB restatement of greedy BPE encode + token-budget packing:
+    * the merge table rides in as a literal list (rank = list
+    * position; pair key = left || chr(1) || right — the corpus is
+    * ASCII, chr(1) cannot collide), each DISTINCT word replays
+    * "apply the lowest-rank applicable merge, leftmost on rank ties"
+    * through a recursive CTE whose per-step argmin is pure list
+    * lambda arithmetic (no aggregation in the recursive term), final
+    * states are the fixpoints with no applicable merge, and the
+    * packing window restates q69's prefix-sum cut on the summed
+    * learned counts. NOTE nullif(..., 0): DuckDB list_position
+    * returns 0, not NULL, on a miss. */
+  private def q119OracleSql(m: graft.operators.Bpe.Merges): String = {
+    val elems = m.ordered
+      .map { case (a, b) => s"${sqlLit(a)} || chr(1) || ${sqlLit(b)}" }
+      .mkString(", ")
+    s"""
+        WITH RECURSIVE mt AS (SELECT [$elems] AS ml),
+        w AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents),
+        occ AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        words AS (SELECT DISTINCT word FROM occ),
+        init AS (
+          SELECT word,
+                 list_concat(
+                   string_split(word, '')[1:len(string_split(word, '')) - 1],
+                   [string_split(word, '')[len(string_split(word, ''))]
+                      || '</w>']) AS syms
+          FROM words),
+        enc(word, syms) AS (
+          SELECT word, syms FROM init
+          UNION ALL
+          SELECT word,
+                 list_concat(list_concat(
+                   syms[1:bp-1], [syms[bp] || syms[bp+1]]),
+                   syms[bp+2:]) AS syms
+          FROM (
+            SELECT word, syms,
+                   coalesce(list_aggregate(rk, 'min'), 9999999) AS mr,
+                   list_position(rk, list_aggregate(rk, 'min')) AS bp
+            FROM (
+              SELECT e.word, e.syms,
+                     list_transform(range(1, len(e.syms)), i ->
+                       coalesce(nullif(list_position(mt.ml,
+                         e.syms[i] || chr(1) || e.syms[i+1]), 0),
+                         9999999)) AS rk
+              FROM enc e, mt) y) z
+          WHERE mr < 9999999),
+        fin AS (
+          SELECT word, len(syms) AS n FROM enc, mt
+          WHERE coalesce(list_aggregate(
+                  list_transform(range(1, len(syms)), i ->
+                    coalesce(nullif(list_position(mt.ml,
+                      syms[i] || chr(1) || syms[i+1]), 0), 9999999)),
+                  'min'), 9999999) = 9999999),
+        sums AS (
+          SELECT o.doc_id, sum(f.n) AS n
+          FROM occ o JOIN fin f USING (word) GROUP BY o.doc_id),
+        tc AS (
+          SELECT w.doc_id, coalesce(s.n, 0) AS n
+          FROM w LEFT JOIN sums s USING (doc_id))
+        SELECT doc_id, CAST(n AS INT) AS n_bpe_tokens,
+               CAST(pre // 256 AS INT) AS seq_id,
+               CAST(pre % 256 AS INT) AS seq_offset
+        FROM (SELECT doc_id, n,
+                     coalesce(sum(n) OVER (
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS pre
+              FROM tc)"""
+  }
+
+  // ---- token-budget sequence packing on LEARNED BPE counts -------------
+  // (q69 cuts on the regex word count; every real pretraining
+  // pipeline budgets on tokenizer tokens — this wires the q110
+  // corpus-trained tokenizer into the q69 packing cut. Value-exact:
+  // the oracle replays greedy encode per distinct word from the same
+  // merge table and restates the packing window.)
+  private def q119: Q = Q(
+    "q119_bpe_pack",
+    q119Merges.map(q119OracleSql),
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val merges = graft.operators.Bpe.train(docs, numMerges = 150)
+      q119Merges = Some(merges)
+      graft.operators.Bpe.packByTokenBudget(docs, merges, capacity = 256)
+        .select(col("doc_id"),
+          col("n_bpe_tokens").cast("int").as("n_bpe_tokens"),
+          col("seq_id").cast("int").as("seq_id"), col("seq_offset"))
+    })
+
+  /** `def`, not `val`: q119's oracle is late-bound — it embeds the
+    * merge table its run trained (see [[q119Merges]]), so the Q list
+    * must be rebuilt when [[graft.SparkEntry.oracleSql]] is dumped. */
+  def all: Seq[Q] = fixed :+ q119
+
+  private val fixed: Seq[Q] = Seq(
 
     // ---- Gopher repetition rules (Rae et al. 2021 §A1.1) ----------------
     // top-1-gram / top-2-gram occurrence fractions + distinct-word

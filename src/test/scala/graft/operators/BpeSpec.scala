@@ -85,4 +85,39 @@ class BpeSpec extends SparkSpec {
     }
     assert(got.find(_._1 == 3L).get._3 == 0)
   }
+
+  test("packByTokenBudget cuts sequences on learned counts, not word counts") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "aa aa aa aa"), (2L, "aa bb aa bb"), (3L, "cc dd"),
+      (4L, ""), (5L, "aa aa bb bb cc cc dd dd"), (6L, "xyzzy"))
+    val docs = raw.toDF("doc_id", "text")
+    // 2 merges: frequent words compress, the rare "xyzzy" stays
+    // multi-symbol — so the cut provably lands on learned counts
+    val merges = Bpe.train(docs, numMerges = 2)
+    val got = Bpe.packByTokenBudget(docs, merges, capacity = 7)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bpe_tokens"), r.getAs[Long]("seq_id"),
+          r.getAs[Int]("seq_offset")))).toMap
+    assert(got.keySet == raw.map(_._1).toSet)
+    // replay the exact layout driver-side: md5-order docs, run the
+    // prefix sum over driver-encoded counts, cut at capacity 7
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val counts = raw.map { case (id, text) =>
+      id -> text.split(' ').filter(_.nonEmpty)
+        .map(w => Bpe.encodeWord(w, merges).size.toLong).sum
+    }.toMap
+    var pre = 0L
+    raw.map(_._1).sortBy(id => (md5hex(id.toString), id)).foreach { id =>
+      assert(got(id) == ((counts(id), pre / 7, (pre % 7).toInt)),
+        s"doc $id: ${got(id)} vs prefix $pre count ${counts(id)}")
+      pre += counts(id)
+    }
+    // the cut really lands on BPE counts: at least one doc's learned
+    // count differs from its word count (merges compress repeats)
+    assert(raw.exists { case (id, t) =>
+      counts(id) != t.split(' ').count(_.nonEmpty) })
+  }
 }
