@@ -87,6 +87,11 @@ object Bench {
     // stamp-and-record. SPARK_GRAFT_BENCH_FORCE=1 overrides.
     val quiesceMs =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIESCE_MS", "240000").toLong
+    // the SOFT signal (decaying 5-min load) gets a longer budget than
+    // the hard one: waiting out a finished JVM's load tail is cheap,
+    // recording over it costs a reviewer a re-run
+    val softQuiesceMs =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SOFT_QUIESCE_MS", "1200000").toLong
     // Non-JVM load contends the measurement just as hard as a foreign
     // JVM (the r10 lesson: load 2.46 at start with other_jvms=0 read
     // as phantom 3-5x regressions). On a 32-cpu box an idle baseline
@@ -97,8 +102,15 @@ object Bench {
     // fake).
     val loadMax =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "1.5").toDouble
+    // < 1.0 (r12 verdict): a stamped load5 of 1.59 passed the old 3.0
+    // bar but still meant the box hadn't settled — wait until the
+    // 5-minute average itself is quiet before recording. load5 decays
+    // with a 5-minute time constant, so the longer soft wait below
+    // (not a refusal — the usual cause is the driver's own verify JVM
+    // having just exited) clears any realistic backlog: 1.59→1.0
+    // takes ~2.3 min, 10→1.0 ~11.5 min.
     val load5Max =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD5_MAX", "3.0").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD5_MAX", "1.0").toDouble
     // Hard contention (refuse): a live foreign JVM or a hot 1-minute
     // average — someone else is running NOW. Soft contention (wait,
     // then stamp-and-proceed): only the 5-minute average is elevated,
@@ -112,8 +124,10 @@ object Bench {
     val t0 = System.currentTimeMillis()
     var jvmsAtStart = otherJvms()
     var (load1, load5) = loadAvg()
+    def budget(): Long =
+      if (hard(jvmsAtStart, load1)) quiesceMs else softQuiesceMs
     while ((hard(jvmsAtStart, load1) || soft(load5)) &&
-        System.currentTimeMillis() - t0 < quiesceMs) {
+        System.currentTimeMillis() - t0 < budget()) {
       System.err.println(
         f"[bench] waiting to record: $jvmsAtStart other JVM(s), " +
           f"load1 $load1%.2f (max $loadMax%.2f), " +
@@ -178,6 +192,27 @@ object Bench {
       java.nio.file.Paths.get("bench_out.json"), json + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write bench_out.json: $e") }
+    // per-round snapshot (r12 verdict): bench_out.json is overwritten
+    // every run, so the full per-query history was lost once the
+    // driver's truncated tail capture dropped q01–q28 — ALSO write
+    // BENCH_FULL_r<N>.json, N inferred as max existing driver round
+    // + 1 (the driver writes BENCH_r<N>.json at round end; this run
+    // is recording FOR the round in progress). Restricted/tier runs
+    // skip the snapshot — only a full recording is a round artifact.
+    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_BENCH_TIER")) {
+      try {
+        val rx = "BENCH_r(\\d+)\\.json".r
+        val dir = new java.io.File(".").listFiles()
+        val lastRound = Option(dir).toSeq.flatten
+          .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+          .foldLeft(0)(math.max)
+        val name = f"BENCH_FULL_r${lastRound + 1}%02d.json"
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(name), json + "\n")
+        System.err.println(s"[bench] full per-query snapshot: $name")
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write round snapshot: $e") }
+    }
     spark.stop()
   }
 }
