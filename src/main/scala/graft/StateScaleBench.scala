@@ -143,7 +143,10 @@ object NoopTarget extends Target {
 
 object StateScaleBench {
   def main(args: Array[String]): Unit = {
-    val ns = sys.env.getOrElse("SPARK_GRAFT_SCALE_NS", "100,1000,10000")
+    // 10^5 components (r12 verdict task #6): the 100× story needs the
+    // edit-commit-bytes-constant / cold-linear invariants shown past
+    // the 10^4 sweep the earlier rounds measured
+    val ns = sys.env.getOrElse("SPARK_GRAFT_SCALE_NS", "100,1000,10000,100000")
       .split(",").map(_.trim.toInt).toSeq
     // m=8 covers the many-target-states-per-component shape: edit
     // bytes must stay O(changed · M), never O(N · M)
@@ -168,5 +171,35 @@ object StateScaleBench {
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
     spark.stop()
+    // scale-shape assertions, checked AFTER the artifact is written
+    // so a violation still leaves the numbers on disk to inspect:
+    //  - edit-commit bytes must be O(changed·M): invariant in N
+    //    (≤1.5× spread across the sweep for each M)
+    //  - warm runs must be no-op commits (zero bytes)
+    //  - cold bytes must stay ~linear: superlinear growth (>2× the
+    //    component ratio between adjacent N) fails
+    var bad = List.empty[String]
+    cells.groupBy(_.m).foreach { case (m, cs) =>
+      val edits = cs.map(_.editBytes)
+      if (edits.min > 0 && edits.max.toDouble / edits.min > 1.5)
+        bad ::= s"m=$m: edit bytes not N-invariant: ${edits.mkString(",")}"
+      cs.filter(_.warmBytes != 0).foreach(c =>
+        bad ::= s"n=${c.n} m=$m: warm run wrote ${c.warmBytes} bytes")
+      cs.sortBy(_.n).sliding(2).foreach {
+        case Seq(a, b) =>
+          val ratio = b.coldBytes.toDouble / math.max(a.coldBytes, 1)
+          val nRatio = b.n.toDouble / a.n
+          if (ratio > 2 * nRatio)
+            bad ::= s"m=$m: cold bytes superlinear " +
+              s"${a.n}→${b.n}: ${a.coldBytes}→${b.coldBytes}"
+        case _ =>
+      }
+    }
+    if (bad.nonEmpty) {
+      bad.foreach(msg => System.err.println(s"[state-scale] FAIL $msg"))
+      sys.exit(4)
+    }
+    System.err.println("[state-scale] invariants hold: edit O(changed·M), " +
+      "warm no-op, cold ~linear")
   }
 }
