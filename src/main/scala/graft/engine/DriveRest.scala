@@ -94,36 +94,62 @@ object GoogleServiceAccount {
   /** Caching provider: exchanges on first use and re-exchanges when
     * within `refreshSkewMs` of expiry. Serializable (executor-side
     * fetch batches carry it); the cache is genuinely per-JVM: a
-    * STATIC map keyed by (clientEmail, tokenUri, scope), so the many
-    * deserialized provider copies in executor-side fetch tasks share
-    * one token instead of each re-exchanging (an instance-field
-    * `@transient` cache resets on every deserialization). */
+    * STATIC map so the many deserialized provider copies in
+    * executor-side fetch tasks share one token instead of each
+    * re-exchanging (an instance-field `@transient` cache resets on
+    * every deserialization).
+    *
+    * Cache identity includes a fingerprint of the PRIVATE KEY, not
+    * just (email, uri, scope): after a service-account key rotation
+    * the same email must not keep serving the stale token until
+    * expiry. Locking is per-key: the token exchange is a network
+    * call, and holding one global lock across it would serialize
+    * unrelated credentials' refreshes behind a slow endpoint. */
   final class TokenProvider(creds: Credentials,
       scope: String = DriveScope, refreshSkewMs: Long = 60000L)
       extends Serializable {
-    private def cacheKey = (creds.clientEmail, creds.tokenUri, scope)
+    @transient private lazy val keyFp: String = {
+      val enc = Option(creds.privateKey.getEncoded)
+      enc.map { bytes =>
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(bytes).take(12).map("%02x".format(_)).mkString
+      }.getOrElse(
+        // opaque (e.g. HSM-backed) keys expose no encoding: fall back
+        // to instance identity — never shared across a real rotation
+        s"id:${System.identityHashCode(creds.privateKey)}")
+    }
+    private def cacheKey =
+      (creds.clientEmail, creds.tokenUri, scope, keyFp)
     def token(): String = {
       val now = System.currentTimeMillis()
       val cached = TokenProvider.cache.get(cacheKey)
       if (cached != null && cached._2 - refreshSkewMs > now) cached._1
-      else TokenProvider.cache.synchronized {
-        // re-check under the lock: one exchange per JVM, not per task
-        val c2 = TokenProvider.cache.get(cacheKey)
-        if (c2 != null && c2._2 - refreshSkewMs > now) c2._1
-        else {
-          val fresh = exchange(creds, scope)
-          TokenProvider.cache.put(cacheKey, fresh)
-          fresh._1
+      else {
+        val lock = TokenProvider.locks
+          .computeIfAbsent(cacheKey, _ => new Object)
+        lock.synchronized {
+          // re-check under the per-key lock: one exchange per key per
+          // JVM, concurrent refreshes of OTHER keys unblocked
+          val c2 = TokenProvider.cache.get(cacheKey)
+          if (c2 != null && c2._2 - refreshSkewMs > now) c2._1
+          else {
+            val fresh = exchange(creds, scope)
+            TokenProvider.cache.put(cacheKey, fresh)
+            fresh._1
+          }
         }
       }
     }
   }
 
   object TokenProvider {
-    private val cache = new java.util.concurrent.ConcurrentHashMap[
-      (String, String, String), (String, Long)]()
+    private type Key = (String, String, String, String)
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[Key, (String, Long)]()
+    private val locks =
+      new java.util.concurrent.ConcurrentHashMap[Key, Object]()
     /** Test seam: drop every cached token. */
-    private[engine] def clearCache(): Unit = cache.clear()
+    private[engine] def clearCache(): Unit = { cache.clear(); locks.clear() }
   }
 }
 

@@ -98,7 +98,7 @@ final class StateStore(spark: SparkSession, rootDir: String) {
     else if (segs.isEmpty) spark.read.schema(schema).parquet(base.toString)
     else {
       val key = (rootKey, v, table)
-      val cached = StateStore.readCache.get(key)
+      val cached = StateStore.readCacheGet(key)
       // a cached view is only valid for a LIVE session: after a
       // session stop/restart in the same JVM the entry's plan is
       // bound to a dead context — drop and rebuild on this session
@@ -106,7 +106,7 @@ final class StateStore(spark: SparkSession, rootDir: String) {
         if (cached == null) null
         else if ((cached.sparkSession eq spark) &&
           !spark.sparkContext.isStopped) cached
-        else { StateStore.readCache.remove(key, cached); null }
+        else { StateStore.readCacheDrop(key, cached); null }
       if (cachedLive != null) cachedLive
       else {
         import org.apache.spark.sql.functions._
@@ -132,7 +132,7 @@ final class StateStore(spark: SparkSession, rootDir: String) {
           .filter(col("__rn") === 1 && !col(DelCol))
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val prior = StateStore.readCache.putIfAbsent(key, merged)
+        val prior = StateStore.readCachePutIfAbsent(key, merged)
         if (prior != null) { merged.unpersist(false); prior } else merged
       }
     }
@@ -366,19 +366,47 @@ object StateStore {
   /** JVM-wide memo of persisted merged reads, keyed by
     * (state root, snapshot version, table) — see [[StateStore.read]].
     * Snapshot immutability makes the key sound; entries die with
-    * their snapshot. */
-  private val readCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, String), DataFrame]()
+    * their snapshot — AND with LRU pressure: commits only evict
+    * entries of the SAME root, so a long session touching many roots
+    * (or many readScoped shard tables) would otherwise pin persisted
+    * views indefinitely. Bounded access-order LRU; the evicted view
+    * unpersists and the next reader simply rebuilds it. */
+  private val ReadCacheMax =
+    sys.env.getOrElse("SPARK_GRAFT_STATE_READ_CACHE_MAX", "64").toInt
+  /** Test seam: shrink the bound to observe eviction. */
+  private[engine] var readCacheMaxOverride: Option[Int] = None
+
+  private type ReadKey = (String, Long, String)
+  private val readCache =
+    new java.util.LinkedHashMap[ReadKey, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[ReadKey, DataFrame]): Boolean =
+        if (size() > readCacheMaxOverride.getOrElse(ReadCacheMax)) {
+          scala.util.Try(e.getValue.unpersist(blocking = false))
+          true
+        } else false
+    }
+
+  private[engine] def readCacheGet(key: ReadKey): DataFrame =
+    readCache.synchronized(readCache.get(key))
+  private[engine] def readCachePutIfAbsent(
+      key: ReadKey, df: DataFrame): DataFrame =
+    readCache.synchronized(readCache.putIfAbsent(key, df))
+  private[engine] def readCacheDrop(key: ReadKey, expected: DataFrame): Unit =
+    readCache.synchronized(readCache.remove(key, expected))
+  private[engine] def readCacheSize: Int =
+    readCache.synchronized(readCache.size())
 
   private def invalidateReadCache(rootKey: String, upTo: Long): Unit = {
     import scala.jdk.CollectionConverters._
-    readCache.keySet.asScala.toVector
-      .filter(k => k._1 == rootKey && k._2 <= upTo)
-      .foreach { k =>
-        val df = readCache.remove(k)
-        if (df != null)
-          scala.util.Try(df.unpersist(blocking = false))
-      }
+    val dead = readCache.synchronized {
+      val ks = readCache.keySet.asScala.toVector
+        .filter(k => k._1 == rootKey && k._2 <= upTo)
+      ks.map(k => readCache.remove(k))
+    }
+    dead.foreach { df =>
+      if (df != null) scala.util.Try(df.unpersist(blocking = false))
+    }
   }
 
   /** Segment-dir separator: `tracking@s000004` is delta segment 4 of

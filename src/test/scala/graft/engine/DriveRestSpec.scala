@@ -142,6 +142,34 @@ class DriveRestSpec extends SparkSpec {
     } finally s.close()
   }
 
+  test("service account: a rotated private key never reuses the stale token") {
+    val kp = rsaKeys()
+    val email = "walker@graft.iam.gserviceaccount.com"
+    val s = new MiniDrive("never-used", pageSize = 2,
+      serviceAccount = Some((email, kp.getPublic)))
+    try {
+      seed(s)
+      val tokenUri = s"${s.baseUrl}/token"
+      val provider = new GoogleServiceAccount.TokenProvider(
+        GoogleServiceAccount.Credentials(email, kp.getPrivate, tokenUri))
+      provider.token()
+      assert(s.tokenExchanges == 1)
+      // rotation: same (email, uri, scope), NEW private key. The cache
+      // key includes a key fingerprint, so the provider must attempt a
+      // FRESH exchange — which this server, still holding the old
+      // public key, rejects — rather than silently serving the old
+      // key's cached token (the pre-fix behavior).
+      val rotated = new GoogleServiceAccount.TokenProvider(
+        GoogleServiceAccount.Credentials(email, rsaKeys().getPrivate,
+          tokenUri))
+      val e = intercept[Batching.ApiStatusException] { rotated.token() }
+      assert(e.status == 401 && e.getMessage.contains("bad signature"))
+      // the original key's token is untouched and still cached
+      provider.token()
+      assert(s.authFailures == 0)
+    } finally s.close()
+  }
+
   test("service account: expired tokens refresh; forged JWTs rejected") {
     val kp = rsaKeys()
     val email = "walker@graft.iam.gserviceaccount.com"
