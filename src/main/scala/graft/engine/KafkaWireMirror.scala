@@ -171,16 +171,18 @@ final class KafkaWireMirrorSource(host: String, port: Int, topic: String,
       val spark = SparkSession.active
       ensureBootstrapped(spark)
       val spool = new Spooler(spark)
-      val keys = Vector.newBuilder[String]
-      var n = 0
+      // DISTINCT keys against the cap, not raw messages: a tick with
+      // many updates on few keys (a hot-key burst) stays on the
+      // incremental path instead of forcing an O(compacted-topic)
+      // re-list. The set is bounded at cap+1 — once it overflows we
+      // stop inserting, so driver residency stays O(drainKeyCap).
+      val keys = scala.collection.mutable.LinkedHashSet.empty[String]
       val next = (0 until nParts).map { p =>
         val end = KafkaWire.drainPartition(c = client, topic = topic,
           partition = p, from = committed(p)) { r =>
           spool.add(r)
-          if (r.key != null) {
-            n += 1
-            if (n <= drainKeyCap) keys += new String(r.key, UTF_8)
-          }
+          if (r.key != null && keys.size <= drainKeyCap)
+            keys += new String(r.key, UTF_8)
         }
         spool.flush()
         p -> end
@@ -190,9 +192,10 @@ final class KafkaWireMirrorSource(host: String, port: Int, topic: String,
       // the retried drain re-fetches and re-spools, and compaction
       // absorbs the duplicates — never a committed-but-unspooled gap
       pending = next
-      if (n > drainKeyCap) (Nil, true) // key set exceeds the driver
-        // cap: the engine re-lists (the log already has the delta)
-      else (keys.result().distinct, false)
+      if (keys.size > drainKeyCap) (Nil, true) // distinct-key set
+        // exceeds the driver cap: the engine re-lists (the log
+        // already has the delta)
+      else (keys.toSeq, false)
     }
 
     def close(): Unit = client.close() // deliberately no commit

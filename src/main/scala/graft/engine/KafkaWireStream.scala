@@ -63,14 +63,55 @@ final class KafkaWireStreamSource(host: String, port: Int, topic: String,
       .partitions.length
 
   /** Full replay from earliest — what a consumer with no committed
-    * offset sees before going live (the batch twin of [[feed]]). */
-  def replay(spark: SparkSession): DataFrame = {
-    val rows = withClient { c =>
-      (0 until partitionCount(c)).flatMap { p =>
-        drainPartition(c, topic, p, c.listOffset(topic, p, timestamp = -2L))._1
+    * offset sees before going live (the batch twin of [[feed]]).
+    *
+    * Scale shape: the topic NEVER materializes on the driver. Wire
+    * fetches spool into a parquet log in bounded `flushEvery` chunks
+    * (driver residency O(flushEvery), the [[KafkaWireMirrorSource]]
+    * spooler pattern) and the returned DataFrame is a distributed
+    * scan of that log — a 100-GB topic replays with the same driver
+    * footprint as a 100-row one, and the downstream plan (groupBy,
+    * window, join) reads parquet like any other table instead of a
+    * parallelized driver collection.
+    *
+    * @param spoolDir where the chunk log lands; a fresh temp dir per
+    *   call when absent (replay is a point-in-time scan, not a
+    *   resumable mirror — for an incremental durable mirror use
+    *   [[KafkaWireMirrorSource]]). */
+  def replay(spark: SparkSession, spoolDir: Option[String] = None,
+      flushEvery: Int = 100000): DataFrame = {
+    require(flushEvery > 0, "flushEvery must be positive")
+    val dir = spoolDir.getOrElse {
+      val d = java.nio.file.Files.createTempDirectory("graft-replay-spool")
+      d.toFile.deleteOnExit()
+      d.toString
+    }
+    val flushed = Vector.newBuilder[Int]
+    withClient { c =>
+      (0 until partitionCount(c)).foreach { p =>
+        val buf = Vector.newBuilder[WireStreamRecord]
+        var n = 0
+        def flush(): Unit = {
+          val chunk = buf.result()
+          if (chunk.nonEmpty) {
+            toDf(spark, chunk).write.mode("append").parquet(dir)
+            flushed += chunk.size
+          }
+          buf.clear(); n = 0
+        }
+        KafkaWire.drainPartition(c, topic, p,
+          c.listOffset(topic, p, timestamp = -2L)) { r =>
+          buf += WireStreamRecord(p, r.offset, r.timestamp,
+            Option(r.key).map(new String(_, UTF_8)),
+            Option(r.value).map(new String(_, UTF_8)))
+          n += 1
+          if (n >= flushEvery) flush()
+        }
+        flush()
       }
     }
-    toDf(spark, rows)
+    KafkaWireStreamSource.lastReplayFlushSizes = flushed.result()
+    spark.read.schema(schema).parquet(dir)
   }
 
   /** Arm the live feed NOW: resume at the group's broker-committed
@@ -83,6 +124,10 @@ final class KafkaWireStreamSource(host: String, port: Int, topic: String,
 }
 
 object KafkaWireStreamSource {
+
+  /** Test seam: per-chunk spool sizes of the most recent [[replay]] —
+    * each must be ≤ flushEvery (the driver-residency bound). */
+  @volatile private[engine] var lastReplayFlushSizes: Vector[Int] = Vector.empty
 
   val schema: StructType = StructType(Seq(
     StructField("partition", IntegerType, nullable = false),

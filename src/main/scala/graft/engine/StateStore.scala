@@ -127,6 +127,7 @@ final class StateStore(spark: SparkSession, rootDir: String) {
           }
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keys.map(col): _*).orderBy(col(SeqCol).desc)
+        StateStore.noteBuild(rootKey)
         val merged = parts.reduce(_.unionByName(_))
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1 && !col(DelCol))
@@ -369,40 +370,132 @@ object StateStore {
     * their snapshot — AND with LRU pressure: commits only evict
     * entries of the SAME root, so a long session touching many roots
     * (or many readScoped shard tables) would otherwise pin persisted
-    * views indefinitely. Bounded access-order LRU; the evicted view
-    * unpersists and the next reader simply rebuilds it. */
+    * views indefinitely.
+    *
+    * Eviction is ROOT-AWARE, not a flat LRU: a flat bound lets one
+    * root's churn (a gate creating many shard-table entries) evict
+    * another ACTIVE root's merged views between two of its own reads,
+    * forcing the union+window merge to re-run over and over — in a
+    * multi-flow gate that turned a bounded cache into a ~30% tax per
+    * gate. Structure: per-root sub-caches, both levels access-ordered.
+    * When the total exceeds the bound we evict the eldest entry of the
+    * least-recently-used root that is NOT among the 2 most-recently
+    * -used roots (active flows interleave at most a source and a
+    * target root between consecutive reads); if every root is that
+    * recent (≤ 2 roots live), the inserting root cannibalizes its own
+    * LRU entry — other roots' working sets are never touched. The
+    * evicted view unpersists and the next reader simply rebuilds it.
+    * The default bound is sized well above a single gate's working
+    * set (shards × tables × ≤2 live versions); entries are lazily
+    * persisted plans, so an entry costs memory only once computed and
+    * spills MEMORY_AND_DISK under pressure. */
   private val ReadCacheMax =
-    sys.env.getOrElse("SPARK_GRAFT_STATE_READ_CACHE_MAX", "64").toInt
+    sys.env.getOrElse("SPARK_GRAFT_STATE_READ_CACHE_MAX", "1024").toInt
+  /** Roots exempt from cross-root eviction (most-recently-used K). */
+  private val ReadCacheExemptRoots = 2
   /** Test seam: shrink the bound to observe eviction. */
   private[engine] var readCacheMaxOverride: Option[Int] = None
 
   private type ReadKey = (String, Long, String)
+  private type RootCache = java.util.LinkedHashMap[ReadKey, DataFrame]
+  /** Outer map: access-ordered by root; inner: access-ordered keys. */
   private val readCache =
-    new java.util.LinkedHashMap[ReadKey, DataFrame](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[ReadKey, DataFrame]): Boolean =
-        if (size() > readCacheMaxOverride.getOrElse(ReadCacheMax)) {
-          scala.util.Try(e.getValue.unpersist(blocking = false))
-          true
-        } else false
-    }
+    new java.util.LinkedHashMap[String, RootCache](16, 0.75f, true)
+  private var readCacheEntries = 0
+  /** Per-root count of merged-view BUILDS (cache misses that ran the
+    * union+window merge). Test seam for the no-thrash invariant: an
+    * active root re-read under other roots' churn must not rebuild. */
+  private[engine] val readBuildCounts =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private[engine] def noteBuild(rootKey: String): Unit = {
+    readBuildCounts.updateWith(rootKey) {
+      case Some(n) => Some(n + 1); case None => Some(1L)
+    }; ()
+  }
 
   private[engine] def readCacheGet(key: ReadKey): DataFrame =
-    readCache.synchronized(readCache.get(key))
+    readCache.synchronized {
+      val inner = readCache.get(key._1)
+      if (inner == null) null else inner.get(key)
+    }
+
   private[engine] def readCachePutIfAbsent(
-      key: ReadKey, df: DataFrame): DataFrame =
-    readCache.synchronized(readCache.putIfAbsent(key, df))
+      key: ReadKey, df: DataFrame): DataFrame = {
+    val dead = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val prior = readCache.synchronized {
+      val inner = readCache.computeIfAbsent(key._1,
+        _ => new RootCache(16, 0.75f, true))
+      val p = inner.putIfAbsent(key, df)
+      if (p == null) {
+        readCacheEntries += 1
+        evictLocked(insertingRoot = key._1, justPut = key, dead)
+      }
+      p
+    }
+    dead.foreach(d => scala.util.Try(d.unpersist(blocking = false)))
+    prior
+  }
+
+  /** Evict down to the bound. Caller holds the readCache monitor;
+    * victims are collected into `dead` and unpersisted outside it. */
+  private def evictLocked(
+      insertingRoot: String, justPut: ReadKey,
+      dead: scala.collection.mutable.ArrayBuffer[DataFrame]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val max = readCacheMaxOverride.getOrElse(ReadCacheMax)
+    var stuck = false
+    while (readCacheEntries > max && !stuck) {
+      // Snapshot eldest-first WITHOUT calling get() on the outer map:
+      // an access-ordered get would promote the victim root to MRU and
+      // rotate eviction onto the roots the policy exists to protect.
+      val roots = readCache.entrySet().asScala.toVector
+        .map(e => e.getKey -> e.getValue) // eldest-first
+      val exempt = roots.takeRight(ReadCacheExemptRoots).map(_._1).toSet
+      val victim: Option[(String, RootCache)] =
+        roots.find(r => !exempt(r._1))
+          .orElse(roots.find(r => r._1 == insertingRoot && r._2.size > 1))
+          .orElse(roots.find(r => r._1 != insertingRoot && !r._2.isEmpty))
+      victim match {
+        case None => stuck = true // only the just-put entry remains
+        case Some((vr, inner)) =>
+          val it = inner.entrySet().iterator()
+          var evicted = false
+          while (it.hasNext && !evicted) {
+            val e = it.next()
+            if (e.getKey != justPut) {
+              dead += e.getValue; it.remove()
+              readCacheEntries -= 1; evicted = true
+            }
+          }
+          if (inner.isEmpty) readCache.remove(vr)
+          if (!evicted) stuck = true // nothing evictable but fresh entry
+      }
+    }
+  }
+
   private[engine] def readCacheDrop(key: ReadKey, expected: DataFrame): Unit =
-    readCache.synchronized(readCache.remove(key, expected))
+    readCache.synchronized {
+      val inner = readCache.get(key._1)
+      if (inner != null && inner.remove(key, expected)) {
+        readCacheEntries -= 1
+        if (inner.isEmpty) readCache.remove(key._1)
+      }
+    }
   private[engine] def readCacheSize: Int =
-    readCache.synchronized(readCache.size())
+    readCache.synchronized(readCacheEntries)
 
   private def invalidateReadCache(rootKey: String, upTo: Long): Unit = {
     import scala.jdk.CollectionConverters._
     val dead = readCache.synchronized {
-      val ks = readCache.keySet.asScala.toVector
-        .filter(k => k._1 == rootKey && k._2 <= upTo)
-      ks.map(k => readCache.remove(k))
+      val inner = readCache.get(rootKey)
+      if (inner == null) Vector.empty[DataFrame]
+      else {
+        val ks = inner.keySet.asScala.toVector.filter(_._2 <= upTo)
+        val dfs = ks.map(inner.remove)
+        readCacheEntries -= ks.size
+        if (inner.isEmpty) readCache.remove(rootKey)
+        dfs
+      }
     }
     dead.foreach { df =>
       if (df != null) scala.util.Try(df.unpersist(blocking = false))

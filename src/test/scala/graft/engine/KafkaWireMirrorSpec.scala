@@ -88,6 +88,39 @@ class KafkaWireMirrorSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("drain cap counts DISTINCT keys: hot-key bursts stay incremental") {
+    val broker = new MiniKafkaBroker(numPartitions = 2)
+    try {
+      val topic = "hotkeys"
+      val producer = KafkaWireTopicTarget(broker.host, broker.port, topic)
+      producer.apply(spark, kvDf(("a", "v0"), ("b", "v0"), ("c", "v0")),
+        keysDf())
+
+      val src = new KafkaWireMirrorSource(broker.host, broker.port, topic,
+        tmp("kwm-hot").toString, Some("hot1"), drainKeyCap = 10)
+      src.list(spark).count() // bootstrap
+      val w = src.watch()
+      try {
+        w.drain() // arm past the bootstrap positions
+
+        // 60 messages on 3 keys: raw count blows a message-counted
+        // cap of 10, but the DISTINCT key set is 3 — must stay on
+        // the incremental path, keys deduped
+        producer.apply(spark, kvDf((0 until 60).map(i =>
+          (s"k${i % 3}", s"update $i")): _*), keysDf())
+        val (keys, overflow) = w.drain()
+        assert(!overflow, "hot-key burst must not force a re-list")
+        assert(keys.toSet == Set("k0", "k1", "k2"), keys.toString)
+
+        // 15 DISTINCT keys > cap 10: overflow to the re-list path
+        producer.apply(spark, kvDf((0 until 15).map(i =>
+          (f"w$i%02d", "x")): _*), keysDf())
+        val (keys2, overflow2) = w.drain()
+        assert(overflow2 && keys2.isEmpty)
+      } finally w.close()
+    } finally broker.close()
+  }
+
   test("mirror compacted view equals the in-memory map source's view") {
     val broker = new MiniKafkaBroker(numPartitions = 2)
     try {

@@ -140,4 +140,43 @@ class KafkaWireStreamSpec extends SparkSpec {
       } finally feed.close()
     } finally broker.close()
   }
+
+  test("replay spools off the driver: residency O(flushEvery) on a larger topic") {
+    val broker = new MiniKafkaBroker(numPartitions = 2)
+    try {
+      val topic = "big-replay"
+      val producer = KafkaWireTopicTarget(broker.host, broker.port, topic)
+      val n = 257 // >> flushEvery below
+      producer.apply(spark,
+        kvDf((0 until n).map(i => (f"k$i%04d", s"v$i")): _*), keysDf())
+
+      val src = new KafkaWireStreamSource(broker.host, broker.port, topic)
+      val spool = java.nio.file.Files.createTempDirectory("replay-spool")
+      spool.toFile.deleteOnExit()
+      val flushEvery = 32
+      val replayed =
+        src.replay(spark, Some(spool.toString), flushEvery = flushEvery)
+
+      // the driver buffered at most flushEvery records at a time and
+      // the whole topic required many flushes — never one Vector
+      val sizes = KafkaWireStreamSource.lastReplayFlushSizes
+      assert(sizes.sum == n, s"spooled ${sizes.sum} of $n")
+      assert(sizes.forall(_ <= flushEvery),
+        s"a chunk exceeded the residency bound: $sizes")
+      assert(sizes.length >= n / flushEvery,
+        s"expected >= ${n / flushEvery} flushes, got ${sizes.length}")
+
+      // the result is a distributed parquet scan of the spool, not a
+      // parallelized driver collection — and it is complete + ordered
+      assert(replayed.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.getClass.getSimpleName.contains("Relation")),
+        "replay must scan the spool log, not a driver collection")
+      assert(replayed.count() == n)
+      assert(replayed.select("key").distinct().count() == n)
+      val perPart = replayed.select("partition", "offset").collect()
+        .groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(1)).sorted)
+      perPart.foreach { case (_, offs) =>
+        assert(offs.toSeq == (0L until offs.length).toSeq) }
+    } finally broker.close()
+  }
 }

@@ -1,0 +1,107 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import java.nio.file.{Files, Path}
+
+/** The state store's merged-read cache must be ROOT-AWARE: one root's
+  * churn (a gate creating many shard-table entries) must never evict
+  * another ACTIVE root's merged views between two of its own reads —
+  * the flat-LRU regression of round 13 re-ran the base+segments
+  * union+window merge repeatedly and taxed every multi-flow gate
+  * ~30%. These cases pin the policy:
+  *   1. under a tight bound, churn on roots B/C evicts B/C entries,
+  *      never the interleaved-active root A (zero rebuilds of A);
+  *   2. the default bound holds >64 live entries across ≥3 roots
+  *      with zero evictions and zero rebuilds on re-read.
+  */
+class StateReadCacheSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): Path = {
+    val d = Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private def mkTracking(rows: Seq[Row]) =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      StateStore.TrackingSchema)
+
+  private def shard(i: Int): String = StateStore.shardName("tracking", s"s$i")
+
+  /** One commit: `n` tracking shards, each with a base AND one delta
+    * segment so that reads take the cached merge path. */
+  private def seedShards(st: StateStore, n: Int): Unit = {
+    st.commit((0 until n).map { i =>
+      shard(i) -> mkTracking(Seq(Row(s"k$i", s"k$i", "v1")))
+    }.toMap)
+    st.commitTables((0 until n).map { i =>
+      shard(i) -> StateStore.Delta(
+        mkTracking(Seq(Row(s"k$i", s"k$i", "v2"))),
+        mkTracking(Nil).select("row_key"))
+    }.toMap)
+  }
+
+  private def readAll(st: StateStore, n: Int): Unit =
+    (0 until n).foreach { i =>
+      val got = st.read(shard(i), StateStore.TrackingSchema)
+        .collect().map(_.getString(2)).toSeq
+      assert(got == Seq("v2"), s"merged read of ${shard(i)}")
+    }
+
+  private def buildsOf(root: Path): Long =
+    StateStore.readBuildCounts.getOrElse(root.toAbsolutePath.toString, 0L)
+
+  test("other roots' churn never rebuilds the active root's views") {
+    val rootA = tmpDir("rcA"); val rootB = tmpDir("rcB")
+    val rootC = tmpDir("rcC")
+    val stA = new StateStore(spark, rootA.toString)
+    val stB = new StateStore(spark, rootB.toString)
+    val stC = new StateStore(spark, rootC.toString)
+    seedShards(stA, 6); seedShards(stB, 10); seedShards(stC, 10)
+
+    readAll(stA, 6)
+    val aBuilds = buildsOf(rootA)
+    assert(aBuilds >= 6)
+
+    StateStore.readCacheMaxOverride = Some(12)
+    try {
+      // B churns past the bound, then A re-reads; then C, then A, ...
+      // At every eviction the active root A is within the 2 MRU roots
+      // and must be exempt: zero rebuilds of A across the whole run.
+      (0 until 3).foreach { round =>
+        readAll(stB, 10)
+        readAll(stA, 6)
+        assert(buildsOf(rootA) == aBuilds,
+          s"round $round: B churn rebuilt active root A")
+        readAll(stC, 10)
+        readAll(stA, 6)
+        assert(buildsOf(rootA) == aBuilds,
+          s"round $round: C churn rebuilt active root A")
+        assert(StateStore.readCacheSize <=
+          12 + 1, "bound must hold under churn")
+      }
+      // B and C DID get evicted and rebuilt (the bound is real):
+      assert(buildsOf(rootB) > 10 || buildsOf(rootC) > 10,
+        "expected eviction-driven rebuilds on the churning roots")
+    } finally StateStore.readCacheMaxOverride = None
+  }
+
+  test("default bound holds >64 entries across 3 roots, zero rebuilds") {
+    val roots = Seq(tmpDir("rcd1"), tmpDir("rcd2"), tmpDir("rcd3"))
+    val stores = roots.map(r => new StateStore(spark, r.toString))
+    stores.foreach(seedShards(_, 24)) // 72 mergeable tables total
+
+    val size0 = StateStore.readCacheSize
+    stores.foreach(readAll(_, 24))
+    val builds = roots.map(buildsOf)
+    assert(StateStore.readCacheSize - size0 == 72,
+      "all 72 merged views must be live simultaneously (no eviction)")
+
+    stores.foreach(readAll(_, 24)) // warm re-read: all hits
+    assert(roots.map(buildsOf) == builds,
+      "re-read must be served from cache — zero rebuilds")
+  }
+}
