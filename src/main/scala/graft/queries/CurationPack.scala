@@ -29,14 +29,16 @@ object CurationPack extends QueryPack {
   private val MixtureWeights: Map[String, Double] = Map(
     "en" -> 0.9, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.25, "zh" -> 0.1)
 
-  /** q119 gate plumbing (not library surface): the run memoizes its
-    * corpus-trained merge table so the ORACLE can be emitted with the
-    * identical merges as a literal relation. Sound because Verify
-    * dumps `oracle_sql.json` AFTER executing every query in the same
-    * JVM (and the driver always runs the full set); if the query has
-    * not run in this JVM the oracle is omitted → a rows-only check,
-    * never a wrong one. */
+  /** q110/q119 gate plumbing (not library surface): each run
+    * memoizes its corpus-trained merge table so the ORACLE can be
+    * emitted with the identical merges as a literal relation. Sound
+    * because Verify dumps `oracle_sql.json` AFTER executing every
+    * query in the same JVM (and the driver always runs the full
+    * set); if the query has not run in this JVM the oracle is
+    * omitted → a rows-only check, never a wrong one. */
   @volatile private var q119Merges
+      : Option[graft.operators.Bpe.Merges] = None
+  @volatile private var q110Merges
       : Option[graft.operators.Bpe.Merges] = None
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -51,8 +53,12 @@ object CurationPack extends QueryPack {
     * states are the fixpoints with no applicable merge, and the
     * packing window restates q69's prefix-sum cut on the summed
     * learned counts. NOTE nullif(..., 0): DuckDB list_position
-    * returns 0, not NULL, on a miss. */
-  private def q119OracleSql(m: graft.operators.Bpe.Merges): String = {
+    * returns 0, not NULL, on a miss.
+    *
+    * [[bpeTokenCountCtes]] is the shared prefix ending at `tc`
+    * (doc_id, n = learned token count): q110 selects it directly,
+    * q119 layers the packing window on top. */
+  private def bpeTokenCountCtes(m: graft.operators.Bpe.Merges): String = {
     val elems = m.ordered
       .map { case (a, b) => s"${sqlLit(a)} || chr(1) || ${sqlLit(b)}" }
       .mkString(", ")
@@ -102,7 +108,11 @@ object CurationPack extends QueryPack {
           FROM occ o JOIN fin f USING (word) GROUP BY o.doc_id),
         tc AS (
           SELECT w.doc_id, coalesce(s.n, 0) AS n
-          FROM w LEFT JOIN sums s USING (doc_id))
+          FROM w LEFT JOIN sums s USING (doc_id))"""
+  }
+
+  private def q119OracleSql(m: graft.operators.Bpe.Merges): String =
+    bpeTokenCountCtes(m) + s"""
         SELECT doc_id, CAST(n AS INT) AS n_bpe_tokens,
                CAST(pre // 256 AS INT) AS seq_id,
                CAST(pre % 256 AS INT) AS seq_offset
@@ -112,7 +122,31 @@ object CurationPack extends QueryPack {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                        0) AS pre
               FROM tc)"""
-  }
+
+  /** DuckDB restatement of q110: the same per-distinct-word greedy
+    * encode replay, summed per document — `tc` IS the answer. */
+  private def q110OracleSql(m: graft.operators.Bpe.Merges): String =
+    bpeTokenCountCtes(m) + s"""
+        SELECT doc_id, CAST(n AS INT) AS n_bpe_tokens FROM tc"""
+
+  // ---- REAL corpus-trained BPE token counts ---------------------------
+  // (value-exact via the late-bound oracle: the trainer loop itself
+  // is a bounded-dict JVM iteration no SQL engine expresses, but the
+  // ENCODE side replays per distinct word through the recursive CTE
+  // with the trained merge table embedded as a literal relation —
+  // the q119 pattern applied to q110. The tokenizer is additionally
+  // pinned by BpeSpec: hand-computed merges, encode ≡ training-order
+  // replay, exact reconstruction, driver/executor encoder parity.)
+  private def q110: Q = Q(
+    "q110_bpe_tokens",
+    q110Merges.map(q110OracleSql),
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val merges = graft.operators.Bpe.train(docs, numMerges = 150)
+      q110Merges = Some(merges)
+      graft.operators.Bpe.encode(docs, merges)
+        .select(col("doc_id"), col("n_bpe_tokens"))
+    })
 
   // ---- token-budget sequence packing on LEARNED BPE counts -------------
   // (q69 cuts on the regex word count; every real pretraining
@@ -133,10 +167,11 @@ object CurationPack extends QueryPack {
           col("seq_id").cast("int").as("seq_id"), col("seq_offset"))
     })
 
-  /** `def`, not `val`: q119's oracle is late-bound — it embeds the
-    * merge table its run trained (see [[q119Merges]]), so the Q list
-    * must be rebuilt when [[graft.SparkEntry.oracleSql]] is dumped. */
-  def all: Seq[Q] = fixed :+ q119
+  /** `def`, not `val`: q110/q119's oracles are late-bound — each
+    * embeds the merge table its run trained (see [[q119Merges]]), so
+    * the Q list must be rebuilt when [[graft.SparkEntry.oracleSql]]
+    * is dumped. */
+  def all: Seq[Q] = fixed ++ Seq(q110, q119)
 
   private val fixed: Seq[Q] = Seq(
 
@@ -510,21 +545,6 @@ object CurationPack extends QueryPack {
           Tables(s, dir, "documents").select("doc_id", "source", "n_chars"),
           cap = 40, domainCol = "source", qualityCol = "n_chars",
           idCol = "doc_id")),
-
-    // ---- REAL corpus-trained BPE token counts ---------------------------
-    // (rows-only: BPE training/encoding is iterative merge
-    // application no SQL engine expresses; the tokenizer itself is
-    // pinned by BpeSpec — hand-computed merges, encode ≡
-    // training-order replay, exact reconstruction, driver/executor
-    // encoder parity. The sequence-budget numbers a training
-    // pipeline actually uses, vs q30's whitespace/regex
-    // approximation.)
-    Q(
-      "q110_bpe_tokens",
-      None,
-      (s, dir) =>
-        graft.operators.Bpe.tokenCounts(
-          Tables(s, dir, "documents"), numMerges = 150)),
 
     // ---- Zipf-slope corpus diagnostic -----------------------------------
     // per-language least-squares slope of ln(freq) on ln(rank) over
