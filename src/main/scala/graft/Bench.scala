@@ -201,12 +201,21 @@ object Bench {
     // skip the snapshot — only a full recording is a round artifact.
     if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_BENCH_TIER")) {
       try {
-        val rx = "BENCH_r(\\d+)\\.json".r
-        val dir = new java.io.File(".").listFiles()
-        val lastRound = Option(dir).toSeq.flatten
-          .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-          .foldLeft(0)(math.max)
-        val name = f"BENCH_FULL_r${lastRound + 1}%02d.json"
+        // anchored: a name merely CONTAINING "BENCH_r<N>.json" (a
+        // backup, an editor copy) must not shift the inferred round;
+        // SPARK_GRAFT_BENCH_ROUND bypasses inference for re-runs
+        // after the driver already wrote this round's artifact.
+        val rx = "^BENCH_r(\\d+)\\.json$".r
+        val round = sys.env.get("SPARK_GRAFT_BENCH_ROUND")
+          .map(_.toInt)
+          .getOrElse {
+            val dir = new java.io.File(".").listFiles()
+            Option(dir).toSeq.flatten
+              .flatMap(f =>
+                rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+              .foldLeft(0)(math.max) + 1
+          }
+        val name = f"BENCH_FULL_r$round%02d.json"
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(name), json + "\n")
         System.err.println(s"[bench] full per-query snapshot: $name")

@@ -19,8 +19,14 @@ import org.json4s._
   */
 object GoogleServiceAccount {
 
+  /** @param keyVersion explicit rotation tag for OPAQUE (e.g.
+    *   HSM-backed) keys that expose no encoding: such keys cannot be
+    *   content-fingerprinted, so callers that rotate them should
+    *   bump this tag to invalidate the per-JVM token cache. Ignored
+    *   (the key bytes win) when the key is encodable. */
   final case class Credentials(clientEmail: String,
-      privateKey: java.security.PrivateKey, tokenUri: String)
+      privateKey: java.security.PrivateKey, tokenUri: String,
+      keyVersion: Option[String] = None)
 
   val DriveScope = "https://www.googleapis.com/auth/drive.readonly"
 
@@ -109,14 +115,30 @@ object GoogleServiceAccount {
       scope: String = DriveScope, refreshSkewMs: Long = 60000L)
       extends Serializable {
     @transient private lazy val keyFp: String = {
-      val enc = Option(creds.privateKey.getEncoded)
-      enc.map { bytes =>
+      def sha(bytes: Array[Byte]): String =
         java.security.MessageDigest.getInstance("SHA-256")
           .digest(bytes).take(12).map("%02x".format(_)).mkString
-      }.getOrElse(
-        // opaque (e.g. HSM-backed) keys expose no encoding: fall back
-        // to instance identity — never shared across a real rotation
-        s"id:${System.identityHashCode(creds.privateKey)}")
+      Option(creds.privateKey.getEncoded).map(sha)
+        // opaque (e.g. HSM-backed) keys expose no encoding, and
+        // instance identity is NOT a stable surrogate (each
+        // deserialized executor-side copy would get its own cache
+        // key — one token exchange per task, the exact storm the
+        // static cache prevents; it can also collide across two
+        // different keys). Stable fallbacks, in order: the caller's
+        // explicit keyVersion tag; the key's Java-serialized form
+        // when it is Serializable. Keys with neither are refused —
+        // pass keyVersion for those.
+        .orElse(creds.keyVersion.map(v => s"ver:${sha(v.getBytes("UTF-8"))}"))
+        .orElse(scala.util.Try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val oos = new java.io.ObjectOutputStream(bos)
+          oos.writeObject(creds.privateKey); oos.close()
+          s"ser:${sha(bos.toByteArray)}"
+        }.toOption)
+        .getOrElse(throw new IllegalArgumentException(
+          "opaque non-serializable private key: pass Credentials." +
+            "keyVersion so token-cache identity survives rotation " +
+            "and is shared across executor task copies"))
     }
     private def cacheKey =
       (creds.clientEmail, creds.tokenUri, scope, keyFp)

@@ -305,10 +305,18 @@ object Curation {
     // lexicographic order, partial-aggregated map-side
     val firstSeen = segs.groupBy("__h")
       .agg(min(struct(col("doc_id"), col("seg_idx"))).as("__w"))
-    segs.join(firstSeen, Seq("__h"))
-      .withColumn("kept",
-        col("doc_id") === col("__w.doc_id") &&
-          col("seg_idx") === col("__w.seg_idx"))
+    // Join the winner set back by (doc_id, seg_idx) — NOT by __h: a
+    // 10⁸-occurrence boilerplate segment is ONE __h join key (one
+    // hot task unless AQE skew-split rescues it, a config
+    // dependency) but 10⁸ DISTINCT (doc_id, seg_idx) keys, so this
+    // join is skew-free by construction. Both sides are unique on
+    // the key: the left has one row per occurrence, the right one
+    // row per distinct segment (its winner). kept = winner exists.
+    val winners = firstSeen
+      .select(col("__w.doc_id").as("doc_id"),
+        col("__w.seg_idx").as("seg_idx"), lit(true).as("__kept"))
+    segs.join(winners, Seq("doc_id", "seg_idx"), "left")
+      .withColumn("kept", coalesce(col("__kept"), lit(false)))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_segs"),

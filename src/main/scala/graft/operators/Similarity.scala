@@ -213,12 +213,22 @@ object Similarity {
     * sample is the `trainSize` corpus vectors with the smallest
     * md5(id) — a hash any SQL engine reproduces, unlike xxhash64 —
     * and every sample component is quantized to an integer
-    * ⌊x·10⁶+0.5⌋ BEFORE training, so Lloyd's centroid updates are
+    * ⌊x·10⁶+0.5⌋ BEFORE training, so Lloyd's CENTROID UPDATES are
     * exact integer sums (order-free: Spark, the driver loop, and an
     * external engine cannot drift on float accumulation order).
     * Assignment cosines round to 6 decimals with ties to the lowest
     * cell, the same cross-engine-proven comparison every KNN gate
-    * here uses. ~1 MiB at the defaults; the quantizer is a
+    * here uses. CAVEAT — the cosine REDUCTIONS themselves (dot and
+    * norms) are still float sums, sequential here vs unordered
+    * aggregation in a replaying SQL engine: a cosine landing within
+    * ~1 ulp of a 0.5·10⁻⁶ rounding boundary could round differently
+    * across engines, flip one cell choice, and cascade through the
+    * remaining Lloyd rounds. The integer quantization removes the
+    * update-side drift, not this boundary case; it is
+    * astronomically unlikely on real data (the round-6 comparison
+    * leaves ~10⁻¹⁰ of the value space exposed per comparison) but
+    * not structurally impossible — a fully order-free form would
+    * need fixed-point dot products end to end. ~1 MiB at the defaults; the quantizer is a
     * driver-scale object, which is exactly how FAISS trains ivfflat:
     * in-memory k-means on a sample, never a distributed job per
     * Lloyd round. */
@@ -623,10 +633,16 @@ object Similarity {
     * documented — nothing stopped a caller from running 10⁹ vectors
     * through 16 cells, where one cell's within-cluster pairwise
     * silently goes quadratic on ~6·10⁷ rows. The operator now
-    * CHECKS the cluster histogram (one cheap aggregation over the
-    * coded vectors — the operator already runs jobs for the
-    * component pass) and refuses when the largest cell exceeds
-    * `maxClusterSize`, naming the plane count that would fix it. */
+    * CHECKS the cluster histogram and refuses when the largest cell
+    * exceeds `maxClusterSize`, naming the plane count that would fix
+    * it.
+    *
+    * NOTE this operator is EAGER: the guard aggregation and the
+    * component pass both run Spark jobs at call time (unlike a plain
+    * transformation). The coded projection is persisted across those
+    * passes and released before returning, so the srpBandCodes
+    * projection runs once for the eager jobs plus once more when the
+    * caller executes the returned plan. */
   def semDedupKeep(
       vectors: DataFrame, threshold: Double, planes: Int = 4,
       dims: Int = 64, idCol: String = "vec_id", embCol: String = "embedding",
@@ -636,34 +652,68 @@ object Similarity {
         col(embCol).cast("array<double>").as("emb"),
         element_at(srpBandCodes(col(embCol), planes, 1, dims), 1)
           .as("cluster"))
-    val (worst, total) = {
-      val r = coded.groupBy("cluster").agg(count(lit(1)).as("n"))
-        .agg(coalesce(max("n"), lit(0L)), coalesce(sum("n"), lit(0L)))
-        .head
-      (r.getLong(0), r.getLong(1))
-    }
-    require(worst <= maxClusterSize,
-      s"semDedupKeep: largest SRP cell holds $worst of $total vectors " +
-        s"(> maxClusterSize=$maxClusterSize) — within-cell pairwise " +
-        s"would run ~${worst}² comparisons. Raise planes to " +
-        s"~${semDedupPlanesFor(total)} (2^planes ≈ √N, the paper's " +
-        "cluster count) or raise maxClusterSize explicitly.")
-    val edges = coded
-      .select(col("cluster"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
-      .join(coded.select(col("cluster"), col("vec_id").as("id_b"),
-        col("emb").as("emb_b")), Seq("cluster"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(round(cosineSimilarity(col("emb_a"), col("emb_b")), 6)
-        >= threshold)
-      .select("id_a", "id_b")
-    EntityResolution
-      .connectedComponents(coded.select(col("vec_id")), edges,
-        "vec_id", "id_a", "id_b")
-      .join(coded.select(col("vec_id"), col("cluster")),
-        col("id") === col("vec_id"))
-      .select(col("vec_id"), col("cluster"),
-        col("component").as("canonical_id"),
-        (col("vec_id") === col("component")).as("kept"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (worst, total) = {
+        val r = coded.groupBy("cluster").agg(count(lit(1)).as("n"))
+          .agg(coalesce(max("n"), lit(0L)), coalesce(sum("n"), lit(0L)))
+          .head
+        (r.getLong(0), r.getLong(1))
+      }
+      require(worst <= maxClusterSize,
+        s"semDedupKeep: largest SRP cell holds $worst of $total vectors " +
+          s"(> maxClusterSize=$maxClusterSize) — within-cell pairwise " +
+          s"would run ~${worst}² comparisons. Raise planes to " +
+          s"~${semDedupPlanesFor(total)} (2^planes ≈ √N, the paper's " +
+          "cluster count) or raise maxClusterSize explicitly.")
+      val edges = coded
+        .select(col("cluster"), col("vec_id").as("id_a"),
+          col("emb").as("emb_a"))
+        .join(coded.select(col("cluster"), col("vec_id").as("id_b"),
+          col("emb").as("emb_b")), Seq("cluster"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(cosineSimilarity(col("emb_a"), col("emb_b")), 6)
+          >= threshold)
+        .select("id_a", "id_b")
+      EntityResolution
+        .connectedComponents(coded.select(col("vec_id")), edges,
+          "vec_id", "id_a", "id_b")
+        .join(coded.select(col("vec_id"), col("cluster")),
+          col("id") === col("vec_id"))
+        .select(col("vec_id"), col("cluster"),
+          col("component").as("canonical_id"),
+          (col("vec_id") === col("component")).as("kept"))
+    } finally coded.unpersist(blocking = false)
+  }
+
+  /** [[semDedupKeep]] with the plane count auto-calibrated: one
+    * count() over the corpus, then `planes = semDedupPlanesFor(n)` —
+    * the paper's "k ≈ √N" applied without the caller having to know
+    * the rule. Expected within-cell pairwise work is then O(√N) rows
+    * per cell, so the miscalibration guard cannot fire on any
+    * non-adversarial (roughly direction-balanced) corpus. */
+  def semDedupKeepAuto(
+      vectors: DataFrame, threshold: Double, dims: Int = 64,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      maxClusterSize: Long = 1L << 16): DataFrame =
+    semDedupKeep(vectors, threshold, semDedupPlanesFor(vectors.count()),
+      dims, idCol, embCol, maxClusterSize)
+
+  /** Diagnostic: (largest SRP cell, total vectors) for a candidate
+    * plane count — the histogram [[semDedupKeep]]'s guard checks,
+    * exposed so a pipeline can validate calibration on a corpus
+    * sample without paying the dedup itself. Emb column untouched:
+    * this aggregates only the derived cell code. */
+  def semDedupCellStats(
+      vectors: DataFrame, planes: Int, dims: Int = 64,
+      embCol: String = "embedding"): (Long, Long) = {
+    val r = vectors
+      .select(element_at(srpBandCodes(col(embCol), planes, 1, dims), 1)
+        .as("cluster"))
+      .groupBy("cluster").agg(count(lit(1)).as("n"))
+      .agg(coalesce(max("n"), lit(0L)), coalesce(sum("n"), lit(0L)))
+      .head
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Smallest SRP plane count with 2^planes ≥ √n — SemDeDup's

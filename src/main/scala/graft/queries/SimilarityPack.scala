@@ -14,7 +14,18 @@ import graft.operators.Similarity
   */
 object SimilarityPack extends QueryPack {
 
-  val all: Seq[Q] = Seq(
+  /** q115 gate plumbing: the run memoizes the AUTO-picked SRP plane
+    * count (semDedupPlanesFor over the corpus count) so the oracle
+    * can be emitted with the identical cell geometry — the
+    * CurationPack q110/q119 late-binding pattern. Absent until the
+    * query has run in this JVM → rows-only, never wrong. */
+  @volatile private var q115Planes: Option[Int] = None
+
+  /** `def`, not `val`: q115's oracle embeds the plane count its run
+    * auto-calibrated, so the list rebuilds at oracle-dump time. */
+  def all: Seq[Q] = fixed :+ q115
+
+  private val fixed: Seq[Q] = Seq(
 
     // ---- exact KNN: 8 query vectors × full corpus -----------------------
     Q(
@@ -162,56 +173,6 @@ object SimilarityPack extends QueryPack {
         val emb = Tables(s, dir, "embeddings")
         Similarity.sq8TopK(emb.filter(col("vec_id") < 8), emb, 10)
       }),
-
-    // ---- SemDeDup: semantic dedup over embedding clusters ---------------
-    // Abbas et al. 2023 re-expressed deterministically: md5-derived
-    // SRP cells stand in for the k-means clusters (the oracle
-    // regenerates the identical planes — q43's scheme), within-cell
-    // near-dup edges at round-6 cosine ≥ 0.4 (q41's proven
-    // cross-engine arithmetic), survivor = recursive min-label
-    // closure (q114's scheme). Value-exact end-to-end.
-    Q(
-      "q115_semdedup_keep",
-      Some("""
-        WITH RECURSIVE pl AS (
-          SELECT p.p AS plane, d.d AS dim,
-                 (CAST(CAST(('0x' || substring(md5(
-                    CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)),
-                    1, 15)) AS UBIGINT) AS BIGINT) % 1000000)
-                   / 500000.0 - 1.0 AS v
-          FROM unnest(range(4)) p(p), unnest(range(64)) d(d)),
-        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-              FROM embeddings),
-        dots AS (
-          SELECT e.vec_id, pl.plane, sum(e.emb[pl.dim + 1] * pl.v) AS dot
-          FROM e, pl GROUP BY 1, 2),
-        codes AS (
-          SELECT vec_id,
-                 CAST(sum((CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) ELSE 0
-                     END) << CAST(3 - plane AS INT)) AS BIGINT) AS cluster
-          FROM dots GROUP BY 1),
-        edges0 AS (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM (SELECT c.vec_id, c.cluster, e.emb
-                FROM codes c JOIN e USING (vec_id)) a
-          JOIN (SELECT c.vec_id, c.cluster, e.emb
-                FROM codes c JOIN e USING (vec_id)) b
-            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-          WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4),
-        edges AS (
-          SELECT id_a AS s, id_b AS d FROM edges0
-          UNION SELECT id_b, id_a FROM edges0),
-        reach(id, r) AS (
-          SELECT vec_id, vec_id FROM embeddings
-          UNION
-          SELECT ed.d, reach.r FROM reach JOIN edges ed ON reach.id = ed.s
-          WHERE reach.r < ed.d)
-        SELECT r2.id AS vec_id, c.cluster, min(r2.r) AS canonical_id,
-               (r2.id = min(r2.r)) AS kept
-        FROM reach r2 JOIN codes c ON c.vec_id = r2.id
-        GROUP BY r2.id, c.cluster"""),
-      (s, dir) =>
-        Similarity.semDedupKeep(Tables(s, dir, "embeddings"), 0.4)),
 
     // ---- contrastive triplet mining (positives + hard negatives) --------
     // Per query: the strongest same-label neighbor and the strongest
@@ -462,4 +423,62 @@ object SimilarityPack extends QueryPack {
             count(lit(1)).over(Window.partitionBy("canonical")))
       })
   )
+
+  // ---- SemDeDup: semantic dedup over embedding clusters ---------------
+  // Abbas et al. 2023 re-expressed deterministically: md5-derived
+  // SRP cells stand in for the k-means clusters (the oracle
+  // regenerates the identical planes — q43's scheme), within-cell
+  // near-dup edges at round-6 cosine ≥ 0.4 (q41's proven
+  // cross-engine arithmetic), survivor = recursive min-label
+  // closure (q114's scheme). The plane count is AUTO-calibrated
+  // (semDedupKeepAuto: 2^planes ≈ √N) and the late-bound oracle
+  // regenerates the same cell geometry. Value-exact end-to-end.
+  private def q115: Q = Q(
+    "q115_semdedup_keep",
+    q115Planes.map(q115OracleSql),
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      q115Planes = Some(Similarity.semDedupPlanesFor(emb.count()))
+      Similarity.semDedupKeepAuto(emb, 0.4)
+    })
+
+  private def q115OracleSql(planes: Int): String = s"""
+        WITH RECURSIVE pl AS (
+          SELECT p.p AS plane, d.d AS dim,
+                 (CAST(CAST(('0x' || substring(md5(
+                    CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)),
+                    1, 15)) AS UBIGINT) AS BIGINT) % 1000000)
+                   / 500000.0 - 1.0 AS v
+          FROM unnest(range($planes)) p(p), unnest(range(64)) d(d)),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings),
+        dots AS (
+          SELECT e.vec_id, pl.plane, sum(e.emb[pl.dim + 1] * pl.v) AS dot
+          FROM e, pl GROUP BY 1, 2),
+        codes AS (
+          SELECT vec_id,
+                 CAST(sum((CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) ELSE 0
+                     END) << CAST(${planes - 1} - plane AS INT)) AS BIGINT)
+                   AS cluster
+          FROM dots GROUP BY 1),
+        edges0 AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM (SELECT c.vec_id, c.cluster, e.emb
+                FROM codes c JOIN e USING (vec_id)) a
+          JOIN (SELECT c.vec_id, c.cluster, e.emb
+                FROM codes c JOIN e USING (vec_id)) b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4),
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM edges0
+          UNION SELECT id_b, id_a FROM edges0),
+        reach(id, r) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT ed.d, reach.r FROM reach JOIN edges ed ON reach.id = ed.s
+          WHERE reach.r < ed.d)
+        SELECT r2.id AS vec_id, c.cluster, min(r2.r) AS canonical_id,
+               (r2.id = min(r2.r)) AS kept
+        FROM reach r2 JOIN codes c ON c.vec_id = r2.id
+        GROUP BY r2.id, c.cluster"""
 }

@@ -181,6 +181,13 @@ class CurationSpec extends SparkSpec {
       s"no window may survive in segmentDedup; plan was:\n$plan")
     assert(plan.contains("partial_min"),
       s"first-occurrence pick must partial-aggregate map-side:\n$plan")
+    // the winner join-back must key on (doc_id, seg_idx) — per-
+    // occurrence-unique, skew-free by construction — never on the
+    // segment hash, where the hot segment is ONE join key and only
+    // config-dependent AQE skew-splitting would rescue the hot task
+    assert(!java.util.regex.Pattern.compile("Join \\[[^\\]]*__h")
+        .matcher(plan).find(),
+      s"no join may key on the segment hash __h; plan was:\n$plan")
     // winner of the hot segment is doc 0; every doc keeps its tail
     val got = out.filter(col("doc_id").isin(0L, 1L, 77777L))
       .collect().map(r => r.getAs[Long]("doc_id") ->

@@ -230,6 +230,41 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.semDedupPlanesFor(Long.MaxValue) == 24)
   }
 
+  test("semDedupKeepAuto calibrates a 10^6-row corpus: planes >= 10, cells bounded") {
+    import spark.implicits._
+    val n = 1000000L
+    // the auto rule picks the paper's 2^planes ≈ √N — 10 for 10^6
+    val planes = Similarity.semDedupPlanesFor(n)
+    assert(planes == 10, s"10^6 rows must auto-pick 10 planes, got $planes")
+
+    // on an actual 10^6-vector synthetic corpus (deterministic
+    // hash-spread directions, dims=8) the picked geometry bounds the
+    // largest cell far below the default maxClusterSize — i.e. the
+    // within-cell pairwise work the guard protects is bounded
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      array((0 until 8).map(d =>
+        (hash(col("id") * 31 + d).cast("double") / 2147483647.0)
+          .cast("float")): _*).as("embedding"))
+    val (worst, total) = Similarity.semDedupCellStats(vecs, planes, dims = 8)
+    assert(total == n)
+    assert(worst <= (1L << 16),
+      s"largest auto-calibrated cell $worst exceeds the guard bound")
+    // and the cells genuinely spread: mean cell ≈ n / 2^planes ≈ 977
+    assert(worst < 50L * (n / (1L << planes)),
+      s"worst cell $worst vs mean ${n / (1L << planes)}")
+
+    // end-to-end equivalence on a small corpus: auto ≡ explicit
+    val small = (1L to 300L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val auto = Similarity.semDedupKeepAuto(small, 0.99, dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSet
+    val explicit = Similarity.semDedupKeep(small, 0.99,
+        planes = Similarity.semDedupPlanesFor(300L), dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSet
+    assert(auto == explicit)
+  }
+
   test("semDedupKeep drops within-cluster near-identical vectors, keeps the rest") {
     import spark.implicits._
     val v = Array.fill(8)(1.0f)
