@@ -1,0 +1,269 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Scale-shape sweep for the dedup/ANN candidate-generation stack —
+  * the [[StateScale]] pattern applied to the other 100 TB-critical
+  * subsystem. Correctness gates (q49/q114/q115/q47) prove these
+  * operators right at sf0.01; this bench proves the SHAPE claims the
+  * scaladocs make — "candidate generation is an equi-join on a
+  * derived key, never all-pairs" — by measuring the candidate counts
+  * themselves on a corpus sweep with PLANTED duplicates, then
+  * asserting the invariants (after the artifact is on disk, so a
+  * violation still leaves numbers to inspect):
+  *
+  *   - MinHash (q49/q114 path): planted-pair recall = 1.0 at the
+  *     planted Jaccard (~0.95 over 32 hashes → miss prob ~1e-42);
+  *     bucket-join candidates grow LINEARLY in N (≤ 2× the N-ratio
+  *     between adjacent sweep points — quadratic growth fails);
+  *     the largest (hash-idx, sig) bucket stays O(planted cluster),
+  *     never a corpus-fraction hot key.
+  *   - SemDeDup auto-calibration (q115 path): planes =
+  *     [[Similarity.semDedupPlanesFor]] (2^planes ≈ √N), the largest
+  *     SRP cell stays within a constant factor of the balanced size
+  *     N/2^planes, and the within-cell pairwise work Σ cell²
+  *     stays ≤ 4·N^1.5 — the paper's bound that makes the
+  *     O(N²) naive form an O(N^1.5) equi-join.
+  *   - IVF (q47 path): recall@10 vs the exact brute-force answer
+  *     ≥ 0.9 on a clustered corpus, with scanned candidates ≤ 2× the
+  *     nProbe/nCells corpus fraction — the inverted lists really do
+  *     prune, they don't rescan the corpus.
+  *
+  * Everything is md5-derived and deterministic: reruns are
+  * bit-identical, and no RNG state leaks into the measurements.
+  */
+object DedupScale {
+
+  final case class Cell(
+      n: Long,
+      mhSec: Double, mhCandidates: Long, mhMaxBucket: Long,
+      mhPairs: Long, mhPlantedRecall: Double,
+      sdSec: Double, sdPlanes: Int, sdMaxCell: Long, sdCells: Long,
+      sdPairWork: Long, sdPlantedRecall: Double,
+      ivfSec: Double, ivfRecall: Double, ivfCandidates: Long,
+      ivfCandFrac: Double)
+
+  /** md5-derived uniform value in [-1, 1] with ~2001 distinct levels
+    * (the HashEmbedder scheme — deterministic, engine-agnostic). */
+  private def u(seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (conv(substring(md5(seed), 1, 15), 16, 10).cast("long") % 2001L - 1000L)
+      .cast("double") / 1000.0
+
+  /** Corpus of N docs; every 10th (id % 10 == 9) is a planted
+    * near-dup of id-1: word 0 of 40 changed → 3-shingle Jaccard
+    * 37/39 ≈ 0.95. All other cross-doc shingle sets are disjoint
+    * md5 tokens. */
+  private def docs(spark: SparkSession, n: Long): DataFrame = {
+    val base = when(col("id") % 10 === 9, col("id") - 1).otherwise(col("id"))
+    spark.range(n).toDF("id")
+      .withColumn("doc_id", col("id"))
+      .withColumn("text", concat_ws(" ",
+        when(col("id") % 10 === 9,
+          substring(md5(concat(lit("x:"), col("id"))), 1, 8))
+          .otherwise(substring(md5(concat(lit("w:"), base, lit(":0"))), 1, 8)),
+        concat_ws(" ", (1 until 40).map(j =>
+          substring(md5(concat(lit("w:"), base, lit(s":$j"))), 1, 8)): _*)))
+      .select("doc_id", "text")
+  }
+
+  /** 64-dim direction-balanced vectors; every 10th is the previous
+    * vector with component 0 nudged by +0.002 (cosine ≈ 0.999998 —
+    * above any SemDeDup threshold, same SRP cell w.h.p.). */
+  private def uniformVecs(spark: SparkSession, n: Long): DataFrame = {
+    val base = when(col("id") % 10 === 9, col("id") - 1).otherwise(col("id"))
+    spark.range(n).toDF("id")
+      .withColumn("vec_id", col("id"))
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)), d =>
+        u(concat(lit("e:"), base, lit(":"), d)) +
+          when(col("id") % 10 === 9 && d === 0, lit(0.002)).otherwise(lit(0.0))))
+      .select("vec_id", "embedding")
+  }
+
+  /** 64 well-separated md5-derived cluster centers + 5% noise — the
+    * corpus shape IVF quantizers exist for. */
+  private def clusteredVecs(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).toDF("id")
+      .withColumn("vec_id", col("id"))
+      .withColumn("cl", col("id") % 64)
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)), d =>
+        u(concat(lit("c:"), col("cl"), lit(":"), d)) +
+          u(concat(lit("z:"), col("id"), lit(":"), d)) * 0.05)
+        .cast("array<float>")) // the corpus convention assignCells expects
+      .select("vec_id", "embedding")
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def runCell(spark: SparkSession, n: Long): Cell = {
+    val planted = n / 10
+
+    // ---- MinHash near-dup + keep-one ---------------------------------
+    val d = docs(spark, n).localCheckpoint()
+    val (mh, mhSec) = timed {
+      val pairs = Dedup.minHashNearDupMd5(d, threshold = 0.7)
+        .localCheckpoint()
+      val found = pairs.count()
+      val recall = pairs
+        .filter(col("doc_b") === col("doc_a") + 1 && col("doc_b") % 10 === 9)
+        .count().toDouble / math.max(planted, 1L)
+      (found, recall)
+    }
+    // candidate volume + hottest bucket of the (hash-idx, sig)
+    // equi-join, restated with the operator's own signature scheme
+    // (minHashNearDupMd5's (a·(h mod P)+b) mod P over md5 shingles)
+    val aLit = lit(Dedup.minHashA.take(32))
+    val bLit = lit(Dedup.minHashB.take(32))
+    val sigArr = transform(sequence(lit(0), lit(31)), i =>
+      array_min(transform(col("hs"), h =>
+        (element_at(aLit, i + 1) * (h % Dedup.MinHashP) +
+          element_at(bLit, i + 1)) % Dedup.MinHashP)))
+    val sigs = d
+      .select(col("doc_id"),
+        Dedup.shingleStringsUdf(3)(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        transform(col("sh"), s => Dedup.md5long(s)).as("hs"))
+      .select(col("doc_id"), posexplode(sigArr))
+      .toDF("doc_id", "i", "sig")
+    val bucketStats = sigs.groupBy("i", "sig").agg(count(lit(1)).as("b"))
+      .agg(sum((col("b") * (col("b") - 1) / 2).cast("long")), max("b")).head
+    val mhCandidates = bucketStats.getLong(0)
+    val mhMaxBucket = bucketStats.getLong(1)
+
+    // ---- SemDeDup (auto-calibrated planes) ---------------------------
+    val vecs = uniformVecs(spark, n).localCheckpoint()
+    val planes = Similarity.semDedupPlanesFor(n)
+    val (sd, sdSec) = timed {
+      val kept = Similarity.semDedupKeepAuto(vecs, threshold = 0.99)
+        .localCheckpoint()
+      kept.count() // materialize inside the timed window
+      kept
+    }
+    val sdRecall = sd
+      .filter(col("vec_id") % 10 === 9 &&
+        col("canonical_id") === col("vec_id") - 1)
+      .count().toDouble / math.max(planted, 1L)
+    val cellHist = vecs
+      .select(element_at(
+        Similarity.srpBandCodes(col("embedding"), planes, 1, 64), 1)
+        .as("cluster"))
+      .groupBy("cluster").agg(count(lit(1)).as("c"))
+      .agg(max("c"), count(lit(1)), sum(col("c") * col("c"))).head
+    val sdMaxCell = cellHist.getLong(0)
+    val sdCells = cellHist.getLong(1)
+    val sdPairWork = cellHist.getLong(2)
+
+    // ---- IVF vs brute force ------------------------------------------
+    val corpus = clusteredVecs(spark, n).localCheckpoint()
+    val queries = corpus.filter(col("vec_id") % (n / 32) === 0)
+      .limit(32).localCheckpoint()
+    val nCells = 64
+    val nProbe = 8
+    val ((ivfRecall, ivfCandidates), ivfSec) = timed {
+      val index = Similarity.ivfBuild(corpus, nCells = nCells,
+        trainSize = 4096)
+      val approx = Similarity.ivfQuery(queries, index, k = 10,
+        nProbe = nProbe).select("query_id", "neighbor_id")
+        .localCheckpoint()
+      val exact = Similarity.bruteForceTopK(queries, corpus, k = 10)
+        .select("query_id", "neighbor_id")
+      val hit = approx.intersect(exact).count()
+      val denom = exact.count()
+      // scanned candidates = inverted-list rows behind the probed cells
+      val probed = Similarity.ivfQuery(queries, index, k = n.toInt,
+        nProbe = nProbe).count()
+      (hit.toDouble / denom, probed)
+    }
+    val ivfCandFrac = ivfCandidates.toDouble / (32.0 * n)
+
+    Cell(n, mhSec, mhCandidates, mhMaxBucket, mh._1, mh._2,
+      sdSec, planes, sdMaxCell, sdCells, sdPairWork, sdRecall,
+      ivfSec, ivfRecall, ivfCandidates, ivfCandFrac)
+  }
+
+  def toJson(cells: Seq[Cell]): String =
+    cells.map { c =>
+      f"""{"n":${c.n},"mh_sec":${c.mhSec}%.3f,""" +
+      s""""mh_candidates":${c.mhCandidates},"mh_max_bucket":${c.mhMaxBucket},""" +
+      f""""mh_pairs":${c.mhPairs},"mh_planted_recall":${c.mhPlantedRecall}%.4f,""" +
+      f""""sd_sec":${c.sdSec}%.3f,"sd_planes":${c.sdPlanes},""" +
+      s""""sd_max_cell":${c.sdMaxCell},"sd_cells":${c.sdCells},""" +
+      f""""sd_pair_work":${c.sdPairWork},"sd_planted_recall":${c.sdPlantedRecall}%.4f,""" +
+      f""""ivf_sec":${c.ivfSec}%.3f,"ivf_recall":${c.ivfRecall}%.4f,""" +
+      f""""ivf_candidates":${c.ivfCandidates},"ivf_cand_frac":${c.ivfCandFrac}%.4f}"""
+    }.mkString("""{"cells":[""", ",", "]}")
+}
+
+object DedupScaleBench {
+  def main(args: Array[String]): Unit = {
+    val ns = sys.env.getOrElse("SPARK_GRAFT_DEDUP_NS", "10000,30000,100000")
+      .split(",").map(_.trim.toLong).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]")
+        .appName("graft-dedup-scale"), cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cells = ns.map { n =>
+      val c = DedupScale.runCell(spark, n)
+      System.err.println(
+        f"[dedup-scale] n=$n mh=${c.mhSec}%.1fs cand=${c.mhCandidates} " +
+        f"maxBucket=${c.mhMaxBucket} recall=${c.mhPlantedRecall}%.3f | " +
+        f"sd=${c.sdSec}%.1fs planes=${c.sdPlanes} maxCell=${c.sdMaxCell} " +
+        f"pairWork=${c.sdPairWork} recall=${c.sdPlantedRecall}%.3f | " +
+        f"ivf=${c.ivfSec}%.1fs recall=${c.ivfRecall}%.3f " +
+        f"candFrac=${c.ivfCandFrac}%.3f")
+      c
+    }
+    val json = DedupScale.toJson(cells)
+    Files.write(Paths.get("DEDUP_SCALE.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+
+    // shape assertions, AFTER the artifact is written
+    var bad = List.empty[String]
+    cells.foreach { c =>
+      if (c.mhPlantedRecall < 0.999)
+        bad ::= s"n=${c.n}: minhash planted recall ${c.mhPlantedRecall}"
+      if (c.mhMaxBucket > 16)
+        bad ::= s"n=${c.n}: minhash hot bucket ${c.mhMaxBucket}"
+      if (c.sdPlanes != Similarity.semDedupPlanesFor(c.n))
+        bad ::= s"n=${c.n}: planes ${c.sdPlanes} != auto rule"
+      val balanced = math.max(c.n.toDouble / (1L << c.sdPlanes), 1.0)
+      if (c.sdMaxCell > 8 * balanced)
+        bad ::= s"n=${c.n}: SRP cell ${c.sdMaxCell} > 8x balanced $balanced"
+      if (c.sdPairWork > 4 * math.pow(c.n.toDouble, 1.5))
+        bad ::= s"n=${c.n}: cell pair work ${c.sdPairWork} > 4*N^1.5"
+      if (c.sdPlantedRecall < 0.9)
+        bad ::= s"n=${c.n}: semdedup planted recall ${c.sdPlantedRecall}"
+      if (c.ivfRecall < 0.9)
+        bad ::= s"n=${c.n}: IVF recall@10 ${c.ivfRecall}"
+      if (c.ivfCandFrac > 2.0 * 8 / 64)
+        bad ::= s"n=${c.n}: IVF scanned ${c.ivfCandFrac} of corpus " +
+          "(> 2x nProbe/nCells)"
+    }
+    // candidate volume must scale ~linearly with N, never quadratically
+    cells.sortBy(_.n).sliding(2).foreach {
+      case Seq(a, b) =>
+        val nRatio = b.n.toDouble / a.n
+        val cRatio = b.mhCandidates.toDouble / math.max(a.mhCandidates, 1L)
+        if (cRatio > 2 * nRatio)
+          bad ::= s"minhash candidates superlinear ${a.n}→${b.n}: " +
+            s"${a.mhCandidates}→${b.mhCandidates}"
+      case _ =>
+    }
+    if (bad.nonEmpty) {
+      bad.foreach(m => System.err.println(s"[dedup-scale] FAIL $m"))
+      sys.exit(4)
+    }
+    System.err.println("[dedup-scale] invariants hold: candidates linear, " +
+      "buckets bounded, SRP cells calibrated (pair work <= 4*N^1.5), " +
+      "IVF prunes with recall >= 0.9")
+  }
+}
