@@ -213,25 +213,19 @@ object Similarity {
     * sample is the `trainSize` corpus vectors with the smallest
     * md5(id) — a hash any SQL engine reproduces, unlike xxhash64 —
     * and every sample component is quantized to an integer
-    * ⌊x·10⁶+0.5⌋ BEFORE training, so Lloyd's CENTROID UPDATES are
-    * exact integer sums (order-free: Spark, the driver loop, and an
-    * external engine cannot drift on float accumulation order).
-    * Assignment cosines round to 6 decimals with ties to the lowest
-    * cell, the same cross-engine-proven comparison every KNN gate
-    * here uses. CAVEAT — the cosine REDUCTIONS themselves (dot and
-    * norms) are still float sums, sequential here vs unordered
-    * aggregation in a replaying SQL engine: a cosine landing within
-    * ~1 ulp of a 0.5·10⁻⁶ rounding boundary could round differently
-    * across engines, flip one cell choice, and cascade through the
-    * remaining Lloyd rounds. The integer quantization removes the
-    * update-side drift, not this boundary case; it is
-    * astronomically unlikely on real data (the round-6 comparison
-    * leaves ~10⁻¹⁰ of the value space exposed per comparison) but
-    * not structurally impossible — a fully order-free form would
-    * need fixed-point dot products end to end. ~1 MiB at the defaults; the quantizer is a
-    * driver-scale object, which is exactly how FAISS trains ivfflat:
-    * in-memory k-means on a sample, never a distributed job per
-    * Lloyd round. */
+    * ⌊x·10⁶+0.5⌋ BEFORE training. The whole Lloyd loop then runs in
+    * fixed point ([[lloyd]]): dots, norms AND centroid updates are
+    * exact Long arithmetic on the 10⁻⁶ grid (centroids round back to
+    * the grid each round), so every value fed to the round-6
+    * assignment comparison is a deterministic function of exact
+    * integers — no float accumulation order exists for a replaying
+    * engine to drift on. (The one remaining float exposure in the
+    * IVF pipeline is the CORPUS-side assignment/re-rank cosine over
+    * raw float embeddings, a single non-cascading decision per row —
+    * the same exposure every round-6 KNN gate here shares.) ~1 MiB
+    * at the defaults; the quantizer is a driver-scale object, which
+    * is exactly how FAISS trains ivfflat: in-memory k-means on a
+    * sample, never a distributed job per Lloyd round. */
   def ivfTrainQuantizer(
       corpus: DataFrame, nCells: Int = 16, lloydRounds: Int = 3,
       trainSize: Int = 4096,
@@ -258,34 +252,41 @@ object Similarity {
   private[operators] def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** In-memory spherical k-means (cosine Lloyd) over the
-    * 10⁻⁶-quantized sample: init = first k sample vectors,
-    * assignment by highest round-6 cosine (ties → lowest cell),
-    * update = exact integer sum / (count·10⁶); an emptied cell keeps
-    * its previous centroid. Deterministic for a fixed sample order,
-    * and replayable by an external SQL engine (integer sums are
-    * order-free; the only float reductions — cosine dot/norms — sit
-    * behind the round-6 comparison). */
+  /** In-memory spherical k-means (cosine Lloyd), STRUCTURALLY
+    * order-free: points AND centroids live on the 10⁻⁶ integer grid
+    * for the whole training loop. Init = first k sample vectors;
+    * assignment by highest round-6 cosine (ties → lowest cell) where
+    * dot and both norms are EXACT Long sums over grid coordinates
+    * (≤ 64·10¹² ≪ 2⁶³ — no float accumulation anywhere, so no
+    * summation-order exposure at all, in any engine); update = the
+    * per-component grid mean, rounded half-toward-+∞ via the explicit
+    * `floor((2s + c) / 2c)` formula both engines evaluate on exact
+    * small doubles (2s + c ≤ ~2³³ ≪ 2⁵³); an emptied cell keeps its
+    * previous centroid. Cosine itself is `dot / √(na·nb)` with each
+    * Long cast to double exactly — the only float ops are one
+    * multiply, one sqrt, one divide on identical inputs, which IEEE
+    * 754 makes bit-identical across engines. This closes the former
+    * caveat about a cosine landing within 1 ulp of a round-6 boundary
+    * cascading through the rounds: the inputs to round6 are now
+    * deterministic functions of exact integers, not of a sum order. */
   private def lloyd(pointsQ: Array[Array[Long]], k: Int,
       rounds: Int): Array[Array[Double]] = {
     if (pointsQ.isEmpty) return Array.empty
     val dim = pointsQ(0).length
-    val points = pointsQ.map(_.map(_ / 1e6))
-    var cents = points.take(k).map(_.clone)
+    var cents: Array[Array[Long]] = pointsQ.take(k).map(_.clone)
     for (_ <- 1 to rounds) {
       val sums = Array.fill(cents.length)(new Array[Long](dim))
       val counts = new Array[Long](cents.length)
       var pi = 0
-      while (pi < points.length) {
-        val p = points(pi)
+      while (pi < pointsQ.length) {
+        val q = pointsQ(pi)
         var best = 0; var bestCs = Double.NegativeInfinity
         var ci = 0
         while (ci < cents.length) {
-          val cs = round6(cosineOf(p, cents(ci)))
+          val cs = round6(intCosine(q, cents(ci)))
           if (cs > bestCs) { bestCs = cs; best = ci }
           ci += 1
         }
-        val q = pointsQ(pi)
         var d = 0
         while (d < dim) { sums(best)(d) += q(d); d += 1 }
         counts(best) += 1
@@ -294,17 +295,24 @@ object Similarity {
       cents = cents.zipWithIndex.map { case (old, ci) =>
         if (counts(ci) == 0) old
         else Array.tabulate(dim)(d =>
-          sums(ci)(d).toDouble / (counts(ci) * 1e6))
+          math.floor((2.0 * sums(ci)(d) + counts(ci)) /
+            (2.0 * counts(ci))).toLong)
       }
     }
-    cents
+    cents.map(_.map(_ / 1e6))
   }
 
-  private def cosineOf(a: Array[Double], b: Array[Double]): Double = {
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+  /** Cosine over 10⁻⁶-grid coordinates: dot and norms are exact Long
+    * sums (scale cancels in the ratio), so the value is independent
+    * of accumulation order by construction. */
+  private def intCosine(a: Array[Long], b: Array[Long]): Double = {
+    var dot = 0L; var na = 0L; var nb = 0L; var i = 0
     val n = math.min(a.length, b.length)
-    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    while (i < n) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
   }
 
   /** Serve KNN from a built [[IvfIndex]]: quantize the query batch,

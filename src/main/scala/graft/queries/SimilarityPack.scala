@@ -213,13 +213,18 @@ object SimilarityPack extends QueryPack {
     // deterministic AND oracle-replicable — the training sample is
     // the 4096 vectors with the smallest md5(id) (a hash DuckDB
     // shares, vs the old Spark-private xxhash64), sample components
-    // quantize to integers ⌊x·10⁶+0.5⌋ so Lloyd's centroid updates
-    // are exact order-free integer sums, and every assignment cosine
-    // rounds to 6 decimals (ties → lowest cell) — the comparison
-    // q40/q43 already proved cross-engine. The oracle replays the
-    // whole pipeline: 3 unrolled Lloyd rounds (assign aN / update uN
-    // / carry empty cells cN), full-corpus cell assignment, nProbe=4
-    // probes, candidate equi-join, round-6 re-rank. Build/query
+    // quantize to integers ⌊x·10⁶+0.5⌋, and (round 14) the WHOLE
+    // Lloyd loop runs in fixed point: dots, norms and centroid
+    // updates are exact integer sums on the 10⁻⁶ grid with centroids
+    // rounded back to the grid each round via the shared
+    // floor((2s+c)/2c) formula — no float accumulation order exists
+    // anywhere in training for the engines to drift on. Assignment
+    // cosines round to 6 decimals (ties → lowest cell) — the
+    // comparison q40/q43 already proved cross-engine. The oracle
+    // replays the whole pipeline: 3 unrolled integer Lloyd rounds
+    // (assign aN / update uN / carry empty cells cN), full-corpus
+    // cell assignment, nProbe=4 probes, candidate equi-join, round-6
+    // re-rank. Build/query
     // split: the index is built once per dataset (ivfIndexFor — the
     // DDL-built-index analog) and the query only quantizes the
     // batch, probes nProbe cells and re-ranks.
@@ -237,60 +242,67 @@ object SimilarityPack extends QueryPack {
           SELECT rn, d.d AS d,
                  CAST(floor(emb[d.d + 1] * 1000000 + 0.5) AS BIGINT) AS q
           FROM samp, unnest(range(64)) d(d)),
-        sn AS (SELECT rn, sum((q/1000000.0)*(q/1000000.0)) AS ns
-               FROM sd GROUP BY rn),
-        c0 AS (SELECT rn - 1 AS cell, d, q/1000000.0 AS v
-               FROM sd WHERE rn <= 16),
-        n1 AS (SELECT cell, sum(v*v) AS nc FROM c0 GROUP BY cell),
-        d1 AS (SELECT sd.rn, c.cell, sum((sd.q/1000000.0) * c.v) AS dot
+        sn AS (SELECT rn, sum(q*q) AS ns FROM sd GROUP BY rn),
+        c0 AS (SELECT rn - 1 AS cell, d, q FROM sd WHERE rn <= 16),
+        n1 AS (SELECT cell, sum(q*q) AS nc FROM c0 GROUP BY cell),
+        d1 AS (SELECT sd.rn, c.cell, sum(sd.q * c.q) AS dot
                FROM sd JOIN c0 c ON sd.d = c.d GROUP BY sd.rn, c.cell),
         a1 AS (
           SELECT rn, cell FROM (
             SELECT d.rn, d.cell,
                    row_number() OVER (PARTITION BY d.rn ORDER BY
                      round(CASE WHEN sn.ns = 0 OR n.nc = 0 THEN 0
-                                ELSE d.dot / sqrt(sn.ns * n.nc) END, 6) DESC,
+                                ELSE CAST(d.dot AS DOUBLE) /
+                                     sqrt(CAST(sn.ns AS DOUBLE) *
+                                          CAST(n.nc AS DOUBLE)) END, 6) DESC,
                      d.cell) AS rnk
             FROM d1 d JOIN sn ON sn.rn = d.rn JOIN n1 n ON n.cell = d.cell) x
           WHERE rnk = 1),
         u1 AS (SELECT a.cell, sd.d,
-                      CAST(sum(sd.q) AS DOUBLE) / (count(*) * 1000000.0) AS v
+                      CAST(floor((2.0*sum(sd.q) + count(*)) /
+                                 (2.0*count(*))) AS BIGINT) AS q
                FROM a1 a JOIN sd ON sd.rn = a.rn GROUP BY a.cell, sd.d),
-        c1 AS (SELECT c.cell, c.d, COALESCE(u.v, c.v) AS v
+        c1 AS (SELECT c.cell, c.d, COALESCE(u.q, c.q) AS q
                FROM c0 c LEFT JOIN u1 u ON u.cell = c.cell AND u.d = c.d),
-        n2 AS (SELECT cell, sum(v*v) AS nc FROM c1 GROUP BY cell),
-        d2 AS (SELECT sd.rn, c.cell, sum((sd.q/1000000.0) * c.v) AS dot
+        n2 AS (SELECT cell, sum(q*q) AS nc FROM c1 GROUP BY cell),
+        d2 AS (SELECT sd.rn, c.cell, sum(sd.q * c.q) AS dot
                FROM sd JOIN c1 c ON sd.d = c.d GROUP BY sd.rn, c.cell),
         a2 AS (
           SELECT rn, cell FROM (
             SELECT d.rn, d.cell,
                    row_number() OVER (PARTITION BY d.rn ORDER BY
                      round(CASE WHEN sn.ns = 0 OR n.nc = 0 THEN 0
-                                ELSE d.dot / sqrt(sn.ns * n.nc) END, 6) DESC,
+                                ELSE CAST(d.dot AS DOUBLE) /
+                                     sqrt(CAST(sn.ns AS DOUBLE) *
+                                          CAST(n.nc AS DOUBLE)) END, 6) DESC,
                      d.cell) AS rnk
             FROM d2 d JOIN sn ON sn.rn = d.rn JOIN n2 n ON n.cell = d.cell) x
           WHERE rnk = 1),
         u2 AS (SELECT a.cell, sd.d,
-                      CAST(sum(sd.q) AS DOUBLE) / (count(*) * 1000000.0) AS v
+                      CAST(floor((2.0*sum(sd.q) + count(*)) /
+                                 (2.0*count(*))) AS BIGINT) AS q
                FROM a2 a JOIN sd ON sd.rn = a.rn GROUP BY a.cell, sd.d),
-        c2 AS (SELECT c.cell, c.d, COALESCE(u.v, c.v) AS v
+        c2 AS (SELECT c.cell, c.d, COALESCE(u.q, c.q) AS q
                FROM c1 c LEFT JOIN u2 u ON u.cell = c.cell AND u.d = c.d),
-        n3 AS (SELECT cell, sum(v*v) AS nc FROM c2 GROUP BY cell),
-        d3 AS (SELECT sd.rn, c.cell, sum((sd.q/1000000.0) * c.v) AS dot
+        n3 AS (SELECT cell, sum(q*q) AS nc FROM c2 GROUP BY cell),
+        d3 AS (SELECT sd.rn, c.cell, sum(sd.q * c.q) AS dot
                FROM sd JOIN c2 c ON sd.d = c.d GROUP BY sd.rn, c.cell),
         a3 AS (
           SELECT rn, cell FROM (
             SELECT d.rn, d.cell,
                    row_number() OVER (PARTITION BY d.rn ORDER BY
                      round(CASE WHEN sn.ns = 0 OR n.nc = 0 THEN 0
-                                ELSE d.dot / sqrt(sn.ns * n.nc) END, 6) DESC,
+                                ELSE CAST(d.dot AS DOUBLE) /
+                                     sqrt(CAST(sn.ns AS DOUBLE) *
+                                          CAST(n.nc AS DOUBLE)) END, 6) DESC,
                      d.cell) AS rnk
             FROM d3 d JOIN sn ON sn.rn = d.rn JOIN n3 n ON n.cell = d.cell) x
           WHERE rnk = 1),
         u3 AS (SELECT a.cell, sd.d,
-                      CAST(sum(sd.q) AS DOUBLE) / (count(*) * 1000000.0) AS v
+                      CAST(floor((2.0*sum(sd.q) + count(*)) /
+                                 (2.0*count(*))) AS BIGINT) AS q
                FROM a3 a JOIN sd ON sd.rn = a.rn GROUP BY a.cell, sd.d),
-        c3 AS (SELECT c.cell, c.d, COALESCE(u.v, c.v) AS v
+        c3 AS (SELECT c.cell, c.d, COALESCE(u.q, c.q) / 1000000.0 AS v
                FROM c2 c LEFT JOIN u3 u ON u.cell = c.cell AND u.d = c.d),
         cn AS (SELECT cell, sum(v*v) AS nc FROM c3 GROUP BY cell),
         en AS (SELECT vec_id, sum(emb[d.d + 1] * emb[d.d + 1]) AS ne
