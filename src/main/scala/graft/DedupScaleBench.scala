@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Curation, Dedup, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
@@ -31,6 +31,11 @@ import java.nio.file.{Files, Paths}
   *     ≥ 0.9 on a clustered corpus, with scanned candidates ≤ 2× the
   *     nProbe/nCells corpus fraction — the inverted lists really do
   *     prune, they don't rescan the corpus.
+  *   - segmentDedup (q112 path): a boilerplate segment planted in
+  *     100% of docs (N occurrences of ONE dedup key — the hot-key
+  *     shape the de-skewed groupBy+unique-key join-back exists for)
+  *     must keep exactly one global survivor (sum(n_kept) = 4N+1)
+  *     with per-N wall time recorded for the sweep.
   *
   * Everything is md5-derived and deterministic: reruns are
   * bit-identical, and no RNG state leaks into the measurements.
@@ -44,7 +49,8 @@ object DedupScale {
       sdSec: Double, sdPlanes: Int, sdMaxCell: Long, sdCells: Long,
       sdPairWork: Long, sdPlantedRecall: Double,
       ivfSec: Double, ivfRecall: Double, ivfCandidates: Long,
-      ivfCandFrac: Double)
+      ivfCandFrac: Double,
+      sgSec: Double, sgSegs: Long, sgKept: Long)
 
   /** md5-derived uniform value in [-1, 1] with ~2001 distinct levels
     * (the HashEmbedder scheme — deterministic, engine-agnostic). */
@@ -182,9 +188,29 @@ object DedupScale {
     }
     val ivfCandFrac = ivfCandidates.toDouble / (32.0 * n)
 
+    // ---- segmentDedup with a planted 100%-occurrence boilerplate -----
+    // Every doc = one identical 8-word segment (N occurrences of ONE
+    // dedup key — the hot-segment shape the de-skewed join-back
+    // exists for) + 4 globally unique segments. Exactly one doc may
+    // keep the boilerplate, so sum(n_kept) must be 4N + 1.
+    val segDocs = spark.range(n).toDF("id")
+      .withColumn("doc_id", col("id"))
+      .withColumn("text", concat_ws(" ",
+        lit("the quick brown fox jumps over lazy dogs") +:
+          (0 until 32).map(w =>
+            substring(md5(concat(lit("sg:"), col("id"), lit(s":$w"))),
+              1, 8)): _*))
+      .select("doc_id", "text").localCheckpoint()
+    val ((sgSegs, sgKept), sgSec) = timed {
+      val agg = Curation.segmentDedup(segDocs, segWords = 8)
+        .agg(sum("n_segs"), sum("n_kept")).head
+      (agg.getLong(0), agg.getLong(1))
+    }
+
     Cell(n, mhSec, mhCandidates, mhMaxBucket, mh._1, mh._2,
       sdSec, planes, sdMaxCell, sdCells, sdPairWork, sdRecall,
-      ivfSec, ivfRecall, ivfCandidates, ivfCandFrac)
+      ivfSec, ivfRecall, ivfCandidates, ivfCandFrac,
+      sgSec, sgSegs, sgKept)
   }
 
   def toJson(cells: Seq[Cell]): String =
@@ -196,7 +222,8 @@ object DedupScale {
       s""""sd_max_cell":${c.sdMaxCell},"sd_cells":${c.sdCells},""" +
       f""""sd_pair_work":${c.sdPairWork},"sd_planted_recall":${c.sdPlantedRecall}%.4f,""" +
       f""""ivf_sec":${c.ivfSec}%.3f,"ivf_recall":${c.ivfRecall}%.4f,""" +
-      f""""ivf_candidates":${c.ivfCandidates},"ivf_cand_frac":${c.ivfCandFrac}%.4f}"""
+      f""""ivf_candidates":${c.ivfCandidates},"ivf_cand_frac":${c.ivfCandFrac}%.4f,""" +
+      f""""sg_sec":${c.sgSec}%.3f,"sg_segs":${c.sgSegs},"sg_kept":${c.sgKept}}"""
     }.mkString("""{"cells":[""", ",", "]}")
 }
 
@@ -217,7 +244,8 @@ object DedupScaleBench {
         f"sd=${c.sdSec}%.1fs planes=${c.sdPlanes} maxCell=${c.sdMaxCell} " +
         f"pairWork=${c.sdPairWork} recall=${c.sdPlantedRecall}%.3f | " +
         f"ivf=${c.ivfSec}%.1fs recall=${c.ivfRecall}%.3f " +
-        f"candFrac=${c.ivfCandFrac}%.3f")
+        f"candFrac=${c.ivfCandFrac}%.3f | " +
+        f"sg=${c.sgSec}%.1fs segs=${c.sgSegs} kept=${c.sgKept}")
       c
     }
     val json = DedupScale.toJson(cells)
@@ -247,6 +275,9 @@ object DedupScaleBench {
       if (c.ivfCandFrac > 2.0 * 8 / 64)
         bad ::= s"n=${c.n}: IVF scanned ${c.ivfCandFrac} of corpus " +
           "(> 2x nProbe/nCells)"
+      if (c.sgSegs != 5 * c.n || c.sgKept != 4 * c.n + 1)
+        bad ::= s"n=${c.n}: segmentDedup segs=${c.sgSegs} (want ${5 * c.n}) " +
+          s"kept=${c.sgKept} (want ${4 * c.n + 1})"
     }
     // candidate volume must scale ~linearly with N, never quadratically
     cells.sortBy(_.n).sliding(2).foreach {
