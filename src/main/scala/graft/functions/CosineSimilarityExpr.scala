@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd cosine similarity over two `ARRAY<FLOAT>` /
+  * `ARRAY<DOUBLE>` columns — the pairwise hot path of every KNN /
+  * near-dup / SemDeDup operator, evaluated O(N·Q) or O(N^1.5) times
+  * per job.
+  *
+  * Why an `Expression` and not the previous `aggregate`/`zip_with`
+  * composition or a Scala UDF: Spark's HigherOrderFunction family has
+  * NO codegen (each element binds a lambda variable and walks an
+  * interpreted expression tree), and a Scala UDF pays per-row
+  * CatalystConverter boxing of both arrays (measured SLOWER than the
+  * interpreted HOF form on the dedup scale sweep: IVF cell 7.9 s →
+  * 10.0 s at N=10⁴). This expression reads the unsafe array buffers
+  * directly inside whole-stage codegen: primitive `getFloat/getDouble`
+  * per element, no allocation, no virtual dispatch.
+  *
+  * Exactness contract (the DuckDB oracles were recorded against the
+  * HOF form, so the operation order is replicated bit-for-bit):
+  *   - every element is promoted to double, accumulations run in
+  *     array index order with independent accumulators
+  *     (`dot`, `‖a‖²`, `‖b‖²`), result = `dot / (√‖a‖²·√‖b‖²)`;
+  *   - `denom == 0` (an all-zeros embedding from a failed embed call)
+  *     → 0.0, NOT an ANSI division-by-zero error;
+  *   - null array, null element, or unequal lengths with nonzero
+  *     norms → null — exactly what `aggregate(zip_with(a,b,_*_),…)`
+  *     produced (zip_with pads the shorter side with nulls, a null
+  *     product nullifies the whole sum).
+  *
+  * Reference behavior mirrored: pgvector `<=>` cosine-distance KNN
+  * used by cocoindex retrieval (reference
+  * examples/text_embedding/main.py:138-156).
+  */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "cosine_similarity"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> inputs, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+  private def hasNulls(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val arrA = a.asInstanceOf[ArrayData]
+    val arrB = b.asInstanceOf[ArrayData]
+    val aFloat = elemType(left) == FloatType
+    val bFloat = elemType(right) == FloatType
+    val nA = arrA.numElements()
+    val nB = arrB.numElements()
+    @inline def getA(i: Int): Double =
+      if (aFloat) arrA.getFloat(i).toDouble else arrA.getDouble(i)
+    @inline def getB(i: Int): Double =
+      if (bFloat) arrB.getFloat(i).toDouble else arrB.getDouble(i)
+
+    if (nA == nB) {
+      var dot = 0.0; var sa = 0.0; var sb = 0.0; var i = 0
+      while (i < nA) {
+        if (arrA.isNullAt(i) || arrB.isNullAt(i)) return null
+        val x = getA(i); val y = getB(i)
+        dot += x * y; sa += x * x; sb += y * y; i += 1
+      }
+      val denom = math.sqrt(sa) * math.sqrt(sb)
+      if (denom == 0.0) java.lang.Double.valueOf(0.0)
+      else java.lang.Double.valueOf(dot / denom)
+    } else {
+      // unequal lengths: the zip_with-padded dot product is null, so
+      // the result is null UNLESS both norms are zero (denom == 0
+      // short-circuits to 0.0 before the dot is ever consulted)
+      var sa = 0.0; var i = 0
+      while (i < nA) {
+        if (arrA.isNullAt(i)) return null
+        val x = getA(i); sa += x * x; i += 1
+      }
+      var sb = 0.0; i = 0
+      while (i < nB) {
+        if (arrB.isNullAt(i)) return null
+        val y = getB(i); sb += y * y; i += 1
+      }
+      if (math.sqrt(sa) * math.sqrt(sb) == 0.0) java.lang.Double.valueOf(0.0)
+      else null
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nA = ctx.freshName("nA"); val nB = ctx.freshName("nB")
+      val sa = ctx.freshName("sa"); val sb = ctx.freshName("sb")
+      val dot = ctx.freshName("dot"); val denom = ctx.freshName("denom")
+      val bad = ctx.freshName("badNull")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      def get(arr: String, side: Expression, idx: String): String =
+        if (elemType(side) == FloatType) s"(double) $arr.getFloat($idx)"
+        else s"$arr.getDouble($idx)"
+      def nullCheck(arr: String, side: Expression, idx: String): String =
+        if (hasNulls(side)) s"if ($arr.isNullAt($idx)) { $bad = true; break; }"
+        else ""
+      s"""
+        |final int $nA = $a.numElements();
+        |final int $nB = $b.numElements();
+        |boolean $bad = false;
+        |double $sa = 0.0;
+        |double $sb = 0.0;
+        |if ($nA == $nB) {
+        |  double $dot = 0.0;
+        |  for (int $i = 0; $i < $nA; $i++) {
+        |    ${nullCheck(a, left, i)}
+        |    ${nullCheck(b, right, i)}
+        |    final double $x = ${get(a, left, i)};
+        |    final double $y = ${get(b, right, i)};
+        |    $dot += $x * $y; $sa += $x * $x; $sb += $y * $y;
+        |  }
+        |  if ($bad) {
+        |    ${ev.isNull} = true;
+        |  } else {
+        |    final double $denom =
+        |      java.lang.Math.sqrt($sa) * java.lang.Math.sqrt($sb);
+        |    ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+        |  }
+        |} else {
+        |  for (int $i = 0; $i < $nA; $i++) {
+        |    ${nullCheck(a, left, i)}
+        |    final double $x = ${get(a, left, i)};
+        |    $sa += $x * $x;
+        |  }
+        |  if (!$bad) {
+        |    for (int $i = 0; $i < $nB; $i++) {
+        |      ${nullCheck(b, right, i)}
+        |      final double $y = ${get(b, right, i)};
+        |      $sb += $y * $y;
+        |    }
+        |  }
+        |  if (!$bad && java.lang.Math.sqrt($sa) * java.lang.Math.sqrt($sb) == 0.0) {
+        |    ${ev.value} = 0.0;
+        |  } else {
+        |    ${ev.isNull} = true;
+        |  }
+        |}
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarityExpr =
+    copy(left = newLeft, right = newRight)
+}

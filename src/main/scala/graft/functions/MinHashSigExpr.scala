@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native codegen'd MinHash signature over a document's md5-hashed
+  * shingle array: component i = min over shingles h of
+  * `(a_i·(h mod p) + b_i) mod p`, the classic universal family with
+  * p = 2³¹−1 ([[graft.operators.Dedup.minHashNearDupMd5]] documents
+  * why the constants and modulus keep the whole derivation
+  * oracle-replicable in external SQL engines).
+  *
+  * Why an `Expression`: the previous form was
+  * `transform(0..k, i => array_min(transform(hs, h => …)))` —
+  * k × |shingles| interpreted HOF steps per document (k=32 and ~40
+  * shingles ⇒ ~1300 tree-walks/doc) plus a k·|shingles|-element
+  * intermediate array materialized per component. This runs the same
+  * arithmetic as one primitive shingle-outer/component-inner loop in
+  * whole-stage codegen, updating k running minima with zero
+  * allocation beyond the k-long output.
+  *
+  * Exactness: pure 64-bit integer arithmetic — `%` is Java remainder
+  * exactly like the SQL `%` on BIGINT, every intermediate < 2⁶²
+  * (a,b < p < 2³¹ and md5-derived h ≥ 0), and min over longs is
+  * order-free, so shingle iteration order cannot matter. Null
+  * handling replicates the HOF composition exactly: null shingle-hash
+  * entries are SKIPPED (as `array_min` skips them); a component with
+  * no non-null shingles is null; and a NULL input array yields an
+  * array of k nulls, NOT null — because the legacy outer `transform`
+  * ran over `sequence(0, k-1)` and each inner
+  * `array_min(transform(null, …))` collapsed to a null component.
+  * The expression is therefore non-nullable. (The caller filters
+  * empty shingle sets, so these are padded-null edges, not the
+  * normal path.)
+  */
+case class MinHashSigExpr(child: Expression, a: Array[Long], b: Array[Long],
+    p: Long) extends UnaryExpression {
+
+  require(a.length == b.length && a.nonEmpty,
+    s"min_hash_sig: ${a.length} a-constants vs ${b.length} b-constants")
+
+  private def k = a.length
+
+  override def prettyName: String = "min_hash_sig"
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got ${other.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return new GenericArrayData(Array.fill[Any](k)(null))
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var seen = false
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        seen = true
+        val h = arr.getLong(j) % p
+        var i = 0
+        while (i < k) {
+          val x = (a(i) * h + b(i)) % p
+          if (x < mins(i)) mins(i) = x
+          i += 1
+        }
+      }
+      j += 1
+    }
+    if (seen) new GenericArrayData(mins)
+    else new GenericArrayData(Array.fill[Any](k)(null))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val aRef = ctx.addReferenceObj("minHashA", a, "long[]")
+    val bRef = ctx.addReferenceObj("minHashB", b, "long[]")
+    val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+    val v = childGen.value
+    val n = ctx.freshName("n"); val mins = ctx.freshName("mins")
+    val seen = ctx.freshName("seen"); val j = ctx.freshName("j")
+    val i = ctx.freshName("i"); val h = ctx.freshName("h")
+    val x = ctx.freshName("x"); val out = ctx.freshName("out")
+    val nullCheck =
+      if (child.dataType.asInstanceOf[ArrayType].containsNull)
+        s"if ($v.isNullAt($j)) continue;"
+      else ""
+    val compute =
+      s"""
+        |final int $n = $v.numElements();
+        |final long[] $mins = new long[$k];
+        |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+        |boolean $seen = false;
+        |for (int $j = 0; $j < $n; $j++) {
+        |  $nullCheck
+        |  $seen = true;
+        |  final long $h = $v.getLong($j) % ${p}L;
+        |  for (int $i = 0; $i < $k; $i++) {
+        |    final long $x = ($aRef[$i] * $h + $bRef[$i]) % ${p}L;
+        |    if ($x < $mins[$i]) $mins[$i] = $x;
+        |  }
+        |}
+        |$out = $seen ? new $gad($mins) : new $gad(new Object[$k]);
+      """.stripMargin
+    val body =
+      code"""
+        ${childGen.code}
+        $gad $out;
+        if (${childGen.isNull}) {
+          $out = new $gad(new Object[$k]);
+        } else {
+          $compute
+        }
+      """
+    ev.copy(
+      code = body +
+        code"${CodeGenerator.javaType(dataType)} ${ev.value} = $out;",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinHashSigExpr = copy(child = newChild)
+}

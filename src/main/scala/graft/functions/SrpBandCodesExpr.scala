@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native codegen'd sign-random-projection band codes — the corpus-
+  * wide coding pass of the SRP-LSH / SemDeDup candidate generators
+  * ([[graft.operators.Similarity.srpBandCodes]] documents the scheme
+  * and the md5-derived plane matrix that keeps q43/q115 oracle-
+  * replicable).
+  *
+  * Why an `Expression`: the previous composition was a TRIPLE-nested
+  * HigherOrderFunction (`transform` over bands → `aggregate` over
+  * planes → `aggregate`+`zip_with` over dims, with an `element_at`
+  * into a nested literal matrix per step) — `planes × dims`
+  * interpreted tree-walks per corpus row, evaluated over the FULL
+  * corpus before any candidate pruning can happen. This expression
+  * bakes the plane matrix into a `double[][]` reference object and
+  * runs the whole signature as primitive loops inside whole-stage
+  * codegen.
+  *
+  * Exactness contract (q43's value-exact oracle regenerates these
+  * codes in DuckDB): per-plane dot products accumulate in dimension
+  * index order from 0.0 (`((0 + x₀m₀) + x₁m₁) + …`), the sign bit is
+  * `dot >= 0` (−0.0 counts as non-negative, exactly like the SQL
+  * `>=`), and codes pack MSB-first via `acc·2 + bit` — all IEEE-
+  * identical to the HOF form. A null ELEMENT anywhere in the
+  * embedding nulls every dot (the zip_with sum was poisoned), so
+  * every band code degrades to 0 — replicated, not "fixed".
+  *
+  * Caller contract: `size(emb) <= dims` — enforced at the Column
+  * level by the `when(..., raise_error)` guard in `srpBandCodes`,
+  * which this expression sits inside (shorter embeddings project on
+  * their first `size` plane components; oversize THROWS loudly there
+  * rather than silently hashing out-of-matrix dims). Defensively,
+  * an oversize array reaching eval directly clamps to `dims`.
+  */
+case class SrpBandCodesExpr(child: Expression, planes: Int, bands: Int,
+    dims: Int) extends UnaryExpression {
+
+  require(bands > 0 && planes % bands == 0,
+    s"srp_band_codes: planes=$planes must be a positive multiple of bands=$bands")
+
+  private val perBand = planes / bands
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    graft.operators.Similarity.srpPlaneMatrix(planes, dims)
+      .map(_.toArray).toArray
+
+  override def prettyName: String = "srp_band_codes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> input, got ${other.catalogString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dims)
+    var anyNull = false
+    var d = 0
+    while (d < n && !anyNull) { anyNull = arr.isNullAt(d); d += 1 }
+    val codes = new Array[Long](bands)
+    if (!anyNull) {
+      val f = isFloat
+      var b = 0
+      while (b < bands) {
+        var acc = 0L
+        var i = 0
+        while (i < perBand) {
+          val row = matrix(b * perBand + i)
+          var dot = 0.0
+          d = 0
+          while (d < n) {
+            val x = if (f) arr.getFloat(d).toDouble else arr.getDouble(d)
+            dot += x * row(d)
+            d += 1
+          }
+          acc = (acc << 1) + (if (dot >= 0) 1L else 0L)
+          i += 1
+        }
+        codes(b) = acc
+        b += 1
+      }
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val m = ctx.addReferenceObj("srpMatrix", matrix, "double[][]")
+      val n = ctx.freshName("n"); val codes = ctx.freshName("codes")
+      val anyNull = ctx.freshName("anyNull"); val d = ctx.freshName("d")
+      val b = ctx.freshName("b"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val dot = ctx.freshName("dot")
+      val row = ctx.freshName("row")
+      val getter = if (isFloat) s"(double) $v.getFloat($d)" else s"$v.getDouble($d)"
+      val nullScan =
+        if (child.dataType.asInstanceOf[ArrayType].containsNull)
+          s"""for (int $d = 0; $d < $n && !$anyNull; $d++) {
+             |  $anyNull = $v.isNullAt($d);
+             |}""".stripMargin
+        else ""
+      s"""
+        |final int $n = java.lang.Math.min($v.numElements(), $dims);
+        |boolean $anyNull = false;
+        |$nullScan
+        |final long[] $codes = new long[$bands];
+        |if (!$anyNull) {
+        |  for (int $b = 0; $b < $bands; $b++) {
+        |    long $acc = 0L;
+        |    for (int $i = 0; $i < $perBand; $i++) {
+        |      final double[] $row = $m[$b * $perBand + $i];
+        |      double $dot = 0.0;
+        |      for (int $d = 0; $d < $n; $d++) {
+        |        $dot += ($getter) * $row[$d];
+        |      }
+        |      $acc = ($acc << 1) + ($dot >= 0 ? 1L : 0L);
+        |    }
+        |    $codes[$b] = $acc;
+        |  }
+        |}
+        |${ev.value} =
+        |  new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SrpBandCodesExpr = copy(child = newChild)
+}

@@ -30,14 +30,18 @@ object VectorFunctions {
 
   def l2Norm(a: Column): Column = sqrt(squaredNorm(a))
 
+  /** Pairwise cosine — a native codegen'd [[CosineSimilarityExpr]],
+    * not the HOF composition the single-pass reductions above use:
+    * this is evaluated O(N·Q) / O(N^1.5) times by the KNN / near-dup
+    * operators and HigherOrderFunction has no codegen. Semantics
+    * (zero-norm → 0 under ANSI, null/unequal-length → null, index-
+    * ordered double accumulation) are IEEE-identical to the previous
+    * `when(denom === 0, 0).otherwise(dot/denom)` form — every DuckDB
+    * oracle recorded against it still matches bit-for-bit. */
   def cosineSimilarity(a: Column, b: Column): Column = {
-    // zero-norm guard: under Spark 4's default ANSI mode a division
-    // by zero THROWS, so one all-zeros embedding (a failed embed
-    // call) would kill the whole job; define cos(0-vector, _) = 0
-    val denom = l2Norm(a) * l2Norm(b)
-    org.apache.spark.sql.functions.when(denom === 0.0,
-      org.apache.spark.sql.functions.lit(0.0))
-      .otherwise(dotProduct(a, b) / denom)
+    import org.apache.spark.sql.GraftExpressionBridge
+    GraftExpressionBridge.column(CosineSimilarityExpr(
+      GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
   }
 
   /** ColBERT-style late-interaction MaxSim over two multi-vector

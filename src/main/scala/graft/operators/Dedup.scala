@@ -377,12 +377,17 @@ object Dedup {
     val hashed = base.select(col("doc_id"),
       transform(col("sh"), s => md5long(s)).as("hs"))
       .localCheckpoint()
-    val aLit = lit(minHashA.take(numHashes))
-    val bLit = lit(minHashB.take(numHashes))
-    val sigArr = transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(col("hs"), h =>
-        (element_at(aLit, i + 1) * (h % MinHashP) + element_at(bLit, i + 1))
-          % MinHashP)))
+    // signature = the native codegen'd expression (the previous
+    // transform(0..k, i => array_min(transform(hs, …))) form walked
+    // k×|shingles| interpreted HOF steps per doc — MinHashSigExpr's
+    // scaladoc carries the exactness argument: integer-only, same
+    // a/b/p constants the oracle SQL embeds)
+    val sigArr = {
+      import org.apache.spark.sql.GraftExpressionBridge
+      GraftExpressionBridge.column(graft.functions.MinHashSigExpr(
+        GraftExpressionBridge.expression(col("hs")),
+        minHashA.take(numHashes), minHashB.take(numHashes), MinHashP))
+    }
     val sigs = hashed.select(col("doc_id"), posexplode(sigArr))
       .toDF("doc_id", "i", "sig")
     val cands = sigs.select(col("doc_id").as("doc_a"), col("i"), col("sig"))
@@ -738,5 +743,99 @@ object Dedup {
     df.join(agg, df(idCol) === agg("id"), "left")
       .withColumn("clean_text", cut(col(textCol), col("spans")))
       .drop("id", "spans")
+  }
+
+  /** Incremental exact dedup: the rows of `increment` whose `keyCol`
+    * does NOT occur in `corpus` — semantically `increment LEFT ANTI
+    * JOIN corpus ON keyCol`, but shaped for the production setting
+    * where `corpus` is the accumulated 100 TB training set and
+    * `increment` is a (much smaller) fresh crawl batch. A plain
+    * anti-join shuffles BOTH sides on the key — re-shuffling the
+    * entire corpus per arriving batch. Instead:
+    *
+    *   1. ONE pass over the corpus builds a bloom filter of
+    *      `xxhash64(keyCol)` (Catalyst's `BloomFilterAggregate`, the
+    *      same sketch Spark's runtime row-level join filtering uses):
+    *      partial aggregation merges per-partition filters, so only
+    *      filter BITS move in the shuffle, never corpus rows. The
+    *      finished filter is `optimalNumOfBits(n, fpp)/8` bytes — a
+    *      bounded driver value (~12 MB at n=10⁷, fpp=1%) embedded as
+    *      a literal, broadcast with the task binary.
+    *   2. Increment rows whose key the filter does NOT contain are
+    *      definitely new (a bloom filter has no false negatives) —
+    *      they are kept with NO join at all. At fpp=1% that settles
+    *      all but ~1% of the genuinely-new rows plus the true dups.
+    *   3. Only the remaining candidates go through the exact confirm
+    *      anti-join, and the corpus side of that join is pruned to
+    *      `keyCol` (column pruning at the scan) and prefiltered by a
+    *      SECOND bloom built over the candidate keys — a corpus row
+    *      whose key fails it cannot equal any candidate key, so the
+    *      join's corpus input shrinks to the possibly-matching rows
+    *      (fpp-bounded) before any shuffle.
+    *
+    * Both filters only ever DISCARD provably-irrelevant rows, so the
+    * result is bit-for-bit the anti-join — false positives just ride
+    * through to the confirm join. Null keys never equal anything
+    * (SQL semantics) and are kept, exactly as the anti-join keeps
+    * them. `expectedItems` sizes filter #1; pass the corpus's
+    * approximate cardinality if known, else it is counted first (one
+    * key-column-pruned scan).
+    *
+    * Reference behavior mirrored: the reconcile-time "skip rows whose
+    * fingerprint already committed" membership test of the engine's
+    * incremental sync (reference rust/core/src/execution/sync.rs —
+    * re-expressed as a corpus-scale set-membership prefilter).
+    */
+  def incrementalDedup(
+      corpus: DataFrame, increment: DataFrame, keyCol: String,
+      fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    import org.apache.spark.util.sketch.BloomFilter
+
+    def bloomOf(df: DataFrame, n: Long): Array[Byte] = {
+      val items = math.max(n, 1L)
+      val bits = BloomFilter.optimalNumOfBits(items, fpp)
+      // BloomFilterAggregate SILENTLY clamps both parameters to the
+      // runtime-filter session confs (defaults 4M items / 8 MB) — a
+      // clamp stays exact here (more false positives just reach the
+      // confirm join) but quietly defeats the sizing, so raise the
+      // caps to what this filter actually needs
+      val conf = df.sparkSession.conf
+      Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> items,
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> bits)
+        .foreach { case (k, v) =>
+          if (conf.get(k).toLong < v) conf.set(k, v.toString)
+        }
+      val agg = new BloomFilterAggregate(
+        GraftExpressionBridge.expression(xxhash64(col(keyCol))),
+        Literal(items), Literal(bits)).toAggregateExpression()
+      df.select(GraftExpressionBridge.column(agg).as("bf"))
+        .head.getAs[Array[Byte]](0)
+    }
+    def mightContain(bf: Array[Byte]): Column =
+      GraftExpressionBridge.column(BloomFilterMightContain(
+        Literal(bf, BinaryType),
+        GraftExpressionBridge.expression(xxhash64(col(keyCol)))))
+
+    val corpusKeys = corpus.select(col(keyCol))
+    val nCorpus =
+      if (expectedItems > 0) expectedItems else corpusKeys.count()
+    val corpusBf = bloomOf(corpusKeys, nCorpus)
+
+    val flagged = increment.withColumn("__mc", mightContain(corpusBf))
+    val definitelyNew = flagged.filter(!col("__mc")).drop("__mc")
+    val candidates = flagged.filter(col("__mc")).drop("__mc")
+      // both branches re-read `increment`; the candidate branch is
+      // additionally read twice more (bloom build + join) — keep it
+      // materialized once, it is the fpp-bounded small set
+      .localCheckpoint()
+
+    val candBf = bloomOf(candidates.select(col(keyCol)), candidates.count())
+    val prunedCorpus = corpusKeys.filter(mightContain(candBf))
+    val confirmed = candidates.join(prunedCorpus, Seq(keyCol), "left_anti")
+    definitelyNew.unionByName(confirmed)
   }
 }

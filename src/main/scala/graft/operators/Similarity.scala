@@ -112,20 +112,18 @@ object Similarity {
     * size(emb) plane components). */
   def srpBandCodes(emb: Column, planes: Int, bands: Int,
       dims: Int = 64): Column = {
-    val perBand = planes / bands
-    val m = typedLit(srpPlaneMatrix(planes, dims))
-    val checked = when(size(emb) <= dims, emb).otherwise(raise_error(
+    // signature computation is the native codegen'd expression (the
+    // previous triple-nested HOF form walked planes×dims interpreted
+    // tree steps per corpus row — see SrpBandCodesExpr's scaladoc for
+    // the exactness contract it preserves); the loud oversize guard
+    // stays out here at the Column level, verbatim
+    import org.apache.spark.sql.GraftExpressionBridge
+    val native = GraftExpressionBridge.column(
+      graft.functions.SrpBandCodesExpr(
+        GraftExpressionBridge.expression(emb), planes, bands, dims))
+    when(size(emb) <= dims, native).otherwise(raise_error(
       concat(lit("srpBandCodes: embedding has "), size(emb).cast("string"),
         lit(s" components > dims=$dims — pass the right dims"))))
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      aggregate(sequence(lit(0), lit(perBand - 1)), lit(0L), (acc, i) => {
-        val row = element_at(m, b * perBand + i + 1)
-        val dot = aggregate(
-          zip_with(checked, sequence(lit(0), size(checked) - 1),
-            (x, d) => x.cast("double") * element_at(row, d + 1)),
-          lit(0.0), (a, x) => a + x)
-        shiftleft(acc, 1) + when(dot >= 0, 1L).otherwise(0L)
-      }))
   }
 
   /** Approximate top-k: SRP-LSH candidate generation + exact cosine

@@ -533,6 +533,37 @@ object TextPack extends QueryPack {
       (s, dir) =>
         graft.operators.Dedup.exactSubstringSpans(
           Tables(s, dir, "documents"), "doc_id", "text", minLen = 30)
-          .withColumnRenamed("id", "doc_id"))
+          .withColumnRenamed("id", "doc_id")),
+
+    // ---- incremental dedup: fresh batch vs the accumulated corpus -------
+    // corpus = 2/3 of documents; the "arriving batch" = the other 1/3
+    // plus re-crawled verbatim copies of corpus docs (the planted
+    // dups). The operator answers with bloom prefilters + a confirm
+    // anti-join over candidates only; the oracle is the plain
+    // anti-join the operator must equal bit-for-bit.
+    Q(
+      "q120_incremental_dedup",
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        inc AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0)
+        SELECT i.doc_id, CAST(length(i.text) AS INT) AS n_chars
+        FROM inc i
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = i.text)"""),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+        val inc = docs.filter(col("doc_id") % 3 === 0)
+          .unionByName(docs
+            .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000))
+        graft.operators.Dedup.incrementalDedup(corpus, inc, "text")
+          .select(col("doc_id"),
+            length(col("text")).cast("int").as("n_chars"))
+      })
   )
 }

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ⇄ Expression bridge for graft's native Catalyst
+  * expressions. `classic.ExpressionUtils` is `private[sql]`, so the
+  * (standard) extension technique is a forwarder compiled into the
+  * `org.apache.spark.sql` package — the same access pattern Spark's
+  * own connectors use. Nothing here adds behavior; it only re-exports
+  * the two conversions.
+  */
+object GraftExpressionBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

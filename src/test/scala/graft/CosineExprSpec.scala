@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The native codegen'd [[graft.functions.CosineSimilarityExpr]] must
+  * be bit-for-bit identical to the HOF composition it replaced — the
+  * DuckDB oracles (q40/q41/q43/q47/q114/q115/q118…) were recorded
+  * against that form, so ANY IEEE divergence (operation order, null
+  * semantics, zero-norm guard) is a correctness bug, not a rounding
+  * nit. The legacy form is restated here verbatim and both are
+  * evaluated twice: through whole-stage codegen (plain select) and
+  * through the interpreted path (eval inside a non-codegen context).
+  */
+class CosineExprSpec extends SparkSpec {
+
+  /** The pre-round-14 HOF composition, verbatim. */
+  private def legacyCosine(a: Column, b: Column): Column = {
+    val dot = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    def norm(c: Column): Column =
+      sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val denom = norm(a) * norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dot / denom)
+  }
+
+  /** 64-dim md5-derived float vectors (the HashEmbedder scheme) plus
+    * planted edge rows: all-zeros, one-null-element, null vector,
+    * short (unequal-length) vector, and a pair of zero-norm unequal
+    * lengths. */
+  private lazy val vecs: DataFrame = {
+    import spark.implicits._
+    val base = spark.range(64).toDF("id")
+      .withColumn("v", transform(sequence(lit(0), lit(63)), d =>
+        ((conv(substring(md5(concat(lit("t:"), col("id"), lit(":"), d)), 1, 15),
+          16, 10).cast("long") % 2001L - 1000L).cast("double") / 1000.0)
+          .cast("float")))
+    val edges = Seq(
+      (100L, Some(Seq.fill(64)(Some(0.0f)))),                    // zero norm
+      (101L, Some(Seq.tabulate(64)(i =>
+        if (i == 7) None else Some(0.5f)))),                     // null element
+      (102L, None),                                              // null vector
+      (103L, Some(Seq.fill(16)(Some(0.25f)))),                   // short
+      (104L, Some(Seq.fill(16)(Some(0.0f))))                     // short, zero norm
+    ).toDF("id", "v")
+    base.unionByName(edges)
+  }
+
+  private def pairs: DataFrame =
+    vecs.toDF("id_a", "a").crossJoin(vecs.toDF("id_b", "b"))
+
+  test("codegen path: expr == legacy HOF bit-for-bit on all pairs incl. edges") {
+    val diff = pairs
+      .withColumn("ne", VectorFunctions.cosineSimilarity(col("a"), col("b")))
+      .withColumn("le", legacyCosine(col("a"), col("b")))
+      .filter(!(col("ne") <=> col("le")))
+    assert(diff.count() === 0, {
+      val r = diff.select("id_a", "id_b", "ne", "le").head(5).toSeq
+      s"divergent pairs: ${r.mkString("; ")}"
+    })
+  }
+
+  test("interpreted path (eval) matches codegen") {
+    val before = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val diff = pairs
+        .withColumn("ne", VectorFunctions.cosineSimilarity(col("a"), col("b")))
+        .withColumn("le", legacyCosine(col("a"), col("b")))
+        .filter(!(col("ne") <=> col("le")))
+      assert(diff.count() === 0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      before match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.wholeStage", v)
+        case None => spark.conf.unset("spark.sql.codegen.wholeStage")
+      }
+    }
+  }
+
+  test("double-element arrays and float/double mix accepted") {
+    val d = vecs.filter(col("id") < 8)
+      .withColumn("vd", col("v").cast("array<double>"))
+    val diff = d.toDF("ia", "a", "ad").crossJoin(d.toDF("ib", "b", "bd"))
+      .withColumn("ff", VectorFunctions.cosineSimilarity(col("a"), col("b")))
+      .withColumn("dd", VectorFunctions.cosineSimilarity(col("ad"), col("bd")))
+      .withColumn("fd", VectorFunctions.cosineSimilarity(col("a"), col("bd")))
+      .filter(!(col("ff") <=> col("dd")) || !(col("ff") <=> col("fd")))
+    assert(diff.count() === 0)
+  }
+}

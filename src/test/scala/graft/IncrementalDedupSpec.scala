@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[Dedup.incrementalDedup]] must equal the plain anti-join
+  * bit-for-bit in EVERY sizing regime: the bloom filters are
+  * prefilters that may only discard provably-irrelevant rows, so a
+  * deliberately under-sized filter (high false-positive pressure)
+  * changes the candidate volume, never the result.
+  */
+class IncrementalDedupSpec extends SparkSpec {
+
+  private def docs(n: Int): DataFrame =
+    spark.range(n).toDF("id")
+      .withColumn("key", concat(lit("k:"), md5(col("id").cast("string"))))
+      .withColumn("payload", col("id") * 7)
+
+  /** corpus = ids [0, n); increment = half genuinely new keys, half
+    * verbatim corpus keys (the dups to drop). */
+  private def split(n: Int): (DataFrame, DataFrame) = {
+    val corpus = docs(n)
+    val fresh = spark.range(n, n + n / 2).toDF("id")
+      .withColumn("key", concat(lit("k:"), md5(col("id").cast("string"))))
+      .withColumn("payload", col("id") * 7)
+    val dups = corpus.filter(col("id") % 2 === 0)
+      .withColumn("id", col("id") + 1000000)
+    (corpus, fresh.unionByName(dups))
+  }
+
+  private def assertMatchesAntiJoin(
+      corpus: DataFrame, inc: DataFrame, fpp: Double): Unit = {
+    val got = Dedup.incrementalDedup(corpus, inc, "key", fpp = fpp)
+      .select("id", "key", "payload").collect().toSet
+    val want = inc.join(corpus.select("key"), Seq("key"), "left_anti")
+      .select("id", "key", "payload").collect().toSet
+    assert(got === want)
+  }
+
+  test("equals the anti-join exactly at production sizing") {
+    val (corpus, inc) = split(2000)
+    assertMatchesAntiJoin(corpus, inc, fpp = 0.01)
+    // and the expected shape: dups dropped, fresh kept
+    val out = Dedup.incrementalDedup(corpus, inc, "key")
+    assert(out.count() === 1000)
+    assert(out.filter(col("id") >= 1000000).count() === 0)
+  }
+
+  test("equals the anti-join under heavy false-positive pressure") {
+    // fpp=0.5 under-sizes the filter so a large share of genuinely
+    // new keys become candidates — the confirm join must absorb them
+    val (corpus, inc) = split(1000)
+    assertMatchesAntiJoin(corpus, inc, fpp = 0.5)
+  }
+
+  test("null keys are kept, like the anti-join keeps them") {
+    import spark.implicits._
+    val corpus = Seq((1L, Some("a")), (2L, Some("b")), (3L, None))
+      .toDF("id", "key").withColumn("payload", col("id"))
+    val inc = Seq((10L, Some("a")), (11L, Some("z")), (12L, None))
+      .toDF("id", "key").withColumn("payload", col("id"))
+    val got = Dedup.incrementalDedup(corpus, inc, "key")
+      .select("id").as[Long].collect().toSet
+    // "a" is a dup; "z" is new; the null key NEVER equals anything —
+    // kept even though the corpus also has a null key
+    assert(got === Set(11L, 12L))
+  }
+
+  test("repeated increment keys all survive (anti-join multiplicity)") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a")).toDF("id", "key")
+      .withColumn("payload", col("id"))
+    val inc = Seq((10L, "x"), (11L, "x"), (12L, "a"))
+      .toDF("id", "key").withColumn("payload", col("id"))
+    val got = Dedup.incrementalDedup(corpus, inc, "key")
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(10L, 11L))
+  }
+
+  test("expectedItems hint skips the corpus count without changing results") {
+    val (corpus, inc) = split(500)
+    val got = Dedup.incrementalDedup(corpus, inc, "key",
+      expectedItems = 500L).select("id").collect().toSet
+    val want = Dedup.incrementalDedup(corpus, inc, "key")
+      .select("id").collect().toSet
+    assert(got === want)
+  }
+}

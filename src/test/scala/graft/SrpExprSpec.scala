@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The native codegen'd [[graft.functions.SrpBandCodesExpr]] must
+  * reproduce the HOF composition it replaced bit-for-bit: the q43 /
+  * q115 oracles regenerate these exact codes in DuckDB from the
+  * md5-derived plane matrix, so ONE flipped sign bit re-routes a
+  * vector to a different LSH bucket and changes the candidate set.
+  * The legacy form is restated verbatim and compared across codegen
+  * and interpreted paths, plus the edge semantics (null element →
+  * all-zero codes, short embedding → prefix projection, oversize →
+  * loud error).
+  */
+class SrpExprSpec extends SparkSpec {
+
+  /** The pre-round-14 triple-HOF composition, verbatim. */
+  private def legacySrp(emb: Column, planes: Int, bands: Int,
+      dims: Int = 64): Column = {
+    val perBand = planes / bands
+    val m = typedLit(Similarity.srpPlaneMatrix(planes, dims))
+    val checked = when(size(emb) <= dims, emb).otherwise(raise_error(
+      concat(lit("srpBandCodes: embedding has "), size(emb).cast("string"),
+        lit(s" components > dims=$dims — pass the right dims"))))
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      aggregate(sequence(lit(0), lit(perBand - 1)), lit(0L), (acc, i) => {
+        val row = element_at(m, b * perBand + i + 1)
+        val dot = aggregate(
+          zip_with(checked, sequence(lit(0), size(checked) - 1),
+            (x, d) => x.cast("double") * element_at(row, d + 1)),
+          lit(0.0), (a, x) => a + x)
+        shiftleft(acc, 1) + when(dot >= 0, 1L).otherwise(0L)
+      }))
+  }
+
+  private lazy val vecs: DataFrame = {
+    import spark.implicits._
+    val base = spark.range(256).toDF("id")
+      .withColumn("v", transform(sequence(lit(0), lit(63)), d =>
+        ((conv(substring(md5(concat(lit("s:"), col("id"), lit(":"), d)), 1, 15),
+          16, 10).cast("long") % 2001L - 1000L).cast("double") / 1000.0)
+          .cast("float")))
+    val edges = Seq(
+      (1000L, Some(Seq.fill(64)(Some(0.0f)))),                   // zero vector
+      (1001L, Some(Seq.tabulate(64)(i =>
+        if (i == 31) None else Some(0.5f)))),                    // null element
+      (1002L, Some(Seq.tabulate(16)(i => Some(i * 0.1f - 0.8f))))// short
+    ).toDF("id", "v")
+    base.unionByName(edges)
+  }
+
+  test("native == legacy HOF bit-for-bit (codegen), incl. edge rows") {
+    for ((planes, bands) <- Seq((64, 32), (32, 8), (9, 1))) {
+      val diff = vecs
+        .withColumn("ne", Similarity.srpBandCodes(col("v"), planes, bands))
+        .withColumn("le", legacySrp(col("v"), planes, bands))
+        .filter(!(col("ne") <=> col("le")))
+      assert(diff.count() === 0, {
+        val r = diff.select("id", "ne", "le").head(3).toSeq
+        s"planes=$planes bands=$bands divergent: ${r.mkString("; ")}"
+      })
+    }
+  }
+
+  test("native == legacy on the interpreted path") {
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val diff = vecs
+        .withColumn("ne", Similarity.srpBandCodes(col("v"), 64, 32))
+        .withColumn("le", legacySrp(col("v"), 64, 32))
+        .filter(!(col("ne") <=> col("le")))
+      assert(diff.count() === 0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+  }
+
+  test("null-element embedding degrades to all-zero codes (not null)") {
+    val r = vecs.filter(col("id") === 1001L)
+      .select(Similarity.srpBandCodes(col("v"), 64, 32).as("c"))
+      .head.getSeq[Long](0)
+    assert(r.length === 32 && r.forall(_ == 0L))
+  }
+
+  test("oversize embedding still fails loudly") {
+    val oversize = spark.range(1)
+      .withColumn("v", transform(sequence(lit(0), lit(64)), d =>
+        d.cast("double")))
+    val e = intercept[Exception] {
+      oversize.select(Similarity.srpBandCodes(col("v"), 64, 32).as("c"))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("pass the right dims")),
+      s"unexpected error: $e")
+  }
+}
