@@ -31,6 +31,13 @@ import java.nio.file.{Files, Paths}
   *     ≥ 0.9 on a clustered corpus, with scanned candidates ≤ 2× the
   *     nProbe/nCells corpus fraction — the inverted lists really do
   *     prune, they don't rescan the corpus.
+  *   - incrementalDedup (q120 path): exactly the genuinely-new docs
+  *     of a fresh-batch-plus-recrawls increment survive (value-
+  *     exactness at scale), and the corpus-bloom prefilter admits
+  *     only dups + an fpp-bounded sliver of the new docs to the
+  *     confirm join — candidate volume O(dups + fpp·new), never
+  *     O(increment), the property that keeps the accumulated corpus
+  *     from re-shuffling per batch.
   *   - segmentDedup (q112 path): a boilerplate segment planted in
   *     100% of docs (N occurrences of ONE dedup key — the hot-key
   *     shape the de-skewed groupBy+unique-key join-back exists for)
@@ -50,7 +57,9 @@ object DedupScale {
       sdPairWork: Long, sdPlantedRecall: Double,
       ivfSec: Double, ivfRecall: Double, ivfCandidates: Long,
       ivfCandFrac: Double,
-      sgSec: Double, sgSegs: Long, sgKept: Long)
+      sgSec: Double, sgSegs: Long, sgKept: Long,
+      incSec: Double, incKept: Long, incCands: Long, incNew: Long,
+      incDups: Long)
 
   /** md5-derived uniform value in [-1, 1] with ~2001 distinct levels
     * (the HashEmbedder scheme — deterministic, engine-agnostic). */
@@ -207,10 +216,38 @@ object DedupScale {
       (agg.getLong(0), agg.getLong(1))
     }
 
+    // ---- incremental dedup vs the accumulated corpus ------------------
+    // corpus = the N docs (all texts distinct); the arriving batch =
+    // N/10 brand-new docs (md5 "f:" seeds, disjoint from every corpus
+    // text) + N/10 verbatim corpus re-crawls. incrementalDedup must
+    // keep EXACTLY the new docs (value-exactness at scale), and its
+    // corpus-bloom prefilter must shrink the confirm-join input to
+    // O(dups + fpp·new) — NOT O(increment): that candidate count is
+    // the shape claim that makes the operator corpus-scale (the
+    // accumulated side never re-shuffles; only candidates join).
+    val tenth = math.max(n / 10, 1L)
+    val fresh = spark.range(tenth).toDF("id")
+      .withColumn("doc_id", col("id") + 10000000L)
+      .withColumn("text", concat_ws(" ", (0 until 40).map(j =>
+        substring(md5(concat(lit("f:"), col("id"), lit(s":$j"))), 1, 8)): _*))
+      .select("doc_id", "text")
+    val recrawl = d.filter(col("doc_id") % 10 === 3)
+      .withColumn("doc_id", col("doc_id") + 20000000L)
+    val incDups = recrawl.count()
+    val inc = fresh.unionByName(recrawl).localCheckpoint()
+    val (incKept, incSec) = timed {
+      Dedup.incrementalDedup(d, inc, "text").count()
+    }
+    // candidate volume, restated from the operator's own prefilter
+    // (the rows that reach the confirm join = corpus-bloom hits)
+    val incCands = inc.filter(Dedup.keyMightContain(
+      Dedup.keyBloom(d.select("text"), "text", 0.01, n), "text")).count()
+
     Cell(n, mhSec, mhCandidates, mhMaxBucket, mh._1, mh._2,
       sdSec, planes, sdMaxCell, sdCells, sdPairWork, sdRecall,
       ivfSec, ivfRecall, ivfCandidates, ivfCandFrac,
-      sgSec, sgSegs, sgKept)
+      sgSec, sgSegs, sgKept,
+      incSec, incKept, incCands, tenth, incDups)
   }
 
   def toJson(cells: Seq[Cell]): String =
@@ -223,7 +260,10 @@ object DedupScale {
       f""""sd_pair_work":${c.sdPairWork},"sd_planted_recall":${c.sdPlantedRecall}%.4f,""" +
       f""""ivf_sec":${c.ivfSec}%.3f,"ivf_recall":${c.ivfRecall}%.4f,""" +
       f""""ivf_candidates":${c.ivfCandidates},"ivf_cand_frac":${c.ivfCandFrac}%.4f,""" +
-      f""""sg_sec":${c.sgSec}%.3f,"sg_segs":${c.sgSegs},"sg_kept":${c.sgKept}}"""
+      f""""sg_sec":${c.sgSec}%.3f,"sg_segs":${c.sgSegs},"sg_kept":${c.sgKept},""" +
+      f""""inc_sec":${c.incSec}%.3f,"inc_kept":${c.incKept},""" +
+      s""""inc_cands":${c.incCands},"inc_new":${c.incNew},""" +
+      s""""inc_dups":${c.incDups}}"""
     }.mkString("""{"cells":[""", ",", "]}")
 }
 
@@ -245,7 +285,9 @@ object DedupScaleBench {
         f"pairWork=${c.sdPairWork} recall=${c.sdPlantedRecall}%.3f | " +
         f"ivf=${c.ivfSec}%.1fs recall=${c.ivfRecall}%.3f " +
         f"candFrac=${c.ivfCandFrac}%.3f | " +
-        f"sg=${c.sgSec}%.1fs segs=${c.sgSegs} kept=${c.sgKept}")
+        f"sg=${c.sgSec}%.1fs segs=${c.sgSegs} kept=${c.sgKept} | " +
+        f"inc=${c.incSec}%.1fs kept=${c.incKept}/${c.incNew} " +
+        f"cands=${c.incCands} dups=${c.incDups}")
       c
     }
     val json = DedupScale.toJson(cells)
@@ -278,6 +320,14 @@ object DedupScaleBench {
       if (c.sgSegs != 5 * c.n || c.sgKept != 4 * c.n + 1)
         bad ::= s"n=${c.n}: segmentDedup segs=${c.sgSegs} (want ${5 * c.n}) " +
           s"kept=${c.sgKept} (want ${4 * c.n + 1})"
+      // incremental dedup: exactly the new docs survive, and the bloom
+      // prefilter admits only dups + an fpp-bounded sliver of the new
+      if (c.incKept != c.incNew)
+        bad ::= s"n=${c.n}: incrementalDedup kept ${c.incKept} " +
+          s"(want ${c.incNew})"
+      if (c.incCands > c.incDups + math.max(0.05 * c.incNew, 50.0))
+        bad ::= s"n=${c.n}: incrementalDedup candidates ${c.incCands} " +
+          s"(want <= dups ${c.incDups} + fpp sliver of ${c.incNew})"
     }
     // candidate volume must scale ~linearly with N, never quadratically
     cells.sortBy(_.n).sliding(2).foreach {

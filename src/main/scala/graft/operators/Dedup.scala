@@ -789,43 +789,12 @@ object Dedup {
   def incrementalDedup(
       corpus: DataFrame, increment: DataFrame, keyCol: String,
       fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
-    import org.apache.spark.sql.GraftExpressionBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.types.BinaryType
-    import org.apache.spark.util.sketch.BloomFilter
-
-    def bloomOf(df: DataFrame, n: Long): Array[Byte] = {
-      val items = math.max(n, 1L)
-      val bits = BloomFilter.optimalNumOfBits(items, fpp)
-      // BloomFilterAggregate SILENTLY clamps both parameters to the
-      // runtime-filter session confs (defaults 4M items / 8 MB) — a
-      // clamp stays exact here (more false positives just reach the
-      // confirm join) but quietly defeats the sizing, so raise the
-      // caps to what this filter actually needs
-      val conf = df.sparkSession.conf
-      Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> items,
-          "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> bits)
-        .foreach { case (k, v) =>
-          if (conf.get(k).toLong < v) conf.set(k, v.toString)
-        }
-      val agg = new BloomFilterAggregate(
-        GraftExpressionBridge.expression(xxhash64(col(keyCol))),
-        Literal(items), Literal(bits)).toAggregateExpression()
-      df.select(GraftExpressionBridge.column(agg).as("bf"))
-        .head.getAs[Array[Byte]](0)
-    }
-    def mightContain(bf: Array[Byte]): Column =
-      GraftExpressionBridge.column(BloomFilterMightContain(
-        Literal(bf, BinaryType),
-        GraftExpressionBridge.expression(xxhash64(col(keyCol)))))
-
     val corpusKeys = corpus.select(col(keyCol))
     val nCorpus =
       if (expectedItems > 0) expectedItems else corpusKeys.count()
-    val corpusBf = bloomOf(corpusKeys, nCorpus)
+    val corpusBf = keyBloom(corpusKeys, keyCol, fpp, nCorpus)
 
-    val flagged = increment.withColumn("__mc", mightContain(corpusBf))
+    val flagged = increment.withColumn("__mc", keyMightContain(corpusBf, keyCol))
     val definitelyNew = flagged.filter(!col("__mc")).drop("__mc")
     val candidates = flagged.filter(col("__mc")).drop("__mc")
       // both branches re-read `increment`; the candidate branch is
@@ -833,9 +802,49 @@ object Dedup {
       // materialized once, it is the fpp-bounded small set
       .localCheckpoint()
 
-    val candBf = bloomOf(candidates.select(col(keyCol)), candidates.count())
-    val prunedCorpus = corpusKeys.filter(mightContain(candBf))
+    val candBf = keyBloom(
+      candidates.select(col(keyCol)), keyCol, fpp, candidates.count())
+    val prunedCorpus = corpusKeys.filter(keyMightContain(candBf, keyCol))
     val confirmed = candidates.join(prunedCorpus, Seq(keyCol), "left_anti")
     definitelyNew.unionByName(confirmed)
+  }
+
+  /** Bloom filter of `xxhash64(keyCol)` over `df`, sized for `n`
+    * items at `fpp`, returned as its serialized bytes (a bounded
+    * driver value; see [[incrementalDedup]] step 1). Shared with the
+    * scale sweep, which restates candidate counts from it. */
+  private[graft] def keyBloom(
+      df: DataFrame, keyCol: String, fpp: Double, n: Long): Array[Byte] = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val items = math.max(n, 1L)
+    val bits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(items, fpp)
+    // BloomFilterAggregate SILENTLY clamps both parameters to the
+    // runtime-filter session confs (defaults 4M items / 8 MB) — a
+    // clamp stays exact here (more false positives just reach the
+    // confirm join) but quietly defeats the sizing, so raise the
+    // caps to what this filter actually needs
+    val conf = df.sparkSession.conf
+    Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> items,
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> bits)
+      .foreach { case (k, v) =>
+        if (conf.get(k).toLong < v) conf.set(k, v.toString)
+      }
+    val agg = new BloomFilterAggregate(
+      GraftExpressionBridge.expression(xxhash64(col(keyCol))),
+      Literal(items), Literal(bits)).toAggregateExpression()
+    df.select(GraftExpressionBridge.column(agg).as("bf"))
+      .head.getAs[Array[Byte]](0)
+  }
+
+  /** Membership predicate against a [[keyBloom]] result. */
+  private[graft] def keyMightContain(bf: Array[Byte], keyCol: String): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    GraftExpressionBridge.column(BloomFilterMightContain(
+      Literal(bf, org.apache.spark.sql.types.BinaryType),
+      GraftExpressionBridge.expression(xxhash64(col(keyCol)))))
   }
 }
