@@ -788,11 +788,19 @@ object Dedup {
     */
   def incrementalDedup(
       corpus: DataFrame, increment: DataFrame, keyCol: String,
-      fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
+      fpp: Double = 0.01, expectedItems: Long = -1L,
+      /** Hard cap on the serialized filter (default 256 MB — holds
+        * fpp=1% to ~2×10⁸ corpus keys). Beyond it the filter CAPS and
+        * the realized fpp rises instead of the driver/broadcast
+        * blowing up on a multi-GB literal (10¹¹ keys would "want"
+        * ~120 GB): a denser filter only flags more candidates, which
+        * the confirm join settles exactly — the designed degradation
+        * is extra join work, never a wrong answer and never an OOM. */
+      maxFilterBytes: Long = 256L << 20): DataFrame = {
     val corpusKeys = corpus.select(col(keyCol))
     val nCorpus =
       if (expectedItems > 0) expectedItems else corpusKeys.count()
-    val corpusBf = keyBloom(corpusKeys, keyCol, fpp, nCorpus)
+    val corpusBf = keyBloom(corpusKeys, keyCol, fpp, nCorpus, maxFilterBytes)
 
     val flagged = increment.withColumn("__mc", keyMightContain(corpusBf, keyCol))
     val definitelyNew = flagged.filter(!col("__mc")).drop("__mc")
@@ -803,7 +811,8 @@ object Dedup {
       .localCheckpoint()
 
     val candBf = keyBloom(
-      candidates.select(col(keyCol)), keyCol, fpp, candidates.count())
+      candidates.select(col(keyCol)), keyCol, fpp, candidates.count(),
+      maxFilterBytes)
     val prunedCorpus = corpusKeys.filter(keyMightContain(candBf, keyCol))
     val confirmed = candidates.join(prunedCorpus, Seq(keyCol), "left_anti")
     definitelyNew.unionByName(confirmed)
@@ -814,13 +823,15 @@ object Dedup {
     * driver value; see [[incrementalDedup]] step 1). Shared with the
     * scale sweep, which restates candidate counts from it. */
   private[graft] def keyBloom(
-      df: DataFrame, keyCol: String, fpp: Double, n: Long): Array[Byte] = {
+      df: DataFrame, keyCol: String, fpp: Double, n: Long,
+      maxFilterBytes: Long = 256L << 20): Array[Byte] = {
     import org.apache.spark.sql.GraftExpressionBridge
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val items = math.max(n, 1L)
-    val bits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(items, fpp)
+    val bits = math.min(
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp),
+      maxFilterBytes * 8)
     // BloomFilterAggregate SILENTLY clamps both parameters to the
     // runtime-filter session confs (defaults 4M items / 8 MB) — a
     // clamp stays exact here (more false positives just reach the

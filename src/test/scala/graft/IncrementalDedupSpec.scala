@@ -78,6 +78,18 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got === Set(10L, 11L))
   }
 
+  test("a capped filter degrades to more candidates, never wrong results") {
+    // 16 bytes = 128 bits for 1000 corpus keys — nearly every probe
+    // is a false positive, so nearly the whole increment becomes a
+    // candidate; the confirm join must still produce the exact answer
+    val (corpus, inc) = split(1000)
+    val got = Dedup.incrementalDedup(corpus, inc, "key",
+      maxFilterBytes = 16L).select("id", "key", "payload").collect().toSet
+    val want = inc.join(corpus.select("key"), Seq("key"), "left_anti")
+      .select("id", "key", "payload").collect().toSet
+    assert(got === want)
+  }
+
   test("expectedItems hint skips the corpus count without changing results") {
     val (corpus, inc) = split(500)
     val got = Dedup.incrementalDedup(corpus, inc, "key",
