@@ -38,6 +38,12 @@ import java.nio.file.{Files, Paths}
   *     confirm join — candidate volume O(dups + fpp·new), never
   *     O(increment), the property that keeps the accumulated corpus
   *     from re-shuffling per batch.
+  *   - incrementalNearDup (q121 path): the FUZZY incremental filter
+  *     keeps exactly the fresh docs of a batch whose recrawls carry a
+  *     one-word prefix edit (the case exact keys miss), and the
+  *     banded (corpus, inc) candidate volume stays O(dups +
+  *     collisions) — the corpus side never shuffles (broadcast
+  *     probe), so per-batch cost is one corpus scan.
   *   - segmentDedup (q112 path): a boilerplate segment planted in
   *     100% of docs (N occurrences of ONE dedup key — the hot-key
   *     shape the de-skewed groupBy+unique-key join-back exists for)
@@ -59,7 +65,9 @@ object DedupScale {
       ivfCandFrac: Double,
       sgSec: Double, sgSegs: Long, sgKept: Long,
       incSec: Double, incKept: Long, incCands: Long, incNew: Long,
-      incDups: Long)
+      incDups: Long,
+      fincSec: Double, fincKept: Long, fincNew: Long, fincDups: Long,
+      fincCands: Long)
 
   /** md5-derived uniform value in [-1, 1] with ~2001 distinct levels
     * (the HashEmbedder scheme — deterministic, engine-agnostic). */
@@ -243,11 +251,38 @@ object DedupScale {
     val incCands = inc.filter(Dedup.keyMightContain(
       Dedup.keyBloom(d.select("text"), "text", 0.01, n), "text")).count()
 
+    // ---- incremental FUZZY dedup: fresh batch vs accumulated corpus ---
+    // fresh = the same tenth of brand-new docs; near-recrawl = corpus
+    // docs (%10==3) with a one-word PREFIX edit — 3-shingle Jaccard
+    // 38/39 ≈ 0.974, so exact-key dedup would miss every one of them.
+    // incrementalNearDup must keep EXACTLY the fresh docs, and the
+    // banded candidate volume (distinct (corpus, inc) band
+    // collisions — the only cross-relation work beyond the broadcast)
+    // must stay O(dups + hash collisions), never O(N·batch).
+    val nearRecrawl = d.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + 30000000L).as("doc_id"),
+        concat(lit("UPDATE: "), col("text")).as("text"))
+    val fincBatch = fresh.unionByName(nearRecrawl).localCheckpoint()
+    val (fincKept, fincSec) = timed {
+      Dedup.incrementalNearDup(d, fincBatch, threshold = 0.7).count()
+    }
+    val incSigsRestated = fincBatch
+      .select(col("doc_id"),
+        Dedup.shingleStringsUdf(3)(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        transform(col("sh"), s => Dedup.md5long(s)).as("hs"))
+      .select(col("doc_id"), posexplode(sigArr))
+      .toDF("inc_id", "i", "sig")
+    val fincCands = sigs.join(incSigsRestated, Seq("i", "sig"))
+      .select("doc_id", "inc_id").distinct().count()
+
     Cell(n, mhSec, mhCandidates, mhMaxBucket, mh._1, mh._2,
       sdSec, planes, sdMaxCell, sdCells, sdPairWork, sdRecall,
       ivfSec, ivfRecall, ivfCandidates, ivfCandFrac,
       sgSec, sgSegs, sgKept,
-      incSec, incKept, incCands, tenth, incDups)
+      incSec, incKept, incCands, tenth, incDups,
+      fincSec, fincKept, tenth, incDups, fincCands)
   }
 
   def toJson(cells: Seq[Cell]): String =
@@ -263,7 +298,10 @@ object DedupScale {
       f""""sg_sec":${c.sgSec}%.3f,"sg_segs":${c.sgSegs},"sg_kept":${c.sgKept},""" +
       f""""inc_sec":${c.incSec}%.3f,"inc_kept":${c.incKept},""" +
       s""""inc_cands":${c.incCands},"inc_new":${c.incNew},""" +
-      s""""inc_dups":${c.incDups}}"""
+      s""""inc_dups":${c.incDups},""" +
+      f""""finc_sec":${c.fincSec}%.3f,"finc_kept":${c.fincKept},""" +
+      s""""finc_new":${c.fincNew},"finc_dups":${c.fincDups},""" +
+      s""""finc_cands":${c.fincCands}}"""
     }.mkString("""{"cells":[""", ",", "]}")
 }
 
@@ -287,7 +325,9 @@ object DedupScaleBench {
         f"candFrac=${c.ivfCandFrac}%.3f | " +
         f"sg=${c.sgSec}%.1fs segs=${c.sgSegs} kept=${c.sgKept} | " +
         f"inc=${c.incSec}%.1fs kept=${c.incKept}/${c.incNew} " +
-        f"cands=${c.incCands} dups=${c.incDups}")
+        f"cands=${c.incCands} dups=${c.incDups} | " +
+        f"finc=${c.fincSec}%.1fs kept=${c.fincKept}/${c.fincNew} " +
+        f"cands=${c.fincCands}")
       c
     }
     val json = DedupScale.toJson(cells)
@@ -328,6 +368,16 @@ object DedupScaleBench {
       if (c.incCands > c.incDups + math.max(0.05 * c.incNew, 50.0))
         bad ::= s"n=${c.n}: incrementalDedup candidates ${c.incCands} " +
           s"(want <= dups ${c.incDups} + fpp sliver of ${c.incNew})"
+      // fuzzy incremental: exactly the fresh docs survive (every
+      // prefix-edited recrawl caught — the case exact keys miss), and
+      // the banded cross-candidate volume stays O(dups + minhash
+      // collisions), never O(N·batch)
+      if (c.fincKept != c.fincNew)
+        bad ::= s"n=${c.n}: incrementalNearDup kept ${c.fincKept} " +
+          s"(want ${c.fincNew})"
+      if (c.fincCands > c.fincDups + math.max(0.01 * c.n, 64.0))
+        bad ::= s"n=${c.n}: incrementalNearDup candidates ${c.fincCands} " +
+          s"(want <= dups ${c.fincDups} + collision sliver)"
     }
     // candidate volume must scale ~linearly with N, never quadratically
     cells.sortBy(_.n).sliding(2).foreach {

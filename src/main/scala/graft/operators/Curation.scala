@@ -363,4 +363,68 @@ object Curation {
       .select(col("doc_id"), col("shard"),
         row_number().over(w).cast("long").as("pos"))
   }
+
+  // ---- URL canonicalization + URL-level dedup ------------------------------
+
+  /** Canonical form of a crawled URL — the normalization every
+    * web-corpus pipeline (C4, CCNet, RefinedWeb) applies before
+    * URL-level dedup, so that re-crawls of the same page under
+    * trivially-different raw URLs collapse to one key:
+    *
+    *   - drop the `#fragment` (client-side only, never a different
+    *     resource);
+    *   - lowercase the scheme and host (case-insensitive per RFC
+    *     3986 §3.1/§3.2.2); path and query keep their case;
+    *   - strip the scheme's default port (`:80` for http, `:443` for
+    *     https);
+    *   - drop tracking query parameters (`dropParams` regexes over
+    *     the param NAME — default `utm_*`, `fbclid`, `gclid`), sort
+    *     the survivors lexicographically, re-join with `&`; an empty
+    *     survivor set drops the `?` entirely;
+    *   - strip one trailing `/` from the path (so `/docs/1/` ≡
+    *     `/docs/1`, and a bare host's `/` ≡ the empty path).
+    *
+    * Pure Catalyst string/array functions — fully codegen'd, and
+    * every step has an exact DuckDB counterpart, so the q122 gate is
+    * value-exact. At 100 TB this is a per-row map: no shuffle, no
+    * UDF, nothing driver-side. */
+  def canonicalizeUrl(
+      u: Column,
+      dropParams: Seq[String] = Seq("utm_[^=]*", "fbclid", "gclid"))
+      : Column = {
+    val prefixRx = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*"
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val rawPrefix = regexp_extract(noFrag, prefixRx, 0)
+    val low = lower(rawPrefix)
+    val prefix =
+      when(low.startsWith("http://"), regexp_replace(low, ":80$", ""))
+        .when(low.startsWith("https://"), regexp_replace(low, ":443$", ""))
+        .otherwise(low)
+    val rest = noFrag.substr(length(rawPrefix) + 1, length(noFrag))
+    val path = regexp_replace(regexp_replace(rest, "\\?.*$", ""), "/$", "")
+    val qs = when(rest.contains("?"), regexp_extract(rest, "\\?(.*)$", 1))
+      .otherwise(lit(""))
+    val dropRx = "^(" + dropParams.mkString("|") + ")="
+    val kept = array_sort(filter(split(qs, "&"),
+      p => p =!= "" && !p.rlike(dropRx)))
+    val joined = array_join(kept, "&")
+    concat(prefix, path,
+      when(joined =!= "", concat(lit("?"), joined)).otherwise(lit("")))
+  }
+
+  /** URL-level dedup over [[canonicalizeUrl]] keys: one row per
+    * canonical URL with the duplicate count and the kept (smallest
+    * `idCol`) document. A plain partial-aggregated `groupBy` — the
+    * hot-key-safe shape: a URL re-crawled 10⁸ times costs each map
+    * task one partial row, and `min`/`count` need no join-back. */
+  def urlDedup(
+      docs: org.apache.spark.sql.DataFrame, urlCol: String,
+      idCol: String = "doc_id",
+      dropParams: Seq[String] = Seq("utm_[^=]*", "fbclid", "gclid"))
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(canonicalizeUrl(col(urlCol), dropParams).as("url"),
+        col(idCol))
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("kept_doc_id"))
 }

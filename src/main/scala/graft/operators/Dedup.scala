@@ -818,6 +818,176 @@ object Dedup {
     definitelyNew.unionByName(confirmed)
   }
 
+  /** Incremental FUZZY dedup: the near-duplicate counterpart of
+    * [[incrementalDedup]] — keep only the `increment` docs with no
+    * word-n-gram-Jaccard near-duplicate (≥ `threshold`) in the
+    * accumulated `corpus`. This is the snapshot-over-snapshot crawl
+    * workflow (CCNet/RefinedWeb): each arriving batch is screened
+    * against everything already kept, without re-deduping the corpus.
+    *
+    * Reference behavior mirrored: the incremental-sync role of the
+    * engine (reference rust/core/src/execution/sync.rs — only
+    * arriving rows are processed) combined with its near-dup family
+    * (python/cocoindex/ops/entity_resolution/__init__.py:200).
+    *
+    * Scale shape — the corpus is scanned ONCE and never shuffled:
+    *   1. the increment (assumed ≪ corpus — the operator's contract;
+    *      a batch comparable to the corpus should run the full
+    *      [[fuzzyDedupKeep]] sweep instead) is shingled, md5-hashed
+    *      and signed, then BROADCAST: the corpus-side signature join
+    *      is map-side, so the 100 TB side never moves;
+    *   2. the corpus pass computes md5-MinHash signatures
+    *      ([[graft.functions.MinHashSigExpr]], codegen'd) and carries
+    *      its hashed-shingle arrays through the map-side join, so
+    *      candidate verification needs NO second corpus scan;
+    *   3. candidates (band-collision pairs, O(dups + collisions))
+    *      verify by exact Jaccard over the md5-hashed shingle sets;
+    *      increment docs with a confirmed match are dropped.
+    *
+    * Every derived value (shingle md5s, the universal-family
+    * signatures, the Jaccard) is integer/md5 arithmetic an external
+    * SQL engine recomputes bit-for-bit — the TextPack q121 oracle
+    * replays the whole filter. Docs with fewer than `n` words have
+    * no shingles, hence no signature, hence are always kept (both
+    * engines agree).
+    */
+  def incrementalNearDup(
+      corpus: DataFrame, increment: DataFrame, threshold: Double,
+      numHashes: Int = 32, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes <= minHashA.length)
+    import org.apache.spark.sql.GraftExpressionBridge
+    def sigArr(hs: Column): Column =
+      GraftExpressionBridge.column(graft.functions.MinHashSigExpr(
+        GraftExpressionBridge.expression(hs),
+        minHashA.take(numHashes), minHashB.take(numHashes), MinHashP))
+
+    // increment side: shingles hashed once, reused for signatures AND
+    // verification; checkpointed so the two broadcasts below don't
+    // re-run the shingle UDF
+    val incHashed = increment
+      .select(col(idCol).as("__inc_id"),
+        shingleStringsUdf(n)(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("__inc_id"), transform(col("sh"), s => md5long(s)).as("hs"))
+      .localCheckpoint()
+    val incSigs = incHashed
+      .select(col("__inc_id"), posexplode(sigArr(col("hs"))))
+      .toDF("__inc_id", "i", "sig")
+
+    // corpus side: ONE scan; signatures explode to numHashes rows per
+    // doc but the broadcast-hash join consumes them in the same
+    // codegen stage — nothing corpus-sized is ever exchanged
+    val corpusBanded = corpus
+      .select(col(idCol).as("__c_id"),
+        shingleStringsUdf(n)(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("__c_id"), transform(col("sh"), s => md5long(s)).as("hs_c"))
+      .select(col("__c_id"), col("hs_c"),
+        posexplode(sigArr(col("hs_c"))).as(Seq("i", "sig")))
+
+    val dupIncIds = corpusBanded
+      .join(broadcast(incSigs), Seq("i", "sig"))
+      .select(col("__c_id"), col("hs_c"), col("__inc_id"))
+      .dropDuplicates("__c_id", "__inc_id")
+      .join(broadcast(incHashed), Seq("__inc_id"))
+      .withColumn("__jac", {
+        val inter = size(array_intersect(col("hs_c"), col("hs")))
+        round(inter.cast("double") /
+          (size(col("hs_c")) + size(col("hs")) - inter), 4)
+      })
+      .filter(col("__jac") >= threshold)
+      .select(col("__inc_id"))
+      .distinct()
+
+    increment.join(dupIncIds,
+      increment(idCol) === dupIncIds("__inc_id"), "left_anti")
+  }
+
+  /** [[incrementalNearDup]] served from a [[minHashFlow]]-maintained
+    * band index: the arriving batch's band codes probe the index for
+    * candidate corpus docs, so only THOSE docs' shingles are
+    * recomputed for exact verification — per-batch work is
+    * O(batch + candidates), never O(corpus). The production (FNV)
+    * signature path, the same one the flow's stage writes, so the
+    * probe and the index agree bit-for-bit; index parameters
+    * (numHashes/bandRows/n/columns) come from the index's declared
+    * sidecar, never from the caller — a drifted caller cannot
+    * silently probe with mismatched banding. Spec-gated
+    * (IncrementalDedupSpec): equals the corpus-scan filter built
+    * from [[minHashNearDup]]'s pair semantics.
+    */
+  def minHashIncrementOver(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      corpus: DataFrame, increment: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val meta = graft.engine.Sidecar.read(minHashMetaFile(indexDir))
+      .getOrElse(throw new IllegalStateException(
+        s"minHashIncrementOver($indexDir): no index metadata — was the " +
+          "index built by minHashFlow?"))
+    graft.engine.Sidecar.validate(minHashMetaFile(indexDir),
+      Map("idCol" -> idCol, "textCol" -> textCol),
+      what = s"minHashIncrementOver($indexDir)")
+    val n = meta("n").toInt
+    val numHashes = meta("numHashes").toInt
+    val bandRows = meta("bandRows").toInt
+    val nBands = numHashes / bandRows
+
+    val indexBands = graft.engine.ParquetTableTarget(indexDir).read(spark)
+      .select(col("item_key").as("__c_key"), col("band"), col("code"),
+        col("sz").as("sz_c"))
+
+    // batch bands via the EXACT stage pipeline minHashFlow writes
+    val incBanded = increment
+      .select(col(idCol).cast("string").as("__inc_key"),
+        shingleHashUdf(n)(col(textCol)).as("sh"))
+      .withColumn("sig", minHashSigUdf(numHashes)(col("sh")))
+      .filter(col("sig").isNotNull)
+      .select(col("__inc_key"), size(col("sh")).as("sz_i"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"), col("sig"))
+      .withColumn("code", bandCode(bandRows))
+      .select(col("__inc_key"), col("sz_i"), col("band"), col("code"))
+
+    // probe: index side stays put, batch bands broadcast; exact
+    // length prefilter (J ≥ t ⇒ t·|A| ≤ |B| ∧ t·|B| ≤ |A|) prunes
+    // impossible pairs before any shingle work
+    val candidates = indexBands
+      .join(broadcast(incBanded), Seq("band", "code"))
+      .filter(col("sz_c") >= col("sz_i") * threshold &&
+        col("sz_i") >= col("sz_c") * threshold)
+      .select(col("__c_key"), col("__inc_key"))
+      .dropDuplicates("__c_key", "__inc_key")
+      .localCheckpoint()
+
+    // verify: corpus shingles ONLY for candidate docs (semi-join
+    // prunes the scan), batch shingles broadcast
+    val corpusSh = corpus
+      .select(col(idCol).cast("string").as("__c_key"),
+        shingleHashUdf(n)(col(textCol)).as("sh_c"))
+      .join(candidates.select("__c_key").distinct(), Seq("__c_key"),
+        "left_semi")
+    val incSh = increment
+      .select(col(idCol).cast("string").as("__inc_key"),
+        shingleHashUdf(n)(col(textCol)).as("sh_i"))
+      .join(candidates.select("__inc_key").distinct(), Seq("__inc_key"),
+        "left_semi")
+
+    val dupKeys = candidates
+      .join(corpusSh, Seq("__c_key"))
+      .join(broadcast(incSh), Seq("__inc_key"))
+      .withColumn("__jac", {
+        val inter = size(array_intersect(col("sh_c"), col("sh_i")))
+        inter.cast("double") /
+          (size(col("sh_c")) + size(col("sh_i")) - inter)
+      })
+      .filter(col("__jac") >= threshold)
+      .select(col("__inc_key"))
+      .distinct()
+
+    increment.join(dupKeys,
+      increment(idCol).cast("string") === dupKeys("__inc_key"), "left_anti")
+  }
+
   /** Bloom filter of `xxhash64(keyCol)` over `df`, sized for `n`
     * items at `fpp`, returned as its serialized bytes (a bounded
     * driver value; see [[incrementalDedup]] step 1). Shared with the

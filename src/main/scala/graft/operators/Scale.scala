@@ -52,4 +52,92 @@ object Scale {
         key: String): DataFrame =
       spark.table(left).join(spark.table(right), key)
   }
+
+  // ---- hot-key detection -------------------------------------------------
+
+  /** Exact hot-key report for a prospective shuffle key: the top-K
+    * keys by row count, each with its corpus share and the salt
+    * factor that would split it to ≤ `targetRowsPerTask` rows per
+    * reducer — the measurement step BEFORE reaching for [[saltedAgg]]
+    * or relying on AQE skew-join splitting. Returns
+    * `(key, n_rows, share, salt_factor)`, heaviest first.
+    *
+    * Scale shape: `groupBy(key).count` partial-aggregates map-side
+    * (a 10⁸-row hot key costs each map task ONE partial row); the
+    * total is a second tiny agg broadcast back; top-K is
+    * `orderBy + limit` → TakeOrderedAndProject (per-partition heaps
+    * + driver merge of K·partitions rows, never a global sort). */
+  def skewStats(
+      df: DataFrame, keyCol: String, topK: Int = 20,
+      targetRowsPerTask: Long = 5000000L): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum("n_rows").as("__total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("key"), col("n_rows"),
+        round(col("n_rows") / col("__total"), 6).as("share"),
+        ceil(col("n_rows").cast("double") / targetRowsPerTask)
+          .cast("int").as("salt_factor"))
+      .orderBy(col("n_rows").desc, col("key"))
+      .limit(topK)
+  }
+
+  // ---- Z-order data layout -------------------------------------------------
+
+  /** Morton (Z-order) interleave of two pre-binned non-negative
+    * values: bit `b` of `x` lands at position `2b`, of `y` at
+    * `2b+1`. Pure shift/mask arithmetic over `bits` plan-time
+    * constants — fully codegen'd, and bit-identical in external SQL
+    * engines (the q123 oracle replays it), which is what makes the
+    * layout key auditable. Callers bin raw values into `[0, 2^bits)`
+    * first ([[zBin]]). */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits $bits")
+    (0 until bits).map { b =>
+      shiftright(x.cast("long"), b).bitwiseAND(lit(1L)) * lit(1L << (2 * b)) +
+        shiftright(y.cast("long"), b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Equi-width bin of `v` into `[0, 2^bits)` given the column's
+    * min/max: `floor((v - mn) · 2^bits / (mx - mn + 1))`. Double
+    * floor is exact while `(v-mn)·2^bits < 2^53` — 16-bit bins over
+    * any key range below 2^37; pre-scale wider domains before
+    * binning. Identical IEEE steps in DuckDB, so the oracle
+    * hash-matches. */
+  def zBin(v: Column, mn: Column, mx: Column, bits: Int = 16): Column =
+    floor((v - mn).cast("double") * (1L << bits) /
+      (mx - mn + lit(1L)).cast("double")).cast("long")
+
+  /** Write `df` Z-order-clustered on two columns — the layout step
+    * that makes MULTI-column range predicates prune at 100 TB:
+    * sorting by `(c1, c2)` clusters only `c1`; the Morton key keeps
+    * both dimensions local, so each output file covers a small
+    * rectangle of (c1, c2) space and a box predicate's min/max check
+    * (parquet row-group stats, file-level stats in table formats)
+    * skips most files. ZorderSpec measures exactly this: the
+    * fraction of files a box query can touch, Z-layout vs linear.
+    *
+    * One pass for the column stats (tiny, column-pruned), one
+    * shuffle (`repartitionByRange` on the z-key — range boundaries
+    * from Spark's reservoir sample, so file sizes stay balanced even
+    * when the key space is dense at one corner), one in-partition
+    * sort. The z-key is recomputed per use instead of materialized —
+    * projection only, no schema footprint in the written files. */
+  def zorderWrite(
+      df: DataFrame, c1: String, c2: String, outDir: String,
+      numFiles: Int, bits: Int = 16): Unit = {
+    val stats = df.agg(
+      min(col(c1)).cast("long").as("mn1"), max(col(c1)).cast("long").as("mx1"),
+      min(col(c2)).cast("long").as("mn2"), max(col(c2)).cast("long").as("mx2"))
+    val withZ = df.crossJoin(broadcast(stats))
+    def z = zValue(
+      zBin(col(c1), col("mn1"), col("mx1"), bits),
+      zBin(col(c2), col("mn2"), col("mx2"), bits), bits)
+    withZ
+      .repartitionByRange(numFiles, z)
+      .sortWithinPartitions(z)
+      .select(df.columns.map(col): _*)
+      .write.mode("overwrite").parquet(outDir)
+  }
 }

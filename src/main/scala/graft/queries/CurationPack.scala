@@ -627,6 +627,85 @@ object CurationPack extends QueryPack {
         FROM keyed"""),
       (s, dir) =>
         graft.operators.Curation.shuffleShard(
-          Tables(s, dir, "documents")))
+          Tables(s, dir, "documents"))),
+
+    // ---- URL canonicalization + URL-level dedup --------------------------
+    // The C4/CCNet pre-filter: raw crawl URLs vary in scheme/host
+    // case, default ports, fragments, tracking params, param order
+    // and trailing slashes — canonicalize, then keep one doc per
+    // canonical URL. Raw URLs are derived deterministically from doc
+    // fields (same CASE logic in both engines), with every noise
+    // axis exercised; the canonical key collapses (source,
+    // doc_id % 50) groups.
+    Q(
+      "q122_url_dedup",
+      Some("""
+        WITH raw AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+                 || '://'
+                 || (CASE WHEN doc_id % 4 < 2 THEN source
+                          ELSE upper(source) END)
+                 || '.Example.COM'
+                 || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+                 || '/docs/' || CAST(doc_id % 50 AS VARCHAR)
+                 || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+                 || (CASE WHEN doc_id % 2 = 0
+                          THEN '?b=2&a=1&utm_source=feed'
+                          ELSE '?a=1&utm_campaign=x&b=2' END)
+                 || (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END)
+                   AS url
+          FROM documents),
+        c1 AS (
+          SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM raw),
+        c2 AS (
+          SELECT doc_id, nf,
+                 regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*')
+                   AS rawpfx
+          FROM c1),
+        c3 AS (
+          SELECT doc_id,
+                 CASE WHEN starts_with(lower(rawpfx), 'http://')
+                        THEN regexp_replace(lower(rawpfx), ':80$', '')
+                      WHEN starts_with(lower(rawpfx), 'https://')
+                        THEN regexp_replace(lower(rawpfx), ':443$', '')
+                      ELSE lower(rawpfx) END AS pfx,
+                 substr(nf, length(rawpfx) + 1) AS rest
+          FROM c2),
+        c4 AS (
+          SELECT doc_id, pfx,
+                 regexp_replace(regexp_replace(rest, '\?.*$', ''),
+                   '/$', '') AS path,
+                 CASE WHEN contains(rest, '?')
+                      THEN regexp_extract(rest, '\?(.*)$', 1)
+                      ELSE '' END AS qs
+          FROM c3),
+        c5 AS (
+          SELECT doc_id, pfx, path,
+                 array_to_string(list_sort(list_filter(
+                   string_split(qs, '&'),
+                   p -> p <> '' AND NOT regexp_matches(p,
+                     '^(utm_[^=]*|fbclid|gclid)='))), '&') AS q
+          FROM c4)
+        SELECT pfx || path ||
+                 (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS url,
+               count(*) AS n_docs,
+               min(doc_id) AS kept_doc_id
+        FROM c5 GROUP BY 1"""),
+      (s, dir) => {
+        val d = col("doc_id")
+        val rawUrl = concat(
+          when(d % 2 === 0, "https").otherwise("HTTPS"), lit("://"),
+          when(d % 4 < 2, col("source")).otherwise(upper(col("source"))),
+          lit(".Example.COM"),
+          when(d % 4 === 0, ":443").otherwise(""),
+          lit("/docs/"), (d % 50).cast("string"),
+          when(d % 3 === 0, "/").otherwise(""),
+          when(d % 2 === 0, "?b=2&a=1&utm_source=feed")
+            .otherwise("?a=1&utm_campaign=x&b=2"),
+          when(d % 5 === 0, "#section-2").otherwise(""))
+        graft.operators.Curation.urlDedup(
+          Tables(s, dir, "documents").withColumn("url", rawUrl), "url")
+      })
   )
 }

@@ -560,6 +560,70 @@ object RelationalPack extends QueryPack {
           size(filter(e, x => x.cast("double") > 0)).cast("int").as("n_positive"),
           round(aggregate(e, lit(0.0), (a, x) => a + x.cast("double")), 4)
             .as("el_sum"))
-      })
+      }),
+
+    // ---- Z-order layout key ----------------------------------------------
+    // The Morton key Scale.zorderWrite clusters files by: both
+    // dimensions binned to [0, 256) on corpus min/max, bits
+    // interleaved — pure shift/mask arithmetic, so the oracle replays
+    // the layout key bit-for-bit (the physical file assignment itself
+    // is range-partitioner territory; ZorderSpec measures its pruning
+    // effect directly).
+    Q(
+      "q123_zorder_key",
+      Some {
+        val zterms = (0 until 8).flatMap(b => Seq(
+          s"((b1 >> $b) & 1) * ${1L << (2 * b)}",
+          s"((b2 >> $b) & 1) * ${1L << (2 * b + 1)}")).mkString(" + ")
+        s"""
+        WITH st AS (
+          SELECT min(l_partkey) AS mn1, max(l_partkey) AS mx1,
+                 min(l_suppkey) AS mn2, max(l_suppkey) AS mx2
+          FROM lineitem),
+        b AS (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(floor((l_partkey - mn1) * 256.0 / (mx1 - mn1 + 1))
+                   AS BIGINT) AS b1,
+                 CAST(floor((l_suppkey - mn2) * 256.0 / (mx2 - mn2 + 1))
+                   AS BIGINT) AS b2
+          FROM lineitem, st)
+        SELECT l_orderkey, l_linenumber, $zterms AS zval FROM b"""
+      },
+      (s, dir) => {
+        import graft.operators.Scale
+        val li = t(s, dir, "lineitem")
+        val stats = li.agg(
+          min(col("l_partkey")).cast("long").as("mn1"),
+          max(col("l_partkey")).cast("long").as("mx1"),
+          min(col("l_suppkey")).cast("long").as("mn2"),
+          max(col("l_suppkey")).cast("long").as("mx2"))
+        li.crossJoin(broadcast(stats)).select(
+          col("l_orderkey"), col("l_linenumber"),
+          Scale.zValue(
+            Scale.zBin(col("l_partkey"), col("mn1"), col("mx1"), 8),
+            Scale.zBin(col("l_suppkey"), col("mn2"), col("mx2"), 8),
+            8).as("zval"))
+      }),
+
+    // ---- hot-key report ---------------------------------------------------
+    // Scale.skewStats: exact top-K hot keys with corpus share and the
+    // salt factor that bounds per-reducer rows — the measurement step
+    // before salting/AQE reliance. targetRowsPerTask=50 keeps factors
+    // non-trivial at sf0.01.
+    Q(
+      "q124_skew_stats",
+      Some("""
+        WITH c AS (
+          SELECT l_partkey AS key, count(*) AS n_rows
+          FROM lineitem GROUP BY 1),
+        t AS (SELECT sum(n_rows) AS total FROM c)
+        SELECT key, n_rows,
+               round(n_rows / CAST(total AS DOUBLE), 6) AS share,
+               CAST(ceil(CAST(n_rows AS DOUBLE) / 50) AS INT) AS salt_factor
+        FROM c, t
+        ORDER BY n_rows DESC, key LIMIT 20"""),
+      (s, dir) =>
+        graft.operators.Scale.skewStats(t(s, dir, "lineitem"),
+          "l_partkey", topK = 20, targetRowsPerTask = 50L))
   )
 }

@@ -564,6 +564,95 @@ object TextPack extends QueryPack {
         graft.operators.Dedup.incrementalDedup(corpus, inc, "text")
           .select(col("doc_id"),
             length(col("text")).cast("int").as("n_chars"))
+      }),
+
+    // ---- incremental FUZZY dedup: fresh batch vs accumulated corpus -----
+    // The snapshot-over-snapshot crawl workflow: the arriving batch
+    // (new docs + re-crawled NEAR-duplicates of corpus docs — a
+    // one-word prefix edit, so exact-key dedup misses them) is
+    // screened against the corpus by md5-MinHash banding + exact
+    // Jaccard, corpus scanned once, increment broadcast. The oracle
+    // replays the whole filter bit-for-bit (q49's derivation, two
+    // relations instead of a self-join).
+    Q(
+      "q121_incremental_neardup",
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        inc AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, 'UPDATE: ' || text AS text
+          FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0),
+        csh AS (
+          SELECT doc_id, list_transform(sh, s ->
+              CAST(CAST(('0x' || substring(md5(s), 1, 15)) AS UBIGINT)
+                AS BIGINT)) AS hs
+          FROM (
+            SELECT doc_id, list_distinct(list_transform(
+                range(greatest(len(words) - 2, 0)),
+                i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))
+              AS sh
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), w -> w <> '')
+                           AS words
+                  FROM corpus))
+          WHERE len(sh) > 0),
+        ish AS (
+          SELECT doc_id, list_transform(sh, s ->
+              CAST(CAST(('0x' || substring(md5(s), 1, 15)) AS UBIGINT)
+                AS BIGINT)) AS hs
+          FROM (
+            SELECT doc_id, list_distinct(list_transform(
+                range(greatest(len(words) - 2, 0)),
+                i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))
+              AS sh
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), w -> w <> '')
+                           AS words
+                  FROM inc))
+          WHERE len(sh) > 0),
+        consts AS (
+          SELECT t.i AS i,
+                 (${graft.operators.Dedup.minHashA.take(32)
+                     .mkString("[", ", ", "]")})[t.i + 1] AS a,
+                 (${graft.operators.Dedup.minHashB.take(32)
+                     .mkString("[", ", ", "]")})[t.i + 1] AS b
+          FROM unnest(range(32)) AS t(i)),
+        csigs AS (
+          SELECT doc_id, c.i AS i,
+                 min((c.a * (hv % 2147483647) + c.b) % 2147483647) AS sig
+          FROM (SELECT doc_id, unnest(hs) AS hv FROM csh), consts c
+          GROUP BY doc_id, c.i),
+        isigs AS (
+          SELECT doc_id, c.i AS i,
+                 min((c.a * (hv % 2147483647) + c.b) % 2147483647) AS sig
+          FROM (SELECT doc_id, unnest(hs) AS hv FROM ish), consts c
+          GROUP BY doc_id, c.i),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS c_id, b.doc_id AS inc_id
+          FROM csigs a JOIN isigs b ON a.i = b.i AND a.sig = b.sig),
+        dup AS (
+          SELECT DISTINCT cand.inc_id FROM cand
+          JOIN csh x ON cand.c_id = x.doc_id
+          JOIN ish y ON cand.inc_id = y.doc_id
+          WHERE round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+                  (len(x.hs) + len(y.hs) -
+                   len(list_intersect(x.hs, y.hs))), 4) >= 0.5)
+        SELECT i.doc_id, CAST(length(i.text) AS INT) AS n_chars
+        FROM inc i
+        WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.inc_id = i.doc_id)"""),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+        val inc = docs.filter(col("doc_id") % 3 === 0)
+          .unionByName(docs
+            .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              concat(lit("UPDATE: "), col("text")).as("text")))
+        graft.operators.Dedup.incrementalNearDup(corpus, inc, threshold = 0.5)
+          .select(col("doc_id"),
+            length(col("text")).cast("int").as("n_chars"))
       })
   )
 }

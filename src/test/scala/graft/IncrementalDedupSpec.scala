@@ -98,4 +98,95 @@ class IncrementalDedupSpec extends SparkSpec {
       .select("id").collect().toSet
     assert(got === want)
   }
+
+  // ------------------------------------------------------------------
+  // incrementalNearDup: the fuzzy counterpart — must equal the batch
+  // md5-MinHash pair semantics restricted to cross (corpus, inc) pairs
+  // ------------------------------------------------------------------
+
+  private def textDocs: (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about spark incremental engines"),
+      (3L, "totally unrelated words concerning database query optimizers"),
+      (4L, "a long passage about distributed shuffle joins and partition pruning strategies"))
+      .toDF("doc_id", "text")
+    val inc = Seq(
+      // near-dup of corpus doc 1 (one-word prefix edit — exact-key
+      // dedup would MISS this)
+      (1000001L, "UPDATE: the quick brown fox jumps over the lazy dog again and again"),
+      // verbatim re-crawl of corpus doc 2
+      (1000002L, "completely different content about spark incremental engines"),
+      // genuinely new
+      (1000003L, "fresh never before seen writing on columnar storage formats and encodings"),
+      // too short to shingle (< 3 words): no signature, always kept
+      (1000004L, "two words"))
+      .toDF("doc_id", "text")
+    (corpus, inc)
+  }
+
+  test("incrementalNearDup equals the batch md5-MinHash cross-pair filter") {
+    val (corpus, inc) = textDocs
+    val got = Dedup.incrementalNearDup(corpus, inc, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // reference: batch pairs over the union, keep inc docs with no
+    // cross pair at/above threshold (ids are disjoint: inc > 10^6)
+    val pairs = Dedup.minHashNearDupMd5(
+      corpus.unionByName(inc), threshold = 0.5)
+    val dupInc = pairs
+      .filter((col("doc_a") >= 1000000L) =!= (col("doc_b") >= 1000000L))
+      .select(greatest(col("doc_a"), col("doc_b")).as("inc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val want = inc.select("doc_id").collect().map(_.getLong(0)).toSet -- dupInc
+    assert(got === want)
+    assert(got === Set(1000003L, 1000004L)) // dups dropped, new+short kept
+
+    // plan shape: both hinted joins (corpus sigs ⋈ inc sigs, the
+    // verify ⋈ inc shingles) are broadcast — the corpus side of the
+    // probe never shuffles
+    val plan = Dedup.incrementalNearDup(corpus, inc, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2, plan)
+  }
+
+  test("incrementalNearDup keeps everything against an empty corpus") {
+    val (_, inc) = textDocs
+    val corpus = inc.filter(col("doc_id") < 0)
+    val got = Dedup.incrementalNearDup(corpus, inc, threshold = 0.5)
+    assert(got.count() === inc.count())
+  }
+
+  test("minHashIncrementOver probes the maintained index, O(candidates) verify") {
+    val (corpus, inc) = textDocs
+    val work = java.nio.file.Files.createTempDirectory("graft-incover")
+    work.toFile.deleteOnExit()
+    val base = work.resolve("base").toString
+    corpus.write.mode("overwrite").parquet(base)
+
+    val flow = Dedup.minHashFlow("inc_dedup",
+      sp => sp.read.parquet(base),
+      indexDir = work.resolve("index").toString,
+      stateDir = work.resolve("state").toString)
+    assert(flow.run(spark).components == 4)
+
+    val kept = Dedup.minHashIncrementOver(spark,
+        work.resolve("index").toString, spark.read.parquet(base), inc,
+        threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the near-dup (prefix edit) and the verbatim re-crawl both drop;
+    // the new doc and the unshingleable short doc survive
+    assert(kept === Set(1000003L, 1000004L))
+
+    // a drifted caller cannot probe with a mismatched column set
+    intercept[IllegalArgumentException] {
+      Dedup.minHashIncrementOver(spark, work.resolve("index").toString,
+        spark.read.parquet(base), inc, threshold = 0.5, textCol = "other")
+    }
+    // and a missing index fails loudly, not as an empty result
+    intercept[IllegalStateException] {
+      Dedup.minHashIncrementOver(spark, work.resolve("nosuch").toString,
+        spark.read.parquet(base), inc, threshold = 0.5)
+    }
+  }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.Scale
+import org.apache.spark.sql.functions._
+
+/** [[Scale.zorderWrite]]'s reason to exist is file-stats pruning for
+  * MULTI-column boxes: every output file should cover a small
+  * rectangle of the (c1, c2) space, so a box predicate's min/max
+  * check (what parquet row-group stats and table-format file stats
+  * implement) skips most files. This spec measures exactly that
+  * fraction, Z-layout vs a linear (round-robin) layout of the same
+  * rows into the same file count.
+  */
+class ZorderSpec extends SparkSpec {
+
+  test("zValue interleaves bits exactly (parity with the bit-math reference)") {
+    import spark.implicits._
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (170L, 85L),
+      (255L, 255L))
+    def ref(x: Long, y: Long): Long = (0 until 8).map(b =>
+      (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))).sum
+    val got = pts.toDF("x", "y")
+      .select(Scale.zValue(col("x"), col("y"), 8)).as[Long].collect().toSeq
+    assert(got === pts.map { case (x, y) => ref(x, y) })
+    // the classic landmark: full-range corners
+    assert(ref(255L, 0L) === 0x5555L && ref(0L, 255L) === 0xaaaaL)
+  }
+
+  test("zBin maps the domain into [0, 2^bits) with min -> 0") {
+    import spark.implicits._
+    // span 256 (divides evenly): max lands in the top bin exactly
+    val df = Seq(10L, 137L, 265L).toDF("v")
+      .withColumn("mn", lit(10L)).withColumn("mx", lit(265L))
+    val got = df.select(Scale.zBin(col("v"), col("mn"), col("mx"), 8))
+      .as[Long].collect().toSeq
+    assert(got === Seq(0L, 127L, 255L))
+    // uneven span: still strictly inside [0, 2^bits)
+    val odd = Seq(10L, 109L).toDF("v")
+      .withColumn("mn", lit(10L)).withColumn("mx", lit(109L))
+      .select(Scale.zBin(col("v"), col("mn"), col("mx"), 8))
+      .as[Long].collect().toSeq
+    assert(odd.forall(b => b >= 0L && b < 256L))
+  }
+
+  test("Z-layout bounds the files a box query can touch; linear layout cannot") {
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val work = java.nio.file.Files.createTempDirectory("graft-zorder")
+    work.toFile.deleteOnExit()
+    val zDir = work.resolve("z").toString
+    val linDir = work.resolve("lin").toString
+    Scale.zorderWrite(li, "l_partkey", "l_suppkey", zDir, numFiles = 16)
+    li.repartition(16).write.mode("overwrite").parquet(linDir)
+
+    val Array(pMn, pMx, sMn, sMx) = li.agg(
+      min("l_partkey").cast("double"), max("l_partkey").cast("double"),
+      min("l_suppkey").cast("double"), max("l_suppkey").cast("double"))
+      .head.toSeq.map(_.asInstanceOf[Double]).toArray
+    // central ~20%-per-dimension box — a selective 2-D range query
+    def lo(mn: Double, mx: Double) = mn + 0.4 * (mx - mn)
+    def hi(mn: Double, mx: Double) = mn + 0.6 * (mx - mn)
+
+    def touchedFraction(dir: String): Double = {
+      val files = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("l_partkey").as("p0"), max("l_partkey").as("p1"),
+          min("l_suppkey").as("s0"), max("l_suppkey").as("s1"))
+        .collect()
+      assert(files.length > 8, s"expected ~16 files, got ${files.length}")
+      val touched = files.count { r =>
+        val (p0, p1) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+        val (s0, s1) = (r.getLong(3).toDouble, r.getLong(4).toDouble)
+        p1 >= lo(pMn, pMx) && p0 <= hi(pMn, pMx) &&
+          s1 >= lo(sMn, sMx) && s0 <= hi(sMn, sMx)
+      }
+      touched.toDouble / files.length
+    }
+
+    val zFrac = touchedFraction(zDir)
+    val linFrac = touchedFraction(linDir)
+    // a round-robin layout scatters the box across (essentially) all
+    // files; the Z layout confines it to a corner of the file set
+    assert(linFrac > 0.9, s"linear layout should touch ~all files: $linFrac")
+    assert(zFrac <= 0.5, s"Z layout should skip at least half: $zFrac")
+    assert(zFrac < linFrac)
+
+    // correctness: the clustered copy holds exactly the input rows
+    val a = spark.read.parquet(zDir).collect().toSet
+    val b = li.collect().toSet
+    assert(a === b)
+  }
+}
