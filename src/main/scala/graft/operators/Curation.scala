@@ -364,6 +364,95 @@ object Curation {
         row_number().over(w).cast("long").as("pos"))
   }
 
+  // ---- temperature-flattened mixture resampling ----------------------------
+
+  /** Temperature (α) resampling of a multi-domain corpus — the
+    * mixture-flattening step of multilingual/multi-source
+    * pretraining (XLM-R §3.1, mT5 §3.2): target share of domain d is
+    * `n_d^α / Σ n_e^α`, realized as the LARGEST subsample with those
+    * proportions — the most-downweighted domain keeps fraction 1 and
+    * every other domain keeps `keep_frac_d < 1`, decided per row by
+    * a deterministic md5 draw (no `rand()`; reproducible
+    * run-to-run and engine-to-engine). α = 1 keeps everything; α = 0
+    * equalizes domains; α = 0.5 is the gate setting, where the
+    * weight is IEEE-exact `sqrt` in every engine. Other α use `pow`,
+    * whose last-ulp rounding is not standardized across libms — the
+    * 10⁻⁶ weight quantization makes a cross-engine flip
+    * measure-zero-rare, not impossible (same caveat class as the
+    * IVF cosine note, Similarity.scala).
+    *
+    * Non-destructive, [[keepBest]]-style: adds `keep_frac` (the
+    * domain's sampling fraction) and `kept`. Scale shape: one tiny
+    * per-domain count (partial-aggregated), two scalar aggs, a
+    * broadcast join back, and a per-row hash filter inside the scan
+    * stage — no corpus shuffle. Weight arithmetic is quantized to
+    * integers (`floor(w·10⁶)`) before the order-sensitive sum, so
+    * `Σ q_d` is an order-free long sum and every derived double is a
+    * pure function of per-domain scalars — the q125 oracle replays
+    * the whole derivation bit-for-bit. */
+  def temperatureResample(
+      df: org.apache.spark.sql.DataFrame, domainCol: String,
+      idCol: String = "doc_id", alpha: Double = 0.5)
+      : org.apache.spark.sql.DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha $alpha outside [0,1]")
+    val nD = col("__n").cast("double")
+    val w = if (alpha == 0.5) sqrt(nD) else pow(nD, lit(alpha))
+    val counts = df.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__q", floor(w * lit(1e6)).cast("long"))
+    val stats = counts.agg(sum("__q").as("__sq"), sum("__n").as("__sn"))
+    val ratios = counts.crossJoin(broadcast(stats))
+      .withColumn("__r",
+        (col("__q").cast("double") * col("__sn")) /
+          (col("__sq").cast("double") * col("__n")))
+    val mx = ratios.agg(max("__r").as("__m"))
+    val fracs = ratios.crossJoin(broadcast(mx))
+      .select(col("__dom"), (col("__r") / col("__m")).as("keep_frac"))
+    val h = conv(substring(
+      md5(concat(lit("tr:"), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    df.join(broadcast(fracs), df(domainCol) === fracs("__dom"))
+      .drop("__dom")
+      .withColumn("kept",
+        h < floor(col("keep_frac") * lit(1152921504606846976.0 /* 2^60 */))
+          .cast("long"))
+  }
+
+  // ---- leakage-safe train/val/test split -----------------------------------
+
+  /** Train/val/test assignment that can never leak a near-duplicate
+    * across splits: documents are clustered by
+    * [[Dedup.fuzzyDedupKeep]] (MinHash near-dup connected
+    * components) and the md5 split draw is taken on the CLUSTER
+    * canonical id, so every member of a duplicate cluster lands in
+    * the same split — the standard guard against test contamination
+    * by paraphrased/re-crawled training docs (a per-doc hash split,
+    * q61-style, leaks here by construction). `cuts` are cumulative
+    * fractions; the draw reuses [[hexThreshold]] string compare.
+    * Returns `(doc_id, canonical_id, split)`.
+    *
+    * Scale shape: inherits the banded-equi-join pair generation and
+    * pointer-jumping components of the dedup stack; the split draw
+    * itself is a per-row hash — no extra shuffle beyond the
+    * clustering. */
+  def leakageSafeSplit(
+      docs: org.apache.spark.sql.DataFrame, threshold: Double,
+      cuts: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0),
+      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 >= 1.0,
+      s"cuts must cover [0,1]: $cuts")
+    val clustered =
+      Dedup.fuzzyDedupKeep(docs, threshold, idCol = idCol, textCol = textCol)
+    val draw = md5(concat(lit("split:"), col("canonical_id").cast("string")))
+    val split = cuts.init.foldRight(lit(cuts.last._1)) {
+      case ((name, cut), e) => when(draw < hexThreshold(cut), name)
+        .otherwise(e)
+    }
+    clustered.select(col("doc_id"), col("canonical_id"), split.as("split"))
+  }
+
   // ---- URL canonicalization + URL-level dedup ------------------------------
 
   /** Canonical form of a crawled URL — the normalization every

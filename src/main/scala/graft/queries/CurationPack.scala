@@ -706,6 +706,50 @@ object CurationPack extends QueryPack {
           when(d % 5 === 0, "#section-2").otherwise(""))
         graft.operators.Curation.urlDedup(
           Tables(s, dir, "documents").withColumn("url", rawUrl), "url")
-      })
+      }),
+
+    // ---- temperature (α=0.5) mixture resampling ---------------------------
+    // Per-domain audit of Curation.temperatureResample: target share
+    // n_d^0.5 / Σ n_e^0.5, realized as the largest subsample with
+    // those proportions via a deterministic md5 draw. sqrt is IEEE-
+    // correctly-rounded in both engines and the weight sum is an
+    // integer sum after 1e-6 quantization, so every keep_frac — and
+    // every per-row keep decision — replays bit-for-bit.
+    Q(
+      "q125_temperature_mix",
+      Some("""
+        WITH counts AS (
+          SELECT source AS dom, count(*) AS n FROM documents GROUP BY 1),
+        qd AS (
+          SELECT dom, n,
+                 CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS qv
+          FROM counts),
+        st AS (SELECT sum(qv) AS sq, sum(n) AS sn FROM qd),
+        r AS (
+          SELECT dom, n,
+                 (CAST(qv AS DOUBLE) * sn) / (CAST(sq AS DOUBLE) * n) AS r
+          FROM qd, st),
+        m AS (SELECT max(r) AS mx FROM r),
+        f AS (SELECT dom, r / mx AS keep_frac FROM r, m),
+        marked AS (
+          SELECT d.doc_id, d.source, f.keep_frac,
+                 CAST(CAST(('0x' || substring(
+                     md5('tr:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+                   AS UBIGINT) AS BIGINT)
+                   < CAST(floor(f.keep_frac * 1152921504606846976.0)
+                       AS BIGINT) AS kept
+          FROM documents d JOIN f ON d.source = f.dom)
+        SELECT source, count(*) AS n_docs,
+               count(*) FILTER (kept) AS n_kept,
+               round(min(keep_frac), 6) AS keep_frac
+        FROM marked GROUP BY 1"""),
+      (s, dir) =>
+        graft.operators.Curation.temperatureResample(
+            Tables(s, dir, "documents"), "source")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("kept"), 1)).as("n_kept"),
+            round(min("keep_frac"), 6).as("keep_frac")))
   )
 }

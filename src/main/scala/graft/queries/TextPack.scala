@@ -653,6 +653,81 @@ object TextPack extends QueryPack {
         graft.operators.Dedup.incrementalNearDup(corpus, inc, threshold = 0.5)
           .select(col("doc_id"),
             length(col("text")).cast("int").as("n_chars"))
-      })
+      }),
+
+    // ---- leakage-safe train/val/test split --------------------------------
+    // Split assignment drawn on the q114 near-dup CLUSTER canonical,
+    // not the doc id — a paraphrased/re-crawled duplicate can never
+    // straddle train and test. The oracle replays the q114 closure
+    // and the md5 split draw (hexThreshold cut points interpolated as
+    // literals; lowercase-hex order IS numeric order).
+    Q(
+      "q126_leakage_safe_split",
+      Some(s"""
+        WITH RECURSIVE dd AS (
+          SELECT doc_id, sh FROM (
+            SELECT doc_id, list_distinct(list_transform(
+                range(greatest(len(words) - 2, 0)),
+                i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))
+              AS sh
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), w -> w <> '')
+                           AS words
+                  FROM documents))
+          WHERE len(sh) > 0),
+        h AS (
+          SELECT doc_id, list_transform(sh, s ->
+            CAST(CAST(('0x' || substring(md5(s), 1, 15)) AS UBIGINT)
+              AS BIGINT)) AS hs
+          FROM dd),
+        es AS (SELECT doc_id, unnest(hs) AS hv FROM h),
+        consts AS (
+          SELECT t.i AS i,
+                 (${graft.operators.Dedup.minHashA.take(32)
+                     .mkString("[", ", ", "]")})[t.i + 1] AS a,
+                 (${graft.operators.Dedup.minHashB.take(32)
+                     .mkString("[", ", ", "]")})[t.i + 1] AS b
+          FROM unnest(range(32)) AS t(i)),
+        sigs AS (
+          SELECT doc_id, c.i AS i,
+                 min((c.a * (hv % 2147483647) + c.b) % 2147483647) AS sig
+          FROM es, consts c
+          GROUP BY doc_id, c.i),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sigs a JOIN sigs b
+            ON a.i = b.i AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        pairs AS (
+          SELECT doc_a, doc_b FROM (
+            SELECT c.doc_a, c.doc_b,
+                   round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+                     (len(x.hs) + len(y.hs) -
+                      len(list_intersect(x.hs, y.hs))), 4) AS jaccard
+            FROM cand c
+            JOIN h x ON c.doc_a = x.doc_id
+            JOIN h y ON c.doc_b = y.doc_id)
+          WHERE jaccard >= 0.2),
+        edges AS (
+          SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.d, reach.r FROM reach JOIN edges e ON reach.id = e.s
+          WHERE reach.r < e.d),
+        canon AS (
+          SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id)
+        SELECT doc_id, canonical_id,
+               CASE WHEN md5('split:' || CAST(canonical_id AS VARCHAR))
+                      < '${graft.operators.Curation.hexThreshold(0.8)}'
+                    THEN 'train'
+                    WHEN md5('split:' || CAST(canonical_id AS VARCHAR))
+                      < '${graft.operators.Curation.hexThreshold(0.9)}'
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM canon"""),
+      (s, dir) =>
+        graft.operators.Curation.leakageSafeSplit(
+          Tables(s, dir, "documents"), threshold = 0.2))
   )
 }

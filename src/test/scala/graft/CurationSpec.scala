@@ -221,4 +221,61 @@ class CurationSpec extends SparkSpec {
       assert(shard == java.lang.Long.parseLong(hex.take(1), 16))
     }
   }
+
+  test("temperatureResample: alpha=1 keeps all; alpha=0 equalizes domains") {
+    import spark.implicits._
+    // three domains, 4:2:1 sizes
+    val docs = (1 to 400).map(i => (i.toLong, "a")) ++
+      (401 to 600).map(i => (i.toLong, "b")) ++
+      (601 to 700).map(i => (i.toLong, "c"))
+    val df = docs.toDF("doc_id", "dom")
+
+    // alpha = 1: target shares equal the natural shares — every
+    // domain keeps fraction 1, nothing drops
+    val all = Curation.temperatureResample(df, "dom", alpha = 1.0)
+    assert(all.filter(!col("kept")).count() === 0)
+    assert(all.select(min("keep_frac")).head.getDouble(0) === 1.0)
+
+    // alpha = 0: equal target shares — the SMALLEST domain keeps 1.0
+    // and domain keep fractions invert the size ratio
+    val eq = Curation.temperatureResample(df, "dom", alpha = 0.0)
+      .groupBy("dom").agg(min("keep_frac").as("f"),
+        count(when(col("kept"), 1)).as("k"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    assert(eq("c")._1 === 1.0 && eq("c")._2 === 100L)
+    assert(math.abs(eq("a")._1 - 0.25) < 1e-9)
+    assert(math.abs(eq("b")._1 - 0.5) < 1e-9)
+    // realized counts follow the md5 draw: binomial around f·n, and
+    // the draw is deterministic — rerunning yields identical sets
+    val k2 = Curation.temperatureResample(df, "dom", alpha = 0.0)
+      .filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val k1 = Curation.temperatureResample(df, "dom", alpha = 0.0)
+      .filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k1 === k2)
+  }
+
+  test("leakageSafeSplit never separates a near-dup cluster") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different content about spark incremental engines"),
+      (4L, "totally unrelated words concerning database query optimizers"),
+      (5L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val out = Curation.leakageSafeSplit(docs, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length === 5)
+    // docs 1, 2, 5 form one cluster — identical split for all members
+    val cluster = out.filter(t => Set(1L, 2L, 5L).contains(t._1))
+    assert(cluster.map(_._2).distinct.length === 1)
+    assert(cluster.map(_._3).distinct.length === 1)
+    // every split value is one of the configured cut names
+    assert(out.forall(t => Set("train", "val", "test").contains(t._3)))
+    // cuts must cover [0,1]
+    intercept[IllegalArgumentException] {
+      Curation.leakageSafeSplit(docs, 0.5, cuts = Seq("train" -> 0.8))
+    }
+  }
 }
