@@ -206,6 +206,150 @@ object Multimodal {
       .toDF(keyCol, "media")
   }
 
+  // ---- perceptual hash (dHash) + image-level near-dup --------------
+
+  /** 63-bit difference hash of a decoded image — the perceptual
+    * fingerprint image pipelines dedup re-encodes/resizes with
+    * (Krawetz's dHash): average-pool luminance to a 9×8 grid, one
+    * bit per horizontally adjacent cell pair (`right > left`). All
+    * integer arithmetic (block sums, integer division, ITU-R 601
+    * integer luma), so the hash is an exact function of the pixels;
+    * bit 63 is dropped to keep the value positive in engines whose
+    * BIGINT is signed (hamming sensitivity loss: 1 of 64 bits). */
+  def dHashOf(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val grid = Array.ofDim[Long](8, 9)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 9) {
+        val x0 = cx * w / 9
+        val x1 = math.min(math.max((cx + 1) * w / 9, x0 + 1), math.max(w, 1))
+        val y0 = cy * h / 8
+        val y1 = math.min(math.max((cy + 1) * h / 8, y0 + 1), math.max(h, 1))
+        var s = 0L
+        var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            s += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        grid(cy)(cx) = if (n == 0) 0L else s / n
+        cx += 1
+      }
+      cy += 1
+    }
+    var hash = 0L
+    var yy = 0
+    while (yy < 8) {
+      var xx = 0
+      while (xx < 8) {
+        val idx = yy * 8 + xx
+        if (idx < 63 && grid(yy)(xx + 1) > grid(yy)(xx)) hash |= 1L << idx
+        xx += 1
+      }
+      yy += 1
+    }
+    hash
+  }
+
+  /** Batched perceptual hashing over a binary image column — the
+    * [[decodeBatched]] seam with dHash as the per-image feature.
+    * Output `(key, ok, dhash)`; undecodable payloads report
+    * `ok=false, dhash=0` (a row fact, never a failed task). */
+  def imageDHash(
+      df: DataFrame, keyCol: String, mediaCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long"), col(mediaCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (k, bytes) =>
+            val img =
+              if (bytes == null || bytes.isEmpty) null
+              else
+                try ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+                catch { case _: Exception => null }
+            if (img == null) (k, false, 0L) else (k, true, dHashOf(img))
+          }
+        }
+      }
+      .toDF(keyCol, "ok", "dhash")
+  }
+
+  /** Image-level near-dup pairs by dHash Hamming distance — the
+    * multimodal counterpart of the text SimHash gate
+    * (Dedup.simHashNearDupMd5): pigeonhole banding over the 63-bit
+    * hash (maxHamming+1 bands — a qualifying pair MUST collide in
+    * one band, so recall is exactly 1), equi-join on (band, code),
+    * exact `bit_count(xor)` verification. At 100 TB the hash pass is
+    * one scan through the batched decode seam and candidates are a
+    * banded equi-join — never all-pairs. */
+  def imageNearDup(
+      df: DataFrame, keyCol: String, mediaCol: String,
+      maxHamming: Int = 2, batchSize: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 7, s"maxHamming $maxHamming")
+    val bands = maxHamming + 1
+    val width = 63 / bands
+    val hashes = imageDHash(df, keyCol, mediaCol, batchSize)
+      .filter(col("ok"))
+      .select(col(keyCol).as("id"), col("dhash"))
+      .localCheckpoint() // feeds banding AND verification
+    val banded = hashes
+      .select(col("id"), col("dhash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("code",
+        expr(s"shiftrightunsigned(dhash, band * $width)")
+          .bitwiseAND(lit((1L << width) - 1)))
+    banded.select(col("id").as("doc_a"), col("dhash").as("h_a"),
+        col("band"), col("code"))
+      .join(banded.select(col("id").as("doc_b"), col("dhash").as("h_b"),
+        col("band"), col("code")), Seq("band", "code"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming",
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Gradient-patterned real-PNG fixtures whose dHash is a CLOSED
+    * FORM of the key (the [[syntheticImages]] trick, aimed at the
+    * perceptual-hash path): 9×8 grayscale, luminance
+    * `L(x,y) = (bk·(x + 9y + 1)) mod 251` — gray pixels make the
+    * integer luma exactly L, and 9×8 makes every pool cell one
+    * pixel, so the q127 oracle recomputes the hash bit-for-bit.
+    * Every `key ≡ 9 (mod 10)` is a planted RE-ENCODE of key−1: same
+    * pattern with the bottom-right pixel nudged +1 — byte-identical
+    * dedup misses it, the perceptual hash pairs it (Hamming ≤ 1). */
+  def syntheticGradientImages(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long")).as[Long]
+      .mapPartitions { keys =>
+        keys.map { k =>
+          val bk = if (k % 10 == 9) k - 1 else k
+          (k, ImageCodec.encodePng(9, 8, (x, y) => {
+            var v = java.lang.Math
+              .floorMod(bk * (x + 9 * y + 1), 251L).toInt
+            if (k % 10 == 9 && x == 8 && y == 7) v += 1
+            (v << 16) | (v << 8) | v
+          }))
+        }
+      }
+      .toDF(keyCol, "media")
+  }
+
   // ---- audio ------------------------------------------------------
 
   /** Decoded-audio record: container format facts plus exact integer

@@ -185,6 +185,94 @@ object OpsPack extends QueryPack {
             col("duration"), col("tracks"), col("width"), col("height"))
       }),
 
+    // ---- multimodal: perceptual hash over REAL decode, oracle-gated -----
+    // Gradient 9x8 grayscale PNGs (Multimodal.syntheticGradientImages)
+    // make the dHash a closed form of the key: gray pixels pin the
+    // integer luma to L(x,y) = (bk*(x+9y+1)) mod 251 and each pool
+    // cell is one pixel, so the oracle rebuilds all 63 gradient bits.
+    // The Spark side decodes the actual PNG bytes — a codec defect,
+    // a luma error, or a pooling bug breaks the hash.
+    Q(
+      "q127_image_dhash",
+      Some("""
+        WITH keys AS (
+          SELECT doc_id AS k,
+                 CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END
+                   AS bk
+          FROM documents),
+        cells AS (
+          SELECT k, x.r AS x, y.r AS y,
+                 ((bk * (x.r + 9 * y.r + 1)) % 251 +
+                  CASE WHEN k % 10 = 9 AND x.r = 8 AND y.r = 7
+                       THEN 1 ELSE 0 END) AS l
+          FROM keys, unnest(range(9)) AS x(r), unnest(range(8)) AS y(r)),
+        bits AS (
+          SELECT a.k, (a.y * 8 + a.x) AS idx,
+                 CASE WHEN n.l > a.l THEN 1 ELSE 0 END AS bit
+          FROM cells a JOIN cells n
+            ON n.k = a.k AND n.y = a.y AND n.x = a.x + 1
+          WHERE a.x < 8)
+        SELECT k AS doc_id, TRUE AS ok,
+               CAST(sum(CASE WHEN idx < 63
+                 THEN bit * (CAST(1 AS BIGINT) << idx) ELSE 0 END)
+                 AS BIGINT) AS dhash
+        FROM bits GROUP BY k"""),
+      (s, dir) => {
+        val imgs = Multimodal.syntheticGradientImages(
+          Tables(s, dir, "documents").select(col("doc_id")), "doc_id")
+        Multimodal.imageDHash(imgs, keyCol = "doc_id", mediaCol = "media")
+      }),
+
+    // ---- multimodal: image near-dup by dHash banding, oracle-gated ------
+    // The planted re-encodes (key = base+? with one pixel nudged — a
+    // byte-level dedup MISSES them) must pair with their base at
+    // Hamming <= 2; pattern repeats mod 251 also pair at Hamming 0.
+    // Pigeonhole banding (3 bands x 21 bits) makes recall exactly 1.
+    Q(
+      "q128_image_neardup",
+      Some("""
+        WITH keys AS (
+          SELECT doc_id AS k,
+                 CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END
+                   AS bk
+          FROM documents),
+        cells AS (
+          SELECT k, x.r AS x, y.r AS y,
+                 ((bk * (x.r + 9 * y.r + 1)) % 251 +
+                  CASE WHEN k % 10 = 9 AND x.r = 8 AND y.r = 7
+                       THEN 1 ELSE 0 END) AS l
+          FROM keys, unnest(range(9)) AS x(r), unnest(range(8)) AS y(r)),
+        bits AS (
+          SELECT a.k, (a.y * 8 + a.x) AS idx,
+                 CASE WHEN n.l > a.l THEN 1 ELSE 0 END AS bit
+          FROM cells a JOIN cells n
+            ON n.k = a.k AND n.y = a.y AND n.x = a.x + 1
+          WHERE a.x < 8),
+        h AS (
+          SELECT k, CAST(sum(CASE WHEN idx < 63
+                   THEN bit * (CAST(1 AS BIGINT) << idx) ELSE 0 END)
+                 AS BIGINT) AS dhash
+          FROM bits GROUP BY k),
+        banded AS (
+          SELECT k, dhash,
+                 (dhash >> (CAST(t.b AS INT) * 21)) & 2097151 AS code,
+                 t.b AS band
+          FROM h, unnest(range(3)) AS t(b)),
+        cand AS (
+          SELECT DISTINCT a.k AS doc_a, a.dhash AS h_a,
+                          b.k AS doc_b, b.dhash AS h_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.code = b.code AND a.k < b.k)
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(h_a, h_b)) <= 2"""),
+      (s, dir) => {
+        val imgs = Multimodal.syntheticGradientImages(
+          Tables(s, dir, "documents").select(col("doc_id")), "doc_id")
+        Multimodal.imageNearDup(imgs, keyCol = "doc_id",
+          mediaCol = "media", maxHamming = 2)
+      }),
+
     // ---- multi-format scans: CSV + JSON + ORC round-trip ----------------
     // (§2.F scans beyond parquet: the same relation is written to and
     // read back from three formats; the 3-way union must triple the

@@ -156,4 +156,42 @@ class MultimodalSpec extends SparkSpec {
     val truncated = bytes.take(bytes.length - 20)
     assert(!Multimodal.VideoContainer.parse(truncated).ok)
   }
+
+  test("dHash: pooling path is scale-invariant; re-encode pairs, recolor does not") {
+    import spark.implicits._
+    // a 9x8 gradient and the SAME pattern rendered at 90x80 (each
+    // pool cell averages a uniform 10x10 block) must hash identically
+    def gradPng(scale: Int, tweak: Boolean): Array[Byte] =
+      Multimodal.ImageCodec.encodePng(9 * scale, 8 * scale, (px, py) => {
+        val x = px / scale
+        val y = py / scale
+        var v = ((7 * (x + 9 * y + 1)) % 251).toInt
+        if (tweak && x == 8 && y == 7) v += 1
+        (v << 16) | (v << 8) | v
+      })
+    val small = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gradPng(1, tweak = false)))
+    val big = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gradPng(10, tweak = false)))
+    assert(Multimodal.dHashOf(small) === Multimodal.dHashOf(big))
+
+    // end-to-end near-dup: base, a re-encode with one pixel nudged
+    // (byte-level dedup misses it), and an unrelated inverse gradient
+    val imgs = Seq(
+      (1L, gradPng(1, tweak = false)),
+      (2L, gradPng(1, tweak = true)),
+      (3L, Multimodal.ImageCodec.encodePng(9, 8, (x, y) =>
+        { val v = 250 - ((7 * (x + 9 * y + 1)) % 251).toInt
+          (v << 16) | (v << 8) | v })),
+      (4L, Array[Byte](1, 2, 3)) // undecodable: excluded, not fatal
+    ).toDF("doc_id", "media")
+    val pairs = Multimodal.imageNearDup(imgs, "doc_id", "media",
+        maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+    val hashes = Multimodal.imageDHash(imgs, "doc_id", "media").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(!hashes(4L)._1 && hashes(4L)._2 === 0L)
+    assert(hashes(1L)._1 && hashes(1L)._2 >= 0L) // 63-bit: positive
+  }
 }
