@@ -184,7 +184,10 @@ object DedupScale {
 
     // ---- IVF vs brute force ------------------------------------------
     val corpus = clusteredVecs(spark, n).localCheckpoint()
-    val queries = corpus.filter(col("vec_id") % (n / 32) === 0)
+    // max(…, 1): a smoke sweep point below 32 rows must sample every
+    // row, not modulo by zero (ANSI mode aborts the whole sweep)
+    val qStride = math.max(n / 32, 1L)
+    val queries = corpus.filter(col("vec_id") % qStride === 0)
       .limit(32).localCheckpoint()
     val nCells = 64
     val nProbe = 8

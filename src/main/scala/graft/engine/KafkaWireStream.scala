@@ -74,13 +74,23 @@ final class KafkaWireStreamSource(host: String, port: Int, topic: String,
     * window, join) reads parquet like any other table instead of a
     * parallelized driver collection.
     *
-    * @param spoolDir where the chunk log lands; a fresh temp dir per
-    *   call when absent (replay is a point-in-time scan, not a
-    *   resumable mirror — for an incremental durable mirror use
+    * @param spoolDir where the chunk log lands — must be empty or
+    *   absent: the spool appends chunks, so a dir holding a previous
+    *   (or failed) replay's chunks would silently DUPLICATE rows in
+    *   the returned scan; refused loudly instead. A fresh temp dir
+    *   per call when not given (replay is a point-in-time scan, not
+    *   a resumable mirror — for an incremental durable mirror use
     *   [[KafkaWireMirrorSource]]). */
   def replay(spark: SparkSession, spoolDir: Option[String] = None,
       flushEvery: Int = 100000): DataFrame = {
     require(flushEvery > 0, "flushEvery must be positive")
+    spoolDir.foreach { d =>
+      val existing = Option(new java.io.File(d).list()).getOrElse(Array.empty)
+      require(existing.isEmpty,
+        s"replay spoolDir $d is not empty (${existing.length} entries) — " +
+          "stale chunks would duplicate rows; pass a fresh directory " +
+          "or clear it first")
+    }
     val dir = spoolDir.getOrElse {
       val d = java.nio.file.Files.createTempDirectory("graft-replay-spool")
       d.toFile.deleteOnExit()

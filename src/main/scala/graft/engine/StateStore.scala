@@ -451,12 +451,18 @@ object StateStore {
       val roots = readCache.entrySet().asScala.toVector
         .map(e => e.getKey -> e.getValue) // eldest-first
       val exempt = roots.takeRight(ReadCacheExemptRoots).map(_._1).toSet
+      // No third fallback onto other roots: when only exempt roots
+      // hold entries and the inserting root owns just the fresh one,
+      // evicting an exempt root's entry would be exactly the
+      // cross-root rebuild this policy exists to prevent — accept a
+      // transient over-bound instead (bounded by the exempt roots'
+      // own working set; their next insert self-cannibalizes via the
+      // second branch).
       val victim: Option[(String, RootCache)] =
         roots.find(r => !exempt(r._1))
           .orElse(roots.find(r => r._1 == insertingRoot && r._2.size > 1))
-          .orElse(roots.find(r => r._1 != insertingRoot && !r._2.isEmpty))
       victim match {
-        case None => stuck = true // only the just-put entry remains
+        case None => stuck = true // only exempt working sets remain
         case Some((vr, inner)) =>
           val it = inner.entrySet().iterator()
           var evicted = false

@@ -411,7 +411,10 @@ object Curation {
     val h = conv(substring(
       md5(concat(lit("tr:"), col(idCol).cast("string"))), 1, 15), 16, 10)
       .cast("long")
-    df.join(broadcast(fracs), df(domainCol) === fracs("__dom"))
+    // null-safe: a null domain is its own group (dirty metadata rows
+    // must come back with a keep decision, not silently vanish — the
+    // non-destructive keepBest-style contract)
+    df.join(broadcast(fracs), df(domainCol) <=> fracs("__dom"))
       .drop("__dom")
       .withColumn("kept",
         h < floor(col("keep_frac") * lit(1152921504606846976.0 /* 2^60 */))

@@ -801,6 +801,11 @@ object Dedup {
     val nCorpus =
       if (expectedItems > 0) expectedItems else corpusKeys.count()
     val corpusBf = keyBloom(corpusKeys, keyCol, fpp, nCorpus, maxFilterBytes)
+    // an EMPTY corpus aggregates to a null filter (BloomFilterAggregate
+    // returns null on zero input), and a null might-contain would drop
+    // every row from BOTH filter branches — the bootstrap batch of the
+    // incremental workflow must keep the whole increment instead
+    if (corpusBf == null) return increment
 
     val flagged = increment.withColumn("__mc", keyMightContain(corpusBf, keyCol))
     val definitelyNew = flagged.filter(!col("__mc")).drop("__mc")
@@ -810,9 +815,10 @@ object Dedup {
       // materialized once, it is the fpp-bounded small set
       .localCheckpoint()
 
+    val nCand = candidates.count()
+    if (nCand == 0) return definitelyNew
     val candBf = keyBloom(
-      candidates.select(col(keyCol)), keyCol, fpp, candidates.count(),
-      maxFilterBytes)
+      candidates.select(col(keyCol)), keyCol, fpp, nCand, maxFilterBytes)
     val prunedCorpus = corpusKeys.filter(keyMightContain(candBf, keyCol))
     val confirmed = candidates.join(prunedCorpus, Seq(keyCol), "left_anti")
     definitelyNew.unionByName(confirmed)
@@ -977,8 +983,11 @@ object Dedup {
       .join(broadcast(incSh), Seq("__inc_key"))
       .withColumn("__jac", {
         val inter = size(array_intersect(col("sh_c"), col("sh_i")))
-        inter.cast("double") /
-          (size(col("sh_c")) + size(col("sh_i")) - inter)
+        // round(4) before the compare, like verifyJaccard — the
+        // index-served path must classify boundary pairs exactly as
+        // the corpus-scan path does
+        round(inter.cast("double") /
+          (size(col("sh_c")) + size(col("sh_i")) - inter), 4)
       })
       .filter(col("__jac") >= threshold)
       .select(col("__inc_key"))
@@ -1006,18 +1015,26 @@ object Dedup {
     // runtime-filter session confs (defaults 4M items / 8 MB) — a
     // clamp stays exact here (more false positives just reach the
     // confirm join) but quietly defeats the sizing, so raise the
-    // caps to what this filter actually needs
+    // caps to what this filter actually needs — and RESTORE them
+    // after the build: these confs also size Spark's own runtime
+    // join filters, and leaving a 10⁹-item cap behind would let
+    // every later unrelated join build driver-crushing filters
     val conf = df.sparkSession.conf
-    Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> items,
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> bits)
-      .foreach { case (k, v) =>
-        if (conf.get(k).toLong < v) conf.set(k, v.toString)
+    val raised = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> items,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> bits)
+      .flatMap { case (k, v) =>
+        val prior = conf.get(k)
+        if (prior.toLong < v) { conf.set(k, v.toString); Some(k -> prior) }
+        else None
       }
-    val agg = new BloomFilterAggregate(
-      GraftExpressionBridge.expression(xxhash64(col(keyCol))),
-      Literal(items), Literal(bits)).toAggregateExpression()
-    df.select(GraftExpressionBridge.column(agg).as("bf"))
-      .head.getAs[Array[Byte]](0)
+    try {
+      val agg = new BloomFilterAggregate(
+        GraftExpressionBridge.expression(xxhash64(col(keyCol))),
+        Literal(items), Literal(bits)).toAggregateExpression()
+      df.select(GraftExpressionBridge.column(agg).as("bf"))
+        .head.getAs[Array[Byte]](0)
+    } finally raised.foreach { case (k, prior) => conf.set(k, prior) }
   }
 
   /** Membership predicate against a [[keyBloom]] result. */

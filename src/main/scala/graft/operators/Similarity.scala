@@ -701,9 +701,15 @@ object Similarity {
   def semDedupKeepAuto(
       vectors: DataFrame, threshold: Double, dims: Int = 64,
       idCol: String = "vec_id", embCol: String = "embedding",
-      maxClusterSize: Long = 1L << 16): DataFrame =
-    semDedupKeep(vectors, threshold, semDedupPlanesFor(vectors.count()),
+      maxClusterSize: Long = 1L << 16,
+      /** Pass the corpus cardinality when the caller already counted
+        * it — skips the extra count job without changing the result
+        * (q115 counts once for its late-bound oracle). */
+      knownCount: Long = -1L): DataFrame = {
+    val n = if (knownCount >= 0) knownCount else vectors.count()
+    semDedupKeep(vectors, threshold, semDedupPlanesFor(n),
       dims, idCol, embCol, maxClusterSize)
+  }
 
   /** Diagnostic: (largest SRP cell, total vectors) for a candidate
     * plane count — the histogram [[semDedupKeep]]'s guard checks,

@@ -11,6 +11,35 @@ import graft.operators.{Chunker, Multimodal}
   */
 object OpsPack extends QueryPack {
 
+  /** Shared q127/q128 oracle derivation: the closed-form dHash of
+    * [[graft.operators.Multimodal.syntheticGradientImages]] —
+    * per-key 9×8 luminance cells, the 63 gradient bits, the packed
+    * hash as `dh(k, dhash)`. ONE definition so a change to the hash
+    * derivation cannot leave the two gates checking divergent
+    * formulas (the q110/q119 shared-CTE pattern). */
+  private val dHashCtes: String = """keys AS (
+          SELECT doc_id AS k,
+                 CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END
+                   AS bk
+          FROM documents),
+        cells AS (
+          SELECT k, x.r AS x, y.r AS y,
+                 ((bk * (x.r + 9 * y.r + 1)) % 251 +
+                  CASE WHEN k % 10 = 9 AND x.r = 8 AND y.r = 7
+                       THEN 1 ELSE 0 END) AS l
+          FROM keys, unnest(range(9)) AS x(r), unnest(range(8)) AS y(r)),
+        bits AS (
+          SELECT a.k, (a.y * 8 + a.x) AS idx,
+                 CASE WHEN n.l > a.l THEN 1 ELSE 0 END AS bit
+          FROM cells a JOIN cells n
+            ON n.k = a.k AND n.y = a.y AND n.x = a.x + 1
+          WHERE a.x < 8),
+        dh AS (
+          SELECT k, CAST(sum(CASE WHEN idx < 63
+                   THEN bit * (CAST(1 AS BIGINT) << idx) ELSE 0 END)
+                 AS BIGINT) AS dhash
+          FROM bits GROUP BY k)"""
+
   val all: Seq[Q] = Seq(
 
     // ---- stable ids: hash ids, uuid form, per-scope ordinals ------------
@@ -194,29 +223,10 @@ object OpsPack extends QueryPack {
     // a luma error, or a pooling bug breaks the hash.
     Q(
       "q127_image_dhash",
-      Some("""
-        WITH keys AS (
-          SELECT doc_id AS k,
-                 CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END
-                   AS bk
-          FROM documents),
-        cells AS (
-          SELECT k, x.r AS x, y.r AS y,
-                 ((bk * (x.r + 9 * y.r + 1)) % 251 +
-                  CASE WHEN k % 10 = 9 AND x.r = 8 AND y.r = 7
-                       THEN 1 ELSE 0 END) AS l
-          FROM keys, unnest(range(9)) AS x(r), unnest(range(8)) AS y(r)),
-        bits AS (
-          SELECT a.k, (a.y * 8 + a.x) AS idx,
-                 CASE WHEN n.l > a.l THEN 1 ELSE 0 END AS bit
-          FROM cells a JOIN cells n
-            ON n.k = a.k AND n.y = a.y AND n.x = a.x + 1
-          WHERE a.x < 8)
-        SELECT k AS doc_id, TRUE AS ok,
-               CAST(sum(CASE WHEN idx < 63
-                 THEN bit * (CAST(1 AS BIGINT) << idx) ELSE 0 END)
-                 AS BIGINT) AS dhash
-        FROM bits GROUP BY k"""),
+      Some(s"""
+        WITH $dHashCtes
+        SELECT k AS doc_id, TRUE AS ok, dhash
+        FROM dh"""),
       (s, dir) => {
         val imgs = Multimodal.syntheticGradientImages(
           Tables(s, dir, "documents").select(col("doc_id")), "doc_id")
@@ -230,34 +240,13 @@ object OpsPack extends QueryPack {
     // Pigeonhole banding (3 bands x 21 bits) makes recall exactly 1.
     Q(
       "q128_image_neardup",
-      Some("""
-        WITH keys AS (
-          SELECT doc_id AS k,
-                 CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END
-                   AS bk
-          FROM documents),
-        cells AS (
-          SELECT k, x.r AS x, y.r AS y,
-                 ((bk * (x.r + 9 * y.r + 1)) % 251 +
-                  CASE WHEN k % 10 = 9 AND x.r = 8 AND y.r = 7
-                       THEN 1 ELSE 0 END) AS l
-          FROM keys, unnest(range(9)) AS x(r), unnest(range(8)) AS y(r)),
-        bits AS (
-          SELECT a.k, (a.y * 8 + a.x) AS idx,
-                 CASE WHEN n.l > a.l THEN 1 ELSE 0 END AS bit
-          FROM cells a JOIN cells n
-            ON n.k = a.k AND n.y = a.y AND n.x = a.x + 1
-          WHERE a.x < 8),
-        h AS (
-          SELECT k, CAST(sum(CASE WHEN idx < 63
-                   THEN bit * (CAST(1 AS BIGINT) << idx) ELSE 0 END)
-                 AS BIGINT) AS dhash
-          FROM bits GROUP BY k),
+      Some(s"""
+        WITH $dHashCtes,
         banded AS (
           SELECT k, dhash,
                  (dhash >> (CAST(t.b AS INT) * 21)) & 2097151 AS code,
                  t.b AS band
-          FROM h, unnest(range(3)) AS t(b)),
+          FROM dh, unnest(range(3)) AS t(b)),
         cand AS (
           SELECT DISTINCT a.k AS doc_a, a.dhash AS h_a,
                           b.k AS doc_b, b.dhash AS h_b

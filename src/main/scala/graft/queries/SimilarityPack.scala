@@ -450,8 +450,9 @@ object SimilarityPack extends QueryPack {
     q115Planes.map(q115OracleSql),
     (s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      q115Planes = Some(Similarity.semDedupPlanesFor(emb.count()))
-      Similarity.semDedupKeepAuto(emb, 0.4)
+      val n = emb.count() // counted ONCE: plane memo + auto path share it
+      q115Planes = Some(Similarity.semDedupPlanesFor(n))
+      Similarity.semDedupKeepAuto(emb, 0.4, knownCount = n)
     })
 
   private def q115OracleSql(planes: Int): String = s"""

@@ -255,6 +255,20 @@ class CurationSpec extends SparkSpec {
     assert(k1 === k2)
   }
 
+  test("temperatureResample: null domains get a keep decision, never vanish") {
+    import spark.implicits._
+    val df = ((1 to 90).map(i => (i.toLong, Some("a"))) ++
+      (91 to 100).map(i => (i.toLong, None: Option[String])))
+      .toDF("doc_id", "dom")
+    val out = Curation.temperatureResample(df, "dom", alpha = 0.5)
+    // non-destructive contract: every input row comes back marked
+    assert(out.count() === 100)
+    val nullRows = out.filter(col("dom").isNull)
+    assert(nullRows.count() === 10)
+    // the null group is the smallest domain — flattening keeps all of it
+    assert(nullRows.filter(!col("kept")).count() === 0)
+  }
+
   test("leakageSafeSplit never separates a near-dup cluster") {
     import spark.implicits._
     val docs = Seq(

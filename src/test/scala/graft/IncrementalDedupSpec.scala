@@ -90,6 +90,28 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("empty corpus (bootstrap batch) keeps the whole increment") {
+    // BloomFilterAggregate over zero rows yields a NULL filter; a
+    // null might-contain would drop every row from BOTH branches —
+    // the guard must return the increment untouched, like the
+    // anti-join does
+    val (corpus, inc) = split(100)
+    val empty = corpus.filter(col("id") < 0)
+    val got = Dedup.incrementalDedup(empty, inc, "key")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = inc.select("id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+  }
+
+  test("increment with zero candidates skips the confirm join, keeps all") {
+    val corpus = docs(100)
+    val fresh = spark.range(1000, 1100).toDF("id")
+      .withColumn("key", concat(lit("new:"), md5(col("id").cast("string"))))
+      .withColumn("payload", col("id") * 7)
+    val got = Dedup.incrementalDedup(corpus, fresh, "key")
+    assert(got.count() === 100)
+  }
+
   test("expectedItems hint skips the corpus count without changing results") {
     val (corpus, inc) = split(500)
     val got = Dedup.incrementalDedup(corpus, inc, "key",
