@@ -711,6 +711,51 @@ object Similarity {
       dims, idCol, embCol, maxClusterSize)
   }
 
+  /** Incremental EMBEDDING dedup — the SemDeDup screen applied to an
+    * arriving batch against the accumulated corpus (the vector
+    * counterpart of [[graft.operators.Dedup.incrementalNearDup]],
+    * completing the exact-key / text-fuzzy / embedding incremental
+    * trilogy): keep only the increment vectors with no corpus
+    * neighbor at round-6 cosine ≥ `threshold`. Candidates come from
+    * the SRP band join (a re-encode at cosine ≈ 1 collides in some
+    * band w.h.p.; with planes=64 bands=4 the per-band flip budget is
+    * 16 bits, so a 0.999-cosine pair is missed with probability
+    * ~1e-8), verification is the exact codegen'd cosine on candidate
+    * pairs only.
+    *
+    * Scale shape — identical to the text variant: the corpus is
+    * scanned ONCE and never shuffled (increment band codes
+    * broadcast; corpus embeddings ride the map-side join to the
+    * verify, so no second corpus pass), per-batch work is
+    * O(corpus scan + candidates). Every derived value (md5 planes,
+    * MSB-packed band codes, round-6 cosine) is oracle-replayable —
+    * the q129 gate checks the whole screen value-exact. */
+  def incrementalSemDedup(
+      corpus: DataFrame, increment: DataFrame, threshold: Double,
+      planes: Int = 64, bands: Int = 4, dims: Int = 64,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val incBanded = increment
+      .select(col(idCol).as("__inc_id"), col(embCol).as("__emb_i"),
+        posexplode(srpBandCodes(col(embCol), planes, bands, dims))
+          .as(Seq("band", "code")))
+      .localCheckpoint() // the broadcast below must not re-project
+    val corpusBanded = corpus
+      .select(col(idCol).as("__c_id"), col(embCol).as("__emb_c"),
+        posexplode(srpBandCodes(col(embCol), planes, bands, dims))
+          .as(Seq("band", "code")))
+    val dupIds = corpusBanded
+      .join(broadcast(incBanded), Seq("band", "code"))
+      .select(col("__c_id"), col("__emb_c"), col("__inc_id"), col("__emb_i"))
+      .dropDuplicates("__c_id", "__inc_id")
+      .withColumn("__cos",
+        round(cosineSimilarity(col("__emb_c"), col("__emb_i")), 6))
+      .filter(col("__cos") >= threshold)
+      .select(col("__inc_id"))
+      .distinct()
+    increment.join(dupIds,
+      increment(idCol) === dupIds("__inc_id"), "left_anti")
+  }
+
   /** Diagnostic: (largest SRP cell, total vectors) for a candidate
     * plane count — the histogram [[semDedupKeep]]'s guard checks,
     * exposed so a pipeline can validate calibration on a corpus

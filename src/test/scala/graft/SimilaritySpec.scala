@@ -287,4 +287,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got(3L) == (3L, true))
     assert(got(4L) == (4L, true))
   }
+
+  test("incrementalSemDedup drops re-encodes, keeps new vectors, broadcasts") {
+    import spark.implicits._
+    val v = Array.fill(8)(1.0f)
+    val w = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val corpus = Seq((1L, v), (2L, w)).toDF("vec_id", "embedding")
+    val vEps = v.clone(); vEps(7) = 1.001f // cosine(v, vEps) ≈ 0.99999
+    val fresh = Array.tabulate(8)(i => if (i < 4) 1.0f else -1.0f)
+    val inc = Seq((10L, vEps), (11L, fresh)).toDF("vec_id", "embedding")
+
+    val out = Similarity.incrementalSemDedup(corpus, inc,
+      threshold = 0.99, planes = 16, bands = 4, dims = 8)
+    assert(out.select("vec_id").collect().map(_.getLong(0)).toSet ===
+      Set(11L))
+
+    // empty corpus (bootstrap): everything survives
+    val none = corpus.filter(col("vec_id") < 0)
+    assert(Similarity.incrementalSemDedup(none, inc, 0.99,
+      planes = 16, bands = 4, dims = 8).count() === 2)
+
+    // plan shape: the corpus-side probe is a broadcast join — the
+    // corpus never shuffles
+    val plan = Similarity.incrementalSemDedup(corpus, inc, 0.99,
+        planes = 16, bands = 4, dims = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
