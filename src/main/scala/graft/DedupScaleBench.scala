@@ -44,6 +44,12 @@ import java.nio.file.{Files, Paths}
   *     banded (corpus, inc) candidate volume stays O(dups +
   *     collisions) — the corpus side never shuffles (broadcast
   *     probe), so per-batch cost is one corpus scan.
+  *   - incrementalSemDedup (q129 path): the EMBEDDING incremental
+  *     filter keeps exactly the fresh vectors of a batch whose
+  *     re-encodes carry a +0.002 component nudge (cosine ≈ 0.999998
+  *     — invisible to byte and hash dedup), and the SRP
+  *     cross-candidate volume stays within dups + the 16-bit-band
+  *     collision budget.
   *   - segmentDedup (q112 path): a boilerplate segment planted in
   *     100% of docs (N occurrences of ONE dedup key — the hot-key
   *     shape the de-skewed groupBy+unique-key join-back exists for)
@@ -67,7 +73,9 @@ object DedupScale {
       incSec: Double, incKept: Long, incCands: Long, incNew: Long,
       incDups: Long,
       fincSec: Double, fincKept: Long, fincNew: Long, fincDups: Long,
-      fincCands: Long)
+      fincCands: Long,
+      vincSec: Double, vincKept: Long, vincNew: Long, vincDups: Long,
+      vincCands: Long)
 
   /** md5-derived uniform value in [-1, 1] with ~2001 distinct levels
     * (the HashEmbedder scheme — deterministic, engine-agnostic). */
@@ -280,12 +288,47 @@ object DedupScale {
     val fincCands = sigs.join(incSigsRestated, Seq("i", "sig"))
       .select("doc_id", "inc_id").distinct().count()
 
+    // ---- incremental EMBEDDING dedup: fresh vectors vs corpus ---------
+    // corpus = the uniform vectors; batch = N/10 fresh directions +
+    // N/10 re-encodes (component 0 nudged +0.002 — cosine ≈ 0.999998,
+    // exact keys AND text hashes both blind to it).
+    // incrementalSemDedup must keep exactly the fresh vectors; the
+    // SRP cross-candidate volume is O(dups + band collisions), with
+    // collisions bounded by bands·|corpus|·|batch|/2^bandBits — at
+    // 16-bit bands and these sweep sizes a sliver, and the knob a
+    // 100 TB deployment turns (wider bands) as N grows.
+    val freshVecs = spark.range(tenth).toDF("id")
+      .withColumn("vec_id", col("id") + 10000000L)
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)), dd =>
+        u(concat(lit("fv:"), col("id"), lit(":"), dd))))
+      .select("vec_id", "embedding")
+    val reencoded = vecs.filter(col("vec_id") % 10 === 3)
+      .select((col("vec_id") + 20000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + when(i === 0, lit(0.002)).otherwise(lit(0.0)))
+          .as("embedding"))
+    val vincDups = reencoded.count()
+    val vincBatch = freshVecs.unionByName(reencoded).localCheckpoint()
+    val (vincKept, vincSec) = timed {
+      Similarity.incrementalSemDedup(vecs, vincBatch, threshold = 0.99)
+        .count()
+    }
+    // candidate volume restated from the operator's own banding
+    def vCodes(df: DataFrame) = df.select(col("vec_id"),
+      posexplode(Similarity.srpBandCodes(col("embedding"), 64, 4, 64))
+        .as(Seq("band", "code")))
+    val vincCands = vCodes(vecs)
+      .join(vCodes(vincBatch)
+        .withColumnRenamed("vec_id", "inc_id"), Seq("band", "code"))
+      .select("vec_id", "inc_id").distinct().count()
+
     Cell(n, mhSec, mhCandidates, mhMaxBucket, mh._1, mh._2,
       sdSec, planes, sdMaxCell, sdCells, sdPairWork, sdRecall,
       ivfSec, ivfRecall, ivfCandidates, ivfCandFrac,
       sgSec, sgSegs, sgKept,
       incSec, incKept, incCands, tenth, incDups,
-      fincSec, fincKept, tenth, incDups, fincCands)
+      fincSec, fincKept, tenth, incDups, fincCands,
+      vincSec, vincKept, tenth, vincDups, vincCands)
   }
 
   def toJson(cells: Seq[Cell]): String =
@@ -304,7 +347,10 @@ object DedupScale {
       s""""inc_dups":${c.incDups},""" +
       f""""finc_sec":${c.fincSec}%.3f,"finc_kept":${c.fincKept},""" +
       s""""finc_new":${c.fincNew},"finc_dups":${c.fincDups},""" +
-      s""""finc_cands":${c.fincCands}}"""
+      s""""finc_cands":${c.fincCands},""" +
+      f""""vinc_sec":${c.vincSec}%.3f,"vinc_kept":${c.vincKept},""" +
+      s""""vinc_new":${c.vincNew},"vinc_dups":${c.vincDups},""" +
+      s""""vinc_cands":${c.vincCands}}"""
     }.mkString("""{"cells":[""", ",", "]}")
 }
 
@@ -330,7 +376,9 @@ object DedupScaleBench {
         f"inc=${c.incSec}%.1fs kept=${c.incKept}/${c.incNew} " +
         f"cands=${c.incCands} dups=${c.incDups} | " +
         f"finc=${c.fincSec}%.1fs kept=${c.fincKept}/${c.fincNew} " +
-        f"cands=${c.fincCands}")
+        f"cands=${c.fincCands} | " +
+        f"vinc=${c.vincSec}%.1fs kept=${c.vincKept}/${c.vincNew} " +
+        f"cands=${c.vincCands}")
       c
     }
     val json = DedupScale.toJson(cells)
@@ -381,6 +429,24 @@ object DedupScaleBench {
       if (c.fincCands > c.fincDups + math.max(0.01 * c.n, 64.0))
         bad ::= s"n=${c.n}: incrementalNearDup candidates ${c.fincCands} " +
           s"(want <= dups ${c.fincDups} + collision sliver)"
+      // embedding incremental: exactly the fresh vectors survive, and
+      // SRP cross-candidates stay within dups + the 16-bit-band
+      // collision budget. The naive independent-bits estimate is
+      // bands·N·batch/2^16; measured collisions run ~2.1× that on
+      // uniform vectors because the 16 sign bits of a band share the
+      // two vectors' geometry (E[p^16] > (E[p])^16 — Jensen on the
+      // per-bit agreement probability p ≈ 0.5 + cosθ/π). Budget = 4×
+      // the naive estimate: catches quadratic blowups (a degenerate
+      // band would admit N·batch — 160× this budget at n=10⁵) while
+      // tolerating the correlation factor.
+      if (c.vincKept != c.vincNew)
+        bad ::= s"n=${c.n}: incrementalSemDedup kept ${c.vincKept} " +
+          s"(want ${c.vincNew})"
+      val vBudget =
+        c.vincDups + 4.0 * 4.0 * c.n * (c.vincNew + c.vincDups) / 65536.0 + 64
+      if (c.vincCands > vBudget)
+        bad ::= s"n=${c.n}: incrementalSemDedup candidates ${c.vincCands} " +
+          f"(want <= $vBudget%.0f: dups + band-collision budget)"
     }
     // candidate volume must scale ~linearly with N, never quadratically
     cells.sortBy(_.n).sliding(2).foreach {
