@@ -364,6 +364,58 @@ object Curation {
         row_number().over(w).cast("long").as("pos"))
   }
 
+  // ---- verifiable shard export --------------------------------------------
+
+  /** Per-shard integrity manifest for a [[shuffleShard]]-keyed
+    * export — the artifact a training-data handoff ships next to its
+    * shards so the consumer can verify them without re-reading the
+    * source: row count, an ORDER-FREE content hash
+    * (`bit_xor` of a 60-bit md5 over the `hashCols` row image — XOR
+    * commutes, so partition order and shuffle nondeterminism cannot
+    * change it, and it never overflows), and the id range. Any
+    * dropped, duplicated, or altered row flips the hash. One
+    * partial-aggregated `groupBy(shard)` — no sort, no window; the
+    * q130 oracle recomputes every field bit-for-bit. */
+  def shardManifest(
+      df: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+      hashCols: Seq[String] = Seq("doc_id", "text"), hexDigits: Int = 1)
+      : org.apache.spark.sql.DataFrame = {
+    require(hexDigits >= 1 && hexDigits <= 8, s"hexDigits $hexDigits")
+    val shard = conv(substring(
+      md5(concat(lit("shuf:"), col(idCol).cast("string"))), 1, hexDigits),
+      16, 10).cast("long")
+    val rowH = graft.operators.Dedup.md5long(concat_ws(":",
+      lit("row") +: hashCols.map(c => col(c).cast("string")): _*))
+    df.select(shard.as("shard"), rowH.as("__h"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("content_hash"),
+        min("__id").as("min_id"), max("__id").as("max_id"))
+  }
+
+  /** Write `df` as a shard-partitioned parquet export and return the
+    * [[shardManifest]] the consumer verifies against. Shard
+    * assignment is the [[shuffleShard]] md5 scheme, so the export IS
+    * the shuffled corpus layout; `partitionBy("shard")` gives one
+    * directory per shard for sequential trainer reads. ExportSpec
+    * proves the round trip: a manifest recomputed from the written
+    * files equals the source manifest, and any tampered row breaks
+    * the content hash. */
+  def exportShards(
+      df: org.apache.spark.sql.DataFrame, outDir: String,
+      idCol: String = "doc_id",
+      hashCols: Seq[String] = Seq("doc_id", "text"), hexDigits: Int = 1)
+      : org.apache.spark.sql.DataFrame = {
+    val shard = conv(substring(
+      md5(concat(lit("shuf:"), col(idCol).cast("string"))), 1, hexDigits),
+      16, 10).cast("long")
+    df.withColumn("shard", shard)
+      .repartition(col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+    shardManifest(df, idCol, hashCols, hexDigits)
+  }
+
   // ---- temperature-flattened mixture resampling ----------------------------
 
   /** Temperature (α) resampling of a multi-domain corpus — the

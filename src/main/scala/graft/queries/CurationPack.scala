@@ -750,6 +750,33 @@ object CurationPack extends QueryPack {
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             count(when(col("kept"), 1)).as("n_kept"),
-            round(min("keep_frac"), 6).as("keep_frac")))
+            round(min("keep_frac"), 6).as("keep_frac"))),
+
+    // ---- verifiable shard-export manifest ----------------------------------
+    // The integrity artifact a training-data handoff ships with its
+    // shards: q113's shard assignment + per-shard count, order-free
+    // bit_xor content hash, id range. The oracle recomputes all four
+    // fields, so a single altered/dropped/duplicated row anywhere in
+    // the corpus would hash-mismatch the gate.
+    Q(
+      "q130_shard_manifest",
+      Some("""
+        WITH keyed AS (
+          SELECT doc_id, text,
+                 md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k
+          FROM documents),
+        shards AS (
+          SELECT doc_id, text,
+                 strpos('0123456789abcdef', substr(k, 1, 1)) - 1 AS shard
+          FROM keyed)
+        SELECT shard, count(*) AS n_rows,
+               bit_xor(CAST(CAST(('0x' || substring(md5(
+                   'row:' || CAST(doc_id AS VARCHAR) || ':' || text),
+                   1, 15)) AS UBIGINT) AS BIGINT)) AS content_hash,
+               min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM shards GROUP BY 1"""),
+      (s, dir) =>
+        graft.operators.Curation.shardManifest(
+          Tables(s, dir, "documents")))
   )
 }

@@ -269,6 +269,46 @@ class CurationSpec extends SparkSpec {
     assert(nullRows.filter(!col("kept")).count() === 0)
   }
 
+  test("exportShards: recomputed manifest matches; any tamper flips the hash") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft-export")
+    work.toFile.deleteOnExit()
+    val dir = work.resolve("shards").toString
+
+    def rows(m: org.apache.spark.sql.DataFrame) = m.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val manifest = rows(Curation.exportShards(docs, dir))
+
+    // consumer side: manifest recomputed from the WRITTEN files
+    // equals the producer's (content round-trips; the written shard
+    // partition matches the hash-derived assignment)
+    val back = spark.read.parquet(dir)
+    val recomputed = rows(Curation.shardManifest(
+      back.select("doc_id", "text")))
+    assert(recomputed === manifest)
+    assert(back.select(expr(
+      "sum(CASE WHEN shard <> CAST(conv(substring(md5(concat('shuf:', " +
+        "CAST(doc_id AS STRING))), 1, 1), 16, 10) AS BIGINT) " +
+        "THEN 1 ELSE 0 END)")).head.getLong(0) === 0L)
+
+    // tampering: a dropped row, a duplicated row, and an edited text
+    // each flip their shard's content_hash
+    val someId = docs.select(min("doc_id")).head.getLong(0)
+    val dropped = rows(Curation.shardManifest(
+      docs.filter(col("doc_id") =!= someId)))
+    assert(dropped !== manifest)
+    val duped = rows(Curation.shardManifest(
+      docs.unionByName(docs.filter(col("doc_id") === someId))))
+    assert(duped !== manifest)
+    val edited = rows(Curation.shardManifest(docs.select(col("doc_id"),
+      when(col("doc_id") === someId, concat(col("text"), lit(" x")))
+        .otherwise(col("text")).as("text"))))
+    assert(edited !== manifest)
+  }
+
   test("leakageSafeSplit never separates a near-dup cluster") {
     import spark.implicits._
     val docs = Seq(
