@@ -214,7 +214,12 @@ object DedupScale {
         nProbe = nProbe).count()
       (hit.toDouble / denom, probed)
     }
-    val ivfCandFrac = ivfCandidates.toDouble / (32.0 * n)
+    // divide by the ACTUAL query count: smoke points below 32 rows
+    // sample fewer queries, and a hard-coded 32 would understate the
+    // scanned fraction there (and let the pruning gate pass volumes
+    // it should flag)
+    val nQueries = queries.count()
+    val ivfCandFrac = ivfCandidates.toDouble / (nQueries.toDouble * n)
 
     // ---- segmentDedup with a planted 100%-occurrence boilerplate -----
     // Every doc = one identical 8-word segment (N occurrences of ONE

@@ -355,8 +355,7 @@ object Curation {
       hexDigits: Int = 1): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(hexDigits >= 1 && hexDigits <= 8, s"hexDigits $hexDigits")
-    val k = md5(concat(lit("shuf:"), col(idCol).cast("string")))
-    val keyed = df.select(col(idCol).as("doc_id"), k.as("__k"))
+    val keyed = df.select(col(idCol).as("doc_id"), shuffleKey(idCol).as("__k"))
     val shard = conv(substring(col("__k"), 1, hexDigits), 16, 10).cast("long")
     val w = Window.partitionBy("shard").orderBy(col("__k"), col("doc_id"))
     keyed.withColumn("shard", shard)
@@ -366,13 +365,30 @@ object Curation {
 
   // ---- verifiable shard export --------------------------------------------
 
+  /** The [[shuffleShard]] order key of a row — ONE definition shared
+    * by the shuffle, the manifest, and the export writer, so the
+    * written shard layout can never drift from the manifest the
+    * consumer verifies against. */
+  private def shuffleKey(idCol: String): Column =
+    md5(concat(lit("shuf:"), col(idCol).cast("string")))
+
+  /** Shard id = the order key's first `hexDigits` hex chars. */
+  private def shardOf(idCol: String, hexDigits: Int): Column = {
+    require(hexDigits >= 1 && hexDigits <= 8, s"hexDigits $hexDigits")
+    conv(substring(shuffleKey(idCol), 1, hexDigits), 16, 10).cast("long")
+  }
+
   /** Per-shard integrity manifest for a [[shuffleShard]]-keyed
     * export — the artifact a training-data handoff ships next to its
     * shards so the consumer can verify them without re-reading the
     * source: row count, an ORDER-FREE content hash
-    * (`bit_xor` of a 60-bit md5 over the `hashCols` row image — XOR
-    * commutes, so partition order and shuffle nondeterminism cannot
-    * change it, and it never overflows), and the id range. Any
+    * (`bit_xor` of a 60-bit md5 over the row image — XOR commutes,
+    * so partition order and shuffle nondeterminism cannot change it,
+    * and it never overflows), and the id range. The row image is
+    * UNAMBIGUOUS: each column contributes its own fixed-width
+    * md5 (or the non-hex token `null`), so no value can shift
+    * content across a delimiter ('x:y','z' vs 'x','y:z') and null
+    * vs absent vs the string "null" all hash distinctly. Any
     * dropped, duplicated, or altered row flips the hash. One
     * partial-aggregated `groupBy(shard)` — no sort, no window; the
     * q130 oracle recomputes every field bit-for-bit. */
@@ -380,13 +396,10 @@ object Curation {
       df: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
       hashCols: Seq[String] = Seq("doc_id", "text"), hexDigits: Int = 1)
       : org.apache.spark.sql.DataFrame = {
-    require(hexDigits >= 1 && hexDigits <= 8, s"hexDigits $hexDigits")
-    val shard = conv(substring(
-      md5(concat(lit("shuf:"), col(idCol).cast("string"))), 1, hexDigits),
-      16, 10).cast("long")
-    val rowH = graft.operators.Dedup.md5long(concat_ws(":",
-      lit("row") +: hashCols.map(c => col(c).cast("string")): _*))
-    df.select(shard.as("shard"), rowH.as("__h"),
+    val rowH = graft.operators.Dedup.md5long(concat(
+      lit("row:") +: hashCols.map(c =>
+        coalesce(md5(col(c).cast("string")), lit("null"))): _*))
+    df.select(shardOf(idCol, hexDigits).as("shard"), rowH.as("__h"),
         col(idCol).cast("long").as("__id"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_rows"),
@@ -396,20 +409,19 @@ object Curation {
 
   /** Write `df` as a shard-partitioned parquet export and return the
     * [[shardManifest]] the consumer verifies against. Shard
-    * assignment is the [[shuffleShard]] md5 scheme, so the export IS
-    * the shuffled corpus layout; `partitionBy("shard")` gives one
-    * directory per shard for sequential trainer reads. ExportSpec
-    * proves the round trip: a manifest recomputed from the written
-    * files equals the source manifest, and any tampered row breaks
-    * the content hash. */
+    * assignment is the [[shuffleShard]] md5 scheme (same [[shardOf]]
+    * expression), so the export IS the shuffled corpus layout;
+    * `partitionBy("shard")` gives one directory per shard for
+    * sequential trainer reads. Parameters validate BEFORE the
+    * destructive overwrite. ExportSpec proves the round trip: a
+    * manifest recomputed from the written files equals the source
+    * manifest, and any tampered row breaks the content hash. */
   def exportShards(
       df: org.apache.spark.sql.DataFrame, outDir: String,
       idCol: String = "doc_id",
       hashCols: Seq[String] = Seq("doc_id", "text"), hexDigits: Int = 1)
       : org.apache.spark.sql.DataFrame = {
-    val shard = conv(substring(
-      md5(concat(lit("shuf:"), col(idCol).cast("string"))), 1, hexDigits),
-      16, 10).cast("long")
+    val shard = shardOf(idCol, hexDigits) // validates hexDigits first
     df.withColumn("shard", shard)
       .repartition(col("shard"))
       .write.partitionBy("shard").mode("overwrite").parquet(outDir)

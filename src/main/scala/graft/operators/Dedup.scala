@@ -800,12 +800,10 @@ object Dedup {
     val corpusKeys = corpus.select(col(keyCol))
     val nCorpus =
       if (expectedItems > 0) expectedItems else corpusKeys.count()
+    // bootstrap batch (empty corpus): keyBloom returns a valid
+    // never-contains filter, so every increment row takes the
+    // definitelyNew branch and the whole increment survives
     val corpusBf = keyBloom(corpusKeys, keyCol, fpp, nCorpus, maxFilterBytes)
-    // an EMPTY corpus aggregates to a null filter (BloomFilterAggregate
-    // returns null on zero input), and a null might-contain would drop
-    // every row from BOTH filter branches — the bootstrap batch of the
-    // incremental workflow must keep the whole increment instead
-    if (corpusBf == null) return increment
 
     val flagged = increment.withColumn("__mc", keyMightContain(corpusBf, keyCol))
     val definitelyNew = flagged.filter(!col("__mc")).drop("__mc")
@@ -999,8 +997,9 @@ object Dedup {
 
   /** Bloom filter of `xxhash64(keyCol)` over `df`, sized for `n`
     * items at `fpp`, returned as its serialized bytes (a bounded
-    * driver value; see [[incrementalDedup]] step 1). Shared with the
-    * scale sweep, which restates candidate counts from it. */
+    * driver value; see [[incrementalDedup]] step 1). EMPTY input
+    * yields a valid never-contains filter, never null. Shared with
+    * the scale sweep, which restates candidate counts from it. */
   private[graft] def keyBloom(
       df: DataFrame, keyCol: String, fpp: Double, n: Long,
       maxFilterBytes: Long = 256L << 20): Array[Byte] = {
@@ -1018,23 +1017,69 @@ object Dedup {
     // caps to what this filter actually needs — and RESTORE them
     // after the build: these confs also size Spark's own runtime
     // join filters, and leaving a 10⁹-item cap behind would let
-    // every later unrelated join build driver-crushing filters
-    val conf = df.sparkSession.conf
-    val raised = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> items,
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> bits)
-      .flatMap { case (k, v) =>
-        val prior = conf.get(k)
-        if (prior.toLong < v) { conf.set(k, v.toString); Some(k -> prior) }
-        else None
-      }
-    try {
+    // every later unrelated join build driver-crushing filters.
+    // The raise/restore is ref-counted per session (BloomConfGuard):
+    // a naive save/restore races under CONCURRENT builds — one
+    // build's restore would clamp another's in-flight aggregate and
+    // the interleaved restores could leave a raised value behind.
+    val bf = BloomConfGuard.withRaised(df.sparkSession, items, bits) {
       val agg = new BloomFilterAggregate(
         GraftExpressionBridge.expression(xxhash64(col(keyCol))),
         Literal(items), Literal(bits)).toAggregateExpression()
       df.select(GraftExpressionBridge.column(agg).as("bf"))
         .head.getAs[Array[Byte]](0)
-    } finally raised.foreach { case (k, prior) => conf.set(k, prior) }
+    }
+    // an EMPTY input aggregates to null; return a valid
+    // never-contains filter instead so every caller (the operator,
+    // the scale sweep's restatement) flows through the normal
+    // branch — a null filter turns might-contain into null, which
+    // silently drops rows from BOTH sides of a filter split
+    if (bf != null) bf
+    else {
+      val empty = org.apache.spark.util.sketch.BloomFilter.create(1, 64L)
+      val bos = new java.io.ByteArrayOutputStream()
+      empty.writeTo(bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Ref-counted raise of the runtime bloom-filter session confs
+    * around [[keyBloom]] builds: first build in records the priors,
+    * every build raises to its own high-water need, the LAST build
+    * out restores — concurrent builds on one session can neither
+    * clamp each other mid-flight nor leak a raised cap. */
+  private object BloomConfGuard {
+    private val Keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+    private final class State {
+      var depth = 0
+      var priors: Map[String, String] = Map.empty
+    }
+    private val states =
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, State]()
+    def withRaised[A](spark: org.apache.spark.sql.SparkSession,
+        items: Long, bits: Long)(f: => A): A = {
+      val st = states.synchronized {
+        var s = states.get(spark)
+        if (s == null) { s = new State; states.put(spark, s) }
+        s
+      }
+      val conf = spark.conf
+      st.synchronized {
+        if (st.depth == 0) st.priors = Keys.map(k => k -> conf.get(k)).toMap
+        Seq(Keys(0) -> items, Keys(1) -> bits).foreach { case (k, v) =>
+          if (conf.get(k).toLong < v) conf.set(k, v.toString)
+        }
+        st.depth += 1
+      }
+      try f
+      finally st.synchronized {
+        st.depth -= 1
+        if (st.depth == 0)
+          st.priors.foreach { case (k, v) => conf.set(k, v) }
+      }
+    }
   }
 
   /** Membership predicate against a [[keyBloom]] result. */

@@ -734,19 +734,28 @@ object Similarity {
       corpus: DataFrame, increment: DataFrame, threshold: Double,
       planes: Int = 64, bands: Int = 4, dims: Int = 64,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val incBanded = increment
-      .select(col(idCol).as("__inc_id"), col(embCol).as("__emb_i"),
-        posexplode(srpBandCodes(col(embCol), planes, bands, dims))
-          .as(Seq("band", "code")))
-      .localCheckpoint() // the broadcast below must not re-project
+    // codes and payload broadcast separately (the incrementalNearDup
+    // shape): band codes explode to `bands` rows per vector, so
+    // carrying the embedding through the explode would ship `bands`
+    // copies of every increment vector to every executor — instead
+    // the code probe is embedding-free and the payload joins once,
+    // on the deduped candidates only
+    val incVecs = increment
+      .select(col(idCol).as("__inc_id"), col(embCol).as("__emb_i"))
+      .localCheckpoint() // feeds the code projection AND the verify
+    val incCodes = incVecs.select(col("__inc_id"),
+      posexplode(srpBandCodes(col("__emb_i"), planes, bands, dims))
+        .as(Seq("band", "code")))
+      .select("__inc_id", "band", "code")
     val corpusBanded = corpus
       .select(col(idCol).as("__c_id"), col(embCol).as("__emb_c"),
         posexplode(srpBandCodes(col(embCol), planes, bands, dims))
           .as(Seq("band", "code")))
     val dupIds = corpusBanded
-      .join(broadcast(incBanded), Seq("band", "code"))
-      .select(col("__c_id"), col("__emb_c"), col("__inc_id"), col("__emb_i"))
+      .join(broadcast(incCodes), Seq("band", "code"))
+      .select(col("__c_id"), col("__emb_c"), col("__inc_id"))
       .dropDuplicates("__c_id", "__inc_id")
+      .join(broadcast(incVecs), Seq("__inc_id"))
       .withColumn("__cos",
         round(cosineSimilarity(col("__emb_c"), col("__emb_i")), 6))
       .filter(col("__cos") >= threshold)

@@ -771,7 +771,8 @@ object CurationPack extends QueryPack {
           FROM keyed)
         SELECT shard, count(*) AS n_rows,
                bit_xor(CAST(CAST(('0x' || substring(md5(
-                   'row:' || CAST(doc_id AS VARCHAR) || ':' || text),
+                   'row:' || coalesce(md5(CAST(doc_id AS VARCHAR)), 'null')
+                          || coalesce(md5(text), 'null')),
                    1, 15)) AS UBIGINT) AS BIGINT)) AS content_hash,
                min(doc_id) AS min_id, max(doc_id) AS max_id
         FROM shards GROUP BY 1"""),
