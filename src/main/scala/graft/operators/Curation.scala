@@ -428,6 +428,35 @@ object Curation {
     shardManifest(df, idCol, hashCols, hexDigits)
   }
 
+  // ---- snapshot-over-snapshot corpus diff -----------------------------------
+
+  /** Per-document diff of two corpus snapshots — the crawl-ops
+    * report run before an incremental refresh ([[graft.operators.
+    * Dedup.incrementalDedup]] family ingests the `added`/`changed`
+    * slice; the engine-internal analog is connectorkits' statediff):
+    * `(id, status)` with status ∈ added | removed | changed |
+    * unchanged, change detection by md5 of the content column
+    * (null content uses the manifest's non-hex sentinel, so
+    * null-vs-null compares unchanged and null-vs-text compares
+    * changed). One full-outer equi-join on the id — the canonical
+    * diff shuffle; at 100 TB co-locate the snapshots by bucketing on
+    * the id ([[Scale.Bucketing]]) and the join runs exchange-free. */
+  def corpusDiff(
+      oldDf: org.apache.spark.sql.DataFrame,
+      newDf: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    def side(df: org.apache.spark.sql.DataFrame, h: String) =
+      df.select(col(idCol).as("id"),
+        coalesce(md5(col(textCol).cast("string")), lit("null")).as(h))
+    side(oldDf, "__oh").join(side(newDf, "__nh"), Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") =!= col("__nh"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   // ---- temperature-flattened mixture resampling ----------------------------
 
   /** Temperature (α) resampling of a multi-domain corpus — the

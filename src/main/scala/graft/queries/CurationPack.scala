@@ -778,6 +778,58 @@ object CurationPack extends QueryPack {
         FROM shards GROUP BY 1"""),
       (s, dir) =>
         graft.operators.Curation.shardManifest(
-          Tables(s, dir, "documents")))
+          Tables(s, dir, "documents"))),
+
+    // ---- snapshot-over-snapshot corpus diff --------------------------------
+    // old = docs except %11==0; new = drops %5==0 (removed), rewrites
+    // %3==0 ('rev2: ' prefix → changed), adds %11==0 back plus fresh
+    // ids (added). Per-status count and an order-free id-set hash —
+    // so the gate detects any misclassified document, not just
+    // miscounts.
+    Q(
+      "q131_corpus_diff",
+      Some("""
+        WITH oldc AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+        newc AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN 'rev2: ' || text
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 5 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          WHERE doc_id % 13 = 0),
+        o AS (SELECT doc_id AS id,
+                     coalesce(md5(text), 'null') AS oh FROM oldc),
+        n AS (SELECT doc_id AS id,
+                     coalesce(md5(text), 'null') AS nh FROM newc),
+        d AS (
+          SELECT coalesce(o.id, n.id) AS id,
+                 CASE WHEN o.id IS NULL THEN 'added'
+                      WHEN n.id IS NULL THEN 'removed'
+                      WHEN o.oh <> n.nh THEN 'changed'
+                      ELSE 'unchanged' END AS status
+          FROM o FULL OUTER JOIN n ON o.id = n.id)
+        SELECT status, count(*) AS n_docs,
+               bit_xor(CAST(CAST(('0x' || substring(md5(
+                   'd:' || CAST(id AS VARCHAR)), 1, 15)) AS UBIGINT)
+                 AS BIGINT)) AS id_hash
+        FROM d GROUP BY 1"""),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        val oldC = docs.filter(col("doc_id") % 11 =!= 0)
+        val newC = docs.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 3 === 0, concat(lit("rev2: "), col("text")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        graft.operators.Curation.corpusDiff(oldC, newC)
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("bit_xor(cast(conv(substring(md5(concat('d:', " +
+              "cast(id as string))), 1, 15), 16, 10) as bigint))")
+              .as("id_hash"))
+      })
   )
 }

@@ -309,6 +309,26 @@ class CurationSpec extends SparkSpec {
     assert(edited !== manifest)
   }
 
+  test("corpusDiff classifies all four statuses; null content compares sanely") {
+    import spark.implicits._
+    val oldC = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, Some("c")),
+      (4L, None: Option[String]), (5L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val newC = Seq(
+      (1L, Some("a")),  // unchanged
+      (2L, Some("B")),  // changed
+      // 3 removed
+      (4L, None: Option[String]), // null in both: unchanged, not added
+      (5L, Some("now")),          // null -> text: changed
+      (9L, Some("z")))            // added
+      .toDF("doc_id", "text")
+    val got = Curation.corpusDiff(oldC, newC).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "changed", 9L -> "added"))
+  }
+
   test("leakageSafeSplit never separates a near-dup cluster") {
     import spark.implicits._
     val docs = Seq(
