@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression pins for the scale-critical claims the
+  * operator scaladocs make. Correctness gates prove VALUES; these
+  * prove the SHAPE — pushdown reaching the parquet scan, small
+  * sides broadcast, aggregations partial map-side, top-K compiled
+  * to TakeOrdered — so a refactor that silently de-optimizes a plan
+  * fails here instead of surfacing as a 100×-scale regression. All
+  * assertions are on plan text only (sf0.001 inputs, nothing
+  * large executes).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and column pruning reach the parquet scan") {
+    val df = Tables(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_quantity")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(l_quantity"), plan)
+    // ReadSchema carries ONLY the projected+filtered columns
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") &&
+      readSchema.contains("l_quantity") &&
+      !readSchema.contains("l_comment") &&
+      !readSchema.contains("l_shipdate"), readSchema)
+  }
+
+  test("dimension joins broadcast; no join degenerates to cartesian") {
+    val q03 = SparkEntry.queries("q03_revenue_by_nation")(spark, sf)
+    val plan = planOf(q03)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("groupBy dedup/report shapes partial-aggregate map-side") {
+    // urlDedup: hot-URL safety = map-side partial agg, never a window
+    val urls = Tables(spark, sf, "documents")
+      .withColumn("url", concat(lit("https://h/"), col("doc_id") % 10))
+    val plan = planOf(graft.operators.Curation.urlDedup(urls, "url"))
+    assert(plan.contains("partial_count") || plan.contains("partial count")
+      || plan.split("HashAggregate").length - 1 >= 2, plan)
+    assert(!plan.contains("Window"), plan)
+    // shardManifest: same contract
+    val mPlan = planOf(graft.operators.Curation.shardManifest(
+      Tables(spark, sf, "documents")))
+    assert(mPlan.split("HashAggregate").length - 1 >= 2, mPlan)
+    assert(!mPlan.contains("Window"), mPlan)
+  }
+
+  test("top-K compiles to TakeOrdered, never a global sort") {
+    val plan = planOf(graft.operators.Scale.skewStats(
+      Tables(spark, sf, "lineitem"), "l_partkey", topK = 10))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("stats-side crossJoins are broadcast, not cartesian") {
+    // zorder key: the min/max stats frame joins in as a broadcast
+    val q123 = SparkEntry.queries("q123_zorder_key")(spark, sf)
+    val plan = planOf(q123)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("corpusDiff plans one full-outer equi-join, no broadcast explosion") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val plan = planOf(graft.operators.Curation.corpusDiff(
+      docs, docs.withColumn("text", upper(col("text")))))
+    assert(plan.contains("FullOuter"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("temperatureResample's per-domain fractions broadcast back") {
+    val plan = planOf(graft.operators.Curation.temperatureResample(
+      Tables(spark, sf, "documents"), "source"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}
