@@ -428,6 +428,49 @@ object Curation {
     shardManifest(df, idCol, hashCols, hexDigits)
   }
 
+  // ---- cross-document duplicated-ngram fraction -----------------------------
+
+  /** Per-document fraction of word n-grams that also occur in at
+    * least one OTHER document — the corpus-level duplication signal
+    * quality pipelines threshold on (Dolma/RedPajama's
+    * "fraction of content in duplicated n-grams"), complementing the
+    * WITHIN-doc repetition stats ([[topBigramFraction]] family) and
+    * the span-level surgery ([[graft.operators.Dedup.
+    * exactSubstringSpans]]). Returns
+    * `(doc_id, n_grams, n_dup, dup_frac)`; docs with fewer than `n`
+    * words report zero grams and fraction 0.
+    *
+    * Scale shape: distinct grams per doc ([[graft.operators.Dedup.
+    * shingleStringsUdf]]) explode once; doc frequency is a
+    * partial-aggregated `groupBy(gram).count` (a boilerplate gram in
+    * 10⁸ docs costs each map task ONE partial row); the join back to
+    * per-doc grams is an equi-join on the gram — AQE skew-split
+    * territory for pathologically hot grams, same adjudication as
+    * exactSubstringSpans. */
+  def crossDocNgramDupFraction(
+      docs: org.apache.spark.sql.DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        graft.operators.Dedup.shingleStringsUdf(n)(col(textCol)).as("sh"))
+      .select(col("doc_id"), explode_outer(col("sh")).as("g"))
+    // shingles are DISTINCT per doc, so count(*) per gram IS the
+    // document frequency — no countDistinct shuffle needed
+    val dfreq = grams.filter(col("g").isNotNull)
+      .groupBy("g").agg(count(lit(1)).as("__df"))
+    grams
+      .join(dfreq, Seq("g"), "left_outer")
+      .groupBy("doc_id")
+      .agg(
+        count(col("g")).as("n_grams"),
+        count(when(col("__df") > 1, 1)).as("n_dup"))
+      .withColumn("dup_frac",
+        when(col("n_grams") > 0,
+          round(col("n_dup").cast("double") / col("n_grams"), 4))
+          .otherwise(lit(0.0)))
+  }
+
   // ---- snapshot-over-snapshot corpus diff -----------------------------------
 
   /** Per-document diff of two corpus snapshots — the crawl-ops

@@ -728,6 +728,42 @@ object TextPack extends QueryPack {
         FROM canon"""),
       (s, dir) =>
         graft.operators.Curation.leakageSafeSplit(
-          Tables(s, dir, "documents"), threshold = 0.2))
+          Tables(s, dir, "documents"), threshold = 0.2)),
+
+    // ---- cross-document duplicated-ngram fraction --------------------------
+    // The per-doc corpus-duplication signal quality pipelines
+    // threshold on: fraction of a doc's distinct trigrams occurring
+    // in >= 2 docs. Distinct-per-doc shingles make count(*) per gram
+    // the document frequency, so the oracle replays the whole
+    // derivation with q49's shingle CTE.
+    Q(
+      "q132_crossdoc_ngram_dup",
+      Some("""
+        WITH dd AS (
+          SELECT doc_id, list_distinct(list_transform(
+              range(greatest(len(words) - 2, 0)),
+              i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))
+            AS sh
+          FROM (SELECT doc_id,
+                       list_filter(string_split(text, ' '), w -> w <> '')
+                         AS words
+                FROM documents)),
+        g AS (SELECT doc_id, unnest(sh) AS g FROM dd),
+        dfreq AS (SELECT g, count(*) AS df FROM g GROUP BY 1),
+        agg AS (
+          SELECT g.doc_id, count(*) AS n_grams,
+                 count(*) FILTER (f.df > 1) AS n_dup
+          FROM g JOIN dfreq f ON f.g = g.g
+          GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup,
+               CASE WHEN coalesce(a.n_grams, 0) > 0
+                    THEN round(CAST(a.n_dup AS DOUBLE) / a.n_grams, 4)
+                    ELSE 0.0 END AS dup_frac
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""),
+      (s, dir) =>
+        graft.operators.Curation.crossDocNgramDupFraction(
+          Tables(s, dir, "documents")))
   )
 }

@@ -329,6 +329,24 @@ class CurationSpec extends SparkSpec {
       4L -> "unchanged", 5L -> "changed", 9L -> "added"))
   }
 
+  test("crossDocNgramDupFraction: shared grams count, short docs report zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),   // grams: abc bcd-style, 2 shared w/ 2
+      (2L, "alpha beta gamma epsilon"), // shares 'alpha beta gamma' with 1
+      (3L, "zeta eta theta iota"),      // all unique
+      (4L, "two words"))                // < 3 words: zero grams
+      .toDF("doc_id", "text")
+    val got = Curation.crossDocNgramDupFraction(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    // docs 1/2: 2 trigrams each, exactly one ('alpha beta gamma') shared
+    assert(got(1L) === ((2L, 1L, 0.5)))
+    assert(got(2L) === ((2L, 1L, 0.5)))
+    assert(got(3L) === ((2L, 0L, 0.0)))
+    assert(got(4L) === ((0L, 0L, 0.0))) // present with zeros, not dropped
+  }
+
   test("leakageSafeSplit never separates a near-dup cluster") {
     import spark.implicits._
     val docs = Seq(
