@@ -77,6 +77,37 @@ object Bench {
     graft.queries.FlowPack.queries.contains(name) ||
       name == "q82_search_collection"
 
+  /** Per-query times of the LAST committed round's recording (the
+    * highest-numbered BENCH_FULL_r<N>.json / BENCH_r<N>.json in the
+    * working directory), the reference for the outlier re-run policy
+    * (r14 verdict: the official artifact stamped q103 at 46.2 s vs
+    * 2.4–3.6 s in five same-tree snapshots — a single recording must
+    * not be able to stamp a phantom regression). Empty when no prior
+    * round exists. */
+  private def prevQueryTimes(): Map[String, Double] =
+    try {
+      val rx = "^BENCH(_FULL)?_r(\\d+)\\.json$".r
+      val files = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap { f =>
+          rx.findFirstMatchIn(f.getName)
+            .map(m => (m.group(2).toInt, m.group(1) != null, f))
+        }
+      if (files.isEmpty) Map.empty
+      else {
+        // highest round wins; at equal rounds prefer the FULL
+        // snapshot (the driver's tail capture truncates long maps)
+        val f = files.sortBy(t => (t._1, t._2)).last._3
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        // only the "queries" object — a bare name:number scan would
+        // also swallow the "reruns" map's discarded first-pass times
+        val obj = """"queries":\{([^}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"([^"]+)":([0-9]+\.?[0-9]*)""".r.findAllMatchIn(obj)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -102,15 +133,24 @@ object Bench {
     // fake).
     val loadMax =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "1.5").toDouble
-    // < 1.0 (r12 verdict): a stamped load5 of 1.59 passed the old 3.0
-    // bar but still meant the box hadn't settled — wait until the
-    // 5-minute average itself is quiet before recording. load5 decays
-    // with a 5-minute time constant, so the longer soft wait below
-    // (not a refusal — the usual cause is the driver's own verify JVM
-    // having just exited) clears any realistic backlog: 1.59→1.0
-    // takes ~2.3 min, 10→1.0 ~11.5 min.
+    // < 0.5 (r14 verdict): the r14 recording started at load5 0.99
+    // against the old < 1.0 bar — the exact just-decayed-pressure
+    // window that stamped q103 at 46.2 s (idle-box same-tree value:
+    // 2.4–3.6 s). A genuinely settled 32-cpu box sits near 0 on the
+    // 5-minute average; anything above 0.5 means work finished
+    // recently enough that its cache/IO wake is still distorting the
+    // first queries. load5 decays with a 5-minute time constant, so
+    // the longer soft wait below (not a refusal — the usual cause is
+    // the driver's own verify JVM having just exited) clears any
+    // realistic backlog: 0.99→0.5 takes ~3.4 min.
     val load5Max =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD5_MAX", "1.0").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD5_MAX", "0.5").toDouble
+    // the 1-minute average must ALSO be near-idle before recording
+    // starts (r14 verdict: load5 < 0.5 AND load1 < 0.3) — load1
+    // reacts fastest, so an elevated load1 under a quiet load5 means
+    // something just STARTED; soft-wait on it too
+    val load1SettleMax =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD1_SETTLE_MAX", "0.3").toDouble
     // Hard contention (refuse): a live foreign JVM or a hot 1-minute
     // average — someone else is running NOW. Soft contention (wait,
     // then stamp-and-proceed): only the 5-minute average is elevated,
@@ -120,17 +160,19 @@ object Bench {
     // exited. The stamped load5_avg_start tells a reviewer exactly
     // how settled the box was.
     def hard(jvms: Int, l1: Double): Boolean = jvms > 0 || l1 > loadMax
-    def soft(l5: Double): Boolean = l5 > load5Max
+    def soft(l1: Double, l5: Double): Boolean =
+      l5 > load5Max || l1 > load1SettleMax
     val t0 = System.currentTimeMillis()
     var jvmsAtStart = otherJvms()
     var (load1, load5) = loadAvg()
     def budget(): Long =
       if (hard(jvmsAtStart, load1)) quiesceMs else softQuiesceMs
-    while ((hard(jvmsAtStart, load1) || soft(load5)) &&
+    while ((hard(jvmsAtStart, load1) || soft(load1, load5)) &&
         System.currentTimeMillis() - t0 < budget()) {
       System.err.println(
         f"[bench] waiting to record: $jvmsAtStart other JVM(s), " +
-          f"load1 $load1%.2f (max $loadMax%.2f), " +
+          f"load1 $load1%.2f (settle $load1SettleMax%.2f, " +
+          f"max $loadMax%.2f), " +
           f"load5 $load5%.2f (max $load5Max%.2f)...")
       Thread.sleep(5000)
       jvmsAtStart = otherJvms()
@@ -164,28 +206,70 @@ object Bench {
         case Some("flow") => n => flowTier(n)
         case _ => _ => true
       }
-    val failed = Seq.newBuilder[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => (only.isEmpty || only(n)) && tierFilter(n) }
-      .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
-          case e: Throwable =>
-            failed += name
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+    // SPARK_GRAFT_BENCH_ORDER=reverse runs the suite back-to-front —
+    // the order-sensitivity probe (r14 verdict task #8): a query
+    // whose time moves >2x with position is JVM-state-sensitive, not
+    // regressed. A reverse run is a diagnostic, not a round artifact
+    // (no BENCH_FULL snapshot).
+    val reverse =
+      sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse")
+    val failedSet = scala.collection.mutable.Set[String]()
+    def timeOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch {
+        case e: Throwable =>
+          failedSet += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val orderedBase = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => (only.isEmpty || only(n)) && tierFilter(n) }
+    val ordered = if (reverse) orderedBase.reverse else orderedBase
+    val firstPass = ordered.map { case (name, fn) => name -> timeOne(name, fn) }
+
+    // Outlier re-run policy (r14 verdict task #1): any query whose
+    // time exceeds 3x its previous committed round's value is re-run
+    // ONCE at the end of the pass and the MIN is recorded, with the
+    // discarded first-pass time stamped under "reruns". A true code
+    // regression reproduces on the re-run (both times high — min
+    // still shows it); a JVM/cache-pressure phantom does not. The
+    // 1 s floor keeps sub-second noise (0.2 s -> 0.7 s) from
+    // triggering pointless re-runs.
+    val prev = prevQueryTimes()
+    val rerunFloorSec = 1.0
+    val fnOf = ordered.toMap
+    val rerunCandidates = firstPass.filter { case (n, t) =>
+      !failedSet(n) &&
+        prev.get(n).exists(p => t > 3.0 * math.max(p, rerunFloorSec))
+    }
+    val rerunFirst = rerunCandidates.toMap
+    val rerunTimes = rerunCandidates.map { case (n, _) =>
+      System.err.println(
+        f"[bench] re-running outlier $n (${rerunFirst(n)}%.1f s vs " +
+          f"prev ${prev(n)}%.1f s)")
+      n -> timeOne(n, fnOf(n))
+    }.toMap
+    val results = firstPass.map { case (n, t) =>
+      n -> math.min(t, rerunTimes.getOrElse(n, t))
+    }
+    val failed = failedSet.toSeq.sorted
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val fj = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
+    val rr = rerunFirst.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val coreTotal = results.filterNot(r => flowTier(r._1)).map(_._2).sum
     val flowTotal = total - coreTotal
     val (loadAtEnd, _) = loadAvg()
+    val orderTag = if (reverse) "reverse" else "sorted"
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fj,"tiers":{"core":$coreTotal%.3f,"flow":$flowTotal%.3f},"sf":"$sfDir","load_avg_start":$loadAtStart%.2f,"load5_avg_start":$load5AtStart%.2f,"load_avg_end":$loadAtEnd%.2f,"other_jvms_at_start":$jvmsAtStart}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fj,"tiers":{"core":$coreTotal%.3f,"flow":$flowTotal%.3f},"sf":"$sfDir","order":"$orderTag","reruns":$rr,"rerun_policy":"min_of_2_when_gt_3x_prev_round","load_avg_start":$loadAtStart%.2f,"load5_avg_start":$load5AtStart%.2f,"load_avg_end":$loadAtEnd%.2f,"other_jvms_at_start":$jvmsAtStart}"""
     println(json)
     // durable copy — the driver's stdout tail-capture truncates
     try java.nio.file.Files.writeString(
@@ -199,7 +283,8 @@ object Bench {
     // + 1 (the driver writes BENCH_r<N>.json at round end; this run
     // is recording FOR the round in progress). Restricted/tier runs
     // skip the snapshot — only a full recording is a round artifact.
-    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_BENCH_TIER")) {
+    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_BENCH_TIER") &&
+        !reverse) {
       try {
         // anchored: a name merely CONTAINING "BENCH_r<N>.json" (a
         // backup, an editor copy) must not shift the inferred round;

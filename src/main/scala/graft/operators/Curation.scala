@@ -425,7 +425,13 @@ object Curation {
     df.withColumn("shard", shard)
       .repartition(col("shard"))
       .write.partitionBy("shard").mode("overwrite").parquet(outDir)
-    shardManifest(df, idCol, hashCols, hexDigits)
+    // manifest from the WRITTEN files, not the source plan: for a
+    // non-deterministic source (re-read of a mutating directory,
+    // nondeterministic columns) a source-recomputed manifest could
+    // describe bytes that were never written (ADVICE r14) — the
+    // handoff artifact must match the export by construction
+    shardManifest(df.sparkSession.read.parquet(outDir).drop("shard"),
+      idCol, hashCols, hexDigits)
   }
 
   // ---- cross-document duplicated-ngram fraction -----------------------------
@@ -582,6 +588,12 @@ object Curation {
       : org.apache.spark.sql.DataFrame = {
     require(cuts.nonEmpty && cuts.last._2 >= 1.0,
       s"cuts must cover [0,1]: $cuts")
+    // misordered cuts (train→0.9, val→0.8) silently make a later
+    // label unreachable — fail loudly instead (ADVICE r14)
+    require(cuts.map(_._2) == cuts.map(_._2).sorted,
+      s"cut fractions must be non-decreasing: $cuts")
+    require(cuts.forall(_._2 > 0.0),
+      s"cut fractions must be positive: $cuts")
     val clustered =
       Dedup.fuzzyDedupKeep(docs, threshold, idCol = idCol, textCol = textCol)
     val draw = md5(concat(lit("split:"), col("canonical_id").cast("string")))
@@ -632,9 +644,18 @@ object Curation {
     val path = regexp_replace(regexp_replace(rest, "\\?.*$", ""), "/$", "")
     val qs = when(rest.contains("?"), regexp_extract(rest, "\\?(.*)$", 1))
       .otherwise(lit(""))
-    val dropRx = "^(" + dropParams.mkString("|") + ")="
+    // dropParams entries are REGEXES over the parameter NAME. An
+    // empty seq must mean "drop nothing": naively joining it yields
+    // "^()=" which matches any param whose name is empty (a raw
+    // "?=v"), silently dropping it (ADVICE r14).
+    val dropName: Column => Column =
+      if (dropParams.isEmpty) _ => lit(false)
+      else {
+        val dropRx = "^(" + dropParams.mkString("|") + ")="
+        p => p.rlike(dropRx)
+      }
     val kept = array_sort(filter(split(qs, "&"),
-      p => p =!= "" && !p.rlike(dropRx)))
+      p => p =!= "" && !dropName(p)))
     val joined = array_join(kept, "&")
     concat(prefix, path,
       when(joined =!= "", concat(lit("?"), joined)).otherwise(lit("")))

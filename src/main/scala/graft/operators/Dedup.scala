@@ -952,13 +952,21 @@ object Dedup {
       .withColumn("code", bandCode(bandRows))
       .select(col("__inc_key"), col("sz_i"), col("band"), col("code"))
 
-    // probe: index side stays put, batch bands broadcast; exact
-    // length prefilter (J ≥ t ⇒ t·|A| ≤ |B| ∧ t·|B| ≤ |A|) prunes
-    // impossible pairs before any shingle work
+    // probe: index side stays put, batch bands broadcast; length
+    // prefilter (J ≥ t ⇒ t·|A| ≤ |B| ∧ t·|B| ≤ |A|) prunes
+    // impossible pairs before any shingle work. The bound is
+    // loosened by the round-4 quantum (ADVICE r14): verification
+    // accepts round(J, 4) ≥ t, so a pair whose true J sits in
+    // [t − 0.00005, t) ROUNDS UP to a dup — the unrounded bound
+    // would prune it here while the corpus-scan filter
+    // ([[incrementalNearDup]], no prefilter) drops it, diverging on
+    // boundary pairs. t' = t − 0.00005 admits every pair the rounded
+    // verify can accept.
+    val tLoose = threshold - 0.00005
     val candidates = indexBands
       .join(broadcast(incBanded), Seq("band", "code"))
-      .filter(col("sz_c") >= col("sz_i") * threshold &&
-        col("sz_i") >= col("sz_c") * threshold)
+      .filter(col("sz_c") >= col("sz_i") * tLoose &&
+        col("sz_i") >= col("sz_c") * tLoose)
       .select(col("__c_key"), col("__inc_key"))
       .dropDuplicates("__c_key", "__inc_key")
       .localCheckpoint()

@@ -270,17 +270,31 @@ object Multimodal {
       batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // loud key validation (ADVICE r14): a non-numeric key column
+    // would cast("long") to null and die deep in the encoder with an
+    // opaque NPE — refuse it by type up front, and surface a null
+    // KEY VALUE (boxed encoder, explicit check) as a clear error
+    // naming the column instead of a runtime NullPointerException
+    val keyType = df.schema(keyCol).dataType
+    require(keyType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"imageDHash: key column '$keyCol' must be numeric " +
+        s"(got ${keyType.simpleString}) — keys identify images and " +
+        "must cast losslessly to long")
     df.select(col(keyCol).cast("long"), col(mediaCol).cast("binary"))
-      .as[(Long, Array[Byte])]
+      .as[(java.lang.Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (k, bytes) =>
+            if (k == null) throw new IllegalArgumentException(
+              s"imageDHash: null key in column '$keyCol' — every " +
+                "image row needs a non-null numeric key")
             val img =
               if (bytes == null || bytes.isEmpty) null
               else
                 try ImageIO.read(new java.io.ByteArrayInputStream(bytes))
                 catch { case _: Exception => null }
-            if (img == null) (k, false, 0L) else (k, true, dHashOf(img))
+            if (img == null) (k.longValue, false, 0L)
+            else (k.longValue, true, dHashOf(img))
           }
         }
       }

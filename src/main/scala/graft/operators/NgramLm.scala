@@ -73,13 +73,14 @@ object NgramLm {
 
   def fit(docs: DataFrame, idCol: String, textCol: String,
       minCount: Long = 2L, k: Double = 0.5): BigramLm = {
-    // tokenize ONCE (the expensive regexp pass): counts, vocab and
-    // pairs all derive from the cached token frame
-    val toks = docs
-      .select(col(idCol), tokensOf(col(textCol)).as("ws")).cache()
-    val lm = fitToks(toks, idCol, minCount, k)
-    toks.unpersist()
-    lm
+    // the token frame is RECOMPUTED per aggregation pass, not
+    // cached: pinning the exploded token arrays of the whole corpus
+    // in executor memory across passes made this the engine's most
+    // pressure-sensitive query (r14 verdict: the recorded 46 s
+    // phantom vs ~3 s warm) — tokenize is cheap whole-stage-codegen
+    // regexp+split, and N cheap scans beat one fragile cached pass
+    val toks = docs.select(col(idCol), tokensOf(col(textCol)).as("ws"))
+    fitToks(toks, idCol, minCount, k)
   }
 
   private def scorePairs(p: DataFrame, idCol: String,
@@ -104,19 +105,19 @@ object NgramLm {
     scorePairs(pairs(docs, idCol, textCol), idCol, lm)
 
   /** Fit-and-filter: every document scored against the corpus LM,
-    * kept while mean NLL ≤ `maxNll`. The corpus is tokenized ONCE
-    * for fit and scoring alike (the model side materializes inside
-    * fit, so the token cache lives exactly one pass). */
+    * kept while mean NLL ≤ `maxNll`. The corpus token stream is
+    * recomputed per pass (cheap codegen) rather than cached — the
+    * model side materializes bounded inside fit. */
   def perplexityFilter(docs: DataFrame, idCol: String, textCol: String,
       maxNll: Double, minCount: Long = 2L, k: Double = 0.5): DataFrame = {
-    val toks = docs
-      .select(col(idCol), tokensOf(col(textCol)).as("ws")).cache()
+    // no corpus-sized cache (see [[fit]]) and no localCheckpoint:
+    // the model side already materialized bounded inside fitToks, so
+    // the returned plan re-tokenizes once when executed — a cheap
+    // codegen scan instead of a corpus-sized executor-memory pin
+    val toks = docs.select(col(idCol), tokensOf(col(textCol)).as("ws"))
     val lm = fitToks(toks, idCol, minCount, k)
     val scored = scorePairs(pairsOfToks(toks, idCol), idCol, lm)
-    val out = docs.join(scored, Seq(idCol), "left")
+    docs.join(scored, Seq(idCol), "left")
       .withColumn("keep", col("nll").isNull || col("nll") <= maxNll)
-      .localCheckpoint() // release the token cache deterministically
-    toks.unpersist()
-    out
   }
 }
