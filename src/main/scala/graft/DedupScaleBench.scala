@@ -75,7 +75,16 @@ object DedupScale {
       fincSec: Double, fincKept: Long, fincNew: Long, fincDups: Long,
       fincCands: Long,
       vincSec: Double, vincKept: Long, vincNew: Long, vincDups: Long,
-      vincCands: Long)
+      vincCands: Long,
+      // index-served incremental screens, FIXED batch size — the
+      // r15 design-gap closure: per-batch cost must stay flat in
+      // corpus N (the rescan forms above pay O(corpus) per batch)
+      kincSec: Double, kincKept: Long, kincBatch: Long,
+      voverSec: Double, voverKept: Long, voverBatch: Long,
+      // per-stage shuffle-write bytes (measured, not inferred)
+      mhShufMB: Double, sdShufMB: Double, incShufMB: Double,
+      fincShufMB: Double, vincShufMB: Double, kincShufMB: Double,
+      voverShufMB: Double)
 
   /** md5-derived uniform value in [-1, 1] with ~2001 distinct levels
     * (the HashEmbedder scheme — deterministic, engine-agnostic). */
@@ -131,12 +140,50 @@ object DedupScale {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Session-wide shuffle-write tally (r14 verdict task #5: measure
+    * the O-claims' shuffle bytes, don't infer them). Listener events
+    * drain asynchronously, so snapshots briefly settle first — the
+    * numbers are an artifact-grade measurement, not an exact gate. */
+  private final class ShuffleTally
+      extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
+    def snapshot(): Long = { Thread.sleep(200); bytes.get }
+  }
+  private val tallies =
+    new java.util.WeakHashMap[SparkSession, ShuffleTally]()
+  private def tallyOf(spark: SparkSession): ShuffleTally =
+    tallies.synchronized {
+      var t = tallies.get(spark)
+      if (t == null) {
+        t = new ShuffleTally
+        spark.sparkContext.addSparkListener(t)
+        tallies.put(spark, t)
+      }
+      t
+    }
+
+  /** [[timed]] plus the shuffle-write MB the block generated. */
+  private def timedShuf[A](spark: SparkSession)(f: => A)
+      : (A, Double, Double) = {
+    val t = tallyOf(spark)
+    val b0 = t.snapshot()
+    val t0 = System.nanoTime()
+    val a = f
+    val sec = (System.nanoTime() - t0) / 1e9
+    (a, sec, (t.snapshot() - b0) / 1048576.0)
+  }
+
   def runCell(spark: SparkSession, n: Long): Cell = {
     val planted = n / 10
 
     // ---- MinHash near-dup + keep-one ---------------------------------
     val d = docs(spark, n).localCheckpoint()
-    val (mh, mhSec) = timed {
+    val (mh, mhSec, mhShufMB) = timedShuf(spark) {
       val pairs = Dedup.minHashNearDupMd5(d, threshold = 0.7)
         .localCheckpoint()
       val found = pairs.count()
@@ -170,7 +217,7 @@ object DedupScale {
     // ---- SemDeDup (auto-calibrated planes) ---------------------------
     val vecs = uniformVecs(spark, n).localCheckpoint()
     val planes = Similarity.semDedupPlanesFor(n)
-    val (sd, sdSec) = timed {
+    val (sd, sdSec, sdShufMB) = timedShuf(spark) {
       val kept = Similarity.semDedupKeepAuto(vecs, threshold = 0.99)
         .localCheckpoint()
       kept.count() // materialize inside the timed window
@@ -259,7 +306,7 @@ object DedupScale {
       .withColumn("doc_id", col("doc_id") + 20000000L)
     val incDups = recrawl.count()
     val inc = fresh.unionByName(recrawl).localCheckpoint()
-    val (incKept, incSec) = timed {
+    val (incKept, incSec, incShufMB) = timedShuf(spark) {
       Dedup.incrementalDedup(d, inc, "text").count()
     }
     // candidate volume, restated from the operator's own prefilter
@@ -279,7 +326,7 @@ object DedupScale {
       .select((col("doc_id") + 30000000L).as("doc_id"),
         concat(lit("UPDATE: "), col("text")).as("text"))
     val fincBatch = fresh.unionByName(nearRecrawl).localCheckpoint()
-    val (fincKept, fincSec) = timed {
+    val (fincKept, fincSec, fincShufMB) = timedShuf(spark) {
       Dedup.incrementalNearDup(d, fincBatch, threshold = 0.7).count()
     }
     val incSigsRestated = fincBatch
@@ -314,7 +361,7 @@ object DedupScale {
           .as("embedding"))
     val vincDups = reencoded.count()
     val vincBatch = freshVecs.unionByName(reencoded).localCheckpoint()
-    val (vincKept, vincSec) = timed {
+    val (vincKept, vincSec, vincShufMB) = timedShuf(spark) {
       Similarity.incrementalSemDedup(vecs, vincBatch, threshold = 0.99)
         .count()
     }
@@ -327,13 +374,58 @@ object DedupScale {
         .withColumnRenamed("vec_id", "inc_id"), Seq("band", "code"))
       .select("vec_id", "inc_id").distinct().count()
 
+    // ---- index-served incremental screens (persisted indexes) --------
+    // The r14 design gap, measured closed: the rescan screens above
+    // pay O(corpus) per arriving batch (bloom rebuild / SRP
+    // re-encode); the index-served forms must not. Batch size is
+    // FIXED across sweep points (B docs: half fresh, half dups) so
+    // the recorded time isolates the corpus-N dependence — flat
+    // kinc/vover seconds across a 100x N sweep IS the O(batch)
+    // claim. Index builds run OUTSIDE the timed window: they are the
+    // amortized maintenance the flow pays once per commit, not per
+    // screen.
+    val bHalf = math.min(1000L, tenth)
+    val scaleWork = Files.createTempDirectory("graft-dedup-scale")
+    scaleWork.toFile.deleteOnExit()
+
+    val keyIdx = scaleWork.resolve(s"keyidx_$n").toString
+    Dedup.keyIndexInit(spark, keyIdx, "text", expectedItems = n,
+      partitions = 256)
+    Dedup.keyIndexAppend(spark, keyIdx, d)
+    val kBatch = fresh.filter(col("doc_id") < 10000000L + bHalf)
+      .unionByName(
+        d.filter(col("doc_id") % 10 === 3 && col("doc_id") < 10 * bHalf)
+          .withColumn("doc_id", col("doc_id") + 40000000L))
+      .localCheckpoint()
+    val kincBatch = kBatch.count()
+    val (kincKept, kincSec, kincShufMB) = timedShuf(spark) {
+      Dedup.incrementalDedupOver(spark, keyIdx, kBatch).count()
+    }
+
+    val srpIdx = scaleWork.resolve(s"srpidx_$n").toString
+    Similarity.srpIndexBootstrap(spark, srpIdx, vecs,
+      planes = 64, bands = 4, dims = 64)
+    val vBatch = freshVecs.filter(col("vec_id") < 10000000L + bHalf)
+      .unionByName(
+        reencoded.filter(col("vec_id") < 20000000L + 10 * bHalf))
+      .localCheckpoint()
+    val voverBatch = vBatch.count()
+    val (voverKept, voverSec, voverShufMB) = timedShuf(spark) {
+      Similarity.semDedupIncrementOver(spark, srpIdx,
+        vecs, vBatch, threshold = 0.99).count()
+    }
+
     Cell(n, mhSec, mhCandidates, mhMaxBucket, mh._1, mh._2,
       sdSec, planes, sdMaxCell, sdCells, sdPairWork, sdRecall,
       ivfSec, ivfRecall, ivfCandidates, ivfCandFrac,
       sgSec, sgSegs, sgKept,
       incSec, incKept, incCands, tenth, incDups,
       fincSec, fincKept, tenth, incDups, fincCands,
-      vincSec, vincKept, tenth, vincDups, vincCands)
+      vincSec, vincKept, tenth, vincDups, vincCands,
+      kincSec, kincKept, kincBatch,
+      voverSec, voverKept, voverBatch,
+      mhShufMB, sdShufMB, incShufMB, fincShufMB, vincShufMB,
+      kincShufMB, voverShufMB)
   }
 
   def toJson(cells: Seq[Cell]): String =
@@ -355,7 +447,17 @@ object DedupScale {
       s""""finc_cands":${c.fincCands},""" +
       f""""vinc_sec":${c.vincSec}%.3f,"vinc_kept":${c.vincKept},""" +
       s""""vinc_new":${c.vincNew},"vinc_dups":${c.vincDups},""" +
-      s""""vinc_cands":${c.vincCands}}"""
+      s""""vinc_cands":${c.vincCands},""" +
+      f""""kinc_sec":${c.kincSec}%.3f,"kinc_kept":${c.kincKept},""" +
+      s""""kinc_batch":${c.kincBatch},""" +
+      f""""vover_sec":${c.voverSec}%.3f,"vover_kept":${c.voverKept},""" +
+      s""""vover_batch":${c.voverBatch},""" +
+      f""""mh_shuf_mb":${c.mhShufMB}%.1f,"sd_shuf_mb":${c.sdShufMB}%.1f,""" +
+      f""""inc_shuf_mb":${c.incShufMB}%.1f,""" +
+      f""""finc_shuf_mb":${c.fincShufMB}%.1f,""" +
+      f""""vinc_shuf_mb":${c.vincShufMB}%.1f,""" +
+      f""""kinc_shuf_mb":${c.kincShufMB}%.1f,""" +
+      f""""vover_shuf_mb":${c.voverShufMB}%.1f}"""
     }.mkString("""{"cells":[""", ",", "]}")
 }
 
@@ -383,7 +485,11 @@ object DedupScaleBench {
         f"finc=${c.fincSec}%.1fs kept=${c.fincKept}/${c.fincNew} " +
         f"cands=${c.fincCands} | " +
         f"vinc=${c.vincSec}%.1fs kept=${c.vincKept}/${c.vincNew} " +
-        f"cands=${c.vincCands}")
+        f"cands=${c.vincCands} | " +
+        f"kinc=${c.kincSec}%.1fs kept=${c.kincKept}/${c.kincBatch / 2} " +
+        f"shuf=${c.kincShufMB}%.1fMB | " +
+        f"vover=${c.voverSec}%.1fs kept=${c.voverKept}/${c.voverBatch / 2} " +
+        f"shuf=${c.voverShufMB}%.1fMB")
       c
     }
     val json = DedupScale.toJson(cells)
@@ -427,13 +533,24 @@ object DedupScaleBench {
       // fuzzy incremental: exactly the fresh docs survive (every
       // prefix-edited recrawl caught — the case exact keys miss), and
       // the banded cross-candidate volume stays O(dups + minhash
-      // collisions), never O(N·batch)
+      // collisions), never O(N·batch). The collision term is REAL
+      // arithmetic, not a fudge: with r=1 banding (join on (i, sig))
+      // two DISJOINT docs collide on index i when their two mins —
+      // each the min of ~m uniform hashes on [0, P) — coincide,
+      // probability ≈ m/(2P); over 32 indexes and the corpus×batch
+      // grid that is 32·N·B·m/(2P) (n=10⁶: predicted 58k, measured
+      // 47k). Budget = dups + 2× the estimate (absorbs the document-
+      // length spread) + 64; a degenerate band would admit N·B —
+      // six orders above this gate at n=10⁶.
       if (c.fincKept != c.fincNew)
         bad ::= s"n=${c.n}: incrementalNearDup kept ${c.fincKept} " +
           s"(want ${c.fincNew})"
-      if (c.fincCands > c.fincDups + math.max(0.01 * c.n, 64.0))
+      val fCollisions = 32.0 * c.n * (c.fincNew + c.fincDups) * 39.0 /
+        (2.0 * 2147483647.0)
+      if (c.fincCands > c.fincDups + 2.0 * fCollisions + 64)
         bad ::= s"n=${c.n}: incrementalNearDup candidates ${c.fincCands} " +
-          s"(want <= dups ${c.fincDups} + collision sliver)"
+          f"(want <= dups ${c.fincDups} + 2x collision estimate " +
+          f"$fCollisions%.0f + 64)"
       // embedding incremental: exactly the fresh vectors survive, and
       // SRP cross-candidates stay within dups + the 16-bit-band
       // collision budget. The naive independent-bits estimate is
@@ -452,6 +569,14 @@ object DedupScaleBench {
       if (c.vincCands > vBudget)
         bad ::= s"n=${c.n}: incrementalSemDedup candidates ${c.vincCands} " +
           f"(want <= $vBudget%.0f: dups + band-collision budget)"
+      // index-served screens: exactly the fresh half of the fixed
+      // batch survives (value-exactness against persisted state)
+      if (c.kincKept != c.kincBatch / 2)
+        bad ::= s"n=${c.n}: incrementalDedupOver kept ${c.kincKept} " +
+          s"(want ${c.kincBatch / 2})"
+      if (c.voverKept != c.voverBatch / 2)
+        bad ::= s"n=${c.n}: semDedupIncrementOver kept ${c.voverKept} " +
+          s"(want ${c.voverBatch / 2})"
     }
     // candidate volume must scale ~linearly with N, never quadratically
     cells.sortBy(_.n).sliding(2).foreach {
@@ -461,6 +586,20 @@ object DedupScaleBench {
         if (cRatio > 2 * nRatio)
           bad ::= s"minhash candidates superlinear ${a.n}→${b.n}: " +
             s"${a.mhCandidates}→${b.mhCandidates}"
+        // the index-served screens' FIXED-batch time must stay FLAT
+        // in corpus N — the closed r14 design gap. Bound: 3x the
+        // smaller point's time with a 1 s noise floor (a linear
+        // dependence would show the full nRatio; 10x between
+        // adjacent points). Only comparable when both points ran the
+        // same fixed batch (the smoke sweep's tiny points cap it).
+        if (a.kincBatch == b.kincBatch &&
+            b.kincSec > 3 * math.max(a.kincSec, 1.0))
+          bad ::= s"keyIndex screen not flat in N ${a.n}→${b.n}: " +
+            f"${a.kincSec}%.1fs→${b.kincSec}%.1fs"
+        if (a.voverBatch == b.voverBatch &&
+            b.voverSec > 3 * math.max(a.voverSec, 1.0))
+          bad ::= s"SRP-index screen not flat in N ${a.n}→${b.n}: " +
+            f"${a.voverSec}%.1fs→${b.voverSec}%.1fs"
       case _ =>
     }
     if (bad.nonEmpty) {

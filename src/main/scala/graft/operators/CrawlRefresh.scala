@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The nightly crawl-refresh pipeline, composed end-to-end (r14
+  * verdict task #4): snapshot diff → screen ONLY the diff slice
+  * against the accumulated corpus → shard-export the refreshed
+  * corpus with a verifiable manifest. This is the workflow a real
+  * training-data owner runs per crawl drop; every stage exists and
+  * is gated individually (q131 diff, q120/q121 screens, q113
+  * shuffle-shard, q130 manifest) — the composition is what makes
+  * the incremental contract load-bearing: editing one source
+  * document re-screens one document and rewrites one shard.
+  *
+  * Two forms, value-aligned:
+  *   - [[refreshRescan]] — the pure-plan form (no state dirs): the
+  *     screens rescan the kept corpus per call. Oracle-replayable
+  *     end-to-end; the q133 gate hashes its manifest.
+  *   - [[nightly]] — the production form: persisted indexes (key
+  *     bloom+partitioned keys, flow-maintained MinHash bands) and an
+  *     incremental shard export, so per-night work is O(diff slice +
+  *     candidates + changed shards), never O(corpus).
+  *
+  * Reference behavior mirrored: the engine's incremental refresh
+  * loop — stat/diff, reprocess only changed components, reconcile
+  * targets (reference rust/core/src/execution/sync.rs; docs
+  * core_concepts.mdx) — applied at the corpus-curation level.
+  */
+object CrawlRefresh {
+
+  /** Pure composed refresh: the refreshed corpus `(idCol, textCol)`
+    * after diff + exact screen + fuzzy screen.
+    *
+    *   1. [[Curation.corpusDiff]](old, new): the SLICE (added +
+    *      changed) is the only content screened; `unchanged` docs
+    *      pass through untouched — a 0.1% crawl delta runs 0.1% of
+    *      the screening work.
+    *   2. exact screen: [[Dedup.incrementalDedup]] — slice docs whose
+    *      `textCol` already exists among the unchanged corpus drop
+    *      (bloom prefilter + confirm anti-join, ≡ the anti-join).
+    *   3. fuzzy screen: [[Dedup.incrementalNearDup]] at `threshold`
+    *      — re-crawls with trivial edits (the exact screen's blind
+    *      spot) drop via md5-MinHash banding + exact Jaccard.
+    *   4. refreshed corpus = unchanged ∪ survivors (removed docs and
+    *      screened-out re-crawls are gone; changed docs carry their
+    *      new content).
+    *
+    * Intra-slice duplicates are NOT collapsed here — that is
+    * [[Dedup.fuzzyDedupKeep]]'s job upstream if the crawl batch
+    * itself can self-duplicate; the screens compare slice-vs-corpus
+    * only, so both engines (and the q133 oracle) agree exactly. */
+  def refreshRescan(
+      oldSnap: DataFrame, newSnap: DataFrame, threshold: Double = 0.7,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val diff = Curation.corpusDiff(oldSnap, newSnap, idCol, textCol)
+      .localCheckpoint() // eager: breaks the self-join lineage below
+    val slice = newSnap
+      .join(diff.filter(col("status").isin("added", "changed"))
+        .select(col("id")), newSnap(idCol) === col("id"), "left_semi")
+      .select(col(idCol), col(textCol))
+    val unchanged = newSnap
+      .join(diff.filter(col("status") === "unchanged").select(col("id")),
+        newSnap(idCol) === col("id"), "left_semi")
+      .select(col(idCol), col(textCol))
+    val exactKept = Dedup.incrementalDedup(unchanged, slice, textCol)
+    val fuzzyKept = Dedup.incrementalNearDup(unchanged, exactKept,
+      threshold, idCol = idCol, textCol = textCol)
+    unchanged.unionByName(fuzzyKept)
+  }
+
+  /** One night's production stats. `manifest` is the full per-shard
+    * manifest of the refreshed export (the handoff artifact). */
+  final case class NightlyStats(
+      bootstrap: Boolean, sliceSize: Long, unchangedSize: Long,
+      removedSize: Long, screenedOut: Long, keptSize: Long,
+      manifest: DataFrame)
+
+  /** The index-served nightly pass over persistent state in
+    * `workDir`:
+    *
+    *   - `export/` — the kept corpus as the shard-partitioned
+    *     export itself ([[Curation.exportShardsIncremental]]): the
+    *     training-ready layout IS the store, and a night that
+    *     touches k shards rewrites k shards;
+    *   - `keyidx/` — the [[Dedup.keyIndexInit]] bloom+partitioned-key
+    *     index for the exact screen. NOTE its semantic: keys
+    *     accumulate — "have we EVER kept this content" — so a
+    *     verbatim re-crawl of content that was later removed still
+    *     drops (usually what a crawl pipeline wants; the rescan form
+    *     screens against the CURRENT corpus only);
+    *   - `mhindex/` + `mhstate/` — the flow-maintained MinHash band
+    *     index; each night reconciles it twice, both O(changed):
+    *     once retiring removed/changed-old docs BEFORE screening (so
+    *     the probe sees exactly the unchanged corpus) and once
+    *     admitting the survivors after.
+    *
+    * Per-night cost: O(slice + candidates + changed components +
+    * changed shards). No stage reads corpus-sized input except the
+    * thin band-index probe and the partition-pruned candidate
+    * verifies.
+    *
+    * Re-delivered rejects: a screened-out document is NOT in the
+    * kept corpus, so a snapshot that keeps shipping it re-classifies
+    * it as `added` every night and it re-screens — O(rejected slice)
+    * per night, bounded and export-byte-noop (verbatim rejects
+    * short-circuit at the ever-seen key index; only fuzzy rejects
+    * re-verify their candidates). */
+  def nightly(
+      spark: SparkSession, workDir: String, newSnap: DataFrame,
+      threshold: Double = 0.7, idCol: String = "doc_id",
+      textCol: String = "text",
+      /** Key-bloom sizing for [[Dedup.keyIndexInit]] (first night
+        * only): the expected LIFETIME key count. */
+      expectedKeys: Long = 1L << 20): NightlyStats = {
+    val exportDir = s"$workDir/export"
+    val keyIdx = s"$workDir/keyidx"
+    val flow = Dedup.minHashFlow("crawl_refresh_bands",
+      sp => sp.read.parquet(exportDir)
+        .select(col(idCol), col(textCol)),
+      indexDir = s"$workDir/mhindex", stateDir = s"$workDir/mhstate",
+      idCol = idCol, textCol = textCol)
+
+    if (!new java.io.File(exportDir).isDirectory) {
+      // bootstrap night: no corpus to screen against — the whole
+      // snapshot is the kept corpus (intra-batch dedup is upstream,
+      // see refreshRescan's contract)
+      val kept = newSnap.select(col(idCol), col(textCol))
+        .localCheckpoint()
+      val n = kept.count()
+      val manifest = Curation.exportShardsIncremental(kept, exportDir,
+        idCol, Seq(idCol, textCol))
+      Dedup.keyIndexInit(spark, keyIdx, textCol, expectedKeys)
+      Dedup.keyIndexAppend(spark, keyIdx, kept)
+      flow.run(spark)
+      return NightlyStats(bootstrap = true, sliceSize = n,
+        unchangedSize = 0, removedSize = 0, screenedOut = 0,
+        keptSize = n, manifest = manifest)
+    }
+
+    val old = spark.read.parquet(exportDir)
+      .select(col(idCol), col(textCol))
+    val diff = Curation.corpusDiff(old, newSnap, idCol, textCol)
+      .localCheckpoint()
+    val slice = newSnap
+      .join(diff.filter(col("status").isin("added", "changed"))
+        .select(col("id")), newSnap(idCol) === col("id"), "left_semi")
+      .select(col(idCol), col(textCol)).localCheckpoint()
+    val unchanged = newSnap
+      .join(diff.filter(col("status") === "unchanged").select(col("id")),
+        newSnap(idCol) === col("id"), "left_semi")
+      .select(col(idCol), col(textCol))
+    val removedSize = diff.filter(col("status") === "removed").count()
+    val sliceSize = slice.count()
+
+    // phase 1 — retire: the export drops removed/changed-old docs
+    // (only their shards rewrite), then the band index reconciles to
+    // exactly the unchanged corpus (O(changed) components)
+    Curation.exportShardsIncremental(unchanged, exportDir,
+      idCol, Seq(idCol, textCol))
+    flow.run(spark)
+
+    // screens — all served from persisted state
+    val exactKept = Dedup.incrementalDedupOver(spark, keyIdx, slice)
+    val fuzzyKept = Dedup.minHashIncrementOver(spark,
+      s"$workDir/mhindex",
+      spark.read.parquet(exportDir).select(col(idCol), col(textCol)),
+      exactKept, threshold, idCol = idCol, textCol = textCol)
+      .localCheckpoint()
+    val keptNew = fuzzyKept.count()
+
+    // phase 2 — admit: survivors land in the export (their shards
+    // rewrite), the band index adds their components, their keys
+    // commit to the bloom+key index
+    val finalCorpus = unchanged.unionByName(fuzzyKept)
+    val manifest = Curation.exportShardsIncremental(finalCorpus,
+      exportDir, idCol, Seq(idCol, textCol))
+    flow.run(spark)
+    Dedup.keyIndexAppend(spark, keyIdx, fuzzyKept)
+
+    val unchangedSize = diff.filter(col("status") === "unchanged").count()
+    NightlyStats(bootstrap = false, sliceSize = sliceSize,
+      unchangedSize = unchangedSize, removedSize = removedSize,
+      screenedOut = sliceSize - keptNew,
+      keptSize = unchangedSize + keptNew, manifest = manifest)
+  }
+}

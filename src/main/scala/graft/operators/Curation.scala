@@ -430,9 +430,109 @@ object Curation {
     // nondeterministic columns) a source-recomputed manifest could
     // describe bytes that were never written (ADVICE r14) — the
     // handoff artifact must match the export by construction
-    shardManifest(df.sparkSession.read.parquet(outDir).drop("shard"),
-      idCol, hashCols, hexDigits)
+    val manifest = shardManifest(
+      df.sparkSession.read.parquet(outDir).drop("shard"),
+      idCol, hashCols, hexDigits).localCheckpoint()
+    saveManifestSidecar(df.sparkSession, outDir, manifest)
+    manifest
   }
+
+  /** Incremental re-export (r14 verdict task #7): [[exportShards]]
+    * rewrites the FULL shard layout on every call — at 100 TB a
+    * nightly refresh that touched 0.1% of documents would rewrite
+    * 1000× its delta. This form diffs the desired manifest against
+    * the manifest of the existing export (persisted as a sidecar at
+    * export time) and rewrites ONLY the shards whose content
+    * changed, via dynamic partition overwrite; unchanged shards'
+    * files are left byte-identical on disk, and shards that lost all
+    * their rows are deleted. Returns the new full manifest, with the
+    * rewritten shards' entries recomputed from the WRITTEN files
+    * (partition-pruned read) and the untouched shards' entries
+    * carried from the sidecar — so the round-trip property holds:
+    * a manifest recomputed from the export equals the returned one.
+    *
+    * Requires a DETERMINISTIC source: the diff compares content
+    * hashes computed from the source plan, so a source whose rows
+    * change between the diff and the write would mis-scope the
+    * rewrite (the same contract as every incremental screen; the
+    * full [[exportShards]] has no such requirement).
+    *
+    * First call on an un-manifested directory falls back to the full
+    * export. Write amplification is O(changed shards); read work is
+    * one thin manifest pass over the source + a partition-pruned
+    * re-read of the rewritten shards. */
+  def exportShardsIncremental(
+      df: org.apache.spark.sql.DataFrame, outDir: String,
+      idCol: String = "doc_id",
+      hashCols: Seq[String] = Seq("doc_id", "text"), hexDigits: Int = 1)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val sideDir = manifestSidecarDir(outDir)
+    if (!new java.io.File(sideDir).isDirectory)
+      return exportShards(df, outDir, idCol, hashCols, hexDigits)
+    val prev = spark.read.parquet(sideDir).localCheckpoint()
+    val desired = shardManifest(df, idCol, hashCols, hexDigits)
+      .localCheckpoint()
+    val manifestCols = Seq("shard", "n_rows", "content_hash",
+      "min_id", "max_id")
+    // changed = new shard OR any manifest field differs
+    val changed = desired.join(prev, manifestCols, "left_anti")
+      .select("shard").collect().map(_.getLong(0)).toSeq
+    val removed = prev.join(desired, Seq("shard"), "left_anti")
+      .select("shard").collect().map(_.getLong(0)).toSeq
+    removed.foreach { s =>
+      graft.engine.FsUtil.deleteRecursively(
+        new java.io.File(outDir, s"shard=$s"))
+    }
+    val finalManifest =
+      if (changed.isEmpty) desired
+      else {
+        val shard = shardOf(idCol, hexDigits)
+        // dynamic partition overwrite: ONLY the listed shards'
+        // directories are replaced; every other partition's files
+        // are untouched (the conf is scoped and restored — leaving
+        // dynamic mode on would change unrelated writers' overwrite
+        // semantics)
+        val modeKey = "spark.sql.sources.partitionOverwriteMode"
+        val prior = spark.conf.get(modeKey)
+        try {
+          spark.conf.set(modeKey, "dynamic")
+          df.withColumn("shard", shard)
+            .filter(col("shard").isin(changed: _*))
+            .repartition(col("shard"))
+            .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+        } finally spark.conf.set(modeKey, prior)
+        // rewritten shards' entries from the WRITTEN files
+        // (partition-pruned read — the exportShards ADVICE contract),
+        // untouched shards' entries carried from the sidecar
+        val rewritten = shardManifest(
+          spark.read.parquet(outDir)
+            .filter(col("shard").isin(changed: _*)).drop("shard"),
+          idCol, hashCols, hexDigits)
+        prev.filter(!col("shard").isin(removed ++ changed: _*))
+          .select(manifestCols.map(col): _*)
+          .unionByName(rewritten.select(manifestCols.map(col): _*))
+      }
+    val out = finalManifest.localCheckpoint()
+    saveManifestSidecar(spark, outDir, out)
+    out
+  }
+
+  /** The export's manifest sidecar (one thin row per shard), written
+    * next to the export dir — the diff base [[exportShardsIncremental]]
+    * compares against, persisted only AFTER the data write so a
+    * failed export can never relabel the directory. */
+  private def manifestSidecarDir(outDir: String): String = {
+    val d = new java.io.File(outDir).getAbsoluteFile
+    new java.io.File(d.getParentFile, d.getName + "._graft_manifest")
+      .getPath
+  }
+
+  private def saveManifestSidecar(
+      spark: org.apache.spark.sql.SparkSession, outDir: String,
+      manifest: org.apache.spark.sql.DataFrame): Unit =
+    manifest.coalesce(1).write.mode("overwrite")
+      .parquet(manifestSidecarDir(outDir))
 
   // ---- cross-document duplicated-ngram fraction -----------------------------
 

@@ -822,6 +822,185 @@ object Dedup {
     definitelyNew.unionByName(confirmed)
   }
 
+  // ---- persisted exact-key dedup index -------------------------------------
+
+  /** The r14 design gap, closed: [[incrementalDedup]] rebuilds the
+    * corpus bloom with a full corpus scan per arriving batch —
+    * correct and shuffle-free, but O(corpus) where O(batch) is
+    * achievable. The persisted form maintains TWO artifacts under
+    * `indexDir` so the per-batch screen never reads corpus-sized
+    * input:
+    *
+    *   - `<indexDir>/keys/` — the corpus keys as parquet,
+    *     HASH-PARTITIONED on `__kp = pmod(xxhash64(key), partitions)`
+    *     so the confirm anti-join reads ONLY the candidate keys'
+    *     partitions (directory-level pruning; candidates are
+    *     fpp-bounded, so the touched fraction is ~candidates/
+    *     partitions of the corpus, not the corpus);
+    *   - `<indexDir>._graft_keybloom.bin` — the corpus bloom filter,
+    *     OR-MERGED per committed batch: blooms with identical
+    *     (items, bits) parameters union losslessly, so maintenance
+    *     is one batch-sized aggregation + a byte-level merge — the
+    *     corpus is NEVER re-scanned.
+    *
+    * fpp degradation contract: the filter is sized once at init for
+    * `expectedItems`; committing past that raises the realized fpp
+    * (more confirm-join candidates, never a wrong answer — the
+    * designed degradation of [[incrementalDedup]]'s cap). When
+    * `itemsAdded > expectedItems`, [[keyIndexNeedsRebuild]] turns
+    * true and the owner should re-init with a larger budget (ONE
+    * amortized corpus scan, vs one per batch without the index).
+    *
+    * Single-writer contract (same as every flow target): appends are
+    * not concurrent-safe — the bloom merge is read-modify-write.
+    *
+    * Reference behavior mirrored: the committed-fingerprint
+    * membership state the engine's incremental sync keeps per target
+    * (reference rust/core/src/execution/sync.rs), re-expressed as a
+    * persisted corpus-scale set-membership index.
+    */
+  def keyIndexInit(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      keyCol: String, expectedItems: Long, fpp: Double = 0.01,
+      partitions: Int = 64, maxFilterBytes: Long = 256L << 20): Unit = {
+    require(expectedItems > 0, s"expectedItems $expectedItems")
+    require(partitions > 0, s"partitions $partitions")
+    val dir = new java.io.File(indexDir)
+    // destructive re-init: a stale keys layout must not survive a
+    // re-provision with different parameters
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(wipe)
+      f.delete()
+    }
+    wipe(new java.io.File(dir, "keys"))
+    dir.mkdirs()
+    val bits = math.min(
+      org.apache.spark.util.sketch.BloomFilter
+        .optimalNumOfBits(expectedItems, fpp),
+      maxFilterBytes * 8)
+    val empty = org.apache.spark.util.sketch.BloomFilter
+      .create(expectedItems, bits)
+    val bos = new java.io.ByteArrayOutputStream()
+    empty.writeTo(bos)
+    java.nio.file.Files.write(
+      keyIndexBloomFile(indexDir).toPath, bos.toByteArray)
+    graft.engine.Sidecar.write(keyIndexMetaFile(indexDir), Map(
+      "keyCol" -> keyCol, "partitions" -> partitions.toString,
+      "items" -> expectedItems.toString, "bits" -> bits.toString,
+      "fpp" -> fpp.toString, "itemsAdded" -> "0"))
+  }
+
+  /** Commit a screened batch's keys into the index: one batch-sized
+    * bloom aggregation OR-merged into the persisted filter, plus a
+    * hash-partitioned parquet append of the keys. O(batch) — the
+    * existing corpus is not read. */
+  def keyIndexAppend(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      batch: DataFrame): Unit = {
+    val meta = keyIndexMeta(indexDir)
+    val keyCol = meta("keyCol")
+    val partitions = meta("partitions").toInt
+    val items = meta("items").toLong
+    val bits = meta("bits").toLong
+    val n = batch.count()
+    if (n == 0) return
+    // identical (items, bits) to the init-time filter: same hash
+    // count, so mergeInPlace is the exact set union
+    val batchBf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(
+        keyBloomFixed(batch.select(col(keyCol)), keyCol, items, bits)))
+    val merged = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(
+        java.nio.file.Files.readAllBytes(keyIndexBloomFile(indexDir).toPath)))
+    merged.mergeInPlace(batchBf)
+    batch
+      .select(col(keyCol),
+        pmod(xxhash64(col(keyCol)), lit(partitions.toLong)).cast("int")
+          .as("__kp"))
+      .write.partitionBy("__kp").mode("append")
+      .parquet(new java.io.File(indexDir, "keys").getPath)
+    // bloom + count AFTER the keys land: a failed write must not
+    // leave the filter claiming keys the keys table does not hold
+    // (the reverse — keys present, filter unaware — only costs a
+    // missed prefilter, the safe direction is keys-first)
+    val bos = new java.io.ByteArrayOutputStream()
+    merged.writeTo(bos)
+    java.nio.file.Files.write(
+      keyIndexBloomFile(indexDir).toPath, bos.toByteArray)
+    graft.engine.Sidecar.write(keyIndexMetaFile(indexDir),
+      meta + ("itemsAdded" -> (meta("itemsAdded").toLong + n).toString))
+  }
+
+  /** True when the index has committed more keys than the filter was
+    * sized for — realized fpp is degrading past the init-time bound
+    * and the owner should re-init (one amortized corpus scan). */
+  def keyIndexNeedsRebuild(indexDir: String): Boolean = {
+    val meta = keyIndexMeta(indexDir)
+    meta("itemsAdded").toLong > meta("items").toLong
+  }
+
+  /** [[incrementalDedup]] served from a [[keyIndexInit]]-maintained
+    * index — bit-for-bit the anti-join against every key ever
+    * committed via [[keyIndexAppend]], with NO corpus-sized read on
+    * the per-batch path:
+    *
+    *   1. the persisted bloom loads in O(filter bytes) — no scan;
+    *   2. rows the filter rejects are definitely new (no false
+    *      negatives) — no corpus access at all;
+    *   3. the fpp-bounded candidates confirm against the keys table
+    *      with the read PRUNED to the candidate hash partitions
+    *      (directory pruning on `__kp`) and bloom-prefiltered — the
+    *      plan's only index scan touches ~|candidates|/partitions of
+    *      the corpus keys.
+    */
+  def incrementalDedupOver(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      increment: DataFrame): DataFrame = {
+    val meta = keyIndexMeta(indexDir)
+    val keyCol = meta("keyCol")
+    val partitions = meta("partitions").toInt
+    val bf =
+      java.nio.file.Files.readAllBytes(keyIndexBloomFile(indexDir).toPath)
+    val flagged = increment.withColumn("__mc", keyMightContain(bf, keyCol))
+    val definitelyNew = flagged.filter(!col("__mc")).drop("__mc")
+    val candidates = flagged.filter(col("__mc")).drop("__mc")
+      .localCheckpoint()
+    val nCand = candidates.count()
+    if (nCand == 0) return definitelyNew
+    // the candidate partition list is a bounded driver value
+    // (≤ `partitions` ints) — the pruning predicate for the keys read
+    val parts = candidates
+      .select(pmod(xxhash64(col(keyCol)), lit(partitions.toLong))
+        .cast("int").as("__kp"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val candBf = keyBloom(
+      candidates.select(col(keyCol)), keyCol, 0.01, nCand)
+    val corpusKeys = spark.read
+      .parquet(new java.io.File(indexDir, "keys").getPath)
+      .filter(col("__kp").isin(parts: _*)) // directory-level pruning
+      .filter(keyMightContain(candBf, keyCol))
+      .select(col(keyCol))
+    val confirmed = candidates.join(corpusKeys, Seq(keyCol), "left_anti")
+    definitelyNew.unionByName(confirmed)
+  }
+
+  private def keyIndexMeta(indexDir: String): Map[String, String] =
+    graft.engine.Sidecar.read(keyIndexMetaFile(indexDir)).getOrElse(
+      throw new IllegalStateException(
+        s"keyIndex($indexDir): no index metadata — was the index " +
+          "created by keyIndexInit?"))
+
+  // siblings of the index dir (the Sidecar convention): survive a
+  // destructive truncation of the dir itself
+  private def keyIndexMetaFile(indexDir: String) = {
+    val d = new java.io.File(indexDir).getAbsoluteFile
+    new java.io.File(d.getParentFile, d.getName + "._graft_keyidx.json")
+  }
+  private def keyIndexBloomFile(indexDir: String) = {
+    val d = new java.io.File(indexDir).getAbsoluteFile
+    new java.io.File(d.getParentFile, d.getName + "._graft_keybloom.bin")
+  }
+
   /** Incremental FUZZY dedup: the near-duplicate counterpart of
     * [[incrementalDedup]] — keep only the `increment` docs with no
     * word-n-gram-Jaccard near-duplicate (≥ `threshold`) in the
@@ -1011,13 +1190,23 @@ object Dedup {
   private[graft] def keyBloom(
       df: DataFrame, keyCol: String, fpp: Double, n: Long,
       maxFilterBytes: Long = 256L << 20): Array[Byte] = {
-    import org.apache.spark.sql.GraftExpressionBridge
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val items = math.max(n, 1L)
     val bits = math.min(
       org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp),
       maxFilterBytes * 8)
+    keyBloomFixed(df, keyCol, items, bits)
+  }
+
+  /** [[keyBloom]] with caller-FIXED (items, bits): the persisted key
+    * index builds every batch filter with the index's init-time
+    * parameters so the hash-function count matches and
+    * `mergeInPlace` is the exact set union. */
+  private[graft] def keyBloomFixed(
+      df: DataFrame, keyCol: String, items: Long, bits: Long)
+      : Array[Byte] = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     // BloomFilterAggregate SILENTLY clamps both parameters to the
     // runtime-filter session confs (defaults 4M items / 8 MB) — a
     // clamp stays exact here (more false positives just reach the
@@ -1041,10 +1230,13 @@ object Dedup {
     // never-contains filter instead so every caller (the operator,
     // the scale sweep's restatement) flows through the normal
     // branch — a null filter turns might-contain into null, which
-    // silently drops rows from BOTH sides of a filter split
+    // silently drops rows from BOTH sides of a filter split. Built
+    // with the SAME (items, bits) so it stays merge-compatible with
+    // sibling filters of this parameterization.
     if (bf != null) bf
     else {
-      val empty = org.apache.spark.util.sketch.BloomFilter.create(1, 64L)
+      val empty =
+        org.apache.spark.util.sketch.BloomFilter.create(items, bits)
       val bos = new java.io.ByteArrayOutputStream()
       empty.writeTo(bos)
       bos.toByteArray

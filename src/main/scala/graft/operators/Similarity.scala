@@ -765,6 +765,170 @@ object Similarity {
       increment(idCol) === dupIds("__inc_id"), "left_anti")
   }
 
+  /** The SRP band-code index as an engine-maintained flow target —
+    * the VECTOR counterpart of [[graft.operators.Dedup.minHashFlow]]
+    * (r14 verdict task #2b): each vector is one component whose rows
+    * are its `bands` band codes (`row_key = key:band`), so an edited
+    * vector rewrites exactly its own rows through the reconcile and
+    * a deleted vector's bands GC as orphans. The index holds
+    * (item_key, band, code) only — embeddings stay in the corpus,
+    * fetched per-candidate at serve time — so it is thin enough to
+    * scan as the probe side at any corpus size.
+    */
+  def srpFlow(
+      name: String,
+      corpus: org.apache.spark.sql.SparkSession => DataFrame,
+      indexDir: String, stateDir: String,
+      planes: Int = 64, bands: Int = 4, dims: Int = 64,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      /** Keyed change feed over the corpus (vec-id keys, durable
+        * cursor): with it, a [[graft.engine.Flow.runFeed]] refresh
+        * re-codes only the changed vectors instead of
+        * re-fingerprinting the whole corpus per catch-up. */
+      changeFeed: Option[() => graft.engine.SourceWatcher] = None)
+      : graft.engine.Flow = {
+    require(planes % bands == 0, s"planes $planes % bands $bands != 0")
+    val stage = graft.engine.CocoFn("srp_bands", 1,
+      // embCol/idCol are stage logic: changing either on an existing
+      // stateDir must invalidate the memo, or the index keeps
+      // serving codes computed from the old column
+      deps = Seq(s"p=$planes", s"b=$bands", s"d=$dims",
+        s"emb=$embCol", s"id=$idCol"),
+      fn = df => df
+        .select(col("item_key"),
+          posexplode(srpBandCodes(col(embCol), planes, bands, dims))
+            .as(Seq("band", "code")))
+        .select(col("item_key"),
+          concat(col("item_key"), lit(":"), col("band")).as("row_key"),
+          col("band"), col("code")))
+    val tableSrc = graft.engine.TableSource(corpus, keyCol = idCol)
+    new graft.engine.Flow(name,
+      changeFeed.map(f => graft.engine.ChangeFeedSource(tableSrc, f):
+        graft.engine.Source).getOrElse(tableSrc),
+      Seq(stage),
+      graft.engine.ParquetTableTarget(indexDir, numBuckets = 8),
+      stateDir,
+      // declared only AFTER a successful commit (the minHashFlow
+      // convention): a declared-but-failed run can never relabel an
+      // index built with other parameters
+      afterCommit = Some(() =>
+        graft.engine.Sidecar.write(srpMetaFile(indexDir), Map(
+          "planes" -> planes.toString, "bands" -> bands.toString,
+          "dims" -> dims.toString, "idCol" -> idCol,
+          "embCol" -> embCol))))
+  }
+
+  /** Batch bootstrap of a [[srpFlow]]-shaped index WITHOUT the flow
+    * engine — the way a 100 TB deployment stands the index up: ONE
+    * distributed batch write of the band rows in the target's exact
+    * bucket layout, after which [[srpFlow]] (same `numBuckets`) can
+    * take over maintenance — its first run upserts by `row_key`, so
+    * the handover is idempotent, and [[semDedupIncrementOver]] serves
+    * from either. The flow-engine path builds the same index
+    * component-by-component, the right shape for STAYING current but
+    * not for standing up 10⁹ vectors in one shot. */
+  def srpIndexBootstrap(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      corpus: DataFrame, planes: Int = 64, bands: Int = 4,
+      dims: Int = 64, idCol: String = "vec_id",
+      embCol: String = "embedding", numBuckets: Int = 8): Unit = {
+    require(planes % bands == 0, s"planes $planes % bands $bands != 0")
+    corpus
+      .select(col(idCol).cast("string").as("item_key"),
+        posexplode(srpBandCodes(col(embCol), planes, bands, dims))
+          .as(Seq("band", "code")))
+      .select(col("item_key"),
+        concat(col("item_key"), lit(":"), col("band")).as("row_key"),
+        col("band"), col("code"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("row_key")), lit(numBuckets.toLong)).cast("int"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(indexDir)
+    graft.engine.Sidecar.write(srpMetaFile(indexDir), Map(
+      "planes" -> planes.toString, "bands" -> bands.toString,
+      "dims" -> dims.toString, "idCol" -> idCol, "embCol" -> embCol))
+  }
+
+  // sibling of the index dir, NOT inside it: a destructive target
+  // transition truncates the dir itself, and the declared parameters
+  // must survive that
+  private def srpMetaFile(indexDir: String) = {
+    val d = new java.io.File(indexDir).getAbsoluteFile
+    new java.io.File(d.getParentFile, d.getName + "._graft_srp.json")
+  }
+
+  /** [[incrementalSemDedup]] served from a [[srpFlow]]-maintained
+    * band index — the r14 design-gap fix: the per-batch screen no
+    * longer re-encodes the whole corpus. The arriving batch's band
+    * codes (broadcast) probe the thin index for candidate corpus
+    * vectors; only THOSE vectors' embeddings are fetched (semi-join-
+    * pruned corpus read) for the exact round-6 cosine verify —
+    * per-batch work is O(batch + candidates + index probe), the
+    * `minHashIncrementOver` shape. Index parameters come from the
+    * index's declared sidecar, never from the caller — a drifted
+    * caller cannot silently probe with mismatched banding.
+    * Spec-gated (SrpFlowSpec): equals the corpus-rescan screen
+    * [[incrementalSemDedup]] on identical inputs. */
+  def semDedupIncrementOver(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      corpus: DataFrame, increment: DataFrame, threshold: Double,
+      idCol: String = "vec_id", embCol: String = "embedding")
+      : DataFrame = {
+    val meta = graft.engine.Sidecar.read(srpMetaFile(indexDir))
+      .getOrElse(throw new IllegalStateException(
+        s"semDedupIncrementOver($indexDir): no index metadata — was " +
+          "the index built by srpFlow?"))
+    graft.engine.Sidecar.validate(srpMetaFile(indexDir),
+      Map("idCol" -> idCol, "embCol" -> embCol),
+      what = s"semDedupIncrementOver($indexDir)")
+    val planes = meta("planes").toInt
+    val bands = meta("bands").toInt
+    val dims = meta("dims").toInt
+
+    val indexBands = graft.engine.ParquetTableTarget(indexDir).read(spark)
+      .select(col("item_key").as("__c_key"), col("band"), col("code"))
+
+    // batch codes via the EXACT stage pipeline srpFlow writes;
+    // embedding-free (the incrementalSemDedup shape: codes and
+    // payload broadcast separately, no bands× payload blowup)
+    val incCodes = increment
+      .select(col(idCol).cast("string").as("__inc_key"),
+        posexplode(srpBandCodes(col(embCol), planes, bands, dims))
+          .as(Seq("band", "code")))
+      .select("__inc_key", "band", "code")
+
+    val candidates = indexBands
+      .join(broadcast(incCodes), Seq("band", "code"))
+      .select(col("__c_key"), col("__inc_key"))
+      .dropDuplicates("__c_key", "__inc_key")
+      .localCheckpoint()
+
+    // verify: corpus embeddings ONLY for candidate vectors
+    // (semi-join prunes the read), batch embeddings broadcast
+    val corpusEmb = corpus
+      .select(col(idCol).cast("string").as("__c_key"),
+        col(embCol).as("__emb_c"))
+      .join(candidates.select("__c_key").distinct(), Seq("__c_key"),
+        "left_semi")
+    val incEmb = increment
+      .select(col(idCol).cast("string").as("__inc_key"),
+        col(embCol).as("__emb_i"))
+      .join(candidates.select("__inc_key").distinct(), Seq("__inc_key"),
+        "left_semi")
+
+    val dupKeys = candidates
+      .join(corpusEmb, Seq("__c_key"))
+      .join(broadcast(incEmb), Seq("__inc_key"))
+      .withColumn("__cos",
+        round(cosineSimilarity(col("__emb_c"), col("__emb_i")), 6))
+      .filter(col("__cos") >= threshold)
+      .select(col("__inc_key"))
+      .distinct()
+
+    increment.join(dupKeys,
+      increment(idCol).cast("string") === dupKeys("__inc_key"),
+      "left_anti")
+  }
+
   /** Diagnostic: (largest SRP cell, total vectors) for a candidate
     * plane count — the histogram [[semDedupKeep]]'s guard checks,
     * exposed so a pipeline can validate calibration on a corpus

@@ -11,6 +11,51 @@ import graft.functions.HashEmbedder
   */
 object ChunkPack extends QueryPack {
 
+  /** Per-doc invariant summary of a chunk table (q51/q79 gates): the
+    * DP's choice sequence is JVM-side, but its CONTRACT is exact and
+    * oracle-predictable — aggregate the real chunk rows into the
+    * facts the contract fixes. Expects `(doc_id, text, c)` where `c`
+    * is the chunk struct and `text` is the chunked source column. */
+  private def chunkInvariantSummary(
+      ch: org.apache.spark.sql.DataFrame, chunkSize: Int, overlap: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = ch.select(col("doc_id"), col("text"), col("c.chunk_id"),
+      col("c.text").as("chunk_text"), col("c.start_char"),
+      col("c.end_char"))
+    val w = Window.partitionBy("doc_id").orderBy("chunk_id")
+    rows
+      .withColumn("prev_end", lag("end_char", 1).over(w))
+      .groupBy("doc_id")
+      .agg(
+        // spans cover exactly [0, length(text))
+        min("start_char").cast("long").as("covered_start"),
+        max("end_char").cast("long").as("covered_end"),
+        // every chunk obeys the size bound
+        count(when(length(col("chunk_text")) > chunkSize + overlap, 1))
+          .as("n_size_viol"),
+        // contiguity: each start inside [prev_end - overlap,
+        // prev_end] (the ends-equal back-extension contract), each
+        // end strictly advancing. Atoms whitespace-trim their edges
+        // (reference parity), so a forward gap is legal iff it skips
+        // ONLY whitespace — losing a single non-whitespace char
+        // counts as a violation.
+        count(when(col("prev_end").isNotNull &&
+          ((col("start_char") > col("prev_end") &&
+            regexp_replace(expr(
+              "substring(text, prev_end + 1, start_char - prev_end)"),
+              "\\s", "") =!= "") ||
+            col("start_char") < col("prev_end") - overlap ||
+            col("end_char") <= col("prev_end")), 1)).as("n_gap_viol"),
+        // position arithmetic: the carried text IS the source slice
+        count(when(col("chunk_text") =!= expr(
+          "substring(text, start_char + 1, end_char - start_char)"), 1))
+          .as("n_substr_viol"),
+        // chunk ids are dense 0..n-1
+        (max("chunk_id") + 1 =!= count(lit(1))).cast("long")
+          .as("n_id_viol"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- fixed window/stride chunking (pure Catalyst, oracle-checked) ---
@@ -31,17 +76,38 @@ object ChunkPack extends QueryPack {
     // ---- recursive separator-hierarchy chunking (generator UDF) ---------
     // reference-parity splitter (atom collection + DP merge,
     // recursive.rs:425) — spec-gated by the reference's own split
-    // vectors in ChunkerSpec; the DP is not SQL-expressible, hence
-    // rows-only at the oracle
+    // vectors in ChunkerSpec. The DP's CHOICES are not
+    // SQL-expressible, but its CONTRACT is (r14 verdict task #6):
+    // every nonempty doc chunks to a dense-id sequence whose spans
+    // start at 0, end at length(text), stay contiguous (each start
+    // inside [prev_end - overlap, prev_end], each end strictly
+    // advancing), obey the size bound (≤ chunkSize + overlap), and
+    // carry text equal to substring(text, start, end). The gate
+    // aggregates the REAL chunk table into those per-doc facts; the
+    // oracle predicts them structurally — any broken invariant,
+    // dropped doc, or mis-positioned chunk hash-mismatches. Covered
+    // bounds note: atoms whitespace-trim their edges (reference
+    // parity), so [0, length(text)) holds because the synthetic
+    // corpus carries no leading/trailing whitespace — a corpus that
+    // does would cover [first-non-ws, last-non-ws) instead (q79's
+    // oracle accounts for exactly that on its newline-terminated
+    // render).
     Q(
       "q51_chunk_recursive",
-      None,
+      Some("""
+        SELECT doc_id, CAST(0 AS BIGINT) AS covered_start,
+               CAST(length(text) AS BIGINT) AS covered_end,
+               CAST(0 AS BIGINT) AS n_size_viol,
+               CAST(0 AS BIGINT) AS n_gap_viol,
+               CAST(0 AS BIGINT) AS n_substr_viol,
+               CAST(0 AS BIGINT) AS n_id_viol
+        FROM documents WHERE length(text) > 0"""),
       (s, dir) => {
         val chunk = Chunker.chunkRefUdf(chunkSize = 120, overlap = Some(20))
-        Tables(s, dir, "documents")
-          .select(col("doc_id"), explode(chunk(col("text"))).as("c"))
-          .select(col("doc_id"), col("c.chunk_id"), col("c.text").as("chunk_text"),
-            col("c.start_char"), col("c.end_char"))
+        val ch = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            explode(chunk(col("text"))).as("c"))
+        chunkInvariantSummary(ch, chunkSize = 120, overlap = 20)
       }),
 
     // ---- chunk → embed pipeline, VALUE-EXACT under the oracle -----------
@@ -100,12 +166,42 @@ object ChunkPack extends QueryPack {
     // function seam fits). The corpus is a deterministic code-shaped
     // render of each doc (as q78 does); languages rotate through the
     // q53 extension wheel so the per-row fallback path (md/txt/json →
-    // regex hierarchy) runs in the same query. DP merge ⇒ rows-only at
-    // the oracle; boundary behavior is gated by ChunkerSpec's syntax
-    // cases.
+    // regex hierarchy) runs in the same query. Like q51, the gate is
+    // the chunker's CONTRACT aggregated from the real chunk table;
+    // the oracle rebuilds the code render to predict covered_end and
+    // the zero-violation columns. Boundary CHOICES stay gated by
+    // ChunkerSpec's syntax cases.
     Q(
       "q79_chunk_code",
-      None,
+      Some("""
+        WITH r AS (
+          SELECT doc_id,
+                 string_split(text, ' ') AS w,
+                 substring(text, 1, 160) AS hd
+          FROM documents),
+        code AS (
+          SELECT doc_id,
+                 'fn ' || w[1] || '(x: u32) {' || chr(10)
+                 || '    let a = combine(x,' || chr(10) || chr(10)
+                 || '        ' || w[2] || ');' || chr(10)
+                 || '    // ' || hd || chr(10)
+                 || '}' || chr(10)
+                 || 'fn tail_' || w[3] || '() {' || chr(10)
+                 || '    finish("' || w[4] || '");' || chr(10)
+                 || '}' || chr(10) AS c
+          FROM r)
+        SELECT doc_id, CAST(0 AS BIGINT) AS covered_start,
+               -- the render ends with exactly ONE newline and a
+               -- non-whitespace '}' before it; atoms are
+               -- whitespace-trimmed (reference parity,
+               -- recursive.rs:283 collect trims), so the covered
+               -- span ends one char short of the raw length
+               CAST(length(c) - 1 AS BIGINT) AS covered_end,
+               CAST(0 AS BIGINT) AS n_size_viol,
+               CAST(0 AS BIGINT) AS n_gap_viol,
+               CAST(0 AS BIGINT) AS n_substr_viol,
+               CAST(0 AS BIGINT) AS n_id_viol
+        FROM code WHERE c IS NOT NULL"""),
       (s, dir) => {
         val w = split(col("text"), " ")
         val code = concat(
@@ -118,15 +214,13 @@ object ChunkPack extends QueryPack {
         val fname = concat(lit("doc_"), col("doc_id"), lit("."),
           element_at(exts, (col("doc_id") % 6).cast("int") + 1))
         val chunk = Chunker.chunkCodeUdf(chunkSize = 120, overlap = Some(20))
-        Tables(s, dir, "documents")
+        val ch = Tables(s, dir, "documents")
           .select(col("doc_id"),
             Chunker.detectCodeLanguage(fname).as("language"),
-            code.as("code"))
-          .select(col("doc_id"), col("language"),
-            explode(chunk(col("code"), col("language"))).as("c"))
-          .select(col("doc_id"), col("language"), col("c.chunk_id"),
-            col("c.text").as("chunk_text"), col("c.start_char"),
-            col("c.end_char"))
+            code.as("text"))
+          .select(col("doc_id"), col("text"),
+            explode(chunk(col("text"), col("language"))).as("c"))
+        chunkInvariantSummary(ch, chunkSize = 120, overlap = 20)
       })
   )
 }

@@ -830,6 +830,142 @@ object CurationPack extends QueryPack {
             expr("bit_xor(cast(conv(substring(md5(concat('d:', " +
               "cast(id as string))), 1, 15), 16, 10) as bigint))")
               .as("id_hash"))
+      }),
+
+    // ---- the composed nightly crawl-refresh pipeline -----------------------
+    // q131 diff → slice → q120 exact screen → q121 fuzzy screen →
+    // q130 manifest, as ONE pipeline (CrawlRefresh.refreshRescan).
+    // old = docs except %11==0; new drops %5==0 (removed), rewrites
+    // %3==0 ('rev2: ' — changed, screened, kept: its old twin left
+    // the corpus), and adds three kinds of docs: genuinely fresh
+    // ('FRESH '+upper — survives both screens), verbatim re-crawls
+    // (+3M — the exact screen drops), prefix-edited re-crawls (+4M,
+    // 'UPDATE: ' — the exact screen misses, the fuzzy screen drops
+    // at word counts ≥ 5 where J = (L-2)/(L-1) ≥ 0.75). The oracle
+    // replays the WHOLE pipeline — diff predicates, anti-join,
+    // md5-MinHash banding + exact Jaccard, shard manifest — so one
+    // misrouted document anywhere flips a shard hash.
+    Q(
+      "q133_crawl_refresh",
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id % 11 <> 0 AND doc_id % 5 <> 0),
+        unch AS (SELECT doc_id, text FROM base WHERE doc_id % 3 <> 0),
+        slice AS (
+          SELECT doc_id, 'rev2: ' || text AS text FROM base
+          WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 2000000 AS doc_id,
+                 'FRESH ' || upper(text) AS text
+          FROM documents WHERE doc_id % 13 = 0
+          UNION ALL
+          SELECT doc_id + 3000000 AS doc_id, text FROM base
+          WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 4000000 AS doc_id, 'UPDATE: ' || text AS text
+          FROM base WHERE doc_id % 3 <> 0 AND doc_id % 7 = 1),
+        ex AS (
+          SELECT s.doc_id, s.text FROM slice s
+          WHERE NOT EXISTS (SELECT 1 FROM unch c WHERE c.text = s.text)),
+        csh AS (
+          SELECT doc_id, list_transform(sh, s ->
+              CAST(CAST(('0x' || substring(md5(s), 1, 15)) AS UBIGINT)
+                AS BIGINT)) AS hs
+          FROM (
+            SELECT doc_id, list_distinct(list_transform(
+                range(greatest(len(words) - 2, 0)),
+                i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))
+              AS sh
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), w -> w <> '')
+                           AS words
+                  FROM unch))
+          WHERE len(sh) > 0),
+        ish AS (
+          SELECT doc_id, list_transform(sh, s ->
+              CAST(CAST(('0x' || substring(md5(s), 1, 15)) AS UBIGINT)
+                AS BIGINT)) AS hs
+          FROM (
+            SELECT doc_id, list_distinct(list_transform(
+                range(greatest(len(words) - 2, 0)),
+                i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))
+              AS sh
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), w -> w <> '')
+                           AS words
+                  FROM ex))
+          WHERE len(sh) > 0),
+        consts AS (
+          SELECT t.i AS i,
+                 (${graft.operators.Dedup.minHashA.take(32)
+                     .mkString("[", ", ", "]")})[t.i + 1] AS a,
+                 (${graft.operators.Dedup.minHashB.take(32)
+                     .mkString("[", ", ", "]")})[t.i + 1] AS b
+          FROM unnest(range(32)) AS t(i)),
+        csigs AS (
+          SELECT doc_id, c.i AS i,
+                 min((c.a * (hv % 2147483647) + c.b) % 2147483647) AS sig
+          FROM (SELECT doc_id, unnest(hs) AS hv FROM csh), consts c
+          GROUP BY doc_id, c.i),
+        isigs AS (
+          SELECT doc_id, c.i AS i,
+                 min((c.a * (hv % 2147483647) + c.b) % 2147483647) AS sig
+          FROM (SELECT doc_id, unnest(hs) AS hv FROM ish), consts c
+          GROUP BY doc_id, c.i),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS c_id, b.doc_id AS inc_id
+          FROM csigs a JOIN isigs b ON a.i = b.i AND a.sig = b.sig),
+        dup AS (
+          SELECT DISTINCT cand.inc_id FROM cand
+          JOIN csh x ON cand.c_id = x.doc_id
+          JOIN ish y ON cand.inc_id = y.doc_id
+          WHERE round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+                  (len(x.hs) + len(y.hs) -
+                   len(list_intersect(x.hs, y.hs))), 4) >= 0.7),
+        fz AS (
+          SELECT e.doc_id, e.text FROM ex e
+          WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.inc_id = e.doc_id)),
+        fin AS (
+          SELECT doc_id, text FROM unch
+          UNION ALL SELECT doc_id, text FROM fz),
+        keyed AS (
+          SELECT doc_id, text,
+                 md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k
+          FROM fin),
+        shards AS (
+          SELECT doc_id, text,
+                 strpos('0123456789abcdef', substr(k, 1, 1)) - 1 AS shard
+          FROM keyed)
+        SELECT shard, count(*) AS n_rows,
+               bit_xor(CAST(CAST(('0x' || substring(md5(
+                   'row:' || coalesce(md5(CAST(doc_id AS VARCHAR)), 'null')
+                          || coalesce(md5(text), 'null')),
+                   1, 15)) AS UBIGINT) AS BIGINT)) AS content_hash,
+               min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM shards GROUP BY 1"""),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        val oldC = docs.filter(col("doc_id") % 11 =!= 0)
+        val base = docs.filter(
+          col("doc_id") % 11 =!= 0 && col("doc_id") % 5 =!= 0)
+        val newC = base.select(col("doc_id"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit("rev2: "), col("text")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 2000000).as("doc_id"),
+              concat(lit("FRESH "), upper(col("text"))).as("text")))
+          .unionByName(base
+            .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+          .unionByName(base
+            .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 1)
+            .select((col("doc_id") + 4000000).as("doc_id"),
+              concat(lit("UPDATE: "), col("text")).as("text")))
+        Curation.shardManifest(
+          graft.operators.CrawlRefresh.refreshRescan(
+            oldC, newC, threshold = 0.7))
       })
   )
 }

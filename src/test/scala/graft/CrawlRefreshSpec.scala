@@ -1,0 +1,108 @@
+package graft
+
+import graft.operators.{CrawlRefresh, Curation}
+import org.apache.spark.sql.functions._
+
+/** The composed nightly crawl-refresh pipeline (r14 verdict task #4):
+  * the production index-served pass must (a) agree with the pure
+  * rescan composition, (b) re-screen ONLY the diff slice, and (c)
+  * rewrite ONLY the shards the night touched — the end-to-end
+  * incremental contract the individual gates prove piecewise.
+  */
+class CrawlRefreshSpec extends SparkSpec {
+
+  private def doc(i: Int, text: String) = (i.toLong, text)
+  private def words(i: Int) =
+    s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i hotel$i"
+
+  test("nightly: 1-doc-deep delta screens 4 docs, rewrites only their shards") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-crawl")
+    work.toFile.deleteOnExit()
+    val wd = work.resolve("state").toString
+
+    val snapA = (1 to 40).map(i => doc(i, words(i))).toDF("doc_id", "text")
+    val night1 = CrawlRefresh.nightly(spark, wd, snapA)
+    assert(night1.bootstrap && night1.keptSize === 40)
+
+    // snapshot B: one changed, one removed, three added (one fresh,
+    // one verbatim re-crawl of doc 3, one near re-crawl of doc 4)
+    val snapB = ((1 to 40).filterNot(_ == 11).map { i =>
+      if (i == 7) doc(i, "rev2: " + words(i)) else doc(i, words(i))
+    } ++ Seq(
+      doc(100, words(900)),              // fresh — survives
+      doc(101, words(3)),                // verbatim re-crawl — exact screen drops
+      doc(102, "UPDATE: " + words(4))))  // near re-crawl (J=6/7) — fuzzy screen drops
+      .toDF("doc_id", "text")
+
+    // file snapshot to prove the write set is bounded
+    def files(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$wd/export"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.lastModified, f.length)).toMap
+    }
+    val before = files()
+    def shardOf(id: Long): Long = spark.range(1)
+      .select(conv(substring(md5(concat(lit("shuf:"), lit(id))), 1, 1),
+        16, 10).cast("long")).head.getLong(0)
+    // the shards the night may legitimately touch: the changed doc,
+    // the removed doc, and the one admitted survivor
+    val touchable = Set(7L, 11L, 100L).map(shardOf)
+    Thread.sleep(1100) // mtime granularity
+
+    val night2 = CrawlRefresh.nightly(spark, wd, snapB)
+    assert(!night2.bootstrap)
+    assert(night2.sliceSize === 4, night2)    // changed 7 + added 100/101/102
+    assert(night2.removedSize === 1, night2)  // doc 11
+    assert(night2.screenedOut === 2, night2)  // 101 exact, 102 fuzzy
+    assert(night2.keptSize === 40, night2)    // 38 unchanged + 7' + 100
+
+    // bounded write set: every file outside the touchable shards is
+    // byte-identical (same path, mtime, size)
+    val after = files()
+    def untouched(m: Map[String, (Long, Long)]) = m.filterNot { case (p, _) =>
+      touchable.exists(s => p.contains(s"shard=$s"))
+    }
+    assert(untouched(after) === untouched(before))
+
+    // value parity: the export equals the pure rescan composition,
+    // and the returned manifest matches a from-scratch recompute
+    val got = spark.read.parquet(s"$wd/export")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val pure = CrawlRefresh.refreshRescan(snapA, snapB).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === pure)
+    def rows(m: org.apache.spark.sql.DataFrame) = m.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(rows(night2.manifest) === rows(Curation.shardManifest(
+      spark.read.parquet(s"$wd/export").select("doc_id", "text"))))
+
+    // third night, same snapshot: the two REJECTED docs are not in
+    // the kept corpus, so the snapshot re-delivers them as "added"
+    // and exactly they re-screen (O(rejected slice), not O(corpus));
+    // both drop again and the export is byte-untouched on disk
+    val before3 = files()
+    val night3 = CrawlRefresh.nightly(spark, wd, snapB)
+    assert(night3.sliceSize === 2 && night3.screenedOut === 2 &&
+      night3.keptSize === 40, night3)
+    assert(files() === before3)
+  }
+
+  test("refreshRescan composes diff + both screens (pure form)") {
+    import spark.implicits._
+    val snapA = (1 to 20).map(i => doc(i, words(i))).toDF("doc_id", "text")
+    val snapB = ((1 to 20).filterNot(_ == 5).map(i => doc(i, words(i))) ++
+      Seq(doc(50, words(800)), doc(51, words(2)),
+        doc(52, "UPDATE: " + words(3))))
+      .toDF("doc_id", "text")
+    val out = CrawlRefresh.refreshRescan(snapA, snapB)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc 5 removed; 51 exact-dups doc 2; 52 near-dups doc 3; 50 fresh
+    assert(out === ((1 to 20).filterNot(_ == 5).map(_.toLong).toSet + 50L))
+  }
+}

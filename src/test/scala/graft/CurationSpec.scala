@@ -309,6 +309,66 @@ class CurationSpec extends SparkSpec {
     assert(edited !== manifest)
   }
 
+  test("exportShardsIncremental rewrites exactly the affected shards") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft-increxport")
+    work.toFile.deleteOnExit()
+    val dir = work.resolve("shards").toString
+    def rows(m: org.apache.spark.sql.DataFrame) = m.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+
+    // first call = full export (no sidecar yet)
+    val full = rows(Curation.exportShardsIncremental(docs, dir))
+    assert(full === rows(Curation.shardManifest(
+      spark.read.parquet(dir).select("doc_id", "text"))))
+
+    // snapshot every data file's (path, mtime, size)
+    def files(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.lastModified, f.length)).toMap
+    }
+    val before = files()
+
+    // edit ONE doc; its shard is a pure function of doc_id
+    val someId = docs.select(min("doc_id")).head.getLong(0)
+    val editedShard = docs.sparkSession.range(1)
+      .select(conv(substring(md5(concat(lit("shuf:"), lit(someId))),
+        1, 1), 16, 10).cast("long")).head.getLong(0)
+    val edited = docs.select(col("doc_id"),
+      when(col("doc_id") === someId, concat(col("text"), lit(" v2")))
+        .otherwise(col("text")).as("text"))
+    Thread.sleep(1100) // mtime granularity
+    val m2 = rows(Curation.exportShardsIncremental(edited, dir))
+
+    // exactly the edited doc's shard was rewritten
+    val after = files()
+    val untouchedBefore = before.filterNot(_._1.contains(s"shard=$editedShard"))
+    val untouchedAfter = after.filterNot(_._1.contains(s"shard=$editedShard"))
+    assert(untouchedAfter === untouchedBefore) // byte-identical layout
+    assert(after.keySet.filter(_.contains(s"shard=$editedShard")) !==
+      before.keySet.filter(_.contains(s"shard=$editedShard")))
+
+    // manifest still round-trips against the written files, and only
+    // the edited shard's entry moved
+    assert(m2 === rows(Curation.shardManifest(
+      spark.read.parquet(dir).select("doc_id", "text"))))
+    assert(full.filterNot(_._1 == editedShard) ===
+      m2.filterNot(_._1 == editedShard))
+    assert(full.filter(_._1 == editedShard) !==
+      m2.filter(_._1 == editedShard))
+
+    // no-op re-export: nothing rewritten at all
+    val before3 = files()
+    assert(rows(Curation.exportShardsIncremental(edited, dir)) === m2)
+    assert(files() === before3)
+  }
+
   test("corpusDiff classifies all four statuses; null content compares sanely") {
     import spark.implicits._
     val oldC = Seq(

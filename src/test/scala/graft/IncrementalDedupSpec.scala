@@ -122,6 +122,112 @@ class IncrementalDedupSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // persisted key index: incrementalDedupOver must equal the
+  // anti-join against every committed key with NO corpus re-scan
+  // ------------------------------------------------------------------
+
+  test("incrementalDedupOver equals the anti-join across multi-batch commits") {
+    val work = java.nio.file.Files.createTempDirectory("graft-keyidx")
+    work.toFile.deleteOnExit()
+    val idx = work.resolve("index").toString
+    val (corpus, inc) = split(2000)
+    Dedup.keyIndexInit(spark, idx, "key", expectedItems = 10000L)
+
+    // bootstrap: empty index keeps the whole increment
+    assert(Dedup.incrementalDedupOver(spark, idx, inc).count() ===
+      inc.count())
+
+    // commit the corpus in TWO batches (the OR-merge path), then the
+    // screen must equal the anti-join against the union
+    Dedup.keyIndexAppend(spark, idx, corpus.filter(col("id") % 2 === 0))
+    Dedup.keyIndexAppend(spark, idx, corpus.filter(col("id") % 2 =!= 0))
+    val got = Dedup.incrementalDedupOver(spark, idx, inc)
+      .select("id", "key", "payload").collect().toSet
+    val want = inc.join(corpus.select("key"), Seq("key"), "left_anti")
+      .select("id", "key", "payload").collect().toSet
+    assert(got === want)
+    // and equals the rescan operator
+    val rescan = Dedup.incrementalDedup(corpus, inc, "key")
+      .select("id", "key", "payload").collect().toSet
+    assert(got === rescan)
+    assert(!Dedup.keyIndexNeedsRebuild(idx))
+
+    // screen a SECOND batch that collides with the first batch's
+    // keeps: commit batch 1's survivors, then batch 2 must drop its
+    // copies of them
+    val kept1 = Dedup.incrementalDedupOver(spark, idx, inc)
+    Dedup.keyIndexAppend(spark, idx, kept1.select("id", "key", "payload"))
+    val batch2 = kept1.withColumn("id", col("id") + 5000000)
+      .unionByName(docs(10).withColumn("id", col("id") + 6000000)
+        .withColumn("key", concat(lit("b2:"), col("key"))))
+    val got2 = Dedup.incrementalDedupOver(spark, idx, batch2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // every kept1 re-submission is now a dup; only the b2: keys live
+    assert(got2 === batch2.filter(col("key").startsWith("b2:"))
+      .select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("incrementalDedupOver's confirm read is partition-pruned; no corpus scan") {
+    val work = java.nio.file.Files.createTempDirectory("graft-keyidx2")
+    work.toFile.deleteOnExit()
+    val idx = work.resolve("index").toString
+    val (corpus, inc) = split(1000)
+    Dedup.keyIndexInit(spark, idx, "key", expectedItems = 5000L,
+      partitions = 64)
+    Dedup.keyIndexAppend(spark, idx, corpus)
+
+    // a SMALL candidate set (one true dup): the keys read must carry
+    // a partition filter on __kp, i.e. only candidate hash
+    // partitions' directories are listed/read
+    val oneDup = inc.filter(col("id") === 1000000L) // one verbatim dup
+    assert(oneDup.count() === 1)
+    val screened = Dedup.incrementalDedupOver(spark, idx, oneDup)
+    assert(screened.count() === 0)
+    val plan = screened.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__kp"),
+      plan)
+    // the per-batch path takes NO corpus DataFrame at all — its only
+    // file scans are under the index dir
+    val scannedPaths = "file:[^,\\]\\s]*".r.findAllIn(plan).toSeq
+    assert(scannedPaths.nonEmpty &&
+      scannedPaths.forall(_.contains("index")), plan)
+  }
+
+  test("keyIndexNeedsRebuild flips when commits exceed the sized budget") {
+    val work = java.nio.file.Files.createTempDirectory("graft-keyidx3")
+    work.toFile.deleteOnExit()
+    val idx = work.resolve("index").toString
+    Dedup.keyIndexInit(spark, idx, "key", expectedItems = 100L)
+    Dedup.keyIndexAppend(spark, idx, docs(90))
+    assert(!Dedup.keyIndexNeedsRebuild(idx))
+    Dedup.keyIndexAppend(spark, idx,
+      docs(90).withColumn("key", concat(lit("x:"), col("key"))))
+    assert(Dedup.keyIndexNeedsRebuild(idx))
+    // degraded fpp = more candidates, never a wrong answer
+    val inc = docs(90).withColumn("id", col("id") + 777000)
+      .unionByName(docs(40).withColumn("id", col("id") + 888000)
+        .withColumn("key", concat(lit("new:"), col("key"))))
+    val got = Dedup.incrementalDedupOver(spark, idx, inc)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === (888000L until 888040L).toSet)
+  }
+
+  test("key index keeps null keys and handles them across commits") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-keyidx4")
+    work.toFile.deleteOnExit()
+    val idx = work.resolve("index").toString
+    Dedup.keyIndexInit(spark, idx, "key", expectedItems = 100L)
+    val corpus = Seq((1L, Some("a")), (2L, None)).toDF("id", "key")
+    Dedup.keyIndexAppend(spark, idx, corpus)
+    val inc = Seq((10L, Some("a")), (11L, Some("z")), (12L, None))
+      .toDF("id", "key")
+    val got = Dedup.incrementalDedupOver(spark, idx, inc)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(11L, 12L)) // null never equals, like the anti-join
+  }
+
+  // ------------------------------------------------------------------
   // incrementalNearDup: the fuzzy counterpart — must equal the batch
   // md5-MinHash pair semantics restricted to cross (corpus, inc) pairs
   // ------------------------------------------------------------------

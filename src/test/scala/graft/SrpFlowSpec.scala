@@ -1,0 +1,153 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** The engine-maintained SRP band-code index (r14 verdict task #2b):
+  * serve parity with the corpus-rescan screen, O(one vector's bands)
+  * maintenance on edit, orphan GC on delete — the vector counterpart
+  * of DedupFlowSpec.
+  */
+class SrpFlowSpec extends SparkSpec {
+
+  /** Deterministic 8-dim vectors: base directions plus planted
+    * structure the screen must classify. */
+  private def fixture = {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed) // spec-fixed LCG: deterministic
+      Array.fill(8)(r.nextFloat() * 2f - 1f)
+    }
+    val corpusVecs = (1L to 6L).map(k => (k, vec(k.toInt)))
+    val corpus = corpusVecs.toDF("vec_id", "embedding")
+    val reEnc = corpusVecs.head._2.clone()
+    reEnc(7) = reEnc(7) + 0.001f // cosine ≈ 0.9999+ to corpus vec 1
+    val inc = Seq(
+      (101L, reEnc), // re-encode of corpus vec 1 — must drop
+      (102L, corpusVecs(2)._2), // verbatim re-ingest — must drop
+      (103L, vec(1001)), // fresh — must survive
+      (104L, vec(1002))) // fresh — must survive
+      .toDF("vec_id", "embedding")
+    (corpusVecs, corpus, inc)
+  }
+
+  test("semDedupIncrementOver equals the corpus-rescan screen; index maintains O(doc)") {
+    import spark.implicits._
+    val (corpusVecs, corpus, inc) = fixture
+    val work = java.nio.file.Files.createTempDirectory("graft-srpflow")
+    work.toFile.deleteOnExit()
+    val base = work.resolve("base").toString
+    corpus.write.mode("overwrite").parquet(base)
+    val indexDir = work.resolve("index").toString
+
+    val flow = Similarity.srpFlow("srp",
+      sp => sp.read.parquet(base),
+      indexDir = indexDir, stateDir = work.resolve("state").toString,
+      planes = 16, bands = 4, dims = 8)
+    val first = flow.run(spark)
+    assert(first.components == 6 && first.recomputed == 6, first)
+    assert(flow.run(spark).isNoop)
+
+    // serve parity: the index-served screen equals the rescan screen
+    val served = Similarity.semDedupIncrementOver(spark, indexDir,
+        spark.read.parquet(base), inc, threshold = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val rescan = Similarity.incrementalSemDedup(
+        spark.read.parquet(base), inc, threshold = 0.99,
+        planes = 16, bands = 4, dims = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(served === rescan)
+    assert(served === Set(103L, 104L)) // planted dups drop, fresh survive
+
+    // the per-batch path never scans the corpus table: its only
+    // file scans are the index and the semi-join-pruned candidate
+    // embedding fetch — assert the probe joins are broadcast (the
+    // index side never shuffles) like the rescan screen's contract
+    val plan = Similarity.semDedupIncrementOver(spark, indexDir,
+        spark.read.parquet(base), inc, threshold = 0.99)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+
+    // edit ONE vector: exactly one component recomputes, its 4 band
+    // rows rewrite
+    val edited = corpusVecs.map { case (k, v) =>
+      if (k == 4L) (k, v.map(x => -x)) else (k, v)
+    }
+    edited.toDF("vec_id", "embedding").write.mode("overwrite").parquet(base)
+    val delta = flow.run(spark)
+    assert(delta.recomputed == 1, delta)
+    assert(delta.rowsUpdated + delta.rowsNoop == 4 &&
+      delta.rowsInserted == 0, delta)
+
+    // delete a vector: its band rows GC and it stops matching.
+    // inc 102 is a verbatim copy of corpus vec 3 (corpusVecs(2))
+    edited.filterNot(_._1 == 3L)
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(base)
+    val gc = flow.run(spark)
+    assert(gc.deletedComponents == 1 && gc.rowsDeleted == 4, gc)
+    val afterDelete = Similarity.semDedupIncrementOver(spark, indexDir,
+        spark.read.parquet(base), inc, threshold = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // vec 3's verbatim re-ingest (102) now survives — its corpus twin
+    // is gone from the index
+    assert(afterDelete === Set(102L, 103L, 104L))
+  }
+
+  test("batch bootstrap serves identically and hands over to the flow") {
+    import spark.implicits._
+    val (corpusVecs, corpus, inc) = fixture
+    val work = java.nio.file.Files.createTempDirectory("graft-srpboot")
+    work.toFile.deleteOnExit()
+    val base = work.resolve("base").toString
+    corpus.write.mode("overwrite").parquet(base)
+    val indexDir = work.resolve("index").toString
+
+    // stand up the index as ONE batch write (no flow engine)
+    Similarity.srpIndexBootstrap(spark, indexDir,
+      spark.read.parquet(base), planes = 16, bands = 4, dims = 8)
+    val bootServed = Similarity.semDedupIncrementOver(spark, indexDir,
+        spark.read.parquet(base), inc, threshold = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(bootServed === Set(103L, 104L))
+
+    // flow takeover on the SAME dir: the first run upserts by
+    // row_key (idempotent handover), then an edit maintains O(doc)
+    val flow = Similarity.srpFlow("srp-takeover",
+      sp => sp.read.parquet(base),
+      indexDir = indexDir, stateDir = work.resolve("state").toString,
+      planes = 16, bands = 4, dims = 8)
+    flow.run(spark)
+    val served = Similarity.semDedupIncrementOver(spark, indexDir,
+        spark.read.parquet(base), inc, threshold = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(served === bootServed)
+    assert(flow.run(spark).isNoop)
+  }
+
+  test("serve refuses a column set the index was not built with") {
+    val (_, corpus, inc) = fixture
+    val work = java.nio.file.Files.createTempDirectory("graft-srpmeta")
+    work.toFile.deleteOnExit()
+    val base = work.resolve("base").toString
+    corpus.write.mode("overwrite").parquet(base)
+    val indexDir = work.resolve("index").toString
+    Similarity.srpFlow("srp", sp => sp.read.parquet(base),
+      indexDir = indexDir, stateDir = work.resolve("state").toString,
+      planes = 16, bands = 4, dims = 8).run(spark)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDedupIncrementOver(spark, indexDir,
+        corpus.withColumnRenamed("embedding", "emb2"), inc,
+        threshold = 0.99, embCol = "emb2")
+    }
+    assert(e.getMessage.contains("embCol"))
+  }
+
+  test("serve without an index fails loudly") {
+    val (_, corpus, inc) = fixture
+    val e = intercept[IllegalStateException] {
+      Similarity.semDedupIncrementOver(spark,
+        "/tmp/graft-no-such-srp-index", corpus, inc, threshold = 0.99)
+    }
+    assert(e.getMessage.contains("no index metadata"))
+  }
+}
