@@ -25,6 +25,57 @@ object SimilarityPack extends QueryPack {
     * auto-calibrated, so the list rebuilds at oracle-dump time. */
   def all: Seq[Q] = fixed :+ q115
 
+  /** The q129 oracle (md5 SRP planes, MSB-packed band codes,
+    * candidate join, round-6 cosine verify, anti-join) — shared by
+    * the rescan gate (q129) and the index-served gate (q136): one
+    * SQL derivation, two execution paths that must both match it. */
+  private val incSemDedupOracleSql: String = """
+        WITH pl AS (
+          SELECT p.p AS plane, d.d AS dim,
+                 (CAST(CAST(('0x' || substring(md5(
+                    CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)),
+                    1, 15)) AS UBIGINT) AS BIGINT) % 1000000)
+                   / 500000.0 - 1.0 AS v
+          FROM unnest(range(64)) p(p), unnest(range(64)) d(d)),
+        corpus AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings WHERE vec_id % 3 <> 0),
+        inc AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings WHERE vec_id % 3 = 0
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> x + 0.001) AS emb
+          FROM embeddings WHERE vec_id % 3 <> 0 AND vec_id % 5 = 0),
+        cdots AS (
+          SELECT c.vec_id, pl.plane, sum(c.emb[pl.dim + 1] * pl.v) AS dot
+          FROM corpus c, pl GROUP BY 1, 2),
+        idots AS (
+          SELECT i.vec_id, pl.plane, sum(i.emb[pl.dim + 1] * pl.v) AS dot
+          FROM inc i, pl GROUP BY 1, 2),
+        ccodes AS (
+          SELECT vec_id, CAST(plane // 16 AS INT) AS band,
+                 sum((CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END)
+                     << CAST(15 - (plane % 16) AS INT)) AS code
+          FROM cdots GROUP BY 1, 2),
+        icodes AS (
+          SELECT vec_id, CAST(plane // 16 AS INT) AS band,
+                 sum((CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END)
+                     << CAST(15 - (plane % 16) AS INT)) AS code
+          FROM idots GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT c.vec_id AS c_id, i.vec_id AS inc_id
+          FROM ccodes c JOIN icodes i
+            ON c.band = i.band AND c.code = i.code),
+        dup AS (
+          SELECT DISTINCT cand.inc_id FROM cand
+          JOIN corpus x ON x.vec_id = cand.c_id
+          JOIN inc y ON y.vec_id = cand.inc_id
+          WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= 0.99)
+        SELECT i.vec_id, round(i.emb[1], 6) AS e0 FROM inc i
+        WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.inc_id = i.vec_id)"""
+
   private val fixed: Seq[Q] = Seq(
 
     // ---- exact KNN: 8 query vectors × full corpus -----------------------
@@ -447,52 +498,7 @@ object SimilarityPack extends QueryPack {
     // broadcasts.
     Q(
       "q129_incremental_semdedup",
-      Some("""
-        WITH pl AS (
-          SELECT p.p AS plane, d.d AS dim,
-                 (CAST(CAST(('0x' || substring(md5(
-                    CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)),
-                    1, 15)) AS UBIGINT) AS BIGINT) % 1000000)
-                   / 500000.0 - 1.0 AS v
-          FROM unnest(range(64)) p(p), unnest(range(64)) d(d)),
-        corpus AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-          FROM embeddings WHERE vec_id % 3 <> 0),
-        inc AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-          FROM embeddings WHERE vec_id % 3 = 0
-          UNION ALL
-          SELECT vec_id + 1000000 AS vec_id,
-                 list_transform(CAST(embedding AS DOUBLE[]),
-                   x -> x + 0.001) AS emb
-          FROM embeddings WHERE vec_id % 3 <> 0 AND vec_id % 5 = 0),
-        cdots AS (
-          SELECT c.vec_id, pl.plane, sum(c.emb[pl.dim + 1] * pl.v) AS dot
-          FROM corpus c, pl GROUP BY 1, 2),
-        idots AS (
-          SELECT i.vec_id, pl.plane, sum(i.emb[pl.dim + 1] * pl.v) AS dot
-          FROM inc i, pl GROUP BY 1, 2),
-        ccodes AS (
-          SELECT vec_id, CAST(plane // 16 AS INT) AS band,
-                 sum((CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END)
-                     << CAST(15 - (plane % 16) AS INT)) AS code
-          FROM cdots GROUP BY 1, 2),
-        icodes AS (
-          SELECT vec_id, CAST(plane // 16 AS INT) AS band,
-                 sum((CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END)
-                     << CAST(15 - (plane % 16) AS INT)) AS code
-          FROM idots GROUP BY 1, 2),
-        cand AS (
-          SELECT DISTINCT c.vec_id AS c_id, i.vec_id AS inc_id
-          FROM ccodes c JOIN icodes i
-            ON c.band = i.band AND c.code = i.code),
-        dup AS (
-          SELECT DISTINCT cand.inc_id FROM cand
-          JOIN corpus x ON x.vec_id = cand.c_id
-          JOIN inc y ON y.vec_id = cand.inc_id
-          WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= 0.99)
-        SELECT i.vec_id, round(i.emb[1], 6) AS e0 FROM inc i
-        WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.inc_id = i.vec_id)"""),
+      Some(incSemDedupOracleSql),
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
         def toD(c: org.apache.spark.sql.Column) =
@@ -507,6 +513,40 @@ object SimilarityPack extends QueryPack {
               transform(col("embedding"),
                 x => x.cast("double") + lit(0.001)).as("embedding")))
         graft.operators.Similarity.incrementalSemDedup(
+            corpus, inc, threshold = 0.99)
+          .select(col("vec_id"),
+            round(element_at(col("embedding"), 1), 6).as("e0"))
+      }),
+
+    // ---- the SAME embedding screen served from the SRP band index --------
+    // q129's semantics through the r15 O(batch) path: the corpus
+    // band codes live in a persisted index (bootstrapped here as one
+    // batch write — the 100 TB stand-up shape; srpFlow maintains it
+    // thereafter) and the batch probes the index instead of
+    // re-encoding the corpus. Band codes derive identically, so the
+    // candidate set — and with the exact round-6 cosine verify, the
+    // result — is bit-for-bit q129's. Same oracle.
+    Q(
+      "q136_semdedup_served",
+      Some(incSemDedupOracleSql),
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        def toD(c: org.apache.spark.sql.Column) =
+          transform(c, x => x.cast("double"))
+        val corpus = e.filter(col("vec_id") % 3 =!= 0)
+          .select(col("vec_id"), toD(col("embedding")).as("embedding"))
+        val inc = e.filter(col("vec_id") % 3 === 0)
+          .select(col("vec_id"), toD(col("embedding")).as("embedding"))
+          .unionByName(e
+            .filter(col("vec_id") % 3 =!= 0 && col("vec_id") % 5 === 0)
+            .select((col("vec_id") + 1000000).as("vec_id"),
+              transform(col("embedding"),
+                x => x.cast("double") + lit(0.001)).as("embedding")))
+        val work = java.nio.file.Files.createTempDirectory("graft-q136")
+        work.toFile.deleteOnExit()
+        val idx = work.resolve("srpidx").toString
+        graft.operators.Similarity.srpIndexBootstrap(s, idx, corpus)
+        graft.operators.Similarity.semDedupIncrementOver(s, idx,
             corpus, inc, threshold = 0.99)
           .select(col("vec_id"),
             round(element_at(col("embedding"), 1), 6).as("e0"))

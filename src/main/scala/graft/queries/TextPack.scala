@@ -18,6 +18,78 @@ import graft.functions.TextFunctions._
   */
 object TextPack extends QueryPack {
 
+  /** The q121 oracle, threshold-parameterized: the full md5-MinHash
+    * screen replay (shingle md5s, universal-family signatures, band
+    * candidates, round-4 exact Jaccard, anti-join). Shared by the
+    * rescan gate (q121) and the index-served gate (q135) — one SQL
+    * derivation, two execution paths that must both match it. */
+  private def incNearDupOracleSql(threshold: Double): String = s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        inc AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, 'UPDATE: ' || text AS text
+          FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0),
+        csh AS (
+          SELECT doc_id, list_transform(sh, s ->
+              CAST(CAST(('0x' || substring(md5(s), 1, 15)) AS UBIGINT)
+                AS BIGINT)) AS hs
+          FROM (
+            SELECT doc_id, list_distinct(list_transform(
+                range(greatest(len(words) - 2, 0)),
+                i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))
+              AS sh
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), w -> w <> '')
+                           AS words
+                  FROM corpus))
+          WHERE len(sh) > 0),
+        ish AS (
+          SELECT doc_id, list_transform(sh, s ->
+              CAST(CAST(('0x' || substring(md5(s), 1, 15)) AS UBIGINT)
+                AS BIGINT)) AS hs
+          FROM (
+            SELECT doc_id, list_distinct(list_transform(
+                range(greatest(len(words) - 2, 0)),
+                i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))
+              AS sh
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), w -> w <> '')
+                           AS words
+                  FROM inc))
+          WHERE len(sh) > 0),
+        consts AS (
+          SELECT t.i AS i,
+                 (${graft.operators.Dedup.minHashA.take(32)
+                     .mkString("[", ", ", "]")})[t.i + 1] AS a,
+                 (${graft.operators.Dedup.minHashB.take(32)
+                     .mkString("[", ", ", "]")})[t.i + 1] AS b
+          FROM unnest(range(32)) AS t(i)),
+        csigs AS (
+          SELECT doc_id, c.i AS i,
+                 min((c.a * (hv % 2147483647) + c.b) % 2147483647) AS sig
+          FROM (SELECT doc_id, unnest(hs) AS hv FROM csh), consts c
+          GROUP BY doc_id, c.i),
+        isigs AS (
+          SELECT doc_id, c.i AS i,
+                 min((c.a * (hv % 2147483647) + c.b) % 2147483647) AS sig
+          FROM (SELECT doc_id, unnest(hs) AS hv FROM ish), consts c
+          GROUP BY doc_id, c.i),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS c_id, b.doc_id AS inc_id
+          FROM csigs a JOIN isigs b ON a.i = b.i AND a.sig = b.sig),
+        dup AS (
+          SELECT DISTINCT cand.inc_id FROM cand
+          JOIN csh x ON cand.c_id = x.doc_id
+          JOIN ish y ON cand.inc_id = y.doc_id
+          WHERE round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+                  (len(x.hs) + len(y.hs) -
+                   len(list_intersect(x.hs, y.hs))), 4) >= $threshold)
+        SELECT i.doc_id, CAST(length(i.text) AS INT) AS n_chars
+        FROM inc i
+        WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.inc_id = i.doc_id)"""
+
   val all: Seq[Q] = Seq(
 
     // ---- token counting (whitespace + BPE-ish regex) --------------------
@@ -576,72 +648,7 @@ object TextPack extends QueryPack {
     // relations instead of a self-join).
     Q(
       "q121_incremental_neardup",
-      Some(s"""
-        WITH corpus AS (
-          SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
-        inc AS (
-          SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
-          UNION ALL
-          SELECT doc_id + 1000000 AS doc_id, 'UPDATE: ' || text AS text
-          FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0),
-        csh AS (
-          SELECT doc_id, list_transform(sh, s ->
-              CAST(CAST(('0x' || substring(md5(s), 1, 15)) AS UBIGINT)
-                AS BIGINT)) AS hs
-          FROM (
-            SELECT doc_id, list_distinct(list_transform(
-                range(greatest(len(words) - 2, 0)),
-                i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))
-              AS sh
-            FROM (SELECT doc_id,
-                         list_filter(string_split(text, ' '), w -> w <> '')
-                           AS words
-                  FROM corpus))
-          WHERE len(sh) > 0),
-        ish AS (
-          SELECT doc_id, list_transform(sh, s ->
-              CAST(CAST(('0x' || substring(md5(s), 1, 15)) AS UBIGINT)
-                AS BIGINT)) AS hs
-          FROM (
-            SELECT doc_id, list_distinct(list_transform(
-                range(greatest(len(words) - 2, 0)),
-                i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))
-              AS sh
-            FROM (SELECT doc_id,
-                         list_filter(string_split(text, ' '), w -> w <> '')
-                           AS words
-                  FROM inc))
-          WHERE len(sh) > 0),
-        consts AS (
-          SELECT t.i AS i,
-                 (${graft.operators.Dedup.minHashA.take(32)
-                     .mkString("[", ", ", "]")})[t.i + 1] AS a,
-                 (${graft.operators.Dedup.minHashB.take(32)
-                     .mkString("[", ", ", "]")})[t.i + 1] AS b
-          FROM unnest(range(32)) AS t(i)),
-        csigs AS (
-          SELECT doc_id, c.i AS i,
-                 min((c.a * (hv % 2147483647) + c.b) % 2147483647) AS sig
-          FROM (SELECT doc_id, unnest(hs) AS hv FROM csh), consts c
-          GROUP BY doc_id, c.i),
-        isigs AS (
-          SELECT doc_id, c.i AS i,
-                 min((c.a * (hv % 2147483647) + c.b) % 2147483647) AS sig
-          FROM (SELECT doc_id, unnest(hs) AS hv FROM ish), consts c
-          GROUP BY doc_id, c.i),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS c_id, b.doc_id AS inc_id
-          FROM csigs a JOIN isigs b ON a.i = b.i AND a.sig = b.sig),
-        dup AS (
-          SELECT DISTINCT cand.inc_id FROM cand
-          JOIN csh x ON cand.c_id = x.doc_id
-          JOIN ish y ON cand.inc_id = y.doc_id
-          WHERE round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
-                  (len(x.hs) + len(y.hs) -
-                   len(list_intersect(x.hs, y.hs))), 4) >= 0.5)
-        SELECT i.doc_id, CAST(length(i.text) AS INT) AS n_chars
-        FROM inc i
-        WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.inc_id = i.doc_id)"""),
+      Some(incNearDupOracleSql(0.5)),
       (s, dir) => {
         val docs = Tables(s, dir, "documents").select("doc_id", "text")
         val corpus = docs.filter(col("doc_id") % 3 =!= 0)
@@ -651,6 +658,78 @@ object TextPack extends QueryPack {
             .select((col("doc_id") + 1000000).as("doc_id"),
               concat(lit("UPDATE: "), col("text")).as("text")))
         graft.operators.Dedup.incrementalNearDup(corpus, inc, threshold = 0.5)
+          .select(col("doc_id"),
+            length(col("text")).cast("int").as("n_chars"))
+      }),
+
+    // ---- the SAME exact screen served from the persisted key index -------
+    // q120's semantics through the r15 O(batch) path: the corpus keys
+    // commit once into the bloom+partitioned-key index (the amortized
+    // maintenance), the batch screens against the index with no
+    // corpus scan. The oracle is q120's plain anti-join — the index
+    // path must equal it bit-for-bit.
+    Q(
+      "q134_incdedup_served",
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        inc AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0)
+        SELECT i.doc_id, CAST(length(i.text) AS INT) AS n_chars
+        FROM inc i
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = i.text)"""),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+        val inc = docs.filter(col("doc_id") % 3 === 0)
+          .unionByName(docs
+            .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000))
+        val work = java.nio.file.Files.createTempDirectory("graft-q134")
+        work.toFile.deleteOnExit()
+        val idx = work.resolve("keyidx").toString
+        graft.operators.Dedup.keyIndexInit(s, idx, "text",
+          expectedItems = 100000L)
+        graft.operators.Dedup.keyIndexAppend(s, idx, corpus)
+        graft.operators.Dedup.incrementalDedupOver(s, idx, inc)
+          .select(col("doc_id"),
+            length(col("text")).cast("int").as("n_chars"))
+      }),
+
+    // ---- the SAME fuzzy screen served from the flow-maintained index -----
+    // q121's semantics through the minHashFlow band index (production
+    // FNV banding probes the index; exact round-4 Jaccard decides).
+    // The oracle replays the md5 derivation at threshold 0.7 — the
+    // candidate GENERATION differs between the two engines, but the
+    // exact verify makes membership agree at any plausible recall
+    // (a J ≥ 0.7 pair escapes 16 r=2 bands with p ≤ (1-0.49)^16 ≈
+    // 2e-5, and the fixture's planted dups sit at J ≈ 0.97).
+    Q(
+      "q135_neardup_served",
+      Some(incNearDupOracleSql(0.7)),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+        val inc = docs.filter(col("doc_id") % 3 === 0)
+          .unionByName(docs
+            .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              concat(lit("UPDATE: "), col("text")).as("text")))
+        val work = java.nio.file.Files.createTempDirectory("graft-q135")
+        work.toFile.deleteOnExit()
+        val base = work.resolve("base").toString
+        corpus.write.mode("overwrite").parquet(base)
+        val flow = graft.operators.Dedup.minHashFlow("q135_bands",
+          sp => sp.read.parquet(base),
+          indexDir = work.resolve("index").toString,
+          stateDir = work.resolve("state").toString)
+        flow.run(s)
+        graft.operators.Dedup.minHashIncrementOver(s,
+            work.resolve("index").toString, s.read.parquet(base), inc,
+            threshold = 0.7)
           .select(col("doc_id"),
             length(col("text")).cast("int").as("n_chars"))
       }),
