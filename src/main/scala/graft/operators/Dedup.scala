@@ -553,6 +553,45 @@ object Dedup {
           "bandRows" -> bandRows.toString))))
   }
 
+  /** Batch bootstrap of a [[minHashFlow]]-shaped index WITHOUT the
+    * flow engine — the text twin of
+    * [[Similarity.srpIndexBootstrap]]: ONE distributed batch write
+    * of the band rows in the target's bucket layout. The 100 TB
+    * stand-up shape (10¹⁰ documents cannot feed through
+    * per-component flow commits); [[minHashFlow]] with the same
+    * `numBuckets` takes over maintenance idempotently (its first
+    * run upserts by `row_key`), and [[minHashIncrementOver]] /
+    * [[minHashPairsOver]] serve from either. */
+  def minHashIndexBootstrap(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      corpus: DataFrame, numHashes: Int = 32, bandRows: Int = 2,
+      n: Int = 3, idCol: String = "doc_id", textCol: String = "text",
+      numBuckets: Int = 8): Unit = {
+    require(numHashes % bandRows == 0)
+    require(numHashes <= minHashA.length)
+    val nBands = numHashes / bandRows
+    // the EXACT stage pipeline minHashFlow writes — probe and index
+    // must agree bit-for-bit
+    corpus
+      .select(col(idCol).cast("string").as("item_key"),
+        shingleHashUdf(n)(col(textCol)).as("sh"))
+      .withColumn("sig", minHashSigUdf(numHashes)(col("sh")))
+      .filter(col("sig").isNotNull)
+      .select(col("item_key"), size(col("sh")).as("sz"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"), col("sig"))
+      .withColumn("code", bandCode(bandRows))
+      .select(col("item_key"),
+        concat(col("item_key"), lit(":"), col("band")).as("row_key"),
+        col("band"), col("code"), col("sz"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("row_key")), lit(numBuckets.toLong)).cast("int"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(indexDir)
+    graft.engine.Sidecar.write(minHashMetaFile(indexDir), Map(
+      "n" -> n.toString, "idCol" -> idCol, "textCol" -> textCol,
+      "numHashes" -> numHashes.toString,
+      "bandRows" -> bandRows.toString))
+  }
+
   // sibling of the index dir, NOT inside it: a destructive target
   // transition truncates the dir itself, and the declared parameters
   // must survive that

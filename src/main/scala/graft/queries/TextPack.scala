@@ -720,15 +720,12 @@ object TextPack extends QueryPack {
               concat(lit("UPDATE: "), col("text")).as("text")))
         val work = java.nio.file.Files.createTempDirectory("graft-q135")
         work.toFile.deleteOnExit()
-        val base = work.resolve("base").toString
-        corpus.write.mode("overwrite").parquet(base)
-        val flow = graft.operators.Dedup.minHashFlow("q135_bands",
-          sp => sp.read.parquet(base),
-          indexDir = work.resolve("index").toString,
-          stateDir = work.resolve("state").toString)
-        flow.run(s)
-        graft.operators.Dedup.minHashIncrementOver(s,
-            work.resolve("index").toString, s.read.parquet(base), inc,
+        val idx = work.resolve("index").toString
+        // stand the index up as ONE batch write (the 100 TB
+        // bootstrap; minHashFlow maintains it thereafter — the
+        // flow-built twin is spec-gated in IncrementalDedupSpec)
+        graft.operators.Dedup.minHashIndexBootstrap(s, idx, corpus)
+        graft.operators.Dedup.minHashIncrementOver(s, idx, corpus, inc,
             threshold = 0.7)
           .select(col("doc_id"),
             length(col("text")).cast("int").as("n_chars"))

@@ -285,6 +285,35 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got.count() === inc.count())
   }
 
+  test("minHashIndexBootstrap serves identically and hands over to the flow") {
+    val (corpus, inc) = textDocs
+    val work = java.nio.file.Files.createTempDirectory("graft-mhboot")
+    work.toFile.deleteOnExit()
+    val base = work.resolve("base").toString
+    corpus.write.mode("overwrite").parquet(base)
+    val idx = work.resolve("index").toString
+
+    // stand up as ONE batch write, serve
+    Dedup.minHashIndexBootstrap(spark, idx, spark.read.parquet(base))
+    val bootKept = Dedup.minHashIncrementOver(spark, idx,
+        spark.read.parquet(base), inc, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bootKept === Set(1000003L, 1000004L))
+
+    // flow takeover on the SAME dir: first run re-derives by
+    // row_key (idempotent), second run is a clean noop, and the
+    // served answer never moves
+    val flow = Dedup.minHashFlow("mh-takeover",
+      sp => sp.read.parquet(base),
+      indexDir = idx, stateDir = work.resolve("state").toString)
+    flow.run(spark)
+    assert(flow.run(spark).isNoop)
+    val served = Dedup.minHashIncrementOver(spark, idx,
+        spark.read.parquet(base), inc, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(served === bootKept)
+  }
+
   test("minHashIncrementOver probes the maintained index, O(candidates) verify") {
     val (corpus, inc) = textDocs
     val work = java.nio.file.Files.createTempDirectory("graft-incover")
