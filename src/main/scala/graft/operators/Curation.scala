@@ -143,15 +143,85 @@ object Curation {
         Ipv4Pattern, "<IP>"),
       lit(PhonePattern))
 
-  /** Replace every email/IPv4/phone span with a typed placeholder.
-    * Email first: an IP-shaped host inside an email must be consumed
-    * by the email rule, not split by the IP rule. */
-  def scrubPii(text: Column): Column =
+  /** Candidate payment-card spans: 16 digits in groups of 4 joined
+    * by a consistent '-'/' '/nothing. A REGEX cannot decide card-ness
+    * — the Luhn checksum can ([[luhnValid]]), so the scrub pairs this
+    * pattern with per-span validation: random 16-digit runs (order
+    * ids, hashes) survive, real card numbers do not. Kept
+    * dialect-portable like the other patterns. */
+  val CardPattern = "\\b[0-9]{4}([- ]?[0-9]{4}){3}\\b"
+
+  /** Luhn checksum validity of the digits inside `span` — pure
+    * codegen HOF arithmetic (reverse, double every second digit from
+    * the right, casting out nines, sum % 10): runs inside the scan
+    * stage, no UDF. */
+  def luhnValid(span: Column): Column = {
+    val ds = filter(split(span, ""), c => c.rlike("[0-9]"))
+    val summed = aggregate(
+      transform(reverse(ds), (c, i) => {
+        val d = c.cast("int")
+        when(i % 2 === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      }),
+      lit(0), (acc, x) => acc + x)
+    size(ds) >= 13 && size(ds) <= 19 && summed % 10 === 0
+  }
+
+  /** Count of card spans the scrub would redact: candidates AFTER
+    * the email rule consumed its spans, kept only when Luhn-valid —
+    * always equals the number of `<CARD>` placeholders. */
+  def cardCount(text: Column): Column =
+    size(filter(
+      regexp_extract_all(regexp_replace(text, EmailPattern, "<EMAIL>"),
+        lit(CardPattern), lit(0)),
+      sp => luhnValid(sp)))
+
+  /** Replace every email/card/IPv4/phone span with a typed
+    * placeholder. Email first: an IP-shaped host inside an email
+    * must be consumed by the email rule, not split by the IP rule.
+    * Cards second (most specific digit rule): each candidate span is
+    * Luhn-validated, and only valid spans fold into `<CARD>` (a
+    * literal-replace fold over the validated span list — still
+    * whole-stage codegen, no UDF). */
+  def scrubPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val c = aggregate(
+      filter(regexp_extract_all(e, lit(CardPattern), lit(0)),
+        sp => luhnValid(sp)),
+      e, (acc, sp) => replace(acc, sp, lit("<CARD>")))
     regexp_replace(
-      regexp_replace(
-        regexp_replace(text, EmailPattern, "<EMAIL>"),
-        Ipv4Pattern, "<IP>"),
+      regexp_replace(c, Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
+  }
+
+  // ---- line-structure quality signals ---------------------------------------
+
+  /** Per-document LINE-level quality signals — the Dolma/C4 battery
+    * the word-level stats (q30/q31/q67) cannot see: terminal-
+    * punctuation line fraction (C4 keeps only sentences ending in
+    * punctuation), bullet-line fraction (list-heavy boilerplate),
+    * line-length moments (navigation/chrome detection). Returns
+    * `(idCol, n_lines, frac_end_punct, frac_bullet,
+    * mean_line_chars, max_line_chars)`; all ratios are
+    * small-integer divisions rounded to 4 — bit-identical across
+    * engines. Pure codegen HOFs over the split line array: a per-row
+    * map inside the scan stage, no shuffle, no UDF. */
+  def lineStats(
+      df: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val n = size(lines)
+    df.select(col(idCol),
+      n.cast("int").as("n_lines"),
+      round(size(filter(lines, l => l.rlike("[.!?\"]$"))).cast("double")
+        / n, 4).as("frac_end_punct"),
+      round(size(filter(lines, l => l.rlike("^[-*]"))).cast("double")
+        / n, 4).as("frac_bullet"),
+      round(aggregate(lines, lit(0), (a, l) => a + length(l))
+        .cast("double") / n, 4).as("mean_line_chars"),
+      aggregate(lines, lit(0), (a, l) => greatest(a, length(l)))
+        .cast("int").as("max_line_chars"))
+  }
 
   // ---- domain-weighted mixture sampling -----------------------------------
 

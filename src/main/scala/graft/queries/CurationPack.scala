@@ -966,6 +966,138 @@ object CurationPack extends QueryPack {
         Curation.shardManifest(
           graft.operators.CrawlRefresh.refreshRescan(
             oldC, newC, threshold = 0.7))
+      }),
+
+    // ---- Luhn-validated payment-card scrubbing ------------------------------
+    // A regex cannot decide card-ness; the Luhn checksum can. Each doc
+    // gets two 16-digit candidates derived from doc_id — one with the
+    // CORRECT Luhn check digit (must scrub to <CARD>) and one with
+    // check+1 (must survive: it is an order-id-shaped number, not a
+    // card). Both engines derive the check digit with the same
+    // double-and-cast-out-nines arithmetic, so the oracle knows
+    // exactly which span the engine must redact — a Luhn bug in
+    // either direction (scrub both / scrub neither) flips the md5.
+    Q(
+      "q137_card_scrub",
+      Some("""
+        WITH b AS (
+          SELECT doc_id, text,
+                 lpad(CAST((doc_id * 7919) % 100000 AS VARCHAR), 5, '0')
+                   || '4242424242' AS c15
+          FROM documents),
+        s AS (
+          SELECT doc_id, text, c15,
+                 list_aggregate(list_transform(range(15), i ->
+                   CASE WHEN i % 2 = 0
+                     THEN CASE WHEN CAST(c15[i+1:i+1] AS INT) * 2 > 9
+                       THEN CAST(c15[i+1:i+1] AS INT) * 2 - 9
+                       ELSE CAST(c15[i+1:i+1] AS INT) * 2 END
+                     ELSE CAST(c15[i+1:i+1] AS INT) END), 'sum') AS s15
+          FROM b),
+        f AS (
+          SELECT doc_id, text,
+                 CASE WHEN doc_id % 2 = 0 THEN '-' ELSE ' ' END AS sep,
+                 c15 || CAST((10 - s15 % 10) % 10 AS VARCHAR) AS v16,
+                 c15 || CAST(((10 - s15 % 10) % 10 + 1) % 10 AS VARCHAR)
+                   AS i16
+          FROM s),
+        g AS (
+          SELECT doc_id, text,
+                 v16[1:4] || sep || v16[5:8] || sep || v16[9:12] || sep
+                   || v16[13:16] AS vf,
+                 i16[1:4] || sep || i16[5:8] || sep || i16[9:12] || sep
+                   || i16[13:16] AS invf
+          FROM f),
+        t AS (
+          SELECT doc_id,
+                 text || ' card ' || vf || ' ref ' || invf AS t2, vf
+          FROM g)
+        SELECT doc_id, CAST(1 AS INT) AS n_cards,
+               md5(replace(t2, vf, '<CARD>')) AS scrubbed_md5
+        FROM t"""),
+      (s, dir) => {
+        val card15 = concat(
+          lpad(((col("doc_id") * 7919) % 100000).cast("string"), 5, "0"),
+          lit("4242424242"))
+        val s15 = aggregate(
+          transform(filter(split(card15, ""), c => c =!= ""), (c, i) => {
+            val d = c.cast("int")
+            when(i % 2 === 0,
+              when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+          }),
+          lit(0), (a, x) => a + x)
+        val chk = (lit(10) - s15 % 10) % 10
+        val valid16 = concat(card15, chk.cast("string"))
+        val invalid16 = concat(card15, ((chk + 1) % 10).cast("string"))
+        val sep = when(col("doc_id") % 2 === 0, lit("-")).otherwise(lit(" "))
+        def fmt(x: org.apache.spark.sql.Column) = concat(
+          substring(x, 1, 4), sep, substring(x, 5, 4), sep,
+          substring(x, 9, 4), sep, substring(x, 13, 4))
+        val t2 = concat(col("text"), lit(" card "), fmt(valid16),
+          lit(" ref "), fmt(invalid16))
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          Curation.cardCount(t2).cast("int").as("n_cards"),
+          md5(Curation.scrubPii(t2)).as("scrubbed_md5"))
+      }),
+
+    // ---- line-structure quality signals (Dolma/C4 battery) ------------------
+    // The synthetic corpus is single-line, so both engines first render
+    // each doc as a PAGE deterministically (8 words per line; line i's
+    // terminator cycles . ! ? none on (doc_id+i)%4; every line with
+    // (doc_id+i)%5==2 is a '- ' bullet), then the engine computes the
+    // line battery: terminal-punctuation fraction (the C4 sentence
+    // filter), bullet fraction, line-length moments. Every ratio is a
+    // small-integer division rounded to 4.
+    Q(
+      "q138_line_stats",
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents),
+        r AS (
+          SELECT doc_id,
+                 list_transform(
+                   range(CAST(ceil(len(ws) / 8.0) AS BIGINT)), i ->
+                   (CASE WHEN (doc_id + i) % 5 = 2 THEN '- ' ELSE '' END)
+                   || array_to_string(ws[i*8+1 : i*8+8], ' ')
+                   || (CASE WHEN (doc_id + i) % 4 = 0 THEN '.'
+                            WHEN (doc_id + i) % 4 = 1 THEN '!'
+                            WHEN (doc_id + i) % 4 = 2 THEN '?'
+                            ELSE '' END)) AS ls
+          FROM w WHERE len(ws) > 0)
+        SELECT doc_id,
+               CAST(len(ls) AS INT) AS n_lines,
+               round(CAST(len(list_filter(ls, l ->
+                   regexp_matches(l, '[.!?"]$'))) AS DOUBLE)
+                 / len(ls), 4) AS frac_end_punct,
+               round(CAST(len(list_filter(ls, l ->
+                   regexp_matches(l, '^[-*]'))) AS DOUBLE)
+                 / len(ls), 4) AS frac_bullet,
+               round(CAST(list_aggregate(list_transform(ls,
+                   l -> length(l)), 'sum') AS DOUBLE)
+                 / len(ls), 4) AS mean_line_chars,
+               CAST(list_aggregate(list_transform(ls, l -> length(l)),
+                 'max') AS INT) AS max_line_chars
+        FROM r"""),
+      (s, dir) => {
+        val ws = filter(split(col("text"), " "), w => w =!= "")
+        val nLines = ceil(size(ws) / lit(8.0)).cast("int")
+        val lines = transform(sequence(lit(0), nLines - 1), i => {
+          val m = (col("doc_id") + i) % 4
+          val term = when(m === 0, ".").when(m === 1, "!")
+            .when(m === 2, "?").otherwise("")
+          val bullet =
+            when((col("doc_id") + i) % 5 === 2, "- ").otherwise(lit(""))
+          concat(bullet,
+            array_join(slice(ws, i * 8 + 1, lit(8)), " "), term)
+        })
+        Curation.lineStats(
+          Tables(s, dir, "documents")
+            .filter(size(ws) > 0)
+            .select(col("doc_id"),
+              array_join(lines, "\n").as("text")))
       })
   )
 }

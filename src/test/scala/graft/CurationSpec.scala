@@ -113,6 +113,36 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Int]("np") == 0)
   }
 
+  test("card scrub: Luhn decides — valid cards redact, random digit runs survive") {
+    import spark.implicits._
+    // 4242424242424242 is the canonical Luhn-valid test number;
+    // flipping its last digit breaks the checksum
+    val t = "pay 4242-4242-4242-4242 order 4242 4242 4242 4243 " +
+      "raw 4242424242424242 call 555-010-1234"
+    val r = Seq(t).toDF("t").select(
+      Curation.scrubPii($"t").as("s"),
+      Curation.cardCount($"t").as("nc"),
+      Curation.phoneCount($"t").as("np")).collect().head
+    // both VALID forms (grouped + contiguous) scrub; the Luhn-invalid
+    // order id survives; the phone still gets its own placeholder
+    assert(r.getAs[String]("s") ==
+      "pay <CARD> order 4242 4242 4242 4243 raw <CARD> call <PHONE>")
+    assert(r.getAs[Int]("nc") == 2)
+    assert(r.getAs[Int]("np") == 1)
+
+    // luhnValid length bounds: 12 digits never valid, 13 can be
+    val v = Seq(("4222222222222", "422222222222")).toDF("ok13", "no12")
+      .select(Curation.luhnValid($"ok13").as("a"),
+        Curation.luhnValid($"no12").as("b")).collect().head
+    assert(v.getBoolean(0) && !v.getBoolean(1))
+
+    // an email whose local part is card-shaped is consumed by the
+    // email rule first (priority chain intact)
+    val e = Seq("x 4242424242424242@mail.com y").toDF("t")
+      .select(Curation.scrubPii($"t").as("s")).collect().head
+    assert(e.getAs[String]("s") == "x <EMAIL> y")
+  }
+
   test("segmentDedup keeps first occurrence corpus-wide, reassembles") {
     import spark.implicits._
     // seg width 2: doc 1 = [a b][c d][a b] (self-dup), doc 2 = [c d]
