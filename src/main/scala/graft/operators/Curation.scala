@@ -223,6 +223,50 @@ object Curation {
         .cast("int").as("max_line_chars"))
   }
 
+  // ---- exact-k stratified sampling ------------------------------------------
+
+  /** Deterministic EXACT-k sample per stratum (domain/language/source)
+    * — the eval-set construction step ([[mixtureSample]] keeps a
+    * deterministic *fraction*; this keeps a deterministic *count*).
+    * Rows are ranked inside each stratum by an md5 draw (reproducible
+    * run-to-run and engine-to-engine, no `rand()`), and the first `k`
+    * survive, returned with their `strat_rank`.
+    *
+    * Scale shape — the ranking window never sees the corpus: a tiny
+    * per-stratum count (partial-aggregated) derives a keep
+    * probability `p = min(1, oversample·k/n)`, a codegen hash filter
+    * inside the scan keeps ~oversample·k rows per stratum, and ONLY
+    * those survivors shuffle into the per-stratum window. At
+    * oversample=8 the chance a large stratum under-fills below k is
+    * Chernoff-negligible (< e^{-2k}), and small strata take p = 1
+    * (exact by construction); the draw+rank definition is what both
+    * engines replay, so the q139 gate is value-exact regardless. A
+    * hot stratum costs O(oversample·k) window rows, not O(n). */
+  def stratifiedSample(
+      df: org.apache.spark.sql.DataFrame, domainCol: String, k: Int,
+      idCol: String = "doc_id", oversample: Double = 8.0)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k $k")
+    require(oversample >= 1.0, s"oversample $oversample")
+    val counts = df.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__p",
+        least(lit(1.0), lit(oversample * k) / col("__n")))
+    val h = md5(concat(lit("strat:"), col(idCol).cast("string")))
+    val draw = conv(substring(h, 1, 15), 16, 10).cast("long")
+    // null-safe domain join: a null stratum is its own group, like
+    // temperatureResample
+    val pre = df.join(broadcast(counts), col(domainCol) <=> col("__dom"))
+      .filter(draw <
+        floor(col("__p") * lit(1152921504606846976.0 /* 2^60 */))
+          .cast("long"))
+    val w = Window.partitionBy(col(domainCol)).orderBy(h, col(idCol))
+    pre.withColumn("strat_rank", row_number().over(w))
+      .filter(col("strat_rank") <= k)
+      .drop("__dom", "__n", "__p")
+  }
+
   // ---- domain-weighted mixture sampling -----------------------------------
 
   /** 32-hex-digit threshold: `md5hex(key) < hexThreshold(w)` keeps a

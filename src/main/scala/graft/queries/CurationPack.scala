@@ -1098,6 +1098,41 @@ object CurationPack extends QueryPack {
             .filter(size(ws) > 0)
             .select(col("doc_id"),
               array_join(lines, "\n").as("text")))
-      })
+      }),
+
+    // ---- exact-k stratified sampling ---------------------------------------
+    // The eval-set construction step: exactly k=20 docs per source,
+    // drawn by a deterministic md5 order. The oracle replays the
+    // two-phase definition (per-stratum count → keep probability →
+    // hash prefilter → rank among survivors), so the gate pins the
+    // exact member set AND each member's rank.
+    Q(
+      "q139_stratified_sample",
+      Some("""
+        WITH c AS (
+          SELECT source AS dom, count(*) AS n FROM documents GROUP BY 1),
+        p AS (
+          SELECT dom, least(1.0, 160.0 / n) AS p FROM c),
+        d AS (
+          SELECT doc_id, source,
+                 md5('strat:' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents JOIN p ON documents.source = p.dom
+          WHERE CAST(CAST(('0x' || substring(
+                  md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS UBIGINT) AS BIGINT)
+                < CAST(floor(p.p * 1152921504606846976.0) AS BIGINT)),
+        r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY h, doc_id) AS rk
+          FROM d)
+        SELECT doc_id, source, CAST(rk AS INT) AS strat_rank
+        FROM r WHERE rk <= 20"""),
+      (s, dir) =>
+        Curation.stratifiedSample(
+            Tables(s, dir, "documents").select("doc_id", "source"),
+            "source", k = 20)
+          .select(col("doc_id"), col("source"),
+            col("strat_rank").cast("int")))
   )
 }

@@ -143,6 +143,36 @@ class CurationSpec extends SparkSpec {
     assert(e.getAs[String]("s") == "x <EMAIL> y")
   }
 
+  test("stratifiedSample: exact k per stratum; prefilter preserves the global top-k") {
+    import spark.implicits._
+    val big = spark.range(10000).toDF("doc_id")
+      .withColumn("dom", when(col("doc_id") % 2 === 0, "a").otherwise("b"))
+    val tiny = Seq((900001L, "c"), (900002L, "c"), (900003L, "c"))
+      .toDF("doc_id", "dom")
+    val df = big.unionByName(tiny)
+    val out = Curation.stratifiedSample(df, "dom", k = 25)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2)))
+    // exact k for large strata; a stratum smaller than k keeps all
+    val byDom = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byDom === Map("a" -> 25, "b" -> 25, "c" -> 3))
+    // the hash prefilter is loss-free for the top-k: the two-phase
+    // sample equals the single-pass global rank-by-hash top-k
+    // (small draws survive the draw-threshold filter by definition)
+    val direct = df
+      .withColumn("h", md5(concat(lit("strat:"), col("doc_id").cast("string"))))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("dom")
+          .orderBy(col("h"), col("doc_id"))))
+      .filter(col("rk") <= 25)
+      .select("dom", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out.map(t => (t._1, t._2)).toSet === direct)
+    // deterministic: reruns are identical
+    val again = Curation.stratifiedSample(df, "dom", k = 25)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2)))
+    assert(again.toSet === out.toSet)
+  }
+
   test("segmentDedup keeps first occurrence corpus-wide, reassembles") {
     import spark.implicits._
     // seg width 2: doc 1 = [a b][c d][a b] (self-dup), doc 2 = [c d]
