@@ -230,6 +230,54 @@ object Fts {
   /** Load an [[ftsFlow]]-maintained index for [[bm25]]. Doc ids are
     * the engine's STRING item keys. The postings keep their `bucket`
     * partition column and the term→bucket map, so [[bm25]] prunes. */
+  /** Batch bootstrap of an [[ftsFlow]]-shaped index WITHOUT the flow
+    * engine — the FTS member of the bootstrap family
+    * ([[graft.operators.Similarity.srpIndexBootstrap]],
+    * [[graft.operators.Dedup.minHashIndexBootstrap]]): ONE
+    * distributed write of the postings and doc-length tables in the
+    * targets' exact bucket layouts (postings bucketed by the TERM so
+    * query-time pruning works; doc lengths by row_key), plus the
+    * layout sidecar [[ftsLoad]] requires. [[ftsFlow]] with the same
+    * `numBuckets` takes over maintenance idempotently by row_key. */
+  def ftsIndexBootstrap(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      corpus: DataFrame, numBuckets: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val df = corpus.select(col(idCol).cast("string").as("item_key"),
+      col(textCol))
+    // the EXACT fts_index stage derivation — serve and flow takeover
+    // must agree bit-for-bit
+    val toks = df.select(col("item_key"),
+      explode(tokens(col(textCol))).as("term"))
+    val postings = toks.groupBy("item_key", "term")
+      .agg(count(lit(1)).as("tf"))
+      .select(col("item_key"),
+        concat(lit("pl:"), col("item_key"), lit(":"), col("term"))
+          .as("row_key"),
+        col("term"), col("tf"), lit(null).cast("long").as("dl"))
+    val lens = df
+      .select(col("item_key"),
+        concat(lit("dl:"), col("item_key")).as("row_key"),
+        lit(null).cast("string").as("term"),
+        lit(null).cast("long").as("tf"),
+        size(tokens(col(textCol))).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+    postings
+      .withColumn("bucket",
+        pmod(xxhash64(expr("substring_index(row_key, ':', -1)")),
+          lit(numBuckets.toLong)).cast("int"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$indexDir/postings")
+    lens
+      .withColumn("bucket",
+        pmod(xxhash64(col("row_key")), lit(numBuckets.toLong)).cast("int"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$indexDir/doclen")
+    graft.engine.Sidecar.write(
+      new java.io.File(indexDir, "_graft_fts.json"),
+      Map("numBuckets" -> numBuckets.toString))
+  }
+
   def ftsLoad(spark: org.apache.spark.sql.SparkSession, indexDir: String)
       : Index = {
     // the bucket count MUST come from the index's own declaration: a

@@ -99,9 +99,11 @@ object SearchPack extends QueryPack {
       (s, dir) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft-q65")
         tmp.toFile.deleteOnExit()
-        Fts.ftsFlow(s, "q65_fts",
-          sp => Tables(sp, dir, "documents").select("doc_id", "text"),
-          s"$tmp/index", s"$tmp/state").run(s)
+        // the index stands up as ONE batch write (the 100 TB
+        // bootstrap); flow-built maintenance of the same layout is
+        // gated by q82 (SearchCollection syncs) + FtsFlowSpec
+        Fts.ftsIndexBootstrap(s, s"$tmp/index",
+          Tables(s, dir, "documents").select("doc_id", "text"))
         Fts.bm25(Fts.ftsLoad(s, s"$tmp/index"), QueryTerms)
           .select(col("doc_id").cast("bigint").as("doc_id"),
             round(col("score"), 4).as("score"))

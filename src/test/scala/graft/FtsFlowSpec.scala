@@ -24,6 +24,42 @@ class FtsFlowSpec extends SparkSpec {
       .write.mode("overwrite").parquet(dir)
   }
 
+  test("batch bootstrap serves identical BM25 and hands over to the flow") {
+    val root = Files.createTempDirectory("fts-boot")
+    val corpusDir = root.resolve("corpus").toString
+    val indexDir = root.resolve("index").toString
+    writeCorpus(corpusDir, texts)
+
+    // stand up as ONE batch write, serve
+    Fts.ftsIndexBootstrap(spark, indexDir,
+      spark.read.parquet(corpusDir), numBuckets = 4)
+    def served: Map[String, Double] =
+      Fts.bm25(Fts.ftsLoad(spark, indexDir), Seq("spark", "batch"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val boot = served
+    // equals the flow-built index's scores over the same corpus
+    val flowRoot = Files.createTempDirectory("fts-boot-flow")
+    val flow2 = Fts.ftsFlow(spark, "fts-ref",
+      s => s.read.parquet(corpusDir),
+      flowRoot.resolve("index").toString,
+      flowRoot.resolve("state").toString, numBuckets = 4)
+    flow2.run(spark)
+    val viaFlow = Fts.bm25(
+        Fts.ftsLoad(spark, flowRoot.resolve("index").toString),
+        Seq("spark", "batch"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(boot === viaFlow)
+
+    // flow takeover on the bootstrapped dir: first run re-derives by
+    // row_key (idempotent), second run is a clean noop, serve stable
+    val flow = Fts.ftsFlow(spark, "fts-takeover",
+      s => s.read.parquet(corpusDir), indexDir,
+      root.resolve("state").toString, numBuckets = 4)
+    flow.run(spark)
+    assert(flow.run(spark).isNoop)
+    assert(served === boot)
+  }
+
   test("doc edits rewrite only their postings; served BM25 matches direct") {
     val root = Files.createTempDirectory("fts-flow")
     val corpusDir = root.resolve("corpus").toString
