@@ -247,11 +247,23 @@ object Bench {
         prev.get(n).exists(p => t > 3.0 * math.max(p, rerunFloorSec))
     }
     val rerunFirst = rerunCandidates.toMap
-    val rerunTimes = rerunCandidates.map { case (n, _) =>
+    val rerunTimes = rerunCandidates.flatMap { case (n, _) =>
       System.err.println(
         f"[bench] re-running outlier $n (${rerunFirst(n)}%.1f s vs " +
           f"prev ${prev(n)}%.1f s)")
-      n -> timeOne(n, fnOf(n))
+      val t = timeOne(n, fnOf(n))
+      // a FAILED re-run proves nothing about the first (successful)
+      // pass: discard its fast-failure elapsed time and un-mark the
+      // failure — otherwise the artifact would stamp min(46s, 0.4s
+      // crash) as a phantom improvement AND list a succeeded query
+      // as failed (review r15 finding)
+      if (failedSet(n)) {
+        failedSet -= n
+        System.err.println(
+          s"[bench] re-run of $n itself failed — keeping the " +
+            "first-pass time")
+        None
+      } else Some(n -> t)
     }.toMap
     val results = firstPass.map { case (n, t) =>
       n -> math.min(t, rerunTimes.getOrElse(n, t))

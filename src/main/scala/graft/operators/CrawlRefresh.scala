@@ -55,18 +55,25 @@ object CrawlRefresh {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val diff = Curation.corpusDiff(oldSnap, newSnap, idCol, textCol)
       .localCheckpoint() // eager: breaks the self-join lineage below
-    val slice = newSnap
-      .join(diff.filter(col("status").isin("added", "changed"))
-        .select(col("id")), newSnap(idCol) === col("id"), "left_semi")
-      .select(col(idCol), col(textCol))
-    val unchanged = newSnap
-      .join(diff.filter(col("status") === "unchanged").select(col("id")),
-        newSnap(idCol) === col("id"), "left_semi")
-      .select(col(idCol), col(textCol))
+    val (slice, unchanged) =
+      sliceAndUnchanged(newSnap, diff, idCol, textCol)
     val exactKept = Dedup.incrementalDedup(unchanged, slice, textCol)
     val fuzzyKept = Dedup.incrementalNearDup(unchanged, exactKept,
       threshold, idCol = idCol, textCol = textCol)
     unchanged.unionByName(fuzzyKept)
+  }
+
+  /** The diff routed back to the new snapshot's rows: (slice =
+    * added+changed, unchanged) — ONE definition shared by both forms
+    * so the pure gate and the production pass cannot diverge. */
+  private def sliceAndUnchanged(
+      newSnap: DataFrame, diff: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    def route(statuses: Seq[String]) = newSnap
+      .join(diff.filter(col("status").isin(statuses: _*))
+        .select(col("id")), newSnap(idCol) === col("id"), "left_semi")
+      .select(col(idCol), col(textCol))
+    (route(Seq("added", "changed")), route(Seq("unchanged")))
   }
 
   /** One night's production stats. `manifest` is the full per-shard
@@ -115,9 +122,18 @@ object CrawlRefresh {
       expectedKeys: Long = 1L << 20): NightlyStats = {
     val exportDir = s"$workDir/export"
     val keyIdx = s"$workDir/keyidx"
+    // every export read goes through the empty-safe branch: a night
+    // that retires EVERY document (all changed, or an empty
+    // snapshot) leaves the export with zero data files, which
+    // parquet schema inference cannot read — the kept corpus is then
+    // the empty relation, not an unrecoverable wedge of the workDir
+    // state (review r15 finding)
+    def readExport(sp: SparkSession): DataFrame =
+      if (Curation.exportHasFiles(exportDir))
+        sp.read.parquet(exportDir).select(col(idCol), col(textCol))
+      else newSnap.filter(lit(false)).select(col(idCol), col(textCol))
     val flow = Dedup.minHashFlow("crawl_refresh_bands",
-      sp => sp.read.parquet(exportDir)
-        .select(col(idCol), col(textCol)),
+      sp => readExport(sp),
       indexDir = s"$workDir/mhindex", stateDir = s"$workDir/mhstate",
       idCol = idCol, textCol = textCol)
 
@@ -138,18 +154,16 @@ object CrawlRefresh {
         keptSize = n, manifest = manifest)
     }
 
-    val old = spark.read.parquet(exportDir)
-      .select(col(idCol), col(textCol))
+    val old = readExport(spark)
     val diff = Curation.corpusDiff(old, newSnap, idCol, textCol)
       .localCheckpoint()
-    val slice = newSnap
-      .join(diff.filter(col("status").isin("added", "changed"))
-        .select(col("id")), newSnap(idCol) === col("id"), "left_semi")
-      .select(col(idCol), col(textCol)).localCheckpoint()
-    val unchanged = newSnap
-      .join(diff.filter(col("status") === "unchanged").select(col("id")),
-        newSnap(idCol) === col("id"), "left_semi")
-      .select(col(idCol), col(textCol))
+    val (slice0, unchanged0) =
+      sliceAndUnchanged(newSnap, diff, idCol, textCol)
+    // both sides pinned once: `unchanged` feeds two manifest passes
+    // and two exports below — without the checkpoint each re-executes
+    // the full snapshot scan + semi-join (review r15 finding)
+    val slice = slice0.localCheckpoint()
+    val unchanged = unchanged0.localCheckpoint()
     val removedSize = diff.filter(col("status") === "removed").count()
     val sliceSize = slice.count()
 
@@ -163,8 +177,7 @@ object CrawlRefresh {
     // screens — all served from persisted state
     val exactKept = Dedup.incrementalDedupOver(spark, keyIdx, slice)
     val fuzzyKept = Dedup.minHashIncrementOver(spark,
-      s"$workDir/mhindex",
-      spark.read.parquet(exportDir).select(col(idCol), col(textCol)),
+      s"$workDir/mhindex", readExport(spark),
       exactKept, threshold, idCol = idCol, textCol = textCol)
       .localCheckpoint()
     val keptNew = fuzzyKept.count()

@@ -144,12 +144,16 @@ object Curation {
       lit(PhonePattern))
 
   /** Candidate payment-card spans: 16 digits in groups of 4 joined
-    * by a consistent '-'/' '/nothing. A REGEX cannot decide card-ness
-    * — the Luhn checksum can ([[luhnValid]]), so the scrub pairs this
-    * pattern with per-span validation: random 16-digit runs (order
-    * ids, hashes) survive, real card numbers do not. Kept
-    * dialect-portable like the other patterns. */
-  val CardPattern = "\\b[0-9]{4}([- ]?[0-9]{4}){3}\\b"
+    * by a consistent '-'/' '/nothing (an alternation of the three
+    * fully-consistent forms — "4242-4242 4242 4242" mixes separators
+    * and is not a plausible card rendering, so it must not match). A
+    * REGEX cannot decide card-ness — the Luhn checksum can
+    * ([[luhnValid]]), so the scrub pairs this pattern with per-span
+    * validation: random 16-digit runs (order ids, hashes) survive,
+    * real card numbers do not. Kept dialect-portable like the other
+    * patterns. */
+  val CardPattern =
+    "\\b[0-9]{4}(([-][0-9]{4}){3}|([ ][0-9]{4}){3}|[0-9]{12})\\b"
 
   /** Luhn checksum validity of the digits inside `span` — pure
     * codegen HOF arithmetic (reverse, double every second digit from
@@ -180,15 +184,22 @@ object Curation {
     * placeholder. Email first: an IP-shaped host inside an email
     * must be consumed by the email rule, not split by the IP rule.
     * Cards second (most specific digit rule): each candidate span is
-    * Luhn-validated, and only valid spans fold into `<CARD>` (a
-    * literal-replace fold over the validated span list — still
-    * whole-stage codegen, no UDF). */
+    * Luhn-validated, and only valid spans fold into `<CARD>` — the
+    * fold replaces `\b`-ANCHORED occurrences of the span, never bare
+    * substrings, so a valid card embedded inside a longer digit run
+    * (which the candidate regex rightly never matched) cannot be
+    * corrupted; a standalone repeat of the same span is itself a
+    * candidate and redacts, keeping [[cardCount]] equal to the
+    * emitted placeholders. Span characters are digits/'-'/' ' only,
+    * all regex-literal outside a class, so the dynamic pattern needs
+    * no quoting. Still whole-stage codegen, no UDF. */
   def scrubPii(text: Column): Column = {
     val e = regexp_replace(text, EmailPattern, "<EMAIL>")
     val c = aggregate(
       filter(regexp_extract_all(e, lit(CardPattern), lit(0)),
         sp => luhnValid(sp)),
-      e, (acc, sp) => replace(acc, sp, lit("<CARD>")))
+      e, (acc, sp) => regexp_replace(acc,
+        concat(lit("\\b"), sp, lit("\\b")), lit("<CARD>")))
     regexp_replace(
       regexp_replace(c, Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
@@ -543,12 +554,39 @@ object Curation {
     // non-deterministic source (re-read of a mutating directory,
     // nondeterministic columns) a source-recomputed manifest could
     // describe bytes that were never written (ADVICE r14) — the
-    // handoff artifact must match the export by construction
-    val manifest = shardManifest(
-      df.sparkSession.read.parquet(outDir).drop("shard"),
-      idCol, hashCols, hexDigits).localCheckpoint()
+    // handoff artifact must match the export by construction. An
+    // EMPTY source writes no partition files at all (partitionBy
+    // emits nothing), which schema inference cannot read — the
+    // manifest of an empty export is the empty manifest (review r15
+    // finding; the pre-r14 source-computed path returned the same).
+    val manifest = (
+      if (exportHasFiles(outDir))
+        shardManifest(df.sparkSession.read.parquet(outDir).drop("shard"),
+          idCol, hashCols, hexDigits)
+      else emptyManifest(df.sparkSession)
+    ).localCheckpoint()
     saveManifestSidecar(df.sparkSession, outDir, manifest)
     manifest
+  }
+
+  /** Does the export dir hold any data files? partitionBy writes
+    * NOTHING (not even schema) for an empty frame, so readers must
+    * branch rather than let parquet schema inference throw. */
+  private[graft] def exportHasFiles(outDir: String): Boolean = {
+    def walk(f: java.io.File): Boolean =
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.exists(walk)
+      else f.getName.endsWith(".parquet")
+    walk(new java.io.File(outDir))
+  }
+
+  private def emptyManifest(
+      spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq("shard", "n_rows", "content_hash", "min_id",
+        "max_id").map(StructField(_, LongType))))
   }
 
   /** Incremental re-export (r14 verdict task #7): [[exportShards]]

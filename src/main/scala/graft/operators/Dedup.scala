@@ -518,23 +518,13 @@ object Dedup {
       changeFeed: Option[() => graft.engine.SourceWatcher] = None)
       : graft.engine.Flow = {
     require(numHashes % bandRows == 0)
-    val nBands = numHashes / bandRows
     // textCol/idCol are part of the stage's logic: changing either on
     // an existing stateDir must invalidate the memo, or the index
     // keeps serving band codes computed from the old column
     val stage = graft.engine.CocoFn("minhash_bands", 1,
       deps = Seq(s"h=$numHashes", s"r=$bandRows", s"n=$n",
         s"t=$textCol", s"id=$idCol"),
-      fn = df => df
-        .select(col("item_key"), shingleHashUdf(n)(col(textCol)).as("sh"))
-        .withColumn("sig", minHashSigUdf(numHashes)(col("sh")))
-        .filter(col("sig").isNotNull)
-        .select(col("item_key"), size(col("sh")).as("sz"),
-          explode(sequence(lit(0), lit(nBands - 1))).as("band"), col("sig"))
-        .withColumn("code", bandCode(bandRows))
-        .select(col("item_key"),
-          concat(col("item_key"), lit(":"), col("band")).as("row_key"),
-          col("band"), col("code"), col("sz")))
+      fn = df => minHashBandRows(df, numHashes, bandRows, n, textCol))
     val tableSrc = graft.engine.TableSource(corpus, keyCol = idCol)
     new graft.engine.Flow(name,
       changeFeed.map(f => graft.engine.ChangeFeedSource(tableSrc, f):
@@ -569,12 +559,28 @@ object Dedup {
       numBuckets: Int = 8): Unit = {
     require(numHashes % bandRows == 0)
     require(numHashes <= minHashA.length)
+    minHashBandRows(
+      corpus.select(col(idCol).cast("string").as("item_key"),
+        col(textCol)),
+      numHashes, bandRows, n, textCol)
+      .withColumn("bucket",
+        pmod(xxhash64(col("row_key")), lit(numBuckets.toLong)).cast("int"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(indexDir)
+    graft.engine.Sidecar.write(minHashMetaFile(indexDir), Map(
+      "n" -> n.toString, "idCol" -> idCol, "textCol" -> textCol,
+      "numHashes" -> numHashes.toString,
+      "bandRows" -> bandRows.toString))
+  }
+
+  /** The band-row derivation shared by [[minHashFlow]]'s stage and
+    * [[minHashIndexBootstrap]] — ONE copy, so probe/index bit-parity
+    * cannot drift between the two build paths (review r15). Input
+    * carries `(item_key, textCol)`; output is the index row set. */
+  private def minHashBandRows(
+      df: DataFrame, numHashes: Int, bandRows: Int, n: Int,
+      textCol: String): DataFrame = {
     val nBands = numHashes / bandRows
-    // the EXACT stage pipeline minHashFlow writes — probe and index
-    // must agree bit-for-bit
-    corpus
-      .select(col(idCol).cast("string").as("item_key"),
-        shingleHashUdf(n)(col(textCol)).as("sh"))
+    df.select(col("item_key"), shingleHashUdf(n)(col(textCol)).as("sh"))
       .withColumn("sig", minHashSigUdf(numHashes)(col("sh")))
       .filter(col("sig").isNotNull)
       .select(col("item_key"), size(col("sh")).as("sz"),
@@ -583,13 +589,6 @@ object Dedup {
       .select(col("item_key"),
         concat(col("item_key"), lit(":"), col("band")).as("row_key"),
         col("band"), col("code"), col("sz"))
-      .withColumn("bucket",
-        pmod(xxhash64(col("row_key")), lit(numBuckets.toLong)).cast("int"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(indexDir)
-    graft.engine.Sidecar.write(minHashMetaFile(indexDir), Map(
-      "n" -> n.toString, "idCol" -> idCol, "textCol" -> textCol,
-      "numHashes" -> numHashes.toString,
-      "bandRows" -> bandRows.toString))
   }
 
   // sibling of the index dir, NOT inside it: a destructive target

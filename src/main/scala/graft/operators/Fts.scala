@@ -195,29 +195,8 @@ object Fts {
     // single-flow layout prefixed every row_key (pl:/dl:) — memoized
     // v1 outputs describe rows that no longer exist under these keys
     val stage = graft.engine.CocoFn("fts_index", 2,
-      deps = Seq(s"t=$textCol", s"id=$idCol"), fn = df => {
-      val toks = df.select(col("item_key"),
-        explode(tokens(col(textCol))).as("term"))
-      val postings = toks.groupBy("item_key", "term")
-        .agg(count(lit(1)).as("tf"))
-        .select(col("item_key"),
-          concat(lit("pl:"), col("item_key"), lit(":"), col("term"))
-            .as("row_key"),
-          col("term"), col("tf"),
-          lit(null).cast("long").as("dl"))
-      // token-less (or null-text) docs have no postings, so they must
-      // have no doc-length row either — otherwise the served N/avgdl
-      // diverge from buildIndex, which derives lengths from exploded
-      // tokens and never sees such docs
-      val lens = df
-        .select(col("item_key"),
-          concat(lit("dl:"), col("item_key")).as("row_key"),
-          lit(null).cast("string").as("term"),
-          lit(null).cast("long").as("tf"),
-          size(tokens(col(textCol))).cast("long").as("dl"))
-        .filter(col("dl") > 0)
-      postings.unionByName(lens)
-    })
+      deps = Seq(s"t=$textCol", s"id=$idCol"),
+      fn = df => ftsIndexRows(df, textCol))
     FtsFlows(new graft.engine.Flow(name, src, Seq(stage), target, stateDir,
       // the layout declaration ftsLoad prunes by — written only
       // AFTER a successful commit, so it always describes the
@@ -243,10 +222,36 @@ object Fts {
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       corpus: DataFrame, numBuckets: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val df = corpus.select(col(idCol).cast("string").as("item_key"),
-      col(textCol))
-    // the EXACT fts_index stage derivation — serve and flow takeover
-    // must agree bit-for-bit
+    val rows = ftsIndexRows(
+      corpus.select(col(idCol).cast("string").as("item_key"),
+        col(textCol)), textCol)
+    val postings = rows.filter(col("row_key").startsWith("pl:"))
+    val lens = rows.filter(col("row_key").startsWith("dl:"))
+    postings
+      .withColumn("bucket",
+        pmod(xxhash64(expr("substring_index(row_key, ':', -1)")),
+          lit(numBuckets.toLong)).cast("int"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$indexDir/postings")
+    lens
+      .withColumn("bucket",
+        pmod(xxhash64(col("row_key")), lit(numBuckets.toLong)).cast("int"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$indexDir/doclen")
+    graft.engine.Sidecar.write(
+      new java.io.File(indexDir, "_graft_fts.json"),
+      Map("numBuckets" -> numBuckets.toString))
+  }
+
+  /** The index-row derivation shared by [[ftsFlow]]'s stage and
+    * [[ftsIndexBootstrap]] — ONE copy, so the two build paths cannot
+    * drift (review r15). Input carries `(item_key, textCol)`; output
+    * is the fanout row set: `pl:` postings and `dl:` doc lengths.
+    * Token-less (or null-text) docs have no postings, so they must
+    * have no doc-length row either — otherwise the served N/avgdl
+    * diverge from buildIndex, which derives lengths from exploded
+    * tokens and never sees such docs. */
+  private def ftsIndexRows(df: DataFrame, textCol: String): DataFrame = {
     val toks = df.select(col("item_key"),
       explode(tokens(col(textCol))).as("term"))
     val postings = toks.groupBy("item_key", "term")
@@ -262,20 +267,7 @@ object Fts {
         lit(null).cast("long").as("tf"),
         size(tokens(col(textCol))).cast("long").as("dl"))
       .filter(col("dl") > 0)
-    postings
-      .withColumn("bucket",
-        pmod(xxhash64(expr("substring_index(row_key, ':', -1)")),
-          lit(numBuckets.toLong)).cast("int"))
-      .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$indexDir/postings")
-    lens
-      .withColumn("bucket",
-        pmod(xxhash64(col("row_key")), lit(numBuckets.toLong)).cast("int"))
-      .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$indexDir/doclen")
-    graft.engine.Sidecar.write(
-      new java.io.File(indexDir, "_graft_fts.json"),
-      Map("numBuckets" -> numBuckets.toString))
+    postings.unionByName(lens)
   }
 
   def ftsLoad(spark: org.apache.spark.sql.SparkSession, indexDir: String)

@@ -274,10 +274,20 @@ object Multimodal {
     // would cast("long") to null and die deep in the encoder with an
     // opaque NPE — refuse it by type up front, and surface a null
     // KEY VALUE (boxed encoder, explicit check) as a clear error
-    // naming the column instead of a runtime NullPointerException
+    // naming the column instead of a runtime NullPointerException.
+    // INTEGRAL only (review r15): a Double/Decimal key would pass a
+    // NumericType check but cast lossily (1.2 and 1.7 both -> 1),
+    // silently colliding two images on one key.
     val keyType = df.schema(keyCol).dataType
-    require(keyType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"imageDHash: key column '$keyCol' must be numeric " +
+    val integral = keyType match {
+      case org.apache.spark.sql.types.ByteType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(integral,
+      s"imageDHash: key column '$keyCol' must be an integral type " +
         s"(got ${keyType.simpleString}) — keys identify images and " +
         "must cast losslessly to long")
     df.select(col(keyCol).cast("long"), col(mediaCol).cast("binary"))

@@ -794,13 +794,7 @@ object Similarity {
       // serving codes computed from the old column
       deps = Seq(s"p=$planes", s"b=$bands", s"d=$dims",
         s"emb=$embCol", s"id=$idCol"),
-      fn = df => df
-        .select(col("item_key"),
-          posexplode(srpBandCodes(col(embCol), planes, bands, dims))
-            .as(Seq("band", "code")))
-        .select(col("item_key"),
-          concat(col("item_key"), lit(":"), col("band")).as("row_key"),
-          col("band"), col("code")))
+      fn = df => srpBandRows(df, planes, bands, dims, embCol))
     val tableSrc = graft.engine.TableSource(corpus, keyCol = idCol)
     new graft.engine.Flow(name,
       changeFeed.map(f => graft.engine.ChangeFeedSource(tableSrc, f):
@@ -833,13 +827,10 @@ object Similarity {
       dims: Int = 64, idCol: String = "vec_id",
       embCol: String = "embedding", numBuckets: Int = 8): Unit = {
     require(planes % bands == 0, s"planes $planes % bands $bands != 0")
-    corpus
-      .select(col(idCol).cast("string").as("item_key"),
-        posexplode(srpBandCodes(col(embCol), planes, bands, dims))
-          .as(Seq("band", "code")))
-      .select(col("item_key"),
-        concat(col("item_key"), lit(":"), col("band")).as("row_key"),
-        col("band"), col("code"))
+    srpBandRows(
+      corpus.select(col(idCol).cast("string").as("item_key"),
+        col(embCol)),
+      planes, bands, dims, embCol)
       .withColumn("bucket",
         pmod(xxhash64(col("row_key")), lit(numBuckets.toLong)).cast("int"))
       .write.partitionBy("bucket").mode("overwrite").parquet(indexDir)
@@ -847,6 +838,20 @@ object Similarity {
       "planes" -> planes.toString, "bands" -> bands.toString,
       "dims" -> dims.toString, "idCol" -> idCol, "embCol" -> embCol))
   }
+
+  /** The band-row derivation shared by [[srpFlow]]'s stage and
+    * [[srpIndexBootstrap]] — ONE copy, so probe/index bit-parity
+    * cannot drift between the two build paths (review r15). Input
+    * carries `(item_key, embCol)`; output is the index row set. */
+  private def srpBandRows(
+      df: DataFrame, planes: Int, bands: Int, dims: Int,
+      embCol: String): DataFrame =
+    df.select(col("item_key"),
+        posexplode(srpBandCodes(col(embCol), planes, bands, dims))
+          .as(Seq("band", "code")))
+      .select(col("item_key"),
+        concat(col("item_key"), lit(":"), col("band")).as("row_key"),
+        col("band"), col("code"))
 
   // sibling of the index dir, NOT inside it: a destructive target
   // transition truncates the dir itself, and the declared parameters

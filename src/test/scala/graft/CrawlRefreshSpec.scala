@@ -93,6 +93,37 @@ class CrawlRefreshSpec extends SparkSpec {
     assert(files() === before3)
   }
 
+  test("nightly survives a zero-unchanged night and an empty snapshot") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-crawl0")
+    work.toFile.deleteOnExit()
+    val wd = work.resolve("state").toString
+    val snapA = (1 to 5).map(i => doc(i, words(i))).toDF("doc_id", "text")
+    assert(CrawlRefresh.nightly(spark, wd, snapA).keptSize === 5)
+
+    // EVERY doc changed: phase 1 retires the whole corpus (no
+    // unchanged shards) — previously this wedged the workDir (all
+    // shard dirs deleted, parquet schema inference threw forever);
+    // now the empty export reads as the empty relation and the
+    // changed docs screen against nothing fuzzy (their old versions
+    // are retired)
+    val snapB = (1 to 5).map(i => doc(i, "v2: " + words(i)))
+      .toDF("doc_id", "text")
+    val nightB = CrawlRefresh.nightly(spark, wd, snapB)
+    assert(nightB.unchangedSize === 0 && nightB.keptSize === 5, nightB)
+
+    // an EMPTY snapshot removes everything and must not wedge either
+    val empty = snapB.filter(col("doc_id") < 0)
+    val nightC = CrawlRefresh.nightly(spark, wd, empty)
+    assert(nightC.keptSize === 0 && nightC.removedSize === 5, nightC)
+
+    // re-delivering previously-KEPT content after a full removal: the
+    // exact screen's documented ever-seen semantic drops it all (the
+    // key index accumulates; rescan-form semantics would keep it)
+    val nightD = CrawlRefresh.nightly(spark, wd, snapB)
+    assert(nightD.sliceSize === 5 && nightD.keptSize === 0, nightD)
+  }
+
   test("refreshRescan composes diff + both screens (pure form)") {
     import spark.implicits._
     val snapA = (1 to 20).map(i => doc(i, words(i))).toDF("doc_id", "text")

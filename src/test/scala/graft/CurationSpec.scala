@@ -141,6 +141,23 @@ class CurationSpec extends SparkSpec {
     val e = Seq("x 4242424242424242@mail.com y").toDF("t")
       .select(Curation.scrubPii($"t").as("s")).collect().head
     assert(e.getAs[String]("s") == "x <EMAIL> y")
+
+    // a valid card EMBEDDED in a longer digit run was never a
+    // candidate (no \b) and must not be corrupted by the fold when
+    // the same digits also appear standalone (review r15 finding)
+    val emb = Seq("pay 4242424242424242 order 94242424242424242425").toDF("t")
+      .select(Curation.scrubPii($"t").as("s"),
+        Curation.cardCount($"t").as("nc")).collect().head
+    assert(emb.getAs[String]("s") ==
+      "pay <CARD> order 94242424242424242425")
+    assert(emb.getAs[Int]("nc") == 1)
+
+    // mixed separators are not a plausible card rendering: no match
+    val mixed = Seq("id 4242-4242 4242 4242 end").toDF("t")
+      .select(Curation.scrubPii($"t").as("s"),
+        Curation.cardCount($"t").as("nc")).collect().head
+    assert(mixed.getAs[String]("s") == "id 4242-4242 4242 4242 end")
+    assert(mixed.getAs[Int]("nc") == 0)
   }
 
   test("stratifiedSample: exact k per stratum; prefilter preserves the global top-k") {
