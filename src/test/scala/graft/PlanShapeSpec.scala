@@ -85,4 +85,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("stratifiedSample: hash prefilter sits below the ranking window") {
+    val plan = planOf(graft.operators.Curation.stratifiedSample(
+      Tables(spark, sf, "documents").select("doc_id", "source"),
+      "source", k = 5))
+    // the window must consume the FILTERED side: the draw predicate
+    // (conv of the md5 prefix vs the broadcast per-stratum threshold)
+    // appears under the Window operator, so a hot stratum feeds the
+    // sort O(oversample*k) rows, never O(n)
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0, plan)
+    val below = plan.substring(winIdx)
+    assert(below.contains("conv(substring(md5"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan) // count join back
+  }
+
+  test("lineStats is a pure per-row map: no exchange, no window") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        concat_ws("\n", col("text"), lit("- bullet line."),
+          col("text")).as("text"))
+    val plan = planOf(graft.operators.Curation.lineStats(docs))
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("card scrub stays inside the scan stage: no exchange, no UDF") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.operators.Curation.scrubPii(col("text")).as("s"),
+        graft.operators.Curation.cardCount(col("text")).as("n"))
+    val plan = planOf(docs)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.toLowerCase.contains("batchevalpython"), plan)
+  }
 }
