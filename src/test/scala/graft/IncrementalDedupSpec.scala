@@ -186,6 +186,14 @@ class IncrementalDedupSpec extends SparkSpec {
     val plan = screened.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("__kp"),
       plan)
+    // and the pruning is REAL, not just present: ONE candidate key
+    // hashes to ONE partition, so the scan's PartitionFilters must
+    // carry a single __kp equality (isnotnull + one '='), never the
+    // 64-value sweep an unpruned layout would need
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan)
+      .getOrElse("")
+    assert(pf.contains("__kp"), plan)
+    assert(pf.count(_ == '=') <= 2, pf)
     // the per-batch path takes NO corpus DataFrame at all — its only
     // file scans are under the index dir
     val scannedPaths = "file:[^,\\]\\s]*".r.findAllIn(plan).toSeq
