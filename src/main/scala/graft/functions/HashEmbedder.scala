@@ -68,4 +68,31 @@ object HashEmbedder {
     val norm = sqrt(comps.map(c => c * c).reduce(_ + _) + lit(1e-12))
     array(comps.map(c => (c / norm).cast("float")): _*)
   }
+
+  /** BAG-OF-WORDS md5 embedding (feature hashing / random indexing):
+    * component i = Σ over whitespace words of [[md5Component]](word,
+    * i), plus a constant bias token so the zero document still maps
+    * to a well-defined nonzero direction (no NaN cosines anywhere —
+    * engines disagree on NaN comparison semantics). WORD-ORDER
+    * INVARIANT by construction: a reordered/reversed document embeds
+    * to the IDENTICAL vector — exactly the duplicate class n-gram
+    * Jaccard is blind to, which is what an embedding screen exists
+    * to catch ([[graft.operators.CrawlRefresh.EmbedScreen]]).
+    *
+    * Every component is an INTEGER-VALUED double (each word
+    * contributes an integer in [-1000, 1000]; a 10⁵-word document
+    * stays far under 2^53), so the sum is order-independent and
+    * bit-exact across engines — no normalization is applied (cosine
+    * is scale-invariant), keeping the whole vector replayable by an
+    * external SQL oracle: `list_aggregate(list_transform(words, w ->
+    * md5_component(w, i)), 'sum')` in DuckDB. Codegen HOFs only, no
+    * UDF. */
+  def embedBow(text: Column, dim: Int): Column = {
+    val words = filter(split(text, " "), w => w =!= "")
+    array((0 until dim).map { i =>
+      (md5Component(lit("__bow__"), i) +
+        aggregate(words, lit(0L), (acc, w) => acc + md5Component(w, i)))
+        .cast("double")
+    }: _*)
+  }
 }

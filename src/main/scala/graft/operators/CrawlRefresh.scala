@@ -1,26 +1,36 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The nightly crawl-refresh pipeline, composed end-to-end (r14
-  * verdict task #4): snapshot diff → screen ONLY the diff slice
-  * against the accumulated corpus → shard-export the refreshed
-  * corpus with a verifiable manifest. This is the workflow a real
-  * training-data owner runs per crawl drop; every stage exists and
-  * is gated individually (q131 diff, q120/q121 screens, q113
-  * shuffle-shard, q130 manifest) — the composition is what makes
-  * the incremental contract load-bearing: editing one source
-  * document re-screens one document and rewrites one shard.
+  * verdict task #4; re-orchestrated O(slice) in r16 — r15 verdict
+  * task #1): snapshot diff → screen ONLY the diff slice against the
+  * accumulated corpus → apply the RETIRE/ADMIT delta to the shard
+  * export. This is the workflow a real training-data owner runs per
+  * crawl drop; every stage exists and is gated individually (q131
+  * diff, q120/q121/q129 screens, q113 shuffle-shard, q130 manifest) —
+  * the composition is what makes the incremental contract
+  * load-bearing: editing one source document re-screens one document
+  * and rewrites one shard.
   *
   * Two forms, value-aligned:
   *   - [[refreshRescan]] — the pure-plan form (no state dirs): the
   *     screens rescan the kept corpus per call. Oracle-replayable
-  *     end-to-end; the q133 gate hashes its manifest.
+  *     end-to-end; the q133/q140 gates hash its manifest.
   *   - [[nightly]] — the production form: persisted indexes (key
-  *     bloom+partitioned keys, flow-maintained MinHash bands) and an
-  *     incremental shard export, so per-night work is O(diff slice +
-  *     candidates + changed shards), never O(corpus).
+  *     bloom+partitioned keys, flow-maintained MinHash/SRP bands) and
+  *     a delta-applied shard export, so per-night work is O(diff
+  *     slice + candidates + changed shards) — no stage materializes
+  *     or re-aggregates corpus-sized input.
+  *
+  * KEY-SEMANTICS DIVERGENCE (deliberate, spec-pinned in
+  * CrawlRefreshSpec): [[nightly]]'s exact screen runs against the
+  * EVER-KEPT key index — content kept once and later removed still
+  * blocks a verbatim re-crawl (what a crawl pipeline usually wants);
+  * [[refreshRescan]] screens against the CURRENT corpus only, so the
+  * same re-arrival is kept there. The fuzzy/embedding screens have no
+  * such divergence (their indexes reconcile to the current corpus).
   *
   * Reference behavior mirrored: the engine's incremental refresh
   * loop — stat/diff, reprocess only changed components, reconcile
@@ -29,8 +39,24 @@ import org.apache.spark.sql.functions._
   */
 object CrawlRefresh {
 
+  /** The optional third screen (r15 verdict task #3): an embedding
+    * near-duplicate filter catching re-crawls that BOTH byte-exact
+    * keys and n-gram Jaccard miss (reorderings, template permutations
+    * — the bag-of-words embedder maps them to the same vector).
+    *
+    * `embed` must add `embCol` DETERMINISTICALLY from the corpus
+    * row (same text ⇒ same vector — the memoization contract every
+    * screen shares); [[graft.functions.HashEmbedder.embedBow]] is the
+    * oracle-replayable stand-in, a SentenceTransformer batch stage
+    * the production one. */
+  final case class EmbedScreen(
+      embed: DataFrame => DataFrame, threshold: Double,
+      planes: Int = 32, bands: Int = 2, dims: Int = 8,
+      embCol: String = "embedding")
+
   /** Pure composed refresh: the refreshed corpus `(idCol, textCol)`
-    * after diff + exact screen + fuzzy screen.
+    * after diff + exact screen + fuzzy screen (+ optional embedding
+    * screen).
     *
     *   1. [[Curation.corpusDiff]](old, new): the SLICE (added +
     *      changed) is the only content screened; `unchanged` docs
@@ -42,17 +68,23 @@ object CrawlRefresh {
     *   3. fuzzy screen: [[Dedup.incrementalNearDup]] at `threshold`
     *      — re-crawls with trivial edits (the exact screen's blind
     *      spot) drop via md5-MinHash banding + exact Jaccard.
-    *   4. refreshed corpus = unchanged ∪ survivors (removed docs and
+    *   4. embedding screen (when configured):
+    *      [[Similarity.incrementalSemDedup]] — re-crawls whose word
+    *      ORDER changed (Jaccard's blind spot: reversed/reshuffled
+    *      templates share no n-grams) drop via SRP banding + exact
+    *      round-6 cosine.
+    *   5. refreshed corpus = unchanged ∪ survivors (removed docs and
     *      screened-out re-crawls are gone; changed docs carry their
     *      new content).
     *
     * Intra-slice duplicates are NOT collapsed here — that is
     * [[Dedup.fuzzyDedupKeep]]'s job upstream if the crawl batch
     * itself can self-duplicate; the screens compare slice-vs-corpus
-    * only, so both engines (and the q133 oracle) agree exactly. */
+    * only, so both engines (and the q133/q140 oracles) agree exactly. */
   def refreshRescan(
       oldSnap: DataFrame, newSnap: DataFrame, threshold: Double = 0.7,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      embedScreen: Option[EmbedScreen] = None): DataFrame = {
     val diff = Curation.corpusDiff(oldSnap, newSnap, idCol, textCol)
       .localCheckpoint() // eager: breaks the self-join lineage below
     val (slice, unchanged) =
@@ -60,7 +92,13 @@ object CrawlRefresh {
     val exactKept = Dedup.incrementalDedup(unchanged, slice, textCol)
     val fuzzyKept = Dedup.incrementalNearDup(unchanged, exactKept,
       threshold, idCol = idCol, textCol = textCol)
-    unchanged.unionByName(fuzzyKept)
+    val kept = embedScreen.fold(fuzzyKept) { es =>
+      Similarity.incrementalSemDedup(
+        es.embed(unchanged), es.embed(fuzzyKept), es.threshold,
+        es.planes, es.bands, es.dims, idCol = idCol, embCol = es.embCol)
+        .select(col(idCol), col(textCol))
+    }
+    unchanged.unionByName(kept)
   }
 
   /** The diff routed back to the new snapshot's rows: (slice =
@@ -77,35 +115,59 @@ object CrawlRefresh {
   }
 
   /** One night's production stats. `manifest` is the full per-shard
-    * manifest of the refreshed export (the handoff artifact). */
+    * manifest of the refreshed export (the handoff artifact);
+    * `keyIndexRebuilt` reports that the night's key commits pushed
+    * the ever-kept index past its filter budget and the automated
+    * index-sized rebuild ran (ADVICE r15 — the owner sees the
+    * amortized-rebuild trigger fire instead of silently degrading). */
   final case class NightlyStats(
       bootstrap: Boolean, sliceSize: Long, unchangedSize: Long,
       removedSize: Long, screenedOut: Long, keptSize: Long,
-      manifest: DataFrame)
+      keyIndexRebuilt: Boolean, manifest: DataFrame)
+
+  /** Past this many changed keys per night, the per-key delta paths
+    * (pushed-down `IN` re-stats, driver key lists) degrade to full
+    * catch-up passes — the same boundedness contract a
+    * [[graft.engine.SourceWatcher]] drain has. */
+  val MaxDeltaKeys = 10000
 
   /** The index-served nightly pass over persistent state in
     * `workDir`:
     *
     *   - `export/` — the kept corpus as the shard-partitioned
-    *     export itself ([[Curation.exportShardsIncremental]]): the
-    *     training-ready layout IS the store, and a night that
-    *     touches k shards rewrites k shards;
+    *     export itself: the training-ready layout IS the store, and
+    *     a night that touches k shards rewrites k shards
+    *     ([[Curation.exportApplyDelta]] — retire/admit by id,
+    *     partition-pruned reads, manifest entries carried from the
+    *     sidecar for untouched shards);
     *   - `keyidx/` — the [[Dedup.keyIndexInit]] bloom+partitioned-key
-    *     index for the exact screen. NOTE its semantic: keys
-    *     accumulate — "have we EVER kept this content" — so a
-    *     verbatim re-crawl of content that was later removed still
-    *     drops (usually what a crawl pipeline wants; the rescan form
-    *     screens against the CURRENT corpus only);
+    *     index for the exact screen. NOTE its EVER-KEPT semantic
+    *     (see the object doc: divergence from [[refreshRescan]],
+    *     spec-pinned). When a night's commits overflow the filter
+    *     budget, [[Dedup.keyIndexRebuild]] runs automatically (one
+    *     index-sized scan, never the corpus) and the stats report it;
     *   - `mhindex/` + `mhstate/` — the flow-maintained MinHash band
-    *     index; each night reconciles it twice, both O(changed):
-    *     once retiring removed/changed-old docs BEFORE screening (so
-    *     the probe sees exactly the unchanged corpus) and once
-    *     admitting the survivors after.
+    *     index; each night reconciles it twice, both O(changed) via
+    *     the flow's delta re-stat (the night KNOWS its changed keys,
+    *     so no full re-fingerprint pass runs): once retiring
+    *     removed/changed-old docs BEFORE screening (so the probe sees
+    *     exactly the unchanged corpus) and once admitting the
+    *     survivors after;
+    *   - `srpindex/` + `srpstate/` (when `embedScreen` is set) — the
+    *     flow-maintained SRP band index over the embedded corpus,
+    *     reconciled in the SAME retire/admit phases.
     *
     * Per-night cost: O(slice + candidates + changed components +
-    * changed shards). No stage reads corpus-sized input except the
-    * thin band-index probe and the partition-pruned candidate
-    * verifies.
+    * changed shards) — plus, when `changeFeed` is None, ONE
+    * full-outer snapshot diff (thin: ids and content hashes only),
+    * which is inherent to snapshot-shaped input; a CDC-capable
+    * source passes `changeFeed` and the diff prunes to the drained
+    * keys (export read partition-pruned to their shards, snapshot
+    * filter pushed down). Nothing corpus-sized is materialized,
+    * checkpointed, or re-aggregated anywhere in the pass; the only
+    * corpus-touching reads are the thin band-index probes and the
+    * screens' semi-join-pruned candidate fetches (spec-asserted via
+    * scan metrics in CrawlRefreshSpec).
     *
     * Re-delivered rejects: a screened-out document is NOT in the
     * kept corpus, so a snapshot that keeps shipping it re-classifies
@@ -118,10 +180,24 @@ object CrawlRefresh {
       threshold: Double = 0.7, idCol: String = "doc_id",
       textCol: String = "text",
       /** Key-bloom sizing for [[Dedup.keyIndexInit]] (first night
-        * only): the expected LIFETIME key count. */
-      expectedKeys: Long = 1L << 20): NightlyStats = {
+        * only): the expected LIFETIME key count. Overflow past it is
+        * self-healing — see `keyIndexRebuilt`. */
+      expectedKeys: Long = 1L << 20,
+      /** Export shard-key width: 16^hexDigits shards. Raise it at
+        * scale so one shard (the delta-apply rewrite granularity)
+        * fits an executor — 3 hex digits ≈ 4096 shards. */
+      hexDigits: Int = 1,
+      /** Optional third screen — see [[EmbedScreen]]. */
+      embedScreen: Option[EmbedScreen] = None,
+      /** Optional CDC feed of changed doc ids (the
+        * [[graft.engine.ChangeFeedSource]] seam): when present and
+        * not overflowed, the nightly diff runs over ONLY the drained
+        * keys instead of a full snapshot join. */
+      changeFeed: Option[() => graft.engine.SourceWatcher] = None)
+      : NightlyStats = {
     val exportDir = s"$workDir/export"
     val keyIdx = s"$workDir/keyidx"
+    val hashCols = Seq(idCol, textCol)
     // every export read goes through the empty-safe branch: a night
     // that retires EVERY document (all changed, or an empty
     // snapshot) leaves the export with zero data files, which
@@ -136,65 +212,151 @@ object CrawlRefresh {
       sp => readExport(sp),
       indexDir = s"$workDir/mhindex", stateDir = s"$workDir/mhstate",
       idCol = idCol, textCol = textCol)
+    val srpFlow = embedScreen.map { es =>
+      Similarity.srpFlow("crawl_refresh_srp",
+        sp => es.embed(readExport(sp)),
+        indexDir = s"$workDir/srpindex", stateDir = s"$workDir/srpstate",
+        planes = es.planes, bands = es.bands, dims = es.dims,
+        idCol = idCol, embCol = es.embCol)
+    }
 
     if (!new java.io.File(exportDir).isDirectory) {
       // bootstrap night: no corpus to screen against — the whole
       // snapshot is the kept corpus (intra-batch dedup is upstream,
-      // see refreshRescan's contract)
+      // see refreshRescan's contract). The one full pass per
+      // deployment lifetime, amortized by design.
       val kept = newSnap.select(col(idCol), col(textCol))
         .localCheckpoint()
       val n = kept.count()
       val manifest = Curation.exportShardsIncremental(kept, exportDir,
-        idCol, Seq(idCol, textCol))
+        idCol, hashCols, hexDigits)
       Dedup.keyIndexInit(spark, keyIdx, textCol, expectedKeys)
       Dedup.keyIndexAppend(spark, keyIdx, kept)
       flow.run(spark)
+      srpFlow.foreach(_.run(spark))
       return NightlyStats(bootstrap = true, sliceSize = n,
         unchangedSize = 0, removedSize = 0, screenedOut = 0,
-        keptSize = n, manifest = manifest)
+        keptSize = n, keyIndexRebuilt = false, manifest = manifest)
     }
 
-    val old = readExport(spark)
-    val diff = Curation.corpusDiff(old, newSnap, idCol, textCol)
+    // the kept-corpus size comes from the manifest sidecar (O(shards)
+    // thin rows), never from counting the corpus
+    val prevTotal = Curation.readManifest(spark, exportDir)
+      .map(_.agg(coalesce(sum("n_rows"), lit(0L)).as("n")).head.getLong(0))
+      .getOrElse(0L)
+
+    // ---- the night's delta: (id, status) for NON-unchanged ids only —
+    // the only materialized frame derived from the diff is delta-sized
+    def snapshotDelta(): DataFrame =
+      Curation.corpusDiff(readExport(spark), newSnap, idCol, textCol)
+        .filter(col("status") =!= "unchanged")
+    val delta = (changeFeed match {
+      case None => snapshotDelta()
+      case Some(f) =>
+        val w = f()
+        val (rawKeys, overflow) = try w.drain() finally w.close()
+        val keys = rawKeys.distinct
+        if (overflow || keys.size > MaxDeltaKeys) snapshotDelta()
+        else if (keys.isEmpty) snapshotDelta().limit(0)
+        else {
+          // CDC: diff only the drained keys' rows — the export read
+          // prunes to their shards, the snapshot filter pushes down;
+          // keys outside the drain are unchanged by the feed contract
+          val shards = keys.map(shardOfKey(_, hexDigits)).distinct
+          val oldSlice = (
+            if (Curation.exportHasFiles(exportDir))
+              spark.read.parquet(exportDir)
+                .filter(col("shard").isin(shards: _*))
+            else newSnap.filter(lit(false)))
+            .filter(col(idCol).cast("string").isin(keys: _*))
+            .select(col(idCol), col(textCol))
+          val newSlice = newSnap
+            .filter(col(idCol).cast("string").isin(keys: _*))
+            .select(col(idCol), col(textCol))
+          Curation.corpusDiff(oldSlice, newSlice, idCol, textCol)
+            .filter(col("status") =!= "unchanged")
+        }
+    }).localCheckpoint()
+
+    val retiredIds = delta
+      .filter(col("status").isin("removed", "changed"))
+      .select(col("id").as(idCol))
+    val slice = newSnap
+      .join(delta.filter(col("status").isin("added", "changed"))
+        .select(col("id")), newSnap(idCol) === col("id"), "left_semi")
+      .select(col(idCol), col(textCol))
       .localCheckpoint()
-    val (slice0, unchanged0) =
-      sliceAndUnchanged(newSnap, diff, idCol, textCol)
-    // both sides pinned once: `unchanged` feeds two manifest passes
-    // and two exports below — without the checkpoint each re-executes
-    // the full snapshot scan + semi-join (review r15 finding)
-    val slice = slice0.localCheckpoint()
-    val unchanged = unchanged0.localCheckpoint()
-    val removedSize = diff.filter(col("status") === "removed").count()
+    val removedSize = delta.filter(col("status") === "removed").count()
+    val changedSize = delta.filter(col("status") === "changed").count()
     val sliceSize = slice.count()
 
+    // the flows' delta re-stat wants the changed keys as a bounded
+    // driver list; past the cap, a full (thin-fingerprint) catch-up
+    // is the honest degradation
+    def keyList(ids: DataFrame): Option[Seq[String]] = {
+      val rows = ids.select(col(idCol).cast("string"))
+        .limit(MaxDeltaKeys + 1).collect()
+      if (rows.length > MaxDeltaKeys) None
+      else Some(rows.map(_.getString(0)).toSeq)
+    }
+    def reconcile(f: graft.engine.Flow, keys: Option[Seq[String]]): Unit =
+      keys match {
+        case Some(Nil) => () // nothing changed — the index is current
+        case Some(ks)  => f.runDelta(spark, ks)
+        case None      => f.run(spark)
+      }
+
     // phase 1 — retire: the export drops removed/changed-old docs
-    // (only their shards rewrite), then the band index reconciles to
-    // exactly the unchanged corpus (O(changed) components)
-    Curation.exportShardsIncremental(unchanged, exportDir,
-      idCol, Seq(idCol, textCol))
-    flow.run(spark)
+    // (only their shards rewrite), then the band indexes reconcile to
+    // exactly the unchanged corpus (O(changed) components via the
+    // known-key delta re-stat)
+    Curation.exportApplyDelta(spark, exportDir,
+      retiredIds, slice.limit(0), idCol, hashCols, hexDigits)
+    val retireKeys = keyList(retiredIds)
+    reconcile(flow, retireKeys)
+    srpFlow.foreach(reconcile(_, retireKeys))
 
     // screens — all served from persisted state
     val exactKept = Dedup.incrementalDedupOver(spark, keyIdx, slice)
     val fuzzyKept = Dedup.minHashIncrementOver(spark,
       s"$workDir/mhindex", readExport(spark),
       exactKept, threshold, idCol = idCol, textCol = textCol)
-      .localCheckpoint()
-    val keptNew = fuzzyKept.count()
+    val kept = embedScreen.fold(fuzzyKept) { es =>
+      Similarity.semDedupIncrementOver(spark, s"$workDir/srpindex",
+        es.embed(readExport(spark)), es.embed(fuzzyKept), es.threshold,
+        idCol = idCol, embCol = es.embCol)
+        .select(col(idCol), col(textCol))
+    }.localCheckpoint()
+    val keptNew = kept.count()
 
     // phase 2 — admit: survivors land in the export (their shards
-    // rewrite), the band index adds their components, their keys
+    // rewrite), the band indexes add their components, their keys
     // commit to the bloom+key index
-    val finalCorpus = unchanged.unionByName(fuzzyKept)
-    val manifest = Curation.exportShardsIncremental(finalCorpus,
-      exportDir, idCol, Seq(idCol, textCol))
-    flow.run(spark)
-    Dedup.keyIndexAppend(spark, keyIdx, fuzzyKept)
+    val manifest = Curation.exportApplyDelta(spark, exportDir,
+      retiredIds.limit(0), kept, idCol, hashCols, hexDigits)
+    val admitKeys = keyList(kept)
+    reconcile(flow, admitKeys)
+    srpFlow.foreach(reconcile(_, admitKeys))
+    Dedup.keyIndexAppend(spark, keyIdx, kept)
+    val rebuilt =
+      if (Dedup.keyIndexNeedsRebuild(keyIdx)) {
+        Dedup.keyIndexRebuild(spark, keyIdx); true
+      } else false
 
-    val unchangedSize = diff.filter(col("status") === "unchanged").count()
+    val unchangedSize = prevTotal - removedSize - changedSize
     NightlyStats(bootstrap = false, sliceSize = sliceSize,
       unchangedSize = unchangedSize, removedSize = removedSize,
       screenedOut = sliceSize - keptNew,
-      keptSize = unchangedSize + keptNew, manifest = manifest)
+      keptSize = unchangedSize + keptNew, keyIndexRebuilt = rebuilt,
+      manifest = manifest)
+  }
+
+  /** Driver-side replay of [[Curation]]'s md5 shard key — prunes the
+    * CDC path's export read to the drained keys' shard dirs. */
+  private def shardOfKey(key: String, hexDigits: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"shuf:$key".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, hexDigits), 16)
   }
 }

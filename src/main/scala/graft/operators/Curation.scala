@@ -155,6 +155,26 @@ object Curation {
   val CardPattern =
     "\\b[0-9]{4}(([-][0-9]{4}){3}|([ ][0-9]{4}){3}|[0-9]{12})\\b"
 
+  /** [[CardPattern]] with RUN-CONTINUATION guards (ADVICE r15): a
+    * candidate must not be a \b-bounded PREFIX or SUFFIX of a longer
+    * grouped digit run — '1111-2222-3333-4444-5555' contains a
+    * \b-bounded 4-group span, but redacting it would leave corrupted
+    * residue ('<CARD>-5555'). Each separator form rejects spans
+    * preceded/followed by `digit‑sep` / `sep‑digit` in ITS OWN
+    * separator (a trailing " and" or "-x" stays redactable); the
+    * solid form needs only \b (a 16-digit span inside a longer digit
+    * run never \b-matches). Lookaround is Java-regex-only — this
+    * pattern is SPARK-SIDE ONLY (the scrub/count mechanics; oracles
+    * replay the span decision, not this regex), while [[CardPattern]]
+    * stays the dialect-portable candidate shape. Long grouped runs
+    * are deliberately NOT redacted even when a prefix is Luhn-valid:
+    * they are not a plausible card rendering (documented
+    * under-redaction, spec-pinned). */
+  val CardPatternGuarded: String =
+    "(?<![0-9]-)\\b[0-9]{4}([-][0-9]{4}){3}\\b(?!-[0-9])" +
+      "|(?<![0-9] )\\b[0-9]{4}([ ][0-9]{4}){3}\\b(?! [0-9])" +
+      "|\\b[0-9]{16}\\b"
+
   /** Luhn checksum validity of the digits inside `span` — pure
     * codegen HOF arithmetic (reverse, double every second digit from
     * the right, casting out nines, sum % 10): runs inside the scan
@@ -177,29 +197,40 @@ object Curation {
   def cardCount(text: Column): Column =
     size(filter(
       regexp_extract_all(regexp_replace(text, EmailPattern, "<EMAIL>"),
-        lit(CardPattern), lit(0)),
+        lit(CardPatternGuarded), lit(0)),
       sp => luhnValid(sp)))
 
   /** Replace every email/card/IPv4/phone span with a typed
     * placeholder. Email first: an IP-shaped host inside an email
     * must be consumed by the email rule, not split by the IP rule.
-    * Cards second (most specific digit rule): each candidate span is
-    * Luhn-validated, and only valid spans fold into `<CARD>` — the
-    * fold replaces `\b`-ANCHORED occurrences of the span, never bare
-    * substrings, so a valid card embedded inside a longer digit run
-    * (which the candidate regex rightly never matched) cannot be
-    * corrupted; a standalone repeat of the same span is itself a
-    * candidate and redacts, keeping [[cardCount]] equal to the
-    * emitted placeholders. Span characters are digits/'-'/' ' only,
-    * all regex-literal outside a class, so the dynamic pattern needs
-    * no quoting. Still whole-stage codegen, no UDF. */
+    * Cards second (most specific digit rule): candidates come from
+    * [[CardPatternGuarded]] (never a prefix/suffix of a longer
+    * grouped run), each is Luhn-validated, and only valid spans fold
+    * into `<CARD>` — the fold replaces occurrences under the SAME
+    * guards (\b plus run-continuation lookarounds in the span's own
+    * separator), so a valid card embedded inside a longer grouped
+    * run elsewhere in the text cannot be corrupted into residue like
+    * '<CARD>-5555' (ADVICE r15); a standalone repeat of the same
+    * span is itself a guarded candidate and redacts, keeping
+    * [[cardCount]] equal to the emitted placeholders. Span
+    * characters are digits/'-'/' ' only, all regex-literal outside a
+    * class, so the dynamic pattern needs no quoting. Still
+    * whole-stage codegen, no UDF. */
   def scrubPii(text: Column): Column = {
     val e = regexp_replace(text, EmailPattern, "<EMAIL>")
     val c = aggregate(
-      filter(regexp_extract_all(e, lit(CardPattern), lit(0)),
+      filter(regexp_extract_all(e, lit(CardPatternGuarded), lit(0)),
         sp => luhnValid(sp)),
-      e, (acc, sp) => regexp_replace(acc,
-        concat(lit("\\b"), sp, lit("\\b")), lit("<CARD>")))
+      e, (acc, sp) => {
+        // the span's own separator (position 5 is sep for grouped
+        // forms, a digit for the solid form) picks the guard class
+        val sep = substring(sp, 5, 1)
+        val pat = when(sep.isin("-", " "),
+          concat(lit("(?<![0-9]"), sep, lit(")\\b"), sp,
+            lit("\\b(?!"), sep, lit("[0-9])")))
+          .otherwise(concat(lit("\\b"), sp, lit("\\b")))
+        regexp_replace(acc, pat, lit("<CARD>"))
+      })
     regexp_replace(
       regexp_replace(c, Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
@@ -668,6 +699,118 @@ object Curation {
     val out = finalManifest.localCheckpoint()
     saveManifestSidecar(spark, outDir, out)
     out
+  }
+
+  /** Apply a RETIRE/ADMIT delta to an existing shard export without
+    * ever reading the source corpus (r15 verdict task #1: the
+    * [[exportShardsIncremental]] path still re-aggregates the desired
+    * manifest over the FULL source per call — right for "make the
+    * export equal this frame", wrong for a nightly refresh that
+    * already knows its delta). Work here is O(touched shards):
+    *
+    *   1. the touched-shard set = shards of `retireIds` ∪ shards of
+    *      `admitRows` — a driver value bounded by 16^hexDigits, never
+    *      by the corpus;
+    *   2. ONLY those shards' current rows are read (directory-level
+    *      partition pruning), retired ids anti-join out, admitted
+    *      rows union in (upsert by id: an admitted id replaces any
+    *      same-id survivor);
+    *   3. the rewrite is a dynamic partition overwrite of exactly the
+    *      touched shard dirs; shards left empty are deleted;
+    *   4. the returned manifest recomputes the touched shards'
+    *      entries from the WRITTEN files (partition-pruned read — the
+    *      exportShards ADVICE contract) and carries every untouched
+    *      entry from the sidecar, so the round-trip property holds:
+    *      a manifest recomputed from the export equals the returned
+    *      one.
+    *
+    * An empty delta touches zero files and returns the sidecar
+    * manifest as-is. Requires a directory already provisioned by
+    * [[exportShards]]/[[exportShardsIncremental]] (the manifest
+    * sidecar is the carry base), and DETERMINISTIC delta frames
+    * (both are pinned here via localCheckpoint, so callers may pass
+    * lazy plans). */
+  def exportApplyDelta(
+      spark: org.apache.spark.sql.SparkSession, outDir: String,
+      retireIds: org.apache.spark.sql.DataFrame,
+      admitRows: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      hashCols: Seq[String] = Seq("doc_id", "text"), hexDigits: Int = 1)
+      : org.apache.spark.sql.DataFrame = {
+    val sideDir = manifestSidecarDir(outDir)
+    require(new java.io.File(sideDir).isDirectory,
+      s"exportApplyDelta($outDir): no manifest sidecar — provision the " +
+        "export with exportShards/exportShardsIncremental first")
+    val manifestCols = Seq("shard", "n_rows", "content_hash",
+      "min_id", "max_id")
+    val prev = spark.read.parquet(sideDir)
+      .select(manifestCols.map(col): _*).localCheckpoint()
+    val shard = shardOf(idCol, hexDigits)
+    val retire = retireIds
+      .select(col(idCol).cast("string").as("__rid"), shard.as("__rs"))
+      .localCheckpoint()
+    val admit = admitRows.localCheckpoint()
+    val touched = retire.select(col("__rs").as("shard"))
+      .unionByName(admit.select(shard.as("shard")))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    if (touched.isEmpty) return prev
+    val current =
+      if (exportHasFiles(outDir))
+        spark.read.parquet(outDir)
+          .filter(col("shard").isin(touched: _*)).drop("shard")
+          .select(admit.columns.map(col): _*)
+      else admit.limit(0)
+    // upsert: survivors = current minus retired ids minus admitted ids
+    val survivors = current
+      .join(retire.select("__rid"),
+        current(idCol).cast("string") === col("__rid"), "left_anti")
+      .join(admit.select(col(idCol).cast("string").as("__aid")),
+        current(idCol).cast("string") === col("__aid"), "left_anti")
+    // localCheckpoint cuts the lineage back to the files being
+    // overwritten (the ParquetTableTarget.apply pattern)
+    val newData = survivors.unionByName(admit)
+      .withColumn("shard", shard)
+      .localCheckpoint()
+    val withData = newData.select("shard").distinct()
+      .collect().map(_.getLong(0)).toSet
+    if (withData.nonEmpty) {
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val prior = spark.conf.get(modeKey)
+      try {
+        spark.conf.set(modeKey, "dynamic")
+        newData.repartition(col("shard"))
+          .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+      } finally spark.conf.set(modeKey, prior)
+    }
+    // dynamic overwrite only replaces partitions PRESENT in the new
+    // data — a touched shard whose rows all retired must be cleared
+    // explicitly or its old files survive
+    touched.filterNot(withData).foreach { s =>
+      graft.engine.FsUtil.deleteRecursively(
+        new java.io.File(outDir, s"shard=$s"))
+    }
+    val rewritten =
+      if (withData.isEmpty) emptyManifest(spark)
+      else shardManifest(
+        spark.read.parquet(outDir)
+          .filter(col("shard").isin(withData.toSeq: _*)).drop("shard"),
+        idCol, hashCols, hexDigits)
+    val out = prev.filter(!col("shard").isin(touched: _*))
+      .unionByName(rewritten.select(manifestCols.map(col): _*))
+      .localCheckpoint()
+    saveManifestSidecar(spark, outDir, out)
+    out
+  }
+
+  /** The export's persisted manifest (the sidecar), without touching
+    * the data files — the O(1) way a refresh learns the corpus size
+    * and shard population it maintains. None before first export. */
+  def readManifest(
+      spark: org.apache.spark.sql.SparkSession, outDir: String)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    val d = manifestSidecarDir(outDir)
+    if (new java.io.File(d).isDirectory) Some(spark.read.parquet(d))
+    else None
   }
 
   /** The export's manifest sidecar (one thin row per shard), written

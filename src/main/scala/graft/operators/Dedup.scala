@@ -515,9 +515,18 @@ object Dedup {
         * cursor): with it, a [[graft.engine.Flow.runFeed]] refresh
         * re-stats only the changed docs instead of re-fingerprinting
         * the whole corpus per catch-up. */
-      changeFeed: Option[() => graft.engine.SourceWatcher] = None)
+      changeFeed: Option[() => graft.engine.SourceWatcher] = None,
+      /** Bucket count of the index's parquet layout — MUST match the
+        * layout the index was bootstrapped/maintained with (validated
+        * against the sidecar at takeover; ADVICE r15: a silent
+        * mismatch would strand stale rows in buckets the flow never
+        * reconciles and duplicate row_keys across buckets). */
+      numBuckets: Int = 8)
       : graft.engine.Flow = {
     require(numHashes % bandRows == 0)
+    graft.engine.Sidecar.validate(minHashMetaFile(indexDir),
+      Map("numBuckets" -> numBuckets.toString),
+      what = s"minHashFlow($indexDir) takeover")
     // textCol/idCol are part of the stage's logic: changing either on
     // an existing stateDir must invalidate the memo, or the index
     // keeps serving band codes computed from the old column
@@ -530,7 +539,7 @@ object Dedup {
       changeFeed.map(f => graft.engine.ChangeFeedSource(tableSrc, f):
         graft.engine.Source).getOrElse(tableSrc),
       Seq(stage),
-      graft.engine.ParquetTableTarget(indexDir, numBuckets = 8),
+      graft.engine.ParquetTableTarget(indexDir, numBuckets = numBuckets),
       stateDir,
       // index parameters are declared next to the index itself, so
       // serve time can refuse a mismatched read (ADVICE r7) — and
@@ -540,7 +549,8 @@ object Dedup {
         graft.engine.Sidecar.write(minHashMetaFile(indexDir), Map(
           "n" -> n.toString, "idCol" -> idCol, "textCol" -> textCol,
           "numHashes" -> numHashes.toString,
-          "bandRows" -> bandRows.toString))))
+          "bandRows" -> bandRows.toString,
+          "numBuckets" -> numBuckets.toString))))
   }
 
   /** Batch bootstrap of a [[minHashFlow]]-shaped index WITHOUT the
@@ -569,7 +579,8 @@ object Dedup {
     graft.engine.Sidecar.write(minHashMetaFile(indexDir), Map(
       "n" -> n.toString, "idCol" -> idCol, "textCol" -> textCol,
       "numHashes" -> numHashes.toString,
-      "bandRows" -> bandRows.toString))
+      "bandRows" -> bandRows.toString,
+      "numBuckets" -> numBuckets.toString))
   }
 
   /** The band-row derivation shared by [[minHashFlow]]'s stage and
@@ -599,6 +610,16 @@ object Dedup {
     new java.io.File(d.getParentFile, d.getName + "._graft_minhash.json")
   }
 
+  /** The index's target handle with its DECLARED bucket layout (from
+    * the sidecar; pre-r16 sidecars without the field read as the
+    * historical default 8) — serve paths go through this so the
+    * layout they assume is the one the index was built with. */
+  private def minHashIndexTarget(indexDir: String)
+      : graft.engine.ParquetTableTarget =
+    graft.engine.ParquetTableTarget(indexDir,
+      numBuckets = graft.engine.Sidecar.read(minHashMetaFile(indexDir))
+        .flatMap(_.get("numBuckets")).map(_.toInt).getOrElse(8))
+
   /** Near-dup pairs served from a [[minHashFlow]]-maintained index:
     * candidates from the band-code self-join + exact length filter,
     * then exact Jaccard verification recomputing shingles for the
@@ -614,7 +635,7 @@ object Dedup {
     graft.engine.Sidecar.validate(minHashMetaFile(indexDir),
       Map("n" -> n.toString, "idCol" -> idCol, "textCol" -> textCol),
       what = s"minHashPairsOver($indexDir)")
-    val banded = graft.engine.ParquetTableTarget(indexDir).read(spark)
+    val banded = minHashIndexTarget(indexDir).read(spark)
       .select(col("item_key").as("doc_id"), col("band"), col("code"),
         col("sz"))
     // cached: candidates feed the id projection AND the verify joins;
@@ -931,42 +952,125 @@ object Dedup {
   /** Commit a screened batch's keys into the index: one batch-sized
     * bloom aggregation OR-merged into the persisted filter, plus a
     * hash-partitioned parquet append of the keys. O(batch) — the
-    * existing corpus is not read. */
+    * existing corpus is not read.
+    *
+    * Appends are guarded by a lock file next to the index (the
+    * single-writer contract made LOUD — ADVICE r15/What's-wrong #3:
+    * the bloom merge is read-modify-write, so a silent concurrent
+    * append would lose one batch's bits and double-append keys). A
+    * crashed writer leaves the lock behind; the lock file names its
+    * owner (pid@host, timestamp) so the operator can verify the
+    * writer is gone and delete it. */
   def keyIndexAppend(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      batch: DataFrame): Unit = {
+      batch: DataFrame): Unit = keyIndexLocked(indexDir, "append") {
     val meta = keyIndexMeta(indexDir)
     val keyCol = meta("keyCol")
     val partitions = meta("partitions").toInt
     val items = meta("items").toLong
     val bits = meta("bits").toLong
-    val n = batch.count()
-    if (n == 0) return
-    // identical (items, bits) to the init-time filter: same hash
-    // count, so mergeInPlace is the exact set union
-    val batchBf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(
-        keyBloomFixed(batch.select(col(keyCol)), keyCol, items, bits)))
-    val merged = org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(
-        java.nio.file.Files.readAllBytes(keyIndexBloomFile(indexDir).toPath)))
-    merged.mergeInPlace(batchBf)
-    batch
-      .select(col(keyCol),
-        pmod(xxhash64(col(keyCol)), lit(partitions.toLong)).cast("int")
-          .as("__kp"))
-      .write.partitionBy("__kp").mode("append")
-      .parquet(new java.io.File(indexDir, "keys").getPath)
-    // bloom + count AFTER the keys land: a failed write must not
-    // leave the filter claiming keys the keys table does not hold
-    // (the reverse — keys present, filter unaware — only costs a
-    // missed prefilter, the safe direction is keys-first)
-    val bos = new java.io.ByteArrayOutputStream()
-    merged.writeTo(bos)
-    java.nio.file.Files.write(
-      keyIndexBloomFile(indexDir).toPath, bos.toByteArray)
-    graft.engine.Sidecar.write(keyIndexMetaFile(indexDir),
-      meta + ("itemsAdded" -> (meta("itemsAdded").toLong + n).toString))
+    // pin the batch ONCE: the three actions below (count, bloom
+    // aggregate, parquet write) must see the same rows, or a
+    // non-deterministic batch plan lets the parquet keys diverge
+    // from the merged bloom — a key in the keys table but absent
+    // from the filter would pass a later verbatim duplicate as
+    // "definitely new", the unsafe direction (ADVICE r15)
+    val b = batch.localCheckpoint()
+    val n = b.count()
+    if (n > 0) {
+      // identical (items, bits) to the init-time filter: same hash
+      // count, so mergeInPlace is the exact set union
+      val batchBf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(
+          keyBloomFixed(b.select(col(keyCol)), keyCol, items, bits)))
+      val merged = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(
+          java.nio.file.Files.readAllBytes(
+            keyIndexBloomFile(indexDir).toPath)))
+      merged.mergeInPlace(batchBf)
+      b
+        .select(col(keyCol),
+          pmod(xxhash64(col(keyCol)), lit(partitions.toLong)).cast("int")
+            .as("__kp"))
+        .write.partitionBy("__kp").mode("append")
+        .parquet(new java.io.File(indexDir, "keys").getPath)
+      // bloom + count AFTER the keys land: a failed write must not
+      // leave the filter claiming keys the keys table does not hold
+      // (the reverse — keys present, filter unaware — only costs a
+      // missed prefilter, the safe direction is keys-first)
+      val bos = new java.io.ByteArrayOutputStream()
+      merged.writeTo(bos)
+      java.nio.file.Files.write(
+        keyIndexBloomFile(indexDir).toPath, bos.toByteArray)
+      graft.engine.Sidecar.write(keyIndexMetaFile(indexDir),
+        meta + ("itemsAdded" -> (meta("itemsAdded").toLong + n).toString))
+    }
+  }
+
+  /** Re-provision the filter from the index's OWN keys table — the
+    * amortized answer to [[keyIndexNeedsRebuild]] (r15 verdict task
+    * #4): one index-sized scan (the partitioned keys, never the
+    * corpus) counts the distinct committed keys, sizes a fresh bloom
+    * at `growth ×` that count (so the next rebuild is another
+    * doubling away), rebuilds it in one distributed aggregation, and
+    * swaps bloom-then-meta (each write individually atomic; a crash
+    * between them leaves a bloom whose bit length disagrees with the
+    * meta, which the next append fails LOUDLY on — never a silent
+    * wrong answer). Runs under the same single-writer lock as
+    * [[keyIndexAppend]]. */
+  def keyIndexRebuild(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      growth: Double = 2.0, maxFilterBytes: Long = 256L << 20): Unit =
+    keyIndexLocked(indexDir, "rebuild") {
+      require(growth >= 1.0, s"growth $growth < 1")
+      val meta = keyIndexMeta(indexDir)
+      val keyCol = meta("keyCol")
+      val fpp = meta("fpp").toDouble
+      val keys = spark.read
+        .parquet(new java.io.File(indexDir, "keys").getPath)
+        .select(col(keyCol)).distinct().localCheckpoint()
+      val n = math.max(keys.count(), 1L)
+      val budget = math.max((n * growth).toLong, 1L)
+      val bits = math.min(
+        org.apache.spark.util.sketch.BloomFilter
+          .optimalNumOfBits(budget, fpp),
+        maxFilterBytes * 8)
+      val bytes = keyBloomFixed(keys, keyCol, budget, bits)
+      val tmp = java.nio.file.Files.createTempFile(
+        keyIndexBloomFile(indexDir).getParentFile.toPath,
+        "." + keyIndexBloomFile(indexDir).getName, ".tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, keyIndexBloomFile(indexDir).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.engine.Sidecar.write(keyIndexMetaFile(indexDir), meta +
+        ("items" -> budget.toString) + ("bits" -> bits.toString) +
+        ("itemsAdded" -> n.toString))
+    }
+
+  /** Acquire the index's writer lock (atomic create-new), run `f`,
+    * release. A second concurrent writer — or a crashed one's
+    * leftover — fails loudly with the owner stamped in the file. */
+  private def keyIndexLocked[A](indexDir: String, what: String)(f: => A): A = {
+    val d = new java.io.File(indexDir).getAbsoluteFile
+    val lock = new java.io.File(d.getParentFile, d.getName + "._graft_keyidx.lock")
+    val owner =
+      s"${java.lang.ProcessHandle.current().pid()}@" +
+        s"${java.net.InetAddress.getLocalHost.getHostName} " +
+        java.time.Instant.now().toString + s" ($what)"
+    try
+      java.nio.file.Files.write(lock.toPath, owner.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val holder = new String(
+          java.nio.file.Files.readAllBytes(lock.toPath), "UTF-8")
+        throw new IllegalStateException(
+          s"keyIndex($indexDir): writer lock held by [$holder] — the " +
+            "index is single-writer; if that writer crashed, verify it " +
+            s"is gone and delete $lock")
+    }
+    try f finally java.nio.file.Files.deleteIfExists(lock.toPath)
   }
 
   /** True when the index has committed more keys than the filter was
@@ -1154,7 +1258,7 @@ object Dedup {
     val bandRows = meta("bandRows").toInt
     val nBands = numHashes / bandRows
 
-    val indexBands = graft.engine.ParquetTableTarget(indexDir).read(spark)
+    val indexBands = minHashIndexTarget(indexDir).read(spark)
       .select(col("item_key").as("__c_key"), col("band"), col("code"),
         col("sz").as("sz_c"))
 

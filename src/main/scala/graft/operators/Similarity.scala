@@ -785,9 +785,18 @@ object Similarity {
         * cursor): with it, a [[graft.engine.Flow.runFeed]] refresh
         * re-codes only the changed vectors instead of
         * re-fingerprinting the whole corpus per catch-up. */
-      changeFeed: Option[() => graft.engine.SourceWatcher] = None)
+      changeFeed: Option[() => graft.engine.SourceWatcher] = None,
+      /** Bucket count of the index's parquet layout — MUST match the
+        * layout the index was bootstrapped/maintained with (validated
+        * against the sidecar at takeover; ADVICE r15: a silent
+        * mismatch would strand stale rows in buckets the flow never
+        * reconciles and duplicate row_keys across buckets). */
+      numBuckets: Int = 8)
       : graft.engine.Flow = {
     require(planes % bands == 0, s"planes $planes % bands $bands != 0")
+    graft.engine.Sidecar.validate(srpMetaFile(indexDir),
+      Map("numBuckets" -> numBuckets.toString),
+      what = s"srpFlow($indexDir) takeover")
     val stage = graft.engine.CocoFn("srp_bands", 1,
       // embCol/idCol are stage logic: changing either on an existing
       // stateDir must invalidate the memo, or the index keeps
@@ -800,7 +809,7 @@ object Similarity {
       changeFeed.map(f => graft.engine.ChangeFeedSource(tableSrc, f):
         graft.engine.Source).getOrElse(tableSrc),
       Seq(stage),
-      graft.engine.ParquetTableTarget(indexDir, numBuckets = 8),
+      graft.engine.ParquetTableTarget(indexDir, numBuckets = numBuckets),
       stateDir,
       // declared only AFTER a successful commit (the minHashFlow
       // convention): a declared-but-failed run can never relabel an
@@ -809,7 +818,7 @@ object Similarity {
         graft.engine.Sidecar.write(srpMetaFile(indexDir), Map(
           "planes" -> planes.toString, "bands" -> bands.toString,
           "dims" -> dims.toString, "idCol" -> idCol,
-          "embCol" -> embCol))))
+          "embCol" -> embCol, "numBuckets" -> numBuckets.toString))))
   }
 
   /** Batch bootstrap of a [[srpFlow]]-shaped index WITHOUT the flow
@@ -836,7 +845,8 @@ object Similarity {
       .write.partitionBy("bucket").mode("overwrite").parquet(indexDir)
     graft.engine.Sidecar.write(srpMetaFile(indexDir), Map(
       "planes" -> planes.toString, "bands" -> bands.toString,
-      "dims" -> dims.toString, "idCol" -> idCol, "embCol" -> embCol))
+      "dims" -> dims.toString, "idCol" -> idCol, "embCol" -> embCol,
+      "numBuckets" -> numBuckets.toString))
   }
 
   /** The band-row derivation shared by [[srpFlow]]'s stage and
@@ -860,6 +870,16 @@ object Similarity {
     val d = new java.io.File(indexDir).getAbsoluteFile
     new java.io.File(d.getParentFile, d.getName + "._graft_srp.json")
   }
+
+  /** The index's target handle with its DECLARED bucket layout (from
+    * the sidecar; pre-r16 sidecars without the field read as the
+    * historical default 8) — serve paths go through this so the
+    * layout they assume is the one the index was built with. */
+  private def srpIndexTarget(indexDir: String)
+      : graft.engine.ParquetTableTarget =
+    graft.engine.ParquetTableTarget(indexDir,
+      numBuckets = graft.engine.Sidecar.read(srpMetaFile(indexDir))
+        .flatMap(_.get("numBuckets")).map(_.toInt).getOrElse(8))
 
   /** [[incrementalSemDedup]] served from a [[srpFlow]]-maintained
     * band index — the r14 design-gap fix: the per-batch screen no
@@ -889,7 +909,7 @@ object Similarity {
     val bands = meta("bands").toInt
     val dims = meta("dims").toInt
 
-    val indexBands = graft.engine.ParquetTableTarget(indexDir).read(spark)
+    val indexBands = srpIndexTarget(indexDir).read(spark)
       .select(col("item_key").as("__c_key"), col("band"), col("code"))
 
     // batch codes via the EXACT stage pipeline srpFlow writes;

@@ -3,11 +3,13 @@ package graft
 import graft.operators.{CrawlRefresh, Curation}
 import org.apache.spark.sql.functions._
 
-/** The composed nightly crawl-refresh pipeline (r14 verdict task #4):
-  * the production index-served pass must (a) agree with the pure
-  * rescan composition, (b) re-screen ONLY the diff slice, and (c)
-  * rewrite ONLY the shards the night touched — the end-to-end
-  * incremental contract the individual gates prove piecewise.
+/** The composed nightly crawl-refresh pipeline (r14 verdict task #4;
+  * re-orchestrated O(slice) in r16): the production index-served pass
+  * must (a) agree with the pure rescan composition, (b) re-screen
+  * ONLY the diff slice, (c) rewrite ONLY the shards the night
+  * touched, and (d) — the r15 verdict #1 contract — read nothing
+  * corpus-sized beyond the thin index probes and the screens'
+  * candidate fetches (scan-metric asserted below).
   */
 class CrawlRefreshSpec extends SparkSpec {
 
@@ -59,6 +61,7 @@ class CrawlRefreshSpec extends SparkSpec {
     assert(night2.removedSize === 1, night2)  // doc 11
     assert(night2.screenedOut === 2, night2)  // 101 exact, 102 fuzzy
     assert(night2.keptSize === 40, night2)    // 38 unchanged + 7' + 100
+    assert(night2.unchangedSize === 38, night2)
 
     // bounded write set: every file outside the touchable shards is
     // byte-identical (same path, mtime, size)
@@ -117,11 +120,18 @@ class CrawlRefreshSpec extends SparkSpec {
     val nightC = CrawlRefresh.nightly(spark, wd, empty)
     assert(nightC.keptSize === 0 && nightC.removedSize === 5, nightC)
 
-    // re-delivering previously-KEPT content after a full removal: the
-    // exact screen's documented ever-seen semantic drops it all (the
-    // key index accumulates; rescan-form semantics would keep it)
+    // re-delivering previously-KEPT content after a full removal:
+    // the KEY-SEMANTICS DIVERGENCE, pinned explicitly (r15 verdict
+    // task #6). nightly's exact screen is EVER-SEEN — the key index
+    // accumulates, so once-kept-then-removed content drops on
+    // re-arrival...
     val nightD = CrawlRefresh.nightly(spark, wd, snapB)
     assert(nightD.sliceSize === 5 && nightD.keptSize === 0, nightD)
+    // ...while refreshRescan screens against the CURRENT corpus only
+    // (here: empty), so the SAME re-arrival is kept there. Both
+    // behaviors are deliberate; see the CrawlRefresh object doc.
+    val rescan = CrawlRefresh.refreshRescan(empty, snapB)
+    assert(rescan.count() === 5)
   }
 
   test("refreshRescan composes diff + both screens (pure form)") {
@@ -135,5 +145,183 @@ class CrawlRefreshSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     // doc 5 removed; 51 exact-dups doc 2; 52 near-dups doc 3; 50 fresh
     assert(out === ((1 to 20).filterNot(_ == 5).map(_.toLong).toSet + 50L))
+  }
+
+  // ---- the embedding screen (r15 verdict task #3) --------------------------
+
+  private def bowScreen = CrawlRefresh.EmbedScreen(
+    embed = df => df.withColumn("embedding",
+      graft.functions.HashEmbedder.embedBow(col("text"), 8)),
+    threshold = 0.99)
+
+  private def reversed(text: String): String =
+    text.split(" ").reverse.mkString(" ")
+
+  test("embedding screen catches word-reordered re-crawls both forms, in parity") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-crawl-emb")
+    work.toFile.deleteOnExit()
+    val wd = work.resolve("state").toString
+
+    val snapA = (1 to 30).map(i => doc(i, words(i))).toDF("doc_id", "text")
+    val night1 = CrawlRefresh.nightly(spark, wd, snapA,
+      embedScreen = Some(bowScreen))
+    assert(night1.bootstrap && night1.keptSize === 30)
+
+    // slice: a fresh doc (survives all three screens), a verbatim
+    // re-crawl (exact screen), a prefix-edited re-crawl (fuzzy
+    // screen), and a word-REVERSED re-crawl — identical bag of
+    // words ⇒ identical BOW embedding (cosine 1.0), but its 3-gram
+    // shingles share NOTHING with the original (J = 0): the exact
+    // and fuzzy screens are blind to it, ONLY the embedding screen
+    // drops it
+    val snapB = ((1 to 30).map(i => doc(i, words(i))) ++ Seq(
+      doc(200, words(901)),
+      doc(201, words(6)),
+      doc(202, "UPDATE: " + words(8)),
+      doc(203, reversed(words(9)))))
+      .toDF("doc_id", "text")
+
+    // sanity: the reversal really is invisible to Jaccard at 3-grams
+    val jail = CrawlRefresh.refreshRescan(snapA, snapB) // NO embed screen
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(jail.contains(203L),
+      "the reversed doc must SURVIVE the exact+fuzzy screens — " +
+        "otherwise this test proves nothing about the embedding screen")
+
+    val night2 = CrawlRefresh.nightly(spark, wd, snapB,
+      embedScreen = Some(bowScreen))
+    assert(night2.sliceSize === 4, night2)
+    assert(night2.screenedOut === 3, night2) // 201 exact, 202 fuzzy, 203 embed
+    assert(night2.keptSize === 31, night2)   // 30 unchanged + 200
+
+    // parity with the pure rescan form carrying the same screen
+    val got = spark.read.parquet(s"$wd/export")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val pure = CrawlRefresh.refreshRescan(snapA, snapB,
+      embedScreen = Some(bowScreen)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === pure)
+
+    // a 1-doc edit next: only that component re-embeds/re-codes
+    // through the SRP flow (O(batch) reconcile), and the screen still
+    // agrees with the rescan twin run from the night-2 corpus
+    val snapC = snapB.withColumn("text",
+      when(col("doc_id") === 5, lit("rewritten " + words(500)))
+        .otherwise(col("text")))
+    val night3 = CrawlRefresh.nightly(spark, wd, snapC,
+      embedScreen = Some(bowScreen))
+    // slice: changed 5 + re-delivered rejects 201/202/203
+    assert(night3.sliceSize === 4, night3)
+    assert(night3.screenedOut === 3, night3)
+    assert(night3.keptSize === 31, night3) // 30 unchanged + 5'
+    val pureC = CrawlRefresh.refreshRescan(
+      got.toSeq.toDF("doc_id", "text"), snapC,
+      embedScreen = Some(bowScreen)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val gotC = spark.read.parquet(s"$wd/export")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(gotC === pureC)
+  }
+
+  // ---- scan-metric contract (r15 verdict task #1) ---------------------------
+
+  /** Tallies parquet-scan volume via task input metrics. */
+  private final class ScanTally
+      extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val records = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        bytes.addAndGet(m.inputMetrics.bytesRead)
+        records.addAndGet(m.inputMetrics.recordsRead)
+      }
+    }
+    def snapshot(): (Long, Long) = { Thread.sleep(300); (bytes.get, records.get) }
+  }
+
+  test("a 1-doc CDC night reads no corpus-sized input beyond the probes") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-crawl-scan")
+    work.toFile.deleteOnExit()
+    val wd = work.resolve("state").toString
+    val n = 3000
+    // FAT, incompressible rows (~5.4 KB of md5 text each, ~16 MB of
+    // corpus parquet) so full-text corpus passes dominate bytesRead
+    // over the engine's thin fixed-size table traffic — the r15
+    // regression this test exists to catch is measured in corpus-text
+    // passes, not in thin metadata rows
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
+    def fat(i: Int): String =
+      (0 until 320).map(j => h(s"$i:$j")).mkString(" ")
+    val snapA = (1 to n).map(i => doc(i, fat(i))).toDF("doc_id", "text")
+    CrawlRefresh.nightly(spark, wd, snapA, hexDigits = 2)
+
+    val corpusBytes = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles).toSeq.flatten.map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length
+        else 0L
+      walk(new java.io.File(s"$wd/export"))
+    }
+
+    // night 2: ONE changed doc, delivered through the CDC feed — no
+    // snapshot diff, export reads pruned to the key's shard
+    val snapB = snapA.withColumn("text",
+      when(col("doc_id") === 77, lit("rev2: " + fat(77)))
+        .otherwise(col("text")))
+    val feed = () => new graft.engine.SourceWatcher {
+      private var drained = false
+      def drain(): (Seq[String], Boolean) =
+        if (drained) (Nil, false)
+        else { drained = true; (Seq("77"), false) }
+      def close(): Unit = ()
+    }
+    val tally = new ScanTally
+    spark.sparkContext.addSparkListener(tally)
+    try {
+      val night2 = CrawlRefresh.nightly(spark, wd, snapB, hexDigits = 2,
+        changeFeed = Some(feed))
+      assert(night2.sliceSize === 1 && night2.keptSize === n, night2)
+    } finally ()
+    val (bytesRead, recordsRead) = tally.snapshot()
+    spark.sparkContext.removeSparkListener(tally)
+
+    info(f"1-doc night: bytesRead=$bytesRead%,d corpusBytes=$corpusBytes%,d " +
+      f"recordsRead=$recordsRead%,d")
+    // Budget decomposition for the night's parquet reads:
+    //   - flow delta re-stats: pushed-down key filters over the
+    //     export (parquet row-group pruning; worst case a shard),
+    //     plus the flow state's THIN memo/tracking tables (O(n)
+    //     short rows per reconcile);
+    //   - the exact screen: bloom load (no scan) + ONE pruned keys
+    //     partition;
+    //   - the fuzzy screen: the thin band-index probe (16 rows/doc,
+    //     ~40 B each) and the candidate verify's corpus fetch —
+    //     ≤ ONE full pass over the export text;
+    //   - exportApplyDelta: the touched shard (~1/256 of the corpus
+    //     at hexDigits=2), twice.
+    // The r15 orchestration materialized the corpus-sized unchanged
+    // set and re-aggregated the full manifest twice — several full
+    // fat passes above this bound. 2.5 corpus-byte passes + 30 MB of
+    // thin-table headroom catches that regression class loudly.
+    assert(bytesRead < (2.5 * corpusBytes).toLong + (30L << 20),
+      s"1-doc night read $bytesRead parquet bytes against a " +
+        s"$corpusBytes-byte corpus — a corpus-sized orchestration " +
+        "pass is back")
+    // record-shape guard: thin passes are O(n) rows each — the
+    // measured night is ~142 rows/doc (dominated by the flow's
+    // target-row tracking table, 16 band rows/doc × a few engine
+    // passes per reconcile); a quadratic or repeated-full-scan
+    // regression lands far above 2× that
+    assert(recordsRead < 300L * n + 20000,
+      s"1-doc night read $recordsRead parquet records (n=$n)")
   }
 }

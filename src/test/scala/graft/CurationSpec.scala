@@ -160,6 +160,40 @@ class CurationSpec extends SparkSpec {
     assert(mixed.getAs[Int]("nc") == 0)
   }
 
+  test("card scrub: grouped-run continuation guards (ADVICE r15)") {
+    import spark.implicits._
+    def scrub(t: String): (String, Int) = {
+      val r = Seq(t).toDF("t")
+        .select(Curation.scrubPii($"t").as("s"),
+          Curation.cardCount($"t").as("nc")).collect().head
+      (r.getAs[String]("s"), r.getAs[Int]("nc"))
+    }
+
+    // a Luhn-valid candidate that is a \b-bounded PREFIX of a longer
+    // grouped run must NOT redact (the old fold left corrupted
+    // residue '<CARD>-5555'); long grouped runs are not a plausible
+    // card rendering — documented under-redaction, count stays 0
+    assert(scrub("run 4242-4242-4242-4242-5555 end") ===
+      (("run 4242-4242-4242-4242-5555 end", 0)))
+    assert(scrub("run 4242 4242 4242 4242 5555 end") ===
+      (("run 4242 4242 4242 4242 5555 end", 0)))
+
+    // a standalone valid span redacts even when the SAME digits also
+    // appear mid-run elsewhere — the fold's guards stop the run
+    // occurrence from corrupting into '9999-<CARD>'
+    assert(scrub("pay 4242-4242-4242-4242 ref 9999-4242-4242-4242-4242 end") ===
+      (("pay <CARD> ref 9999-4242-4242-4242-4242 end", 1)))
+
+    // suffix context that is NOT a run continuation stays redactable
+    // (separator followed by a non-digit)
+    assert(scrub("x 4242-4242-4242-4242-ok y") === (("x <CARD>-ok y", 1)))
+
+    // two adjacent cards with different separators each redact — a
+    // '-' run followed by space+digit is not a '-' continuation
+    assert(scrub("a 4242-4242-4242-4242 4242424242424242 b") ===
+      (("a <CARD> <CARD> b", 2)))
+  }
+
   test("stratifiedSample: exact k per stratum; prefilter preserves the global top-k") {
     import spark.implicits._
     val big = spark.range(10000).toDF("doc_id")
@@ -444,6 +478,72 @@ class CurationSpec extends SparkSpec {
     val before3 = files()
     assert(rows(Curation.exportShardsIncremental(edited, dir)) === m2)
     assert(files() === before3)
+  }
+
+  test("exportApplyDelta: retire/admit by id without reading the source corpus") {
+    import spark.implicits._
+    def d(i: Long, t: String) = (i, t)
+    val docs = (1L to 60L).map(i => d(i, s"text body $i")).toDF("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft-applydelta")
+    work.toFile.deleteOnExit()
+    val dir = work.resolve("shards").toString
+    def rows(m: org.apache.spark.sql.DataFrame) = m.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    def files(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.lastModified, f.length)).toMap
+    }
+    def exportRows() = spark.read.parquet(dir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    Curation.exportShardsIncremental(docs, dir)
+
+    // delta: retire 7 and 13, admit a REPLACEMENT for 13 (upsert) and
+    // a brand-new 100 — the read and the rewrite touch only those
+    // ids' shards, and the returned manifest round-trips
+    Thread.sleep(1100)
+    val before = files()
+    def shardOf(id: Long): Long = spark.range(1)
+      .select(conv(substring(md5(concat(lit("shuf:"), lit(id))), 1, 1),
+        16, 10).cast("long")).head.getLong(0)
+    val touchable = Set(7L, 13L, 100L).map(shardOf)
+    val m = Curation.exportApplyDelta(spark, dir,
+      Seq(7L, 13L).toDF("doc_id"),
+      Seq(d(13L, "replaced 13"), d(100L, "fresh 100")).toDF("doc_id", "text"))
+    assert(exportRows() ===
+      ((1L to 60L).filterNot(Set(7L, 13L)).map(i => (i, s"text body $i")).toSet
+        + ((13L, "replaced 13")) + ((100L, "fresh 100"))))
+    assert(rows(m) === rows(Curation.shardManifest(
+      spark.read.parquet(dir).select("doc_id", "text"))))
+    val after = files()
+    def untouched(x: Map[String, (Long, Long)]) = x.filterNot { case (p, _) =>
+      touchable.exists(s => p.contains(s"shard=$s"))
+    }
+    assert(untouched(after) === untouched(before))
+
+    // empty delta: zero files touched, manifest returned unchanged
+    val before2 = files()
+    val m2 = Curation.exportApplyDelta(spark, dir,
+      Seq.empty[Long].toDF("doc_id"),
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(rows(m2) === rows(m) && files() === before2)
+
+    // retire EVERYTHING: export empties without wedging, manifest empty
+    val m3 = Curation.exportApplyDelta(spark, dir,
+      (1L to 100L).toDF("doc_id"),
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(m3.count() === 0)
+    assert(!Curation.exportHasFiles(dir))
+    // ...and admitting into the emptied export works
+    val m4 = Curation.exportApplyDelta(spark, dir,
+      Seq.empty[Long].toDF("doc_id"),
+      Seq(d(5L, "reborn")).toDF("doc_id", "text"))
+    assert(exportRows() === Set((5L, "reborn")))
+    assert(rows(m4) === rows(Curation.shardManifest(
+      spark.read.parquet(dir).select("doc_id", "text"))))
   }
 
   test("corpusDiff classifies all four statuses; null content compares sanely") {

@@ -77,4 +77,31 @@ class DedupFlowSpec extends SparkSpec {
         spark.read.parquet(base), threshold = 0.7, textCol = "other")
     }
   }
+
+  test("flow takeover refuses a mismatched bucket layout (ADVICE r15)") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-dedupnb")
+    work.toFile.deleteOnExit()
+    val base = work.resolve("base").toString
+    Seq((1L, "alpha bravo charlie delta echo"),
+      (2L, "foxtrot golf hotel india juliet"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(base)
+    val indexDir = work.resolve("index").toString
+    Dedup.minHashIndexBootstrap(spark, indexDir,
+      spark.read.parquet(base), numBuckets = 4)
+    // a flow declared with a DIFFERENT numBuckets would upsert rows
+    // into a second layout (stale rows in the old buckets never
+    // reconcile, row_keys duplicate across buckets) — it must fail at
+    // takeover, not mix silently
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minHashFlow("mh-mismatch", sp => sp.read.parquet(base),
+        indexDir = indexDir, stateDir = work.resolve("state").toString,
+        numBuckets = 8)
+    }
+    assert(e.getMessage.contains("numBuckets"), e.getMessage)
+    // the matching layout takes over cleanly
+    Dedup.minHashFlow("mh-match", sp => sp.read.parquet(base),
+      indexDir = indexDir, stateDir = work.resolve("state").toString,
+      numBuckets = 4).run(spark)
+  }
 }

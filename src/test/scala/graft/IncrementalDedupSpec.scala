@@ -220,6 +220,72 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got === (888000L until 888040L).toSet)
   }
 
+  test("keyIndexRebuild restores the filter budget from the keys table alone") {
+    val work = java.nio.file.Files.createTempDirectory("graft-keyidx5")
+    work.toFile.deleteOnExit()
+    val idx = work.resolve("index").toString
+    Dedup.keyIndexInit(spark, idx, "key", expectedItems = 50L)
+    Dedup.keyIndexAppend(spark, idx, docs(400)) // 8x the sized budget
+    assert(Dedup.keyIndexNeedsRebuild(idx))
+
+    // realized fpp before/after, measured directly on the persisted
+    // filter with 5000 non-member probes
+    def fppProbe(): Double = {
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(java.nio.file.Files.readAllBytes(
+          work.resolve("index._graft_keybloom.bin"))))
+      (0 until 5000).count(i => bf.mightContain(s"probe:$i")) / 5000.0
+    }
+    val degraded = fppProbe()
+    assert(degraded > 0.05, s"overflowed filter should be degraded: $degraded")
+
+    Dedup.keyIndexRebuild(spark, idx)
+    assert(!Dedup.keyIndexNeedsRebuild(idx))
+    val restored = fppProbe()
+    assert(restored < 0.02, s"rebuilt filter fpp not restored: $restored")
+
+    // correctness preserved: every committed key still screens out,
+    // fresh keys still pass — the rebuild read only the index's own
+    // keys table, never any corpus
+    val inc = docs(400).withColumn("id", col("id") + 777000)
+      .unionByName(docs(60).withColumn("id", col("id") + 888000)
+        .withColumn("key", concat(lit("zz:"), col("key"))))
+    val got = Dedup.incrementalDedupOver(spark, idx, inc)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === (888000L until 888060L).toSet)
+
+    // the rebuilt budget doubles headroom: another 400-key commit
+    // fits without flipping the flag again (items = 2x distinct keys)
+    Dedup.keyIndexAppend(spark, idx,
+      docs(400).withColumn("key", concat(lit("zz2:"), col("key"))))
+    assert(!Dedup.keyIndexNeedsRebuild(idx))
+  }
+
+  test("a second concurrent writer fails loudly on the writer lock") {
+    val work = java.nio.file.Files.createTempDirectory("graft-keyidx6")
+    work.toFile.deleteOnExit()
+    val idx = work.resolve("index").toString
+    Dedup.keyIndexInit(spark, idx, "key", expectedItems = 100L)
+    // simulate a concurrent (or crashed) writer holding the lock
+    val lock = work.resolve("index._graft_keyidx.lock")
+    java.nio.file.Files.write(lock, "9999@otherhost (append)".getBytes)
+    val e = intercept[IllegalStateException] {
+      Dedup.keyIndexAppend(spark, idx, docs(10))
+    }
+    assert(e.getMessage.contains("writer lock held by"), e.getMessage)
+    assert(e.getMessage.contains("otherhost"), e.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      Dedup.keyIndexRebuild(spark, idx)
+    }
+    assert(e2.getMessage.contains("writer lock held by"), e2.getMessage)
+    // the failed attempts must NOT have deleted the other writer's
+    // lock on their way out
+    assert(java.nio.file.Files.exists(lock))
+    java.nio.file.Files.delete(lock)
+    Dedup.keyIndexAppend(spark, idx, docs(10)) // released → append works
+    assert(!java.nio.file.Files.exists(lock))  // and releases its own
+  }
+
   test("key index keeps null keys and handles them across commits") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-keyidx4")

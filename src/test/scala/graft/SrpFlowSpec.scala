@@ -150,4 +150,29 @@ class SrpFlowSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no index metadata"))
   }
+
+  test("flow takeover refuses a mismatched bucket layout (ADVICE r15)") {
+    val (_, corpus, _) = fixture
+    val work = java.nio.file.Files.createTempDirectory("graft-srpnb")
+    work.toFile.deleteOnExit()
+    val base = work.resolve("base").toString
+    corpus.write.mode("overwrite").parquet(base)
+    val indexDir = work.resolve("index").toString
+    Similarity.srpIndexBootstrap(spark, indexDir,
+      spark.read.parquet(base), planes = 16, bands = 4, dims = 8,
+      numBuckets = 4)
+    // a flow declared with a DIFFERENT numBuckets would upsert rows
+    // into a second layout (stale rows in the old buckets never
+    // reconcile) — it must fail at takeover, not mix silently
+    val e = intercept[IllegalArgumentException] {
+      Similarity.srpFlow("srp-mismatch", sp => sp.read.parquet(base),
+        indexDir = indexDir, stateDir = work.resolve("state").toString,
+        planes = 16, bands = 4, dims = 8, numBuckets = 8)
+    }
+    assert(e.getMessage.contains("numBuckets"), e.getMessage)
+    // the matching layout takes over cleanly
+    Similarity.srpFlow("srp-match", sp => sp.read.parquet(base),
+      indexDir = indexDir, stateDir = work.resolve("state").toString,
+      planes = 16, bands = 4, dims = 8, numBuckets = 4).run(spark)
+  }
 }
