@@ -133,18 +133,18 @@ object Bench {
     // fake).
     val loadMax =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "1.5").toDouble
-    // < 0.5 (r14 verdict): the r14 recording started at load5 0.99
-    // against the old < 1.0 bar — the exact just-decayed-pressure
-    // window that stamped q103 at 46.2 s (idle-box same-tree value:
-    // 2.4–3.6 s). A genuinely settled 32-cpu box sits near 0 on the
-    // 5-minute average; anything above 0.5 means work finished
-    // recently enough that its cache/IO wake is still distorting the
-    // first queries. load5 decays with a 5-minute time constant, so
-    // the longer soft wait below (not a refusal — the usual cause is
-    // the driver's own verify JVM having just exited) clears any
-    // realistic backlog: 0.99→0.5 takes ~3.4 min.
+    // ≤ 0.30 (r15 verdict task #2, tightened from the r14 bar of
+    // 0.5): the r15 post-commit re-record started at load5 exactly
+    // 0.50 — the boundary the old `< 0.5` admitted — and showed five
+    // flow gates 4.5–41x inflated on first pass plus +17% decaying
+    // pressure on the total (the repo's own measured data point at
+    // 0.50). A genuinely settled 32-cpu box sits near 0 on the
+    // 5-minute average. load5 decays with a 5-minute time constant,
+    // so the longer soft wait below (not a refusal — the usual cause
+    // is the driver's own verify JVM having just exited) clears any
+    // realistic backlog: 0.99→0.30 takes ~6 min.
     val load5Max =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD5_MAX", "0.5").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD5_MAX", "0.30").toDouble
     // the 1-minute average must ALSO be near-idle before recording
     // starts (r14 verdict: load5 < 0.5 AND load1 < 0.3) — load1
     // reacts fastest, so an elevated load1 under a quiet load5 means
@@ -229,7 +229,6 @@ object Bench {
     val orderedBase = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => (only.isEmpty || only(n)) && tierFilter(n) }
     val ordered = if (reverse) orderedBase.reverse else orderedBase
-    val firstPass = ordered.map { case (name, fn) => name -> timeOne(name, fn) }
 
     // Outlier re-run policy (r14 verdict task #1): any query whose
     // time exceeds 3x its previous committed round's value is re-run
@@ -242,32 +241,77 @@ object Bench {
     val prev = prevQueryTimes()
     val rerunFloorSec = 1.0
     val fnOf = ordered.toMap
-    val rerunCandidates = firstPass.filter { case (n, t) =>
-      !failedSet(n) &&
-        prev.get(n).exists(p => t > 3.0 * math.max(p, rerunFloorSec))
-    }
-    val rerunFirst = rerunCandidates.toMap
-    val rerunTimes = rerunCandidates.flatMap { case (n, _) =>
-      System.err.println(
-        f"[bench] re-running outlier $n (${rerunFirst(n)}%.1f s vs " +
-          f"prev ${prev(n)}%.1f s)")
-      val t = timeOne(n, fnOf(n))
-      // a FAILED re-run proves nothing about the first (successful)
-      // pass: discard its fast-failure elapsed time and un-mark the
-      // failure — otherwise the artifact would stamp min(46s, 0.4s
-      // crash) as a phantom improvement AND list a succeeded query
-      // as failed (review r15 finding)
-      if (failedSet(n)) {
-        failedSet -= n
+
+    /** One full measurement pass: every query timed in order, then
+      * the >3x-vs-prev outliers re-run once (min recorded). */
+    def recordPass(): (Seq[(String, Double)], Map[String, Double],
+        Map[String, Double]) = {
+      failedSet.clear()
+      val firstPass = ordered.map { case (name, fn) =>
+        name -> timeOne(name, fn)
+      }
+      val rerunCandidates = firstPass.filter { case (n, t) =>
+        !failedSet(n) &&
+          prev.get(n).exists(p => t > 3.0 * math.max(p, rerunFloorSec))
+      }
+      val rerunFirst = rerunCandidates.toMap
+      val rerunTimes = rerunCandidates.flatMap { case (n, _) =>
         System.err.println(
-          s"[bench] re-run of $n itself failed — keeping the " +
-            "first-pass time")
-        None
-      } else Some(n -> t)
-    }.toMap
-    val results = firstPass.map { case (n, t) =>
-      n -> math.min(t, rerunTimes.getOrElse(n, t))
+          f"[bench] re-running outlier $n (${rerunFirst(n)}%.1f s vs " +
+            f"prev ${prev(n)}%.1f s)")
+        val t = timeOne(n, fnOf(n))
+        // a FAILED re-run proves nothing about the first (successful)
+        // pass: discard its fast-failure elapsed time and un-mark the
+        // failure — otherwise the artifact would stamp min(46s, 0.4s
+        // crash) as a phantom improvement AND list a succeeded query
+        // as failed (review r15 finding)
+        if (failedSet(n)) {
+          failedSet -= n
+          System.err.println(
+            s"[bench] re-run of $n itself failed — keeping the " +
+              "first-pass time")
+          None
+        } else Some(n -> t)
+      }.toMap
+      val results = firstPass.map { case (n, t) =>
+        n -> math.min(t, rerunTimes.getOrElse(n, t))
+      }
+      (results, rerunFirst, rerunTimes)
     }
+
+    // Whole-pass invalidation (r15 verdict task #2): when any re-run
+    // WINS by >3x, the first pass was CONTENTION, not noise — and the
+    // same pressure silently inflated sub-trigger neighbors in that
+    // pass (the r15 re-record: q83 167.3 s vs 4.1 s, with q01–q08
+    // running 1.8–2.7x high below the trigger). Keeping per-query
+    // minimums beside contaminated neighbors mixes two regimes in one
+    // artifact — discard the WHOLE pass, wait for the box to settle,
+    // and re-record. If the final allowed pass still trips, the
+    // artifact says so ("pass_suspect") instead of posing as clean.
+    def contaminated(rf: Map[String, Double],
+        rt: Map[String, Double]): Boolean =
+      rt.exists { case (n, t2) => rf(n) > 3.0 * math.max(t2, rerunFloorSec) }
+    val maxPasses =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_PASSES", "2").toInt
+    var pass = 1
+    var (results, rerunFirst, rerunTimes) = recordPass()
+    val invalidatedTotals = scala.collection.mutable.ListBuffer[Double]()
+    while (contaminated(rerunFirst, rerunTimes) && pass < maxPasses) {
+      invalidatedTotals += results.map(_._2).sum
+      System.err.println(
+        "[bench] pass invalidated: a re-run won by >3x (first pass " +
+          "was contention) — settling, then re-recording the whole pass")
+      val tw0 = System.currentTimeMillis()
+      var l = loadAvg()
+      while ((l._1 > load1SettleMax || l._2 > load5Max) &&
+          System.currentTimeMillis() - tw0 < softQuiesceMs) {
+        Thread.sleep(5000); l = loadAvg()
+      }
+      pass += 1
+      val r = recordPass()
+      results = r._1; rerunFirst = r._2; rerunTimes = r._3
+    }
+    val passSuspect = contaminated(rerunFirst, rerunTimes)
     val failed = failedSet.toSeq.sorted
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
@@ -280,8 +324,9 @@ object Bench {
     val flowTotal = total - coreTotal
     val (loadAtEnd, _) = loadAvg()
     val orderTag = if (reverse) "reverse" else "sorted"
+    val inv = invalidatedTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fj,"tiers":{"core":$coreTotal%.3f,"flow":$flowTotal%.3f},"sf":"$sfDir","order":"$orderTag","reruns":$rr,"rerun_policy":"min_of_2_when_gt_3x_prev_round","load_avg_start":$loadAtStart%.2f,"load5_avg_start":$load5AtStart%.2f,"load_avg_end":$loadAtEnd%.2f,"other_jvms_at_start":$jvmsAtStart}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fj,"tiers":{"core":$coreTotal%.3f,"flow":$flowTotal%.3f},"sf":"$sfDir","order":"$orderTag","reruns":$rr,"rerun_policy":"min_of_2_when_gt_3x_prev_round_whole_pass_invalidation","passes":$pass,"invalidated_pass_totals":$inv,"pass_suspect":$passSuspect,"load_avg_start":$loadAtStart%.2f,"load5_avg_start":$load5AtStart%.2f,"load_avg_end":$loadAtEnd%.2f,"other_jvms_at_start":$jvmsAtStart}"""
     println(json)
     // durable copy — the driver's stdout tail-capture truncates
     try java.nio.file.Files.writeString(

@@ -428,6 +428,101 @@ object DedupScale {
       kincShufMB, voverShufMB)
   }
 
+  /** Index-served-screens-ONLY sweep cell (r15 verdict task #7): the
+    * full [[runCell]] pays the O(N)-per-batch rescan operators at
+    * every point, which caps the sweep at 10⁶; the index-served
+    * screens are O(batch) and their artifact must prove flatness a
+    * decade further. Builds (keyIndexAppend / srpIndexBootstrap) run
+    * OUTSIDE the timed window — they are the amortized provisioning
+    * pass — and the cell also records the on-disk index sizes, the
+    * measured growth of the thin probe side. */
+  final case class IdxCell(
+      n: Long,
+      kincSec: Double, kincKept: Long, kincBatch: Long, kincShufMB: Double,
+      kincIndexMB: Double,
+      voverSec: Double, voverKept: Long, voverBatch: Long,
+      voverShufMB: Double, voverIndexMB: Double, voverIndexRows: Long)
+
+  private def dirMB(path: String): Double = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.map(walk).sum
+      else f.length
+    walk(new java.io.File(path)) / 1048576.0
+  }
+
+  def runIdxCell(spark: SparkSession, n: Long): IdxCell = {
+    val tenth = math.max(n / 10, 1L)
+    val bHalf = math.min(1000L, tenth)
+    val work = Files.createTempDirectory("graft-dedup-idx")
+    work.toFile.deleteOnExit()
+
+    // ---- persisted exact-key index: build O(n) once, screen O(batch)
+    val d = docs(spark, n)
+    val keyIdx = work.resolve(s"keyidx_$n").toString
+    Dedup.keyIndexInit(spark, keyIdx, "text", expectedItems = n,
+      partitions = 256)
+    Dedup.keyIndexAppend(spark, keyIdx, d)
+    val fresh = spark.range(tenth).toDF("id")
+      .withColumn("doc_id", col("id") + 10000000L)
+      .withColumn("text", concat_ws(" ", (0 until 40).map(j =>
+        substring(md5(concat(lit("f:"), col("id"), lit(s":$j"))), 1, 8)): _*))
+      .select("doc_id", "text")
+    val kBatch = fresh.filter(col("doc_id") < 10000000L + bHalf)
+      .unionByName(
+        d.filter(col("doc_id") % 10 === 3 && col("doc_id") < 10 * bHalf)
+          .withColumn("doc_id", col("doc_id") + 40000000L))
+      .localCheckpoint()
+    val kincBatch = kBatch.count()
+    val (kincKept, kincSec, kincShufMB) = timedShuf(spark) {
+      Dedup.incrementalDedupOver(spark, keyIdx, kBatch).count()
+    }
+    val kincIndexMB = dirMB(keyIdx)
+
+    // ---- persisted SRP band index: bootstrap O(n), screen O(batch)
+    val vecs = uniformVecs(spark, n)
+    val srpIdx = work.resolve(s"srpidx_$n").toString
+    Similarity.srpIndexBootstrap(spark, srpIdx, vecs,
+      planes = 64, bands = 4, dims = 64)
+    val freshVecs = spark.range(tenth).toDF("id")
+      .withColumn("vec_id", col("id") + 10000000L)
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)), dd =>
+        u(concat(lit("fv:"), col("id"), lit(":"), dd))))
+      .select("vec_id", "embedding")
+    val reencoded = vecs.filter(col("vec_id") % 10 === 3)
+      .select((col("vec_id") + 20000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + when(i === 0, lit(0.002)).otherwise(lit(0.0)))
+          .as("embedding"))
+    val vBatch = freshVecs.filter(col("vec_id") < 10000000L + bHalf)
+      .unionByName(
+        reencoded.filter(col("vec_id") < 20000000L + 10 * bHalf))
+      .localCheckpoint()
+    val voverBatch = vBatch.count()
+    val (voverKept, voverSec, voverShufMB) = timedShuf(spark) {
+      Similarity.semDedupIncrementOver(spark, srpIdx,
+        vecs, vBatch, threshold = 0.99).count()
+    }
+    val voverIndexMB = dirMB(srpIdx)
+    val voverIndexRows = spark.read.parquet(srpIdx).count()
+
+    IdxCell(n, kincSec, kincKept, kincBatch, kincShufMB, kincIndexMB,
+      voverSec, voverKept, voverBatch, voverShufMB, voverIndexMB,
+      voverIndexRows)
+  }
+
+  def idxToJson(cells: Seq[IdxCell]): String =
+    cells.map { c =>
+      f"""{"n":${c.n},"kinc_sec":${c.kincSec}%.3f,""" +
+      s""""kinc_kept":${c.kincKept},"kinc_batch":${c.kincBatch},""" +
+      f""""kinc_shuf_mb":${c.kincShufMB}%.1f,""" +
+      f""""kinc_index_mb":${c.kincIndexMB}%.1f,""" +
+      f""""vover_sec":${c.voverSec}%.3f,"vover_kept":${c.voverKept},""" +
+      s""""vover_batch":${c.voverBatch},""" +
+      f""""vover_shuf_mb":${c.voverShufMB}%.1f,""" +
+      f""""vover_index_mb":${c.voverIndexMB}%.1f,""" +
+      s""""vover_index_rows":${c.voverIndexRows}}"""
+    }.mkString("[", ",", "]")
+
   def toJson(cells: Seq[Cell]): String =
     cells.map { c =>
       f"""{"n":${c.n},"mh_sec":${c.mhSec}%.3f,""" +
@@ -458,7 +553,7 @@ object DedupScale {
       f""""vinc_shuf_mb":${c.vincShufMB}%.1f,""" +
       f""""kinc_shuf_mb":${c.kincShufMB}%.1f,""" +
       f""""vover_shuf_mb":${c.voverShufMB}%.1f}"""
-    }.mkString("""{"cells":[""", ",", "]}")
+    }.mkString("[", ",", "]")
 }
 
 object DedupScaleBench {
@@ -470,6 +565,11 @@ object DedupScaleBench {
       SparkSession.builder().master(s"local[$cpus]")
         .appName("graft-dedup-scale"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the extra decade(s) for the index-served screens only (r15
+    // verdict task #7): the rescan operators cap the full sweep at
+    // 10⁶; the O(batch) screens prove flatness beyond it cheaply
+    val idxNs = sys.env.getOrElse("SPARK_GRAFT_DEDUP_IDX_NS", "10000000")
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
     val cells = ns.map { n =>
       val c = DedupScale.runCell(spark, n)
       System.err.println(
@@ -492,7 +592,19 @@ object DedupScaleBench {
         f"shuf=${c.voverShufMB}%.1fMB")
       c
     }
-    val json = DedupScale.toJson(cells)
+    val idxCells = idxNs.map { n =>
+      val c = DedupScale.runIdxCell(spark, n)
+      System.err.println(
+        f"[dedup-scale] idx n=$n kinc=${c.kincSec}%.1fs " +
+        f"kept=${c.kincKept}/${c.kincBatch / 2} " +
+        f"idx=${c.kincIndexMB}%.0fMB shuf=${c.kincShufMB}%.1fMB | " +
+        f"vover=${c.voverSec}%.1fs kept=${c.voverKept}/${c.voverBatch / 2} " +
+        f"idx=${c.voverIndexMB}%.0fMB rows=${c.voverIndexRows} " +
+        f"shuf=${c.voverShufMB}%.1fMB")
+      c
+    }
+    val json = s"""{"cells":${DedupScale.toJson(cells)},""" +
+      s""""idx_cells":${DedupScale.idxToJson(idxCells)}}"""
     Files.write(Paths.get("DEDUP_SCALE.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
@@ -600,6 +712,32 @@ object DedupScaleBench {
             b.voverSec > 3 * math.max(a.voverSec, 1.0))
           bad ::= s"SRP-index screen not flat in N ${a.n}→${b.n}: " +
             f"${a.voverSec}%.1fs→${b.voverSec}%.1fs"
+      case _ =>
+    }
+    // index-served extra decade(s): value-exactness + flatness chained
+    // from the largest full-sweep cell (same fixed batch) through
+    // every idx cell — three decades of corpus N, one flat screen time
+    idxCells.foreach { c =>
+      if (c.kincKept != c.kincBatch / 2)
+        bad ::= s"idx n=${c.n}: incrementalDedupOver kept ${c.kincKept} " +
+          s"(want ${c.kincBatch / 2})"
+      if (c.voverKept != c.voverBatch / 2)
+        bad ::= s"idx n=${c.n}: semDedupIncrementOver kept ${c.voverKept} " +
+          s"(want ${c.voverBatch / 2})"
+    }
+    val chain =
+      cells.sortBy(_.n).lastOption.map(c =>
+        (c.n, c.kincSec, c.kincBatch, c.voverSec, c.voverBatch)).toSeq ++
+      idxCells.sortBy(_.n).map(c =>
+        (c.n, c.kincSec, c.kincBatch, c.voverSec, c.voverBatch))
+    chain.sliding(2).foreach {
+      case Seq(a, b) =>
+        if (a._3 == b._3 && b._2 > 3 * math.max(a._2, 1.0))
+          bad ::= s"keyIndex screen not flat in N ${a._1}→${b._1}: " +
+            f"${a._2}%.1fs→${b._2}%.1fs"
+        if (a._5 == b._5 && b._4 > 3 * math.max(a._4, 1.0))
+          bad ::= s"SRP-index screen not flat in N ${a._1}→${b._1}: " +
+            f"${a._4}%.1fs→${b._4}%.1fs"
       case _ =>
     }
     if (bad.nonEmpty) {

@@ -1133,6 +1133,378 @@ object CurationPack extends QueryPack {
             Tables(s, dir, "documents").select("doc_id", "source"),
             "source", k = 20)
           .select(col("doc_id"), col("source"),
-            col("strat_rank").cast("int")))
+            col("strat_rank").cast("int"))),
+
+    // ---- crawl refresh with the EMBEDDING screen composed (trilogy) --------
+    // q133 + the third screen (r15 verdict task #3): on top of q133's
+    // plants, word-REVERSED re-crawls (+5M) — identical bag of words
+    // ⇒ identical integer-exact BOW embedding (cosine 1.0), but their
+    // 3-gram shingles share nothing with the original (a shared
+    // trigram would need a palindromic word window), so the exact AND
+    // fuzzy screens are blind to them and ONLY the embedding screen
+    // (SRP banding + round-6 cosine) drops them. The oracle replays
+    // the ENTIRE trilogy — diff routing, anti-join, md5-MinHash
+    // banding + Jaccard, BOW embeddings, md5 SRP planes, MSB-packed
+    // band codes, cosine verify — down to the shard manifest: one
+    // misrouted document anywhere flips a shard hash.
+    Q(
+      "q140_crawl_refresh_trilogy",
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id % 11 <> 0 AND doc_id % 5 <> 0),
+        unch AS (SELECT doc_id, text FROM base WHERE doc_id % 3 <> 0),
+        slice AS (
+          SELECT doc_id, 'rev2: ' || text AS text FROM base
+          WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 2000000 AS doc_id,
+                 'FRESH ' || upper(text) AS text
+          FROM documents WHERE doc_id % 13 = 0
+          UNION ALL
+          SELECT doc_id + 3000000 AS doc_id, text FROM base
+          WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 4000000 AS doc_id, 'UPDATE: ' || text AS text
+          FROM base WHERE doc_id % 3 <> 0 AND doc_id % 7 = 1
+          UNION ALL
+          SELECT doc_id + 5000000 AS doc_id,
+                 array_to_string(list_reverse(list_filter(
+                   string_split(text, ' '), w -> w <> '')), ' ') AS text
+          FROM base WHERE doc_id % 3 <> 0 AND doc_id % 7 = 2),
+        ex AS (
+          SELECT s.doc_id, s.text FROM slice s
+          WHERE NOT EXISTS (SELECT 1 FROM unch c WHERE c.text = s.text)),
+        csh AS (
+          SELECT doc_id, list_transform(sh, s ->
+              CAST(CAST(('0x' || substring(md5(s), 1, 15)) AS UBIGINT)
+                AS BIGINT)) AS hs
+          FROM (
+            SELECT doc_id, list_distinct(list_transform(
+                range(greatest(len(words) - 2, 0)),
+                i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))
+              AS sh
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), w -> w <> '')
+                           AS words
+                  FROM unch))
+          WHERE len(sh) > 0),
+        ish AS (
+          SELECT doc_id, list_transform(sh, s ->
+              CAST(CAST(('0x' || substring(md5(s), 1, 15)) AS UBIGINT)
+                AS BIGINT)) AS hs
+          FROM (
+            SELECT doc_id, list_distinct(list_transform(
+                range(greatest(len(words) - 2, 0)),
+                i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))
+              AS sh
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), w -> w <> '')
+                           AS words
+                  FROM ex))
+          WHERE len(sh) > 0),
+        consts AS (
+          SELECT t.i AS i,
+                 (${graft.operators.Dedup.minHashA.take(32)
+                     .mkString("[", ", ", "]")})[t.i + 1] AS a,
+                 (${graft.operators.Dedup.minHashB.take(32)
+                     .mkString("[", ", ", "]")})[t.i + 1] AS b
+          FROM unnest(range(32)) AS t(i)),
+        csigs AS (
+          SELECT doc_id, c.i AS i,
+                 min((c.a * (hv % 2147483647) + c.b) % 2147483647) AS sig
+          FROM (SELECT doc_id, unnest(hs) AS hv FROM csh), consts c
+          GROUP BY doc_id, c.i),
+        isigs AS (
+          SELECT doc_id, c.i AS i,
+                 min((c.a * (hv % 2147483647) + c.b) % 2147483647) AS sig
+          FROM (SELECT doc_id, unnest(hs) AS hv FROM ish), consts c
+          GROUP BY doc_id, c.i),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS c_id, b.doc_id AS inc_id
+          FROM csigs a JOIN isigs b ON a.i = b.i AND a.sig = b.sig),
+        dup AS (
+          SELECT DISTINCT cand.inc_id FROM cand
+          JOIN csh x ON cand.c_id = x.doc_id
+          JOIN ish y ON cand.inc_id = y.doc_id
+          WHERE round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+                  (len(x.hs) + len(y.hs) -
+                   len(list_intersect(x.hs, y.hs))), 4) >= 0.7),
+        fz AS (
+          SELECT e.doc_id, e.text FROM ex e
+          WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.inc_id = e.doc_id)),
+        cemb AS (
+          SELECT doc_id, list_transform(range(8), i -> CAST(
+              (CAST(CAST(('0x' || substring(md5('__bow__:' ||
+                 CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+                 % 2001 - 1000)
+              + coalesce(list_aggregate(list_transform(
+                  list_filter(string_split(text, ' '), w -> w <> ''),
+                  w -> CAST(CAST(('0x' || substring(md5(w || ':' ||
+                    CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+                    % 2001 - 1000), 'sum'), 0)
+              AS DOUBLE)) AS emb
+          FROM unch),
+        iemb AS (
+          SELECT doc_id, list_transform(range(8), i -> CAST(
+              (CAST(CAST(('0x' || substring(md5('__bow__:' ||
+                 CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+                 % 2001 - 1000)
+              + coalesce(list_aggregate(list_transform(
+                  list_filter(string_split(text, ' '), w -> w <> ''),
+                  w -> CAST(CAST(('0x' || substring(md5(w || ':' ||
+                    CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+                    % 2001 - 1000), 'sum'), 0)
+              AS DOUBLE)) AS emb
+          FROM fz),
+        pl AS (
+          SELECT p.p AS plane, d.d AS dim,
+                 (CAST(CAST(('0x' || substring(md5(
+                    CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)),
+                    1, 15)) AS UBIGINT) AS BIGINT) % 1000000)
+                   / 500000.0 - 1.0 AS v
+          FROM unnest(range(32)) p(p), unnest(range(8)) d(d)),
+        cdots AS (
+          SELECT c.doc_id, pl.plane, sum(c.emb[pl.dim + 1] * pl.v) AS dot
+          FROM cemb c, pl GROUP BY 1, 2),
+        idots AS (
+          SELECT i.doc_id, pl.plane, sum(i.emb[pl.dim + 1] * pl.v) AS dot
+          FROM iemb i, pl GROUP BY 1, 2),
+        ccodes AS (
+          SELECT doc_id, CAST(plane // 16 AS INT) AS band,
+                 sum((CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END)
+                     << CAST(15 - (plane % 16) AS INT)) AS code
+          FROM cdots GROUP BY 1, 2),
+        icodes AS (
+          SELECT doc_id, CAST(plane // 16 AS INT) AS band,
+                 sum((CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END)
+                     << CAST(15 - (plane % 16) AS INT)) AS code
+          FROM idots GROUP BY 1, 2),
+        vcand AS (
+          SELECT DISTINCT c.doc_id AS c_id, i.doc_id AS inc_id
+          FROM ccodes c JOIN icodes i
+            ON c.band = i.band AND c.code = i.code),
+        vdup AS (
+          SELECT DISTINCT vcand.inc_id FROM vcand
+          JOIN cemb x ON x.doc_id = vcand.c_id
+          JOIN iemb y ON y.doc_id = vcand.inc_id
+          WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= 0.99),
+        sem AS (
+          SELECT f.doc_id, f.text FROM fz f
+          WHERE NOT EXISTS (SELECT 1 FROM vdup v WHERE v.inc_id = f.doc_id)),
+        fin AS (
+          SELECT doc_id, text FROM unch
+          UNION ALL SELECT doc_id, text FROM sem),
+        keyed AS (
+          SELECT doc_id, text,
+                 md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k
+          FROM fin),
+        shards AS (
+          SELECT doc_id, text,
+                 strpos('0123456789abcdef', substr(k, 1, 1)) - 1 AS shard
+          FROM keyed)
+        SELECT shard, count(*) AS n_rows,
+               bit_xor(CAST(CAST(('0x' || substring(md5(
+                   'row:' || coalesce(md5(CAST(doc_id AS VARCHAR)), 'null')
+                          || coalesce(md5(text), 'null')),
+                   1, 15)) AS UBIGINT) AS BIGINT)) AS content_hash,
+               min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM shards GROUP BY 1"""),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        val oldC = docs.filter(col("doc_id") % 11 =!= 0)
+        val base = docs.filter(
+          col("doc_id") % 11 =!= 0 && col("doc_id") % 5 =!= 0)
+        val rev = array_join(
+          reverse(filter(split(col("text"), " "), w => w =!= "")), " ")
+        val newC = base.select(col("doc_id"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit("rev2: "), col("text")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 2000000).as("doc_id"),
+              concat(lit("FRESH "), upper(col("text"))).as("text")))
+          .unionByName(base
+            .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+          .unionByName(base
+            .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 1)
+            .select((col("doc_id") + 4000000).as("doc_id"),
+              concat(lit("UPDATE: "), col("text")).as("text")))
+          .unionByName(base
+            .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 2)
+            .select((col("doc_id") + 5000000).as("doc_id"), rev.as("text")))
+        Curation.shardManifest(
+          graft.operators.CrawlRefresh.refreshRescan(
+            oldC, newC, threshold = 0.7,
+            embedScreen = Some(graft.operators.CrawlRefresh.EmbedScreen(
+              df => df.withColumn("embedding",
+                graft.functions.HashEmbedder.embedBow(col("text"), 8)),
+              threshold = 0.99))))
+      }),
+
+    // ---- curation pipeline v2: the r15 operators COMPOSED --------------------
+    // r15 verdict task #8: q57 proves quality→dedup→chunk→stats as one
+    // plan; this gate proves the round-15 additions compose the same
+    // way — page render → Luhn card scrub (docs carry a text-derived
+    // valid/invalid card pair on a text-derived subset) → line-quality
+    // gate (bullet fraction + line count over the SCRUBBED pages) →
+    // exact-dedup canonicalization (identical raw texts render to
+    // identical scrubbed pages because every derived value is a pure
+    // function of the text) → exact-k stratified sample per source.
+    // The oracle replays every stage including the Luhn check digit,
+    // the scrub decision, the line battery, the window dedup and the
+    // two-phase sample — a drift anywhere flips membership or a rank.
+    Q(
+      "q141_curation_pipeline_v2",
+      Some("""
+        WITH w0 AS (
+          SELECT doc_id, source, text,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents),
+        r AS (
+          SELECT doc_id, source, text,
+                 array_to_string(list_transform(
+                   range(CAST(ceil(len(ws) / 8.0) AS BIGINT)), i ->
+                   (CASE WHEN i % 5 = 2 THEN '- ' ELSE '' END)
+                   || array_to_string(ws[i*8+1 : i*8+8], ' ')
+                   || (CASE WHEN i % 4 = 0 THEN '.'
+                            WHEN i % 4 = 1 THEN '!'
+                            WHEN i % 4 = 2 THEN '?'
+                            ELSE '' END)), chr(10)) AS page
+          FROM w0 WHERE len(ws) > 0),
+        b AS (
+          SELECT doc_id, source, page,
+                 lpad(CAST(CAST(CAST(('0x' || substring(md5(text), 1, 6))
+                     AS UBIGINT) AS BIGINT) % 100000 AS VARCHAR), 5, '0')
+                   || '4242424242' AS c15,
+                 CASE WHEN CAST(CAST(('0x' || substring(md5(text), 7, 1))
+                     AS UBIGINT) AS BIGINT) % 2 = 0
+                   THEN '-' ELSE ' ' END AS sep,
+                 CAST(CAST(('0x' || substring(md5(text), 8, 1))
+                     AS UBIGINT) AS BIGINT) % 3 = 0 AS has_card
+          FROM r),
+        s AS (
+          SELECT *, list_aggregate(list_transform(range(15), i ->
+                   CASE WHEN i % 2 = 0
+                     THEN CASE WHEN CAST(c15[i+1:i+1] AS INT) * 2 > 9
+                       THEN CAST(c15[i+1:i+1] AS INT) * 2 - 9
+                       ELSE CAST(c15[i+1:i+1] AS INT) * 2 END
+                     ELSE CAST(c15[i+1:i+1] AS INT) END), 'sum') AS s15
+          FROM b),
+        f AS (
+          SELECT *, c15 || CAST((10 - s15 % 10) % 10 AS VARCHAR) AS v16,
+                 c15 || CAST(((10 - s15 % 10) % 10 + 1) % 10 AS VARCHAR)
+                   AS i16
+          FROM s),
+        g AS (
+          SELECT doc_id, source, page, has_card,
+                 v16[1:4] || sep || v16[5:8] || sep || v16[9:12] || sep
+                   || v16[13:16] AS vf,
+                 i16[1:4] || sep || i16[5:8] || sep || i16[9:12] || sep
+                   || i16[13:16] AS invf
+          FROM f),
+        t AS (
+          SELECT doc_id, source, has_card, vf,
+                 CASE WHEN has_card
+                   THEN page || ' card ' || vf || ' ref ' || invf
+                   ELSE page || ' ref ' || invf END AS t2
+          FROM g),
+        sc AS (
+          SELECT doc_id, source,
+                 CASE WHEN has_card THEN 1 ELSE 0 END AS n_cards,
+                 CASE WHEN has_card THEN replace(t2, vf, '<CARD>')
+                      ELSE t2 END AS text
+          FROM t),
+        q AS (
+          SELECT doc_id, source, n_cards, text,
+                 len(lines) AS n_lines,
+                 round(CAST(len(list_filter(lines, l ->
+                     regexp_matches(l, '^[-*]'))) AS DOUBLE)
+                   / len(lines), 4) AS frac_bullet
+          FROM (SELECT *, string_split(text, chr(10)) AS lines FROM sc)),
+        gated AS (
+          SELECT * FROM q WHERE frac_bullet <= 0.25 AND n_lines >= 2),
+        kept AS (
+          SELECT doc_id, source, n_cards, n_lines, frac_bullet FROM (
+            SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+            FROM gated)
+          WHERE doc_id = canon),
+        c AS (SELECT source AS dom, count(*) AS n FROM kept GROUP BY 1),
+        p AS (SELECT dom, least(1.0, 80.0 / n) AS p FROM c),
+        d AS (
+          SELECT k.doc_id, k.source, k.n_cards, k.n_lines, k.frac_bullet,
+                 md5('strat:' || CAST(k.doc_id AS VARCHAR)) AS h
+          FROM kept k JOIN p ON k.source = p.dom
+          WHERE CAST(CAST(('0x' || substring(
+                  md5('strat:' || CAST(k.doc_id AS VARCHAR)), 1, 15))
+                  AS UBIGINT) AS BIGINT)
+                < CAST(floor(p.p * 1152921504606846976.0) AS BIGINT)),
+        rk AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY source ORDER BY h, doc_id) AS rk
+          FROM d)
+        SELECT doc_id, source, CAST(rk AS INT) AS strat_rank, n_cards,
+               CAST(n_lines AS INT) AS n_lines, frac_bullet
+        FROM rk WHERE rk <= 10"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ws = filter(split(col("text"), " "), w => w =!= "")
+        val nL = ceil(size(ws) / lit(8.0)).cast("int")
+        val lines = transform(sequence(lit(0), nL - 1), i => {
+          val m = i % 4
+          val term = when(m === 0, ".").when(m === 1, "!")
+            .when(m === 2, "?").otherwise("")
+          val bullet = when(i % 5 === 2, "- ").otherwise(lit(""))
+          concat(bullet, array_join(slice(ws, i * 8 + 1, lit(8)), " "), term)
+        })
+        val page = array_join(lines, "\n")
+        val card15 = concat(
+          lpad((conv(substring(md5(col("text")), 1, 6), 16, 10)
+            .cast("long") % 100000).cast("string"), 5, "0"),
+          lit("4242424242"))
+        val s15 = aggregate(
+          transform(filter(split(card15, ""), c => c =!= ""), (c, i) => {
+            val d = c.cast("int")
+            when(i % 2 === 0,
+              when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+          }),
+          lit(0), (a, x) => a + x)
+        val chk = (lit(10) - s15 % 10) % 10
+        val valid16 = concat(card15, chk.cast("string"))
+        val invalid16 = concat(card15, ((chk + 1) % 10).cast("string"))
+        val sep = when(
+          conv(substring(md5(col("text")), 7, 1), 16, 10)
+            .cast("long") % 2 === 0, lit("-")).otherwise(lit(" "))
+        val hasCard =
+          conv(substring(md5(col("text")), 8, 1), 16, 10)
+            .cast("long") % 3 === 0
+        def fmt(x: org.apache.spark.sql.Column) = concat(
+          substring(x, 1, 4), sep, substring(x, 5, 4), sep,
+          substring(x, 9, 4), sep, substring(x, 13, 4))
+        val t2 = when(hasCard,
+          concat(page, lit(" card "), fmt(valid16),
+            lit(" ref "), fmt(invalid16)))
+          .otherwise(concat(page, lit(" ref "), fmt(invalid16)))
+        val staged = Tables(s, dir, "documents")
+          .filter(size(ws) > 0)
+          .select(col("doc_id"), col("source"),
+            Curation.cardCount(t2).cast("int").as("n_cards"),
+            Curation.scrubPii(t2).as("text"))
+        val stats = Curation.lineStats(staged, "doc_id", "text")
+          .select("doc_id", "n_lines", "frac_bullet")
+        val gated = staged.join(stats, Seq("doc_id"))
+          .filter(col("frac_bullet") <= 0.25 && col("n_lines") >= 2)
+        val w = Window.partitionBy("__bh")
+        val kept = gated.withColumn("__bh", md5(col("text")))
+          .withColumn("__canon", min("doc_id").over(w))
+          .filter(col("doc_id") === col("__canon"))
+          .select("doc_id", "source", "n_cards", "n_lines", "frac_bullet")
+        Curation.stratifiedSample(
+            kept.select("doc_id", "source"), "source", k = 10)
+          .select(col("doc_id"), col("source"),
+            col("strat_rank").cast("int"))
+          .join(kept.drop("source"), Seq("doc_id"))
+      })
   )
 }

@@ -38,9 +38,31 @@ class SearchCollectionSpec extends SparkSpec {
       s"$r1 / $i1 / $f1")
     assert(coll.read(spark).count() == 40)
 
-    // quiet resync: a no-op through all three layers
-    val (r2, i2, f2) = coll.sync(spark)
+    // quiet resync: a no-op through all three layers — and its COST
+    // is pinned structurally (r15 verdict task #5): the no-op resync
+    // is fixed engine structure (memo probes + classify over three
+    // flows inside one shared-scan cycle), so its Spark JOB count
+    // must stay bounded. A regression that re-reads payloads or adds
+    // per-row work on the quiet path shows up as extra jobs long
+    // before it shows up as seconds. (Measured: ~35 jobs; bound 2x.)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(counter)
+    val (r2, i2, f2) =
+      try {
+        val out = coll.sync(spark)
+        Thread.sleep(300) // listener events drain asynchronously
+        out
+      } finally spark.sparkContext.removeSparkListener(counter)
     assert(r2.isNoop && i2.isNoop && f2.isNoop, s"$r2 / $i2 / $f2")
+    info(s"no-op resync launched ${jobs.get} Spark jobs")
+    assert(jobs.get <= 70,
+      s"no-op resync launched ${jobs.get} Spark jobs — the quiet path " +
+        "grew beyond its fixed structure")
 
     // keyword serving answers from the maintained postings
     val kw = coll.keyword(spark, Seq("streaming"))
