@@ -54,13 +54,20 @@ object Sidecar {
   /** Read + compare declared fields; throws on any mismatch. Absent
     * sidecar: `requireExists` decides between loud failure (serving
     * paths whose build always writes one) and pass-through (legacy
-    * indexes). */
+    * indexes). `defaults` fills fields a PRE-EXISTING sidecar does
+    * not record (older layout versions): a stored sidecar missing
+    * the field compares against its historical default instead of
+    * passing silently — otherwise declaring a NEW value against an
+    * old index (e.g. numBuckets on a pre-r16 band index that was
+    * built with the then-hardcoded 8) would validate clean and mix
+    * two bucket layouts. */
   def validate(file: File, declared: Map[String, String],
-      what: String, requireExists: Boolean = false): Unit =
+      what: String, requireExists: Boolean = false,
+      defaults: Map[String, String] = Map.empty): Unit =
     read(file) match {
       case Some(stored) =>
         val mismatched = declared.filter { case (k, v) =>
-          stored.get(k).exists(_ != v)
+          stored.get(k).orElse(defaults.get(k)).exists(_ != v)
         }
         if (mismatched.nonEmpty)
           throw new IllegalArgumentException(

@@ -526,7 +526,11 @@ object Dedup {
     require(numHashes % bandRows == 0)
     graft.engine.Sidecar.validate(minHashMetaFile(indexDir),
       Map("numBuckets" -> numBuckets.toString),
-      what = s"minHashFlow($indexDir) takeover")
+      what = s"minHashFlow($indexDir) takeover",
+      // pre-r16 sidecars don't record numBuckets; those indexes were
+      // built with the then-hardcoded 8 — compare against that, don't
+      // pass silently
+      defaults = Map("numBuckets" -> "8"))
     // textCol/idCol are part of the stage's logic: changing either on
     // an existing stateDir must invalidate the memo, or the index
     // keeps serving band codes computed from the old column

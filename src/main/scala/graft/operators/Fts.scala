@@ -174,6 +174,15 @@ object Fts {
         * change re-stat but reconcile to noop. */
       sourceOverride: Option[graft.engine.Source] = None)
       : FtsFlows = {
+    // refuse takeover of a mismatched bucket layout (the srpFlow/
+    // minHashFlow ADVICE-r15 contract): maintaining a bootstrapped
+    // index with a different numBuckets would strand postings in
+    // buckets the term→bucket map never probes — and this flow's
+    // afterCommit would then RELABEL the sidecar with the wrong value
+    graft.engine.Sidecar.validate(
+      new java.io.File(indexDir, "_graft_fts.json"),
+      Map("numBuckets" -> numBuckets.toString),
+      what = s"ftsFlow($indexDir) takeover")
     val tableSrc = sourceOverride.getOrElse(
       graft.engine.TableSource(corpus, keyCol = idCol))
     val src: graft.engine.Source = changeFeed match {

@@ -796,7 +796,11 @@ object Similarity {
     require(planes % bands == 0, s"planes $planes % bands $bands != 0")
     graft.engine.Sidecar.validate(srpMetaFile(indexDir),
       Map("numBuckets" -> numBuckets.toString),
-      what = s"srpFlow($indexDir) takeover")
+      what = s"srpFlow($indexDir) takeover",
+      // pre-r16 sidecars don't record numBuckets; those indexes were
+      // built with the then-hardcoded 8 — compare against that, don't
+      // pass silently
+      defaults = Map("numBuckets" -> "8"))
     val stage = graft.engine.CocoFn("srp_bands", 1,
       // embCol/idCol are stage logic: changing either on an existing
       // stateDir must invalidate the memo, or the index keeps

@@ -248,4 +248,26 @@ class FtsFlowSpec extends SparkSpec {
     assert(idx.docLengths.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
       direct.docLengths.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
   }
+
+  test("flow takeover refuses a mismatched bucket layout (ADVICE r15)") {
+    val root = Files.createTempDirectory("fts-nb")
+    val corpusDir = root.resolve("corpus").toString
+    val indexDir = root.resolve("index").toString
+    writeCorpus(corpusDir, texts)
+    Fts.ftsIndexBootstrap(spark, indexDir,
+      spark.read.parquet(corpusDir), numBuckets = 4)
+    // a flow declared with a DIFFERENT numBuckets would write
+    // postings into buckets the term→bucket map never probes — and
+    // its afterCommit would relabel the sidecar. Fail at takeover.
+    val e = intercept[IllegalArgumentException] {
+      Fts.ftsFlow(spark, "fts-mismatch",
+        s => s.read.parquet(corpusDir), indexDir,
+        root.resolve("state").toString, numBuckets = 8)
+    }
+    assert(e.getMessage.contains("numBuckets"), e.getMessage)
+    // the matching layout takes over cleanly
+    Fts.ftsFlow(spark, "fts-match",
+      s => s.read.parquet(corpusDir), indexDir,
+      root.resolve("state2").toString, numBuckets = 4).run(spark)
+  }
 }

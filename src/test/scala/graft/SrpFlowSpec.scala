@@ -175,4 +175,36 @@ class SrpFlowSpec extends SparkSpec {
       indexDir = indexDir, stateDir = work.resolve("state").toString,
       planes = 16, bands = 4, dims = 8, numBuckets = 4).run(spark)
   }
+
+  test("legacy sidecar without numBuckets compares against the historical 8") {
+    val (_, corpus, _) = fixture
+    val work = java.nio.file.Files.createTempDirectory("graft-srplegacy")
+    work.toFile.deleteOnExit()
+    val base = work.resolve("base").toString
+    corpus.write.mode("overwrite").parquet(base)
+    val indexDir = work.resolve("index").toString
+    Similarity.srpIndexBootstrap(spark, indexDir,
+      spark.read.parquet(base), planes = 16, bands = 4, dims = 8,
+      numBuckets = 8)
+    // simulate a pre-r16 sidecar: the same fields WITHOUT numBuckets
+    // (those indexes were built with the then-hardcoded 8)
+    val metaF = {
+      val d = new java.io.File(indexDir).getAbsoluteFile
+      new java.io.File(d.getParentFile, d.getName + "._graft_srp.json")
+    }
+    val legacy = graft.engine.Sidecar.read(metaF).get - "numBuckets"
+    graft.engine.Sidecar.write(metaF, legacy)
+    // declaring a non-8 layout against it must fail loudly, not pass
+    // because the field is absent (Sidecar.validate defaults)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.srpFlow("srp-legacy-bad", sp => sp.read.parquet(base),
+        indexDir = indexDir, stateDir = work.resolve("state").toString,
+        planes = 16, bands = 4, dims = 8, numBuckets = 4)
+    }
+    assert(e.getMessage.contains("numBuckets"), e.getMessage)
+    // declaring the historical 8 takes over cleanly
+    Similarity.srpFlow("srp-legacy-ok", sp => sp.read.parquet(base),
+      indexDir = indexDir, stateDir = work.resolve("state").toString,
+      planes = 16, bands = 4, dims = 8, numBuckets = 8).run(spark)
+  }
 }
