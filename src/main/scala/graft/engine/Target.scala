@@ -95,6 +95,27 @@ trait Target {
   * bucket is a few hundred MB and only touched buckets shuffle.
   * Partition pruning makes the survivor read skip untouched buckets
   * (visible as PartitionFilters in the scan).
+  *
+  * COPY-ON-WRITE vs DELTA-LOG (`deltaLog = true`): copy-on-write
+  * rewrites each touched bucket WHOLESALE — random row keys touch
+  * every bucket, so a maintained index at 100 TB would rewrite its
+  * entire physical table per reconcile even for a 10-row delta. The
+  * delta-log mode is the LSM answer (the same design the engine's
+  * state store uses for its own tables): an apply APPENDS one
+  * segment holding exactly its upserts plus thin tombstones, so
+  * write bytes are O(delta); reads merge base ∪ segments with
+  * latest-wins per `row_key` (the merge shuffle is confined to the
+  * SEGMENT rows — base rows join the thin superseded-key set
+  * broadcast, and bucket filters still partition-prune both sides);
+  * and when `maxDeltaSegments` accumulate, the apply folds them into
+  * a fresh base generation (amortized base/maxDeltaSegments bytes
+  * per apply — raise the knob at scale to trade read fan-in for
+  * write amplification). Crash safety is convergent roll-forward:
+  * every segment/generation directory is invisible until its
+  * `_graft_committed` marker lands, a crashed writer's unmarked
+  * directory is swept on the next apply, and replaying surviving
+  * segments over a freshly-folded base is value-identical (the
+  * compaction can crash anywhere after its marker and re-converge).
   */
 final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
     /** SQL expression over `row_key` whose hash places the row in a
@@ -103,7 +124,16 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
       * buckets `doc:term` rows by the term) so reads prune to the
       * buckets of their lookup values — at the cost of writes
       * fanning out to every bucket a component's rows hash to. */
-    bucketKeySql: String = "row_key")
+    bucketKeySql: String = "row_key",
+    /** LSM layout: applies append O(delta) segments instead of
+      * rewriting touched buckets — see the class doc. Layout is
+      * container identity (a flow constructed with the other mode
+      * plans a destructive recreate); reads auto-detect the on-disk
+      * layout, so reader handles work against either. */
+    deltaLog: Boolean = false,
+    /** Delta-log only: fold segments into a new base generation once
+      * this many accumulate. NOT container identity — tune in place. */
+    maxDeltaSegments: Int = 16)
     extends Target {
 
   private def bucketOf = pmod(xxhash64(expr(bucketKeySql)), lit(numBuckets))
@@ -119,7 +149,8 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
     * items' rows only in the OLD location. */
   override def containerSignature: String =
     s"parquet;dir=$dir;pk=row_key;buckets=$numBuckets" +
-      (if (bucketKeySql == "row_key") "" else s";bkey=$bucketKeySql")
+      (if (bucketKeySql == "row_key") "" else s";bkey=$bucketKeySql") +
+      (if (deltaLog) ";delta=1" else "")
 
   override def truncate(spark: SparkSession): Unit =
     FsUtil.deleteRecursively(new java.io.File(dir))
@@ -128,15 +159,48 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).toSeq
 
-  private def exists = bucketDirs.nonEmpty
+  private def v1Exists = bucketDirs.nonEmpty
+
+  // ---- delta-log layout: dir/base/g=<n>/bucket=k, dir/delta/seg=<n>/
+  // bucket=k; a numbered dir is LIVE only once its commit marker lands
+  private def baseRoot = new java.io.File(dir, "base")
+  private def deltaRoot = new java.io.File(dir, "delta")
+  private def markerOf(d: java.io.File) = new java.io.File(d, "_graft_committed")
+  private def numbered(root: java.io.File, prefix: String)
+      : Seq[(Long, java.io.File)] =
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix + "="))
+      .flatMap(f => scala.util.Try(
+        f.getName.drop(prefix.length + 1).toLong).toOption.map(_ -> f))
+      .toSeq.sortBy(_._1)
+  private def baseGens = numbered(baseRoot, "g")
+  private def deltaSegs = numbered(deltaRoot, "seg")
+  private def activeBase: Option[java.io.File] =
+    baseGens.filter(g => markerOf(g._2).exists()).lastOption.map(_._2)
+  private def activeSegs: Seq[java.io.File] =
+    deltaSegs.filter(s => markerOf(s._2).exists()).map(_._2)
+  private def deltaLayoutOnDisk = baseRoot.isDirectory || deltaRoot.isDirectory
+
+  private def exists = v1Exists ||
+    (deltaLayoutOnDisk && (activeBase.nonEmpty || activeSegs.nonEmpty))
 
   private def schemaFile = new java.io.File(dir, "_schema.json")
 
-  private def saveSchema(df: DataFrame): Unit = {
+  private def saveSchema(df: DataFrame): Unit =
+    saveSchema(df.schema)
+
+  private def saveSchema(schema: org.apache.spark.sql.types.StructType): Unit = {
     new java.io.File(dir).mkdirs()
     java.nio.file.Files.write(schemaFile.toPath,
-      df.schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
+
+  private def storedSchema: Option[org.apache.spark.sql.types.StructType] =
+    if (!schemaFile.exists()) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.nio.file.Files.readAllBytes(schemaFile.toPath),
+        java.nio.charset.StandardCharsets.UTF_8))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   def apply(spark: SparkSession, upserts: DataFrame,
       deleteKeys: DataFrame): TargetStats = {
@@ -154,7 +218,25 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
     val nTotal = perBucket.map(_.getLong(1)).sum
     val nUp = perBucket.map(_.getLong(2)).sum
     val nDel = nTotal - nUp
-    if (nUp == 0 && nDel == 0) return TargetStats(0, 0)
+    if (nUp == 0 && nDel == 0) { up.unpersist(); del.unpersist()
+      return TargetStats(0, 0) }
+
+    if (deltaLog) {
+      // an on-disk copy-on-write layout under a delta-log handle (or
+      // vice versa, below) means two writers disagree about the
+      // container — writing would interleave layouts in one dir.
+      // Flows never get here (layout is container identity → the
+      // engine plans drop-recreate); a direct user fails loudly.
+      if (v1Exists) throw new IllegalStateException(
+        s"target $dir holds a copy-on-write (bucket=) layout but this " +
+          "handle declares deltaLog=true — truncate or migrate first")
+      val stats = applyDeltaLog(spark, up, del, nUp, nDel)
+      up.unpersist(); del.unpersist()
+      return stats
+    }
+    if (deltaLayoutOnDisk) throw new IllegalStateException(
+      s"target $dir holds a delta-log (base/delta) layout but this " +
+        "handle declares deltaLog=false — truncate or migrate first")
 
     if (!exists) {
       if (nUp > 0) {
@@ -200,17 +282,130 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
     TargetStats(nUp, nDel)
   }
 
+  /** One apply = one appended segment: upsert rows (`__deleted` =
+    * false) plus thin all-null-payload tombstones, partitioned by
+    * bucket like the base. O(delta) bytes written; nothing current
+    * is read at all (the copy-on-write path's read-modify-write is
+    * exactly what this mode exists to avoid). */
+  private def applyDeltaLog(spark: SparkSession, up: DataFrame,
+      del: DataFrame, nUp: Long, nDel: Long): TargetStats = {
+    // sweep crash leftovers: an unmarked numbered dir is a previous
+    // (single-)writer's partial write — invisible to readers, dead
+    (baseGens ++ deltaSegs).filterNot(d => markerOf(d._2).exists())
+      .foreach(d => FsUtil.deleteRecursively(d._2))
+
+    if (!exists) {
+      // first write goes straight to a compacted base generation
+      if (nUp > 0) {
+        val g0 = new java.io.File(baseRoot, "g=0")
+        up.write.partitionBy("bucket").mode(SaveMode.Overwrite)
+          .parquet(g0.getPath)
+        saveSchema(up.drop("bucket"))
+        commit(g0)
+      }
+      return TargetStats(nUp, 0)
+    }
+
+    // widened payload schema: later applies may add columns (the
+    // copy-on-write path's allowMissingColumns evolution)
+    val upPayload = up.drop("bucket").schema
+    val stored = storedSchema.getOrElse(upPayload)
+    val widened = org.apache.spark.sql.types.StructType(
+      stored.fields ++
+        upPayload.fields.filterNot(f => stored.fieldNames.contains(f.name)))
+    def aligned(df: DataFrame, deleted: Boolean): DataFrame =
+      df.select(widened.map(f =>
+        (if (df.columns.contains(f.name)) col(f.name)
+         else lit(null).cast(f.dataType)).as(f.name)) ++
+        Seq(col("bucket"), lit(deleted).as("__deleted")): _*)
+    val tomb = aligned(
+      del.select(col("row_key")).withColumn("bucket", bucketOf),
+      deleted = true)
+    val seg = aligned(up, deleted = false).unionByName(tomb)
+
+    val segId = (deltaSegs.map(_._1) :+ -1L).max + 1
+    val segDir = new java.io.File(deltaRoot, s"seg=$segId")
+    seg.write.partitionBy("bucket").mode(SaveMode.Overwrite)
+      .parquet(segDir.getPath)
+    saveSchema(widened)
+    commit(segDir)
+    if (activeSegs.size >= maxDeltaSegments) compact(spark)
+    TargetStats(nUp, nDel)
+  }
+
+  private def commit(d: java.io.File): Unit = {
+    d.mkdirs() // an all-tombstone empty-write still needs its marker
+    java.nio.file.Files.write(markerOf(d).toPath, Array.empty[Byte])
+  }
+
+  /** Fold every live segment into a fresh base generation, then
+    * retire the inputs. Convergent under crash at any point: the new
+    * generation is invisible until its marker, and replaying the (not
+    * yet deleted) segments over the folded base is value-identical —
+    * latest-wins of rows the base already holds. */
+  def compact(spark: SparkSession): Unit = {
+    require(deltaLog, s"compact() on a copy-on-write target $dir")
+    val segs = activeSegs
+    if (segs.isEmpty) return
+    val prevGens = baseGens.filter(g => markerOf(g._2).exists())
+    val gen = (baseGens.map(_._1) :+ -1L).max + 1
+    // localCheckpoint cuts lineage to the segment files retired below
+    val merged = readDeltaLog(spark).localCheckpoint()
+    if (!merged.isEmpty) {
+      val gDir = new java.io.File(baseRoot, s"g=$gen")
+      merged.write.partitionBy("bucket").mode(SaveMode.Overwrite)
+        .parquet(gDir.getPath)
+      commit(gDir)
+    }
+    // all rows tombstoned → no new base; the empty table serves from
+    // the schema sidecar like a post-drop copy-on-write target
+    segs.foreach(s => FsUtil.deleteRecursively(s))
+    prevGens.foreach(g => FsUtil.deleteRecursively(g._2))
+  }
+
+  /** Merged view of base ∪ segments. Latest-wins runs only over
+    * SEGMENT rows (bounded by the compaction policy); base rows
+    * anti-join the thin superseded-key set. The window partitions by
+    * (bucket, row_key) — bucket is functionally dependent on the key
+    * — so a serve path's bucket filter still prunes below it. */
+  private def readDeltaLog(spark: SparkSession): DataFrame = {
+    val base = activeBase.map(d => spark.read.parquet(d.getPath))
+    val segs = activeSegs
+    if (segs.isEmpty) base.getOrElse(emptyFromSidecar(spark))
+    else {
+      val delta = spark.read.option("mergeSchema", "true")
+        .option("basePath", deltaRoot.getPath)
+        .parquet(segs.map(_.getPath): _*)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket", "row_key")
+        .orderBy(col("seg").desc, col("__deleted").asc)
+      val latest = delta
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && !col("__deleted"))
+        .drop("__rn", "__deleted", "seg")
+      base match {
+        case None => latest
+        case Some(b) =>
+          b.join(delta.select(col("row_key")), Seq("row_key"), "left_anti")
+            .unionByName(latest, allowMissingColumns = true)
+      }
+    }
+  }
+
+  private def emptyFromSidecar(spark: SparkSession): DataFrame =
+    storedSchema match {
+      case Some(schema) =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case None =>
+        throw new IllegalStateException(s"target $dir not yet written")
+    }
+
   def read(spark: SparkSession): DataFrame =
-    if (exists) spark.read.parquet(dir)
-    else if (schemaFile.exists()) {
-      // target written once but currently empty (e.g. post-drop)
-      val schema = org.apache.spark.sql.types.DataType.fromJson(
-        new String(java.nio.file.Files.readAllBytes(schemaFile.toPath),
-          java.nio.charset.StandardCharsets.UTF_8))
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else throw new IllegalStateException(s"target $dir not yet written")
+    if (deltaLayoutOnDisk) readDeltaLog(spark)
+    else if (v1Exists) spark.read.parquet(dir)
+    // target written once but currently empty (e.g. post-drop)
+    else emptyFromSidecar(spark)
 }
 
 /** One flow, several physical containers: routes each desired row to

@@ -543,7 +543,12 @@ object Dedup {
       changeFeed.map(f => graft.engine.ChangeFeedSource(tableSrc, f):
         graft.engine.Source).getOrElse(tableSrc),
       Seq(stage),
-      graft.engine.ParquetTableTarget(indexDir, numBuckets = numBuckets),
+      // delta-log: a nightly reconcile appends O(changed bands)
+      // bytes instead of rewriting every touched bucket wholesale —
+      // at 100 TB the copy-on-write layout would rewrite the whole
+      // (thin but corpus-sized) index per night
+      graft.engine.ParquetTableTarget(indexDir, numBuckets = numBuckets,
+        deltaLog = true),
       stateDir,
       // index parameters are declared next to the index itself, so
       // serve time can refuse a mismatched read (ADVICE r7) — and
@@ -573,13 +578,18 @@ object Dedup {
       numBuckets: Int = 8): Unit = {
     require(numHashes % bandRows == 0)
     require(numHashes <= minHashA.length)
-    minHashBandRows(
+    // the layout comes from the TARGET itself (one copy of the
+    // bucket/delta-log placement logic shared with the flow, so the
+    // two build paths cannot drift); bootstrap = truncate + one
+    // batch apply, which the target writes as its compacted base
+    val target = graft.engine.ParquetTableTarget(indexDir,
+      numBuckets = numBuckets, deltaLog = true)
+    target.truncate(spark)
+    val rows = minHashBandRows(
       corpus.select(col(idCol).cast("string").as("item_key"),
         col(textCol)),
       numHashes, bandRows, n, textCol)
-      .withColumn("bucket",
-        pmod(xxhash64(col("row_key")), lit(numBuckets.toLong)).cast("int"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(indexDir)
+    target.apply(spark, rows, rows.select(col("row_key")).limit(0))
     graft.engine.Sidecar.write(minHashMetaFile(indexDir), Map(
       "n" -> n.toString, "idCol" -> idCol, "textCol" -> textCol,
       "numHashes" -> numHashes.toString,

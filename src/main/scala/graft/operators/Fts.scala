@@ -192,12 +192,15 @@ object Fts {
     // terms are [a-z0-9]+ tokens (no ':'), so the substring after the
     // LAST ':' of `pl:doc:term` is unambiguously the term even when
     // doc ids themselves contain ':'
+    // delta-log children: a reconcile appends O(changed postings)
+    // bytes instead of rewriting touched term buckets wholesale
     val target = graft.engine.FanoutTarget(Map(
       "pl" -> graft.engine.ParquetTableTarget(
         s"$indexDir/postings", numBuckets,
-        bucketKeySql = "substring_index(row_key, ':', -1)"),
+        bucketKeySql = "substring_index(row_key, ':', -1)",
+        deltaLog = true),
       "dl" -> graft.engine.ParquetTableTarget(
-        s"$indexDir/doclen", numBuckets)))
+        s"$indexDir/doclen", numBuckets, deltaLog = true)))
     // textCol/idCol are stage logic: reconfiguring either on an
     // existing stateDir must invalidate the memo, or unchanged docs
     // keep serving postings built from the OLD column. v2: the
@@ -236,17 +239,17 @@ object Fts {
         col(textCol)), textCol)
     val postings = rows.filter(col("row_key").startsWith("pl:"))
     val lens = rows.filter(col("row_key").startsWith("dl:"))
-    postings
-      .withColumn("bucket",
-        pmod(xxhash64(expr("substring_index(row_key, ':', -1)")),
-          lit(numBuckets.toLong)).cast("int"))
-      .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$indexDir/postings")
-    lens
-      .withColumn("bucket",
-        pmod(xxhash64(col("row_key")), lit(numBuckets.toLong)).cast("int"))
-      .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$indexDir/doclen")
+    // layout from the TARGETS themselves (shared with ftsFlow — the
+    // two build paths cannot drift); truncate + one batch apply each,
+    // written as each target's compacted base
+    val plT = graft.engine.ParquetTableTarget(s"$indexDir/postings",
+      numBuckets, bucketKeySql = "substring_index(row_key, ':', -1)",
+      deltaLog = true)
+    val dlT = graft.engine.ParquetTableTarget(s"$indexDir/doclen",
+      numBuckets, deltaLog = true)
+    plT.truncate(spark); dlT.truncate(spark)
+    plT.apply(spark, postings, postings.select(col("row_key")).limit(0))
+    dlT.apply(spark, lens, lens.select(col("row_key")).limit(0))
     graft.engine.Sidecar.write(
       new java.io.File(indexDir, "_graft_fts.json"),
       Map("numBuckets" -> numBuckets.toString))
@@ -290,11 +293,18 @@ object Fts {
       .getOrElse(throw new IllegalStateException(
         s"ftsLoad: missing/unreadable layout sidecar $metaF — cannot " +
           "prune an index whose bucketing is unknown"))
-    val postings = spark.read.parquet(s"$indexDir/postings")
+    // through the target handles, not raw parquet reads: read()
+    // resolves whichever physical layout (copy-on-write buckets or
+    // delta-log base+segments) the index is currently stored in
+    val postings = graft.engine.ParquetTableTarget(
+      s"$indexDir/postings", numBuckets,
+      bucketKeySql = "substring_index(row_key, ':', -1)",
+      deltaLog = true).read(spark)
     Index(
       postings = postings.select(col("item_key").as("doc_id"),
         col("term"), col("tf"), col("bucket")),
-      docLengths = spark.read.parquet(s"$indexDir/doclen")
+      docLengths = graft.engine.ParquetTableTarget(
+        s"$indexDir/doclen", numBuckets, deltaLog = true).read(spark)
         .select(col("item_key").as("doc_id"), col("dl")),
       termBuckets = Some((numBuckets, termBucket(_, numBuckets))))
   }

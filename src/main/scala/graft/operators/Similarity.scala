@@ -813,7 +813,10 @@ object Similarity {
       changeFeed.map(f => graft.engine.ChangeFeedSource(tableSrc, f):
         graft.engine.Source).getOrElse(tableSrc),
       Seq(stage),
-      graft.engine.ParquetTableTarget(indexDir, numBuckets = numBuckets),
+      // delta-log: O(changed bands) bytes per reconcile, not a
+      // wholesale touched-bucket rewrite (see minHashFlow)
+      graft.engine.ParquetTableTarget(indexDir, numBuckets = numBuckets,
+        deltaLog = true),
       stateDir,
       // declared only AFTER a successful commit (the minHashFlow
       // convention): a declared-but-failed run can never relabel an
@@ -840,13 +843,17 @@ object Similarity {
       dims: Int = 64, idCol: String = "vec_id",
       embCol: String = "embedding", numBuckets: Int = 8): Unit = {
     require(planes % bands == 0, s"planes $planes % bands $bands != 0")
-    srpBandRows(
+    // layout from the TARGET itself (shared with the flow — the two
+    // build paths cannot drift); truncate + one batch apply, written
+    // as the target's compacted base
+    val target = graft.engine.ParquetTableTarget(indexDir,
+      numBuckets = numBuckets, deltaLog = true)
+    target.truncate(spark)
+    val rows = srpBandRows(
       corpus.select(col(idCol).cast("string").as("item_key"),
         col(embCol)),
       planes, bands, dims, embCol)
-      .withColumn("bucket",
-        pmod(xxhash64(col("row_key")), lit(numBuckets.toLong)).cast("int"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(indexDir)
+    target.apply(spark, rows, rows.select(col("row_key")).limit(0))
     graft.engine.Sidecar.write(srpMetaFile(indexDir), Map(
       "planes" -> planes.toString, "bands" -> bands.toString,
       "dims" -> dims.toString, "idCol" -> idCol, "embCol" -> embCol,

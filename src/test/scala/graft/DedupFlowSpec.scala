@@ -78,6 +78,49 @@ class DedupFlowSpec extends SparkSpec {
     }
   }
 
+  test("a 1-doc edit appends O(one doc's bands) bytes — the base never rewrites") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-dedupwamp")
+    work.toFile.deleteOnExit()
+    val base = work.resolve("base").toString
+    val indexDir = work.resolve("index").toString
+    def corpus(edited: Boolean) =
+      (1 to 2000).map(i => (i.toLong,
+        if (i == 7 && edited) s"edited document number $i with words"
+        else s"plain document number $i with some filler words here"))
+    corpus(edited = false).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(base)
+    val flow = Dedup.minHashFlow("dedup-wamp",
+      sp => sp.read.parquet(base),
+      indexDir = indexDir, stateDir = work.resolve("state").toString)
+    flow.run(spark)
+
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    def parquets(sub: String) =
+      walk(new java.io.File(indexDir, sub)).filter(_.getName.endsWith(".parquet"))
+    val baseFiles = parquets("base")
+      .map(f => (f.getPath, f.lastModified(), f.length()))
+    val baseBytes = baseFiles.map(_._3).sum
+    assert(baseFiles.nonEmpty, "flow takeover landed a compacted base")
+
+    corpus(edited = true).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(base)
+    val delta = flow.run(spark)
+    assert(delta.recomputed == 1, delta)
+    // the copy-on-write layout would have rewritten every touched
+    // bucket here — i.e. essentially the whole index for random keys.
+    // The delta-log writes ONE segment holding the 16 band rows.
+    assert(parquets("base")
+      .map(f => (f.getPath, f.lastModified(), f.length())) == baseFiles,
+      "base parquet files must be byte-identical after a 1-doc edit")
+    val segBytes = parquets("delta").map(_.length()).sum
+    assert(segBytes > 0 && segBytes * 20 < baseBytes,
+      s"1-doc reconcile wrote $segBytes B against a $baseBytes B base")
+  }
+
   test("flow takeover refuses a mismatched bucket layout (ADVICE r15)") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-dedupnb")

@@ -1,0 +1,202 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** The delta-log mode of [[ParquetTableTarget]] — the LSM layout that
+  * makes flow-maintained index upkeep O(delta) in write bytes instead
+  * of wholesale touched-bucket rewrites. The load-bearing contracts:
+  * value-equivalence with the copy-on-write mode under any apply
+  * sequence, O(delta) physical writes, latest-wins (incl. the
+  * same-apply upsert+delete tie the copy-on-write path resolves to
+  * "present"), convergent crash behavior via commit markers, and
+  * fold-into-base compaction that changes nothing a reader sees. */
+class DeltaTargetSpec extends graft.SparkSpec {
+
+  private def tmp(): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-delta-tgt")
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  private def rows(kv: (String, Int)*): DataFrame = {
+    import spark.implicits._
+    kv.toSeq.toDF("row_key", "v")
+  }
+
+  private def keys(ks: String*): DataFrame = {
+    import spark.implicits._
+    ks.toSeq.toDF("row_key")
+  }
+
+  private def contents(t: ParquetTableTarget): Set[(String, Int)] =
+    t.read(spark).select("row_key", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+
+  private def filesUnder(dir: java.io.File): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(dir).filter(_.getName.endsWith(".parquet"))
+  }
+
+  private def segDirs(dir: String): Seq[java.io.File] =
+    Option(new java.io.File(dir, "delta").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("seg=")).toSeq
+
+  private def genDirs(dir: String): Seq[java.io.File] =
+    Option(new java.io.File(dir, "base").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("g=")).toSeq
+
+  test("value-equivalent to copy-on-write under an apply sequence") {
+    val work = tmp()
+    val cow = ParquetTableTarget(work.resolve("cow").toString, numBuckets = 4)
+    val dlt = ParquetTableTarget(work.resolve("dlt").toString, numBuckets = 4,
+      deltaLog = true, maxDeltaSegments = 3) // compaction fires mid-sequence
+    // (upserts, deleteKeys) steps: bootstrap, update+insert, delete,
+    // re-insert after delete, same-apply upsert+delete of one key,
+    // no-op, delete of a never-present key
+    val steps: Seq[(Seq[(String, Int)], Seq[String])] = Seq(
+      (Seq("a" -> 1, "b" -> 2, "c" -> 3), Nil),
+      (Seq("b" -> 20, "d" -> 4), Nil),
+      (Nil, Seq("a")),
+      (Seq("a" -> 100), Nil),
+      (Seq("c" -> 30), Seq("c")), // tie: copy-on-write keeps the upsert
+      (Nil, Nil),
+      (Nil, Seq("zzz")))
+    steps.foreach { case (up, del) =>
+      val u = rows(up: _*); val d = keys(del: _*)
+      cow.apply(spark, u, d)
+      dlt.apply(spark, u, d)
+      assert(contents(dlt) == contents(cow))
+    }
+    assert(contents(dlt) ==
+      Set("a" -> 100, "b" -> 20, "c" -> 30, "d" -> 4))
+  }
+
+  test("an apply appends O(delta) bytes and never touches the base") {
+    val work = tmp()
+    val dir = work.resolve("t").toString
+    val t = ParquetTableTarget(dir, numBuckets = 4, deltaLog = true)
+    import spark.implicits._
+    val base = (1 to 5000).map(i => (s"k$i", i)).toDF("row_key", "v")
+    t.apply(spark, base, keys())
+    val baseFiles = filesUnder(new java.io.File(dir, "base"))
+      .map(f => (f.getPath, f.lastModified(), f.length()))
+    val baseBytes = baseFiles.map(_._3).sum
+    assert(baseFiles.nonEmpty && segDirs(dir).isEmpty)
+
+    t.apply(spark, rows("k1" -> -1), keys("k2"))
+    // exactly one committed segment; base files byte-identical
+    assert(segDirs(dir).size == 1)
+    assert(filesUnder(new java.io.File(dir, "base"))
+      .map(f => (f.getPath, f.lastModified(), f.length())) == baseFiles)
+    val segBytes = filesUnder(segDirs(dir).head).map(_.length()).sum
+    assert(segBytes * 20 < baseBytes,
+      s"segment $segBytes B should be tiny next to base $baseBytes B")
+    // and the merged view reflects the delta
+    val m = contents(t)
+    assert(m.contains("k1" -> -1) && !m.exists(_._1 == "k2") &&
+      m.size == 4999)
+  }
+
+  test("latest-wins across segments; compaction folds and retires them") {
+    val work = tmp()
+    val dir = work.resolve("t").toString
+    val t = ParquetTableTarget(dir, numBuckets = 2,
+      deltaLog = true, maxDeltaSegments = 4)
+    t.apply(spark, rows("x" -> 1, "y" -> 1), keys())      // base g=0
+    t.apply(spark, rows("x" -> 2), keys())                // seg 0
+    t.apply(spark, rows(), keys("x"))                     // seg 1: tombstone
+    t.apply(spark, rows("x" -> 3), keys("y"))             // seg 2
+    assert(contents(t) == Set("x" -> 3))
+    assert(segDirs(dir).size == 3 && genDirs(dir).size == 1)
+    // 4th segment hits maxDeltaSegments → auto-fold into a new base
+    t.apply(spark, rows("z" -> 9), keys())
+    assert(segDirs(dir).isEmpty, "segments folded")
+    assert(genDirs(dir).size == 1 &&
+      genDirs(dir).head.getName != "g=0", "one fresh base generation")
+    assert(contents(t) == Set("x" -> 3, "z" -> 9))
+  }
+
+  test("unmarked (crashed) segment is invisible and swept; replay converges") {
+    val work = tmp()
+    val dir = work.resolve("t").toString
+    val t = ParquetTableTarget(dir, numBuckets = 2, deltaLog = true)
+    t.apply(spark, rows("a" -> 1), keys())
+    t.apply(spark, rows("b" -> 2), keys())
+    // simulate a crash: a segment directory without its commit marker
+    val dead = new java.io.File(dir, "delta/seg=99")
+    rows("c" -> 3).withColumn("bucket", lit(0))
+      .write.partitionBy("bucket").mode(SaveMode.Overwrite)
+      .parquet(dead.getPath)
+    assert(contents(t) == Set("a" -> 1, "b" -> 2), "unmarked seg invisible")
+    // the next apply sweeps it, then lands its own segment
+    t.apply(spark, rows("d" -> 4), keys())
+    assert(!dead.exists(), "crash leftover swept")
+    assert(contents(t) == Set("a" -> 1, "b" -> 2, "d" -> 4))
+    // re-applying an already-applied delta converges (idempotent)
+    t.apply(spark, rows("d" -> 4), keys())
+    assert(contents(t) == Set("a" -> 1, "b" -> 2, "d" -> 4))
+  }
+
+  test("schema evolution: a later apply may add columns") {
+    import spark.implicits._
+    val work = tmp()
+    val t = ParquetTableTarget(work.resolve("t").toString, numBuckets = 2,
+      deltaLog = true)
+    t.apply(spark, rows("a" -> 1), keys())
+    t.apply(spark,
+      Seq(("b", 2, "extra")).toDF("row_key", "v", "note"), keys())
+    val got = t.read(spark).select("row_key", "v", "note").collect()
+      .map(r => (r.getString(0), r.getInt(1), Option(r.getString(2))))
+      .toSet
+    assert(got == Set(("a", 1, None), ("b", 2, Some("extra"))))
+    // compaction carries the widened schema
+    t.compact(spark)
+    val after = t.read(spark).select("row_key", "v", "note").collect()
+      .map(r => (r.getString(0), r.getInt(1), Option(r.getString(2))))
+      .toSet
+    assert(after == got)
+  }
+
+  test("compacting an all-tombstoned table leaves a readable empty table") {
+    val work = tmp()
+    val t = ParquetTableTarget(work.resolve("t").toString, numBuckets = 2,
+      deltaLog = true, maxDeltaSegments = 100)
+    t.apply(spark, rows("a" -> 1, "b" -> 2), keys())
+    t.apply(spark, rows(), keys("a", "b"))
+    assert(contents(t).isEmpty)
+    t.compact(spark)
+    assert(contents(t).isEmpty)
+    // and it comes back to life on a later apply
+    t.apply(spark, rows("c" -> 3), keys())
+    assert(contents(t) == Set("c" -> 3))
+  }
+
+  test("layout mismatch between handle and disk fails loudly") {
+    val work = tmp()
+    val dir = work.resolve("t").toString
+    ParquetTableTarget(dir, numBuckets = 2)
+      .apply(spark, rows("a" -> 1), keys())
+    val e1 = intercept[IllegalStateException] {
+      ParquetTableTarget(dir, numBuckets = 2, deltaLog = true)
+        .apply(spark, rows("b" -> 2), keys())
+    }
+    assert(e1.getMessage.contains("copy-on-write"))
+    val dir2 = work.resolve("t2").toString
+    ParquetTableTarget(dir2, numBuckets = 2, deltaLog = true)
+      .apply(spark, rows("a" -> 1), keys())
+    val e2 = intercept[IllegalStateException] {
+      ParquetTableTarget(dir2, numBuckets = 2)
+        .apply(spark, rows("b" -> 2), keys())
+    }
+    assert(e2.getMessage.contains("delta-log"))
+    // reads auto-detect: both handles read the delta-log dir fine
+    assert(ParquetTableTarget(dir2, numBuckets = 2).read(spark)
+      .count() == 1)
+  }
+}
