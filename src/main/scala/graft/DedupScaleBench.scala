@@ -404,7 +404,10 @@ object DedupScale {
 
     val srpIdx = scaleWork.resolve(s"srpidx_$n").toString
     Similarity.srpIndexBootstrap(spark, srpIdx, vecs,
-      planes = 64, bands = 4, dims = 64)
+      // band width scales with corpus size (the r16 10^7 lesson):
+      // a fixed 16-bit code floods the screen with random candidates
+      planes = Similarity.srpIndexPlanesFor(n, bands = 4),
+      bands = 4, dims = 64)
     val vBatch = freshVecs.filter(col("vec_id") < 10000000L + bHalf)
       .unionByName(
         reencoded.filter(col("vec_id") < 20000000L + 10 * bHalf))
@@ -479,10 +482,20 @@ object DedupScale {
     val kincIndexMB = dirMB(keyIdx)
 
     // ---- persisted SRP band index: bootstrap O(n), screen O(batch)
-    val vecs = uniformVecs(spark, n)
+    // corpus materialized to parquet (the realistic backing): the
+    // served screen's candidate fetch pushes its bounded key set
+    // into this scan as an IN filter, so what this cell measures is
+    // row-group-pruned point reads — not the md5 regeneration cost
+    // of the synthetic generator
+    val vecsDir = work.resolve(s"vecs_$n").toString
+    uniformVecs(spark, n).write.mode("overwrite").parquet(vecsDir)
+    val vecs = spark.read.parquet(vecsDir)
     val srpIdx = work.resolve(s"srpidx_$n").toString
     Similarity.srpIndexBootstrap(spark, srpIdx, vecs,
-      planes = 64, bands = 4, dims = 64)
+      // band width scales with corpus size (the r16 10^7 lesson):
+      // a fixed 16-bit code floods the screen with random candidates
+      planes = Similarity.srpIndexPlanesFor(n, bands = 4),
+      bands = 4, dims = 64)
     val freshVecs = spark.range(tenth).toDF("id")
       .withColumn("vec_id", col("id") + 10000000L)
       .withColumn("embedding", transform(sequence(lit(0), lit(63)), dd =>

@@ -1,0 +1,38 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fetch a bounded key set's rows from a corpus-sized table without
+  * ever shuffling — or, when the keys fit a driver list, without even
+  * scanning — the table.
+  *
+  * The index-served screens' verify step needs a few thousand
+  * candidate rows out of a corpus that may be 100 TB. A plain join
+  * leaves the planner free to sort-merge and EXCHANGE the corpus (the
+  * r16 10⁷ sweep blowup); a broadcast semi join fixes the shuffle but
+  * still SCANS the full column. This helper goes one further: a key
+  * set within [[MaxKeyPushdown]] collects to the driver and pushes
+  * into the scan as an IN filter, which parquet prunes by row-group
+  * column statistics — the fetch reads O(matching row groups). Past
+  * the bound, the broadcast semi join is the honest degradation (one
+  * corpus scan, zero corpus shuffle) — the same boundedness contract
+  * as a SourceWatcher drain or the nightly delta re-stat.
+  */
+object KeyedFetch {
+  /** Driver-list bound for the IN-pushdown fast path. */
+  val MaxKeyPushdown = 10000
+
+  /** Rows of `table` whose `keyCol` (string) appears in `keys`
+    * (a one-column DataFrame of the same name). */
+  def apply(table: DataFrame, keyCol: String, keys: DataFrame)
+      : DataFrame = {
+    val head = keys.select(col(keyCol).cast("string"))
+      .limit(MaxKeyPushdown + 1).collect()
+    if (head.length <= MaxKeyPushdown) {
+      val ks = head.map(_.getString(0)).toSeq
+      if (ks.isEmpty) table.filter(lit(false))
+      else table.filter(col(keyCol).isin(ks: _*))
+    } else table.join(broadcast(keys), Seq(keyCol), "left_semi")
+  }
+}

@@ -167,7 +167,12 @@ object CrawlRefresh {
     * checkpointed, or re-aggregated anywhere in the pass; the only
     * corpus-touching reads are the thin band-index probes and the
     * screens' semi-join-pruned candidate fetches (spec-asserted via
-    * scan metrics in CrawlRefreshSpec).
+    * scan metrics in CrawlRefreshSpec). The band indexes live on the
+    * target's delta-log layout, so each reconcile APPENDS O(changed
+    * bands) bytes; the one amortized term is the segment fold — every
+    * ~maxDeltaSegments/2 nights (two reconciles per night) the target
+    * compacts its thin index, O(index)/maxDeltaSegments bytes per
+    * night amortized, tunable at scale.
     *
     * Re-delivered rejects: a screened-out document is NOT in the
     * kept corpus, so a snapshot that keeps shipping it re-classifies

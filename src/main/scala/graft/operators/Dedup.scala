@@ -1129,8 +1129,18 @@ object Dedup {
       .select(pmod(xxhash64(col(keyCol)), lit(partitions.toLong))
         .cast("int").as("__kp"))
       .distinct().collect().map(_.getInt(0)).toSeq
+    // the reverse bloom prunes the corpus-keys side of the confirm
+    // join; its fpp must SCALE with the index — at a fixed 0.01, a
+    // 10⁷-key index leaks fpp·N ≈ 10⁵ false-positive FULL-TEXT keys
+    // into the join exchange (measured ~33 MB at the r16 sweep's 10⁷
+    // cell, linear in N). Deriving fpp so expected survivors stay
+    // ≈ 10·|candidates| keeps the confirm O(batch) at any index
+    // size; the bloom itself only grows log(1/fpp) — bytes-trivial.
+    val itemsAdded = math.max(meta("itemsAdded").toLong, 1L)
+    val confirmFpp =
+      math.min(0.01, math.max(1e-6, 10.0 * nCand / itemsAdded.toDouble))
     val candBf = keyBloom(
-      candidates.select(col(keyCol)), keyCol, 0.01, nCand)
+      candidates.select(col(keyCol)), keyCol, confirmFpp, nCand)
     val corpusKeys = spark.read
       .parquet(new java.io.File(indexDir, "keys").getPath)
       .filter(col("__kp").isin(parts: _*)) // directory-level pruning
@@ -1306,21 +1316,30 @@ object Dedup {
       .dropDuplicates("__c_key", "__inc_key")
       .localCheckpoint()
 
-    // verify: corpus shingles ONLY for candidate docs (semi-join
-    // prunes the scan), batch shingles broadcast
-    val corpusSh = corpus
-      .select(col(idCol).cast("string").as("__c_key"),
-        shingleHashUdf(n)(col(textCol)).as("sh_c"))
-      .join(candidates.select("__c_key").distinct(), Seq("__c_key"),
-        "left_semi")
+    // verify: corpus shingles ONLY for candidate docs. The candidate-
+    // derived sides are BROADCAST (candidates here are intrinsically
+    // bounded — band codes concatenate 64-bit minima, so random
+    // collisions are negligible and the pair set ≈ true near-dups);
+    // left to statistics the planner would sort-merge-join and
+    // EXCHANGE the corpus-sized shingle table (the semDedupIncrement-
+    // Over r16 sweep lesson). A bounded candidate set pushes into the
+    // corpus scan as an IN filter (parquet row-group pruning — the
+    // shingle UDF then runs on O(candidates) rows, never the corpus);
+    // past the bound [[graft.engine.KeyedFetch]] degrades to a
+    // broadcast semi join — scanned once, never shuffled.
+    val corpusSh = graft.engine.KeyedFetch(
+      corpus.select(col(idCol).cast("string").as("__c_key"),
+        col(textCol)),
+      "__c_key", candidates.select("__c_key").distinct())
+      .select(col("__c_key"), shingleHashUdf(n)(col(textCol)).as("sh_c"))
     val incSh = increment
       .select(col(idCol).cast("string").as("__inc_key"),
         shingleHashUdf(n)(col(textCol)).as("sh_i"))
-      .join(candidates.select("__inc_key").distinct(), Seq("__inc_key"),
-        "left_semi")
+      .join(broadcast(candidates.select("__inc_key").distinct()),
+        Seq("__inc_key"), "left_semi")
 
-    val dupKeys = candidates
-      .join(corpusSh, Seq("__c_key"))
+    val dupKeys = corpusSh
+      .join(broadcast(candidates), Seq("__c_key"))
       .join(broadcast(incSh), Seq("__inc_key"))
       .withColumn("__jac", {
         val inter = size(array_intersect(col("sh_c"), col("sh_i")))

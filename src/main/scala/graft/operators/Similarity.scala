@@ -828,6 +828,32 @@ object Similarity {
           "embCol" -> embCol, "numBuckets" -> numBuckets.toString))))
   }
 
+  /** Plane count for an SRP band index serving a corpus of ~`n`
+    * vectors — the index-build-time analogue of the rescan screen's
+    * derived candidate budget (r15's minhash lesson, re-learned for
+    * SRP by the r16 10⁷ sweep cell: a FIXED 16-bit band code at
+    * n = 10⁷ admits n·bands/2¹⁶ ≈ 2,400 random candidates per probe
+    * vector and the served screen degenerates to corpus-sized
+    * shuffles).
+    *
+    * Rule: bits per band = ⌈log₂(n·bands / 4)⌉ floored at 16 (the
+    * legacy 64/4 default) — expected RANDOM candidates per probe
+    * ≤ ~4, so per-batch verify work stays O(batch) at any corpus
+    * size. Recall: a band matches when all its bits agree,
+    * P = (1−θ/π)^bits; the near-identical pairs an index screen
+    * exists for (re-crawls, re-encodes; θ → 0) keep ≈ full recall at
+    * any practical width, while borderline-threshold pairs trade
+    * recall for candidate volume — the standard LSH dial: raise
+    * `bands` to buy recall back, which this rule folds in (more
+    * bands ⇒ wider bits for the same budget). Capped at 40 bits
+    * (2⁴⁰·4/4 ≈ 10¹² vectors — past any single index). */
+  def srpIndexPlanesFor(n: Long, bands: Int = 4): Int = {
+    require(n >= 0 && bands > 0)
+    var bits = 16
+    while (bits < 40 && (1L << bits) < n * bands / 4) bits += 1
+    bands * bits
+  }
+
   /** Batch bootstrap of a [[srpFlow]]-shaped index WITHOUT the flow
     * engine — the way a 100 TB deployment stands the index up: ONE
     * distributed batch write of the band rows in the target's exact
@@ -836,7 +862,9 @@ object Similarity {
     * the handover is idempotent, and [[semDedupIncrementOver]] serves
     * from either. The flow-engine path builds the same index
     * component-by-component, the right shape for STAYING current but
-    * not for standing up 10⁹ vectors in one shot. */
+    * not for standing up 10⁹ vectors in one shot. Size `planes` with
+    * [[srpIndexPlanesFor]] — an under-sized band code at large N
+    * floods the served screen with random candidates. */
   def srpIndexBootstrap(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       corpus: DataFrame, planes: Int = 64, bands: Int = 4,
@@ -938,21 +966,33 @@ object Similarity {
       .dropDuplicates("__c_key", "__inc_key")
       .localCheckpoint()
 
-    // verify: corpus embeddings ONLY for candidate vectors
-    // (semi-join prunes the read), batch embeddings broadcast
-    val corpusEmb = corpus
-      .select(col(idCol).cast("string").as("__c_key"),
-        col(embCol).as("__emb_c"))
-      .join(candidates.select("__c_key").distinct(), Seq("__c_key"),
-        "left_semi")
+    // verify: corpus embeddings ONLY for candidate vectors. The
+    // candidate-derived sides are BROADCAST — candidates are bounded
+    // by the banding budget ([[srpIndexPlanesFor]]), the corpus is
+    // not: left to statistics, the planner sort-merge-joins these and
+    // EXCHANGES the corpus-sized embedding table, which is exactly
+    // the r16 10⁷ sweep blowup (shuffle bytes linear in N). With the
+    // hints the corpus is scanned once, semi-pruned in place, and
+    // never shuffled. Better still, when the candidate key set fits
+    // the driver-list bound, it pushes into the scan itself as an IN
+    // filter — a parquet-backed corpus then prunes row groups by
+    // column stats and the fetch reads O(candidate row groups), not
+    // O(corpus): a 100 TB embedding column is never re-scanned for a
+    // 2k-doc batch. (The same bounded-driver-list contract as the
+    // nightly delta re-stat; past the bound the semi join is the
+    // honest degradation.)
+    val corpusEmb = graft.engine.KeyedFetch(
+      corpus.select(col(idCol).cast("string").as("__c_key"),
+        col(embCol).as("__emb_c")),
+      "__c_key", candidates.select("__c_key").distinct())
     val incEmb = increment
       .select(col(idCol).cast("string").as("__inc_key"),
         col(embCol).as("__emb_i"))
-      .join(candidates.select("__inc_key").distinct(), Seq("__inc_key"),
-        "left_semi")
+      .join(broadcast(candidates.select("__inc_key").distinct()),
+        Seq("__inc_key"), "left_semi")
 
-    val dupKeys = candidates
-      .join(corpusEmb, Seq("__c_key"))
+    val dupKeys = corpusEmb
+      .join(broadcast(candidates), Seq("__c_key"))
       .join(broadcast(incEmb), Seq("__inc_key"))
       .withColumn("__cos",
         round(cosineSimilarity(col("__emb_c"), col("__emb_i")), 6))

@@ -1,0 +1,58 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+/** [[KeyedFetch]] — the bounded-candidate fetch behind the
+  * index-served screens' verify step: IN-pushdown under the driver
+  * bound (so a parquet corpus prunes row groups instead of scanning),
+  * broadcast semi join past it, and value-equivalence between the
+  * two branches. */
+class KeyedFetchSpec extends graft.SparkSpec {
+
+  private def table = {
+    import spark.implicits._
+    (1 to 500).map(i => (s"k$i", i)).toDF("k", "v")
+  }
+
+  test("bounded keys: IN filter, no join in the plan") {
+    import spark.implicits._
+    val keys = Seq("k3", "k7", "k400", "nope").toDF("k")
+    val got = KeyedFetch(table, "k", keys)
+    assert(got.collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
+      Set(("k3", 3), ("k7", 7), ("k400", 400)))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"pushdown branch must not join:\n$plan")
+  }
+
+  test("empty keys: empty result without scanning") {
+    import spark.implicits._
+    val got = KeyedFetch(table, "k", Seq.empty[String].toDF("k"))
+    assert(got.isEmpty)
+  }
+
+  test("past the bound: broadcast semi join, same rows as pushdown") {
+    import spark.implicits._
+    val many = (1 to KeyedFetch.MaxKeyPushdown + 5)
+      .map(i => s"k$i").toDF("k") // > bound; only k1..k500 exist
+    val got = KeyedFetch(table, "k", many)
+    assert(got.count() == 500)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("parquet backing: the IN filter reaches the scan as a pushed filter") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-keyedfetch")
+    work.toFile.deleteOnExit()
+    val dir = work.resolve("t").toString
+    table.write.mode("overwrite").parquet(dir)
+    val got = KeyedFetch(spark.read.parquet(dir), "k",
+      Seq("k42", "k43").toDF("k"))
+    assert(got.collect().map(_.getString(0)).toSet == Set("k42", "k43"))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("In(k") || plan.contains("EqualTo(k")),
+      s"IN must reach the parquet scan:\n${plan.take(2000)}")
+  }
+}
