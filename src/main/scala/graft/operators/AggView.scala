@@ -185,7 +185,9 @@ object AggView {
     new Flow(name,
       src,
       Seq(stage),
-      ParquetTableTarget(viewDir, numBuckets = 8),
+      // delta-log: a delta that touches k groups appends k partial
+      // rows instead of rewriting every touched bucket
+      ParquetTableTarget(viewDir, numBuckets = 8, deltaLog = true),
       stateDir,
       // persist the sketch parameter WITH the view: serve() must
       // merge partials at the k they were built with — a silently-

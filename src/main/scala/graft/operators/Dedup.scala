@@ -1040,10 +1040,40 @@ object Dedup {
       val meta = keyIndexMeta(indexDir)
       val keyCol = meta("keyCol")
       val fpp = meta("fpp").toDouble
-      val keys = spark.read
-        .parquet(new java.io.File(indexDir, "keys").getPath)
+      val keysDir = new java.io.File(indexDir, "keys")
+      val oldDir = new java.io.File(indexDir, "keys.old")
+      // recover a crash between the two compaction renames below:
+      // keys.old holding the only copy means the first rename landed
+      // and the second did not — roll it back before reading
+      if (!keysDir.isDirectory && oldDir.isDirectory)
+        java.nio.file.Files.move(oldDir.toPath, keysDir.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val keys = spark.read.parquet(keysDir.getPath)
         .select(col(keyCol)).distinct().localCheckpoint()
       val n = math.max(keys.count(), 1L)
+      // compact the keys table from the same distinct read: nightly
+      // appends add ≤`partitions` files each (and may re-append keys
+      // the append contract allows), so a long-lived index
+      // accumulates small files and duplicate rows — the amortized
+      // rebuild is the natural point to fold both away. Same
+      // read-during-write exposure as any overwrite; writes are
+      // already serialized by the writer lock.
+      val partitions = meta("partitions").toInt
+      val compactDir = new java.io.File(indexDir, "keys.compact")
+      graft.engine.FsUtil.deleteRecursively(compactDir) // crash leftover
+      graft.engine.FsUtil.deleteRecursively(oldDir)
+      keys
+        .select(col(keyCol),
+          pmod(xxhash64(col(keyCol)), lit(partitions.toLong)).cast("int")
+            .as("__kp"))
+        .repartition(col("__kp"))
+        .write.partitionBy("__kp").mode("overwrite")
+        .parquet(compactDir.getPath)
+      java.nio.file.Files.move(keysDir.toPath, oldDir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.Files.move(compactDir.toPath, keysDir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      graft.engine.FsUtil.deleteRecursively(oldDir)
       val budget = math.max((n * growth).toLong, 1L)
       val bits = math.min(
         org.apache.spark.util.sketch.BloomFilter

@@ -106,7 +106,9 @@ object SearchCollection {
     val rowsFlow = new Flow(s"${name}_rows",
       TableSource(corpus, keyCol = idCol),
       Seq(rowStage),
-      ParquetTableTarget(s"$dir/rows", numBuckets),
+      // delta-log like the index tables: a document edit appends
+      // O(1) rows instead of rewriting its whole hash bucket
+      ParquetTableTarget(s"$dir/rows", numBuckets, deltaLog = true),
       s"$stateDir/rows")
 
     // both indexes read the ROW TABLE (not the raw corpus): they see

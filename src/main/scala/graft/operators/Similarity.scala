@@ -393,7 +393,10 @@ object Similarity {
         .write.mode("overwrite").parquet(centDir)
 
     val inner = graft.engine.ParquetTableTarget(
-      s"$indexDir/assignment", numBuckets)
+      s"$indexDir/assignment", numBuckets,
+      // delta-log like the band/FTS indexes: a reconcile appends
+      // O(changed assignments) bytes, never a touched-bucket rewrite
+      deltaLog = true)
     val target = new graft.engine.Target {
       def apply(s: org.apache.spark.sql.SparkSession, up: DataFrame,
           del: DataFrame): graft.engine.TargetStats = inner.apply(s, up, del)
@@ -441,11 +444,16 @@ object Similarity {
       embCol = embCol)
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
 
-  /** Load an [[ivfFlow]]-maintained index for [[ivfQuery]]. */
+  /** Load an [[ivfFlow]]-maintained index for [[ivfQuery]]. The
+    * assignment table reads through its target handle, which
+    * resolves whichever physical layout (copy-on-write buckets or
+    * delta-log base+segments) the flow wrote — a raw parquet read of
+    * a delta-log dir would surface tombstones as rows. */
   def ivfLoad(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): IvfIndex =
     IvfIndex(spark.read.parquet(s"$indexDir/centroids"),
-      spark.read.parquet(s"$indexDir/assignment")
+      graft.engine.ParquetTableTarget(s"$indexDir/assignment")
+        .read(spark)
         .select(col("row_key").as("neighbor_id"), col("cell"), col("c_emb")))
 
   private def quantizerFingerprint(

@@ -239,10 +239,34 @@ class IncrementalDedupSpec extends SparkSpec {
     val degraded = fppProbe()
     assert(degraded > 0.05, s"overflowed filter should be degraded: $degraded")
 
+    // a second append of the SAME keys: allowed by the append
+    // contract (blind append), duplicating rows and adding another
+    // file wave — the rebuild must fold both away
+    Dedup.keyIndexAppend(spark, idx, docs(400))
+    def keyFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(work.resolve("index/keys").toFile)
+        .filter(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = keyFiles().size
+    assert(spark.read.parquet(work.resolve("index/keys").toString)
+      .count() == 800, "blind re-append duplicates rows")
+
     Dedup.keyIndexRebuild(spark, idx)
     assert(!Dedup.keyIndexNeedsRebuild(idx))
     val restored = fppProbe()
     assert(restored < 0.02, s"rebuilt filter fpp not restored: $restored")
+
+    // rebuild compacts the keys table: duplicates folded, the
+    // append waves' file accumulation rewritten to one file per
+    // non-empty partition
+    assert(spark.read.parquet(work.resolve("index/keys").toString)
+      .count() == 400, "rebuild folds duplicate keys")
+    assert(keyFiles().size < filesBefore,
+      s"rebuild should compact files (${keyFiles().size} vs $filesBefore)")
 
     // correctness preserved: every committed key still screens out,
     // fresh keys still pass — the rebuild read only the index's own
