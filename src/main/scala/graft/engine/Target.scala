@@ -206,20 +206,6 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
       deleteKeys: DataFrame): TargetStats = {
     val up = upserts.withColumn("bucket", bucketOf).cache()
     val del = deleteKeys.select(col("row_key")).cache()
-    // ONE driver action answers everything the apply plan needs —
-    // row counts per side and the touched-bucket set (this replaces
-    // three separate count/collect jobs; every engine pass pays this
-    // path, so job count here is pure fixed overhead)
-    val perBucket = up.select(col("bucket"), lit(1L).as("is_up"))
-      .unionByName(del.select(bucketOf.as("bucket"), lit(0L).as("is_up")))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n"), sum("is_up").as("n_up"))
-      .collect()
-    val nTotal = perBucket.map(_.getLong(1)).sum
-    val nUp = perBucket.map(_.getLong(2)).sum
-    val nDel = nTotal - nUp
-    if (nUp == 0 && nDel == 0) { up.unpersist(); del.unpersist()
-      return TargetStats(0, 0) }
 
     if (deltaLog) {
       // an on-disk copy-on-write layout under a delta-log handle (or
@@ -230,7 +216,10 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
       if (v1Exists) throw new IllegalStateException(
         s"target $dir holds a copy-on-write (bucket=) layout but this " +
           "handle declares deltaLog=true — truncate or migrate first")
-      val stats = applyDeltaLog(spark, up, del, nUp, nDel)
+      // the delta path never needs the touched-bucket set, so its
+      // counts are two shuffle-free jobs — an apply (bootstrap
+      // included) moves no rows across the cluster at all
+      val stats = applyDeltaLog(spark, up, del, up.count(), del.count())
       up.unpersist(); del.unpersist()
       return stats
     }
@@ -239,6 +228,11 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
         "handle declares deltaLog=false — truncate or migrate first")
 
     if (!exists) {
+      // bootstrap fast path: deletes are vacuous against an empty
+      // container, so ONE shuffle-free count replaces the per-bucket
+      // aggregate below — at bootstrap scale that aggregate would
+      // shuffle every row of the initial corpus for nothing
+      val nUp = up.count()
       if (nUp > 0) {
         up.write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(dir)
         saveSchema(up.drop("bucket"))
@@ -246,6 +240,21 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
       up.unpersist(); del.unpersist()
       return TargetStats(nUp, 0)
     }
+
+    // ONE driver action answers everything the steady-state apply
+    // plan needs — row counts per side and the touched-bucket set
+    // (this replaces three separate count/collect jobs; every engine
+    // pass pays this path, so job count here is pure fixed overhead)
+    val perBucket = up.select(col("bucket"), lit(1L).as("is_up"))
+      .unionByName(del.select(bucketOf.as("bucket"), lit(0L).as("is_up")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("is_up").as("n_up"))
+      .collect()
+    val nTotal = perBucket.map(_.getLong(1)).sum
+    val nUp = perBucket.map(_.getLong(2)).sum
+    val nDel = nTotal - nUp
+    if (nUp == 0 && nDel == 0) { up.unpersist(); del.unpersist()
+      return TargetStats(0, 0) }
 
     val touchedKeys = up.select("row_key").union(del).distinct()
     val touchedBuckets = perBucket.map(_.getInt(0)).toSeq
@@ -289,6 +298,7 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
     * exactly what this mode exists to avoid). */
   private def applyDeltaLog(spark: SparkSession, up: DataFrame,
       del: DataFrame, nUp: Long, nDel: Long): TargetStats = {
+    if (nUp == 0 && nDel == 0) return TargetStats(0, 0)
     // sweep crash leftovers: an unmarked numbered dir is a previous
     // (single-)writer's partial write — invisible to readers, dead
     (baseGens ++ deltaSegs).filterNot(d => markerOf(d._2).exists())
