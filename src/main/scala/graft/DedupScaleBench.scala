@@ -147,12 +147,16 @@ object DedupScale {
   private final class ShuffleTally
       extends org.apache.spark.scheduler.SparkListener {
     val bytes = new java.util.concurrent.atomic.AtomicLong
+    val read = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(
         te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
-      if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      if (m != null) {
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        read.addAndGet(m.inputMetrics.bytesRead)
+      }
     }
-    def snapshot(): Long = { Thread.sleep(200); bytes.get }
+    def snapshot(): (Long, Long) = { Thread.sleep(200); (bytes.get, read.get) }
   }
   private val tallies =
     new java.util.WeakHashMap[SparkSession, ShuffleTally]()
@@ -167,15 +171,20 @@ object DedupScale {
       t
     }
 
-  /** [[timed]] plus the shuffle-write MB the block generated. */
+  /** [[timed]] plus the shuffle-write MB the block generated and the
+    * datasource-input MB it read (r16 verdict task #2: prove the
+    * point-read claims with bytes, not prose — a row-group-pruned
+    * fetch shows up as read MB flat in N; a corpus-column scan
+    * grows linearly). */
   private def timedShuf[A](spark: SparkSession)(f: => A)
-      : (A, Double, Double) = {
+      : (A, Double, Double, Double) = {
     val t = tallyOf(spark)
-    val b0 = t.snapshot()
+    val (b0, r0) = t.snapshot()
     val t0 = System.nanoTime()
     val a = f
     val sec = (System.nanoTime() - t0) / 1e9
-    (a, sec, (t.snapshot() - b0) / 1048576.0)
+    val (b1, r1) = t.snapshot()
+    (a, sec, (b1 - b0) / 1048576.0, (r1 - r0) / 1048576.0)
   }
 
   def runCell(spark: SparkSession, n: Long): Cell = {
@@ -183,7 +192,7 @@ object DedupScale {
 
     // ---- MinHash near-dup + keep-one ---------------------------------
     val d = docs(spark, n).localCheckpoint()
-    val (mh, mhSec, mhShufMB) = timedShuf(spark) {
+    val (mh, mhSec, mhShufMB, _) = timedShuf(spark) {
       val pairs = Dedup.minHashNearDupMd5(d, threshold = 0.7)
         .localCheckpoint()
       val found = pairs.count()
@@ -217,7 +226,7 @@ object DedupScale {
     // ---- SemDeDup (auto-calibrated planes) ---------------------------
     val vecs = uniformVecs(spark, n).localCheckpoint()
     val planes = Similarity.semDedupPlanesFor(n)
-    val (sd, sdSec, sdShufMB) = timedShuf(spark) {
+    val (sd, sdSec, sdShufMB, _) = timedShuf(spark) {
       val kept = Similarity.semDedupKeepAuto(vecs, threshold = 0.99)
         .localCheckpoint()
       kept.count() // materialize inside the timed window
@@ -306,7 +315,7 @@ object DedupScale {
       .withColumn("doc_id", col("doc_id") + 20000000L)
     val incDups = recrawl.count()
     val inc = fresh.unionByName(recrawl).localCheckpoint()
-    val (incKept, incSec, incShufMB) = timedShuf(spark) {
+    val (incKept, incSec, incShufMB, _) = timedShuf(spark) {
       Dedup.incrementalDedup(d, inc, "text").count()
     }
     // candidate volume, restated from the operator's own prefilter
@@ -326,7 +335,7 @@ object DedupScale {
       .select((col("doc_id") + 30000000L).as("doc_id"),
         concat(lit("UPDATE: "), col("text")).as("text"))
     val fincBatch = fresh.unionByName(nearRecrawl).localCheckpoint()
-    val (fincKept, fincSec, fincShufMB) = timedShuf(spark) {
+    val (fincKept, fincSec, fincShufMB, _) = timedShuf(spark) {
       Dedup.incrementalNearDup(d, fincBatch, threshold = 0.7).count()
     }
     val incSigsRestated = fincBatch
@@ -361,7 +370,7 @@ object DedupScale {
           .as("embedding"))
     val vincDups = reencoded.count()
     val vincBatch = freshVecs.unionByName(reencoded).localCheckpoint()
-    val (vincKept, vincSec, vincShufMB) = timedShuf(spark) {
+    val (vincKept, vincSec, vincShufMB, _) = timedShuf(spark) {
       Similarity.incrementalSemDedup(vecs, vincBatch, threshold = 0.99)
         .count()
     }
@@ -389,8 +398,9 @@ object DedupScale {
     scaleWork.toFile.deleteOnExit()
 
     val keyIdx = scaleWork.resolve(s"keyidx_$n").toString
-    Dedup.keyIndexInit(spark, keyIdx, "text", expectedItems = n,
-      partitions = 256)
+    // partitions derived from n (keyIndexPartitionsFor — the r16
+    // 10^7 kinc residual fix): confirm-read bytes stay O(batch)
+    Dedup.keyIndexInit(spark, keyIdx, "text", expectedItems = n)
     Dedup.keyIndexAppend(spark, keyIdx, d)
     val kBatch = fresh.filter(col("doc_id") < 10000000L + bHalf)
       .unionByName(
@@ -398,7 +408,7 @@ object DedupScale {
           .withColumn("doc_id", col("doc_id") + 40000000L))
       .localCheckpoint()
     val kincBatch = kBatch.count()
-    val (kincKept, kincSec, kincShufMB) = timedShuf(spark) {
+    val (kincKept, kincSec, kincShufMB, _) = timedShuf(spark) {
       Dedup.incrementalDedupOver(spark, keyIdx, kBatch).count()
     }
 
@@ -413,7 +423,7 @@ object DedupScale {
         reencoded.filter(col("vec_id") < 20000000L + 10 * bHalf))
       .localCheckpoint()
     val voverBatch = vBatch.count()
-    val (voverKept, voverSec, voverShufMB) = timedShuf(spark) {
+    val (voverKept, voverSec, voverShufMB, _) = timedShuf(spark) {
       Similarity.semDedupIncrementOver(spark, srpIdx,
         vecs, vBatch, threshold = 0.99).count()
     }
@@ -442,9 +452,10 @@ object DedupScale {
   final case class IdxCell(
       n: Long,
       kincSec: Double, kincKept: Long, kincBatch: Long, kincShufMB: Double,
-      kincIndexMB: Double,
+      kincReadMB: Double, kincIndexMB: Double,
       voverSec: Double, voverKept: Long, voverBatch: Long,
-      voverShufMB: Double, voverIndexMB: Double, voverIndexRows: Long)
+      voverShufMB: Double, voverReadMB: Double, voverIndexMB: Double,
+      voverIndexRows: Long)
 
   private def dirMB(path: String): Double = {
     def walk(f: java.io.File): Long =
@@ -462,8 +473,9 @@ object DedupScale {
     // ---- persisted exact-key index: build O(n) once, screen O(batch)
     val d = docs(spark, n)
     val keyIdx = work.resolve(s"keyidx_$n").toString
-    Dedup.keyIndexInit(spark, keyIdx, "text", expectedItems = n,
-      partitions = 256)
+    // partitions derived from n (keyIndexPartitionsFor — the r16
+    // 10^7 kinc residual fix): confirm-read bytes stay O(batch)
+    Dedup.keyIndexInit(spark, keyIdx, "text", expectedItems = n)
     Dedup.keyIndexAppend(spark, keyIdx, d)
     val fresh = spark.range(tenth).toDF("id")
       .withColumn("doc_id", col("id") + 10000000L)
@@ -476,7 +488,7 @@ object DedupScale {
           .withColumn("doc_id", col("doc_id") + 40000000L))
       .localCheckpoint()
     val kincBatch = kBatch.count()
-    val (kincKept, kincSec, kincShufMB) = timedShuf(spark) {
+    val (kincKept, kincSec, kincShufMB, kincReadMB) = timedShuf(spark) {
       Dedup.incrementalDedupOver(spark, keyIdx, kBatch).count()
     }
     val kincIndexMB = dirMB(keyIdx)
@@ -511,16 +523,17 @@ object DedupScale {
         reencoded.filter(col("vec_id") < 20000000L + 10 * bHalf))
       .localCheckpoint()
     val voverBatch = vBatch.count()
-    val (voverKept, voverSec, voverShufMB) = timedShuf(spark) {
+    val (voverKept, voverSec, voverShufMB, voverReadMB) = timedShuf(spark) {
       Similarity.semDedupIncrementOver(spark, srpIdx,
         vecs, vBatch, threshold = 0.99).count()
     }
     val voverIndexMB = dirMB(srpIdx)
     val voverIndexRows = spark.read.parquet(srpIdx).count()
 
-    IdxCell(n, kincSec, kincKept, kincBatch, kincShufMB, kincIndexMB,
-      voverSec, voverKept, voverBatch, voverShufMB, voverIndexMB,
-      voverIndexRows)
+    IdxCell(n, kincSec, kincKept, kincBatch, kincShufMB, kincReadMB,
+      kincIndexMB,
+      voverSec, voverKept, voverBatch, voverShufMB, voverReadMB,
+      voverIndexMB, voverIndexRows)
   }
 
   def idxToJson(cells: Seq[IdxCell]): String =
@@ -528,10 +541,12 @@ object DedupScale {
       f"""{"n":${c.n},"kinc_sec":${c.kincSec}%.3f,""" +
       s""""kinc_kept":${c.kincKept},"kinc_batch":${c.kincBatch},""" +
       f""""kinc_shuf_mb":${c.kincShufMB}%.1f,""" +
+      f""""kinc_read_mb":${c.kincReadMB}%.1f,""" +
       f""""kinc_index_mb":${c.kincIndexMB}%.1f,""" +
       f""""vover_sec":${c.voverSec}%.3f,"vover_kept":${c.voverKept},""" +
       s""""vover_batch":${c.voverBatch},""" +
       f""""vover_shuf_mb":${c.voverShufMB}%.1f,""" +
+      f""""vover_read_mb":${c.voverReadMB}%.1f,""" +
       f""""vover_index_mb":${c.voverIndexMB}%.1f,""" +
       s""""vover_index_rows":${c.voverIndexRows}}"""
     }.mkString("[", ",", "]")
@@ -610,10 +625,11 @@ object DedupScaleBench {
       System.err.println(
         f"[dedup-scale] idx n=$n kinc=${c.kincSec}%.1fs " +
         f"kept=${c.kincKept}/${c.kincBatch / 2} " +
-        f"idx=${c.kincIndexMB}%.0fMB shuf=${c.kincShufMB}%.1fMB | " +
+        f"idx=${c.kincIndexMB}%.0fMB shuf=${c.kincShufMB}%.1fMB " +
+        f"read=${c.kincReadMB}%.1fMB | " +
         f"vover=${c.voverSec}%.1fs kept=${c.voverKept}/${c.voverBatch / 2} " +
         f"idx=${c.voverIndexMB}%.0fMB rows=${c.voverIndexRows} " +
-        f"shuf=${c.voverShufMB}%.1fMB")
+        f"shuf=${c.voverShufMB}%.1fMB read=${c.voverReadMB}%.1fMB")
       c
     }
     val json = s"""{"cells":${DedupScale.toJson(cells)},""" +

@@ -84,6 +84,13 @@ object FsUtil {
       else rm(root)
     }
   }
+
+  /** Total bytes under `root` (0 for a missing path). */
+  def sizeOf(root: java.io.File): Long =
+    if (root.isDirectory)
+      Option(root.listFiles()).getOrElse(Array.empty).map(sizeOf).sum
+    else if (root.isFile) root.length()
+    else 0L
 }
 
 /** 128-bit content/logic fingerprints as lowercase hex (the

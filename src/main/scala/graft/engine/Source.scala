@@ -379,23 +379,13 @@ final case class TableSource(
 
   /** Keys arrive as the STRING item_key (`cast(keyCol as string)`);
     * a filter on `cast(keyCol as string) IN (...)` is correct but a
-    * cast blocks parquet pushdown, so integral/string key columns get
-    * the literals parsed back to the column's own type — the plain
-    * `keyCol IN (...)` then reaches the scan as `PushedFilters: In`
-    * (string round-trips exactly for these types). Other key types
-    * keep the cast form: still O(keys) fingerprint work after the
-    * scan, just without storage-level pruning. */
-  private def keyFilter(df: DataFrame, keys: Seq[String]): Column = {
-    import org.apache.spark.sql.types._
-    df.schema(keyCol).dataType match {
-      case LongType    => col(keyCol).isin(keys.map(_.toLong): _*)
-      case IntegerType => col(keyCol).isin(keys.map(_.toInt): _*)
-      case ShortType   => col(keyCol).isin(keys.map(_.toShort): _*)
-      case ByteType    => col(keyCol).isin(keys.map(_.toByte): _*)
-      case StringType  => col(keyCol).isin(keys: _*)
-      case _ => col(keyCol).cast("string").isin(keys: _*)
-    }
-  }
+    * cast blocks parquet pushdown — [[KeyedFetch.nativeKeyPredicate]]
+    * parses the literals back to the column's own type so the plain
+    * `keyCol IN (...)` reaches the scan as `PushedFilters: In`
+    * (shared with the CrawlRefresh CDC slice filters — one
+    * implementation of the round-trip rule). */
+  private def keyFilter(df: DataFrame, keys: Seq[String]): Column =
+    KeyedFetch.nativeKeyPredicate(df, keyCol, keys)
 
   def list(spark: SparkSession): DataFrame = fingerprinted(table(spark))
 

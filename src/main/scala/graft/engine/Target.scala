@@ -133,7 +133,14 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
     deltaLog: Boolean = false,
     /** Delta-log only: fold segments into a new base generation once
       * this many accumulate. NOT container identity — tune in place. */
-    maxDeltaSegments: Int = 16)
+    maxDeltaSegments: Int = 16,
+    /** Delta-log only: ALSO fold once the live segments' on-disk
+      * bytes pass this bound (r16 verdict #2) — a count-only trigger
+      * lets `maxDeltaSegments` LARGE applies accumulate a
+      * superseded-key set past what the read path's broadcast should
+      * carry; the byte trigger bounds that set regardless of how the
+      * delta arrived. NOT container identity — tune in place. */
+    maxDeltaBytes: Long = 512L << 20)
     extends Target {
 
   private def bucketOf = pmod(xxhash64(expr(bucketKeySql)), lit(numBuckets))
@@ -204,29 +211,36 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
 
   def apply(spark: SparkSession, upserts: DataFrame,
       deleteKeys: DataFrame): TargetStats = {
-    val up = upserts.withColumn("bucket", bucketOf).cache()
-    val del = deleteKeys.select(col("row_key")).cache()
-
-    if (deltaLog) {
-      // an on-disk copy-on-write layout under a delta-log handle (or
-      // vice versa, below) means two writers disagree about the
-      // container — writing would interleave layouts in one dir.
-      // Flows never get here (layout is container identity → the
-      // engine plans drop-recreate); a direct user fails loudly.
-      if (v1Exists) throw new IllegalStateException(
-        s"target $dir holds a copy-on-write (bucket=) layout but this " +
-          "handle declares deltaLog=true — truncate or migrate first")
-      // the delta path never needs the touched-bucket set, so its
-      // counts are two shuffle-free jobs — an apply (bootstrap
-      // included) moves no rows across the cluster at all
-      val stats = applyDeltaLog(spark, up, del, up.count(), del.count())
-      up.unpersist(); del.unpersist()
-      return stats
-    }
-    if (deltaLayoutOnDisk) throw new IllegalStateException(
+    // an on-disk copy-on-write layout under a delta-log handle (or
+    // vice versa) means two writers disagree about the container —
+    // writing would interleave layouts in one dir. Flows never get
+    // here (layout is container identity → the engine plans
+    // drop-recreate); a direct user fails loudly. Checked BEFORE
+    // anything is cached so the failure path pins no blocks.
+    if (deltaLog && v1Exists) throw new IllegalStateException(
+      s"target $dir holds a copy-on-write (bucket=) layout but this " +
+        "handle declares deltaLog=true — truncate or migrate first")
+    if (!deltaLog && deltaLayoutOnDisk) throw new IllegalStateException(
       s"target $dir holds a delta-log (base/delta) layout but this " +
         "handle declares deltaLog=false — truncate or migrate first")
 
+    val up = upserts.withColumn("bucket", bucketOf).cache()
+    val del = deleteKeys.select(col("row_key")).cache()
+    // try/finally, not per-return unpersists (ADVICE r16): every
+    // return AND every throwing path must release the cached blocks,
+    // or a long-lived session leaks block-manager memory per apply
+    try {
+      if (deltaLog)
+        // the delta path never needs the touched-bucket set, so its
+        // counts are two shuffle-free jobs — an apply (bootstrap
+        // included) moves no rows across the cluster at all
+        applyDeltaLog(spark, up, del, up.count(), del.count())
+      else applyCopyOnWrite(spark, up, del)
+    } finally { up.unpersist(); del.unpersist() }
+  }
+
+  private def applyCopyOnWrite(spark: SparkSession, up: DataFrame,
+      del: DataFrame): TargetStats = {
     if (!exists) {
       // bootstrap fast path: deletes are vacuous against an empty
       // container, so ONE shuffle-free count replaces the per-bucket
@@ -237,7 +251,6 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
         up.write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(dir)
         saveSchema(up.drop("bucket"))
       }
-      up.unpersist(); del.unpersist()
       return TargetStats(nUp, 0)
     }
 
@@ -253,8 +266,7 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
     val nTotal = perBucket.map(_.getLong(1)).sum
     val nUp = perBucket.map(_.getLong(2)).sum
     val nDel = nTotal - nUp
-    if (nUp == 0 && nDel == 0) { up.unpersist(); del.unpersist()
-      return TargetStats(0, 0) }
+    if (nUp == 0 && nDel == 0) return TargetStats(0, 0)
 
     val touchedKeys = up.select("row_key").union(del).distinct()
     val touchedBuckets = perBucket.map(_.getInt(0)).toSeq
@@ -287,7 +299,6 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
       Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
       d.delete()
     }
-    up.unpersist(); del.unpersist()
     TargetStats(nUp, nDel)
   }
 
@@ -339,7 +350,8 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
       .parquet(segDir.getPath)
     saveSchema(widened)
     commit(segDir)
-    if (activeSegs.size >= maxDeltaSegments) compact(spark)
+    if (activeSegs.size >= maxDeltaSegments ||
+        activeSegs.map(FsUtil.sizeOf).sum >= maxDeltaBytes) compact(spark)
     TargetStats(nUp, nDel)
   }
 
@@ -396,7 +408,16 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
       base match {
         case None => latest
         case Some(b) =>
-          b.join(delta.select(col("row_key")), Seq("row_key"), "left_anti")
+          // EXPLICIT broadcast of the superseded-key set (r16 verdict
+          // #2 / ADVICE): the base side is corpus-sized — left to
+          // statistics, segments past the auto-broadcast threshold
+          // would sort-merge and EXCHANGE the base on every read, the
+          // exact linear-in-N shuffle KeyedFetch exists to prevent.
+          // The key set is bounded: segment volume is capped by the
+          // segment-count AND byte-based compaction triggers, so the
+          // distinct keys broadcast is O(accumulated delta keys).
+          b.join(broadcast(delta.select(col("row_key")).distinct()),
+              Seq("row_key"), "left_anti")
             .unionByName(latest, allowMissingColumns = true)
       }
     }

@@ -935,9 +935,11 @@ object Dedup {
   def keyIndexInit(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       keyCol: String, expectedItems: Long, fpp: Double = 0.01,
-      partitions: Int = 64, maxFilterBytes: Long = 256L << 20): Unit = {
+      partitions: Int = 0, maxFilterBytes: Long = 256L << 20): Unit = {
     require(expectedItems > 0, s"expectedItems $expectedItems")
-    require(partitions > 0, s"partitions $partitions")
+    require(partitions >= 0, s"partitions $partitions")
+    val nParts =
+      if (partitions > 0) partitions else keyIndexPartitionsFor(expectedItems)
     val dir = new java.io.File(indexDir)
     // destructive re-init: a stale keys layout must not survive a
     // re-provision with different parameters
@@ -958,9 +960,33 @@ object Dedup {
     java.nio.file.Files.write(
       keyIndexBloomFile(indexDir).toPath, bos.toByteArray)
     graft.engine.Sidecar.write(keyIndexMetaFile(indexDir), Map(
-      "keyCol" -> keyCol, "partitions" -> partitions.toString,
+      "keyCol" -> keyCol, "partitions" -> nParts.toString,
       "items" -> expectedItems.toString, "bits" -> bits.toString,
       "fpp" -> fpp.toString, "itemsAdded" -> "0"))
+  }
+
+  /** Target keys per hash partition of the persisted keys table. */
+  val KeyIndexKeysPerPartition: Long = 65536L
+
+  /** Partition-count rule for [[keyIndexInit]]: one partition per
+    * ~[[KeyIndexKeysPerPartition]] expected keys, clamped to
+    * [16, 4096]. The confirm read of [[incrementalDedupOver]] prunes
+    * to the candidate partitions (≈ one per candidate for a small
+    * candidate set), so its byte cost is
+    * |candidates| × keysPerPartition — CONSTANT in index size when
+    * the partition count scales with `expectedKeys`. A FIXED count
+    * makes per-partition bytes grow with N and the confirm read
+    * drift linear — the r16 sweep's 10⁷ kinc residual (8.5 s vs
+    * 4.6 s at 10⁶ on 256 static partitions), the same
+    * fixed-parameter-vs-growing-N shape [[Similarity.srpIndexPlanesFor]]
+    * fixed for band width (r16 verdict task #6). The cap bounds
+    * per-append file count (each append writes ≤ partitions files;
+    * [[keyIndexRebuild]] compacts them away). */
+  def keyIndexPartitionsFor(expectedKeys: Long): Int = {
+    require(expectedKeys > 0, s"expectedKeys $expectedKeys")
+    val raw = (expectedKeys + KeyIndexKeysPerPartition - 1) /
+      KeyIndexKeysPerPartition
+    math.min(4096L, math.max(16L, raw)).toInt
   }
 
   /** Commit a screened batch's keys into the index: one batch-sized
@@ -978,6 +1004,14 @@ object Dedup {
   def keyIndexAppend(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       batch: DataFrame): Unit = keyIndexLocked(indexDir, "append") {
+    // recover a rebuild-compaction crash BEFORE appending (ADVICE
+    // r16): without this, a crash between the two compaction renames
+    // (keys/ gone, keys.old the only copy) followed by an append
+    // would recreate keys/ holding only this batch — and the next
+    // rebuild, seeing keys/ present, would skip its rollback and
+    // destroy keys.old, the only full copy (silent duplicate
+    // admission, the unsafe direction).
+    keyIndexRecoverCompaction(indexDir)
     val meta = keyIndexMeta(indexDir)
     val keyCol = meta("keyCol")
     val partitions = meta("partitions").toInt
@@ -1042,12 +1076,7 @@ object Dedup {
       val fpp = meta("fpp").toDouble
       val keysDir = new java.io.File(indexDir, "keys")
       val oldDir = new java.io.File(indexDir, "keys.old")
-      // recover a crash between the two compaction renames below:
-      // keys.old holding the only copy means the first rename landed
-      // and the second did not — roll it back before reading
-      if (!keysDir.isDirectory && oldDir.isDirectory)
-        java.nio.file.Files.move(oldDir.toPath, keysDir.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      keyIndexRecoverCompaction(indexDir)
       val keys = spark.read.parquet(keysDir.getPath)
         .select(col(keyCol)).distinct().localCheckpoint()
       val n = math.max(keys.count(), 1L)
@@ -1069,6 +1098,13 @@ object Dedup {
         .repartition(col("__kp"))
         .write.partitionBy("__kp").mode("overwrite")
         .parquet(compactDir.getPath)
+      // marker INSIDE the compacted copy (underscore-prefixed — the
+      // parquet reader ignores it): after the renames it certifies
+      // that keys/ IS a completed compaction, which is what licenses
+      // deleting keys.old — see [[keyIndexRecoverCompaction]]
+      java.nio.file.Files.write(
+        new java.io.File(compactDir, KeyIndexCompactMarker).toPath,
+        Array.empty[Byte])
       java.nio.file.Files.move(keysDir.toPath, oldDir.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       java.nio.file.Files.move(compactDir.toPath, keysDir.toPath,
@@ -1091,6 +1127,56 @@ object Dedup {
         ("items" -> budget.toString) + ("bits" -> bits.toString) +
         ("itemsAdded" -> n.toString))
     }
+
+  /** Marker file a completed compaction leaves inside the keys dir
+    * (underscore-prefixed: invisible to the parquet reader). */
+  private[graft] val KeyIndexCompactMarker = "_graft_compacted"
+
+  /** Recover a [[keyIndexRebuild]] compaction crash. Must run under
+    * the writer lock, BEFORE any write path touches `keys/` (ADVICE
+    * r16 — recovery only inside the rebuild is one-sided):
+    *
+    *   - `keys/` missing, `keys.old/` present — the first rename
+    *     landed and the second did not; `keys.old` is the only full
+    *     copy → roll it back.
+    *   - both present and `keys/` carries [[KeyIndexCompactMarker]] —
+    *     the crash fell between the second rename and the cleanup;
+    *     `keys/` IS the completed compaction → retire `keys.old`.
+    *   - both present WITHOUT the marker — `keys/` is NOT a completed
+    *     compaction (e.g. a pre-fix append recreated it holding one
+    *     batch while `keys.old` held the corpus) → fail LOUDLY
+    *     rather than guess; deleting either side silently is how
+    *     previously committed keys pass as "definitely new".
+    */
+  private def keyIndexRecoverCompaction(indexDir: String): Unit = {
+    val keysDir = new java.io.File(indexDir, "keys")
+    val oldDir = new java.io.File(indexDir, "keys.old")
+    if (oldDir.isDirectory) {
+      if (!keysDir.isDirectory)
+        java.nio.file.Files.move(oldDir.toPath, keysDir.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      else if (new java.io.File(keysDir, KeyIndexCompactMarker).exists())
+        graft.engine.FsUtil.deleteRecursively(oldDir)
+      else throw new IllegalStateException(
+        s"keyIndex($indexDir): both keys/ and keys.old/ exist and keys/ " +
+          "is not a completed compaction — refusing to pick a side " +
+          "(keys.old may be the only full copy). Inspect the two " +
+          "directories; keep the complete one as keys/, delete the " +
+          "other, then rerun keyIndexRebuild.")
+    }
+  }
+
+  /** Keys location for READ paths (no lock, no mutation): a reader
+    * that lands mid-crash-window serves from whichever directory
+    * holds the full committed key set. */
+  private def keyIndexKeysDirForRead(indexDir: String): java.io.File = {
+    val keysDir = new java.io.File(indexDir, "keys")
+    val oldDir = new java.io.File(indexDir, "keys.old")
+    if (keysDir.isDirectory) keysDir
+    // crash between the compaction renames: keys.old is the only copy
+    else if (oldDir.isDirectory) oldDir
+    else keysDir
+  }
 
   /** Acquire the index's writer lock (atomic create-new), run `f`,
     * release. A second concurrent writer — or a crashed one's
@@ -1172,7 +1258,7 @@ object Dedup {
     val candBf = keyBloom(
       candidates.select(col(keyCol)), keyCol, confirmFpp, nCand)
     val corpusKeys = spark.read
-      .parquet(new java.io.File(indexDir, "keys").getPath)
+      .parquet(keyIndexKeysDirForRead(indexDir).getPath)
       .filter(col("__kp").isin(parts: _*)) // directory-level pruning
       .filter(keyMightContain(candBf, keyCol))
       .select(col(keyCol))
@@ -1353,14 +1439,14 @@ object Dedup {
     // left to statistics the planner would sort-merge-join and
     // EXCHANGE the corpus-sized shingle table (the semDedupIncrement-
     // Over r16 sweep lesson). A bounded candidate set pushes into the
-    // corpus scan as an IN filter (parquet row-group pruning — the
-    // shingle UDF then runs on O(candidates) rows, never the corpus);
-    // past the bound [[graft.engine.KeyedFetch]] degrades to a
-    // broadcast semi join — scanned once, never shuffled.
-    val corpusSh = graft.engine.KeyedFetch(
-      corpus.select(col(idCol).cast("string").as("__c_key"),
-        col(textCol)),
-      "__c_key", candidates.select("__c_key").distinct())
+    // corpus scan as an IN filter on the id column's NATIVE type
+    // (r16 verdict #1: casting first would strip the parquet
+    // pushdown for int64 ids), so parquet prunes row groups and the
+    // shingle UDF runs on O(candidates) rows, never the corpus; past
+    // the bound [[graft.engine.KeyedFetch]] degrades to a broadcast
+    // semi join — scanned once, never shuffled.
+    val corpusSh = graft.engine.KeyedFetch.byNativeKey(
+      corpus, idCol, candidates.select("__c_key").distinct(), "__c_key")
       .select(col("__c_key"), shingleHashUdf(n)(col(textCol)).as("sh_c"))
     val incSh = increment
       .select(col(idCol).cast("string").as("__inc_key"),

@@ -983,16 +983,18 @@ object Similarity {
     // hints the corpus is scanned once, semi-pruned in place, and
     // never shuffled. Better still, when the candidate key set fits
     // the driver-list bound, it pushes into the scan itself as an IN
-    // filter — a parquet-backed corpus then prunes row groups by
+    // filter on the id column's NATIVE type (r16 verdict #1: casting
+    // to string before the fetch would strip the pushdown for int64
+    // ids) — a parquet-backed corpus then prunes row groups by
     // column stats and the fetch reads O(candidate row groups), not
     // O(corpus): a 100 TB embedding column is never re-scanned for a
     // 2k-doc batch. (The same bounded-driver-list contract as the
     // nightly delta re-stat; past the bound the semi join is the
     // honest degradation.)
-    val corpusEmb = graft.engine.KeyedFetch(
-      corpus.select(col(idCol).cast("string").as("__c_key"),
-        col(embCol).as("__emb_c")),
-      "__c_key", candidates.select("__c_key").distinct())
+    val corpusEmb = graft.engine.KeyedFetch.byNativeKey(
+        corpus.select(col(idCol), col(embCol).as("__emb_c")),
+        idCol, candidates.select("__c_key").distinct(), "__c_key")
+      .drop(idCol)
     val incEmb = increment
       .select(col(idCol).cast("string").as("__inc_key"),
         col(embCol).as("__emb_i"))

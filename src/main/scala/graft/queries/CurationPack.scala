@@ -16,6 +16,113 @@ import graft.operators.Curation
   */
 object CurationPack extends QueryPack {
 
+  /** Shared oracle for q133 (pure refreshRescan) and q142 (the
+    * PRODUCTION `nightly` over persisted workDir state — r16 verdict
+    * task #4): DuckDB replays diff predicates, the exact anti-join,
+    * md5-MinHash banding + round-4 Jaccard, and the shard manifest.
+    * On this fixture the ever-kept key-index semantic of the nightly
+    * coincides with the rescan's current-corpus semantic (no slice
+    * doc repeats a retired doc's text — the divergence case is
+    * spec-pinned from both sides in CrawlRefreshSpec), so ONE replay
+    * gates both forms. */
+  private def crawlRefreshOracleSql: String = s"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id % 11 <> 0 AND doc_id % 5 <> 0),
+        unch AS (SELECT doc_id, text FROM base WHERE doc_id % 3 <> 0),
+        slice AS (
+          SELECT doc_id, 'rev2: ' || text AS text FROM base
+          WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 2000000 AS doc_id,
+                 'FRESH ' || upper(text) AS text
+          FROM documents WHERE doc_id % 13 = 0
+          UNION ALL
+          SELECT doc_id + 3000000 AS doc_id, text FROM base
+          WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 4000000 AS doc_id, 'UPDATE: ' || text AS text
+          FROM base WHERE doc_id % 3 <> 0 AND doc_id % 7 = 1),
+        ex AS (
+          SELECT s.doc_id, s.text FROM slice s
+          WHERE NOT EXISTS (SELECT 1 FROM unch c WHERE c.text = s.text)),
+        csh AS (
+          SELECT doc_id, list_transform(sh, s ->
+              CAST(CAST(('0x' || substring(md5(s), 1, 15)) AS UBIGINT)
+                AS BIGINT)) AS hs
+          FROM (
+            SELECT doc_id, list_distinct(list_transform(
+                range(greatest(len(words) - 2, 0)),
+                i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))
+              AS sh
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), w -> w <> '')
+                           AS words
+                  FROM unch))
+          WHERE len(sh) > 0),
+        ish AS (
+          SELECT doc_id, list_transform(sh, s ->
+              CAST(CAST(('0x' || substring(md5(s), 1, 15)) AS UBIGINT)
+                AS BIGINT)) AS hs
+          FROM (
+            SELECT doc_id, list_distinct(list_transform(
+                range(greatest(len(words) - 2, 0)),
+                i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))
+              AS sh
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), w -> w <> '')
+                           AS words
+                  FROM ex))
+          WHERE len(sh) > 0),
+        consts AS (
+          SELECT t.i AS i,
+                 (${graft.operators.Dedup.minHashA.take(32)
+                     .mkString("[", ", ", "]")})[t.i + 1] AS a,
+                 (${graft.operators.Dedup.minHashB.take(32)
+                     .mkString("[", ", ", "]")})[t.i + 1] AS b
+          FROM unnest(range(32)) AS t(i)),
+        csigs AS (
+          SELECT doc_id, c.i AS i,
+                 min((c.a * (hv % 2147483647) + c.b) % 2147483647) AS sig
+          FROM (SELECT doc_id, unnest(hs) AS hv FROM csh), consts c
+          GROUP BY doc_id, c.i),
+        isigs AS (
+          SELECT doc_id, c.i AS i,
+                 min((c.a * (hv % 2147483647) + c.b) % 2147483647) AS sig
+          FROM (SELECT doc_id, unnest(hs) AS hv FROM ish), consts c
+          GROUP BY doc_id, c.i),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS c_id, b.doc_id AS inc_id
+          FROM csigs a JOIN isigs b ON a.i = b.i AND a.sig = b.sig),
+        dup AS (
+          SELECT DISTINCT cand.inc_id FROM cand
+          JOIN csh x ON cand.c_id = x.doc_id
+          JOIN ish y ON cand.inc_id = y.doc_id
+          WHERE round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+                  (len(x.hs) + len(y.hs) -
+                   len(list_intersect(x.hs, y.hs))), 4) >= 0.7),
+        fz AS (
+          SELECT e.doc_id, e.text FROM ex e
+          WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.inc_id = e.doc_id)),
+        fin AS (
+          SELECT doc_id, text FROM unch
+          UNION ALL SELECT doc_id, text FROM fz),
+        keyed AS (
+          SELECT doc_id, text,
+                 md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k
+          FROM fin),
+        shards AS (
+          SELECT doc_id, text,
+                 strpos('0123456789abcdef', substr(k, 1, 1)) - 1 AS shard
+          FROM keyed)
+        SELECT shard, count(*) AS n_rows,
+               bit_xor(CAST(CAST(('0x' || substring(md5(
+                   'row:' || coalesce(md5(CAST(doc_id AS VARCHAR)), 'null')
+                          || coalesce(md5(text), 'null')),
+                   1, 15)) AS UBIGINT) AS BIGINT)) AS content_hash,
+               min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM shards GROUP BY 1"""
+
   /** Deterministic PII-bearing text: the synthetic corpus has no
     * natural emails/IPs/phones, so each doc gets a derived contact
     * line appended — identical SQL on both sides. */
@@ -847,103 +954,7 @@ object CurationPack extends QueryPack {
     // misrouted document anywhere flips a shard hash.
     Q(
       "q133_crawl_refresh",
-      Some(s"""
-        WITH base AS (
-          SELECT doc_id, text FROM documents
-          WHERE doc_id % 11 <> 0 AND doc_id % 5 <> 0),
-        unch AS (SELECT doc_id, text FROM base WHERE doc_id % 3 <> 0),
-        slice AS (
-          SELECT doc_id, 'rev2: ' || text AS text FROM base
-          WHERE doc_id % 3 = 0
-          UNION ALL
-          SELECT doc_id + 2000000 AS doc_id,
-                 'FRESH ' || upper(text) AS text
-          FROM documents WHERE doc_id % 13 = 0
-          UNION ALL
-          SELECT doc_id + 3000000 AS doc_id, text FROM base
-          WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0
-          UNION ALL
-          SELECT doc_id + 4000000 AS doc_id, 'UPDATE: ' || text AS text
-          FROM base WHERE doc_id % 3 <> 0 AND doc_id % 7 = 1),
-        ex AS (
-          SELECT s.doc_id, s.text FROM slice s
-          WHERE NOT EXISTS (SELECT 1 FROM unch c WHERE c.text = s.text)),
-        csh AS (
-          SELECT doc_id, list_transform(sh, s ->
-              CAST(CAST(('0x' || substring(md5(s), 1, 15)) AS UBIGINT)
-                AS BIGINT)) AS hs
-          FROM (
-            SELECT doc_id, list_distinct(list_transform(
-                range(greatest(len(words) - 2, 0)),
-                i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))
-              AS sh
-            FROM (SELECT doc_id,
-                         list_filter(string_split(text, ' '), w -> w <> '')
-                           AS words
-                  FROM unch))
-          WHERE len(sh) > 0),
-        ish AS (
-          SELECT doc_id, list_transform(sh, s ->
-              CAST(CAST(('0x' || substring(md5(s), 1, 15)) AS UBIGINT)
-                AS BIGINT)) AS hs
-          FROM (
-            SELECT doc_id, list_distinct(list_transform(
-                range(greatest(len(words) - 2, 0)),
-                i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]))
-              AS sh
-            FROM (SELECT doc_id,
-                         list_filter(string_split(text, ' '), w -> w <> '')
-                           AS words
-                  FROM ex))
-          WHERE len(sh) > 0),
-        consts AS (
-          SELECT t.i AS i,
-                 (${graft.operators.Dedup.minHashA.take(32)
-                     .mkString("[", ", ", "]")})[t.i + 1] AS a,
-                 (${graft.operators.Dedup.minHashB.take(32)
-                     .mkString("[", ", ", "]")})[t.i + 1] AS b
-          FROM unnest(range(32)) AS t(i)),
-        csigs AS (
-          SELECT doc_id, c.i AS i,
-                 min((c.a * (hv % 2147483647) + c.b) % 2147483647) AS sig
-          FROM (SELECT doc_id, unnest(hs) AS hv FROM csh), consts c
-          GROUP BY doc_id, c.i),
-        isigs AS (
-          SELECT doc_id, c.i AS i,
-                 min((c.a * (hv % 2147483647) + c.b) % 2147483647) AS sig
-          FROM (SELECT doc_id, unnest(hs) AS hv FROM ish), consts c
-          GROUP BY doc_id, c.i),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS c_id, b.doc_id AS inc_id
-          FROM csigs a JOIN isigs b ON a.i = b.i AND a.sig = b.sig),
-        dup AS (
-          SELECT DISTINCT cand.inc_id FROM cand
-          JOIN csh x ON cand.c_id = x.doc_id
-          JOIN ish y ON cand.inc_id = y.doc_id
-          WHERE round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
-                  (len(x.hs) + len(y.hs) -
-                   len(list_intersect(x.hs, y.hs))), 4) >= 0.7),
-        fz AS (
-          SELECT e.doc_id, e.text FROM ex e
-          WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.inc_id = e.doc_id)),
-        fin AS (
-          SELECT doc_id, text FROM unch
-          UNION ALL SELECT doc_id, text FROM fz),
-        keyed AS (
-          SELECT doc_id, text,
-                 md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k
-          FROM fin),
-        shards AS (
-          SELECT doc_id, text,
-                 strpos('0123456789abcdef', substr(k, 1, 1)) - 1 AS shard
-          FROM keyed)
-        SELECT shard, count(*) AS n_rows,
-               bit_xor(CAST(CAST(('0x' || substring(md5(
-                   'row:' || coalesce(md5(CAST(doc_id AS VARCHAR)), 'null')
-                          || coalesce(md5(text), 'null')),
-                   1, 15)) AS UBIGINT) AS BIGINT)) AS content_hash,
-               min(doc_id) AS min_id, max(doc_id) AS max_id
-        FROM shards GROUP BY 1"""),
+      Some(crawlRefreshOracleSql),
       (s, dir) => {
         val docs = Tables(s, dir, "documents").select("doc_id", "text")
         val oldC = docs.filter(col("doc_id") % 11 =!= 0)
@@ -1505,6 +1516,56 @@ object CurationPack extends QueryPack {
           .select(col("doc_id"), col("source"),
             col("strat_rank").cast("int"))
           .join(kept.drop("source"), Seq("doc_id"))
+      }),
+
+    // ---- the PRODUCTION nightly, end-to-end under the oracle --------------
+    // q133 gates the pure rescan twin; this gate drives the REAL
+    // [[CrawlRefresh.nightly]] over persisted workDir state (the
+    // q134/q135 temp-dir pattern): bootstrap night over the old
+    // corpus stands up the export + key index + band index, then one
+    // refresh night applies the same snapshot delta q133 models —
+    // retire, index-served screens, admit — and the refreshed
+    // export's manifest must hash-equal the SAME DuckDB replay
+    // (r16 verdict task #4: the production form was spec-equal but
+    // never oracle-gated end-to-end). The night's stats sanity-check
+    // inline: wrong routing fails fast with a readable message
+    // instead of only a shard-hash mismatch.
+    Q(
+      "q142_crawl_refresh_nightly",
+      Some(crawlRefreshOracleSql),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        val oldC = docs.filter(col("doc_id") % 11 =!= 0)
+        val base = docs.filter(
+          col("doc_id") % 11 =!= 0 && col("doc_id") % 5 =!= 0)
+        val newC = base.select(col("doc_id"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit("rev2: "), col("text")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 2000000).as("doc_id"),
+              concat(lit("FRESH "), upper(col("text"))).as("text")))
+          .unionByName(base
+            .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+          .unionByName(base
+            .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 1)
+            .select((col("doc_id") + 4000000).as("doc_id"),
+              concat(lit("UPDATE: "), col("text")).as("text")))
+        val work = java.nio.file.Files.createTempDirectory("graft-q142")
+        work.toFile.deleteOnExit()
+        val wd = work.resolve("night").toString
+        val boot = graft.operators.CrawlRefresh.nightly(
+          s, wd, oldC, threshold = 0.7)
+        require(boot.bootstrap && boot.screenedOut == 0,
+          s"bootstrap night must keep the whole snapshot: $boot")
+        val stats = graft.operators.CrawlRefresh.nightly(
+          s, wd, newC, threshold = 0.7)
+        require(!stats.bootstrap && stats.removedSize > 0 &&
+          stats.screenedOut > 0,
+          s"refresh night must retire and screen on this fixture: $stats")
+        stats.manifest.select(
+          "shard", "n_rows", "content_hash", "min_id", "max_id")
       })
   )
 }

@@ -305,17 +305,28 @@ class CrawlRefreshSpec extends SparkSpec {
     //     partition;
     //   - the fuzzy screen: the thin band-index probe (16 rows/doc,
     //     ~40 B each) and the candidate verify's corpus fetch —
-    //     ≤ ONE full pass over the export text;
+    //     with the r17 typed-key KeyedFetch an EMPTY/bounded
+    //     candidate set never scans the corpus text column at all
+    //     (this night's 1 changed doc has disjoint md5 tokens →
+    //     zero band candidates → zero-fetch);
     //   - exportApplyDelta: the touched shard (~1/256 of the corpus
     //     at hexDigits=2), twice.
     // The r15 orchestration materialized the corpus-sized unchanged
-    // set and re-aggregated the full manifest twice — several full
-    // fat passes above this bound. 2.5 corpus-byte passes + 30 MB of
-    // thin-table headroom catches that regression class loudly.
-    assert(bytesRead < (2.5 * corpusBytes).toLong + (30L << 20),
+    // set and re-aggregated the full manifest twice; the r16 tree's
+    // string-cast fetch tolerated a further FULL text pass per batch
+    // — the old 2.5-pass budget existed for exactly that scan (r16
+    // verdict task #2). With the typed-key fetch the whole night fits
+    // a 0.3-pass fraction + thin-row headroom. The headroom is sized
+    // to DISCRIMINATE, not just to pass: measured thin traffic is
+    // ~14.9 MB (flow memo/tracking + band-index reads, O(n) short
+    // rows), the bound ~21 MB leaves ~40% slack, and ONE re-grown
+    // full text pass (+corpusBytes ≈ +16.5 MB) overshoots it by ~50%
+    // — at the old 30 MB headroom that single-pass regression would
+    // have still PASSED at this corpus size.
+    assert(bytesRead < (0.3 * corpusBytes).toLong + (16L << 20),
       s"1-doc night read $bytesRead parquet bytes against a " +
         s"$corpusBytes-byte corpus — a corpus-sized orchestration " +
-        "pass is back")
+        "or unpruned-fetch pass is back")
     // record-shape guard: thin passes are O(n) rows each — the
     // measured night is ~142 rows/doc (dominated by the flow's
     // target-row tracking table, 16 band rows/doc × a few engine

@@ -310,6 +310,67 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(lock))  // and releases its own
   }
 
+  test("compaction crash recovery is two-sided: append/serve roll back, ambiguity refuses") {
+    // ADVICE r16 (medium): the keys.old rollback used to live only in
+    // keyIndexRebuild — a crash between the two compaction renames
+    // followed by an append recreated keys/ holding ONE batch, and
+    // the next rebuild destroyed keys.old (the only full copy),
+    // silently readmitting every previously committed key.
+    val work = java.nio.file.Files.createTempDirectory("graft-keyidx7")
+    work.toFile.deleteOnExit()
+    val idx = work.resolve("index").toString
+    val keysDir = work.resolve("index/keys")
+    val oldDir = work.resolve("index/keys.old")
+    Dedup.keyIndexInit(spark, idx, "key", expectedItems = 100L)
+    Dedup.keyIndexAppend(spark, idx, docs(100))
+
+    // simulate the crash window: first rename landed, second did not
+    java.nio.file.Files.move(keysDir, oldDir)
+    // a reader mid-window still confirms dups (serves from keys.old)
+    assert(Dedup.incrementalDedupOver(spark, idx,
+      docs(50).withColumn("id", col("id") + 777000)).count() == 0,
+      "mid-crash serve must not readmit committed keys")
+    // the next append rolls back FIRST — the full key set survives
+    Dedup.keyIndexAppend(spark, idx,
+      docs(20).withColumn("key", concat(lit("n:"), col("key"))))
+    assert(keysDir.toFile.isDirectory && !oldDir.toFile.exists())
+    assert(spark.read.parquet(keysDir.toString).count() == 120)
+
+    // crash AFTER the second rename: keys/ is the completed compaction
+    // (carries the marker), keys.old a disposable leftover → retired
+    Dedup.keyIndexRebuild(spark, idx)
+    assert(java.nio.file.Files.exists(
+      keysDir.resolve("_graft_compacted")), "rebuild stamps the marker")
+    def copyTree(a: java.nio.file.Path, b: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(a).forEach { p =>
+        val q = b.resolve(a.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(q)
+        else java.nio.file.Files.copy(p, q)
+      }
+    }
+    copyTree(keysDir, oldDir)
+    Dedup.keyIndexAppend(spark, idx,
+      docs(5).withColumn("key", concat(lit("p:"), col("key"))))
+    assert(!oldDir.toFile.exists(), "marker licenses retiring keys.old")
+
+    // the ambiguous state (both present, keys/ NOT a completed
+    // compaction — the pre-fix disaster shape): refuse loudly,
+    // delete NOTHING
+    java.nio.file.Files.move(keysDir, oldDir)
+    java.nio.file.Files.delete(oldDir.resolve("_graft_compacted"))
+    docs(1).withColumn("key", concat(lit("j:"), col("key")))
+      .select(col("key"), lit(0).as("__kp"))
+      .write.partitionBy("__kp").parquet(keysDir.toString)
+    val e = intercept[IllegalStateException] {
+      Dedup.keyIndexAppend(spark, idx,
+        docs(3).withColumn("key", concat(lit("q:"), col("key"))))
+    }
+    assert(e.getMessage.contains("refusing to pick a side"), e.getMessage)
+    assert(oldDir.toFile.isDirectory && keysDir.toFile.isDirectory,
+      "refusal must not delete either candidate")
+  }
+
   test("key index keeps null keys and handles them across commits") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-keyidx4")

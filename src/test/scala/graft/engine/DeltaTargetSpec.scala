@@ -177,6 +177,67 @@ class DeltaTargetSpec extends graft.SparkSpec {
     assert(contents(t) == Set("c" -> 3))
   }
 
+  test("merged read: base side anti-joins a BROADCAST key set, no base exchange") {
+    // r16 verdict #2: left to statistics, accumulated segments past
+    // the auto-broadcast threshold would sort-merge and EXCHANGE the
+    // corpus-sized base on every read. The plan must carry the
+    // explicit broadcast regardless of segment statistics.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val extra = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ extra).flatMap(flatten)
+    }
+    val work = tmp()
+    val dir = work.resolve("t").toString
+    val t = ParquetTableTarget(dir, numBuckets = 4, deltaLog = true,
+      maxDeltaSegments = 100)
+    import spark.implicits._
+    t.apply(spark, (1 to 3000).map(i => (s"k$i", i)).toDF("row_key", "v"),
+      keys())
+    t.apply(spark, rows("k1" -> -1, "k9" -> -9), keys("k2"))
+    val df = t.read(spark)
+    df.collect() // finalize the adaptive plan before inspecting it
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val anti = nodes.collect {
+      case j: BroadcastHashJoinExec
+          if j.joinType.toString.toLowerCase.contains("anti") => j
+    }
+    assert(anti.nonEmpty,
+      s"base side must broadcast-anti-join the superseded keys:\n" +
+        df.queryExecution.executedPlan.toString.take(3000))
+    val baseSide = flatten(anti.head.left)
+    assert(baseSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "the base (streamed) side of the anti join must not shuffle:\n" +
+        anti.head.left.toString.take(2000))
+  }
+
+  test("byte-based compaction trigger folds large segments early") {
+    // r16 verdict #2: compaction keyed on segment COUNT alone lets a
+    // few LARGE applies accumulate a superseded-key set past what the
+    // read's broadcast should carry — the byte trigger bounds it.
+    import spark.implicits._
+    val work = tmp()
+    val dir = work.resolve("t").toString
+    val t = ParquetTableTarget(dir, numBuckets = 2, deltaLog = true,
+      maxDeltaSegments = 100, maxDeltaBytes = 10000L)
+    t.apply(spark, rows("a" -> 1), keys())  // base g=0
+    t.apply(spark, rows("b" -> 2), keys())  // tiny seg, under the bytes
+    assert(segDirs(dir).size == 1, "tiny segment accumulates")
+    // a large apply pushes live segment bytes past maxDeltaBytes
+    t.apply(spark,
+      (1 to 2000).map(i => (s"big$i", i)).toDF("row_key", "v"), keys())
+    assert(segDirs(dir).isEmpty,
+      "byte trigger must fold despite the count trigger being far off")
+    assert(contents(t).size == 2002 && contents(t).contains("a" -> 1))
+  }
+
   test("layout mismatch between handle and disk fails loudly") {
     val work = tmp()
     val dir = work.resolve("t").toString

@@ -68,5 +68,25 @@ class GraphTargetSpec extends SparkSpec {
       .join(graph.readNodes(spark).alias("n"),
         col("e.dst") === regexp_replace(col("n.row_key"), "^n:lang:[^/]*/", "lang:"))
     assert(hop.count() == 1)
+
+    // bfsOverEdgeTable on the SAME dir, after the incremental
+    // reconcile has appended a delta segment (ADVICE r16 high): a raw
+    // spark.read.parquet of this dir would break on the mixed
+    // base/delta layout — and would surface b.py's tombstoned edge
+    // if it parsed. The target-handle read must resolve the layout
+    // and see exactly the live edge.
+    import spark.implicits._
+    val reach = graft.operators.Graph.bfsOverEdgeTable(spark,
+      tgt.resolve("edges").toString, Seq("doc:a.md").toDF("node"),
+      maxHops = 2, fromCol = "src", toCol = "dst")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(reach == Set(("doc:a.md", 0), ("lang:markdown", 1)),
+      s"got $reach")
+    val reachDeleted = graft.operators.Graph.bfsOverEdgeTable(spark,
+      tgt.resolve("edges").toString, Seq("doc:b.py").toDF("node"),
+      maxHops = 2, fromCol = "src", toCol = "dst")
+      .collect().map(_.getString(0)).toSet
+    assert(reachDeleted == Set("doc:b.py"),
+      s"tombstoned edge must not traverse: $reachDeleted")
   }
 }

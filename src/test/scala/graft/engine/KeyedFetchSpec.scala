@@ -41,6 +41,83 @@ class KeyedFetchSpec extends graft.SparkSpec {
       plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("int64 key, production call shape: native-typed IN reaches the scan") {
+    // r16 verdict #1: the served screens fetch from corpora whose id
+    // columns are int64 (documents.doc_id, embeddings.vec_id). The
+    // pre-fix call shape cast the id to string BEFORE the filter,
+    // which empirically strips the parquet pushdown (PushedFilters
+    // goes empty) — this case drives the byNativeKey shape and pins
+    // the pushdown on a long column.
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-kf-long")
+    work.toFile.deleteOnExit()
+    val dir = work.resolve("docs").toString
+    (1L to 500L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    // candidate keys arrive as STRINGS (the index stores item_key =
+    // cast(id as string)) — exactly the production shape
+    val got = KeyedFetch.byNativeKey(spark.read.parquet(dir), "doc_id",
+      Seq("42", "43", "nope").toDF("__c_key"), "__c_key")
+      .select(col("__c_key"), col("text"))
+    assert(got.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("42", "text42"), ("43", "text43")))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(doc_id"),
+      s"native-typed IN must reach the parquet scan:\n${plan.take(2000)}")
+  }
+
+  test("byNativeKey on a string key column is the identity shape") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-kf-str")
+    work.toFile.deleteOnExit()
+    val dir = work.resolve("t").toString
+    table.write.mode("overwrite").parquet(dir)
+    val got = KeyedFetch.byNativeKey(spark.read.parquet(dir), "k",
+      Seq("k42", "k43").toDF("any_name"), "__c_key")
+    assert(got.select("__c_key").as[String].collect().toSet ==
+      Set("k42", "k43"))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(k"),
+      s"string key must still push down:\n${plan.take(2000)}")
+  }
+
+  test("byNativeKey past the bound: broadcast semi join on the native key") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, i * 2)).toDF("doc_id", "v")
+    val many = (1L to KeyedFetch.MaxKeyPushdown + 5L)
+      .map(_.toString).toDF("__c_key")
+    val got = KeyedFetch.byNativeKey(docs, "doc_id", many, "__c_key")
+    assert(got.count() == 500)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("nativeKeyPredicate: exact string-compare semantics, native pushdown") {
+    import spark.implicits._
+    val docs = Seq((42L, "a"), (77L, "b"), (7L, "c")).toDF("doc_id", "t")
+    def ids(keys: String*): Set[Long] =
+      docs.filter(KeyedFetch.nativeKeyPredicate(docs, "doc_id", keys))
+        .select("doc_id").as[Long].collect().toSet
+    // non-canonical ("077") and unparseable ("x") keys match NOTHING —
+    // the predicate is cast(doc_id as string) IN keys, not a lenient
+    // numeric parse
+    assert(ids("42", "077", "x") == Set(42L))
+    assert(ids() == Set.empty)
+    // the pushdown shape survives a parquet round trip
+    val work = java.nio.file.Files.createTempDirectory("graft-kf-pred")
+    work.toFile.deleteOnExit()
+    val dir = work.resolve("d").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val pq = spark.read.parquet(dir)
+    val got = pq.filter(KeyedFetch.nativeKeyPredicate(pq, "doc_id",
+      Seq("7", "42")))
+    assert(got.count() == 2)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(doc_id"),
+      s"native IN must reach the scan:\n${plan.take(1500)}")
+  }
+
   test("parquet backing: the IN filter reaches the scan as a pushed filter") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-keyedfetch")
