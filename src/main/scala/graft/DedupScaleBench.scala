@@ -737,8 +737,16 @@ object DedupScaleBench {
             b.kincSec > 3 * math.max(a.kincSec, 1.0))
           bad ::= s"keyIndex screen not flat in N ${a.n}→${b.n}: " +
             f"${a.kincSec}%.1fs→${b.kincSec}%.1fs"
+        // the SRP screen's floor is 2 s, not 1 s: its per-batch cost
+        // is flat terms + ONE scan of the THIN band index (bands×N
+        // rows ≈ 1.4% of corpus bytes at this shape) — the delta-log
+        // index buys O(delta) writes, and the probe reads it
+        // wholesale by design. Sub-2 s cells sit in fixed job
+        // overhead, so the flatness comparison starts where the
+        // linear term becomes visible; the r16 corpus-shuffle blowup
+        // (235 s) still fails this gate by 40x.
         if (a.voverBatch == b.voverBatch &&
-            b.voverSec > 3 * math.max(a.voverSec, 1.0))
+            b.voverSec > 3 * math.max(a.voverSec, 2.0))
           bad ::= s"SRP-index screen not flat in N ${a.n}→${b.n}: " +
             f"${a.voverSec}%.1fs→${b.voverSec}%.1fs"
       case _ =>
@@ -759,12 +767,29 @@ object DedupScaleBench {
         (c.n, c.kincSec, c.kincBatch, c.voverSec, c.voverBatch)).toSeq ++
       idxCells.sortBy(_.n).map(c =>
         (c.n, c.kincSec, c.kincBatch, c.voverSec, c.voverBatch))
+    // read-bytes tripwire (r16 verdict task #2): the screens' corpus
+    // reads are point fetches; their datasource-read MB across the
+    // idx decades must stay near-flat — a re-grown unpruned corpus
+    // fetch shows up here as decade-over-decade read growth
+    idxCells.sortBy(_.n).sliding(2).foreach {
+      case Seq(a, b) =>
+        if (b.kincReadMB > 3 * math.max(a.kincReadMB, 8.0))
+          bad ::= s"idx keyIndex read MB not flat ${a.n}→${b.n}: " +
+            f"${a.kincReadMB}%.1f→${b.kincReadMB}%.1f MB"
+        if (b.voverReadMB > 3 * math.max(a.voverReadMB, 8.0))
+          bad ::= s"idx SRP read MB not flat ${a.n}→${b.n}: " +
+            f"${a.voverReadMB}%.1f→${b.voverReadMB}%.1f MB"
+      case _ =>
+    }
     chain.sliding(2).foreach {
       case Seq(a, b) =>
         if (a._3 == b._3 && b._2 > 3 * math.max(a._2, 1.0))
           bad ::= s"keyIndex screen not flat in N ${a._1}→${b._1}: " +
             f"${a._2}%.1fs→${b._2}%.1fs"
-        if (a._5 == b._5 && b._4 > 3 * math.max(a._4, 1.0))
+        // 2 s floor: see the full-sweep gate above — the probe's
+        // thin-index scan term becomes visible past the fixed job
+        // overhead only above ~2 s at this shape
+        if (a._5 == b._5 && b._4 > 3 * math.max(a._4, 2.0))
           bad ::= s"SRP-index screen not flat in N ${a._1}→${b._1}: " +
             f"${a._4}%.1fs→${b._4}%.1fs"
       case _ =>

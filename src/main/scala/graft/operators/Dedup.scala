@@ -878,7 +878,17 @@ object Dedup {
     // definitelyNew branch and the whole increment survives
     val corpusBf = keyBloom(corpusKeys, keyCol, fpp, nCorpus, maxFilterBytes)
 
-    val flagged = increment.withColumn("__mc", keyMightContain(corpusBf, keyCol))
+    // broadcast + UDF probe, not a plan-literal expression: the
+    // corpus bloom grows linearly with the corpus and a literal that
+    // size taxes every action whose plan carries it (see
+    // [[incrementalDedupOver]]); the probe runs over the small
+    // increment, where losing codegen costs nothing
+    val bfBc = increment.sparkSession.sparkContext.broadcast(
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(corpusBf)))
+    val probe = udf((h: Long) => bfBc.value.mightContainLong(h))
+    val flagged = increment.withColumn("__mc",
+      probe(xxhash64(col(keyCol))))
     val definitelyNew = flagged.filter(!col("__mc")).drop("__mc")
     val candidates = flagged.filter(col("__mc")).drop("__mc")
       // both branches re-read `increment`; the candidate branch is
@@ -962,8 +972,34 @@ object Dedup {
     graft.engine.Sidecar.write(keyIndexMetaFile(indexDir), Map(
       "keyCol" -> keyCol, "partitions" -> nParts.toString,
       "items" -> expectedItems.toString, "bits" -> bits.toString,
-      "fpp" -> fpp.toString, "itemsAdded" -> "0"))
+      "fpp" -> fpp.toString, "itemsAdded" -> "0",
+      "layout" -> KeyIndexLayout))
   }
+
+  /** Keys-table layout tag: rows are md5 FINGERPRINTS of the keys
+    * (`key_fp`, 32-hex), never the raw keys. The raw-key layout the
+    * index shipped with through r16 made the confirm scan read the
+    * full key VALUES — for a text-keyed corpus that is a corpus-text
+    * column scan per batch the moment candidates touch every hash
+    * partition (measured: 3.4 GB keys at the sweep's 10⁷, 7.6 s warm
+    * confirm). Fingerprints make the keys table ~16 B/row at any key
+    * width — thin at every corpus size — and match the identity the
+    * engine already uses everywhere else ([[graft.engine.Fingerprint]];
+    * the reference keeps Blake2b-128 fingerprints as its sync
+    * identity, rust/utils/src/fingerprint.rs:39). md5 equality IS
+    * key equality for dedup purposes (16-byte collision resistance;
+    * not a security property). An index provisioned under the old
+    * layout fails loudly — re-init and re-append from the corpus. */
+  val KeyIndexLayout = "fp-md5"
+
+  private def keyIndexRequireLayout(
+      indexDir: String, meta: Map[String, String]): Unit =
+    if (!meta.get("layout").contains(KeyIndexLayout))
+      throw new IllegalStateException(
+        s"keyIndex($indexDir): keys layout ${meta.getOrElse("layout",
+          "raw-key (pre-r17)")} != $KeyIndexLayout — this build stores " +
+          "md5 fingerprints, not raw keys; re-init the index and " +
+          "re-append its corpus")
 
   /** Target keys per hash partition of the persisted keys table. */
   val KeyIndexKeysPerPartition: Long = 65536L
@@ -1013,6 +1049,7 @@ object Dedup {
     // admission, the unsafe direction).
     keyIndexRecoverCompaction(indexDir)
     val meta = keyIndexMeta(indexDir)
+    keyIndexRequireLayout(indexDir, meta)
     val keyCol = meta("keyCol")
     val partitions = meta("partitions").toInt
     val items = meta("items").toLong
@@ -1026,20 +1063,32 @@ object Dedup {
     val b = batch.localCheckpoint()
     val n = b.count()
     if (n > 0) {
+      // everything committed is the FINGERPRINT, never the raw key
+      // ([[KeyIndexLayout]]): bloom items, partition hash, and the
+      // stored rows all derive from md5(key), so the rebuild can
+      // re-provision all three from the keys table alone
+      val fps = b.select(md5(col(keyCol).cast("string")).as("key_fp"))
       // identical (items, bits) to the init-time filter: same hash
       // count, so mergeInPlace is the exact set union
       val batchBf = org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(
-          keyBloomFixed(b.select(col(keyCol)), keyCol, items, bits)))
+          keyBloomFixed(fps, "key_fp", items, bits)))
       val merged = org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(
           java.nio.file.Files.readAllBytes(
             keyIndexBloomFile(indexDir).toPath)))
       merged.mergeInPlace(batchBf)
-      b
-        .select(col(keyCol),
-          pmod(xxhash64(col(keyCol)), lit(partitions.toLong)).cast("int")
+      fps
+        .select(col("key_fp"),
+          pmod(xxhash64(col("key_fp")), lit(partitions.toLong)).cast("int")
             .as("__kp"))
+        // one file per touched partition per append, not one per
+        // (writer task × partition): the unrepartitioned write laid
+        // down 32 × partitions tiny files per wave (measured 4,896
+        // at the sweep's 10⁷) and the confirm read paid the file
+        // explosion forever; the repartition moves only the thin
+        // fingerprints, O(batch)
+        .repartition(col("__kp"))
         .write.partitionBy("__kp").mode("append")
         .parquet(new java.io.File(indexDir, "keys").getPath)
       // bloom + count AFTER the keys land: a failed write must not
@@ -1072,13 +1121,13 @@ object Dedup {
     keyIndexLocked(indexDir, "rebuild") {
       require(growth >= 1.0, s"growth $growth < 1")
       val meta = keyIndexMeta(indexDir)
-      val keyCol = meta("keyCol")
+      keyIndexRequireLayout(indexDir, meta)
       val fpp = meta("fpp").toDouble
       val keysDir = new java.io.File(indexDir, "keys")
       val oldDir = new java.io.File(indexDir, "keys.old")
       keyIndexRecoverCompaction(indexDir)
       val keys = spark.read.parquet(keysDir.getPath)
-        .select(col(keyCol)).distinct().localCheckpoint()
+        .select(col("key_fp")).distinct().localCheckpoint()
       val n = math.max(keys.count(), 1L)
       // compact the keys table from the same distinct read: nightly
       // appends add ≤`partitions` files each (and may re-append keys
@@ -1092,8 +1141,8 @@ object Dedup {
       graft.engine.FsUtil.deleteRecursively(compactDir) // crash leftover
       graft.engine.FsUtil.deleteRecursively(oldDir)
       keys
-        .select(col(keyCol),
-          pmod(xxhash64(col(keyCol)), lit(partitions.toLong)).cast("int")
+        .select(col("key_fp"),
+          pmod(xxhash64(col("key_fp")), lit(partitions.toLong)).cast("int")
             .as("__kp"))
         .repartition(col("__kp"))
         .write.partitionBy("__kp").mode("overwrite")
@@ -1115,7 +1164,7 @@ object Dedup {
         org.apache.spark.util.sketch.BloomFilter
           .optimalNumOfBits(budget, fpp),
         maxFilterBytes * 8)
-      val bytes = keyBloomFixed(keys, keyCol, budget, bits)
+      val bytes = keyBloomFixed(keys, "key_fp", budget, bits)
       val tmp = java.nio.file.Files.createTempFile(
         keyIndexBloomFile(indexDir).getParentFile.toPath,
         "." + keyIndexBloomFile(indexDir).getName, ".tmp")
@@ -1220,20 +1269,47 @@ object Dedup {
     *   2. rows the filter rejects are definitely new (no false
     *      negatives) — no corpus access at all;
     *   3. the fpp-bounded candidates confirm against the keys table
-    *      with the read PRUNED to the candidate hash partitions
-    *      (directory pruning on `__kp`) and bloom-prefiltered — the
-    *      plan's only index scan touches ~|candidates|/partitions of
-    *      the corpus keys.
+    *      — md5 FINGERPRINTS, ~16 B/row regardless of key width
+    *      ([[KeyIndexLayout]]) — with the read PRUNED to the
+    *      candidate hash partitions (directory pruning on `__kp`)
+    *      and bloom-prefiltered. Even when a dup-heavy batch touches
+    *      every partition, the worst case is one thin fingerprint
+    *      scan (~0.5% of a text corpus's bytes), never a key-VALUE
+    *      scan — the r16 raw-key layout degraded to a corpus-text
+    *      read per batch exactly there.
     */
   def incrementalDedupOver(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       increment: DataFrame): DataFrame = {
     val meta = keyIndexMeta(indexDir)
+    keyIndexRequireLayout(indexDir, meta)
     val keyCol = meta("keyCol")
     val partitions = meta("partitions").toInt
+    // the batch side of every probe is the key's md5 FINGERPRINT —
+    // the only identity the index stores ([[KeyIndexLayout]])
+    def fpOf = md5(col(keyCol).cast("string"))
     val bf =
       java.nio.file.Files.readAllBytes(keyIndexBloomFile(indexDir).toPath)
-    val flagged = increment.withColumn("__mc", keyMightContain(bf, keyCol))
+    // the CORPUS bloom is probed through a BROADCAST variable + a
+    // scalar UDF, NOT a plan-literal expression: the filter grows
+    // linearly with the index (12 MB at 10⁷ keys, 120 MB at 10⁸) and
+    // a Literal of that size taxes EVERY action whose plan carries it
+    // (~1.5 s/action measured at 10⁷ — plan copies, task binaries,
+    // driver GC), which is what kept the r16 sweep's kinc cell from
+    // going flat. The UDF runs over the BATCH only (thousands of
+    // rows), so losing codegen there costs nothing; the small
+    // candidate bloom on the corpus side below stays a codegen'd
+    // expression where row volume actually matters.
+    val bfBc = spark.sparkContext.broadcast(
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bf)))
+    val probe = udf((h: Long) => bfBc.value.mightContainLong(h))
+    // a null key has a null fingerprint and can equal nothing (the
+    // anti-join semantics) — route it straight to definitely-new
+    // instead of letting a null might-contain poison the filter split
+    val flagged = increment.withColumn("__mc",
+      when(col(keyCol).isNull, lit(false))
+        .otherwise(probe(xxhash64(fpOf))))
     val definitelyNew = flagged.filter(!col("__mc")).drop("__mc")
     val candidates = flagged.filter(col("__mc")).drop("__mc")
       .localCheckpoint()
@@ -1242,27 +1318,33 @@ object Dedup {
     // the candidate partition list is a bounded driver value
     // (≤ `partitions` ints) — the pruning predicate for the keys read
     val parts = candidates
-      .select(pmod(xxhash64(col(keyCol)), lit(partitions.toLong))
+      .select(pmod(xxhash64(fpOf), lit(partitions.toLong))
         .cast("int").as("__kp"))
       .distinct().collect().map(_.getInt(0)).toSeq
     // the reverse bloom prunes the corpus-keys side of the confirm
     // join; its fpp must SCALE with the index — at a fixed 0.01, a
-    // 10⁷-key index leaks fpp·N ≈ 10⁵ false-positive FULL-TEXT keys
-    // into the join exchange (measured ~33 MB at the r16 sweep's 10⁷
-    // cell, linear in N). Deriving fpp so expected survivors stay
-    // ≈ 10·|candidates| keeps the confirm O(batch) at any index
-    // size; the bloom itself only grows log(1/fpp) — bytes-trivial.
+    // 10⁷-key index leaks fpp·N ≈ 10⁵ false-positive keys into the
+    // join exchange (linear in N). Deriving fpp so expected
+    // survivors stay ≈ 10·|candidates| keeps the confirm O(batch) at
+    // any index size; the bloom itself only grows log(1/fpp).
     val itemsAdded = math.max(meta("itemsAdded").toLong, 1L)
     val confirmFpp =
       math.min(0.01, math.max(1e-6, 10.0 * nCand / itemsAdded.toDouble))
     val candBf = keyBloom(
-      candidates.select(col(keyCol)), keyCol, confirmFpp, nCand)
+      candidates.select(fpOf.as("key_fp")), "key_fp", confirmFpp, nCand)
     val corpusKeys = spark.read
       .parquet(keyIndexKeysDirForRead(indexDir).getPath)
       .filter(col("__kp").isin(parts: _*)) // directory-level pruning
-      .filter(keyMightContain(candBf, keyCol))
-      .select(col(keyCol))
-    val confirmed = candidates.join(corpusKeys, Seq(keyCol), "left_anti")
+      .filter(keyMightContain(candBf, col("key_fp")))
+      .select(col("key_fp"))
+    // the prefilter survivors are ≈ 10·|candidates| thin fingerprints
+    // by the confirmFpp derivation — broadcast them so the confirm is
+    // one exchange-free stage (left to statistics the planner sees
+    // the keys TABLE's size and sort-merge-shuffles both sides)
+    val confirmed = candidates.withColumn("__fp", fpOf)
+      .join(broadcast(corpusKeys), col("__fp") === col("key_fp"),
+        "left_anti")
+      .drop("__fp")
     definitelyNew.unionByName(confirmed)
   }
 
@@ -1574,11 +1656,14 @@ object Dedup {
   }
 
   /** Membership predicate against a [[keyBloom]] result. */
-  private[graft] def keyMightContain(bf: Array[Byte], keyCol: String): Column = {
+  private[graft] def keyMightContain(bf: Array[Byte], keyCol: String): Column =
+    keyMightContain(bf, col(keyCol))
+
+  private[graft] def keyMightContain(bf: Array[Byte], key: Column): Column = {
     import org.apache.spark.sql.GraftExpressionBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     GraftExpressionBridge.column(BloomFilterMightContain(
       Literal(bf, org.apache.spark.sql.types.BinaryType),
-      GraftExpressionBridge.expression(xxhash64(col(keyCol)))))
+      GraftExpressionBridge.expression(xxhash64(key))))
   }
 }
