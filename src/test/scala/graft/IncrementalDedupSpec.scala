@@ -199,6 +199,15 @@ class IncrementalDedupSpec extends SparkSpec {
     val scannedPaths = "file:[^,\\]\\s]*".r.findAllIn(plan).toSeq
     assert(scannedPaths.nonEmpty &&
       scannedPaths.forall(_.contains("index")), plan)
+    // the confirm join is BROADCAST (the prefilter survivors are
+    // ~10x|candidates| thin fingerprints by the confirmFpp
+    // derivation) — left to statistics the planner would see the
+    // keys TABLE's size and sort-merge-shuffle both sides; the r17
+    // sweep measures this as 0.0 MB confirm shuffle at 10^7 keys
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.toLowerCase.contains("anti"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"confirm must not sort-merge:\n$plan")
   }
 
   test("keyIndexNeedsRebuild flips when commits exceed the sized budget") {
