@@ -1054,20 +1054,22 @@ object Dedup {
     val partitions = meta("partitions").toInt
     val items = meta("items").toLong
     val bits = meta("bits").toLong
-    // pin the batch ONCE: the three actions below (count, bloom
-    // aggregate, parquet write) must see the same rows, or a
-    // non-deterministic batch plan lets the parquet keys diverge
-    // from the merged bloom — a key in the keys table but absent
-    // from the filter would pass a later verbatim duplicate as
-    // "definitely new", the unsafe direction (ADVICE r15)
-    val b = batch.localCheckpoint()
-    val n = b.count()
+    // pin the batch's FINGERPRINT PROJECTION once: the three actions
+    // below (count, bloom aggregate, parquet write) must see the
+    // same rows, or a non-deterministic batch plan lets the parquet
+    // keys diverge from the merged bloom — a key in the keys table
+    // but absent from the filter would pass a later verbatim
+    // duplicate as "definitely new", the unsafe direction (ADVICE
+    // r15). All three consumers read ONLY md5(key)
+    // ([[KeyIndexLayout]]: bloom items, partition hash, and stored
+    // rows all derive from it), so the pin is O(n × 16 B) — pinning
+    // the RAW batch made the BOOTSTRAP append (batch = corpus)
+    // materialize the full corpus text into the block manager, an
+    // OOM at 10⁸ docs in an 8 GB driver and a non-starter at 100 TB.
+    val fps = batch.select(md5(col(keyCol).cast("string")).as("key_fp"))
+      .localCheckpoint()
+    val n = fps.count()
     if (n > 0) {
-      // everything committed is the FINGERPRINT, never the raw key
-      // ([[KeyIndexLayout]]): bloom items, partition hash, and the
-      // stored rows all derive from md5(key), so the rebuild can
-      // re-provision all three from the keys table alone
-      val fps = b.select(md5(col(keyCol).cast("string")).as("key_fp"))
       // identical (items, bits) to the init-time filter: same hash
       // count, so mergeInPlace is the exact set union
       val batchBf = org.apache.spark.util.sketch.BloomFilter.readFrom(
