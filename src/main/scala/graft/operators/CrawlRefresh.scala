@@ -240,14 +240,20 @@ object CrawlRefresh {
       // bootstrap night: no corpus to screen against — the whole
       // snapshot is the kept corpus (intra-batch dedup is upstream,
       // see refreshRescan's contract). The one full pass per
-      // deployment lifetime, amortized by design.
-      val kept = newSnap.select(col(idCol), col(textCol))
-        .localCheckpoint()
-      val n = kept.count()
-      val manifest = Curation.exportShardsIncremental(kept, exportDir,
+      // deployment lifetime, amortized by design. The snapshot is
+      // NOT pinned (a corpus-sized localCheckpoint here is the same
+      // OOM-at-scale class the key-index append fix removed):
+      // the EXPORT is the pin — it is written first in one pass, and
+      // the key index, the flows, and the night's size all derive
+      // from the durable written files (manifest row counts), so
+      // even a non-deterministic snapshot source cannot let the
+      // index family diverge from the corpus it screens for.
+      val manifest = Curation.exportShardsIncremental(
+        newSnap.select(col(idCol), col(textCol)), exportDir,
         idCol, hashCols, hexDigits)
+      val n = manifest.agg(coalesce(sum("n_rows"), lit(0L))).head.getLong(0)
       Dedup.keyIndexInit(spark, keyIdx, textCol, expectedKeys)
-      Dedup.keyIndexAppend(spark, keyIdx, kept)
+      Dedup.keyIndexAppend(spark, keyIdx, readExport(spark))
       flow.run(spark)
       srpFlow.foreach(_.run(spark))
       return NightlyStats(bootstrap = true, sliceSize = n,
