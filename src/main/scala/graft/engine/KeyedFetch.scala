@@ -47,23 +47,6 @@ object KeyedFetch {
     } else table.join(broadcast(keys), Seq(keyCol), "left_semi")
   }
 
-  /** Rows of `table` whose NATIVE-typed `keyCol` matches the string
-    * keys in `keys` (one column — e.g. an index's `item_key`s, which
-    * the flows store as `cast(id as string)`); the result carries the
-    * key cast BACK to string as column `as`, so downstream joins
-    * against string-keyed index rows are unchanged.
-    *
-    * The keys are cast driver-side to the column's own type before
-    * the IN filter, so the predicate reaches a parquet scan as
-    * `In(keyCol, ...)` and prunes row groups by column statistics for
-    * int64/int32/string ids alike. Round-trip exactness holds because
-    * the string keys were themselves produced by casting the native
-    * id (long/int/string round-trip through string is exact); a key
-    * that does not parse in the native type can match no native row
-    * and is dropped. Past [[MaxKeyPushdown]] the degradation is the
-    * broadcast semi join on the native key — scanned once, never
-    * shuffled.
-    */
   /** IN predicate on `keyCol` in its NATIVE type, from STRING keys —
     * semantically EXACTLY `cast(keyCol as string) IN keys`, minus the
     * pushdown-blocking cast. A key that does not round-trip through
@@ -94,22 +77,50 @@ object KeyedFetch {
     }
   }
 
+  /** Rows of `table` whose NATIVE-typed `keyCol` matches the string
+    * keys in `keys` (one column — e.g. an index's `item_key`s, which
+    * the flows store as `cast(id as string)`); the result carries the
+    * key cast BACK to string as column `as`, so downstream joins
+    * against string-keyed index rows are unchanged.
+    *
+    * The keys are cast driver-side to the column's own type before
+    * the IN filter, so the predicate reaches a parquet scan as
+    * `In(keyCol, ...)` and prunes row groups by column statistics for
+    * int64/int32/string ids alike. Semantics are EXACTLY
+    * `cast(keyCol as string) IN keys` — the same contract as
+    * [[nativeKeyPredicate]]: a key that does not ROUND-TRIP through
+    * the native type (unparseable, or non-canonical like "077") can
+    * match nothing under string compare and is dropped. Past
+    * [[MaxKeyPushdown]] the degradation is the broadcast semi join on
+    * the native key — scanned once, never shuffled. */
   def byNativeKey(table: DataFrame, keyCol: String, keys: DataFrame,
       as: String): DataFrame = {
     val dt = table.schema(keyCol).dataType
     val kc = keys.columns.head
-    // try_cast, not cast: ANSI mode (the Spark 4 default) throws on
-    // an unparseable key; a key that does not parse in the native
-    // type can match no native row, so dropping it is exact
-    val typedKeys = keys.select(col(kc).try_cast(dt).as(keyCol))
-      .filter(col(keyCol).isNotNull)
-    val head = typedKeys.limit(MaxKeyPushdown + 1).collect()
+    // canonical round-trip, not a bare try_cast (ADVICE r17): under
+    // the documented string-compare semantics a non-canonical key
+    // like "077" matches NOTHING, but try_cast alone parses it to 77
+    // and would fetch the row keyed "77" (returned labeled "77") — a
+    // lenient-parse semantic the sibling [[nativeKeyPredicate]]
+    // explicitly rejects. try_cast (not cast) because ANSI mode (the
+    // Spark 4 default) throws on an unparseable key; a key failing
+    // either check can match no native row under string compare, so
+    // dropping it is exact. The round-trip filter runs on the
+    // key-set side only — O(keys), never the table.
+    val canonical = keys
+      .select(col(kc).cast("string").as("__graft_key_in"))
+      .select(col("__graft_key_in"),
+        col("__graft_key_in").try_cast(dt).as(keyCol))
+      .filter(col(keyCol).isNotNull &&
+        col(keyCol).cast("string") === col("__graft_key_in"))
+      .select(keyCol)
+    val head = canonical.limit(MaxKeyPushdown + 1).collect()
     val fetched =
       if (head.length <= MaxKeyPushdown) {
         val ks = head.map(_.get(0)).toSeq
         if (ks.isEmpty) table.filter(lit(false))
         else table.filter(col(keyCol).isin(ks: _*))
-      } else table.join(broadcast(typedKeys.distinct()),
+      } else table.join(broadcast(canonical.distinct()),
         Seq(keyCol), "left_semi")
     fetched.withColumn(as, col(keyCol).cast("string"))
   }

@@ -355,6 +355,12 @@ object CrawlRefresh {
         .select(col(idCol), col(textCol))
     }.localCheckpoint()
     val keptNew = kept.count()
+    // the screens are materialized (the localCheckpoint above cut
+    // their lineage), so the per-call corpus-bloom broadcast the
+    // exact screen created is no longer reachable from any plan —
+    // destroy it now instead of leaking one filter-sized broadcast
+    // per night in a long-lived session (r17 verdict task #6)
+    Dedup.releaseServeBloomBroadcasts()
 
     // phase 2 — admit: survivors land in the export (their shards
     // rewrite), the band indexes add their components, their keys

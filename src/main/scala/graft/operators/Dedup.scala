@@ -882,10 +882,13 @@ object Dedup {
     // corpus bloom grows linearly with the corpus and a literal that
     // size taxes every action whose plan carries it (see
     // [[incrementalDedupOver]]); the probe runs over the small
-    // increment, where losing codegen costs nothing
+    // increment, where losing codegen costs nothing. One broadcast
+    // per call, captured by the returned lazy frame — see
+    // [[releaseServeBloomBroadcasts]] for the lifetime contract.
     val bfBc = increment.sparkSession.sparkContext.broadcast(
       org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(corpusBf)))
+    serveBloomBroadcasts.add(bfBc)
     val probe = udf((h: Long) => bfBc.value.mightContainLong(h))
     val flagged = increment.withColumn("__mc",
       probe(xxhash64(col(keyCol))))
@@ -903,6 +906,32 @@ object Dedup {
     val prunedCorpus = corpusKeys.filter(keyMightContain(candBf, keyCol))
     val confirmed = candidates.join(prunedCorpus, Seq(keyCol), "left_anti")
     definitelyNew.unionByName(confirmed)
+  }
+
+  /** Corpus-bloom broadcasts the serve calls have created and not yet
+    * released (r17 verdict #3/task #6). [[incrementalDedup]] and
+    * [[incrementalDedupOver]] each broadcast the corpus bloom per
+    * call — 12 MB at 10⁷ keys, 120 MB at 10⁸ — and the lazy DataFrame
+    * they return captures it, so the calls themselves have no safe
+    * in-function destroy point. A one-shot nightly is fine (session
+    * teardown reclaims), but a long-lived serving session would leak
+    * one filter-sized broadcast per screen call (the block-manager
+    * leak class of ADVICE r16): such callers must MATERIALIZE the
+    * served frames (write/collect/localCheckpoint) and then call
+    * [[releaseServeBloomBroadcasts]] — as [[CrawlRefresh.nightly]]
+    * does after its screens land. */
+  private val serveBloomBroadcasts =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.broadcast.Broadcast[_]]()
+
+  /** Destroy every corpus-bloom broadcast the serve calls created so
+    * far, session-wide (see [[serveBloomBroadcasts]]). Safe only once
+    * the DataFrames those calls returned are materialized — running
+    * an action on an unmaterialized serve plan after this fails
+    * LOUDLY on the destroyed broadcast, never silently wrong. */
+  def releaseServeBloomBroadcasts(): Unit = {
+    var b = serveBloomBroadcasts.poll()
+    while (b != null) { b.destroy(); b = serveBloomBroadcasts.poll() }
   }
 
   // ---- persisted exact-key dedup index -------------------------------------
@@ -958,6 +987,12 @@ object Dedup {
       f.delete()
     }
     wipe(new java.io.File(dir, "keys"))
+    // a surviving keys.old would be "recovered" INTO the fresh index
+    // by the next append's compaction rollback (resurrecting pre-init
+    // keys), and a leftover append-intent marker would degrade every
+    // serve of the new index — a re-init retires both
+    wipe(new java.io.File(dir, "keys.old"))
+    keyIndexAppendMarkerFile(indexDir).delete()
     dir.mkdirs()
     val bits = math.min(
       org.apache.spark.util.sketch.BloomFilter
@@ -1048,6 +1083,25 @@ object Dedup {
     // destroy keys.old, the only full copy (silent duplicate
     // admission, the unsafe direction).
     keyIndexRecoverCompaction(indexDir)
+    // a present append-intent marker means a prior append crashed
+    // between its keys write and its bloom merge — the keys table may
+    // be AHEAD of the filter, and appending on top widens the hole.
+    // Refuse and point at the reconciliation. Exception: if keys/
+    // does not exist, the crashed append landed NOTHING (a first
+    // append into a fresh index) — table and bloom are both empty and
+    // consistent, so clearing the marker is the whole recovery.
+    if (keyIndexAppendMarkerFile(indexDir).exists()) {
+      if (!new java.io.File(indexDir, "keys").isDirectory)
+        keyIndexAppendMarkerFile(indexDir).delete()
+      else throw new IllegalStateException(
+        s"keyIndex($indexDir): append-intent marker " +
+          s"$KeyIndexAppendMarker present — a prior append crashed " +
+          "after its keys write and before its bloom merge, so the " +
+          "keys table may hold keys the bloom does not claim. Run " +
+          "keyIndexRebuild (it re-derives the bloom from the keys " +
+          "table and clears the marker), then re-run the crashed " +
+          "batch's append.")
+    }
     val meta = keyIndexMeta(indexDir)
     keyIndexRequireLayout(indexDir, meta)
     val keyCol = meta("keyCol")
@@ -1080,6 +1134,23 @@ object Dedup {
           java.nio.file.Files.readAllBytes(
             keyIndexBloomFile(indexDir).toPath)))
       merged.mergeInPlace(batchBf)
+      // append-intent marker BEFORE the keys write, cleared only
+      // after bloom + meta land. NEITHER write order is crash-safe on
+      // its own (r17 verdict #1, correcting the r15-era comment here
+      // that claimed keys-first was "the safe direction"): keys-first,
+      // a crash leaves keys the bloom does not claim — a bloom miss
+      // SKIPS the confirm join, so a later verbatim duplicate of the
+      // crashed batch is silently admitted; bloom-first, a crash
+      // leaves the bloom claiming keys the table does not hold — the
+      // flagged candidate then passes the confirm anti-join as new,
+      // the same silent admission. The window needs an INTENT MARKER,
+      // not a reorder: while [[KeyIndexAppendMarker]] exists, writers
+      // refuse loudly and the serve degrades to confirm-everything.
+      java.nio.file.Files.write(
+        keyIndexAppendMarkerFile(indexDir).toPath,
+        (s"${java.lang.ProcessHandle.current().pid()}@" +
+          s"${java.net.InetAddress.getLocalHost.getHostName} " +
+          java.time.Instant.now().toString + s" (n=$n)").getBytes("UTF-8"))
       fps
         .select(col("key_fp"),
           pmod(xxhash64(col("key_fp")), lit(partitions.toLong)).cast("int")
@@ -1093,16 +1164,16 @@ object Dedup {
         .repartition(col("__kp"))
         .write.partitionBy("__kp").mode("append")
         .parquet(new java.io.File(indexDir, "keys").getPath)
-      // bloom + count AFTER the keys land: a failed write must not
-      // leave the filter claiming keys the keys table does not hold
-      // (the reverse — keys present, filter unaware — only costs a
-      // missed prefilter, the safe direction is keys-first)
+      if (keyIndexCrashAfterKeysWrite)
+        throw new RuntimeException(
+          "keyIndexAppend: injected test crash after keys write")
       val bos = new java.io.ByteArrayOutputStream()
       merged.writeTo(bos)
       java.nio.file.Files.write(
         keyIndexBloomFile(indexDir).toPath, bos.toByteArray)
       graft.engine.Sidecar.write(keyIndexMetaFile(indexDir),
         meta + ("itemsAdded" -> (meta("itemsAdded").toLong + n).toString))
+      java.nio.file.Files.delete(keyIndexAppendMarkerFile(indexDir).toPath)
     }
   }
 
@@ -1177,11 +1248,43 @@ object Dedup {
       graft.engine.Sidecar.write(keyIndexMetaFile(indexDir), meta +
         ("items" -> budget.toString) + ("bits" -> bits.toString) +
         ("itemsAdded" -> n.toString))
+      // the rebuilt bloom is derived from the keys table itself, so
+      // it claims exactly what the table holds — a crashed append's
+      // keys-ahead-of-bloom window ([[KeyIndexAppendMarker]]) is
+      // reconciled by construction; clear the marker LAST, and only
+      // now that bloom + meta are durable
+      java.nio.file.Files.deleteIfExists(
+        keyIndexAppendMarkerFile(indexDir).toPath)
     }
 
   /** Marker file a completed compaction leaves inside the keys dir
     * (underscore-prefixed: invisible to the parquet reader). */
   private[graft] val KeyIndexCompactMarker = "_graft_compacted"
+
+  /** Append-intent marker (r17 verdict #1): [[keyIndexAppend]] stamps
+    * it inside the index dir immediately BEFORE its keys parquet
+    * write and clears it only AFTER the merged bloom + meta land.
+    * While it exists, the keys table may hold keys the persisted
+    * bloom does not claim — and a bloom miss routes a row past the
+    * confirm join entirely, so an oblivious serve would classify
+    * verbatim duplicates of the crashed batch as "definitely new"
+    * SILENTLY. While the marker is present: both writers refuse
+    * loudly ([[keyIndexAppend]]; [[keyIndexRebuild]] is the
+    * exception — rebuilding the bloom FROM the keys table IS the
+    * reconciliation, so it proceeds and clears the marker once its
+    * bloom + meta land), and [[incrementalDedupOver]] degrades to
+    * confirm-everything (exact, just without the prefilter's
+    * savings). */
+  private[graft] val KeyIndexAppendMarker = "_graft_appending"
+
+  private def keyIndexAppendMarkerFile(indexDir: String) =
+    new java.io.File(indexDir, KeyIndexAppendMarker)
+
+  /** Test-only crash injection: when true, [[keyIndexAppend]] throws
+    * between its keys parquet write and its bloom merge — the exact
+    * window the append-intent marker exists for. Never set outside
+    * IncrementalDedupSpec. */
+  private[graft] var keyIndexCrashAfterKeysWrite: Boolean = false
 
   /** Recover a [[keyIndexRebuild]] compaction crash. Must run under
     * the writer lock, BEFORE any write path touches `keys/` (ADVICE
@@ -1219,14 +1322,38 @@ object Dedup {
 
   /** Keys location for READ paths (no lock, no mutation): a reader
     * that lands mid-crash-window serves from whichever directory
-    * holds the full committed key set. */
+    * holds the full committed key set, mirroring
+    * [[keyIndexRecoverCompaction]]'s decision table read-only (ADVICE
+    * r17): in the AMBIGUOUS shape — both keys/ and keys.old/ present
+    * with no completion marker — keys/ may hold one batch while
+    * keys.old holds the corpus, and a reader that silently picked
+    * keys/ would confirm against the incomplete set and readmit
+    * committed keys, the unsafe direction the recovery exists to
+    * prevent. Refuse loudly there, exactly as the writers do.
+    *
+    * Reader concurrency (r17 verdict #8): resolution and the
+    * subsequent parquet scan are not atomic — a rebuild RENAMING
+    * keys/ between them (another thread of the same session) would
+    * fail the read mid-scan. The index's documented contract is
+    * single-writer AND serve/rebuild serialized within a process (the
+    * nightly runs them in sequence); the writer lock makes the writer
+    * side of that contract loud, this note records the reader side. */
   private def keyIndexKeysDirForRead(indexDir: String): java.io.File = {
     val keysDir = new java.io.File(indexDir, "keys")
     val oldDir = new java.io.File(indexDir, "keys.old")
-    if (keysDir.isDirectory) keysDir
+    if (!oldDir.isDirectory) keysDir
     // crash between the compaction renames: keys.old is the only copy
-    else if (oldDir.isDirectory) oldDir
-    else keysDir
+    else if (!keysDir.isDirectory) oldDir
+    // completed compaction (crash before its cleanup): keys/ is the
+    // full set, keys.old a disposable leftover
+    else if (new java.io.File(keysDir, KeyIndexCompactMarker).exists())
+      keysDir
+    else throw new IllegalStateException(
+      s"keyIndex($indexDir): both keys/ and keys.old/ exist and keys/ " +
+        "is not a completed compaction — refusing to serve from an " +
+        "ambiguous keys layout (keys.old may be the only full copy). " +
+        "Inspect the two directories; keep the complete one as keys/, " +
+        "delete the other, then rerun keyIndexRebuild.")
   }
 
   /** Acquire the index's writer lock (atomic create-new), run `f`,
@@ -1290,28 +1417,49 @@ object Dedup {
     // the batch side of every probe is the key's md5 FINGERPRINT —
     // the only identity the index stores ([[KeyIndexLayout]])
     def fpOf = md5(col(keyCol).cast("string"))
-    val bf =
-      java.nio.file.Files.readAllBytes(keyIndexBloomFile(indexDir).toPath)
-    // the CORPUS bloom is probed through a BROADCAST variable + a
-    // scalar UDF, NOT a plan-literal expression: the filter grows
-    // linearly with the index (12 MB at 10⁷ keys, 120 MB at 10⁸) and
-    // a Literal of that size taxes EVERY action whose plan carries it
-    // (~1.5 s/action measured at 10⁷ — plan copies, task binaries,
-    // driver GC), which is what kept the r16 sweep's kinc cell from
-    // going flat. The UDF runs over the BATCH only (thousands of
-    // rows), so losing codegen there costs nothing; the small
-    // candidate bloom on the corpus side below stays a codegen'd
-    // expression where row volume actually matters.
-    val bfBc = spark.sparkContext.broadcast(
-      org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(bf)))
-    val probe = udf((h: Long) => bfBc.value.mightContainLong(h))
+    // a present append-intent marker means the keys table may be
+    // AHEAD of the bloom (a crashed append — [[KeyIndexAppendMarker]]),
+    // and a bloom miss would route exactly those keys' duplicates
+    // past the confirm join as "definitely new". Degrade to
+    // confirm-EVERYTHING: skip the bloom and send every non-null-key
+    // row through the exact anti-join against the keys table —
+    // bit-identical to the anti-join (the bloom is only ever a
+    // prefilter), just without the prefilter's savings. (Marker with
+    // no keys/ at all — a first append that crashed before landing
+    // any file — leaves table and bloom both empty and consistent, so
+    // the normal path is already exact there.)
+    val degraded = keyIndexAppendMarkerFile(indexDir).exists() &&
+      new java.io.File(indexDir, "keys").isDirectory
+    val mightContain: Column =
+      if (degraded) lit(true)
+      else {
+        val bf = java.nio.file.Files.readAllBytes(
+          keyIndexBloomFile(indexDir).toPath)
+        // the CORPUS bloom is probed through a BROADCAST variable + a
+        // scalar UDF, NOT a plan-literal expression: the filter grows
+        // linearly with the index (12 MB at 10⁷ keys, 120 MB at 10⁸)
+        // and a Literal of that size taxes EVERY action whose plan
+        // carries it (~1.5 s/action measured at 10⁷ — plan copies,
+        // task binaries, driver GC), which is what kept the r16
+        // sweep's kinc cell from going flat. The UDF runs over the
+        // BATCH only (thousands of rows), so losing codegen there
+        // costs nothing; the small candidate bloom on the corpus side
+        // below stays a codegen'd expression where row volume
+        // actually matters. One broadcast per call, captured by the
+        // returned lazy frame — see [[releaseServeBloomBroadcasts]]
+        // for the long-lived-session lifetime contract.
+        val bfBc = spark.sparkContext.broadcast(
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bf)))
+        serveBloomBroadcasts.add(bfBc)
+        val probe = udf((h: Long) => bfBc.value.mightContainLong(h))
+        probe(xxhash64(fpOf))
+      }
     // a null key has a null fingerprint and can equal nothing (the
     // anti-join semantics) — route it straight to definitely-new
     // instead of letting a null might-contain poison the filter split
     val flagged = increment.withColumn("__mc",
-      when(col(keyCol).isNull, lit(false))
-        .otherwise(probe(xxhash64(fpOf))))
+      when(col(keyCol).isNull, lit(false)).otherwise(mightContain))
     val definitelyNew = flagged.filter(!col("__mc")).drop("__mc")
     val candidates = flagged.filter(col("__mc")).drop("__mc")
       .localCheckpoint()

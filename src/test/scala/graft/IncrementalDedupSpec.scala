@@ -380,6 +380,92 @@ class IncrementalDedupSpec extends SparkSpec {
       "refusal must not delete either candidate")
   }
 
+  test("append crash between keys write and bloom merge: never silently new") {
+    // r17 verdict #1: the keys-parquet-before-bloom ordering leaves a
+    // window where the keys table holds keys the bloom does not claim
+    // — a bloom miss SKIPS the confirm join, so an oblivious serve
+    // would classify verbatim duplicates of the crashed batch as
+    // "definitely new" SILENTLY. The append-intent marker makes every
+    // path in the window loud or correct, never silent:
+    //   - the serve degrades to confirm-everything (exact);
+    //   - a further append refuses loudly;
+    //   - keyIndexRebuild reconciles (bloom := keys table) and clears.
+    val work = java.nio.file.Files.createTempDirectory("graft-keyidx8")
+    work.toFile.deleteOnExit()
+    val idx = work.resolve("index").toString
+    val marker = work.resolve("index/_graft_appending")
+    Dedup.keyIndexInit(spark, idx, "key", expectedItems = 1000L)
+    Dedup.keyIndexAppend(spark, idx, docs(100))
+
+    // crash the SECOND batch's append after its keys land
+    val batch2 = docs(50).withColumn("id", col("id") + 200)
+      .withColumn("key", concat(lit("b2:"), col("key")))
+    Dedup.keyIndexCrashAfterKeysWrite = true
+    try intercept[RuntimeException] {
+      Dedup.keyIndexAppend(spark, idx, batch2)
+    } finally Dedup.keyIndexCrashAfterKeysWrite = false
+    assert(java.nio.file.Files.exists(marker),
+      "the crash window must leave the append-intent marker behind")
+
+    // mid-window serve: a verbatim duplicate of the CRASHED batch —
+    // its keys are in the keys table but NOT in the bloom, the shape
+    // that silently passed as definitely-new before the marker — must
+    // be dropped (confirm-everything), and genuinely new keys kept
+    val replay = batch2.withColumn("id", col("id") + 7000)
+      .unionByName(docs(10).withColumn("id", col("id") + 8000)
+        .withColumn("key", concat(lit("nw:"), col("key"))))
+    val got = Dedup.incrementalDedupOver(spark, idx, replay)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === (8000L until 8010L).toSet,
+      "crashed batch's verbatim duplicates must NOT be definitely-new")
+    // first-batch duplicates still drop in the degraded serve too
+    assert(Dedup.incrementalDedupOver(spark, idx,
+      docs(20).withColumn("id", col("id") + 9000)).count() == 0)
+
+    // a further append refuses loudly while the marker is present
+    val e = intercept[IllegalStateException] {
+      Dedup.keyIndexAppend(spark, idx,
+        docs(5).withColumn("key", concat(lit("x:"), col("key"))))
+    }
+    assert(e.getMessage.contains("append-intent marker"), e.getMessage)
+
+    // rebuild IS the reconciliation: bloom re-derived from the keys
+    // table, marker cleared, normal (prefiltered) serving resumes
+    Dedup.keyIndexRebuild(spark, idx)
+    assert(!java.nio.file.Files.exists(marker))
+    val after = Dedup.incrementalDedupOver(spark, idx, replay)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(after === (8000L until 8010L).toSet)
+    Dedup.keyIndexAppend(spark, idx,
+      docs(5).withColumn("key", concat(lit("x:"), col("key"))))
+    assert(!java.nio.file.Files.exists(marker),
+      "a completed append clears its marker")
+  }
+
+  test("serve refuses the ambiguous keys layout instead of confirming " +
+      "against an incomplete side") {
+    // ADVICE r17: the read path used to serve keys/ whenever it
+    // existed — including the shape where keys/ may hold ONE batch
+    // and keys.old the corpus (no completion marker), silently
+    // readmitting committed keys. It must mirror the writers' refusal.
+    val work = java.nio.file.Files.createTempDirectory("graft-keyidx9")
+    work.toFile.deleteOnExit()
+    val idx = work.resolve("index").toString
+    val keysDir = work.resolve("index/keys")
+    val oldDir = work.resolve("index/keys.old")
+    Dedup.keyIndexInit(spark, idx, "key", expectedItems = 1000L)
+    Dedup.keyIndexAppend(spark, idx, docs(100))
+    java.nio.file.Files.move(keysDir, oldDir)
+    docs(1).withColumn("key", concat(lit("j:"), col("key")))
+      .select(md5(col("key")).as("key_fp"), lit(0).as("__kp"))
+      .write.partitionBy("__kp").parquet(keysDir.toString)
+    val e = intercept[IllegalStateException] {
+      // force candidates so the serve actually resolves the keys dir
+      Dedup.incrementalDedupOver(spark, idx, docs(10)).count()
+    }
+    assert(e.getMessage.contains("refusing to serve"), e.getMessage)
+  }
+
   test("key index keeps null keys and handles them across commits") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-keyidx4")

@@ -93,6 +93,29 @@ class KeyedFetchSpec extends graft.SparkSpec {
       plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("byNativeKey: non-canonical keys match nothing in BOTH branches") {
+    // ADVICE r17 / r17 verdict #2: a bare try_cast parses "077" to 77
+    // and fetches the row keyed "77" (relabeled "77"), but the
+    // documented contract is cast(keyCol as string) IN keys — under
+    // string compare "077" equals no cast value. Both the IN-pushdown
+    // branch and the past-the-bound semi-join branch must drop it,
+    // unifying byNativeKey with nativeKeyPredicate's semantics.
+    import spark.implicits._
+    val docs = Seq((77L, "a"), (42L, "b")).toDF("doc_id", "t")
+    val in = KeyedFetch.byNativeKey(docs, "doc_id",
+      Seq("077", "x", "42").toDF("__c_key"), "__c_key")
+    assert(in.select("__c_key").as[String].collect().toSet == Set("42"))
+    // same keys past the driver-list bound: the semi join applies the
+    // same canonical round-trip on its key-set side
+    val many = (Seq("077", "x", "42") ++
+      (1000000L to 1000000L + KeyedFetch.MaxKeyPushdown)
+        .map(_.toString)).toDF("__c_key")
+    val semi = KeyedFetch.byNativeKey(docs, "doc_id", many, "__c_key")
+    assert(semi.select("__c_key").as[String].collect().toSet == Set("42"))
+    assert(semi.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
   test("nativeKeyPredicate: exact string-compare semantics, native pushdown") {
     import spark.implicits._
     val docs = Seq((42L, "a"), (77L, "b"), (7L, "c")).toDF("doc_id", "t")
