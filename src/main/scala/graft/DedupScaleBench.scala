@@ -455,7 +455,13 @@ object DedupScale {
       kincReadMB: Double, kincIndexMB: Double,
       voverSec: Double, voverKept: Long, voverBatch: Long,
       voverShufMB: Double, voverReadMB: Double, voverIndexMB: Double,
-      voverIndexRows: Long)
+      voverIndexRows: Long,
+      /** Datasource MB of scanning the band index's probe projection
+        * ALONE ([[Similarity.srpIndexProbeRows]]) — the attribution
+        * of the `vover_read_mb` creep (r17 verdict task #5): the
+        * screen's read minus this is the flat candidate point-fetch
+        * term. */
+      voverIdxScanMB: Double)
 
   private def dirMB(path: String): Double = {
     def walk(f: java.io.File): Long =
@@ -529,12 +535,84 @@ object DedupScale {
     }
     val voverIndexMB = dirMB(srpIdx)
     val voverIndexRows = spark.read.parquet(srpIdx).count()
+    // read-attribution probe (r17 verdict task #5): scan exactly the
+    // projection the serve scans, alone, and tally its bytes —
+    // aggregates over all three columns so parquet cannot answer from
+    // row-group metadata the way a bare count could
+    val (_, _, _, voverIdxScanMB) = timedShuf(spark) {
+      Similarity.srpIndexProbeRows(spark, srpIdx)
+        .agg(count(lit(1)), max("item_key"), max("band"), max("code"))
+        .head
+    }
 
     IdxCell(n, kincSec, kincKept, kincBatch, kincShufMB, kincReadMB,
       kincIndexMB,
       voverSec, voverKept, voverBatch, voverShufMB, voverReadMB,
-      voverIndexMB, voverIndexRows)
+      voverIndexMB, voverIndexRows, voverIdxScanMB)
   }
+
+  /** Key-index-ONLY sweep cell (r17 verdict task #4): the key-index
+    * screen's extra decade(s), previously a one-off prose claim in
+    * COVERAGE.md (10⁸: 3.9 s warm, ~203 s bootstrap), recorded
+    * reproducibly. The SRP half of [[runIdxCell]] is excluded on
+    * purpose — its corpus parquet at 10⁸ is ~50 GB of embeddings, a
+    * different disk/time budget class — while the key index's whole
+    * point is that its confirm read plateaus at |candidates| ×
+    * [[Dedup.KeyIndexKeysPerPartition]] fingerprints regardless of N,
+    * which needs the fifth decade to show.
+    *
+    * Heap note for the opt-in decade: the bootstrap append holds one
+    * ~120 MB bloom partial PER TASK THREAD during its aggregation
+    * (32 at once in the local harness JVM) plus the O(n × 16 B)
+    * fingerprint pin — per-executor budgets on a real cluster, but
+    * ~4-6 GB stacked into ONE JVM here. Run the 10⁸ cell with
+    * SPARK_DRIVER_MEM=48g; the default 8 GB harness heap OOMs. */
+  final case class KeyIdxCell(
+      n: Long, bootstrapSec: Double,
+      kincSec: Double, kincKept: Long, kincBatch: Long,
+      kincShufMB: Double, kincReadMB: Double, kincIndexMB: Double)
+
+  def runKeyIdxCell(spark: SparkSession, n: Long): KeyIdxCell = {
+    val tenth = math.max(n / 10, 1L)
+    val bHalf = math.min(1000L, tenth)
+    val work = Files.createTempDirectory("graft-dedup-keyidx")
+    work.toFile.deleteOnExit()
+    val d = docs(spark, n)
+    val keyIdx = work.resolve(s"keyidx_$n").toString
+    val (_, bootstrapSec) = timed {
+      Dedup.keyIndexInit(spark, keyIdx, "text", expectedItems = n)
+      Dedup.keyIndexAppend(spark, keyIdx, d)
+    }
+    val fresh = spark.range(tenth).toDF("id")
+      .withColumn("doc_id", col("id") + 10000000L)
+      .withColumn("text", concat_ws(" ", (0 until 40).map(j =>
+        substring(md5(concat(lit("f:"), col("id"), lit(s":$j"))), 1, 8)): _*))
+      .select("doc_id", "text")
+    val kBatch = fresh.filter(col("doc_id") < 10000000L + bHalf)
+      .unionByName(
+        d.filter(col("doc_id") % 10 === 3 && col("doc_id") < 10 * bHalf)
+          .withColumn("doc_id", col("doc_id") + 40000000L))
+      .localCheckpoint()
+    val kincBatch = kBatch.count()
+    val (kincKept, kincSec, kincShufMB, kincReadMB) = timedShuf(spark) {
+      Dedup.incrementalDedupOver(spark, keyIdx, kBatch).count()
+    }
+    val cell = KeyIdxCell(n, bootstrapSec, kincSec, kincKept, kincBatch,
+      kincShufMB, kincReadMB, dirMB(keyIdx))
+    // a 10⁸ index is ~3 GB on disk — retire it NOW, not at JVM exit
+    graft.engine.FsUtil.deleteRecursively(work.toFile)
+    cell
+  }
+
+  def keyIdxToJson(cells: Seq[KeyIdxCell]): String =
+    cells.map { c =>
+      f"""{"n":${c.n},"bootstrap_sec":${c.bootstrapSec}%.3f,""" +
+      f""""kinc_sec":${c.kincSec}%.3f,""" +
+      s""""kinc_kept":${c.kincKept},"kinc_batch":${c.kincBatch},""" +
+      f""""kinc_shuf_mb":${c.kincShufMB}%.1f,""" +
+      f""""kinc_read_mb":${c.kincReadMB}%.1f,""" +
+      f""""kinc_index_mb":${c.kincIndexMB}%.1f}"""
+    }.mkString("[", ",", "]")
 
   def idxToJson(cells: Seq[IdxCell]): String =
     cells.map { c =>
@@ -548,7 +626,8 @@ object DedupScale {
       f""""vover_shuf_mb":${c.voverShufMB}%.1f,""" +
       f""""vover_read_mb":${c.voverReadMB}%.1f,""" +
       f""""vover_index_mb":${c.voverIndexMB}%.1f,""" +
-      s""""vover_index_rows":${c.voverIndexRows}}"""
+      s""""vover_index_rows":${c.voverIndexRows},""" +
+      f""""vover_idx_scan_mb":${c.voverIdxScanMB}%.1f}"""
     }.mkString("[", ",", "]")
 
   def toJson(cells: Seq[Cell]): String =
@@ -629,11 +708,27 @@ object DedupScaleBench {
         f"read=${c.kincReadMB}%.1fMB | " +
         f"vover=${c.voverSec}%.1fs kept=${c.voverKept}/${c.voverBatch / 2} " +
         f"idx=${c.voverIndexMB}%.0fMB rows=${c.voverIndexRows} " +
-        f"shuf=${c.voverShufMB}%.1fMB read=${c.voverReadMB}%.1fMB")
+        f"shuf=${c.voverShufMB}%.1fMB read=${c.voverReadMB}%.1fMB " +
+        f"idxScan=${c.voverIdxScanMB}%.1fMB")
+      c
+    }
+    // the key-index-only decade(s) — opt-in (r17 verdict task #4):
+    // a 10⁸ cell costs a ~3 GB index build (~3 min); the default
+    // sweep stays at the idx decades above
+    val keyIdxNs = sys.env.getOrElse("SPARK_GRAFT_DEDUP_KEYIDX_NS", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+    val keyIdxCells = keyIdxNs.map { n =>
+      val c = DedupScale.runKeyIdxCell(spark, n)
+      System.err.println(
+        f"[dedup-scale] keyidx n=$n bootstrap=${c.bootstrapSec}%.0fs " +
+        f"kinc=${c.kincSec}%.1fs kept=${c.kincKept}/${c.kincBatch / 2} " +
+        f"idx=${c.kincIndexMB}%.0fMB shuf=${c.kincShufMB}%.1fMB " +
+        f"read=${c.kincReadMB}%.1fMB")
       c
     }
     val json = s"""{"cells":${DedupScale.toJson(cells)},""" +
-      s""""idx_cells":${DedupScale.idxToJson(idxCells)}}"""
+      s""""idx_cells":${DedupScale.idxToJson(idxCells)},""" +
+      s""""keyidx_cells":${DedupScale.keyIdxToJson(keyIdxCells)}}"""
     Files.write(Paths.get("DEDUP_SCALE.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
@@ -762,36 +857,61 @@ object DedupScaleBench {
         bad ::= s"idx n=${c.n}: semDedupIncrementOver kept ${c.voverKept} " +
           s"(want ${c.voverBatch / 2})"
     }
-    val chain =
+    keyIdxCells.foreach { c =>
+      if (c.kincKept != c.kincBatch / 2)
+        bad ::= s"keyidx n=${c.n}: incrementalDedupOver kept " +
+          s"${c.kincKept} (want ${c.kincBatch / 2})"
+    }
+    // the key-index chain spans the full sweep's last cell, the idx
+    // decades, and the opt-in keyidx decades (10⁸): one flat screen
+    // time across up to five decades of corpus N
+    val kChain =
       cells.sortBy(_.n).lastOption.map(c =>
-        (c.n, c.kincSec, c.kincBatch, c.voverSec, c.voverBatch)).toSeq ++
+        (c.n, c.kincSec, c.kincBatch, Double.NaN)).toSeq ++
       idxCells.sortBy(_.n).map(c =>
-        (c.n, c.kincSec, c.kincBatch, c.voverSec, c.voverBatch))
+        (c.n, c.kincSec, c.kincBatch, c.kincReadMB)) ++
+      keyIdxCells.sortBy(_.n).map(c =>
+        (c.n, c.kincSec, c.kincBatch, c.kincReadMB))
+    val vChain =
+      cells.sortBy(_.n).lastOption.map(c =>
+        (c.n, c.voverSec, c.voverBatch, Double.NaN)).toSeq ++
+      idxCells.sortBy(_.n).map(c =>
+        (c.n, c.voverSec, c.voverBatch, c.voverReadMB))
     // read-bytes tripwire (r16 verdict task #2): the screens' corpus
     // reads are point fetches; their datasource-read MB across the
-    // idx decades must stay near-flat — a re-grown unpruned corpus
-    // fetch shows up here as decade-over-decade read growth
+    // idx (and keyidx) decades must stay near-flat — a re-grown
+    // unpruned corpus fetch shows up here as decade-over-decade read
+    // growth. (The full-sweep cells carry no read tally — NaN never
+    // trips the gate.)
+    kChain.sliding(2).foreach {
+      case Seq(a, b) =>
+        if (b._4 > 3 * math.max(a._4, 8.0))
+          bad ::= s"idx keyIndex read MB not flat ${a._1}→${b._1}: " +
+            f"${a._4}%.1f→${b._4}%.1f MB"
+      case _ =>
+    }
     idxCells.sortBy(_.n).sliding(2).foreach {
       case Seq(a, b) =>
-        if (b.kincReadMB > 3 * math.max(a.kincReadMB, 8.0))
-          bad ::= s"idx keyIndex read MB not flat ${a.n}→${b.n}: " +
-            f"${a.kincReadMB}%.1f→${b.kincReadMB}%.1f MB"
         if (b.voverReadMB > 3 * math.max(a.voverReadMB, 8.0))
           bad ::= s"idx SRP read MB not flat ${a.n}→${b.n}: " +
             f"${a.voverReadMB}%.1f→${b.voverReadMB}%.1f MB"
       case _ =>
     }
-    chain.sliding(2).foreach {
+    kChain.sliding(2).foreach {
       case Seq(a, b) =>
         if (a._3 == b._3 && b._2 > 3 * math.max(a._2, 1.0))
           bad ::= s"keyIndex screen not flat in N ${a._1}→${b._1}: " +
             f"${a._2}%.1fs→${b._2}%.1fs"
+      case _ =>
+    }
+    vChain.sliding(2).foreach {
+      case Seq(a, b) =>
         // 2 s floor: see the full-sweep gate above — the probe's
         // thin-index scan term becomes visible past the fixed job
         // overhead only above ~2 s at this shape
-        if (a._5 == b._5 && b._4 > 3 * math.max(a._4, 2.0))
+        if (a._3 == b._3 && b._2 > 3 * math.max(a._2, 2.0))
           bad ::= s"SRP-index screen not flat in N ${a._1}→${b._1}: " +
-            f"${a._4}%.1fs→${b._4}%.1fs"
+            f"${a._2}%.1fs→${b._2}%.1fs"
       case _ =>
     }
     if (bad.nonEmpty) {

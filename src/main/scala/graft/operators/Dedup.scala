@@ -1187,7 +1187,11 @@ object Dedup {
     * between them leaves a bloom whose bit length disagrees with the
     * meta, which the next append fails LOUDLY on — never a silent
     * wrong answer). Runs under the same single-writer lock as
-    * [[keyIndexAppend]]. */
+    * [[keyIndexAppend]]. Also the designated RECONCILIATION for a
+    * crashed append ([[KeyIndexAppendMarker]]): deriving the bloom
+    * from the keys table makes the filter claim exactly what the
+    * table holds, so the rebuild proceeds under a present marker and
+    * clears it once its bloom + meta land. */
   def keyIndexRebuild(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       growth: Double = 2.0, maxFilterBytes: Long = 256L << 20): Unit =

@@ -928,6 +928,40 @@ object Similarity {
       numBuckets = graft.engine.Sidecar.read(srpMetaFile(indexDir))
         .flatMap(_.get("numBuckets")).map(_.toInt).getOrElse(8))
 
+  /** The band index's probe-side projection — (item_key, band, code),
+    * nothing else. ONE definition shared by the serve path
+    * ([[semDedupIncrementOver]]) and the scale sweep's
+    * read-attribution cell, so what the sweep measures is exactly
+    * what the serve scans.
+    *
+    * 100 TB shape of this scan, and the attribution of the sweep's
+    * `vover_read_mb` creep (r17 verdict task #5 — measured, not
+    * hypothesized): the r17 guess was that this index scan grew with
+    * N, but DEDUP_SCALE.json's `vover_idx_scan_mb` cell — this exact
+    * projection, scanned alone — measures 0.4→0.4→0.8→1.4 MB across
+    * 10⁴→10⁷ (the three probe columns encode to ~0.2% of the 577 MB
+    * on-disk index at 10⁷): the probe does read the index wholesale
+    * by design (it is bucketed by `row_key` for the delta-log's
+    * supersede window, so it cannot be code-partitioned for pruning
+    * without a second projection), but that scan is under a tenth of
+    * the screen's read. The creep lives in the candidate POINT
+    * FETCH: the fixed batch's band collisions land uniformly across
+    * the corpus parquet, and each scattered candidate costs one
+    * row-group column-chunk slice of the embedding column — so the
+    * read grows with the number of DISTINCT row groups the ~bounded
+    * candidate set touches, which SATURATES once every candidate
+    * hits its own row group (sweep: read minus index scan
+    * 5.2→11.1→14.8→15.1 MB across 10⁴→10⁷ — flat in the last
+    * decade, exactly the saturation point). The asymptote is
+    * |candidates| × chunk-slice bytes — constant in N, the same
+    * plateau law as the key index's |candidates| × keysPerPartition
+    * confirm read. */
+  def srpIndexProbeRows(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String)
+      : DataFrame =
+    srpIndexTarget(indexDir).read(spark)
+      .select(col("item_key"), col("band"), col("code"))
+
   /** [[incrementalSemDedup]] served from a [[srpFlow]]-maintained
     * band index — the r14 design-gap fix: the per-batch screen no
     * longer re-encodes the whole corpus. The arriving batch's band
@@ -956,7 +990,7 @@ object Similarity {
     val bands = meta("bands").toInt
     val dims = meta("dims").toInt
 
-    val indexBands = srpIndexTarget(indexDir).read(spark)
+    val indexBands = srpIndexProbeRows(spark, indexDir)
       .select(col("item_key").as("__c_key"), col("band"), col("code"))
 
     // batch codes via the EXACT stage pipeline srpFlow writes;

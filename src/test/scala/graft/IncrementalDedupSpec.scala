@@ -466,6 +466,30 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("refusing to serve"), e.getMessage)
   }
 
+  test("releaseServeBloomBroadcasts: served results stay valid, later serves re-broadcast") {
+    // r17 verdict task #6: each serve call broadcasts the corpus
+    // bloom and the returned lazy frame captures it — a long-lived
+    // session must be able to destroy them after materializing. The
+    // contract: release after collect/write is safe, and subsequent
+    // serves create fresh broadcasts and answer identically.
+    val work = java.nio.file.Files.createTempDirectory("graft-keyidx10")
+    work.toFile.deleteOnExit()
+    val idx = work.resolve("index").toString
+    Dedup.keyIndexInit(spark, idx, "key", expectedItems = 1000L)
+    Dedup.keyIndexAppend(spark, idx, docs(100))
+    val inc = docs(30).withColumn("id", col("id") + 5000)
+      .unionByName(docs(10).withColumn("id", col("id") + 6000)
+        .withColumn("key", concat(lit("n:"), col("key"))))
+    val before = Dedup.incrementalDedupOver(spark, idx, inc)
+      .select("id").collect().map(_.getLong(0)).toSet
+    Dedup.releaseServeBloomBroadcasts()
+    val after = Dedup.incrementalDedupOver(spark, idx, inc)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(before === (6000L until 6010L).toSet)
+    assert(after === before)
+    Dedup.releaseServeBloomBroadcasts() // idempotent on a drained queue
+  }
+
   test("key index keeps null keys and handles them across commits") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-keyidx4")
