@@ -142,6 +142,13 @@ object CrawlRefresh {
     * [[graft.engine.SourceWatcher]] drain has. */
   val MaxDeltaKeys = 10000
 
+  /** Test-only crash injection: when true, [[nightly]] throws right
+    * after its phase-2 export admit — kept docs durable in the
+    * export, NONE of their index commits run: the exact window whose
+    * inconsistency is silent and permanent without the night-intent
+    * marker. Never set outside CrawlRefreshSpec. */
+  private[graft] var nightlyCrashAfterAdmitExport: Boolean = false
+
   /** The index-served nightly pass over persistent state in
     * `workDir`:
     *
@@ -190,7 +197,16 @@ object CrawlRefresh {
     * it as `added` every night and it re-screens — O(rejected slice)
     * per night, bounded and export-byte-noop (verbatim rejects
     * short-circuit at the ever-seen key index; only fuzzy rejects
-    * re-verify their candidates). */
+    * re-verify their candidates).
+    *
+    * Crash safety (r18): a `_graft_night_pending` marker brackets
+    * each night's mutations; a night that finds one runs a catch-up
+    * preamble (full flow reconciles + blind export key re-append,
+    * rebuild-reconciling first if the crash was inside
+    * [[Dedup.keyIndexAppend]] itself) before its normal delta work —
+    * see the marker comment in the body for the failure taxonomy.
+    * Spec-pinned in CrawlRefreshSpec with injected crashes at the
+    * two silent points. */
   def nightly(
       spark: SparkSession, workDir: String, newSnap: DataFrame,
       threshold: Double = 0.7, idCol: String = "doc_id",
@@ -236,7 +252,42 @@ object CrawlRefresh {
         idCol = idCol, embCol = es.embCol)
     }
 
-    if (!new java.io.File(exportDir).isDirectory) {
+    // Night-intent marker (r18, the keyIndexAppend-window class one
+    // level up): a night mutates FOUR durable artifacts in sequence —
+    // export shards+manifest, the minhash band index, the optional
+    // SRP band index, the key index — and a crash between any two
+    // leaves them mutually inconsistent. Most inconsistencies heal on
+    // the re-run (a half-retired doc re-reads as "added"; stale band
+    // rows fail their corpus-fetch verify), but ONE direction is
+    // silent and permanent: kept docs landed in the export whose keys
+    // never reached the band/key indexes read as "unchanged" on every
+    // later diff, so no delta night ever re-stats them — verbatim
+    // duplicates of exactly those docs admit forever after. The
+    // marker is stamped before a night's first mutation and cleared
+    // after its last; a nightly that finds it runs a CATCH-UP
+    // preamble first: full statediff reconciles for both flows
+    // (band indexes := export, O(changed components)) and a blind
+    // keyIndexAppend of the whole export — set-union semantics, so
+    // re-appended keys are idempotent in the bloom, duplicates fold
+    // at the amortized rebuild, and ever-seen keys are never lost.
+    // One corpus pass, the honest price of a crashed night.
+    val nightMarker = new java.io.File(workDir, "_graft_night_pending")
+    def stampNight(kind: String): Unit = {
+      new java.io.File(workDir).mkdirs()
+      java.nio.file.Files.write(nightMarker.toPath,
+        (kind + " " +
+          s"${java.lang.ProcessHandle.current().pid()}@" +
+          s"${java.net.InetAddress.getLocalHost.getHostName} " +
+          java.time.Instant.now().toString).getBytes("UTF-8"))
+    }
+    val crashedKind: Option[String] =
+      if (nightMarker.exists())
+        Some(new String(java.nio.file.Files.readAllBytes(
+          nightMarker.toPath), "UTF-8").split(" ", 2).head)
+      else None
+
+    if (!new java.io.File(exportDir).isDirectory ||
+        crashedKind.contains("bootstrap")) {
       // bootstrap night: no corpus to screen against — the whole
       // snapshot is the kept corpus (intra-batch dedup is upstream,
       // see refreshRescan's contract). The one full pass per
@@ -248,6 +299,11 @@ object CrawlRefresh {
       // from the durable written files (manifest row counts), so
       // even a non-deterministic snapshot source cannot let the
       // index family diverge from the corpus it screens for.
+      // A crashed bootstrap re-enters here (marker kind "bootstrap"
+      // beats the exportDir-exists check): every step converges —
+      // exportShardsIncremental rewrites only manifest-diff shards,
+      // keyIndexInit re-provisions destructively, the flows full-run.
+      stampNight("bootstrap")
       val manifest = Curation.exportShardsIncremental(
         newSnap.select(col(idCol), col(textCol)), exportDir,
         idCol, hashCols, hexDigits)
@@ -256,9 +312,27 @@ object CrawlRefresh {
       Dedup.keyIndexAppend(spark, keyIdx, readExport(spark))
       flow.run(spark)
       srpFlow.foreach(_.run(spark))
+      java.nio.file.Files.deleteIfExists(nightMarker.toPath)
       return NightlyStats(bootstrap = true, sliceSize = n,
         unchangedSize = 0, removedSize = 0, screenedOut = 0,
         keptSize = n, keyIndexRebuilt = false, manifest = manifest)
+    }
+
+    if (crashedKind.isDefined) {
+      // crashed REFRESH night: catch the index family up to the
+      // export before diffing tonight's snapshot. The marker stays up
+      // through the preamble AND tonight's normal delta work — the
+      // preamble itself can crash.
+      flow.run(spark)
+      srpFlow.foreach(_.run(spark))
+      // the crash may have been inside keyIndexAppend itself (keys
+      // written, bloom not) — reconcile via the rebuild before
+      // re-appending, exactly what its marker demands
+      if (Dedup.keyIndexAppendPending(keyIdx))
+        Dedup.keyIndexRebuild(spark, keyIdx)
+      Dedup.keyIndexAppend(spark, keyIdx, readExport(spark))
+      if (Dedup.keyIndexNeedsRebuild(keyIdx))
+        Dedup.keyIndexRebuild(spark, keyIdx)
     }
 
     // the kept-corpus size comes from the manifest sidecar (O(shards)
@@ -333,6 +407,12 @@ object CrawlRefresh {
         case None      => f.run(spark)
       }
 
+    // the night's first MUTATION is below — everything above (diff,
+    // slice, counts) is read-only, so a crash there needs no recovery
+    // and stamps no marker; a crash from here on re-enters through
+    // the catch-up preamble
+    stampNight("refresh")
+
     // phase 1 — retire: the export drops removed/changed-old docs
     // (only their shards rewrite), then the band indexes reconcile to
     // exactly the unchanged corpus (O(changed) components via the
@@ -367,6 +447,9 @@ object CrawlRefresh {
     // commit to the bloom+key index
     val manifest = Curation.exportApplyDelta(spark, exportDir,
       retiredIds.limit(0), kept, idCol, hashCols, hexDigits)
+    if (nightlyCrashAfterAdmitExport)
+      throw new RuntimeException(
+        "nightly: injected test crash after the admit export")
     val admitKeys = keyList(kept)
     reconcile(flow, admitKeys)
     srpFlow.foreach(reconcile(_, admitKeys))
@@ -376,6 +459,7 @@ object CrawlRefresh {
         Dedup.keyIndexRebuild(spark, keyIdx); true
       } else false
 
+    java.nio.file.Files.deleteIfExists(nightMarker.toPath)
     val unchangedSize = prevTotal - removedSize - changedSize
     NightlyStats(bootstrap = false, sliceSize = sliceSize,
       unchangedSize = unchangedSize, removedSize = removedSize,

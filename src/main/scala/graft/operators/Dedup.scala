@@ -1284,6 +1284,15 @@ object Dedup {
   private def keyIndexAppendMarkerFile(indexDir: String) =
     new java.io.File(indexDir, KeyIndexAppendMarker)
 
+  /** True when a crashed append's intent marker is present: the keys
+    * table may be ahead of the bloom, serves run degraded, and
+    * writers other than [[keyIndexRebuild]] refuse. Recovery
+    * orchestrators (e.g. [[CrawlRefresh.nightly]]'s crashed-night
+    * preamble) check this to run the rebuild reconciliation before
+    * re-appending. */
+  def keyIndexAppendPending(indexDir: String): Boolean =
+    keyIndexAppendMarkerFile(indexDir).exists()
+
   /** Test-only crash injection: when true, [[keyIndexAppend]] throws
     * between its keys parquet write and its bloom merge — the exact
     * window the append-intent marker exists for. Never set outside

@@ -134,6 +134,91 @@ class CrawlRefreshSpec extends SparkSpec {
     assert(rescan.count() === 5)
   }
 
+  test("a crashed night re-enters through the catch-up preamble: no silent dup admission") {
+    // r18: the night mutates export → band index → key index in
+    // sequence; a crash right after the admit export leaves kept docs
+    // durable in the export with NONE of their index commits run.
+    // Without the night-intent marker, the re-run reads those docs as
+    // "unchanged" (export == snapshot), never indexes them, and every
+    // later duplicate of exactly those docs admits SILENTLY — the
+    // keyIndexAppend crash-window class one level up.
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-crawl-crash")
+    work.toFile.deleteOnExit()
+    val wd = work.resolve("state").toString
+    val marker = new java.io.File(s"$wd/_graft_night_pending")
+    val snapA = (1 to 40).map(i => doc(i, words(i))).toDF("doc_id", "text")
+    assert(CrawlRefresh.nightly(spark, wd, snapA).bootstrap)
+    assert(!marker.exists(), "a completed night clears its marker")
+
+    // night B admits two fresh docs, crashing after the admit export
+    val snapB = ((1 to 40).map(i => doc(i, words(i))) ++
+      Seq(doc(100, words(900)), doc(101, words(901))))
+      .toDF("doc_id", "text")
+    CrawlRefresh.nightlyCrashAfterAdmitExport = true
+    try intercept[RuntimeException] {
+      CrawlRefresh.nightly(spark, wd, snapB)
+    } finally CrawlRefresh.nightlyCrashAfterAdmitExport = false
+    assert(marker.exists(), "a crashed night leaves its marker")
+    // the crash is real: the admitted docs ARE in the export
+    assert(spark.read.parquet(s"$wd/export").count() === 42)
+
+    // operator retries the same snapshot: the preamble catches the
+    // index family up to the export, then the delta night is a noop
+    val nightB = CrawlRefresh.nightly(spark, wd, snapB)
+    assert(!nightB.bootstrap && nightB.keptSize === 42, nightB)
+    assert(!marker.exists(), "the recovered night clears the marker")
+
+    // night C carries a verbatim duplicate of one crashed-night doc
+    // (new id → exact screen must drop it: proves the key index
+    // caught up) and a near duplicate of the other (one-word prefix
+    // edit, J = 6/7 → fuzzy screen must drop it: proves the band
+    // index caught up)
+    val snapC = ((1 to 40).map(i => doc(i, words(i))) ++ Seq(
+      doc(100, words(900)), doc(101, words(901)),
+      doc(200, words(900)), doc(201, "UPDATE: " + words(901))))
+      .toDF("doc_id", "text")
+    val nightC = CrawlRefresh.nightly(spark, wd, snapC)
+    assert(nightC.sliceSize === 2 && nightC.screenedOut === 2, nightC)
+    assert(nightC.keptSize === 42, nightC)
+  }
+
+  test("a crash inside the key-index append composes: both markers, one recovery") {
+    // deeper crash point: phase 2's keyIndexAppend dies between its
+    // keys write and its bloom merge — the night marker AND the
+    // append-intent marker are both up. The preamble must reconcile
+    // the key index via the rebuild FIRST (a plain re-append refuses
+    // on the marker), then blind-append the export.
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-crawl-crash2")
+    work.toFile.deleteOnExit()
+    val wd = work.resolve("state").toString
+    val snapA = (1 to 30).map(i => doc(i, words(i))).toDF("doc_id", "text")
+    assert(CrawlRefresh.nightly(spark, wd, snapA).bootstrap)
+
+    val snapB = ((1 to 30).map(i => doc(i, words(i))) ++
+      Seq(doc(100, words(900)))).toDF("doc_id", "text")
+    graft.operators.Dedup.keyIndexCrashAfterKeysWrite = true
+    try intercept[RuntimeException] {
+      CrawlRefresh.nightly(spark, wd, snapB)
+    } finally graft.operators.Dedup.keyIndexCrashAfterKeysWrite = false
+    assert(new java.io.File(s"$wd/_graft_night_pending").exists())
+    assert(graft.operators.Dedup.keyIndexAppendPending(s"$wd/keyidx"),
+      "the in-append crash leaves the append-intent marker too")
+
+    val nightB = CrawlRefresh.nightly(spark, wd, snapB)
+    assert(nightB.keptSize === 31, nightB)
+    assert(!graft.operators.Dedup.keyIndexAppendPending(s"$wd/keyidx"))
+
+    // a verbatim duplicate of the doc whose append crashed is dropped
+    val snapC = ((1 to 30).map(i => doc(i, words(i))) ++
+      Seq(doc(100, words(900)), doc(200, words(900))))
+      .toDF("doc_id", "text")
+    val nightC = CrawlRefresh.nightly(spark, wd, snapC)
+    assert(nightC.sliceSize === 1 && nightC.screenedOut === 1, nightC)
+    assert(nightC.keptSize === 31, nightC)
+  }
+
   test("refreshRescan composes diff + both screens (pure form)") {
     import spark.implicits._
     val snapA = (1 to 20).map(i => doc(i, words(i))).toDF("doc_id", "text")
