@@ -219,6 +219,41 @@ class CrawlRefreshSpec extends SparkSpec {
     assert(nightC.keptSize === 31, nightC)
   }
 
+  test("a crashed bootstrap re-enters the bootstrap branch and converges") {
+    // the marker's kind matters: after a crashed bootstrap the export
+    // DIRECTORY exists (possibly partial), so a kind-blind re-run
+    // would take the refresh path against a half-provisioned workDir
+    // (no key-index meta → loud wedge at best). Kind "bootstrap"
+    // forces re-entry into the bootstrap branch, where every step
+    // converges: exportShardsIncremental rewrites only manifest-diff
+    // shards, keyIndexInit re-provisions destructively (clearing a
+    // leftover append-intent marker), the flows full-run.
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-crawl-crash3")
+    work.toFile.deleteOnExit()
+    val wd = work.resolve("state").toString
+    val snapA = (1 to 20).map(i => doc(i, words(i))).toDF("doc_id", "text")
+    graft.operators.Dedup.keyIndexCrashAfterKeysWrite = true
+    try intercept[RuntimeException] {
+      CrawlRefresh.nightly(spark, wd, snapA)
+    } finally graft.operators.Dedup.keyIndexCrashAfterKeysWrite = false
+    // the crash is real: export written, marker kind = bootstrap,
+    // key index mid-append
+    assert(new java.io.File(s"$wd/export").isDirectory)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$wd/_graft_night_pending")), "UTF-8")
+      .startsWith("bootstrap"))
+
+    val redo = CrawlRefresh.nightly(spark, wd, snapA)
+    assert(redo.bootstrap && redo.keptSize === 20, redo)
+    assert(!new java.io.File(s"$wd/_graft_night_pending").exists())
+    // the re-provisioned index screens: a verbatim re-crawl drops
+    val snapB = ((1 to 20).map(i => doc(i, words(i))) ++
+      Seq(doc(100, words(3)))).toDF("doc_id", "text")
+    val nightB = CrawlRefresh.nightly(spark, wd, snapB)
+    assert(nightB.sliceSize === 1 && nightB.screenedOut === 1, nightB)
+  }
+
   test("refreshRescan composes diff + both screens (pure form)") {
     import spark.implicits._
     val snapA = (1 to 20).map(i => doc(i, words(i))).toDF("doc_id", "text")
