@@ -699,6 +699,55 @@ object TextPack extends QueryPack {
             length(col("text")).cast("int").as("n_chars"))
       }),
 
+    // ---- the SAME screen served MID-CRASH-WINDOW: degraded = exact ------
+    // A crashed append leaves keys in the keys table the bloom does
+    // not claim (the r17 verdict #1 window); while its intent marker
+    // is present the serve must CONFIRM EVERYTHING instead of
+    // trusting the bloom. Here the window is real, not cosmetic: half
+    // the corpus committed normally, the other half's append is
+    // killed between its keys write and its bloom merge (the
+    // library's own crash-injection seam — by design no public API
+    // writes keys without the bloom), so a serve that still consulted
+    // the bloom would pass that half's verbatim duplicates as
+    // definitely-new and hash-mismatch. The oracle is unchanged from
+    // q120/q134: the window may never change an answer, only its cost.
+    Q(
+      "q143_incdedup_degraded",
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        inc AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0)
+        SELECT i.doc_id, CAST(length(i.text) AS INT) AS n_chars
+        FROM inc i
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = i.text)"""),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+        val inc = docs.filter(col("doc_id") % 3 === 0)
+          .unionByName(docs
+            .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000))
+        val work = java.nio.file.Files.createTempDirectory("graft-q143")
+        work.toFile.deleteOnExit()
+        val idx = work.resolve("keyidx").toString
+        graft.operators.Dedup.keyIndexInit(s, idx, "text",
+          expectedItems = 100000L)
+        graft.operators.Dedup.keyIndexAppend(s, idx,
+          corpus.filter(col("doc_id") % 2 === 0))
+        graft.operators.Dedup.keyIndexCrashAfterKeysWrite = true
+        try graft.operators.Dedup.keyIndexAppend(s, idx,
+          corpus.filter(col("doc_id") % 2 =!= 0))
+        catch { case _: RuntimeException => () }
+        finally graft.operators.Dedup.keyIndexCrashAfterKeysWrite = false
+        graft.operators.Dedup.incrementalDedupOver(s, idx, inc)
+          .select(col("doc_id"),
+            length(col("text")).cast("int").as("n_chars"))
+      }),
+
     // ---- the SAME fuzzy screen served from the flow-maintained index -----
     // q121's semantics through the minHashFlow band index (production
     // FNV banding probes the index; exact round-4 Jaccard decides).
