@@ -149,15 +149,262 @@ object CrawlRefresh {
     * marker. Never set outside CrawlRefreshSpec. */
   private[graft] var nightlyCrashAfterAdmitExport: Boolean = false
 
+  /** The nightly's durable export store — ONE orchestration path,
+    * two physical layouts (r18; the write-amplification audit the
+    * key index got in r17, applied to the nightly's LARGEST table):
+    *
+    *   - md5-shard COPY-ON-WRITE (default, [[ShardExportStore]]):
+    *     the training-ready layout IS the store and the per-shard
+    *     manifest recomputes from written files each night. Per-night
+    *     export I/O is O(touched shards) ≈ min(delta, 16^hexDigits) ×
+    *     corpus/16^hexDigits bytes. Right while one shard rewrite is
+    *     tolerable — but for RANDOM-key deltas the amplification is
+    *     irreducible: more shards shrink the per-doc drag and raise
+    *     the touched-shard count one-for-one, so a realistic night at
+    *     100 TB (10⁶ scattered keys over ≥4096 shards) degenerates to
+    *     a near-full corpus rewrite for a few GB of changed docs.
+    *   - DELTA-LOG (`exportDeltaLog = true`,
+    *     [[DeltaLogExportStore]]): the export lives in a
+    *     [[graft.engine.ParquetTableTarget]] LSM container — the
+    *     layout every maintained band/FTS index adopted in r16. A
+    *     night APPENDS one thin tombstone segment (retire) and one
+    *     admitted-docs segment (admit): O(delta) bytes at ANY corpus
+    *     size (NIGHTLY_SCALE.json measures night seconds and written
+    *     MB flat across corpus decades under a fixed-size night).
+    *     Reads merge base ∪ segments with the superseded-key set
+    *     broadcast; segment build-up folds into a fresh
+    *     bucket-partitioned base under the target's count+byte
+    *     compaction triggers (amortized corpus/maxDeltaSegments bytes
+    *     per night). Every mutation is atomic-or-invisible
+    *     (`_graft_committed` markers) — strictly stronger than the
+    *     shard overwrite's partial-write states, which heal only via
+    *     the next manifest recompute. The per-shard manifest is a
+    *     shard-layout artifact, so delta-log nights return the EMPTY
+    *     manifest and stats totals ride a thin meta sidecar; the
+    *     training-ready fold + manifest is [[nightlyExportHandoff]],
+    *     priced explicitly as one corpus pass at handoff time.
+    *
+    * Layout is container identity: a workDir provisioned in one
+    * layout refuses the other loudly (mixed dirs would corrupt both
+    * readers). Value parity is oracle-gated — q144 drives the
+    * delta-log nightly through the SAME DuckDB replay as q142 and
+    * must produce the identical manifest hash at handoff. */
+  private sealed trait ExportStore {
+    /** Provisioned? (decides bootstrap vs refresh night) */
+    def exists: Boolean
+    /** Kept corpus as (idCol, textCol); the empty relation when the
+      * store exists but holds no rows (or is not yet provisioned —
+      * reachable only through lazy flow closures pre-bootstrap). */
+    def read(sp: SparkSession): DataFrame
+    /** Destructive (re-)provision from the bootstrap snapshot;
+      * returns (row count derived from the WRITTEN files — the
+      * export is the pin, never the snapshot plan — and the
+      * night's manifest artifact). */
+    def bootstrap(sp: SparkSession, snap: DataFrame): (Long, DataFrame)
+    /** Kept-corpus size at night start — O(sidecar), never a corpus
+      * count. Stats-only (see [[NightlyStats]] on crash staleness). */
+    def prevTotal(sp: SparkSession): Long
+    def applyRetire(sp: SparkSession, retireIds: DataFrame): Unit
+    /** Admit survivors; returns the night's manifest artifact. */
+    def applyAdmit(sp: SparkSession, kept: DataFrame): DataFrame
+    /** CDC point read of the old rows for `keys`: storage-pruned to
+      * the keys' shards/buckets, then the typed-IN predicate. */
+    def keyedSlice(sp: SparkSession, keys: Seq[String]): DataFrame
+    /** Persist stats-only totals at night end (the delta-log meta
+      * sidecar; no-op for the manifest-carrying shard layout). */
+    def commitTotal(sp: SparkSession, n: Long): Unit = ()
+    /** Crashed-night preamble hook: re-derive the persisted total
+      * from DATA. The shard layout's manifest self-heals by
+      * construction (touched shards recompute from written files
+      * every night); a delta-log COUNTER cannot — a crash between a
+      * phase's segment commit and its meta write would leave the
+      * total off by that phase's delta FOREVER, so the recovery
+      * recounts once (within the preamble's priced corpus pass). */
+    def recoverTotal(sp: SparkSession): Unit = ()
+  }
+
+  private final class ShardExportStore(exportDir: String, idCol: String,
+      textCol: String, hashCols: Seq[String], hexDigits: Int,
+      emptyLike: DataFrame) extends ExportStore {
+    def exists: Boolean = new java.io.File(exportDir).isDirectory
+    // every read goes through the empty-safe branch: a night that
+    // retires EVERY document leaves the export with zero data files,
+    // which parquet schema inference cannot read — the kept corpus is
+    // then the empty relation, not an unrecoverable wedge of the
+    // workDir state (review r15 finding)
+    def read(sp: SparkSession): DataFrame =
+      if (Curation.exportHasFiles(exportDir))
+        sp.read.parquet(exportDir).select(col(idCol), col(textCol))
+      else emptyLike
+    def bootstrap(sp: SparkSession, snap: DataFrame): (Long, DataFrame) = {
+      val manifest = Curation.exportShardsIncremental(
+        snap, exportDir, idCol, hashCols, hexDigits)
+      val n = manifest.agg(coalesce(sum("n_rows"), lit(0L)))
+        .head.getLong(0)
+      (n, manifest)
+    }
+    def prevTotal(sp: SparkSession): Long =
+      Curation.readManifest(sp, exportDir)
+        .map(_.agg(coalesce(sum("n_rows"), lit(0L)).as("n"))
+          .head.getLong(0))
+        .getOrElse(0L)
+    def applyRetire(sp: SparkSession, retireIds: DataFrame): Unit =
+      Curation.exportApplyDelta(sp, exportDir, retireIds, emptyLike,
+        idCol, hashCols, hexDigits)
+    def applyAdmit(sp: SparkSession, kept: DataFrame): DataFrame =
+      Curation.exportApplyDelta(sp, exportDir,
+        emptyLike.select(col(idCol)), kept, idCol, hashCols, hexDigits)
+    def keyedSlice(sp: SparkSession, keys: Seq[String]): DataFrame = {
+      // export read pruned to the keys' shard dirs, and the key
+      // filter lands on the id column in its NATIVE type
+      // ([[graft.engine.KeyedFetch.nativeKeyPredicate]] — the r16
+      // verdict #1 class: a cast-to-string IN is correct but strips
+      // the parquet pushdown)
+      val shards = keys.map(shardOfKey(_, hexDigits)).distinct
+      val base =
+        if (Curation.exportHasFiles(exportDir))
+          sp.read.parquet(exportDir).filter(col("shard").isin(shards: _*))
+        else emptyLike
+      base.filter(
+          graft.engine.KeyedFetch.nativeKeyPredicate(base, idCol, keys))
+        .select(col(idCol), col(textCol))
+    }
+  }
+
+  private final class DeltaLogExportStore(exportDir: String,
+      workDir: String, idCol: String, textCol: String, buckets: Int,
+      emptyLike: DataFrame) extends ExportStore {
+    private def target = graft.engine.ParquetTableTarget(
+      exportDir, numBuckets = buckets, deltaLog = true)
+    private def metaFile =
+      new java.io.File(workDir, "_graft_export_meta.json")
+    private def meta: Option[Map[String, String]] =
+      graft.engine.Sidecar.read(metaFile)
+    // bucket count is container identity (rows are PLACED by it; a
+    // mismatched writer would split one key's history across two
+    // (bucket, row_key) merge windows) — validate before any mutation
+    meta.map(_("buckets").toInt).filter(_ != buckets).foreach { b =>
+      throw new IllegalStateException(
+        s"nightly($workDir): delta-log export was provisioned with " +
+          s"exportBuckets=$b but this night passed $buckets — bucket " +
+          "count is container identity; re-bootstrap or pass the " +
+          "provisioned value")
+    }
+    def exists: Boolean = metaFile.exists()
+    private def provisioned =
+      new java.io.File(exportDir, "_schema.json").exists()
+    private def withKey(df: DataFrame): DataFrame =
+      df.withColumn("row_key", col(idCol).cast("string"))
+    def read(sp: SparkSession): DataFrame =
+      if (!provisioned) emptyLike
+      else target.read(sp).select(col(idCol), col(textCol))
+    def bootstrap(sp: SparkSession, snap: DataFrame): (Long, DataFrame) = {
+      // destructive re-provision (the keyIndexInit convention): a
+      // crashed bootstrap re-enters here, and an apply against its
+      // half-written container would APPEND the corpus as a segment
+      graft.engine.FsUtil.deleteRecursively(new java.io.File(exportDir))
+      target.apply(sp, withKey(snap), emptyLike.select(
+        col(idCol).cast("string").as("row_key")).limit(0))
+      // derived from the WRITTEN base generation, not the snapshot
+      // plan (parquet footer counts — no data pages read)
+      val n = if (provisioned) target.read(sp).count() else 0L
+      (n, Curation.emptyManifest(sp))
+    }
+    def prevTotal(sp: SparkSession): Long =
+      meta.map(_("n_total").toLong).getOrElse(0L)
+    // each phase advances the persisted total by its EXACT delta
+    // (retired ids are current corpus rows; admitted ids are not —
+    // the changed docs' old versions retire in phase 1), so a crash
+    // leaves the counter at most one phase behind — and the
+    // crashed-night preamble recounts it from data anyway
+    def applyRetire(sp: SparkSession, retireIds: DataFrame): Unit = {
+      val stats = target.apply(sp, withKey(emptyLike),
+        retireIds.select(col(idCol).cast("string").as("row_key")))
+      writeMeta(prevTotal(sp) - stats.deleted)
+    }
+    def applyAdmit(sp: SparkSession, kept: DataFrame): DataFrame = {
+      val stats = target.apply(sp, withKey(kept),
+        emptyLike.select(col(idCol).cast("string").as("row_key")))
+      writeMeta(prevTotal(sp) + stats.upserted)
+      Curation.emptyManifest(sp)
+    }
+    override def recoverTotal(sp: SparkSession): Unit =
+      writeMeta(if (provisioned) target.read(sp).count() else 0L)
+    def keyedSlice(sp: SparkSession, keys: Seq[String]): DataFrame = {
+      val r = if (provisioned) target.read(sp) else emptyLike
+      // bucket pruning: replay the target's placement rule
+      // (pmod(xxhash64(row_key), buckets)) over the key list — one
+      // local job on O(keys) rows, the delta-log twin of the shard
+      // store's md5 dir pruning
+      val pruned =
+        if (!r.columns.contains("bucket")) r
+        else {
+          import sp.implicits._
+          val bs = keys.toDF("k")
+            .select(pmod(xxhash64(col("k")), lit(buckets)).cast("int"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          r.filter(col("bucket").isin(bs: _*))
+        }
+      pruned.filter(
+          graft.engine.KeyedFetch.nativeKeyPredicate(pruned, idCol, keys))
+        .select(col(idCol), col(textCol))
+    }
+    private def writeMeta(n: Long): Unit =
+      graft.engine.Sidecar.write(metaFile,
+        Map("buckets" -> buckets.toString, "n_total" -> n.toString,
+          "idCol" -> idCol, "textCol" -> textCol))
+    override def commitTotal(sp: SparkSession, n: Long): Unit =
+      writeMeta(n)
+  }
+
+  /** Fold the delta-log export into a fresh bucket-partitioned base
+    * generation and return the SAME per-shard manifest the shard
+    * layout maintains nightly — the training-ready handoff, priced
+    * explicitly as ONE corpus pass amortized across however many
+    * O(delta) nights ran since the last handoff. Value parity with
+    * the shard layout is oracle-gated: q144 hashes this manifest
+    * against the exact DuckDB replay q142 uses.
+    *
+    * Bucket count and id/text columns come from the workDir's meta
+    * sidecar, NEVER from the caller: `numBuckets` is container
+    * identity (rows are PLACED by it), and a handoff that compacted
+    * with a different count would rewrite the base under a placement
+    * the next night's writer — which validates only the meta value —
+    * does not share, splitting keys across merge windows and letting
+    * the bucket-pruned CDC slice silently miss their old versions
+    * (retired docs would survive as duplicate ids). `hexDigits` is a
+    * manifest granularity choice, not identity — it stays a
+    * parameter. */
+  def nightlyExportHandoff(spark: SparkSession, workDir: String,
+      hexDigits: Int = 1): DataFrame = {
+    val meta = graft.engine.Sidecar.read(
+        new java.io.File(workDir, "_graft_export_meta.json"))
+      .getOrElse(throw new IllegalStateException(
+        s"nightlyExportHandoff($workDir): no delta-log export meta — " +
+          "was nightly() run here with exportDeltaLog = true?"))
+    val idCol = meta.getOrElse("idCol", "doc_id")
+    val textCol = meta.getOrElse("textCol", "text")
+    val t = graft.engine.ParquetTableTarget(s"$workDir/export",
+      numBuckets = meta("buckets").toInt, deltaLog = true)
+    t.compact(spark)
+    Curation.shardManifest(t.read(spark).select(col(idCol), col(textCol)),
+      idCol, Seq(idCol, textCol), hexDigits)
+  }
+
   /** The index-served nightly pass over persistent state in
     * `workDir`:
     *
-    *   - `export/` — the kept corpus as the shard-partitioned
-    *     export itself: the training-ready layout IS the store, and
-    *     a night that touches k shards rewrites k shards
+    *   - `export/` — the kept corpus, in one of two layouts (see
+    *     [[ExportStore]]). Default: the shard-partitioned
+    *     copy-on-write export — the training-ready layout IS the
+    *     store, and a night that touches k shards rewrites k shards
     *     ([[Curation.exportApplyDelta]] — retire/admit by id,
     *     partition-pruned reads, manifest entries carried from the
-    *     sidecar for untouched shards);
+    *     sidecar for untouched shards). With `exportDeltaLog = true`:
+    *     a [[graft.engine.ParquetTableTarget]] LSM container — a
+    *     night APPENDS O(delta) segments (NIGHTLY_SCALE.json:
+    *     write-flat in corpus N), the training-ready fold is
+    *     [[nightlyExportHandoff]];
     *   - `keyidx/` — the [[Dedup.keyIndexInit]] bloom+partitioned-key
     *     index for the exact screen. NOTE its EVER-KEPT semantic
     *     (see the object doc: divergence from [[refreshRescan]],
@@ -225,21 +472,53 @@ object CrawlRefresh {
         * [[graft.engine.ChangeFeedSource]] seam): when present and
         * not overflowed, the nightly diff runs over ONLY the drained
         * keys instead of a full snapshot join. */
-      changeFeed: Option[() => graft.engine.SourceWatcher] = None)
+      changeFeed: Option[() => graft.engine.SourceWatcher] = None,
+      /** Export layout — see [[ExportStore]]. `false` (default): the
+        * md5-shard copy-on-write export, training-ready every night,
+        * per-night I/O O(touched shards). `true`: the delta-log LSM
+        * export — O(delta) write bytes per night at any corpus size,
+        * training-ready at [[nightlyExportHandoff]]. Flip it past
+        * the corpus size where min(delta, shards) shard rewrites
+        * stop being tolerable — at 100 TB it is the only viable
+        * mode. Layout is container identity per workDir. */
+      exportDeltaLog: Boolean = false,
+      /** Delta-log only: the LSM container's bucket count (container
+        * identity, validated against the provisioned value). Size it
+        * so one bucket of the COMPACTED base is a few hundred MB. */
+      exportBuckets: Int = 64)
       : NightlyStats = {
     val exportDir = s"$workDir/export"
     val keyIdx = s"$workDir/keyidx"
     val hashCols = Seq(idCol, textCol)
-    // every export read goes through the empty-safe branch: a night
-    // that retires EVERY document (all changed, or an empty
-    // snapshot) leaves the export with zero data files, which
-    // parquet schema inference cannot read — the kept corpus is then
-    // the empty relation, not an unrecoverable wedge of the workDir
-    // state (review r15 finding)
-    def readExport(sp: SparkSession): DataFrame =
-      if (Curation.exportHasFiles(exportDir))
-        sp.read.parquet(exportDir).select(col(idCol), col(textCol))
-      else newSnap.filter(lit(false)).select(col(idCol), col(textCol))
+    val emptyLike =
+      newSnap.filter(lit(false)).select(col(idCol), col(textCol))
+    // layout mismatch fails loudly BEFORE any mutation: a shard
+    // layout read as delta-log (or vice versa) would interleave two
+    // directory conventions in one export dir
+    val exportRoot = new java.io.File(exportDir)
+    val shardLayoutOnDisk = Option(exportRoot.listFiles())
+      .getOrElse(Array.empty)
+      .exists(f => f.isDirectory && f.getName.startsWith("shard="))
+    val deltaLayoutOnDisk = new java.io.File(exportDir, "base").isDirectory ||
+      new java.io.File(exportDir, "delta").isDirectory
+    if (exportDeltaLog && shardLayoutOnDisk)
+      throw new IllegalStateException(
+        s"nightly($workDir): export holds a shard= (copy-on-write) " +
+          "layout but this night passed exportDeltaLog=true — layout " +
+          "is container identity; re-bootstrap a fresh workDir")
+    if (!exportDeltaLog && deltaLayoutOnDisk)
+      throw new IllegalStateException(
+        s"nightly($workDir): export holds a delta-log (base/delta) " +
+          "layout but this night passed exportDeltaLog=false — layout " +
+          "is container identity; re-bootstrap a fresh workDir")
+    val store: ExportStore =
+      if (exportDeltaLog)
+        new DeltaLogExportStore(exportDir, workDir, idCol, textCol,
+          exportBuckets, emptyLike)
+      else
+        new ShardExportStore(exportDir, idCol, textCol, hashCols,
+          hexDigits, emptyLike)
+    def readExport(sp: SparkSession): DataFrame = store.read(sp)
     val flow = Dedup.minHashFlow("crawl_refresh_bands",
       sp => readExport(sp),
       indexDir = s"$workDir/mhindex", stateDir = s"$workDir/mhstate",
@@ -286,8 +565,7 @@ object CrawlRefresh {
           nightMarker.toPath), "UTF-8").split(" ", 2).head)
       else None
 
-    if (!new java.io.File(exportDir).isDirectory ||
-        crashedKind.contains("bootstrap")) {
+    if (!store.exists || crashedKind.contains("bootstrap")) {
       // bootstrap night: no corpus to screen against — the whole
       // snapshot is the kept corpus (intra-batch dedup is upstream,
       // see refreshRescan's contract). The one full pass per
@@ -304,14 +582,13 @@ object CrawlRefresh {
       // exportShardsIncremental rewrites only manifest-diff shards,
       // keyIndexInit re-provisions destructively, the flows full-run.
       stampNight("bootstrap")
-      val manifest = Curation.exportShardsIncremental(
-        newSnap.select(col(idCol), col(textCol)), exportDir,
-        idCol, hashCols, hexDigits)
-      val n = manifest.agg(coalesce(sum("n_rows"), lit(0L))).head.getLong(0)
+      val (n, manifest) =
+        store.bootstrap(spark, newSnap.select(col(idCol), col(textCol)))
       Dedup.keyIndexInit(spark, keyIdx, textCol, expectedKeys)
       Dedup.keyIndexAppend(spark, keyIdx, readExport(spark))
       flow.run(spark)
       srpFlow.foreach(_.run(spark))
+      store.commitTotal(spark, n)
       java.nio.file.Files.deleteIfExists(nightMarker.toPath)
       return NightlyStats(bootstrap = true, sliceSize = n,
         unchangedSize = 0, removedSize = 0, screenedOut = 0,
@@ -333,13 +610,15 @@ object CrawlRefresh {
       Dedup.keyIndexAppend(spark, keyIdx, readExport(spark))
       if (Dedup.keyIndexNeedsRebuild(keyIdx))
         Dedup.keyIndexRebuild(spark, keyIdx)
+      // the persisted total may be mid-night stale — re-derive it
+      // from data where the layout cannot self-heal it (delta-log
+      // counter; the shard manifest recomputes itself every night)
+      store.recoverTotal(spark)
     }
 
-    // the kept-corpus size comes from the manifest sidecar (O(shards)
-    // thin rows), never from counting the corpus
-    val prevTotal = Curation.readManifest(spark, exportDir)
-      .map(_.agg(coalesce(sum("n_rows"), lit(0L)).as("n")).head.getLong(0))
-      .getOrElse(0L)
+    // the kept-corpus size comes from the store's sidecar (O(shards)
+    // manifest rows / one meta file), never from counting the corpus
+    val prevTotal = store.prevTotal(spark)
 
     // ---- the night's delta: (id, status) for NON-unchanged ids only —
     // the only materialized frame derived from the diff is delta-sized
@@ -356,23 +635,17 @@ object CrawlRefresh {
         else if (keys.isEmpty) snapshotDelta().limit(0)
         else {
           // CDC: diff only the drained keys' rows — the export read
-          // prunes to their shards, and the key filter lands on the
-          // id column in its NATIVE type
+          // prunes to their shards/buckets (store-specific), and the
+          // key filter lands on the id column in its NATIVE type
           // ([[graft.engine.KeyedFetch.nativeKeyPredicate]] — the r16
           // verdict #1 class: a cast-to-string IN is correct but
           // strips the parquet pushdown, which would full-scan the
           // corpus-sized SNAPSHOT for a 1-key night); keys outside
           // the drain are unchanged by the feed contract
-          val shards = keys.map(shardOfKey(_, hexDigits)).distinct
-          def keyed(df: org.apache.spark.sql.DataFrame) = df.filter(
-            graft.engine.KeyedFetch.nativeKeyPredicate(df, idCol, keys))
-          val oldSlice = keyed(
-            if (Curation.exportHasFiles(exportDir))
-              spark.read.parquet(exportDir)
-                .filter(col("shard").isin(shards: _*))
-            else newSnap.filter(lit(false)))
-            .select(col(idCol), col(textCol))
-          val newSlice = keyed(newSnap)
+          val oldSlice = store.keyedSlice(spark, keys)
+          val newSlice = newSnap.filter(
+            graft.engine.KeyedFetch.nativeKeyPredicate(
+              newSnap, idCol, keys))
             .select(col(idCol), col(textCol))
           Curation.corpusDiff(oldSlice, newSlice, idCol, textCol)
             .filter(col("status") =!= "unchanged")
@@ -414,11 +687,11 @@ object CrawlRefresh {
     stampNight("refresh")
 
     // phase 1 — retire: the export drops removed/changed-old docs
-    // (only their shards rewrite), then the band indexes reconcile to
+    // (shard layout: only their shards rewrite; delta-log: one thin
+    // tombstone segment appends), then the band indexes reconcile to
     // exactly the unchanged corpus (O(changed) components via the
     // known-key delta re-stat)
-    Curation.exportApplyDelta(spark, exportDir,
-      retiredIds, slice.limit(0), idCol, hashCols, hexDigits)
+    store.applyRetire(spark, retiredIds)
     val retireKeys = keyList(retiredIds)
     reconcile(flow, retireKeys)
     srpFlow.foreach(reconcile(_, retireKeys))
@@ -442,11 +715,11 @@ object CrawlRefresh {
     // per night in a long-lived session (r17 verdict task #6)
     Dedup.releaseServeBloomBroadcasts()
 
-    // phase 2 — admit: survivors land in the export (their shards
-    // rewrite), the band indexes add their components, their keys
-    // commit to the bloom+key index
-    val manifest = Curation.exportApplyDelta(spark, exportDir,
-      retiredIds.limit(0), kept, idCol, hashCols, hexDigits)
+    // phase 2 — admit: survivors land in the export (shard layout:
+    // their shards rewrite; delta-log: one O(delta) segment appends),
+    // the band indexes add their components, their keys commit to
+    // the bloom+key index
+    val manifest = store.applyAdmit(spark, kept)
     if (nightlyCrashAfterAdmitExport)
       throw new RuntimeException(
         "nightly: injected test crash after the admit export")
@@ -459,8 +732,9 @@ object CrawlRefresh {
         Dedup.keyIndexRebuild(spark, keyIdx); true
       } else false
 
-    java.nio.file.Files.deleteIfExists(nightMarker.toPath)
     val unchangedSize = prevTotal - removedSize - changedSize
+    store.commitTotal(spark, unchangedSize + keptNew)
+    java.nio.file.Files.deleteIfExists(nightMarker.toPath)
     NightlyStats(bootstrap = false, sliceSize = sliceSize,
       unchangedSize = unchangedSize, removedSize = removedSize,
       screenedOut = sliceSize - keptNew,

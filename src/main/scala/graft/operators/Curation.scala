@@ -610,7 +610,7 @@ object Curation {
     walk(new java.io.File(outDir))
   }
 
-  private def emptyManifest(
+  private[graft] def emptyManifest(
       spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types._

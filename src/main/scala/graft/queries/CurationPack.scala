@@ -1566,6 +1566,51 @@ object CurationPack extends QueryPack {
           s"refresh night must retire and screen on this fixture: $stats")
         stats.manifest.select(
           "shard", "n_rows", "content_hash", "min_id", "max_id")
+      }),
+
+    // ---- the SAME nightly on the DELTA-LOG export (r18) --------------------
+    // q142's exact fixture driven through exportDeltaLog = true: the
+    // refresh night APPENDS O(delta) segments instead of rewriting
+    // min(delta, shards) shards — the 100 TB write-amplification fix
+    // — and the training-ready handoff (fold + manifest) must hash
+    // IDENTICAL to the shard layout's nightly manifest under the
+    // same DuckDB replay. One oracle, two physical layouts.
+    Q(
+      "q144_crawl_refresh_deltalog",
+      Some(crawlRefreshOracleSql),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        val oldC = docs.filter(col("doc_id") % 11 =!= 0)
+        val base = docs.filter(
+          col("doc_id") % 11 =!= 0 && col("doc_id") % 5 =!= 0)
+        val newC = base.select(col("doc_id"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit("rev2: "), col("text")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 2000000).as("doc_id"),
+              concat(lit("FRESH "), upper(col("text"))).as("text")))
+          .unionByName(base
+            .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+          .unionByName(base
+            .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 1)
+            .select((col("doc_id") + 4000000).as("doc_id"),
+              concat(lit("UPDATE: "), col("text")).as("text")))
+        val work = java.nio.file.Files.createTempDirectory("graft-q144")
+        work.toFile.deleteOnExit()
+        val wd = work.resolve("night").toString
+        val boot = graft.operators.CrawlRefresh.nightly(
+          s, wd, oldC, threshold = 0.7, exportDeltaLog = true)
+        require(boot.bootstrap && boot.screenedOut == 0,
+          s"bootstrap night must keep the whole snapshot: $boot")
+        val stats = graft.operators.CrawlRefresh.nightly(
+          s, wd, newC, threshold = 0.7, exportDeltaLog = true)
+        require(!stats.bootstrap && stats.removedSize > 0 &&
+          stats.screenedOut > 0,
+          s"refresh night must retire and screen on this fixture: $stats")
+        graft.operators.CrawlRefresh.nightlyExportHandoff(s, wd)
+          .select("shard", "n_rows", "content_hash", "min_id", "max_id")
       })
   )
 }

@@ -455,4 +455,232 @@ class CrawlRefreshSpec extends SparkSpec {
     assert(recordsRead < 300L * n + 20000,
       s"1-doc night read $recordsRead parquet records (n=$n)")
   }
+
+  // ---- delta-log export layout (r18: the write-amplification fix) ---------
+
+  private def deltaExportRead(wd: String, buckets: Int = 64) =
+    graft.engine.ParquetTableTarget(s"$wd/export", numBuckets = buckets,
+      deltaLog = true).read(spark).select("doc_id", "text")
+
+  test("delta-log export: a night appends O(delta) segments, never the base") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-crawl-dl")
+    work.toFile.deleteOnExit()
+    val wd = work.resolve("state").toString
+    val snapA = (1 to 40).map(i => doc(i, words(i))).toDF("doc_id", "text")
+    val night1 = CrawlRefresh.nightly(spark, wd, snapA,
+      exportDeltaLog = true)
+    assert(night1.bootstrap && night1.keptSize === 40)
+    assert(new java.io.File(s"$wd/export/base/g=0/_graft_committed")
+      .exists(), "bootstrap lands as a committed base generation")
+
+    val snapB = ((1 to 40).filterNot(_ == 11).map { i =>
+      if (i == 7) doc(i, "rev2: " + words(i)) else doc(i, words(i))
+    } ++ Seq(
+      doc(100, words(900)),              // fresh — survives
+      doc(101, words(3)),                // verbatim re-crawl — exact drops
+      doc(102, "UPDATE: " + words(4))))  // near re-crawl — fuzzy drops
+      .toDF("doc_id", "text")
+
+    def files(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$wd/export"))
+        // _schema.json is a sidecar the target re-saves per apply
+        // (schema evolution), not data
+        .filterNot(_.getName == "_schema.json")
+        .map(f => f.getPath -> (f.lastModified, f.length)).toMap
+    }
+    val before = files()
+    Thread.sleep(1100) // mtime granularity
+
+    val night2 = CrawlRefresh.nightly(spark, wd, snapB,
+      exportDeltaLog = true)
+    assert(night2.sliceSize === 4 && night2.removedSize === 1 &&
+      night2.screenedOut === 2 && night2.keptSize === 40 &&
+      night2.unchangedSize === 38, night2)
+
+    // the write set is the night's segments and NOTHING else: every
+    // pre-existing file (the whole base generation included) is
+    // byte-identical — the shard layout's "only touched shards"
+    // bound tightened to "no current data at all"
+    val after = files()
+    assert(after.view.filterKeys(before.contains).toMap === before,
+      "a delta-log night must not touch existing export files")
+    val newFiles = after.view.filterKeys(!before.contains(_)).toMap
+    assert(newFiles.keys.forall(_.contains("/delta/seg=")),
+      s"night writes land only in delta segments: ${newFiles.keys}")
+    val newBytes = newFiles.values.map(_._2).sum
+    assert(newBytes < (64 << 10),
+      s"a 4-doc night appended $newBytes bytes — not O(delta)")
+
+    // value parity with the pure rescan composition
+    val got = deltaExportRead(wd).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val pure = CrawlRefresh.refreshRescan(snapA, snapB).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === pure)
+
+    // re-delivered rejects re-screen and drop; the export is
+    // byte-untouched (no empty segments are appended)
+    val before3 = files()
+    val night3 = CrawlRefresh.nightly(spark, wd, snapB,
+      exportDeltaLog = true)
+    assert(night3.sliceSize === 2 && night3.screenedOut === 2 &&
+      night3.keptSize === 40, night3)
+    assert(files() === before3)
+
+    // handoff: fold + manifest — hash-identical to the shard
+    // layout's nightly manifest semantics (the q144 oracle contract)
+    val manifest = CrawlRefresh.nightlyExportHandoff(spark, wd)
+    def rows(m: org.apache.spark.sql.DataFrame) = m.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(rows(manifest) === rows(Curation.shardManifest(
+      deltaExportRead(wd))))
+    assert(!new java.io.File(s"$wd/export/delta").isDirectory ||
+      Option(new java.io.File(s"$wd/export/delta").listFiles())
+        .getOrElse(Array.empty).isEmpty,
+      "handoff folds every segment into the new base generation")
+    assert(deltaExportRead(wd).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === pure,
+      "the folded base serves the same corpus")
+  }
+
+  test("delta-log export: a crashed night recovers through the preamble") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-crawl-dlc")
+    work.toFile.deleteOnExit()
+    val wd = work.resolve("state").toString
+    val marker = new java.io.File(s"$wd/_graft_night_pending")
+    val snapA = (1 to 40).map(i => doc(i, words(i))).toDF("doc_id", "text")
+    assert(CrawlRefresh.nightly(spark, wd, snapA,
+      exportDeltaLog = true).bootstrap)
+
+    val snapB = ((1 to 40).map(i => doc(i, words(i))) ++
+      Seq(doc(100, words(900)), doc(101, words(901))))
+      .toDF("doc_id", "text")
+    CrawlRefresh.nightlyCrashAfterAdmitExport = true
+    try intercept[RuntimeException] {
+      CrawlRefresh.nightly(spark, wd, snapB, exportDeltaLog = true)
+    } finally CrawlRefresh.nightlyCrashAfterAdmitExport = false
+    assert(marker.exists(), "a crashed night leaves its marker")
+    // the crash is real: the admit segment committed atomically
+    assert(deltaExportRead(wd).count() === 42)
+
+    val nightB = CrawlRefresh.nightly(spark, wd, snapB,
+      exportDeltaLog = true)
+    assert(!nightB.bootstrap && nightB.keptSize === 42, nightB)
+    assert(!marker.exists())
+
+    // verbatim + near duplicates of the crashed-night docs drop —
+    // the catch-up preamble reconciled both index families over the
+    // delta-log store's merged read
+    val snapC = ((1 to 40).map(i => doc(i, words(i))) ++ Seq(
+      doc(100, words(900)), doc(101, words(901)),
+      doc(200, words(900)), doc(201, "UPDATE: " + words(901))))
+      .toDF("doc_id", "text")
+    val nightC = CrawlRefresh.nightly(spark, wd, snapC,
+      exportDeltaLog = true)
+    assert(nightC.sliceSize === 2 && nightC.screenedOut === 2 &&
+      nightC.keptSize === 42, nightC)
+  }
+
+  test("delta-log export: zero-unchanged and empty-snapshot nights survive") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-crawl-dl0")
+    work.toFile.deleteOnExit()
+    val wd = work.resolve("state").toString
+    val snapA = (1 to 5).map(i => doc(i, words(i))).toDF("doc_id", "text")
+    assert(CrawlRefresh.nightly(spark, wd, snapA,
+      exportDeltaLog = true).keptSize === 5)
+    val snapB = (1 to 5).map(i => doc(i, "v2: " + words(i)))
+      .toDF("doc_id", "text")
+    val nightB = CrawlRefresh.nightly(spark, wd, snapB,
+      exportDeltaLog = true)
+    assert(nightB.unchangedSize === 0 && nightB.keptSize === 5, nightB)
+    val empty = snapB.filter(col("doc_id") < 0)
+    val nightC = CrawlRefresh.nightly(spark, wd, empty,
+      exportDeltaLog = true)
+    assert(nightC.keptSize === 0 && nightC.removedSize === 5, nightC)
+    assert(deltaExportRead(wd).isEmpty,
+      "an all-tombstone export serves the empty relation")
+    // re-adding after total retirement converges (ever-kept key
+    // semantics: the VERBATIM old docs stay blocked; v3 content lands)
+    val snapD = (1 to 5).map(i => doc(i, "v3: " + words(i)))
+      .toDF("doc_id", "text")
+    val nightD = CrawlRefresh.nightly(spark, wd, snapD,
+      exportDeltaLog = true)
+    assert(nightD.keptSize === 5, nightD)
+  }
+
+  test("delta-log export: handoff compacts under the PROVISIONED bucket count") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-crawl-dlh")
+    work.toFile.deleteOnExit()
+    val wd = work.resolve("state").toString
+    val snapA = (1 to 40).map(i => doc(i, words(i))).toDF("doc_id", "text")
+    // non-default bucket count: a handoff that trusted a caller
+    // default (64) instead of the meta sidecar would compact the base
+    // into a placement the next night's 32-bucket writer and
+    // bucket-pruned CDC slice do not share — changed docs' old
+    // versions would be missed and survive as duplicate ids
+    assert(CrawlRefresh.nightly(spark, wd, snapA, exportDeltaLog = true,
+      exportBuckets = 32).bootstrap)
+    val snapB = ((1 to 40).map { i =>
+      if (i <= 8) doc(i, "rev2: " + words(i)) else doc(i, words(i))
+    }).toDF("doc_id", "text")
+    assert(CrawlRefresh.nightly(spark, wd, snapB, exportDeltaLog = true,
+      exportBuckets = 32).removedSize === 0)
+    val manifest = CrawlRefresh.nightlyExportHandoff(spark, wd)
+    assert(manifest.agg(org.apache.spark.sql.functions.sum("n_rows"))
+      .head.getLong(0) === 40)
+    // post-handoff night over the folded base: a CDC change must
+    // still find (and retire) its old version through the pruned slice
+    val feed = () => new graft.engine.SourceWatcher {
+      private var drained = false
+      def drain(): (Seq[String], Boolean) =
+        if (drained) (Nil, false) else { drained = true; (Seq("3"), false) }
+      def close(): Unit = ()
+    }
+    val snapC = ((1 to 40).map { i =>
+      if (i == 3) doc(i, "rev3: " + words(i))
+      else if (i <= 8) doc(i, "rev2: " + words(i)) else doc(i, words(i))
+    }).toDF("doc_id", "text")
+    val nightC = CrawlRefresh.nightly(spark, wd, snapC,
+      exportDeltaLog = true, exportBuckets = 32, changeFeed = Some(feed))
+    assert(nightC.sliceSize === 1 && nightC.keptSize === 40, nightC)
+    val texts = deltaExportRead(wd, buckets = 32)
+      .filter(col("doc_id") === 3)
+      .collect().map(_.getString(1)).toSeq
+    assert(texts === Seq("rev3: " + words(3)),
+      s"doc 3 must hold exactly its newest version, got $texts")
+  }
+
+  test("delta-log export: layout and bucket-count mismatches refuse loudly") {
+    import spark.implicits._
+    val snapA = (1 to 5).map(i => doc(i, words(i))).toDF("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft-crawl-dlm")
+    work.toFile.deleteOnExit()
+
+    val wdShard = work.resolve("shard").toString
+    CrawlRefresh.nightly(spark, wdShard, snapA)
+    val e1 = intercept[IllegalStateException] {
+      CrawlRefresh.nightly(spark, wdShard, snapA, exportDeltaLog = true)
+    }
+    assert(e1.getMessage.contains("shard="), e1.getMessage)
+
+    val wdDelta = work.resolve("delta").toString
+    CrawlRefresh.nightly(spark, wdDelta, snapA, exportDeltaLog = true)
+    val e2 = intercept[IllegalStateException] {
+      CrawlRefresh.nightly(spark, wdDelta, snapA)
+    }
+    assert(e2.getMessage.contains("delta-log"), e2.getMessage)
+    val e3 = intercept[IllegalStateException] {
+      CrawlRefresh.nightly(spark, wdDelta, snapA, exportDeltaLog = true,
+        exportBuckets = 32)
+    }
+    assert(e3.getMessage.contains("container identity"), e3.getMessage)
+  }
 }
