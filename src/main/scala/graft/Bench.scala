@@ -423,9 +423,13 @@ object Bench {
     // BENCH_FULL_r<N>.json, N inferred as max existing driver round
     // + 1 (the driver writes BENCH_r<N>.json at round end; this run
     // is recording FOR the round in progress). Restricted/tier runs
-    // skip the snapshot — only a full recording is a round artifact.
+    // skip the snapshot — only a full recording is a round artifact —
+    // and so do runs at any OTHER scale than the driver's sf0.1: a
+    // verification pass at sf0.01 would silently overwrite the
+    // committed round recording with numbers from a different data
+    // scale (bench_out.json still carries every run).
     if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_BENCH_TIER") &&
-        !reverse) {
+        !reverse && sfDir.replaceAll("/+$", "").endsWith("sf0.1")) {
       try {
         // anchored: a name merely CONTAINING "BENCH_r<N>.json" (a
         // backup, an editor copy) must not shift the inferred round;

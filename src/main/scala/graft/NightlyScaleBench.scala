@@ -38,7 +38,13 @@ object NightlyScale {
   final case class Cell(
       n: Long, layout: String, bootstrapSec: Double, nightSec: Double,
       readMB: Double, shufMB: Double, writeMB: Double,
-      sliceSize: Long, removed: Long, screened: Long, keptSize: Long)
+      sliceSize: Long, removed: Long, screened: Long, keptSize: Long,
+      /** Delta-log only: the training-ready fold + manifest
+        * ([[graft.operators.CrawlRefresh.nightlyExportHandoff]]) —
+        * recorded so "priced as one amortized corpus pass" is a
+        * measured number per decade, not prose. NaN for shard cells
+        * (their export is training-ready every night). */
+      handoffSec: Double = Double.NaN, handoffWriteMB: Double = Double.NaN)
 
   /** Deterministic corpus text: 40 disjoint md5 tokens per doc (the
     * DedupScale scheme without planted intra-corpus dups — the sweep
@@ -83,6 +89,22 @@ object NightlyScale {
     val read = new java.util.concurrent.atomic.AtomicLong
     val shuf = new java.util.concurrent.atomic.AtomicLong
     val written = new java.util.concurrent.atomic.AtomicLong
+    // stage → night phase (CrawlRefresh tags jobs via the
+    // graft.nightly.phase local property), so read bytes attribute
+    // to the phase that paid them
+    private val stagePhase =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val phaseRead =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    val phaseShuf =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    override def onJobStart(
+        js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      val phase = Option(js.properties)
+        .flatMap(p => Option(p.getProperty("graft.nightly.phase")))
+        .getOrElse("untagged")
+      js.stageIds.foreach(sid => stagePhase.put(sid, phase))
+    }
     override def onTaskEnd(
         te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
@@ -90,10 +112,24 @@ object NightlyScale {
         read.addAndGet(m.inputMetrics.bytesRead)
         shuf.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         written.addAndGet(m.outputMetrics.bytesWritten)
+        val phase = stagePhase.getOrDefault(te.stageId, "untagged")
+        phaseRead.computeIfAbsent(phase,
+          _ => new java.util.concurrent.atomic.AtomicLong)
+          .addAndGet(m.inputMetrics.bytesRead)
+        phaseShuf.computeIfAbsent(phase,
+          _ => new java.util.concurrent.atomic.AtomicLong)
+          .addAndGet(m.shuffleWriteMetrics.bytesWritten)
       }
     }
     def snapshot(): (Long, Long, Long) = {
       Thread.sleep(250); (read.get, shuf.get, written.get)
+    }
+    def phaseSnapshot(): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      (phaseRead.keySet.asScala ++ phaseShuf.keySet.asScala).map { k =>
+        k -> (Option(phaseRead.get(k)).map(_.get).getOrElse(0L),
+          Option(phaseShuf.get(k)).map(_.get).getOrElse(0L))
+      }.toMap
     }
   }
   private val tallies = new java.util.WeakHashMap[SparkSession, Tally]()
@@ -132,17 +168,42 @@ object NightlyScale {
     }
     val tally = tallyOf(spark)
     val (r0, s0, w0) = tally.snapshot()
+    val p0 = tally.phaseSnapshot()
     val t1 = System.nanoTime()
     val night = graft.operators.CrawlRefresh.nightly(spark, wd, snapB,
       expectedKeys = n + 2000L, hexDigits = 2,
       exportDeltaLog = deltaLog, changeFeed = Some(feed))
     val nightSec = (System.nanoTime() - t1) / 1e9
     val (r1, s1, w1) = tally.snapshot()
+    val perPhase = tally.phaseSnapshot().map { case (k, (r, s)) =>
+      val (r0p, s0p) = p0.getOrElse(k, (0L, 0L))
+      k -> (r - r0p, s - s0p)
+    }.filter(p => p._2._1 > 0 || p._2._2 > 0)
+    System.err.println(s"[nightly-scale] n=$n $layout night read/shuf " +
+      "by phase: " + perPhase.toSeq.sortBy(-_._2._1).map {
+        case (k, (r, s)) =>
+          f"$k=${r / 1048576.0}%.1f/${s / 1048576.0}%.1fMB" }.mkString(" "))
+
+    // the handoff: fold + manifest, O(corpus) by design — measured so
+    // the amortization arithmetic (handoff cost / nights between
+    // handoffs vs the shard layout's per-night rewrite) is on record
+    val (handoffSec, handoffWriteMB) =
+      if (!deltaLog) (Double.NaN, Double.NaN)
+      else {
+        val t2 = System.nanoTime()
+        val m = graft.operators.CrawlRefresh.nightlyExportHandoff(spark, wd)
+        val total = m.agg(coalesce(sum("n_rows"), lit(0L))).head.getLong(0)
+        val sec = (System.nanoTime() - t2) / 1e9
+        val (_, _, w2) = tally.snapshot()
+        require(total == night.keptSize,
+          s"handoff manifest covers $total rows, night kept ${night.keptSize}")
+        (sec, (w2 - w1) / 1048576.0)
+      }
 
     Cell(n, layout, bootstrapSec, nightSec,
       (r1 - r0) / 1048576.0, (s1 - s0) / 1048576.0, (w1 - w0) / 1048576.0,
       night.sliceSize, night.removedSize, night.screenedOut,
-      night.keptSize)
+      night.keptSize, handoffSec, handoffWriteMB)
   }
 
   def toJson(cells: Seq[Cell]): String =
@@ -152,7 +213,10 @@ object NightlyScale {
       f""""night_sec":${c.nightSec}%.3f,"read_mb":${c.readMB}%.1f,""" +
       f""""shuf_mb":${c.shufMB}%.1f,"write_mb":${c.writeMB}%.1f,""" +
       s""""slice":${c.sliceSize},"removed":${c.removed},""" +
-      s""""screened":${c.screened},"kept":${c.keptSize}}"""
+      s""""screened":${c.screened},"kept":${c.keptSize}""" +
+      (if (c.handoffSec.isNaN) "}"
+       else f""","handoff_sec":${c.handoffSec}%.3f,""" +
+         f""""handoff_write_mb":${c.handoffWriteMB}%.1f}""")
     }.mkString("[", ",", "]")
 }
 
@@ -178,7 +242,9 @@ object NightlyScaleBench {
           f"[nightly-scale] n=$n ${c.layout}%-8s boot=${c.bootstrapSec}%.1fs " +
           f"night=${c.nightSec}%.1fs read=${c.readMB}%.1fMB " +
           f"shuf=${c.shufMB}%.1fMB write=${c.writeMB}%.1fMB " +
-          f"slice=${c.sliceSize} screened=${c.screened} kept=${c.keptSize}")
+          f"slice=${c.sliceSize} screened=${c.screened} kept=${c.keptSize}" +
+          (if (c.handoffSec.isNaN) ""
+           else f" handoff=${c.handoffSec}%.1fs/${c.handoffWriteMB}%.1fMB"))
         // retire the cell's state before the next (a 10⁶ shard export
         // plus its twin is ~GBs of scratch)
         graft.engine.FsUtil.deleteRecursively(

@@ -77,7 +77,22 @@ final class Flow(
       * for operator metadata that must only ever describe a COMMITTED
       * index — e.g. [[Sidecar]] writes: a declared-but-failed run
       * must not relabel what is actually on disk. */
-    afterCommit: Option[() => Unit] = None)
+    afterCommit: Option[() => Unit] = None,
+    /** Declares that every `row_key` this flow's stages emit is owned
+      * by exactly ONE `item_key` for the flow's whole lifetime (true
+      * whenever row keys are item-namespaced, e.g. `"$item"` or
+      * `"$item:$suffix"` — every maintained-index flow here). Under
+      * the declaration, the reconcile's tracking scope is read with
+      * an item filter pushed BELOW the latest-wins merge
+      * ([[StateStore.readWhere]]): the clustered tracking base prunes
+      * to O(scope keys) row groups instead of materializing and
+      * window-shuffling the WHOLE table per run — the difference
+      * between an O(delta) and an O(corpus) engine pass at 100 TB.
+      * Leave false if a row_key can ever be re-declared by a
+      * DIFFERENT item (ownership preemption across components): the
+      * below-merge filter would then see only the stale owner's
+      * version of a preempted row and mis-classify it. */
+    val rowKeyOwnedByItem: Boolean = false)
     extends Serializable {
 
   def processorFingerprint: String =
@@ -362,14 +377,30 @@ final class Flow(
     * (_LiveDirItems, localfs/_source.py:198). */
   private[graft] def runDelta(spark: SparkSession, deltaKeys: Seq[String])
       : RunStats = {
-    val memo = state(spark).read("component_memo", ComponentMemoSchema)
-    val keysDf = Source.keysDf(spark, deltaKeys)
-    val survivors = memo.select(col("item_key"), col("memo_state"))
-      .join(keysDf, Seq("item_key"), "left_anti")
+    val st = state(spark)
     val restat = source.listKeys(spark, deltaKeys)
       .select(col("item_key"), col("memo_state"))
-    runImpl(spark, fullReprocess = false,
-      listingOverride = Some(survivors.unionByName(restat)))
+    st.rowCount("component_memo") match {
+      case Some(total) if deltaKeys.size <= KeyedFetch.MaxKeyPushdown =>
+        // delta-scoped pass: the probe runs over ONLY the changed
+        // keys' memo slice (readWhere prunes the clustered base);
+        // survivors never materialize — their count derives from the
+        // snapshot's exact row-count sidecar
+        runImpl(spark, fullReprocess = false,
+          listingOverride = Some(restat),
+          deltaScope = Some(DeltaScope(
+            col("item_key").isin(deltaKeys: _*), total)))
+      case _ =>
+        // legacy snapshots carry no counts (one compaction away from
+        // gaining them) and oversized key sets exceed the IN-pushdown
+        // contract — both fall back to the full survivors listing
+        val memo = st.read("component_memo", ComponentMemoSchema)
+        val keysDf = Source.keysDf(spark, deltaKeys)
+        val survivors = memo.select(col("item_key"), col("memo_state"))
+          .join(keysDf, Seq("item_key"), "left_anti")
+        runImpl(spark, fullReprocess = false,
+          listingOverride = Some(survivors.unionByName(restat)))
+    }
   }
 
   /** Subtree-scoped catch-up: re-stat and reclassify ONLY the
@@ -382,21 +413,42 @@ final class Flow(
     * O(subtree) instead of O(corpus). */
   private[graft] def runDeltaPrefix(spark: SparkSession,
       prefixes: Seq[String]): RunStats = {
-    val memo = state(spark).read("component_memo", ComponentMemoSchema)
+    val st = state(spark)
     val under =
       if (prefixes.isEmpty) lit(false)
       else prefixes.map(p => StablePath.underCol(col("item_key"), p))
         .reduce(_ || _)
-    val survivors = memo.select(col("item_key"), col("memo_state"))
-      .filter(!under)
     val restat = source.listUnder(spark, prefixes)
       .select(col("item_key"), col("memo_state"))
-    runImpl(spark, fullReprocess = false,
-      listingOverride = Some(survivors.unionByName(restat)))
+    st.rowCount("component_memo") match {
+      case Some(total) if prefixes.nonEmpty =>
+        // prefix predicates are merge-key predicates → sound below
+        // the merge, and they push to parquet as StartsWith
+        runImpl(spark, fullReprocess = false,
+          listingOverride = Some(restat),
+          deltaScope = Some(DeltaScope(under, total)))
+      case _ =>
+        val memo = st.read("component_memo", ComponentMemoSchema)
+        val survivors = memo.select(col("item_key"), col("memo_state"))
+          .filter(!under)
+        runImpl(spark, fullReprocess = false,
+          listingOverride = Some(survivors.unionByName(restat)))
+    }
   }
 
+  /** A delta-scoped engine pass: `pred` (a memo merge-key-stable
+    * predicate — key IN-list or key prefix) bounds the probe to the
+    * changed scope, and `memoTotal` (the snapshot's exact row-count
+    * sidecar) supplies the unexamined survivors' tally. Survivors are
+    * unchanged BY CONSTRUCTION (their stored memo state compares
+    * equal), so a scoped pass reads O(scope) state instead of
+    * materializing and shuffling corpus-sized memo rows per run. */
+  private case class DeltaScope(pred: org.apache.spark.sql.Column,
+      memoTotal: Long)
+
   private def runImpl(spark: SparkSession, fullReprocess: Boolean,
-      listingOverride: Option[DataFrame]): RunStats = {
+      listingOverride: Option[DataFrame],
+      deltaScope: Option[DeltaScope] = None): RunStats = {
     val st = state(spark)
     val planned = tablePlan(spark, st)
     val pFp = planned.effectiveFp
@@ -413,7 +465,14 @@ final class Flow(
     // recomputable and never held beyond the run.)
     val listing = listingOverride.getOrElse(source.list(spark))
       .select(col("item_key"), col("memo_state")).localCheckpoint()
-    val memo = st.read("component_memo", ComponentMemoSchema)
+    val memo = deltaScope match {
+      case Some(s) =>
+        // scoped pass: only the changed keys' memo slice joins the
+        // probe — readWhere pushes the predicate below the merge
+        // window and into the clustered base's parquet scans
+        st.readWhere("component_memo", ComponentMemoSchema, s.pred)
+      case None => st.read("component_memo", ComponentMemoSchema)
+    }
     val probe = listing.select(col("item_key"), col("memo_state"))
       .join(memo.select(col("item_key"), col("processor_fp"),
         col("memo_state").as("stored_state"), col("content_fp")),
@@ -439,7 +498,14 @@ final class Flow(
     // belongs on the driver)
     val byCls = probe.groupBy("cls").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
-    val nTotal = byCls.values.sum
+    // scoped pass: memo rows OUTSIDE the scope never materialized —
+    // they are unchanged by construction, and their tally derives
+    // from the snapshot's exact count sidecar minus the scoped slice
+    val survivors = deltaScope.fold(0L) { s =>
+      val scopedMemoRows = probe.filter(col("processor_fp").isNotNull).count()
+      math.max(0L, s.memoTotal - scopedMemoRows)
+    }
+    val nTotal = byCls.values.sum + survivors
 
     // ---- level 2: content fingerprint for suspects --------------------
     // (suspects exist only for sources with a content fp; content is
@@ -511,7 +577,8 @@ final class Flow(
         afterCommit.foreach(_.apply())
       }
       Seq(listing, probe, level2, changedKeys, loaded).foreach(_.unpersist())
-      return RunStats(nTotal, byCls("unchanged"), 0, 0, 0, 0, 0, 0, 0)
+      return RunStats(nTotal, byCls("unchanged") + survivors,
+        0, 0, 0, 0, 0, 0, 0)
     }
 
     // ---- the expensive transform, on changed components only ----------
@@ -573,12 +640,35 @@ final class Flow(
     // one the container may have dropped column data the fingerprints
     // can't see — matching rows re-upsert defensively
     // (prev_may_be_missing semantics, statediff.py:160-166).
-    val tracking = st.read("tracking", TrackingSchema)
     val scopeKeys = changedKeys.union(goneKeys)
-    val trackedInScope0 = tracking
-      .join(scopeKeys, Seq("item_key"), "left_semi")
-      .select(col("row_key"), col("value_fp").as("prev_fp"),
-        col("item_key").as("prev_item"))
+    // scope as a bounded driver list when small (the overwhelmingly
+    // common delta run): enables the pruned below-merge tracking read
+    val scopeList: Option[Seq[String]] =
+      if (nChanged + byCls("gone") > KeyedFetch.MaxKeyPushdown) None
+      else Some(scopeKeys.select(col("item_key").cast("string"))
+        .distinct().collect().map(_.getString(0)).toSeq)
+    val trackedInScope0 = scopeList match {
+      case Some(ks) if rowKeyOwnedByItem =>
+        // each row_key's item is immutable by declaration, so an item
+        // filter below the latest-wins window keeps exactly the scope
+        // groups' full histories — O(scope) read against the clustered
+        // base instead of materializing + shuffling the whole table
+        if (ks.isEmpty)
+          spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              TrackingSchema)
+            .select(col("row_key"), col("value_fp").as("prev_fp"),
+              col("item_key").as("prev_item"))
+        else st.readWhere("tracking", TrackingSchema,
+            col("item_key").isin(ks: _*))
+          .select(col("row_key"), col("value_fp").as("prev_fp"),
+            col("item_key").as("prev_item"))
+      case _ =>
+        st.read("tracking", TrackingSchema)
+          .join(scopeKeys, Seq("item_key"), "left_semi")
+          .select(col("row_key"), col("value_fp").as("prev_fp"),
+            col("item_key").as("prev_item"))
+    }
     val trackedInScope =
       if (planned.destructive) trackedInScope0.limit(0) else trackedInScope0
     val actions = desired
@@ -688,12 +778,21 @@ final class Flow(
         prev.join(scopeKeys, Seq("item_key"), "left_semi")
           .select("item_key", "state_key")): StateStore.TableCommit)
     }
-    st.commitTables(stateTables)
+    // the memo row count advances by exactly (new items − gone items):
+    // changed-existing and refreshed rows replace in place. New items
+    // are the probe's listing-only rows (no stored processor_fp). Kept
+    // exact so later delta-scoped passes can derive survivor tallies
+    // from the sidecar instead of counting the corpus.
+    val nNewItems = probe
+      .filter(col("processor_fp").isNull && col("cls") === "changed")
+      .count()
+    st.commitTables(stateTables,
+      countDeltas = Map("component_memo" -> (nNewItems - byCls("gone"))))
     afterCommit.foreach(_.apply())
 
     val stats = RunStats(
       components = nTotal - byCls("gone"),
-      unchanged = byCls("unchanged"),
+      unchanged = byCls("unchanged") + survivors,
       refreshed = nRefreshed,
       recomputed = nChanged,
       deletedComponents = byCls("gone"),

@@ -139,6 +139,66 @@ final class StateStore(spark: SparkSession, rootDir: String) {
     }
   }
 
+  /** Merged view of `table` restricted — BELOW the latest-wins
+    * window — to rows matching `pred`. Sound ONLY when `pred` is
+    * stable across every version of a merge-key group: a predicate on
+    * the merge keys themselves, or on a column the caller declares
+    * immutable per key (e.g. [[Flow]]'s `rowKeyOwnedByItem` tracking
+    * scope). An unstable predicate could keep a superseded version of
+    * a key while dropping its current one, serving stale rows as
+    * current.
+    *
+    * Unlike [[read]], the restriction reaches the parquet scans as a
+    * pushed predicate — bases are clustered by their merge keys at
+    * commit, so a keyed/scoped read prunes row groups and the merge
+    * window shuffles only the matched rows: O(scope), not O(table).
+    * Uncached (each call plans fresh); callers cache the delta-sized
+    * result if they consume it more than once.
+    *
+    * TOMBSTONES pass the filter unconditionally: a tombstone row
+    * carries only the merge keys (every other column null), so a
+    * predicate on a non-key column would silently DROP it and
+    * resurrect the deleted row's older version — the first run of
+    * this method's own spec caught exactly that. Keeping all
+    * tombstones is sound: a group whose pred-matching upserts were
+    * all filtered out ranks a tombstone (or nothing) first and the
+    * final `!deleted` filter drops it, so out-of-scope rows still
+    * never surface. */
+  def readWhere(table: String, schema: StructType,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val v = currentVersion
+    val base = root.resolve(s"v=$v").resolve(table)
+    val hasBase = v > 0 && Files.exists(base)
+    val segs = segmentsOf(table, v)
+    if (!hasBase && segs.isEmpty) emptyDf(schema).filter(pred)
+    else if (segs.isEmpty)
+      spark.read.schema(schema).parquet(base.toString).filter(pred)
+    else {
+      val keys = StateStore.mergeKeysOf(table)
+      require(keys.nonEmpty,
+        s"state table $table has delta segments but no registered merge keys")
+      val segSchema = StructType(schema.fields :+
+        StructField(DelCol, org.apache.spark.sql.types.BooleanType))
+      val parts =
+        (if (hasBase)
+          Seq(spark.read.schema(schema).parquet(base.toString)
+            .withColumn(DelCol, lit(false)).withColumn(SeqCol, lit(0L)))
+        else Seq.empty) ++
+        segs.map { case (name, seq) =>
+          spark.read.schema(segSchema)
+            .parquet(root.resolve(s"v=$v").resolve(name).toString)
+            .withColumn(SeqCol, lit(seq))
+        }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*).orderBy(col(SeqCol).desc)
+      parts.map(_.filter(pred || col(DelCol))).reduce(_.unionByName(_))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && !col(DelCol))
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+  }
+
   /** Whether `table` exists (base or any delta segment) in the
     * current snapshot. */
   def tableExists(table: String): Boolean = {
@@ -201,6 +261,29 @@ final class StateStore(spark: SparkSession, rootDir: String) {
   def commit(tables: Map[String, DataFrame]): Long =
     commitTables(tables.map { case (n, df) => n -> Full(df) })
 
+  // ---- per-table row counts (snapshot sidecar) ------------------------
+  // Exact row counts ride each snapshot so a delta-scoped engine pass
+  // can report totals (components/unchanged) WITHOUT materializing the
+  // merged table — the stats analog of the nightly's "O(sidecar),
+  // never a corpus count" rule. Maintained exactly: rewrites (Full /
+  // first commit / compaction) recount from parquet footers (no data
+  // pages read); a Delta segment commit advances by the caller's
+  // declared delta, or INVALIDATES the entry when the caller cannot
+  // supply one — absent counts make readers fall back to the full
+  // path, never serve a wrong total.
+  private def countsFile(v: Long): java.io.File =
+    root.resolve(s"v=$v").resolve("_counts.json").toFile
+  private def countsAt(v: Long): Map[String, Long] =
+    if (v <= 0) Map.empty
+    else Sidecar.read(countsFile(v))
+      .map(_.flatMap { case (k, s) => Try(s.toLong).toOption.map(k -> _) })
+      .getOrElse(Map.empty)
+
+  /** Exact current row count of `table`, when this snapshot carries
+    * one (see the counts sidecar notes above). */
+  def rowCount(table: String): Option[Long] =
+    countsAt(currentVersion).get(table)
+
   /** Write the next snapshot, then atomically flip `_CURRENT`.
     * [[Full]] tables are rewritten (their old base + segments drop);
     * [[Delta]] tables gain ONE new segment of upserts + tombstones —
@@ -208,17 +291,41 @@ final class StateStore(spark: SparkSession, rootDir: String) {
     * current snapshot carries forward untouched as hard links
     * (metadata-only — a committer of memo+tracking must not lose
     * id_seq/user_state). Returns the new version. */
-  def commitTables(tables: Map[String, TableCommit]): Long = {
+  def commitTables(tables: Map[String, TableCommit],
+      countDeltas: Map[String, Long] = Map.empty): Long = {
     val cur = currentVersion
     val next = cur + 1
     val dir = root.resolve(s"v=$next")
+    var counts = countsAt(cur)
+    // footer-only recount of a freshly-rewritten table (zero data
+    // pages); an empty rewrite may have no part files → 0
+    def recount(name: String): Unit =
+      counts += name -> Try(
+        spark.read.parquet(dir.resolve(name).toString).count()).getOrElse(0L)
     // resolve Delta → physical write plan; a family over MaxSegments
     // compacts: its merged current content + the delta rewrites as a
     // fresh base (amortized O(N) every ~MaxSegments delta commits)
     var written = Set.empty[String] // logical tables written this commit
+    // bases are CLUSTERED by their merge keys (range-partitioned +
+    // sorted within partitions) so a keyed read's IN predicate prunes
+    // parquet row groups by column statistics — the difference between
+    // a reconcile reading O(scope keys) and re-scanning the table
+    // (hash/lineage placement spreads every key range over every file,
+    // making min/max stats vacuous). The range shuffle rides writes
+    // that are already O(table) — first commit, compaction, Full — so
+    // the asymptotics are unchanged.
+    def clustered(df: DataFrame, name: String): DataFrame = {
+      import org.apache.spark.sql.functions.col
+      val keys = mergeKeysOf(name)
+      if (keys.isEmpty) df
+      else df.repartitionByRange(keys.map(col).toIndexedSeq: _*)
+        .sortWithinPartitions(keys.map(col).toIndexedSeq: _*)
+    }
     tables.foreach {
       case (name, Full(df)) =>
-        df.write.mode("overwrite").parquet(dir.resolve(name).toString)
+        clustered(df, name).write.mode("overwrite")
+          .parquet(dir.resolve(name).toString)
+        recount(name)
         written += name
       case (name, Delta(upserts, deleteKeys)) =>
         val keys = mergeKeysOf(name)
@@ -260,8 +367,10 @@ final class StateStore(spark: SparkSession, rootDir: String) {
           // first commit of this table: the delta IS the content —
           // write it as a clean base (tombstones have nothing to hit),
           // so steady-state reads start from a single dir
-          upserts.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+          clustered(upserts.select(
+              schema.fieldNames.map(col).toIndexedSeq: _*), name)
             .write.mode("overwrite").parquet(dir.resolve(name).toString)
+          recount(name)
           written += name
         } else if (shouldCompact) {
           // compact: merged view (lazy over the CURRENT version's
@@ -274,7 +383,9 @@ final class StateStore(spark: SparkSession, rootDir: String) {
               .union(delKeys), keys, "left_anti")
             .unionByName(upserts.select(schema.fieldNames.map(col)
               .toIndexedSeq: _*))
-          merged.write.mode("overwrite").parquet(dir.resolve(name).toString)
+          clustered(merged, name).write.mode("overwrite")
+            .parquet(dir.resolve(name).toString)
+          recount(name)
           written += name
         } else {
           val nextSeq = segs.lastOption.map(_._2 + 1).getOrElse(1L)
@@ -294,9 +405,20 @@ final class StateStore(spark: SparkSession, rootDir: String) {
             .withColumn(DelCol, lit(true))
           // small-delta segments coalesce to one file: the write cost
           // of a 1-row change must be one small file, not 32 shards
-          ups.unionByName(tombRows).coalesce(1).write.mode("overwrite")
+          // sorted within the (single) file so scoped reads prune
+          // parquet row groups in segments too, not just the base
+          ups.unionByName(tombRows).coalesce(1)
+            .sortWithinPartitions(keys.map(col).toIndexedSeq: _*)
+            .write.mode("overwrite")
             .parquet(dir.resolve(f"$name$SegSep$nextSeq%06d").toString)
-          // base + prior segments of this family carry forward below
+          // base + prior segments of this family carry forward below;
+          // the count advances by the caller's declared exact delta,
+          // or invalidates (see the counts sidecar notes)
+          counts = countDeltas.get(name) match {
+            case Some(d) if counts.contains(name) =>
+              counts + (name -> (counts(name) + d))
+            case _ => counts - name
+          }
         }
     }
     val prevDir = root.resolve(s"v=$cur")
@@ -330,6 +452,11 @@ final class StateStore(spark: SparkSession, rootDir: String) {
           } finally stream.close()
         }
     }
+    // counts land inside the snapshot dir BEFORE the version flip, so
+    // they are exactly as atomic as the tables they describe
+    Files.createDirectories(dir)
+    Sidecar.write(countsFile(next),
+      counts.map { case (k, v) => k -> v.toString })
     val tmp = root.resolve(s"$CurrentFile.tmp")
     Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, root.resolve(CurrentFile),

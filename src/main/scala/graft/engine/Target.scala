@@ -104,18 +104,54 @@ trait Target {
   * state store uses for its own tables): an apply APPENDS one
   * segment holding exactly its upserts plus thin tombstones, so
   * write bytes are O(delta); reads merge base ∪ segments with
-  * latest-wins per `row_key` (the merge shuffle is confined to the
-  * SEGMENT rows — base rows join the thin superseded-key set
-  * broadcast, and bucket filters still partition-prune both sides);
-  * and when `maxDeltaSegments` accumulate, the apply folds them into
-  * a fresh base generation (amortized base/maxDeltaSegments bytes
-  * per apply — raise the knob at scale to trade read fan-in for
-  * write amplification). Crash safety is convergent roll-forward:
+  * latest-wins per `row_key`, and bucket filters still
+  * partition-prune both sides.
+  *
+  * Compaction is TIERED, so amortized write bytes stay O(delta) at
+  * ANY base size (a single count-triggered full fold would cost
+  * base/maxDeltaSegments per apply — linear in the corpus, the exact
+  * amplification delta-log mode exists to remove):
+  *
+  *   - tier 0 → tier 1 (CONSOLIDATE): once `maxDeltaSegments` fresh
+  *     segments accumulate, they merge into ONE consolidated segment
+  *     (latest-wins, tombstones kept — base is not read). Consolidated
+  *     segments (`_graft_consolidated` marker) are never re-merged
+  *     with fresh ones, so no byte is consolidated twice per tier —
+  *     the re-consolidation trap that would make the "minor" pass
+  *     quadratic. A second consolidation tier merges the consolidated
+  *     segments themselves when THEY reach `maxDeltaSegments`,
+  *     bounding read fan-in at ~2×maxDeltaSegments live segments.
+  *   - fold (MAJOR): segments fold into a fresh base generation only
+  *     when live delta bytes reach `foldRatio` × base bytes (floored
+  *     at `minFoldBytes` so toy-sized bases don't churn) or the
+  *     absolute `maxDeltaBytes` — proportional, so the O(base) fold
+  *     is paid once per base-fraction of churn. Each delta byte is
+  *     written ≤3× before folding (segment, consolidation, tier-1
+  *     merge), giving amortized per-apply bytes ≤ 3×delta +
+  *     delta/foldRatio = O(delta), flat in base size.
+  *
+  * Merged reads pick their base-side plan by the live superseded-key
+  * count (persisted per segment in its commit marker): under
+  * `maxBroadcastKeys` the base anti-joins an explicitly BROADCAST key
+  * set (no base exchange); past it — a fat table accumulating churn
+  * toward a proportional fold can hold far more delta keys than any
+  * broadcast should carry — the read switches to a bloom-prefiltered
+  * merge: base rows failing a delta-key bloom probe serve directly
+  * (no join at all), only the bloom-positive sliver (true superseded
+  * + fpp) pays an exact anti-join. Neither branch exchanges or
+  * broadcasts anything corpus-sized; the cost is a second base scan
+  * for the sliver branch, acceptable because full merged reads of a
+  * fat table are rare (folds, handoffs, crash recovery).
+  *
+  * Crash safety is convergent roll-forward:
   * every segment/generation directory is invisible until its
   * `_graft_committed` marker lands, a crashed writer's unmarked
   * directory is swept on the next apply, and replaying surviving
   * segments over a freshly-folded base is value-identical (the
-  * compaction can crash anywhere after its marker and re-converge).
+  * compaction can crash anywhere after its marker and re-converge;
+  * a consolidated segment outranks its inputs by segment id, so a
+  * crash between its commit and the inputs' retirement double-serves
+  * identical latest rows).
   */
 final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
     /** SQL expression over `row_key` whose hash places the row in a
@@ -131,20 +167,60 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
       * plans a destructive recreate); reads auto-detect the on-disk
       * layout, so reader handles work against either. */
     deltaLog: Boolean = false,
-    /** Delta-log only: fold segments into a new base generation once
-      * this many accumulate. NOT container identity — tune in place. */
+    /** Delta-log only: consolidate fresh segments into one once this
+      * many accumulate (tier 0 → tier 1; see the class doc). Also the
+      * tier-1 capacity before consolidated segments merge again. NOT
+      * container identity — tune in place. */
     maxDeltaSegments: Int = 16,
-    /** Delta-log only: ALSO fold once the live segments' on-disk
-      * bytes pass this bound (r16 verdict #2) — a count-only trigger
-      * lets `maxDeltaSegments` LARGE applies accumulate a
-      * superseded-key set past what the read path's broadcast should
-      * carry; the byte trigger bounds that set regardless of how the
-      * delta arrived. NOT container identity — tune in place. */
-    maxDeltaBytes: Long = 512L << 20)
+    /** Delta-log only: FOLD into a new base generation once the live
+      * segments' on-disk bytes pass this absolute bound (r16 verdict
+      * #2). Right for thin index tables whose base is comparable to
+      * this bound; a FAT table (the corpus export) should raise it
+      * toward Long.MaxValue and let `foldRatio` govern — an absolute
+      * trigger on a 100 TB table would force a full rewrite every
+      * 512 MB of churn. NOT container identity — tune in place. */
+    maxDeltaBytes: Long = 512L << 20,
+    /** Delta-log only: ALSO fold once live delta bytes reach this
+      * fraction of the base's bytes — the proportional trigger that
+      * keeps the O(base) fold amortized to O(delta) per apply at any
+      * base size. NOT container identity — tune in place. */
+    foldRatio: Double = 0.25,
+    /** Delta-log only: the proportional trigger is ignored below this
+      * many live delta bytes — folding a toy-sized base every few
+      * applies is pure write amplification (the fold's O(base) cost
+      * pays off only against a substantial delta). The absolute
+      * `maxDeltaBytes` trigger is NOT floored. NOT container
+      * identity — tune in place. */
+    minFoldBytes: Long = 16L << 20,
+    /** Delta-log only: merged reads broadcast the superseded-key set
+      * while the live segments hold at most this many rows; past it
+      * the read switches to the bloom-prefiltered merge (class doc).
+      * ~16 B/key broadcast → the default is a ~64 MB ceiling. NOT
+      * container identity — tune in place. */
+    maxBroadcastKeys: Long = 4L * 1000 * 1000,
+    /** Delta-log only: SQL expression to physically cluster rows by
+      * at every write (range-repartition + sort within partitions).
+      * Point fetches whose predicate lands on this expression's
+      * column then prune parquet row groups by min/max statistics —
+      * without clustering, hash/lineage placement spreads every key
+      * range over every file and a 2,000-key IN reads the whole
+      * table. Costs one delta-sized range shuffle per apply and rides
+      * the already-O(table) fold. Set it to the table's natural fetch
+      * key (e.g. the export's native doc id — row_key's LEXICAL order
+      * scatters numeric ids, so cluster by the typed column the
+      * fetches actually filter on). NOT container identity. */
+    clusterBySql: Option[String] = None)
     extends Target {
 
   private def bucketOf = pmod(xxhash64(expr(bucketKeySql)), lit(numBuckets))
     .cast("int")
+
+  /** Physically cluster `df` by [[clusterBySql]] before a delta-log
+    * write (no-op when unset — the default keeps every existing
+    * target's shuffle-free write plans byte-identical). */
+  private def clustered(df: DataFrame): DataFrame =
+    clusterBySql.fold(df)(c =>
+      df.repartitionByRange(expr(c)).sortWithinPartitions(expr(c)))
 
   /** The bucket layout is baked into every row's placement, and the
     * directory is the container's physical location: a `numBuckets`
@@ -319,10 +395,10 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
       // first write goes straight to a compacted base generation
       if (nUp > 0) {
         val g0 = new java.io.File(baseRoot, "g=0")
-        up.write.partitionBy("bucket").mode(SaveMode.Overwrite)
+        clustered(up).write.partitionBy("bucket").mode(SaveMode.Overwrite)
           .parquet(g0.getPath)
         saveSchema(up.drop("bucket"))
-        commit(g0)
+        commit(g0, nUp)
       }
       return TargetStats(nUp, 0)
     }
@@ -346,19 +422,94 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
 
     val segId = (deltaSegs.map(_._1) :+ -1L).max + 1
     val segDir = new java.io.File(deltaRoot, s"seg=$segId")
-    seg.write.partitionBy("bucket").mode(SaveMode.Overwrite)
+    clustered(seg).write.partitionBy("bucket").mode(SaveMode.Overwrite)
       .parquet(segDir.getPath)
     saveSchema(widened)
-    commit(segDir)
-    if (activeSegs.size >= maxDeltaSegments ||
-        activeSegs.map(FsUtil.sizeOf).sum >= maxDeltaBytes) compact(spark)
+    commit(segDir, nUp + nDel)
+    maintainDeltaLog(spark)
     TargetStats(nUp, nDel)
   }
 
-  private def commit(d: java.io.File): Unit = {
-    d.mkdirs() // an all-tombstone empty-write still needs its marker
-    java.nio.file.Files.write(markerOf(d).toPath, Array.empty[Byte])
+  /** Post-apply housekeeping, in priority order (class doc): a
+    * proportional (or absolute) byte trigger folds everything into a
+    * new base; otherwise full tiers consolidate — fresh segments into
+    * one once `maxDeltaSegments` accumulate, and ALL live segments
+    * once the consolidated ones themselves reach `maxDeltaSegments`
+    * (consolidating only the consolidated tier would be wrong: fresh
+    * segments with interleaved ids can hold NEWER rows for a key than
+    * an older consolidated segment, and the merged output's fresh id
+    * would outrank them). */
+  private def maintainDeltaLog(spark: SparkSession): Unit = {
+    val segs = activeSegs
+    val liveBytes = segs.map(FsUtil.sizeOf).sum
+    val baseBytes = activeBase.map(FsUtil.sizeOf).getOrElse(0L)
+    if (liveBytes >= maxDeltaBytes ||
+        (liveBytes >= minFoldBytes && liveBytes >= foldRatio * baseBytes)) {
+      compact(spark); return
+    }
+    if (segs.count(isConsolidated) >= maxDeltaSegments)
+      consolidate(spark, segs)
+    else {
+      val fresh = segs.filterNot(isConsolidated)
+      if (fresh.size >= maxDeltaSegments) consolidate(spark, fresh)
+    }
   }
+
+  private def consolidatedMarker(d: java.io.File) =
+    new java.io.File(d, "_graft_consolidated")
+  private def isConsolidated(d: java.io.File) = consolidatedMarker(d).exists()
+
+  /** Merge `inputs` (live segments) into ONE consolidated segment and
+    * retire them — latest-wins per key, tombstones KEPT (whether a
+    * tombstoned key exists in the base is unknowable without reading
+    * it, and consolidation never reads the base). Cost O(input
+    * bytes). Convergent under crash: the output is invisible until
+    * its marker, and once committed it outranks every input by
+    * segment id while holding their exact latest rows, so
+    * not-yet-retired inputs merely double-serve identical values (a
+    * later pass re-consolidates and retires them). Tier-0 calls
+    * consolidate ALL fresh segments, which preserves the invariant
+    * that every fresh segment id exceeds every consolidated one. */
+  private def consolidate(spark: SparkSession,
+      inputs: Seq[java.io.File]): Unit = {
+    if (inputs.size < 2) return
+    val delta = spark.read.option("mergeSchema", "true")
+      .option("basePath", deltaRoot.getPath)
+      .parquet(inputs.map(_.getPath): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket", "row_key")
+      .orderBy(col("seg").desc, col("__deleted").asc)
+    // localCheckpoint cuts lineage to the input files retired below
+    val latest = delta.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "seg")
+      .localCheckpoint()
+    val segId = (deltaSegs.map(_._1) :+ -1L).max + 1
+    val segDir = new java.io.File(deltaRoot, s"seg=$segId")
+    clustered(latest).write.partitionBy("bucket").mode(SaveMode.Overwrite)
+      .parquet(segDir.getPath)
+    segDir.mkdirs()
+    java.nio.file.Files.write(consolidatedMarker(segDir).toPath,
+      Array.empty[Byte])
+    commit(segDir, latest.count())
+    inputs.foreach(d => FsUtil.deleteRecursively(d))
+  }
+
+  private def commit(d: java.io.File, rows: Long = 0L): Unit = {
+    d.mkdirs() // an all-tombstone empty-write still needs its marker
+    // the marker carries the directory's row count — merged reads use
+    // the live segments' total as the superseded-key-count estimate
+    // that picks the base-side plan (broadcast vs bloom prefilter)
+    java.nio.file.Files.write(markerOf(d).toPath,
+      rows.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Rows in a committed directory, from its marker; legacy empty
+    * markers estimate from on-disk bytes (~16 B/row lower bound keeps
+    * big legacy containers off the broadcast path). */
+  private def rowsOf(d: java.io.File): Long =
+    scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+      markerOf(d).toPath), java.nio.charset.StandardCharsets.UTF_8)
+      .trim.toLong).getOrElse(FsUtil.sizeOf(d) / 16)
 
   /** Fold every live segment into a fresh base generation, then
     * retire the inputs. Convergent under crash at any point: the new
@@ -375,7 +526,7 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
     val merged = readDeltaLog(spark).localCheckpoint()
     if (!merged.isEmpty) {
       val gDir = new java.io.File(baseRoot, s"g=$gen")
-      merged.write.partitionBy("bucket").mode(SaveMode.Overwrite)
+      clustered(merged).write.partitionBy("bucket").mode(SaveMode.Overwrite)
         .parquet(gDir.getPath)
       commit(gDir)
     }
@@ -408,17 +559,46 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
       base match {
         case None => latest
         case Some(b) =>
-          // EXPLICIT broadcast of the superseded-key set (r16 verdict
-          // #2 / ADVICE): the base side is corpus-sized — left to
-          // statistics, segments past the auto-broadcast threshold
-          // would sort-merge and EXCHANGE the base on every read, the
-          // exact linear-in-N shuffle KeyedFetch exists to prevent.
-          // The key set is bounded: segment volume is capped by the
-          // segment-count AND byte-based compaction triggers, so the
-          // distinct keys broadcast is O(accumulated delta keys).
-          b.join(broadcast(delta.select(col("row_key")).distinct()),
-              Seq("row_key"), "left_anti")
-            .unionByName(latest, allowMissingColumns = true)
+          // the superseded-key-count estimate (live segment rows ≥
+          // distinct keys) picks the base-side plan — both branches
+          // below keep the corpus-sized base out of every Exchange
+          // and every broadcast
+          val keyEst = math.max(1L, segs.map(rowsOf).sum)
+          if (keyEst <= maxBroadcastKeys)
+            // EXPLICIT broadcast of the superseded-key set (r16
+            // verdict #2 / ADVICE): the base side is corpus-sized —
+            // left to statistics, segments past the auto-broadcast
+            // threshold would sort-merge and EXCHANGE the base on
+            // every read, the exact linear-in-N shuffle KeyedFetch
+            // exists to prevent.
+            b.join(broadcast(delta.select(col("row_key")).distinct()),
+                Seq("row_key"), "left_anti")
+              .unionByName(latest, allowMissingColumns = true)
+          else {
+            // bloom-prefiltered merge (class doc): a fat table run
+            // under the proportional fold trigger legitimately holds
+            // more delta keys than any broadcast should carry. Base
+            // rows failing a delta-key bloom probe serve with NO join
+            // at all; only the bloom-positive sliver (true superseded
+            // keys + fpp of the base) pays an exact anti-join, forced
+            // to sort-merge so the planner cannot choose to broadcast
+            // the large key set. The filter is eager (one O(delta)
+            // aggregate builds the bloom when the read PLAN is built)
+            // and the broadcast it rides lives until session GC —
+            // acceptable because reads this large are rare (folds,
+            // handoffs, crash recovery), and each is corpus-scan
+            // bound anyway.
+            val keys = delta.select(col("row_key")).distinct()
+            val bf = keys.stat.bloomFilter("row_key", keyEst, 0.01)
+            val bc = spark.sparkContext.broadcast(bf)
+            val might = udf((k: String) =>
+              k != null && bc.value.mightContainString(k))
+            b.filter(!might(col("row_key")))
+              .unionByName(
+                b.filter(might(col("row_key")))
+                  .join(keys.hint("merge"), Seq("row_key"), "left_anti"))
+              .unionByName(latest, allowMissingColumns = true)
+          }
       }
     }
   }

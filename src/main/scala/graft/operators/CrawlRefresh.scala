@@ -171,11 +171,14 @@ object CrawlRefresh {
     *     admitted-docs segment (admit): O(delta) bytes at ANY corpus
     *     size (NIGHTLY_SCALE.json measures night seconds and written
     *     MB flat across corpus decades under a fixed-size night).
-    *     Reads merge base ∪ segments with the superseded-key set
-    *     broadcast; segment build-up folds into a fresh
-    *     bucket-partitioned base under the target's count+byte
-    *     compaction triggers (amortized corpus/maxDeltaSegments bytes
-    *     per night). Every mutation is atomic-or-invisible
+    *     Reads merge base ∪ segments (superseded keys broadcast, or
+    *     bloom-prefiltered once they outgrow any broadcast); segment
+    *     build-up CONSOLIDATES at O(delta) cost and folds into a
+    *     fresh bucket-partitioned base only under the target's
+    *     PROPORTIONAL trigger (delta ≥ foldRatio × base — the
+    *     absolute byte trigger is disabled for this fat table), so
+    *     amortized per-night export bytes stay O(delta) at any
+    *     corpus size. Every mutation is atomic-or-invisible
     *     (`_graft_committed` markers) — strictly stronger than the
     *     shard overwrite's partial-write states, which heal only via
     *     the next manifest recompute. The per-shard manifest is a
@@ -274,8 +277,23 @@ object CrawlRefresh {
   private final class DeltaLogExportStore(exportDir: String,
       workDir: String, idCol: String, textCol: String, buckets: Int,
       emptyLike: DataFrame) extends ExportStore {
+    // FAT-table compaction profile: the export is the corpus itself,
+    // so the absolute delta-byte fold trigger is disabled and the
+    // PROPORTIONAL one governs (fold when delta ≥ foldRatio × base) —
+    // an absolute 512 MB trigger at 100 TB would force a full corpus
+    // rewrite every ~512 MB of churn, the amplification this layout
+    // exists to remove. Merged reads switch to the bloom-prefiltered
+    // plan automatically once the accumulated superseded keys pass
+    // the broadcast bound (ParquetTableTarget class doc).
+    // clusterBySql: rows are physically range-clustered by the NATIVE
+    // id at every write, so the CDC slice's and the screens' typed-IN
+    // point fetches prune parquet row groups instead of reading the
+    // corpus (row_key's lexical order scatters numeric ids — "12" <
+    // "120" < "13" — so the cluster key is the typed column the
+    // fetches filter on)
     private def target = graft.engine.ParquetTableTarget(
-      exportDir, numBuckets = buckets, deltaLog = true)
+      exportDir, numBuckets = buckets, deltaLog = true,
+      maxDeltaBytes = Long.MaxValue, clusterBySql = Some(idCol))
     private def metaFile =
       new java.io.File(workDir, "_graft_export_meta.json")
     private def meta: Option[Map[String, String]] =
@@ -385,7 +403,8 @@ object CrawlRefresh {
     val idCol = meta.getOrElse("idCol", "doc_id")
     val textCol = meta.getOrElse("textCol", "text")
     val t = graft.engine.ParquetTableTarget(s"$workDir/export",
-      numBuckets = meta("buckets").toInt, deltaLog = true)
+      numBuckets = meta("buckets").toInt, deltaLog = true,
+      maxDeltaBytes = Long.MaxValue, clusterBySql = Some(idCol))
     t.compact(spark)
     Curation.shardManifest(t.read(spark).select(col(idCol), col(textCol)),
       idCol, Seq(idCol, textCol), hexDigits)
@@ -434,10 +453,10 @@ object CrawlRefresh {
     * screens' semi-join-pruned candidate fetches (spec-asserted via
     * scan metrics in CrawlRefreshSpec). The band indexes live on the
     * target's delta-log layout, so each reconcile APPENDS O(changed
-    * bands) bytes; the one amortized term is the segment fold — every
-    * ~maxDeltaSegments/2 nights (two reconciles per night) the target
-    * compacts its thin index, O(index)/maxDeltaSegments bytes per
-    * night amortized, tunable at scale.
+    * bands) bytes; segment build-up consolidates at O(delta) cost
+    * every ~maxDeltaSegments/2 nights (two reconciles per night), and
+    * the index folds only under the target's proportional trigger —
+    * amortized O(changed bands) per night, flat in index size.
     *
     * Re-delivered rejects: a screened-out document is NOT in the
     * kept corpus, so a snapshot that keeps shipping it re-classifies
@@ -550,6 +569,17 @@ object CrawlRefresh {
     // re-appended keys are idempotent in the bloom, duplicates fold
     // at the amortized rebuild, and ever-seen keys are never lost.
     // One corpus pass, the honest price of a crashed night.
+    // every Spark job a night section launches is tagged with its
+    // phase via a local property, so scale sweeps attribute read
+    // bytes per phase from listener events (NightlyScaleBench) —
+    // the "bytes, not prose" doctrine applied to the orchestrator
+    def inPhase[T](name: String)(body: => T): T = {
+      spark.sparkContext.setLocalProperty("graft.nightly.phase", name)
+      try body
+      finally
+        spark.sparkContext.setLocalProperty("graft.nightly.phase", null)
+    }
+
     val nightMarker = new java.io.File(workDir, "_graft_night_pending")
     def stampNight(kind: String): Unit = {
       new java.io.File(workDir).mkdirs()
@@ -582,12 +612,17 @@ object CrawlRefresh {
       // exportShardsIncremental rewrites only manifest-diff shards,
       // keyIndexInit re-provisions destructively, the flows full-run.
       stampNight("bootstrap")
-      val (n, manifest) =
+      val (n, manifest) = inPhase("boot_export") {
         store.bootstrap(spark, newSnap.select(col(idCol), col(textCol)))
-      Dedup.keyIndexInit(spark, keyIdx, textCol, expectedKeys)
-      Dedup.keyIndexAppend(spark, keyIdx, readExport(spark))
-      flow.run(spark)
-      srpFlow.foreach(_.run(spark))
+      }
+      inPhase("boot_keyidx") {
+        Dedup.keyIndexInit(spark, keyIdx, textCol, expectedKeys)
+        Dedup.keyIndexAppend(spark, keyIdx, readExport(spark))
+      }
+      inPhase("boot_flows") {
+        flow.run(spark)
+        srpFlow.foreach(_.run(spark))
+      }
       store.commitTotal(spark, n)
       java.nio.file.Files.deleteIfExists(nightMarker.toPath)
       return NightlyStats(bootstrap = true, sliceSize = n,
@@ -595,7 +630,7 @@ object CrawlRefresh {
         keptSize = n, keyIndexRebuilt = false, manifest = manifest)
     }
 
-    if (crashedKind.isDefined) {
+    if (crashedKind.isDefined) inPhase("preamble") {
       // crashed REFRESH night: catch the index family up to the
       // export before diffing tonight's snapshot. The marker stays up
       // through the preamble AND tonight's normal delta work — the
@@ -625,7 +660,7 @@ object CrawlRefresh {
     def snapshotDelta(): DataFrame =
       Curation.corpusDiff(readExport(spark), newSnap, idCol, textCol)
         .filter(col("status") =!= "unchanged")
-    val delta = (changeFeed match {
+    val delta = inPhase("diff") { (changeFeed match {
       case None => snapshotDelta()
       case Some(f) =>
         val w = f()
@@ -650,19 +685,23 @@ object CrawlRefresh {
           Curation.corpusDiff(oldSlice, newSlice, idCol, textCol)
             .filter(col("status") =!= "unchanged")
         }
-    }).localCheckpoint()
+    }).localCheckpoint() }
 
-    val retiredIds = delta
-      .filter(col("status").isin("removed", "changed"))
-      .select(col("id").as(idCol))
-    val slice = newSnap
-      .join(delta.filter(col("status").isin("added", "changed"))
-        .select(col("id")), newSnap(idCol) === col("id"), "left_semi")
-      .select(col(idCol), col(textCol))
-      .localCheckpoint()
-    val removedSize = delta.filter(col("status") === "removed").count()
-    val changedSize = delta.filter(col("status") === "changed").count()
-    val sliceSize = slice.count()
+    val (retiredIds, slice, removedSize, changedSize, sliceSize) =
+      inPhase("diff") {
+        val retired = delta
+          .filter(col("status").isin("removed", "changed"))
+          .select(col("id").as(idCol))
+        val sl = newSnap
+          .join(delta.filter(col("status").isin("added", "changed"))
+            .select(col("id")), newSnap(idCol) === col("id"), "left_semi")
+          .select(col(idCol), col(textCol))
+          .localCheckpoint()
+        (retired, sl,
+          delta.filter(col("status") === "removed").count(),
+          delta.filter(col("status") === "changed").count(),
+          sl.count())
+      }
 
     // the flows' delta re-stat wants the changed keys as a bounded
     // driver list; past the cap, a full (thin-fingerprint) catch-up
@@ -691,23 +730,27 @@ object CrawlRefresh {
     // tombstone segment appends), then the band indexes reconcile to
     // exactly the unchanged corpus (O(changed) components via the
     // known-key delta re-stat)
-    store.applyRetire(spark, retiredIds)
-    val retireKeys = keyList(retiredIds)
-    reconcile(flow, retireKeys)
-    srpFlow.foreach(reconcile(_, retireKeys))
+    inPhase("retire") {
+      store.applyRetire(spark, retiredIds)
+      val retireKeys = keyList(retiredIds)
+      reconcile(flow, retireKeys)
+      srpFlow.foreach(reconcile(_, retireKeys))
+    }
 
     // screens — all served from persisted state
-    val exactKept = Dedup.incrementalDedupOver(spark, keyIdx, slice)
-    val fuzzyKept = Dedup.minHashIncrementOver(spark,
-      s"$workDir/mhindex", readExport(spark),
-      exactKept, threshold, idCol = idCol, textCol = textCol)
-    val kept = embedScreen.fold(fuzzyKept) { es =>
-      Similarity.semDedupIncrementOver(spark, s"$workDir/srpindex",
-        es.embed(readExport(spark)), es.embed(fuzzyKept), es.threshold,
-        idCol = idCol, embCol = es.embCol)
-        .select(col(idCol), col(textCol))
-    }.localCheckpoint()
-    val keptNew = kept.count()
+    val (kept, keptNew) = inPhase("screens") {
+      val exactKept = Dedup.incrementalDedupOver(spark, keyIdx, slice)
+      val fuzzyKept = Dedup.minHashIncrementOver(spark,
+        s"$workDir/mhindex", readExport(spark),
+        exactKept, threshold, idCol = idCol, textCol = textCol)
+      val k = embedScreen.fold(fuzzyKept) { es =>
+        Similarity.semDedupIncrementOver(spark, s"$workDir/srpindex",
+          es.embed(readExport(spark)), es.embed(fuzzyKept), es.threshold,
+          idCol = idCol, embCol = es.embCol)
+          .select(col(idCol), col(textCol))
+      }.localCheckpoint()
+      (k, k.count())
+    }
     // the screens are materialized (the localCheckpoint above cut
     // their lineage), so the per-call corpus-bloom broadcast the
     // exact screen created is no longer reachable from any plan —
@@ -719,18 +762,21 @@ object CrawlRefresh {
     // their shards rewrite; delta-log: one O(delta) segment appends),
     // the band indexes add their components, their keys commit to
     // the bloom+key index
-    val manifest = store.applyAdmit(spark, kept)
-    if (nightlyCrashAfterAdmitExport)
-      throw new RuntimeException(
-        "nightly: injected test crash after the admit export")
-    val admitKeys = keyList(kept)
-    reconcile(flow, admitKeys)
-    srpFlow.foreach(reconcile(_, admitKeys))
-    Dedup.keyIndexAppend(spark, keyIdx, kept)
-    val rebuilt =
-      if (Dedup.keyIndexNeedsRebuild(keyIdx)) {
-        Dedup.keyIndexRebuild(spark, keyIdx); true
-      } else false
+    val (manifest, rebuilt) = inPhase("admit") {
+      val m = store.applyAdmit(spark, kept)
+      if (nightlyCrashAfterAdmitExport)
+        throw new RuntimeException(
+          "nightly: injected test crash after the admit export")
+      val admitKeys = keyList(kept)
+      reconcile(flow, admitKeys)
+      srpFlow.foreach(reconcile(_, admitKeys))
+      Dedup.keyIndexAppend(spark, keyIdx, kept)
+      val rb =
+        if (Dedup.keyIndexNeedsRebuild(keyIdx)) {
+          Dedup.keyIndexRebuild(spark, keyIdx); true
+        } else false
+      (m, rb)
+    }
 
     val unchangedSize = prevTotal - removedSize - changedSize
     store.commitTotal(spark, unchangedSize + keptNew)

@@ -554,6 +554,9 @@ object Dedup {
       // serve time can refuse a mismatched read (ADVICE r7) — and
       // only AFTER a successful commit, so a declared-but-failed run
       // can never relabel an index built with other parameters
+      // row keys are "item:band" — item-owned for life, so the
+      // reconcile's tracking scope reads pruned below the merge
+      rowKeyOwnedByItem = true,
       afterCommit = Some(() =>
         graft.engine.Sidecar.write(minHashMetaFile(indexDir), Map(
           "n" -> n.toString, "idCol" -> idCol, "textCol" -> textCol,

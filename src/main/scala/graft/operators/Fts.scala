@@ -210,6 +210,8 @@ object Fts {
       deps = Seq(s"t=$textCol", s"id=$idCol"),
       fn = df => ftsIndexRows(df, textCol))
     FtsFlows(new graft.engine.Flow(name, src, Seq(stage), target, stateDir,
+      // row keys are "pl:item:term" / "dl:item" — item-owned for life
+      rowKeyOwnedByItem = true,
       // the layout declaration ftsLoad prunes by — written only
       // AFTER a successful commit, so it always describes the
       // bucketing actually on disk

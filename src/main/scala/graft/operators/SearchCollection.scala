@@ -109,7 +109,8 @@ object SearchCollection {
       // delta-log like the index tables: a document edit appends
       // O(1) rows instead of rewriting its whole hash bucket
       ParquetTableTarget(s"$dir/rows", numBuckets, deltaLog = true),
-      s"$stateDir/rows")
+      s"$stateDir/rows",
+      rowKeyOwnedByItem = true)
 
     // both indexes read the ROW TABLE (not the raw corpus): they see
     // exactly what the collection committed, and share one scan

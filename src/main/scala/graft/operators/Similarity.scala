@@ -431,7 +431,9 @@ object Similarity {
     new graft.engine.Flow(name,
       changeFeed.map(f => graft.engine.ChangeFeedSource(tableSrc, f):
         graft.engine.Source).getOrElse(tableSrc),
-      Seq(assign), target, stateDir)
+      Seq(assign), target, stateDir,
+      // row_key = item_key: item-owned for life
+      rowKeyOwnedByItem = true)
   }
 
   /** Re-train and persist the quantizer; the next [[ivfFlow]] run
@@ -826,6 +828,9 @@ object Similarity {
       graft.engine.ParquetTableTarget(indexDir, numBuckets = numBuckets,
         deltaLog = true),
       stateDir,
+      // row keys are "item:band" — item-owned for life (minHashFlow
+      // convention): tracking scope reads pruned below the merge
+      rowKeyOwnedByItem = true,
       // declared only AFTER a successful commit (the minHashFlow
       // convention): a declared-but-failed run can never relabel an
       // index built with other parameters

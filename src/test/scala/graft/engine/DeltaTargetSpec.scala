@@ -55,7 +55,7 @@ class DeltaTargetSpec extends graft.SparkSpec {
     val work = tmp()
     val cow = ParquetTableTarget(work.resolve("cow").toString, numBuckets = 4)
     val dlt = ParquetTableTarget(work.resolve("dlt").toString, numBuckets = 4,
-      deltaLog = true, maxDeltaSegments = 3) // compaction fires mid-sequence
+      deltaLog = true, maxDeltaSegments = 3) // consolidation fires mid-sequence
     // (upserts, deleteKeys) steps: bootstrap, update+insert, delete,
     // re-insert after delete, same-apply upsert+delete of one key,
     // no-op, delete of a never-present key
@@ -103,7 +103,7 @@ class DeltaTargetSpec extends graft.SparkSpec {
       m.size == 4999)
   }
 
-  test("latest-wins across segments; compaction folds and retires them") {
+  test("latest-wins across segments; count consolidates, compact folds") {
     val work = tmp()
     val dir = work.resolve("t").toString
     val t = ParquetTableTarget(dir, numBuckets = 2,
@@ -114,12 +114,142 @@ class DeltaTargetSpec extends graft.SparkSpec {
     t.apply(spark, rows("x" -> 3), keys("y"))             // seg 2
     assert(contents(t) == Set("x" -> 3))
     assert(segDirs(dir).size == 3 && genDirs(dir).size == 1)
-    // 4th segment hits maxDeltaSegments → auto-fold into a new base
+    // 4th segment hits maxDeltaSegments → CONSOLIDATE (tier 0→1), not
+    // fold: the base generation is untouched (a count-triggered fold
+    // would cost O(base) every maxDeltaSegments applies — linear in
+    // the corpus); the four segments merge into one
     t.apply(spark, rows("z" -> 9), keys())
+    assert(segDirs(dir).size == 1, "fresh segments consolidated into one")
+    assert(new java.io.File(segDirs(dir).head, "_graft_consolidated")
+      .exists(), "the merged segment carries the consolidated marker")
+    assert(genDirs(dir).size == 1 && genDirs(dir).head.getName == "g=0",
+      "the base generation is byte-untouched by consolidation")
+    // y's tombstone must SURVIVE consolidation — whether y exists in
+    // the base is unknowable without reading it, and consolidation
+    // never reads the base; dropping the tombstone would resurrect y
+    assert(contents(t) == Set("x" -> 3, "z" -> 9))
+    // explicit compaction folds everything into a fresh generation
+    t.compact(spark)
     assert(segDirs(dir).isEmpty, "segments folded")
     assert(genDirs(dir).size == 1 &&
       genDirs(dir).head.getName != "g=0", "one fresh base generation")
     assert(contents(t) == Set("x" -> 3, "z" -> 9))
+  }
+
+  test("tiered consolidation: consolidated segments merge with ALL live ones") {
+    // the tier-1 trigger must include fresh segments in the merge: a
+    // fresh segment with an interleaved id can hold a NEWER row for a
+    // key than an older consolidated segment, and a consolidated-only
+    // merge output would outrank it by segment id — serving stale data
+    val work = tmp()
+    val dir = work.resolve("t").toString
+    val t = ParquetTableTarget(dir, numBuckets = 2, deltaLog = true,
+      maxDeltaSegments = 2, minFoldBytes = Long.MaxValue,
+      maxDeltaBytes = Long.MaxValue)
+    t.apply(spark, rows("a" -> 1, "b" -> 1), keys())        // base g=0
+    t.apply(spark, rows("a" -> 2), keys())                  // seg
+    t.apply(spark, rows("b" -> 2), keys())                  // seg → consol #1
+    assert(segDirs(dir).count(d =>
+      new java.io.File(d, "_graft_consolidated").exists()) == 1)
+    t.apply(spark, rows("a" -> 3), keys())                  // seg
+    t.apply(spark, rows("b" -> 3), keys())                  // seg → consol #2
+    // two consolidated segments now live → tier-1 merge fires on the
+    // next maintenance, folding ALL live segments into one
+    t.apply(spark, rows("c" -> 1), keys())                  // seg + tier-1
+    val segs = segDirs(dir)
+    assert(segs.size == 1 && new java.io.File(segs.head,
+      "_graft_consolidated").exists(),
+      s"tier-1 merge must leave one consolidated segment, got $segs")
+    assert(genDirs(dir).size == 1 && genDirs(dir).head.getName == "g=0",
+      "the base generation is never touched by consolidation")
+    assert(contents(t) == Set("a" -> 3, "b" -> 3, "c" -> 1))
+  }
+
+  test("proportional fold: delta reaching foldRatio x base folds into a new base") {
+    import spark.implicits._
+    val work = tmp()
+    val dir = work.resolve("t").toString
+    val t = ParquetTableTarget(dir, numBuckets = 2, deltaLog = true,
+      maxDeltaSegments = 100, maxDeltaBytes = Long.MaxValue,
+      foldRatio = 0.25, minFoldBytes = 1L)
+    t.apply(spark, (1 to 4000).map(i => (s"k$i", i)).toDF("row_key", "v"),
+      keys())
+    // a delta tiny relative to the base accumulates
+    t.apply(spark, rows("k1" -> -1), keys())
+    assert(segDirs(dir).size == 1, "sub-ratio delta accumulates")
+    // a delta comparable to the base triggers the proportional fold
+    t.apply(spark,
+      (1 to 4000).map(i => (s"n$i", i)).toDF("row_key", "v"), keys())
+    assert(segDirs(dir).isEmpty,
+      "delta at foldRatio x base must fold despite both absolute " +
+        "triggers being far off")
+    assert(contents(t).size == 8000 && contents(t).contains("k1" -> -1))
+  }
+
+  test("merged read switches to the bloom-prefiltered plan past maxBroadcastKeys") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val extra = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ extra).flatMap(flatten)
+    }
+    import spark.implicits._
+    val work = tmp()
+    val dir = work.resolve("t").toString
+    // a fat table under the proportional trigger can hold far more
+    // superseded keys than any broadcast should carry — force the
+    // switch low and assert the base never rides a broadcast-anti
+    val t = ParquetTableTarget(dir, numBuckets = 4, deltaLog = true,
+      maxDeltaSegments = 100, maxDeltaBytes = Long.MaxValue,
+      minFoldBytes = Long.MaxValue, maxBroadcastKeys = 10L)
+    t.apply(spark, (1 to 3000).map(i => (s"k$i", i)).toDF("row_key", "v"),
+      keys())
+    t.apply(spark,
+      (1 to 500).map(i => (s"k$i", -i)).toDF("row_key", "v"),
+      keys((3001 to 3050).map(i => s"k$i"): _*) // vacuous deletes
+    )
+    val df = t.read(spark)
+    val got = df.select("row_key", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    val expected = ((1 to 500).map(i => (s"k$i", -i)) ++
+      (501 to 3000).map(i => (s"k$i", i))).toSet
+    assert(got == expected, "bloom-path read must be value-exact")
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    // the two-branch bloom shape: the base is scanned twice (the
+    // bloom-negative branch serves with no join at all; only the
+    // bloom-positive sliver reaches the anti-join), and the key set
+    // must NOT ride a broadcast-anti against the full base — that is
+    // exactly the plan this path exists to avoid
+    val baseScans = nodes.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.toString.contains("/base/") => s
+    }
+    assert(baseScans.size >= 2,
+      s"expected the two-branch bloom merge (got ${baseScans.size} " +
+        s"base scans):\n" +
+        df.queryExecution.executedPlan.toString.take(3000))
+    assert(nodes.collect {
+      case j: BroadcastHashJoinExec
+          if j.joinType.toString.toLowerCase.contains("anti") => j
+    }.isEmpty,
+      "past maxBroadcastKeys the superseded-key set must not " +
+        "broadcast-anti against the base:\n" +
+        df.queryExecution.executedPlan.toString.take(3000))
+    assert(nodes.collect {
+      case j: SortMergeJoinExec
+          if j.joinType.toString.toLowerCase.contains("anti") => j
+    }.nonEmpty, "the bloom-positive sliver anti-joins by sort-merge")
+    // the same container read under the broadcast profile agrees
+    val broad = ParquetTableTarget(dir, numBuckets = 4, deltaLog = true)
+      .read(spark).select("row_key", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(broad == expected)
   }
 
   test("unmarked (crashed) segment is invisible and swept; replay converges") {

@@ -193,4 +193,64 @@ class StateDeltaLogSpec extends SparkSpec {
     val noop = flow.run(spark)
     assert(noop.isNoop && noop.unchanged == n - 1)
   }
+
+  test("row-count sidecar stays exact across every commit kind") {
+    val root = tmpDir("dlcnt")
+    val st = new StateStore(spark, root.toString)
+    // first commit → footer recount
+    st.commit(Map("tracking" -> mkTracking(
+      (1 to 5).map(i => trackingRow(s"r$i", "v1")))))
+    assert(st.rowCount("tracking").contains(5L))
+    // delta WITH a declared exact delta → advances
+    st.commitTables(Map("tracking" -> StateStore.Delta(
+      mkTracking(Seq(trackingRow("r6", "v1"), trackingRow("r2", "v2"))),
+      mkTracking(Seq(trackingRow("r5", "x"))).select("row_key"))),
+      countDeltas = Map("tracking" -> 0L)) // +1 new −1 gone
+    assert(st.rowCount("tracking").contains(5L))
+    // delta WITHOUT a declared delta → invalidates, never lies
+    st.commitTables(Map("tracking" -> StateStore.Delta(
+      mkTracking(Seq(trackingRow("r7", "v1"))),
+      mkTracking(Nil).select("row_key"))))
+    assert(st.rowCount("tracking").isEmpty,
+      "an undeclared delta must invalidate the count, not guess")
+    // declared deltas on an ABSENT count stay absent (no guessing)…
+    st.commitTables(Map("tracking" -> StateStore.Delta(
+      mkTracking(Seq(trackingRow("r8", "v1"))),
+      mkTracking(Nil).select("row_key"))),
+      countDeltas = Map("tracking" -> 1L))
+    assert(st.rowCount("tracking").isEmpty)
+    // …until the next compaction re-derives it exactly from footers,
+    // after which declared deltas advance it again
+    (1 to StateStore.MaxSegments + 1).foreach { i =>
+      st.commitTables(Map("tracking" -> StateStore.Delta(
+        mkTracking(Seq(trackingRow(s"k$i", s"v$i"))),
+        mkTracking(Nil).select("row_key"))),
+        countDeltas = Map("tracking" -> 1L))
+    }
+    val expected = st.read("tracking", StateStore.TrackingSchema).count()
+    assert(st.rowCount("tracking").contains(expected),
+      s"compaction must restore the exact count $expected, got " +
+        st.rowCount("tracking"))
+  }
+
+  test("readWhere equals read-then-filter on a multi-segment table") {
+    val root = tmpDir("dlwhere")
+    val st = new StateStore(spark, root.toString)
+    st.commit(Map("tracking" -> mkTracking(
+      (1 to 20).map(i => trackingRow(f"r$i%02d", "v1")))))
+    // several segments: updates, a tombstone, re-inserts
+    st.commitTables(Map("tracking" -> StateStore.Delta(
+      mkTracking(Seq(trackingRow("r03", "v2"), trackingRow("r21", "v1"))),
+      mkTracking(Seq(trackingRow("r05", "x"))).select("row_key"))))
+    st.commitTables(Map("tracking" -> StateStore.Delta(
+      mkTracking(Seq(trackingRow("r03", "v3"), trackingRow("r05", "v9"))),
+      mkTracking(Seq(trackingRow("r21", "x"))).select("row_key"))))
+    val pred = col("item_key").isin("r03", "r05", "r21", "r99")
+    val got = st.readWhere("tracking", StateStore.TrackingSchema, pred)
+      .collect().map(r => r.getString(1) -> r.getString(2)).toSet
+    val want = st.read("tracking", StateStore.TrackingSchema).filter(pred)
+      .collect().map(r => r.getString(1) -> r.getString(2)).toSet
+    assert(got == want && got == Set("r03" -> "v3", "r05" -> "v9"),
+      s"readWhere must merge latest-wins below the filter: $got")
+  }
 }
