@@ -210,10 +210,11 @@ object Bench {
     // incompressible enough that the bytes really hit storage) and
     // compare to the committed reference time (BENCH_CANARY.json,
     // recorded once on a known-healthy box, adopted like BASELINE
-    // numbers). A pass whose canary runs past the deviation bar is
+    // numbers). A pass whose canary runs past the invalidate bar is
     // treated exactly like a contaminated pass: settle and re-record;
-    // if the final allowed pass still deviates, the artifact stamps
-    // pass_suspect instead of posing as clean.
+    // if the final allowed pass still deviates — or lands in the
+    // suspect band below — the artifact stamps pass_suspect (with the
+    // measured canary_ratio) instead of posing as clean.
     val canaryRows = 12000000L // 4 x 32-hex + id ≈ 1 GB on disk
     def canarySec(): Double = {
       import org.apache.spark.sql.functions._
@@ -237,6 +238,16 @@ object Bench {
     }
     val canaryBar =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_CANARY_BAR", "2.0").toDouble
+    // Softer SUSPECT-only bar (r18): the degradation that actually
+    // recurs on this host runs the canary 1.2–1.4x — real, uniform
+    // across every query in the pass, yet far under the 2x invalidate
+    // bar. Invalidating at 1.25x would spin the settle loop forever on
+    // a night-long throttle, so past this bar the pass still records
+    // but stamps pass_suspect (and the canary ratio is in the
+    // artifact) instead of posing as clean.
+    val canarySuspectBar =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CANARY_SUSPECT_BAR", "1.25")
+        .toDouble
     val canaryRefFile = java.nio.file.Paths.get("BENCH_CANARY.json")
     var canaryRef: Option[Double] =
       try {
@@ -246,21 +257,23 @@ object Bench {
           .map(_.group(1).toDouble)
       } catch { case scala.util.control.NonFatal(_) => None }
     val canaryTimes = scala.collection.mutable.ListBuffer[Double]()
-    /** Pre-pass canary probe: true = the disk is measurably slower
-      * than the committed reference — the pass about to record is
-      * suspect before it starts. With no committed reference yet,
-      * this run's first probe BECOMES it (file written here; the
-      * builder commits it like a baseline number). */
-    def canaryCheck(): Boolean = {
+    /** Pre-pass canary probe: the canary/reference ratio — the pass
+      * about to record is invalid past [[canaryBar]] and suspect past
+      * [[canarySuspectBar]]. With no committed reference yet, this
+      * run's first probe BECOMES it (file written here; the builder
+      * commits it like a baseline number) and the ratio is None. */
+    def canaryCheck(): Option[Double] = {
       val c = canarySec()
       canaryTimes += c
       canaryRef match {
         case Some(r) =>
-          val bad = c > canaryBar * r
+          val ratio = c / r
           System.err.println(f"[bench] disk canary $c%.1f s vs " +
-            f"reference $r%.1f s (bar ${canaryBar}x)" +
-            (if (bad) " — SUSPECT" else ""))
-          bad
+            f"reference $r%.1f s = ${ratio}%.2fx " +
+            f"(suspect ${canarySuspectBar}x, invalidate ${canaryBar}x)" +
+            (if (ratio > canaryBar) " — INVALID"
+             else if (ratio > canarySuspectBar) " — SUSPECT" else ""))
+          Some(ratio)
         case None =>
           canaryRef = Some(c)
           try java.nio.file.Files.writeString(canaryRefFile,
@@ -270,7 +283,7 @@ object Bench {
               s"[bench] could not write BENCH_CANARY.json: $e") }
           System.err.println(
             f"[bench] disk canary reference recorded: $c%.1f s")
-          false
+          None
       }
     }
 
@@ -369,7 +382,8 @@ object Bench {
     val maxPasses =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_PASSES", "2").toInt
     var pass = 1
-    var canaryBad = canaryCheck()
+    var canaryRatio = canaryCheck()
+    def canaryBad = canaryRatio.exists(_ > canaryBar)
     var (results, rerunFirst, rerunTimes) = recordPass()
     val invalidatedTotals = scala.collection.mutable.ListBuffer[Double]()
     while ((contaminated(rerunFirst, rerunTimes) || canaryBad) &&
@@ -389,11 +403,12 @@ object Bench {
         Thread.sleep(5000); l = loadAvg()
       }
       pass += 1
-      canaryBad = canaryCheck()
+      canaryRatio = canaryCheck()
       val r = recordPass()
       results = r._1; rerunFirst = r._2; rerunTimes = r._3
     }
-    val passSuspect = contaminated(rerunFirst, rerunTimes) || canaryBad
+    val passSuspect = contaminated(rerunFirst, rerunTimes) ||
+      canaryRatio.exists(_ > canarySuspectBar)
     val failed = failedSet.toSeq.sorted
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
@@ -409,8 +424,9 @@ object Bench {
     val inv = invalidatedTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
     val cj = canaryTimes.map(t => f"$t%.3f").mkString("[", ",", "]")
     val cref = canaryRef.fold("null")(r => f"$r%.3f")
+    val crat = canaryRatio.fold("null")(r => f"$r%.2f")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fj,"tiers":{"core":$coreTotal%.3f,"flow":$flowTotal%.3f},"sf":"$sfDir","order":"$orderTag","reruns":$rr,"rerun_policy":"min_of_2_when_gt_3x_prev_round_whole_pass_invalidation","passes":$pass,"invalidated_pass_totals":$inv,"pass_suspect":$passSuspect,"canary_sec":$cj,"canary_ref_sec":$cref,"load_avg_start":$loadAtStart%.2f,"load5_avg_start":$load5AtStart%.2f,"load_avg_end":$loadAtEnd%.2f,"other_jvms_at_start":$jvmsAtStart}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fj,"tiers":{"core":$coreTotal%.3f,"flow":$flowTotal%.3f},"sf":"$sfDir","order":"$orderTag","reruns":$rr,"rerun_policy":"min_of_2_when_gt_3x_prev_round_whole_pass_invalidation","passes":$pass,"invalidated_pass_totals":$inv,"pass_suspect":$passSuspect,"canary_sec":$cj,"canary_ref_sec":$cref,"canary_ratio":$crat,"load_avg_start":$loadAtStart%.2f,"load5_avg_start":$load5AtStart%.2f,"load_avg_end":$loadAtEnd%.2f,"other_jvms_at_start":$jvmsAtStart}"""
     println(json)
     // durable copy — the driver's stdout tail-capture truncates
     try java.nio.file.Files.writeString(

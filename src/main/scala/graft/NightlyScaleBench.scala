@@ -289,6 +289,12 @@ object NightlyScaleBench {
         if (b.writeMB > 3 * math.max(a.writeMB, 4.0))
           bad ::= s"deltalog night not write-flat ${a.n}→${b.n}: " +
             f"${a.writeMB}%.1f→${b.writeMB}%.1f MB"
+        // flat shuffle — a corpus-sized exchange anywhere in the night
+        // (the r18 slice semi-join that sort-merge-joined the snapshot
+        // against 1,500 broadcast-safe ids) shows up here first
+        if (b.shufMB > 3 * math.max(a.shufMB, 8.0))
+          bad ::= s"deltalog night not shuffle-flat ${a.n}→${b.n}: " +
+            f"${a.shufMB}%.1f→${b.shufMB}%.1f MB"
       case _ =>
     }
     // the contrast must be visible at the largest decade: the shard

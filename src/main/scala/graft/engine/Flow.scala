@@ -496,13 +496,23 @@ final class Flow(
     // rows never leave the executors (at 10⁷–10⁸ source items a
     // driver-side listing collect is a heap bomb; only the histogram
     // belongs on the driver)
-    val byCls = probe.groupBy("cls").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    // ONE aggregate answers classification counts, the new-item count
+    // (memo count delta) and the scoped-memo tally (survivor math) —
+    // splitting these into separate count() jobs taxed every engine
+    // pass with pure scheduling overhead
+    val clsRows = probe
+      .groupBy(col("cls"), col("processor_fp").isNotNull.as("in_memo"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    val byCls = clsRows.groupMapReduce(_._1._1)(_._2)(_ + _)
+      .withDefaultValue(0L)
+    val nNewItems = clsRows.getOrElse(("changed", false), 0L)
     // scoped pass: memo rows OUTSIDE the scope never materialized —
     // they are unchanged by construction, and their tally derives
     // from the snapshot's exact count sidecar minus the scoped slice
     val survivors = deltaScope.fold(0L) { s =>
-      val scopedMemoRows = probe.filter(col("processor_fp").isNotNull).count()
+      val scopedMemoRows = clsRows.collect {
+        case ((_, true), n) => n }.sum
       math.max(0L, s.memoTotal - scopedMemoRows)
     }
     val nTotal = byCls.values.sum + survivors
@@ -642,9 +652,17 @@ final class Flow(
     // (prev_may_be_missing semantics, statediff.py:160-166).
     val scopeKeys = changedKeys.union(goneKeys)
     // scope as a bounded driver list when small (the overwhelmingly
-    // common delta run): enables the pruned below-merge tracking read
+    // common delta run): enables the pruned below-merge tracking
+    // read. Collected ONLY under the declaration that uses it — an
+    // undeclared flow would pay the collect job for nothing. The cap
+    // is tighter than KeyedFetch's: these literals become a per-RUN
+    // IN plan over the tracking scan, and past a few thousand the
+    // optimizer pass costs more than the pruning saves — a scope that
+    // large is also no longer "small against the table", where the
+    // legacy semi-join is proportionally fine.
     val scopeList: Option[Seq[String]] =
-      if (nChanged + byCls("gone") > KeyedFetch.MaxKeyPushdown) None
+      if (!rowKeyOwnedByItem ||
+          nChanged + byCls("gone") > Flow.MaxScopeLiterals) None
       else Some(scopeKeys.select(col("item_key").cast("string"))
         .distinct().collect().map(_.getString(0)).toSeq)
     val trackedInScope0 = scopeList match {
@@ -779,13 +797,9 @@ final class Flow(
           .select("item_key", "state_key")): StateStore.TableCommit)
     }
     // the memo row count advances by exactly (new items − gone items):
-    // changed-existing and refreshed rows replace in place. New items
-    // are the probe's listing-only rows (no stored processor_fp). Kept
-    // exact so later delta-scoped passes can derive survivor tallies
-    // from the sidecar instead of counting the corpus.
-    val nNewItems = probe
-      .filter(col("processor_fp").isNull && col("cls") === "changed")
-      .count()
+    // changed-existing and refreshed rows replace in place. Kept exact
+    // so later delta-scoped passes can derive survivor tallies from
+    // the sidecar instead of counting the corpus.
     st.commitTables(stateTables,
       countDeltas = Map("component_memo" -> (nNewItems - byCls("gone"))))
     afterCommit.foreach(_.apply())
@@ -985,4 +999,11 @@ final class Flow(
     st.clear()
     stats
   }
+}
+
+object Flow {
+  /** Scope-size bound for the reconcile's pruned tracking read (see
+    * `scopeList` in runImpl): under it, scope keys become an IN plan
+    * the parquet scans prune by; past it the legacy semi-join wins. */
+  val MaxScopeLiterals = 4096
 }

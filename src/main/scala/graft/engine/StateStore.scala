@@ -284,6 +284,22 @@ final class StateStore(spark: SparkSession, rootDir: String) {
   def rowCount(table: String): Option[Long] =
     countsAt(currentVersion).get(table)
 
+  /** Sum of the parquet row counts under `dir`, from file footers on
+    * the driver — exact, no Spark job, no data pages. */
+  private def parquetFooterRows(d: Path): Long = {
+    val files = Option(d.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { f =>
+      Try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f.getPath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.getOrElse(0L)
+    }.sum
+  }
+
   /** Write the next snapshot, then atomically flip `_CURRENT`.
     * [[Full]] tables are rewritten (their old base + segments drop);
     * [[Delta]] tables gain ONE new segment of upserts + tombstones —
@@ -297,11 +313,13 @@ final class StateStore(spark: SparkSession, rootDir: String) {
     val next = cur + 1
     val dir = root.resolve(s"v=$next")
     var counts = countsAt(cur)
-    // footer-only recount of a freshly-rewritten table (zero data
-    // pages); an empty rewrite may have no part files → 0
+    // footer-only recount of a freshly-rewritten table, driver-side
+    // (no Spark job — a per-commit count job would tax every engine
+    // pass ~100-300 ms of pure scheduling); keyless tables (e.g. the
+    // 1-row target_state rewritten every run) carry no counts at all
     def recount(name: String): Unit =
-      counts += name -> Try(
-        spark.read.parquet(dir.resolve(name).toString).count()).getOrElse(0L)
+      if (mergeKeysOf(name).nonEmpty)
+        counts += name -> parquetFooterRows(dir.resolve(name))
     // resolve Delta → physical write plan; a family over MaxSegments
     // compacts: its merged current content + the delta rewrites as a
     // fresh base (amortized O(N) every ~MaxSegments delta commits)

@@ -660,6 +660,15 @@ object CrawlRefresh {
     def snapshotDelta(): DataFrame =
       Curation.corpusDiff(readExport(spark), newSnap, idCol, textCol)
         .filter(col("status") =!= "unchanged")
+    // deltaBounded: the night's delta is known ≤ MaxDeltaKeys (a
+    // non-overflowed CDC drain), so delta-derived join sides may be
+    // broadcast EXPLICITLY — the checkpointed delta carries no size
+    // statistics, and left to the planner a 1,500-id semi join
+    // sort-merge-joins (shuffles) the corpus-sized snapshot
+    // (NIGHTLY_SCALE attributed 331 MB of the night's shuffle to
+    // exactly that). Full-rescan nights keep the shuffle plan — their
+    // delta can be corpus-sized.
+    var deltaBounded = false
     val delta = inPhase("diff") { (changeFeed match {
       case None => snapshotDelta()
       case Some(f) =>
@@ -667,8 +676,10 @@ object CrawlRefresh {
         val (rawKeys, overflow) = try w.drain() finally w.close()
         val keys = rawKeys.distinct
         if (overflow || keys.size > MaxDeltaKeys) snapshotDelta()
-        else if (keys.isEmpty) snapshotDelta().limit(0)
+        else if (keys.isEmpty) { deltaBounded = true
+          snapshotDelta().limit(0) }
         else {
+          deltaBounded = true
           // CDC: diff only the drained keys' rows — the export read
           // prunes to their shards/buckets (store-specific), and the
           // key filter lands on the id column in its NATIVE type
@@ -692,9 +703,11 @@ object CrawlRefresh {
         val retired = delta
           .filter(col("status").isin("removed", "changed"))
           .select(col("id").as(idCol))
+        val sliceIds = delta
+          .filter(col("status").isin("added", "changed")).select(col("id"))
         val sl = newSnap
-          .join(delta.filter(col("status").isin("added", "changed"))
-            .select(col("id")), newSnap(idCol) === col("id"), "left_semi")
+          .join(if (deltaBounded) broadcast(sliceIds) else sliceIds,
+            newSnap(idCol) === col("id"), "left_semi")
           .select(col(idCol), col(textCol))
           .localCheckpoint()
         (retired, sl,
