@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Optimization-round evidence tool: writes the `.explain("formatted")`
+  * physical plan of each named SparkEntry query to `<outDir>/<name>.txt`
+  * (the `plans/r18/` before/after artifacts). Building a flow-gate
+  * query's DataFrame runs its flow — plans for those show the final
+  * returned frame; their cost evidence lives in ProfileQuery instead.
+  *
+  * Usage: sbt "runMain graft.DumpPlans plans/r18 _before q35_ngram_jaccard ..."
+  */
+object DumpPlans {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: DumpPlans <outDir> <suffix> <query>...")
+    val outDir = java.nio.file.Paths.get(args(0))
+    val suffix = args(1)
+    java.nio.file.Files.createDirectories(outDir)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]").appName("graft-plans"),
+      cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fns = SparkEntry.queries
+    args.drop(2).foreach { name =>
+      val fn = fns.getOrElse(name,
+        sys.error(s"unknown query $name"))
+      val df = fn(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      java.nio.file.Files.writeString(
+        outDir.resolve(s"$name$suffix.txt"), plan)
+      System.err.println(s"[plans] wrote $name$suffix.txt")
+    }
+    spark.stop()
+  }
+}

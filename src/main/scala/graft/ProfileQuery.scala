@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Optimization-round profiler: runs the named SparkEntry queries
+  * with the same noop-sink methodology as [[Bench]] and prints, per
+  * query, every Spark job's wall time tagged with its description and
+  * `graft.nightly.phase` local property, plus a per-tag rollup — so a
+  * multi-job flow gate's cost attributes to the stage that paid it.
+  * Diagnostic only: never writes round artifacts.
+  *
+  * Usage: sbt "runMain graft.ProfileQuery q144_crawl_refresh_deltalog"
+  */
+object ProfileQuery {
+
+  private final case class JobRec(desc: String, phase: String,
+      t0: Long, var sec: Double = 0.0)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]").appName("graft-profile"),
+      cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
+    val order = new java.util.concurrent.CopyOnWriteArrayList[Int]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("")
+        val phase = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("graft.nightly.phase")))
+          .getOrElse("")
+        jobs.put(js.jobId, JobRec(desc, phase, js.time))
+        order.add(js.jobId)
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        val r = jobs.get(je.jobId)
+        if (r != null) r.sec = (je.time - r.t0) / 1e3
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    // warmup like Bench
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+
+    val fns = SparkEntry.queries
+    args.foreach { name =>
+      val fn = fns.getOrElse(name,
+        sys.error(s"unknown query $name; known: ${fns.keys.toSeq.sorted}"))
+      jobs.clear(); order.clear()
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let trailing job-end events drain
+      import scala.jdk.CollectionConverters._
+      val recs = order.asScala.map(jobs.get).filter(_ != null).toSeq
+      println(f"== $name: wall $wall%.2f s, ${recs.size} jobs, " +
+        f"sum-of-jobs ${recs.map(_.sec).sum}%.2f s ==")
+      recs.zipWithIndex.foreach { case (r, i) =>
+        if (r.sec >= 0.05)
+          println(f"  job#$i%03d ${r.sec}%7.3f s  [${r.phase}] ${r.desc.take(110)}")
+      }
+      val byTag = recs.groupBy(r =>
+          if (r.phase.nonEmpty) r.phase
+          else r.desc.split(":").headOption.getOrElse("").take(60))
+        .map { case (k, v) => (k, v.map(_.sec).sum, v.size) }
+        .toSeq.sortBy(-_._2)
+      println("  -- rollup --")
+      byTag.foreach { case (k, s, n) =>
+        println(f"  $s%7.2f s  n=$n%-4d $k")
+      }
+    }
+    spark.stop()
+  }
+}
