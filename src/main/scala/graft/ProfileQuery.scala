@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
 object ProfileQuery {
 
   private final case class JobRec(desc: String, phase: String,
-      t0: Long, var sec: Double = 0.0)
+      site: String, exec: String, t0: Long, var sec: Double = 0.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,7 +35,21 @@ object ProfileQuery {
         val phase = Option(js.properties)
           .flatMap(p => Option(p.getProperty("graft.nightly.phase")))
           .getOrElse("")
-        jobs.put(js.jobId, JobRec(desc, phase, js.time))
+        // the action's callsite: prefer a stage named "<verb> at
+        // <file:line>" (AQE sub-jobs surface as $anonfun frames)
+        val names = js.stageInfos.map(_.name)
+        val site = names.reverse.find(n =>
+            n.contains(" at ") && !n.startsWith("$"))
+          .orElse(names.lastOption).getOrElse("").take(90)
+        // AQE sub-jobs carry no callsite of their own, but share the
+        // ROOT SQL execution id with the action that spawned them —
+        // attribute through it
+        val exec = Option(js.properties).map { p =>
+          Option(p.getProperty("spark.sql.execution.root.id"))
+            .orElse(Option(p.getProperty("spark.sql.execution.id")))
+            .getOrElse("")
+        }.getOrElse("")
+        jobs.put(js.jobId, JobRec(desc, phase, site, exec, js.time))
         order.add(js.jobId)
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
@@ -63,16 +77,22 @@ object ProfileQuery {
         f"sum-of-jobs ${recs.map(_.sec).sum}%.2f s ==")
       recs.zipWithIndex.foreach { case (r, i) =>
         if (r.sec >= 0.05)
-          println(f"  job#$i%03d ${r.sec}%7.3f s  [${r.phase}] ${r.desc.take(110)}")
+          println(f"  job#$i%03d ${r.sec}%7.3f s  [${r.phase}] ${r.site} ${r.desc.take(60)}")
       }
-      val byTag = recs.groupBy(r =>
-          if (r.phase.nonEmpty) r.phase
-          else r.desc.split(":").headOption.getOrElse("").take(60))
-        .map { case (k, v) => (k, v.map(_.sec).sum, v.size) }
+      // resolve each SQL execution root to its best (non-$) callsite
+      val siteOfExec = recs.filter(r => r.exec.nonEmpty &&
+          r.site.nonEmpty && !r.site.startsWith("$"))
+        .groupBy(_.exec).map { case (e, v) => e -> v.head.site }
+      val byTag = recs.groupBy { r =>
+        val s =
+          if (!r.site.startsWith("$") && r.site.nonEmpty) r.site
+          else siteOfExec.getOrElse(r.exec, r.site)
+        (r.phase, s)
+      }.map { case (k, v) => (k, v.map(_.sec).sum, v.size) }
         .toSeq.sortBy(-_._2)
-      println("  -- rollup --")
-      byTag.foreach { case (k, s, n) =>
-        println(f"  $s%7.2f s  n=$n%-4d $k")
+      println("  -- rollup (phase, callsite-of-execution) --")
+      byTag.foreach { case ((p, s), sec, n) =>
+        println(f"  $sec%7.2f s  n=$n%-4d [$p] $s")
       }
     }
     spark.stop()

@@ -465,15 +465,37 @@ final class Flow(
     // recomputable and never held beyond the run.)
     val listing = listingOverride.getOrElse(source.list(spark))
       .select(col("item_key"), col("memo_state")).localCheckpoint()
-    val memo = deltaScope match {
-      case Some(s) =>
-        // scoped pass: only the changed keys' memo slice joins the
-        // probe — readWhere pushes the predicate below the merge
-        // window and into the clustered base's parquet scans
-        st.readWhere("component_memo", ComponentMemoSchema, s.pred)
-      case None => st.read("component_memo", ComponentMemoSchema)
-    }
-    val probe = listing.select(col("item_key"), col("memo_state"))
+    // bootstrap shortcut (r18): with NO committed memo rows, the
+    // full-outer probe join would shuffle the whole (corpus-sized)
+    // listing against an empty side — sort-merge, since full_outer
+    // cannot broadcast — to conclude "every item is new". Classify
+    // directly instead: zero exchanges on the bootstrap probe. The
+    // emptiness test is exact (absent table, or the snapshot's exact
+    // row-count sidecar at 0); an unknown count keeps the join.
+    val memoEmpty = deltaScope.isEmpty &&
+      (!st.tableExists("component_memo") ||
+        st.rowCount("component_memo").contains(0L))
+    val memo =
+      if (memoEmpty)
+        st.read("component_memo", ComponentMemoSchema)
+      else deltaScope match {
+        case Some(s) =>
+          // scoped pass: only the changed keys' memo slice joins the
+          // probe — readWhere pushes the predicate below the merge
+          // window and into the clustered base's parquet scans
+          st.readWhere("component_memo", ComponentMemoSchema, s.pred)
+        case None => st.read("component_memo", ComponentMemoSchema)
+      }
+    val probe =
+      if (memoEmpty)
+        // derived narrowly from the checkpointed listing — no second
+        // checkpoint job, no join
+        listing.select(col("item_key"), col("memo_state"))
+          .withColumn("processor_fp", lit(null).cast("string"))
+          .withColumn("stored_state", lit(null).cast("string"))
+          .withColumn("content_fp", lit(null).cast("string"))
+          .withColumn("cls", lit("changed"))
+      else listing.select(col("item_key"), col("memo_state"))
       .join(memo.select(col("item_key"), col("processor_fp"),
         col("memo_state").as("stored_state"), col("content_fp")),
         Seq("item_key"), "full_outer")
@@ -651,6 +673,15 @@ final class Flow(
     // can't see — matching rows re-upsert defensively
     // (prev_may_be_missing semantics, statediff.py:160-166).
     val scopeKeys = changedKeys.union(goneKeys)
+    // bootstrap shortcut (r18), the tracking twin of the memo probe's:
+    // with no committed tracking rows (or a destructive transition —
+    // the baseline is void either way) the reconcile's full-outer join
+    // would shuffle the whole desired set against an empty side to
+    // conclude "every row inserts". Skip the scope collect, the
+    // tracking read and the join outright — zero exchanges on the
+    // bootstrap reconcile.
+    val trackingEmpty = planned.destructive ||
+      !st.tableExists("tracking") || st.rowCount("tracking").contains(0L)
     // scope as a bounded driver list when small (the overwhelmingly
     // common delta run): enables the pruned below-merge tracking
     // read. Collected ONLY under the declaration that uses it — an
@@ -661,11 +692,11 @@ final class Flow(
     // large is also no longer "small against the table", where the
     // legacy semi-join is proportionally fine.
     val scopeList: Option[Seq[String]] =
-      if (!rowKeyOwnedByItem ||
+      if (trackingEmpty || !rowKeyOwnedByItem ||
           nChanged + byCls("gone") > Flow.MaxScopeLiterals) None
       else Some(scopeKeys.select(col("item_key").cast("string"))
         .distinct().collect().map(_.getString(0)).toSeq)
-    val trackedInScope0 = scopeList match {
+    lazy val trackedInScope0 = scopeList match {
       case Some(ks) if rowKeyOwnedByItem =>
         // each row_key's item is immutable by declaration, so an item
         // filter below the latest-wins window keeps exactly the scope
@@ -687,18 +718,25 @@ final class Flow(
           .select(col("row_key"), col("value_fp").as("prev_fp"),
             col("item_key").as("prev_item"))
     }
-    val trackedInScope =
-      if (planned.destructive) trackedInScope0.limit(0) else trackedInScope0
-    val actions = desired
-      .select(col("item_key"), col("row_key"), col("value_fp"))
-      .join(trackedInScope, Seq("row_key"), "full_outer")
-      .withColumn("action",
-        when(col("value_fp").isNull, lit("delete"))       // tracked, not redeclared
-          .when(col("prev_fp").isNull, lit("insert"))
-          .when(lit(planned.lossy) ||
-            col("prev_fp") =!= col("value_fp"), lit("update"))
-          .otherwise(lit("noop")))
-      .cache()
+    val actions = (
+      if (trackingEmpty)
+        // no baseline ⇒ every desired row inserts, nothing deletes —
+        // identical to the full_outer against an empty side, minus
+        // its two sort-merge exchanges over the desired set
+        desired.select(col("item_key"), col("row_key"), col("value_fp"))
+          .withColumn("prev_fp", lit(null).cast("string"))
+          .withColumn("prev_item", lit(null).cast("string"))
+          .withColumn("action", lit("insert"))
+      else desired
+        .select(col("item_key"), col("row_key"), col("value_fp"))
+        .join(trackedInScope0, Seq("row_key"), "full_outer")
+        .withColumn("action",
+          when(col("value_fp").isNull, lit("delete"))     // tracked, not redeclared
+            .when(col("prev_fp").isNull, lit("insert"))
+            .when(lit(planned.lossy) ||
+              col("prev_fp") =!= col("value_fp"), lit("update"))
+            .otherwise(lit("noop")))
+      ).cache()
     val byAction = actions.groupBy("action").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
 

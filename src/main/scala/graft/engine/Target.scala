@@ -217,10 +217,24 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
 
   /** Physically cluster `df` by [[clusterBySql]] before a delta-log
     * write (no-op when unset — the default keeps every existing
-    * target's shuffle-free write plans byte-identical). */
+    * target's shuffle-free write plans byte-identical).
+    *
+    * The range partitioning leads with `bucket` (r18): these frames
+    * are written `partitionBy("bucket")`, and ranging on the cluster
+    * key ALONE hands every write task rows of every bucket — each
+    * task then opens one file per bucket dir (tasks × numBuckets tiny
+    * files per write, 2,048 for the export's 64-bucket base at 32
+    * tasks) and the writer's own required sort on the partition
+    * column reorders rows the cluster sort just arranged. Leading
+    * with bucket gives each task a contiguous slice of ONE bucket
+    * (±1 at range boundaries): O(tasks) right-sized files, and the
+    * (bucket, key) sort already satisfies the writer's requirement so
+    * no second sort runs — files keep their key order and row-group
+    * min/max stats stay tight for the keyed fetches. */
   private def clustered(df: DataFrame): DataFrame =
     clusterBySql.fold(df)(c =>
-      df.repartitionByRange(expr(c)).sortWithinPartitions(expr(c)))
+      df.repartitionByRange(col("bucket"), expr(c))
+        .sortWithinPartitions(col("bucket"), expr(c)))
 
   /** The bucket layout is baked into every row's placement, and the
     * directory is the container's physical location: a `numBuckets`
@@ -300,33 +314,42 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
       s"target $dir holds a delta-log (base/delta) layout but this " +
         "handle declares deltaLog=false — truncate or migrate first")
 
-    val up = upserts.withColumn("bucket", bucketOf).cache()
-    val del = deleteKeys.select(col("row_key")).cache()
-    // try/finally, not per-return unpersists (ADVICE r16): every
-    // return AND every throwing path must release the cached blocks,
-    // or a long-lived session leaks block-manager memory per apply
-    try {
-      if (deltaLog)
-        // the delta path never needs the touched-bucket set, so its
-        // counts are two shuffle-free jobs — an apply (bootstrap
-        // included) moves no rows across the cluster at all
-        applyDeltaLog(spark, up, del, up.count(), del.count())
-      else applyCopyOnWrite(spark, up, del)
-    } finally { up.unpersist(); del.unpersist() }
+    val upB = upserts.withColumn("bucket", bucketOf)
+    val delK = deleteKeys.select(col("row_key"))
+    if (deltaLog)
+      // the delta path's counts ride the segment write itself
+      // (Dataset.observe): an apply — bootstrap included — computes
+      // the delta EXACTLY ONCE, with no standalone count jobs and no
+      // cached copy of it (r18: two count jobs + two cached frames
+      // per apply were pure fixed overhead at bench scale and a
+      // needless extra pass over the delta at any scale)
+      applyDeltaLog(spark, upB, delK)
+    else {
+      // the copy-on-write steady state reads both frames several
+      // times (per-bucket aggregate, touched keys, survivor union) —
+      // THERE the cache earns its keep. try/finally, not per-return
+      // unpersists (ADVICE r16): every return AND every throwing path
+      // must release the cached blocks.
+      val up = upB.cache()
+      val del = delK.cache()
+      try applyCopyOnWrite(spark, up, del)
+      finally { up.unpersist(); del.unpersist() }
+    }
   }
 
   private def applyCopyOnWrite(spark: SparkSession, up: DataFrame,
       del: DataFrame): TargetStats = {
     if (!exists) {
       // bootstrap fast path: deletes are vacuous against an empty
-      // container, so ONE shuffle-free count replaces the per-bucket
-      // aggregate below — at bootstrap scale that aggregate would
-      // shuffle every row of the initial corpus for nothing
-      val nUp = up.count()
-      if (nUp > 0) {
-        up.write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(dir)
-        saveSchema(up.drop("bucket"))
-      }
+      // container, and the row count rides the write (one pass over
+      // the initial corpus, not two) — at bootstrap scale a separate
+      // count would recompute the whole upsert plan for nothing
+      val obs = org.apache.spark.sql.Observation()
+      up.observe(obs, count(lit(1)).as("n"))
+        .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(dir)
+      val nUp = obs.get("n").asInstanceOf[Long]
+      if (nUp > 0) saveSchema(up.drop("bucket"))
+      else FsUtil.deleteRecursively(new java.io.File(dir))
       return TargetStats(nUp, 0)
     }
 
@@ -382,10 +405,13 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
     * false) plus thin all-null-payload tombstones, partitioned by
     * bucket like the base. O(delta) bytes written; nothing current
     * is read at all (the copy-on-write path's read-modify-write is
-    * exactly what this mode exists to avoid). */
+    * exactly what this mode exists to avoid). The upsert/delete
+    * counts ride the write job as observed metrics — the delta is
+    * computed exactly once per apply; an apply that turns out empty
+    * removes its uncommitted dir (never marker-committed, so it was
+    * never visible to a reader). */
   private def applyDeltaLog(spark: SparkSession, up: DataFrame,
-      del: DataFrame, nUp: Long, nDel: Long): TargetStats = {
-    if (nUp == 0 && nDel == 0) return TargetStats(0, 0)
+      del: DataFrame): TargetStats = {
     // sweep crash leftovers: an unmarked numbered dir is a previous
     // (single-)writer's partial write — invisible to readers, dead
     (baseGens ++ deltaSegs).filterNot(d => markerOf(d._2).exists())
@@ -393,13 +419,20 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
 
     if (!exists) {
       // first write goes straight to a compacted base generation
+      // (deletes are vacuous against an empty container)
+      val g0 = new java.io.File(baseRoot, "g=0")
+      val obs = org.apache.spark.sql.Observation()
+      // observe ABOVE the clustering exchange: the range partitioner's
+      // boundary-sampling pass re-executes the exchange's CHILD, and a
+      // metrics node down there would double-count every row
+      clustered(up).observe(obs, count(lit(1)).as("n"))
+        .write.partitionBy("bucket").mode(SaveMode.Overwrite)
+        .parquet(g0.getPath)
+      val nUp = obs.get("n").asInstanceOf[Long]
       if (nUp > 0) {
-        val g0 = new java.io.File(baseRoot, "g=0")
-        clustered(up).write.partitionBy("bucket").mode(SaveMode.Overwrite)
-          .parquet(g0.getPath)
         saveSchema(up.drop("bucket"))
         commit(g0, nUp)
-      }
+      } else FsUtil.deleteRecursively(baseRoot)
       return TargetStats(nUp, 0)
     }
 
@@ -422,8 +455,24 @@ final case class ParquetTableTarget(dir: String, numBuckets: Int = 16,
 
     val segId = (deltaSegs.map(_._1) :+ -1L).max + 1
     val segDir = new java.io.File(deltaRoot, s"seg=$segId")
-    clustered(seg).write.partitionBy("bucket").mode(SaveMode.Overwrite)
+    val obs = org.apache.spark.sql.Observation()
+    // observe ABOVE the clustering exchange (see the bootstrap branch)
+    clustered(seg).observe(obs,
+        sum(when(col("__deleted"), 0L).otherwise(1L)).as("n_up"),
+        sum(when(col("__deleted"), 1L).otherwise(0L)).as("n_del"))
+      .write.partitionBy("bucket").mode(SaveMode.Overwrite)
       .parquet(segDir.getPath)
+    // sum() over zero rows observes null, not 0
+    val nUp = Option(obs.get("n_up").asInstanceOf[java.lang.Long])
+      .fold(0L)(_.longValue)
+    val nDel = Option(obs.get("n_del").asInstanceOf[java.lang.Long])
+      .fold(0L)(_.longValue)
+    if (nUp == 0 && nDel == 0) {
+      // empty apply: the dir was never marker-committed (invisible);
+      // remove it so the container is byte-identical to before
+      FsUtil.deleteRecursively(segDir)
+      return TargetStats(0, 0)
+    }
     saveSchema(widened)
     commit(segDir, nUp + nDel)
     maintainDeltaLog(spark)
