@@ -275,7 +275,15 @@ object CrawlRefresh {
   }
 
   private final class DeltaLogExportStore(exportDir: String,
-      workDir: String, idCol: String, textCol: String, buckets: Int,
+      workDir: String, idCol: String, textCol: String,
+      /** Requested bucket count: >0 validates against the provisioned
+        * container (identity), 0 ADOPTS the provisioned value — or,
+        * at bootstrap, DERIVES one from the snapshot's estimated
+        * bytes (clamped [8, 4096], ~256 MB/bucket): a constant tuned
+        * for either the bench or the cluster is wrong at the other
+        * scale — 64 buckets over a 50 MB corpus writes 64 near-empty
+        * files per night segment and lists 64 dirs per read. */
+      bucketsReq: Int,
       emptyLike: DataFrame) extends ExportStore {
     // FAT-table compaction profile: the export is the corpus itself,
     // so the absolute delta-byte fold trigger is disabled and the
@@ -300,13 +308,24 @@ object CrawlRefresh {
       graft.engine.Sidecar.read(metaFile)
     // bucket count is container identity (rows are PLACED by it; a
     // mismatched writer would split one key's history across two
-    // (bucket, row_key) merge windows) — validate before any mutation
-    meta.map(_("buckets").toInt).filter(_ != buckets).foreach { b =>
+    // (bucket, row_key) merge windows) — an EXPLICIT request is
+    // validated before any mutation; the 0 sentinel adopts the
+    // provisioned value
+    private val metaBuckets: Option[Int] = meta.map(_("buckets").toInt)
+    if (bucketsReq > 0) metaBuckets.filter(_ != bucketsReq).foreach { b =>
       throw new IllegalStateException(
         s"nightly($workDir): delta-log export was provisioned with " +
-          s"exportBuckets=$b but this night passed $buckets — bucket " +
+          s"exportBuckets=$b but this night passed $bucketsReq — bucket " +
           "count is container identity; re-bootstrap or pass the " +
           "provisioned value")
+    }
+    @volatile private var resolvedBuckets: Int =
+      metaBuckets.getOrElse(bucketsReq)
+    private def buckets: Int = {
+      require(resolvedBuckets > 0,
+        s"nightly($workDir): delta-log bucket count unresolved — " +
+          "reads/applies before bootstrap on a fresh container")
+      resolvedBuckets
     }
     def exists: Boolean = metaFile.exists()
     private def provisioned =
@@ -317,6 +336,15 @@ object CrawlRefresh {
       if (!provisioned) emptyLike
       else target.read(sp).select(col(idCol), col(textCol))
     def bootstrap(sp: SparkSession, snap: DataFrame): (Long, DataFrame) = {
+      // sentinel request on a fresh container: derive the bucket count
+      // from the snapshot's ESTIMATED bytes (size-only stats, driver
+      // side, no job; unknown estimates read Long.MaxValue and clamp
+      // to the 4096 cap — safe at scale, explicit override available)
+      if (resolvedBuckets <= 0) {
+        val est = snap.queryExecution.optimizedPlan.stats.sizeInBytes
+        resolvedBuckets = (est / (256L << 20)).min(BigInt(4096))
+          .max(BigInt(8)).toInt
+      }
       // destructive re-provision (the keyIndexInit convention): a
       // crashed bootstrap re-enters here, and an apply against its
       // half-written container would APPEND the corpus as a segment
@@ -501,10 +529,17 @@ object CrawlRefresh {
         * stop being tolerable — at 100 TB it is the only viable
         * mode. Layout is container identity per workDir. */
       exportDeltaLog: Boolean = false,
-      /** Delta-log only: the LSM container's bucket count (container
-        * identity, validated against the provisioned value). Size it
-        * so one bucket of the COMPACTED base is a few hundred MB. */
-      exportBuckets: Int = 64)
+      /** Delta-log only: the LSM container's bucket count — container
+        * identity (an explicit value is validated against the
+        * provisioned one). Default 0 = SCALE-ADAPTIVE: the bootstrap
+        * derives it from the snapshot's estimated bytes
+        * (~256 MB/bucket, clamped [8, 4096] — the r17
+        * keyIndexPartitionsFor convention) and later nights adopt the
+        * provisioned value from the meta sidecar, so neither the
+        * bench corpus nor a 100 TB one runs under a constant tuned
+        * for the other. Pass an explicit value to size buckets so one
+        * compacted-base bucket is a few hundred MB. */
+      exportBuckets: Int = 0)
       : NightlyStats = {
     val exportDir = s"$workDir/export"
     val keyIdx = s"$workDir/keyidx"

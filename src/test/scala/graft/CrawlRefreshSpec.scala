@@ -658,6 +658,33 @@ class CrawlRefreshSpec extends SparkSpec {
       s"doc 3 must hold exactly its newest version, got $texts")
   }
 
+  test("delta-log export: default bucket count derives at bootstrap, adopts after") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-crawl-dlb")
+    work.toFile.deleteOnExit()
+    val wd = work.resolve("state").toString
+    val snapA = (1 to 30).map(i => doc(i, words(i))).toDF("doc_id", "text")
+    // sentinel default: the bootstrap derives the count from the
+    // snapshot's estimated bytes — a toy snapshot clamps to the floor
+    assert(CrawlRefresh.nightly(spark, wd, snapA,
+      exportDeltaLog = true).bootstrap)
+    val meta = graft.engine.Sidecar.read(
+      new java.io.File(wd, "_graft_export_meta.json")).get
+    assert(meta("buckets").toInt === 8,
+      s"toy snapshot must clamp to the 8-bucket floor, got $meta")
+    // a later default night ADOPTS the provisioned value (no refusal,
+    // no re-derivation from tonight's differently-sized snapshot)...
+    val snapB = (1 to 31).map(i => doc(i, words(i))).toDF("doc_id", "text")
+    val nightB = CrawlRefresh.nightly(spark, wd, snapB,
+      exportDeltaLog = true)
+    assert(nightB.keptSize === 31, nightB)
+    // ...an explicit MATCHING value passes, and a mismatch still
+    // refuses (covered again in the mismatch test below)
+    val nightC = CrawlRefresh.nightly(spark, wd, snapB,
+      exportDeltaLog = true, exportBuckets = 8)
+    assert(nightC.keptSize === 31, nightC)
+  }
+
   test("delta-log export: layout and bucket-count mismatches refuse loudly") {
     import spark.implicits._
     val snapA = (1 to 5).map(i => doc(i, words(i))).toDF("doc_id", "text")
