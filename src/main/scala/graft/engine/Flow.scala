@@ -819,9 +819,16 @@ final class Flow(
           Map("errors" -> StateStore.Delta(newFailed, tombstones))
         }
       }
+    // target_state is rewritten ONLY when the transition is pending
+    // (record/attachment/generation changed, or never stored) — a
+    // steady-state run's record is byte-identical to the stored one,
+    // which carries forward as a hard link; rewriting it anyway cost
+    // every engine pass one whole Spark job for a 1-row parquet (r18
+    // batch 2, guide §1.2 step 1: per-pass fixed overhead).
     val stateTables: Map[String, StateStore.TableCommit] = errorTables ++
       Map("component_memo" -> memoCommit, "tracking" -> trackingCommit) ++
-      targetStateTable(spark, planned)
+      (if (planned.pendingTransition) targetStateTable(spark, planned)
+       else None)
         .map { case (n, df) => n -> StateStore.Full(df) } ++
       userStateFn.map { fn =>
       val prev = st.read("user_state", UserStateSchema)

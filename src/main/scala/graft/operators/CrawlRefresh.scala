@@ -349,12 +349,15 @@ object CrawlRefresh {
       // crashed bootstrap re-enters here, and an apply against its
       // half-written container would APPEND the corpus as a segment
       graft.engine.FsUtil.deleteRecursively(new java.io.File(exportDir))
-      target.apply(sp, withKey(snap), emptyLike.select(
+      val stats = target.apply(sp, withKey(snap), emptyLike.select(
         col(idCol).cast("string").as("row_key")).limit(0))
-      // derived from the WRITTEN base generation, not the snapshot
-      // plan (parquet footer counts — no data pages read)
-      val n = if (provisioned) target.read(sp).count() else 0L
-      (n, Curation.emptyManifest(sp))
+      // derived from the WRITE itself (the apply's observed metrics
+      // count the rows of the pass that produced the base files —
+      // what was WRITTEN, never the snapshot plan re-evaluated); the
+      // former read-back count job re-listed and footer-scanned the
+      // whole just-written base, a corpus-sized-metadata job per
+      // bootstrap (r18 batch 2)
+      (stats.upserted, Curation.emptyManifest(sp))
     }
     def prevTotal(sp: SparkSession): Long =
       meta.map(_("n_total").toLong).getOrElse(0L)
@@ -745,10 +748,18 @@ object CrawlRefresh {
             newSnap(idCol) === col("id"), "left_semi")
           .select(col(idCol), col(textCol))
           .localCheckpoint()
-        (retired, sl,
-          delta.filter(col("status") === "removed").count(),
-          delta.filter(col("status") === "changed").count(),
-          sl.count())
+        // ONE ≤3-row aggregate over the checkpointed delta answers all
+        // three size stats (r18 batch 2): the previous three standalone
+        // count() jobs were pure per-night scheduling overhead. The
+        // slice's row count equals added + changed by construction —
+        // corpusDiff's full-outer join (and the export's id-keyed
+        // stores) already require unique ids per side, so the semi
+        // join returns exactly one snapshot row per slice id.
+        val byStatus = delta.groupBy("status").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+          .withDefaultValue(0L)
+        (retired, sl, byStatus("removed"), byStatus("changed"),
+          byStatus("added") + byStatus("changed"))
       }
 
     // the flows' delta re-stat wants the changed keys as a bounded
@@ -786,7 +797,7 @@ object CrawlRefresh {
     }
 
     // screens — all served from persisted state
-    val (kept, keptNew) = inPhase("screens") {
+    val (kept, keptNew, admitKeys) = inPhase("screens") {
       val exactKept = Dedup.incrementalDedupOver(spark, keyIdx, slice)
       val fuzzyKept = Dedup.minHashIncrementOver(spark,
         s"$workDir/mhindex", readExport(spark),
@@ -797,7 +808,13 @@ object CrawlRefresh {
           idCol = idCol, embCol = es.embCol)
           .select(col(idCol), col(textCol))
       }.localCheckpoint()
-      (k, k.count())
+      // the admit phase wants the survivors as a bounded key list
+      // anyway — collect it once here and derive the kept count from
+      // it (ids are unique per doc, so size == count) instead of
+      // paying a separate count job; only an overflowed list (> the
+      // delta-key cap, where the admit reconcile full-runs) counts.
+      val ks = keyList(k)
+      (k, ks.fold(k.count())(_.size.toLong), ks)
     }
     // the screens are materialized (the localCheckpoint above cut
     // their lineage), so the per-call corpus-bloom broadcast the
@@ -815,7 +832,6 @@ object CrawlRefresh {
       if (nightlyCrashAfterAdmitExport)
         throw new RuntimeException(
           "nightly: injected test crash after the admit export")
-      val admitKeys = keyList(kept)
       reconcile(flow, admitKeys)
       srpFlow.foreach(reconcile(_, admitKeys))
       Dedup.keyIndexAppend(spark, keyIdx, kept)

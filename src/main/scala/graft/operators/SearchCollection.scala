@@ -50,13 +50,33 @@ final class SearchCollection private (
   @volatile private var ftsFlows: Fts.FtsFlows = _
 
   /** Reconcile source rows, then refresh both indexes inside one
-    * shared-scan cycle. Each phase is O(changed) via the engine. */
+    * shared-scan cycle. Each phase is O(changed) via the engine.
+    *
+    * The two index flows run CONCURRENTLY (optimization guide §2.6 —
+    * overlap independent jobs): they are independent writers (separate
+    * state dirs, separate target containers) co-sourced through the
+    * synchronized [[SharedScanSource]], and Spark's scheduler happily
+    * interleaves jobs from two driver threads — the FTS flow's tasks
+    * back-fill executors the IVF flow's stragglers leave idle, instead
+    * of the whole cluster idling through each flow's tail in turn.
+    * Same jobs, same results, same per-flow stats — only the wall
+    * clock overlaps. */
   def sync(spark: SparkSession): (RunStats, RunStats, RunStats) = {
     val r = rows.run(spark)
     if (ivfFlow == null) ivfFlow = mkIvf(spark)
     if (ftsFlows == null) ftsFlows = mkFts(spark)
     val (i, f) = SharedScanSource.cycle(shared) {
-      (ivfFlow.run(spark), ftsFlows.run(spark))
+      val ivfTask = new java.util.concurrent.FutureTask(
+        () => ivfFlow.run(spark))
+      val t = new Thread(ivfTask, "graft-sync-ivf")
+      t.setDaemon(true)
+      t.start()
+      val fts = ftsFlows.run(spark)
+      val ivf =
+        try ivfTask.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
+      (ivf, fts)
     }
     (r, i, f)
   }
