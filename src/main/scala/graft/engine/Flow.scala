@@ -539,12 +539,55 @@ final class Flow(
     }
     val nTotal = byCls.values.sum + survivors
 
+    // pure no-op fast path for passes with NO level-2 work pending:
+    // nothing changed, appeared or vanished — return BEFORE the
+    // content load (the load's bounded-key probe is a Spark job a
+    // no-op tick must not pay). Suspect-bearing passes fall through:
+    // their no-op test needs the level-2 refresh count below.
+    if (byCls("suspect") == 0 && byCls("changed") == 0 && byCls("gone") == 0) {
+      if (planned.pendingTransition) {
+        if (planned.destructive) target.truncate(spark)
+        applyAttachments(spark, planned)
+        st.commit(targetStateTable(spark, planned).toMap)
+        afterCommit.foreach(_.apply())
+      }
+      Seq(listing, probe).foreach(_.unpersist())
+      return RunStats(nTotal, byCls("unchanged") + survivors,
+        0, 0, 0, 0, 0, 0, 0)
+    }
+
+    // Bounded-scope literalization (r18 batch 3): on a suspect-free
+    // pass whose changed+gone scope fits the literal cap, ONE collect
+    // over the checkpointed probe turns the scope into driver lists.
+    // Downstream keyed restrictions then ride plan literals or LOCAL
+    // key relations — a LocalRelation's broadcast build is driver-side
+    // — where the frame-based path pays one whole Spark job per
+    // small-side broadcast build, several times per engine pass.
+    // Suspect-bearing passes keep the frame path: their changed set is
+    // only known after level 2.
+    val scopeLists: Option[(Seq[String], Seq[String])] =
+      if (byCls("suspect") != 0 ||
+          byCls("changed") + byCls("gone") > Flow.MaxScopeLiterals) None
+      else {
+        val rows = probe.filter(col("cls") =!= "unchanged")
+          .select("item_key", "cls").collect()
+        def keysOf(cls: String) = rows.collect {
+          case r if r.getString(1) == cls => r.getString(0) }.toSeq
+        Some((keysOf("changed"), keysOf("gone")))
+      }
+
     // ---- level 2: content fingerprint for suspects --------------------
     // (suspects exist only for sources with a content fp; content is
     // loaded once and reused by the transform; the key set stays a
     // DataFrame end-to-end — Source.load decides how to exploit it)
-    val loadKeysDf = probe
-      .filter(col("cls").isin("changed", "suspect")).select("item_key")
+    val loadKeysDf = scopeLists match {
+      // a LOCAL key relation: the source's bounded-pushdown probe
+      // evaluates driver-side (no job); suspects are absent on this
+      // path, so the changed keys ARE the whole load set
+      case Some((changedL, _)) => Source.keysDf(spark, changedL)
+      case None => probe
+        .filter(col("cls").isin("changed", "suspect")).select("item_key")
+    }
     val loaded = source.load(spark, loadKeysDf)
       .withColumn("__content_fp",
         source.contentFpOf.getOrElse(lit(null).cast("string")))
@@ -592,7 +635,13 @@ final class Flow(
       .union(level2.filter(col("cls2") === "changed").select("item_key"))
       .cache()
     val nChanged = byCls("changed") + (byCls("suspect") - nRefreshed)
-    val goneKeys = probe.filter(col("cls") === "gone").select("item_key")
+    // gone keys as a LOCAL relation when the scope is literalized:
+    // every join against them (errors/user_state pruning, the memo
+    // tombstones) then broadcasts without a build job
+    val goneKeys = scopeLists match {
+      case Some((_, goneL)) => Source.keysDf(spark, goneL)
+      case None => probe.filter(col("cls") === "gone").select("item_key")
+    }
 
     // pure no-op run: nothing changed, appeared, vanished or needs a
     // memo refresh — skip the transform, reconcile AND the snapshot
@@ -619,8 +668,17 @@ final class Flow(
     // definition, and a stage that cannot run on empty input — a
     // class declaredSchema explicitly tolerates — must not crash the
     // GC/refresh path.
-    val input = loaded.join(changedKeys, Seq("item_key"), "left_semi")
-      .drop("__content_fp")
+    // literalized scope: the load set was exactly the changed keys, so
+    // a scan-level IN filter (defensive — the load contract already
+    // bounds it) replaces the semi-join and its broadcast build
+    val input = scopeLists match {
+      case Some((changedL, _)) =>
+        loaded.filter(col("item_key").isin(changedL: _*))
+          .drop("__content_fp")
+      case None =>
+        loaded.join(changedKeys, Seq("item_key"), "left_semi")
+          .drop("__content_fp")
+    }
     val desiredAll =
       if (nChanged == 0)
         spark.createDataFrame(
@@ -672,7 +730,11 @@ final class Flow(
     // one the container may have dropped column data the fingerprints
     // can't see — matching rows re-upsert defensively
     // (prev_may_be_missing semantics, statediff.py:160-166).
-    val scopeKeys = changedKeys.union(goneKeys)
+    val scopeKeys = scopeLists match {
+      case Some((changedL, goneL)) =>
+        Source.keysDf(spark, (changedL ++ goneL).distinct)
+      case None => changedKeys.union(goneKeys)
+    }
     // bootstrap shortcut (r18), the tracking twin of the memo probe's:
     // with no committed tracking rows (or a destructive transition —
     // the baseline is void either way) the reconcile's full-outer join
@@ -694,8 +756,12 @@ final class Flow(
     val scopeList: Option[Seq[String]] =
       if (trackingEmpty || !rowKeyOwnedByItem ||
           nChanged + byCls("gone") > Flow.MaxScopeLiterals) None
-      else Some(scopeKeys.select(col("item_key").cast("string"))
-        .distinct().collect().map(_.getString(0)).toSeq)
+      else scopeLists match {
+        // already collected once for the literalized scope — reuse
+        case Some((changedL, goneL)) => Some((changedL ++ goneL).distinct)
+        case None => Some(scopeKeys.select(col("item_key").cast("string"))
+          .distinct().collect().map(_.getString(0)).toSeq)
+      }
     lazy val trackedInScope0 = scopeList match {
       case Some(ks) if rowKeyOwnedByItem =>
         // each row_key's item is immutable by declaration, so an item
@@ -769,16 +835,37 @@ final class Flow(
     // (StateStore.commitTables). Unchanged components never appear in
     // any segment: their memo/tracking/state rows stay physically in
     // place in the base.
-    val refreshedMemo = memo.drop("memo_state")
+    // an empty refresh set commits an empty LOCAL frame instead of a
+    // two-join plan that provably yields zero rows — those joins'
+    // broadcast builds were whole Spark jobs inside every commit write
+    val refreshedMemo =
+      if (nRefreshed == 0)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          ComponentMemoSchema)
+      else memo.drop("memo_state")
       .join(level2.filter(col("cls2") === "refreshed").select("item_key"),
         Seq("item_key"), "left_semi")
       .join(listing.select(col("item_key"), col("memo_state")), Seq("item_key"))
       .select("item_key", "processor_fp", "memo_state", "content_fp")
-    val recomputedMemo = listing.select(col("item_key"), col("memo_state"))
-      .join(changedKeys, Seq("item_key"), "left_semi")
-      .join(loadedFps, Seq("item_key"), "left")
-      .select(col("item_key"), lit(pFp).as("processor_fp"),
-        col("memo_state"), col("__content_fp").as("content_fp"))
+    val recomputedBase = (scopeLists match {
+      case Some((changedL, _)) =>
+        listing.select(col("item_key"), col("memo_state"))
+          .filter(col("item_key").isin(changedL: _*))
+      case None =>
+        listing.select(col("item_key"), col("memo_state"))
+          .join(changedKeys, Seq("item_key"), "left_semi")
+    })
+    // a source WITHOUT a content fingerprint stores null content_fp
+    // for every row — the loadedFps join would broadcast-build and
+    // join only to attach that constant
+    val recomputedMemo =
+      if (source.contentFpOf.isEmpty)
+        recomputedBase.select(col("item_key"), lit(pFp).as("processor_fp"),
+          col("memo_state"), lit(null).cast("string").as("content_fp"))
+      else recomputedBase
+        .join(loadedFps, Seq("item_key"), "left")
+        .select(col("item_key"), lit(pFp).as("processor_fp"),
+          col("memo_state"), col("__content_fp").as("content_fp"))
     val memoCommit = StateStore.Delta(
       refreshedMemo.unionByName(recomputedMemo), goneKeys)
 
@@ -832,7 +919,11 @@ final class Flow(
         .map { case (n, df) => n -> StateStore.Full(df) } ++
       userStateFn.map { fn =>
       val prev = st.read("user_state", UserStateSchema)
-      val prevChanged = prev.join(changedKeys, Seq("item_key"), "left_semi")
+      val prevChanged = scopeLists match {
+        case Some((changedL, _)) =>
+          prev.filter(col("item_key").isin(changedL: _*))
+        case None => prev.join(changedKeys, Seq("item_key"), "left_semi")
+      }
       val declared = fn(input, prevChanged)
         .select(col("item_key"), col("state_key"), col("value").cast("string"))
       // unchanged components keep state; changed components' state is
