@@ -233,8 +233,7 @@ final case class BigQueryTableTarget(baseUrl: String, project: String,
     val up = upserts.cache()
     val del = deleteKeys.select(col(RowKey)).cache()
     try {
-      val nUp = up.count()
-      val nDel = del.count()
+      val (nUp, nDel) = TargetStats.countPair(up, del)
       if (nUp == 0 && nDel == 0) return TargetStats(0, 0)
 
       // observe ONCE; a delete-only apply against an absent table is

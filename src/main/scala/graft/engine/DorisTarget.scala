@@ -147,8 +147,7 @@ final case class DorisTableTarget(host: String, mysqlPort: Int,
     val up = upserts.cache()
     val del = deleteKeys.select(col(RowKey)).cache()
     try {
-      val nUp = up.count()
-      val nDel = del.count()
+      val (nUp, nDel) = TargetStats.countPair(up, del)
       if (nUp == 0 && nDel == 0) return TargetStats(0, 0)
 
       // record vector dims for the ANN DDL before the table exists

@@ -61,8 +61,7 @@ final case class FalkorGraphTarget(host: String, port: Int, graph: String,
     val up = upserts.cache()
     val del = deleteKeys.select(RowKey).cache()
     try {
-      val nUp = up.count()
-      val nDel = del.count()
+      val (nUp, nDel) = TargetStats.countPair(up, del)
       if (nUp == 0 && nDel == 0) return TargetStats(0, 0)
 
       val (h, p, g, pk, bs) = (host, port, graph, pkField, batchSize)

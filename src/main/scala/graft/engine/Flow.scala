@@ -304,7 +304,17 @@ final class Flow(
           prev.map(_._1).toSeq,
           prevMayBeMissing = prev.isEmpty))
         val gen = bump(bump((pid, sv), p.childInvalidation), attInval)
-        (p, gen._1, gen._2, Some(d), !prev.map(_._1.record).contains(d))
+        // the OWNERSHIP tag participates in the pending test: now that
+        // target_state commits only when pending, a managedBy flip
+        // under an identical schema record must still persist — else
+        // the stored tag stays stale forever and every later plan
+        // filters prev observations by the wrong ownership (ADVICE
+        // r18; providerId/schemaVersion need no term here — they only
+        // move via bump(), i.e. when the record/attachments changed,
+        // which already sets pending)
+        (p, gen._1, gen._2, Some(d),
+          !prev.map(_._1.record).contains(d) ||
+            !prev.map(_._1.managedBy.name).contains(managedBy.name))
     }
     // a destructive table transition recreates the container: every
     // declared attachment re-runs setup (its objects died with the
@@ -803,6 +813,17 @@ final class Flow(
               col("prev_fp") =!= col("value_fp"), lit("update"))
             .otherwise(lit("noop")))
       ).cache()
+    // the ≤4-row action histogram is collected BEFORE the apply ON
+    // PURPOSE, and not only for RunStats: this collect is the cache
+    // MATERIALIZATION point for `actions`. An r19 experiment moved it
+    // after target.apply (guide §1.2 "don't pay a standalone job") and
+    // the nightly gates' sum-of-jobs DOUBLED: on shuffle-free reconcile
+    // plans (the bootstrap shortcut path — a narrow pipeline through
+    // the transform UDFs) the apply's probes scan SUBSETS of
+    // partitions, InMemoryRelation materializes per partition, and
+    // with no shuffle files to reuse every partial scan re-executed
+    // the expensive transform. One full pass here pins the whole
+    // cache; every apply/commit scan after it is a memory read.
     val byAction = actions.groupBy("action").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
 

@@ -153,8 +153,7 @@ final case class JdbcTableTarget(url: String, table: String,
     val up = upserts.cache()
     val del = deleteKeys.select(col(RowKey)).cache()
     try {
-      val nUp = up.count()
-      val nDel = del.count()
+      val (nUp, nDel) = TargetStats.countPair(up, del)
       if (nUp == 0 && nDel == 0) return TargetStats(0, 0)
 
       withConnection(url) { conn =>

@@ -216,16 +216,17 @@ final class LiveMap(val name: String = "livemap") extends Target {
 
   def apply(spark: SparkSession, upserts: DataFrame,
       deleteKeys: DataFrame): TargetStats = {
-    // count EXACTLY before collecting: a limit() here could silently
-    // drop arbitrary rows of an over-cap batch while the engine's
-    // tracking commits them as applied — the map would be missing
-    // rows forever with every later run classifying them noop
-    val nUp = upserts.count()
-    require(nUp <= LiveMap.MaxEntries,
-      s"LiveMap '$name': batch of $nUp rows exceeds the " +
-        s"${LiveMap.MaxEntries}-entry cap — use a ParquetTableTarget " +
-        "chain for unbounded hand-off")
-    val up = upserts.collect()
+    // ONE bounded collect replaces the former standalone count job
+    // (r19, guide §1.2 step 1): limit(cap + 1) bounds driver memory
+    // like the count did, and an over-cap batch still fails LOUDLY
+    // below (length == cap + 1 trips the require) — a bare limit(cap)
+    // would be the silent-drop hazard the old comment warned about;
+    // the +1 sentinel is what makes the truncation detectable.
+    val up = upserts.limit(LiveMap.MaxEntries + 1).collect()
+    require(up.length <= LiveMap.MaxEntries,
+      s"LiveMap '$name': batch of more than ${LiveMap.MaxEntries} rows " +
+        "exceeds the entry cap — use a ParquetTableTarget chain for " +
+        "unbounded hand-off")
     val keyIdx = upserts.columns.indexOf("row_key")
     // cap on the RESULTING size: re-upserting present keys updates in
     // place and must not fail a map that isn't actually growing

@@ -59,8 +59,7 @@ final case class Neo4jBoltTarget(host: String, port: Int,
     val up = upserts.cache()
     val del = deleteKeys.select(RowKey).cache()
     try {
-      val nUp = up.count()
-      val nDel = del.count()
+      val (nUp, nDel) = TargetStats.countPair(up, del)
       if (nUp == 0 && nDel == 0) return TargetStats(0, 0)
 
       val (h, p, u, pw, pk) = (host, port, user, password, pkField)

@@ -101,8 +101,7 @@ final case class QdrantCollectionTarget(baseUrl: String, collection: String,
     val up = upserts.cache()
     val del = deleteKeys.select(RowKey).cache()
     try {
-      val nUp = up.count()
-      val nDel = del.count()
+      val (nUp, nDel) = TargetStats.countPair(up, del)
       if (nUp == 0 && nDel == 0) return TargetStats(0, 0)
 
       ensureCollection()

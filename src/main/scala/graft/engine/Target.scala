@@ -6,6 +6,27 @@ import org.apache.spark.sql.functions._
 /** Row counts actually written/removed by one target apply. */
 final case class TargetStats(upserted: Long, deleted: Long)
 
+object TargetStats {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions.{count, lit}
+
+  /** (|up|, |del|) in ONE Spark job instead of two standalone
+    * `count()`s (r19, guide §1.2 step 1 — per-apply fixed overhead):
+    * every wire target's apply pays this pair before writing, several
+    * times per gate, and each standalone count is a whole job of
+    * scheduler floor. Both frames are cached by the callers, so the
+    * single union job materializes both caches for the writes that
+    * follow. */
+  def countPair(up: DataFrame, del: DataFrame): (Long, Long) = {
+    val m = up.agg(count(lit(1)).as("n"))
+      .select(lit("u").as("side"), org.apache.spark.sql.functions.col("n"))
+      .unionAll(del.agg(count(lit(1)).as("n"))
+        .select(lit("d").as("side"), org.apache.spark.sql.functions.col("n")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (m("u"), m("d"))
+  }
+}
+
 /** A named SQL command attached to a table target — the reference's
   * `declare_sql_command_attachment`
   * (python/cocoindex/connectors/postgres/_target.py:1362-1386):
@@ -756,27 +777,34 @@ final case class LocalFsDirTarget(dir: String) extends Target {
   def apply(spark: SparkSession, upserts: DataFrame,
       deleteKeys: DataFrame): TargetStats = {
     val base = dir
+    // counts ride the write jobs as accumulators (r19, guide §1.2
+    // step 1): the former standalone count() per side executed each
+    // side's whole plan twice — once to count, once to write.
+    // Accumulator updates inside ACTIONS are exactly-once under task
+    // retry (Spark's documented guarantee), so the tallies are exact.
     val nUp =
       if (!upserts.columns.contains("content")) 0L // e.g. a drop: keys only
       else {
         val up = upserts.select(col("row_key"),
           col("content").cast("binary").as("content"))
-        val n = up.count()
+        val acc = spark.sparkContext.longAccumulator("graft.fsdir.upserts")
         up.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
           rows.foreach { r =>
             val f = new java.io.File(base, r.getString(0))
             f.getParentFile.mkdirs()
             java.nio.file.Files.write(f.toPath, r.getAs[Array[Byte]](1))
+            acc.add(1L)
           }
         }
-        n
+        acc.value.longValue()
       }
     val del = deleteKeys.select("row_key")
-    val nDel = del.count()
+    val delAcc = spark.sparkContext.longAccumulator("graft.fsdir.deletes")
     del.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       rows.foreach { r =>
         val f = new java.io.File(base, r.getString(0))
         f.delete()
+        delAcc.add(1L)
         // prune now-empty parent dirs up to (not incl.) the base
         var p = f.getParentFile
         val stop = new java.io.File(base).getCanonicalFile
@@ -786,7 +814,7 @@ final case class LocalFsDirTarget(dir: String) extends Target {
         }
       }
     }
-    TargetStats(nUp, nDel)
+    TargetStats(nUp, delAcc.value.longValue())
   }
 
   def read(spark: SparkSession): DataFrame =

@@ -73,8 +73,7 @@ final case class TurbopufferNamespaceTarget(baseUrl: String,
     val up = upserts.cache()
     val del = deleteKeys.select(RowKey).cache()
     try {
-      val nUp = up.count()
-      val nDel = del.count()
+      val (nUp, nDel) = TargetStats.countPair(up, del)
       if (nUp == 0 && nDel == 0) return TargetStats(0, 0)
 
       val (url, dist, bs) = (nsUrl, distanceMetric, batchSize)

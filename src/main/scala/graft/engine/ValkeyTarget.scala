@@ -96,8 +96,7 @@ final case class ValkeyIndexTarget(host: String, port: Int,
     val up = upserts.cache()
     val del = deleteKeys.select(RowKey).cache()
     try {
-      val nUp = up.count()
-      val nDel = del.count()
+      val (nUp, nDel) = TargetStats.countPair(up, del)
       if (nUp == 0 && nDel == 0) return TargetStats(0, 0)
 
       withClient(ensureIndex)

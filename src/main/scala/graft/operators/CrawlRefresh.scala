@@ -754,8 +754,23 @@ object CrawlRefresh {
         // slice's row count equals added + changed by construction —
         // corpusDiff's full-outer join (and the export's id-keyed
         // stores) already require unique ids per side, so the semi
-        // join returns exactly one snapshot row per slice id.
-        val byStatus = delta.groupBy("status").count().collect()
+        // join returns exactly one snapshot row per slice id. That
+        // invariant is CHECKED here for free (ADVICE r18): a distinct
+        // tally inside the same ≤3-row aggregate — a snapshot that
+        // carries duplicate ids would silently skew the persisted
+        // n_total/screenedOut where the old standalone counts measured
+        // the materialized frames; now it fails loudly instead.
+        val byStatusRows = delta.groupBy("status")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("id")).as("n_ids")).collect()
+        byStatusRows.foreach { r =>
+          require(r.getLong(1) == r.getLong(2),
+            s"duplicate ids in snapshot diff: status=${r.getString(0)} " +
+              s"has ${r.getLong(1)} rows over ${r.getLong(2)} distinct " +
+              "ids — the nightly's id-keyed stores and derived counts " +
+              "require unique ids per snapshot side")
+        }
+        val byStatus = byStatusRows
           .map(r => r.getString(0) -> r.getLong(1)).toMap
           .withDefaultValue(0L)
         (retired, sl, byStatus("removed"), byStatus("changed"),

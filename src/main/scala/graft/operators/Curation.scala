@@ -250,19 +250,35 @@ object Curation {
     * map inside the scan stage, no shuffle, no UDF. */
   def lineStats(
       df: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+      textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol) +: lineStatCols(textCol).map {
+      case (name, c) => c.as(name) }: _*)
+
+  /** The [[lineStats]] signal COLUMNS, for INLINE (join-free) use: a
+    * composite whose input rows already carry the text can add these
+    * per-row expressions directly instead of computing [[lineStats]]
+    * separately and 1:1-joining it back on the id — that join
+    * re-evaluates the caller's whole upstream pipeline a second time
+    * (r19, guide §7.2 duplicated subtrees; q141 measured the scrub
+    * pipeline evaluated once per self-join side). Single source of
+    * truth: [[lineStats]] itself is defined over these columns. */
+  def lineStatCols(textCol: String = "text"): Seq[(String, Column)] = {
     val lines = split(col(textCol), "\n")
     val n = size(lines)
-    df.select(col(idCol),
-      n.cast("int").as("n_lines"),
-      round(size(filter(lines, l => l.rlike("[.!?\"]$"))).cast("double")
-        / n, 4).as("frac_end_punct"),
-      round(size(filter(lines, l => l.rlike("^[-*]"))).cast("double")
-        / n, 4).as("frac_bullet"),
-      round(aggregate(lines, lit(0), (a, l) => a + length(l))
-        .cast("double") / n, 4).as("mean_line_chars"),
-      aggregate(lines, lit(0), (a, l) => greatest(a, length(l)))
-        .cast("int").as("max_line_chars"))
+    Seq(
+      "n_lines" -> n.cast("int"),
+      "frac_end_punct" ->
+        round(size(filter(lines, l => l.rlike("[.!?\"]$"))).cast("double")
+          / n, 4),
+      "frac_bullet" ->
+        round(size(filter(lines, l => l.rlike("^[-*]"))).cast("double")
+          / n, 4),
+      "mean_line_chars" ->
+        round(aggregate(lines, lit(0), (a, l) => a + length(l))
+          .cast("double") / n, 4),
+      "max_line_chars" ->
+        aggregate(lines, lit(0), (a, l) => greatest(a, length(l)))
+          .cast("int"))
   }
 
   // ---- exact-k stratified sampling ------------------------------------------

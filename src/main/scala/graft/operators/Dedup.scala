@@ -208,7 +208,7 @@ object Dedup {
     require(numHashes % bandRows == 0)
     val d = docs.select(col(idCol).as("doc_id"),
       shingleHashUdf(n)(col(textCol)).as("sh"))
-      .withColumn("sig", minHashSigUdf(numHashes)(col("sh")))
+      .withColumn("sig", minHashDeriveSig(col("sh"), numHashes))
       .filter(col("sig").isNotNull)
       .cache()
     val banded = d.select(col("doc_id"), size(col("sh")).as("sz"),
@@ -439,7 +439,10 @@ object Dedup {
 
   /** MinHash signatures from the already-hashed shingle column — the
     * expensive tokenize+shingle pass runs once per doc, not twice;
-    * the min scan is a primitive while-loop. */
+    * the min scan is a primitive while-loop. KEPT as the reference
+    * implementation MinHashExprSpec pins [[minHashDeriveSig]] against;
+    * production paths use the codegen'd expression (r19, guide step 4
+    * — the UDF boxed every (doc × shingle) long per pass). */
   private[graft] def minHashSigUdf(numHashes: Int) = udf { sh: Seq[Long] =>
     if (sh.isEmpty) null.asInstanceOf[Array[Long]]
     else Array.tabulate(numHashes) { i =>
@@ -452,6 +455,16 @@ object Dedup {
       }
       mn
     }
+  }
+
+  /** Whole-stage-codegen signature column, bit-identical to
+    * [[minHashSigUdf]] (same [[graft.functions.Hashing.derive]]
+    * arithmetic, same null-on-empty semantics — spec-pinned in
+    * MinHashExprSpec). */
+  private[graft] def minHashDeriveSig(sh: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    GraftExpressionBridge.column(graft.functions.MinHashDeriveSigExpr(
+      GraftExpressionBridge.expression(sh), numHashes))
   }
 
   /** Band code: one codegen'd xxhash64 over the band's signature
@@ -609,7 +622,7 @@ object Dedup {
       textCol: String): DataFrame = {
     val nBands = numHashes / bandRows
     df.select(col("item_key"), shingleHashUdf(n)(col(textCol)).as("sh"))
-      .withColumn("sig", minHashSigUdf(numHashes)(col("sh")))
+      .withColumn("sig", minHashDeriveSig(col("sh"), numHashes))
       .filter(col("sig").isNotNull)
       .select(col("item_key"), size(col("sh")).as("sz"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"), col("sig"))
@@ -1654,7 +1667,7 @@ object Dedup {
     val incBanded = increment
       .select(col(idCol).cast("string").as("__inc_key"),
         shingleHashUdf(n)(col(textCol)).as("sh"))
-      .withColumn("sig", minHashSigUdf(numHashes)(col("sh")))
+      .withColumn("sig", minHashDeriveSig(col("sh"), numHashes))
       .filter(col("sig").isNotNull)
       .select(col("__inc_key"), size(col("sh")).as("sz_i"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"), col("sig"))

@@ -71,9 +71,23 @@ final class SearchCollection private (
       val t = new Thread(ivfTask, "graft-sync-ivf")
       t.setDaemon(true)
       t.start()
-      val fts = ftsFlows.run(spark)
+      // the IVF task is ALWAYS awaited before control leaves the
+      // shared-scan cycle (ADVICE r18): if the FTS flow throws while
+      // the orphan IVF writer is still running, cycle()'s finally
+      // would drop the shared-scan caches under it, and a retried
+      // sync() would start a second ivfFlow.run racing the orphan on
+      // the same state dir (StateStore.commitTables has no
+      // cross-writer locking — both compute v=cur+1)
+      val fts =
+        try ftsFlows.run(spark)
+        catch { case e: Throwable =>
+          try { ivfTask.get(); t.join() }
+          catch { case suppressed: Throwable =>
+            e.addSuppressed(suppressed) }
+          throw e
+        }
       val ivf =
-        try ivfTask.get()
+        try { val r = ivfTask.get(); t.join(); r }
         catch { case e: java.util.concurrent.ExecutionException =>
           throw e.getCause }
       (ivf, fts)

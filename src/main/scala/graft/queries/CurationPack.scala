@@ -1502,20 +1502,36 @@ object CurationPack extends QueryPack {
           .select(col("doc_id"), col("source"),
             Curation.cardCount(t2).cast("int").as("n_cards"),
             Curation.scrubPii(t2).as("text"))
-        val stats = Curation.lineStats(staged, "doc_id", "text")
-          .select("doc_id", "n_lines", "frac_bullet")
-        val gated = staged.join(stats, Seq("doc_id"))
+        // line signals INLINE (Curation.lineStatCols — the exact
+        // expressions lineStats selects): the former lineStats +
+        // 1:1 self-join on doc_id re-evaluated the whole scrub
+        // pipeline once per join side (r19, guide §7.2 duplicated
+        // subtrees / §2.4 remove shuffles — same values, one scan,
+        // no join exchange)
+        val lineCols = Curation.lineStatCols("text").toMap
+        val gated = staged
+          .withColumn("n_lines", lineCols("n_lines"))
+          .withColumn("frac_bullet", lineCols("frac_bullet"))
           .filter(col("frac_bullet") <= 0.25 && col("n_lines") >= 2)
         val w = Window.partitionBy("__bh")
+        // kept is consumed THREE times below (stratum counts, the
+        // hash-filtered window, the payload columns) — materialize it
+        // once (it is thin: five scalars per doc, no text) so the
+        // scrub+window pipeline runs once per bench run, not once per
+        // consumer (guide §5 caching an intermediate that is reused
+        // and expensive to recompute)
         val kept = gated.withColumn("__bh", md5(col("text")))
           .withColumn("__canon", min("doc_id").over(w))
           .filter(col("doc_id") === col("__canon"))
           .select("doc_id", "source", "n_cards", "n_lines", "frac_bullet")
-        Curation.stratifiedSample(
-            kept.select("doc_id", "source"), "source", k = 10)
+          .localCheckpoint()
+        // the payload columns ride THROUGH the sample (its window
+        // carries every input column), replacing the former join-back
+        // on doc_id — one window, zero joins, identical rows
+        Curation.stratifiedSample(kept, "source", k = 10)
           .select(col("doc_id"), col("source"),
-            col("strat_rank").cast("int"))
-          .join(kept.drop("source"), Seq("doc_id"))
+            col("strat_rank").cast("int"), col("n_cards"),
+            col("n_lines"), col("frac_bullet"))
       }),
 
     // ---- the PRODUCTION nightly, end-to-end under the oracle --------------

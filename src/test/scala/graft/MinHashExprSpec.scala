@@ -77,6 +77,67 @@ class MinHashExprSpec extends SparkSpec {
     }
   }
 
+  // ---- the FNV/splitmix family (r19): expression ≡ UDF ---------------
+
+  private def deriveNative(sh: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    GraftExpressionBridge.column(graft.functions.MinHashDeriveSigExpr(
+      GraftExpressionBridge.expression(sh), k))
+  }
+
+  /** Non-null-element long arrays (the engine's shingle UDF emits
+    * primitive longs — null elements are unreachable from callers)
+    * plus the empty-array and null-input edges. */
+  private lazy val deriveSets: DataFrame = {
+    import spark.implicits._
+    val base = spark.range(200).toDF("id")
+      .withColumn("hs", transform(
+        sequence(lit(0L), pmod(col("id"), lit(37L)) + 1L),
+        j => conv(substring(md5(concat(col("id"), lit(":"), j)), 1, 15),
+          16, 10).cast("long")))
+    val edges = Seq(
+      (1000L, Seq.empty[Long]),
+      (1001L, Seq(42L)),
+      (1002L, Seq(Long.MaxValue, Long.MinValue, -1L, 0L))
+    ).toDF("id", "hs")
+    base.unionByName(edges)
+  }
+
+  test("derive-family native == UDF exactly, incl. null-on-empty") {
+    for (k <- Seq(4, 32)) {
+      val diff = deriveSets
+        .withColumn("ne", deriveNative(col("hs"), k))
+        .withColumn("ue", Dedup.minHashSigUdf(k)(col("hs")))
+        .filter(!(col("ne") <=> col("ue")))
+      assert(diff.count() === 0, {
+        val r = diff.select("id", "ne", "ue").head(3).toSeq
+        s"numHashes=$k divergent: ${r.mkString("; ")}"
+      })
+    }
+    // null INPUT (unreachable from the engine's callers — the shingle
+    // UDF never emits null): the expression contracts to null, like
+    // the null-on-empty the callers' isNotNull filter relies on
+    import spark.implicits._
+    val nullRow = Seq((1L, Option.empty[Seq[Long]])).toDF("id", "hs")
+      .select(deriveNative(col("hs"), 8).as("ne"))
+    assert(nullRow.head.isNullAt(0))
+  }
+
+  test("derive-family native == UDF on the interpreted path") {
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val diff = deriveSets
+        .withColumn("ne", deriveNative(col("hs"), 32))
+        .withColumn("ue", Dedup.minHashSigUdf(32)(col("hs")))
+        .filter(!(col("ne") <=> col("ue")))
+      assert(diff.count() === 0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+  }
+
   test("minHashNearDupMd5 end-to-end result unchanged on a planted corpus") {
     // 50 docs, every 10th a near-dup of its predecessor (the
     // DedupScale planting scheme): the pair set and Jaccard values
